@@ -1,0 +1,157 @@
+package graft.graph
+
+import graft.geo.Geo
+
+/** Immutable, broadcast-friendly routing graph in CSR form plus a uniform-grid
+  * spatial index over main-road nodes.
+  *
+  * This is the Spark analogue of the reference's process-global router state
+  * `RoutingData {node_positions, fast_graph, spatial_index, adj_list}`
+  * (reference: rust/src/lib.rs:147-153): instead of a mutex-guarded global
+  * (src/travel_time_extension.cpp:26-30) it is an immutable value shipped to
+  * executors with `SparkContext.broadcast`, so every task thread reads it
+  * lock-free (the safety argument the reference itself proves with rayon
+  * thread-local calculators, rust/src/lib.rs:498-533).
+  *
+  * Arrays, not objects: ~28 bytes/edge, so a 24.6M-edge Italy-class graph
+  * (`ITALY.md:55-56`) is ~700 MB — still broadcastable; continental graphs
+  * would partition by tile (documented future work, SURVEY §4.2).
+  */
+final class PreparedGraph(
+    val nodeLat: Array[Double],
+    val nodeLon: Array[Double],
+    // forward CSR
+    val offsets: Array[Int],
+    val targets: Array[Int],
+    val weightsMs: Array[Int],
+    val distM: Array[Float],
+    // reverse CSR (for bidirectional search)
+    val rOffsets: Array[Int],
+    val rTargets: Array[Int],
+    val rWeightsMs: Array[Int],
+    // snap index over main-road nodes
+    val snapIndex: GridIndex
+) extends Serializable {
+
+  def numNodes: Int = nodeLat.length
+  def numEdges: Int = targets.length
+
+  /** Nearest main-road node to (lat, lon); -1 if the graph is empty. */
+  def snap(lat: Double, lon: Double): Int = snapIndex.nearest(lat, lon)
+
+  def snapWithDistance(lat: Double, lon: Double): Option[(Int, Double)] = {
+    val idx = snap(lat, lon)
+    if (idx < 0) None
+    else Some((idx, Geo.haversineM(lat, lon, nodeLat(idx), nodeLon(idx))))
+  }
+}
+
+/** Uniform grid over (lat, lon) with ring-expansion nearest-neighbor search.
+  * Plays the role of the reference's R-tree (rust/src/lib.rs:121-142,261).
+  * O(1) expected lookup for uniformly dense road networks; serializable and
+  * compact (two int arrays), which an off-the-shelf R-tree is not.
+  */
+final class GridIndex private (
+    val minLat: Double,
+    val minLon: Double,
+    val cellSize: Double,
+    val nLat: Int,
+    val nLon: Int,
+    // CSR over cells: cellStart(c)..cellStart(c+1) indexes into pointIds
+    val cellStart: Array[Int],
+    val pointIds: Array[Int],
+    val lats: Array[Double],
+    val lons: Array[Double]
+) extends Serializable {
+
+  private def cellOf(lat: Double, lon: Double): (Int, Int) = {
+    val ci = math.min(nLat - 1, math.max(0, ((lat - minLat) / cellSize).toInt))
+    val cj = math.min(nLon - 1, math.max(0, ((lon - minLon) / cellSize).toInt))
+    (ci, cj)
+  }
+
+  /** Id (into the original node numbering) of the nearest indexed point.
+    * Scans square rings outward; after the first hit at ring r it scans one
+    * extra ring (a point in ring r+1 can be geometrically closer than one in
+    * ring r), then stops.
+    */
+  def nearest(lat: Double, lon: Double): Int = {
+    if (pointIds.isEmpty) return -1
+    val (ci, cj) = cellOf(lat, lon)
+    var best = -1
+    var bestD = Double.MaxValue
+    var ring = 0
+    var stopRing = Int.MaxValue
+    val maxRing = math.max(nLat, nLon)
+    while (ring <= math.min(maxRing, stopRing)) {
+      var i = math.max(0, ci - ring)
+      val iMax = math.min(nLat - 1, ci + ring)
+      while (i <= iMax) {
+        var j = math.max(0, cj - ring)
+        val jMax = math.min(nLon - 1, cj + ring)
+        while (j <= jMax) {
+          if (i == ci - ring || i == ci + ring || j == cj - ring || j == cj + ring) {
+            val c = i * nLon + j
+            var k = cellStart(c)
+            val kEnd = cellStart(c + 1)
+            while (k < kEnd) {
+              val d = Geo.approxDist2(lat, lon, lats(k), lons(k))
+              if (d < bestD) { bestD = d; best = pointIds(k) }
+              k += 1
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      if (best >= 0 && stopRing == Int.MaxValue) stopRing = ring + 1
+      ring += 1
+    }
+    best
+  }
+}
+
+object GridIndex {
+  /** Build from main-road node positions. `ids` map positions back to node
+    * indices in the parent graph.
+    */
+  def build(ids: Array[Int], lats: Array[Double], lons: Array[Double],
+            targetCellDeg: Double = 0.005): GridIndex = {
+    if (ids.isEmpty)
+      return new GridIndex(0, 0, 1.0, 1, 1, Array(0, 0), Array.empty, Array.empty, Array.empty)
+    val minLat = lats.min; val maxLat = lats.max
+    val minLon = lons.min; val maxLon = lons.max
+    val span = math.max(1e-9, math.max(maxLat - minLat, maxLon - minLon))
+    val cell = math.max(targetCellDeg, span / 512) // cap grid at 512x512
+    val nLat = math.max(1, math.ceil((maxLat - minLat) / cell).toInt + 1)
+    val nLon = math.max(1, math.ceil((maxLon - minLon) / cell).toInt + 1)
+    val nCells = nLat * nLon
+    val counts = new Array[Int](nCells + 1)
+    val cellIdx = new Array[Int](ids.length)
+    var i = 0
+    while (i < ids.length) {
+      val ci = math.min(nLat - 1, math.max(0, ((lats(i) - minLat) / cell).toInt))
+      val cj = math.min(nLon - 1, math.max(0, ((lons(i) - minLon) / cell).toInt))
+      val c = ci * nLon + cj
+      cellIdx(i) = c
+      counts(c + 1) += 1
+      i += 1
+    }
+    i = 0
+    while (i < nCells) { counts(i + 1) += counts(i); i += 1 }
+    val start = counts.clone()
+    val outIds = new Array[Int](ids.length)
+    val outLats = new Array[Double](ids.length)
+    val outLons = new Array[Double](ids.length)
+    val cursor = start.clone()
+    i = 0
+    while (i < ids.length) {
+      val c = cellIdx(i)
+      val pos = cursor(c)
+      outIds(pos) = ids(i); outLats(pos) = lats(i); outLons(pos) = lons(i)
+      cursor(c) += 1
+      i += 1
+    }
+    new GridIndex(minLat, minLon, cell, nLat, nLon, start, outIds, outLats, outLons)
+  }
+}

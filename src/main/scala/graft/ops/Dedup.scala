@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact, MinHash+LSH, n-gram Jaccard.
+  *
+  * Scale design: every variant is shuffle-minimal —
+  *  - exact dedup is one hash-aggregate on a digest (map-side partial);
+  *  - MinHash/LSH shuffles only (band, bucket) keys, never document pairs;
+  *    candidate pairs materialize inside buckets, so all-pairs cost is bounded
+  *    by bucket size, not corpus size (the standard LSH argument);
+  *  - n-gram Jaccard joins on exploded shingles — at 100 TB you'd gate it
+  *    behind LSH; here it doubles as the oracle for MinHash recall.
+  *
+  * Hash choice: md5 (hex string) — deterministic, available verbatim in
+  * DuckDB, so every stage has an exact SQL oracle. The k MinHash functions
+  * are md5(seed || '|' || shingle) for seed = 0..k-1, with the lexicographic
+  * MIN over hex digests standing in for the usual integer min-hash.
+  */
+object Dedup {
+
+  /** Character q-gram shingles at positions 1..len-q+1 (SQL-expression form:
+    * Spark's Column API lacks a substring overload with Column start).
+    */
+  def shinglesExpr(textCol: String, q: Int): Column =
+    expr(s"transform(sequence(1, greatest(length($textCol) - ${q - 1}, 1)), " +
+      s"i -> substring($textCol, i, $q))")
+
+  /** k MinHash values over q-gram shingles: array of min md5 digests. */
+  def minhashSignature(textCol: String, q: Int, k: Int): Column = {
+    val sh = shinglesExpr(textCol, q)
+    val mins = (0 until k).map { seed =>
+      array_min(transform(array_distinct(sh), s => md5(concat(lit(s"$seed|"), s))))
+    }
+    array(mins: _*)
+  }
+
+  /** LSH candidate pairs: docs sharing any band of `rowsPerBand` consecutive
+    * minhashes. Input df must have (idCol, textCol). Output: (a, b) with a<b,
+    * plus the number of matching bands.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        q: Int = 5, k: Int = 12, rowsPerBand: Int = 2): DataFrame = {
+    val nBands = k / rowsPerBand
+    val sig = df.select(col(idCol).as("doc"), minhashSignature(textCol, q, k).as("sig"))
+    val bands = sig.select(col("doc"),
+      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
+        b => concat_ws("#", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .toDF("doc", "band", "bucket")
+    val l = bands.as("l"); val r = bands.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+        col("l.doc") < col("r.doc"))
+      .groupBy(col("l.doc").as("a"), col("r.doc").as("b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** Exact n-gram Jaccard for candidate verification: |A∩B| / |A∪B| over
+    * distinct q-gram shingles, computed with an explode + co-group join
+    * (shuffles shingle keys, not documents).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        q: Int, threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"),
+      explode(array_distinct(shinglesExpr(textCol, q))).as("sh"))
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc") < col("y.doc"))
+      .groupBy(col("x.doc").as("a"), col("y.doc").as("b"))
+      .agg(count(lit(1)).as("shared"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("n", "na"), "a")
+      .join(sizes.withColumnRenamed("doc", "b").withColumnRenamed("n", "nb"), "b")
+      .withColumn("jaccard",
+        round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (`ARRAY<FLOAT>`).
+  *
+  * Built on `zip_with`/`aggregate` Catalyst expressions (codegen'd) — the
+  * dot products run inside whole-stage codegen with no UDF boundary.
+  *
+  * Scale path: brute-force is the correctness baseline (O(Q·N·d) after a
+  * broadcast of the query set); the bucketed variant prunes candidates with a
+  * partition key (IVF-style cell) so each query only scans one bucket — the
+  * same shuffle shape as a 100 TB production ANN job (bucket = IVF cell id or
+  * LSH signature).
+  */
+object Similarity {
+
+  /** Cosine similarity of two ARRAY<FLOAT/DOUBLE> columns, in double. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(ad, x => x * x), lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(bd, x => x * x), lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /** Brute-force cosine top-k: for each query vector (filtered by
+    * `queryPred`), the k nearest corpus vectors (excluding itself).
+    * Query set is broadcast against the corpus scan.
+    */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     queryPred: Column, k: Int): DataFrame = {
+    val corpus = emb.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+    val queries = emb.filter(queryPred).select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", round(cosine(col("qvec"), col("nvec")), 4))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), asc("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+
+  /** Bucketed (IVF-style) ANN: candidates are restricted to the query's
+    * bucket (`bucketCol` — an IVF cell, LSH signature, or any partition key).
+    * Same output shape as brute force; recall depends on bucket quality.
+    */
+  def bucketedTopK(emb: DataFrame, idCol: String, vecCol: String, bucketCol: String,
+                   queryPred: Column, k: Int): DataFrame = {
+    val corpus = emb.select(col(idCol).as("nid"), col(vecCol).as("nvec"), col(bucketCol).as("nbucket"))
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"), col(bucketCol).as("qbucket"))
+    val scored = corpus.join(broadcast(queries), col("qbucket") === col("nbucket"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", round(cosine(col("qvec"), col("nvec")), 4))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), asc("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+
+  /** Random-hyperplane (SimHash) LSH bucket signature for cosine ANN:
+    * `nBits` sign bits of projections onto deterministic pseudo-random
+    * hyperplanes (seeded per (bit, dim) — reproducible across runs and
+    * engines with no stored model).
+    */
+  def hyperplaneSignature(vecCol: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
+    val bits = (0 until nBits).map { b =>
+      // deterministic hyperplane weights in [-1, 1): splitmix64-ish per (b, i)
+      val weights = Array.tabulate(dim) { i =>
+        var z = seed + b.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z = z ^ (z >>> 31)
+        (z.toDouble / Long.MaxValue.toDouble)
+      }
+      val proj = aggregate(
+        zip_with(transform(vecCol, x => x.cast("double")), lit(weights), (x, w) => x * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1)).otherwise(lit(0))
+    }
+    concat_ws("", bits.map(_.cast("string")): _*)
+  }
+}

@@ -1,0 +1,251 @@
+package graft.queries
+
+import graft.ops.{Dedup, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data pipeline operators over the `documents` / `embeddings`
+  * tables (builder-prompt first-class components): dedup (exact, MinHash+LSH,
+  * n-gram Jaccard, fingerprints, SimHash), similarity search (brute-force +
+  * bucketed ANN), and text analysis (tokens, language ID, quality).
+  *
+  * Every query here has an exact DuckDB oracle: the Spark side is built from
+  * codegen'd Catalyst expressions whose semantics we mirror token-for-token in
+  * DuckDB SQL (md5 digests, generate_series shingles, list_* higher-order
+  * functions). Doubles that cross engines are rounded to 4 decimals; every
+  * query ends in a total ORDER BY.
+  */
+object Pipeline {
+  import Tables.t
+
+  private val StopEnSql = TextOps.StopwordsEn.mkString("['", "', '", "']")
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // -- exact dedup: content digest + keeper election ----------------------
+    QueryDef("p01_exact_dedup",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"digest")
+        t(s, d, "documents")
+          .select($"doc_id", md5($"text").as("digest"))
+          .withColumn("keeper", min($"doc_id").over(w))
+          .withColumn("is_dup", ($"doc_id" =!= $"keeper").cast("int"))
+          .select($"doc_id", $"digest", $"keeper", $"is_dup")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, md5(text) AS digest,
+             |  min(doc_id) OVER (PARTITION BY md5(text)) AS keeper,
+             |  CAST(doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS INT) AS is_dup
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // -- token / punctuation statistics ------------------------------------
+    QueryDef("p02_text_stats",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents")
+          .select($"doc_id",
+            TextOps.wordCount($"text").as("n_words"),
+            TextOps.bpeishTokenCount($"text").as("n_bpeish"),
+            TextOps.punctCount($"text").as("n_punct"),
+            round(TextOps.punctRatio($"text"), 4).as("punct_ratio"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_words,
+             |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish,
+             |  length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+             |  round(CASE WHEN length(text) > 0
+             |    THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text)
+             |    ELSE 0.0 END, 4) AS punct_ratio
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // -- language ID + quality score ---------------------------------------
+    QueryDef("p03_langid_quality",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents")
+          .select($"doc_id",
+            TextOps.langId($"text").as("lang_id"),
+            round(TextOps.qualityScore($"text"), 4).as("quality"))
+          .orderBy($"doc_id")
+      },
+      Some {
+        def hits(words: Seq[String]) = {
+          val arr = words.mkString("['", "', '", "']")
+          s"len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0), t -> list_contains($arr, t)))"
+        }
+        val en = hits(TextOps.StopwordsEn); val de = hits(TextOps.StopwordsDe)
+        val es = hits(TextOps.StopwordsEs); val fr = hits(TextOps.StopwordsFr)
+        s"""WITH scored AS (
+           |  SELECT doc_id, text,
+           |    $en AS hits_en, $de AS hits_de, $es AS hits_es, $fr AS hits_fr,
+           |    len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS n_words,
+           |    CASE WHEN length(text) > 0
+           |      THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+           |      ELSE 0.0 END AS punct_ratio
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CASE WHEN greatest(hits_en, hits_de, hits_es, hits_fr) = 0 THEN 'und'
+           |    WHEN hits_en = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'en'
+           |    WHEN hits_de = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'de'
+           |    WHEN hits_es = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'es'
+           |    ELSE 'fr' END AS lang_id,
+           |  round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+           |    + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
+           |    + least((CASE WHEN n_words > 0 THEN CAST(hits_en AS DOUBLE) / n_words ELSE 0.0 END) * 4.0, 1.0) * 0.3,
+           |    4) AS quality
+           |FROM scored ORDER BY doc_id""".stripMargin
+      }),
+
+    // -- MinHash + LSH candidate pairs (q=5-gram, k=12 hashes, 6 bands) ----
+    QueryDef("p04_minhash_lsh",
+      (s, d) => Dedup.minhashCandidates(t(s, d, "documents"), "doc_id", "text",
+          q = 5, k = 12, rowsPerBand = 2)
+        .orderBy(col("a"), col("b")),
+      Some {
+        val mins = (0 until 12).map { seed =>
+          s"list_min(list_transform(list_distinct(sh), x -> md5('$seed|' || x)))"
+        }.mkString(",\n      ")
+        s"""WITH sh AS (
+           |  SELECT doc_id AS doc,
+           |    list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+           |                   i -> substring(text, i, 5)) AS sh
+           |  FROM documents),
+           |sig AS (
+           |  SELECT doc, [
+           |      $mins
+           |    ] AS sig FROM sh),
+           |bands AS (
+           |  SELECT doc, u.band, u.bucket FROM (
+           |    SELECT doc, unnest(list_transform(range(0, 6), b ->
+           |      {'band': b, 'bucket': array_to_string(list_slice(sig, b * 2 + 1, b * 2 + 2), '#')})) AS u
+           |    FROM sig))
+           |SELECT l.doc AS a, r.doc AS b, CAST(count(*) AS BIGINT) AS n_bands
+           |FROM bands l JOIN bands r
+           |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc < r.doc
+           |GROUP BY l.doc, r.doc ORDER BY a, b""".stripMargin
+      }),
+
+    // -- exact n-gram Jaccard pairs (the MinHash recall oracle) ------------
+    QueryDef("p05_ngram_jaccard",
+      (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          q = 5, threshold = 0.5)
+        .orderBy(col("a"), col("b")),
+      Some("""WITH sh AS (
+             |  SELECT doc_id AS doc, unnest(list_distinct(
+             |    list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+             |                   i -> substring(text, i, 5)))) AS sh
+             |  FROM documents),
+             |sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+             |inter AS (
+             |  SELECT x.doc AS a, y.doc AS b, count(*) AS shared
+             |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc < y.doc
+             |  GROUP BY x.doc, y.doc)
+             |SELECT a, b,
+             |  round(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 4) AS jaccard
+             |FROM inter
+             |JOIN sizes na ON na.doc = a
+             |JOIN sizes nb ON nb.doc = b
+             |WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.5
+             |ORDER BY a, b""".stripMargin)),
+
+    // -- brute-force cosine top-k ANN baseline ------------------------------
+    QueryDef("p06_brute_topk",
+      (s, d) => Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+          col("vec_id") < 10, k = 5)
+        .orderBy(col("qid"), col("rank")),
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+             |          FROM embeddings WHERE vec_id < 10),
+             |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS nvec FROM embeddings)
+             |SELECT qid, CAST(row_number() OVER w AS INT) AS rank, nid,
+             |  round(list_cosine_similarity(qvec, nvec), 4) AS sim
+             |FROM c CROSS JOIN q WHERE qid <> nid
+             |WINDOW w AS (PARTITION BY qid
+             |             ORDER BY round(list_cosine_similarity(qvec, nvec), 4) DESC, nid)
+             |QUALIFY row_number() OVER w <= 5
+             |ORDER BY qid, rank""".stripMargin)),
+
+    // -- bucketed ANN (IVF-style cell = label column) -----------------------
+    QueryDef("p07_bucketed_ann",
+      (s, d) => Similarity.bucketedTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+          "label", col("vec_id") < 20, k = 3)
+        .orderBy(col("qid"), col("rank")),
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec, label AS qbucket
+             |          FROM embeddings WHERE vec_id < 20),
+             |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS nvec, label AS nbucket
+             |      FROM embeddings)
+             |SELECT qid, CAST(row_number() OVER w AS INT) AS rank, nid,
+             |  round(list_cosine_similarity(qvec, nvec), 4) AS sim
+             |FROM c JOIN q ON qbucket = nbucket WHERE qid <> nid
+             |WINDOW w AS (PARTITION BY qid
+             |             ORDER BY round(list_cosine_similarity(qvec, nvec), 4) DESC, nid)
+             |QUALIFY row_number() OVER w <= 3
+             |ORDER BY qid, rank""".stripMargin)),
+
+    // -- k-min digest fingerprint (winnowing-style document sketch) --------
+    QueryDef("p08_fingerprint",
+      (s, d) => {
+        import s.implicits._
+        val sh = Dedup.shinglesExpr("text", 8)
+        t(s, d, "documents")
+          .select($"doc_id",
+            concat_ws("#", slice(array_sort(transform(array_distinct(sh), x => md5(x))),
+              1, 4)).as("fingerprint"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  array_to_string(list_slice(list_sort(
+             |    list_transform(list_distinct(
+             |      list_transform(generate_series(1, greatest(length(text) - 7, 1)),
+             |                     i -> substring(text, i, 8))),
+             |      x -> md5(x))), 1, 4), '#') AS fingerprint
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // -- 16-bit SimHash over whitespace tokens ------------------------------
+    QueryDef("p09_simhash",
+      (s, d) => {
+        import s.implicits._
+        val tok = t(s, d, "documents")
+          .select($"doc_id", explode(TextOps.tokens(lower($"text"))).as("tok"))
+          .withColumn("h", conv(substring(md5($"tok"), 1, 15), 16, 10).cast("long"))
+        val votes = (0 until 16).map(b =>
+          sum(shiftright($"h", b) % 2 * 2 - 1).as(s"v$b"))
+        val agg = tok.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
+        val simhash = (0 until 16).map(b =>
+          when(col(s"v$b") > 0, 1L << b).otherwise(0L)).reduce(_ + _)
+        agg.select($"doc_id", simhash.as("simhash")).orderBy($"doc_id")
+      },
+      Some {
+        val votes = (0 until 16).map(b =>
+          s"sum(((h >> $b) % 2) * 2 - 1) AS v$b").mkString(",\n    ")
+        val bits = (0 until 16).map(b =>
+          s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+        s"""WITH tok AS (
+           |  SELECT doc_id, CAST(('0x' || substring(md5(t.tok), 1, 15)) AS BIGINT) AS h
+           |  FROM (SELECT doc_id, unnest(list_filter(
+           |          string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS tok
+           |        FROM documents) t),
+           |agg AS (
+           |  SELECT doc_id,
+           |    $votes
+           |  FROM tok GROUP BY doc_id)
+           |SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+           |FROM agg ORDER BY doc_id""".stripMargin
+      }),
+
+    // -- binary-column plumbing: opaque blobs + typed metadata --------------
+    QueryDef("p10_binary_meta",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents")
+          .select($"doc_id", encode($"text", "UTF-8").as("blob"), $"lang")
+          .select($"doc_id", length($"blob").as("n_bytes"),
+            md5($"blob").as("content_digest"), $"lang")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             |  md5(text) AS content_digest, lang
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -1,0 +1,339 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The relational surface the reference workload delegates to its host engine
+  * (SURVEY §2B): every construct its docs/examples/tests execute, expressed
+  * Spark-first and validated against a DuckDB oracle.
+  *
+  * Conventions for oracle parity: every aggregate/computed column is aliased
+  * identically on both sides; doubles that aggregate across partitions are
+  * rounded to 4 decimals (partial-aggregation order differs between engines);
+  * every query has a total deterministic ORDER BY; DuckDB integer sums are
+  * cast to BIGINT to match Spark's LongType.
+  */
+object Relational {
+  import Tables.t
+
+  def defs: Seq[QueryDef] = Seq(
+    // -- projection + filter + expression (README.md:104-117 shape) --------
+    QueryDef("q01_filter_project",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .filter($"l_shipdate" >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
+            $"l_discount" > 0.05)
+          .select($"l_orderkey", $"l_linenumber",
+            round($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("net_price"))
+          .orderBy(desc("net_price"), asc("l_orderkey"), asc("l_linenumber"))
+          .limit(100)
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |round(l_extendedprice * (1.0 - l_discount), 4) AS net_price
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' AND l_discount > 0.05
+             |ORDER BY net_price DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin)),
+
+    // -- grouped aggregation (TPC-H Q1 shape; z_integration count(*)) ------
+    QueryDef("q02_agg_pricing_summary",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .filter($"l_shipdate" <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            round(sum($"l_quantity"), 4).as("sum_qty"),
+            round(sum($"l_extendedprice"), 4).as("sum_base_price"),
+            round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("sum_disc_price"),
+            round(avg($"l_quantity"), 4).as("avg_qty"),
+            round(avg($"l_discount"), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |round(sum(l_quantity), 4) AS sum_qty,
+             |round(sum(l_extendedprice), 4) AS sum_base_price,
+             |round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+             |round(avg(l_quantity), 4) AS avg_qty,
+             |round(avg(l_discount), 4) AS avg_disc,
+             |count(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // -- multi-way join + aggregation (broadcast the dimensions) -----------
+    QueryDef("q03_join_revenue_by_segment",
+      (s, d) => {
+        import s.implicits._
+        val c = t(s, d, "customer"); val o = t(s, d, "orders"); val l = t(s, d, "lineitem")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy($"c_mktsegment")
+          .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment,
+             |round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+             |count(*) AS n_items
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // -- CTE + top-k ordering (README.md:145,183 shape) ---------------------
+    QueryDef("q04_cte_top_suppliers",
+      (s, d) => {
+        import s.implicits._
+        val l = t(s, d, "lineitem"); val sup = t(s, d, "supplier")
+        val rev = l.groupBy($"l_suppkey")
+          .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("total_rev"))
+        rev.join(broadcast(sup), rev("l_suppkey") === sup("s_suppkey"))
+          .select($"s_name", $"total_rev")
+          .orderBy(desc("total_rev"), asc("s_name"))
+          .limit(5)
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS total_rev
+             |  FROM lineitem GROUP BY l_suppkey)
+             |SELECT s_name, total_rev FROM rev JOIN supplier ON l_suppkey = s_suppkey
+             |ORDER BY total_rev DESC, s_name LIMIT 5""".stripMargin)),
+
+    // -- UNION ALL across branches (ITALY.md:225-229 shape) -----------------
+    QueryDef("q05_union_all",
+      (s, d) => {
+        import s.implicits._
+        val o = t(s, d, "orders")
+        val hi = o.filter($"o_totalprice" > 400000)
+          .select(lit("high").as("bucket"), $"o_orderkey", round($"o_totalprice", 4).as("price"))
+        val lo = o.filter($"o_totalprice" < 1000)
+          .select(lit("low").as("bucket"), $"o_orderkey", round($"o_totalprice", 4).as("price"))
+        hi.unionByName(lo).orderBy($"bucket", $"o_orderkey")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'high' AS bucket, o_orderkey, round(o_totalprice, 4) AS price
+             |  FROM orders WHERE o_totalprice > 400000
+             |  UNION ALL
+             |  SELECT 'low' AS bucket, o_orderkey, round(o_totalprice, 4) AS price
+             |  FROM orders WHERE o_totalprice < 1000)
+             |ORDER BY bucket, o_orderkey""".stripMargin)),
+
+    // -- CASE WHEN bucketing (ITALY.md:187-199 shape) -----------------------
+    QueryDef("q06_case_when",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .select($"o_orderkey",
+            when($"o_totalprice" > 300000, "large")
+              .when($"o_totalprice" > 100000, "medium")
+              .otherwise("small").as("size_class"))
+          .groupBy($"size_class").agg(count(lit(1)).as("n"))
+          .orderBy($"size_class")
+      },
+      Some("""SELECT CASE WHEN o_totalprice > 300000 THEN 'large'
+             |WHEN o_totalprice > 100000 THEN 'medium' ELSE 'small' END AS size_class,
+             |count(*) AS n FROM orders GROUP BY 1 ORDER BY size_class""".stripMargin)),
+
+    // -- scalar subquery (README.md:282 shape) ------------------------------
+    QueryDef("q07_scalar_subquery",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("g_orders")
+        s.sql("""SELECT o_orderkey, round(o_totalprice, 4) AS price
+                |FROM g_orders
+                |WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.8 FROM g_orders)
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, round(o_totalprice, 4) AS price FROM orders
+             |WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.8 FROM orders)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // -- semi/anti joins (EXISTS / NOT EXISTS) ------------------------------
+    QueryDef("q08_anti_join",
+      (s, d) => {
+        import s.implicits._
+        val c = t(s, d, "customer")
+        val big = t(s, d, "orders").filter($"o_totalprice" > 400000)
+        c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+          .select($"c_custkey", $"c_name").orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // -- window functions (free from Catalyst; SURVEY §2B "not present in
+    //    reference" set, validated here anyway) -----------------------------
+    QueryDef("q09_window_topn",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"l_suppkey").orderBy(desc("net"), asc("l_orderkey"), asc("l_linenumber"))
+        t(s, d, "lineitem")
+          .withColumn("net", round($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 3)
+          .select($"l_suppkey", $"rn", $"l_orderkey", $"net")
+          .orderBy($"l_suppkey", $"rn")
+      },
+      Some("""SELECT l_suppkey, rn, l_orderkey, net FROM (
+             |  SELECT l_suppkey, l_orderkey,
+             |    round(l_extendedprice * (1.0 - l_discount), 4) AS net,
+             |    row_number() OVER (PARTITION BY l_suppkey
+             |      ORDER BY round(l_extendedprice * (1.0 - l_discount), 4) DESC,
+             |               l_orderkey, l_linenumber) AS rn
+             |  FROM lineitem) WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin)),
+
+    // -- ROLLUP (grouping sets) ---------------------------------------------
+    QueryDef("q10_rollup",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(round(sum($"l_quantity"), 4).as("sum_qty"))
+          .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
+            coalesce($"l_linestatus", lit("ALL")).as("ls"), $"sum_qty")
+          .orderBy($"rf", $"ls")
+      },
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             |coalesce(l_linestatus, 'ALL') AS ls,
+             |round(sum(l_quantity), 4) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY rf, ls""".stripMargin)),
+
+    // -- INTERSECT/EXCEPT set ops -------------------------------------------
+    QueryDef("q11_set_ops",
+      (s, d) => {
+        import s.implicits._
+        val o = t(s, d, "orders")
+        val buyers = o.filter($"o_totalprice" > 200000).select($"o_custkey")
+        val urgent = o.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+        buyers.intersect(urgent).orderBy($"o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+             |INTERSECT
+             |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // -- VALUES inline table + join (README.md:263-276 CREATE..VALUES shape)
+    QueryDef("q12_values_join",
+      (s, d) => {
+        import s.implicits._
+        val segs = Seq(("BUILDING", 1), ("MACHINERY", 2), ("AUTOMOBILE", 3))
+          .toDF("seg_name", "seg_rank")
+        t(s, d, "customer")
+          .join(broadcast(segs), $"c_mktsegment" === $"seg_name")
+          .groupBy($"seg_name", $"seg_rank").agg(count(lit(1)).as("n_customers"))
+          .orderBy($"seg_rank")
+      },
+      Some("""SELECT seg_name, seg_rank, count(*) AS n_customers
+             |FROM customer
+             |JOIN (VALUES ('BUILDING', 1), ('MACHINERY', 2), ('AUTOMOBILE', 3))
+             |  AS segs(seg_name, seg_rank) ON c_mktsegment = seg_name
+             |GROUP BY seg_name, seg_rank ORDER BY seg_rank""".stripMargin)),
+
+    // -- JSON extraction (examples/monaco_pure_sql.sql:93-107 shape) --------
+    QueryDef("q13_json_extract",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "events")
+          .select($"event_id", get_json_object($"props", "$.k").cast("int").as("k"))
+          .filter($"k" > 90)
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+             |FROM events WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 90
+             |ORDER BY event_id""".stripMargin)),
+
+    // -- time bucketing on the events stream table --------------------------
+    QueryDef("q14_events_hourly",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "events")
+          .groupBy(date_trunc("hour", $"ts").as("hour_ts"), $"event_type")
+          .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("total_value"))
+          .orderBy($"hour_ts", $"event_type")
+      },
+      Some("""SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+             |count(*) AS n, round(sum(value), 4) AS total_value
+             |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin)),
+
+    // -- sessionization: gap > 30 min starts a new session (lag + cumsum) ---
+    QueryDef("q15_sessionize",
+      (s, d) => {
+        import s.implicits._
+        val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        t(s, d, "events")
+          .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+          .withColumn("new_session",
+            when($"prev_ts".isNull ||
+              unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1).otherwise(0))
+          .withColumn("session_id", sum($"new_session").over(
+            byUser.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy($"user_id", $"session_id")
+          .agg(count(lit(1)).as("n_events"), round(sum($"value"), 4).as("session_value"))
+          .orderBy($"user_id", $"session_id")
+      },
+      Some("""WITH marked AS (
+             |  SELECT user_id, ts, event_id, value,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |      OR date_diff('second', lag(ts) OVER w, ts) > 1800
+             |      THEN 1 ELSE 0 END AS new_session
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT user_id, value,
+             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM marked)
+             |SELECT user_id, session_id, count(*) AS n_events,
+             |  round(sum(value), 4) AS session_value
+             |FROM sess GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin)),
+
+    // -- correlated lateral join (README.md:280, ITALY.md:113 shape) --------
+    QueryDef("q16_lateral",
+      (s, d) => {
+        t(s, d, "nation").createOrReplaceTempView("g_nation")
+        t(s, d, "region").createOrReplaceTempView("g_region")
+        s.sql("""SELECT r_name, n_name FROM g_region,
+                |LATERAL (SELECT n_name FROM g_nation
+                |         WHERE n_regionkey = r_regionkey
+                |         ORDER BY n_name LIMIT 2)
+                |ORDER BY r_name, n_name""".stripMargin)
+      },
+      Some("""SELECT r_name, n_name FROM region,
+             |LATERAL (SELECT n_name FROM nation
+             |         WHERE n_regionkey = r_regionkey
+             |         ORDER BY n_name LIMIT 2) AS t
+             |ORDER BY r_name, n_name""".stripMargin)),
+
+    // -- distinct + approx aggregates --------------------------------------
+    QueryDef("q17_distinct_counts",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(countDistinct($"l_partkey").as("n_parts"),
+            countDistinct($"l_suppkey").as("n_supps"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+             |CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // -- struct construction + field access (monaco_routing.test:23 shape) --
+    QueryDef("q18_struct_access",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "part")
+          .select($"p_partkey",
+            struct($"p_brand".as("brand"), round($"p_retailprice", 4).as("price")).as("info"))
+          .select($"p_partkey", $"info.brand".as("brand"), $"info.price".as("price"))
+          .filter($"price" > 910)
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey, info.brand AS brand, info.price AS price FROM (
+             |  SELECT p_partkey, {'brand': p_brand, 'price': round(p_retailprice, 4)} AS info
+             |  FROM part) t
+             |WHERE info.price > 910 ORDER BY p_partkey""".stripMargin))
+  )
+}

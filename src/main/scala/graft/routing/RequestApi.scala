@@ -1,0 +1,129 @@
+package graft.routing
+
+import graft.geo.Polyline
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** `travel_time_request(action, json)` — raw JSON pass-through API.
+  *
+  * Action set and response shapes follow the reference's dispatch
+  * (src/travel_time_extension.cpp:729-757; action list
+  * valhalla-wrapper/src/wrapper.cpp:422-461) and the response fields its
+  * wrapper actually consumes: `trip.summary.length` (km), `trip.summary.time`
+  * (s), `trip.legs[].shape` (encoded polyline, precision 6)
+  * (valhalla-wrapper/src/wrapper.cpp:182-223). Unknown actions return an
+  * `{"error": ...}` JSON rather than throwing, matching the error-channel
+  * contract (wrapper.cpp:31,40-43).
+  */
+object RequestApi {
+  private implicit val formats: Formats = DefaultFormats
+
+  def dispatch(h: RouterHandle, action: String, json: String): String = {
+    try {
+      val req = JsonMethods.parse(json)
+      val costing = (req \ "costing").extractOpt[String].getOrElse("auto")
+      action match {
+        case "status" =>
+          compact(JObject(
+            "version" -> JString("graft-0.1"),
+            "has_tiles" -> JBool(h.graphs.nonEmpty),
+            "modes" -> JArray(h.graphs.keys.toList.sorted.map(JString(_)))))
+        case "route" => route(h, costing, req)
+        case "locate" => locate(h, costing, req)
+        case "matrix" | "sources_to_targets" => matrix(h, costing, req)
+        case "isochrone" => isochrone(h, costing, req)
+        case other =>
+          err(s"Action '$other' not supported (supported: route, matrix, " +
+            "sources_to_targets, locate, isochrone, status)")
+      }
+    } catch {
+      case e: Exception => err(e.getMessage)
+    }
+  }
+
+  private def err(msg: String): String =
+    compact(JObject("error" -> JString(if (msg == null) "request failed" else msg)))
+
+  private def compact(v: JValue): String = JsonMethods.compact(JsonMethods.render(v))
+
+  private def locations(req: JValue, field: String = "locations"): List[(Double, Double)] =
+    (req \ field) match {
+      case JArray(ls) => ls.map { l =>
+        ((l \ "lat").extract[Double], (l \ "lon").extract[Double])
+      }
+      case _ => Nil
+    }
+
+  private def route(h: RouterHandle, costing: String, req: JValue): String = {
+    val locs = locations(req)
+    if (locs.length < 2) return err("route requires >= 2 locations")
+    val g = h.requireGraph(costing)
+    RoutingOps.route(g, (locs.head._2, locs.head._1), (locs(1)._2, locs(1)._1)) match {
+      case None => err("No route found")
+      case Some(r) =>
+        val pts = graft.geo.Wkb.readLineString(r.geometry).getOrElse(Array.empty)
+          .map { case (lon, lat) => (lat, lon) }.toSeq
+        compact(JObject("trip" -> JObject(
+          "status" -> JInt(0),
+          "units" -> JString("kilometers"),
+          "summary" -> JObject(
+            "length" -> JDouble(r.distance_km),
+            "time" -> JDouble(r.duration_minutes * 60.0)),
+          "legs" -> JArray(List(JObject(
+            "shape" -> JString(Polyline.encode(pts, precision = 6))))))))
+    }
+  }
+
+  private def locate(h: RouterHandle, costing: String, req: JValue): String = {
+    val g = h.requireGraph(costing)
+    val out = locations(req).map { case (lat, lon) =>
+      RoutingOps.snap(g, lat, lon) match {
+        case Some(s) => JObject(
+          "lat" -> JDouble(s.lat), "lon" -> JDouble(s.lon),
+          "distance_m" -> JDouble(s.distance_m))
+        case None => JObject("error" -> JString("no snap"))
+      }
+    }
+    compact(JArray(out))
+  }
+
+  private def matrix(h: RouterHandle, costing: String, req: JValue): String = {
+    val srcs = locations(req, "sources")
+    val dsts = locations(req, "targets")
+    if (srcs.isEmpty || dsts.isEmpty) return err("matrix requires sources and targets")
+    val g = h.requireGraph(costing)
+    val entries = RoutingOps.matrixEntries(g,
+      srcs.map(_._1), srcs.map(_._2), dsts.map(_._1), dsts.map(_._2))
+    // valhalla shape: sources_to_targets[srcIdx][dstIdx] = {time, distance}
+    val rows = entries.groupBy(_.from_idx).toList.sortBy(_._1).map { case (_, row) =>
+      JArray(row.sortBy(_.to_idx).toList.map { e =>
+        JObject(
+          "time" -> (if (e.duration_s < 0) JNull else JDouble(e.duration_s)),
+          "distance" -> (if (e.distance_m < 0) JNull else JDouble(e.distance_m / 1000.0)),
+          "from_index" -> JInt(e.from_idx), "to_index" -> JInt(e.to_idx))
+      })
+    }
+    compact(JObject("sources_to_targets" -> JArray(rows), "units" -> JString("kilometers")))
+  }
+
+  private def isochrone(h: RouterHandle, costing: String, req: JValue): String = {
+    val locs = locations(req)
+    if (locs.isEmpty) return err("isochrone requires a location")
+    val maxSec = (req \ "contours") match {
+      case JArray(cs) if cs.nonEmpty =>
+        cs.flatMap(c => (c \ "time").extractOpt[Double]).maxOption.getOrElse(10.0) * 60.0
+      case _ => 600.0
+    }
+    val g = h.requireGraph(costing)
+    val nodes = RoutingOps.isochrone(g, locs.head._1, locs.head._2, maxSec)
+    val features = nodes.toList.map { n =>
+      JObject(
+        "type" -> JString("Feature"),
+        "geometry" -> JObject(
+          "type" -> JString("Point"),
+          "coordinates" -> JArray(List(JDouble(n.lon), JDouble(n.lat)))),
+        "properties" -> JObject("seconds" -> JDouble(n.seconds)))
+    }
+    compact(JObject("type" -> JString("FeatureCollection"), "features" -> JArray(features)))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.routing
+
+import graft.algo.Dijkstra
+import graft.graph.{GraphBuilder, PreparedGraph}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Per-mode broadcast routing graphs.
+  *
+  * Spark analogue of the reference's process-global router + mutex
+  * (reference: src/travel_time_extension.cpp:26-30; per-mode globals
+  * rust/src/lib.rs:160-162): an immutable [[PreparedGraph]] per mode, shipped
+  * to executors once via broadcast, read lock-free by every task. "Reload on
+  * path change" (src/travel_time_extension.cpp:449-452) becomes: new
+  * broadcast generation, old one unpersisted.
+  */
+final case class RouterHandle(graphs: Map[String, Broadcast[PreparedGraph]])
+    extends Serializable {
+  def graph(mode: String): Option[PreparedGraph] = graphs.get(mode).map(_.value)
+  def requireGraph(mode: String): PreparedGraph =
+    graph(mode).getOrElse(throw new IllegalStateException(
+      s"Router not loaded for costing '$mode'. Call RoutingContext.load* first " +
+        "(reference contract: src/travel_time_extension.cpp:38-42)."))
+}
+
+object RoutingContext {
+  @volatile private var current: Option[(String, RouterHandle)] = None
+
+  def isLoaded: Boolean = current.isDefined
+  def handle: Option[RouterHandle] = current.map(_._2)
+  def loadedPath: Option[String] = current.map(_._1)
+
+  /** Load from (nodes, edges) DataFrames, one graph per requested mode.
+    * Edge weights must already be per-mode (time_ms) — for multi-mode loads
+    * from raw `ways`, use [[loadWays]].
+    */
+  def load(spark: SparkSession, key: String,
+           graphsByMode: Map[String, (DataFrame, DataFrame)]): RouterHandle =
+    synchronized {
+      current match {
+        case Some((k, h)) if k == key => h // idempotent per path, like the reference
+        case _ =>
+          unload()
+          val sc = spark.sparkContext
+          val bc = graphsByMode.map { case (mode, (nodes, edges)) =>
+            mode -> sc.broadcast(GraphBuilder.prepare(nodes, edges))
+          }
+          val h = RouterHandle(bc)
+          current = Some((key, h))
+          h
+      }
+    }
+
+  /** Load a parquet graph cache: `<dir>/nodes.parquet`, `<dir>/edges.parquet`
+    * (cache convention mirroring `<pbf>.<mode>.routing`, rust/src/lib.rs:164-166).
+    */
+  def loadParquet(spark: SparkSession, dir: String, modes: Seq[String] = Seq("auto")): RouterHandle = {
+    val byMode = modes.map { m =>
+      val nodes = spark.read.parquet(s"$dir/$m/nodes.parquet")
+      val edges = spark.read.parquet(s"$dir/$m/edges.parquet")
+      m -> (nodes, edges)
+    }.toMap
+    load(spark, dir, byMode)
+  }
+
+  /** Distributed build from OSM-shaped ways/nodes, then load. */
+  def loadWays(spark: SparkSession, key: String, ways: DataFrame, rawNodes: DataFrame,
+               modes: Seq[String]): RouterHandle = {
+    val byMode = modes.map { m =>
+      val edges = GraphBuilder.buildEdges(spark, ways, rawNodes, m)
+      val nodes = GraphBuilder.usedNodes(spark, rawNodes, edges)
+      m -> (nodes, edges)
+    }.toMap
+    load(spark, key, byMode)
+  }
+
+  def unload(): Unit = synchronized {
+    current.foreach(_._2.graphs.values.foreach(_.unpersist(blocking = false)))
+    current = None
+  }
+}
+
+/** Executor-side per-thread scratch: one [[Dijkstra]] per (thread, graph),
+  * mirroring the reference's rayon thread-local `PathCalculator`s
+  * (rust/src/lib.rs:498-533). The graph itself is shared and immutable.
+  */
+object Routers {
+  private val tl: ThreadLocal[java.util.IdentityHashMap[PreparedGraph, Dijkstra]] =
+    ThreadLocal.withInitial(() => new java.util.IdentityHashMap[PreparedGraph, Dijkstra]())
+
+  def calculator(g: PreparedGraph): Dijkstra = {
+    val m = tl.get()
+    var d = m.get(g)
+    if (d == null) { d = new Dijkstra(g); m.put(g, d) }
+    d
+  }
+}

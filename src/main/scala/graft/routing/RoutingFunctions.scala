@@ -1,0 +1,147 @@
+package graft.routing
+
+import graft.geo.{Geo, Wkb}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SQL function surface — one registered function per reference operator
+  * (registration list: src/travel_time_extension.cpp:881-942).
+  *
+  * Registration captures the [[RouterHandle]] (serializable broadcast
+  * handles), so the closures are cluster-safe: executors read the broadcast,
+  * never driver state. Null handling: primitive-arg Scala UDFs return NULL on
+  * any NULL input without invoking the function — exactly the reference's
+  * per-row NULL contract (src/travel_time_extension.cpp:636-639).
+  */
+object RoutingFunctions {
+
+  /** Register every travel_time* function against the given handle. */
+  def register(spark: SparkSession, handle: RouterHandle): Unit = {
+    val h = handle // stable capture
+
+    spark.udf.register("travel_time",
+      (lat1: Double, lon1: Double, lat2: Double, lon2: Double, costing: String) =>
+        RoutingOps.travelTimeSeconds(h.requireGraph(costing), lat1, lon1, lat2, lon2))
+
+    spark.udf.register("travel_time_is_loaded", () => h.graphs.nonEmpty)
+
+    spark.udf.register("travel_time_node_count",
+      (costing: String) => h.requireGraph(costing).numNodes)
+
+    spark.udf.register("travel_time_locate",
+      (lat: Double, lon: Double, costing: String) =>
+        RoutingOps.locate(h.requireGraph(costing), lat, lon))
+
+    spark.udf.register("travel_time_snap",
+      (lat: Double, lon: Double, costing: String) =>
+        RoutingOps.snap(h.requireGraph(costing), lat, lon))
+
+    // WKT-string endpoints (the `travel_time_route` macro surface,
+    // examples/geometry_macro.sql:30-36)
+    spark.udf.register("travel_time_route",
+      (from: String, to: String, costing: String) =>
+        RoutingOps.routeAny(h.requireGraph(costing), from, to))
+
+    // WKB-blob endpoints (canonical form, src/travel_time_extension.cpp:899-911)
+    spark.udf.register("travel_time_route_wkb",
+      (from: Array[Byte], to: Array[Byte], costing: String) =>
+        RoutingOps.routeAny(h.requireGraph(costing), from, to))
+
+    // table-function surface: explode(travel_time_matrix(...))
+    spark.udf.register("travel_time_matrix",
+      (srcLats: Seq[Double], srcLons: Seq[Double],
+       dstLats: Seq[Double], dstLons: Seq[Double], costing: String) =>
+        RoutingOps.matrixEntries(h.requireGraph(costing), srcLats, srcLons, dstLats, dstLons))
+
+    spark.udf.register("travel_time_isochrone",
+      (lat: Double, lon: Double, maxSeconds: Double, costing: String) =>
+        RoutingOps.isochrone(h.requireGraph(costing), lat, lon, maxSeconds))
+
+    spark.udf.register("travel_time_request",
+      (action: String, json: String) => RequestApi.dispatch(h, action, json))
+  }
+
+  /** Unified ANY-typed route dispatch for the DataFrame API: resolves WKT vs
+    * WKB by each column's declared schema type — the Spark analogue of the
+    * reference's per-row byte sniffing (src/travel_time_extension.cpp:227-385;
+    * divergence documented in SURVEY §7 risk 2: we sniff by declared type,
+    * plus the WKB byte-sniff inside the binary branch).
+    */
+  def routeUnified(df: DataFrame, fromCol: String, toCol: String,
+                   costing: String, handle: RouterHandle): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    val h = handle
+    def asAnchor(name: String): org.apache.spark.sql.Column =
+      df.schema(name).dataType match {
+        case StringType =>
+          udf((s: String) => RoutingOps.anchorOf(s)).apply(col(name))
+        case BinaryType =>
+          udf((b: Array[Byte]) => RoutingOps.anchorOf(b)).apply(col(name))
+        case other =>
+          throw new IllegalArgumentException(
+            s"Column $name: expected WKT STRING or WKB BINARY, got $other")
+      }
+    val routeFromAnchors = udf((f: (Double, Double), t: (Double, Double)) =>
+      if (f == null || t == null) None
+      else RoutingOps.route(h.requireGraph(costing), f, t))
+    routeFromAnchors(asAnchor(fromCol), asAnchor(toCol))
+  }
+}
+
+/** DataFrame-level operators: the scale path. Sources/destinations are
+  * DataFrames of any size; each source partition computes matrix rows with a
+  * reusable per-thread calculator (reference's rayon pattern,
+  * rust/src/lib.rs:498-533).
+  */
+object TravelTime {
+
+  /** OD matrix: sources(idx INT, lat, lon) × dests(idx INT, lat, lon) →
+    * (from_idx, to_idx, distance_m, duration_s). Destinations are collected
+    * and broadcast (matrix destinations are bounded — the reference caps
+    * matrix pairs at 2500, src/valhalla_build_tiles_simple.cpp:104-129);
+    * sources scale horizontally as partitions.
+    */
+  def matrix(spark: SparkSession, sources: DataFrame, dests: DataFrame,
+             costing: String, handle: RouterHandle): DataFrame = {
+    import spark.implicits._
+    val h = handle
+    val destArr = dests.select($"idx".cast("int"), $"lat".cast("double"), $"lon".cast("double"))
+      .as[(Int, Double, Double)].collect().sortBy(_._1)
+    val destB = spark.sparkContext.broadcast(destArr)
+    sources.select($"idx".cast("int"), $"lat".cast("double"), $"lon".cast("double"))
+      .as[(Int, Double, Double)]
+      .mapPartitions { it =>
+        val g = h.requireGraph(costing)
+        val d = Routers.calculator(g)
+        val dsts = destB.value
+        val dstNodes = dsts.map(x => g.snap(x._2, x._3))
+        it.flatMap { case (si, slat, slon) =>
+          val s = g.snap(slat, slon)
+          val row = d.oneToMany(s, dstNodes)
+          row.indices.iterator.map { di =>
+            val (ms, m) = row(di)
+            if (ms < 0) MatrixEntry(si, dsts(di)._1, -1.0, -1.0)
+            else MatrixEntry(si, dsts(di)._1, m, ms / 1000.0)
+          }
+        }
+      }.toDF()
+  }
+
+  /** Batched isochrones: one bounded Dijkstra per (idx, lat, lon) source row,
+    * distributed over partitions.
+    */
+  def isochrones(spark: SparkSession, sources: DataFrame, maxSeconds: Double,
+                 costing: String, handle: RouterHandle): DataFrame = {
+    import spark.implicits._
+    val h = handle
+    sources.select($"idx".cast("int"), $"lat".cast("double"), $"lon".cast("double"))
+      .as[(Int, Double, Double)]
+      .mapPartitions { it =>
+        val g = h.requireGraph(costing)
+        it.flatMap { case (idx, lat, lon) =>
+          RoutingOps.isochrone(g, lat, lon, maxSeconds)
+            .iterator.map(n => (idx, n.lat, n.lon, n.seconds))
+        }
+      }.toDF("idx", "lat", "lon", "seconds")
+  }
+}

@@ -1,0 +1,115 @@
+package graft.routing
+
+import graft.algo.Dijkstra
+import graft.geo.{Geo, Wkb, Wkt}
+import graft.graph.PreparedGraph
+
+/** Result types — Spark maps these case classes to STRUCT columns, mirroring
+  * the reference's declared return types (src/travel_time_extension.cpp:899-935).
+  */
+final case class Route(distance_km: Double, duration_minutes: Double, geometry: Array[Byte])
+final case class SnappedPoint(lat: Double, lon: Double)
+final case class SnapResult(lat: Double, lon: Double, distance_m: Double)
+final case class MatrixEntry(from_idx: Int, to_idx: Int, distance_m: Double, duration_s: Double)
+final case class IsoNode(lat: Double, lon: Double, seconds: Double)
+
+/** Row-level routing kernels over a prepared graph. Pure functions of
+  * (graph, inputs) — every entry point takes the graph explicitly so callers
+  * (UDFs, mapPartitions) control state placement.
+  */
+object RoutingOps {
+
+  private def calc(g: PreparedGraph): Dijkstra = Routers.calculator(g)
+
+  /** Point-to-point duration in seconds; None when either endpoint fails to
+    * snap or no path exists (reference NULL semantics,
+    * src/travel_time_extension.cpp:512-513).
+    */
+  def travelTimeSeconds(g: PreparedGraph, lat1: Double, lon1: Double,
+                        lat2: Double, lon2: Double): Option[Double] = {
+    val s = g.snap(lat1, lon1); val t = g.snap(lat2, lon2)
+    if (s < 0 || t < 0) return None
+    val ms = calc(g).shortestPathMs(s, t)
+    if (ms < 0) None else Some(ms / 1000.0)
+  }
+
+  /** Full route: distance (haversine along path nodes, rust/src/lib.rs:789-795),
+    * duration, and WKB LINESTRING geometry
+    * (reference: src/travel_time_extension.cpp:618-689).
+    */
+  def route(g: PreparedGraph, fromLonLat: (Double, Double),
+            toLonLat: (Double, Double)): Option[Route] = {
+    val s = g.snap(fromLonLat._2, fromLonLat._1)
+    val t = g.snap(toLonLat._2, toLonLat._1)
+    if (s < 0 || t < 0) return None
+    calc(g).shortestPathWithNodes(s, t).map { case (ms, path) =>
+      val distM = calc(g).pathDistanceM(path)
+      val pts = path.map(i => (g.nodeLon(i), g.nodeLat(i))).toSeq
+      Route(distM / 1000.0, ms / 60000.0, Wkb.writeLineString(pts))
+    }
+  }
+
+  /** Route with WKT/WKB-polymorphic endpoints: strings are parsed as WKT,
+    * byte arrays as WKB; any geometry routes from its centroid
+    * (reference input dispatch: src/travel_time_extension.cpp:227-385).
+    */
+  def routeAny(g: PreparedGraph, from: AnyRef, to: AnyRef): Option[Route] =
+    for {
+      f <- anchorOf(from)
+      t <- anchorOf(to)
+      r <- route(g, f, t)
+    } yield r
+
+  /** (lon, lat) anchor of a WKT string or WKB blob. */
+  def anchorOf(v: AnyRef): Option[(Double, Double)] = v match {
+    case null            => None
+    case s: String       => Wkt.centroid(s)
+    case b: Array[Byte]  =>
+      if (Wkb.looksLikeWkb(b)) Wkb.centroid(b)
+      else None
+    case _               => None
+  }
+
+  def locate(g: PreparedGraph, lat: Double, lon: Double): Option[SnappedPoint] = {
+    val i = g.snap(lat, lon)
+    if (i < 0) None else Some(SnappedPoint(g.nodeLat(i), g.nodeLon(i)))
+  }
+
+  /** Legacy-rich snap with distance (test/sql/z_integration.test.skip:33-40). */
+  def snap(g: PreparedGraph, lat: Double, lon: Double): Option[SnapResult] =
+    g.snapWithDistance(lat, lon).map { case (i, d) =>
+      SnapResult(g.nodeLat(i), g.nodeLon(i), d)
+    }
+
+  /** N×M matrix from coordinate arrays; one one-to-many traversal per source.
+    * Unreachable cells are -1 (valhalla-wrapper/src/wrapper.cpp:308-310).
+    */
+  def matrixEntries(g: PreparedGraph,
+                    srcLats: Seq[Double], srcLons: Seq[Double],
+                    dstLats: Seq[Double], dstLons: Seq[Double]): Seq[MatrixEntry] = {
+    require(srcLats.length == srcLons.length && dstLats.length == dstLons.length,
+      "Source and destination coordinate arrays must have matching lengths " +
+        "(reference: src/travel_time_extension.cpp:793-806)")
+    val d = calc(g)
+    val dstNodes = dstLats.indices.map(i => g.snap(dstLats(i), dstLons(i))).toArray
+    srcLats.indices.flatMap { si =>
+      val s = g.snap(srcLats(si), srcLons(si))
+      val row = d.oneToMany(s, dstNodes)
+      row.indices.map { di =>
+        val (ms, m) = row(di)
+        if (ms < 0) MatrixEntry(si, di, -1.0, -1.0)
+        else MatrixEntry(si, di, m, ms / 1000.0)
+      }
+    }
+  }
+
+  /** All nodes reachable within maxSeconds (reference: rust/src/lib.rs:639-720). */
+  def isochrone(g: PreparedGraph, lat: Double, lon: Double,
+                maxSeconds: Double): Seq[IsoNode] = {
+    val s = g.snap(lat, lon)
+    if (s < 0) return Nil
+    calc(g).reachableWithin(s, (maxSeconds * 1000).toLong).toSeq.map { case (n, ms) =>
+      IsoNode(g.nodeLat(n), g.nodeLon(n), ms / 1000.0)
+    }
+  }
+}
