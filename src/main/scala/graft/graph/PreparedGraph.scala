@@ -71,9 +71,11 @@ final class GridIndex private (
   }
 
   /** Id (into the original node numbering) of the nearest indexed point.
-    * Scans square rings outward; after the first hit at ring r it scans one
-    * extra ring (a point in ring r+1 can be geometrically closer than one in
-    * ring r), then stops.
+    * Scans square rings outward; terminates when every unscanned ring is
+    * provably farther than the current best: a cell at Chebyshev ring r is at
+    * least (r-1)·cellSize away in raw degrees, scaled by cos(lat) in the
+    * worst (longitude) axis — compare against that lower bound in the same
+    * equirectangular metric `approxDist2` uses.
     */
   def nearest(lat: Double, lon: Double): Int = {
     if (pointIds.isEmpty) return -1
@@ -81,8 +83,9 @@ final class GridIndex private (
     var best = -1
     var bestD = Double.MaxValue
     var ring = 0
-    var stopRing = Int.MaxValue
+    val axisScale = math.min(1.0, math.max(0.01, math.cos(math.toRadians(lat))))
     val maxRing = math.max(nLat, nLon)
+    var stopRing = Int.MaxValue
     while (ring <= math.min(maxRing, stopRing)) {
       var i = math.max(0, ci - ring)
       val iMax = math.min(nLat - 1, ci + ring)
@@ -104,7 +107,11 @@ final class GridIndex private (
         }
         i += 1
       }
-      if (best >= 0 && stopRing == Int.MaxValue) stopRing = ring + 1
+      if (best >= 0) {
+        // smallest possible squared distance to a cell at ring r+1
+        val lb = ring.toDouble * cellSize * axisScale
+        if (lb * lb > bestD) stopRing = ring // no farther ring can win
+      }
       ring += 1
     }
     best

@@ -1,0 +1,77 @@
+package graft
+
+import graft.geo.Geo
+import graft.graph.{GraphBuilder, GridFixture, GridIndex, SpeedModel}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ports of the reference's Rust unit tests (rust/src/lib.rs:1014-1057):
+  * speed-model lookup, main-road classification, nearest-neighbor snap,
+  * plus CSR assembly invariants.
+  */
+class GraphSpec extends AnyFunSuite {
+
+  test("speed model mirrors reference table (rust/src/lib.rs:43-98)") {
+    assert(SpeedModel.speedKmh("motorway", "auto").contains(120.0))
+    assert(SpeedModel.speedKmh("residential", "auto").contains(30.0))
+    assert(SpeedModel.speedKmh("service", "auto").contains(20.0))
+    assert(SpeedModel.speedKmh("footway", "auto") == None)
+    assert(SpeedModel.speedKmh("cycleway", "bicycle").contains(20.0))
+    assert(SpeedModel.speedKmh("footway", "pedestrian").contains(5.0))
+    assert(SpeedModel.speedKmh("residential", "nosuchmode") == None)
+  }
+
+  test("main-road classification (rust/src/lib.rs:100-118)") {
+    assert(SpeedModel.isMainRoad("motorway"))
+    assert(SpeedModel.isMainRoad("residential"))
+    assert(!SpeedModel.isMainRoad("footway"))
+    assert(!SpeedModel.isMainRoad("cycleway"))
+  }
+
+  test("edge weight truncates like the reference (rust/src/lib.rs:199-205)") {
+    // 1000 m at 30 km/h = 120000 ms exactly
+    assert(SpeedModel.timeMs(1000.0, 30.0) == 120000L)
+    assert(SpeedModel.timeMs(0.0, 30.0) == 0L)
+  }
+
+  test("grid index nearest matches brute force on random points") {
+    val r = new scala.util.Random(7)
+    val n = 500
+    val lats = Array.fill(n)(43.0 + r.nextDouble())
+    val lons = Array.fill(n)(7.0 + r.nextDouble())
+    val idx = GridIndex.build(Array.tabulate(n)(identity), lats, lons)
+    (0 until 200).foreach { _ =>
+      val qLat = 43.0 + r.nextDouble(); val qLon = 7.0 + r.nextDouble()
+      val got = idx.nearest(qLat, qLon)
+      val want = (0 until n).minBy(i => Geo.approxDist2(qLat, qLon, lats(i), lons(i)))
+      assert(Geo.approxDist2(qLat, qLon, lats(got), lons(got)) ==
+        Geo.approxDist2(qLat, qLon, lats(want), lons(want)))
+    }
+  }
+
+  test("grid index: empty input returns -1") {
+    val idx = GridIndex.build(Array.empty, Array.empty, Array.empty)
+    assert(idx.nearest(43.0, 7.0) == -1)
+  }
+
+  test("CSR assembly preserves adjacency, forward and reverse") {
+    val lat = Array(0.0, 0.0, 0.0); val lon = Array(0.0, 1.0, 2.0)
+    val edges = Array((0, 1, 100.0, 10L), (1, 2, 200.0, 20L), (0, 2, 300.0, 30L))
+    val g = GraphBuilder.buildCsr(3, lat, lon, Array(true, true, true), edges)
+    assert(g.numNodes == 3 && g.numEdges == 3)
+    // out-edges of 0: {1 (10ms), 2 (30ms)}
+    val out0 = (g.offsets(0) until g.offsets(1)).map(e => (g.targets(e), g.weightsMs(e))).toSet
+    assert(out0 == Set((1, 10), (2, 30)))
+    // in-edges of 2 via reverse CSR: {1, 0}
+    val in2 = (g.rOffsets(2) until g.rOffsets(3)).map(g.rTargets(_)).toSet
+    assert(in2 == Set(0, 1))
+  }
+
+  test("grid fixture: 100 nodes, snap hits exact lattice point (<500 m bound)") {
+    val g = GridFixture.prepared("auto")
+    assert(g.numNodes == 100) // z_integration.test.skip:20-22 analogue
+    val (idx, dist) = g.snapWithDistance(GridFixture.latOf(37) + 0.001,
+      GridFixture.lonOf(37) + 0.001).get
+    assert(idx == 37)
+    assert(dist < 500.0) // z_integration.test.skip:37-40
+  }
+}

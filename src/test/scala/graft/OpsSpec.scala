@@ -1,0 +1,98 @@
+package graft
+
+import graft.ops.{Dedup, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pipeline-operator goldens on tiny inline datasets. */
+class OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("text stats goldens") {
+    val df = Seq((1, "The quick brown fox."), (2, ""), (3, "a  b\t c")).toDF("id", "text")
+    val out = df.select($"id",
+      TextOps.wordCount($"text").as("w"),
+      TextOps.punctCount($"text").as("p"),
+      TextOps.bpeishTokenCount($"text").as("b"))
+      .orderBy($"id").collect()
+    assert(out(0).getInt(1) == 4)  // The quick brown fox.
+    assert(out(0).getInt(2) == 1)  // period
+    assert(out(0).getInt(3) == 5)  // 4 words + period
+    assert(out(1).getInt(1) == 0)
+    assert(out(2).getInt(1) == 3)
+  }
+
+  test("language ID picks the dominant stopword language") {
+    val df = Seq(
+      (1, "the cat and the dog of it"),
+      (2, "der Hund ist nicht ein Tier und"),
+      (3, "el perro es un animal y no por"),
+      (4, "xyzzy plugh")).toDF("id", "text")
+    val out = df.select($"id", TextOps.langId($"text").as("l")).orderBy($"id").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("en", "de", "es", "und"))
+  }
+
+  test("exact duplicates share digest; minhash LSH finds them as candidates") {
+    val text = "spark streaming shuffle partition broadcast join aggregate window"
+    val docs = Seq((1L, text), (2L, text), (3L, "completely different content here entirely"))
+      .toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text", q = 4, k = 8, rowsPerBand = 2)
+      .collect()
+    assert(cands.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    // identical docs match on every band
+    val full = cands.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get
+    assert(full.getLong(2) == 4) // k/rowsPerBand bands
+    assert(!cands.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
+  }
+
+  test("ngram jaccard: identical docs = 1.0, disjoint absent") {
+    val docs = Seq((1L, "abcdefghij"), (2L, "abcdefghij"), (3L, "zzzzyyyyxx"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", q = 3, threshold = 0.5).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L && pairs(0).getDouble(2) == 1.0)
+  }
+
+  test("cosine: identical=1, orthogonal=0; brute-force top-k ranks by similarity") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 0),
+      (3L, Array(1.0f, 0.0f, 0.001f), 0)).toDF("vec_id", "embedding", "label")
+    val sim = emb.filter($"vec_id" === 0).crossJoin(
+        emb.filter($"vec_id" === 2).select($"embedding".as("e2")))
+      .select(Similarity.cosine($"embedding", $"e2").as("c")).collect()
+    assert(math.abs(sim(0).getDouble(0)) < 1e-12)
+
+    val topk = Similarity.bruteForceTopK(emb, "vec_id", "embedding", $"vec_id" === 0, k = 3)
+      .orderBy($"rank").collect()
+    assert(topk.map(_.getAs[Long]("nid")).toSeq == Seq(3L, 1L, 2L)) // nearest first
+    assert(topk(0).getAs[Double]("sim") > 0.999)
+  }
+
+  test("bucketed top-k only searches the query's bucket") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 10),
+      (1L, Array(0.99f, 0.14f), 10),
+      (2L, Array(1.0f, 0.0f), 20)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.bucketedTopK(emb, "vec_id", "embedding", "label",
+      $"vec_id" === 0, k = 5).collect()
+    assert(out.map(_.getAs[Long]("nid")).toSet == Set(1L)) // 2 is a perfect match but in another bucket
+  }
+
+  test("hyperplane signature is deterministic and bucket-compatible") {
+    val emb = Seq(
+      (0L, Array.fill(8)(0.5f)),
+      (1L, Array.fill(8)(0.5f)),
+      (2L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val sigs = emb.select($"vec_id",
+      Similarity.hyperplaneSignature($"embedding", dim = 8, nBits = 12).as("sig"))
+      .orderBy($"vec_id").collect()
+    assert(sigs(0).getString(1) == sigs(1).getString(1))
+    assert(sigs(0).getString(1).length == 12)
+    assert(sigs(0).getString(1) != sigs(2).getString(1))
+  }
+}
