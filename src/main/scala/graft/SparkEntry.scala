@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{Relational, Pipeline, Routing}
+import graft.queries.{Advanced, Relational, Pipeline, Routing}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,7 @@ import graft.queries.{Relational, Pipeline, Routing}
   *    driver check; exact goldens live in the ScalaTest suite instead).
   */
 object SparkEntry {
-  private def allDefs = Relational.defs ++ Pipeline.defs ++ Routing.defs
+  private def allDefs = Relational.defs ++ Pipeline.defs ++ Routing.defs ++ Advanced.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.ops.Multimodal
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+
+/** Streaming + multimodal surface.
+  *
+  * Streaming queries run the SAME transforms as their batch twins over a
+  * bounded file stream (Trigger.AvailableNow → memory sink), so the DuckDB
+  * oracle that validates the batch path validates the streaming engine too.
+  * Multimodal queries exercise the opaque-binary `mapPartitions` plumbing
+  * (deterministic stub decode — no media codecs in this container) and are
+  * rows-only checks.
+  */
+object Advanced {
+  import Tables.t
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef("s01_stream_hourly",
+      (s, d) => EventStreams.runBounded(s, d, "s01_sink", EventStreams.hourlyAgg)
+        .orderBy(col("hour_ts"), col("event_type")),
+      Some("""SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+             |count(*) AS n, round(sum(value), 4) AS total_value
+             |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin)),
+
+    QueryDef("s02_stream_sessions",
+      (s, d) => EventStreams.runBounded(s, d, "s02_sink", EventStreams.sessionAgg)
+        .orderBy(col("user_id"), col("session_start")),
+      Some("""WITH marked AS (
+             |  SELECT user_id, ts, value,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+             |      THEN 1 ELSE 0 END AS new_session
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT user_id, ts, value,
+             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM marked)
+             |SELECT user_id, min(ts) AS session_start,
+             |  count(*) AS n_events, round(sum(value), 4) AS session_value
+             |FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    QueryDef("s03_stream_dedup",
+      (s, d) => EventStreams.runBounded(s, d, "s03_sink", EventStreams.dedup,
+          outputMode = "append")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_unique"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(DISTINCT event_id) AS n_unique
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef("p11_multimodal_features",
+      (s, d) => {
+        import s.implicits._
+        val blobs = t(s, d, "documents")
+          .select($"doc_id", encode($"text", "UTF-8").as("media"))
+        Multimodal.extractFeatures(blobs, "doc_id", "media", "text/utf-8")
+          .select($"id", $"format", $"n_bytes", $"checksum",
+            round(element_at($"features", 1), 4).as("f0"))
+          .orderBy($"id")
+      }, None),
+
+    QueryDef("p12_multimodal_frames",
+      (s, d) => {
+        import s.implicits._
+        val blobs = t(s, d, "documents")
+          .select($"doc_id", encode($"text", "UTF-8").as("media"))
+        Multimodal.sampleFrames(blobs, "doc_id", "media", frameBytes = 32, everyK = 2)
+          .groupBy($"id")
+          .agg(count(lit(1)).as("n_frames"), sum(length($"frame")).as("total_bytes"))
+          .orderBy($"id")
+      }, None)
+  )
+}

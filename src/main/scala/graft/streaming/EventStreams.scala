@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming surface over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * Streams are first-class in this engine even though the reference has none
+  * (SURVEY §2B "not present"): a training-data pipeline ingests continuously.
+  * Each transform is defined once against a DataFrame — the SAME function
+  * serves batch (`spark.read`) and streaming (`spark.readStream`) inputs,
+  * which is how the batch oracle validates the streaming path: run the
+  * transform over a file stream with Trigger.AvailableNow, sink to memory,
+  * and the result must equal the batch run DuckDB-checks.
+  */
+object EventStreams {
+
+  private def hourlyCore(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+      .select(col("w.start").as("hour_ts"), col("event_type"), col("n"), col("total_value"))
+
+  private def sessionCore(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("session_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("session_value"))
+
+  /** Tumbling 1-hour windowed counts/sums per event type. Watermark bounds
+    * state at scale; window start doubles as the hour bucket.
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    hourlyCore(events.withWatermark("ts", "1 hour"))
+
+  /** The identical transform over a static DataFrame — the batch twin the
+    * oracle validates directly.
+    */
+  def hourlyAggBatch(events: DataFrame): DataFrame = hourlyCore(events)
+
+  /** Gap-based sessionization (30 min) with the native session_window —
+    * the streaming analogue of the batch lag+cumsum sessionizer (q15).
+    */
+  def sessionAgg(events: DataFrame): DataFrame =
+    sessionCore(events.withWatermark("ts", "1 hour"))
+
+  def sessionAggBatch(events: DataFrame): DataFrame = sessionCore(events)
+
+  /** Exactly-once event dedup by key within the watermark horizon. */
+  def dedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+
+  /** Run `transform` over `<dir>/events.parquet` as a bounded stream
+    * (Trigger.AvailableNow, complete mode) into a memory sink; returns the
+    * sink contents. This is the bridge that lets the driver's batch oracle
+    * gate the streaming engine.
+    */
+  def runBounded(spark: SparkSession, dir: String, name: String,
+                 transform: DataFrame => DataFrame,
+                 outputMode: String = "complete"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staticDf = spark.read.parquet(s"$dir/events.parquet")
+    // FileStreamSource requires a directory or glob basePath — glob the
+    // single file rather than pointing at it directly.
+    val stream = spark.readStream
+      .schema(staticDf.schema)
+      .parquet(s"$dir/events.parque[t]")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = transform(stream).writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("bounded streaming hourly agg equals the batch aggregation (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = EventStreams.runBounded(spark, dir, "t_s01", EventStreams.hourlyAgg)
+      .orderBy(col("hour_ts"), col("event_type")).collect()
+    val batch = EventStreams.hourlyAggBatch(graft.queries.Tables.t(spark, dir, "events"))
+      .orderBy(col("hour_ts"), col("event_type")).collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    streamed.zip(batch).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("incremental session windows merge within gap and split across it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val df = mem.toDF().toDF("ts", "user_id", "value")
+    val q = EventStreams.sessionAgg(df.withColumn("event_id", lit(0L)))
+      .writeStream.format("memory").queryName("t_sessions")
+      .outputMode("complete").trigger(Trigger.AvailableNow())
+
+    mem.addData(
+      (ts("2024-01-01 10:00:00"), 1L, 1.0),
+      (ts("2024-01-01 10:10:00"), 1L, 2.0),  // same session (10 min gap)
+      (ts("2024-01-01 11:00:00"), 1L, 4.0),  // new session (50 min gap)
+      (ts("2024-01-01 10:00:00"), 2L, 8.0))
+    val run = q.start(); run.awaitTermination()
+
+    val rows = spark.table("t_sessions")
+      .orderBy($"user_id", $"session_start").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[Long]("user_id") == 1L && rows(0).getAs[Long]("n_events") == 2L
+      && rows(0).getAs[Double]("session_value") == 3.0)
+    assert(rows(1).getAs[Long]("user_id") == 1L && rows(1).getAs[Long]("n_events") == 1L)
+    assert(rows(2).getAs[Long]("user_id") == 2L && rows(2).getAs[Double]("session_value") == 8.0)
+  }
+
+  test("streaming dedup drops repeated event ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "event_type")
+    val q = EventStreams.dedup(df)
+      .writeStream.format("memory").queryName("t_dedup")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+    mem.addData(
+      (1L, ts("2024-01-01 10:00:00"), "click"),
+      (1L, ts("2024-01-01 10:00:01"), "click"),  // duplicate id
+      (2L, ts("2024-01-01 10:00:02"), "view"))
+    val run = q.start(); run.awaitTermination()
+    assert(spark.table("t_dedup").count() == 2)
+  }
+}
