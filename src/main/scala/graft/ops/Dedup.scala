@@ -27,7 +27,11 @@ object Dedup {
     expr(s"transform(sequence(1, greatest(length($textCol) - ${q - 1}, 1)), " +
       s"i -> substring($textCol, i, $q))")
 
-  /** k MinHash values over q-gram shingles: array of min md5 digests. */
+  /** k MinHash values over q-gram shingles: array of min md5 digests.
+    * Column-expression form — concise but runs the k transforms through
+    * interpreted higher-order functions; [[minhashSignatures]] is the
+    * codegen'd scale path.
+    */
   def minhashSignature(textCol: String, q: Int, k: Int): Column = {
     val sh = shinglesExpr(textCol, q)
     val mins = (0 until k).map { seed =>
@@ -36,14 +40,31 @@ object Dedup {
     array(mins: _*)
   }
 
+  /** (doc, sig ARRAY<STRING>) per input row, computed as explode + k
+    * map-side-combined `min` aggregates: the md5s run inside whole-stage
+    * codegen (scalar functions, not lambda HOFs) and the shuffle carries one
+    * k-wide row per (partition, doc) thanks to partial aggregation —
+    * the shape that survives a 100 TB corpus.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        q: Int, k: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"),
+      explode(array_distinct(shinglesExpr(textCol, q))).as("s"))
+    val aggs = (0 until k).map(seed =>
+      min(md5(concat(lit(s"$seed|"), col("s")))).as(s"m$seed"))
+    sh.groupBy(col("doc"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
   /** LSH candidate pairs: docs sharing any band of `rowsPerBand` consecutive
     * minhashes. Input df must have (idCol, textCol). Output: (a, b) with a<b,
     * plus the number of matching bands.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        q: Int = 5, k: Int = 12, rowsPerBand: Int = 2): DataFrame = {
+                        q: Int = 5, k: Int = 12, rowsPerBand: Int = 3): DataFrame = {
     val nBands = k / rowsPerBand
-    val sig = df.select(col(idCol).as("doc"), minhashSignature(textCol, q, k).as("sig"))
+    val sig = minhashSignatures(df, idCol, textCol, q, k)
     val bands = sig.select(col("doc"),
       posexplode(transform(sequence(lit(0), lit(nBands - 1)),
         b => concat_ws("#", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
@@ -55,9 +76,33 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
-  /** Exact n-gram Jaccard for candidate verification: |A∩B| / |A∪B| over
-    * distinct q-gram shingles, computed with an explode + co-group join
-    * (shuffles shingle keys, not documents).
+  /** LSH-gated n-gram Jaccard: exact Jaccard computed ONLY on MinHash/LSH
+    * candidate pairs — the production near-dup pipeline shape (candidates →
+    * verify). Per-pair scoring is a codegen'd array_intersect over the two
+    * docs' distinct shingle arrays: no shingle-key shuffle, cost bounded by
+    * candidate count instead of (docs sharing a shingle)².
+    */
+  def lshJaccard(df: DataFrame, idCol: String, textCol: String,
+                 q: Int = 5, k: Int = 12, rowsPerBand: Int = 3,
+                 threshold: Double = 0.0): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, q, k, rowsPerBand)
+    val sh = df.select(col(idCol).as("doc"),
+      array_distinct(shinglesExpr(textCol, q)).as("shingles"))
+    cands
+      .join(sh.select(col("doc").as("a"), col("shingles").as("sha")), "a")
+      .join(sh.select(col("doc").as("b"), col("shingles").as("shb")), "b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("n_bands"), col("jaccard"))
+  }
+
+  /** Exact all-pairs n-gram Jaccard: |A∩B| / |A∪B| over distinct q-gram
+    * shingles, computed with an explode + co-group join (shuffles shingle
+    * keys, not documents). Inherently quadratic in docs-per-shared-shingle —
+    * the recall oracle for [[lshJaccard]] at test scale; at 100 TB use the
+    * LSH-gated variant.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         q: Int, threshold: Double): DataFrame = {

@@ -20,6 +20,33 @@ object Pipeline {
 
   private val StopEnSql = TextOps.StopwordsEn.mkString("['", "', '", "']")
 
+  /** DuckDB mirror of Dedup.minhashCandidates(q=5, k=12, rowsPerBand=3):
+    * yields (a, b, n_bands). Shared by p04 and the p05 verification stage.
+    */
+  private val minhashCandidatesSql: String = {
+    val mins = (0 until 12).map { seed =>
+      s"list_min(list_transform(list_distinct(sh), x -> md5('$seed|' || x)))"
+    }.mkString(",\n      ")
+    s"""WITH shl AS (
+       |  SELECT doc_id AS doc,
+       |    list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+       |                   i -> substring(text, i, 5)) AS sh
+       |  FROM documents),
+       |sig AS (
+       |  SELECT doc, [
+       |      $mins
+       |    ] AS sig FROM shl),
+       |bands AS (
+       |  SELECT doc, u.band, u.bucket FROM (
+       |    SELECT doc, unnest(list_transform(range(0, 4), b ->
+       |      {'band': b, 'bucket': array_to_string(list_slice(sig, b * 3 + 1, b * 3 + 3), '#')})) AS u
+       |    FROM sig))
+       |SELECT l.doc AS a, r.doc AS b, CAST(count(*) AS BIGINT) AS n_bands
+       |FROM bands l JOIN bands r
+       |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc < r.doc
+       |GROUP BY l.doc, r.doc""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // -- exact dedup: content digest + keeper election ----------------------
@@ -98,56 +125,30 @@ object Pipeline {
            |FROM scored ORDER BY doc_id""".stripMargin
       }),
 
-    // -- MinHash + LSH candidate pairs (q=5-gram, k=12 hashes, 6 bands) ----
+    // -- MinHash + LSH candidate pairs (q=5-gram, k=12 hashes, 4 bands of 3)
     QueryDef("p04_minhash_lsh",
       (s, d) => Dedup.minhashCandidates(t(s, d, "documents"), "doc_id", "text",
-          q = 5, k = 12, rowsPerBand = 2)
+          q = 5, k = 12, rowsPerBand = 3)
         .orderBy(col("a"), col("b")),
-      Some {
-        val mins = (0 until 12).map { seed =>
-          s"list_min(list_transform(list_distinct(sh), x -> md5('$seed|' || x)))"
-        }.mkString(",\n      ")
-        s"""WITH sh AS (
-           |  SELECT doc_id AS doc,
-           |    list_transform(generate_series(1, greatest(length(text) - 4, 1)),
-           |                   i -> substring(text, i, 5)) AS sh
-           |  FROM documents),
-           |sig AS (
-           |  SELECT doc, [
-           |      $mins
-           |    ] AS sig FROM sh),
-           |bands AS (
-           |  SELECT doc, u.band, u.bucket FROM (
-           |    SELECT doc, unnest(list_transform(range(0, 6), b ->
-           |      {'band': b, 'bucket': array_to_string(list_slice(sig, b * 2 + 1, b * 2 + 2), '#')})) AS u
-           |    FROM sig))
-           |SELECT l.doc AS a, r.doc AS b, CAST(count(*) AS BIGINT) AS n_bands
-           |FROM bands l JOIN bands r
-           |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc < r.doc
-           |GROUP BY l.doc, r.doc ORDER BY a, b""".stripMargin
-      }),
+      Some(minhashCandidatesSql + "\nORDER BY a, b")),
 
-    // -- exact n-gram Jaccard pairs (the MinHash recall oracle) ------------
+    // -- LSH-gated exact Jaccard (candidates -> verify, the scale pipeline) -
     QueryDef("p05_ngram_jaccard",
-      (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
-          q = 5, threshold = 0.5)
+      (s, d) => Dedup.lshJaccard(t(s, d, "documents"), "doc_id", "text",
+          q = 5, k = 12, rowsPerBand = 3, threshold = 0.0)
         .orderBy(col("a"), col("b")),
-      Some("""WITH sh AS (
-             |  SELECT doc_id AS doc, unnest(list_distinct(
+      Some(s"""WITH cand AS ($minhashCandidatesSql),
+             |shd AS (
+             |  SELECT doc_id AS doc, list_distinct(
              |    list_transform(generate_series(1, greatest(length(text) - 4, 1)),
-             |                   i -> substring(text, i, 5)))) AS sh
-             |  FROM documents),
-             |sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
-             |inter AS (
-             |  SELECT x.doc AS a, y.doc AS b, count(*) AS shared
-             |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc < y.doc
-             |  GROUP BY x.doc, y.doc)
-             |SELECT a, b,
-             |  round(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 4) AS jaccard
-             |FROM inter
-             |JOIN sizes na ON na.doc = a
-             |JOIN sizes nb ON nb.doc = b
-             |WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.5
+             |                   i -> substring(text, i, 5))) AS shingles
+             |  FROM documents)
+             |SELECT a, b, n_bands,
+             |  round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+             |    len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) AS jaccard
+             |FROM cand
+             |JOIN shd sa ON sa.doc = a
+             |JOIN shd sb ON sb.doc = b
              |ORDER BY a, b""".stripMargin)),
 
     // -- brute-force cosine top-k ANN baseline ------------------------------
