@@ -162,6 +162,25 @@ object Routing {
                  |  get_json_object(travel_time_request('nope', '{}'), '$$.error') IS NOT NULL AS bad_action_errors""".stripMargin)
       }, None),
 
+    QueryDef("r11_lifecycle",
+      (s, _) => {
+        import s.implicits._
+        // build -> save -> load-from-config round trip (SURVEY §2A #1/#11/#12/#14)
+        val dir = java.nio.file.Files.createTempDirectory("graft-lifecycle").toString
+        graft.graph.GraphStore.save(
+          Map("auto" -> GridFixture.dataFrames(s, "auto")), dir)
+        RoutingContext.loadConfig(s, dir)
+        val reloaded = s.sql(
+          s"""SELECT travel_time_load_config('$dir') AS config_ok,
+             |  travel_time_node_count('auto') AS n_nodes,
+             |  round(travel_time(43.7, 7.4, 43.718, 7.418, 'auto'), 3) AS seconds
+             |""".stripMargin).collect()(0)
+        RoutingContext.unload()
+        ensure(s) // leave the session on the grid fixture for other queries
+        Seq((reloaded.getBoolean(0), reloaded.getInt(1), reloaded.getDouble(2)))
+          .toDF("config_ok", "n_nodes", "seconds")
+      }, None),
+
     QueryDef("r10_st_funcs",
       (s, _) => {
         ensure(s)

@@ -63,6 +63,33 @@ object RoutingContext {
     load(spark, dir, byMode)
   }
 
+  /** `travel_time_load_config` analogue (src/travel_time_extension.cpp:433-466):
+    * resolve a config path (directory → `<dir>/graft_routing.json`), load every
+    * mode it declares, broadcast, and (re)register the SQL functions.
+    * Idempotent per resolved path; a different path frees the old broadcasts
+    * and rebinds (the reference's free-on-path-change,
+    * src/travel_time_extension.cpp:449-452). Driver-side by design: in Spark
+    * the "process-global router" is the broadcast handle captured by the
+    * registered functions, so (re)binding must happen where broadcasts are
+    * created (SURVEY §7 risk 1).
+    */
+  def loadConfig(spark: SparkSession, path: String): RouterHandle = {
+    val (cfgPath, modes) = graft.graph.GraphStore.resolveConfig(path)
+    val dir = java.nio.file.Paths.get(cfgPath).getParent.toString
+    val h = loadParquet(spark, dir, modes)
+    RoutingFunctions.register(spark, h)
+    h
+  }
+
+  /** `SET valhalla_tiles` analogue (src/config_setting.cpp:25-70): read
+    * `spark.graft.routing.tiles` from the session conf and load it if it is
+    * set and differs from the current generation.
+    */
+  def ensureFromConf(spark: SparkSession): Option[RouterHandle] =
+    spark.conf.getOption(TilesConf).map(loadConfig(spark, _))
+
+  final val TilesConf = "spark.graft.routing.tiles"
+
   /** Distributed build from OSM-shaped ways/nodes, then load. */
   def loadWays(spark: SparkSession, key: String, ways: DataFrame, rawNodes: DataFrame,
                modes: Seq[String]): RouterHandle = {

@@ -25,6 +25,16 @@ object RoutingFunctions {
 
     spark.udf.register("travel_time_is_loaded", () => h.graphs.nonEmpty)
 
+    // Surface parity for the config-load SQL function: actual loading is the
+    // driver-side RoutingContext.loadConfig (broadcasts must be created on
+    // the driver — SURVEY §7 risk 1); the SQL call reports whether the given
+    // path IS the loaded generation, idempotent-true like the reference's
+    // same-path reload (src/travel_time_extension.cpp:446-462).
+    val loadedKey = RoutingContext.loadedPath.getOrElse("")
+    spark.udf.register("travel_time_load_config", (path: String) =>
+      path != null && (path == loadedKey ||
+        path.stripSuffix("/" + graft.graph.GraphStore.ConfigName) == loadedKey))
+
     spark.udf.register("travel_time_node_count",
       (costing: String) => h.requireGraph(costing).numNodes)
 

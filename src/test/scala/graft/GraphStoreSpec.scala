@@ -1,0 +1,88 @@
+package graft
+
+import graft.graph.{GraphStore, GridFixture}
+import graft.routing.RoutingContext
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Graph persistence + config lifecycle: the valhalla_build_tiles /
+  * travel_time_load_config analogues (SURVEY §2A #1, #11, #12, #14).
+  */
+class GraphStoreSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  test("save -> loadConfig round-trip preserves the graph and rebinds SQL functions") {
+    val dir = Files.createTempDirectory("graft-graph").toString
+    val byMode = Map(
+      "auto" -> GridFixture.dataFrames(spark, "auto"),
+      "bicycle" -> GridFixture.dataFrames(spark, "bicycle"))
+    val cfgPath = GraphStore.save(byMode, dir)
+    assert(cfgPath.endsWith(GraphStore.ConfigName))
+
+    // directory and explicit config path both resolve (config_setting.cpp:33-39)
+    assert(GraphStore.resolveConfig(dir)._2 == Seq("auto", "bicycle"))
+    assert(GraphStore.resolveConfig(cfgPath)._2 == Seq("auto", "bicycle"))
+
+    val h = RoutingContext.loadConfig(spark, dir)
+    assert(h.graphs.keySet == Set("auto", "bicycle"))
+    assert(h.requireGraph("auto").numNodes == 100)
+
+    // SQL surface reflects the rebinding
+    assert(spark.sql("SELECT travel_time_node_count('auto') AS n")
+      .collect().head.getInt(0) == 100)
+    assert(spark.sql(s"SELECT travel_time_load_config('$dir') AS ok")
+      .collect().head.getBoolean(0))
+    val t = spark.sql(
+      "SELECT travel_time(43.7, 7.4, 43.718, 7.418, 'auto') AS t").collect().head
+    assert(!t.isNullAt(0) && t.getDouble(0) > 0)
+  }
+
+  test("conf-driven load (SET valhalla_tiles analogue)") {
+    val dir = Files.createTempDirectory("graft-graph-conf").toString
+    GraphStore.save(Map("auto" -> GridFixture.dataFrames(spark, "auto")), dir)
+    spark.conf.set(RoutingContext.TilesConf, dir)
+    val h = RoutingContext.ensureFromConf(spark)
+    assert(h.isDefined && h.get.requireGraph("auto").numNodes == 100)
+    spark.conf.unset(RoutingContext.TilesConf)
+  }
+
+  test("distributed buildGraph from OSM-shaped ways (valhalla_build_tiles analogue)") {
+    import spark.implicits._
+    val rawNodes = Seq(
+      (1L, 43.70, 7.40), (2L, 43.70, 7.41), (3L, 43.71, 7.41), (4L, 43.71, 7.40))
+      .toDF("id", "lat", "lon")
+    val ways = Seq(
+      (100L, "residential", false, Seq(1L, 2L, 3L)),
+      (101L, "primary", true, Seq(3L, 4L)),      // oneway
+      (102L, "footway", false, Seq(4L, 1L)))     // untraversable by auto
+      .toDF("way_id", "highway", "oneway", "node_ids")
+    val dir = Files.createTempDirectory("graft-built").toString
+    val cfg = GraphStore.buildGraph(spark, ways, rawNodes, dir, Seq("auto"))
+    val h = RoutingContext.loadConfig(spark, cfg)
+    val g = h.requireGraph("auto")
+    assert(g.numNodes == 4)
+    // residential segments bidirectional (4 directed), primary oneway (1)
+    assert(g.numEdges == 5)
+    val d = new graft.algo.Dijkstra(g)
+    // oneway 3->4 passable, 4->3 must go the long way (footway dropped => via 1,2)
+    val i3 = (0 until 4).find(i => g.nodeLat(i) == 43.71 && g.nodeLon(i) == 7.41).get
+    val i4 = (0 until 4).find(i => g.nodeLat(i) == 43.71 && g.nodeLon(i) == 7.40).get
+    assert(d.shortestPathMs(i3, i4) > 0)
+    assert(d.shortestPathMs(i4, i3) == -1L) // 4 can't reach 3: footway dropped, oneway blocks
+  }
+
+  test("missing config errors with the reference's contract") {
+    val e = intercept[IllegalArgumentException] {
+      GraphStore.resolveConfig("/nonexistent/path")
+    }
+    assert(e.getMessage.contains("not found"))
+  }
+
+  // leave the shared session bound to the grid fixture for later suites
+  test("rebind grid fixture") {
+    RoutingContext.unload()
+    val h = graft.queries.Routing.ensure(spark)
+    assert(h.requireGraph("pedestrian").numNodes == 100)
+  }
+}
