@@ -61,6 +61,42 @@ object GridFixture {
     GraphBuilder.buildCsr(n, lat, lon, main, list)
   }
 
+  /** Generic k×k all-residential lattice (bidirectional, ~900 m E-W / 1 km
+    * N-S hops) for scale benchmarks — row-major ids like the main fixture.
+    */
+  def lattice(k: Int): PreparedGraph = {
+    val n = k * k
+    val lat = Array.tabulate(n)(i => Lat0 + (i / k) * SpacingDeg)
+    val lon = Array.tabulate(n)(i => Lon0 + (i % k) * SpacingDeg)
+    val es = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double, Long)]
+    var i = 0
+    while (i < k) {
+      var j = 0
+      while (j < k) {
+        val id = i * k + j
+        if (j + 1 < k) {
+          val d = Geo.haversineM(lat(id), lon(id), lat(id + 1), lon(id + 1))
+          val t = SpeedModel.timeMs(d, 30.0)
+          es += ((id, id + 1, d, t)); es += ((id + 1, id, d, t))
+        }
+        if (i + 1 < k) {
+          val d = Geo.haversineM(lat(id), lon(id), lat(id + k), lon(id + k))
+          val t = SpeedModel.timeMs(d, 30.0)
+          es += ((id, id + k, d, t)); es += ((id + k, id, d, t))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    GraphBuilder.buildCsr(n, lat, lon, Array.fill(n)(true), es.toArray)
+  }
+
+  /** 100×100 lattice (10k nodes), built once per JVM — the throughput-bench
+    * graph. No CH at this size (see PreparedGraph.withCh bound); batch point
+    * queries use bidirectional Dijkstra.
+    */
+  lazy val lattice100: PreparedGraph = lattice(100)
+
   /** The fixture as (nodes, edges) DataFrames matching FIXTURES.md §1.1. */
   def dataFrames(spark: org.apache.spark.sql.SparkSession, mode: String = "auto")
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {

@@ -33,6 +33,27 @@ final class PreparedGraph(
     val snapIndex: GridIndex
 ) extends Serializable {
 
+  /** Optional contraction hierarchy, built driver-side before broadcast
+    * (reference: `fast_paths::prepare`, rust/src/lib.rs:260). Point queries
+    * use it when present; serialized with the graph so executors share the
+    * one prepared structure.
+    */
+  @volatile var ch: graft.algo.ChGraph = null
+
+  /** Build + attach the CH (idempotent). Returns this for chaining.
+    *
+    * Practical bound: the round-1 degree-ordered contraction keeps build
+    * seconds-scale up to a few thousand nodes but inflates on larger
+    * grid-like cores (nested-dissection ordering is the known fix — future
+    * round); beyond the bound point queries fall back to bidirectional
+    * Dijkstra, which stays exact.
+    */
+  def withCh(): PreparedGraph = {
+    if (ch == null && numNodes <= 5000)
+      ch = graft.algo.ContractionHierarchy.build(this)
+    this
+  }
+
   def numNodes: Int = nodeLat.length
   def numEdges: Int = targets.length
 

