@@ -25,7 +25,8 @@ object Pipeline {
     */
   private val minhashCandidatesSql: String = {
     val mins = (0 until 12).map { seed =>
-      s"list_min(list_transform(list_distinct(sh), x -> md5('$seed|' || x)))"
+      s"list_min(list_transform(list_distinct(sh), " +
+        s"x -> CAST(('0x' || substring(md5('$seed|' || x), 1, 15)) AS BIGINT)))"
     }.mkString(",\n      ")
     s"""WITH shl AS (
        |  SELECT doc_id AS doc,
@@ -139,13 +140,15 @@ object Pipeline {
         .orderBy(col("a"), col("b")),
       Some(s"""WITH cand AS ($minhashCandidatesSql),
              |shd AS (
-             |  SELECT doc_id AS doc, list_distinct(
+             |  SELECT doc_id AS doc, list_transform(list_distinct(
              |    list_transform(generate_series(1, greatest(length(text) - 4, 1)),
-             |                   i -> substring(text, i, 5))) AS shingles
+             |                   i -> substring(text, i, 5))),
+             |    x -> CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)) AS shingles
              |  FROM documents)
              |SELECT a, b, n_bands,
              |  round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-             |    len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) AS jaccard
+             |    (len(sa.shingles) + len(sb.shingles)
+             |     - len(list_intersect(sa.shingles, sb.shingles))), 4) AS jaccard
              |FROM cand
              |JOIN shd sa ON sa.doc = a
              |JOIN shd sb ON sb.doc = b
