@@ -67,21 +67,28 @@ object Similarity {
     * hyperplanes (seeded per (bit, dim) — reproducible across runs and
     * engines with no stored model).
     */
-  def hyperplaneSignature(vecCol: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
-    val bits = (0 until nBits).map { b =>
-      // deterministic hyperplane weights in [-1, 1): splitmix64-ish per (b, i)
-      val weights = Array.tabulate(dim) { i =>
+  /** Deterministic hyperplane weights in [-1, 1): splitmix64-ish per
+    * (bit, dim) — reproducible across runs and engines with no stored model
+    * (the SQL oracle embeds these exact literals).
+    */
+  def hyperplaneWeights(dim: Int, nBits: Int, seed: Long = 42L): Array[Array[Double]] =
+    Array.tabulate(nBits) { b =>
+      Array.tabulate(dim) { i =>
         var z = seed + b.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L
         z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
         z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
         z = z ^ (z >>> 31)
         (z.toDouble / Long.MaxValue.toDouble)
       }
+    }
+
+  def hyperplaneSignature(vecCol: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
+    val bits = hyperplaneWeights(dim, nBits, seed).map { weights =>
       val proj = aggregate(
         zip_with(transform(vecCol, x => x.cast("double")), lit(weights), (x, w) => x * w),
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, lit(1)).otherwise(lit(0))
     }
-    concat_ws("", bits.map(_.cast("string")): _*)
+    concat_ws("", bits.toSeq.map(_.cast("string")): _*)
   }
 }

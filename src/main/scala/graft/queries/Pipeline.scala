@@ -238,6 +238,33 @@ object Pipeline {
            |FROM agg ORDER BY doc_id""".stripMargin
       }),
 
+    // -- hyperplane-LSH ANN: random-projection sign buckets -----------------
+    QueryDef("p13_lsh_ann",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+          .withColumn("sig", Similarity.hyperplaneSignature(col("embedding"), dim = 64, nBits = 8))
+        Similarity.bucketedTopK(emb, "vec_id", "embedding", "sig",
+            col("vec_id") < 50, k = 3)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some {
+        val sigExpr = Similarity.hyperplaneWeights(dim = 64, nBits = 8).map { w =>
+          s"(CASE WHEN list_dot_product(embedding::DOUBLE[], [${w.mkString(", ")}]) >= 0 THEN '1' ELSE '0' END)"
+        }.mkString(" || ")
+        s"""WITH sigs AS (
+           |  SELECT vec_id, embedding, $sigExpr AS sig FROM embeddings),
+           |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec, sig AS qbucket
+           |      FROM sigs WHERE vec_id < 50),
+           |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS nvec, sig AS nbucket FROM sigs)
+           |SELECT qid, CAST(row_number() OVER w AS INT) AS rank, nid,
+           |  round(list_cosine_similarity(qvec, nvec), 4) AS sim
+           |FROM c JOIN q ON qbucket = nbucket WHERE qid <> nid
+           |WINDOW w AS (PARTITION BY qid
+           |             ORDER BY round(list_cosine_similarity(qvec, nvec), 4) DESC, nid)
+           |QUALIFY row_number() OVER w <= 3
+           |ORDER BY qid, rank""".stripMargin
+      }),
+
     // -- binary-column plumbing: opaque blobs + typed metadata --------------
     QueryDef("p10_binary_meta",
       (s, d) => {

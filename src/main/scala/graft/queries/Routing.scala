@@ -162,6 +162,32 @@ object Routing {
                  |  get_json_object(travel_time_request('nope', '{}'), '$$.error') IS NOT NULL AS bad_action_errors""".stripMargin)
       }, None),
 
+    QueryDef("r13_optimized_route",
+      (s, _) => {
+        ensure(s)
+        val locs = Seq(0, 99, 9, 90, 55).map(i =>
+          s"""{"lat": ${GridFixture.latOf(i)}, "lon": ${GridFixture.lonOf(i)}}""")
+          .mkString("[", ", ", "]")
+        s.sql(s"""SELECT
+                 |  get_json_object(r, '$$.trip.summary.time') AS total_seconds,
+                 |  get_json_object(r, '$$.trip.locations[0].original_index') AS first_stop,
+                 |  get_json_object(r, '$$.trip.locations[4].original_index') AS last_stop
+                 |FROM (SELECT travel_time_request('optimized_route',
+                 |  '{"locations": $locs, "costing": "auto"}') AS r)""".stripMargin)
+      }, None),
+
+    QueryDef("r14_isochrone_contours",
+      (s, _) => {
+        ensure(s)
+        val c = GridFixture.latOf(55); val cl = GridFixture.lonOf(55)
+        s.sql(s"""SELECT
+                 |  get_json_object(gj, '$$.features[0].properties.contour') AS contour_min,
+                 |  get_json_object(gj, '$$.features[1].properties.contour') AS contour_max,
+                 |  get_json_object(gj, '$$.features[0].geometry.type') AS geom_type
+                 |FROM (SELECT travel_time_isochrone_geojson($c, $cl,
+                 |        array(3.0D, 10.0D), 'auto') AS gj)""".stripMargin)
+      }, None),
+
     QueryDef("r11_lifecycle",
       (s, _) => {
         import s.implicits._

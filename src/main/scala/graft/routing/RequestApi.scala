@@ -32,9 +32,10 @@ object RequestApi {
         case "locate" => locate(h, costing, req)
         case "matrix" | "sources_to_targets" => matrix(h, costing, req)
         case "isochrone" => isochrone(h, costing, req)
+        case "optimized_route" => optimizedRoute(h, costing, req)
         case other =>
           err(s"Action '$other' not supported (supported: route, matrix, " +
-            "sources_to_targets, locate, isochrone, status)")
+            "sources_to_targets, locate, isochrone, optimized_route, status)")
       }
     } catch {
       case e: Exception => err(e.getMessage)
@@ -106,15 +107,71 @@ object RequestApi {
     compact(JObject("sources_to_targets" -> JArray(rows), "units" -> JString("kilometers")))
   }
 
+  /** Visit-all-locations tour from the first location: greedy nearest
+    * neighbor + 2-opt over the pairwise matrix (the reference delegates this
+    * to Valhalla's optimizer, wrapper.cpp:422-461 `optimized_route`).
+    * Response carries the visit order and total time.
+    */
+  private def optimizedRoute(h: RouterHandle, costing: String, req: JValue): String = {
+    val locs = locations(req)
+    if (locs.length < 2) return err("optimized_route requires >= 2 locations")
+    val g = h.requireGraph(costing)
+    val m = locs.length
+    val entries = RoutingOps.matrixEntries(g,
+      locs.map(_._1), locs.map(_._2), locs.map(_._1), locs.map(_._2))
+    val cost = Array.ofDim[Double](m, m)
+    entries.foreach(e => cost(e.from_idx)(e.to_idx) =
+      if (e.duration_s < 0) Double.MaxValue / 4 else e.duration_s)
+    // greedy tour from location 0
+    var tour = {
+      val seen = Array.fill(m)(false); seen(0) = true
+      val t = scala.collection.mutable.ArrayBuffer(0)
+      while (t.length < m) {
+        val last = t.last
+        val next = (0 until m).filter(!seen(_)).minBy(cost(last))
+        seen(next) = true; t += next
+      }
+      t.toArray
+    }
+    // 2-opt until no improving swap
+    def tourCost(t: Array[Int]): Double =
+      t.sliding(2).map { case Array(a, b) => cost(a)(b) }.sum
+    var improved = true
+    while (improved) {
+      improved = false
+      var i = 1
+      while (i < m - 1) {
+        var j = i + 1
+        while (j < m) {
+          val cand = tour.take(i) ++ tour.slice(i, j + 1).reverse ++ tour.drop(j + 1)
+          if (tourCost(cand) < tourCost(tour) - 1e-9) { tour = cand; improved = true }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    compact(JObject("trip" -> JObject(
+      "status" -> JInt(0),
+      "summary" -> JObject("time" -> JDouble(math.floor(tourCost(tour) * 1000) / 1000)),
+      "locations" -> JArray(tour.toList.map { i =>
+        JObject("original_index" -> JInt(i),
+          "lat" -> JDouble(locs(i)._1), "lon" -> JDouble(locs(i)._2))
+      }))))
+  }
+
   private def isochrone(h: RouterHandle, costing: String, req: JValue): String = {
     val locs = locations(req)
     if (locs.isEmpty) return err("isochrone requires a location")
-    val maxSec = (req \ "contours") match {
-      case JArray(cs) if cs.nonEmpty =>
-        cs.flatMap(c => (c \ "time").extractOpt[Double]).maxOption.getOrElse(10.0) * 60.0
-      case _ => 600.0
-    }
     val g = h.requireGraph(costing)
+    val cutoffs = (req \ "contours") match {
+      case JArray(cs) if cs.nonEmpty =>
+        cs.flatMap(c => (c \ "time").extractOpt[Double])
+      case _ => List(10.0)
+    }
+    // polygons:true -> Valhalla-style contour polygons (wrapper.cpp:323-383)
+    if ((req \ "polygons").extractOpt[Boolean].getOrElse(false))
+      return RoutingOps.isochroneContours(g, locs.head._1, locs.head._2, cutoffs)
+    val maxSec = cutoffs.maxOption.getOrElse(10.0) * 60.0
     val nodes = RoutingOps.isochrone(g, locs.head._1, locs.head._2, maxSec)
     val features = nodes.toList.map { n =>
       JObject(

@@ -67,6 +67,10 @@ object RoutingFunctions {
       (lat: Double, lon: Double, maxSeconds: Double, costing: String) =>
         RoutingOps.isochrone(h.requireGraph(costing), lat, lon, maxSeconds))
 
+    spark.udf.register("travel_time_isochrone_geojson",
+      (lat: Double, lon: Double, cutoffsMinutes: Seq[Double], costing: String) =>
+        RoutingOps.isochroneContours(h.requireGraph(costing), lat, lon, cutoffsMinutes))
+
     spark.udf.register("travel_time_request",
       (action: String, json: String) => RequestApi.dispatch(h, action, json))
   }

@@ -117,4 +117,28 @@ object RoutingOps {
       IsoNode(g.nodeLat(n), g.nodeLon(n), ms / 1000.0)
     }
   }
+
+  /** Polygon contour per cutoff: convex hull of each contour's reachable
+    * node cloud as a GeoJSON FeatureCollection — the Valhalla-contour
+    * surface (valhalla-wrapper/src/wrapper.cpp:323-383; convexity divergence
+    * documented in graft.geo.Hull). Cutoffs in minutes, like the reference's
+    * `contours: [{time: ...}]` request shape.
+    */
+  def isochroneContours(g: PreparedGraph, lat: Double, lon: Double,
+                        cutoffsMinutes: Seq[Double]): String = {
+    val s = g.snap(lat, lon)
+    val features = if (s < 0) Nil else {
+      val maxMs = (cutoffsMinutes.max * 60000).toLong
+      val reach = calc(g).reachableWithin(s, maxMs)
+      cutoffsMinutes.sorted.map { cm =>
+        val cutMs = (cm * 60000).toLong
+        val pts = reach.collect { case (n, ms) if ms <= cutMs => (g.nodeLon(n), g.nodeLat(n)) }
+        val ring = graft.geo.Hull.convex(pts.toSeq)
+        val coords = ring.map { case (x, y) => s"[$x,$y]" }.mkString(",")
+        s"""{"type":"Feature","properties":{"contour":$cm},""" +
+          s""""geometry":{"type":"Polygon","coordinates":[[$coords]]}}"""
+      }
+    }
+    s"""{"type":"FeatureCollection","features":[${features.mkString(",")}]}"""
+  }
 }

@@ -1,0 +1,61 @@
+package graft
+
+import graft.geo.Hull
+import graft.graph.GridFixture
+import graft.queries.Routing
+import org.scalatest.funsuite.AnyFunSuite
+
+class ContourSpec extends AnyFunSuite {
+
+  private lazy val spark = { val s = SparkTestBase.spark; Routing.ensure(s); s }
+
+  test("convex hull: square with interior point, collinear degeneracy") {
+    val square = Seq((0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (1.0, 1.0))
+    val ring = Hull.convex(square)
+    assert(ring.head == ring.last)
+    assert(ring.distinct.toSet == Set((0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0)))
+    assert(Hull.convex(Seq((1.0, 1.0))) == Seq((1.0, 1.0)))
+    // collinear points collapse to the segment endpoints
+    val seg = Hull.convex(Seq((0.0, 0.0), (1.0, 0.0), (2.0, 0.0)))
+    assert(seg.distinct.toSet == Set((0.0, 0.0), (2.0, 0.0)))
+  }
+
+  test("isochrone contours: nested polygons, smaller cutoff inside larger") {
+    val gj = spark.sql(
+      s"""SELECT travel_time_isochrone_geojson(${GridFixture.latOf(55)},
+         |  ${GridFixture.lonOf(55)}, array(3.0D, 15.0D), 'auto') AS gj""".stripMargin)
+      .collect().head.getString(0)
+    assert(gj.contains("\"FeatureCollection\""))
+    assert(gj.contains("\"contour\":3.0") && gj.contains("\"contour\":15.0"))
+    assert(gj.contains("\"Polygon\""))
+    // crude nesting check: the 15-min polygon's lon span exceeds the 3-min one
+    def span(contour: String): Double = {
+      val part = gj.substring(gj.indexOf(contour))
+      val xs = """\[(7\.\d+),""".r.findAllMatchIn(part.substring(0, part.length.min(4000)))
+        .map(_.group(1).toDouble).toSeq
+      xs.max - xs.min
+    }
+    assert(span("\"contour\":15.0") >= span("\"contour\":3.0"))
+  }
+
+  test("optimized_route visits all stops starting at location 0 and beats naive order") {
+    val locs = Seq(0, 99, 9, 90, 55).map(i =>
+      s"""{"lat": ${GridFixture.latOf(i)}, "lon": ${GridFixture.lonOf(i)}}""")
+      .mkString("[", ", ", "]")
+    val r = spark.sql(s"""SELECT travel_time_request('optimized_route',
+      |  '{"locations": $locs, "costing": "auto"}') AS r""".stripMargin)
+      .collect().head.getString(0)
+    assert(r.contains("\"trip\""))
+    val order = """"original_index":(\d+)""".r.findAllMatchIn(r).map(_.group(1).toInt).toSeq
+    assert(order.length == 5 && order.head == 0 && order.toSet == Set(0, 1, 2, 3, 4))
+    val total = """"time":([0-9.]+)""".r.findFirstMatchIn(r).get.group(1).toDouble
+    // naive visit order 0->99->9->90->55 crosses the lattice 4 times; the
+    // optimizer must do strictly better
+    val naive = Seq(0 -> 99, 99 -> 9, 9 -> 90, 90 -> 55).map { case (a, b) =>
+      spark.sql(s"""SELECT travel_time(${GridFixture.latOf(a)}, ${GridFixture.lonOf(a)},
+        |${GridFixture.latOf(b)}, ${GridFixture.lonOf(b)}, 'auto') AS t""".stripMargin)
+        .collect().head.getDouble(0)
+    }.sum
+    assert(total < naive)
+  }
+}
