@@ -236,6 +236,56 @@ object Routing {
             round(avg($"ms") / 1000.0, 3).as("avg_route_seconds"))
       }, None),
 
+    QueryDef("r15_sql_macro",
+      (s, _) => {
+        ensure(s); pointsView(s)
+        // SQL-macro surface (examples/geometry_macro.sql:30-36): Spark 4 SQL
+        // UDF wraps the route function; equivalence within 0.01 km asserted
+        // like monaco_routing.test:132-160
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION route_km(
+                |  lon1 DOUBLE, lat1 DOUBLE, lon2 DOUBLE, lat2 DOUBLE)
+                |RETURNS DOUBLE
+                |RETURN travel_time_route(
+                |  concat('POINT(', lon1, ' ', lat1, ')'),
+                |  concat('POINT(', lon2, ' ', lat2, ')'), 'auto').distance_km""".stripMargin)
+        s.sql("""SELECT pair_id,
+                |  round(route_km(lon1, lat1, lon2, lat2), 4) AS macro_km,
+                |  round(travel_time_route(
+                |    concat('POINT(', lon1, ' ', lat1, ')'),
+                |    concat('POINT(', lon2, ' ', lat2, ')'), 'auto').distance_km, 4) AS direct_km,
+                |  abs(route_km(lon1, lat1, lon2, lat2) - travel_time_route(
+                |    concat('POINT(', lon1, ' ', lat1, ')'),
+                |    concat('POINT(', lon2, ' ', lat2, ')'), 'auto').distance_km) < 0.01 AS equivalent
+                |FROM g_pairs ORDER BY pair_id""".stripMargin)
+      }, None),
+
+    QueryDef("r16_export_roundtrip",
+      (s, _) => {
+        import s.implicits._
+        ensure(s); pointsView(s)
+        // COPY (...) TO file analogue (examples/monaco_pure_sql.sql:88-116):
+        // route GeoJSON features -> write as text -> re-ingest via the
+        // binaryFile source (read_blob analogue) and as json lines
+        val dir = java.nio.file.Files.createTempDirectory("graft-export").toString
+        val features = s.sql(
+          """SELECT to_json(named_struct(
+            |  'type', 'Feature',
+            |  'properties', named_struct('pair_id', pair_id,
+            |    'km', round(r.distance_km, 4)),
+            |  'geometry', st_asgeojson(r.geometry))) AS feature
+            |FROM (SELECT pair_id, travel_time_route(
+            |        concat('POINT(', lon1, ' ', lat1, ')'),
+            |        concat('POINT(', lon2, ' ', lat2, ')'), 'auto') AS r
+            |      FROM g_pairs) ORDER BY pair_id""".stripMargin)
+        features.coalesce(1).write.mode("overwrite").text(s"$dir/features")
+        val reread = s.read.text(s"$dir/features")
+        val blobBytes = s.read.format("binaryFile").load(s"$dir/features/*.txt")
+          .selectExpr("sum(length(content)) AS n").collect()(0).getLong(0)
+        Seq((reread.count(), blobBytes > 0,
+          reread.filter($"value".contains("\"Feature\"")).count()))
+          .toDF("n_features", "blob_ingest_ok", "n_valid")
+      }, None),
+
     QueryDef("r10_st_funcs",
       (s, _) => {
         ensure(s)
