@@ -34,6 +34,15 @@ object GraphStore {
     writeConfig(outDir, modes)
   }
 
+  /** Full `valhalla_build_tiles` analogue from a real OSM PBF extract:
+    * distributed PBF decode → per-mode graph ETL → parquet tiles + config.
+    */
+  def buildGraphFromPbf(spark: SparkSession, pbfPath: String, outDir: String,
+                        modes: Seq[String] = Seq("auto")): String = {
+    val (rawNodes, ways) = OsmPbf.read(spark, pbfPath)
+    buildGraph(spark, ways, rawNodes, outDir, modes)
+  }
+
   /** Persist already-built per-mode (nodes, edges) DataFrames. */
   def save(byMode: Map[String, (DataFrame, DataFrame)], outDir: String): String = {
     byMode.foreach { case (m, (nodes, edges)) =>

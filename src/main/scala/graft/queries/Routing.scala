@@ -236,6 +236,34 @@ object Routing {
             round(avg($"ms") / 1000.0, 3).as("avg_route_seconds"))
       }, None),
 
+    QueryDef("r17_pbf_ingest",
+      (s, _) => {
+        import s.implicits._
+        // real OSM PBF ingestion: encode the fixture as PBF, decode it
+        // distributed, build + cache the graph, route over it
+        val dir = java.nio.file.Files.createTempDirectory("graft-pbf")
+        val path = dir.resolve("grid.osm.pbf").toString
+        val nodes = (0 until GridFixture.K * GridFixture.K).map(i =>
+          graft.graph.OsmPbf.OsmNode(1000L + i, GridFixture.latOf(i), GridFixture.lonOf(i)))
+        val ways = GridFixture.edges.zipWithIndex.map { case (e, i) =>
+          (5000L + i,
+            Map("highway" -> e.highway) ++
+              (if (e.oneway) Map("oneway" -> "yes") else Map.empty),
+            Seq(1000L + e.src, 1000L + e.dst))
+        }
+        graft.graph.OsmPbfWriter.write(path, nodes, ways.toSeq)
+        RoutingContext.unload()
+        val h = RoutingContext.loadPbf(s, path, Seq("auto"))
+        val row = s.sql(
+          s"""SELECT travel_time_node_count('auto') AS n_nodes,
+             |round(travel_time(${GridFixture.latOf(0)}, ${GridFixture.lonOf(0)},
+             |  ${GridFixture.latOf(99)}, ${GridFixture.lonOf(99)}, 'auto'), 3) AS sec
+             |""".stripMargin).collect()(0)
+        RoutingContext.unload()
+        ensure(s)
+        Seq((row.getInt(0), row.getDouble(1))).toDF("n_nodes", "seconds")
+      }, None),
+
     QueryDef("r15_sql_macro",
       (s, _) => {
         ensure(s); pointsView(s)

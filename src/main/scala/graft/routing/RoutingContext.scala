@@ -92,6 +92,20 @@ object RoutingContext {
 
   final val TilesConf = "spark.graft.routing.tiles"
 
+  /** Legacy `travel_time_load(pbf_path, mode)` analogue
+    * (rust/src/lib.rs:343-384): build-or-load a cached graph from an OSM PBF.
+    * Cache convention mirrors `<pbf>.<mode>.routing` (rust/src/lib.rs:164-166)
+    * as a parquet dir `<pbf>.graft/` next to the source.
+    */
+  def loadPbf(spark: SparkSession, pbfPath: String,
+              modes: Seq[String] = Seq("auto")): RouterHandle = {
+    val cacheDir = s"$pbfPath.graft"
+    val cfg = java.nio.file.Paths.get(cacheDir, graft.graph.GraphStore.ConfigName)
+    if (!java.nio.file.Files.exists(cfg))
+      graft.graph.GraphStore.buildGraphFromPbf(spark, pbfPath, cacheDir, modes)
+    loadConfig(spark, cacheDir)
+  }
+
   /** Distributed build from OSM-shaped ways/nodes, then load. */
   def loadWays(spark: SparkSession, key: String, ways: DataFrame, rawNodes: DataFrame,
                modes: Seq[String]): RouterHandle = {

@@ -1,0 +1,77 @@
+package graft
+
+import graft.graph.{GridFixture, OsmPbf, OsmPbfWriter, GraphStore}
+import graft.routing.RoutingContext
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** OSM PBF codec round-trip + PBF → graph → route end-to-end
+  * (the reference's `routing_load` ingestion path, rust/src/lib.rs:343-384).
+  */
+class OsmPbfSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def gridAsOsm: (Seq[OsmPbf.OsmNode], Seq[(Long, Map[String, String], Seq[Long])]) = {
+    val nodes = (0 until GridFixture.K * GridFixture.K).map(i =>
+      OsmPbf.OsmNode(1000L + i, GridFixture.latOf(i), GridFixture.lonOf(i)))
+    val ways = GridFixture.edges.zipWithIndex.map { case (e, i) =>
+      val tags = Map("highway" -> e.highway) ++
+        (if (e.oneway) Map("oneway" -> "yes") else Map.empty)
+      (5000L + i, tags, Seq(1000L + e.src, 1000L + e.dst))
+    }
+    (nodes, ways.toSeq)
+  }
+
+  test("PBF encode/decode round-trip: dense nodes, tags, oneway, refs") {
+    val (nodes, ways) = gridAsOsm
+    val path = Files.createTempDirectory("pbf").resolve("grid.osm.pbf").toString
+    OsmPbfWriter.write(path, nodes, ways)
+
+    val blocks = OsmPbf.frame(path)
+    assert(blocks.map(_._1) == Seq("OSMHeader", "OSMData"))
+    val (decNodes, decWays) = OsmPbf.decodeBlock(blocks(1)._2)
+    assert(decNodes.length == nodes.length)
+    decNodes.zip(nodes).foreach { case (a, b) =>
+      assert(a.id == b.id)
+      assert(math.abs(a.lat - b.lat) < 1e-7 && math.abs(a.lon - b.lon) < 1e-7)
+    }
+    assert(decWays.length == ways.length) // all have highway tags
+    val w0 = decWays.find(_.wayId == 5000L).get
+    assert(w0.nodeIds == ways.head._3)
+    assert(decWays.count(_.oneway) == ways.count(_._2.contains("oneway")))
+    assert(decWays.map(_.highway).toSet == Set("residential", "motorway"))
+  }
+
+  test("PBF -> distributed graph build -> route end-to-end matches fixture routing") {
+    val (nodes, ways) = gridAsOsm
+    val dir = Files.createTempDirectory("pbf-e2e")
+    val path = dir.resolve("grid.osm.pbf").toString
+    OsmPbfWriter.write(path, nodes, ways)
+
+    val h = RoutingContext.loadPbf(spark, path, Seq("auto"))
+    val g = h.requireGraph("auto")
+    assert(g.numNodes == 100)
+    // route across the lattice equals the fixture-built graph's answer
+    val viaPbf = spark.sql(
+      s"""SELECT travel_time(${GridFixture.latOf(0)}, ${GridFixture.lonOf(0)},
+         |${GridFixture.latOf(99)}, ${GridFixture.lonOf(99)}, 'auto') AS t""".stripMargin)
+      .collect().head.getDouble(0)
+    val fixture = GridFixture.prepared("auto")
+    val want = new graft.algo.Dijkstra(fixture).shortestPathMs(0, 99) / 1000.0
+    assert(math.abs(viaPbf - want) < 1.0, s"pbf=$viaPbf fixture=$want")
+
+    // second load hits the parquet cache (config already present)
+    assert(Files.exists(java.nio.file.Paths.get(s"$path.graft", GraphStore.ConfigName)))
+    RoutingContext.unload()
+    val h2 = RoutingContext.loadPbf(spark, path, Seq("auto"))
+    assert(h2.requireGraph("auto").numNodes == 100)
+  }
+
+  // restore the grid fixture binding for suites that run after this one
+  test("rebind grid fixture") {
+    RoutingContext.unload()
+    graft.queries.Routing.ensure(spark)
+    assert(spark.sql("SELECT travel_time_is_loaded() AS x").collect().head.getBoolean(0))
+  }
+}
