@@ -265,6 +265,18 @@ object Pipeline {
            |ORDER BY qid, rank""".stripMargin
       }),
 
+    // -- skew-safe aggregation: two-phase salted agg, exact vs plain oracle -
+    QueryDef("p14_salted_agg",
+      (s, d) => {
+        import s.implicits._
+        graft.ops.Skew.saltedAgg(t(s, d, "lineitem"), "l_returnflag", "l_quantity")
+          .select($"l_returnflag", round($"sum_l_quantity", 4).as("sum_qty"), $"n")
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty,
+             |count(*) AS n FROM lineitem
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // -- binary-column plumbing: opaque blobs + typed metadata --------------
     QueryDef("p10_binary_meta",
       (s, d) => {
