@@ -53,6 +53,23 @@ object Advanced {
       Some("""SELECT event_type, count(DISTINCT event_id) AS n_unique
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    QueryDef("s04_stream_custom_state",
+      (s, d) => {
+        // flatMapGroupsWithState running totals; the FINAL emitted state per
+        // user (max n_events row) must equal the batch group-by — exact
+        // oracle regardless of micro-batch splits
+        val sink = EventStreams.runBounded(s, d, "s04_sink",
+          EventStreams.runningUserTotals, outputMode = "append")
+        sink.groupBy(col("user_id"))
+          .agg(max(struct(col("n_events"), col("total_value"))).as("fin"))
+          .select(col("user_id"), col("fin.n_events").as("n_events"),
+            col("fin.total_value").as("total_value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+             |round(sum(value), 4) AS total_value
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     QueryDef("p11_multimodal_features",
       (s, d) => {
         import s.implicits._

@@ -200,6 +200,37 @@ object Relational {
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
              |ORDER BY rf, ls""".stripMargin)),
 
+    // -- CUBE grouping sets --------------------------------------------------
+    QueryDef("q19_cube",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .cube($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 4).as("total"))
+          .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+            coalesce($"o_orderpriority", lit("ALL")).as("priority"), $"n", $"total")
+          .orderBy($"status", $"priority")
+      },
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             |coalesce(o_orderpriority, 'ALL') AS priority,
+             |count(*) AS n, round(sum(o_totalprice), 4) AS total
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY status, priority""".stripMargin)),
+
+    // -- EXCEPT set op -------------------------------------------------------
+    QueryDef("q20_except",
+      (s, d) => {
+        import s.implicits._
+        val o = t(s, d, "orders")
+        val all = o.filter($"o_totalprice" > 100000).select($"o_custkey")
+        val urgent = o.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+        all.except(urgent).orderBy($"o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+             |EXCEPT
+             |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+             |ORDER BY o_custkey""".stripMargin)),
+
     // -- INTERSECT/EXCEPT set ops -------------------------------------------
     QueryDef("q11_set_ops",
       (s, d) => {

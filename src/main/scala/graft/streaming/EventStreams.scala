@@ -17,6 +17,9 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object EventStreams {
 
+  /** Cross-micro-batch per-user accumulator for [[runningUserTotals]]. */
+  final case class UserState(nEvents: Long, totalValue: Double)
+
   private def hourlyCore(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -52,6 +55,31 @@ object EventStreams {
   /** Exactly-once event dedup by key within the watermark horizon. */
   def dedup(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+
+  /** Per-user running state via flatMapGroupsWithState: cumulative event
+    * count + value sum, emitting one updated row per user per micro-batch.
+    * The custom-state escape hatch for semantics windows/aggregations can't
+    * express (KeyValueGroupedDataset state machine; state survives across
+    * micro-batches, GroupStateTimeout cleans idle keys at scale).
+    */
+  def runningUserTotals(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserState, (Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          var n = prev.nEvents; var tot = prev.totalValue
+          rows.foreach { case (_, v) => n += 1; tot += v }
+          state.update(UserState(n, tot))
+          Iterator((userId, n, math.round(tot * 10000.0) / 10000.0))
+      }
+      .toDF("user_id", "n_events", "total_value")
+  }
 
   /** Run `transform` over `<dir>/events.parquet` as a bounded stream
     * (Trigger.AvailableNow, complete mode) into a memory sink; returns the

@@ -48,6 +48,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(2).getAs[Long]("user_id") == 2L && rows(2).getAs[Double]("session_value") == 8.0)
   }
 
+  test("flatMapGroupsWithState: state accumulates across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val df = mem.toDF().toDF("user_id", "value")
+    val q = EventStreams.runningUserTotals(df)
+      .writeStream.format("memory").queryName("t_state")
+      .outputMode("append")
+
+    val run = q.start()
+    mem.addData((1L, 2.0), (1L, 3.0), (2L, 10.0))
+    run.processAllAvailable()
+    mem.addData((1L, 5.0)) // second micro-batch: state must carry over
+    run.processAllAvailable()
+    run.stop()
+
+    val rows = spark.table("t_state")
+      .orderBy($"user_id", $"n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // batch 1 emits (1, 2, 5.0) and (2, 1, 10.0); batch 2 emits (1, 3, 10.0)
+    assert(rows == Seq((1L, 2L, 5.0), (1L, 3L, 10.0), (2L, 1L, 10.0)))
+  }
+
   test("streaming dedup drops repeated event ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
