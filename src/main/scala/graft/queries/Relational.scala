@@ -289,6 +289,10 @@ object Relational {
              |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin)),
 
     // -- sessionization: gap > 30 min starts a new session (lag + cumsum) ---
+    // Gap predicate at µs precision (mirrors the passing s02 form) and the
+    // value sum over an exact DECIMAL so both engines aggregate
+    // order-independently — DOUBLE partial-sum order differs between
+    // engines and can flip round(.,4) at a boundary.
     QueryDef("q15_sessionize",
       (s, d) => {
         import s.implicits._
@@ -297,17 +301,19 @@ object Relational {
           .withColumn("prev_ts", lag($"ts", 1).over(byUser))
           .withColumn("new_session",
             when($"prev_ts".isNull ||
-              unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1).otherwise(0))
+              unix_micros($"ts") - unix_micros($"prev_ts") > 1800000000L, 1).otherwise(0))
           .withColumn("session_id", sum($"new_session").over(
             byUser.rowsBetween(Window.unboundedPreceding, 0)))
           .groupBy($"user_id", $"session_id")
-          .agg(count(lit(1)).as("n_events"), round(sum($"value"), 4).as("session_value"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum($"value".cast("decimal(30,10)")), 4).cast("double")
+              .as("session_value"))
           .orderBy($"user_id", $"session_id")
       },
       Some("""WITH marked AS (
              |  SELECT user_id, ts, event_id, value,
              |    CASE WHEN lag(ts) OVER w IS NULL
-             |      OR date_diff('second', lag(ts) OVER w, ts) > 1800
+             |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
              |      THEN 1 ELSE 0 END AS new_session
              |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
              |sess AS (
@@ -316,7 +322,7 @@ object Relational {
              |      ROWS UNBOUNDED PRECEDING) AS session_id
              |  FROM marked)
              |SELECT user_id, session_id, count(*) AS n_events,
-             |  round(sum(value), 4) AS session_value
+             |  CAST(round(sum(CAST(value AS DECIMAL(30,10))), 4) AS DOUBLE) AS session_value
              |FROM sess GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin)),
 
