@@ -162,6 +162,35 @@ object Routing {
                  |  get_json_object(travel_time_request('nope', '{}'), '$$.error') IS NOT NULL AS bad_action_errors""".stripMargin)
       }, None),
 
+    QueryDef("r18_trace",
+      (s, _) => {
+        ensure(s)
+        // GPS-ish trace jittered off the lattice row: 0 -> 3 -> 5 on row 5;
+        // map-matching must snap each point and stitch the along-row path
+        // (reference actions trace_route/trace_attributes,
+        // valhalla-wrapper/src/wrapper.cpp:439-443)
+        val jit = GridFixture.SpacingDeg * 0.2
+        val shape = Seq(50, 53, 55).map(i =>
+          s"""{"lat": ${GridFixture.latOf(i) + jit}, "lon": ${GridFixture.lonOf(i)}}""")
+          .mkString("[", ", ", "]")
+        // deterministic analytic elevation surface so `height` is testable
+        // (lazy plans may evaluate after this def returns — keep it registered)
+        graft.routing.RoutingContext.setElevation((lat, lon) => 100.0 + lat + lon)
+        s.sql(s"""SELECT
+               |  round(CAST(get_json_object(tr, '$$.trip.summary.time') AS DOUBLE), 3) AS trace_seconds,
+               |  round(CAST(get_json_object(tr, '$$.trip.summary.length') AS DOUBLE), 4) AS trace_km,
+               |  get_json_object(ta, '$$.edges[0].begin_shape_index') AS first_edge_begin,
+               |  get_json_object(ta, '$$.matched_points[0].type') AS mp0_type,
+               |  round(CAST(get_json_object(ta, '$$.matched_points[1].distance_from_trace_point') AS DOUBLE), 1) AS mp1_snap_m,
+               |  round(CAST(get_json_object(ht, '$$.height[0]') AS DOUBLE), 2) AS h0,
+               |  round(CAST(get_json_object(hr, '$$.range_height[2][0]') AS DOUBLE), -2) AS range_m_last
+               |FROM (SELECT
+               |  travel_time_request('trace_route', '{"shape": $shape, "costing": "auto"}') AS tr,
+               |  travel_time_request('trace_attributes', '{"shape": $shape, "costing": "auto"}') AS ta,
+               |  travel_time_request('height', '{"shape": $shape}') AS ht,
+               |  travel_time_request('height', '{"shape": $shape, "range": true}') AS hr)""".stripMargin)
+      }, None),
+
     QueryDef("r13_optimized_route",
       (s, _) => {
         ensure(s)

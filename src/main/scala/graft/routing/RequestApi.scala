@@ -11,9 +11,11 @@ import org.json4s.jackson.JsonMethods
   * valhalla-wrapper/src/wrapper.cpp:422-461) and the response fields its
   * wrapper actually consumes: `trip.summary.length` (km), `trip.summary.time`
   * (s), `trip.legs[].shape` (encoded polyline, precision 6)
-  * (valhalla-wrapper/src/wrapper.cpp:182-223). Unknown actions return an
-  * `{"error": ...}` JSON rather than throwing, matching the error-channel
-  * contract (wrapper.cpp:31,40-43).
+  * (valhalla-wrapper/src/wrapper.cpp:182-223). All nine reference actions
+  * dispatch (wrapper.cpp:431-449): route, matrix/sources_to_targets, locate,
+  * isochrone, optimized_route, trace_route, trace_attributes, height, status.
+  * Unknown actions return an `{"error": ...}` JSON rather than throwing,
+  * matching the error-channel contract (wrapper.cpp:31,40-43).
   */
 object RequestApi {
   private implicit val formats: Formats = DefaultFormats
@@ -33,9 +35,13 @@ object RequestApi {
         case "matrix" | "sources_to_targets" => matrix(h, costing, req)
         case "isochrone" => isochrone(h, costing, req)
         case "optimized_route" => optimizedRoute(h, costing, req)
+        case "trace_route" => traceRoute(h, costing, req)
+        case "trace_attributes" => traceAttributes(h, costing, req)
+        case "height" => height(req)
         case other =>
           err(s"Action '$other' not supported (supported: route, matrix, " +
-            "sources_to_targets, locate, isochrone, optimized_route, status)")
+            "sources_to_targets, locate, isochrone, optimized_route, " +
+            "trace_route, trace_attributes, height, status)")
       }
     } catch {
       case e: Exception => err(e.getMessage)
@@ -157,6 +163,102 @@ object RequestApi {
         JObject("original_index" -> JInt(i),
           "lat" -> JDouble(locs(i)._1), "lon" -> JDouble(locs(i)._2))
       }))))
+  }
+
+  /** Trace input: `shape: [{lat, lon}, ...]` or `encoded_polyline`
+    * (precision 6) — the two shapes Valhalla's trace/height actions accept.
+    */
+  private def shapePoints(req: JValue): List[(Double, Double)] =
+    (req \ "encoded_polyline") match {
+      case JString(enc) => Polyline.decode(enc, precision = 6).toList
+      case _ => locations(req, "shape")
+    }
+
+  /** Map-match a trace and answer like `route` (the reference pipes
+    * trace_route through the same trip-summary consumer,
+    * valhalla-wrapper/src/wrapper.cpp:182-223,439-441).
+    */
+  private def traceRoute(h: RouterHandle, costing: String, req: JValue): String = {
+    val pts = shapePoints(req)
+    if (pts.length < 2) return err("trace_route requires >= 2 shape points")
+    val g = h.requireGraph(costing)
+    RoutingOps.traceMatch(g, pts) match {
+      case None => err("No path found along trace")
+      case Some(m) =>
+        val shape = m.pathNodes.toSeq.map(i => (g.nodeLat(i), g.nodeLon(i)))
+        compact(JObject("trip" -> JObject(
+          "status" -> JInt(0),
+          "units" -> JString("kilometers"),
+          "summary" -> JObject(
+            "length" -> JDouble(m.totalDistM / 1000.0),
+            "time" -> JDouble(m.totalMs / 1000.0)),
+          "legs" -> JArray(List(JObject(
+            "shape" -> JString(Polyline.encode(shape, precision = 6))))))))
+    }
+  }
+
+  /** Matched-path attributes: per-edge length/speed/shape-span plus one
+    * matched_points entry per input point (Valhalla trace_attributes
+    * response surface; wrapper.cpp:442-443).
+    */
+  private def traceAttributes(h: RouterHandle, costing: String, req: JValue): String = {
+    val pts = shapePoints(req)
+    if (pts.isEmpty) return err("trace_attributes requires shape points")
+    val g = h.requireGraph(costing)
+    RoutingOps.traceMatch(g, pts) match {
+      case None => err("No path found along trace")
+      case Some(m) =>
+        val shape = m.pathNodes.toSeq.map(i => (g.nodeLat(i), g.nodeLon(i)))
+        compact(JObject(
+          "units" -> JString("kilometers"),
+          "shape" -> JString(Polyline.encode(shape, precision = 6)),
+          "edges" -> JArray(m.edges.toList.map { e =>
+            JObject(
+              "length" -> JDouble(e.length_km),
+              "speed" -> JDouble(math.round(e.speed_kph * 1000) / 1000.0),
+              "weight" -> JDouble(e.weight_s),
+              "begin_shape_index" -> JInt(e.begin_shape_index),
+              "end_shape_index" -> JInt(e.end_shape_index))
+          }),
+          "matched_points" -> JArray(m.points.toList.map { p =>
+            JObject(
+              "lat" -> JDouble(p.lat), "lon" -> JDouble(p.lon),
+              "type" -> JString(if (p.ok) "matched" else "unmatched"),
+              "distance_from_trace_point" ->
+                (if (p.ok) JDouble(math.round(p.distance_m * 1000) / 1000.0) else JNull))
+          })))
+    }
+  }
+
+  /** Elevation per shape point (wrapper.cpp:445-446). Heights come from the
+    * pluggable [[RoutingContext.setElevation]] sampler; without one every
+    * height is null — Valhalla's behavior without elevation tiles. With
+    * `range: true`, emits `range_height` pairs of
+    * [cumulative distance m, height] like Valhalla's range form.
+    */
+  private def height(req: JValue): String = {
+    val pts = shapePoints(req)
+    if (pts.isEmpty) return err("height requires shape points")
+    val sampler = RoutingContext.elevation
+    def hOf(lat: Double, lon: Double): JValue =
+      sampler.map(f => JDouble(math.round(f(lat, lon) * 100) / 100.0): JValue)
+        .getOrElse(JNull)
+    val shapeJson = JArray(pts.map { case (lat, lon) =>
+      JObject("lat" -> JDouble(lat), "lon" -> JDouble(lon))
+    })
+    if ((req \ "range").extractOpt[Boolean].getOrElse(false)) {
+      var cum = 0.0
+      val pairs = pts.zipWithIndex.map { case ((lat, lon), i) =>
+        if (i > 0) {
+          val (pLat, pLon) = pts(i - 1)
+          cum += graft.geo.Geo.haversineM(pLat, pLon, lat, lon)
+        }
+        JArray(List(JDouble(math.round(cum * 10) / 10.0), hOf(lat, lon)))
+      }
+      compact(JObject("shape" -> shapeJson, "range_height" -> JArray(pairs)))
+    } else
+      compact(JObject("shape" -> shapeJson,
+        "height" -> JArray(pts.map { case (lat, lon) => hOf(lat, lon) })))
   }
 
   private def isochrone(h: RouterHandle, costing: String, req: JValue): String = {

@@ -121,6 +121,20 @@ object RoutingContext {
     current.foreach(_._2.graphs.values.foreach(_.unpersist(blocking = false)))
     current = None
   }
+
+  /** Optional elevation sampler for the `height` request action
+    * (valhalla-wrapper/src/wrapper.cpp:445-446 delegates to Valhalla's
+    * elevation tiles; we have no tile source in-container, so the provider is
+    * pluggable). Without one, heights are JSON null — the same "no elevation
+    * data loaded" degradation Valhalla exhibits without its elevation dir.
+    * Process-local: on a multi-executor cluster, register the sampler in an
+    * executor plugin or ship an elevation grid via broadcast instead;
+    * executors that never saw setElevation degrade to null heights.
+    */
+  @volatile private var elevationFn: Option[(Double, Double) => Double] = None
+  def setElevation(fn: (Double, Double) => Double): Unit = elevationFn = Some(fn)
+  def clearElevation(): Unit = elevationFn = None
+  def elevation: Option[(Double, Double) => Double] = elevationFn
 }
 
 /** Executor-side per-thread scratch: one [[Dijkstra]] per (thread, graph),

@@ -13,6 +13,24 @@ final case class SnapResult(lat: Double, lon: Double, distance_m: Double)
 final case class MatrixEntry(from_idx: Int, to_idx: Int, distance_m: Double, duration_s: Double)
 final case class IsoNode(lat: Double, lon: Double, seconds: Double)
 
+/** One input trace point after map-matching: snapped coordinates, snap
+  * distance, and whether a graph node was found at all.
+  */
+final case class TracePoint(lat: Double, lon: Double, distance_m: Double,
+                            shape_index: Int, ok: Boolean)
+
+/** One traversed graph edge of the matched path (trace_attributes shape:
+  * Valhalla's `edges[]` carries length/speed/shape-index spans).
+  */
+final case class TraceEdge(length_km: Double, speed_kph: Double,
+                           weight_s: Double, begin_shape_index: Int, end_shape_index: Int)
+
+/** A GPS trace matched to the graph: concatenated node path, totals, the
+  * per-input-point matches, and per-edge attributes.
+  */
+final case class TraceMatch(pathNodes: Array[Int], totalMs: Long, totalDistM: Double,
+                            points: Seq[TracePoint], edges: Seq[TraceEdge])
+
 /** Row-level routing kernels over a prepared graph. Pure functions of
   * (graph, inputs) — every entry point takes the graph explicitly so callers
   * (UDFs, mapPartitions) control state placement.
@@ -116,6 +134,68 @@ object RoutingOps {
     calc(g).reachableWithin(s, (maxSeconds * 1000).toLong).toSeq.map { case (n, ms) =>
       IsoNode(g.nodeLat(n), g.nodeLon(n), ms / 1000.0)
     }
+  }
+
+  /** Map-match a GPS trace to the graph: snap every input point to its
+    * nearest graph node, then stitch the matched path as shortest paths
+    * between consecutive distinct snapped nodes (snap-and-route matching —
+    * the semantics the reference surfaces through Valhalla's
+    * `trace_route`/`trace_attributes` actions,
+    * valhalla-wrapper/src/wrapper.cpp:439-443; Valhalla's matcher is
+    * HMM-based, ours is nearest-snap + shortest-path interpolation, exact on
+    * traces whose points lie near the true path).
+    *
+    * Returns None when no point snaps or a leg between matched points is
+    * disconnected (the error channel the wrapper maps to NULL).
+    */
+  def traceMatch(g: PreparedGraph, pts: Seq[(Double, Double)]): Option[TraceMatch] = {
+    if (pts.isEmpty) return None
+    val d = calc(g)
+    val points = pts.zipWithIndex.map { case ((lat, lon), i) =>
+      g.snapWithDistance(lat, lon) match {
+        case Some((n, distM)) => (n, TracePoint(g.nodeLat(n), g.nodeLon(n), distM, i, ok = true))
+        case None             => (-1, TracePoint(lat, lon, -1.0, i, ok = false))
+      }
+    }
+    val snapped = points.collect { case (n, _) if n >= 0 => n }
+    if (snapped.isEmpty) return None
+    // consecutive distinct matched nodes define the legs
+    val legNodes = snapped.foldLeft(Vector.empty[Int]) {
+      (acc, n) => if (acc.lastOption.contains(n)) acc else acc :+ n
+    }
+    var totalMs = 0L
+    val path = scala.collection.mutable.ArrayBuffer[Int](legNodes.head)
+    var i = 0
+    while (i < legNodes.length - 1) {
+      d.shortestPathWithNodes(legNodes(i), legNodes(i + 1)) match {
+        case Some((ms, legPath)) =>
+          totalMs += ms
+          path ++= legPath.drop(1) // first node repeats the previous leg's last
+        case None => return None // disconnected leg: whole trace fails to match
+      }
+      i += 1
+    }
+    val nodes = path.toArray
+    val edges = (0 until nodes.length - 1).map { k =>
+      val (ms, distM) = edgeAttrs(g, nodes(k), nodes(k + 1))
+      val hours = ms / 3600000.0
+      TraceEdge(distM / 1000.0, if (hours > 0) (distM / 1000.0) / hours else 0.0,
+        ms / 1000.0, k, k + 1)
+    }
+    Some(TraceMatch(nodes, totalMs, d.pathDistanceM(nodes), points.map(_._2), edges))
+  }
+
+  /** (weightMs, distM) of the minimum-weight forward edge u→v. */
+  private def edgeAttrs(g: PreparedGraph, u: Int, v: Int): (Int, Double) = {
+    var k = g.offsets(u); var bestMs = Int.MaxValue; var bestD = 0.0
+    while (k < g.offsets(u + 1)) {
+      if (g.targets(k) == v && g.weightsMs(k) < bestMs) {
+        bestMs = g.weightsMs(k); bestD = g.distM(k)
+      }
+      k += 1
+    }
+    if (bestMs == Int.MaxValue) (0, Geo.haversineM(g.nodeLat(u), g.nodeLon(u), g.nodeLat(v), g.nodeLon(v)))
+    else (bestMs, bestD)
   }
 
   /** Polygon contour per cutoff: convex hull of each contour's reachable

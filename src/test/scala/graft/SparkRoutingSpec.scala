@@ -112,6 +112,60 @@ class SparkRoutingSpec extends AnyFunSuite {
     assert(err.contains("\"error\""))
   }
 
+  test("trace_route: jittered row trace matches the along-row path and its " +
+    "time equals the endpoint route (wrapper.cpp:439-441)") {
+    val jit = GridFixture.SpacingDeg * 0.2
+    val shape = Seq(50, 53, 55).map(i =>
+      s"""{"lat": ${GridFixture.latOf(i) + jit}, "lon": ${GridFixture.lonOf(i)}}""")
+      .mkString("[", ", ", "]")
+    val tr = one(s"""SELECT travel_time_request('trace_route',
+      |  '{"shape": $shape, "costing": "auto"}') AS r""".stripMargin).getString(0)
+    assert(tr.contains("\"trip\""))
+    val time = one(s"SELECT CAST(get_json_object('$tr', '$$.trip.summary.time') AS DOUBLE) AS t")
+      .getDouble(0)
+    // trace stitches 50→53→55 along row 5 = the direct shortest path 50→55
+    val direct = one(s"""SELECT travel_time(${GridFixture.latOf(50)}, ${GridFixture.lonOf(50)},
+      |  ${GridFixture.latOf(55)}, ${GridFixture.lonOf(55)}, 'auto') AS t""".stripMargin).getDouble(0)
+    assert(math.abs(time - direct) < 1e-6)
+  }
+
+  test("trace_attributes: 5 edges spanning shape indices 0..5, all input " +
+    "points matched with snap distance (wrapper.cpp:442-443)") {
+    val jit = GridFixture.SpacingDeg * 0.2
+    val pts = Seq(50, 53, 55).map(i => (GridFixture.latOf(i) + jit, GridFixture.lonOf(i)))
+    val g = graft.routing.RoutingContext.handle.get.requireGraph("auto")
+    val m = graft.routing.RoutingOps.traceMatch(g, pts).get
+    assert(m.pathNodes.toSeq == Seq(50, 51, 52, 53, 54, 55))
+    assert(m.edges.length == 5)
+    assert(m.edges.head.begin_shape_index == 0 && m.edges.last.end_shape_index == 5)
+    assert(m.edges.forall(e => e.length_km > 0 && e.speed_kph > 0))
+    assert(m.points.forall(p => p.ok && p.distance_m > 0)) // jitter > 0 off-node
+    // unmatchable trace (empty costing graph region) errors, not throws
+    val bad = one("""SELECT travel_time_request('trace_attributes', '{"shape": []}') AS r""")
+      .getString(0)
+    assert(bad.contains("\"error\""))
+  }
+
+  test("height: null without provider, sampled with one; range form " +
+    "accumulates distance (wrapper.cpp:445-446)") {
+    graft.routing.RoutingContext.clearElevation()
+    val req = """'{"shape": [{"lat": 43.7, "lon": 7.4}, {"lat": 43.71, "lon": 7.4}]}'"""
+    val noElev = one(s"SELECT travel_time_request('height', $req) AS r").getString(0)
+    assert(noElev.contains("\"height\":[null,null]"))
+    graft.routing.RoutingContext.setElevation((lat, _) => lat * 10)
+    try {
+      val withElev = one(s"SELECT travel_time_request('height', $req) AS r").getString(0)
+      assert(withElev.contains("437.0") && withElev.contains("437.1"))
+      val range = one(s"""SELECT travel_time_request('height',
+        |  '{"shape": [{"lat": 43.7, "lon": 7.4}, {"lat": 43.71, "lon": 7.4}], "range": true}') AS r"""
+        .stripMargin).getString(0)
+      // ~1112 m per 0.01° latitude
+      val d = one(s"SELECT CAST(get_json_object('$range', '$$.range_height[1][0]') AS DOUBLE) AS d")
+        .getDouble(0)
+      assert(math.abs(d - 1112.0) < 5.0)
+    } finally graft.routing.RoutingContext.clearElevation()
+  }
+
   test("macro equivalence: travel_time ≈ route duration (monaco_routing.test:132-160)") {
     val t = one("SELECT travel_time(43.7, 7.4, 43.781, 7.481, 'auto') AS t").getDouble(0)
     val r = one("SELECT travel_time_route('POINT(7.4 43.7)', 'POINT(7.481 43.781)', 'auto').duration_minutes AS m")
