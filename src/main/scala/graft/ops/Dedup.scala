@@ -75,7 +75,12 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         q: Int = 5, k: Int = 12, rowsPerBand: Int = 3): DataFrame = {
     val nBands = k / rowsPerBand
+    // persist: the bands self-join below reads this subtree TWICE (both join
+    // sides) — uncached, Spark recomputes the full explode + k-aggregate
+    // signature pipeline per side. One narrow (doc, k longs) row per doc, so
+    // the cache is ~1% of the shingle stream it replaces.
     val sig = minhashSignatures(df, idCol, textCol, q, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sig.select(col("doc"),
       posexplode(transform(sequence(lit(0), lit(nBands - 1)),
         b => concat_ws("#", transform(
@@ -97,8 +102,16 @@ object Dedup {
     */
   def lshJaccard(df: DataFrame, idCol: String, textCol: String,
                  q: Int = 5, k: Int = 12, rowsPerBand: Int = 3,
-                 threshold: Double = 0.0): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, q, k, rowsPerBand)
+                 threshold: Double = 0.0): DataFrame =
+    jaccardVerify(df, minhashCandidates(df, idCol, textCol, q, k, rowsPerBand),
+      idCol, textCol, q, threshold)
+
+  /** The verify half of [[lshJaccard]], taking candidate pairs explicitly so
+    * a pipeline that already materialized candidates (e.g. the p04 stage)
+    * reuses them instead of recomputing the MinHash pipeline.
+    */
+  def jaccardVerify(df: DataFrame, cands: DataFrame, idCol: String, textCol: String,
+                    q: Int = 5, threshold: Double = 0.0): DataFrame = {
     // Jaccard over 60-bit shingle hashes, not strings: array_intersect on
     // LONG uses the primitive-specialized hash path (string intersect is
     // ~100x slower per pair), and |A∪B| = |A|+|B|-|A∩B| removes the

@@ -198,10 +198,11 @@ object RoutingOps {
     else (bestMs, bestD)
   }
 
-  /** Polygon contour per cutoff: convex hull of each contour's reachable
-    * node cloud as a GeoJSON FeatureCollection — the Valhalla-contour
-    * surface (valhalla-wrapper/src/wrapper.cpp:323-383; convexity divergence
-    * documented in graft.geo.Hull). Cutoffs in minutes, like the reference's
+  /** Polygon contour per cutoff: concave hull (k-NN, graft.geo.Hull) of
+    * each contour's reachable node cloud as a GeoJSON FeatureCollection —
+    * the Valhalla-contour surface (valhalla-wrapper/src/wrapper.cpp:323-383;
+    * Valhalla contours are concave, so a convex ring would over-cover any
+    * star-shaped road network). Cutoffs in minutes, like the reference's
     * `contours: [{time: ...}]` request shape.
     */
   def isochroneContours(g: PreparedGraph, lat: Double, lon: Double,
@@ -213,7 +214,7 @@ object RoutingOps {
       cutoffsMinutes.sorted.map { cm =>
         val cutMs = (cm * 60000).toLong
         val pts = reach.collect { case (n, ms) if ms <= cutMs => (g.nodeLon(n), g.nodeLat(n)) }
-        val ring = graft.geo.Hull.convex(pts.toSeq)
+        val ring = graft.geo.Hull.concave(pts.toSeq)
         val coords = ring.map { case (x, y) => s"[$x,$y]" }.mkString(",")
         s"""{"type":"Feature","properties":{"contour":$cm},""" +
           s""""geometry":{"type":"Polygon","coordinates":[[$coords]]}}"""

@@ -20,6 +20,25 @@ class ContourSpec extends AnyFunSuite {
     assert(seg.distinct.toSet == Set((0.0, 0.0), (2.0, 0.0)))
   }
 
+  test("concave hull excludes a notch the convex hull covers") {
+    // U-shaped cloud: unit grid on [0,10]^2 minus the open notch x in (3,7),
+    // y > 3. The notch interior is inside the convex hull by construction;
+    // a concave (Valhalla-semantics) contour must exclude it.
+    val cloud = for {
+      x <- 0 to 10; y <- 0 to 10
+      if !(x > 3 && x < 7 && y > 3)
+    } yield (x.toDouble, y.toDouble)
+    val notch = (5.0, 8.0)
+    val cv = Hull.convex(cloud)
+    assert(Hull.pointInRing(notch, cv), "sanity: notch is inside the convex hull")
+    val cc = Hull.concave(cloud)
+    assert(cc.head == cc.last, "concave ring is closed")
+    assert(!Hull.pointInRing(notch, cc), "concave hull excludes the notch")
+    // and it still covers the cloud itself
+    assert(cloud.forall(p => cc.contains(p) || Hull.pointInRing(p, cc) ||
+      cc.sliding(2).exists(s => s.head == p || s.last == p)))
+  }
+
   test("isochrone contours: nested polygons, smaller cutoff inside larger") {
     val gj = spark.sql(
       s"""SELECT travel_time_isochrone_geojson(${GridFixture.latOf(55)},
