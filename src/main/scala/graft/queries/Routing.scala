@@ -242,7 +242,8 @@ object Routing {
         // amortized point-routing throughput on a 10k-node lattice: the
         // BASELINE comparison point (warm <100 ms/query, ITALY.md:375) —
         // here thousands of pairs per second per core via mapPartitions
-        // with per-thread bidirectional-Dijkstra scratch
+        // with per-thread CH query scratch (BiDijkstra fallback if the
+        // broadcast graph carries no hierarchy)
         val bc = s.sparkContext.broadcast(GridFixture.lattice100)
         val nPairs = 20000
         s.range(0, nPairs).select($"id")
@@ -250,13 +251,18 @@ object Routing {
           .as[Long]
           .mapPartitions { it =>
             val g = bc.value
-            val q = graft.routing.Routers.biCalculator(g)
+            val ch = graft.routing.Routers.chQuery(g)
+            val bi = graft.routing.Routers.biCalculator(g)
             val n = g.numNodes
             it.map { id =>
               // deterministic pseudo-random OD pair per id
               val a = (id * 2654435761L % n).toInt
               val b = ((id * 40503L + 2654435761L) % n).toInt
-              (id, q.shortestPathMs(a, b))
+              val ms = ch match {
+                case Some(q) => q.shortestPathMs(a, b)
+                case None    => bi.shortestPathMs(a, b)
+              }
+              (id, ms)
             }
           }
           .toDF("id", "ms")
@@ -268,10 +274,13 @@ object Routing {
     QueryDef("r17_pbf_ingest",
       (s, _) => {
         import s.implicits._
-        // real OSM PBF ingestion: encode the fixture as PBF, decode it
-        // distributed, build + cache the graph, route over it
+        // real OSM PBF ingestion over HTTP: encode the fixture as PBF, serve
+        // it from a local HTTP endpoint, ingest the URL through Hadoop FS
+        // (the reference's remote-PBF download path,
+        // valhalla_build_tiles_simple.cpp:180-198), decode distributed,
+        // build + cache the graph, route over it
         val dir = java.nio.file.Files.createTempDirectory("graft-pbf")
-        val path = dir.resolve("grid.osm.pbf").toString
+        val path = dir.resolve("grid.osm.pbf")
         val nodes = (0 until GridFixture.K * GridFixture.K).map(i =>
           graft.graph.OsmPbf.OsmNode(1000L + i, GridFixture.latOf(i), GridFixture.lonOf(i)))
         val ways = GridFixture.edges.zipWithIndex.map { case (e, i) =>
@@ -280,14 +289,26 @@ object Routing {
               (if (e.oneway) Map("oneway" -> "yes") else Map.empty),
             Seq(1000L + e.src, 1000L + e.dst))
         }
-        graft.graph.OsmPbfWriter.write(path, nodes, ways.toSeq)
-        RoutingContext.unload()
-        val h = RoutingContext.loadPbf(s, path, Seq("auto"))
-        val row = s.sql(
-          s"""SELECT travel_time_node_count('auto') AS n_nodes,
-             |round(travel_time(${GridFixture.latOf(0)}, ${GridFixture.lonOf(0)},
-             |  ${GridFixture.latOf(99)}, ${GridFixture.lonOf(99)}, 'auto'), 3) AS sec
-             |""".stripMargin).collect()(0)
+        graft.graph.OsmPbfWriter.write(path.toString, nodes, ways.toSeq)
+        val bytes = java.nio.file.Files.readAllBytes(path)
+        val server = com.sun.net.httpserver.HttpServer.create(
+          new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+        server.createContext("/grid.osm.pbf", (ex: com.sun.net.httpserver.HttpExchange) => {
+          ex.sendResponseHeaders(200, bytes.length.toLong)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+        })
+        server.start()
+        val row = try {
+          val url = s"http://127.0.0.1:${server.getAddress.getPort}/grid.osm.pbf"
+          RoutingContext.unload()
+          RoutingContext.loadPbf(s, url, Seq("auto"))
+          s.sql(
+            s"""SELECT travel_time_node_count('auto') AS n_nodes,
+               |round(travel_time(${GridFixture.latOf(0)}, ${GridFixture.lonOf(0)},
+               |  ${GridFixture.latOf(99)}, ${GridFixture.lonOf(99)}, 'auto'), 3) AS sec
+               |""".stripMargin).collect()(0)
+        } finally server.stop(0)
         RoutingContext.unload()
         ensure(s)
         Seq((row.getInt(0), row.getDouble(1))).toDF("n_nodes", "seconds")

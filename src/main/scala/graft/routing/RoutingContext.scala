@@ -95,16 +95,32 @@ object RoutingContext {
   /** Legacy `travel_time_load(pbf_path, mode)` analogue
     * (rust/src/lib.rs:343-384): build-or-load a cached graph from an OSM PBF.
     * Cache convention mirrors `<pbf>.<mode>.routing` (rust/src/lib.rs:164-166)
-    * as a parquet dir `<pbf>.graft/` next to the source.
+    * as a parquet dir `<pbf>.graft/` next to the source. Accepts any URI
+    * Hadoop FileSystem can open — `http(s)://`, `s3a://`, `hdfs://` —
+    * the remote download path of the reference
+    * (src/valhalla_build_tiles_simple.cpp:180-198); remote sources cache
+    * under the local tmpdir keyed by URI digest (there is no "next to the
+    * source" for a URL).
     */
   def loadPbf(spark: SparkSession, pbfPath: String,
               modes: Seq[String] = Seq("auto")): RouterHandle = {
-    val cacheDir = s"$pbfPath.graft"
+    val cacheDir = cacheDirFor(pbfPath)
     val cfg = java.nio.file.Paths.get(cacheDir, graft.graph.GraphStore.ConfigName)
     if (!java.nio.file.Files.exists(cfg))
       graft.graph.GraphStore.buildGraphFromPbf(spark, pbfPath, cacheDir, modes)
     loadConfig(spark, cacheDir)
   }
+
+  private def cacheDirFor(pbfPath: String): String =
+    if (pbfPath.startsWith("file:"))
+      java.nio.file.Paths.get(java.net.URI.create(pbfPath)).toString + ".graft"
+    else if (pbfPath.contains("://")) {
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(pbfPath.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map("%02x".format(_)).mkString
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-pbf-$digest.graft").toString
+    } else s"$pbfPath.graft"
 
   /** Distributed build from OSM-shaped ways/nodes, then load. */
   def loadWays(spark: SparkSession, key: String, ways: DataFrame, rawNodes: DataFrame,

@@ -46,6 +46,34 @@ class ChSpec extends AnyFunSuite {
     checkAllPairs(randomGraph(13, 60, 120), 400, seed = 4)   // very sparse
   }
 
+  test("100x100 lattice: CH builds in seconds, queries exact and faster than BiDijkstra") {
+    val g = GridFixture.lattice(100)
+    val t0 = System.nanoTime()
+    val ch = ContractionHierarchy.build(g)
+    val buildS = (System.nanoTime() - t0) / 1e9
+    // nested-dissection ordering bound: the round-1 ordering took ~6 min
+    // here; the generous ceiling guards the order-of-magnitude, not noise
+    assert(buildS < 60, f"CH build took $buildS%.1f s on a 10k-node lattice")
+    val q = new ChQuery(ch)
+    val bi = new BiDijkstra(g)
+    val base = new Dijkstra(g)
+    val r = new scala.util.Random(7)
+    val pairs = Array.fill(300)((r.nextInt(g.numNodes), r.nextInt(g.numNodes)))
+    pairs.take(30).foreach { case (s, t) =>
+      assert(q.shortestPathMs(s, t) == base.shortestPathMs(s, t), s"CH mismatch $s->$t")
+    }
+    pairs.take(10).foreach { case (s, t) => q.shortestPathMs(s, t); bi.shortestPathMs(s, t) }
+    val t1 = System.nanoTime()
+    pairs.foreach { case (s, t) => q.shortestPathMs(s, t) }
+    val chMs = (System.nanoTime() - t1) / 1e6
+    val t2 = System.nanoTime()
+    pairs.foreach { case (s, t) => bi.shortestPathMs(s, t) }
+    val biMs = (System.nanoTime() - t2) / 1e6
+    info(f"100x100: build $buildS%.1f s, shortcuts ${ch.numShortcuts(g.numEdges)}, " +
+      f"300 queries CH $chMs%.1f ms vs BiDijkstra $biMs%.1f ms")
+    assert(chMs < biMs, s"CH ($chMs ms) not faster than BiDijkstra ($biMs ms) on 10k lattice")
+  }
+
   test("CH settles far fewer nodes: speedup sanity on a 60x60 lattice") {
     val g = GridFixture.lattice(60)
     val n = g.numNodes

@@ -29,8 +29,8 @@ class OsmPbfSpec extends AnyFunSuite {
     OsmPbfWriter.write(path, nodes, ways)
 
     val blocks = OsmPbf.frame(path)
-    assert(blocks.map(_._1) == Seq("OSMHeader", "OSMData"))
-    val (decNodes, decWays) = OsmPbf.decodeBlock(blocks(1)._2)
+    assert(blocks.map(_.blobType) == Seq("OSMHeader", "OSMData"))
+    val (decNodes, decWays) = OsmPbf.decodeBlock(blocks(1).payload)
     assert(decNodes.length == nodes.length)
     decNodes.zip(nodes).foreach { case (a, b) =>
       assert(a.id == b.id)
@@ -66,6 +66,39 @@ class OsmPbfSpec extends AnyFunSuite {
     RoutingContext.unload()
     val h2 = RoutingContext.loadPbf(spark, path, Seq("auto"))
     assert(h2.requireGraph("auto").numNodes == 100)
+  }
+
+  test("remote PBF ingest over HTTP: frame via Hadoop FS, decode, build, route") {
+    val (nodes, ways) = gridAsOsm
+    val dir = Files.createTempDirectory("pbf-http")
+    val local = dir.resolve("grid.osm.pbf")
+    OsmPbfWriter.write(local.toString, nodes, ways)
+    val bytes = Files.readAllBytes(local)
+
+    // serve the fixture over real HTTP (JDK built-in server) — the remote
+    // download path of the reference (valhalla_build_tiles_simple.cpp:180-198)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/grid.osm.pbf", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/grid.osm.pbf"
+      val (rawNodes, rawWays) = OsmPbf.read(spark, url)
+      assert(rawNodes.count() == nodes.length && rawWays.count() == ways.length)
+
+      RoutingContext.unload()
+      val h = RoutingContext.loadPbf(spark, url, Seq("auto"))
+      assert(h.requireGraph("auto").numNodes == 100)
+      val t = spark.sql(
+        s"""SELECT travel_time(${GridFixture.latOf(0)}, ${GridFixture.lonOf(0)},
+           |${GridFixture.latOf(99)}, ${GridFixture.lonOf(99)}, 'auto') AS t""".stripMargin)
+        .collect().head.getDouble(0)
+      assert(t > 0, s"route over http-ingested graph: $t")
+    } finally server.stop(0)
   }
 
   // restore the grid fixture binding for suites that run after this one
