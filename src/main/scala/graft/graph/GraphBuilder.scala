@@ -66,14 +66,15 @@ object GraphBuilder {
     highways.flatMap(h => SpeedModel.speedKmh(h, mode).map(h -> _))
   }
 
-  /** Node positions actually used by `edges`, with main-road flag. */
+  /** Node positions actually used by `edges`, with main-road flag.
+    * Membership test is `isin` (codegen'd, pushdown-friendly), not a UDF.
+    */
   def usedNodes(spark: SparkSession, rawNodes: DataFrame, edges: DataFrame): DataFrame = {
     import spark.implicits._
     val endpoints = edges.select($"src".as("id"), $"highway")
       .unionByName(edges.select($"dst".as("id"), $"highway"))
-    val mainRoadUdf = udf((h: String) => SpeedModel.isMainRoad(h))
     val flags = endpoints
-      .groupBy($"id").agg(max(mainRoadUdf($"highway")).as("main_road"))
+      .groupBy($"id").agg(max($"highway".isin(SpeedModel.MainRoads: _*)).as("main_road"))
     flags.join(rawNodes, "id").select($"id", $"lat", $"lon", $"main_road")
   }
 
@@ -81,52 +82,117 @@ object GraphBuilder {
     *
     * nodes: (id BIGINT, lat DOUBLE, lon DOUBLE, main_road BOOLEAN)
     * edges: (src BIGINT, dst BIGINT, dist_m DOUBLE, time_ms BIGINT)
+    *
+    * COLUMNAR collect: each partition ships ONE tuple of primitive arrays,
+    * not per-row `Row`s — driver memory is the CSR's own footprint (~44
+    * bytes/edge transient), so an Italy-class graph (9.7M nodes / 24.6M
+    * edges ≈ 1.3 GB of arrays) assembles comfortably where Row collect
+    * (round 1) needed multi-GB of object overhead. Planet-class graphs
+    * exceed any single broadcast — that path is tile partitioning, see
+    * SURVEY §9.
     */
   def prepare(nodes: DataFrame, edges: DataFrame): PreparedGraph = {
-    val nodeRows = nodes.select("id", "lat", "lon", "main_road").collect()
-    val n = nodeRows.length
+    val nodeBatches = nodes
+      .select(col("id").cast("long"), col("lat").cast("double"),
+        col("lon").cast("double"), col("main_road").cast("boolean"))
+      .rdd.mapPartitions { it =>
+        val ids = scala.collection.mutable.ArrayBuilder.make[Long]
+        val lats = scala.collection.mutable.ArrayBuilder.make[Double]
+        val lons = scala.collection.mutable.ArrayBuilder.make[Double]
+        val mains = scala.collection.mutable.ArrayBuilder.make[Boolean]
+        it.foreach { r =>
+          ids += r.getLong(0); lats += r.getDouble(1)
+          lons += r.getDouble(2); mains += r.getBoolean(3)
+        }
+        Iterator.single((ids.result(), lats.result(), lons.result(), mains.result()))
+      }.collect()
+    val n = nodeBatches.iterator.map(_._1.length).sum
     val idToIdx = new java.util.HashMap[Long, Integer](n * 2)
     val lat = new Array[Double](n); val lon = new Array[Double](n)
     val main = new Array[Boolean](n)
     var i = 0
-    while (i < n) {
-      val r = nodeRows(i)
-      idToIdx.put(r.getLong(0), i)
-      lat(i) = r.getDouble(1); lon(i) = r.getDouble(2); main(i) = r.getBoolean(3)
-      i += 1
+    nodeBatches.foreach { case (ids, lats, lons, mains) =>
+      var j = 0
+      while (j < ids.length) {
+        idToIdx.put(ids(j), i)
+        lat(i) = lats(j); lon(i) = lons(j); main(i) = mains(j)
+        i += 1; j += 1
+      }
     }
-    val edgeRows = edges.select("src", "dst", "dist_m", "time_ms").collect()
-    buildCsr(n, lat, lon, main, edgeRows.iterator.map { r =>
-      val s = idToIdx.get(r.getLong(0)); val d = idToIdx.get(r.getLong(1))
-      if (s == null || d == null) null
-      else (s.intValue, d.intValue, r.getDouble(2), r.getLong(3))
-    }.filter(_ != null).toArray)
+    val edgeBatches = edges
+      .select(col("src").cast("long"), col("dst").cast("long"),
+        col("dist_m").cast("double"), col("time_ms").cast("long"))
+      .rdd.mapPartitions { it =>
+        val srcs = scala.collection.mutable.ArrayBuilder.make[Long]
+        val dsts = scala.collection.mutable.ArrayBuilder.make[Long]
+        val dms = scala.collection.mutable.ArrayBuilder.make[Double]
+        val tms = scala.collection.mutable.ArrayBuilder.make[Long]
+        it.foreach { r =>
+          srcs += r.getLong(0); dsts += r.getLong(1)
+          dms += r.getDouble(2); tms += r.getLong(3)
+        }
+        Iterator.single((srcs.result(), dsts.result(), dms.result(), tms.result()))
+      }.collect()
+    val mTotal = edgeBatches.iterator.map(_._1.length).sum
+    val srcIdx = new Array[Int](mTotal); val dstIdx = new Array[Int](mTotal)
+    val distM = new Array[Double](mTotal); val timeMs = new Array[Long](mTotal)
+    var m = 0
+    edgeBatches.foreach { case (srcs, dsts, dms, tms) =>
+      var j = 0
+      while (j < srcs.length) {
+        val s = idToIdx.get(srcs(j)); val d = idToIdx.get(dsts(j))
+        if (s != null && d != null) { // endpoints missing from nodes: drop edge
+          srcIdx(m) = s.intValue; dstIdx(m) = d.intValue
+          distM(m) = dms(j); timeMs(m) = tms(j)
+          m += 1
+        }
+        j += 1
+      }
+    }
+    buildCsrArrays(n, lat, lon, main, m, srcIdx, dstIdx, distM, timeMs)
   }
 
-  /** Pure assembly from dense-indexed edge tuples (src, dst, distM, timeMs). */
+  /** Pure assembly from dense-indexed edge tuples (src, dst, distM, timeMs) —
+    * test/fixture convenience over [[buildCsrArrays]].
+    */
   def buildCsr(n: Int, lat: Array[Double], lon: Array[Double], main: Array[Boolean],
-               edges: Array[(Int, Int, Double, Long)]): PreparedGraph = {
-    val m = edges.length
+               edges: Array[(Int, Int, Double, Long)]): PreparedGraph =
+    buildCsrArrays(n, lat, lon, main, edges.length,
+      edges.map(_._1), edges.map(_._2), edges.map(_._3), edges.map(_._4))
+
+  /** Primitive-array CSR assembly: no per-edge objects anywhere on the
+    * driver. Only the first `m` entries of each edge array are read.
+    */
+  def buildCsrArrays(n: Int, lat: Array[Double], lon: Array[Double], main: Array[Boolean],
+                     m: Int, srcIdx: Array[Int], dstIdx: Array[Int],
+                     distM: Array[Double], timeMs: Array[Long]): PreparedGraph = {
     val off = new Array[Int](n + 1)
-    edges.foreach { e => off(e._1 + 1) += 1 }
+    var e = 0
+    while (e < m) { off(srcIdx(e) + 1) += 1; e += 1 }
     var i = 0
     while (i < n) { off(i + 1) += off(i); i += 1 }
     val tgt = new Array[Int](m); val wMs = new Array[Int](m); val dM = new Array[Float](m)
     val cur = off.clone()
-    edges.foreach { case (s, d, dm, tms) =>
-      val p = cur(s); cur(s) += 1
-      tgt(p) = d; wMs(p) = math.min(tms, Int.MaxValue).toInt; dM(p) = dm.toFloat
+    e = 0
+    while (e < m) {
+      val p = cur(srcIdx(e)); cur(srcIdx(e)) += 1
+      tgt(p) = dstIdx(e); wMs(p) = math.min(timeMs(e), Int.MaxValue).toInt
+      dM(p) = distM(e).toFloat
+      e += 1
     }
     // reverse CSR
     val rOff = new Array[Int](n + 1)
-    edges.foreach { e => rOff(e._2 + 1) += 1 }
+    e = 0
+    while (e < m) { rOff(dstIdx(e) + 1) += 1; e += 1 }
     i = 0
     while (i < n) { rOff(i + 1) += rOff(i); i += 1 }
     val rTgt = new Array[Int](m); val rW = new Array[Int](m)
     val rCur = rOff.clone()
-    edges.foreach { case (s, d, _, tms) =>
-      val p = rCur(d); rCur(d) += 1
-      rTgt(p) = s; rW(p) = math.min(tms, Int.MaxValue).toInt
+    e = 0
+    while (e < m) {
+      val p = rCur(dstIdx(e)); rCur(dstIdx(e)) += 1
+      rTgt(p) = srcIdx(e); rW(p) = math.min(timeMs(e), Int.MaxValue).toInt
+      e += 1
     }
     // snap index over main-road nodes only (rust/src/lib.rs:233-241)
     val mainIdx = (0 until n).filter(main(_)).toArray

@@ -71,13 +71,15 @@ object SpeedModel {
   /** Only main-road nodes enter the snap index, so snaps never land on
     * disconnected footpaths (reference: rust/src/lib.rs:100-118,233-241).
     */
-  def isMainRoad(highway: String): Boolean = highway match {
-    case "motorway" | "motorway_link" | "trunk" | "trunk_link" | "primary" |
-        "primary_link" | "secondary" | "secondary_link" | "tertiary" |
-        "tertiary_link" | "residential" | "living_street" | "service" |
-        "unclassified" => true
-    case _ => false
-  }
+  final val MainRoads: Seq[String] = Seq(
+    "motorway", "motorway_link", "trunk", "trunk_link", "primary",
+    "primary_link", "secondary", "secondary_link", "tertiary",
+    "tertiary_link", "residential", "living_street", "service",
+    "unclassified")
+
+  private val mainRoadSet = MainRoads.toSet
+
+  def isMainRoad(highway: String): Boolean = mainRoadSet(highway)
 
   /** Edge weight in ms: dist_m at speed → travel time, truncated like the
     * reference (reference: rust/src/lib.rs:199-205, `as u32` truncation).

@@ -7,13 +7,13 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `BINARY` columns
   * with typed metadata, processed batch-wise in `mapPartitions`.
   *
-  * The actual codecs (JPEG decode, audio resample, video frame extraction)
-  * are NOT in this container, so the decode step is a clearly-marked
-  * deterministic STUB — but everything Spark-side is real and load-bearing:
-  * the schema contract, the partition-wise batch loop that would amortize a
-  * native decoder's setup cost, the fixed-shape feature output, and the
-  * downstream joinability of the result. Swapping `stubDecode` for a real
-  * codec changes no plumbing.
+  * IMAGE decode is REAL: `javax.imageio` (JDK built-in, no new deps)
+  * handles JPEG/PNG/GIF/BMP, and [[decode]] pools actual pixels into the
+  * fixed-shape feature vector. Codecs the JDK lacks (audio resample, video
+  * keyframes) remain a clearly-marked deterministic STUB ([[stubDecode]]).
+  * Everything Spark-side is shared and load-bearing either way: the schema
+  * contract, the partition-wise batch loop that amortizes decoder setup,
+  * the fixed-shape feature output, and the downstream joinability.
   *
   * Scale design: decode is the classic CPU-heavy embarrassingly-parallel
   * stage — `mapPartitions` keeps it shuffle-free on top of the scan, and the
@@ -26,10 +26,60 @@ object Multimodal {
   /** Typed metadata for an opaque media blob. */
   final case class MediaMeta(format: String, nBytes: Long, checksum: Long)
 
-  /** STUB for a real media decoder: deterministic fixed-shape "features"
-    * derived from the bytes (a real implementation would JPEG-decode and
-    * pool pixels here). Marked ??? -equivalent by design; the surrounding
-    * plumbing is the product.
+  /** Real image decode: JDK ImageIO (JPEG/PNG/GIF/BMP) → pixel pooling into
+    * [[FeatureDim]] features: mean R, G, B, mean luma, and per-quadrant mean
+    * luma (2×2 spatial pooling). None when the bytes are not a decodable
+    * image.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[Array[Float]] = {
+    if (bytes == null || bytes.length < 8) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return None
+    val w = img.getWidth; val h = img.getHeight
+    if (w <= 0 || h <= 0) return None
+    var sumR = 0.0; var sumG = 0.0; var sumB = 0.0
+    val quadLuma = new Array[Double](4)
+    val quadN = new Array[Int](4)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        sumR += r; sumG += g; sumB += b
+        val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+        quadLuma(q) += 0.299 * r + 0.587 * g + 0.114 * b
+        quadN(q) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w * h).toDouble
+    val out = new Array[Float](FeatureDim)
+    out(0) = (sumR / n / 255.0).toFloat
+    out(1) = (sumG / n / 255.0).toFloat
+    out(2) = (sumB / n / 255.0).toFloat
+    out(3) = ((0.299 * sumR + 0.587 * sumG + 0.114 * sumB) / n / 255.0).toFloat
+    var q = 0
+    while (q < 4) {
+      out(4 + q) = if (quadN(q) == 0) 0f else (quadLuma(q) / quadN(q) / 255.0).toFloat
+      q += 1
+    }
+    Some(out)
+  }
+
+  /** Decode dispatch: real pixels when ImageIO can read the bytes, the
+    * deterministic stub otherwise (non-image formats — the codecs the
+    * container lacks).
+    */
+  def decode(bytes: Array[Byte]): Array[Float] =
+    decodeImage(bytes).getOrElse(stubDecode(bytes))
+
+  /** STUB for media the JDK cannot decode (audio/video): deterministic
+    * fixed-shape "features" derived from the raw bytes. Kept ONLY as the
+    * non-image fallback; images take the real [[decodeImage]] path.
     */
   def stubDecode(bytes: Array[Byte]): Array[Float] = {
     val out = new Array[Float](FeatureDim)
@@ -53,8 +103,9 @@ object Multimodal {
   }
 
   /** (id, media BINARY) → (id, format, n_bytes, checksum, features ARRAY<FLOAT>).
-    * One decoder per partition (where a native codec would be initialized
-    * once), rows processed in a tight loop.
+    * One decoder per partition (codec init amortized per partition, not per
+    * row); image bytes decode for real via ImageIO, anything else falls back
+    * to the stub.
     */
   def extractFeatures(df: DataFrame, idCol: String, mediaCol: String,
                       format: String): DataFrame = {
@@ -66,12 +117,56 @@ object Multimodal {
       StructField("checksum", LongType),
       StructField("features", ArrayType(FloatType))))
     val rdd = df.select(col(idCol).cast("long"), col(mediaCol)).rdd.mapPartitions { it =>
-      // real codec init would happen once here (per partition, not per row)
+      // ImageIO plugin lookup is per-JVM; disk caching off keeps executor
+      // threads from contending on a shared scratch file
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
         Row(id, format, if (bytes == null) 0L else bytes.length.toLong,
-          if (bytes == null) 0L else fnv64(bytes), stubDecode(bytes).toSeq)
+          if (bytes == null) 0L else fnv64(bytes), decode(bytes).toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Deterministic tiny RGB PNG, seeded — the media-column fixture generator
+    * (the role OsmPbfWriter plays for PBF): a w×h gradient keyed by `seed`
+    * so every row's image, and therefore its decoded features, is stable.
+    */
+  def syntheticPng(seed: Long, w: Int = 8, h: Int = 8): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((seed * 31 + x * 7 + y * 13) & 0xff).toInt
+        val g = ((seed * 17 + x * 11 + y * 3) & 0xff).toInt
+        val b = ((seed * 23 + x * 5 + y * 19) & 0xff).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** (id) → (id, media BINARY): attach a deterministic synthetic PNG per
+    * row, partition-local (no shuffle) — gives pipelines real image bytes to
+    * decode where no real media column exists.
+    */
+  def synthesizeImages(df: DataFrame, idCol: String, w: Int = 8, h: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("media", BinaryType)))
+    val rdd = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, syntheticPng(id, w, h))
       }
     }
     spark.createDataFrame(rdd, schema)

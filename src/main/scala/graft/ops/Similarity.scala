@@ -6,8 +6,12 @@ import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over embedding columns (`ARRAY<FLOAT>`).
   *
-  * Built on `zip_with`/`aggregate` Catalyst expressions (codegen'd) — the
-  * dot products run inside whole-stage codegen with no UDF boundary.
+  * Two cosine kernels: [[cosine]] uses `zip_with`/`aggregate` higher-order
+  * functions — Catalyst-native and UDF-free, but their lambdas are
+  * INTERPRETED per element, not whole-stage-codegen'd. [[cosineFixed]]
+  * unrolls a known dimension into plain arithmetic over `element_at`, which
+  * DOES stay inside whole-stage codegen — the hot-path kernel when the
+  * embedding dimension is fixed (it always is in a real corpus).
   *
   * Scale path: brute-force is the correctness baseline (O(Q·N·d) after a
   * broadcast of the query set); the bucketed variant prunes candidates with a
@@ -17,7 +21,10 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Cosine similarity of two ARRAY<FLOAT/DOUBLE> columns, in double. */
+  /** Cosine similarity of two ARRAY<FLOAT/DOUBLE> columns of any length —
+    * higher-order functions, interpreted lambdas (see object doc; prefer
+    * [[cosineFixed]] on hot paths).
+    */
   def cosine(a: Column, b: Column): Column = {
     val ad = transform(a, x => x.cast("double"))
     val bd = transform(b, x => x.cast("double"))
@@ -27,17 +34,34 @@ object Similarity {
     dot / (na * nb)
   }
 
+  /** Fixed-dimension cosine: the dot product and norms unrolled into `dim`
+    * `element_at` multiply-adds — plain codegen'd arithmetic, no lambda
+    * interpretation. Summation order matches [[cosine]] (left fold over
+    * elements), so the two kernels agree bit-for-bit.
+    */
+  def cosineFixed(a: Column, b: Column, dim: Int): Column = {
+    def e(c: Column, i: Int) = element_at(c, i).cast("double")
+    val dot = (1 to dim).map(i => e(a, i) * e(b, i)).reduce(_ + _)
+    val na = sqrt((1 to dim).map(i => e(a, i) * e(a, i)).reduce(_ + _))
+    val nb = sqrt((1 to dim).map(i => e(b, i) * e(b, i)).reduce(_ + _))
+    dot / (na * nb)
+  }
+
+  private def cosineBy(a: Column, b: Column, dim: Option[Int]): Column =
+    dim.map(cosineFixed(a, b, _)).getOrElse(cosine(a, b))
+
   /** Brute-force cosine top-k: for each query vector (filtered by
     * `queryPred`), the k nearest corpus vectors (excluding itself).
-    * Query set is broadcast against the corpus scan.
+    * Query set is broadcast against the corpus scan. Pass `dim` to use the
+    * codegen'd fixed-dimension kernel.
     */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
-                     queryPred: Column, k: Int): DataFrame = {
+                     queryPred: Column, k: Int, dim: Option[Int] = None): DataFrame = {
     val corpus = emb.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
     val queries = emb.filter(queryPred).select(col(idCol).as("qid"), col(vecCol).as("qvec"))
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("sim", round(cosine(col("qvec"), col("nvec")), 4))
+      .withColumn("sim", round(cosineBy(col("qvec"), col("nvec"), dim), 4))
     val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), asc("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -49,13 +73,13 @@ object Similarity {
     * Same output shape as brute force; recall depends on bucket quality.
     */
   def bucketedTopK(emb: DataFrame, idCol: String, vecCol: String, bucketCol: String,
-                   queryPred: Column, k: Int): DataFrame = {
+                   queryPred: Column, k: Int, dim: Option[Int] = None): DataFrame = {
     val corpus = emb.select(col(idCol).as("nid"), col(vecCol).as("nvec"), col(bucketCol).as("nbucket"))
     val queries = emb.filter(queryPred)
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"), col(bucketCol).as("qbucket"))
     val scored = corpus.join(broadcast(queries), col("qbucket") === col("nbucket"))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("sim", round(cosine(col("qvec"), col("nvec")), 4))
+      .withColumn("sim", round(cosineBy(col("qvec"), col("nvec"), dim), 4))
     val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), asc("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -73,11 +73,17 @@ object Advanced {
     QueryDef("p11_multimodal_features",
       (s, d) => {
         import s.implicits._
-        val blobs = t(s, d, "documents")
-          .select($"doc_id", encode($"text", "UTF-8").as("media"))
-        Multimodal.extractFeatures(blobs, "doc_id", "media", "text/utf-8")
-          .select($"id", $"format", $"n_bytes", $"checksum",
-            round(element_at($"features", 1), 4).as("f0"))
+        // REAL image decode: deterministic synthetic PNG per document
+        // (fixture generator, like OsmPbfWriter for PBF) → ImageIO pixels
+        // → pooled features. No oracle possible (DuckDB has no image
+        // decoder); exact goldens live in MultimodalSpec.
+        val ids = t(s, d, "documents").select($"doc_id")
+        val imgs = Multimodal.synthesizeImages(ids, "doc_id")
+        Multimodal.extractFeatures(imgs, "id", "media", "image/png")
+          .select($"id", $"format", $"n_bytes",
+            round(element_at($"features", 1), 4).as("mean_r"),
+            round(element_at($"features", 4), 4).as("mean_luma"),
+            round(element_at($"features", 5), 4).as("q0_luma"))
           .orderBy($"id")
       }, None),
 

@@ -157,7 +157,7 @@ object Pipeline {
     // -- brute-force cosine top-k ANN baseline ------------------------------
     QueryDef("p06_brute_topk",
       (s, d) => Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding",
-          col("vec_id") < 10, k = 5)
+          col("vec_id") < 10, k = 5, dim = Some(64))
         .orderBy(col("qid"), col("rank")),
       Some("""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
              |          FROM embeddings WHERE vec_id < 10),
@@ -173,7 +173,7 @@ object Pipeline {
     // -- bucketed ANN (IVF-style cell = label column) -----------------------
     QueryDef("p07_bucketed_ann",
       (s, d) => Similarity.bucketedTopK(t(s, d, "embeddings"), "vec_id", "embedding",
-          "label", col("vec_id") < 20, k = 3)
+          "label", col("vec_id") < 20, k = 3, dim = Some(64))
         .orderBy(col("qid"), col("rank")),
       Some("""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec, label AS qbucket
              |          FROM embeddings WHERE vec_id < 20),
@@ -244,7 +244,7 @@ object Pipeline {
         val emb = t(s, d, "embeddings")
           .withColumn("sig", Similarity.hyperplaneSignature(col("embedding"), dim = 64, nBits = 8))
         Similarity.bucketedTopK(emb, "vec_id", "embedding", "sig",
-            col("vec_id") < 50, k = 3)
+            col("vec_id") < 50, k = 3, dim = Some(64))
           .orderBy(col("qid"), col("rank"))
       },
       Some {

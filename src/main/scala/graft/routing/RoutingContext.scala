@@ -83,6 +83,16 @@ object RoutingContext {
     h
   }
 
+  /** Bootstrap installation: registers the whole SQL surface against an
+    * EMPTY handle, so `SELECT travel_time_load_config(path)` is callable as
+    * a script's very first statement (the reference example sequence,
+    * examples/monaco_end_to_end.sql) — the literal call is intercepted by
+    * RoutingFunctions.LoadConfigRule at plan time and performs the real
+    * driver-side load; routing functions then rebind to the new generation.
+    */
+  def install(spark: SparkSession): Unit =
+    RoutingFunctions.register(spark, RouterHandle(Map.empty))
+
   /** `SET valhalla_tiles` analogue (src/config_setting.cpp:25-70): read
     * `spark.graft.routing.tiles` from the session conf and load it if it is
     * set and differs from the current generation.

@@ -15,9 +15,43 @@ import org.apache.spark.sql.functions._
   */
 object RoutingFunctions {
 
+  /** Optimizer rule that makes `SELECT travel_time_load_config(path)`
+    * ACTUALLY load (reference: src/travel_time_extension.cpp:446-462):
+    * a literal-path call is intercepted during planning — on the DRIVER,
+    * the only place a Spark cluster can create broadcasts — the config is
+    * loaded (idempotent per path), and the call folds to literal true.
+    * Functions re-register against the new generation, so the reference's
+    * load-then-query script sequence works statement by statement.
+    * Non-literal paths fall through to the status-reporting UDF.
+    */
+  final class LoadConfigRule(spark: SparkSession)
+      extends org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, ScalaUDF}
+    import org.apache.spark.sql.types.{BooleanType, StringType}
+    override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+      plan.transformAllExpressions {
+        case u: ScalaUDF if u.udfName.contains("travel_time_load_config") =>
+          u.children match {
+            case Seq(Literal(path, StringType)) if path != null =>
+              RoutingContext.loadConfig(spark, path.toString)
+              Literal(true, BooleanType)
+            case _ => u
+          }
+      }
+  }
+
+  private def injectLoadConfigRule(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[LoadConfigRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ new LoadConfigRule(spark)
+
   /** Register every travel_time* function against the given handle. */
   def register(spark: SparkSession, handle: RouterHandle): Unit = {
     val h = handle // stable capture
+
+    injectLoadConfigRule(spark)
 
     spark.udf.register("travel_time",
       (lat1: Double, lon1: Double, lat2: Double, lon2: Double, costing: String) =>
@@ -25,15 +59,16 @@ object RoutingFunctions {
 
     spark.udf.register("travel_time_is_loaded", () => h.graphs.nonEmpty)
 
-    // Surface parity for the config-load SQL function: actual loading is the
-    // driver-side RoutingContext.loadConfig (broadcasts must be created on
-    // the driver — SURVEY §7 risk 1); the SQL call reports whether the given
-    // path IS the loaded generation, idempotent-true like the reference's
-    // same-path reload (src/travel_time_extension.cpp:446-462).
-    val loadedKey = RoutingContext.loadedPath.getOrElse("")
-    spark.udf.register("travel_time_load_config", (path: String) =>
+    // Fallback surface for NON-LITERAL paths (literal calls are intercepted
+    // by [[LoadConfigRule]] and actually load): reports whether the path IS
+    // the loaded generation. Evaluated per call, not captured at
+    // registration, so reloads are visible; driver-state read — on a real
+    // cluster the literal/rule path is the supported form.
+    spark.udf.register("travel_time_load_config", (path: String) => {
+      val loadedKey = RoutingContext.loadedPath.getOrElse("")
       path != null && (path == loadedKey ||
-        path.stripSuffix("/" + graft.graph.GraphStore.ConfigName) == loadedKey))
+        path.stripSuffix("/" + graft.graph.GraphStore.ConfigName) == loadedKey)
+    })
 
     spark.udf.register("travel_time_node_count",
       (costing: String) => h.requireGraph(costing).numNodes)

@@ -52,6 +52,33 @@ class GeoSpec extends AnyFunSuite {
     }
   }
 
+  test("EWKB/ISO variants: SRID skipped, Z/M stride honored, not parsed as coords") {
+    // EWKB point with SRID flag 0x20000000 + SRID 4326 before the coords
+    val srid = java.nio.ByteBuffer.allocate(25).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    srid.put(1.toByte); srid.putInt(0x20000001); srid.putInt(4326)
+    srid.putDouble(7.42); srid.putDouble(43.73)
+    assert(Wkb.readPoint(srid.array()).contains((7.42, 43.73)))
+    assert(Wkb.looksLikeWkb(srid.array()))
+    // EWKB Z point (flag 0x80000000): z ordinate skipped, not read as data
+    val z = java.nio.ByteBuffer.allocate(29).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    z.put(1.toByte); z.putInt(0x80000001)
+    z.putDouble(7.42); z.putDouble(43.73); z.putDouble(120.0)
+    assert(Wkb.readPoint(z.array()).contains((7.42, 43.73)))
+    // ISO-WKB ZM point (type 3001)
+    val zm = java.nio.ByteBuffer.allocate(37).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    zm.put(1.toByte); zm.putInt(3001)
+    zm.putDouble(7.42); zm.putDouble(43.73); zm.putDouble(120.0); zm.putDouble(9.0)
+    assert(Wkb.readPoint(zm.array()).contains((7.42, 43.73)))
+    // EWKB Z linestring: stride 3 per point
+    val zl = java.nio.ByteBuffer.allocate(9 + 24 * 2).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    zl.put(1.toByte); zl.putInt(0x80000002); zl.putInt(2)
+    zl.putDouble(1.0); zl.putDouble(2.0); zl.putDouble(9.0)
+    zl.putDouble(3.0); zl.putDouble(4.0); zl.putDouble(9.0)
+    assert(Wkb.readLineString(zl.array()).map(_.toList).contains(List((1.0, 2.0), (3.0, 4.0))))
+    // truncated SRID header rejected, not parsed as coordinates
+    assert(Wkb.readPoint(java.util.Arrays.copyOf(srid.array(), 21)).isEmpty)
+  }
+
   test("WKB garbage rejected") {
     assert(Wkb.readPoint(Array[Byte](9, 9, 9)) == None)
     assert(Wkb.readLineString("not wkb".getBytes) == None)

@@ -74,4 +74,37 @@ class GraphSpec extends AnyFunSuite {
     assert(idx == 37)
     assert(dist < 500.0) // z_integration.test.skip:37-40
   }
+
+  test("Italy-scale columnar prepare: 10M-edge synthetic assembles without OOM") {
+    // 1600x1600 lattice ≈ 2.56M nodes / 10.2M directed edges — the
+    // Italy-class scale (ITALY.md:55-56) the round-1 Row collect could not
+    // hold in driver objects. Pure SQL expressions, no UDF.
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val k = 1600
+    val n = k.toLong * k
+    val nodes = spark.range(n).select(
+      $"id",
+      (lit(43.0) + ($"id" / k).cast("long") * 0.009).as("lat"),
+      (lit(7.0) + ($"id" % k) * 0.009).as("lon"),
+      lit(true).as("main_road"))
+    val horiz = spark.range(n).filter($"id" % k < k - 1)
+      .select($"id".as("src"), ($"id" + 1).as("dst"))
+    val vert = spark.range(n - k)
+      .select($"id".as("src"), ($"id" + k).as("dst"))
+    val fwd = horiz.unionByName(vert)
+    val rev = fwd.select($"dst".as("src"), $"src".as("dst"))
+    val edges = fwd.unionByName(rev)
+      .select($"src", $"dst", lit(900.0).as("dist_m"), lit(108000L).as("time_ms"))
+    val t0 = System.nanoTime()
+    val g = GraphBuilder.prepare(nodes, edges)
+    val s = (System.nanoTime() - t0) / 1e9
+    info(f"prepare(2.56M nodes, ${g.numEdges / 1e6}%.1fM edges) in $s%.1f s")
+    assert(g.numNodes == n)
+    assert(g.numEdges == 2 * (2L * k * (k - 1)))
+    // spot adjacency: corner node 0 has out-edges to 1 and k
+    val out0 = (g.offsets(0) until g.offsets(1)).map(g.targets(_)).toSet
+    assert(out0 == Set(1, k))
+  }
 }

@@ -38,6 +38,25 @@ class GraphStoreSpec extends AnyFunSuite {
     assert(!t.isNullAt(0) && t.getDouble(0) > 0)
   }
 
+  test("SQL-initiated load: travel_time_load_config as FIRST statement actually loads") {
+    val dir = Files.createTempDirectory("graft-sql-load").toString
+    GraphStore.save(Map("auto" -> GridFixture.dataFrames(spark, "auto")), dir)
+    // cold start: nothing loaded, only the bootstrap surface installed —
+    // the reference example scripts' opening state
+    RoutingContext.unload()
+    RoutingContext.install(spark)
+    assert(!RoutingContext.isLoaded)
+    val ok = spark.sql(s"SELECT travel_time_load_config('$dir') AS ok")
+      .collect().head.getBoolean(0)
+    assert(ok, "literal load_config call must fold to true")
+    assert(RoutingContext.isLoaded, "plan-time rule must have loaded the config")
+    assert(RoutingContext.loadedPath.contains(dir))
+    // the next statement routes over the just-loaded generation
+    val t = spark.sql(
+      "SELECT travel_time(43.7, 7.4, 43.718, 7.418, 'auto') AS t").collect().head
+    assert(!t.isNullAt(0) && t.getDouble(0) > 0)
+  }
+
   test("conf-driven load (SET valhalla_tiles analogue)") {
     val dir = Files.createTempDirectory("graft-graph-conf").toString
     GraphStore.save(Map("auto" -> GridFixture.dataFrames(spark, "auto")), dir)

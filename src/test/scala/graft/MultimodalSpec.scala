@@ -27,6 +27,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.zip(again).forall { case (a, b) => a == b })
   }
 
+  test("real image decode: 2x2 PNG pools to exact channel and quadrant means") {
+    // red | green / blue | white — luma coefficients sum to 1, so every
+    // expected value is hand-checkable
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00)
+    img.setRGB(0, 1, 0x0000ff); img.setRGB(1, 1, 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val f = Multimodal.decodeImage(out.toByteArray).get
+    def ~=(a: Float, b: Double) = math.abs(a - b) < 1e-6
+    assert(~=(f(0), 0.5) && ~=(f(1), 0.5) && ~=(f(2), 0.5), s"channel means: ${f.toSeq}")
+    assert(~=(f(3), 0.5), s"mean luma: ${f(3)}")
+    assert(~=(f(4), 0.299) && ~=(f(5), 0.587) && ~=(f(6), 0.114) && ~=(f(7), 1.0),
+      s"quadrant lumas: ${f.toSeq}")
+    // non-image bytes refuse to decode and fall back to the stub
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+    assert(Multimodal.decode("not an image".getBytes).length == Multimodal.FeatureDim)
+  }
+
+  test("synthetic PNG fixtures: deterministic, decodable, distinct per seed") {
+    val a1 = Multimodal.syntheticPng(1L); val a2 = Multimodal.syntheticPng(1L)
+    val b = Multimodal.syntheticPng(2L)
+    assert(a1.sameElements(a2), "same seed, same bytes")
+    assert(!a1.sameElements(b), "different seed, different image")
+    val fa = Multimodal.decodeImage(a1).get
+    val fb = Multimodal.decodeImage(b).get
+    assert(!fa.sameElements(fb), "features distinguish the images")
+    // end-to-end through the Spark pipeline: real pixels, not the stub
+    val df = spark.range(3).toDF("doc_id")
+    val feats = Multimodal.extractFeatures(
+      Multimodal.synthesizeImages(df, "doc_id"), "id", "media", "image/png")
+      .orderBy($"id").collect()
+    assert(feats.length == 3)
+    assert(feats(1).getAs[scala.collection.Seq[Float]]("features").toArray
+      .sameElements(Multimodal.decodeImage(Multimodal.syntheticPng(1L)).get))
+  }
+
   test("frame sampling: every k-th fixed-size chunk, no shuffle shape") {
     val media = Array.tabulate(100)(_.toByte)
     val df = Seq((7L, media)).toDF("id", "media")
