@@ -63,14 +63,26 @@ object GraphStore {
 
   /** Smart-path resolution: a directory argument means `<dir>/graft_routing
     * .json` (src/config_setting.cpp:33-39). Returns (configPath, modes).
+    * Opens through Hadoop FileSystem, so tile stores on `s3a://`, `hdfs://`
+    * or `file:` resolve the same as local paths (the reference's
+    * S3-mounted-tiles example, examples/s3_tiles_example.sql:20-27).
     */
-  def resolveConfig(path: String): (String, Seq[String]) = {
-    val p0 = java.nio.file.Paths.get(path)
-    val cfg = if (java.nio.file.Files.isDirectory(p0)) p0.resolve(ConfigName) else p0
-    if (!java.nio.file.Files.exists(cfg))
+  def resolveConfig(path: String,
+                    conf: org.apache.hadoop.conf.Configuration =
+                      new org.apache.hadoop.conf.Configuration()): (String, Seq[String]) = {
+    val p0 = new org.apache.hadoop.fs.Path(path)
+    val fs = p0.getFileSystem(conf)
+    val isDir =
+      try fs.getFileStatus(p0).isDirectory
+      catch { case _: java.io.FileNotFoundException => false }
+    val cfg = if (isDir) new org.apache.hadoop.fs.Path(p0, ConfigName) else p0
+    if (!fs.exists(cfg))
       throw new IllegalArgumentException(
         s"Routing config not found: $cfg (reference contract: src/config_setting.cpp:45-49)")
-    val text = java.nio.file.Files.readString(cfg)
+    val in = fs.open(cfg)
+    val text =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
     val modes = "\"([a-z]+)\"".r.findAllMatchIn(
       text.substring(text.indexOf("modes"))).map(_.group(1)).toSeq
     (cfg.toString, modes)

@@ -50,6 +50,26 @@ object Similarity {
   private def cosineBy(a: Column, b: Column, dim: Option[Int]): Column =
     dim.map(cosineFixed(a, b, _)).getOrElse(cosine(a, b))
 
+  /** Embedding-cosine near-duplicate pairs — the embedding analogue of
+    * Dedup.lshJaccard: hyperplane-LSH buckets generate candidates (shuffle
+    * carries (signature) keys, never the corpus cross product), the native
+    * [[graft.functions.CosineSim]] expression verifies exactly, pairs at or
+    * above `threshold` survive. a < b canonical orientation.
+    */
+  def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                   dim: Int, nBits: Int, threshold: Double): DataFrame = {
+    val spark = emb.sparkSession
+    val sig = emb.select(col(idCol), col(vecCol))
+      .withColumn("sig", hyperplaneSignature(col(vecCol), dim, nBits))
+    val lhs = sig.select(col(idCol).as("a"), col(vecCol).as("va"), col("sig"))
+    val rhs = sig.select(col(idCol).as("b"), col(vecCol).as("vb"), col("sig"))
+    lhs.join(rhs, "sig")
+      .filter(col("a") < col("b"))
+      .withColumn("sim", round(graft.functions.CosineSim(spark, col("va"), col("vb")), 4))
+      .filter(col("sim") >= threshold)
+      .select(col("a"), col("b"), col("sim"))
+  }
+
   /** Brute-force cosine top-k: for each query vector (filtered by
     * `queryPred`), the k nearest corpus vectors (excluding itself).
     * Query set is broadcast against the corpus scan. Pass `dim` to use the

@@ -265,6 +265,28 @@ object Pipeline {
            |ORDER BY qid, rank""".stripMargin
       }),
 
+    // -- embedding-cosine near-dup: LSH buckets -> native cosine_sim verify -
+    // (threshold is data-relative: the synthetic embeddings top out at
+    // ~0.51 pairwise cosine, so 0.3 exercises a non-trivial survivor set;
+    // a production near-dup run would use ~0.9 over the same plan)
+    QueryDef("p15_embed_neardup",
+      (s, d) => Similarity.nearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+          dim = 64, nBits = 4, threshold = 0.3)
+        .orderBy(col("a"), col("b")),
+      Some {
+        val sigExpr = Similarity.hyperplaneWeights(dim = 64, nBits = 4).map { w =>
+          s"(CASE WHEN list_dot_product(embedding::DOUBLE[], [${w.mkString(", ")}]) >= 0 THEN '1' ELSE '0' END)"
+        }.mkString(" || ")
+        s"""WITH sigs AS (
+           |  SELECT vec_id, embedding, $sigExpr AS sig FROM embeddings),
+           |pairs AS (
+           |  SELECT s1.vec_id AS a, s2.vec_id AS b,
+           |    round(list_cosine_similarity(s1.embedding::DOUBLE[],
+           |                                 s2.embedding::DOUBLE[]), 4) AS sim
+           |  FROM sigs s1 JOIN sigs s2 ON s1.sig = s2.sig AND s1.vec_id < s2.vec_id)
+           |SELECT a, b, sim FROM pairs WHERE sim >= 0.3 ORDER BY a, b""".stripMargin
+      }),
+
     // -- skew-safe aggregation: two-phase salted agg, exact vs plain oracle -
     QueryDef("p14_salted_agg",
       (s, d) => {

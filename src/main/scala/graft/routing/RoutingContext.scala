@@ -76,8 +76,10 @@ object RoutingContext {
     * created (SURVEY §7 risk 1).
     */
   def loadConfig(spark: SparkSession, path: String): RouterHandle = {
-    val (cfgPath, modes) = graft.graph.GraphStore.resolveConfig(path)
-    val dir = java.nio.file.Paths.get(cfgPath).getParent.toString
+    val (cfgPath, modes) = graft.graph.GraphStore.resolveConfig(path,
+      spark.sparkContext.hadoopConfiguration)
+    // Hadoop Path, not NIO: the config may live on s3a://, hdfs://, file:
+    val dir = new org.apache.hadoop.fs.Path(cfgPath).getParent.toString
     val h = loadParquet(spark, dir, modes)
     RoutingFunctions.register(spark, h)
     h

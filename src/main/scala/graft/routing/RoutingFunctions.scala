@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions._
   * never driver state. Null handling: primitive-arg Scala UDFs return NULL on
   * any NULL input without invoking the function — exactly the reference's
   * per-row NULL contract (src/travel_time_extension.cpp:636-639).
+  *
+  * DOCUMENTED DIVERGENCE — geometry point caps: the reference truncates
+  * route geometries at MAX_POINTS 10_000 and isochrone clouds at 50_000
+  * (src/travel_time_extension.cpp:489,531), silently dropping tail points.
+  * This surface is UNCAPPED: `travel_time_route(_wkb)` geometries carry
+  * every path node and `travel_time_isochrone` returns the full reachable
+  * cloud — Spark rows have no per-value size ceiling, so truncating would
+  * only discard information. Queries needing the reference's exact byte
+  * output on >10k-point routes must `slice` themselves.
   */
 object RoutingFunctions {
 

@@ -72,6 +72,55 @@ class OpsSpec extends AnyFunSuite {
     assert(topk(0).getAs[Double]("sim") > 0.999)
   }
 
+  test("native cosine_sim expression: matches HOF kernel, codegen + interpreted, SQL surface") {
+    graft.functions.CosineSim.register(spark)
+    // SQL over literal arrays exercises the interpreted eval (constant fold)
+    val lit = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 2.0D, 3.0D), array(1.0D, 2.0D, 3.0D)) AS c")
+      .collect().head.getDouble(0)
+    assert(math.abs(lit - 1.0) < 1e-12)
+    // DataFrame path (codegen) agrees with the higher-order-function kernel
+    val emb = Seq(
+      (0L, Array(1.0f, 0.2f, -0.5f, 3.0f)),
+      (1L, Array(-0.4f, 1.0f, 0.0f, 2.2f)),
+      (2L, Array(0.3f, -2.0f, 1.1f, 0.7f))).toDF("vec_id", "embedding")
+    val both = emb.crossJoin(emb.select($"embedding".as("e2"), $"vec_id".as("v2")))
+      .filter($"vec_id" < $"v2")
+      .select(
+        graft.functions.CosineSim(spark, $"embedding", $"e2").as("native"),
+        Similarity.cosine($"embedding", $"e2").as("hof"))
+      .collect()
+    both.foreach { r =>
+      val n = r.getDouble(0); val h = r.getDouble(1)
+      assert(n == h, s"native $n != hof $h") // bit-identical
+    }
+    // zero-norm: native yields NaN (raw double division) where the ANSI-mode
+    // Divide in the HOF formulation would throw — the forgiving semantics a
+    // dedup pipeline wants
+    val nan = Seq((0L, Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("id", "za", "b")
+      .select(graft.functions.CosineSim(spark, $"za", $"b").as("c")).collect()
+    assert(nan.head.getDouble(0).isNaN)
+    // type check rejects non-array args at analysis
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cosine_sim(1, 2)").collect()
+    }
+  }
+
+  test("embedding near-dup pairs: bucketed candidates, threshold verify") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.01f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.02f, 0.0f, 0.0f)),  // near-dup of 0
+      (2L, Array(-1.0f, 0.0f, 0.3f, 0.0f)),  // far from both
+      (3L, Array(0.99f, 0.015f, 0.01f, 0.0f))) // near-dup of 0 and 1
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding",
+      dim = 4, nBits = 4, threshold = 0.95).orderBy($"a", $"b").collect()
+    val got = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 1L)), s"expected (0,1) in $got")
+    assert(!got.exists { case (a, b) => a == 2L || b == 2L }, s"2 must not pair: $got")
+    assert(pairs.forall(_.getDouble(2) >= 0.95))
+  }
+
   test("bucketed top-k only searches the query's bucket") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f), 10),
