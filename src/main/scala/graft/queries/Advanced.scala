@@ -70,6 +70,18 @@ object Advanced {
              |round(sum(value), 4) AS total_value
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    QueryDef("s05_stream_join",
+      (s, d) => EventStreams.runBounded(s, d, "s05_sink", EventStreams.intervalJoin,
+          outputMode = "append")
+        .groupBy(col("p_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id")),
+      Some("""SELECT p.user_id, count(*) AS n_pairs
+             |FROM events p JOIN events v ON v.user_id = p.user_id
+             |  AND p.event_type = 'purchase' AND v.event_type = 'view'
+             |  AND v.ts >= p.ts - INTERVAL 10 MINUTE AND v.ts <= p.ts
+             |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin)),
+
     QueryDef("p11_multimodal_features",
       (s, d) => {
         import s.implicits._

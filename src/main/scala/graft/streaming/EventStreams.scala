@@ -56,6 +56,28 @@ object EventStreams {
   def dedup(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
 
+  private def intervalJoinCore(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+    purchases.join(views,
+      expr("p_user = v_user AND v_ts >= p_ts - INTERVAL 10 MINUTES AND v_ts <= p_ts"))
+  }
+
+  /** Stream-stream interval self-join: each purchase joined to the same
+    * user's views in the preceding 10 minutes. Both branches derive from
+    * one watermarked source; the event-time range predicate is what lets
+    * Spark BOUND the join state — buffered rows older than
+    * watermark + interval are dropped, so state never grows with the
+    * stream (the non-negotiable property of a 100 TB streaming join).
+    */
+  def intervalJoin(events: DataFrame): DataFrame =
+    intervalJoinCore(events.withWatermark("ts", "1 hour"))
+
+  def intervalJoinBatch(events: DataFrame): DataFrame = intervalJoinCore(events)
+
   /** Per-user running state via flatMapGroupsWithState: cumulative event
     * count + value sum, emitting one updated row per user per micro-batch.
     * The custom-state escape hatch for semantics windows/aggregations can't

@@ -1,0 +1,46 @@
+package graft
+
+import graft.graph.{GraphStore, GridFixture}
+import graft.routing.RoutingContext
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** graft.GraftExtensions installs the native function + plan-time load rule
+  * at session build — the zero-code-change deployment route
+  * (`spark.sql.extensions=graft.GraftExtensions`).
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("extensions session: cosine_sim resolves and load_config loads, no register calls") {
+    val base = SparkTestBase.spark // ensures the shared context exists
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // same SparkContext, fresh session WITH extensions applied
+      val s2 = SparkSession.builder()
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne base)
+      val c = s2.sql(
+        "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+        .collect().head.getDouble(0)
+      assert(math.abs(c - 1.0) < 1e-12)
+
+      // first-statement SQL load through the injected optimizer rule —
+      // note: travel_time_load_config here resolves via RoutingContext
+      // .install's UDF surface
+      val dir = java.nio.file.Files.createTempDirectory("graft-ext").toString
+      GraphStore.save(Map("auto" -> GridFixture.dataFrames(s2, "auto")), dir)
+      RoutingContext.unload()
+      RoutingContext.install(s2)
+      val ok = s2.sql(s"SELECT travel_time_load_config('$dir') AS ok")
+        .collect().head.getBoolean(0)
+      assert(ok && RoutingContext.isLoaded)
+    } finally {
+      prev.foreach { p => SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p) }
+      RoutingContext.unload()
+      graft.queries.Routing.ensure(SparkTestBase.spark)
+    }
+  }
+}
