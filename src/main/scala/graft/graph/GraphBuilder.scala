@@ -3,7 +3,6 @@ package graft.graph
 import graft.geo.Geo
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Graph construction: OSM-shaped inputs → per-mode weighted digraph.
   *
@@ -29,20 +28,26 @@ object GraphBuilder {
     * Mirrors the reference's way→edge expansion (rust/src/lib.rs:168-232):
     * consecutive node pairs along each way, speed by (mode, highway), reverse
     * edge unless oneway, zero-time edges dropped.
+    *
+    * SHUFFLE-FREE pairing: consecutive (src, dst) hops come straight from
+    * zipping the `node_ids` array against itself shifted by one — a
+    * per-row expression. The round-1 `lead() OVER (PARTITION BY way_id)`
+    * formulation shuffled every hop of every way just to see its neighbor,
+    * which at planet scale is a full-data shuffle for information the
+    * array row already holds.
     */
   def buildEdges(spark: SparkSession, ways: DataFrame, rawNodes: DataFrame, mode: String): DataFrame = {
     import spark.implicits._
     val speedRows = speedTable(mode)
     val speedDf = spark.createDataFrame(speedRows).toDF("highway", "speed_kmh")
 
-    val hops = ways
+    val pairs = ways
       .select($"way_id", $"highway", coalesce($"oneway", lit(false)).as("oneway"),
-        posexplode($"node_ids").as(Seq("pos", "node_id")))
-    val w = Window.partitionBy($"way_id").orderBy($"pos")
-    val pairs = hops
-      .withColumn("next_id", lead($"node_id", 1).over(w))
-      .filter($"next_id".isNotNull)
-      .select($"way_id", $"highway", $"oneway", $"node_id".as("src"), $"next_id".as("dst"))
+        explode(zip_with(
+          slice($"node_ids", lit(1), greatest(size($"node_ids") - 1, lit(0))),
+          slice($"node_ids", lit(2), greatest(size($"node_ids") - 1, lit(0))),
+          (a, b) => struct(a.as("src"), b.as("dst")))).as("hop"))
+      .select($"way_id", $"highway", $"oneway", $"hop.src", $"hop.dst")
 
     val n1 = rawNodes.select($"id".as("src"), $"lat".as("src_lat"), $"lon".as("src_lon"))
     val n2 = rawNodes.select($"id".as("dst"), $"lat".as("dst_lat"), $"lon".as("dst_lon"))

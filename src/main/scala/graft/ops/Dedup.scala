@@ -117,10 +117,13 @@ object Dedup {
     // ~100x slower per pair), and |A∪B| = |A|+|B|-|A∩B| removes the
     // array_union evaluation entirely (measured ~2 ms/pair — the dominant
     // cost at 100k+ candidate pairs).
+    // persist: both join sides below read this subtree — uncached, the text
+    // scan + per-shingle md5 hashing runs twice
     val sh = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("doc"),
         transform(array_distinct(shinglesExpr(textCol, q)),
           s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")).as("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
     cands
       .join(sh.select(col("doc").as("a"), col("shingles").as("sha")), "a")
