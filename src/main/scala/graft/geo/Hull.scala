@@ -34,6 +34,33 @@ object Hull {
     ring :+ ring.head
   }
 
+  /** Grid-snap thinning: one representative point per cell of a g×g grid
+    * over the bbox. Bounds the concave-hull walk's O(n·h·k) cost on huge
+    * reachable clouds (a city-scale isochrone can be 100k+ nodes) while
+    * preserving boundary shape at ~1/g of the bbox span — finer than any
+    * plausible contour rendering. No-op at or under `maxPoints`.
+    */
+  def thin(points: Seq[(Double, Double)], maxPoints: Int = 4000): Seq[(Double, Double)] = {
+    if (points.length <= maxPoints) return points
+    val g = math.max(8, math.sqrt(maxPoints.toDouble).toInt)
+    var minX = Double.MaxValue; var maxX = -Double.MaxValue
+    var minY = Double.MaxValue; var maxY = -Double.MaxValue
+    points.foreach { p =>
+      if (p._1 < minX) minX = p._1; if (p._1 > maxX) maxX = p._1
+      if (p._2 < minY) minY = p._2; if (p._2 > maxY) maxY = p._2
+    }
+    val sx = math.max(1e-12, (maxX - minX) / g)
+    val sy = math.max(1e-12, (maxY - minY) / g)
+    val seen = new java.util.HashSet[Long]()
+    val out = Seq.newBuilder[(Double, Double)]
+    points.foreach { p =>
+      val cx = math.min(g - 1, ((p._1 - minX) / sx).toInt)
+      val cy = math.min(g - 1, ((p._2 - minY) / sy).toInt)
+      if (seen.add(cx.toLong * g + cy)) out += p
+    }
+    out.result()
+  }
+
   /** Concave hull by k-nearest-neighbours boundary walk (Moreira & Santos,
     * GRAPP 2007). Walks the boundary counter-clockwise from the lowest
     * point, at each step choosing among the k nearest unused points the one
@@ -71,10 +98,42 @@ object Hull {
     while ((hull.length < 2 || cur != start) && steps < 4 * n) {
       steps += 1
       if (hull.length == 3) used(start) = false // allow closing the ring
-      val cands = (0 until n).filter(i => !used(i) && i != cur)
-        .sortBy(i => dist2(pts(cur), pts(i))).take(k)
+      // k nearest unused by partial selection (no full sort per step)
+      val selIdx = new Array[Int](k); val selD = new Array[Double](k)
+      var selN = 0
+      var m = 0
+      while (m < n) {
+        if (!used(m) && m != cur) {
+          val d = dist2(pts(cur), pts(m))
+          if (selN < k) {
+            var p = selN - 1
+            selIdx(selN) = m; selD(selN) = d; selN += 1
+            while (p >= 0 && selD(p) > selD(p + 1)) {
+              val ti = selIdx(p); selIdx(p) = selIdx(p + 1); selIdx(p + 1) = ti
+              val td = selD(p); selD(p) = selD(p + 1); selD(p + 1) = td
+              p -= 1
+            }
+          } else if (d < selD(k - 1)) {
+            selIdx(k - 1) = m; selD(k - 1) = d
+            var p = k - 2
+            while (p >= 0 && selD(p) > selD(p + 1)) {
+              val ti = selIdx(p); selIdx(p) = selIdx(p + 1); selIdx(p + 1) = ti
+              val td = selD(p); selD(p) = selD(p + 1); selD(p + 1) = td
+              p -= 1
+            }
+          }
+        }
+        m += 1
+      }
+      val cands = selIdx.take(selN)
         // sharpest clockwise turn relative to the incoming edge direction
-        .sortBy(i => -turnAngle(prevAngle, pts(cur), pts(i)))
+        .sortBy(i => -turnAngle(prevAngle, pts(cur), pts(i))).toIndexedSeq
+      // a point lying strictly between cur and a candidate is necessarily
+      // NEARER to cur than that candidate — so the collinear jump-over
+      // check below only needs points within the farthest candidate's
+      // radius (one O(n) pass per step, not per candidate)
+      val maxD2 = if (cands.isEmpty) 0.0 else cands.iterator.map(i => dist2(pts(cur), pts(i))).max
+      val near = (0 until n).filter(m => m != cur && dist2(pts(cur), pts(m)) <= maxD2)
       val next = cands.find { i =>
         val seg = (pts(cur), pts(i))
         // reject segments crossing the existing boundary (ignore the edges
@@ -87,7 +146,7 @@ object Hull {
           // crossing can't see collinear overlap, so without this the walk
           // closes early straight through an existing edge (e.g. back along
           // a grid row). Also keeps boundary steps tight.
-          !(0 until n).exists(m => m != cur && m != i && between(pts(cur), pts(i), pts(m)))
+          !near.exists(m => m != i && between(pts(cur), pts(i), pts(m)))
       }
       next match {
         case None => return None // dead end: need larger k

@@ -24,14 +24,19 @@ import org.apache.spark.sql.functions._
   */
 object RoutingFunctions {
 
-  /** Optimizer rule that makes `SELECT travel_time_load_config(path)`
-    * ACTUALLY load (reference: src/travel_time_extension.cpp:446-462):
-    * a literal-path call is intercepted during planning — on the DRIVER,
-    * the only place a Spark cluster can create broadcasts — the config is
-    * loaded (idempotent per path), and the call folds to literal true.
+  /** Optimizer rule that gives the state-changing SQL calls their reference
+    * semantics by executing them at PLAN time on the DRIVER — the only
+    * place a Spark cluster can create broadcasts or launch build jobs:
+    *
+    *  - `travel_time_load_config(<lit>)` actually loads (idempotent per
+    *    path; src/travel_time_extension.cpp:446-462) and folds to true;
+    *  - `valhalla_build_tiles(<lit>, <lit>)` runs the distributed
+    *    PBF→graph build (src/valhalla_build_tiles_simple.cpp:149-236) and
+    *    folds to the produced config path.
+    *
     * Functions re-register against the new generation, so the reference's
-    * load-then-query script sequence works statement by statement.
-    * Non-literal paths fall through to the status-reporting UDF.
+    * build-then-load-then-query script sequence works statement by
+    * statement. Non-literal arguments fall through to the registered UDFs.
     */
   final class LoadConfigRule(spark: SparkSession)
       extends org.apache.spark.sql.catalyst.rules.Rule[
@@ -46,6 +51,15 @@ object RoutingFunctions {
             case Seq(Literal(path, StringType)) if path != null =>
               RoutingContext.loadConfig(spark, path.toString)
               Literal(true, BooleanType)
+            case _ => u
+          }
+        case u: ScalaUDF if u.udfName.contains("valhalla_build_tiles") =>
+          u.children match {
+            case Seq(Literal(pbf, StringType), Literal(out, StringType))
+                if pbf != null && out != null =>
+              val cfg = graft.graph.GraphStore.buildGraphFromPbf(
+                spark, pbf.toString, out.toString)
+              Literal(org.apache.spark.unsafe.types.UTF8String.fromString(cfg), StringType)
             case _ => u
           }
       }
@@ -77,6 +91,18 @@ object RoutingFunctions {
       val loadedKey = RoutingContext.loadedPath.getOrElse("")
       path != null && (path == loadedKey ||
         path.stripSuffix("/" + graft.graph.GraphStore.ConfigName) == loadedKey)
+    })
+
+    // Literal calls run driver-side via [[LoadConfigRule]] (the reference's
+    // SQL build surface, valhalla_build_tiles_simple.cpp:149-236); the UDF
+    // body exists for registry resolution and rejects the non-literal form
+    // (a build cannot launch Spark jobs from inside an executor task).
+    spark.udf.register("valhalla_build_tiles", (pbf: String, out: String) => {
+      val _ = (pbf, out)
+      throw new IllegalStateException(
+        "valhalla_build_tiles requires literal (pbf_path, output_dir) arguments " +
+          "— the build runs driver-side at plan time")
+      "": String
     })
 
     spark.udf.register("travel_time_node_count",

@@ -214,7 +214,8 @@ object RoutingOps {
       cutoffsMinutes.sorted.map { cm =>
         val cutMs = (cm * 60000).toLong
         val pts = reach.collect { case (n, ms) if ms <= cutMs => (g.nodeLon(n), g.nodeLat(n)) }
-        val ring = graft.geo.Hull.concave(pts.toSeq)
+        // thin huge clouds first: hull cost bounded, boundary preserved
+        val ring = graft.geo.Hull.concave(graft.geo.Hull.thin(pts.toSeq))
         val coords = ring.map { case (x, y) => s"[$x,$y]" }.mkString(",")
         s"""{"type":"Feature","properties":{"contour":$cm},""" +
           s""""geometry":{"type":"Polygon","coordinates":[[$coords]]}}"""

@@ -39,6 +39,26 @@ class ContourSpec extends AnyFunSuite {
       cc.sliding(2).exists(s => s.head == p || s.last == p)))
   }
 
+  test("thinned concave hull on a city-scale cloud still excludes the notch") {
+    // 100x100 unit grid minus the notch — ~8.3k points, above the thinning
+    // threshold, the realistic isochrone-cloud size
+    val cloud = for {
+      x <- 0 to 99; y <- 0 to 99
+      if !(x > 30 && x < 70 && y > 30)
+    } yield (x.toDouble, y.toDouble)
+    assert(cloud.length > 4000)
+    val t0 = System.nanoTime()
+    val thinned = Hull.thin(cloud)
+    val cc = Hull.concave(thinned)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(thinned.length <= 4000)
+    assert(cc.head == cc.last)
+    assert(!Hull.pointInRing((50.0, 80.0), cc), "notch interior must stay outside")
+    assert(Hull.pointInRing((15.0, 50.0), cc), "left arm interior must stay inside")
+    assert(Hull.pointInRing((50.0, 10.0), cc), "base interior must stay inside")
+    info(f"thin ${cloud.length} -> ${thinned.length} pts, hull ${cc.length} vtx in $ms%.0f ms")
+  }
+
   test("isochrone contours: nested polygons, smaller cutoff inside larger") {
     val gj = spark.sql(
       s"""SELECT travel_time_isochrone_geojson(${GridFixture.latOf(55)},

@@ -57,6 +57,34 @@ class GraphStoreSpec extends AnyFunSuite {
     assert(!t.isNullAt(0) && t.getDouble(0) > 0)
   }
 
+  test("full SQL script sequence: valhalla_build_tiles -> load_config -> route") {
+    // the reference's end-to-end example shape (examples/monaco_end_to_end.sql):
+    // every statement is SQL; builds and loads run driver-side at plan time
+    val dir = Files.createTempDirectory("graft-sql-build")
+    val pbf = dir.resolve("grid.osm.pbf").toString
+    val out = dir.resolve("tiles").toString
+    val nodes = (0 until GridFixture.K * GridFixture.K).map(i =>
+      graft.graph.OsmPbf.OsmNode(1000L + i, GridFixture.latOf(i), GridFixture.lonOf(i)))
+    val ways = GridFixture.edges.zipWithIndex.map { case (e, i) =>
+      (5000L + i,
+        Map("highway" -> e.highway) ++
+          (if (e.oneway) Map("oneway" -> "yes") else Map.empty),
+        Seq(1000L + e.src, 1000L + e.dst))
+    }
+    graft.graph.OsmPbfWriter.write(pbf, nodes, ways.toSeq)
+
+    RoutingContext.unload()
+    RoutingContext.install(spark)
+    val cfg = spark.sql(s"SELECT valhalla_build_tiles('$pbf', '$out') AS cfg")
+      .collect().head.getString(0)
+    assert(cfg.endsWith(GraphStore.ConfigName), s"got $cfg")
+    assert(spark.sql(s"SELECT travel_time_load_config('$out') AS ok")
+      .collect().head.getBoolean(0))
+    val t = spark.sql(
+      "SELECT travel_time(43.7, 7.4, 43.718, 7.418, 'auto') AS t").collect().head
+    assert(!t.isNullAt(0) && t.getDouble(0) > 0)
+  }
+
   test("conf-driven load (SET valhalla_tiles analogue)") {
     val dir = Files.createTempDirectory("graft-graph-conf").toString
     GraphStore.save(Map("auto" -> GridFixture.dataFrames(spark, "auto")), dir)
