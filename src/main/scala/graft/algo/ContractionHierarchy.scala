@@ -227,7 +227,15 @@ object ContractionHierarchy {
     def contractionShortcuts(v: Int, commit: Boolean): Int = {
       val ins = in(v); val outs = out(v)
       if (ins.isEmpty || outs.isEmpty) return 0
-      val settleLimit = if (commit) witnessSettleLimit else prioritySettleLimit
+      // dense contractions (the top separator clique) skip witness pruning:
+      // unpruned shortcuts are redundant, never wrong, and in a near-clique
+      // witnesses rarely prune anyway — paying in-degree × settle × degree
+      // there is what turned lattice builds superlinear (O(k^3) on a k-wide
+      // top separator)
+      val settleLimit =
+        if (!commit) prioritySettleLimit
+        else if (ins.length.toLong * outs.length > 16384) 0
+        else witnessSettleLimit
       var added = 0
       ins.foreach { case (uu, w1) =>
         // one witness search from uu covers every out-target

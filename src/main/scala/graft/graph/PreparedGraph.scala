@@ -43,12 +43,17 @@ final class PreparedGraph(
   /** Build + attach the CH (idempotent). Returns this for chaining.
     *
     * Practical bound: nested-dissection-ordered contraction (see
-    * ContractionHierarchy.dissectionDepth) builds a 10k-node lattice in
-    * ~10 s and scales near-linearly on road-like graphs; the default gate
-    * keeps load-time CH builds to tens of seconds. Beyond the gate, point
-    * queries fall back to bidirectional Dijkstra, which stays exact.
+    * ContractionHierarchy.dissectionDepth) builds a 10k-node LATTICE in
+    * ~11 s and a 40k lattice in ~2 min (lattices are the worst case —
+    * degree 4 everywhere; road networks average ~2.6 and build several
+    * times faster). The default gate keeps silent load-time builds to tens
+    * of seconds; larger graphs route exactly via bidirectional Dijkstra,
+    * or call withCh(higherCap) explicitly. Persisting the built CH next to
+    * the parquet graph cache (the reference persists its prepared
+    * fast_paths graph the same way, rust/src/lib.rs:164-166) is the
+    * planned amortization for repeated loads.
     */
-  def withCh(maxNodes: Int = 50000): PreparedGraph = {
+  def withCh(maxNodes: Int = 25000): PreparedGraph = {
     if (ch == null && numNodes <= maxNodes)
       ch = graft.algo.ContractionHierarchy.build(this)
     this

@@ -37,7 +37,8 @@ object RoutingContext {
     * load, rust/src/lib.rs:260).
     */
   def load(spark: SparkSession, key: String,
-           graphsByMode: Map[String, (DataFrame, DataFrame)]): RouterHandle =
+           graphsByMode: Map[String, (DataFrame, DataFrame)],
+           chFileByMode: Map[String, java.nio.file.Path] = Map.empty): RouterHandle =
     synchronized {
       current match {
         case Some((k, h)) if k == key => h // idempotent per path, like the reference
@@ -45,7 +46,12 @@ object RoutingContext {
           unload()
           val sc = spark.sparkContext
           val bc = graphsByMode.map { case (mode, (nodes, edges)) =>
-            mode -> sc.broadcast(GraphBuilder.prepare(nodes, edges).withCh())
+            val pg = GraphBuilder.prepare(nodes, edges)
+            chFileByMode.get(mode) match {
+              case Some(f) => graft.graph.ChStore.attachOrBuild(pg, f)
+              case None    => pg.withCh()
+            }
+            mode -> sc.broadcast(pg)
           }
           val h = RouterHandle(bc)
           current = Some((key, h))
@@ -55,6 +61,9 @@ object RoutingContext {
 
   /** Load a parquet graph cache: `<dir>/nodes.parquet`, `<dir>/edges.parquet`
     * (cache convention mirroring `<pbf>.<mode>.routing`, rust/src/lib.rs:164-166).
+    * Local cache dirs also persist the prepared CH (`<dir>/<mode>/ch.bin`,
+    * graft.graph.ChStore) so repeated loads skip the contraction build —
+    * the reference persists its prepared fast_paths graph the same way.
     */
   def loadParquet(spark: SparkSession, dir: String, modes: Seq[String] = Seq("auto")): RouterHandle = {
     val byMode = modes.map { m =>
@@ -62,7 +71,16 @@ object RoutingContext {
       val edges = spark.read.parquet(s"$dir/$m/edges.parquet")
       m -> (nodes, edges)
     }.toMap
-    load(spark, dir, byMode)
+    val local = !dir.contains("://") || dir.startsWith("file:")
+    val chFiles =
+      if (!local) Map.empty[String, java.nio.file.Path]
+      else {
+        val base = if (dir.startsWith("file:"))
+          java.nio.file.Paths.get(java.net.URI.create(dir))
+        else java.nio.file.Paths.get(dir)
+        modes.map(m => m -> base.resolve(m).resolve("ch.bin")).toMap
+      }
+    load(spark, dir, byMode, chFiles)
   }
 
   /** `travel_time_load_config` analogue (src/travel_time_extension.cpp:433-466):

@@ -119,6 +119,31 @@ class GraphStoreSpec extends AnyFunSuite {
     assert(d.shortestPathMs(i4, i3) == -1L) // 4 can't reach 3: footway dropped, oneway blocks
   }
 
+  test("CH persists beside the parquet cache and reattaches on reload") {
+    val dir = Files.createTempDirectory("graft-ch-cache").toString
+    GraphStore.save(Map("auto" -> GridFixture.dataFrames(spark, "auto")), dir)
+    RoutingContext.unload()
+    val h1 = RoutingContext.loadConfig(spark, dir)
+    assert(h1.requireGraph("auto").ch != null, "first load builds the CH")
+    val chFile = java.nio.file.Paths.get(dir, "auto", "ch.bin")
+    assert(Files.exists(chFile), "CH cached beside the parquet graph")
+
+    RoutingContext.unload()
+    val h2 = RoutingContext.loadConfig(spark, dir)
+    val g2 = h2.requireGraph("auto")
+    assert(g2.ch != null, "reload attaches the cached CH")
+    // cached hierarchy routes identically to a fresh build
+    val q = new graft.algo.ChQuery(g2.ch)
+    val base = new graft.algo.Dijkstra(g2)
+    (0 until 50).foreach { i =>
+      val s = (i * 7) % g2.numNodes; val t = (i * 13 + 3) % g2.numNodes
+      assert(q.shortestPathMs(s, t) == base.shortestPathMs(s, t))
+    }
+    // stale cache (graph changed) is refused, not mis-attached
+    val other = GridFixture.lattice(12)
+    assert(graft.graph.ChStore.load(chFile, other).isEmpty)
+  }
+
   test("missing config errors with the reference's contract") {
     val e = intercept[IllegalArgumentException] {
       GraphStore.resolveConfig("/nonexistent/path")
