@@ -72,7 +72,7 @@ object Advanced {
 
     QueryDef("s05_stream_join",
       (s, d) => EventStreams.runBounded(s, d, "s05_sink", EventStreams.intervalJoin,
-          outputMode = "append")
+          outputMode = "append", shufflePartitions = Some(8))
         .groupBy(col("p_user").as("user_id"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("user_id")),

@@ -110,7 +110,8 @@ object EventStreams {
     */
   def runBounded(spark: SparkSession, dir: String, name: String,
                  transform: DataFrame => DataFrame,
-                 outputMode: String = "complete"): DataFrame = {
+                 outputMode: String = "complete",
+                 shufflePartitions: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val staticDf = spark.read.parquet(s"$dir/events.parquet")
     // FileStreamSource requires a directory or glob basePath — glob the
@@ -119,13 +120,21 @@ object EventStreams {
       .schema(staticDf.schema)
       .parquet(s"$dir/events.parque[t]")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val q = transform(stream).writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // a stateful query instantiates one state store PER shuffle partition
+    // PER stateful operator; heavily-stateful shapes (stream-stream joins
+    // run four stores per partition) want fewer, larger partitions at
+    // test scale — the conf is fixed at query start, so restore after
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    shufflePartitions.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
+    try {
+      val q = transform(stream).writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.table(name)
   }
 }
