@@ -19,14 +19,16 @@ object Advanced {
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef("s01_stream_hourly",
-      (s, d) => EventStreams.runBounded(s, d, "s01_sink", EventStreams.hourlyAgg)
+      (s, d) => EventStreams.runBounded(s, d, "s01_sink", EventStreams.hourlyAgg,
+          shufflePartitions = Some(8))
         .orderBy(col("hour_ts"), col("event_type")),
       Some("""SELECT date_trunc('hour', ts) AS hour_ts, event_type,
              |count(*) AS n, round(sum(value), 4) AS total_value
              |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin)),
 
     QueryDef("s02_stream_sessions",
-      (s, d) => EventStreams.runBounded(s, d, "s02_sink", EventStreams.sessionAgg)
+      (s, d) => EventStreams.runBounded(s, d, "s02_sink", EventStreams.sessionAgg,
+          shufflePartitions = Some(8))
         .orderBy(col("user_id"), col("session_start")),
       Some("""WITH marked AS (
              |  SELECT user_id, ts, value,
@@ -46,7 +48,7 @@ object Advanced {
 
     QueryDef("s03_stream_dedup",
       (s, d) => EventStreams.runBounded(s, d, "s03_sink", EventStreams.dedup,
-          outputMode = "append")
+          outputMode = "append", shufflePartitions = Some(8))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_unique"))
         .orderBy(col("event_type")),
@@ -59,7 +61,8 @@ object Advanced {
         // user (max n_events row) must equal the batch group-by — exact
         // oracle regardless of micro-batch splits
         val sink = EventStreams.runBounded(s, d, "s04_sink",
-          EventStreams.runningUserTotals, outputMode = "append")
+          EventStreams.runningUserTotals, outputMode = "append",
+          shufflePartitions = Some(8))
         sink.groupBy(col("user_id"))
           .agg(max(struct(col("n_events"), col("total_value"))).as("fin"))
           .select(col("user_id"), col("fin.n_events").as("n_events"),
