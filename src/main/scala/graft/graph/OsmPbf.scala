@@ -136,6 +136,12 @@ object OsmPbf {
   def frame(path: String): Seq[RawBlob] =
     frame(new org.apache.hadoop.conf.Configuration(), path)
 
+  /** Standalone Blob bytes → decompressed payload (the DSv2 reader's
+    * executor-side entry, graft.sources.OsmPbfSource).
+    */
+  def parseBlobPayload(blob: Array[Byte]): Array[Byte] =
+    parseBlob("OSMData", blob).payload
+
   /** Blob message: raw (1) | raw_size (2) + zlib_data (3) — fields split
     * out, payload left compressed.
     */

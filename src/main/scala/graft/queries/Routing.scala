@@ -191,6 +191,32 @@ object Routing {
                |  travel_time_request('height', '{"shape": $shape, "range": true}') AS hr)""".stripMargin)
       }, None),
 
+    QueryDef("r19_pbf_source",
+      (s, _) => {
+        import s.implicits._
+        // DataSource V2 read path: driver plans blob OFFSETS only,
+        // executors seek + inflate + decode their own byte ranges
+        // (graft.sources.OsmPbfSource)
+        val dir = java.nio.file.Files.createTempDirectory("graft-dsv2")
+        val path = dir.resolve("grid.osm.pbf").toString
+        val nodes = (0 until GridFixture.K * GridFixture.K).map(i =>
+          graft.graph.OsmPbf.OsmNode(1000L + i, GridFixture.latOf(i), GridFixture.lonOf(i)))
+        val ways = GridFixture.edges.zipWithIndex.map { case (e, i) =>
+          (5000L + i,
+            Map("highway" -> e.highway) ++
+              (if (e.oneway) Map("oneway" -> "yes") else Map.empty),
+            Seq(1000L + e.src, 1000L + e.dst))
+        }
+        graft.graph.OsmPbfWriter.write(path, nodes, ways.toSeq)
+        val dsNodes = s.read.format(graft.sources.OsmPbfSource.Format)
+          .option("kind", "nodes").load(path)
+        val dsWays = s.read.format(graft.sources.OsmPbfSource.Format)
+          .option("kind", "ways").load(path)
+        val edges = graft.graph.GraphBuilder.buildEdges(s, dsWays, dsNodes, "auto")
+        Seq((dsNodes.count(), dsWays.count(), edges.count()))
+          .toDF("n_nodes", "n_ways", "n_edges")
+      }, None),
+
     QueryDef("r13_optimized_route",
       (s, _) => {
         ensure(s)

@@ -68,6 +68,35 @@ class OsmPbfSpec extends AnyFunSuite {
     assert(h2.requireGraph("auto").numNodes == 100)
   }
 
+  test("DataSource V2: spark.read.format(osmpbf) matches the RDD decode path") {
+    val (nodes, ways) = gridAsOsm
+    val dir = Files.createTempDirectory("pbf-dsv2")
+    val path = dir.resolve("grid.osm.pbf").toString
+    OsmPbfWriter.write(path, nodes, ways)
+
+    val dsNodes = spark.read.format(graft.sources.OsmPbfSource.Format)
+      .option("kind", "nodes").load(path)
+    assert(dsNodes.schema.fieldNames.toSeq == Seq("id", "lat", "lon"))
+    assert(dsNodes.count() == nodes.length)
+    val n37 = dsNodes.filter(org.apache.spark.sql.functions.col("id") === 1037L)
+      .collect().head
+    assert(math.abs(n37.getDouble(1) - GridFixture.latOf(37)) < 1e-7)
+
+    val dsWays = spark.read.format(graft.sources.OsmPbfSource.Format)
+      .option("kind", "ways").load(path)
+    assert(dsWays.count() == ways.length)
+    val w0 = dsWays.filter(org.apache.spark.sql.functions.col("way_id") === 5000L)
+      .collect().head
+    assert(w0.getAs[scala.collection.Seq[Long]]("node_ids") == ways.head._3)
+    assert(dsWays.filter(org.apache.spark.sql.functions.col("oneway")).count() ==
+      ways.count(_._2.contains("oneway")))
+
+    // column pruning + pushdown-compatible: the DSv2 read slots into the
+    // same ETL the RDD path feeds
+    val edges = graft.graph.GraphBuilder.buildEdges(spark, dsWays, dsNodes, "auto")
+    assert(edges.count() > 0)
+  }
+
   test("remote PBF ingest over HTTP: frame via Hadoop FS, decode, build, route") {
     val (nodes, ways) = gridAsOsm
     val dir = Files.createTempDirectory("pbf-http")
