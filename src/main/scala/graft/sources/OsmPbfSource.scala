@@ -128,14 +128,34 @@ final case class OsmPbfPartition(path: String, kind: String,
                                  offsets: Array[Long], lengths: Array[Int])
     extends InputPartition
 
+/** Java-serializable Hadoop-conf carrier (Configuration is Writable but not
+  * Serializable): ships the SESSION conf to executor readers so remote
+  * filesystems keep their credentials/settings (s3a keys, endpoints).
+  */
+final class SerializableHadoopConf(
+    @transient private var conf: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  def value: org.apache.hadoop.conf.Configuration = conf
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(new java.io.DataOutputStream(out))
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.readFields(new java.io.DataInputStream(in))
+  }
+}
+
 final class OsmPbfScan(path: String, kind: String) extends Scan with Batch {
   override def readSchema(): StructType = OsmPbfSource.schemaFor(kind)
   override def toBatch: Batch = this
 
+  private val conf = new SerializableHadoopConf(
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = org.apache.spark.sql.SparkSession.active
-      .sparkContext.hadoopConfiguration
-    val blobs = OsmPbfSource.frameOffsets(conf, path)
+    val blobs = OsmPbfSource.frameOffsets(conf.value, path)
     // ~64 MB of compressed payload per partition, at least one blob each
     val target = 64L << 20
     val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
@@ -156,20 +176,20 @@ final class OsmPbfScan(path: String, kind: String) extends Scan with Batch {
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new OsmPbfReaderFactory()
+    new OsmPbfReaderFactory(conf)
 }
 
-final class OsmPbfReaderFactory extends PartitionReaderFactory {
+final class OsmPbfReaderFactory(conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new OsmPbfPartitionReader(partition.asInstanceOf[OsmPbfPartition])
+    new OsmPbfPartitionReader(partition.asInstanceOf[OsmPbfPartition], conf)
 }
 
-final class OsmPbfPartitionReader(part: OsmPbfPartition)
+final class OsmPbfPartitionReader(part: OsmPbfPartition, conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
   // executor-side: open the file, seek to OUR blobs, inflate + decode here
-  private val conf = new org.apache.hadoop.conf.Configuration()
   private val hPath = new org.apache.hadoop.fs.Path(part.path)
-  private val in = hPath.getFileSystem(conf).open(hPath)
+  private val in = hPath.getFileSystem(conf.value).open(hPath)
   private var blobIdx = 0
   private var rows: Iterator[InternalRow] = Iterator.empty
 
