@@ -24,13 +24,39 @@ import org.apache.spark.sql.SparkSessionExtensions
   *    RoutingContext.install/loadConfig.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  private def arity(name: String, n: Int)(f: Seq[Expression] => Expression)
+      : Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != n) throw new IllegalArgumentException(
+        s"$name expects $n arguments, got ${exprs.length}")
+      f(exprs)
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.CosineSim].getName, "cosine_sim"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.CosineSim(exprs(0), exprs(1))))
+      arity("cosine_sim", 2)(exprs => graft.functions.CosineSim(exprs(0), exprs(1)))))
+    // analysis-time placeholders so the driver-side calls resolve BEFORE
+    // any routing load registered the UDF surface — the zero-code contract:
+    // the optimizer rule executes them at plan time
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("travel_time_load_config"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[routing.RoutingFunctions.DriverSideCall].getName, "travel_time_load_config"),
+      arity("travel_time_load_config", 1)(exprs =>
+        routing.RoutingFunctions.DriverSideCall("travel_time_load_config", exprs,
+          org.apache.spark.sql.types.BooleanType))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("valhalla_build_tiles"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[routing.RoutingFunctions.DriverSideCall].getName, "valhalla_build_tiles"),
+      arity("valhalla_build_tiles", 2)(exprs =>
+        routing.RoutingFunctions.DriverSideCall("valhalla_build_tiles", exprs,
+          org.apache.spark.sql.types.StringType))))
     ext.injectOptimizerRule(spark => new routing.RoutingFunctions.LoadConfigRule(spark))
   }
 }

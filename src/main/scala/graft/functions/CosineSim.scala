@@ -90,7 +90,11 @@ object CosineSim {
   /** Register `cosine_sim(a, b)` as a session SQL function. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+      "cosine_sim", exprs => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"cosine_sim expects 2 arguments, got ${exprs.length}")
+        CosineSim(exprs(0), exprs(1))
+      }, "built-in")
 
   /** Column-level entry point: registers on first use in the session, then
     * resolves through the function registry (the public route to a custom

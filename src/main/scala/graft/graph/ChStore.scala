@@ -84,7 +84,15 @@ object ChStore {
         case Some(ch) => g.ch = ch
         case None =>
           g.withCh()
-          if (g.ch != null) save(file, g, g.ch)
+          if (g.ch != null) {
+            // persistence is an optimization: an unwritable cache dir
+            // (read-only mount) must not fail a load that already has its CH
+            try save(file, g, g.ch)
+            catch {
+              case e: java.io.IOException =>
+                System.err.println(s"[graft] CH cache write skipped ($file): ${e.getMessage}")
+            }
+          }
       }
     }
     g

@@ -78,8 +78,13 @@ object GraphBuilder {
     import spark.implicits._
     val endpoints = edges.select($"src".as("id"), $"highway")
       .unionByName(edges.select($"dst".as("id"), $"highway"))
+    // coalesce: isin(NULL) is NULL, not false — a node whose every incident
+    // edge lacks a highway tag must classify non-main, not NULL (prepare()
+    // reads the flag as a primitive boolean)
     val flags = endpoints
-      .groupBy($"id").agg(max($"highway".isin(SpeedModel.MainRoads: _*)).as("main_road"))
+      .groupBy($"id")
+      .agg(max(coalesce($"highway".isin(SpeedModel.MainRoads: _*), lit(false)))
+        .as("main_road"))
     flags.join(rawNodes, "id").select($"id", $"lat", $"lon", $"main_road")
   }
 

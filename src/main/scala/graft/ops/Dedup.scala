@@ -108,7 +108,13 @@ object Dedup {
 
   /** The verify half of [[lshJaccard]], taking candidate pairs explicitly so
     * a pipeline that already materialized candidates (e.g. the p04 stage)
-    * reuses them instead of recomputing the MinHash pipeline.
+    * reuses them instead of recomputing the MinHash pipeline. `cands` needs
+    * (a, b) columns; an `n_bands` column is carried through when present.
+    *
+    * Cache lifecycle: the shingle subtree persists MEMORY_AND_DISK for the
+    * session (shared across repeated calls by Spark's CacheManager);
+    * long-lived sessions moving to a NEW corpus should
+    * `spark.catalog.clearCache()` between corpora.
     */
   def jaccardVerify(df: DataFrame, cands: DataFrame, idCol: String, textCol: String,
                     q: Int = 5, threshold: Double = 0.0): DataFrame = {
@@ -125,13 +131,16 @@ object Dedup {
           s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")).as("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
+    val carried =
+      if (cands.columns.contains("n_bands")) Seq(col("a"), col("b"), col("n_bands"))
+      else Seq(col("a"), col("b"))
     cands
       .join(sh.select(col("doc").as("a"), col("shingles").as("sha")), "a")
       .join(sh.select(col("doc").as("b"), col("shingles").as("shb")), "b")
       .withColumn("jaccard", round(
         inter / (size(col("sha")) + size(col("shb")) - inter), 4))
       .filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), col("n_bands"), col("jaccard"))
+      .select(carried :+ col("jaccard"): _*)
   }
 
   /** Exact all-pairs n-gram Jaccard: |A∩B| / |A∪B| over distinct q-gram

@@ -166,6 +166,10 @@ object RoutingContext {
   def unload(): Unit = synchronized {
     current.foreach(_._2.graphs.values.foreach(_.unpersist(blocking = false)))
     current = None
+    // the elevation provider belongs to the loaded generation: clearing it
+    // here keeps a stale synthetic surface from answering later height
+    // requests (post-unload behavior = reference without elevation tiles)
+    elevationFn = None
   }
 
   /** Optional elevation sampler for the `height` request action

@@ -38,30 +38,59 @@ object RoutingFunctions {
     * build-then-load-then-query script sequence works statement by
     * statement. Non-literal arguments fall through to the registered UDFs.
     */
+  /** Analysis-time placeholder for the driver-side calls when only the
+    * session extension is installed (no UDF registration yet): resolves so
+    * the plan analyzes, then [[LoadConfigRule]] replaces it. Evaluation
+    * reaching an executor means the arguments were non-literal — error out
+    * rather than silently no-op.
+    */
+  final case class DriverSideCall(name: String,
+                                  children: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+                                  resultType: org.apache.spark.sql.types.DataType)
+      extends org.apache.spark.sql.catalyst.expressions.Expression
+      with org.apache.spark.sql.catalyst.expressions.Unevaluable {
+    override def dataType: org.apache.spark.sql.types.DataType = resultType
+    override def nullable: Boolean = false
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+      copy(children = newChildren)
+  }
+
   final class LoadConfigRule(spark: SparkSession)
       extends org.apache.spark.sql.catalyst.rules.Rule[
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
-    import org.apache.spark.sql.catalyst.expressions.{Literal, ScalaUDF}
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, ScalaUDF}
     import org.apache.spark.sql.types.{BooleanType, StringType}
+
+    private def loadConfig(args: Seq[Expression], orig: Expression): Expression =
+      args match {
+        case Seq(Literal(path, StringType)) if path != null =>
+          RoutingContext.loadConfig(spark, path.toString)
+          Literal(true, BooleanType)
+        case _ => orig
+      }
+
+    private def buildTiles(args: Seq[Expression], orig: Expression): Expression =
+      args match {
+        case Seq(Literal(pbf, StringType), Literal(out, StringType))
+            if pbf != null && out != null =>
+          val cfg = graft.graph.GraphStore.buildGraphFromPbf(
+            spark, pbf.toString, out.toString)
+          Literal(org.apache.spark.unsafe.types.UTF8String.fromString(cfg), StringType)
+        case _ => orig
+      }
+
     override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
         : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
       plan.transformAllExpressions {
         case u: ScalaUDF if u.udfName.contains("travel_time_load_config") =>
-          u.children match {
-            case Seq(Literal(path, StringType)) if path != null =>
-              RoutingContext.loadConfig(spark, path.toString)
-              Literal(true, BooleanType)
-            case _ => u
-          }
+          loadConfig(u.children, u)
         case u: ScalaUDF if u.udfName.contains("valhalla_build_tiles") =>
-          u.children match {
-            case Seq(Literal(pbf, StringType), Literal(out, StringType))
-                if pbf != null && out != null =>
-              val cfg = graft.graph.GraphStore.buildGraphFromPbf(
-                spark, pbf.toString, out.toString)
-              Literal(org.apache.spark.unsafe.types.UTF8String.fromString(cfg), StringType)
-            case _ => u
-          }
+          buildTiles(u.children, u)
+        case d @ DriverSideCall("travel_time_load_config", args, _) =>
+          loadConfig(args, d)
+        case d @ DriverSideCall("valhalla_build_tiles", args, _) =>
+          buildTiles(args, d)
       }
   }
 

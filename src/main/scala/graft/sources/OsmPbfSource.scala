@@ -100,7 +100,15 @@ object OsmPbfSource {
           }
           val blobStart = pos + 4 + headerLen
           if (blobType == "OSMData") out += ((blobStart, dataSize))
-          in.skipBytes(dataSize)
+          // skipBytes is best-effort (remote streams may return 0 mid-file);
+          // loop, falling back to single-byte reads, and fail loudly on a
+          // truncated file instead of desynchronizing every later offset
+          var toSkip = dataSize
+          while (toSkip > 0) {
+            val s = in.skipBytes(toSkip)
+            if (s > 0) toSkip -= s
+            else { in.readByte(); toSkip -= 1 } // throws EOFException if truncated
+          }
           pos = blobStart + dataSize
         }
       }
@@ -154,8 +162,12 @@ final class OsmPbfScan(path: String, kind: String) extends Scan with Batch {
   private val conf = new SerializableHadoopConf(
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
 
+  // framed once per Scan: re-planning (multiple actions, AQE) must not
+  // re-run the sequential driver pass over a possibly-remote file
+  private lazy val framed = OsmPbfSource.frameOffsets(conf.value, path)
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val blobs = OsmPbfSource.frameOffsets(conf.value, path)
+    val blobs = framed
     // ~64 MB of compressed payload per partition, at least one blob each
     val target = 64L << 20
     val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]

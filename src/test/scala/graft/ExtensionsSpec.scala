@@ -27,16 +27,20 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect().head.getDouble(0)
       assert(math.abs(c - 1.0) < 1e-12)
 
-      // first-statement SQL load through the injected optimizer rule —
-      // note: travel_time_load_config here resolves via RoutingContext
-      // .install's UDF surface
+      // zero-code contract: NO install/register call — the injected
+      // placeholder function resolves the name at analysis, the injected
+      // optimizer rule performs the load at plan time
       val dir = java.nio.file.Files.createTempDirectory("graft-ext").toString
       GraphStore.save(Map("auto" -> GridFixture.dataFrames(s2, "auto")), dir)
       RoutingContext.unload()
-      RoutingContext.install(s2)
       val ok = s2.sql(s"SELECT travel_time_load_config('$dir') AS ok")
         .collect().head.getBoolean(0)
       assert(ok && RoutingContext.isLoaded)
+      // and the load registered the full travel_time* surface as a side
+      // effect, so the next statement routes
+      val t = s2.sql("SELECT travel_time(43.7, 7.4, 43.718, 7.418, 'auto') AS t")
+        .collect().head
+      assert(!t.isNullAt(0) && t.getDouble(0) > 0)
     } finally {
       prev.foreach { p => SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p) }
       RoutingContext.unload()
