@@ -8,10 +8,14 @@ import scala.collection.mutable.ArrayBuffer
   * (`fast_paths::prepare` / `calc_path`, rust/src/lib.rs:260,421-424),
   * reimplemented natively:
   *
-  *  - **prepare** (driver-side, before broadcast): contract nodes in
-  *    importance order (edge-difference + deleted-neighbors heuristic, lazy
-  *    heap); for every (in u, out x) pair through the contracted node add a
-  *    shortcut u→x unless a bounded witness search finds a shorter detour.
+  *  - **prepare** (driver-side, before broadcast): geometric nested
+  *    dissection decomposes the node cloud into a region tree; region
+  *    interiors contract before their separators (the Customizable-CH
+  *    ordering discipline), sibling regions contract in fork-join PARALLEL
+  *    (their interiors are vertex-disjoint and non-adjacent, see
+  *    [[ContractionHierarchy.dissect]]). For every (in u, out x) pair
+  *    through a contracted node a shortcut u→x is added unless a bounded
+  *    witness search finds a shorter detour.
   *  - **query** (executor-side, per-thread scratch): bidirectional Dijkstra
   *    that only relaxes edges toward higher-ranked nodes; the best meeting
   *    node gives the exact shortest distance.
@@ -34,309 +38,470 @@ final class ChGraph(
 
 object ContractionHierarchy {
 
-  /** Geometric nested-dissection depth per node: recursively bisect the
-    * node cloud at the median of the wider coordinate axis; nodes with a
-    * graph edge crossing the cut form the (approximate) separator and keep
-    * the current recursion depth, halves recurse one level deeper.
-    *
-    * Separators are contracted LAST (depth 0 = top separator = most
-    * important). Pure edge-difference ordering cascades on grid-like cores —
-    * every contraction raises its neighbours' degree until shortcut counts
-    * explode quadratically; dissection ordering bounds shortcut growth at
-    * O(n log n) on planar-ish road networks (the classical nested-dissection
-    * result), which is what makes >5k-node lattices buildable in seconds.
-    * Road graphs are geometrically planar-ish, so the coordinate bisection
-    * is a good separator proxy with none of the graph-partitioning cost.
+  /** Mutable neighbor buffer, min-merged ON INSERT: at most one entry per
+    * live neighbor, holding the cheapest weight seen. Small buffers are
+    * parallel int arrays with linear-probe lookup; past [[NB.Spill]] live
+    * entries the buffer spills to a hash map. The spill is what keeps dense
+    * separator-clique contraction at O(k^3): with linear probes each of the
+    * O(k^2) shortcut inserts scans an O(k) buffer — O(k^4) total, and the
+    * measured reason 40k-node lattice builds took minutes.
     */
-  private[algo] def dissectionDepth(g: PreparedGraph): Array[Int] = {
+  private[algo] final class NB {
+    private var ts: Array[Int] = null
+    private var ws: Array[Int] = null
+    private var len = 0
+    private var map: java.util.HashMap[Integer, Integer] = null
+
+    def size: Int = if (map != null) map.size else len
+    def isEmpty: Boolean = size == 0
+
+    def addMin(t: Int, w: Int): Unit = {
+      if (map != null) {
+        val old = map.get(t)
+        if (old == null || w < old.intValue) map.put(t, w)
+      } else {
+        var i = 0
+        while (i < len) {
+          if (ts(i) == t) { if (w < ws(i)) ws(i) = w; return }
+          i += 1
+        }
+        if (ts == null) { ts = new Array[Int](4); ws = new Array[Int](4) }
+        else if (len == ts.length) {
+          if (len >= NB.Spill) {
+            map = new java.util.HashMap[Integer, Integer](len * 2)
+            i = 0
+            while (i < len) { map.put(ts(i), ws(i)); i += 1 }
+            ts = null; ws = null
+            map.put(t, w)
+            return
+          }
+          val nts = new Array[Int](len * 2); val nws = new Array[Int](len * 2)
+          System.arraycopy(ts, 0, nts, 0, len); System.arraycopy(ws, 0, nws, 0, len)
+          ts = nts; ws = nws
+        }
+        ts(len) = t; ws(len) = w; len += 1
+      }
+    }
+
+    def remove(t: Int): Unit = {
+      if (map != null) { map.remove(t); () }
+      else {
+        var i = 0
+        while (i < len) {
+          if (ts(i) == t) { len -= 1; ts(i) = ts(len); ws(i) = ws(len); return }
+          i += 1
+        }
+      }
+    }
+
+    def foreach(f: (Int, Int) => Unit): Unit = {
+      if (map != null) {
+        val it = map.entrySet().iterator()
+        while (it.hasNext) { val e = it.next(); f(e.getKey.intValue, e.getValue.intValue) }
+      } else {
+        var i = 0
+        while (i < len) { f(ts(i), ws(i)); i += 1 }
+      }
+    }
+
+    /** Compacted copy — the only safe way to read a buffer owned by another
+      * region (taken under the node's stripe lock).
+      */
+    def toArrays: (Array[Int], Array[Int]) = {
+      val m = size
+      val a = new Array[Int](m); val b = new Array[Int](m)
+      var i = 0
+      foreach { (t, w) => a(i) = t; b(i) = w; i += 1 }
+      (a, b)
+    }
+  }
+  private[algo] object NB { final val Spill = 64 }
+
+  /** Region of the nested-dissection tree: nodes at idx positions [s, e),
+    * laid out [left-child | right-child | separator], separator at
+    * [sepStart, e). Children null for leaves (whole range is "separator").
+    */
+  private[algo] final case class Region(s: Int, e: Int, sepStart: Int,
+                                        left: Region, right: Region)
+
+  /** Geometric nested dissection: recursively bisect the node cloud at the
+    * median of the wider coordinate axis; LEFT-half nodes with a
+    * region-internal edge (either direction) into the right half form the
+    * (one-sided) separator. Removing them cuts every crossing edge, and a
+    * one-sided separator is half as thick as taking both endpoints.
+    *
+    * Separators contract LAST (the classical nested-dissection ordering) —
+    * pure edge-difference ordering cascades on grid-like cores, exploding
+    * shortcut counts quadratically; dissection bounds shortcut growth at
+    * O(n log n) on planar-ish road networks.
+    *
+    * The one-sided rule also gives the parallel-safety invariant: every
+    * edge between the two halves has its left endpoint pulled into the
+    * separator, so after the split NO edge connects left-interior to
+    * right-interior — sibling subtrees are vertex-disjoint AND non-adjacent,
+    * and can contract concurrently touching only their own nodes plus
+    * ancestor separators.
+    */
+  private[algo] def dissect(g: PreparedGraph): (Array[Int], Region) = {
     val n = g.numNodes
-    val depth = new Array[Int](n)
     val idx = Array.tabulate(n)(identity)
     val regionStamp = new Array[Int](n) // generation stamp: node in current region
     val rightStamp = new Array[Int](n)  // generation stamp: node in right half
     var gen = 0
     val leafSize = 32
-    var stack = List((0, n, 0))
     val left = new ArrayBuffer[Int](); val right = new ArrayBuffer[Int]()
     val sep = new ArrayBuffer[Int]()
-    while (stack.nonEmpty) {
-      val (s, e, level) = stack.head; stack = stack.tail
+
+    def rec(s: Int, e: Int): Region = {
       val len = e - s
-      if (len <= leafSize) {
-        var i = s; while (i < e) { depth(idx(i)) = level; i += 1 }
-      } else {
-        // wider bbox axis decides the cut direction
-        var minLat = Double.MaxValue; var maxLat = -Double.MaxValue
-        var minLon = Double.MaxValue; var maxLon = -Double.MaxValue
-        var i = s
-        while (i < e) {
-          val v = idx(i)
-          if (g.nodeLat(v) < minLat) minLat = g.nodeLat(v)
-          if (g.nodeLat(v) > maxLat) maxLat = g.nodeLat(v)
-          if (g.nodeLon(v) < minLon) minLon = g.nodeLon(v)
-          if (g.nodeLon(v) > maxLon) maxLon = g.nodeLon(v)
-          i += 1
-        }
-        val byLat = (maxLat - minLat) >= (maxLon - minLon)
-        val slice = idx.slice(s, e)
-          .sortBy(v => if (byLat) g.nodeLat(v) else g.nodeLon(v))
-        val mid = len / 2
-        gen += 1
-        i = 0
-        while (i < len) {
-          regionStamp(slice(i)) = gen
-          if (i >= mid) rightStamp(slice(i)) = gen
-          i += 1
-        }
-        // one-sided separator: LEFT-half nodes with a region-internal edge
-        // (either direction) into the right half. Removing them cuts every
-        // crossing edge, and a one-sided separator is half as thick as
-        // taking both endpoints — separator size directly drives the
-        // shortcut clique each level leaves behind.
-        def crosses(v: Int): Boolean = {
-          var k = g.offsets(v)
-          while (k < g.offsets(v + 1)) {
-            val t = g.targets(k)
-            if (regionStamp(t) == gen && rightStamp(t) == gen) return true
-            k += 1
-          }
-          k = g.rOffsets(v)
-          while (k < g.rOffsets(v + 1)) {
-            val t = g.rTargets(k)
-            if (regionStamp(t) == gen && rightStamp(t) == gen) return true
-            k += 1
-          }
-          false
-        }
-        left.clear(); right.clear(); sep.clear()
-        i = 0
-        while (i < len) {
-          val v = slice(i)
-          if (i < mid && crosses(v)) sep += v
-          else if (i < mid) left += v
-          else right += v
-          i += 1
-        }
-        // write back: [left | right | separator]; separator keeps this level
-        var p = s
-        left.foreach { v => idx(p) = v; p += 1 }
-        val leftEnd = p
-        right.foreach { v => idx(p) = v; p += 1 }
-        val rightEnd = p
-        sep.foreach { v => idx(p) = v; depth(v) = level; p += 1 }
-        if (leftEnd > s) stack = (s, leftEnd, level + 1) :: stack
-        if (rightEnd > leftEnd) stack = (leftEnd, rightEnd, level + 1) :: stack
+      if (len <= leafSize) return Region(s, e, s, null, null)
+      // wider bbox axis decides the cut direction
+      var minLat = Double.MaxValue; var maxLat = -Double.MaxValue
+      var minLon = Double.MaxValue; var maxLon = -Double.MaxValue
+      var i = s
+      while (i < e) {
+        val v = idx(i)
+        if (g.nodeLat(v) < minLat) minLat = g.nodeLat(v)
+        if (g.nodeLat(v) > maxLat) maxLat = g.nodeLat(v)
+        if (g.nodeLon(v) < minLon) minLon = g.nodeLon(v)
+        if (g.nodeLon(v) > maxLon) maxLon = g.nodeLon(v)
+        i += 1
       }
+      val byLat = (maxLat - minLat) >= (maxLon - minLon)
+      val slice = idx.slice(s, e)
+        .sortBy(v => if (byLat) g.nodeLat(v) else g.nodeLon(v))
+      val mid = len / 2
+      gen += 1
+      i = 0
+      while (i < len) {
+        regionStamp(slice(i)) = gen
+        if (i >= mid) rightStamp(slice(i)) = gen
+        i += 1
+      }
+      val myGen = gen // recursion below reuses the stamp arrays
+      def crosses(v: Int): Boolean = {
+        var k = g.offsets(v)
+        while (k < g.offsets(v + 1)) {
+          val t = g.targets(k)
+          if (regionStamp(t) == myGen && rightStamp(t) == myGen) return true
+          k += 1
+        }
+        k = g.rOffsets(v)
+        while (k < g.rOffsets(v + 1)) {
+          val t = g.rTargets(k)
+          if (regionStamp(t) == myGen && rightStamp(t) == myGen) return true
+          k += 1
+        }
+        false
+      }
+      left.clear(); right.clear(); sep.clear()
+      i = 0
+      while (i < len) {
+        val v = slice(i)
+        if (i < mid && crosses(v)) sep += v
+        else if (i < mid) left += v
+        else right += v
+        i += 1
+      }
+      // write back: [left | right | separator]
+      var p = s
+      left.foreach { v => idx(p) = v; p += 1 }
+      val leftEnd = p
+      right.foreach { v => idx(p) = v; p += 1 }
+      val rightEnd = p
+      sep.foreach { v => idx(p) = v; p += 1 }
+      val l = if (leftEnd > s) rec(s, leftEnd) else null
+      val r = if (rightEnd > leftEnd) rec(leftEnd, rightEnd) else null
+      Region(s, e, rightEnd, l, r)
     }
-    depth
+    (idx, rec(0, n))
   }
 
   /** Build a CH over the prepared graph. `witnessSettleLimit` bounds each
     * witness search (correctness is kept: an aborted witness search just adds
-    * a redundant — never wrong — shortcut); `prioritySettleLimit` is the
-    * cheaper bound used for the node-ordering estimates, where precision only
-    * shapes the order, never correctness.
+    * a redundant — never wrong — shortcut). Ordering is witness-free
+    * (dissection structure + degree tie-break), so there is no priority-side
+    * settle budget. `parallelism` caps the fork-join pool; 0 = all cores.
+    *
+    * Parallel-safety argument (audited invariants):
+    *  - A region task runs only while its children have joined and its
+    *    ancestors wait — so it EXCLUSIVELY owns its idx range [s, e): no
+    *    other live task reads or writes buffers, `contracted`, or heap state
+    *    of nodes in that range.
+    *  - Concurrent tasks are range-disjoint siblings/cousins; dissection
+    *    guarantees no edge ever connects their interiors, so shortcuts and
+    *    witness paths never couple them except through common ANCESTOR
+    *    separators — whose buffers are only touched under per-node stripe
+    *    locks (addMin / remove / snapshot-read).
+    *  - Witness searches relax into any live node but EXPAND only nodes the
+    *    task owns; a search seeded from an ancestor separator reads that
+    *    one buffer as a locked snapshot. Restricting expansion (or missing
+    *    a concurrent sibling's shortcut) can only fail to find a witness —
+    *    adding a redundant, never wrong, shortcut.
+    *  - `rank` is the atomic contraction-commit order. Concurrently
+    *    contracted nodes are never adjacent (and never become adjacent: a
+    *    shortcut endpoint is a live neighbor, always own-region or
+    *    ancestor), so their relative rank cannot affect any query; every
+    *    adjacent pair is ordered by the region tree's sequential spine.
     */
   def build(g: PreparedGraph, witnessSettleLimit: Int = 800,
-            prioritySettleLimit: Int = 25): ChGraph = {
+            parallelism: Int = 0): ChGraph = {
     val n = g.numNodes
-    // mutable adjacency, min-merged ON INSERT: buffers hold at most one
-    // entry per live neighbor. Blind appends (round 1) let parallel
-    // shortcuts accumulate — on dense late-contraction cores every witness
-    // settle then scans thousands of duplicate entries, which is what blew
-    // a 10k-node lattice build to ~6 minutes.
-    val out = Array.fill(n)(new ArrayBuffer[(Int, Int)]()) // (target, w)
-    val in = Array.fill(n)(new ArrayBuffer[(Int, Int)]())  // (source, w)
-    def addMin(buf: ArrayBuffer[(Int, Int)], t: Int, w: Int): Unit = {
-      var i = 0
-      while (i < buf.length) {
-        if (buf(i)._1 == t) { if (w < buf(i)._2) buf(i) = ((t, w)); return }
-        i += 1
-      }
-      buf += ((t, w))
-    }
+    // PQ entries are (dist << 24 | node) packed into one Long — no
+    // allocation per push. 24 node bits (16M nodes) leave 39 distance bits;
+    // witness distances are sums of two Int edge weights (< 2^33), far under
+    // the 2^39 cap, and the cap is enforced below so a corrupt weight can
+    // never overflow into the node bits.
+    require(n < (1 << 24), s"CH build supports < 16M nodes per packed-PQ entry; got $n")
+    val maxPackedDist = (1L << 39) - 1
+
+    val (idx, root) = dissect(g)
+    val pos = new Array[Int](n)
+    var i = 0
+    while (i < n) { pos(idx(i)) = i; i += 1 }
+
+    val out = new Array[NB](n); val in = new Array[NB](n)
+    i = 0
+    while (i < n) { out(i) = new NB; in(i) = new NB; i += 1 }
     var u = 0
     while (u < n) {
       var e = g.offsets(u)
       while (e < g.offsets(u + 1)) {
         val v = g.targets(e); val w = g.weightsMs(e)
-        if (v != u) { addMin(out(u), v, w); addMin(in(v), u, w) }
+        if (v != u) { out(u).addMin(v, w); in(v).addMin(u, w) }
         e += 1
       }
       u += 1
     }
 
     val contracted = new Array[Boolean](n)
-    val deletedNeighbors = new Array[Int](n)
+    val deletedNeighbors = new java.util.concurrent.atomic.AtomicIntegerArray(n)
     val rank = new Array[Int](n)
+    val orderCtr = new java.util.concurrent.atomic.AtomicInteger(0)
+    // stripe locks guard buffers of nodes OUTSIDE the mutating task's range
+    // (ancestor separators). One lock held at a time — no deadlock.
+    val locks: Array[Object] = Array.fill(256)(new Object)
+    @inline def lockOf(v: Int): Object = locks(v & 255)
 
-    // per-build witness-search scratch; PQ entries are (dist << 24 | node)
-    // packed into one Long — no allocation per push. 24 node bits (16M
-    // nodes) leave 39 distance bits; witness distances are sums of two Int
-    // edge weights (< 2^33), far under the 2^39 cap, and the cap is enforced
-    // below so a corrupt weight can never overflow into the node bits.
-    require(n < (1 << 24), s"CH build supports < 16M nodes per packed-PQ entry; got $n")
-    val maxPackedDist = (1L << 39) - 1
-    val wDist = new Array[Long](n)
-    val wStamp = new Array[Int](n)
-    var wGen = 0
-    val wPq = new PriorityQueue[java.lang.Long]()
+    // per-THREAD witness scratch (fork-join reuses threads across tasks)
+    final class Scratch {
+      val wDist = new Array[Long](n)
+      val wStamp = new Array[Int](n)
+      var wGen = 0
+      val wPq = new PriorityQueue[java.lang.Long]()
+    }
+    val scratchTl: ThreadLocal[Scratch] =
+      ThreadLocal.withInitial(() => new Scratch)
 
-    /** shortest u->x distance avoiding `skip`, capped at `limit`; MaxValue if
-      * none found within bounds.
+    /** Remove from `targetSet` every target with a detour (avoiding `skip`)
+      * no costlier than its via-`skip` cost. Seeded from a snapshot of the
+      * source's adjacency; expands only nodes in the owned range [insS,insE).
       */
-    def witness(src: Int, targetSet: java.util.HashMap[Integer, Integer],
-                skip: Int, limit: Long, settleLimit: Int): Unit = {
-      wGen += 1; wPq.clear()
-      wDist(src) = 0L; wStamp(src) = wGen
-      wPq.add(java.lang.Long.valueOf(src.toLong))
-      var settled = 0
+    def witness(sc: Scratch, srcTs: Array[Int], srcWs: Array[Int],
+                targetSet: java.util.HashMap[Integer, Integer], skip: Int,
+                limit: Long, settleLimit: Int, insS: Int, insE: Int): Unit = {
+      sc.wGen += 1
+      val gen = sc.wGen
+      sc.wPq.clear()
       var remaining = targetSet.size()
-      while (!wPq.isEmpty && settled < settleLimit && remaining > 0) {
-        val top = wPq.poll().longValue()
+      var k = 0
+      while (k < srcTs.length) {
+        val t = srcTs(k); val w = srcWs(k)
+        if (t != skip && !contracted(t)) {
+          val nd = w.toLong
+          if (nd <= limit && nd <= maxPackedDist &&
+              (sc.wStamp(t) != gen || nd < sc.wDist(t))) {
+            sc.wDist(t) = nd; sc.wStamp(t) = gen
+            sc.wPq.add(java.lang.Long.valueOf((nd << 24) | t))
+          }
+        }
+        k += 1
+      }
+      var settled = 0
+      while (!sc.wPq.isEmpty && settled < settleLimit && remaining > 0) {
+        val top = sc.wPq.poll().longValue()
         val d = top >>> 24; val v = (top & 0xFFFFFF).toInt
-        if (wStamp(v) == wGen && d == wDist(v)) {
+        if (sc.wStamp(v) == gen && d == sc.wDist(v)) {
           settled += 1
           if (d > limit) return
-          if (targetSet.containsKey(v) && d <= targetSet.get(v)) {
+          val tw = targetSet.get(v)
+          if (tw != null && d <= tw.intValue) {
             targetSet.remove(v); remaining -= 1 // witness found for this target
           }
-          val buf = out(v)
-          var i = 0
-          while (i < buf.length) {
-            val (t, w) = buf(i)
-            if (!contracted(t) && t != skip) {
-              val nd = d + w
-              if (nd <= limit && nd <= maxPackedDist &&
-                  (wStamp(t) != wGen || nd < wDist(t))) {
-                wDist(t) = nd; wStamp(t) = wGen
-                wPq.add(java.lang.Long.valueOf((nd << 24) | t))
+          if (pos(v) >= insS && pos(v) < insE) { // expand owned nodes only
+            out(v).foreach { (t, w) =>
+              if (!contracted(t) && t != skip) {
+                val nd = d + w
+                if (nd <= limit && nd <= maxPackedDist &&
+                    (sc.wStamp(t) != gen || nd < sc.wDist(t))) {
+                  sc.wDist(t) = nd; sc.wStamp(t) = gen
+                  sc.wPq.add(java.lang.Long.valueOf((nd << 24) | t))
+                }
               }
             }
-            i += 1
           }
         }
       }
     }
 
-    /** Shortcut pairs needed if `v` were contracted now; when `commit`, add
-      * them to the adjacency. Returns the number of shortcuts. Buffers are
-      * min-merged and purged of contracted neighbors, so they iterate live
-      * entries directly — no per-call grouping allocations.
+    @inline def owned(v: Int, insS: Int, insE: Int): Boolean = {
+      val p = pos(v); p >= insS && p < insE
+    }
+
+    /** Contract `v` (owned by the calling task): add the needed shortcuts,
+      * commit the rank, purge `v` from neighbor adjacency so later filters
+      * and witness scans stay proportional to LIVE degree.
       */
-    def contractionShortcuts(v: Int, commit: Boolean): Int = {
+    def contractNode(v: Int, insS: Int, insE: Int, sc: Scratch): Unit = {
       val ins = in(v); val outs = out(v)
-      if (ins.isEmpty || outs.isEmpty) return 0
-      // dense contractions (the top separator clique) skip witness pruning:
-      // unpruned shortcuts are redundant, never wrong, and in a near-clique
-      // witnesses rarely prune anyway — paying in-degree × settle × degree
-      // there is what turned lattice builds superlinear (O(k^3) on a k-wide
-      // top separator)
-      val settleLimit =
-        if (!commit) prioritySettleLimit
-        else if (ins.length.toLong * outs.length > 16384) 0
-        else witnessSettleLimit
-      var added = 0
-      ins.foreach { case (uu, w1) =>
-        // one witness search from uu covers every out-target
-        val targets = new java.util.HashMap[Integer, Integer]()
-        var maxW = 0L
-        outs.foreach { case (x, w2) =>
-          if (x != uu) { targets.put(x, w1 + w2); maxW = math.max(maxW, (w1 + w2).toLong) }
-        }
-        if (!targets.isEmpty) {
-          witness(uu, targets, v, maxW, settleLimit)
-          // targets that survive have NO witness <= via-v cost: need shortcut
-          val it = targets.entrySet().iterator()
-          while (it.hasNext) {
-            val en = it.next()
-            val x = en.getKey.intValue; val w = en.getValue.intValue
-            added += 1
-            if (commit) {
-              addMin(out(uu), x, w); addMin(in(x), uu, w)
+      if (!ins.isEmpty && !outs.isEmpty) {
+        // dense contractions (the top separator clique) skip witness pruning:
+        // unpruned shortcuts are redundant, never wrong, and in a near-clique
+        // witnesses rarely prune anyway — paying in-degree × settle × degree
+        // there is what turned lattice builds superlinear
+        val settleLimit =
+          if (ins.size.toLong * outs.size > 16384) 0
+          else witnessSettleLimit
+        val (oTs, oWs) = outs.toArrays // v is owned: plain read
+        ins.foreach { (uu, w1) =>
+          // one witness search from uu covers every out-target
+          val targets = new java.util.HashMap[Integer, Integer]()
+          var maxW = 0L
+          var k = 0
+          while (k < oTs.length) {
+            val x = oTs(k)
+            if (x != uu) {
+              val w = w1 + oWs(k)
+              targets.put(x, w)
+              if (w.toLong > maxW) maxW = w.toLong
+            }
+            k += 1
+          }
+          if (!targets.isEmpty) {
+            if (settleLimit > 0) {
+              val (sTs, sWs) =
+                if (owned(uu, insS, insE)) out(uu).toArrays
+                else lockOf(uu).synchronized { out(uu).toArrays }
+              witness(sc, sTs, sWs, targets, v, maxW, settleLimit, insS, insE)
+            }
+            // targets that survive have NO witness <= via-v cost: need shortcut
+            val it = targets.entrySet().iterator()
+            while (it.hasNext) {
+              val en = it.next()
+              val x = en.getKey.intValue; val w = en.getValue.intValue
+              if (owned(uu, insS, insE)) out(uu).addMin(x, w)
+              else lockOf(uu).synchronized { out(uu).addMin(x, w) }
+              if (owned(x, insS, insE)) in(x).addMin(uu, w)
+              else lockOf(x).synchronized { in(x).addMin(uu, w) }
             }
           }
         }
       }
-      added
+      contracted(v) = true
+      rank(v) = orderCtr.getAndIncrement()
+      in(v).foreach { (s, _) =>
+        if (!contracted(s)) {
+          deletedNeighbors.incrementAndGet(s)
+          if (owned(s, insS, insE)) out(s).remove(v)
+          else lockOf(s).synchronized { out(s).remove(v) }
+        }
+      }
+      out(v).foreach { (t, _) =>
+        if (!contracted(t)) {
+          deletedNeighbors.incrementAndGet(t)
+          if (owned(t, insS, insE)) in(t).remove(v)
+          else lockOf(t).synchronized { in(t).remove(v) }
+        }
+      }
     }
 
-    /** Ordering: nested-dissection depth dominates (deeper/leaf nodes
-      * contract first, separator levels last — the Customizable-CH ordering
-      * discipline), with a witness-FREE edge-difference estimate
-      * (in×out pair count) breaking ties within a level. Witness searches
-      * run only once per contraction at commit time: running them inside the
-      * priority function too (round 1) made every lazy-heap re-evaluation a
-      * Dijkstra and pushed a 10k-node lattice build past 5 minutes. The
-      * round-1 observation that witness-free ordering destroys hierarchy
-      * quality applied to witness-free ordering WITHOUT the dissection bias;
-      * with depth dominating, the tie-break precision no longer shapes the
-      * global hierarchy.
+    /** Contract idx[lo, hi) in edge-difference order (lazy heap). All nodes
+      * in the range share a dissection level, so no depth term is needed —
+      * the region recursion IS the level ordering. [insS, insE) is the
+      * range the calling task owns (its whole subtree).
       */
-    val ndDepth = dissectionDepth(g)
-    val maxDepth = if (n == 0) 0 else ndDepth.max
-    def priority(v: Int): Int = {
-      val ins = in(v).iterator.map(_._1).distinct.size
-      val outs = out(v).iterator.map(_._1).distinct.size
-      val local = ins * outs - ins - outs + 2 * deletedNeighbors(v)
-      // clamp so edge-difference can never cross a dissection-level boundary
-      (maxDepth - ndDepth(v)) * 1000000 + math.min(math.max(local, -499999), 499999)
-    }
-
-    // lazy-update heap
-    val heap = new PriorityQueue[Array[Int]]((a, b) => Integer.compare(a(0), b(0)))
-    var v = 0
-    while (v < n) { heap.add(Array(priority(v), v)); v += 1 }
-    var order = 0
-    while (!heap.isEmpty) {
-      val top = heap.poll()
-      val node = top(1)
-      if (!contracted(node)) {
-        val p = priority(node)
-        if (!heap.isEmpty && p > heap.peek()(0)) heap.add(Array(p, node))
-        else {
-          contractionShortcuts(node, commit = true)
-          contracted(node) = true
-          rank(node) = order; order += 1
-          // purge the contracted node from neighbor adjacency so later
-          // filters and witness scans stay proportional to LIVE degree —
-          // without this, grid graphs cascade into quadratic adjacency scans
-          in(node).foreach { case (s, _) =>
-            if (!contracted(s)) {
-              deletedNeighbors(s) += 1
-              out(s).filterInPlace(_._1 != node)
-            }
-          }
-          out(node).foreach { case (t, _) =>
-            if (!contracted(t)) {
-              deletedNeighbors(t) += 1
-              in(t).filterInPlace(_._1 != node)
-            }
-          }
+    def contractRange(lo: Int, hi: Int, insS: Int, insE: Int): Unit = {
+      if (lo >= hi) return
+      val sc = scratchTl.get()
+      def priorityOf(v: Int): Int = {
+        val a = in(v).size; val b = out(v).size
+        a * b - a - b + 2 * deletedNeighbors.get(v)
+      }
+      val heap = new PriorityQueue[Array[Int]](
+        (a: Array[Int], b: Array[Int]) => Integer.compare(a(0), b(0)))
+      var i = lo
+      while (i < hi) { val v = idx(i); heap.add(Array(priorityOf(v), v)); i += 1 }
+      while (!heap.isEmpty) {
+        val top = heap.poll()
+        val node = top(1)
+        if (!contracted(node)) {
+          val p = priorityOf(node)
+          if (!heap.isEmpty && p > heap.peek()(0)) heap.add(Array(p, node))
+          else contractNode(node, insS, insE, sc)
         }
       }
     }
 
-    // split augmented adjacency into upward / downward-reverse CSRs
-    def toCsr(select: Int => Iterable[(Int, Int)]): (Array[Int], Array[Int], Array[Int]) = {
+    // Witness scope = the range the TASK owns (its whole subtree), not the
+    // heap range being contracted: a small subtree processed inline still
+    // lets leaf-level witnesses roam the full subtree, and sequential mode
+    // owns the entire graph — full-quality, unrestricted witnesses.
+    // Restricting witnesses to 32-node leaf ranges (first cut) found almost
+    // none and inflated a 10k-lattice hierarchy to 420k shortcuts.
+    val seqThreshold = 4096 // below this, recurse inline: task overhead > work
+    def runSeq(r: Region, ownS: Int, ownE: Int): Unit = {
+      if (r.left != null) runSeq(r.left, ownS, ownE)
+      if (r.right != null) runSeq(r.right, ownS, ownE)
+      contractRange(r.sepStart, r.e, ownS, ownE)
+    }
+    final class RegionTask(r: Region) extends java.util.concurrent.RecursiveAction {
+      override def compute(): Unit = {
+        if (r.e - r.s <= seqThreshold) runSeq(r, r.s, r.e)
+        else {
+          if (r.left != null && r.right != null)
+            java.util.concurrent.ForkJoinTask.invokeAll(
+              new RegionTask(r.left), new RegionTask(r.right))
+          else if (r.left != null) new RegionTask(r.left).compute()
+          else if (r.right != null) new RegionTask(r.right).compute()
+          contractRange(r.sepStart, r.e, r.s, r.e)
+        }
+      }
+    }
+    val par =
+      if (parallelism > 0) parallelism
+      else math.max(1, math.min(Runtime.getRuntime.availableProcessors, 32))
+    if (par == 1 || n <= seqThreshold) runSeq(root, 0, n)
+    else {
+      val pool = new java.util.concurrent.ForkJoinPool(par)
+      try pool.invoke(new RegionTask(root))
+      finally pool.shutdown()
+    }
+
+    // split augmented adjacency into upward / downward-reverse CSRs;
+    // buffers are min-merged by construction, so no dedup pass is needed
+    def toCsr(bufs: Array[NB], pred: (Int, Int) => Boolean)
+        : (Array[Int], Array[Int], Array[Int]) = {
       val off = new Array[Int](n + 1)
       var i = 0
-      while (i < n) { off(i + 1) = off(i) + select(i).size; i += 1 }
+      while (i < n) {
+        var c = 0
+        bufs(i).foreach((t, _) => if (pred(i, t)) c += 1)
+        off(i + 1) = off(i) + c
+        i += 1
+      }
       val tgt = new Array[Int](off(n)); val w = new Array[Int](off(n))
       i = 0
       while (i < n) {
         var p = off(i)
-        select(i).foreach { case (t, ww) => tgt(p) = t; w(p) = ww; p += 1 }
+        bufs(i).foreach { (t, ww) =>
+          if (pred(i, t)) { tgt(p) = t; w(p) = ww; p += 1 }
+        }
         i += 1
       }
       (off, tgt, w)
     }
-    // min-merge parallel edges per (node, target)
-    def dedupMin(buf: ArrayBuffer[(Int, Int)], pred: Int => Boolean): Iterable[(Int, Int)] =
-      buf.filter(p => pred(p._1)).groupMapReduce(_._1)(_._2)(math.min)
-
-    val (uo, ut, uw) = toCsr(i => dedupMin(out(i), t => rank(t) > rank(i)))
-    val (dno, dnt, dnw) = toCsr(i => dedupMin(in(i), s => rank(s) > rank(i)))
+    val (uo, ut, uw) = toCsr(out, (i, t) => rank(t) > rank(i))
+    val (dno, dnt, dnw) = toCsr(in, (i, s) => rank(s) > rank(i))
     new ChGraph(n, rank, uo, ut, uw, dno, dnt, dnw)
   }
 }

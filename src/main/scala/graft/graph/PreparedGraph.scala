@@ -42,18 +42,18 @@ final class PreparedGraph(
 
   /** Build + attach the CH (idempotent). Returns this for chaining.
     *
-    * Practical bound: nested-dissection-ordered contraction (see
-    * ContractionHierarchy.dissectionDepth) builds a 10k-node LATTICE in
-    * ~11 s and a 40k lattice in ~2 min (lattices are the worst case —
+    * Practical bound: the parallel nested-dissection contraction (see
+    * ContractionHierarchy.build) builds a 10k-node LATTICE in ~4 s and a
+    * 40k lattice in ~13 s on 32 cores (lattices are the worst case —
     * degree 4 everywhere; road networks average ~2.6 and build several
     * times faster). The default gate keeps silent load-time builds to tens
     * of seconds; larger graphs route exactly via bidirectional Dijkstra,
-    * or call withCh(higherCap) explicitly. Persisting the built CH next to
-    * the parquet graph cache (the reference persists its prepared
-    * fast_paths graph the same way, rust/src/lib.rs:164-166) is the
-    * planned amortization for repeated loads.
+    * or call withCh(higherCap) explicitly. The built CH persists beside
+    * the parquet graph cache (ChStore; the reference persists its prepared
+    * fast_paths graph the same way, rust/src/lib.rs:164-166), so the build
+    * is paid once per graph, not per load.
     */
-  def withCh(maxNodes: Int = 25000): PreparedGraph = {
+  def withCh(maxNodes: Int = 100000): PreparedGraph = {
     if (ch == null && numNodes <= maxNodes)
       ch = graft.algo.ContractionHierarchy.build(this)
     this

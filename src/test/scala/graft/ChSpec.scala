@@ -74,6 +74,24 @@ class ChSpec extends AnyFunSuite {
     assert(chMs < biMs, s"CH ($chMs ms) not faster than BiDijkstra ($biMs ms) on 10k lattice")
   }
 
+  test("200x200 lattice: parallel dissection build stays in tens of seconds") {
+    val g = GridFixture.lattice(200)
+    val t0 = System.nanoTime()
+    val ch = ContractionHierarchy.build(g)
+    val buildS = (System.nanoTime() - t0) / 1e9
+    // round-2 sequential build took ~2.2 min here; the parallel region build
+    // must keep 40k nodes load-time-viable (generous ceiling, not noise)
+    assert(buildS < 75, f"CH build took $buildS%.1f s on a 40k-node lattice")
+    val q = new ChQuery(ch)
+    val base = new Dijkstra(g)
+    val r = new scala.util.Random(9)
+    (0 until 40).foreach { _ =>
+      val s = r.nextInt(g.numNodes); val t = r.nextInt(g.numNodes)
+      assert(q.shortestPathMs(s, t) == base.shortestPathMs(s, t), s"CH mismatch $s->$t")
+    }
+    info(f"200x200: build $buildS%.1f s, shortcuts ${ch.numShortcuts(g.numEdges)}")
+  }
+
   test("CH settles far fewer nodes: speedup sanity on a 60x60 lattice") {
     val g = GridFixture.lattice(60)
     val n = g.numNodes
