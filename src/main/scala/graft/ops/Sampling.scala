@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, shuffle-free sampling for training-data pipelines.
+  *
+  * Every decision derives from a salted md5 of the row's stable id, so a
+  * sample is reproducible across runs, engines, and cluster layouts —
+  * unlike `df.sample` (rand()-seeded per task attempt, so a retried
+  * partition yields a different subset). The whole operator is a per-row
+  * projection + filter: no shuffle at any scale, and Catalyst pushes the
+  * work next to the scan. That is the property that matters at 100 TB —
+  * re-running a pipeline stage must select the identical subset.
+  */
+object Sampling {
+
+  /** Uniform pseudo-random bucket in [0, buckets) from a salted md5 of the
+    * id (first 8 hex chars — 32 bits, far below the Long overflow line).
+    */
+  def hashBucket(id: Column, salt: String, buckets: Int = 1000): Column =
+    conv(substring(md5(concat(lit(salt + "|"), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** Stratified Bernoulli sample: keep a row iff its hash bucket falls under
+    * its stratum's per-mill rate. Adds the `bucket` column (kept: it is the
+    * audit trail that makes the sample verifiable downstream).
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       ratesPermill: Map[String, Int], defaultPermill: Int,
+                       salt: String = "sample"): DataFrame = {
+    val rate = ratesPermill.foldLeft(lit(defaultPermill)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.withColumn("bucket", hashBucket(col(idCol), salt))
+      .filter(col("bucket") < rate)
+  }
+
+  /** Deterministic train/val/test assignment on an independent salt (so the
+    * split is uncorrelated with any sampling decision on the same ids).
+    */
+  def assignSplit(df: DataFrame, idCol: String, trainPermill: Int = 800,
+                  valPermill: Int = 100, salt: String = "split"): DataFrame = {
+    val b = hashBucket(col(idCol), salt)
+    df.withColumn("split",
+      when(b < trainPermill, "train")
+        .when(b < trainPermill + valPermill, "val")
+        .otherwise("test"))
+  }
+}

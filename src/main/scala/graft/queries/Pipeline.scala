@@ -311,6 +311,88 @@ object Pipeline {
       },
       Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
              |  md5(text) AS content_digest, lang
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // -- deterministic stratified sampling + split assignment ---------------
+    // Hash-bucket sampling, not rand(): reproducible across runs/engines and
+    // a pure per-row filter — no shuffle at any corpus size (ops/Sampling).
+    QueryDef("p16_stratified_sample",
+      (s, d) => {
+        import s.implicits._
+        val sampled = graft.ops.Sampling.stratifiedSample(t(s, d, "documents"),
+          "doc_id", "lang", Map("en" -> 400, "de" -> 200, "es" -> 200, "fr" -> 200),
+          defaultPermill = 100, salt = "s16")
+        graft.ops.Sampling.assignSplit(sampled, "doc_id", salt = "sp16")
+          .select($"doc_id", $"lang", $"bucket", $"split")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, lang,
+             |    CAST(('0x' || substring(md5('s16|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS bucket,
+             |    CAST(('0x' || substring(md5('sp16|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS b2
+             |  FROM documents)
+             |SELECT doc_id, lang, bucket,
+             |  CASE WHEN b2 < 800 THEN 'train' WHEN b2 < 900 THEN 'val' ELSE 'test' END AS split
+             |FROM b
+             |WHERE bucket < (CASE lang WHEN 'en' THEN 400 WHEN 'de' THEN 200
+             |                WHEN 'es' THEN 200 WHEN 'fr' THEN 200 ELSE 100 END)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // -- per-stratum corpus statistics: exact interpolated quantiles --------
+    // `percentile` is the exact per-group sort; at petabyte scale the same
+    // plan takes approx_percentile (a mergeable KLL-style sketch) with only
+    // the function name changing — the groupBy shape already map-side
+    // combines.
+    QueryDef("p17_corpus_stats",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg($"n_chars"), 4).as("avg_chars"),
+            round(expr("percentile(n_chars, 0.5)"), 4).as("p50_chars"),
+            round(expr("percentile(n_chars, 0.95)"), 4).as("p95_chars"),
+            round(expr("percentile(n_chars, 0.99)"), 4).as("p99_chars"))
+          .orderBy($"lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+             |  round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+             |  round(quantile_cont(n_chars, 0.95), 4) AS p95_chars,
+             |  round(quantile_cont(n_chars, 0.99), 4) AS p99_chars
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // -- corpus vocabulary: global top-k tokens -----------------------------
+    // The explode+count aggregate map-side combines (HashAggregate); the
+    // single-partition window runs over the already-aggregated vocab slice
+    // ordered for the top-k — the only stage that is not width-parallel, and
+    // it sees k-bounded data, not the corpus.
+    QueryDef("p18_vocab_topk",
+      (s, d) => {
+        import s.implicits._
+        val toks = t(s, d, "documents")
+          .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("token"))
+          .filter(length($"token") > 0)
+        val vocab = toks.groupBy($"token")
+          .agg(count(lit(1)).as("n_occurrences"),
+            countDistinct($"doc_id").as("n_docs"))
+        val w = Window.orderBy($"n_occurrences".desc, $"token")
+        vocab.withColumn("rank", row_number().over(w).cast("int"))
+          .filter($"rank" <= 15)
+          .select($"rank", $"token", $"n_occurrences", $"n_docs")
+          .orderBy($"rank")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
+             |  FROM documents),
+             |vocab AS (
+             |  SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,
+             |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+             |  FROM toks GROUP BY token)
+             |SELECT CAST(row_number() OVER w AS INT) AS rank, token, n_occurrences, n_docs
+             |FROM vocab
+             |WINDOW w AS (ORDER BY n_occurrences DESC, token)
+             |QUALIFY row_number() OVER w <= 15
+             |ORDER BY rank""".stripMargin))
   )
 }

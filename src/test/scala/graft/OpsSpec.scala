@@ -34,6 +34,37 @@ class OpsSpec extends AnyFunSuite {
     assert(out.map(_.getString(1)).toSeq == Seq("en", "de", "es", "und"))
   }
 
+  test("sampling: deterministic, stratified rates honored, split partitions disjointly") {
+    val docs = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    val s1 = graft.ops.Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 500), defaultPermill = 100, salt = "t")
+    val s2 = graft.ops.Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 500), defaultPermill = 100, salt = "t")
+    // reproducible: same salt -> identical subset
+    assert(s1.select($"doc_id").collect().toSeq == s2.select($"doc_id").collect().toSeq)
+    val byLang = s1.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 1000 docs per stratum at 50% / 10% nominal rates (binomial tolerance)
+    assert(byLang("en") > 400 && byLang("en") < 600, s"en=${byLang("en")}")
+    assert(byLang("zh") > 50 && byLang("zh") < 160, s"zh=${byLang("zh")}")
+    // bucket is always under the stratum rate
+    assert(s1.filter($"lang" === "en" && $"bucket" >= 500).count() == 0)
+    assert(s1.filter($"lang" === "zh" && $"bucket" >= 100).count() == 0)
+
+    val split = graft.ops.Sampling.assignSplit(docs, "doc_id", salt = "u")
+    val counts = split.groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000)
+    assert(counts("train") > 1500 && counts("val") > 120 && counts("test") > 120,
+      counts.toString)
+    // different salts decorrelate: the en-sample's split matches the global mix
+    val sampledSplit = graft.ops.Sampling.assignSplit(s1, "doc_id", salt = "u")
+    val trainShare = sampledSplit.filter($"split" === "train").count().toDouble /
+      sampledSplit.count()
+    assert(trainShare > 0.72 && trainShare < 0.88, s"trainShare=$trainShare")
+  }
+
   test("exact duplicates share digest; minhash LSH finds them as candidates") {
     val text = "spark streaming shuffle partition broadcast join aggregate window"
     val docs = Seq((1L, text), (2L, text), (3L, "completely different content here entirely"))
