@@ -21,7 +21,9 @@ object Verify {
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only.exists(n.startsWith) }
-    selected.foreach { case (name, fn) =>
+    // name order, matching Bench: session-state effects (caches, codegen,
+    // JIT) reproduce instead of reshuffling per Map hash
+    selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

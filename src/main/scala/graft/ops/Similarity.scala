@@ -106,6 +106,105 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
 
+  // ---- real IVF: trained centroids + nprobe cell search -------------------
+
+  /** Squared L2 distance to a centroid literal, rounded to 6 decimals.
+    * Deliberately the compact higher-order-function form, NOT an unrolled
+    * codegen expression: every Lloyd iteration bakes fresh centroid
+    * literals into the plan, and an unrolled k×dim argmin makes Janino
+    * recompile a multi-thousand-node method per iteration — compile time
+    * dwarfed the interpreted-lambda cost it saved (36 s vs ~8 s end to
+    * end at sf0.01). The rounding is the cross-engine stability contract:
+    * both engines compute the same left-fold sum, and the argmin below
+    * breaks rounded ties by cell index, so assignments are deterministic
+    * and identical in Spark and the DuckDB oracle.
+    */
+  private def dist2(vec: Column, cent: Array[Double]): Column =
+    round(aggregate(
+      zip_with(transform(vec, x => x.cast("double")), lit(cent), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (a, v) => a + v), 6)
+
+  /** Index of the nearest centroid (lowest cell wins rounded ties).
+    * Routed through [[nearestCells]] so every centroid distance is computed
+    * exactly once — a naive when-chain argmin nests each partial best into
+    * BOTH branches of the next comparison, duplicating subtrees 2^k-fold.
+    */
+  def nearestCell(vec: Column, cents: Array[Array[Double]]): Column =
+    element_at(nearestCells(vec, cents, 1), 1)
+
+  /** The `nprobe` nearest cells, nearest first (struct array_sort orders by
+    * (dist, cell) — same tie-break as [[nearestCell]]).
+    */
+  def nearestCells(vec: Column, cents: Array[Array[Double]], nprobe: Int): Column = {
+    // the cast pins the field names positionally — struct() drops aliases
+    // on some expression shapes (HOF children resolve to col1/col2)
+    val scored = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(dist2(vec, c), lit(i)).cast("struct<d:double,i:int>")
+    }: _*)
+    transform(slice(array_sort(scored), 1, nprobe), s => s.getField("i"))
+  }
+
+  /** Train IVF centroids: deterministic init (the first `k` vectors by id)
+    * plus `iters` Lloyd steps. Distributed where it matters — assignment is
+    * a per-row expression over the corpus and the per-dimension means are
+    * one HashAggregate; the driver only ever holds k × dim doubles. Empty
+    * cells keep their previous centroid.
+    */
+  def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int): Array[Array[Double]] = {
+    // a single-file parquet corpus arrives as ONE partition; the assignment
+    // expression is the per-row cost center, so spread it across cores
+    // (row placement does not affect the result: assignment is per-row and
+    // the mean aggregation is commutative)
+    val spark = emb.sparkSession
+    val work = emb.select(col(idCol), col(vecCol))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents: Array[Array[Double]] = emb.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    (0 until iters).foreach { _ =>
+      val means = work
+        .select(nearestCell(col(vecCol), cents).as("cell"),
+          posexplode(transform(col(vecCol), x => x.cast("double"))).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach { r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) }
+      cents = next
+    }
+    work.unpersist(blocking = false)
+    cents
+  }
+
+  /** IVF ANN: corpus vectors live in their nearest trained cell; each query
+    * probes its `nprobe` nearest cells and scores only those candidates.
+    * The scale shape: the corpus shuffles once on cell id (or is written
+    * bucketed by it), queries broadcast, and per-query work is corpus/k ×
+    * nprobe — the real inverted-file trade, not a label proxy.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              cents: Array[Array[Double]], nprobe: Int, queryPred: Column,
+              k: Int, dim: Option[Int] = None): DataFrame = {
+    // repartition for the same single-file-scan reason as ivfCentroids
+    val corpus = emb
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("nid"), col(vecCol).as("nvec"),
+        nearestCell(col(vecCol), cents).as("cell"))
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        explode(nearestCells(col(vecCol), cents, nprobe)).as("cell"))
+    // a corpus vector lives in exactly one cell, so probing several cells
+    // cannot duplicate a (qid, nid) pair
+    val scored = corpus.join(broadcast(queries), "cell")
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", round(cosineBy(col("qvec"), col("nvec"), dim), 4))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), asc("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+
   /** Random-hyperplane (SimHash) LSH bucket signature for cosine ANN:
     * `nBits` sign bits of projections onto deterministic pseudo-random
     * hyperplanes (seeded per (bit, dim) — reproducible across runs and

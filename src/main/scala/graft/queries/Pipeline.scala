@@ -393,6 +393,62 @@ object Pipeline {
              |FROM vocab
              |WINDOW w AS (ORDER BY n_occurrences DESC, token)
              |QUALIFY row_number() OVER w <= 15
-             |ORDER BY rank""".stripMargin))
+             |ORDER BY rank""".stripMargin)),
+
+    // -- real IVF ANN: trained centroids (2 Lloyd steps), nprobe=2 ----------
+    // Unlike p07 (label-proxy cells), the cells here are LEARNED from the
+    // data: deterministic init (first 8 vectors), two distributed Lloyd
+    // iterations (assignment = per-row expression, means = one
+    // HashAggregate), then each query probes its 2 nearest cells. The
+    // rounded-distance argmin (round(d², 6), ties to the lowest cell) is
+    // the cross-engine stability contract with the DuckDB mirror.
+    QueryDef("p19_ivf_ann",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+        Similarity.ivfTopK(emb, "vec_id", "embedding", cents, nprobe = 2,
+          col("vec_id") < 50, k = 3, dim = Some(64))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some {
+        val d2 = "round(list_sum(list_transform(range(1, 65), " +
+          "i -> (b.e[i] - c.c[i]) * (b.e[i] - c.c[i]))), 6)"
+        def assign(centCte: String, outName: String): String =
+          s"""$outName AS (
+             |  SELECT vec_id, e, cell FROM (
+             |    SELECT b.vec_id, b.e, c.cell,
+             |      row_number() OVER (PARTITION BY b.vec_id ORDER BY $d2, c.cell) AS rn
+             |    FROM base b CROSS JOIN $centCte c)
+             |  WHERE rn = 1)""".stripMargin
+        def recompute(assignCte: String, initCte: String, outName: String): String =
+          s"""$outName AS (
+             |  SELECT $initCte.cell, COALESCE(l.c, $initCte.c) AS c
+             |  FROM $initCte LEFT JOIN (
+             |    SELECT cell, list(m ORDER BY i) AS c FROM (
+             |      SELECT cell, i, avg(e[i]) AS m
+             |      FROM $assignCte, range(1, 65) AS t(i) GROUP BY cell, i)
+             |    GROUP BY cell) l USING (cell))""".stripMargin
+        s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS c
+           |       FROM (SELECT * FROM base ORDER BY vec_id LIMIT 8)),
+           |${assign("c0", "a0")},
+           |${recompute("a0", "c0", "c1")},
+           |${assign("c1", "a1")},
+           |${recompute("a1", "c1", "c2")},
+           |${assign("c2", "corp")},
+           |q AS (SELECT qid, qvec, cell FROM (
+           |    SELECT b.vec_id AS qid, b.e AS qvec, c.cell,
+           |      row_number() OVER (PARTITION BY b.vec_id ORDER BY $d2, c.cell) AS rn
+           |    FROM base b CROSS JOIN c2 c WHERE b.vec_id < 50)
+           |  WHERE rn <= 2)
+           |SELECT qid, CAST(row_number() OVER w AS INT) AS rank, n.vec_id AS nid,
+           |  round(list_cosine_similarity(qvec, n.e), 4) AS sim
+           |FROM corp n JOIN q USING (cell)
+           |WHERE qid <> n.vec_id
+           |WINDOW w AS (PARTITION BY qid
+           |             ORDER BY round(list_cosine_similarity(qvec, n.e), 4) DESC, n.vec_id)
+           |QUALIFY row_number() OVER w <= 3
+           |ORDER BY qid, rank""".stripMargin
+      })
   )
 }

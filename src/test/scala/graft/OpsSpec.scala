@@ -152,6 +152,30 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.forall(_.getDouble(2) >= 0.95))
   }
 
+  test("IVF: Lloyd iterations pull centroids to clusters; nprobe=1 search stays in-cluster") {
+    // two tight clusters on different axes; ids alternate cluster membership
+    val vecs = (0L until 20L).map { i =>
+      val base = if (i % 2 == 0) Array(10f, 0f, 0f) else Array(0f, 10f, 0f)
+      (i, base.zipWithIndex.map { case (v, d) => v + (i % 5) * 0.01f * (d + 1) }, 0)
+    }
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    // init = first two vectors (one per cluster), so one Lloyd step converges
+    val cents = Similarity.ivfCentroids(df, "vec_id", "embedding", k = 2, iters = 2)
+    assert(cents.length == 2)
+    assert(math.abs(cents(0)(0) - 10.0) < 0.2 && math.abs(cents(0)(1)) < 0.2)
+    assert(math.abs(cents(1)(1) - 10.0) < 0.2 && math.abs(cents(1)(0)) < 0.2)
+    val topk = Similarity.ivfTopK(df, "vec_id", "embedding", cents, nprobe = 1,
+      $"vec_id" === 0, k = 3).collect()
+    assert(topk.length == 3)
+    // a cluster-A query with nprobe=1 only ever sees cluster-A neighbors
+    assert(topk.forall(_.getAs[Long]("nid") % 2 == 0))
+    // nprobe=2 searches both cells and still ranks in-cluster first
+    val wide = Similarity.ivfTopK(df, "vec_id", "embedding", cents, nprobe = 2,
+      $"vec_id" === 0, k = 12).collect()
+    assert(wide.length == 12)
+    assert(wide.sortBy(_.getAs[Int]("rank")).take(9).forall(_.getAs[Long]("nid") % 2 == 0))
+  }
+
   test("bucketed top-k only searches the query's bucket") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f), 10),
