@@ -1,0 +1,497 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.util.PriorityQueue
+
+/** Tile-partitioned routing — the beyond-broadcast scale path (SURVEY §9.2,
+  * mirroring Valhalla's own tile design,
+  * reference: src/valhalla_build_tiles_simple.cpp:82-83).
+  *
+  * A planet-class road graph (~300M edges ≈ 9 GB CSR) exceeds a sane
+  * broadcast. This module partitions the graph into geographic tiles:
+  *
+  *  - **Build** (distributed): nodes get a geometric tile id; interior
+  *    edges (both endpoints in one tile) are written as parquet PARTITIONED
+  *    BY tile; for every tile, the exact shortest-path distance between each
+  *    ordered pair of its boundary nodes is computed inside executors
+  *    (cogroup per tile → local Dijkstra per boundary node — the heavy,
+  *    embarrassingly parallel step).
+  *  - **Overlay** (driver/broadcast-sized): boundary nodes + cross-tile
+  *    edges + the per-tile boundary-pair distances. This is the "transit
+  *    level" of a hierarchical router — orders of magnitude smaller than
+  *    the full graph (O(n/√tileArea) nodes for planar-ish road networks).
+  *  - **Query** (exact): forward Dijkstra inside the source tile, backward
+  *    Dijkstra inside the target tile, multi-source Dijkstra over the
+  *    overlay between the two boundary sets. Any shortest path decomposes
+  *    into maximal within-tile segments (whose endpoints are boundary
+  *    nodes) joined by cross-tile edges, and every such segment is an
+  *    overlay edge with the exact within-tile distance — so the stitched
+  *    distance equals the flat-graph distance (TiledSpec proves equality
+  *    against plain Dijkstra).
+  *
+  * Tiles load on demand through partition-pruned parquet reads with a small
+  * LRU cache: the driver never holds more than `cacheTiles` tile subgraphs
+  * plus the overlay. Batch OD workloads co-partition by (srcTile, dstTile)
+  * with the same primitives (SURVEY §9.2 step 3); the point-query API here
+  * is the exactness witness.
+  */
+object Tiled {
+
+  /** One tile's interior subgraph, local-index CSR keyed by global node id. */
+  final class TileLocal(
+      val ids: Array[Long],
+      val lat: Array[Double], val lon: Array[Double],
+      val off: Array[Int], val tgt: Array[Int], val w: Array[Int],
+      val rOff: Array[Int], val rTgt: Array[Int], val rW: Array[Int]) {
+    val index: java.util.HashMap[Long, Integer] = {
+      val m = new java.util.HashMap[Long, Integer](ids.length * 2)
+      var i = 0
+      while (i < ids.length) { m.put(ids(i), i); i += 1 }
+      m
+    }
+
+    /** Single-source distances over the interior (forward or reverse). */
+    def distancesFrom(srcLocal: Int, reverse: Boolean): Array[Long] = {
+      val n = ids.length
+      val (o, t, ww) = if (reverse) (rOff, rTgt, rW) else (off, tgt, w)
+      val dist = Array.fill(n)(Long.MaxValue)
+      val pq = new PriorityQueue[Array[Long]]((a, b) => java.lang.Long.compare(a(0), b(0)))
+      dist(srcLocal) = 0L
+      pq.add(Array(0L, srcLocal.toLong))
+      while (!pq.isEmpty) {
+        val top = pq.poll()
+        val d = top(0); val v = top(1).toInt
+        if (d == dist(v)) {
+          var e = o(v)
+          while (e < o(v + 1)) {
+            val nd = d + ww(e)
+            if (nd < dist(t(e))) { dist(t(e)) = nd; pq.add(Array(nd, t(e).toLong)) }
+            e += 1
+          }
+        }
+      }
+      dist
+    }
+
+    /** Nearest node to (lat, lon) by equirectangular scan (tile-sized). */
+    def nearest(qLat: Double, qLon: Double): Int = {
+      var best = -1; var bestD = Double.MaxValue
+      var i = 0
+      while (i < ids.length) {
+        val d = graft.geo.Geo.approxDist2(qLat, qLon, lat(i), lon(i))
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      best
+    }
+  }
+
+  private[graph] def buildLocal(ids: Array[Long], lats: Array[Double], lons: Array[Double],
+                                es: Array[(Long, Long, Long)]): TileLocal = {
+    val n = ids.length
+    val index = new java.util.HashMap[Long, Integer](n * 2)
+    var i = 0
+    while (i < n) { index.put(ids(i), i); i += 1 }
+    val m = es.length
+    val srcs = new Array[Int](m); val dsts = new Array[Int](m); val ws = new Array[Int](m)
+    var k = 0
+    es.foreach { case (s, d, t) =>
+      val si = index.get(s); val di = index.get(d)
+      if (si != null && di != null) {
+        srcs(k) = si.intValue; dsts(k) = di.intValue
+        ws(k) = math.min(t, Int.MaxValue).toInt
+        k += 1
+      }
+    }
+    def csr(ss: Array[Int], dd: Array[Int]): (Array[Int], Array[Int], Array[Int]) = {
+      val off = new Array[Int](n + 1)
+      var e = 0
+      while (e < k) { off(ss(e) + 1) += 1; e += 1 }
+      var j = 0
+      while (j < n) { off(j + 1) += off(j); j += 1 }
+      val tgt = new Array[Int](k); val w = new Array[Int](k)
+      val cur = off.clone()
+      e = 0
+      while (e < k) {
+        val p = cur(ss(e)); cur(ss(e)) += 1
+        tgt(p) = dd(e); w(p) = ws(e)
+        e += 1
+      }
+      (off, tgt, w)
+    }
+    val (o, t, w) = csr(srcs, dsts)
+    val (ro, rt, rw) = csr(dsts, srcs)
+    new TileLocal(ids, lats, lons, o, t, w, ro, rt, rw)
+  }
+
+  /** Build the tile layout + overlay. Writes `outDir/nodes` and
+    * `outDir/interior` parquet partitioned by tile; returns the router.
+    * `cells` is the tiles-per-axis of the geometric grid.
+    *
+    * nodes: (id BIGINT, lat DOUBLE, lon DOUBLE); edges: directed
+    * (src BIGINT, dst BIGINT, time_ms BIGINT).
+    */
+  def build(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
+            cells: Int, outDir: String): TiledRouter = {
+    import spark.implicits._
+    val Seq(minLat, maxLat, minLon, maxLon) =
+      nodes.agg(min($"lat"), max($"lat"), min($"lon"), max($"lon"))
+        .collect().head.toSeq.map(_.asInstanceOf[Double])
+    val grid = TileGrid(minLat, minLon,
+      math.max(1e-9, (maxLat - minLat) / cells), math.max(1e-9, (maxLon - minLon) / cells),
+      cells)
+
+    def tileExpr(latC: org.apache.spark.sql.Column, lonC: org.apache.spark.sql.Column) = {
+      val ti = least(lit(cells - 1), greatest(lit(0),
+        floor((latC - lit(grid.minLat)) / lit(grid.cellLat)).cast("int")))
+      val tj = least(lit(cells - 1), greatest(lit(0),
+        floor((lonC - lit(grid.minLon)) / lit(grid.cellLon)).cast("int")))
+      ti * cells + tj
+    }
+
+    val nodesT = nodes.select($"id".cast("long").as("id"), $"lat".cast("double").as("lat"),
+      $"lon".cast("double").as("lon"), tileExpr($"lat", $"lon").as("tile"))
+    nodesT.write.mode("overwrite").partitionBy("tile").parquet(s"$outDir/nodes")
+    val nt = spark.read.parquet(s"$outDir/nodes")
+
+    val eT = edges.select($"src".cast("long").as("src"), $"dst".cast("long").as("dst"),
+        $"time_ms".cast("long").as("time_ms"))
+      .join(nt.select($"id".as("src"), $"tile".as("src_tile")), "src")
+      .join(nt.select($"id".as("dst"), $"tile".as("dst_tile")), "dst")
+
+    val interior = eT.filter($"src_tile" === $"dst_tile")
+      .select($"src", $"dst", $"time_ms", $"src_tile".as("tile"))
+    interior.write.mode("overwrite").partitionBy("tile").parquet(s"$outDir/interior")
+
+    val cross = eT.filter($"src_tile" =!= $"dst_tile")
+      .select($"src", $"dst", $"time_ms").as[(Long, Long, Long)]
+
+    // boundary nodes: endpoints of cross-tile edges, tagged with THEIR tile
+    val boundary = eT.filter($"src_tile" =!= $"dst_tile")
+      .select($"src".as("id"), $"src_tile".as("tile"))
+      .unionByName(eT.filter($"src_tile" =!= $"dst_tile")
+        .select($"dst".as("id"), $"dst_tile".as("tile")))
+      .distinct()
+
+    // distributed overlay construction: per tile, exact boundary-pair
+    // distances over the interior subgraph (one Dijkstra per boundary node,
+    // all inside executors — the build's heavy step)
+    val interiorByTile = spark.read.parquet(s"$outDir/interior")
+      .select($"tile".cast("int"), $"src", $"dst", $"time_ms")
+      .as[(Int, Long, Long, Long)].groupByKey(_._1)
+    val boundaryByTile = boundary.select($"tile".cast("int"), $"id")
+      .as[(Int, Long)].groupByKey(_._1)
+    val intra = interiorByTile.cogroup(boundaryByTile) { (_, eIt, bIt) =>
+      val es = eIt.map(e => (e._2, e._3, e._4)).toArray
+      val bs = bIt.map(_._2).toArray
+      if (bs.length < 2) Iterator.empty
+      else {
+        // node universe: every id seen in this tile's interior or boundary
+        val idSet = new java.util.LinkedHashSet[java.lang.Long]()
+        bs.foreach(idSet.add(_))
+        es.foreach { case (s, d, _) => idSet.add(s); idSet.add(d) }
+        val ids = new Array[Long](idSet.size())
+        val it = idSet.iterator(); var i = 0
+        while (it.hasNext) { ids(i) = it.next(); i += 1 }
+        val local = buildLocal(ids, new Array[Double](ids.length),
+          new Array[Double](ids.length), es)
+        bs.iterator.flatMap { b =>
+          val bi = local.index.get(b)
+          if (bi == null) Iterator.empty
+          else {
+            val dist = local.distancesFrom(bi.intValue, reverse = false)
+            bs.iterator.filter(_ != b).flatMap { b2 =>
+              val b2i = local.index.get(b2)
+              if (b2i == null || dist(b2i.intValue) == Long.MaxValue) Iterator.empty
+              else Iterator.single((b, b2, dist(b2i.intValue)))
+            }
+          }
+        }
+      }
+    }
+
+    // overlay = cross-tile edges + within-tile boundary-pair distances
+    val overlayEdges = cross.union(intra).collect()
+    val boundaryRows = boundary.select($"id".cast("long"), $"tile".cast("int"))
+      .as[(Long, Int)].collect()
+    val bIndex = new java.util.HashMap[Long, Integer](boundaryRows.length * 2)
+    val bIds = new Array[Long](boundaryRows.length)
+    val bTiles = new Array[Int](boundaryRows.length)
+    var i = 0
+    boundaryRows.foreach { case (id, tile) =>
+      bIndex.put(id, i); bIds(i) = id; bTiles(i) = tile; i += 1
+    }
+    val nb = bIds.length
+    val m = overlayEdges.length
+    val off = new Array[Int](nb + 1)
+    overlayEdges.foreach { case (s, _, _) =>
+      val si = bIndex.get(s); if (si != null) off(si.intValue + 1) += 1
+    }
+    i = 0
+    while (i < nb) { off(i + 1) += off(i); i += 1 }
+    val tgt = new Array[Int](m); val w = new Array[Int](m)
+    val cur = off.clone()
+    overlayEdges.foreach { case (s, d, t) =>
+      val si = bIndex.get(s); val di = bIndex.get(d)
+      if (si != null && di != null) {
+        val p = cur(si.intValue); cur(si.intValue) += 1
+        tgt(p) = di.intValue; w(p) = math.min(t, Int.MaxValue).toInt
+      }
+    }
+    new TiledRouter(spark, outDir, grid,
+      new Overlay(bIds, bTiles, bIndex, off, tgt, w))
+  }
+
+  /** Batch OD travel times over a tiled layout (SURVEY §9.2 step 3): pairs
+    * co-partition by tile, so each task builds only its tile's subgraph and
+    * runs one Dijkstra per distinct source (or target) in it; the overlay —
+    * the only globally shared state — is broadcast. Shuffles carry pair ids
+    * and per-boundary leg distances, never graph data.
+    *
+    * `pairs`: (pair_id BIGINT, src BIGINT, dst BIGINT) over node ids (the
+    * snapped form a production pipeline already has). Returns
+    * (pair_id, time_ms) with -1 for unreachable. Exact: same decomposition
+    * as [[TiledRouter.travelTimeMs]], proven equal to flat Dijkstra in
+    * TiledSpec.
+    */
+  def matrix(spark: SparkSession, dir: String, overlay: Overlay,
+             pairs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(overlay)
+    val nt = spark.read.parquet(s"$dir/nodes").select($"id", $"tile".cast("int").as("tile"))
+    val pt = pairs
+      .select($"pair_id".cast("long"), $"src".cast("long"), $"dst".cast("long"))
+      .join(nt.select($"id".as("src"), $"tile".as("src_tile")), "src")
+      .join(nt.select($"id".as("dst"), $"tile".as("dst_tile")), "dst")
+      .select($"pair_id", $"src", $"dst", $"src_tile", $"dst_tile")
+      .as[(Long, Long, Long, Int, Int)]
+    val interiorByTile = spark.read.parquet(s"$dir/interior")
+      .select($"tile".cast("int"), $"src", $"dst", $"time_ms")
+      .as[(Int, Long, Long, Long)].groupByKey(_._1)
+
+    // legs: (pair_id, kind, node, dist) — kind 0 = direct same-tile distance
+    // (node unused), 1 = source→boundary, 2 = boundary→target
+    def legsOf(byTile: org.apache.spark.sql.KeyValueGroupedDataset[Int, (Long, Long, Long, Int)],
+               reverse: Boolean) =
+      interiorByTile.cogroup(byTile) { (tile, eIt, qIt) =>
+        val qs = qIt.toArray
+        if (qs.isEmpty) Iterator.empty
+        else {
+          val es0 = eIt.map(e => (e._2, e._3, e._4)).toArray
+          val es = if (reverse) es0.map(e => (e._2, e._1, e._3)) else es0
+          val ov = bc.value
+          // node universe: tile interior endpoints + every queried endpoint
+          val idSet = new java.util.LinkedHashSet[java.lang.Long]()
+          es.foreach { case (s, d, _) => idSet.add(s); idSet.add(d) }
+          qs.foreach { q => idSet.add(q._2); if (q._4 == tile) idSet.add(q._3) }
+          val ids = new Array[Long](idSet.size())
+          val it = idSet.iterator(); var i = 0
+          while (it.hasNext) { ids(i) = it.next(); i += 1 }
+          val local = buildLocal(ids, new Array[Double](ids.length),
+            new Array[Double](ids.length), es)
+          // this tile's boundary nodes, as local indices
+          val bLocal = new scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+          i = 0
+          while (i < ids.length) {
+            val oi = ov.index.get(ids(i))
+            if (oi != null && ov.tiles(oi.intValue) == tile) bLocal += ((i, ids(i)))
+            i += 1
+          }
+          // one Dijkstra per DISTINCT endpoint in this tile, shared by pairs
+          val cache = new java.util.HashMap[Long, Array[Long]]()
+          def distsFrom(node: Long): Array[Long] = {
+            var d = cache.get(node)
+            if (d == null) {
+              d = local.distancesFrom(local.index.get(node).intValue, reverse = false)
+              cache.put(node, d)
+            }
+            d
+          }
+          qs.iterator.flatMap { case (pairId, endpoint, other, otherTile) =>
+            val dist = distsFrom(endpoint)
+            val direct =
+              if (!reverse && otherTile == tile) {
+                val oi = local.index.get(other)
+                if (oi != null && dist(oi.intValue) != Long.MaxValue)
+                  Iterator.single((pairId, 0, other, dist(oi.intValue)))
+                else Iterator.empty
+              } else Iterator.empty
+            val kind = if (reverse) 2 else 1
+            direct ++ bLocal.iterator.flatMap { case (bi, bid) =>
+              if (dist(bi) == Long.MaxValue) Iterator.empty
+              else Iterator.single((pairId, kind, bid, dist(bi)))
+            }
+          }
+        }
+      }
+
+    // queries keyed by the tile whose subgraph answers them:
+    // value = (pair_id, endpoint-in-tile, other-endpoint, other-endpoint's tile)
+    val fwd = legsOf(
+      pt.map(p => (p._4, p._1, p._2, p._3, p._5)) // (srcTile, pid, src, dst, dstTile)
+        .groupByKey(_._1)
+        .mapValues(t => (t._2, t._3, t._4, t._5)),
+      reverse = false)
+    val bwd = legsOf(
+      pt.map(p => (p._5, p._1, p._3, p._2, p._4)) // (dstTile, pid, dst, src, srcTile)
+        .groupByKey(_._1)
+        .mapValues(t => (t._2, t._3, t._4, t._5)),
+      reverse = true)
+
+    fwd.union(bwd)
+      .groupByKey(_._1)
+      .mapGroups { (pairId, legIt) =>
+        val ov = bc.value
+        val nb = ov.size
+        var best = Long.MaxValue
+        val seeds = new scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+        val targets = new java.util.HashMap[Integer, java.lang.Long]()
+        legIt.foreach { case (_, kind, node, d) =>
+          if (kind == 0) best = math.min(best, d)
+          else {
+            val oi = ov.index.get(node)
+            if (oi != null) {
+              if (kind == 1) seeds += ((oi.intValue, d))
+              else {
+                val prev = targets.get(oi)
+                if (prev == null || d < prev.longValue) targets.put(oi, d)
+              }
+            }
+          }
+        }
+        if (seeds.nonEmpty && !targets.isEmpty) {
+          val dist = Array.fill(nb)(Long.MaxValue)
+          val pq = new PriorityQueue[Array[Long]](
+            (a, b) => java.lang.Long.compare(a(0), b(0)))
+          seeds.foreach { case (i, d) =>
+            if (d < dist(i)) { dist(i) = d; pq.add(Array(d, i.toLong)) }
+          }
+          while (!pq.isEmpty) {
+            val top = pq.poll()
+            val d = top(0); val v = top(1).toInt
+            if (d == dist(v) && d < best) {
+              val t = targets.get(v)
+              if (t != null) best = math.min(best, d + t.longValue)
+              var e = ov.off(v)
+              while (e < ov.off(v + 1)) {
+                val nd = d + ov.w(e)
+                if (nd < dist(ov.tgt(e))) {
+                  dist(ov.tgt(e)) = nd
+                  pq.add(Array(nd, ov.tgt(e).toLong))
+                }
+                e += 1
+              }
+            }
+          }
+        }
+        (pairId, if (best == Long.MaxValue) -1L else best)
+      }
+      .toDF("pair_id", "time_ms")
+      // pairs that produced no legs at all (fully isolated endpoints) are
+      // still answered: -1
+      .join(pairs.select($"pair_id".cast("long")).distinct(), Seq("pair_id"), "right")
+      .na.fill(-1L, Seq("time_ms"))
+  }
+
+  final case class TileGrid(minLat: Double, minLon: Double,
+                            cellLat: Double, cellLon: Double, cells: Int) {
+    def tileOf(lat: Double, lon: Double): Int = {
+      val ti = math.min(cells - 1, math.max(0, ((lat - minLat) / cellLat).toInt))
+      val tj = math.min(cells - 1, math.max(0, ((lon - minLon) / cellLon).toInt))
+      ti * cells + tj
+    }
+  }
+
+  /** Boundary-node overlay graph (CSR over dense boundary indices). */
+  final class Overlay(
+      val ids: Array[Long], val tiles: Array[Int],
+      val index: java.util.HashMap[Long, Integer],
+      val off: Array[Int], val tgt: Array[Int], val w: Array[Int]) extends Serializable {
+    def size: Int = ids.length
+    def numEdges: Int = tgt.length
+  }
+}
+
+/** Point-query router over a tiled graph: only the overlay plus an LRU of
+  * `cacheTiles` tile subgraphs is ever resident.
+  */
+final class TiledRouter(spark: SparkSession, dir: String, val grid: Tiled.TileGrid,
+                        val overlay: Tiled.Overlay, cacheTiles: Int = 8) {
+
+  private val cache = new java.util.LinkedHashMap[Int, Tiled.TileLocal](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[Int, Tiled.TileLocal]): Boolean =
+      size() > cacheTiles
+  }
+
+  /** Load one tile's interior subgraph (partition-pruned parquet read). */
+  private def tile(tid: Int): Tiled.TileLocal = synchronized {
+    val hit = cache.get(tid)
+    if (hit != null) return hit
+    import spark.implicits._
+    val ns = spark.read.parquet(s"$dir/nodes").filter($"tile" === tid)
+      .select($"id".cast("long"), $"lat".cast("double"), $"lon".cast("double"))
+      .as[(Long, Double, Double)].collect()
+    val es = spark.read.parquet(s"$dir/interior").filter($"tile" === tid)
+      .select($"src".cast("long"), $"dst".cast("long"), $"time_ms".cast("long"))
+      .as[(Long, Long, Long)].collect()
+    val loaded = Tiled.buildLocal(ns.map(_._1), ns.map(_._2), ns.map(_._3), es)
+    cache.put(tid, loaded)
+    loaded
+  }
+
+  /** Exact travel time in ms between the nearest tile nodes to the given
+    * coordinates; -1 when unreachable. Loads at most two tiles.
+    */
+  def travelTimeMs(srcLat: Double, srcLon: Double,
+                   dstLat: Double, dstLon: Double): Long = {
+    val ts = grid.tileOf(srcLat, srcLon); val td = grid.tileOf(dstLat, dstLon)
+    val tileS = tile(ts); val tileD = tile(td)
+    if (tileS.ids.isEmpty || tileD.ids.isEmpty) return -1L
+    val sL = tileS.nearest(srcLat, srcLon); val dL = tileD.nearest(dstLat, dstLon)
+    if (sL < 0 || dL < 0) return -1L
+    if (ts == td && sL == dL) return 0L
+
+    val fwd = tileS.distancesFrom(sL, reverse = false)
+    val bwd = tileD.distancesFrom(dL, reverse = true)
+    // candidate 1: stay inside the (shared) tile
+    var best = if (ts == td && fwd(dL) != Long.MaxValue) fwd(dL) else Long.MaxValue
+
+    // candidate 2: src tile boundary → overlay → dst tile boundary
+    val nb = overlay.size
+    val dist = Array.fill(nb)(Long.MaxValue)
+    val pq = new PriorityQueue[Array[Long]]((a, b) => java.lang.Long.compare(a(0), b(0)))
+    var i = 0
+    while (i < nb) {
+      if (overlay.tiles(i) == ts) {
+        val li = tileS.index.get(overlay.ids(i))
+        if (li != null && fwd(li.intValue) != Long.MaxValue) {
+          dist(i) = fwd(li.intValue)
+          pq.add(Array(dist(i), i.toLong))
+        }
+      }
+      i += 1
+    }
+    while (!pq.isEmpty) {
+      val top = pq.poll()
+      val d = top(0); val v = top(1).toInt
+      if (d == dist(v) && d < best) {
+        if (overlay.tiles(v) == td) {
+          val li = tileD.index.get(overlay.ids(v))
+          if (li != null && bwd(li.intValue) != Long.MaxValue)
+            best = math.min(best, d + bwd(li.intValue))
+        }
+        var e = overlay.off(v)
+        while (e < overlay.off(v + 1)) {
+          val nd = d + overlay.w(e)
+          if (nd < dist(overlay.tgt(e))) {
+            dist(overlay.tgt(e)) = nd
+            pq.add(Array(nd, overlay.tgt(e).toLong))
+          }
+          e += 1
+        }
+      }
+    }
+    if (best == Long.MaxValue) -1L else best
+  }
+}

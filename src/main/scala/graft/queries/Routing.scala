@@ -217,6 +217,33 @@ object Routing {
           .toDF("n_nodes", "n_ways", "n_edges")
       }, None),
 
+    QueryDef("r20_tiled_route",
+      (s, _) => {
+        import s.implicits._
+        // beyond-broadcast scale path (SURVEY §9.2): geometric tiles,
+        // distributed boundary-pair overlay build, exact stitched queries —
+        // values must equal the flat-graph travel_time answers
+        val g = GridFixture.prepared("auto")
+        val nodes = (0 until g.numNodes)
+          .map(i => (i.toLong, g.nodeLat(i), g.nodeLon(i))).toDF("id", "lat", "lon")
+        val edges = (0 until g.numNodes).flatMap { u =>
+          (g.offsets(u) until g.offsets(u + 1))
+            .map(e => (u.toLong, g.targets(e).toLong, g.weightsMs(e).toLong))
+        }.toDF("src", "dst", "time_ms")
+        val dir = java.nio.file.Files.createTempDirectory("graft-tiled-q").toString
+        val router = graft.graph.Tiled.build(s, nodes, edges, cells = 2, dir)
+        val k = GridFixture.K - 1
+        val pairs = Seq(
+          (1, 0, k * GridFixture.K + k),
+          (2, 0, 5 * GridFixture.K + 5),
+          (3, 3, 7 * GridFixture.K),
+          (4, k * GridFixture.K + k, 0))
+        pairs.map { case (id, a, b) =>
+          val ms = router.travelTimeMs(g.nodeLat(a), g.nodeLon(a), g.nodeLat(b), g.nodeLon(b))
+          (id, a, b, ms / 1000.0, router.overlay.size)
+        }.toDF("pair_id", "src", "dst", "seconds", "overlay_nodes")
+      }, None),
+
     QueryDef("r13_optimized_route",
       (s, _) => {
         ensure(s)

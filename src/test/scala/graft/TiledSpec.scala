@@ -1,0 +1,78 @@
+package graft
+
+import graft.algo.Dijkstra
+import graft.graph.{GridFixture, PreparedGraph, Tiled}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exactness proof for tile-partitioned routing (SURVEY §9.2): the stitched
+  * forward-leg / overlay / backward-leg distance must equal plain Dijkstra
+  * on the flat graph for EVERY pair — including oneway asymmetries, pairs
+  * inside one tile (where leaving and re-entering the tile may still be
+  * shorter), and unreachable pairs.
+  */
+class TiledSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def dfsOf(g: PreparedGraph) = {
+    import spark.implicits._
+    val nodes = (0 until g.numNodes)
+      .map(i => (i.toLong, g.nodeLat(i), g.nodeLon(i)))
+      .toDF("id", "lat", "lon")
+    val edges = (0 until g.numNodes).flatMap { u =>
+      (g.offsets(u) until g.offsets(u + 1))
+        .map(e => (u.toLong, g.targets(e).toLong, g.weightsMs(e).toLong))
+    }.toDF("src", "dst", "time_ms")
+    (nodes, edges)
+  }
+
+  private def checkExact(g: PreparedGraph, cells: Int, pairs: Int, seed: Int): Unit = {
+    val (nodes, edges) = dfsOf(g)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tiled").toString
+    val router = Tiled.build(spark, nodes, edges, cells, dir)
+    assert(router.overlay.size > 0 && router.overlay.size < g.numNodes,
+      s"overlay ${router.overlay.size} of ${g.numNodes} nodes")
+    val base = new Dijkstra(g)
+    val r = new scala.util.Random(seed)
+    (0 until pairs).foreach { _ =>
+      val s = r.nextInt(g.numNodes); val t = r.nextInt(g.numNodes)
+      val want = base.shortestPathMs(s, t)
+      val got = router.travelTimeMs(g.nodeLat(s), g.nodeLon(s), g.nodeLat(t), g.nodeLon(t))
+      assert(got == want, s"tiled mismatch $s->$t: got $got want $want")
+    }
+    info(s"n=${g.numNodes} cells=${cells}x$cells overlay=${router.overlay.size} nodes / " +
+      s"${router.overlay.numEdges} edges")
+  }
+
+  test("grid fixture (oneway top row): tiled == flat Dijkstra on 200 pairs, 2x2 tiles") {
+    checkExact(GridFixture.prepared("auto"), cells = 2, pairs = 200, seed = 11)
+  }
+
+  test("40x40 lattice: tiled == flat Dijkstra on 120 pairs, 4x4 tiles") {
+    checkExact(GridFixture.lattice(40), cells = 4, pairs = 120, seed = 12)
+  }
+
+  test("3x3 tiles on the fixture exercise multi-hop overlay paths") {
+    checkExact(GridFixture.prepared("auto"), cells = 3, pairs = 150, seed = 13)
+  }
+
+  test("batch OD matrix over tiles == flat Dijkstra (120 pairs, 4x4 tiles)") {
+    import spark.implicits._
+    val g = GridFixture.lattice(40)
+    val (nodes, edges) = dfsOf(g)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tiled-m").toString
+    val router = Tiled.build(spark, nodes, edges, cells = 4, dir)
+    val r = new scala.util.Random(21)
+    val pairs = (0 until 120).map(i =>
+      (i.toLong, r.nextInt(g.numNodes).toLong, r.nextInt(g.numNodes).toLong))
+    val out = Tiled.matrix(spark, dir, router.overlay,
+        pairs.toDF("pair_id", "src", "dst"))
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(out.size == 120)
+    val base = new Dijkstra(g)
+    pairs.foreach { case (pid, s, t) =>
+      val want = base.shortestPathMs(s.toInt, t.toInt)
+      assert(out(pid) == want, s"pair $pid $s->$t: got ${out(pid)} want $want")
+    }
+  }
+}
