@@ -562,4 +562,86 @@ final class ChQuery(ch: ChGraph) {
     }
     if (best == Long.MaxValue) -1L else best
   }
+
+  /** Exact set-to-set minimum: min over (s, t) of
+    * `srcOff(s) + dist(src(s), dst(t)) + dstOff(t)`.
+    *
+    * Both sides run as MULTI-SOURCE upward searches — the forward search
+    * seeds every source at its offset, so `distF(u)` is the cheapest
+    * source-side reach of `u`, and symmetrically for targets. Every
+    * shortest path in the base graph is an up-down path in the CH, so the
+    * best meeting node over the two searches is exact — this is the
+    * many-to-many CH primitive (one bucket per meeting node collapsed to
+    * its min, Knopp et al. 2007) specialised to a single joint minimum,
+    * which is all the tiled-overlay stitch needs (legs from the source
+    * tile's boundary meet legs into the target tile's boundary).
+    *
+    * Offsets must be non-negative. Returns Long.MaxValue when no pair
+    * connects (caller maps to its own unreachable sentinel).
+    */
+  def shortestSetJoinMs(srcIdx: Array[Int], srcOff: Array[Long],
+                        dstIdx: Array[Int], dstOff: Array[Long]): Long = {
+    gen += 1
+    pqF.clear(); pqB.clear()
+    var i = 0
+    while (i < srcIdx.length) {
+      val s = srcIdx(i); val d = srcOff(i)
+      if (stampF(s) != gen || d < distF(s)) {
+        distF(s) = d; stampF(s) = gen; pqF.add(new QE(s, d))
+      }
+      i += 1
+    }
+    i = 0
+    while (i < dstIdx.length) {
+      val t = dstIdx(i); val d = dstOff(i)
+      if (stampB(t) != gen || d < distB(t)) {
+        distB(t) = d; stampB(t) = gen; pqB.add(new QE(t, d))
+      }
+      i += 1
+    }
+    var best = Long.MaxValue
+    while ((!pqF.isEmpty && pqF.peek().d < best) || (!pqB.isEmpty && pqB.peek().d < best)) {
+      if (!pqF.isEmpty && pqF.peek().d < best) {
+        val top = pqF.poll(); val u = top.node
+        if (stampF(u) == gen && top.d == distF(u)) {
+          if (stampB(u) == gen) best = math.min(best, top.d + distB(u))
+          var e = ch.upOff(u)
+          while (e < ch.upOff(u + 1)) {
+            val vv = ch.upTgt(e); val nd = top.d + ch.upW(e)
+            if (stampF(vv) != gen || nd < distF(vv)) {
+              distF(vv) = nd; stampF(vv) = gen; pqF.add(new QE(vv, nd))
+            }
+            e += 1
+          }
+        }
+      }
+      if (!pqB.isEmpty && pqB.peek().d < best) {
+        val top = pqB.poll(); val u = top.node
+        if (stampB(u) == gen && top.d == distB(u)) {
+          if (stampF(u) == gen) best = math.min(best, top.d + distF(u))
+          var e = ch.dnOff(u)
+          while (e < ch.dnOff(u + 1)) {
+            val vv = ch.dnTgt(e); val nd = top.d + ch.dnW(e)
+            if (stampB(vv) != gen || nd < distB(vv)) {
+              distB(vv) = nd; stampB(vv) = gen; pqB.add(new QE(vv, nd))
+            }
+            e += 1
+          }
+        }
+      }
+    }
+    best
+  }
+}
+
+object ChQuery {
+  // executor-side reuse: mapGroups processes many groups per task thread;
+  // per-group allocation of the O(n) scratch arrays would dominate, so one
+  // query object is kept per (thread, ChGraph) pair
+  private val tl = new ThreadLocal[(ChGraph, ChQuery)]
+  def forGraph(ch: ChGraph): ChQuery = {
+    val cur = tl.get()
+    if (cur != null && (cur._1 eq ch)) cur._2
+    else { val q = new ChQuery(ch); tl.set((ch, q)); q }
+  }
 }

@@ -133,7 +133,7 @@ object Tiled {
     * (src BIGINT, dst BIGINT, time_ms BIGINT).
     */
   def build(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
-            cells: Int, outDir: String): TiledRouter = {
+            cells: Int, outDir: String, chGate: Int = 100000): TiledRouter = {
     import spark.implicits._
     val Seq(minLat, maxLat, minLon, maxLon) =
       nodes.agg(min($"lat"), max($"lat"), min($"lon"), max($"lon"))
@@ -213,14 +213,19 @@ object Tiled {
 
     // overlay = cross-tile edges + within-tile boundary-pair distances
     val overlayEdges = cross.union(intra).collect()
-    val boundaryRows = boundary.select($"id".cast("long"), $"tile".cast("int"))
-      .as[(Long, Int)].collect()
+    val boundaryRows = boundary.join(nt.select($"id", $"lat", $"lon"), "id")
+      .select($"id".cast("long"), $"tile".cast("int"),
+        $"lat".cast("double"), $"lon".cast("double"))
+      .as[(Long, Int, Double, Double)].collect()
     val bIndex = new java.util.HashMap[Long, Integer](boundaryRows.length * 2)
     val bIds = new Array[Long](boundaryRows.length)
     val bTiles = new Array[Int](boundaryRows.length)
+    val bLat = new Array[Double](boundaryRows.length)
+    val bLon = new Array[Double](boundaryRows.length)
     var i = 0
-    boundaryRows.foreach { case (id, tile) =>
-      bIndex.put(id, i); bIds(i) = id; bTiles(i) = tile; i += 1
+    boundaryRows.foreach { case (id, tile, la, lo) =>
+      bIndex.put(id, i); bIds(i) = id; bTiles(i) = tile
+      bLat(i) = la; bLon(i) = lo; i += 1
     }
     val nb = bIds.length
     val m = overlayEdges.length
@@ -239,8 +244,37 @@ object Tiled {
         tgt(p) = di.intValue; w(p) = math.min(t, Int.MaxValue).toInt
       }
     }
-    new TiledRouter(spark, outDir, grid,
-      new Overlay(bIds, bTiles, bIndex, off, tgt, w))
+    val ov = new Overlay(bIds, bTiles, bIndex, off, tgt, w)
+    // contraction hierarchy over the overlay: the long-range stitch then
+    // costs a few hundred settled nodes per query instead of a Dijkstra
+    // over the whole transit level (millions of nodes at planet scale)
+    if (nb >= 2 && nb <= chGate) {
+      val eCnt = off(nb)
+      val fTgt = java.util.Arrays.copyOf(tgt, eCnt)
+      val fW = java.util.Arrays.copyOf(w, eCnt)
+      val rOff = new Array[Int](nb + 1)
+      var e = 0
+      while (e < eCnt) { rOff(fTgt(e) + 1) += 1; e += 1 }
+      i = 0
+      while (i < nb) { rOff(i + 1) += rOff(i); i += 1 }
+      val rTgt = new Array[Int](eCnt); val rW = new Array[Int](eCnt)
+      val rCur = rOff.clone()
+      var u = 0
+      while (u < nb) {
+        e = off(u)
+        while (e < off(u + 1)) {
+          val p = rCur(fTgt(e)); rCur(fTgt(e)) += 1
+          rTgt(p) = u; rW(p) = fW(e)
+          e += 1
+        }
+        u += 1
+      }
+      val pg = new PreparedGraph(bLat, bLon, off, fTgt, fW,
+        new Array[Float](eCnt), rOff, rTgt, rW,
+        GridIndex.build(Array.range(0, nb), bLat, bLon))
+      ov.ch = graft.algo.ContractionHierarchy.build(pg)
+    }
+    new TiledRouter(spark, outDir, grid, ov)
   }
 
   /** Batch OD travel times over a tiled layout (SURVEY §9.2 step 3): pairs
@@ -360,7 +394,21 @@ object Tiled {
             }
           }
         }
-        if (seeds.nonEmpty && !targets.isEmpty) {
+        if (seeds.nonEmpty && !targets.isEmpty && ov.ch != null) {
+          // CH stitch (see Overlay.ch): per-pair cost is the CH search
+          // space of the two boundary sets, not an overlay-wide Dijkstra
+          val tIdx = new Array[Int](targets.size)
+          val tOff = new Array[Long](targets.size)
+          var ti = 0
+          val tIt = targets.entrySet().iterator()
+          while (tIt.hasNext) {
+            val en = tIt.next()
+            tIdx(ti) = en.getKey.intValue; tOff(ti) = en.getValue.longValue; ti += 1
+          }
+          val j = graft.algo.ChQuery.forGraph(ov.ch).shortestSetJoinMs(
+            seeds.map(_._1).toArray, seeds.map(_._2).toArray, tIdx, tOff)
+          best = math.min(best, j)
+        } else if (seeds.nonEmpty && !targets.isEmpty) {
           val dist = Array.fill(nb)(Long.MaxValue)
           val pq = new PriorityQueue[Array[Long]](
             (a, b) => java.lang.Long.compare(a(0), b(0)))
@@ -410,6 +458,16 @@ object Tiled {
       val off: Array[Int], val tgt: Array[Int], val w: Array[Int]) extends Serializable {
     def size: Int = ids.length
     def numEdges: Int = tgt.length
+
+    /** Contraction hierarchy over the overlay (built once driver-side in
+      * [[Tiled.build]], shipped with the broadcast). At planet scale the
+      * overlay is still millions of nodes — a plain multi-source Dijkstra
+      * per OD pair over it is the stitch's bottleneck; the CH search space
+      * per pair is a few hundred nodes regardless of overlay size. Null
+      * when the overlay exceeded the build gate (queries fall back to the
+      * exact Dijkstra stitch).
+      */
+    @volatile var ch: graft.algo.ChGraph = null
   }
 }
 
@@ -459,36 +517,66 @@ final class TiledRouter(spark: SparkSession, dir: String, val grid: Tiled.TileGr
 
     // candidate 2: src tile boundary → overlay → dst tile boundary
     val nb = overlay.size
-    val dist = Array.fill(nb)(Long.MaxValue)
-    val pq = new PriorityQueue[Array[Long]]((a, b) => java.lang.Long.compare(a(0), b(0)))
-    var i = 0
-    while (i < nb) {
-      if (overlay.tiles(i) == ts) {
-        val li = tileS.index.get(overlay.ids(i))
-        if (li != null && fwd(li.intValue) != Long.MaxValue) {
-          dist(i) = fwd(li.intValue)
-          pq.add(Array(dist(i), i.toLong))
-        }
-      }
-      i += 1
-    }
-    while (!pq.isEmpty) {
-      val top = pq.poll()
-      val d = top(0); val v = top(1).toInt
-      if (d == dist(v) && d < best) {
-        if (overlay.tiles(v) == td) {
-          val li = tileD.index.get(overlay.ids(v))
-          if (li != null && bwd(li.intValue) != Long.MaxValue)
-            best = math.min(best, d + bwd(li.intValue))
-        }
-        var e = overlay.off(v)
-        while (e < overlay.off(v + 1)) {
-          val nd = d + overlay.w(e)
-          if (nd < dist(overlay.tgt(e))) {
-            dist(overlay.tgt(e)) = nd
-            pq.add(Array(nd, overlay.tgt(e).toLong))
+    if (overlay.ch != null) {
+      // CH stitch: the two boundary sets seed a set-to-set CH query whose
+      // search space is a few hundred nodes no matter how big the overlay
+      val sIdx = new scala.collection.mutable.ArrayBuffer[Int]()
+      val sOff = new scala.collection.mutable.ArrayBuffer[Long]()
+      val tIdx = new scala.collection.mutable.ArrayBuffer[Int]()
+      val tOff = new scala.collection.mutable.ArrayBuffer[Long]()
+      var i = 0
+      while (i < nb) {
+        if (overlay.tiles(i) == ts) {
+          val li = tileS.index.get(overlay.ids(i))
+          if (li != null && fwd(li.intValue) != Long.MaxValue) {
+            sIdx += i; sOff += fwd(li.intValue)
           }
-          e += 1
+        }
+        if (overlay.tiles(i) == td) {
+          val li = tileD.index.get(overlay.ids(i))
+          if (li != null && bwd(li.intValue) != Long.MaxValue) {
+            tIdx += i; tOff += bwd(li.intValue)
+          }
+        }
+        i += 1
+      }
+      if (sIdx.nonEmpty && tIdx.nonEmpty) {
+        val j = graft.algo.ChQuery.forGraph(overlay.ch)
+          .shortestSetJoinMs(sIdx.toArray, sOff.toArray, tIdx.toArray, tOff.toArray)
+        best = math.min(best, j)
+      }
+    } else {
+      val dist = Array.fill(nb)(Long.MaxValue)
+      val pq = new PriorityQueue[Array[Long]]((a, b) => java.lang.Long.compare(a(0), b(0)))
+      var i = 0
+      while (i < nb) {
+        if (overlay.tiles(i) == ts) {
+          val li = tileS.index.get(overlay.ids(i))
+          if (li != null && fwd(li.intValue) != Long.MaxValue) {
+            dist(i) = fwd(li.intValue)
+            pq.add(Array(dist(i), i.toLong))
+          }
+        }
+        i += 1
+      }
+      while (!pq.isEmpty) {
+        val top = pq.poll()
+        val d = top(0); val v = top(1).toInt
+        if (d == dist(v) && d < best) {
+          if (overlay.tiles(v) == td) {
+            val li = tileD.index.get(overlay.ids(v))
+            if (li != null && bwd(li.intValue) != Long.MaxValue)
+              best = math.min(best, d + bwd(li.intValue))
+          }
+          var e = overlay.off(v)
+          while (e < overlay.off(v + 1)) {
+            val nd = d + overlay.w(e)
+            if (nd < dist(overlay.tgt(e))) {
+              dist(overlay.tgt(e)) = nd
+              pq.add(Array(nd, overlay.tgt(e).toLong))
+            }
+            e += 1
+          }
         }
       }
     }

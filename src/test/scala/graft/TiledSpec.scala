@@ -26,12 +26,15 @@ class TiledSpec extends AnyFunSuite {
     (nodes, edges)
   }
 
-  private def checkExact(g: PreparedGraph, cells: Int, pairs: Int, seed: Int): Unit = {
+  private def checkExact(g: PreparedGraph, cells: Int, pairs: Int, seed: Int,
+                         chGate: Int = 100000): Unit = {
     val (nodes, edges) = dfsOf(g)
     val dir = java.nio.file.Files.createTempDirectory("graft-tiled").toString
-    val router = Tiled.build(spark, nodes, edges, cells, dir)
+    val router = Tiled.build(spark, nodes, edges, cells, dir, chGate)
     assert(router.overlay.size > 0 && router.overlay.size < g.numNodes,
       s"overlay ${router.overlay.size} of ${g.numNodes} nodes")
+    assert((chGate == 0) == (router.overlay.ch == null),
+      s"overlay CH presence should follow the gate (gate=$chGate)")
     val base = new Dijkstra(g)
     val r = new scala.util.Random(seed)
     (0 until pairs).foreach { _ =>
@@ -56,6 +59,10 @@ class TiledSpec extends AnyFunSuite {
     checkExact(GridFixture.prepared("auto"), cells = 3, pairs = 150, seed = 13)
   }
 
+  test("Dijkstra-stitch fallback (chGate=0) stays exact") {
+    checkExact(GridFixture.prepared("auto"), cells = 2, pairs = 120, seed = 14, chGate = 0)
+  }
+
   test("batch OD matrix over tiles == flat Dijkstra (120 pairs, 4x4 tiles)") {
     import spark.implicits._
     val g = GridFixture.lattice(40)
@@ -74,5 +81,12 @@ class TiledSpec extends AnyFunSuite {
       val want = base.shortestPathMs(s.toInt, t.toInt)
       assert(out(pid) == want, s"pair $pid $s->$t: got ${out(pid)} want $want")
     }
+    // same pairs through the Dijkstra fallback stitch (no overlay CH)
+    assert(router.overlay.ch != null)
+    router.overlay.ch = null
+    val out2 = Tiled.matrix(spark, dir, router.overlay,
+        pairs.toDF("pair_id", "src", "dst"))
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(out2 == out, "CH stitch and Dijkstra stitch must agree")
   }
 }
