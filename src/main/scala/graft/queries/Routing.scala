@@ -244,6 +244,27 @@ object Routing {
         }.toDF("pair_id", "src", "dst", "seconds", "overlay_nodes")
       }, None),
 
+    QueryDef("r21_distributed_ch",
+      (s, _) => {
+        import s.implicits._
+        // cluster-distributed CH preparation: executors contract tile
+        // interiors, driver contracts only the boundary remainder
+        // (graft.algo.DistributedCh); answers must equal the flat
+        // bidirectional Dijkstra
+        val g = GridFixture.prepared("auto")
+        val ch = graft.algo.DistributedCh.build(s, g, cells = 2)
+        val q = new graft.algo.ChQuery(ch)
+        val base = new graft.algo.BiDijkstra(g)
+        val k = GridFixture.K - 1
+        Seq((1, 0, k * GridFixture.K + k), (2, 5, 5 * GridFixture.K),
+            (3, k * GridFixture.K + k, 0), (4, 7, 7))
+          .map { case (id, a, b) =>
+            (id, a, b, q.shortestPathMs(a, b) / 1000.0,
+              q.shortestPathMs(a, b) == base.shortestPathMs(a, b))
+          }
+          .toDF("pair_id", "src", "dst", "seconds", "matches_flat")
+      }, None),
+
     QueryDef("r13_optimized_route",
       (s, _) => {
         ensure(s)
