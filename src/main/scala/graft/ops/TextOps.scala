@@ -25,6 +25,20 @@ object TextOps {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Distinct n-word shingles (space-joined) of the lowercased,
+    * whitespace-tokenized text; empty when the document has fewer than n
+    * words. The unit of the GPT-3-style benchmark-contamination check:
+    * train docs sharing word n-grams with an eval set are flagged.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val w = tokens(lower(text))
+    array_distinct(
+      when(size(w) >= n,
+        transform(sequence(lit(1), size(w) - (n - 1)),
+          i => array_join(slice(w, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>")))
+  }
+
   /** Characters that survive removing all [a-zA-Z0-9 ] — punctuation mass. */
   def punctCount(text: Column): Column =
     length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))

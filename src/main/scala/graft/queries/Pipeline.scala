@@ -395,6 +395,96 @@ object Pipeline {
              |QUALIFY row_number() OVER w <= 15
              |ORDER BY rank""".stripMargin)),
 
+    // -- benchmark contamination: word-8-gram overlap vs an eval split ------
+    // The GPT-3-style decontamination primitive: every train document is
+    // scored by the fraction of its distinct 8-word shingles that appear in
+    // ANY eval-set document. Scale shape: the eval shingle set is tiny →
+    // broadcast left join against the train shingle stream; the per-doc
+    // aggregation partial-aggregates map-side. No corpus-wide shuffle of
+    // text ever happens.
+    QueryDef("p20_contamination",
+      (s, d) => {
+        import s.implicits._
+        // single-file corpus parquet = one partition; spread the per-row
+        // shingling cost across cores before exploding
+        val sh = t(s, d, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select($"doc_id", explode(TextOps.wordShingles($"text", 8)).as("g"))
+        val ev = sh.filter($"doc_id" % 97 === 0).select($"g").distinct()
+          .withColumn("hit", lit(1))
+        sh.filter($"doc_id" % 97 =!= 0)
+          .join(broadcast(ev), Seq("g"), "left")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(coalesce($"hit", lit(0))).cast("long").as("n_contaminated"))
+          .withColumn("contamination_rate",
+            round($"n_contaminated".cast("double") / $"n_shingles", 4))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 8 THEN
+             |      list_transform(generate_series(1, len(w) - 7),
+             |                     i -> array_to_string(list_slice(w, i, i + 7), ' '))
+             |    ELSE CAST([] AS VARCHAR[]) END) AS s
+             |  FROM w),
+             |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+             |tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0)
+             |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+             |  CAST(sum(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+             |  round(CAST(sum(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             |        / count(*), 4) AS contamination_rate
+             |FROM tr LEFT JOIN ev ON tr.g = ev.g
+             |GROUP BY tr.doc_id
+             |ORDER BY tr.doc_id""".stripMargin)),
+
+    // -- TF-IDF keyword extraction: corpus DF + per-doc top-3 terms ---------
+    // Two hash aggregations (term frequency, document frequency — both
+    // partial-aggregate map-side), a broadcast join of the vocab-sized DF
+    // table back onto TF, and one per-doc window over the filtered slice.
+    // The rounded tfidf + token tie-break is the cross-engine ordering
+    // contract (same discipline as p19's rounded argmin).
+    QueryDef("p21_tfidf",
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val nDocs = docs.count().toDouble
+        val toks = docs
+          .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("token"))
+          .filter(length($"token") > 0)
+        val tf = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+        val dfT = toks.groupBy($"token")
+          .agg(countDistinct($"doc_id").as("df"))
+        val scored = tf.join(broadcast(dfT), "token")
+          .filter($"doc_id" < 30)
+          .withColumn("tfidf", round($"tf" * log(lit(nDocs) / $"df"), 4))
+        val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"token")
+        scored.withColumn("rank", row_number().over(w).cast("int"))
+          .filter($"rank" <= 3)
+          .select($"doc_id", $"rank", $"token", $"tf", $"df", $"tfidf")
+          .orderBy($"doc_id", $"rank")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
+             |  FROM documents),
+             |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+             |       FROM toks GROUP BY doc_id, token),
+             |df AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+             |       FROM toks GROUP BY token),
+             |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+             |scored AS (
+             |  SELECT doc_id, token, tf, df, round(tf * ln(n.n / df), 4) AS tfidf
+             |  FROM tf JOIN df USING (token), n WHERE doc_id < 30)
+             |SELECT doc_id, CAST(row_number() OVER w AS INT) AS rank, token, tf, df, tfidf
+             |FROM scored
+             |WINDOW w AS (PARTITION BY doc_id ORDER BY tfidf DESC, token)
+             |QUALIFY row_number() OVER w <= 3
+             |ORDER BY doc_id, rank""".stripMargin)),
+
     // -- real IVF ANN: trained centroids (2 Lloyd steps), nprobe=2 ----------
     // Unlike p07 (label-proxy cells), the cells here are LEARNED from the
     // data: deterministic init (first 8 vectors), two distributed Lloyd

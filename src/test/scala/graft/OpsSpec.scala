@@ -24,6 +24,19 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2).getInt(1) == 3)
   }
 
+  test("word shingles: n-grams, dedup, short-doc empties, case folding") {
+    val df = Seq(
+      (1, "A b c d"),   // 4 words, n=3 -> 2 shingles
+      (2, "x y"),       // too short for n=3 -> empty
+      (3, "a a a a"))   // all shingles identical -> 1 distinct
+      .toDF("id", "text")
+    val out = df.select($"id", TextOps.wordShingles($"text", 3).as("sh"))
+      .orderBy($"id").collect()
+    assert(out(0).getSeq[String](1) == Seq("a b c", "b c d"))
+    assert(out(1).getSeq[String](1).isEmpty)
+    assert(out(2).getSeq[String](1) == Seq("a a a"))
+  }
+
   test("language ID picks the dominant stopword language") {
     val df = Seq(
       (1, "the cat and the dog of it"),
