@@ -16,16 +16,20 @@ import java.nio.file.{Files, Path}
 object ChStore {
   private val Magic = 0x43484731 // "CHG1"
 
-  /** FNV-1a over the structural arrays — cheap (one linear pass). */
-  def fingerprint(g: PreparedGraph): Long = {
+  /** FNV-1a over structural CSR arrays — cheap (one linear pass). */
+  def fingerprintCsr(offsets: Array[Int], targets: Array[Int],
+                     weights: Array[Int], numNodes: Int, numEdges: Int): Long = {
     var h = 0xcbf29ce484222325L
     def mix(v: Int): Unit = { h ^= (v & 0xffffffffL); h *= 0x100000001b3L }
     var i = 0
-    while (i <= g.numNodes) { mix(g.offsets(i)); i += 1 }
+    while (i <= numNodes) { mix(offsets(i)); i += 1 }
     i = 0
-    while (i < g.numEdges) { mix(g.targets(i)); mix(g.weightsMs(i)); i += 1 }
+    while (i < numEdges) { mix(targets(i)); mix(weights(i)); i += 1 }
     h
   }
+
+  def fingerprint(g: PreparedGraph): Long =
+    fingerprintCsr(g.offsets, g.targets, g.weightsMs, g.numNodes, g.numEdges)
 
   private def writeArr(out: DataOutputStream, a: Array[Int]): Unit = {
     out.writeInt(a.length)
@@ -41,13 +45,14 @@ object ChStore {
     a
   }
 
-  def save(file: Path, g: PreparedGraph, ch: ChGraph): Unit = {
-    Files.createDirectories(file.getParent)
-    val out = new DataOutputStream(new BufferedOutputStream(
-      Files.newOutputStream(file), 1 << 16))
+  /** Write a CH (stream form — works for any filesystem, incl. Hadoop FS
+    * streams for tiled layouts on shared storage). Closes the stream.
+    */
+  def saveStream(os: java.io.OutputStream, graphFp: Long, ch: ChGraph): Unit = {
+    val out = new DataOutputStream(new BufferedOutputStream(os, 1 << 16))
     try {
       out.writeInt(Magic)
-      out.writeLong(fingerprint(g))
+      out.writeLong(graphFp)
       out.writeInt(ch.n)
       writeArr(out, ch.rank)
       writeArr(out, ch.upOff); writeArr(out, ch.upTgt); writeArr(out, ch.upW)
@@ -55,16 +60,16 @@ object ChStore {
     } finally out.close()
   }
 
-  /** Load a CH valid for `g`; None when missing, corrupt, or stale. */
-  def load(file: Path, g: PreparedGraph): Option[ChGraph] = {
-    if (!Files.exists(file)) return None
-    val in = new DataInputStream(new BufferedInputStream(
-      Files.newInputStream(file), 1 << 16))
+  /** Read a CH whose stored fingerprint and node count match; None on any
+    * mismatch or corruption. Closes the stream.
+    */
+  def loadStream(is: java.io.InputStream, graphFp: Long, numNodes: Int): Option[ChGraph] = {
+    val in = new DataInputStream(new BufferedInputStream(is, 1 << 16))
     try {
       if (in.readInt() != Magic) return None
-      if (in.readLong() != fingerprint(g)) return None
+      if (in.readLong() != graphFp) return None
       val n = in.readInt()
-      if (n != g.numNodes) return None
+      if (n != numNodes) return None
       val rank = readArr(in)
       val uo = readArr(in); val ut = readArr(in); val uw = readArr(in)
       val dno = readArr(in); val dnt = readArr(in); val dnw = readArr(in)
@@ -72,6 +77,17 @@ object ChStore {
     } catch {
       case _: java.io.IOException => None
     } finally in.close()
+  }
+
+  def save(file: Path, g: PreparedGraph, ch: ChGraph): Unit = {
+    Files.createDirectories(file.getParent)
+    saveStream(Files.newOutputStream(file), fingerprint(g), ch)
+  }
+
+  /** Load a CH valid for `g`; None when missing, corrupt, or stale. */
+  def load(file: Path, g: PreparedGraph): Option[ChGraph] = {
+    if (!Files.exists(file)) return None
+    loadStream(Files.newInputStream(file), fingerprint(g), g.numNodes)
   }
 
   /** Attach a cached CH to `g`, or build (honoring the auto-gate) and cache

@@ -228,53 +228,116 @@ object Tiled {
       bLat(i) = la; bLon(i) = lo; i += 1
     }
     val nb = bIds.length
-    val m = overlayEdges.length
-    val off = new Array[Int](nb + 1)
-    overlayEdges.foreach { case (s, _, _) =>
-      val si = bIndex.get(s); if (si != null) off(si.intValue + 1) += 1
-    }
-    i = 0
-    while (i < nb) { off(i + 1) += off(i); i += 1 }
-    val tgt = new Array[Int](m); val w = new Array[Int](m)
-    val cur = off.clone()
-    overlayEdges.foreach { case (s, d, t) =>
+    // canonical SORTED local-index triples: the CSR layout becomes
+    // deterministic, so the persisted CH's fingerprint survives a reload
+    // (parquet row order is not stable across reads)
+    val triples = overlayEdges.flatMap { case (s, d, t) =>
       val si = bIndex.get(s); val di = bIndex.get(d)
-      if (si != null && di != null) {
-        val p = cur(si.intValue); cur(si.intValue) += 1
-        tgt(p) = di.intValue; w(p) = math.min(t, Int.MaxValue).toInt
-      }
-    }
+      if (si == null || di == null || si.intValue == di.intValue) None
+      else Some((si.intValue, di.intValue, math.min(t, Int.MaxValue).toInt))
+    }.sorted
+    val (off, tgt, w) = overlayCsr(nb, triples)
     val ov = new Overlay(bIds, bTiles, bIndex, off, tgt, w)
     // contraction hierarchy over the overlay: the long-range stitch then
     // costs a few hundred settled nodes per query instead of a Dijkstra
     // over the whole transit level (millions of nodes at planet scale)
-    if (nb >= 2 && nb <= chGate) {
-      val eCnt = off(nb)
-      val fTgt = java.util.Arrays.copyOf(tgt, eCnt)
-      val fW = java.util.Arrays.copyOf(w, eCnt)
-      val rOff = new Array[Int](nb + 1)
-      var e = 0
-      while (e < eCnt) { rOff(fTgt(e) + 1) += 1; e += 1 }
-      i = 0
-      while (i < nb) { rOff(i + 1) += rOff(i); i += 1 }
-      val rTgt = new Array[Int](eCnt); val rW = new Array[Int](eCnt)
-      val rCur = rOff.clone()
-      var u = 0
-      while (u < nb) {
-        e = off(u)
-        while (e < off(u + 1)) {
-          val p = rCur(fTgt(e)); rCur(fTgt(e)) += 1
-          rTgt(p) = u; rW(p) = fW(e)
-          e += 1
-        }
-        u += 1
-      }
-      val pg = new PreparedGraph(bLat, bLon, off, fTgt, fW,
-        new Array[Float](eCnt), rOff, rTgt, rW,
-        GridIndex.build(Array.range(0, nb), bLat, bLon))
-      ov.ch = graft.algo.ContractionHierarchy.build(pg)
+    if (nb >= 2 && nb <= chGate) ov.ch = buildOverlayCh(ov, bLat, bLon)
+
+    // persist overlay + grid beside the tile parquet: the boundary
+    // Dijkstras and the CH build are paid once; Tiled.load rehydrates
+    (0 until nb).map(j => (j, bIds(j), bTiles(j), bLat(j), bLon(j)))
+      .toDF("idx", "id", "tile", "lat", "lon")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/overlay_nodes")
+    triples.toSeq.toDF("src", "dst", "time_ms")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/overlay_edges")
+    Seq((grid.minLat, grid.minLon, grid.cellLat, grid.cellLon, grid.cells))
+      .toDF("min_lat", "min_lon", "cell_lat", "cell_lon", "cells")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/grid")
+    if (ov.ch != null) {
+      val fs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      ChStore.saveStream(
+        fs.create(new org.apache.hadoop.fs.Path(s"$outDir/overlay_ch.bin"), true),
+        ChStore.fingerprintCsr(off, tgt, w, nb, tgt.length), ov.ch)
     }
     new TiledRouter(spark, outDir, grid, ov)
+  }
+
+  private def overlayCsr(nb: Int, triples: Array[(Int, Int, Int)])
+      : (Array[Int], Array[Int], Array[Int]) = {
+    val m = triples.length
+    val off = new Array[Int](nb + 1)
+    triples.foreach(e => off(e._1 + 1) += 1)
+    var i = 0
+    while (i < nb) { off(i + 1) += off(i); i += 1 }
+    val tgt = new Array[Int](m); val w = new Array[Int](m)
+    i = 0
+    while (i < m) { tgt(i) = triples(i)._2; w(i) = triples(i)._3; i += 1 }
+    (off, tgt, w)
+  }
+
+  /** CH over the overlay CSR (driver-side, broadcast with the overlay). */
+  private def buildOverlayCh(ov: Overlay, bLat: Array[Double],
+                             bLon: Array[Double]): graft.algo.ChGraph = {
+    val nb = ov.size
+    val eCnt = ov.numEdges
+    val rOff = new Array[Int](nb + 1)
+    var e = 0
+    while (e < eCnt) { rOff(ov.tgt(e) + 1) += 1; e += 1 }
+    var i = 0
+    while (i < nb) { rOff(i + 1) += rOff(i); i += 1 }
+    val rTgt = new Array[Int](eCnt); val rW = new Array[Int](eCnt)
+    val rCur = rOff.clone()
+    var u = 0
+    while (u < nb) {
+      e = ov.off(u)
+      while (e < ov.off(u + 1)) {
+        val p = rCur(ov.tgt(e)); rCur(ov.tgt(e)) += 1
+        rTgt(p) = u; rW(p) = ov.w(e)
+        e += 1
+      }
+      u += 1
+    }
+    val pg = new PreparedGraph(bLat, bLon, ov.off, ov.tgt, ov.w,
+      new Array[Float](eCnt), rOff, rTgt, rW,
+      GridIndex.build(Array.range(0, nb), bLat, bLon))
+    graft.algo.ContractionHierarchy.build(pg)
+  }
+
+  /** Rehydrate a router from a persisted layout (`build`'s outDir): tiles
+    * stay on disk (partition-pruned reads as before), the overlay reloads
+    * from parquet, and the CH binary attaches when its fingerprint matches
+    * the rebuilt CSR — a missing or stale CH degrades to the exact
+    * Dijkstra stitch, never to wrong answers.
+    */
+  def load(spark: SparkSession, dir: String): TiledRouter = {
+    import spark.implicits._
+    val g = spark.read.parquet(s"$dir/grid")
+      .select($"min_lat", $"min_lon", $"cell_lat", $"cell_lon", $"cells")
+      .as[(Double, Double, Double, Double, Int)].head()
+    val grid = TileGrid(g._1, g._2, g._3, g._4, g._5)
+    val nRows = spark.read.parquet(s"$dir/overlay_nodes")
+      .select($"idx".cast("int"), $"id".cast("long"), $"tile".cast("int"),
+        $"lat".cast("double"), $"lon".cast("double"))
+      .as[(Int, Long, Int, Double, Double)].collect().sortBy(_._1)
+    val nb = nRows.length
+    val bIds = nRows.map(_._2); val bTiles = nRows.map(_._3)
+    val bIndex = new java.util.HashMap[Long, Integer](nb * 2)
+    var i = 0
+    while (i < nb) { bIndex.put(bIds(i), i); i += 1 }
+    val triples = spark.read.parquet(s"$dir/overlay_edges")
+      .select($"src".cast("int"), $"dst".cast("int"), $"time_ms".cast("int"))
+      .as[(Int, Int, Int)].collect().sorted
+    val (off, tgt, w) = overlayCsr(nb, triples)
+    val ov = new Overlay(bIds, bTiles, bIndex, off, tgt, w)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val chPath = new org.apache.hadoop.fs.Path(s"$dir/overlay_ch.bin")
+    if (fs.exists(chPath))
+      ChStore.loadStream(fs.open(chPath),
+        ChStore.fingerprintCsr(off, tgt, w, nb, tgt.length), nb)
+        .foreach(ch => ov.ch = ch)
+    new TiledRouter(spark, dir, grid, ov)
   }
 
   /** Batch OD travel times over a tiled layout (SURVEY §9.2 step 3): pairs

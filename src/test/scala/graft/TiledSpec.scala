@@ -63,6 +63,34 @@ class TiledSpec extends AnyFunSuite {
     checkExact(GridFixture.prepared("auto"), cells = 2, pairs = 120, seed = 14, chGate = 0)
   }
 
+  test("persisted layout round-trip: Tiled.load == fresh build, CH attached") {
+    val g = GridFixture.prepared("auto")
+    val (nodes, edges) = dfsOf(g)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tiled-rt").toString
+    val built = Tiled.build(spark, nodes, edges, cells = 2, dir)
+    val loaded = Tiled.load(spark, dir)
+    assert(loaded.overlay.ch != null, "persisted CH must reattach on load")
+    assert(loaded.overlay.size == built.overlay.size)
+    val r = new scala.util.Random(41)
+    (0 until 80).foreach { _ =>
+      val s = r.nextInt(g.numNodes); val t = r.nextInt(g.numNodes)
+      val want = built.travelTimeMs(g.nodeLat(s), g.nodeLon(s), g.nodeLat(t), g.nodeLon(t))
+      val got = loaded.travelTimeMs(g.nodeLat(s), g.nodeLon(s), g.nodeLat(t), g.nodeLon(t))
+      assert(got == want, s"round-trip mismatch $s->$t: got $got want $want")
+    }
+    // a corrupted CH binary must degrade to the exact Dijkstra stitch
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "overlay_ch.bin"),
+      Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16))
+    val degraded = Tiled.load(spark, dir)
+    assert(degraded.overlay.ch == null, "corrupt CH must not attach")
+    val base = new Dijkstra(g)
+    (0 until 40).foreach { _ =>
+      val s = r.nextInt(g.numNodes); val t = r.nextInt(g.numNodes)
+      assert(degraded.travelTimeMs(g.nodeLat(s), g.nodeLon(s),
+        g.nodeLat(t), g.nodeLon(t)) == base.shortestPathMs(s, t))
+    }
+  }
+
   test("batch OD matrix over tiles == flat Dijkstra (120 pairs, 4x4 tiles)") {
     import spark.implicits._
     val g = GridFixture.lattice(40)
