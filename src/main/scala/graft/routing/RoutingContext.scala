@@ -47,10 +47,7 @@ object RoutingContext {
           val sc = spark.sparkContext
           val bc = graphsByMode.map { case (mode, (nodes, edges)) =>
             val pg = GraphBuilder.prepare(nodes, edges)
-            chFileByMode.get(mode) match {
-              case Some(f) => graft.graph.ChStore.attachOrBuild(pg, f)
-              case None    => pg.withCh()
-            }
+            attachCh(spark, pg, chFileByMode.get(mode))
             mode -> sc.broadcast(pg)
           }
           val h = RouterHandle(bc)
@@ -58,6 +55,48 @@ object RoutingContext {
           h
       }
     }
+
+  /** Contraction-hierarchy attachment policy at load time:
+    *  1. a valid persisted CH (`ch.bin`) attaches regardless of size — it
+    *     is already paid for;
+    *  2. graphs at or under the driver gate build in-process
+    *     ([[graft.graph.PreparedGraph.withCh]]);
+    *  3. LARGER graphs build on the cluster when
+    *     `spark.graft.routing.distributedCh=true`
+    *     ([[graft.algo.DistributedCh]] — executors contract tile interiors,
+    *     the driver only the boundary remainder); without the opt-in they
+    *     route exactly via bidirectional Dijkstra as before.
+    * Whatever was built is cached to `ch.bin` when a cache path exists.
+    */
+  private def attachCh(spark: SparkSession, pg: graft.graph.PreparedGraph,
+                       chFile: Option[java.nio.file.Path]): Unit = {
+    if (pg.ch != null) return
+    chFile.foreach { f =>
+      graft.graph.ChStore.load(f, pg).foreach(ch => pg.ch = ch)
+    }
+    if (pg.ch == null) {
+      val gate = spark.conf.getOption(DistributedChGateConf)
+        .map(_.toInt).getOrElse(100000)
+      if (pg.numNodes > gate &&
+          spark.conf.getOption(DistributedChConf).contains("true")) {
+        // ~50k interior nodes per tile keeps executor tasks minutes-bounded
+        val cells = math.max(2, math.ceil(math.sqrt(pg.numNodes / 50000.0)).toInt)
+        pg.ch = graft.algo.DistributedCh.build(spark, pg, cells)
+      } else pg.withCh(maxNodes = gate)
+      chFile.foreach { f =>
+        if (pg.ch != null) {
+          try graft.graph.ChStore.save(f, pg, pg.ch)
+          catch {
+            case e: java.io.IOException =>
+              System.err.println(s"[graft] CH cache write skipped ($f): ${e.getMessage}")
+          }
+        }
+      }
+    }
+  }
+
+  final val DistributedChConf = "spark.graft.routing.distributedCh"
+  final val DistributedChGateConf = "spark.graft.routing.distributedCh.gate"
 
   /** Load a parquet graph cache: `<dir>/nodes.parquet`, `<dir>/edges.parquet`
     * (cache convention mirroring `<pbf>.<mode>.routing`, rust/src/lib.rs:164-166).

@@ -38,6 +38,33 @@ class GraphStoreSpec extends AnyFunSuite {
     assert(!t.isNullAt(0) && t.getDouble(0) > 0)
   }
 
+  test("distributedCh opt-in: load builds the CH on the cluster past the gate") {
+    val dir = Files.createTempDirectory("graft-dist-ch").toString
+    GraphStore.save(Map("auto" -> GridFixture.dataFrames(spark, "auto")), dir)
+    RoutingContext.unload()
+    spark.conf.set(RoutingContext.DistributedChConf, "true")
+    // fixture is 100 nodes; a gate of 10 forces the distributed path
+    spark.conf.set(RoutingContext.DistributedChGateConf, "10")
+    try {
+      val h = RoutingContext.loadConfig(spark, dir)
+      val g = h.requireGraph("auto")
+      assert(g.ch != null, "distributed CH must have been built and attached")
+      val q = new graft.algo.ChQuery(g.ch)
+      val base = new graft.algo.Dijkstra(g)
+      val r = new scala.util.Random(51)
+      (0 until 100).foreach { _ =>
+        val s = r.nextInt(g.numNodes); val t = r.nextInt(g.numNodes)
+        assert(q.shortestPathMs(s, t) == base.shortestPathMs(s, t))
+      }
+      // and it was persisted to the cache next to the parquet graph
+      assert(Files.exists(java.nio.file.Paths.get(dir, "auto", "ch.bin")))
+    } finally {
+      spark.conf.unset(RoutingContext.DistributedChConf)
+      spark.conf.unset(RoutingContext.DistributedChGateConf)
+      RoutingContext.unload()
+    }
+  }
+
   test("SQL-initiated load: travel_time_load_config as FIRST statement actually loads") {
     val dir = Files.createTempDirectory("graft-sql-load").toString
     GraphStore.save(Map("auto" -> GridFixture.dataFrames(spark, "auto")), dir)
