@@ -74,6 +74,36 @@ object Tiled {
       dist
     }
 
+    /** Like [[distancesFrom]] but also returns the parent (predecessor in
+      * the search tree, -1 at the source/unreached) of every node — the
+      * geometry-reconstruction form.
+      */
+    def distancesWithParents(srcLocal: Int, reverse: Boolean): (Array[Long], Array[Int]) = {
+      val n = ids.length
+      val (o, t, ww) = if (reverse) (rOff, rTgt, rW) else (off, tgt, w)
+      val dist = Array.fill(n)(Long.MaxValue)
+      val par = Array.fill(n)(-1)
+      val pq = new PriorityQueue[Array[Long]]((a, b) => java.lang.Long.compare(a(0), b(0)))
+      dist(srcLocal) = 0L
+      pq.add(Array(0L, srcLocal.toLong))
+      while (!pq.isEmpty) {
+        val top = pq.poll()
+        val d = top(0); val v = top(1).toInt
+        if (d == dist(v)) {
+          var e = o(v)
+          while (e < o(v + 1)) {
+            val nd = d + ww(e)
+            if (nd < dist(t(e))) {
+              dist(t(e)) = nd; par(t(e)) = v
+              pq.add(Array(nd, t(e).toLong))
+            }
+            e += 1
+          }
+        }
+      }
+      (dist, par)
+    }
+
     /** Nearest node to (lat, lon) by equirectangular scan (tile-sized). */
     def nearest(qLat: Double, qLon: Double): Int = {
       var best = -1; var bestD = Double.MaxValue
@@ -237,7 +267,7 @@ object Tiled {
       else Some((si.intValue, di.intValue, math.min(t, Int.MaxValue).toInt))
     }.sorted
     val (off, tgt, w) = overlayCsr(nb, triples)
-    val ov = new Overlay(bIds, bTiles, bIndex, off, tgt, w)
+    val ov = new Overlay(bIds, bTiles, bIndex, off, tgt, w, bLat, bLon)
     // contraction hierarchy over the overlay: the long-range stitch then
     // costs a few hundred settled nodes per query instead of a Dijkstra
     // over the whole transit level (millions of nodes at planet scale)
@@ -329,7 +359,8 @@ object Tiled {
       .select($"src".cast("int"), $"dst".cast("int"), $"time_ms".cast("int"))
       .as[(Int, Int, Int)].collect().sorted
     val (off, tgt, w) = overlayCsr(nb, triples)
-    val ov = new Overlay(bIds, bTiles, bIndex, off, tgt, w)
+    val ov = new Overlay(bIds, bTiles, bIndex, off, tgt, w,
+      nRows.map(_._4), nRows.map(_._5))
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val chPath = new org.apache.hadoop.fs.Path(s"$dir/overlay_ch.bin")
@@ -518,7 +549,8 @@ object Tiled {
   final class Overlay(
       val ids: Array[Long], val tiles: Array[Int],
       val index: java.util.HashMap[Long, Integer],
-      val off: Array[Int], val tgt: Array[Int], val w: Array[Int]) extends Serializable {
+      val off: Array[Int], val tgt: Array[Int], val w: Array[Int],
+      val lat: Array[Double], val lon: Array[Double]) extends Serializable {
     def size: Int = ids.length
     def numEdges: Int = tgt.length
 
@@ -644,5 +676,116 @@ final class TiledRouter(spark: SparkSession, dir: String, val grid: Tiled.TileGr
       }
     }
     if (best == Long.MaxValue) -1L else best
+  }
+
+  /** Exact shortest route with geometry: total ms plus the full waypoint
+    * sequence as (lat, lon) pairs; None when unreachable. Same
+    * decomposition as [[travelTimeMs]] with parent tracking everywhere;
+    * within-tile overlay legs re-expand through a parent-tracked Dijkstra
+    * inside their tile (same LRU). Geometry always uses the Dijkstra
+    * stitch: a CH cannot unpack paths without via-node records, and
+    * reconstruction — not the overlay search — dominates route queries.
+    */
+  def route(srcLat: Double, srcLon: Double,
+            dstLat: Double, dstLon: Double): Option[(Long, Array[(Double, Double)])] = {
+    val ts = grid.tileOf(srcLat, srcLon); val td = grid.tileOf(dstLat, dstLon)
+    val tileS = tile(ts); val tileD = tile(td)
+    if (tileS.ids.isEmpty || tileD.ids.isEmpty) return None
+    val sL = tileS.nearest(srcLat, srcLon); val dL = tileD.nearest(dstLat, dstLon)
+    if (sL < 0 || dL < 0) return None
+    if (ts == td && sL == dL)
+      return Some((0L, Array((tileS.lat(sL), tileS.lon(sL)))))
+
+    val (fwd, fPar) = tileS.distancesWithParents(sL, reverse = false)
+    val (bwd, bPar) = tileD.distancesWithParents(dL, reverse = true)
+
+    var best = if (ts == td && fwd(dL) != Long.MaxValue) fwd(dL) else Long.MaxValue
+    var bestV = -1 // overlay exit node when the best path crosses the overlay
+
+    val nb = overlay.size
+    val dist = Array.fill(nb)(Long.MaxValue)
+    val par = Array.fill(nb)(-1)
+    val pq = new PriorityQueue[Array[Long]]((a, b) => java.lang.Long.compare(a(0), b(0)))
+    var i = 0
+    while (i < nb) {
+      if (overlay.tiles(i) == ts) {
+        val li = tileS.index.get(overlay.ids(i))
+        if (li != null && fwd(li.intValue) != Long.MaxValue) {
+          dist(i) = fwd(li.intValue)
+          pq.add(Array(dist(i), i.toLong))
+        }
+      }
+      i += 1
+    }
+    while (!pq.isEmpty) {
+      val top = pq.poll()
+      val d = top(0); val v = top(1).toInt
+      if (d == dist(v) && d < best) {
+        if (overlay.tiles(v) == td) {
+          val li = tileD.index.get(overlay.ids(v))
+          if (li != null && bwd(li.intValue) != Long.MaxValue && d + bwd(li.intValue) < best) {
+            best = d + bwd(li.intValue); bestV = v
+          }
+        }
+        var e = overlay.off(v)
+        while (e < overlay.off(v + 1)) {
+          val nd = d + overlay.w(e)
+          if (nd < dist(overlay.tgt(e))) {
+            dist(overlay.tgt(e)) = nd
+            par(overlay.tgt(e)) = v
+            pq.add(Array(nd, overlay.tgt(e).toLong))
+          }
+          e += 1
+        }
+      }
+    }
+    if (best == Long.MaxValue) return None
+
+    val out = new scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    def emit(lat: Double, lon: Double): Unit =
+      if (out.isEmpty || out.last != ((lat, lon))) out += ((lat, lon))
+    // walk a parent array from `end` back to the search root, emit forward
+    def chainOf(parents: Array[Int], end: Int): Array[Int] = {
+      val buf = new scala.collection.mutable.ArrayBuffer[Int]()
+      var x = end
+      while (x != -1) { buf += x; x = parents(x) }
+      buf.reverseIterator.toArray
+    }
+
+    if (bestV == -1) {
+      // best path never leaves the shared tile
+      chainOf(fPar, dL).foreach(j => emit(tileS.lat(j), tileS.lon(j)))
+    } else {
+      val ovChain = {
+        val buf = new scala.collection.mutable.ArrayBuffer[Int]()
+        var v = bestV
+        while (v != -1) { buf += v; v = par(v) }
+        buf.reverse
+      }
+      // source leg: sL -> first boundary node, inside the source tile
+      val b1L = tileS.index.get(overlay.ids(ovChain.head)).intValue
+      chainOf(fPar, b1L).foreach(j => emit(tileS.lat(j), tileS.lon(j)))
+      // overlay legs
+      var prev = ovChain.head
+      ovChain.iterator.drop(1).foreach { nxt =>
+        if (overlay.tiles(prev) != overlay.tiles(nxt)) {
+          // cross-tile original edge: one segment
+          emit(overlay.lat(nxt), overlay.lon(nxt))
+        } else {
+          // within-tile boundary-pair distance: expand inside the tile
+          val tl = tile(overlay.tiles(prev))
+          val (_, p2) = tl.distancesWithParents(
+            tl.index.get(overlay.ids(prev)).intValue, reverse = false)
+          chainOf(p2, tl.index.get(overlay.ids(nxt)).intValue)
+            .foreach(j => emit(tl.lat(j), tl.lon(j)))
+        }
+        prev = nxt
+      }
+      // target leg: last boundary node -> dL; the reverse-graph parent
+      // chain from b2 reads out as the forward node sequence b2 .. dL
+      var x = tileD.index.get(overlay.ids(ovChain.last)).intValue
+      while (x != -1) { emit(tileD.lat(x), tileD.lon(x)); x = bPar(x) }
+    }
+    Some((best, out.toArray))
   }
 }

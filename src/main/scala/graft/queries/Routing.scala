@@ -263,6 +263,32 @@ object Routing {
         }.toDF("pair_id", "src", "dst", "seconds", "overlay_nodes")
       }, None),
 
+    QueryDef("r22_tiled_geometry",
+      (s, _) => {
+        import s.implicits._
+        // tiled ROUTE reconstruction: parent-tracked stitch + per-leg
+        // in-tile expansion (TiledRouter.route); times must equal the flat
+        // answers and geometry is a WKB LINESTRING like travel_time_route_wkb
+        val g = GridFixture.prepared("auto")
+        val router = tiledFixtureRouter(s)
+        val base = new graft.algo.BiDijkstra(g)
+        val k = GridFixture.K - 1
+        Seq((1, 0, k * GridFixture.K + k), (2, 0, 5 * GridFixture.K + 5),
+            (3, 3, 7 * GridFixture.K))
+          .map { case (id, a, b) =>
+            val Some((ms, path)) = router.route(
+              g.nodeLat(a), g.nodeLon(a), g.nodeLat(b), g.nodeLon(b)): @unchecked
+            val wkb = graft.geo.Wkb.writeLineString(path.map(p => (p._2, p._1)).toSeq)
+            val distKm = path.sliding(2).map {
+              case Array(p, q) => graft.geo.Geo.haversineM(p._1, p._2, q._1, q._2)
+              case _ => 0.0
+            }.sum / 1000.0
+            (id, ms / 1000.0, math.round(distKm * 10000) / 10000.0,
+              path.length, wkb.length, ms == base.shortestPathMs(a, b))
+          }
+          .toDF("pair_id", "seconds", "distance_km", "n_points", "wkb_bytes", "matches_flat")
+      }, None),
+
     QueryDef("r21_distributed_ch",
       (s, _) => {
         import s.implicits._

@@ -63,6 +63,46 @@ class TiledSpec extends AnyFunSuite {
     checkExact(GridFixture.prepared("auto"), cells = 2, pairs = 120, seed = 14, chGate = 0)
   }
 
+  test("route geometry: stitched path is a real edge walk summing to the exact time") {
+    val g = GridFixture.prepared("auto")
+    val (nodes, edges) = dfsOf(g)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tiled-geo").toString
+    val router = Tiled.build(spark, nodes, edges, cells = 3, dir)
+    // coord -> node and (u,v) -> min edge weight lookup over the flat graph
+    val nodeOf = (0 until g.numNodes).map(i => (g.nodeLat(i), g.nodeLon(i)) -> i).toMap
+    val minW = scala.collection.mutable.Map[(Int, Int), Long]()
+    (0 until g.numNodes).foreach { u =>
+      (g.offsets(u) until g.offsets(u + 1)).foreach { e =>
+        val k = (u, g.targets(e))
+        val w = g.weightsMs(e).toLong
+        if (!minW.contains(k) || w < minW(k)) minW(k) = w
+      }
+    }
+    val base = new Dijkstra(g)
+    val r = new scala.util.Random(61)
+    var crossTile = 0
+    (0 until 120).foreach { _ =>
+      val s = r.nextInt(g.numNodes); val t = r.nextInt(g.numNodes)
+      val want = base.shortestPathMs(s, t)
+      router.route(g.nodeLat(s), g.nodeLon(s), g.nodeLat(t), g.nodeLon(t)) match {
+        case None => assert(want == -1L, s"route $s->$t missing but flat says $want")
+        case Some((ms, path)) =>
+          assert(ms == want, s"route time $s->$t: got $ms want $want")
+          val ids = path.map(nodeOf)
+          assert(ids.head == s && ids.last == t, s"endpoints ${ids.head}->${ids.last}")
+          val walked = ids.sliding(2).map {
+            case Array(a, b) =>
+              assert(minW.contains((a, b)), s"hop $a->$b is not a graph edge")
+              minW((a, b))
+            case _ => 0L
+          }.sum
+          assert(walked == want, s"edge-walk sum $walked != $want for $s->$t")
+          if (ids.length > 1 && want > 0) crossTile += 1
+      }
+    }
+    assert(crossTile > 50, "sample should include many real multi-hop routes")
+  }
+
   test("persisted layout round-trip: Tiled.load == fresh build, CH attached") {
     val g = GridFixture.prepared("auto")
     val (nodes, edges) = dfsOf(g)
