@@ -485,6 +485,59 @@ object Pipeline {
              |QUALIFY row_number() OVER w <= 3
              |ORDER BY doc_id, rank""".stripMargin)),
 
+    // -- SQL-first pipeline surface: Spark 4 SQL UDF macros -----------------
+    // The text primitives exposed as SQL functions (CREATE FUNCTION ...
+    // RETURN <expr> — Catalyst inlines the body, so these stay codegen'd
+    // macros, NOT black-box UDFs). Per-row equivalence with the Column
+    // forms is part of the result; the DuckDB oracle pins `equiv` to true,
+    // so any drift between the two surfaces hash-fails the driver gate.
+    QueryDef("p22_sql_pipeline",
+      (s, d) => {
+        import s.implicits._
+        val stopEn = TextOps.StopwordsEn.mkString("array('", "', '", "')")
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_word_count(t STRING)
+                |RETURNS INT
+                |RETURN size(filter(split(t, '\\s+'), x -> length(x) > 0))""".stripMargin)
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_bpeish_tokens(t STRING)
+                |RETURNS INT
+                |RETURN size(regexp_extract_all(t, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]', 0))""".stripMargin)
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_punct_ratio(t STRING)
+                |RETURNS DOUBLE
+                |RETURN CASE WHEN length(t) > 0
+                |  THEN CAST(length(regexp_replace(t, '[A-Za-z0-9\\s]', '')) AS DOUBLE) / length(t)
+                |  ELSE 0.0D END""".stripMargin)
+        s.sql(s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_stopword_hits_en(t STRING)
+                 |RETURNS INT
+                 |RETURN size(filter(filter(split(lower(t), '\\\\s+'), x -> length(x) > 0),
+                 |  x -> array_contains($stopEn, x)))""".stripMargin)
+        t(s, d, "documents").createOrReplaceTempView("documents_sql")
+        val viaSql = s.sql(
+          """SELECT doc_id, text,
+            |  graft_word_count(text) AS n_words,
+            |  graft_bpeish_tokens(text) AS n_bpeish,
+            |  round(graft_punct_ratio(text), 4) AS punct_ratio,
+            |  graft_stopword_hits_en(text) AS hits_en
+            |FROM documents_sql WHERE doc_id < 200""".stripMargin)
+        viaSql
+          .withColumn("equiv",
+            $"n_words" === TextOps.wordCount($"text") &&
+            $"n_bpeish" === TextOps.bpeishTokenCount($"text") &&
+            $"punct_ratio" === round(TextOps.punctRatio($"text"), 4) &&
+            $"hits_en" === TextOps.stopwordCount($"text"))
+          .select($"doc_id", $"n_words", $"n_bpeish", $"punct_ratio", $"hits_en", $"equiv")
+          .orderBy($"doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              |  len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS n_words,
+              |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_bpeish,
+              |  round(CASE WHEN length(text) > 0
+              |    THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+              |    ELSE 0.0 END, 4) AS punct_ratio,
+              |  len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0),
+              |      x -> list_contains($StopEnSql, x))) AS hits_en,
+              |  true AS equiv
+              |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
+
     // -- real IVF ANN: trained centroids (2 Lloyd steps), nprobe=2 ----------
     // Unlike p07 (label-proxy cells), the cells here are LEARNED from the
     // data: deterministic init (first 8 vectors), two distributed Lloyd
