@@ -485,6 +485,57 @@ object Pipeline {
              |QUALIFY row_number() OVER w <= 3
              |ORDER BY doc_id, rank""".stripMargin)),
 
+    // -- int8 embedding quantization + reconstruction quality ---------------
+    // Per-vector symmetric int8: scale = max|v|/127, q_i = floor(v/scale +
+    // 0.5) (floor(+0.5) IS the cross-engine rounding contract — engines
+    // disagree on round()'s half-away/half-even at .5), dequant = q*scale.
+    // Pure per-row expressions — scan-parallel at any corpus size; the
+    // compact HOF kernels keep codegen method sizes bounded (the unrolled
+    // form recompiles 4000-node methods per literal change).
+    QueryDef("p23_embed_quantize",
+      (s, d) => {
+        import s.implicits._
+        val base = t(s, d, "embeddings").filter($"vec_id" < 100)
+          .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+        // NB: the output alias must not collide with the raw column —
+        // Spark's lateral column aliases would resolve the $"..." refs in
+        // the LATER select expressions to the already-rounded alias
+        val withScale = base.withColumn("scale_raw",
+          aggregate($"v", lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0)
+        val withQ = withScale.withColumn("q",
+          when($"scale_raw" > 0,
+            transform($"v", x => floor(x / $"scale_raw" + lit(0.5)).cast("double")))
+            .otherwise(transform($"v", x => lit(0.0))))
+        withQ.select($"vec_id",
+          round($"scale_raw", 6).as("scale"),
+          round(aggregate(zip_with($"v", $"q",
+              (a, b) => (a - b * $"scale_raw") * (a - b * $"scale_raw")),
+            lit(0.0), _ + _) / size($"v") * 1e6, 2).as("mse_ppm"),
+          round(
+            aggregate(zip_with($"v", $"q", _ * _), lit(0.0), _ + _) /
+              (sqrt(aggregate(transform($"v", x => x * x), lit(0.0), _ + _)) *
+               sqrt(aggregate(transform($"q", x => x * x), lit(0.0), _ + _))),
+            4).as("cos_sim"))
+          .orderBy($"vec_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 100),
+             |sc AS (
+             |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+             |  FROM base),
+             |qt AS (
+             |  SELECT vec_id, v, scale,
+             |    CASE WHEN scale > 0 THEN list_transform(v, x -> floor(x / scale + 0.5))
+             |         ELSE list_transform(v, x -> 0.0) END AS q
+             |  FROM sc)
+             |SELECT vec_id, round(scale, 6) AS scale,
+             |  round(list_sum(list_transform(range(1, 65),
+             |      i -> (v[i] - q[i] * scale) * (v[i] - q[i] * scale))) / len(v) * 1e6, 2) AS mse_ppm,
+             |  round(list_sum(list_transform(range(1, 65), i -> v[i] * q[i])) /
+             |    (sqrt(list_sum(list_transform(v, x -> x * x))) *
+             |     sqrt(list_sum(list_transform(q, x -> x * x)))), 4) AS cos_sim
+             |FROM qt ORDER BY vec_id""".stripMargin)),
+
     // -- SQL-first pipeline surface: Spark 4 SQL UDF macros -----------------
     // The text primitives exposed as SQL functions (CREATE FUNCTION ...
     // RETURN <expr> — Catalyst inlines the body, so these stay codegen'd
