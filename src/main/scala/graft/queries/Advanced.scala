@@ -73,6 +73,54 @@ object Advanced {
              |round(sum(value), 4) AS total_value
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    QueryDef("s06_stream_quality",
+      (s, d) => {
+        // stateless online quality gate over a DOCUMENT stream (live-crawl
+        // ingest): per-row langid + quality scoring with threshold filter;
+        // batch-side rollup of the append sink vs exact batch oracle
+        EventStreams.runBoundedDocs(s, d, "s06_sink", EventStreams.qualityFilter,
+            shufflePartitions = Some(8))
+          .groupBy(col("lang_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg(col("quality")), 4).as("avg_quality"))
+          .orderBy(col("lang_id"))
+      },
+      Some {
+        def hits(words: Seq[String]) = {
+          val arr = words.mkString("['", "', '", "']")
+          s"len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0), t -> list_contains($arr, t)))"
+        }
+        val en = hits(graft.ops.TextOps.StopwordsEn)
+        val de = hits(graft.ops.TextOps.StopwordsDe)
+        val es = hits(graft.ops.TextOps.StopwordsEs)
+        val fr = hits(graft.ops.TextOps.StopwordsFr)
+        s"""WITH scored AS (
+           |  SELECT doc_id,
+           |    $en AS hits_en, $de AS hits_de, $es AS hits_es, $fr AS hits_fr,
+           |    len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS n_words,
+           |    CASE WHEN length(text) > 0
+           |      THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+           |      ELSE 0.0 END AS punct_ratio,
+           |    length(text) AS n_chars
+           |  FROM documents),
+           |q AS (
+           |  SELECT doc_id,
+           |    CASE WHEN greatest(hits_en, hits_de, hits_es, hits_fr) = 0 THEN 'und'
+           |      WHEN hits_en = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'en'
+           |      WHEN hits_de = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'de'
+           |      WHEN hits_es = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'es'
+           |      ELSE 'fr' END AS lang_id,
+           |    round(least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
+           |      + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
+           |      + least((CASE WHEN n_words > 0 THEN CAST(hits_en AS DOUBLE) / n_words ELSE 0.0 END) * 4.0, 1.0) * 0.3,
+           |      4) AS quality
+           |  FROM scored)
+           |SELECT lang_id, CAST(count(*) AS BIGINT) AS n_docs,
+           |  round(avg(quality), 4) AS avg_quality
+           |FROM q WHERE quality >= 0.4
+           |GROUP BY lang_id ORDER BY lang_id""".stripMargin
+      }),
+
     QueryDef("s05_stream_join",
       (s, d) => EventStreams.runBounded(s, d, "s05_sink", EventStreams.intervalJoin,
           outputMode = "append", shufflePartitions = Some(8))

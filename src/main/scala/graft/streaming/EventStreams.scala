@@ -103,6 +103,29 @@ object EventStreams {
       .toDF("user_id", "n_events", "total_value")
   }
 
+  /** Online quality gating of a DOCUMENT stream — the live-crawl-ingest
+    * shape: per-row language ID + quality scoring (pure codegen'd
+    * expressions, no state, no watermark) with a threshold filter. One
+    * definition serves batch and streaming; the batch twin is the oracle.
+    */
+  def qualityFilter(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.ops.TextOps.langId(col("text")).as("lang_id"),
+      round(graft.ops.TextOps.qualityScore(col("text")), 4).as("quality"))
+      .filter(col("quality") >= 0.4)
+
+  /** [[runBounded]] over the `documents` table (no event-time column). */
+  def runBoundedDocs(spark: SparkSession, dir: String, name: String,
+                     transform: DataFrame => DataFrame,
+                     outputMode: String = "append",
+                     shufflePartitions: Option[Int] = None): DataFrame = {
+    val staticDf = spark.read.parquet(s"$dir/documents.parquet")
+    val stream = spark.readStream
+      .schema(staticDf.schema)
+      .parquet(s"$dir/documents.parque[t]")
+    runStream(spark, name, transform(stream), outputMode, shufflePartitions)
+  }
+
   /** Run `transform` over `<dir>/events.parquet` as a bounded stream
     * (Trigger.AvailableNow, complete mode) into a memory sink; returns the
     * sink contents. This is the bridge that lets the driver's batch oracle
@@ -120,6 +143,12 @@ object EventStreams {
       .schema(staticDf.schema)
       .parquet(s"$dir/events.parque[t]")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    runStream(spark, name, transform(stream), outputMode, shufflePartitions)
+  }
+
+  private def runStream(spark: SparkSession, name: String, transformed: DataFrame,
+                        outputMode: String,
+                        shufflePartitions: Option[Int]): DataFrame = {
     // a stateful query instantiates one state store PER shuffle partition
     // PER stateful operator; heavily-stateful shapes (stream-stream joins
     // run four stores per partition) want fewer, larger partitions at
@@ -127,7 +156,7 @@ object EventStreams {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     shufflePartitions.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
     try {
-      val q = transform(stream).writeStream
+      val q = transformed.writeStream
         .format("memory")
         .queryName(name)
         .outputMode(outputMode)
