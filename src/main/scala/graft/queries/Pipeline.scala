@@ -485,6 +485,34 @@ object Pipeline {
              |QUALIFY row_number() OVER w <= 3
              |ORDER BY doc_id, rank""".stripMargin)),
 
+    // -- near-dup clusters: LSH pairs -> connected components -> keeper -----
+    // The end of the dedup pipeline: candidate pairs induce clusters,
+    // min-label propagation (one join + one HashAggregate per round, rounds
+    // = cluster diameter) finds them, the minimum doc id is the canonical
+    // keeper. DuckDB mirrors with a recursive transitive-closure CTE —
+    // fine at oracle scale, quadratic in cluster size at real scale, which
+    // is exactly why the Spark side iterates instead.
+    QueryDef("p24_neardup_clusters",
+      (s, d) => {
+        val cands = Dedup.minhashCandidates(t(s, d, "documents"), "doc_id", "text",
+          q = 5, k = 12, rowsPerBand = 3)
+        Dedup.nearDupClusters(cands.select(col("a"), col("b")))
+          .orderBy(col("doc"))
+      },
+      Some(s"""WITH cand AS ($minhashCandidatesSql),
+              |edges AS (SELECT a AS x, b AS y FROM cand
+              |          UNION SELECT b AS x, a AS y FROM cand),
+              |reach AS (
+              |  WITH RECURSIVE r(src, node) AS (
+              |    SELECT x, x FROM edges
+              |    UNION
+              |    SELECT r.src, e.y FROM r JOIN edges e ON r.node = e.x)
+              |  SELECT * FROM r)
+              |SELECT src AS doc, min(node) AS cluster,
+              |  CAST(count(*) OVER (PARTITION BY min(node)) AS BIGINT) AS cluster_size
+              |FROM reach GROUP BY src
+              |ORDER BY doc""".stripMargin)),
+
     // -- int8 embedding quantization + reconstruction quality ---------------
     // Per-vector symmetric int8: scale = max|v|/127, q_i = floor(v/scale +
     // 0.5) (floor(+0.5) IS the cross-engine rounding contract — engines
