@@ -485,6 +485,35 @@ object Pipeline {
              |QUALIFY row_number() OVER w <= 3
              |ORDER BY doc_id, rank""".stripMargin)),
 
+    // -- Z-order layout: multi-column clustering for scan pruning -----------
+    // Morton-interleave two key columns (pure codegen'd integer math) and
+    // bucket by z-prefix: every bucket is a bounded RECTANGLE in
+    // (custkey, orderkey) space — the property that makes parquet min/max
+    // row-group stats selective for predicates on EITHER column after a
+    // Layout.clusterByZ write. The oracle recomputes the interleave from
+    // the same generated bit expression.
+    QueryDef("p25_zorder_layout",
+      (s, d) => {
+        import s.implicits._
+        val o = t(s, d, "orders")
+          .select(($"o_custkey" % 1024).cast("long").as("ck"),
+            ($"o_orderkey" % 1024).cast("long").as("ok"))
+        o.withColumn("z", graft.ops.Layout.zOrder2($"ck", $"ok", bits = 10))
+          .withColumn("bucket", shiftright($"z", 14))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n"),
+            min($"ck").as("min_ck"), max($"ck").as("max_ck"),
+            min($"ok").as("min_ok"), max($"ok").as("max_ok"))
+          .orderBy($"bucket")
+      },
+      Some(s"""WITH m AS (
+              |  SELECT o_custkey % 1024 AS ck, o_orderkey % 1024 AS ok FROM orders),
+              |z AS (SELECT ck, ok, ${graft.ops.Layout.zOrder2Sql("ck", "ok", 10)} AS z FROM m)
+              |SELECT z >> 14 AS bucket, CAST(count(*) AS BIGINT) AS n,
+              |  min(ck) AS min_ck, max(ck) AS max_ck,
+              |  min(ok) AS min_ok, max(ok) AS max_ok
+              |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // -- near-dup clusters: LSH pairs -> connected components -> keeper -----
     // The end of the dedup pipeline: candidate pairs induce clusters,
     // min-label propagation (one join + one HashAggregate per round, rounds

@@ -37,6 +37,36 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2).getSeq[String](1) == Seq("a a a"))
   }
 
+  test("z-order: expression matches bit-interleave reference; clusterByZ bounds rectangles") {
+    import graft.ops.Layout
+    def refZ(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }
+    val r = new scala.util.Random(71)
+    val rows = (0 until 3000).map(_ => (r.nextInt(1024).toLong, r.nextInt(1024).toLong))
+    val df = rows.toDF("a", "b")
+    val got = df.select($"a", $"b", Layout.zOrder2($"a", $"b", 10).as("z")).collect()
+    got.foreach(row =>
+      assert(row.getLong(2) == refZ(row.getLong(0), row.getLong(1), 10)))
+
+    // clustered layout: every output partition covers a bounded rectangle
+    val clustered = Layout.clusterByZ(df, $"a", $"b", bits = 10, numFiles = 64)
+      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+    val parts = clustered.groupBy($"pid")
+      .agg(count(lit(1)).as("n"),
+        (max($"a") - min($"a") + 1).as("da"), (max($"b") - min($"b") + 1).as("db"))
+      .collect()
+    assert(parts.length > 1)
+    // locality: the MEAN per-partition bounding box must be far below the
+    // full domain (a single z-interval crossing a quadrant midline can
+    // legitimately span half the domain, so the bound is on the average)
+    val areas = parts.map(p => p.getLong(2) * p.getLong(3))
+    val meanArea = areas.sum.toDouble / areas.length
+    assert(meanArea < 1024.0 * 1024.0 / 8,
+      f"mean partition bbox $meanArea%.0f shows no z-locality")
+  }
+
   test("language ID picks the dominant stopword language") {
     val df = Seq(
       (1, "the cat and the dog of it"),
