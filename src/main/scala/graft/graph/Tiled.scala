@@ -536,6 +536,62 @@ object Tiled {
       .na.fill(-1L, Seq("time_ms"))
   }
 
+  /** Distributed snap: nearest tile-local node for every (id, lat, lon)
+    * point — the missing front half of coordinate-input batch workloads.
+    * Points co-partition with their tile's node set (cogroup), each task
+    * scans only its tile (same semantics as [[TiledRouter.travelTimeMs]]'s
+    * per-tile nearest). Points landing in an empty tile return node -1.
+    */
+  def snap(spark: SparkSession, dir: String, grid: TileGrid,
+           points: DataFrame): DataFrame = {
+    import spark.implicits._
+    val bcGrid = spark.sparkContext.broadcast(grid)
+    val pts = points
+      .select($"id".cast("long"), $"lat".cast("double"), $"lon".cast("double"))
+      .as[(Long, Double, Double)]
+      .groupByKey(p => bcGrid.value.tileOf(p._2, p._3))
+    val nodesByTile = spark.read.parquet(s"$dir/nodes")
+      .select($"tile".cast("int"), $"id".cast("long"),
+        $"lat".cast("double"), $"lon".cast("double"))
+      .as[(Int, Long, Double, Double)]
+      .groupByKey(_._1)
+    nodesByTile.cogroup(pts) { (_, nIt, pIt) =>
+      val ps = pIt.toArray
+      if (ps.isEmpty) Iterator.empty
+      else {
+        val ns = nIt.toArray
+        ps.iterator.map { case (pid, plat, plon) =>
+          var best = -1L; var bestD = Double.MaxValue
+          var i = 0
+          while (i < ns.length) {
+            val d = graft.geo.Geo.approxDist2(plat, plon, ns(i)._3, ns(i)._4)
+            if (d < bestD) { bestD = d; best = ns(i)._2 }
+            i += 1
+          }
+          (pid, best)
+        }
+      }
+    }.toDF("id", "node")
+  }
+
+  /** Coordinate-input batch OD matrix: snap both endpoints (distributed,
+    * tile-co-partitioned), then run the node-id [[matrix]]. Returns
+    * (pair_id, time_ms); -1 for unreachable or unsnappable endpoints.
+    */
+  def matrixByCoords(spark: SparkSession, dir: String, grid: TileGrid,
+                     overlay: Overlay, pairs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val srcPts = pairs.select($"pair_id".as("id"), $"src_lat".as("lat"), $"src_lon".as("lon"))
+    val dstPts = pairs.select($"pair_id".as("id"), $"dst_lat".as("lat"), $"dst_lon".as("lon"))
+    val snapped = pairs.select($"pair_id".cast("long"))
+      .join(snap(spark, dir, grid, srcPts).select($"id".as("pair_id"), $"node".as("src")), "pair_id")
+      .join(snap(spark, dir, grid, dstPts).select($"id".as("pair_id"), $"node".as("dst")), "pair_id")
+    val ok = snapped.filter($"src" >= 0 && $"dst" >= 0)
+    val bad = snapped.filter($"src" < 0 || $"dst" < 0)
+      .select($"pair_id", lit(-1L).as("time_ms"))
+    matrix(spark, dir, overlay, ok).unionByName(bad)
+  }
+
   final case class TileGrid(minLat: Double, minLon: Double,
                             cellLat: Double, cellLon: Double, cells: Int) {
     def tileOf(lat: Double, lon: Double): Int = {

@@ -63,6 +63,33 @@ class TiledSpec extends AnyFunSuite {
     checkExact(GridFixture.prepared("auto"), cells = 2, pairs = 120, seed = 14, chGate = 0)
   }
 
+  test("coordinate-input matrix: distributed snap + stitch == point queries") {
+    import spark.implicits._
+    val g = GridFixture.prepared("auto")
+    val (nodes, edges) = dfsOf(g)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tiled-mc").toString
+    val router = Tiled.build(spark, nodes, edges, cells = 3, dir)
+    val r = new scala.util.Random(81)
+    // jittered coordinates near random nodes (the realistic input shape)
+    val jitLat = 0.00004; val jitLon = 0.00006
+    val pairs = (0 until 60).map { i =>
+      val s = r.nextInt(g.numNodes); val t = r.nextInt(g.numNodes)
+      (i.toLong,
+        g.nodeLat(s) + (r.nextDouble() - 0.5) * jitLat,
+        g.nodeLon(s) + (r.nextDouble() - 0.5) * jitLon,
+        g.nodeLat(t) + (r.nextDouble() - 0.5) * jitLat,
+        g.nodeLon(t) + (r.nextDouble() - 0.5) * jitLon)
+    }
+    val out = Tiled.matrixByCoords(spark, dir, router.grid, router.overlay,
+        pairs.toDF("pair_id", "src_lat", "src_lon", "dst_lat", "dst_lon"))
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(out.size == 60)
+    pairs.foreach { case (pid, sla, slo, dla, dlo) =>
+      val want = router.travelTimeMs(sla, slo, dla, dlo)
+      assert(out(pid) == want, s"pair $pid: got ${out(pid)} want $want")
+    }
+  }
+
   test("route geometry: stitched path is a real edge walk summing to the exact time") {
     val g = GridFixture.prepared("auto")
     val (nodes, edges) = dfsOf(g)
