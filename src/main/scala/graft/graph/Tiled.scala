@@ -734,6 +734,131 @@ final class TiledRouter(spark: SparkSession, dir: String, val grid: Tiled.TileGr
     if (best == Long.MaxValue) -1L else best
   }
 
+  /** Exact isochrone: every node reachable within `budgetMs`, with its
+    * exact distance. Decomposition: forward distances inside the source
+    * tile; budget-bounded overlay Dijkstra for exact boundary distances;
+    * then ONE multi-source in-tile Dijkstra per tile that has a reached
+    * boundary node (seeded with those distances). Only tiles the isochrone
+    * actually touches are ever loaded — the work scales with the budget's
+    * footprint, not the graph.
+    */
+  def isochrone(srcLat: Double, srcLon: Double,
+                budgetMs: Long): Array[(Long, Long)] = {
+    val ts = grid.tileOf(srcLat, srcLon)
+    val tileS = tile(ts)
+    if (tileS.ids.isEmpty) return Array.empty
+    val sL = tileS.nearest(srcLat, srcLon)
+    if (sL < 0) return Array.empty
+
+    val best = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    def offer(id: Long, d: Long): Unit =
+      if (d <= budgetMs) {
+        val prev = best.get(id)
+        if (prev == null || d < prev.longValue) best.put(id, d)
+      }
+
+    // 1) source tile, direct
+    val fwd = tileS.distancesFrom(sL, reverse = false)
+    var i = 0
+    while (i < tileS.ids.length) {
+      if (fwd(i) != Long.MaxValue) offer(tileS.ids(i), fwd(i))
+      i += 1
+    }
+
+    // 2) overlay, budget-bounded, seeded from the source tile's boundary
+    val nb = overlay.size
+    val dist = Array.fill(nb)(Long.MaxValue)
+    val pq = new PriorityQueue[Array[Long]]((a, b) => java.lang.Long.compare(a(0), b(0)))
+    i = 0
+    while (i < nb) {
+      if (overlay.tiles(i) == ts) {
+        val li = tileS.index.get(overlay.ids(i))
+        if (li != null && fwd(li.intValue) != Long.MaxValue && fwd(li.intValue) <= budgetMs) {
+          dist(i) = fwd(li.intValue)
+          pq.add(Array(dist(i), i.toLong))
+        }
+      }
+      i += 1
+    }
+    while (!pq.isEmpty) {
+      val top = pq.poll()
+      val d = top(0); val v = top(1).toInt
+      if (d == dist(v)) {
+        var e = overlay.off(v)
+        while (e < overlay.off(v + 1)) {
+          val nd = d + overlay.w(e)
+          if (nd <= budgetMs && nd < dist(overlay.tgt(e))) {
+            dist(overlay.tgt(e)) = nd
+            pq.add(Array(nd, overlay.tgt(e).toLong))
+          }
+          e += 1
+        }
+      }
+    }
+
+    // 3) one multi-source expansion per touched tile
+    val seedsByTile = new java.util.HashMap[Integer, scala.collection.mutable.ArrayBuffer[(Long, Long)]]()
+    i = 0
+    while (i < nb) {
+      if (dist(i) != Long.MaxValue) {
+        offer(overlay.ids(i), dist(i))
+        var buf = seedsByTile.get(overlay.tiles(i))
+        if (buf == null) {
+          buf = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+          seedsByTile.put(overlay.tiles(i), buf)
+        }
+        buf += ((overlay.ids(i), dist(i)))
+      }
+      i += 1
+    }
+    val tIt = seedsByTile.entrySet().iterator()
+    while (tIt.hasNext) {
+      val en = tIt.next()
+      val tid = en.getKey.intValue
+      val tl = tile(tid)
+      val n = tl.ids.length
+      val td = Array.fill(n)(Long.MaxValue)
+      val tpq = new PriorityQueue[Array[Long]]((a, b) => java.lang.Long.compare(a(0), b(0)))
+      en.getValue.foreach { case (gid, d0) =>
+        val li = tl.index.get(gid)
+        if (li != null && d0 < td(li.intValue)) {
+          td(li.intValue) = d0
+          tpq.add(Array(d0, li.intValue.toLong))
+        }
+      }
+      while (!tpq.isEmpty) {
+        val top = tpq.poll()
+        val d = top(0); val v = top(1).toInt
+        if (d == td(v)) {
+          var e = tl.off(v)
+          while (e < tl.off(v + 1)) {
+            val nd = d + tl.w(e)
+            if (nd <= budgetMs && nd < td(tl.tgt(e))) {
+              td(tl.tgt(e)) = nd
+              tpq.add(Array(nd, tl.tgt(e).toLong))
+            }
+            e += 1
+          }
+        }
+      }
+      var j = 0
+      while (j < n) {
+        if (td(j) != Long.MaxValue) offer(tl.ids(j), td(j))
+        j += 1
+      }
+    }
+
+    val out = new Array[(Long, Long)](best.size())
+    val bIt = best.entrySet().iterator()
+    i = 0
+    while (bIt.hasNext) {
+      val en = bIt.next()
+      out(i) = (en.getKey.longValue, en.getValue.longValue)
+      i += 1
+    }
+    out.sortBy(_._1)
+  }
+
   /** Exact shortest route with geometry: total ms plus the full waypoint
     * sequence as (lat, lon) pairs; None when unreachable. Same
     * decomposition as [[travelTimeMs]] with parent tracking everywhere;

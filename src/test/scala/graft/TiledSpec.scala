@@ -130,6 +130,25 @@ class TiledSpec extends AnyFunSuite {
     assert(crossTile > 50, "sample should include many real multi-hop routes")
   }
 
+  test("tiled isochrone == flat reachableWithin at several budgets and origins") {
+    val g = GridFixture.prepared("auto")
+    val (nodes, edges) = dfsOf(g)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tiled-iso").toString
+    val router = Tiled.build(spark, nodes, edges, cells = 3, dir)
+    val base = new Dijkstra(g)
+    val r = new scala.util.Random(91)
+    (0 until 12).foreach { _ =>
+      val s = r.nextInt(g.numNodes)
+      val budget = (30 + r.nextInt(900)) * 1000L
+      val want = base.reachableWithin(s, budget).toMap
+      val got = router.isochrone(g.nodeLat(s), g.nodeLon(s), budget)
+        .map { case (id, ms) => id.toInt -> ms }.toMap
+      assert(got == want,
+        s"origin $s budget $budget: sizes got ${got.size} want ${want.size}; " +
+          s"diff ${(got.keySet -- want.keySet) ++ (want.keySet -- got.keySet)}")
+    }
+  }
+
   test("persisted layout round-trip: Tiled.load == fresh build, CH attached") {
     val g = GridFixture.prepared("auto")
     val (nodes, edges) = dfsOf(g)
