@@ -625,7 +625,7 @@ object Tiled {
 /** Point-query router over a tiled graph: only the overlay plus an LRU of
   * `cacheTiles` tile subgraphs is ever resident.
   */
-final class TiledRouter(spark: SparkSession, dir: String, val grid: Tiled.TileGrid,
+final class TiledRouter(spark: SparkSession, val dir: String, val grid: Tiled.TileGrid,
                         val overlay: Tiled.Overlay, cacheTiles: Int = 8) {
 
   private val cache = new java.util.LinkedHashMap[Int, Tiled.TileLocal](16, 0.75f, true) {

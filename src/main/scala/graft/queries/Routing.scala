@@ -289,6 +289,33 @@ object Routing {
           .toDF("pair_id", "seconds", "distance_km", "n_points", "wkb_bytes", "matches_flat")
       }, None),
 
+    QueryDef("r23_tiled_batch",
+      (s, _) => {
+        import s.implicits._
+        // end-to-end coordinate-input batch over the tiled layout:
+        // distributed snap -> co-partitioned stitch (Tiled.matrixByCoords)
+        // plus the exact tiled isochrone; values must match the flat graph
+        val g = GridFixture.prepared("auto")
+        val router = tiledFixtureRouter(s)
+        val k = GridFixture.K - 1
+        val pairs = Seq(
+          (1L, 0, k * GridFixture.K + k),
+          (2L, 3, 7 * GridFixture.K),
+          (3L, 5 * GridFixture.K + 5, 2))
+        val pdf = pairs.map { case (id, a, b) =>
+          (id, g.nodeLat(a), g.nodeLon(a), g.nodeLat(b), g.nodeLon(b))
+        }.toDF("pair_id", "src_lat", "src_lon", "dst_lat", "dst_lon")
+        val times = graft.graph.Tiled
+          .matrixByCoords(s, router.dir, router.grid, router.overlay, pdf)
+          .collect().map(r0 => r0.getLong(0) -> r0.getLong(1)).toMap
+        val flat = new graft.algo.BiDijkstra(g)
+        pairs.map { case (id, a, b) =>
+          val iso = router.isochrone(g.nodeLat(a), g.nodeLon(a), 300000L)
+          (id, times(id) / 1000.0, times(id) == flat.shortestPathMs(a, b),
+            iso.length)
+        }.toDF("pair_id", "seconds", "matches_flat", "iso_nodes_300s")
+      }, None),
+
     QueryDef("r21_distributed_ch",
       (s, _) => {
         import s.implicits._
