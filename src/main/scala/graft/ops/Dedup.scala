@@ -147,12 +147,16 @@ object Dedup {
       val viaParent = labels
         .join(labels.select(col("node").as("label"), col("label").as("plab")), "label")
         .select(col("node"), col("plab").as("label"))
-      val next = fromNeighbors.union(viaParent).union(labels)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
+      // the labels branch carries its value in `old` too, so convergence is
+      // read off the checkpointed blocks directly — no extra per-round join
+      val nilOld = lit(null).cast("long")
+      val next = fromNeighbors.withColumn("old", nilOld)
+        .union(viaParent.withColumn("old", nilOld))
+        .union(labels.withColumn("old", col("label")))
+        .groupBy(col("node")).agg(min(col("label")).as("label"), max(col("old")).as("old"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels = next
+      val changed = next.filter(col("label") =!= col("old")).limit(1).count()
+      labels = next.select(col("node"), col("label"))
       converged = changed == 0
     }
     edges.unpersist(blocking = false)
