@@ -371,6 +371,58 @@ object Relational {
       Some("""SELECT p_partkey, info.brand AS brand, info.price AS price FROM (
              |  SELECT p_partkey, {'brand': p_brand, 'price': round(p_retailprice, 4)} AS info
              |  FROM part) t
-             |WHERE info.price > 910 ORDER BY p_partkey""".stripMargin))
+             |WHERE info.price > 910 ORDER BY p_partkey""".stripMargin)),
+
+    // -- ASOF JOIN (DuckDB-native operator; graft.ops.Joins.asofJoin) -------
+    // Each event picks up the user's most recent order at-or-before the
+    // event: one shuffle on the key + running last() — no per-key blowup.
+    // The right side is pre-aggregated to one row per (custkey, orderdate)
+    // because ASOF tie-breaks among equal timestamps are unspecified.
+    QueryDef("q21_asof_join",
+      (s, d) => {
+        import s.implicits._
+        val orders = t(s, d, "orders")
+          .groupBy($"o_custkey", $"o_orderdate")
+          .agg(max($"o_orderkey").as("o_orderkey"), max($"o_totalprice").as("o_totalprice"))
+        val events = t(s, d, "events").select($"event_id", $"user_id", $"ts")
+        graft.ops.Joins.asofJoin(events, orders,
+            leftKey = "user_id", rightKey = "o_custkey",
+            leftTime = "ts", rightTime = "o_orderdate",
+            rightVals = Seq("o_orderkey", "o_totalprice"))
+          .select($"event_id", $"user_id", $"o_orderkey", $"o_totalprice")
+          .orderBy($"event_id")
+      },
+      Some("""WITH ord AS (
+             |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+             |         max(o_totalprice) AS o_totalprice
+             |  FROM orders GROUP BY 1, 2)
+             |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+             |FROM events e
+             |ASOF JOIN ord o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // -- range/interval join (DuckDB IEJoin; graft.ops.Joins.rangeJoin) -----
+    // Price-band containment: lineitems whose extended price falls in each
+    // order's band. Binned candidates + exact residual filter — candidate
+    // cost is density-bounded, unlike Spark's BroadcastNestedLoopJoin
+    // fallback for inequality-only predicates.
+    QueryDef("q22_range_join",
+      (s, d) => {
+        import s.implicits._
+        val bands = t(s, d, "orders")
+          .select($"o_orderkey", ($"o_totalprice" / 4 - 5).as("lo"), ($"o_totalprice" / 4 + 5).as("hi"))
+        val items = t(s, d, "lineitem").select($"l_extendedprice")
+        graft.ops.Joins.rangeJoin(items, bands, "l_extendedprice", "lo", "hi", binWidth = 10.0)
+          .groupBy($"o_orderkey")
+          .agg(count(lit(1)).as("n_items"), round(sum($"l_extendedprice"), 4).as("sum_price"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""WITH iv AS (
+             |  SELECT o_orderkey, o_totalprice / 4 - 5 AS lo, o_totalprice / 4 + 5 AS hi
+             |  FROM orders)
+             |SELECT iv.o_orderkey, count(*) AS n_items,
+             |       round(sum(l.l_extendedprice), 4) AS sum_price
+             |FROM iv JOIN lineitem l ON l.l_extendedprice BETWEEN iv.lo AND iv.hi
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
