@@ -30,14 +30,8 @@ object TextOps {
     * words. The unit of the GPT-3-style benchmark-contamination check:
     * train docs sharing word n-grams with an eval set are flagged.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val w = tokens(lower(text))
-    array_distinct(
-      when(size(w) >= n,
-        transform(sequence(lit(1), size(w) - (n - 1)),
-          i => array_join(slice(w, i, lit(n)), " ")))
-        .otherwise(array().cast("array<string>")))
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    array_distinct(wordNgramsOf(tokens(lower(text)), n))
 
   /** Characters that survive removing all [a-zA-Z0-9 ] — punctuation mass. */
   def punctCount(text: Column): Column =
@@ -89,5 +83,58 @@ object TextOps {
     val punctPenalty = least(punctRatio(text) * 5.0, lit(1.0))
     val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
     round(lenScore * 0.4 + (lit(1.0) - punctPenalty) * 0.3 + stopScore * 0.3, 4)
+  }
+
+  /** ALL n-word grams of a token array (order kept, duplicates kept —
+    * unlike [[wordShingles]], which dedupes): the unit of repetition
+    * measurement. Empty below n words.
+    */
+  def wordNgramsOf(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => array_join(slice(w, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Gopher-style repetition metrics per document: the standard
+    * quality-filter family that catches boilerplate and degenerate
+    * repetition which length/punctuation stats miss.
+    *
+    * Output per id: n_words, frac_unique_words (distinct/total),
+    * frac_top_2gram (occurrences of the most frequent word 2-gram over all
+    * 2-gram occurrences), frac_dup_3grams (occurrences of 3-grams that
+    * appear more than once, over all 3-gram occurrences).
+    *
+    * Physical shape: explode + two-level HashAggregate per n — map-side
+    * partials carry (doc, gram) counts, the per-doc rollup carries three
+    * numbers per doc. No windows, no per-doc sorts — scan-parallel at any
+    * corpus size.
+    */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String): org.apache.spark.sql.DataFrame = {
+    val id = col(idCol)
+    val base = df.select(id, tokens(lower(col(textCol))).as("__w"))
+    val wstats = base.select(id, explode(col("__w")).as("t"))
+      .groupBy(id).agg(count(lit(1)).as("n_words"),
+        countDistinct(col("t")).as("__uniq"))
+    def gramAgg(n: Int, totalName: String, aggCol: Column, aggName: String) =
+      base.select(id, explode(wordNgramsOf(col("__w"), n)).as("g"))
+        .groupBy(id, col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(id).agg(sum(col("c")).as(totalName), aggCol.as(aggName))
+    val g2 = gramAgg(2, "__n2", max(col("c")), "__top2")
+    val g3 = gramAgg(3, "__n3",
+      sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))), "__dup3")
+    wstats
+      .join(g2, Seq(idCol), "left")
+      .join(g3, Seq(idCol), "left")
+      .select(id, col("n_words"),
+        when(col("n_words") > 0,
+          round(col("__uniq").cast("double") / col("n_words"), 4))
+          .otherwise(0.0).as("frac_unique_words"),
+        coalesce(when(col("__n2") > 0,
+          round(col("__top2").cast("double") / col("__n2"), 4)), lit(0.0))
+          .as("frac_top_2gram"),
+        coalesce(when(col("__n3") > 0,
+          round(col("__dup3").cast("double") / col("__n3"), 4)), lit(0.0))
+          .as("frac_dup_3grams"))
   }
 }

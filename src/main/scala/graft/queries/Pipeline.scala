@@ -700,6 +700,114 @@ object Pipeline {
            |             ORDER BY round(list_cosine_similarity(qvec, n.e), 4) DESC, n.vec_id)
            |QUALIFY row_number() OVER w <= 3
            |ORDER BY qid, rank""".stripMargin
-      })
+      }),
+
+    // -- KMV distinct-count sketch (per-source vocabulary size) -------------
+    // Deterministic sketching: unlike HLL, the k-minimum-values estimate
+    // (k-1)·M/h_k is plain SQL, so the ESTIMATE itself is oracle-checked
+    // exactly, next to the true distinct count it approximates. n_exact is
+    // what a 100 TB job would replace with this sketch: the exact count
+    // shuffles every distinct token, the sketch ships k longs per group.
+    QueryDef("p26_kmv_distinct",
+      (s, d) => {
+        import s.implicits._
+        val toks = t(s, d, "documents")
+          .select($"source", explode(split(lower($"text"), "\\s+")).as("token"))
+          .filter(length($"token") > 0)
+        val exact = toks.groupBy($"source")
+          .agg(countDistinct($"token").as("n_exact"))
+        graft.ops.Sketch.kmvDistinct(toks, "source", "token", k = 64)
+          .join(exact, "source")
+          .select($"source", $"n_exact", $"n_kept", $"est_distinct")
+          .orderBy($"source")
+      },
+      Some("""WITH toks AS (
+             |  SELECT source,
+             |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
+             |  FROM documents),
+             |hashed AS (
+             |  SELECT DISTINCT source, CAST('0x' || substring(md5(token), 1, 15) AS BIGINT) AS h
+             |  FROM toks),
+             |kept AS (
+             |  SELECT source, h FROM hashed
+             |  QUALIFY row_number() OVER (PARTITION BY source ORDER BY h) <= 64),
+             |agg AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS hk
+             |  FROM kept GROUP BY source),
+             |exact AS (
+             |  SELECT source, CAST(count(DISTINCT token) AS BIGINT) AS n_exact
+             |  FROM toks GROUP BY source)
+             |SELECT a.source, e.n_exact, a.n_kept,
+             |  CASE WHEN a.n_kept < 64 THEN CAST(a.n_kept AS DOUBLE)
+             |       ELSE round(63.0 * 1152921504606846976.0 / CAST(a.hk AS DOUBLE), 4)
+             |  END AS est_distinct
+             |FROM agg a JOIN exact e USING (source)
+             |ORDER BY source""".stripMargin)),
+
+    // -- Gopher-style repetition quality filter ------------------------------
+    // The repetition family (unique-word fraction, top-2-gram mass,
+    // duplicated-3-gram mass) catches boilerplate and degenerate generation
+    // loops that length/punctuation stats (p02/p03) miss. keep = passes all
+    // thresholds; explode + HashAggregate only, no per-doc sorts.
+    QueryDef("p27_repetition_filter",
+      (s, d) => {
+        import s.implicits._
+        graft.ops.TextOps.repetitionStats(t(s, d, "documents"), "doc_id", "text")
+          .withColumn("keep",
+            ($"n_words" >= 10 && $"frac_unique_words" >= 0.3 &&
+              $"frac_top_2gram" <= 0.2 && $"frac_dup_3grams" <= 0.4).cast("int"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS l
+             |  FROM documents),
+             |words AS (SELECT doc_id, unnest(l) AS t FROM base),
+             |wstats AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             |         count(DISTINCT t) AS n_uniq
+             |  FROM words GROUP BY doc_id),
+             |g2 AS (
+             |  SELECT doc_id,
+             |    unnest(CASE WHEN len(l) >= 2
+             |      THEN list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])
+             |      ELSE CAST([] AS VARCHAR[]) END) AS g
+             |  FROM base),
+             |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+             |s2 AS (SELECT doc_id, sum(c) AS n2, max(c) AS top2 FROM c2 GROUP BY 1),
+             |g3 AS (
+             |  SELECT doc_id,
+             |    unnest(CASE WHEN len(l) >= 3
+             |      THEN list_transform(range(1, len(l) - 1),
+             |             i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])
+             |      ELSE CAST([] AS VARCHAR[]) END) AS g
+             |  FROM base),
+             |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+             |s3 AS (SELECT doc_id, sum(c) AS n3,
+             |              sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup3
+             |       FROM c3 GROUP BY 1)
+             |SELECT w.doc_id, w.n_words,
+             |  CASE WHEN w.n_words > 0
+             |       THEN round(CAST(w.n_uniq AS DOUBLE) / w.n_words, 4)
+             |       ELSE 0.0 END AS frac_unique_words,
+             |  COALESCE(CASE WHEN s2.n2 > 0
+             |       THEN round(CAST(s2.top2 AS DOUBLE) / s2.n2, 4) END, 0.0)
+             |    AS frac_top_2gram,
+             |  COALESCE(CASE WHEN s3.n3 > 0
+             |       THEN round(CAST(s3.dup3 AS DOUBLE) / s3.n3, 4) END, 0.0)
+             |    AS frac_dup_3grams,
+             |  CAST(w.n_words >= 10 AND
+             |       CASE WHEN w.n_words > 0
+             |            THEN round(CAST(w.n_uniq AS DOUBLE) / w.n_words, 4)
+             |            ELSE 0.0 END >= 0.3 AND
+             |       COALESCE(CASE WHEN s2.n2 > 0
+             |            THEN round(CAST(s2.top2 AS DOUBLE) / s2.n2, 4) END, 0.0) <= 0.2 AND
+             |       COALESCE(CASE WHEN s3.n3 > 0
+             |            THEN round(CAST(s3.dup3 AS DOUBLE) / s3.n3, 4) END, 0.0) <= 0.4
+             |       AS INT) AS keep
+             |FROM wstats w
+             |LEFT JOIN s2 USING (doc_id)
+             |LEFT JOIN s3 USING (doc_id)
+             |ORDER BY w.doc_id""".stripMargin))
   )
 }

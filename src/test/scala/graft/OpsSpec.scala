@@ -37,6 +37,21 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2).getSeq[String](1) == Seq("a a a"))
   }
 
+  test("repetition stats: hand-computed fractions, short docs, degenerate loop doc") {
+    val df = Seq(
+      // 6 words, 4 distinct; 2-grams: "a b","b a","a b","b c","c d" -> top "a b" 2/5;
+      // 3-grams: "a b a","b a b","a b c","b c d" -> all unique -> dup3 0/4
+      (1L, "a b a b c d"),
+      (2L, "x y"),                 // 1 2-gram, no 3-grams -> n3 row absent
+      (3L, "go go go go go go"))   // degenerate loop: everything repeats
+      .toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(df, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    assert(out(0).toSeq == Seq(1L, 6L, 0.6667, 0.4, 0.0))
+    assert(out(1).toSeq == Seq(2L, 2L, 1.0, 1.0, 0.0))
+    assert(out(2).toSeq == Seq(3L, 6L, 0.1667, 1.0, 1.0))
+  }
+
   test("z-order: expression matches bit-interleave reference; clusterByZ bounds rectangles") {
     import graft.ops.Layout
     def refZ(a: Long, b: Long, bits: Int): Long =
