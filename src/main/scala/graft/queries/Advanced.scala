@@ -121,6 +121,20 @@ object Advanced {
            |GROUP BY lang_id ORDER BY lang_id""".stripMargin
       }),
 
+    QueryDef("s07_stream_enrich",
+      (s, d) => {
+        // stream-static enrichment: events stream joins the broadcast
+        // customer dimension — the canonical streaming-ingest join (no
+        // state store; the static side plans once per micro-batch)
+        val dim = t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+        EventStreams.runBounded(s, d, "s07_sink", EventStreams.enrichBySegment(dim),
+            shufflePartitions = Some(8))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n, round(sum(value), 4) AS total_value
+             |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     QueryDef("s05_stream_join",
       (s, d) => EventStreams.runBounded(s, d, "s05_sink", EventStreams.intervalJoin,
           outputMode = "append", shufflePartitions = Some(8))

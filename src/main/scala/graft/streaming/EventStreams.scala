@@ -114,6 +114,18 @@ object EventStreams {
       round(graft.ops.TextOps.qualityScore(col("text")), 4).as("quality"))
       .filter(col("quality") >= 0.4)
 
+  /** Stream-static enrichment — the standard streaming-ingest shape: each
+    * arriving event picks up its dimension row via a BROADCAST join (the
+    * static side is planned once and shipped to executors; no state store,
+    * no watermark needed for the join itself), then rolls up per segment.
+    * One definition serves batch and streaming inputs.
+    */
+  def enrichBySegment(dim: DataFrame)(events: DataFrame): DataFrame =
+    events
+      .join(broadcast(dim), events("user_id") === dim("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+
   /** [[runBounded]] over the `documents` table (no event-time column). */
   def runBoundedDocs(spark: SparkSession, dir: String, name: String,
                      transform: DataFrame => DataFrame,

@@ -62,4 +62,38 @@ class PlanSpec extends AnyFunSuite {
     val plan = planOf("p02_text_stats")
     assert(plan.contains("*("), "pure-expression text ops must stay inside codegen")
   }
+
+  test("q21 asof join is one window pass, never a join operator") {
+    val plan = planOf("q21_asof_join")
+    assert(plan.contains("Window"), "asof must compose as a window, not a join")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("NestedLoop")
+      && !plan.contains("CartesianProduct"),
+      "asof decomposed into a per-key join — the per-key candidate blowup returned")
+  }
+
+  test("p26 kmv sketch aggregates stay hash-based") {
+    val plan = planOf("p26_kmv_distinct")
+    assert(!plan.contains("SortAggregate"),
+      "the distinct/count stages must stay fixed-width HashAggregate")
+  }
+
+  test("bucketed tables co-locate the join: no exchange on either side") {
+    // The 100 TB fact-fact join answer: both sides written bucketed by the
+    // key means the sort-merge join reads pre-partitioned buckets and the
+    // plan has NO Exchange — the shuffle happened once at write time, not
+    // once per query.
+    val spark0 = spark
+    import spark0.implicits._
+    spark.sql("DROP TABLE IF EXISTS bkt_a"); spark.sql("DROP TABLE IF EXISTS bkt_b")
+    (1 to 10000).map(i => (i.toLong % 997, i.toLong)).toDF("k", "va")
+      .write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bkt_a")
+    (1 to 5000).map(i => (i.toLong % 997, i * 2.0)).toDF("k", "vb")
+      .write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bkt_b")
+    val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      .groupBy($"k").agg(org.apache.spark.sql.functions.sum($"vb").as("s"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+  }
 }
