@@ -133,8 +133,13 @@ object Dedup {
     // twice), and analyzer cost alone goes exponential by round ~4 —
     // measured 98 s/round at 410 nodes. With the plan truncated to the
     // materialized blocks, per-round cost is flat.
-    var labels = edges.select(col("x").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // Seed with the closed-neighborhood minimum (one HashAggregate over the
+    // symmetric edge list) rather than the identity — equivalent to running
+    // the first propagation round before the loop, for one aggregate
+    // instead of a join + union + aggregate + convergence check.
+    var labels = edges.groupBy(col("x"))
+      .agg(least(min(col("y")), col("x")).as("label"))
+      .select(col("x").as("node"), col("label"))
       .localCheckpoint(true)
     var converged = false
     while (!converged) {
