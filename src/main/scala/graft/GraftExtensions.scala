@@ -12,9 +12,10 @@ import org.apache.spark.sql.SparkSessionExtensions
   * }}}
   *
   * Installs at session build time:
-  *  - the native `cosine_sim` expression (functions.CosineSim) into the
-  *    function registry via injectFunction — resolves in SQL and
-  *    `call_function` without any per-session register call;
+  *  - the native `cosine_sim` (functions.CosineSim) and `nfc_normalize`
+  *    (functions.NfcNormalize) expressions into the function registry via
+  *    injectFunction — resolve in SQL and `call_function` without any
+  *    per-session register call;
   *  - the `travel_time_load_config` plan-time load rule
   *    (routing.RoutingFunctions.LoadConfigRule) via injectOptimizerRule, so
   *    `SELECT travel_time_load_config('<path>')` works as a session's first
@@ -40,6 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.CosineSim].getName, "cosine_sim"),
       arity("cosine_sim", 2)(exprs => graft.functions.CosineSim(exprs(0), exprs(1)))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
+      arity("nfc_normalize", 1)(exprs => graft.functions.NfcNormalize(exprs(0)))))
     // analysis-time placeholders so the driver-side calls resolve BEFORE
     // any routing load registered the UDF surface — the zero-code contract:
     // the optimizer rule executes them at plan time

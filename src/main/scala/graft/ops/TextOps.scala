@@ -85,6 +85,42 @@ object TextOps {
     round(lenScore * 0.4 + (lit(1.0) - punctPenalty) * 0.3 + stopScore * 0.3, 4)
   }
 
+  /** PII patterns, written to the common subset of Java regex and RE2 (no
+    * backreferences, no lookaround) so the Spark expressions and the DuckDB
+    * oracle match the exact same spans. Deliberately high-recall/simple —
+    * production scrubbing layers more patterns, the pipeline shape (chained
+    * codegen'd regexp_replace over the scan, no UDFs) is what must scale.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re  = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  val PhoneRe = "\\+\\d{1,2}-\\d{3}-\\d{3,}"
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailRe))
+  def ipv4Count(text: Column):  Column = regexp_count(text, lit(Ipv4Re))
+  def phoneCount(text: Column): Column = regexp_count(text, lit(PhoneRe))
+
+  /** Redact PII in place. Email first (its domain would otherwise survive as
+    * an IP-shaped token), then IPs, then phones.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        Ipv4Re, "[IP]"),
+      PhoneRe, "[PHONE]")
+
+  /** Fixed-size token chunks (n tokens each, space-rejoined, last chunk
+    * ragged): the deterministic "line" unit for corpus-level line dedup on
+    * text with no natural line structure. Empty array for empty text.
+    */
+  def tokenChunks(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    when(size(w) > 0,
+      transform(sequence(lit(0), ceil(size(w).cast("double") / n).cast("int") - 1),
+        i => array_join(slice(w, i * n + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** ALL n-word grams of a token array (order kept, duplicates kept —
     * unlike [[wordShingles]], which dedupes): the unit of repetition
     * measurement. Empty below n words.

@@ -808,6 +808,205 @@ object Pipeline {
              |FROM wstats w
              |LEFT JOIN s2 USING (doc_id)
              |LEFT JOIN s3 USING (doc_id)
-             |ORDER BY w.doc_id""".stripMargin))
+             |ORDER BY w.doc_id""".stripMargin)),
+
+    // -- PII detection + redaction ------------------------------------------
+    // The testdata corpus is PII-free word salad, so the query first plants
+    // deterministic doc_id-derived PII (email, IPv4, phone) IN BOTH ENGINES,
+    // then detects and redacts it. Chained codegen'd regexp_replace over the
+    // scan — per-row, shuffle-free, the shape that holds at 100 TB.
+    QueryDef("p28_pii_redact",
+      (s, d) => {
+        import s.implicits._
+        val aug = concat($"text",
+          lit(" contact user"), $"doc_id".cast("string"), lit("@example.com"),
+          lit(" from 10.0."), ($"doc_id" % 256).cast("string"),
+          lit("."), ($"doc_id" % 100).cast("string"),
+          lit(" call +1-555-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0"))
+        t(s, d, "documents")
+          .select($"doc_id", aug.as("aug"))
+          .select($"doc_id",
+            TextOps.emailCount($"aug").as("n_emails"),
+            TextOps.ipv4Count($"aug").as("n_ips"),
+            TextOps.phoneCount($"aug").as("n_phones"),
+            md5(TextOps.redactPii($"aug")).as("redacted_digest"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH aug AS (
+             |  SELECT doc_id,
+             |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+             |         || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+             |         || '.' || CAST(doc_id % 100 AS VARCHAR)
+             |         || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS a
+             |  FROM documents)
+             |SELECT doc_id,
+             |  len(regexp_extract_all(a, '${TextOps.EmailRe}')) AS n_emails,
+             |  len(regexp_extract_all(a, '${TextOps.Ipv4Re}')) AS n_ips,
+             |  len(regexp_extract_all(a, '${TextOps.PhoneRe}')) AS n_phones,
+             |  md5(regexp_replace(regexp_replace(regexp_replace(a,
+             |    '${TextOps.EmailRe}', '[EMAIL]', 'g'),
+             |    '${TextOps.Ipv4Re}', '[IP]', 'g'),
+             |    '${TextOps.PhoneRe}', '[PHONE]', 'g')) AS redacted_digest
+             |FROM aug ORDER BY doc_id""".stripMargin)),
+
+    // -- per-source document caps -------------------------------------------
+    // The Common-Crawl-pipeline quota rule: no source (domain) may contribute
+    // more than K=10 documents, keeping its 10 highest-quality ones. One window
+    // partitioned by source — ranking shuffles (source) keys once and never
+    // compares documents across sources, so it scales with the largest
+    // single source, not the corpus. Rank on the ROUNDED score so the
+    // Spark/DuckDB orderings can never disagree below double print
+    // precision; doc_id breaks exact ties deterministically.
+    QueryDef("p29_source_cap",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"source")
+          .orderBy($"quality".desc, $"doc_id")
+        t(s, d, "documents")
+          .select($"source", $"doc_id", TextOps.qualityScore($"text").as("quality"))
+          .withColumn("rank", row_number().over(w))
+          .withColumn("kept", ($"rank" <= 10).cast("int"))
+          .orderBy($"source", $"rank")
+      },
+      Some {
+        val en = s"len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0), t -> list_contains($StopEnSql, t)))"
+        s"""WITH scored AS (
+           |  SELECT source, doc_id,
+           |    round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+           |      + (1.0 - least(CASE WHEN length(text) > 0
+           |          THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+           |          ELSE 0.0 END * 5.0, 1.0)) * 0.3
+           |      + least((CASE WHEN len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) > 0
+           |          THEN CAST($en AS DOUBLE) / len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0))
+           |          ELSE 0.0 END) * 4.0, 1.0) * 0.3, 4) AS quality
+           |  FROM documents)
+           |SELECT source, doc_id, quality,
+           |  CAST(row_number() OVER w AS INT) AS rank,
+           |  CAST(row_number() OVER w <= 10 AS INT) AS kept
+           |FROM scored
+           |WINDOW w AS (PARTITION BY source ORDER BY quality DESC, doc_id)
+           |ORDER BY source, rank""".stripMargin
+      }),
+
+    // -- concatenate-and-chunk sequence packing ------------------------------
+    // The training-batch layout step: documents are concatenated in order
+    // and the token stream is cut into fixed 512-token context windows (sized to the testdata docs so packs actually span);
+    // each doc lands at [start_off, start_off + n_tok) and spans packs
+    // [pack_first, pack_last]. Packed PER SOURCE (partitionBy source,
+    // order by doc_id): each shard's running sum is an independent window,
+    // so the sort is per-source — the global-order variant would serialize
+    // the corpus through one partition at 100 TB.
+    QueryDef("p30_seq_packing",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"source").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "documents")
+          .select($"source", $"doc_id", TextOps.bpeishTokenCount($"text").as("n_tok"))
+          .withColumn("cum", sum($"n_tok").over(w))
+          .withColumn("start_off", ($"cum" - $"n_tok").cast("long"))
+          .withColumn("pack_first", floor($"start_off" / 512.0).cast("long"))
+          .withColumn("pack_last", floor(($"cum" - 1) / 512.0).cast("long"))
+          .withColumn("n_packs",
+            when($"n_tok" > 0, $"pack_last" - $"pack_first" + 1).otherwise(0L))
+          .select($"source", $"doc_id", $"n_tok".cast("long").as("n_tok"),
+            $"start_off", $"pack_first", $"pack_last", $"n_packs")
+          .orderBy($"source", $"doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT source, doc_id,
+             |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |cums AS (
+             |  SELECT source, doc_id, n_tok,
+             |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+             |                     ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM toks)
+             |SELECT source, doc_id, n_tok,
+             |  CAST(cum - n_tok AS BIGINT) AS start_off,
+             |  CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS pack_first,
+             |  CAST(floor((cum - 1) / 512.0) AS BIGINT) AS pack_last,
+             |  CASE WHEN n_tok > 0
+             |    THEN CAST(floor((cum - 1) / 512.0) - floor((cum - n_tok) / 512.0) + 1 AS BIGINT)
+             |    ELSE 0 END AS n_packs
+             |FROM cums ORDER BY source, doc_id""".stripMargin)),
+
+    // -- Unicode NFC canonicalization (native codegen Expression) -----------
+    // functions.NfcNormalize: Spark has no NFC built-in (DuckDB does), and
+    // every exact-dedup digest disagrees between composed and decomposed
+    // forms of the same text unless the corpus is canonicalized first. The
+    // ASCII testdata is decomposed IN BOTH ENGINES (every 'e' gains a
+    // combining acute, U+0301) before normalizing; NFC recomposes each pair
+    // to one code point, so len_nfc returns to len_raw and the digests
+    // hash-match DuckDB's nfc_normalize exactly.
+    QueryDef("p31_nfc_normalize",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.NfcNormalize.register(s)
+        val dec = regexp_replace($"text", "e", "e\u0301")
+        t(s, d, "documents")
+          .select($"doc_id", $"text", dec.as("dec"))
+          .select($"doc_id",
+            length($"text").as("len_raw"),
+            length($"dec").as("len_decomposed"),
+            length(call_function("nfc_normalize", $"dec")).as("len_nfc"),
+            md5(call_function("nfc_normalize", $"dec")).as("nfc_digest"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH dec AS (
+             |  SELECT doc_id, text,
+             |    regexp_replace(text, 'e', 'e' || chr(769), 'g') AS d
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(length(text) AS INT) AS len_raw,
+             |  CAST(length(d) AS INT) AS len_decomposed,
+             |  CAST(length(nfc_normalize(d)) AS INT) AS len_nfc,
+             |  md5(nfc_normalize(d)) AS nfc_digest
+             |FROM dec ORDER BY doc_id""".stripMargin)),
+
+    // -- corpus-level line dedup (RefinedWeb-style) -------------------------
+    // Exact line-level dedup: the corpus's repeated "lines" (boilerplate
+    // headers, navigation, licenses) are found globally and each document
+    // reports how much of it is corpus-duplicated. The testdata has no
+    // newlines, so the deterministic line unit is 10-token chunks
+    // (TextOps.tokenChunks). Shape: explode → two HashAggregates (chunk
+    // frequency, per-doc rollup) + one join on chunk — shuffles carry
+    // (chunk, doc) pairs, never document bodies. At 100 TB the chunk
+    // frequency table is the only corpus-wide state, and it's a groupBy.
+    QueryDef("p32_line_dedup",
+      (s, d) => {
+        import s.implicits._
+        val chunks = t(s, d, "documents")
+          .select($"doc_id", explode(TextOps.tokenChunks(lower($"text"), 10)).as("chunk"))
+        val freq = chunks.groupBy($"chunk")
+          .agg(countDistinct($"doc_id").as("n_docs"))
+        chunks.join(freq, "chunk")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when($"n_docs" > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+          .withColumn("dup_frac",
+            round($"n_dup_chunks".cast("double") / $"n_chunks", 4))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS l
+             |  FROM documents),
+             |chunks AS (
+             |  SELECT doc_id,
+             |    unnest(CASE WHEN len(l) > 0
+             |      THEN list_transform(range(0, CAST(ceil(len(l) / 10.0) AS INT)),
+             |             i -> array_to_string(list_slice(l, i * 10 + 1, i * 10 + 10), ' '))
+             |      ELSE CAST([] AS VARCHAR[]) END) AS chunk
+             |  FROM toks),
+             |freq AS (
+             |  SELECT chunk, count(DISTINCT doc_id) AS n_docs
+             |  FROM chunks GROUP BY chunk)
+             |SELECT c.doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_chunks,
+             |  CAST(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+             |  round(CAST(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_frac
+             |FROM chunks c JOIN freq f USING (chunk)
+             |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin))
   )
 }

@@ -257,4 +257,69 @@ class OpsSpec extends AnyFunSuite {
     assert(sigs(0).getString(1).length == 12)
     assert(sigs(0).getString(1) != sigs(2).getString(1))
   }
+
+  test("PII: counts find planted spans, redaction replaces them, clean text untouched") {
+    val df = Seq(
+      (1, "mail me at jane.doe+x@sub.example.org today"),
+      (2, "server 192.168.0.1 and 10.0.0.255 up"),
+      (3, "call +1-555-0142 or +44-207-9460000"),
+      (4, "no pii here, just words."),
+      (5, "bad ip 999.999.999.9999 still matches shape"))
+      .toDF("id", "text")
+    val out = df.select($"id",
+      TextOps.emailCount($"text").as("e"),
+      TextOps.ipv4Count($"text").as("i"),
+      TextOps.phoneCount($"text").as("p"),
+      TextOps.redactPii($"text").as("r"))
+      .orderBy($"id").collect()
+    assert(out(0).getInt(1) == 1 && out(0).getString(4).contains("[EMAIL]"))
+    assert(!out(0).getString(4).contains("jane"))
+    assert(out(1).getInt(2) == 2 && out(1).getString(4) == "server [IP] and [IP] up")
+    assert(out(2).getInt(3) == 2 && out(2).getString(4) == "call [PHONE] or [PHONE]")
+    assert(out(3).toSeq.drop(1) == Seq(0, 0, 0, "no pii here, just words."))
+    // the trailing 4-digit run never ends on a word boundary, and every
+    // restart position lacks three dotted groups, so the IPv4 shape cannot match
+    assert(out(4).getInt(2) == 0)
+  }
+
+  test("tokenChunks: ragged last chunk, exact boundaries, empty text") {
+    val df = Seq(
+      (1, "a b c d e"),  // n=2 -> ["a b","c d","e"]
+      (2, "a b c d"),    // exact multiple -> 2 chunks
+      (3, ""),           // empty -> []
+      (4, "solo"))
+      .toDF("id", "text")
+    val out = df.select($"id", TextOps.tokenChunks($"text", 2).as("c"))
+      .orderBy($"id").collect()
+    assert(out(0).getSeq[String](1) == Seq("a b", "c d", "e"))
+    assert(out(1).getSeq[String](1) == Seq("a b", "c d"))
+    assert(out(2).getSeq[String](1).isEmpty)
+    assert(out(3).getSeq[String](1) == Seq("solo"))
+  }
+
+  test("nfc_normalize: recomposes decomposed text, identity on NFC, codegen + SQL agree") {
+    graft.functions.NfcNormalize.register(spark)
+    val composed = "café"           // é as one code point
+    val decomposed = "café"        // e + combining acute
+    // constant-fold path (interpreted eval)
+    val folded = spark.sql(s"SELECT nfc_normalize('$decomposed') AS n")
+      .collect().head.getString(0)
+    assert(folded == composed)
+    // DataFrame path (codegen) + already-normalized identity + empty/ascii
+    val df = Seq((1, decomposed), (2, composed), (3, "plain ascii"), (4, ""))
+      .toDF("id", "s")
+    val out = df.select($"id",
+        org.apache.spark.sql.functions.call_function("nfc_normalize", $"s").as("n"),
+        length($"s").as("lenRaw"),
+        length(org.apache.spark.sql.functions.call_function("nfc_normalize", $"s")).as("lenNfc"))
+      .orderBy($"id").collect()
+    assert(out(0).getString(1) == composed && out(0).getInt(2) == 5 && out(0).getInt(3) == 4)
+    assert(out(1).getString(1) == composed)
+    assert(out(2).getString(1) == "plain ascii")
+    assert(out(3).getString(1) == "")
+    // type check rejects non-string args at analysis
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT nfc_normalize(42)").collect()
+    }
+  }
 }
