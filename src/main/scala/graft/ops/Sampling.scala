@@ -36,6 +36,30 @@ object Sampling {
       .filter(col("bucket") < rate)
   }
 
+  /** Dataset-mixture epoch planning: each source carries a repetition
+    * weight in per-mill (2500 = "see each doc 2.5× per epoch"); a doc gets
+    * `floor(w)` guaranteed copies plus one more iff its hash bucket falls
+    * under the fractional part — so the EXPECTED per-source document count
+    * is exactly weight × |source|, decided per-row with no shuffle and no
+    * randomness. Weights < 1000 subsample (docs with zero copies drop
+    * out); the `copy` index materializes via explode so downstream
+    * shuffles/writes see the mixture the trainer will read.
+    */
+  def mixEpochs(df: DataFrame, idCol: String, sourceCol: String,
+                weightsPermill: Map[String, Int], defaultPermill: Int,
+                salt: String = "mix"): DataFrame = {
+    val wt = weightsPermill.foldLeft(lit(defaultPermill)) { case (acc, (k, v)) =>
+      when(col(sourceCol) === k, lit(v)).otherwise(acc)
+    }
+    df.withColumn("__wt", wt)
+      .withColumn("n_copies",
+        (col("__wt") / 1000).cast("long") +
+          when(hashBucket(col(idCol), salt) < col("__wt") % 1000, 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .withColumn("copy", explode(sequence(lit(1L), col("n_copies"))))
+      .drop("__wt")
+  }
+
   /** Deterministic train/val/test assignment on an independent salt (so the
     * split is uncorrelated with any sampling decision on the same ids).
     */

@@ -1007,6 +1007,99 @@ object Pipeline {
              |  CAST(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
              |  round(CAST(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_frac
              |FROM chunks c JOIN freq f USING (chunk)
-             |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin))
+             |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin)),
+
+    // -- dataset-mixture epoch planning -------------------------------------
+    // Training mixes reweight sources (2.5 epochs of src0, 30% of src1,
+    // src2 excluded, 1.0x everything else). Sampling.mixEpochs decides
+    // copies per row from a salted hash — floor(w) guaranteed + one more
+    // under the fractional bucket — then explodes the copy index, so the
+    // output IS the epoch plan the trainer reads. Per-row decisions, no
+    // shuffle, reproducible across runs/engines/cluster layouts.
+    QueryDef("p33_mix_epochs",
+      (s, d) => {
+        import s.implicits._
+        graft.ops.Sampling.mixEpochs(
+          t(s, d, "documents").select($"doc_id", $"source"),
+          "doc_id", "source",
+          Map("src0" -> 2500, "src1" -> 300, "src2" -> 0),
+          defaultPermill = 1000)
+          .select($"source", $"doc_id", $"n_copies", $"copy")
+          .orderBy($"source", $"doc_id", $"copy")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, source,
+             |    CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 300
+             |                WHEN 'src2' THEN 0 ELSE 1000 END AS wt,
+             |    CAST(('0x' || substring(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS b
+             |  FROM documents),
+             |c AS (
+             |  SELECT source, doc_id,
+             |    CAST(wt // 1000 + CASE WHEN b < wt % 1000 THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+             |  FROM w)
+             |SELECT source, doc_id, n_copies,
+             |  unnest(generate_series(1, n_copies)) AS copy
+             |FROM c WHERE n_copies > 0
+             |ORDER BY source, doc_id, copy""".stripMargin)),
+
+    // -- curriculum quality deciles -----------------------------------------
+    // Per-language quality deciles (ntile over the rounded score — the
+    // curriculum / data-ablation binning step) rolled up to per-bin stats.
+    // The bin averages stay in INTEGER space end-to-end: scores become
+    // 1e-4-unit longs, the half-up division is (2S + n) div (2n) — exact
+    // in both engines. round(sum/count) would hash-split on bins whose
+    // true mean lands exactly on a half-digit (even n makes that real):
+    // Spark rounds the shortest decimal repr half-UP, DuckDB rounds the
+    // binary double, and the two sides of .xxxx5 disagree. One window per
+    // language partition + one HashAggregate — scales per-stratum.
+    QueryDef("p34_quality_bins",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"lang").orderBy($"q", $"doc_id")
+        t(s, d, "documents")
+          .select($"lang", $"doc_id",
+            TextOps.qualityScore($"text").as("q"),
+            TextOps.wordCount($"text").as("nw"))
+          .withColumn("decile", ntile(10).over(w))
+          .groupBy($"lang", $"decile")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(round($"q" * 10000).cast("long")).as("__s4"),
+            sum($"nw".cast("long")).as("__sw"))
+          .withColumn("avg_quality",
+            expr("CAST((2 * __s4 + n_docs) div (2 * n_docs) AS DOUBLE) / 10000.0"))
+          .withColumn("avg_words",
+            expr("CAST((200 * __sw + n_docs) div (2 * n_docs) AS DOUBLE) / 100.0"))
+          .select($"lang", $"decile", $"n_docs", $"avg_quality", $"avg_words")
+          .orderBy($"lang", $"decile")
+      },
+      Some {
+        val en = s"len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0), t -> list_contains($StopEnSql, t)))"
+        s"""WITH scored AS (
+           |  SELECT lang, doc_id,
+           |    round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+           |      + (1.0 - least(CASE WHEN length(text) > 0
+           |          THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+           |          ELSE 0.0 END * 5.0, 1.0)) * 0.3
+           |      + least((CASE WHEN len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) > 0
+           |          THEN CAST($en AS DOUBLE) / len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0))
+           |          ELSE 0.0 END) * 4.0, 1.0) * 0.3, 4) AS q,
+           |    len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS nw
+           |  FROM documents),
+           |binned AS (
+           |  SELECT lang, q, nw,
+           |    ntile(10) OVER (PARTITION BY lang ORDER BY q, doc_id) AS decile
+           |  FROM scored),
+           |sums AS (
+           |  SELECT lang, decile,
+           |    CAST(count(*) AS BIGINT) AS n_docs,
+           |    sum(CAST(round(q * 10000) AS BIGINT)) AS s4,
+           |    sum(CAST(nw AS BIGINT)) AS sw
+           |  FROM binned GROUP BY lang, decile)
+           |SELECT lang, decile, n_docs,
+           |  CAST((2 * s4 + n_docs) // (2 * n_docs) AS DOUBLE) / 10000.0 AS avg_quality,
+           |  CAST((200 * sw + n_docs) // (2 * n_docs) AS DOUBLE) / 100.0 AS avg_words
+           |FROM sums
+           |ORDER BY lang, decile""".stripMargin
+      })
   )
 }

@@ -297,6 +297,28 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3).getSeq[String](1) == Seq("solo"))
   }
 
+  test("mixEpochs: floor+fractional copies, zero weight drops, deterministic") {
+    val docs = (0L until 300L).map(i =>
+      (i, if (i < 100) "a" else if (i < 200) "b" else "c")).toDF("doc_id", "source")
+    val mixed = graft.ops.Sampling.mixEpochs(docs, "doc_id", "source",
+      Map("a" -> 2500, "b" -> 0), defaultPermill = 1000)
+    val bySource = mixed.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a: 100 docs at 2.5x -> between 200 (all floor) and 300 (all +1), ~250
+    assert(bySource("a") >= 220 && bySource("a") <= 280, bySource.toString)
+    assert(!bySource.contains("b"), "zero-weight source must drop entirely")
+    assert(bySource("c") == 100, "default 1000 permill = exactly one copy")
+    // copy index is 1..n_copies per doc
+    val aDoc = mixed.filter($"source" === "a" && $"n_copies" === 3)
+      .groupBy($"doc_id").count().collect()
+    assert(aDoc.forall(_.getLong(1) == 3))
+    // reproducible: second invocation yields the identical plan output
+    val again = graft.ops.Sampling.mixEpochs(docs, "doc_id", "source",
+      Map("a" -> 2500, "b" -> 0), defaultPermill = 1000)
+    assert(mixed.orderBy($"doc_id", $"copy").collect().toSeq ==
+      again.orderBy($"doc_id", $"copy").collect().toSeq)
+  }
+
   test("nfc_normalize: recomposes decomposed text, identity on NFC, codegen + SQL agree") {
     graft.functions.NfcNormalize.register(spark)
     val composed = "café"           // é as one code point

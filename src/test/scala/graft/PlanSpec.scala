@@ -17,7 +17,12 @@ class PlanSpec extends AnyFunSuite {
   private def planOf(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf)
     df.collect() // finalize AQE so codegen markers and join choices are real
-    df.queryExecution.executedPlan.toString
+    // AQE prints "== Final Plan ==" followed by "== Initial Plan ==" — keep
+    // only the final section so contains/count asserts never double-see a
+    // node that AQE planned away (or count one twice)
+    val s = df.queryExecution.executedPlan.toString
+    val cut = s.indexOf("== Initial Plan ==")
+    if (cut >= 0) s.substring(0, cut) else s
   }
 
   test("p01 exact dedup aggregates stay hash-based (no SortAggregate fallback)") {
@@ -77,6 +82,41 @@ class PlanSpec extends AnyFunSuite {
       "the distinct/count stages must stay fixed-width HashAggregate")
   }
 
+  private def countOf(plan: String, marker: String): Int =
+    plan.sliding(marker.length).count(_ == marker)
+
+  test("p28 PII redaction is per-row: no hash shuffle, stays in codegen") {
+    val plan = planOf("p28_pii_redact")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "redaction is a scan-side map — a hash shuffle means a grouping crept in")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+    assert(plan.contains("*("), "chained regexp_replace must stay inside codegen")
+  }
+
+  test("p31 NFC normalization stays inside whole-stage codegen, no shuffle") {
+    val plan = planOf("p31_nfc_normalize")
+    assert(!plan.contains("Exchange hashpartitioning"))
+    assert(plan.contains("*("),
+      "NfcNormalize.doGenCode must keep the normalize call in the codegen span")
+  }
+
+  test("p29/p30 per-source windows shuffle (source) exactly once") {
+    for (q <- Seq("p29_source_cap", "p30_seq_packing")) {
+      val plan = planOf(q)
+      assert(plan.contains("Window"), s"$q must rank/sum via a window")
+      assert(countOf(plan, "Exchange hashpartitioning") <= 1,
+        s"$q re-shuffles between the window and output:\n$plan")
+      assert(!plan.contains("SortMergeJoin"))
+    }
+  }
+
+  test("p32 line dedup: hash aggregates, never a cross product") {
+    val plan = planOf("p32_line_dedup")
+    assert(plan.contains("HashAggregate"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "chunk-frequency join must key on chunk, not enumerate pairs")
+  }
+
   test("bucketed tables co-locate the join: no exchange on either side") {
     // The 100 TB fact-fact join answer: both sides written bucketed by the
     // key means the sort-merge join reads pre-partitioned buckets and the
@@ -85,6 +125,16 @@ class PlanSpec extends AnyFunSuite {
     val spark0 = spark
     import spark0.implicits._
     spark.sql("DROP TABLE IF EXISTS bkt_a"); spark.sql("DROP TABLE IF EXISTS bkt_b")
+    // a table dir orphaned by an earlier aborted run blocks saveAsTable even
+    // after DROP (the fresh metastore never knew it) — clear the locations
+    val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"))
+    Seq("bkt_a", "bkt_b").foreach { t =>
+      val dir = new java.io.File(wh, t)
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete()); dir.delete()
+      }
+    }
     (1 to 10000).map(i => (i.toLong % 997, i.toLong)).toDF("k", "va")
       .write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bkt_a")
     (1 to 5000).map(i => (i.toLong % 997, i * 2.0)).toDF("k", "vb")
