@@ -121,6 +121,48 @@ object Advanced {
            |GROUP BY lang_id ORDER BY lang_id""".stripMargin
       }),
 
+    QueryDef("s08_stream_scrub",
+      (s, d) => {
+        // scrub-on-ingest: PII count/redact + NFC canonicalization as a
+        // stateless document-stream stage (the custom NfcNormalize codegen
+        // Expression inside a micro-batch plan); per-source rollup of the
+        // append sink vs the identical batch transform in DuckDB
+        EventStreams.runBoundedDocs(s, d, "s08_sink", EventStreams.scrubStage(s),
+            shufflePartitions = Some(8))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_pii")).as("n_pii"),
+            min(col("scrub_digest")).as("min_digest"),
+            max(col("scrub_digest")).as("max_digest"))
+          .orderBy(col("source"))
+      },
+      Some {
+        import graft.ops.TextOps
+        s"""WITH aug AS (
+           |  SELECT doc_id, source,
+           |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+           |         || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+           |         || '.' || CAST(doc_id % 100 AS VARCHAR)
+           |         || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS a
+           |  FROM documents),
+           |scrub AS (
+           |  SELECT doc_id, source,
+           |    len(regexp_extract_all(a, '${TextOps.EmailRe}'))
+           |      + len(regexp_extract_all(a, '${TextOps.Ipv4Re}'))
+           |      + len(regexp_extract_all(a, '${TextOps.PhoneRe}')) AS n_pii,
+           |    md5(nfc_normalize(regexp_replace(
+           |      regexp_replace(regexp_replace(regexp_replace(a,
+           |        '${TextOps.EmailRe}', '[EMAIL]', 'g'),
+           |        '${TextOps.Ipv4Re}', '[IP]', 'g'),
+           |        '${TextOps.PhoneRe}', '[PHONE]', 'g'),
+           |      'e', 'e' || chr(769), 'g'))) AS scrub_digest
+           |  FROM aug)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_pii) AS BIGINT) AS n_pii,
+           |  min(scrub_digest) AS min_digest, max(scrub_digest) AS max_digest
+           |FROM scrub GROUP BY source ORDER BY source""".stripMargin
+      }),
+
     QueryDef("s07_stream_enrich",
       (s, d) => {
         // stream-static enrichment: events stream joins the broadcast

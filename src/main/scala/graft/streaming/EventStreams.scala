@@ -114,6 +114,29 @@ object EventStreams {
       round(graft.ops.TextOps.qualityScore(col("text")), 4).as("quality"))
       .filter(col("quality") >= 0.4)
 
+  /** Scrub-on-ingest for a document stream: plant deterministic PII (the
+    * testdata is PII-free; the augmentation is the p28 contract, derived
+    * from doc_id so batch and stream agree), count + redact it, then
+    * NFC-canonicalize the scrubbed text (decomposed first so the
+    * normalization does real work). Stateless per-row expressions
+    * end-to-end — including the custom NfcNormalize codegen Expression
+    * running INSIDE a streaming micro-batch plan. One definition serves
+    * batch and streaming; the batch twin is the oracle.
+    */
+  def scrubStage(spark: SparkSession)(docs: DataFrame): DataFrame = {
+    graft.functions.NfcNormalize.register(spark)
+    val aug = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+      lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+      lit("."), (col("doc_id") % 100).cast("string"),
+      lit(" call +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val scrubbed = regexp_replace(graft.ops.TextOps.redactPii(aug), "e", "e\u0301")
+    docs.select(col("doc_id"), col("source"),
+      (graft.ops.TextOps.emailCount(aug) + graft.ops.TextOps.ipv4Count(aug) +
+        graft.ops.TextOps.phoneCount(aug)).as("n_pii"),
+      md5(call_function("nfc_normalize", scrubbed)).as("scrub_digest"))
+  }
+
   /** Stream-static enrichment — the standard streaming-ingest shape: each
     * arriving event picks up its dimension row via a BROADCAST join (the
     * static side is planned once and shipped to executors; no state store,

@@ -23,6 +23,20 @@ class StreamingSpec extends AnyFunSuite {
     streamed.zip(batch).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("scrub-on-ingest stream equals the batch scrub, finds every planted span (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = EventStreams.runBoundedDocs(spark, dir, "t_s08",
+        EventStreams.scrubStage(spark))
+      .orderBy(col("doc_id")).collect()
+    val batch = EventStreams.scrubStage(spark)(
+        spark.read.parquet(s"$dir/documents.parquet"))
+      .orderBy(col("doc_id")).collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    streamed.zip(batch).foreach { case (a, b) => assert(a == b) }
+    // the augmentation plants exactly one email, one IP, one phone per doc
+    assert(streamed.forall(_.getAs[Int]("n_pii") == 3))
+  }
+
   test("incremental session windows merge within gap and split across it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
