@@ -423,6 +423,48 @@ object Relational {
              |SELECT iv.o_orderkey, count(*) AS n_items,
              |       round(sum(l.l_extendedprice), 4) AS sum_price
              |FROM iv JOIN lineitem l ON l.l_extendedprice BETWEEN iv.lo AND iv.hi
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // -- pivot (host DuckDB PIVOT; Spark relational groupBy().pivot()) ------
+    // Wide-format rollup: return flag x line status quantity matrix. The
+    // pivot values are DECLARED (Seq("F","O")) so the plan is a single
+    // HashAggregate pass — the undeclared form schedules an extra distinct
+    // job to discover them, which is the difference between one scan and
+    // two at 100 TB. Oracle = the CASE-aggregation PIVOT desugars to.
+    QueryDef("q23_pivot",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .groupBy($"l_returnflag")
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(round(sum($"l_quantity"), 2))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
+             |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // -- unpivot (host DuckDB UNPIVOT; Spark Dataset.unpivot) ---------------
+    // Long-format melt of the part measures. Dataset.unpivot is a pure
+    // Generate (no shuffle, no join) — each input row expands to its
+    // (measure, value) pairs in place, so the melt is scan-parallel.
+    QueryDef("q24_unpivot",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "part").filter($"p_partkey" <= 500)
+          .select($"p_partkey", $"p_size".cast("double").as("size"),
+            round($"p_retailprice", 2).as("retailprice"))
+          .unpivot(Array($"p_partkey"), Array($"size", $"retailprice"),
+            "measure", "value")
+          .orderBy($"p_partkey", $"measure")
+      },
+      Some("""SELECT p_partkey, measure, value FROM (
+             |  SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value
+             |  FROM part WHERE p_partkey <= 500
+             |  UNION ALL
+             |  SELECT p_partkey, 'retailprice' AS measure, round(p_retailprice, 2) AS value
+             |  FROM part WHERE p_partkey <= 500)
+             |ORDER BY p_partkey, measure""".stripMargin))
   )
 }
