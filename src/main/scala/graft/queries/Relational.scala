@@ -465,6 +465,59 @@ object Relational {
              |  UNION ALL
              |  SELECT p_partkey, 'retailprice' AS measure, round(p_retailprice, 2) AS value
              |  FROM part WHERE p_partkey <= 500)
-             |ORDER BY p_partkey, measure""".stripMargin))
+             |ORDER BY p_partkey, measure""".stripMargin)),
+
+    // -- explicit GROUPING SETS (beyond ROLLUP q10 / CUBE q19) --------------
+    // The two one-dimensional marginals WITHOUT the grand total — the shape
+    // ROLLUP/CUBE can't express. grouping_id() disambiguates which set a
+    // row belongs to (NULL-valued keys are ambiguous when the data itself
+    // has NULLs). One Expand + one HashAggregate pass over the scan.
+    QueryDef("q25_grouping_sets",
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("lineitem_gs")
+        s.sql("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                |  coalesce(l_linestatus, 'ALL') AS ls,
+                |  grouping_id(l_returnflag, l_linestatus) AS gid,
+                |  round(sum(l_quantity), 4) AS sum_qty,
+                |  count(*) AS n
+                |FROM lineitem_gs
+                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+                |ORDER BY gid, rf, ls""".stripMargin)
+      },
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             |  coalesce(l_linestatus, 'ALL') AS ls,
+             |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+             |  round(sum(l_quantity), 4) AS sum_qty,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+             |ORDER BY gid, rf, ls""".stripMargin)),
+
+    // -- value-range window frame (RANGE BETWEEN ... PRECEDING) -------------
+    // Per-user trailing 30-minute activity: the frame is bounded by VALUE
+    // distance on the ordering key (epoch µs), not row count — the
+    // time-decayed-feature shape ROWS frames can't express. Both engines
+    // share the µs ordering key, and the moving sum goes through
+    // DECIMAL(30,10) so frame-internal summation order can't split hashes
+    // (the q15 lesson). Partitioned by user — scales per-key.
+    QueryDef("q26_range_frame",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+          .rangeBetween(-1800000000L, 0L)
+        t(s, d, "events")
+          .withColumn("n_30m", count(lit(1)).over(w))
+          .withColumn("sum_30m",
+            round(sum($"value".cast("decimal(30,10)")).over(w), 4).cast("double"))
+          .select($"event_id", $"user_id", $"n_30m", $"sum_30m")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  CAST(count(*) OVER w AS BIGINT) AS n_30m,
+             |  CAST(round(sum(CAST(value AS DECIMAL(30,10))) OVER w, 4) AS DOUBLE) AS sum_30m
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             |             RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin))
   )
 }
