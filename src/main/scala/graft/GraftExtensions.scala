@@ -46,6 +46,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
       arity("nfc_normalize", 1)(exprs => graft.functions.NfcNormalize(exprs(0)))))
+    // Spark ships bloom_filter_agg / might_contain as Catalyst expressions
+    // for its internal runtime-filter rewrite but never registers them for
+    // users; exposing them makes the broadcast-bloom blocklist prune (the
+    // 100 TB alternative to a shuffle anti-join) writable as plain SQL.
+    // might_contain's own type check restricts the bloom side to a literal
+    // or scalar subquery, so the aggregate runs once and broadcasts.
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_filter_agg"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      arity("bloom_filter_agg", 3)(exprs =>
+        org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), exprs(1), exprs(2), 0, 0))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("might_contain"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      arity("might_contain", 2)(exprs =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1)))))
     // analysis-time placeholders so the driver-side calls resolve BEFORE
     // any routing load registered the UDF surface — the zero-code contract:
     // the optimizer rule executes them at plan time

@@ -1100,6 +1100,46 @@ object Pipeline {
            |  CAST((200 * sw + n_docs) // (2 * n_docs) AS DOUBLE) / 100.0 AS avg_words
            |FROM sums
            |ORDER BY lang, decile""".stripMargin
-      })
+      }),
+
+    // -- broadcast-bloom blocklist prune ------------------------------------
+    // Remove every document whose digest appears in a blocklist (here: the
+    // src0 digests) WITHOUT shuffling the corpus: a bloom filter built once
+    // over the blocklist (scalar subquery → broadcast value) gates the scan.
+    // NOT might_contain is definitive (no false negatives) — those rows pass
+    // straight through the per-row filter; "maybe" rows alone take the exact
+    // LEFT ANTI residual join, so the join input is |candidates|, not
+    // |corpus|. The result is EXACT — the bloom only prunes — which is why a
+    // plain NOT IN oracle can gate it. Spark ships these expressions for its
+    // internal runtime-filter rewrite; graft registers them as SQL
+    // (functions.BloomSql / GraftExtensions).
+    QueryDef("p35_bloom_blocklist",
+      (s, d) => {
+        graft.functions.BloomSql.register(s)
+        t(s, d, "documents").createOrReplaceTempView("documents_bl")
+        s.sql("""WITH bl AS (
+                |  SELECT DISTINCT md5(text) AS digest FROM documents_bl
+                |  WHERE source = 'src0'),
+                |scored AS (SELECT doc_id, md5(text) AS digest FROM documents_bl),
+                |clean AS (
+                |  SELECT doc_id, digest FROM scored
+                |  WHERE NOT might_contain(
+                |    (SELECT bloom_filter_agg(xxhash64(digest), 1000L, 8192L) FROM bl),
+                |    xxhash64(digest))),
+                |cand AS (
+                |  SELECT doc_id, digest FROM scored
+                |  WHERE might_contain(
+                |    (SELECT bloom_filter_agg(xxhash64(digest), 1000L, 8192L) FROM bl),
+                |    xxhash64(digest)))
+                |SELECT doc_id, digest FROM clean
+                |UNION ALL
+                |SELECT c.doc_id, c.digest FROM cand c
+                |LEFT ANTI JOIN bl ON c.digest = bl.digest
+                |ORDER BY doc_id""".stripMargin)
+      },
+      Some("""SELECT doc_id, md5(text) AS digest FROM documents
+             |WHERE md5(text) NOT IN
+             |  (SELECT md5(text) FROM documents WHERE source = 'src0')
+             |ORDER BY doc_id""".stripMargin))
   )
 }

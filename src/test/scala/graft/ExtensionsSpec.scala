@@ -47,4 +47,40 @@ class ExtensionsSpec extends AnyFunSuite {
       graft.queries.Routing.ensure(SparkTestBase.spark)
     }
   }
+
+  test("bloom surface: no false negatives, prune+residual equals exact anti-join") {
+    val spark = SparkTestBase.spark
+    graft.functions.BloomSql.register(spark)
+    import spark.implicits._
+    (0L until 2000L).map(i => (i, s"doc-$i")).toDF("id", "key")
+      .createOrReplaceTempView("bloom_corpus")
+    // blocklist = every third key
+    spark.sql("SELECT key FROM bloom_corpus WHERE id % 3 = 0")
+      .createOrReplaceTempView("bloom_bl")
+    // no false negatives: every blocklisted key must hit the filter
+    val missed = spark.sql(
+      """SELECT count(*) AS n FROM bloom_bl
+        |WHERE NOT might_contain(
+        |  (SELECT bloom_filter_agg(xxhash64(key), 1000L, 8192L) FROM bloom_bl),
+        |  xxhash64(key))""".stripMargin).collect().head.getLong(0)
+    assert(missed == 0L, "bloom filter produced a false negative")
+    // bloom-pruned + exact residual == plain anti-join
+    val pruned = spark.sql(
+      """WITH clean AS (
+        |  SELECT id FROM bloom_corpus
+        |  WHERE NOT might_contain(
+        |    (SELECT bloom_filter_agg(xxhash64(key), 1000L, 8192L) FROM bloom_bl),
+        |    xxhash64(key))),
+        |cand AS (
+        |  SELECT id, key FROM bloom_corpus
+        |  WHERE might_contain(
+        |    (SELECT bloom_filter_agg(xxhash64(key), 1000L, 8192L) FROM bloom_bl),
+        |    xxhash64(key)))
+        |SELECT id FROM clean
+        |UNION ALL
+        |SELECT c.id FROM cand c LEFT ANTI JOIN bloom_bl b ON c.key = b.key
+        |""".stripMargin).collect().map(_.getLong(0)).toSet
+    val exact = (0L until 2000L).filter(_ % 3 != 0).toSet
+    assert(pruned == exact)
+  }
 }
