@@ -131,6 +131,64 @@ object TextOps {
         i => array_join(slice(w, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
 
+  /** Byte-pair-encoding vocabulary induction — the merge-table trainer.
+    *
+    * Classic BPE trains on the WORD-FREQUENCY table, not the corpus: one
+    * corpus-wide HashAggregate builds (word, freq), and every merge
+    * iteration after that touches only the vocabulary — which is the whole
+    * reason the algorithm scales to 100 TB (the corpus is read once; the
+    * iterative part is vocab-sized). Each iteration: count adjacent symbol
+    * pairs weighted by word frequency (explode + HashAggregate), pick the
+    * most frequent pair (count desc, pair asc — the determinism contract),
+    * and greedily merge it left-to-right in every word's symbol sequence
+    * (space-sentinel `replace`, identical non-overlapping scan semantics in
+    * Spark and DuckDB). The driver collects ONE row per iteration (the
+    * winning pair) — the same bounded-collect pattern as IVF centroid
+    * training.
+    *
+    * Returns the merge table: (merge_rank, pair, merged, n_pairs).
+    */
+  def bpeMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
+                nMerges: Int): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wordFreq = df
+      .select(explode(tokens(lower(col(textCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+    var seqs = wordFreq
+      .select(col("wf"),
+        array_join(regexp_extract_all(col("w"), lit("."), lit(0)), " ").as("seq"))
+      .persist()
+    seqs.count() // materialize once; iterations re-derive from here
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    try {
+      for (i <- 1 to nMerges) {
+        val top = seqs
+          .select(col("wf"), explode(wordNgramsOf(split(col("seq"), " "), 2)).as("g"))
+          .groupBy(col("g")).agg(sum(col("wf")).as("c"))
+          .orderBy(col("c").desc, col("g")).limit(1)
+          .collect()
+        if (top.nonEmpty) {
+          val pair = top.head.getString(0); val cnt = top.head.getLong(1)
+          val merged = pair.replace(" ", "")
+          merges += ((i, pair, merged, cnt))
+          // space sentinels make the pair match only on symbol boundaries;
+          // replace() scans the source left-to-right non-overlapping in
+          // both engines, which IS greedy BPE application order
+          val next = seqs.select(col("wf"),
+            trim(replace(
+              concat(lit(" "), col("seq"), lit(" ")),
+              lit(s" $pair "), lit(s" $merged "))).as("seq"))
+            .persist()
+          next.count()
+          seqs.unpersist()
+          seqs = next
+        }
+      }
+    } finally seqs.unpersist()
+    merges.toSeq.toDF("merge_rank", "pair", "merged", "n_pairs")
+  }
+
   /** Gopher-style repetition metrics per document: the standard
     * quality-filter family that catches boilerplate and degenerate
     * repetition which length/punctuation stats miss.

@@ -1140,6 +1140,47 @@ object Pipeline {
       Some("""SELECT doc_id, md5(text) AS digest FROM documents
              |WHERE md5(text) NOT IN
              |  (SELECT md5(text) FROM documents WHERE source = 'src0')
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // -- BPE vocabulary induction (merge-table training) --------------------
+    // TextOps.bpeMerges: one corpus pass builds the word-frequency table,
+    // then 5 merge iterations run over the VOCABULARY only — the property
+    // that makes BPE trainable at 100 TB. The DuckDB oracle unrolls the
+    // same 5 iterations as CTE stages (the p19 Lloyd-unroll pattern);
+    // pair selection ties break on (count desc, pair asc) in both engines.
+    QueryDef("p36_bpe_merges",
+      (s, d) => TextOps.bpeMerges(t(s, d, "documents"), "text", nMerges = 5)
+        .orderBy(col("merge_rank")),
+      Some {
+        val stages = new StringBuilder
+        stages ++=
+          s"""WITH wfreq AS (
+             |  SELECT w, CAST(count(*) AS BIGINT) AS wf FROM (
+             |    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+             |                              x -> len(x) > 0)) AS w
+             |    FROM documents) GROUP BY w),
+             |s1 AS (SELECT wf, array_to_string(regexp_extract_all(w, '.'), ' ') AS seq
+             |       FROM wfreq)""".stripMargin
+        for (i <- 1 to 5) {
+          stages ++=
+            s""",
+               |p$i AS (SELECT g, sum(wf) AS c FROM (
+               |    SELECT wf, unnest(CASE WHEN len(l) >= 2
+               |      THEN list_transform(range(1, len(l)), j -> l[j] || ' ' || l[j+1])
+               |      ELSE CAST([] AS VARCHAR[]) END) AS g
+               |    FROM (SELECT wf, string_split(seq, ' ') AS l FROM s$i))
+               |  GROUP BY g),
+               |t$i AS (SELECT g, c FROM p$i ORDER BY c DESC, g LIMIT 1),
+               |s${i + 1} AS (SELECT wf, trim(replace(' ' || seq || ' ',
+               |  (SELECT ' ' || g || ' ' FROM t$i),
+               |  (SELECT ' ' || replace(g, ' ', '') || ' ' FROM t$i))) AS seq
+               |  FROM s$i)""".stripMargin
+        }
+        stages ++= "\n" + (1 to 5).map(i =>
+          s"SELECT $i AS merge_rank, g AS pair, replace(g, ' ', '') AS merged, " +
+            s"CAST(c AS BIGINT) AS n_pairs FROM t$i")
+          .mkString("", "\nUNION ALL\n", "\nORDER BY merge_rank")
+        stages.toString
+      })
   )
 }

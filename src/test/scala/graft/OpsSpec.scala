@@ -297,6 +297,25 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3).getSeq[String](1) == Seq("solo"))
   }
 
+  test("BPE merges: hand-computed merge table on the classic low/lower/newest corpus") {
+    val docs = Seq((1, "low low low lower lower newest")).toDF("doc_id", "text")
+    val got = TextOps.bpeMerges(docs, "text", nMerges = 5)
+      .orderBy($"merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // word freqs: low x3, lower x2, newest x1
+    // iter1: "l o" and "o w" tie at 5 -> pair asc picks "l o"
+    // iter2: "lo w" 5 -> "low"
+    // iter3: "e r" and "low e" tie at 2 -> "e r"
+    // iter4: "low er" 2 -> "lower"
+    // iter5: four pairs tie at 1 inside n-e-w-e-s-t -> "e s" wins asc
+    assert(got.toSeq == Seq(
+      (1, "l o", "lo", 5L),
+      (2, "lo w", "low", 5L),
+      (3, "e r", "er", 2L),
+      (4, "low er", "lower", 2L),
+      (5, "e s", "es", 1L)))
+  }
+
   test("mixEpochs: floor+fractional copies, zero weight drops, deterministic") {
     val docs = (0L until 300L).map(i =>
       (i, if (i < 100) "a" else if (i < 200) "b" else "c")).toDF("doc_id", "source")
