@@ -189,6 +189,28 @@ object TextOps {
     merges.toSeq.toDF("merge_rank", "pair", "merged", "n_pairs")
   }
 
+  /** Apply a trained BPE merge table to text: encode each word's character
+    * sequence by replaying the merges IN TRAINING ORDER (BPE's apply-time
+    * contract). The merge table is driver-resident (vocab-sized), so the
+    * encoder folds it into a chain of per-row sentinel `replace`
+    * expressions — pure codegen, no UDF, no join, no iteration at apply
+    * time; the per-word symbol split rides an existing transform. Returns
+    * the token count after merging (the real sequence length a trainer
+    * would batch on, vs the [[bpeishTokenCount]] heuristic).
+    */
+  def bpeEncodeCount(text: Column, merges: Seq[(String, String)]): Column = {
+    val words = tokens(lower(text))
+    val encoded = transform(words, w => {
+      val chars = array_join(regexp_extract_all(w, lit("."), lit(0)), " ")
+      val merged = merges.foldLeft(
+        concat(lit(" "), chars, lit(" ")): Column) { case (acc, (pair, m)) =>
+        replace(acc, lit(s" $pair "), lit(s" $m "))
+      }
+      size(split(trim(merged), " "))
+    })
+    coalesce(aggregate(encoded, lit(0), _ + _), lit(0))
+  }
+
   /** Gopher-style repetition metrics per document: the standard
     * quality-filter family that catches boilerplate and degenerate
     * repetition which length/punctuation stats miss.

@@ -48,6 +48,39 @@ object Pipeline {
        |GROUP BY l.doc, r.doc""".stripMargin
   }
 
+  /** DuckDB mirror of TextOps.bpeMerges' training loop: WITH-clause stages
+    * wfreq, s1..s{n+1}, p1..pn (weighted pair counts), t1..tn (winning
+    * pair per iteration). Shared by p36 (emit the merge table) and p37
+    * (apply it).
+    */
+  private def bpeTrainCtes(n: Int): String = {
+    val stages = new StringBuilder
+    stages ++=
+      s"""WITH wfreq AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS wf FROM (
+         |    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+         |                              x -> len(x) > 0)) AS w
+         |    FROM documents) GROUP BY w),
+         |s1 AS (SELECT wf, array_to_string(regexp_extract_all(w, '.'), ' ') AS seq
+         |       FROM wfreq)""".stripMargin
+    for (i <- 1 to n) {
+      stages ++=
+        s""",
+           |p$i AS (SELECT g, sum(wf) AS c FROM (
+           |    SELECT wf, unnest(CASE WHEN len(l) >= 2
+           |      THEN list_transform(range(1, len(l)), j -> l[j] || ' ' || l[j+1])
+           |      ELSE CAST([] AS VARCHAR[]) END) AS g
+           |    FROM (SELECT wf, string_split(seq, ' ') AS l FROM s$i))
+           |  GROUP BY g),
+           |t$i AS (SELECT g, c FROM p$i ORDER BY c DESC, g LIMIT 1),
+           |s${i + 1} AS (SELECT wf, trim(replace(' ' || seq || ' ',
+           |  (SELECT ' ' || g || ' ' FROM t$i),
+           |  (SELECT ' ' || replace(g, ' ', '') || ' ' FROM t$i))) AS seq
+           |  FROM s$i)""".stripMargin
+    }
+    stages.toString
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // -- exact dedup: content digest + keeper election ----------------------
@@ -1151,36 +1184,52 @@ object Pipeline {
     QueryDef("p36_bpe_merges",
       (s, d) => TextOps.bpeMerges(t(s, d, "documents"), "text", nMerges = 5)
         .orderBy(col("merge_rank")),
+      Some(bpeTrainCtes(5) + "\n" + (1 to 5).map(i =>
+        s"SELECT $i AS merge_rank, g AS pair, replace(g, ' ', '') AS merged, " +
+          s"CAST(c AS BIGINT) AS n_pairs FROM t$i")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY merge_rank"))),
+
+    // -- BPE application: encode the corpus with the trained merge table ----
+    // Train once (p36's 5 merges, driver-collected), then encoding is a
+    // CHAIN of per-row sentinel replaces folded over the merge list — no
+    // UDF, no join, no apply-time iteration: the vocab-sized merge table
+    // compiles INTO the expression tree, which is how a 100 TB encode pass
+    // stays a single codegen'd scan. n_bpe is the real post-merge sequence
+    // length (what a trainer batches on) next to the p02 heuristic count.
+    QueryDef("p37_bpe_encode",
+      (s, d) => {
+        import s.implicits._
+        val merges = TextOps.bpeMerges(t(s, d, "documents"), "text", nMerges = 5)
+          .orderBy($"merge_rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        t(s, d, "documents")
+          .select($"doc_id",
+            TextOps.wordCount($"text").as("n_words"),
+            TextOps.bpeEncodeCount($"text", merges).as("n_bpe"))
+          .orderBy($"doc_id")
+      },
       Some {
-        val stages = new StringBuilder
-        stages ++=
-          s"""WITH wfreq AS (
-             |  SELECT w, CAST(count(*) AS BIGINT) AS wf FROM (
-             |    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
-             |                              x -> len(x) > 0)) AS w
-             |    FROM documents) GROUP BY w),
-             |s1 AS (SELECT wf, array_to_string(regexp_extract_all(w, '.'), ' ') AS seq
-             |       FROM wfreq)""".stripMargin
-        for (i <- 1 to 5) {
-          stages ++=
-            s""",
-               |p$i AS (SELECT g, sum(wf) AS c FROM (
-               |    SELECT wf, unnest(CASE WHEN len(l) >= 2
-               |      THEN list_transform(range(1, len(l)), j -> l[j] || ' ' || l[j+1])
-               |      ELSE CAST([] AS VARCHAR[]) END) AS g
-               |    FROM (SELECT wf, string_split(seq, ' ') AS l FROM s$i))
-               |  GROUP BY g),
-               |t$i AS (SELECT g, c FROM p$i ORDER BY c DESC, g LIMIT 1),
-               |s${i + 1} AS (SELECT wf, trim(replace(' ' || seq || ' ',
-               |  (SELECT ' ' || g || ' ' FROM t$i),
-               |  (SELECT ' ' || replace(g, ' ', '') || ' ' FROM t$i))) AS seq
-               |  FROM s$i)""".stripMargin
+        val chain = (1 to 5).foldLeft(
+          "' ' || array_to_string(regexp_extract_all(x, '.'), ' ') || ' '") {
+          (acc, i) => s"replace($acc,\n        ' ' || g$i || ' ', ' ' || m$i || ' ')"
         }
-        stages ++= "\n" + (1 to 5).map(i =>
-          s"SELECT $i AS merge_rank, g AS pair, replace(g, ' ', '') AS merged, " +
-            s"CAST(c AS BIGINT) AS n_pairs FROM t$i")
-          .mkString("", "\nUNION ALL\n", "\nORDER BY merge_rank")
-        stages.toString
+        s"""${bpeTrainCtes(5)},
+           |mt AS (SELECT t1.g AS g1, replace(t1.g, ' ', '') AS m1,
+           |              t2.g AS g2, replace(t2.g, ' ', '') AS m2,
+           |              t3.g AS g3, replace(t3.g, ' ', '') AS m3,
+           |              t4.g AS g4, replace(t4.g, ' ', '') AS m4,
+           |              t5.g AS g5, replace(t5.g, ' ', '') AS m5
+           |       FROM t1, t2, t3, t4, t5),
+           |toks AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS words
+           |  FROM documents)
+           |SELECT doc_id,
+           |  len(words) AS n_words,
+           |  CAST(COALESCE(list_sum(list_transform(words, x ->
+           |    len(string_split(trim($chain), ' ')))), 0) AS BIGINT) AS n_bpe
+           |FROM toks CROSS JOIN mt
+           |ORDER BY doc_id""".stripMargin
       })
   )
 }

@@ -316,6 +316,21 @@ class OpsSpec extends AnyFunSuite {
       (5, "e s", "es", 1L)))
   }
 
+  test("BPE encode: trained merges collapse known words, untouched text counts chars") {
+    // merge table from the classic corpus (verified in the training golden)
+    val merges = Seq("l o" -> "lo", "lo w" -> "low", "e r" -> "er",
+      "low er" -> "lower", "e s" -> "es")
+    val df = Seq(
+      (1, "low lower newest"), // 1 + 1 + (n e w es t) = 7
+      (2, "lo"),               // l o -> lo = 1
+      (3, ""),                 // no words -> 0
+      (4, "xyz"))              // no merges apply -> 3 chars
+      .toDF("id", "text")
+    val out = df.select($"id", TextOps.bpeEncodeCount($"text", merges).as("n"))
+      .orderBy($"id").collect().map(_.getInt(1)).toSeq
+    assert(out == Seq(7, 1, 0, 3))
+  }
+
   test("mixEpochs: floor+fractional copies, zero weight drops, deterministic") {
     val docs = (0L until 300L).map(i =>
       (i, if (i < 100) "a" else if (i < 200) "b" else "c")).toDF("doc_id", "source")
