@@ -1,0 +1,65 @@
+-- Training-data pipeline, SQL-only surface.
+-- Session setup: spark.sql.extensions=graft.GraftExtensions registers
+-- cosine_sim, nfc_normalize, bloom_filter_agg, might_contain at build time;
+-- the graft_* text macros install via queries.Pipeline p22 or
+-- `CREATE TEMPORARY FUNCTION` as below. Tables are plain parquet reads:
+--   CREATE TEMPORARY VIEW documents USING parquet OPTIONS (path '<dir>/documents.parquet');
+--   CREATE TEMPORARY VIEW embeddings USING parquet OPTIONS (path '<dir>/embeddings.parquet');
+
+-- 1. Canonicalize + cheap quality stats (single codegen'd scan).
+CREATE OR REPLACE TEMPORARY VIEW canon AS
+SELECT doc_id, source, lang,
+       nfc_normalize(text) AS text,
+       size(filter(split(text, '\\s+'), x -> length(x) > 0)) AS n_words
+FROM documents;
+
+-- 2. PII scrub (chained regexp_replace; patterns in graft.ops.TextOps).
+CREATE OR REPLACE TEMPORARY VIEW scrubbed AS
+SELECT doc_id, source, lang, n_words,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]'),
+         '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b', '[IP]'),
+         '\\+\\d{1,2}-\\d{3}-\\d{3,}', '[PHONE]') AS text
+FROM canon;
+
+-- 3. Exact dedup: keep the lowest doc_id per digest.
+CREATE OR REPLACE TEMPORARY VIEW deduped AS
+SELECT * FROM (
+  SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+  FROM scrubbed)
+WHERE doc_id = keeper;
+
+-- 4. Blocklist prune without shuffling the corpus: bloom prefilter
+--    (scalar subquery -> broadcast), exact residual anti-join on the
+--    bloom-positive candidates only.
+CREATE OR REPLACE TEMPORARY VIEW blocklist AS
+SELECT DISTINCT md5(text) AS digest FROM documents WHERE source = 'src0';
+
+CREATE OR REPLACE TEMPORARY VIEW cleared AS
+SELECT d.* FROM deduped d
+WHERE NOT might_contain(
+        (SELECT bloom_filter_agg(xxhash64(digest), 10000L, 65536L) FROM blocklist),
+        xxhash64(md5(d.text)))
+UNION ALL
+SELECT d.* FROM deduped d
+LEFT ANTI JOIN blocklist b ON md5(d.text) = b.digest
+WHERE might_contain(
+        (SELECT bloom_filter_agg(xxhash64(digest), 10000L, 65536L) FROM blocklist),
+        xxhash64(md5(d.text)));
+
+-- 5. Per-source quota: keep each source's 10 longest documents.
+CREATE OR REPLACE TEMPORARY VIEW capped AS
+SELECT * FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY n_words DESC, doc_id) AS rnk
+  FROM cleared)
+WHERE rnk <= 10;
+
+-- 6. Embedding near-dup check over the survivors (native cosine kernel).
+SELECT a.doc_id AS a, b.doc_id AS b,
+       round(cosine_sim(ea.embedding, eb.embedding), 4) AS sim
+FROM capped a JOIN capped b ON a.doc_id < b.doc_id
+JOIN embeddings ea ON ea.vec_id = a.doc_id
+JOIN embeddings eb ON eb.vec_id = b.doc_id
+WHERE cosine_sim(ea.embedding, eb.embedding) > 0.95
+ORDER BY sim DESC;

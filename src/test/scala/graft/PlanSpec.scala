@@ -117,6 +117,21 @@ class PlanSpec extends AnyFunSuite {
       "chunk-frequency join must key on chunk, not enumerate pairs")
   }
 
+  test("p35 bloom prune: corpus scan filters per-row, residual join broadcasts") {
+    val plan = planOf("p35_bloom_blocklist")
+    assert(!plan.contains("SortMergeJoin"),
+      "blocklist residual must broadcast (candidates are bloom-bounded), not shuffle the corpus")
+    assert(plan.contains("might_contain"),
+      "the bloom predicate must appear as a scan-side filter")
+  }
+
+  test("p37 BPE encode is a single scan: merge chain stays in codegen, no shuffle") {
+    val plan = planOf("p37_bpe_encode")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "apply-time encoding must not shuffle — the merge table is in the expression tree")
+    assert(plan.contains("*("), "replace chain must stay inside codegen")
+  }
+
   test("bucketed tables co-locate the join: no exchange on either side") {
     // The 100 TB fact-fact join answer: both sides written bucketed by the
     // key means the sort-merge join reads pre-partitioned buckets and the
