@@ -136,14 +136,21 @@ object Multimodal {
     */
   def syntheticPng(seed: Long, w: Int = 8, h: Int = 8): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // proper per-pixel hash mixing (fmix64 finalizer), not a linear
+    // gradient: linear patterns binarize identically under perceptual
+    // hashing, which made distinct seeds collide at Hamming 0
+    def mix(v: Long): Long = {
+      var z = v
+      z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
+      z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
+      z ^ (z >>> 33)
+    }
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val r = ((seed * 31 + x * 7 + y * 13) & 0xff).toInt
-        val g = ((seed * 17 + x * 11 + y * 3) & 0xff).toInt
-        val b = ((seed * 23 + x * 5 + y * 19) & 0xff).toInt
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        val p = mix(seed * 1000003L + y * 1009L + x)
+        img.setRGB(x, y, (p & 0xffffff).toInt)
         x += 1
       }
       y += 1
@@ -170,6 +177,105 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** Real image resize: JDK Graphics2D bilinear scale, PNG re-encode. The
+    * standard normalize-before-featurize step; None when undecodable.
+    */
+  def resizeImage(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    if (bytes == null) return None
+    val src =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (src == null) return None
+    val dst = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, w, h, null)
+    } finally g.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(dst, "png", out)
+    Some(out.toByteArray)
+  }
+
+  /** Perceptual average hash (aHash): decode, bilinear-resize to 8×8, gray
+    * via luma, one bit per pixel (luma > mean), MSB-first row-major — the
+    * cheap perceptual fingerprint whose Hamming distance survives resizing
+    * and mild recompression. None when the bytes are not an image.
+    */
+  def aHash(bytes: Array[Byte]): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return None
+    val dst = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, 8, 8, null)
+    } finally g.dispose()
+    val luma = new Array[Double](64)
+    var mean = 0.0
+    var i = 0
+    while (i < 64) {
+      val rgb = dst.getRGB(i % 8, i / 8)
+      luma(i) = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+        0.114 * (rgb & 0xff)
+      mean += luma(i)
+      i += 1
+    }
+    mean /= 64.0
+    var hash = 0L
+    i = 0
+    while (i < 64) { if (luma(i) > mean) hash |= (1L << (63 - i)); i += 1 }
+    Some(hash)
+  }
+
+  /** (id, media) → (id, phash LONG): partition-wise perceptual hashing
+    * (decoder setup amortized like [[extractFeatures]]); non-images drop.
+    */
+  def perceptualHashes(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("phash", LongType)))
+    val rdd = df.select(col(idCol).cast("long"), col(mediaCol)).rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        aHash(r.getAs[Array[Byte]](1)).map(h => Row(r.getLong(0), h))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Image near-dup pairs by perceptual hash: the 64-bit aHash splits into
+    * four 16-bit bands; pairs within Hamming distance ≤ 16·3/4 share at
+    * least one exact band (pigeonhole), so candidates come from a BUCKET
+    * join on (band, key) — never an all-pairs product — and the exact
+    * `bit_count(xor)` filter runs on candidates only. The same
+    * LSH-candidates-then-verify shape as the text MinHash pipeline, which
+    * is what holds at 100 TB of images.
+    */
+  def imageNearDupPairs(df: DataFrame, idCol: String, mediaCol: String,
+                        maxHamming: Int): DataFrame = {
+    val hashes = perceptualHashes(df, idCol, mediaCol)
+    val bands = hashes.select(col("id"), col("phash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("key", expr("shiftright(phash, band * 16) & 65535"))
+    val l = bands.select(col("band"), col("key"),
+      col("id").as("a"), col("phash").as("ha"))
+    val r = bands.select(col("band"), col("key"),
+      col("id").as("b"), col("phash").as("hb"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** "Video" frame sampling over an opaque blob: emit every k-th fixed-size

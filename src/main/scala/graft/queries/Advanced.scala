@@ -206,6 +206,33 @@ object Advanced {
           .orderBy($"id")
       }, None),
 
+    QueryDef("p38_image_neardup",
+      (s, d) => {
+        import s.implicits._
+        // image dedup across the media column: seeds repeat mod 300, so
+        // every doc_id >= 300 carries an exact pixel duplicate of
+        // doc_id - 300 — the perceptual-hash pipeline must find all of
+        // them at Hamming 0 via the banded bucket join (no all-pairs).
+        // No oracle possible (decode-dependent); exactness goldens live
+        // in MultimodalSpec, and the planted-duplicate recall is asserted
+        // right here: missing pairs make the driver row count drop.
+        val ids = t(s, d, "documents").select($"doc_id", ($"doc_id" % 300).as("seed"))
+        val media = {
+          import org.apache.spark.sql.Row
+          import org.apache.spark.sql.types._
+          val schema = StructType(Seq(
+            StructField("doc_id", LongType), StructField("media", BinaryType)))
+          s.createDataFrame(
+            ids.select($"doc_id".cast("long"), $"seed".cast("long")).rdd
+              .mapPartitions { it =>
+                javax.imageio.ImageIO.setUseCache(false)
+                it.map(r => Row(r.getLong(0), Multimodal.syntheticPng(r.getLong(1))))
+              }, schema)
+        }
+        Multimodal.imageNearDupPairs(media, "doc_id", "media", maxHamming = 4)
+          .orderBy($"a", $"b")
+      }, None),
+
     QueryDef("p12_multimodal_frames",
       (s, d) => {
         import s.implicits._

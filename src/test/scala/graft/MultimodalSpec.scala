@@ -74,4 +74,54 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 10))
     assert(frames(1).getAs[Array[Byte]]("frame").head == 30.toByte)
   }
+
+  test("resize: target dims, still decodable, constant image stays constant") {
+    val png = Multimodal.syntheticPng(7, w = 16, h = 16)
+    val small = Multimodal.resizeImage(png, 4, 4).get
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(small))
+    assert(img.getWidth == 4 && img.getHeight == 4)
+    // a constant-color image resizes to the same constant (bilinear exactness)
+    val flat = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) flat.setRGB(x, y, 0x336699)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(flat, "png", out)
+    val rs = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.resizeImage(out.toByteArray, 2, 2).get))
+    assert((rs.getRGB(1, 1) & 0xffffff) == 0x336699)
+    assert(Multimodal.resizeImage("not an image".getBytes, 2, 2).isEmpty)
+  }
+
+  test("aHash: identical bytes hash equal, scaled copy within small Hamming, inverted far") {
+    val a = Multimodal.syntheticPng(42, w = 16, h = 16)
+    val b = Multimodal.syntheticPng(42, w = 16, h = 16)
+    assert(Multimodal.aHash(a).get == Multimodal.aHash(b).get)
+    // the perceptual property: a resized copy keeps a close hash
+    val scaled = Multimodal.resizeImage(a, 32, 32).get
+    val d = java.lang.Long.bitCount(Multimodal.aHash(a).get ^ Multimodal.aHash(scaled).get)
+    assert(d <= 8, s"scaled copy drifted $d bits")
+    // luma inversion flips most bits
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a))
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+      img.setRGB(x, y, ~img.getRGB(x, y) & 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val inv = java.lang.Long.bitCount(
+      Multimodal.aHash(a).get ^ Multimodal.aHash(out.toByteArray).get)
+    assert(inv >= 32, s"inverted image only $inv bits away")
+    assert(Multimodal.aHash("junk".getBytes).isEmpty)
+  }
+
+  test("image near-dup pairs: planted duplicates found via band buckets, no all-pairs") {
+    // ids 0..59; ids 50..59 duplicate the images of 0..9
+    val rows = (0L until 60L).map(i => (i, Multimodal.syntheticPng(i % 50, w = 16, h = 16)))
+    val df = rows.toDF("id", "media")
+    val pairs = Multimodal.imageNearDupPairs(df, "id", "media", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val expected = (0L until 10L).map(i => (i, i + 50L, 0))
+    expected.foreach(p => assert(pairs.contains(p), s"missing planted dup $p"))
+    // every reported pair at Hamming 0 must be a genuine pixel duplicate
+    pairs.filter(_._3 == 0).foreach { case (x, y, _) =>
+      assert(Multimodal.aHash(rows(x.toInt)._2).get == Multimodal.aHash(rows(y.toInt)._2).get)
+    }
+  }
 }
