@@ -518,6 +518,30 @@ object Relational {
              |FROM events
              |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              |             RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // -- CSV source/sink roundtrip (host read_csv/COPY ... WITH CSV) --------
+    // The host engine's workhorse ingest format: write a projection out as
+    // CSV, read it back with an explicit schema (no inference job — at
+    // 100 TB schema inference is a full extra scan), and aggregate. The
+    // oracle aggregates the original parquet directly, so the hash-match
+    // proves the CSV codec roundtrips values exactly.
+    QueryDef("q27_csv_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+        t(s, d, "lineitem")
+          .select($"l_orderkey", $"l_returnflag", $"l_quantity")
+          .write.mode("overwrite").option("header", "true").csv(s"$dir/li")
+        val back = s.read
+          .schema("l_orderkey LONG, l_returnflag STRING, l_quantity DOUBLE")
+          .option("header", "true").csv(s"$dir/li")
+        back.groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("sum_qty"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 }
