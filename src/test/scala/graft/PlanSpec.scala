@@ -132,6 +132,22 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("*("), "replace chain must stay inside codegen")
   }
 
+  test("sweep: no pipeline query degenerates to a cross product (allowlisted brute force)") {
+    // p06 is the documented brute-force correctness baseline (broadcast
+    // cross join by design); p19/p36 probe tiny driver-bounded tables
+    // (centroids / 1-row top-pair) where a broadcast nested loop over a
+    // fixed-size side is the intended plan. Everything else must never
+    // enumerate pairs.
+    val allowCross = Set("p06_brute_topk", "p19_ivf_ann", "p36_bpe_merges",
+      "p37_bpe_encode")
+    val names = SparkEntry.queries.keys.filter(_.startsWith("p")).toSeq.sorted
+    for (name <- names if !allowCross(name)) {
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name degenerated to a cartesian product")
+    }
+  }
+
   test("bucketed tables co-locate the join: no exchange on either side") {
     // The 100 TB fact-fact join answer: both sides written bucketed by the
     // key means the sort-merge join reads pre-partitioned buckets and the
