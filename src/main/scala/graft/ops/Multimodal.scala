@@ -70,12 +70,93 @@ object Multimodal {
     Some(out)
   }
 
-  /** Decode dispatch: real pixels when ImageIO can read the bytes, the
-    * deterministic stub otherwise (non-image formats — the codecs the
-    * container lacks).
+  /** Real audio decode: JDK javax.sound (headless-safe for PCM WAV/AIFF —
+    * no native codec needed) → sample features: overall RMS, zero-crossing
+    * rate, mean amplitude, peak, and per-quarter RMS (temporal pooling,
+    * the audio analogue of [[decodeImage]]'s 2×2 spatial pooling). None
+    * when the bytes are not a decodable audio container.
+    */
+  def decodeAudio(bytes: Array[Byte]): Option[Array[Float]] = {
+    if (bytes == null || bytes.length < 12) return None
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => return None }
+    try {
+      val fmt = in.getFormat
+      if (fmt.getSampleSizeInBits != 16 ||
+        fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        return None
+      val raw = in.readAllBytes()
+      val n = raw.length / 2
+      if (n == 0) return None
+      val samples = new Array[Double](n)
+      val le = !fmt.isBigEndian
+      var i = 0
+      while (i < n) {
+        val lo = raw(2 * i) & 0xff; val hi = raw(2 * i + 1) & 0xff
+        val v = if (le) (hi << 8) | lo else (lo << 8) | hi
+        samples(i) = v.toShort / 32768.0
+        i += 1
+      }
+      var sumSq = 0.0; var sumAbs = 0.0; var peak = 0.0; var zc = 0
+      val quarterSq = new Array[Double](4)
+      i = 0
+      while (i < n) {
+        val s = samples(i)
+        sumSq += s * s; sumAbs += math.abs(s); peak = math.max(peak, math.abs(s))
+        if (i > 0 && (samples(i - 1) >= 0) != (s >= 0)) zc += 1
+        quarterSq(math.min(3, i * 4 / n)) += s * s
+        i += 1
+      }
+      val out = new Array[Float](FeatureDim)
+      out(0) = math.sqrt(sumSq / n).toFloat            // rms
+      out(1) = (zc.toDouble / n).toFloat               // zero-crossing rate
+      out(2) = (sumAbs / n).toFloat                    // mean |amplitude|
+      out(3) = peak.toFloat
+      var q = 0
+      while (q < 4) {
+        out(4 + q) = math.sqrt(quarterSq(q) / math.max(1, n / 4)).toFloat
+        q += 1
+      }
+      Some(out)
+    } finally in.close()
+  }
+
+  /** Decode dispatch: real pixels when ImageIO reads the bytes, real PCM
+    * samples when javax.sound does (WAV/AIFF), the deterministic stub only
+    * for formats the JDK genuinely lacks (compressed audio, video).
     */
   def decode(bytes: Array[Byte]): Array[Float] =
-    decodeImage(bytes).getOrElse(stubDecode(bytes))
+    decodeImage(bytes)
+      .orElse(decodeAudio(bytes))
+      .getOrElse(stubDecode(bytes))
+
+  /** Deterministic 16-bit mono PCM WAV fixture: a seed-keyed sine (RIFF
+    * header hand-written — byte-stable across JDKs, unlike re-encoding).
+    */
+  def syntheticWav(seed: Long, nSamples: Int = 4410,
+                   sampleRate: Int = 44100): Array[Byte] = {
+    val freq = 200.0 + (seed % 40) * 50.0 // 200..2150 Hz
+    val amp = 0.5
+    val data = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v = (amp * math.sin(2 * math.Pi * freq * i / sampleRate) * 32767).toInt
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val out = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes); out.putInt(36 + data.length); out.put("WAVE".getBytes)
+    out.put("fmt ".getBytes); out.putInt(16)
+    out.putShort(1); out.putShort(1)                       // PCM, mono
+    out.putInt(sampleRate); out.putInt(sampleRate * 2)     // byte rate
+    out.putShort(2); out.putShort(16)                      // block align, bits
+    out.put("data".getBytes); out.putInt(data.length); out.put(data)
+    out.array()
+  }
 
   /** STUB for media the JDK cannot decode (audio/video): deterministic
     * fixed-shape "features" derived from the raw bytes. Kept ONLY as the

@@ -233,6 +233,32 @@ object Advanced {
           .orderBy($"a", $"b")
       }, None),
 
+    QueryDef("p39_audio_features",
+      (s, d) => {
+        import s.implicits._
+        // REAL audio decode: seed-keyed sine WAV per document → javax.sound
+        // PCM samples → RMS/ZCR/peak + temporal pooling. Same mapPartitions
+        // batch shape as image features; no oracle possible (DuckDB has no
+        // audio codec) — exact signal-theory goldens live in MultimodalSpec.
+        val ids = t(s, d, "documents").select($"doc_id")
+        val media = {
+          import org.apache.spark.sql.Row
+          import org.apache.spark.sql.types._
+          val schema = StructType(Seq(
+            StructField("doc_id", LongType), StructField("media", BinaryType)))
+          s.createDataFrame(
+            ids.select($"doc_id".cast("long")).rdd.mapPartitions { it =>
+              it.map(r => Row(r.getLong(0), Multimodal.syntheticWav(r.getLong(0))))
+            }, schema)
+        }
+        Multimodal.extractFeatures(media, "doc_id", "media", "audio/wav")
+          .select($"id", $"format", $"n_bytes",
+            round(element_at($"features", 1), 4).as("rms"),
+            round(element_at($"features", 2), 5).as("zcr"),
+            round(element_at($"features", 4), 4).as("peak"))
+          .orderBy($"id")
+      }, None),
+
     QueryDef("p12_multimodal_frames",
       (s, d) => {
         import s.implicits._

@@ -111,6 +111,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.aHash("junk".getBytes).isEmpty)
   }
 
+  test("real audio decode: sine WAV yields textbook RMS/ZCR/peak, dispatch picks the right codec") {
+    val wav = Multimodal.syntheticWav(0, nSamples = 44100) // 1 s @ 200 Hz, amp 0.5
+    val f = Multimodal.decodeAudio(wav).get
+    assert(math.abs(f(0) - 0.5 / math.sqrt(2)) < 0.01, s"rms ${f(0)}")   // a/sqrt(2)
+    assert(math.abs(f(1) - 2.0 * 200 / 44100) < 0.001, s"zcr ${f(1)}")   // 2f/sr
+    assert(math.abs(f(3) - 0.5) < 0.01, s"peak ${f(3)}")
+    // stationary sine: every quarter carries the same energy
+    (4 to 7).foreach(q => assert(math.abs(f(q) - f(0)) < 0.01, s"quarter $q: ${f(q)}"))
+    // determinism + distinct seeds differ (different frequency -> different zcr)
+    assert(Multimodal.syntheticWav(3).sameElements(Multimodal.syntheticWav(3)))
+    val f2 = Multimodal.decodeAudio(Multimodal.syntheticWav(1)).get
+    assert(f2(1) > f(1), "higher seed frequency must raise zero-crossing rate")
+    // dispatch: WAV is not an image, PNG is not audio, junk hits the stub
+    assert(Multimodal.decodeImage(wav).isEmpty)
+    assert(Multimodal.decodeAudio(Multimodal.syntheticPng(1)).isEmpty)
+    assert(Multimodal.decode(wav).sameElements(f))
+    assert(Multimodal.decode("junk".getBytes).length == Multimodal.FeatureDim)
+  }
+
   test("image near-dup pairs: planted duplicates found via band buckets, no all-pairs") {
     // ids 0..59; ids 50..59 duplicate the images of 0..9
     val rows = (0L until 60L).map(i => (i, Multimodal.syntheticPng(i % 50, w = 16, h = 16)))
