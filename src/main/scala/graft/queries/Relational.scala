@@ -542,6 +542,42 @@ object Relational {
       },
       Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
              |  round(sum(l_quantity), 2) AS sum_qty
-             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // -- ranking/navigation window-function family --------------------------
+    // The §2B window corners not yet exercised elsewhere: percent_rank and
+    // cume_dist (exact rational values — (rank-1)/(n-1) and rank_hi/n are
+    // small-integer ratios, identical doubles in both engines), lead/lag
+    // with defaults, and first/nth value over an explicit frame. Total
+    // deterministic ORDER BY; one window per customer partition.
+    QueryDef("q28_window_funcs",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        t(s, d, "orders").filter($"o_custkey" < 200)
+          .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("pr", round(percent_rank().over(w), 6))
+          .withColumn("cd", round(cume_dist().over(w), 6))
+          .withColumn("prev_price", round(lag($"o_totalprice", 1, 0.0).over(w), 2))
+          .withColumn("next_key", lead($"o_orderkey", 1, -1L).over(w))
+          .withColumn("first_key", first($"o_orderkey").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select($"o_custkey", $"o_orderkey", $"rn", $"pr", $"cd",
+            $"prev_price", $"next_key", $"first_key")
+          .orderBy($"o_custkey", $"rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(row_number() OVER w AS INT) AS rn,
+             |  round(percent_rank() OVER w, 6) AS pr,
+             |  round(cume_dist() OVER w, 6) AS cd,
+             |  round(COALESCE(lag(o_totalprice, 1) OVER w, 0.0), 2) AS prev_price,
+             |  COALESCE(lead(o_orderkey, 1) OVER w, -1) AS next_key,
+             |  first_value(o_orderkey) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_key
+             |FROM orders WHERE o_custkey < 200
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, rn""".stripMargin))
   )
 }
