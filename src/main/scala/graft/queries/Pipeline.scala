@@ -1175,6 +1175,53 @@ object Pipeline {
              |  (SELECT md5(text) FROM documents WHERE source = 'src0')
              |ORDER BY doc_id""".stripMargin)),
 
+    // -- canonical-form near-exact dedup ------------------------------------
+    // The normalize-then-digest family (Dolma/CCNet-style): exact dedup
+    // (p01) misses trivially-reformatted copies, so the digest is taken
+    // over the CANONICAL form — NFC, lowercased, punctuation stripped,
+    // whitespace collapsed — planted here by perturbing case/spacing of
+    // doc_id%400 in both engines. Pure per-row expressions + one window;
+    // the canonicalizer chain (incl. the native nfc_normalize) stays in
+    // whole-stage codegen.
+    QueryDef("p40_canonical_dedup",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.NfcNormalize.register(s)
+        // docs >= 400 carry a reformatted copy of doc_id % 400's text:
+        // uppercased, double-spaced, trailing punctuation
+        val base = t(s, d, "documents")
+        val basis = base.select($"doc_id".as("base_id"), $"text".as("base_text"))
+        val docs = base.join(basis, $"doc_id" % 400 === $"base_id", "left")
+          .select($"doc_id",
+            when($"doc_id" >= 400, concat(upper($"base_text"), lit("  !!")))
+              .otherwise($"text").as("text"))
+        val canon = trim(regexp_replace(
+          regexp_replace(lower(call_function("nfc_normalize", $"text")),
+            "[^a-z0-9\\s]", ""),
+          "\\s+", " "))
+        val w = Window.partitionBy($"canon_digest")
+        docs.select($"doc_id", md5(canon).as("canon_digest"))
+          .withColumn("keeper", min($"doc_id").over(w))
+          .withColumn("is_dup", ($"doc_id" =!= $"keeper").cast("int"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH docs AS (
+             |  SELECT d.doc_id,
+             |    CASE WHEN d.doc_id >= 400 THEN upper(b.text) || '  !!'
+             |         ELSE d.text END AS text
+             |  FROM documents d
+             |  LEFT JOIN documents b ON d.doc_id % 400 = b.doc_id),
+             |canon AS (
+             |  SELECT doc_id,
+             |    md5(trim(regexp_replace(
+             |      regexp_replace(lower(nfc_normalize(text)), '[^a-z0-9\s]', '', 'g'),
+             |      '\s+', ' ', 'g'))) AS canon_digest
+             |  FROM docs)
+             |SELECT doc_id, canon_digest,
+             |  min(doc_id) OVER (PARTITION BY canon_digest) AS keeper,
+             |  CAST(doc_id <> min(doc_id) OVER (PARTITION BY canon_digest) AS INT) AS is_dup
+             |FROM canon ORDER BY doc_id""".stripMargin)),
+
     // -- BPE vocabulary induction (merge-table training) --------------------
     // TextOps.bpeMerges: one corpus pass builds the word-frequency table,
     // then 5 merge iterations run over the VOCABULARY only — the property

@@ -578,6 +578,36 @@ object Relational {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_key
              |FROM orders WHERE o_custkey < 200
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-             |ORDER BY o_custkey, rn""".stripMargin))
+             |ORDER BY o_custkey, rn""".stripMargin)),
+
+    // -- correlated EXISTS / NOT EXISTS -------------------------------------
+    // The correlated-subquery predicate form (distinct from q07's scalar
+    // subquery and q08's join-operator anti join): Catalyst rewrites both
+    // branches to semi/anti joins — same physical plan, the HOST-ENGINE
+    // syntax a migrating user brings along.
+    QueryDef("q29_exists",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders_ex")
+        t(s, d, "lineitem").createOrReplaceTempView("lineitem_ex")
+        s.sql("""SELECT o_orderkey, o_custkey,
+                |  round(o_totalprice, 2) AS total
+                |FROM orders_ex o
+                |WHERE EXISTS (SELECT 1 FROM lineitem_ex l
+                |              WHERE l.l_orderkey = o.o_orderkey
+                |                AND l.l_extendedprice > 4000)
+                |  AND NOT EXISTS (SELECT 1 FROM lineitem_ex l
+                |                  WHERE l.l_orderkey = o.o_orderkey
+                |                    AND l.l_discount > 0.09)
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+             |FROM orders o
+             |WHERE EXISTS (SELECT 1 FROM lineitem l
+             |              WHERE l.l_orderkey = o.o_orderkey
+             |                AND l.l_extendedprice > 4000)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+             |                  WHERE l.l_orderkey = o.o_orderkey
+             |                    AND l.l_discount > 0.09)
+             |ORDER BY o_orderkey""".stripMargin))
   )
 }
