@@ -321,7 +321,8 @@ object Relational {
              |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
              |      ROWS UNBOUNDED PRECEDING) AS session_id
              |  FROM marked)
-             |SELECT user_id, session_id, count(*) AS n_events,
+             |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             |  count(*) AS n_events,
              |  CAST(round(sum(CAST(value AS DECIMAL(30,10))), 4) AS DOUBLE) AS session_value
              |FROM sess GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin)),

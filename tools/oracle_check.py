@@ -35,11 +35,19 @@ def main(sf_dir, out_dir):
         for c in exp.columns:
             ev, gv = exp[c], got[c]
             try:
-                import pandas as pd
-                if ev.dtype.kind == 'f' or gv.dtype.kind == 'f':
-                    import numpy as np
+                import numpy as np
+                # The driver's hash is type-sensitive: an int64 Spark column vs
+                # a HUGEINT/float oracle column mismatches even when every value
+                # is equal (this is exactly how q15 hid for two rounds behind the
+                # old atol=1e-9 + dtype-coercing compare). Both frames come out
+                # of the same DuckDB fetchdf, so dtype kinds are comparable.
+                if ev.dtype.kind != gv.dtype.kind:
+                    bad = (c, 'dtype', ev.dtype, gv.dtype, -1); break
+                if ev.dtype.kind == 'f':
                     e2 = ev.astype(float); g2 = gv.astype(float)
-                    mism = ~(np.isclose(e2, g2, rtol=0, atol=1e-9) | (e2.isna() & g2.isna()))
+                    # exact — queries round() what they emit; a last-bit diff
+                    # here means the driver's exact hash splits too
+                    mism = ~((e2 == g2) | (e2.isna() & g2.isna()))
                 else:
                     mism = ev.astype(str) != gv.astype(str)
                 if mism.any():
