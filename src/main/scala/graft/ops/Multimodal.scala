@@ -84,7 +84,9 @@ object Multimodal {
       catch { case _: Exception => return None }
     try {
       val fmt = in.getFormat
-      if (fmt.getSampleSizeInBits != 16 ||
+      // mono only: interleaved multi-channel frames would be read as one
+      // stream, corrupting ZCR (channel-interleave sign flips) and pooling
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
         fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
         return None
       val raw = in.readAllBytes()
@@ -333,20 +335,33 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
-  /** Image near-dup pairs by perceptual hash: the 64-bit aHash splits into
-    * four 16-bit bands; pairs within Hamming distance ≤ 16·3/4 share at
-    * least one exact band (pigeonhole), so candidates come from a BUCKET
-    * join on (band, key) — never an all-pairs product — and the exact
-    * `bit_count(xor)` filter runs on candidates only. The same
-    * LSH-candidates-then-verify shape as the text MinHash pipeline, which
-    * is what holds at 100 TB of images.
+  /** Image near-dup pairs by perceptual hash: LSH-candidates-then-verify,
+    * the same shape as the text MinHash pipeline (what holds at 100 TB of
+    * images). See [[nearDupPairsFromHashes]] for the recall guarantee.
     */
   def imageNearDupPairs(df: DataFrame, idCol: String, mediaCol: String,
-                        maxHamming: Int): DataFrame = {
-    val hashes = perceptualHashes(df, idCol, mediaCol)
+                        maxHamming: Int): DataFrame =
+    nearDupPairsFromHashes(perceptualHashes(df, idCol, mediaCol), maxHamming)
+
+  /** Near-dup pairs over a (id, phash LONG) frame. The 64-bit hash splits
+    * into equal bands; by pigeonhole a pair within Hamming distance d shares
+    * at least one exact band iff the band count exceeds d (d differing bits
+    * can spoil at most d bands). So the band count is DERIVED from
+    * `maxHamming` — the smallest power-of-two divisor of 64 that is
+    * strictly greater than it — and candidates come from a BUCKET join on
+    * (band, key), never an all-pairs product, with the exact
+    * `bit_count(xor)` filter on candidates only. maxHamming ≥ 32 would need
+    * 64 one-bit bands (an all-pairs join in disguise) and is rejected.
+    */
+  def nearDupPairsFromHashes(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming must be in [0, 32): $maxHamming")
+    val nBands = Seq(1, 2, 4, 8, 16, 32).find(_ > maxHamming).get
+    val width = 64 / nBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val bands = hashes.select(col("id"), col("phash"),
-        explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("key", expr("shiftright(phash, band * 16) & 65535"))
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("key", expr(s"shiftright(phash, band * $width) & $mask"))
     val l = bands.select(col("band"), col("key"),
       col("id").as("a"), col("phash").as("ha"))
     val r = bands.select(col("band"), col("key"),

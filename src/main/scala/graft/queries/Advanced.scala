@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.ops.Multimodal
 import graft.streaming.EventStreams
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Streaming + multimodal surface.
@@ -193,53 +194,63 @@ object Advanced {
       (s, d) => {
         import s.implicits._
         // REAL image decode: deterministic synthetic PNG per document
-        // (fixture generator, like OsmPbfWriter for PBF) → ImageIO pixels
-        // → pooled features. No oracle possible (DuckDB has no image
-        // decoder); exact goldens live in MultimodalSpec.
-        val ids = t(s, d, "documents").select($"doc_id")
-        val imgs = Multimodal.synthesizeImages(ids, "doc_id")
-        Multimodal.extractFeatures(imgs, "id", "media", "image/png")
+        // (seed-keyed mod 300 like p38, so the expected features form a
+        // finite per-seed table) → ImageIO pixels → pooled features. The
+        // oracle joins documents against literal features re-derived by an
+        // independent pure-math mirror (tools/gen_multimodal_oracle.py) —
+        // a differential check of the whole encode→decode→pool path.
+        val ids = t(s, d, "documents").select($"doc_id", ($"doc_id" % 300).as("seed"))
+        Multimodal.extractFeatures(seededPngs(s, ids), "doc_id", "media", "image/png")
           .select($"id", $"format", $"n_bytes",
-            round(element_at($"features", 1), 4).as("mean_r"),
-            round(element_at($"features", 4), 4).as("mean_luma"),
-            round(element_at($"features", 5), 4).as("q0_luma"))
+            round(element_at($"features", 1).cast("double"), 4).as("mean_r"),
+            round(element_at($"features", 4).cast("double"), 4).as("mean_luma"),
+            round(element_at($"features", 5).cast("double"), 4).as("q0_luma"))
           .orderBy($"id")
-      }, None),
+      },
+      Some(s"""WITH v(seed, mean_r, mean_luma, q0_luma, n_bytes) AS (VALUES
+              |  ${MultimodalOracle.imageFeatValues})
+              |SELECT d.doc_id AS id, 'image/png' AS format,
+              |  CAST(v.n_bytes AS BIGINT) AS n_bytes,
+              |  CAST(v.mean_r AS DOUBLE) AS mean_r,
+              |  CAST(v.mean_luma AS DOUBLE) AS mean_luma,
+              |  CAST(v.q0_luma AS DOUBLE) AS q0_luma
+              |FROM documents d JOIN v ON d.doc_id % 300 = v.seed
+              |ORDER BY id""".stripMargin)),
 
     QueryDef("p38_image_neardup",
       (s, d) => {
         import s.implicits._
         // image dedup across the media column: seeds repeat mod 300, so
         // every doc_id >= 300 carries an exact pixel duplicate of
-        // doc_id - 300 — the perceptual-hash pipeline must find all of
-        // them at Hamming 0 via the banded bucket join (no all-pairs).
-        // No oracle possible (decode-dependent); exactness goldens live
-        // in MultimodalSpec, and the planted-duplicate recall is asserted
-        // right here: missing pairs make the driver row count drop.
+        // doc_id - 300. The Spark side finds pairs via the banded LSH
+        // bucket join (bands derived from maxHamming — never all-pairs);
+        // the oracle brute-forces Hamming over the 300 independently
+        // re-derived seed hashes, so LSH RECALL is exactly what the
+        // hash-match proves (a missed candidate = a missing row).
         val ids = t(s, d, "documents").select($"doc_id", ($"doc_id" % 300).as("seed"))
-        val media = {
-          import org.apache.spark.sql.Row
-          import org.apache.spark.sql.types._
-          val schema = StructType(Seq(
-            StructField("doc_id", LongType), StructField("media", BinaryType)))
-          s.createDataFrame(
-            ids.select($"doc_id".cast("long"), $"seed".cast("long")).rdd
-              .mapPartitions { it =>
-                javax.imageio.ImageIO.setUseCache(false)
-                it.map(r => Row(r.getLong(0), Multimodal.syntheticPng(r.getLong(1))))
-              }, schema)
-        }
-        Multimodal.imageNearDupPairs(media, "doc_id", "media", maxHamming = 4)
+        Multimodal.imageNearDupPairs(seededPngs(s, ids), "doc_id", "media", maxHamming = 4)
           .orderBy($"a", $"b")
-      }, None),
+      },
+      Some(s"""WITH h(seed, ph) AS (VALUES
+              |  ${MultimodalOracle.imageHashValues}),
+              |d AS (SELECT doc_id, doc_id % 300 AS seed FROM documents),
+              |sp AS (SELECT h1.seed AS s1, h2.seed AS s2,
+              |         CAST(bit_count(xor(h1.ph, h2.ph)) AS INTEGER) AS hamming
+              |       FROM h h1, h h2
+              |       WHERE bit_count(xor(h1.ph, h2.ph)) <= 4)
+              |SELECT d1.doc_id AS a, d2.doc_id AS b, sp.hamming
+              |FROM d d1 JOIN sp ON d1.seed = sp.s1 JOIN d d2 ON d2.seed = sp.s2
+              |WHERE d1.doc_id < d2.doc_id
+              |ORDER BY a, b""".stripMargin)),
 
     QueryDef("p39_audio_features",
       (s, d) => {
         import s.implicits._
         // REAL audio decode: seed-keyed sine WAV per document → javax.sound
         // PCM samples → RMS/ZCR/peak + temporal pooling. Same mapPartitions
-        // batch shape as image features; no oracle possible (DuckDB has no
-        // audio codec) — exact signal-theory goldens live in MultimodalSpec.
+        // batch shape as image features; the oracle joins documents against
+        // the 40 per-seed feature rows re-derived by the independent DSP
+        // mirror in tools/gen_multimodal_oracle.py.
         val ids = t(s, d, "documents").select($"doc_id")
         val media = {
           import org.apache.spark.sql.Row
@@ -253,21 +264,54 @@ object Advanced {
         }
         Multimodal.extractFeatures(media, "doc_id", "media", "audio/wav")
           .select($"id", $"format", $"n_bytes",
-            round(element_at($"features", 1), 4).as("rms"),
-            round(element_at($"features", 2), 5).as("zcr"),
-            round(element_at($"features", 4), 4).as("peak"))
+            round(element_at($"features", 1).cast("double"), 4).as("rms"),
+            round(element_at($"features", 2).cast("double"), 5).as("zcr"),
+            round(element_at($"features", 4).cast("double"), 4).as("peak"))
           .orderBy($"id")
-      }, None),
+      },
+      Some(s"""WITH v(seed, rms, zcr, peak) AS (VALUES
+              |  ${MultimodalOracle.audioFeatValues})
+              |SELECT d.doc_id AS id, 'audio/wav' AS format,
+              |  CAST(8864 AS BIGINT) AS n_bytes,
+              |  CAST(v.rms AS DOUBLE) AS rms, CAST(v.zcr AS DOUBLE) AS zcr,
+              |  CAST(v.peak AS DOUBLE) AS peak
+              |FROM documents d JOIN v ON d.doc_id % 40 = v.seed
+              |ORDER BY id""".stripMargin)),
 
     QueryDef("p12_multimodal_frames",
       (s, d) => {
         import s.implicits._
+        // Frame sampling is pure arithmetic over the blob length (every 2nd
+        // 32-byte chunk), so the oracle is closed-form on octet_length —
+        // fully sf-independent, no literals needed.
         val blobs = t(s, d, "documents")
           .select($"doc_id", encode($"text", "UTF-8").as("media"))
         Multimodal.sampleFrames(blobs, "doc_id", "media", frameBytes = 32, everyK = 2)
           .groupBy($"id")
           .agg(count(lit(1)).as("n_frames"), sum(length($"frame")).as("total_bytes"))
           .orderBy($"id")
-      }, None)
+      },
+      Some("""SELECT doc_id AS id,
+             |  CAST((strlen(text) // 32 + 1) // 2 AS BIGINT) AS n_frames,
+             |  CAST(((strlen(text) // 32 + 1) // 2) * 32 AS BIGINT) AS total_bytes
+             |FROM documents WHERE strlen(text) >= 32
+             |ORDER BY id""".stripMargin))
   )
+
+  /** (doc_id, media) with a deterministic PNG per seed column — the shared
+    * fixture shape for p11/p38.
+    */
+  private def seededPngs(s: SparkSession, ids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import s.implicits._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("media", BinaryType)))
+    s.createDataFrame(
+      ids.select($"doc_id".cast("long"), $"seed".cast("long")).rdd
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map(r => Row(r.getLong(0), Multimodal.syntheticPng(r.getLong(1))))
+        }, schema)
+  }
 }

@@ -530,16 +530,26 @@ object Relational {
     QueryDef("q27_csv_roundtrip",
       (s, d) => {
         import s.implicits._
-        val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
-        t(s, d, "lineitem")
-          .select($"l_orderkey", $"l_returnflag", $"l_quantity")
-          .write.mode("overwrite").option("header", "true").csv(s"$dir/li")
-        val back = s.read
-          .schema("l_orderkey LONG, l_returnflag STRING, l_quantity DOUBLE")
-          .option("header", "true").csv(s"$dir/li")
-        back.groupBy($"l_returnflag")
-          .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("sum_qty"))
-          .orderBy($"l_returnflag")
+        val dirPath = java.nio.file.Files.createTempDirectory("graft-csv")
+        try {
+          val dir = dirPath.toString
+          t(s, d, "lineitem")
+            .select($"l_orderkey", $"l_returnflag", $"l_quantity")
+            .write.mode("overwrite").option("header", "true").csv(s"$dir/li")
+          val back = s.read
+            .schema("l_orderkey LONG, l_returnflag STRING, l_quantity DOUBLE")
+            .option("header", "true").csv(s"$dir/li")
+          // materialize before the finally deletes the CSV under the lazy scan
+          back.groupBy($"l_returnflag")
+            .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("sum_qty"))
+            .orderBy($"l_returnflag")
+            .localCheckpoint(true)
+        } finally {
+          import java.nio.file.{Files, Path}
+          import scala.jdk.CollectionConverters._
+          val all = Files.walk(dirPath).iterator().asScala.toSeq
+          all.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_: Path))
+        }
       },
       Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
              |  round(sum(l_quantity), 2) AS sum_qty

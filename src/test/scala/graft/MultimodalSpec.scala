@@ -128,6 +128,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeAudio(Multimodal.syntheticPng(1)).isEmpty)
     assert(Multimodal.decode(wav).sameElements(f))
     assert(Multimodal.decode("junk".getBytes).length == Multimodal.FeatureDim)
+    // stereo is rejected (interleaved L/R would corrupt ZCR/pooling)
+    locally {
+      import javax.sound.sampled._
+      val sfmt = new AudioFormat(8000f, 16, 2, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](8000 * 4)), sfmt, 8000)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      assert(Multimodal.decodeAudio(bos.toByteArray).isEmpty, "stereo must be rejected")
+    }
   }
 
   test("image near-dup pairs: planted duplicates found via band buckets, no all-pairs") {
@@ -141,6 +151,52 @@ class MultimodalSpec extends AnyFunSuite {
     // every reported pair at Hamming 0 must be a genuine pixel duplicate
     pairs.filter(_._3 == 0).foreach { case (x, y, _) =>
       assert(Multimodal.aHash(rows(x.toInt)._2).get == Multimodal.aHash(rows(y.toInt)._2).get)
+    }
+  }
+
+  test("banding recall: Hamming-4 pair split 1/1/1/1 across 16-bit bands is found") {
+    // One flipped bit inside EACH of the four 16-bit bands — the adversarial
+    // case for a fixed 4-band split (no shared 16-bit band exists, so the
+    // old code silently dropped this pair). With bands derived from
+    // maxHamming (8×8-bit for d=4) bands 0,2,4,6 remain exact matches.
+    val base = 0x0123456789abcdefL
+    val other = base ^ (1L << 8) ^ (1L << 24) ^ (1L << 40) ^ (1L << 56)
+    assert(java.lang.Long.bitCount(base ^ other) == 4)
+    val hashes = Seq((1L, base), (2L, other), (3L, 0x7777000011114444L))
+      .toDF("id", "phash")
+    val got = Multimodal.nearDupPairsFromHashes(hashes, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSet == Set((1L, 2L, 4)), s"got ${got.toSeq}")
+    // pigeonhole edge: d = maxHamming bits, one per band, for every band width
+    for (d <- Seq(1, 3, 7, 15)) {
+      val nBands = Seq(1, 2, 4, 8, 16, 32).find(_ > d).get
+      val w = 64 / nBands
+      val spoiled = (0 until d).foldLeft(base)((h, i) => h ^ (1L << (i * w)))
+      val df2 = Seq((1L, base), (2L, spoiled)).toDF("id", "phash")
+      val found = Multimodal.nearDupPairsFromHashes(df2, d).count()
+      assert(found == 1, s"d=$d pair missed")
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.nearDupPairsFromHashes(hashes, maxHamming = 32)
+    }
+  }
+
+  test("oracle mirror: independent pure-math constants equal the real codec path") {
+    // MultimodalOracle constants come from tools/gen_multimodal_oracle.py —
+    // no AWT/ImageIO/javax.sound — so equality here proves the PNG/WAV
+    // containers round-trip losslessly and the 8×8 bilinear resize inside
+    // aHash is the identity. A drift in either codec path breaks this.
+    for (seed <- Seq(0, 1, 7, 137, 298, 299)) {
+      val png = Multimodal.syntheticPng(seed.toLong)
+      assert(Multimodal.aHash(png).get == graft.queries.MultimodalOracle.imageHash(seed),
+        s"aHash mismatch for seed $seed")
+    }
+    for (seed <- Seq(0, 1, 13, 39)) {
+      val f = Multimodal.decodeAudio(Multimodal.syntheticWav(seed.toLong)).get
+      val (rms, zcr, peak) = graft.queries.MultimodalOracle.audioFeat(seed)
+      assert(math.abs(f(0) - rms.toDouble) < 5e-5, s"rms seed $seed: ${f(0)} vs $rms")
+      assert(math.abs(f(1) - zcr.toDouble) < 5e-6, s"zcr seed $seed: ${f(1)} vs $zcr")
+      assert(math.abs(f(3) - peak.toDouble) < 5e-5, s"peak seed $seed: ${f(3)} vs $peak")
     }
   }
 }
