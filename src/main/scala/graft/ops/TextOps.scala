@@ -155,16 +155,24 @@ object TextOps {
     val wordFreq = df
       .select(explode(tokens(lower(col(textCol)))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+    // Symbols are separated by TWO spaces and the row is framed by single
+    // sentinel spaces, so every symbol OWNS one space on each side. A merge
+    // pattern " x  y " consumes only owned spaces and its replacement
+    // " xy " restores one per side — separators stay double after every
+    // pass, so one left-to-right non-overlapping replace() IS canonical
+    // greedy BPE even through runs of repeated symbols ("a a a a" pairs as
+    // (1,2)(3,4), not alternately: the old single-space scheme consumed the
+    // shared boundary space and skipped every other occurrence).
     var seqs = wordFreq
       .select(col("wf"),
-        array_join(regexp_extract_all(col("w"), lit("."), lit(0)), " ").as("seq"))
+        array_join(regexp_extract_all(col("w"), lit("."), lit(0)), "  ").as("seq"))
       .persist()
     seqs.count() // materialize once; iterations re-derive from here
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     try {
       for (i <- 1 to nMerges) {
         val top = seqs
-          .select(col("wf"), explode(wordNgramsOf(split(col("seq"), " "), 2)).as("g"))
+          .select(col("wf"), explode(wordNgramsOf(split(col("seq"), "  "), 2)).as("g"))
           .groupBy(col("g")).agg(sum(col("wf")).as("c"))
           .orderBy(col("c").desc, col("g")).limit(1)
           .collect()
@@ -172,13 +180,10 @@ object TextOps {
           val pair = top.head.getString(0); val cnt = top.head.getLong(1)
           val merged = pair.replace(" ", "")
           merges += ((i, pair, merged, cnt))
-          // space sentinels make the pair match only on symbol boundaries;
-          // replace() scans the source left-to-right non-overlapping in
-          // both engines, which IS greedy BPE application order
           val next = seqs.select(col("wf"),
             trim(replace(
               concat(lit(" "), col("seq"), lit(" ")),
-              lit(s" $pair "), lit(s" $merged "))).as("seq"))
+              lit(s" ${pair.replace(" ", "  ")} "), lit(s" $merged "))).as("seq"))
             .persist()
           next.count()
           seqs.unpersist()
@@ -201,12 +206,14 @@ object TextOps {
   def bpeEncodeCount(text: Column, merges: Seq[(String, String)]): Column = {
     val words = tokens(lower(text))
     val encoded = transform(words, w => {
-      val chars = array_join(regexp_extract_all(w, lit("."), lit(0)), " ")
+      // double-space separators + owned sentinel spaces: see bpeMerges —
+      // one replace per rule is exact canonical greedy application
+      val chars = array_join(regexp_extract_all(w, lit("."), lit(0)), "  ")
       val merged = merges.foldLeft(
         concat(lit(" "), chars, lit(" ")): Column) { case (acc, (pair, m)) =>
-        replace(acc, lit(s" $pair "), lit(s" $m "))
+        replace(acc, lit(s" ${pair.replace(" ", "  ")} "), lit(s" $m "))
       }
-      size(split(trim(merged), " "))
+      size(split(trim(merged), "  "))
     })
     coalesce(aggregate(encoded, lit(0), _ + _), lit(0))
   }

@@ -61,7 +61,7 @@ object Pipeline {
          |    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
          |                              x -> len(x) > 0)) AS w
          |    FROM documents) GROUP BY w),
-         |s1 AS (SELECT wf, array_to_string(regexp_extract_all(w, '.'), ' ') AS seq
+         |s1 AS (SELECT wf, array_to_string(regexp_extract_all(w, '.'), '  ') AS seq
          |       FROM wfreq)""".stripMargin
     for (i <- 1 to n) {
       stages ++=
@@ -70,11 +70,11 @@ object Pipeline {
            |    SELECT wf, unnest(CASE WHEN len(l) >= 2
            |      THEN list_transform(range(1, len(l)), j -> l[j] || ' ' || l[j+1])
            |      ELSE CAST([] AS VARCHAR[]) END) AS g
-           |    FROM (SELECT wf, string_split(seq, ' ') AS l FROM s$i))
+           |    FROM (SELECT wf, string_split(seq, '  ') AS l FROM s$i))
            |  GROUP BY g),
            |t$i AS (SELECT g, c FROM p$i ORDER BY c DESC, g LIMIT 1),
            |s${i + 1} AS (SELECT wf, trim(replace(' ' || seq || ' ',
-           |  (SELECT ' ' || g || ' ' FROM t$i),
+           |  (SELECT ' ' || replace(g, ' ', '  ') || ' ' FROM t$i),
            |  (SELECT ' ' || replace(g, ' ', '') || ' ' FROM t$i))) AS seq
            |  FROM s$i)""".stripMargin
     }
@@ -1257,8 +1257,9 @@ object Pipeline {
       },
       Some {
         val chain = (1 to 5).foldLeft(
-          "' ' || array_to_string(regexp_extract_all(x, '.'), ' ') || ' '") {
-          (acc, i) => s"replace($acc,\n        ' ' || g$i || ' ', ' ' || m$i || ' ')"
+          "' ' || array_to_string(regexp_extract_all(x, '.'), '  ') || ' '") {
+          (acc, i) =>
+            s"replace($acc,\n        ' ' || replace(g$i, ' ', '  ') || ' ', ' ' || m$i || ' ')"
         }
         s"""${bpeTrainCtes(5)},
            |mt AS (SELECT t1.g AS g1, replace(t1.g, ' ', '') AS m1,
@@ -1274,7 +1275,7 @@ object Pipeline {
            |SELECT doc_id,
            |  len(words) AS n_words,
            |  CAST(COALESCE(list_sum(list_transform(words, x ->
-           |    len(string_split(trim($chain), ' ')))), 0) AS BIGINT) AS n_bpe
+           |    len(string_split(trim($chain), '  ')))), 0) AS BIGINT) AS n_bpe
            |FROM toks CROSS JOIN mt
            |ORDER BY doc_id""".stripMargin
       })

@@ -331,6 +331,29 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Seq(7, 1, 0, 3))
   }
 
+  test("BPE greedy runs: repeated-symbol words pair left-to-right, not alternately") {
+    // canonical greedy application of "a a"->"aa" over a run of k a's
+    // leaves ceil(k/2) tokens: aaaa -> aa aa (2), aaaaa -> aa aa a (3),
+    // aaaaaa -> aa aa aa (3). The old single-space sentinel scheme consumed
+    // the shared boundary space and produced 3/3/4.
+    val merges = Seq("a a" -> "aa")
+    val df = Seq((1, "aaaa"), (2, "aaaaa"), (3, "aaaaaa"), (4, "aaaaaaaa"))
+      .toDF("id", "text")
+    val out = df.select($"id", TextOps.bpeEncodeCount($"text", merges).as("n"))
+      .orderBy($"id").collect().map(_.getInt(1)).toSeq
+    assert(out == Seq(2, 3, 3, 4))
+    // and in training: a corpus of repeated runs merges "a a" first, with
+    // the pair COUNT being the number of non-overlapping left-to-right
+    // occurrences the replace actually collapses
+    val docs = Seq((1, "aaaa aaaa")).toDF("doc_id", "text")
+    val got = TextOps.bpeMerges(docs, "text", nMerges = 2)
+      .orderBy($"merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // iter1: "a a" count 3*2=6 (adjacent-pair occurrences, weighted by wf=2)
+    // -> aaaa becomes "aa aa"; iter2: "aa aa" count 2
+    assert(got.toSeq == Seq((1, "a a", "aa", 6L), (2, "aa aa", "aaaa", 2L)))
+  }
+
   test("mixEpochs: floor+fractional copies, zero weight drops, deterministic") {
     val docs = (0L until 300L).map(i =>
       (i, if (i < 100) "a" else if (i < 200) "b" else "c")).toDF("doc_id", "source")
