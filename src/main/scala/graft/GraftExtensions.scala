@@ -85,6 +85,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("valhalla_build_tiles", 2)(exprs =>
         routing.RoutingFunctions.DriverSideCall("valhalla_build_tiles", exprs,
           org.apache.spark.sql.types.StringType))))
+    // catalog introspection parity with the reference's registration test
+    // (duckdb_functions() there): test/sql/travel_time.test:16-48
+    ext.injectTableFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_functions"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        graft.functions.Introspection.getClass.getName, "graft_functions"),
+      graft.functions.Introspection.builder))
     ext.injectOptimizerRule(spark => new routing.RoutingFunctions.LoadConfigRule(spark))
   }
 }

@@ -337,6 +337,38 @@ object Routing {
           .toDF("pair_id", "src", "dst", "seconds", "matches_flat")
       }, None),
 
+    QueryDef("r25_introspection",
+      (s, _) => {
+        // the reference's registration test run verbatim in SQL
+        // (test/sql/travel_time.test:16-48 via duckdb_functions();
+        // monaco_routing.test:51 via typeof): every §2A function must be
+        // resolvable through catalog introspection after load, and the
+        // route-geometry type must introspect as BINARY (DuckDB: BLOB)
+        graft.functions.Introspection.register(s)
+        ensure(s)
+        val fns = Seq("travel_time_load_config", "travel_time",
+          "travel_time_is_loaded", "travel_time_route_wkb",
+          "travel_time_locate", "travel_time_snap", "travel_time_request",
+          "travel_time_matrix", "travel_time_route", "travel_time_isochrone",
+          "travel_time_isochrone_geojson", "travel_time_node_count",
+          "valhalla_build_tiles", "graft_functions", "typeof")
+        val lat1 = GridFixture.latOf(0); val lon1 = GridFixture.lonOf(0)
+        val lat2 = GridFixture.latOf(5); val lon2 = GridFixture.lonOf(5)
+        val present = fns.map(f =>
+          s"""SELECT 'fn' AS kind, '$f' AS name, function_name AS result
+             |FROM graft_functions() WHERE function_name = '$f'""".stripMargin)
+        val types = Seq(
+          s"""SELECT 'typeof' AS kind, 'travel_time' AS name,
+             |typeof(travel_time($lat1, $lon1, $lat2, $lon2, 'auto')) AS result""".stripMargin,
+          s"""SELECT 'typeof' AS kind, 'travel_time_route_wkb' AS name,
+             |typeof(travel_time_route_wkb('POINT($lon1 $lat1)',
+             |  'POINT($lon2 $lat2)', 'auto').geometry) AS result""".stripMargin,
+          s"""SELECT 'typeof' AS kind, 'travel_time_is_loaded' AS name,
+             |typeof(travel_time_is_loaded()) AS result""".stripMargin)
+        s.sql((present ++ types).mkString("\nUNION ALL\n") +
+          "\nORDER BY kind, name")
+      }, None),
+
     QueryDef("r13_optimized_route",
       (s, _) => {
         ensure(s)

@@ -48,6 +48,33 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_functions(): reference registration assertions run verbatim") {
+    val s = SparkTestBase.spark
+    graft.functions.Introspection.register(s)
+    graft.queries.Routing.ensure(s)
+    // test/sql/travel_time.test:16-20 shape, one per function
+    for (f <- Seq("travel_time_load_config", "travel_time",
+        "travel_time_is_loaded", "travel_time_locate", "travel_time_request",
+        "travel_time_matrix")) {
+      val got = s.sql(
+        s"SELECT function_name FROM graft_functions() WHERE function_name = '$f'")
+        .collect().map(_.getString(0)).toSeq
+      assert(got == Seq(f), s"$f not introspectable")
+    }
+    // travel_time.test:31-33 count shape
+    val n = s.sql("SELECT count(*) AS n FROM graft_functions() " +
+      "WHERE function_name = 'travel_time_route_wkb'").collect().head.getLong(0)
+    assert(n == 1L)
+    // a name that must NOT exist yields zero rows, not an error
+    assert(s.sql("SELECT function_name FROM graft_functions() " +
+      "WHERE function_name = 'no_such_function'").collect().isEmpty)
+    // monaco_routing.test:51 typeof shape (BLOB there, BINARY here)
+    val t = s.sql("SELECT typeof(travel_time_route_wkb(" +
+      "'POINT(7.4005 43.7005)', 'POINT(7.4055 43.7055)', 'auto').geometry) AS t")
+      .collect().head.getString(0)
+    assert(t == "binary", s"route wkb introspects as $t")
+  }
+
   test("bloom surface: no false negatives, prune+residual equals exact anti-join") {
     val spark = SparkTestBase.spark
     graft.functions.BloomSql.register(spark)
