@@ -386,36 +386,66 @@ object Tiled {
   def matrix(spark: SparkSession, dir: String, overlay: Overlay,
              pairs: DataFrame): DataFrame = {
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(overlay)
     val nt = spark.read.parquet(s"$dir/nodes").select($"id", $"tile".cast("int").as("tile"))
     val pt = pairs
       .select($"pair_id".cast("long"), $"src".cast("long"), $"dst".cast("long"))
       .join(nt.select($"id".as("src"), $"tile".as("src_tile")), "src")
       .join(nt.select($"id".as("dst"), $"tile".as("dst_tile")), "dst")
       .select($"pair_id", $"src", $"dst", $"src_tile", $"dst_tile")
+    matrixTiled(spark, dir, overlay, pt,
+      pairs.select($"pair_id".cast("long")))
+  }
+
+  /** [[matrix]] with tiles already resolved — the form [[matrixByCoords]]
+    * feeds directly from [[snap]] output, skipping two joins against the
+    * full node table.
+    *
+    * `pt0`: (pair_id, src, dst, src_tile, dst_tile); `allPairIds` keeps
+    * unanswerable pairs in the output as -1 (null → pt0's own ids).
+    */
+  def matrixTiled(spark: SparkSession, dir: String, overlay: Overlay,
+                  pt0: DataFrame, allPairIds: DataFrame = null): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(overlay)
+    // materialize the (small, batch-sized) pair set once: it feeds three
+    // consumers (tile-set collect, fwd/bwd queries, final right join) and
+    // upstream may be a snap over the full node table — without the cut
+    // that scan would run once per consumer
+    val pt = pt0.select($"pair_id".cast("long"), $"src".cast("long"),
+        $"dst".cast("long"), $"src_tile".cast("int"), $"dst_tile".cast("int"))
       .as[(Long, Long, Long, Int, Int)]
+      .localCheckpoint(true)
+    // the tile set this batch touches: partition-prunes the interior read
+    // (a planet layout has thousands of tiles; batches rarely span them all)
+    val touched = pt.flatMap(p => Iterator(p._4, p._5)).distinct().collect()
     val interiorByTile = spark.read.parquet(s"$dir/interior")
+      .filter($"tile".isin(touched.map(Integer.valueOf).toSeq: _*))
       .select($"tile".cast("int"), $"src", $"dst", $"time_ms")
       .as[(Int, Long, Long, Long)].groupByKey(_._1)
 
+    // ONE shuffle of the (pruned) interior carries BOTH leg directions:
+    // queries: (tile, pair_id, endpoint-in-tile, other, other's tile, rev)
+    val queries = pt.flatMap { case (pid, src, dst, st, dt) =>
+      Iterator((st, pid, src, dst, dt, false), (dt, pid, dst, src, st, true))
+    }.groupByKey(_._1)
+
     // legs: (pair_id, kind, node, dist) — kind 0 = direct same-tile distance
     // (node unused), 1 = source→boundary, 2 = boundary→target
-    def legsOf(byTile: org.apache.spark.sql.KeyValueGroupedDataset[Int, (Long, Long, Long, Int)],
-               reverse: Boolean) =
-      interiorByTile.cogroup(byTile) { (tile, eIt, qIt) =>
+    val legs =
+      interiorByTile.cogroup(queries) { (tile, eIt, qIt) =>
         val qs = qIt.toArray
         if (qs.isEmpty) Iterator.empty
         else {
-          val es0 = eIt.map(e => (e._2, e._3, e._4)).toArray
-          val es = if (reverse) es0.map(e => (e._2, e._1, e._3)) else es0
+          val es = eIt.map(e => (e._2, e._3, e._4)).toArray
           val ov = bc.value
           // node universe: tile interior endpoints + every queried endpoint
           val idSet = new java.util.LinkedHashSet[java.lang.Long]()
           es.foreach { case (s, d, _) => idSet.add(s); idSet.add(d) }
-          qs.foreach { q => idSet.add(q._2); if (q._4 == tile) idSet.add(q._3) }
+          qs.foreach { q => idSet.add(q._3); if (q._5 == tile) idSet.add(q._4) }
           val ids = new Array[Long](idSet.size())
           val it = idSet.iterator(); var i = 0
           while (it.hasNext) { ids(i) = it.next(); i += 1 }
+          // one local CSR (forward + reversed) serves both directions
           val local = buildLocal(ids, new Array[Double](ids.length),
             new Array[Double](ids.length), es)
           // this tile's boundary nodes, as local indices
@@ -426,26 +456,27 @@ object Tiled {
             if (oi != null && ov.tiles(oi.intValue) == tile) bLocal += ((i, ids(i)))
             i += 1
           }
-          // one Dijkstra per DISTINCT endpoint in this tile, shared by pairs
+          // one Dijkstra per DISTINCT (endpoint, direction), shared by pairs
           val cache = new java.util.HashMap[Long, Array[Long]]()
-          def distsFrom(node: Long): Array[Long] = {
-            var d = cache.get(node)
+          def distsFrom(node: Long, rev: Boolean): Array[Long] = {
+            val key = (node << 1) | (if (rev) 1L else 0L)
+            var d = cache.get(key)
             if (d == null) {
-              d = local.distancesFrom(local.index.get(node).intValue, reverse = false)
-              cache.put(node, d)
+              d = local.distancesFrom(local.index.get(node).intValue, reverse = rev)
+              cache.put(key, d)
             }
             d
           }
-          qs.iterator.flatMap { case (pairId, endpoint, other, otherTile) =>
-            val dist = distsFrom(endpoint)
+          qs.iterator.flatMap { case (_, pairId, endpoint, other, otherTile, rev) =>
+            val dist = distsFrom(endpoint, rev)
             val direct =
-              if (!reverse && otherTile == tile) {
+              if (!rev && otherTile == tile) {
                 val oi = local.index.get(other)
                 if (oi != null && dist(oi.intValue) != Long.MaxValue)
                   Iterator.single((pairId, 0, other, dist(oi.intValue)))
                 else Iterator.empty
               } else Iterator.empty
-            val kind = if (reverse) 2 else 1
+            val kind = if (rev) 2 else 1
             direct ++ bLocal.iterator.flatMap { case (bi, bid) =>
               if (dist(bi) == Long.MaxValue) Iterator.empty
               else Iterator.single((pairId, kind, bid, dist(bi)))
@@ -454,20 +485,7 @@ object Tiled {
         }
       }
 
-    // queries keyed by the tile whose subgraph answers them:
-    // value = (pair_id, endpoint-in-tile, other-endpoint, other-endpoint's tile)
-    val fwd = legsOf(
-      pt.map(p => (p._4, p._1, p._2, p._3, p._5)) // (srcTile, pid, src, dst, dstTile)
-        .groupByKey(_._1)
-        .mapValues(t => (t._2, t._3, t._4, t._5)),
-      reverse = false)
-    val bwd = legsOf(
-      pt.map(p => (p._5, p._1, p._3, p._2, p._4)) // (dstTile, pid, dst, src, srcTile)
-        .groupByKey(_._1)
-        .mapValues(t => (t._2, t._3, t._4, t._5)),
-      reverse = true)
-
-    fwd.union(bwd)
+    legs
       .groupByKey(_._1)
       .mapGroups { (pairId, legIt) =>
         val ov = bc.value
@@ -532,7 +550,9 @@ object Tiled {
       .toDF("pair_id", "time_ms")
       // pairs that produced no legs at all (fully isolated endpoints) are
       // still answered: -1
-      .join(pairs.select($"pair_id".cast("long")).distinct(), Seq("pair_id"), "right")
+      .join(Option(allPairIds).getOrElse(pt.toDF("pair_id", "src", "dst", "st", "dt"))
+          .select($"pair_id".cast("long")).distinct(),
+        Seq("pair_id"), "right")
       .na.fill(-1L, Seq("time_ms"))
   }
 
@@ -555,7 +575,7 @@ object Tiled {
         $"lat".cast("double"), $"lon".cast("double"))
       .as[(Int, Long, Double, Double)]
       .groupByKey(_._1)
-    nodesByTile.cogroup(pts) { (_, nIt, pIt) =>
+    nodesByTile.cogroup(pts) { (tile, nIt, pIt) =>
       val ps = pIt.toArray
       if (ps.isEmpty) Iterator.empty
       else {
@@ -568,10 +588,10 @@ object Tiled {
             if (d < bestD) { bestD = d; best = ns(i)._2 }
             i += 1
           }
-          (pid, best)
+          (pid, best, tile)
         }
       }
-    }.toDF("id", "node")
+    }.toDF("id", "node", "tile")
   }
 
   /** Coordinate-input batch OD matrix: snap both endpoints (distributed,
@@ -581,15 +601,23 @@ object Tiled {
   def matrixByCoords(spark: SparkSession, dir: String, grid: TileGrid,
                      overlay: Overlay, pairs: DataFrame): DataFrame = {
     import spark.implicits._
-    val srcPts = pairs.select($"pair_id".as("id"), $"src_lat".as("lat"), $"src_lon".as("lon"))
-    val dstPts = pairs.select($"pair_id".as("id"), $"dst_lat".as("lat"), $"dst_lon".as("lon"))
-    val snapped = pairs.select($"pair_id".cast("long"))
-      .join(snap(spark, dir, grid, srcPts).select($"id".as("pair_id"), $"node".as("src")), "pair_id")
-      .join(snap(spark, dir, grid, dstPts).select($"id".as("pair_id"), $"node".as("dst")), "pair_id")
-    val ok = snapped.filter($"src" >= 0 && $"dst" >= 0)
-    val bad = snapped.filter($"src" < 0 || $"dst" < 0)
+    // ONE snap pass over both endpoint sets (src tagged even, dst odd), and
+    // snap's tile rides along so the matrix needs no node-table joins
+    val srcPts = pairs.select(($"pair_id".cast("long") * 2).as("id"),
+      $"src_lat".as("lat"), $"src_lon".as("lon"))
+    val dstPts = pairs.select(($"pair_id".cast("long") * 2 + 1).as("id"),
+      $"dst_lat".as("lat"), $"dst_lon".as("lon"))
+    val snapped = snap(spark, dir, grid, srcPts.unionByName(dstPts))
+    val src = snapped.filter($"id" % 2 === 0).select(($"id" / 2).cast("long").as("pair_id"),
+      $"node".as("src"), $"tile".as("src_tile"))
+    val dst = snapped.filter($"id" % 2 === 1).select(($"id" / 2).cast("long").as("pair_id"),
+      $"node".as("dst"), $"tile".as("dst_tile"))
+    val joined = src.join(dst, "pair_id")
+    val ok = joined.filter($"src" >= 0 && $"dst" >= 0)
+    val bad = joined.filter($"src" < 0 || $"dst" < 0)
       .select($"pair_id", lit(-1L).as("time_ms"))
-    matrix(spark, dir, overlay, ok).unionByName(bad)
+    matrixTiled(spark, dir, overlay, ok)
+      .unionByName(bad)
   }
 
   final case class TileGrid(minLat: Double, minLon: Double,

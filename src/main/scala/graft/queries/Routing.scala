@@ -50,6 +50,116 @@ object Routing {
     * session, then rehydrated through [[graft.graph.Tiled.load]] so queries
     * exercise the persisted overlay/CH path, not the in-memory builder.
     */
+  /** Italy-scale lattice parameters for r24: 1600×1600 ≈ 2.56M nodes and
+    * ~10M directed edges (ITALY.md:55-56 scale), full local grid inside
+    * tiles, and only every 10th lane crossing a tile boundary — the
+    * motorway-crossing density of a real road network. (A FULL lattice's
+    * boundary overlay is Θ(k²) edges regardless of tiling — the adversarial
+    * worst case no planet graph has; arterial thinning models reality and
+    * keeps the overlay collectable.)
+    */
+  private final val ItalyK = 1600
+  private final val ItalyCells = 8
+  private final val ItalyArterial = 10
+  private final val ItalyEdgeMs = 108000L // 0.9 km at 30 km/h
+
+  @volatile private var italyCache: (graft.graph.TiledRouter, Long) = null
+
+  /** Distributed generate → Tiled.build → persist → Tiled.load, once per
+    * JVM; returns the rehydrated router and the directed edge count.
+    */
+  private def italyRouter(s: SparkSession): (graft.graph.TiledRouter, Long) =
+    synchronized {
+      if (italyCache == null) {
+        import s.implicits._
+        val k = ItalyK; val cells = ItalyCells; val a = ItalyArterial
+        val n = k.toLong * k
+        def tileOf(c: org.apache.spark.sql.Column) =
+          least(lit(cells - 1), floor(c * cells / (k - 1)).cast("int"))
+        val nodes = s.range(n).select($"id",
+          (lit(43.0) + ($"id" / k).cast("long") * 0.009).as("lat"),
+          (lit(7.0) + ($"id" % k) * 0.009).as("lon"))
+        val horiz = s.range(n).filter($"id" % k < k - 1)
+          .select($"id".as("src"), ($"id" + 1).as("dst"),
+            ($"id" / k).cast("long").as("lane"), ($"id" % k).as("coord"))
+        val vert = s.range(n - k)
+          .select($"id".as("src"), ($"id" + k).as("dst"),
+            ($"id" % k).as("lane"), ($"id" / k).cast("long").as("coord"))
+        val fwd = horiz.unionByName(vert)
+          .filter(tileOf($"coord") === tileOf($"coord" + 1) || $"lane" % a === 0)
+          .select($"src", $"dst")
+        val edges = fwd.unionByName(fwd.select($"dst".as("src"), $"src".as("dst")))
+          .select($"src", $"dst", lit(ItalyEdgeMs).as("time_ms"))
+        // parameter-keyed persisted layout (the valhalla_build_tiles
+        // contract: build once, load per session) — rebuild only when the
+        // cache dir is absent or incomplete
+        val dir = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft-italy-k$k-c$cells-a$a").toString
+        val marker = java.nio.file.Paths.get(dir, "_GRAFT_BUILT")
+        if (!java.nio.file.Files.exists(marker)) {
+          val nEdges = edges.count()
+          graft.graph.Tiled.build(s, nodes, edges, cells, dir)
+          java.nio.file.Files.writeString(marker, nEdges.toString)
+        }
+        val nEdges = java.nio.file.Files.readString(marker).trim.toLong
+        italyCache = (graft.graph.Tiled.load(s, dir), nEdges)
+      }
+      italyCache
+    }
+
+  /** r24: the Italy-scale end-to-end witness. Routes and matrixes through
+    * the PERSISTED tiled overlay; correctness is asserted analytically —
+    * on a uniform-cost lattice a same-tile pair's optimal time is exactly
+    * manhattan × edge-cost, and the symmetric graph must give
+    * time(a,b) == time(b,a) for arbitrary cross-tile pairs.
+    */
+  private def italyScaleWitness(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val k = ItalyK
+    val (router, nEdges) = italyRouter(s)
+    def latOf(r: Long) = 43.0 + r * 0.009
+    def lonOf(c: Long) = 7.0 + c * 0.009
+    val rnd = new scala.util.Random(42)
+    // 500 same-tile pairs well inside tile (0,0): analytic expected time
+    val sameTile = (0 until 500).map { i =>
+      val r1 = 5 + rnd.nextInt(175); val c1 = 5 + rnd.nextInt(175)
+      val r2 = 5 + rnd.nextInt(175); val c2 = 5 + rnd.nextInt(175)
+      (i.toLong, r1.toLong, c1.toLong, r2.toLong, c2.toLong,
+        (math.abs(r1 - r2) + math.abs(c1 - c2)) * ItalyEdgeMs)
+    }
+    // 250 arbitrary cross-lattice pairs, each queried both directions
+    val cross = (0 until 250).flatMap { i =>
+      val r1 = rnd.nextInt(k); val c1 = rnd.nextInt(k)
+      val r2 = rnd.nextInt(k); val c2 = rnd.nextInt(k)
+      Seq((1000L + 2 * i, r1.toLong, c1.toLong, r2.toLong, c2.toLong, -1L),
+        (1000L + 2 * i + 1, r2.toLong, c2.toLong, r1.toLong, c1.toLong, -1L))
+    }
+    val pairs = (sameTile ++ cross).map { case (id, r1, c1, r2, c2, want) =>
+      (id, latOf(r1), lonOf(c1), latOf(r2), lonOf(c2), want)
+    }.toDF("pair_id", "src_lat", "src_lon", "dst_lat", "dst_lon", "want_ms")
+    val got = graft.graph.Tiled
+      .matrixByCoords(s, router.dir, router.grid, router.overlay,
+        pairs.select($"pair_id", $"src_lat", $"src_lon", $"dst_lat", $"dst_lon"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val analyticOk = sameTile.count { case (id, _, _, _, _, want) => got(id) == want }
+    val symmetryOk = (0 until 250).count { i =>
+      val x = got(1000L + 2 * i); x >= 0 && x == got(1000L + 2 * i + 1)
+    }
+    // point-query path through the tile LRU + overlay CH
+    val p1 = router.travelTimeMs(latOf(10), lonOf(10), latOf(20), lonOf(20))
+    Seq(
+      ("edges_directed", nEdges),
+      ("nodes", k.toLong * k),
+      ("overlay_ch_built", if (router.overlay.ch != null) 1L else 0L),
+      ("overlay_edges", router.overlay.numEdges.toLong),
+      ("overlay_nodes", router.overlay.size.toLong),
+      ("pairs_routed", got.values.count(_ >= 0).toLong),
+      ("point_query_ok", if (p1 == 20 * ItalyEdgeMs) 1L else 0L),
+      ("same_tile_analytic_ok", analyticOk.toLong),
+      ("symmetry_ok", symmetryOk.toLong)
+    ).toDF("metric", "value").orderBy($"metric")
+  }
+
   @volatile private var tiledCache: graft.graph.TiledRouter = null
   private def tiledFixtureRouter(s: org.apache.spark.sql.SparkSession): graft.graph.TiledRouter =
     synchronized {
@@ -336,6 +446,10 @@ object Routing {
           }
           .toDF("pair_id", "src", "dst", "seconds", "matches_flat")
       }, None),
+
+    QueryDef("r24_italy_scale",
+      (s, _) => italyScaleWitness(s),
+      None),
 
     QueryDef("r25_introspection",
       (s, _) => {
