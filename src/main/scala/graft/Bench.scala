@@ -15,10 +15,20 @@ object Bench {
     // report the warm run (min of 2): codegen/JIT compilation in the first
     // execution is session overhead, not operator cost — the baseline's
     // comparable numbers are warm-path (ITALY.md:374-375 cold vs warm)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional name-prefix args restrict the run (local iteration; the
+    // driver passes none). -1 marks a query that threw; surface the error
+    // on stderr so a red bench cell is diagnosable from the log.
+    val only = args.toSet
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => only.exists(n.startsWith) }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          return -1.0
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> math.min(once(), once())
