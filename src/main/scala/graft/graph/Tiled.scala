@@ -182,7 +182,11 @@ object Tiled {
 
     val nodesT = nodes.select($"id".cast("long").as("id"), $"lat".cast("double").as("lat"),
       $"lon".cast("double").as("lon"), tileExpr($"lat", $"lon").as("tile"))
-    nodesT.write.mode("overwrite").partitionBy("tile").parquet(s"$outDir/nodes")
+    // repartition by tile first: ONE file per tile dir (instead of one per
+    // shuffle partition), so every partition-pruned tile read opens a
+    // single file and a tile's rows can never split across scan partitions
+    nodesT.repartition(col("tile"))
+      .write.mode("overwrite").partitionBy("tile").parquet(s"$outDir/nodes")
     val nt = spark.read.parquet(s"$outDir/nodes")
 
     val eT = edges.select($"src".cast("long").as("src"), $"dst".cast("long").as("dst"),
@@ -192,7 +196,8 @@ object Tiled {
 
     val interior = eT.filter($"src_tile" === $"dst_tile")
       .select($"src", $"dst", $"time_ms", $"src_tile".as("tile"))
-    interior.write.mode("overwrite").partitionBy("tile").parquet(s"$outDir/interior")
+    interior.repartition(col("tile"))
+      .write.mode("overwrite").partitionBy("tile").parquet(s"$outDir/interior")
 
     val cross = eT.filter($"src_tile" =!= $"dst_tile")
       .select($"src", $"dst", $"time_ms").as[(Long, Long, Long)]
