@@ -388,6 +388,124 @@ object Tiled {
     * as [[TiledRouter.travelTimeMs]], proven equal to flat Dijkstra in
     * TiledSpec.
     */
+  /** Pair batches at or below this size take the broadcast-queries path in
+    * [[matrixTiled]] (two query tuples per pair on the driver + broadcast).
+    */
+  final val BroadcastPairLimit = 100000
+
+  /** One whole-tile leg computation, shared by both [[matrixTiled]] paths:
+    * builds the tile CSR once (forward + reversed) and runs one Dijkstra
+    * per DISTINCT (endpoint, direction), shared by that endpoint's pairs.
+    * `qs`: (tile, pair_id, endpoint-in-tile, other, other's tile, rev).
+    */
+  private def tileLegs(ov: Overlay, tile: Int, es: Array[(Long, Long, Long)],
+                       qs: Array[(Int, Long, Long, Long, Int, Boolean)])
+      : Iterator[(Long, Int, Long, Long)] = {
+    // node universe: tile interior endpoints + every queried endpoint
+    val idSet = new java.util.LinkedHashSet[java.lang.Long]()
+    es.foreach { case (s, d, _) => idSet.add(s); idSet.add(d) }
+    qs.foreach { q => idSet.add(q._3); if (q._5 == tile) idSet.add(q._4) }
+    val ids = new Array[Long](idSet.size())
+    val it = idSet.iterator(); var i = 0
+    while (it.hasNext) { ids(i) = it.next(); i += 1 }
+    val local = buildLocal(ids, new Array[Double](ids.length),
+      new Array[Double](ids.length), es)
+    // this tile's boundary nodes, as local indices
+    val bLocal = new scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    i = 0
+    while (i < ids.length) {
+      val oi = ov.index.get(ids(i))
+      if (oi != null && ov.tiles(oi.intValue) == tile) bLocal += ((i, ids(i)))
+      i += 1
+    }
+    val cache = new java.util.HashMap[Long, Array[Long]]()
+    def distsFrom(node: Long, rev: Boolean): Array[Long] = {
+      val key = (node << 1) | (if (rev) 1L else 0L)
+      var d = cache.get(key)
+      if (d == null) {
+        d = local.distancesFrom(local.index.get(node).intValue, reverse = rev)
+        cache.put(key, d)
+      }
+      d
+    }
+    qs.iterator.flatMap { case (_, pairId, endpoint, other, otherTile, rev) =>
+      val dist = distsFrom(endpoint, rev)
+      val direct =
+        if (!rev && otherTile == tile) {
+          val oi = local.index.get(other)
+          if (oi != null && dist(oi.intValue) != Long.MaxValue)
+            Iterator.single((pairId, 0, other, dist(oi.intValue)))
+          else Iterator.empty
+        } else Iterator.empty
+      val kind = if (rev) 2 else 1
+      direct ++ bLocal.iterator.flatMap { case (bi, bid) =>
+        if (dist(bi) == Long.MaxValue) Iterator.empty
+        else Iterator.single((pairId, kind, bid, dist(bi)))
+      }
+    }
+  }
+
+  /** The broadcast path's safety precondition: every touched tile's data
+    * is EXACTLY ONE parquet file (what [[build]] writes since the
+    * repartition-by-tile layout), so an executor task holds the complete
+    * tile subgraph. Legacy multi-file layouts return None → shuffle path.
+    */
+  private def singleFilePerTile(spark: SparkSession, dir: String,
+                                touched: Array[Int]): Option[Map[Int, String]] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(s"$dir/interior")
+    val fs = root.getFileSystem(conf)
+    val out = scala.collection.mutable.Map.empty[Int, String]
+    touched.foreach { t =>
+      val d = new org.apache.hadoop.fs.Path(root, s"tile=$t")
+      if (fs.exists(d)) {
+        val data = fs.listStatus(d).filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+        if (data.length != 1) return None
+        out(t) = data(0).getPath.toString
+      }
+      // a touched tile with no interior dir has no interior edges: nothing
+      // to read, tileLegs still answers its queries over an empty CSR —
+      // so it needs no file entry
+    }
+    Some(out.toMap)
+  }
+
+  /** Executor-side whole-file read of one tile's (src, dst, time_ms) rows —
+    * plain parquet-hadoop, no splitting, no shuffle.
+    */
+  private def readTileParquet(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Array[(Long, Long, Long)] = {
+    val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(path))
+      .withConf(conf).build()
+    val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    try {
+      var g = reader.read()
+      while (g != null) {
+        buf += ((g.getLong("src", 0), g.getLong("dst", 0), g.getLong("time_ms", 0)))
+        g = reader.read()
+      }
+    } finally reader.close()
+    buf.toArray
+  }
+
+  /** Minimal serializable Hadoop-conf carrier (Spark's own is private). */
+  private final class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
   def matrix(spark: SparkSession, dir: String, overlay: Overlay,
              pairs: DataFrame): DataFrame = {
     import spark.implicits._
@@ -428,67 +546,46 @@ object Tiled {
       .select($"tile".cast("int"), $"src", $"dst", $"time_ms")
       .as[(Int, Long, Long, Long)].groupByKey(_._1)
 
-    // ONE shuffle of the (pruned) interior carries BOTH leg directions:
-    // queries: (tile, pair_id, endpoint-in-tile, other, other's tile, rev)
-    val queries = pt.flatMap { case (pid, src, dst, st, dt) =>
-      Iterator((st, pid, src, dst, dt, false), (dt, pid, dst, src, st, true))
-    }.groupByKey(_._1)
+    // The pair batch is usually tiny next to the graph: when it is bounded
+    // AND the layout guarantees one whole file per tile, BROADCAST the
+    // queries and stream the tile files — the graph never shuffles at all.
+    // Past the bound (or on a legacy multi-file layout) fall back to the
+    // single interior shuffle that carries both leg directions.
+    val pairCnt = pt.count() // cheap: pt is checkpointed
+    val tileFiles =
+      if (pairCnt <= BroadcastPairLimit) singleFilePerTile(spark, dir, touched)
+      else None
 
     // legs: (pair_id, kind, node, dist) — kind 0 = direct same-tile distance
     // (node unused), 1 = source→boundary, 2 = boundary→target
-    val legs =
-      interiorByTile.cogroup(queries) { (tile, eIt, qIt) =>
-        val qs = qIt.toArray
-        if (qs.isEmpty) Iterator.empty
-        else {
-          val es = eIt.map(e => (e._2, e._3, e._4)).toArray
-          val ov = bc.value
-          // node universe: tile interior endpoints + every queried endpoint
-          val idSet = new java.util.LinkedHashSet[java.lang.Long]()
-          es.foreach { case (s, d, _) => idSet.add(s); idSet.add(d) }
-          qs.foreach { q => idSet.add(q._3); if (q._5 == tile) idSet.add(q._4) }
-          val ids = new Array[Long](idSet.size())
-          val it = idSet.iterator(); var i = 0
-          while (it.hasNext) { ids(i) = it.next(); i += 1 }
-          // one local CSR (forward + reversed) serves both directions
-          val local = buildLocal(ids, new Array[Double](ids.length),
-            new Array[Double](ids.length), es)
-          // this tile's boundary nodes, as local indices
-          val bLocal = new scala.collection.mutable.ArrayBuffer[(Int, Long)]()
-          i = 0
-          while (i < ids.length) {
-            val oi = ov.index.get(ids(i))
-            if (oi != null && ov.tiles(oi.intValue) == tile) bLocal += ((i, ids(i)))
-            i += 1
-          }
-          // one Dijkstra per DISTINCT (endpoint, direction), shared by pairs
-          val cache = new java.util.HashMap[Long, Array[Long]]()
-          def distsFrom(node: Long, rev: Boolean): Array[Long] = {
-            val key = (node << 1) | (if (rev) 1L else 0L)
-            var d = cache.get(key)
-            if (d == null) {
-              d = local.distancesFrom(local.index.get(node).intValue, reverse = rev)
-              cache.put(key, d)
-            }
-            d
-          }
-          qs.iterator.flatMap { case (_, pairId, endpoint, other, otherTile, rev) =>
-            val dist = distsFrom(endpoint, rev)
-            val direct =
-              if (!rev && otherTile == tile) {
-                val oi = local.index.get(other)
-                if (oi != null && dist(oi.intValue) != Long.MaxValue)
-                  Iterator.single((pairId, 0, other, dist(oi.intValue)))
-                else Iterator.empty
-              } else Iterator.empty
-            val kind = if (rev) 2 else 1
-            direct ++ bLocal.iterator.flatMap { case (bi, bid) =>
-              if (dist(bi) == Long.MaxValue) Iterator.empty
-              else Iterator.single((pairId, kind, bid, dist(bi)))
-            }
-          }
+    val legs = tileFiles match {
+      case Some(files) =>
+        val qByTile = pt.collect().flatMap { case (pid, src, dst, st, dt) =>
+          Iterator((st, pid, src, dst, dt, false), (dt, pid, dst, src, st, true))
+        }.groupBy(_._1)
+        val bcQ = spark.sparkContext.broadcast(qByTile)
+        val bcConf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+        // every tile with queries runs, even one with no interior edges
+        // (isolated endpoints still answer, matching the cogroup path)
+        val work = qByTile.keys.toSeq.sorted.map(t => (t, files.get(t)))
+        spark.createDataset(spark.sparkContext
+          .parallelize(work, math.max(1, work.size))
+          .flatMap { case (tile, pathOpt) =>
+            val es = pathOpt.map(p => readTileParquet(p, bcConf.value))
+              .getOrElse(Array.empty[(Long, Long, Long)])
+            tileLegs(bc.value, tile, es, bcQ.value(tile))
+          })
+      case None =>
+        // queries: (tile, pair_id, endpoint-in-tile, other, other's tile, rev)
+        val queries = pt.flatMap { case (pid, src, dst, st, dt) =>
+          Iterator((st, pid, src, dst, dt, false), (dt, pid, dst, src, st, true))
+        }.groupByKey(_._1)
+        interiorByTile.cogroup(queries) { (tile, eIt, qIt) =>
+          val qs = qIt.toArray
+          if (qs.isEmpty) Iterator.empty
+          else tileLegs(bc.value, tile, eIt.map(e => (e._2, e._3, e._4)).toArray, qs)
         }
-      }
+    }
 
     legs
       .groupByKey(_._1)
@@ -574,13 +671,63 @@ object Tiled {
     val pts = points
       .select($"id".cast("long"), $"lat".cast("double"), $"lon".cast("double"))
       .as[(Long, Double, Double)]
-      .groupByKey(p => bcGrid.value.tileOf(p._2, p._3))
+    val ptArr = pts.take(BroadcastPairLimit * 2 + 1)
+    if (ptArr.length <= BroadcastPairLimit * 2) {
+      // bounded batch: broadcast the points, STREAM the node partitions —
+      // the node table never shuffles; the shuffle carries only one
+      // (point, candidate) row per scan partition that saw the point's
+      // tile, min-reduced to the nearest. Ties break on node id so the
+      // result is layout-independent.
+      val byTile = ptArr.groupBy(p => bcGrid.value.tileOf(p._2, p._3))
+      val bcPts = spark.sparkContext.broadcast(byTile)
+      val touched = byTile.keys.map(Integer.valueOf).toSeq
+      spark.read.parquet(s"$dir/nodes")
+        .filter($"tile".isin(touched: _*))
+        .select($"tile".cast("int"), $"id".cast("long"),
+          $"lat".cast("double"), $"lon".cast("double"))
+        .as[(Int, Long, Double, Double)]
+        .mapPartitions { rows =>
+          val best = new java.util.HashMap[Long, (Double, Long, Int)]()
+          rows.foreach { case (tile, nid, nlat, nlon) =>
+            val ps = bcPts.value.getOrElse(tile, Array.empty[(Long, Double, Double)])
+            var i = 0
+            while (i < ps.length) {
+              val (pid, plat, plon) = ps(i)
+              val d = graft.geo.Geo.approxDist2(plat, plon, nlat, nlon)
+              val cur = best.get(pid)
+              if (cur == null || d < cur._1 || (d == cur._1 && nid < cur._2))
+                best.put(pid, (d, nid, tile))
+              i += 1
+            }
+          }
+          import scala.jdk.CollectionConverters._
+          best.entrySet().iterator().asScala
+            .map(e => (e.getKey, e.getValue._1, e.getValue._2, e.getValue._3))
+        }
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          if (a._2 < b._2 || (a._2 == b._2 && a._3 < b._3)) a else b
+        }
+        .map { case (pid, (_, _, node, tile)) => (pid, node, tile) }
+        .toDF("id", "node", "tile")
+        // points whose tile has no nodes still answer: node -1
+        .join(pts.toDF("id", "plat", "plon").select($"id"), Seq("id"), "right")
+        .na.fill(-1L, Seq("node")).na.fill(-1, Seq("tile"))
+    } else snapShuffle(spark, dir, bcGrid, pts)
+  }
+
+  /** Unbounded-batch snap: points co-partition with their tile's nodes. */
+  private def snapShuffle(spark: SparkSession, dir: String,
+      bcGrid: org.apache.spark.broadcast.Broadcast[TileGrid],
+      pts: org.apache.spark.sql.Dataset[(Long, Double, Double)]): DataFrame = {
+    import spark.implicits._
+    val byTile = pts.groupByKey(p => bcGrid.value.tileOf(p._2, p._3))
     val nodesByTile = spark.read.parquet(s"$dir/nodes")
       .select($"tile".cast("int"), $"id".cast("long"),
         $"lat".cast("double"), $"lon".cast("double"))
       .as[(Int, Long, Double, Double)]
       .groupByKey(_._1)
-    nodesByTile.cogroup(pts) { (tile, nIt, pIt) =>
+    nodesByTile.cogroup(byTile) { (tile, nIt, pIt) =>
       val ps = pIt.toArray
       if (ps.isEmpty) Iterator.empty
       else {
@@ -590,7 +737,9 @@ object Tiled {
           var i = 0
           while (i < ns.length) {
             val d = graft.geo.Geo.approxDist2(plat, plon, ns(i)._3, ns(i)._4)
-            if (d < bestD) { bestD = d; best = ns(i)._2 }
+            if (d < bestD || (d == bestD && ns(i)._2 < best)) {
+              bestD = d; best = ns(i)._2
+            }
             i += 1
           }
           (pid, best, tile)
