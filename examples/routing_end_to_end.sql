@@ -45,3 +45,14 @@ SELECT travel_time_request('status', '{}') AS status_json;
 SELECT travel_time_request('trace_route',
   '{"shape":[{"lat":43.7384,"lon":7.4246},{"lat":43.7396,"lon":7.4263}],
     "costing":"auto"}') AS trace_json;
+
+-- Catalog introspection, the reference's registration-test shape verbatim
+-- (its test/sql/travel_time.test uses duckdb_functions()): every routing
+-- function is discoverable once registered, and typeof inspects result
+-- types (BINARY here where DuckDB says BLOB).
+SELECT function_name FROM graft_functions()
+WHERE function_name = 'travel_time';                        -- travel_time
+SELECT count(*) FROM graft_functions()
+WHERE function_name = 'travel_time_route_wkb';              -- 1
+SELECT typeof(travel_time_route_wkb(
+  'POINT(7.4246 43.7384)', 'POINT(7.4263 43.7396)', 'auto').geometry);  -- binary
