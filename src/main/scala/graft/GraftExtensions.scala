@@ -93,5 +93,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.Introspection.getClass.getName, "graft_functions"),
       graft.functions.Introspection.builder))
     ext.injectOptimizerRule(spark => new routing.RoutingFunctions.LoadConfigRule(spark))
+    // the host engine's QUALIFY clause (window-result filtering), folded at
+    // parse time into the equivalent window-subquery shape (plans.Qualify)
+    ext.injectParser((_, delegate) => new plans.QualifyParser(delegate))
   }
 }

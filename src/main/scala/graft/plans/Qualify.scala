@@ -1,0 +1,145 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The host engine's QUALIFY clause for Spark SQL.
+  *
+  * The reference's host (DuckDB) filters window-function results with
+  * QUALIFY; Spark has no such clause, so host-engine queries using it do not
+  * port verbatim. This folds QUALIFY at parse time into the equivalent
+  * window-subquery shape Catalyst already optimizes:
+  *
+  * {{{
+  * SELECT <list> FROM <rel> ... QUALIFY <pred> [ORDER BY ... LIMIT ...]
+  *   →
+  * SELECT * EXCEPT (__graft_qualify) FROM (
+  *   SELECT <list>, (<pred>) AS __graft_qualify FROM <rel> ...
+  * ) WHERE __graft_qualify [ORDER BY ... LIMIT ...]
+  * }}}
+  *
+  * The rewrite is text-level but token-aware: single/double/backtick quotes,
+  * `--` and block comments, and parenthesis depth are respected, and
+  * subqueries / CTE bodies are rewritten recursively, so QUALIFY works at any
+  * nesting level. The plan after rewrite is exactly the hand-written
+  * window-subquery plan — one Window + Filter, no extra shuffle; the marker
+  * column is pruned by the outer projection before anything materializes.
+  *
+  * Two installation paths:
+  *  - session-wide via GraftExtensions (injectParser): every `spark.sql`
+  *    statement may use QUALIFY — the zero-code deployment contract;
+  *  - per-call via [[Qualify.sql]] for sessions built without the extension.
+  *
+  * Unsupported (throws [[QualifyRewriteException]]): QUALIFY on a
+  * SELECT DISTINCT block (the predicate column would change DISTINCT's
+  * grouping; wrap the DISTINCT in a subquery instead). When installed as a
+  * parser, a failed rewrite falls back to the stock parser so sessions never
+  * lose statements that merely *mention* the word (e.g. a column named
+  * `qualify`).
+  */
+object Qualify {
+
+  final class QualifyRewriteException(msg: String) extends IllegalArgumentException(msg)
+
+  private val Marker = "__graft_qualify"
+
+  /** Programmatic path: run a QUALIFY-bearing statement on any session. */
+  def sql(spark: SparkSession, text: String): DataFrame = spark.sql(rewrite(text))
+
+  /** Rewrite every QUALIFY clause in `sql` (recursively, at any depth) into
+    * the window-subquery form. Text without QUALIFY is returned unchanged.
+    */
+  def rewrite(sql: String): String = {
+    if (!sql.toLowerCase.contains("qualify")) return sql
+    val groups = scan(sql)._2
+    val sb = new StringBuilder
+    var pos = 0
+    groups.foreach { case (open, close) =>
+      sb.append(sql.substring(pos, open + 1))
+      sb.append(rewrite(sql.substring(open + 1, close)))
+      pos = close
+    }
+    sb.append(sql.substring(pos))
+    rewriteTopLevel(sb.toString)
+  }
+
+  /** One lexer pass: (words with positions+paren depth, top-level paren
+    * groups). Strings ('' escape honored), quoted identifiers, backticks,
+    * and both comment forms are skipped entirely.
+    */
+  private def scan(s: String): (Vector[(String, Int, Int, Int)], Vector[(Int, Int)]) = {
+    val words = Vector.newBuilder[(String, Int, Int, Int)]
+    val groups = Vector.newBuilder[(Int, Int)]
+    val n = s.length
+    var i = 0; var depth = 0; var open0 = -1
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '\'') {
+        i += 1
+        var done = false
+        while (i < n && !done) {
+          if (s.charAt(i) == '\'') {
+            if (i + 1 < n && s.charAt(i + 1) == '\'') i += 2 else { done = true; i += 1 }
+          } else i += 1
+        }
+      } else if (c == '"' || c == '`') {
+        i += 1; while (i < n && s.charAt(i) != c) i += 1; i += 1
+      } else if (c == '-' && i + 1 < n && s.charAt(i + 1) == '-') {
+        while (i < n && s.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && s.charAt(i + 1) == '*') {
+        i += 2
+        while (i + 1 < n && !(s.charAt(i) == '*' && s.charAt(i + 1) == '/')) i += 1
+        i = math.min(n, i + 2)
+      } else if (c == '(') {
+        if (depth == 0) open0 = i
+        depth += 1; i += 1
+      } else if (c == ')') {
+        depth -= 1
+        if (depth == 0 && open0 >= 0) { groups += ((open0, i)); open0 = -1 }
+        if (depth < 0) depth = 0
+        i += 1
+      } else if (c.isLetter || c == '_') {
+        val st = i
+        while (i < n && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+        words += ((s.substring(st, i).toUpperCase, st, i, depth))
+      } else i += 1
+    }
+    (words.result(), groups.result())
+  }
+
+  /** Rewrite the depth-0 QUALIFY of one (sub)query body, if present.
+    * Paren groups have already been rewritten by the caller.
+    */
+  private def rewriteTopLevel(s: String): String = {
+    val (words, _) = scan(s)
+    val top = words.filter(_._4 == 0)
+    val qualify = top.find(_._1 == "QUALIFY").getOrElse(return s)
+
+    val select = top.find(_._1 == "SELECT").getOrElse(
+      throw new QualifyRewriteException("QUALIFY without a SELECT block"))
+    if (select._2 > qualify._2)
+      throw new QualifyRewriteException("QUALIFY appears before its SELECT")
+    // the token right after SELECT (any depth — adjacency is by position)
+    words.find(_._2 >= select._3) match {
+      case Some(w) if w._1 == "DISTINCT" && s.substring(select._3, w._2).isBlank =>
+        throw new QualifyRewriteException(
+          "QUALIFY on SELECT DISTINCT is unsupported — wrap the DISTINCT in a subquery")
+      case _ =>
+    }
+    val from = top.find(w => w._1 == "FROM" && w._2 > select._3 && w._2 < qualify._2)
+      .getOrElse(throw new QualifyRewriteException("QUALIFY without a FROM clause"))
+
+    // predicate ends at the next depth-0 clause that follows QUALIFY
+    val stoppers = Set("ORDER", "LIMIT", "OFFSET", "FETCH", "UNION", "INTERSECT", "EXCEPT")
+    val tailStart = top.find(w => stoppers(w._1) && w._2 >= qualify._3)
+      .map(_._2).getOrElse(s.length)
+    val pred = s.substring(qualify._3, tailStart).trim
+    if (pred.isEmpty) throw new QualifyRewriteException("empty QUALIFY predicate")
+
+    val pre = s.substring(0, select._2) // WITH clause, or nothing
+    val selList = s.substring(select._3, from._2)
+    val fromPart = s.substring(from._2, qualify._2)
+    val tail = s.substring(tailStart)
+    s"${pre}SELECT * EXCEPT ($Marker) FROM (SELECT$selList, ($pred) AS $Marker " +
+      s"$fromPart) WHERE $Marker $tail"
+  }
+}

@@ -1,0 +1,45 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Session parser adding the QUALIFY clause (see [[Qualify]]), installed by
+  * GraftExtensions via injectParser. Statements are handed to the stock
+  * parser untouched unless they mention QUALIFY; if the rewrite — or the
+  * parse of the rewritten text — fails, the original text is parsed instead,
+  * so a schema that merely uses `qualify` as an identifier keeps working.
+  */
+class QualifyParser(delegate: ParserInterface) extends ParserInterface {
+
+  private def withQualify(text: String, parse: String => LogicalPlan): LogicalPlan = {
+    if (!text.toLowerCase.contains("qualify")) return parse(text)
+    val rewritten =
+      try Qualify.rewrite(text)
+      catch { case _: Qualify.QualifyRewriteException => text }
+    if (rewritten eq text) parse(text)
+    else
+      try parse(rewritten)
+      catch { case _: ParseException => parse(text) }
+  }
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    withQualify(sqlText, delegate.parsePlan)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    withQualify(sqlText, delegate.parseQuery)
+
+  override def parseExpression(sqlText: String) = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}

@@ -619,6 +619,81 @@ object Relational {
              |  AND NOT EXISTS (SELECT 1 FROM lineitem l
              |                  WHERE l.l_orderkey = o.o_orderkey
              |                    AND l.l_discount > 0.09)
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // -- QUALIFY: the host engine's window-result filter clause ------------
+    // DuckDB runs QUALIFY natively; Spark lacks the clause, so graft adds it
+    // (plans.Qualify: parse-time fold into the window-subquery shape —
+    // injected session-wide via GraftExtensions, per-call via Qualify.sql).
+    // The SAME statement text runs on both engines (only table names differ):
+    // the strongest possible parity witness — the oracle is not a mirror of
+    // the query, it IS the query.
+    QueryDef("q30_qualify",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("g_orders30")
+        t(s, d, "customer").createOrReplaceTempView("g_customer30")
+        graft.plans.Qualify.sql(s, qualifyStatement("g_orders30", "g_customer30"))
+      },
+      Some(qualifyStatement("orders", "customer"))),
+
+    // -- WITH RECURSIVE: recursive CTE (host engine + Spark 4 UnionLoop) ---
+    // The classic gap-filling shape: a recursive week scaffold LEFT-joined
+    // against per-week order aggregates so empty weeks surface as zero rows.
+    // The scaffold is 61 rows — AQE broadcasts it; the recursion itself is
+    // driver-trivial and the orders side stays one scan + HashAggregate.
+    QueryDef("q31_recursive_cte",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("g_orders31")
+        s.sql(
+          """WITH RECURSIVE weeks(week) AS (
+            |  SELECT 0
+            |  UNION ALL
+            |  SELECT week + 1 FROM weeks WHERE week < 60
+            |),
+            |po AS (
+            |  SELECT CAST(floor(datediff(CAST(o_orderdate AS DATE),
+            |                             DATE '1995-01-01') / 7.0) AS INT) AS week,
+            |         o_orderkey, o_totalprice
+            |  FROM g_orders31
+            |  WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+            |    AND CAST(o_orderdate AS DATE) < DATE '1996-03-01'
+            |)
+            |SELECT w.week, CAST(count(po.o_orderkey) AS BIGINT) AS n_orders,
+            |       round(coalesce(sum(po.o_totalprice), 0), 2) AS revenue
+            |FROM weeks w LEFT JOIN po ON po.week = w.week
+            |GROUP BY w.week
+            |ORDER BY w.week""".stripMargin)
+      },
+      Some("""WITH RECURSIVE weeks(week) AS (
+             |  SELECT 0
+             |  UNION ALL
+             |  SELECT week + 1 FROM weeks WHERE week < 60
+             |),
+             |po AS (
+             |  SELECT CAST(floor(date_diff('day', DATE '1995-01-01',
+             |                              CAST(o_orderdate AS DATE)) / 7.0) AS INT) AS week,
+             |         o_orderkey, o_totalprice
+             |  FROM orders
+             |  WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+             |    AND CAST(o_orderdate AS DATE) < DATE '1996-03-01'
+             |)
+             |SELECT w.week, CAST(count(po.o_orderkey) AS BIGINT) AS n_orders,
+             |       round(coalesce(sum(po.o_totalprice), 0), 2) AS revenue
+             |FROM weeks w LEFT JOIN po ON po.week = w.week
+             |GROUP BY w.week
+             |ORDER BY w.week""".stripMargin))
   )
+
+  /** q30's statement — one text, two engines (table names are the only
+    * difference). QUALIFY keeps each customer's single most expensive order.
+    */
+  private def qualifyStatement(orders: String, customer: String): String =
+    s"""WITH seg AS (
+       |  SELECT c_custkey, c_mktsegment FROM $customer
+       |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY'))
+       |SELECT c_mktsegment, o_custkey, o_orderkey, round(o_totalprice, 2) AS total
+       |FROM $orders o JOIN seg ON o.o_custkey = seg.c_custkey
+       |QUALIFY row_number() OVER (PARTITION BY o_custkey
+       |                           ORDER BY o_totalprice DESC, o_orderkey) = 1
+       |ORDER BY o_custkey""".stripMargin
 }

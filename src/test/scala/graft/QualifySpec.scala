@@ -1,0 +1,110 @@
+package graft
+
+import graft.plans.Qualify
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** plans.Qualify — the host engine's QUALIFY clause folded into Spark's
+  * window-subquery shape: rewrite unit cases (quote/comment/nesting
+  * robustness), end-to-end equivalence with the hand-written window form,
+  * and the session-wide injected-parser path.
+  */
+class QualifySpec extends AnyFunSuite {
+
+  private def spark = SparkTestBase.spark
+
+  private val ddl =
+    "SELECT * FROM VALUES (1, 'a', 10.0D), (2, 'a', 30.0D), (3, 'a', 20.0D), " +
+      "(4, 'b', 5.0D), (5, 'b', 15.0D) AS t(id, grp, v)"
+
+  test("rewrite: passthrough without QUALIFY, and quoted/comment mentions stay put") {
+    val plain = "SELECT a FROM t WHERE b = 1"
+    assert(Qualify.rewrite(plain) eq plain)
+    // the word inside a string literal or comment is not a clause
+    val s1 = "SELECT 'QUALIFY' AS w FROM t"
+    assert(Qualify.rewrite(s1) == s1)
+    val s2 = "SELECT a -- QUALIFY note\nFROM t"
+    assert(Qualify.rewrite(s2) == s2)
+    val s3 = "SELECT a /* QUALIFY */ FROM t"
+    assert(Qualify.rewrite(s3) == s3)
+  }
+
+  test("rewrite: unsupported shapes throw QualifyRewriteException") {
+    intercept[Qualify.QualifyRewriteException] {
+      Qualify.rewrite("SELECT DISTINCT a FROM t QUALIFY row_number() OVER (ORDER BY a) = 1")
+    }
+    intercept[Qualify.QualifyRewriteException] {
+      Qualify.rewrite("SELECT a FROM t QUALIFY ")
+    }
+  }
+
+  test("qualify equals the hand-written window-subquery form") {
+    val s = spark
+    s.sql(ddl).createOrReplaceTempView("q_t")
+    val viaQualify = Qualify.sql(s,
+      """SELECT grp, id, v FROM q_t
+        |QUALIFY row_number() OVER (PARTITION BY grp ORDER BY v DESC) <= 2
+        |ORDER BY grp, v DESC""".stripMargin)
+    val byHand = s.sql(
+      """SELECT grp, id, v FROM (
+        |  SELECT grp, id, v,
+        |         row_number() OVER (PARTITION BY grp ORDER BY v DESC) AS rn
+        |  FROM q_t) WHERE rn <= 2
+        |ORDER BY grp, v DESC""".stripMargin)
+    assert(viaQualify.columns.toSeq == Seq("grp", "id", "v"))
+    assert(viaQualify.collect().toSeq == byHand.collect().toSeq)
+  }
+
+  test("qualify inside a CTE body and a FROM subquery (recursive rewrite)") {
+    val s = spark
+    s.sql(ddl).createOrReplaceTempView("q_t")
+    val out = Qualify.sql(s,
+      """WITH best AS (
+        |  SELECT grp, id, v FROM q_t
+        |  QUALIFY rank() OVER (PARTITION BY grp ORDER BY v DESC) = 1
+        |)
+        |SELECT grp, id FROM best ORDER BY grp""".stripMargin)
+    assert(out.collect().map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("a", 2), ("b", 5)))
+
+    val sub = Qualify.sql(s,
+      """SELECT count(*) AS n FROM (
+        |  SELECT id FROM q_t
+        |  QUALIFY row_number() OVER (PARTITION BY grp ORDER BY id) = 1
+        |)""".stripMargin)
+    assert(sub.collect().head.getLong(0) == 2L)
+  }
+
+  test("qualify predicate referencing GROUP BY aggregates") {
+    val s = spark
+    s.sql(ddl).createOrReplaceTempView("q_t")
+    val out = Qualify.sql(s,
+      """SELECT grp, round(sum(v), 1) AS total FROM q_t
+        |GROUP BY grp
+        |QUALIFY rank() OVER (ORDER BY sum(v) DESC) = 1""".stripMargin)
+    assert(out.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("a", 60.0)))
+  }
+
+  test("injected parser: plain spark.sql accepts QUALIFY session-wide") {
+    val base = SparkTestBase.spark
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+      assert(s2 ne base)
+      s2.sql(ddl).createOrReplaceTempView("q_t2")
+      val top = s2.sql(
+        """SELECT grp, id FROM q_t2
+          |QUALIFY row_number() OVER (PARTITION BY grp ORDER BY v DESC) = 1
+          |ORDER BY grp""".stripMargin)
+      assert(top.collect().map(r => (r.getString(0), r.getInt(1))).toSeq ==
+        Seq(("a", 2), ("b", 5)))
+      // statements that merely mention the word keep parsing (fallback)
+      assert(s2.sql("SELECT 'QUALIFY' AS w").collect().head.getString(0) == "QUALIFY")
+    } finally {
+      prev.foreach { p => SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p) }
+    }
+  }
+}
