@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + URL-level dedup — the Common-Crawl-style first
+  * dedup pass: most crawl duplicates are the SAME page fetched under a
+  * cosmetically different URL (case-shifted host, www. prefix, default
+  * port, tracking params, param order, fragments, trailing slash), so
+  * canonicalize-then-group removes them without touching document text.
+  *
+  * Scale shape: canonicalization is a pure per-row expression chain
+  * (regexp_extract / split / sort_array — no UDF, no shuffle); the dedup
+  * adds exactly one shuffle keyed by the canonical URL. The per-row arrays
+  * are query-param-sized (a handful of elements), so the higher-order
+  * filter/sort is bounded per row regardless of corpus size.
+  */
+object UrlOps {
+
+  /** Query params dropped by canonicalization (tracking noise). */
+  private val DropParams = "^(utm_[^=]*|fbclid|gclid|ref)="
+
+  /** Canonical form of a URL column:
+    *  - scheme and host lowercased; leading `www.` stripped;
+    *  - default ports stripped (`:443` for https, `:80` for http);
+    *  - fragment dropped;
+    *  - tracking params dropped, remaining params sorted;
+    *  - trailing slashes stripped from the path.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rawHost = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val noWww = regexp_replace(rawHost, "^www\\.", "")
+    val host = when(scheme === "https", regexp_replace(noWww, ":443$", ""))
+      .when(scheme === "http", regexp_replace(noWww, ":80$", ""))
+      .otherwise(noWww)
+    val path = regexp_replace(
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1), "/+$", "")
+    val params = filter(
+      split(regexp_extract(url, "\\?([^#]*)", 1), "&"),
+      p => p =!= "" && !p.rlike(DropParams))
+    val qs = array_join(sort_array(params), "&")
+    concat(scheme, lit("://"), host, path,
+      when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
+  }
+
+  /** Keeper-election dedup over canonical URLs: every row gets its canonical
+    * form, the id-minimal row per canonical group is the keeper, and the
+    * group size comes along for audit. One shuffle (canonical key).
+    */
+  def urlDedup(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
+    val canon = df.withColumn("canon_url", canonicalUrl(col(urlCol)))
+    val w = Window.partitionBy(col("canon_url"))
+    canon
+      .withColumn("keep", col(idCol) === min(col(idCol)).over(w))
+      .withColumn("group_n", count(lit(1)).over(w))
+  }
+}

@@ -1278,6 +1278,74 @@ object Pipeline {
            |    len(string_split(trim($chain), '  ')))), 0) AS BIGINT) AS n_bpe
            |FROM toks CROSS JOIN mt
            |ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // -- URL canonicalization + URL-level dedup -----------------------------
+    // The crawl pipeline's cheapest dedup pass: most duplicates are the SAME
+    // page under a cosmetically different URL, so canonicalize (case, www.,
+    // default ports, tracking params, param order, fragment, trailing slash)
+    // and elect one keeper per canonical form — no document text touched.
+    // The documents table carries no URL, so a deterministic messy URL is
+    // DERIVED from (source, doc_id) by the same expression in both engines;
+    // the operator under test is ops/UrlOps.canonicalUrl, implemented
+    // independently per engine. Pure per-row expressions + one shuffle on
+    // the canonical key (UrlOps scale note).
+    QueryDef("p41_url_dedup",
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents").select($"doc_id", $"source")
+        val url = concat(
+          when($"doc_id" % 3 === 0, lit("HTTPS")).otherwise(lit("https")), lit("://"),
+          when($"doc_id" % 4 === 0, lit("WWW.")).otherwise(lit("")),
+          $"source", lit(".Example.COM"),
+          when($"doc_id" % 6 === 0, lit(":443")).otherwise(lit("")),
+          lit("/Docs/"), ($"doc_id" % 40).cast("string"),
+          when($"doc_id" % 2 === 0, lit("/")).otherwise(lit("")),
+          lit("?utm_source=feed&id="), ($"doc_id" % 7).cast("string"),
+          when($"doc_id" % 5 === 0, lit("&ref=home")).otherwise(lit("")),
+          when($"doc_id" % 5 === 1, lit("&b=2&a=1")).otherwise(lit("&a=1&b=2")),
+          when($"doc_id" % 8 === 0, lit("#frag")).otherwise(lit("")))
+        graft.ops.UrlOps.urlDedup(docs.withColumn("url", url), "url", "doc_id")
+          .select($"doc_id", $"url", $"canon_url", $"keep", $"group_n")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+             |    (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END) ||
+             |    source || '.Example.COM' ||
+             |    (CASE WHEN doc_id % 6 = 0 THEN ':443' ELSE '' END) ||
+             |    '/Docs/' || CAST(doc_id % 40 AS VARCHAR) ||
+             |    (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+             |    '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR) ||
+             |    (CASE WHEN doc_id % 5 = 0 THEN '&ref=home' ELSE '' END) ||
+             |    (CASE WHEN doc_id % 5 = 1 THEN '&b=2&a=1' ELSE '&a=1&b=2' END) ||
+             |    (CASE WHEN doc_id % 8 = 0 THEN '#frag' ELSE '' END) AS url
+             |  FROM documents),
+             |parts AS (
+             |  SELECT doc_id, url,
+             |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             |    regexp_replace(lower(regexp_extract(url,
+             |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\.', '') AS host0,
+             |    regexp_replace(regexp_extract(url,
+             |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
+             |    array_to_string(list_sort(list_filter(
+             |      string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+             |      p -> p <> '' AND NOT regexp_matches(p,
+             |             '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS qs
+             |  FROM u),
+             |canon AS (
+             |  SELECT doc_id, url,
+             |    scheme || '://' ||
+             |    (CASE WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+             |          WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+             |          ELSE host0 END) ||
+             |    path ||
+             |    (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS canon_url
+             |  FROM parts)
+             |SELECT doc_id, url, canon_url,
+             |  doc_id = min(doc_id) OVER (PARTITION BY canon_url) AS keep,
+             |  count(*) OVER (PARTITION BY canon_url) AS group_n
+             |FROM canon ORDER BY doc_id""".stripMargin))
   )
 }

@@ -401,4 +401,37 @@ class OpsSpec extends AnyFunSuite {
       spark.sql("SELECT nfc_normalize(42)").collect()
     }
   }
+
+  test("url canonicalization: case, www, ports, tracking params, order, fragment, slash") {
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    val urls = Seq(
+      // messy everything → fully normalized
+      "HTTPS://WWW.Example.COM:443/Docs/3/?utm_source=x&b=2&a=1#frag",
+      // same page, different cosmetics → SAME canonical
+      "https://example.com/Docs/3?a=1&b=2&fbclid=zzz",
+      // http default port; ref dropped; empty query vanishes
+      "HTTP://www.Site.org:80/p/?ref=home",
+      // non-default port kept; param kept; path case preserved
+      "https://example.com:8443/A/B?z=9",
+      // no query, no path
+      "https://Example.com")
+    val out = urls.toDF("url")
+      .select(graft.ops.UrlOps.canonicalUrl(col("url")).as("c"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "https://example.com/Docs/3?a=1&b=2")
+    assert(out(1) == out(0))
+    assert(out(2) == "http://site.org/p")
+    assert(out(3) == "https://example.com:8443/A/B?z=9")
+    assert(out(4) == "https://example.com")
+
+    val dedup = graft.ops.UrlOps.urlDedup(
+      urls.zipWithIndex.toDF("url", "id"), "url", "id")
+      .orderBy($"id").collect()
+    assert(dedup(0).getAs[Boolean]("keep"))      // id 0 keeps its group
+    assert(!dedup(1).getAs[Boolean]("keep"))     // id 1 is the dup
+    assert(dedup(1).getAs[Long]("group_n") == 2L)
+    assert(dedup(2).getAs[Boolean]("keep") && dedup(2).getAs[Long]("group_n") == 1L)
+  }
 }
