@@ -29,29 +29,88 @@ object Sketch {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  private val M = math.pow(2, 60) // hash60 is uniform on [0, 2^60)
+
+  /** The k smallest distinct hashes per group — the KMV sketch itself, as
+    * rows (groupCol, __h). Two-stage bounded top-k: a salt-bucket pre-cut
+    * caps the final per-group sort at saltBuckets·k rows (see class note).
+    */
+  private def kminSet(df: DataFrame, groupCol: String, valueCol: String,
+                      k: Int, saltBuckets: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val hashed = df
+      .select(col(groupCol), hash60(col(valueCol)).as("__h"))
+      .distinct()
+    val wSalt = Window.partitionBy(col(groupCol), pmod(col("__h"), lit(saltBuckets)))
+      .orderBy(col("__h").asc)
+    val wGroup = Window.partitionBy(col(groupCol)).orderBy(col("__h").asc)
+    hashed
+      .withColumn("__rs", row_number().over(wSalt)).filter(col("__rs") <= k)
+      .withColumn("__r", row_number().over(wGroup)).filter(col("__r") <= k)
+      .select(col(groupCol), col("__h"))
+  }
+
   /** Per-group KMV distinct estimate over `valueCol`.
     * Output: (groupCol, n_kept, est_distinct) — n_kept < k means exact.
     */
   def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
                   k: Int, saltBuckets: Int = 16): DataFrame = {
-    require(k >= 2, "KMV needs k >= 2")
-    val hashed = df
-      .select(col(groupCol), hash60(col(valueCol)).as("__h"))
-      .distinct()
-    // stage 1: bounded top-k inside each (group, salt) bucket — caps what
-    // stage 2 must sort at saltBuckets·k rows per group
-    val wSalt = Window.partitionBy(col(groupCol), pmod(col("__h"), lit(saltBuckets)))
-      .orderBy(col("__h").asc)
-    val wGroup = Window.partitionBy(col(groupCol)).orderBy(col("__h").asc)
-    val kept = hashed
-      .withColumn("__rs", row_number().over(wSalt)).filter(col("__rs") <= k)
-      .withColumn("__r", row_number().over(wGroup)).filter(col("__r") <= k)
-    val m = math.pow(2, 60) // hash60 is uniform on [0, 2^60)
+    val kept = kminSet(df, groupCol, valueCol, k, saltBuckets)
+    val m = M
     kept.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_kept"), max(col("__h")).as("__hk"))
       .select(col(groupCol), col("n_kept"),
         when(col("n_kept") < k, col("n_kept").cast("double"))
           .otherwise(round(lit((k - 1).toDouble * m) / col("__hk").cast("double"), 4))
           .as("est_distinct"))
+  }
+
+  /** Pairwise set-relationship estimates between per-group value sets, from
+    * KMV sketches alone — the theta-sketch estimator family: |A∪B| from the
+    * k-th smallest of the merged sketch, Jaccard from the fraction of the
+    * merged sketch present in BOTH input sketches, |A∩B| as their product.
+    * Pairs where the merged sketch is unsaturated (n_kept < k) are EXACT.
+    * Deterministic throughout, so the estimates themselves oracle exactly.
+    *
+    * Scale shape: after the bounded kminSet cut, everything downstream
+    * works on sketches — at most 2k rows per group pair; every join keys on
+    * (pair, hash). Work scales with #pairs · k, never with the corpus. This
+    * is how corpus-overlap matrices (e.g. which crawl snapshots share
+    * content) stay feasible at 100 TB: one pass sketches, pairs compare KBs.
+    *
+    * Output per unordered pair: (<group>_a, <group>_b, n_kept, est_union,
+    * est_jaccard, est_intersection).
+    */
+  def kmvSetOps(df: DataFrame, groupCol: String, valueCol: String,
+                k: Int, saltBuckets: Int = 16): DataFrame = {
+    val kept = kminSet(df, groupCol, valueCol, k, saltBuckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val aRows = kept.select(col(groupCol).as("__ga"), col("__h"))
+    val bRows = kept.select(col(groupCol).as("__gb"), col("__h"))
+    val groups = kept.select(col(groupCol).as("__g")).distinct()
+    val pairs = groups.select(col("__g").as("__ga"))
+      .crossJoin(groups.select(col("__g").as("__gb")))
+      .filter(col("__ga") < col("__gb"))
+    // merged hash set per pair (equal hash ⇒ same value); k smallest kept
+    val unioned = pairs.join(aRows, "__ga").select("__ga", "__gb", "__h")
+      .union(pairs.join(bRows, "__gb").select("__ga", "__gb", "__h"))
+      .distinct()
+    val wPair = Window.partitionBy(col("__ga"), col("__gb")).orderBy(col("__h").asc)
+    val uk = unioned.withColumn("__r", row_number().over(wPair)).filter(col("__r") <= k)
+    val flagged = uk
+      .join(aRows.withColumn("__ina", lit(1)), Seq("__ga", "__h"), "left")
+      .join(bRows.withColumn("__inb", lit(1)), Seq("__gb", "__h"), "left")
+    val agg = flagged.groupBy(col("__ga"), col("__gb"))
+      .agg(count(lit(1)).as("n_kept"), max(col("__h")).as("__theta"),
+        sum(when(col("__ina") === 1 && col("__inb") === 1, 1L).otherwise(0L)).as("__nboth"))
+    val uRaw = when(col("n_kept") < k, col("n_kept").cast("double"))
+      .otherwise(lit((k - 1).toDouble * M) / col("__theta").cast("double"))
+    val jRaw = col("__nboth").cast("double") / col("n_kept")
+    agg.select(
+      col("__ga").as(s"${groupCol}_a"), col("__gb").as(s"${groupCol}_b"),
+      col("n_kept"),
+      round(uRaw, 4).as("est_union"),
+      round(jRaw, 4).as("est_jaccard"),
+      round(jRaw * uRaw, 2).as("est_intersection"))
   }
 }

@@ -1346,6 +1346,63 @@ object Pipeline {
              |SELECT doc_id, url, canon_url,
              |  doc_id = min(doc_id) OVER (PARTITION BY canon_url) AS keep,
              |  count(*) OVER (PARTITION BY canon_url) AS group_n
-             |FROM canon ORDER BY doc_id""".stripMargin))
+             |FROM canon ORDER BY doc_id""".stripMargin)),
+
+    // -- KMV sketch set operations: corpus-overlap matrix --------------------
+    // Sketch.kmvSetOps: which language sub-corpora share vocabulary, from
+    // k-min-value sketches alone (theta-sketch estimators: union via the
+    // k-th smallest merged hash, Jaccard via matching-minima, intersection
+    // as their product). The corpus is read ONCE to build G sketches; the
+    // G² pair comparisons then work on k-row sketches — the shape that
+    // makes snapshot-overlap matrices feasible at 100 TB. Deterministic,
+    // so the ESTIMATES have an exact DuckDB oracle (unsaturated pairs are
+    // exact set algebra).
+    QueryDef("p42_kmv_setops",
+      (s, d) => {
+        import s.implicits._
+        val toks = t(s, d, "documents")
+          .select($"lang", explode(split(lower($"text"), "\\s+")).as("token"))
+          .filter(length($"token") > 0)
+        graft.ops.Sketch.kmvSetOps(toks, "lang", "token", k = 64)
+          .orderBy($"lang_a", $"lang_b")
+      },
+      Some("""WITH toks AS (
+             |  SELECT lang,
+             |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
+             |  FROM documents),
+             |hashed AS (
+             |  SELECT DISTINCT lang, CAST('0x' || substring(md5(token), 1, 15) AS BIGINT) AS h
+             |  FROM toks),
+             |kept AS (
+             |  SELECT lang, h FROM hashed
+             |  QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h) <= 64),
+             |langs AS (SELECT DISTINCT lang FROM kept),
+             |pairs AS (
+             |  SELECT a.lang AS la, b.lang AS lb FROM langs a, langs b WHERE a.lang < b.lang),
+             |unioned AS (
+             |  SELECT DISTINCT p.la, p.lb, k.h
+             |  FROM pairs p JOIN kept k ON k.lang = p.la OR k.lang = p.lb),
+             |uk AS (
+             |  SELECT la, lb, h FROM unioned
+             |  QUALIFY row_number() OVER (PARTITION BY la, lb ORDER BY h) <= 64),
+             |agg AS (
+             |  SELECT u.la, u.lb, CAST(count(*) AS BIGINT) AS n_kept,
+             |    max(u.h) AS theta,
+             |    sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL THEN 1 ELSE 0 END) AS n_both
+             |  FROM uk u
+             |  LEFT JOIN kept a ON a.lang = u.la AND a.h = u.h
+             |  LEFT JOIN kept b ON b.lang = u.lb AND b.h = u.h
+             |  GROUP BY u.la, u.lb),
+             |est AS (
+             |  SELECT la, lb, n_kept,
+             |    CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+             |         ELSE 63.0 * 1152921504606846976.0 / CAST(theta AS DOUBLE) END AS u_raw,
+             |    CAST(n_both AS DOUBLE) / n_kept AS j_raw
+             |  FROM agg)
+             |SELECT la AS lang_a, lb AS lang_b, n_kept,
+             |  round(u_raw, 4) AS est_union,
+             |  round(j_raw, 4) AS est_jaccard,
+             |  round(j_raw * u_raw, 2) AS est_intersection
+             |FROM est ORDER BY lang_a, lang_b""".stripMargin))
   )
 }

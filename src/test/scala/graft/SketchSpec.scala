@@ -35,4 +35,34 @@ class SketchSpec extends AnyFunSuite {
     val b = Sketch.kmvDistinct(dup.toDF("g", "v"), "g", "v", k = 128).collect()(0)
     assert(a.getDouble(2) == b.getDouble(2))
   }
+
+  test("setops: unsaturated pairs are exact set algebra") {
+    // |A|=30, |B|=30, |A∩B|=10 → union 50 < k: everything exact
+    val a = (1 to 30).map(i => ("a", s"t$i"))
+    val b = (21 to 50).map(i => ("b", s"t$i"))
+    val out = Sketch.kmvSetOps((a ++ b).toDF("g", "v"), "g", "v", k = 64)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "a" && r.getString(1) == "b")
+    assert(r.getAs[Long]("n_kept") == 50L)
+    assert(r.getAs[Double]("est_union") == 50.0)
+    assert(r.getAs[Double]("est_jaccard") == 0.2)
+    assert(r.getAs[Double]("est_intersection") == 10.0)
+  }
+
+  test("setops: saturated estimates land near the true values; disjoint sets at zero") {
+    val a = (1 to 8000).map(i => ("a", s"t$i"))
+    val b = (4001 to 12000).map(i => ("b", s"t$i"))   // true: U=12000, I=4000, J=1/3
+    val c = (1 to 8000).map(i => ("c", s"other$i"))   // disjoint from both
+    val rows = Sketch.kmvSetOps((a ++ b ++ c).toDF("g", "v"), "g", "v", k = 256)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = rows(("a", "b"))
+    assert(math.abs(ab.getAs[Double]("est_union") - 12000) / 12000.0 < 0.25)
+    assert(math.abs(ab.getAs[Double]("est_jaccard") - 1.0 / 3) < 0.15)
+    assert(math.abs(ab.getAs[Double]("est_intersection") - 4000) / 4000.0 < 0.4)
+    assert(rows(("a", "c")).getAs[Double]("est_jaccard") == 0.0)
+    assert(rows(("a", "c")).getAs[Double]("est_intersection") == 0.0)
+    assert(rows(("b", "c")).getAs[Double]("est_jaccard") == 0.0)
+  }
 }
