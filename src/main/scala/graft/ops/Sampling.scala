@@ -60,6 +60,18 @@ object Sampling {
       .drop("__wt")
   }
 
+  /** Importance-weighted Bernoulli sample: P(keep) = min(weight, cap)/cap,
+    * decided by comparing a salted hash bucket in [0, cap) against the
+    * clamped integer weight — the "quality-weighted subsample" pass (keep
+    * good documents outright, thin the tail proportionally). Pure integer
+    * comparison end to end: no float thresholds for engines to disagree
+    * over, reproducible under task retry, still one scan-side filter.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     cap: Int, salt: String = "wsample"): DataFrame =
+    df.withColumn("wbucket", hashBucket(col(idCol), salt, cap))
+      .filter(col("wbucket") < least(col(weightCol), lit(cap.toLong)))
+
   /** Deterministic train/val/test assignment on an independent salt (so the
     * split is uncorrelated with any sampling decision on the same ids).
     */

@@ -121,6 +121,33 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Overlapping sliding token windows — size `n`, stride `s` (s < n gives
+    * n−s tokens of overlap between neighbors): the RAG / long-context
+    * chunking unit, where overlap preserves information that a hard cut at
+    * a chunk boundary would sever. Chunk i covers tokens [i·s, i·s+n); the
+    * last window is ragged; empty text yields no chunks. Pure per-row
+    * expression (transform over a bounded index sequence) — chunking a
+    * corpus is exactly one scan at any scale.
+    *
+    * Returns array<struct<chunk_idx, n_tok, chunk>>.
+    */
+  def slidingChunks(text: Column, n: Int, s: Int): Column = {
+    require(n >= 1 && s >= 1, "window and stride must be positive")
+    val w = tokens(text)
+    // index of the last chunk: 0 when everything fits one window, else
+    // ceil((|w|-n)/s) — kept in exact integer arithmetic (floor of a
+    // positive ratio) so engines cannot disagree on chunk counts
+    val last = when(size(w) <= n, lit(0))
+      .otherwise(floor((size(w) - n + (s - 1)) / lit(s.toDouble)).cast("int"))
+    when(size(w) > 0,
+      transform(sequence(lit(0), last), i =>
+        struct(
+          i.cast("int").as("chunk_idx"),
+          size(slice(w, i * s + 1, lit(n))).as("n_tok"),
+          array_join(slice(w, i * s + 1, lit(n)), " ").as("chunk"))))
+      .otherwise(array().cast("array<struct<chunk_idx:int,n_tok:int,chunk:string>>"))
+  }
+
   /** ALL n-word grams of a token array (order kept, duplicates kept —
     * unlike [[wordShingles]], which dedupes): the unit of repetition
     * measurement. Empty below n words.

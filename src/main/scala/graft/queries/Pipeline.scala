@@ -1403,6 +1403,58 @@ object Pipeline {
              |  round(u_raw, 4) AS est_union,
              |  round(j_raw, 4) AS est_jaccard,
              |  round(j_raw * u_raw, 2) AS est_intersection
-             |FROM est ORDER BY lang_a, lang_b""".stripMargin))
+             |FROM est ORDER BY lang_a, lang_b""".stripMargin)),
+
+    // -- importance-weighted sampling ----------------------------------------
+    // Sampling.weightedSample: P(keep) = min(n_chars, cap)/cap — the
+    // quality-weighted subsample (long docs survive outright, the short
+    // tail thins proportionally). Pure INTEGER hash-vs-weight comparison:
+    // no float threshold for engines to disagree over, reproducible under
+    // task retry, and still a single scan-side filter (no shuffle).
+    QueryDef("p43_weighted_sample",
+      (s, d) => {
+        import s.implicits._
+        graft.ops.Sampling.weightedSample(
+          t(s, d, "documents").select($"doc_id", $"source", $"n_chars"),
+          "doc_id", "n_chars", cap = 400)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, source, n_chars,
+             |    CAST(('0x' || substring(md5('wsample|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 400 AS wbucket
+             |  FROM documents)
+             |SELECT doc_id, source, n_chars, wbucket
+             |FROM b WHERE wbucket < least(n_chars, 400)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // -- overlapping sliding-window chunking ---------------------------------
+    // TextOps.slidingChunks(32, 24): the RAG/long-context chunk unit — 8
+    // tokens of overlap between neighbors so no fact is severed at a chunk
+    // boundary. Chunk counts and boundaries are exact integer arithmetic;
+    // chunk content is pinned by md5 so the oracle proves byte-identical
+    // chunking. One scan, per-row transform+explode, no shuffle.
+    QueryDef("p44_chunk_overlap",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents")
+          .select($"doc_id",
+            explode(graft.ops.TextOps.slidingChunks($"text", 32, 24)).as("c"))
+          .select($"doc_id", $"c.chunk_idx", $"c.n_tok", md5($"c.chunk").as("chunk_md5"))
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS words
+             |  FROM documents),
+             |n AS (SELECT doc_id, words, len(words) AS nw FROM toks WHERE len(words) > 0),
+             |idx AS (
+             |  SELECT doc_id, words, nw,
+             |    unnest(range(0, 1 + (CASE WHEN nw <= 32 THEN 0
+             |      ELSE CAST(floor((nw - 32 + 23) / 24.0) AS INT) END))) AS chunk_idx
+             |  FROM n)
+             |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+             |  CAST(len(list_slice(words, chunk_idx*24 + 1, chunk_idx*24 + 32)) AS INT) AS n_tok,
+             |  md5(array_to_string(list_slice(words, chunk_idx*24 + 1, chunk_idx*24 + 32), ' ')) AS chunk_md5
+             |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin))
   )
 }

@@ -434,4 +434,49 @@ class OpsSpec extends AnyFunSuite {
     assert(dedup(1).getAs[Long]("group_n") == 2L)
     assert(dedup(2).getAs[Boolean]("keep") && dedup(2).getAs[Long]("group_n") == 1L)
   }
+
+  test("weighted sample: cap semantics, determinism, proportional rates") {
+    val s = spark
+    import s.implicits._
+    // weight >= cap keeps unconditionally; weight 0 never keeps
+    val df = (1 to 4000).map(i => (i.toLong, if (i % 2 == 0) 1000L else 50L))
+      .toDF("id", "w")
+    val kept = graft.ops.Sampling.weightedSample(df, "id", "w", cap = 200)
+    val byW = kept.groupBy($"w").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byW(1000L) == 2000L)                     // min(w,cap)=cap → all kept
+    val lowRate = byW.getOrElse(50L, 0L) / 2000.0   // expect 50/200 = 0.25
+    assert(math.abs(lowRate - 0.25) < 0.06, s"rate $lowRate")
+    assert(graft.ops.Sampling.weightedSample(
+      (1L to 100L).toDF("id").withColumn("w", lit(0L)), "id", "w", cap = 200)
+      .count() == 0)
+    // identical selection on re-run (plan rebuilt from scratch)
+    val again = graft.ops.Sampling.weightedSample(df, "id", "w", cap = 200)
+    assert(kept.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("sliding chunks: overlap content, ragged tail, boundary counts, empty text") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    def chunksOf(text: String, n: Int, st: Int): Seq[(Int, Int, String)] =
+      Seq(text).toDF("t")
+        .select(explode(graft.ops.TextOps.slidingChunks(col("t"), n, st)).as("c"))
+        .select("c.chunk_idx", "c.n_tok", "c.chunk")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq
+
+    // 10 tokens, window 4, stride 3 → last = ceil(6/3) = 2 → 3 chunks
+    val c = chunksOf("a b c d e f g h i j", 4, 3)
+    assert(c == Seq((0, 4, "a b c d"), (1, 4, "d e f g"), (2, 4, "g h i j")))
+    // exact fit: one chunk, no phantom tail
+    assert(chunksOf("a b c d", 4, 3) == Seq((0, 4, "a b c d")))
+    // one token past the window: ragged second chunk of stride offset
+    assert(chunksOf("a b c d e", 4, 3) == Seq((0, 4, "a b c d"), (1, 2, "d e")))
+    // shorter than the window: single ragged chunk
+    assert(chunksOf("a b", 4, 3) == Seq((0, 2, "a b")))
+    // empty / whitespace-only text: no chunks
+    assert(chunksOf("", 4, 3).isEmpty)
+    assert(chunksOf("   ", 4, 3).isEmpty)
+  }
 }
