@@ -87,19 +87,21 @@ object Sketch {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val aRows = kept.select(col(groupCol).as("__ga"), col("__h"))
     val bRows = kept.select(col(groupCol).as("__gb"), col("__h"))
+    // the group list and the pair matrix are sketch-scale (G, G² rows of
+    // bare keys) — broadcast explicitly so no stage ever shuffles on them
     val groups = kept.select(col(groupCol).as("__g")).distinct()
     val pairs = groups.select(col("__g").as("__ga"))
-      .crossJoin(groups.select(col("__g").as("__gb")))
+      .crossJoin(broadcast(groups.select(col("__g").as("__gb"))))
       .filter(col("__ga") < col("__gb"))
     // merged hash set per pair (equal hash ⇒ same value); k smallest kept
-    val unioned = pairs.join(aRows, "__ga").select("__ga", "__gb", "__h")
-      .union(pairs.join(bRows, "__gb").select("__ga", "__gb", "__h"))
+    val unioned = aRows.join(broadcast(pairs), "__ga").select("__ga", "__gb", "__h")
+      .union(bRows.join(broadcast(pairs), "__gb").select("__ga", "__gb", "__h"))
       .distinct()
     val wPair = Window.partitionBy(col("__ga"), col("__gb")).orderBy(col("__h").asc)
     val uk = unioned.withColumn("__r", row_number().over(wPair)).filter(col("__r") <= k)
     val flagged = uk
-      .join(aRows.withColumn("__ina", lit(1)), Seq("__ga", "__h"), "left")
-      .join(bRows.withColumn("__inb", lit(1)), Seq("__gb", "__h"), "left")
+      .join(broadcast(aRows.withColumn("__ina", lit(1))), Seq("__ga", "__h"), "left")
+      .join(broadcast(bRows.withColumn("__inb", lit(1))), Seq("__gb", "__h"), "left")
     val agg = flagged.groupBy(col("__ga"), col("__gb"))
       .agg(count(lit(1)).as("n_kept"), max(col("__h")).as("__theta"),
         sum(when(col("__ina") === 1 && col("__inb") === 1, 1L).otherwise(0L)).as("__nboth"))

@@ -164,6 +164,42 @@ object Advanced {
            |FROM scrub GROUP BY source ORDER BY source""".stripMargin
       }),
 
+    QueryDef("s09_stream_chunks",
+      (s, d) => {
+        // chunk-on-ingest: overlapping sliding-window chunking (the p44
+        // operator) as a stateless document-stream stage — chunks form
+        // inside the micro-batch plan, no state store; per-source rollup
+        // of the append sink vs the identical chunking mirrored in DuckDB
+        EventStreams.runBoundedDocs(s, d, "s09_sink", EventStreams.chunkStage,
+            shufflePartitions = Some(8))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(col("n_tok")).as("sum_tok"),
+            min(col("chunk_md5")).as("min_digest"),
+            max(col("chunk_md5")).as("max_digest"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source,
+             |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS words
+             |  FROM documents),
+             |n AS (SELECT doc_id, source, words, len(words) AS nw
+             |      FROM toks WHERE len(words) > 0),
+             |idx AS (
+             |  SELECT doc_id, source, words, nw,
+             |    unnest(range(0, 1 + (CASE WHEN nw <= 32 THEN 0
+             |      ELSE CAST(floor((nw - 32 + 23) / 24.0) AS INT) END))) AS chunk_idx
+             |  FROM n),
+             |ch AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(list_slice(words, chunk_idx*24 + 1, chunk_idx*24 + 32)) AS INT) AS n_tok,
+             |    md5(array_to_string(list_slice(words, chunk_idx*24 + 1, chunk_idx*24 + 32), ' ')) AS chunk_md5
+             |  FROM idx)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+             |  CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+             |  min(chunk_md5) AS min_digest, max(chunk_md5) AS max_digest
+             |FROM ch GROUP BY source ORDER BY source""".stripMargin)),
+
     QueryDef("s07_stream_enrich",
       (s, d) => {
         // stream-static enrichment: events stream joins the broadcast

@@ -681,8 +681,30 @@ object Relational {
              |       round(coalesce(sum(po.o_totalprice), 0), 2) AS revenue
              |FROM weeks w LEFT JOIN po ON po.week = w.week
              |GROUP BY w.week
-             |ORDER BY w.week""".stripMargin))
+             |ORDER BY w.week""".stripMargin)),
+
+    // -- GROUP BY ALL / ORDER BY ALL ----------------------------------------
+    // The host engine's signature SQL ergonomic; Spark speaks it natively
+    // (grouping keys inferred as the non-aggregate select items, ordering by
+    // the full output row). The oracle is the BYTE-IDENTICAL statement.
+    QueryDef("q32_by_all",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql(byAllStatement)
+      },
+      Some(byAllStatement))
   )
+
+  /** q32's statement — BY-ALL shorthand (GROUP BY ALL / ORDER BY ALL), the
+    * host engine's signature ergonomic that Spark also speaks: one text,
+    * two engines, byte-identical (the temp view is even named `orders`).
+    */
+  private val byAllStatement =
+    """SELECT o_orderstatus, o_orderpriority,
+      |       count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+      |FROM orders
+      |GROUP BY ALL
+      |ORDER BY ALL""".stripMargin
 
   /** q30's statement — one text, two engines (table names are the only
     * difference). QUALIFY keeps each customer's single most expensive order.

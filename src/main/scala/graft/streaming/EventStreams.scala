@@ -137,6 +137,19 @@ object EventStreams {
       md5(call_function("nfc_normalize", scrubbed)).as("scrub_digest"))
   }
 
+  /** Chunk-on-ingest for a document stream: overlapping sliding-window
+    * chunking (TextOps.slidingChunks — the RAG/long-context unit) as a
+    * stateless streaming stage. Each arriving document explodes into its
+    * token windows inside the micro-batch plan: no state store, no
+    * watermark, so ingest throughput is scan throughput. One definition
+    * serves batch and streaming; the batch twin is the oracle.
+    */
+  def chunkStage(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        explode(graft.ops.TextOps.slidingChunks(col("text"), 32, 24)).as("c"))
+      .select(col("doc_id"), col("source"), col("c.chunk_idx"), col("c.n_tok"),
+        md5(col("c.chunk")).as("chunk_md5"))
+
   /** Stream-static enrichment — the standard streaming-ingest shape: each
     * arriving event picks up its dimension row via a BROADCAST join (the
     * static side is planned once and shipped to executors; no state store,
