@@ -55,6 +55,12 @@ SELECT * FROM (
   FROM cleared)
 WHERE rnk <= 10;
 
+-- 5b. Same quota, host-dialect spelling: the injected-parser QUALIFY
+--     clause folds to the identical one-window plan (plans.Qualify).
+-- SELECT * FROM cleared
+-- QUALIFY row_number() OVER (PARTITION BY source
+--                            ORDER BY n_words DESC, doc_id) <= 10;
+
 -- 6. Embedding near-dup check over the survivors (native cosine kernel).
 SELECT a.doc_id AS a, b.doc_id AS b,
        round(cosine_sim(ea.embedding, eb.embedding), 4) AS sim
@@ -63,3 +69,10 @@ JOIN embeddings ea ON ea.vec_id = a.doc_id
 JOIN embeddings eb ON eb.vec_id = b.doc_id
 WHERE cosine_sim(ea.embedding, eb.embedding) > 0.95
 ORDER BY sim DESC;
+
+-- 7. Per-source corpus report, BY-ALL shorthand (GROUP BY ALL infers the
+--    grouping keys; ORDER BY ALL sorts by the full output row).
+SELECT source, lang, count(*) AS n_docs, round(avg(n_words), 2) AS avg_words
+FROM capped
+GROUP BY ALL
+ORDER BY ALL;

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Expectation checks — the data-validation gate a training pipeline runs
+  * before (and after) every expensive stage: null budgets, value ranges,
+  * key uniqueness, referential integrity. Each rule reports one row
+  * (rule, observed, threshold, passed) so the gate is auditable, not just
+  * a boolean.
+  *
+  * Scale shape: every column rule folds into ONE aggregate pass over the
+  * table (conditional sums inside a single HashAggregate — adding rules
+  * does not add scans); the referential check is a broadcast-able anti-join
+  * count. Nothing here sorts and nothing is quadratic, so the gate costs
+  * one read of the table it guards at any scale.
+  */
+object Validate {
+
+  /** One expectation over a table: `observed` is an aggregate expression
+    * (evaluated in the shared single pass); the rule passes while
+    * `observed <= threshold` (counts of violations, so 0-threshold rules
+    * read naturally: "no nulls", "no out-of-range rows").
+    */
+  final case class Rule(name: String, observed: Column, threshold: Long)
+
+  /** Violation-count helper: rows where `bad` holds. */
+  def countWhere(bad: Column): Column =
+    sum(when(bad, 1L).otherwise(0L))
+
+  /** Run all rules in one aggregate pass; returns long-format report rows
+    * (rule, observed, threshold, passed) in rule order.
+    */
+  def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "no rules")
+    val aggs = rules.map(r => coalesce(r.observed.cast("long"), lit(0L)).as(r.name))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // pivot the single result row to long format without a second scan:
+    // stack is a per-row generator over the already-aggregated row
+    val stackArgs = rules.map(r => s"'${r.name}', `${r.name}`").mkString(", ")
+    val long = one.selectExpr(
+      s"stack(${rules.length}, $stackArgs) AS (rule, observed)")
+    val thresholds = rules.map(r => (r.name, r.threshold))
+    val tdf = df.sparkSession.createDataFrame(thresholds).toDF("rule", "threshold")
+    long.join(broadcast(tdf), "rule")
+      .withColumn("passed", col("observed") <= col("threshold"))
+  }
+
+  /** Referential-integrity violation count: rows of `fact` whose `fkCol`
+    * has no match in `dim.pkCol` — an anti-join count (broadcast when the
+    * dimension is small; never a sort).
+    */
+  def fkViolations(fact: DataFrame, fkCol: String,
+                   dim: DataFrame, pkCol: String): Long =
+    fact.select(col(fkCol)).filter(col(fkCol).isNotNull)
+      .join(dim.select(col(pkCol)), col(fkCol) === col(pkCol), "left_anti")
+      .count()
+}

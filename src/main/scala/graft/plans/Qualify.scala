@@ -59,7 +59,17 @@ object Qualify {
       pos = close
     }
     sb.append(sql.substring(pos))
-    rewriteTopLevel(sb.toString)
+    // each pass folds the first remaining depth-0 QUALIFY (set-op compounds
+    // may carry one per operand); bounded to rule out any pathological loop
+    var out = sb.toString
+    var prev = ""
+    var guard = 0
+    while ((out ne prev) && out != prev && guard < 32) {
+      prev = out
+      out = rewriteTopLevel(out)
+      guard += 1
+    }
+    out
   }
 
   /** One lexer pass: (words with positions+paren depth, top-level paren
@@ -114,10 +124,11 @@ object Qualify {
     val top = words.filter(_._4 == 0)
     val qualify = top.find(_._1 == "QUALIFY").getOrElse(return s)
 
-    val select = top.find(_._1 == "SELECT").getOrElse(
-      throw new QualifyRewriteException("QUALIFY without a SELECT block"))
-    if (select._2 > qualify._2)
-      throw new QualifyRewriteException("QUALIFY appears before its SELECT")
+    // the QUALIFY belongs to the nearest preceding depth-0 SELECT — in a
+    // set-op compound that is the operand's own SELECT, so each operand
+    // rewrites independently (the loop in rewrite() folds one per pass)
+    val select = top.filter(w => w._1 == "SELECT" && w._2 < qualify._2).lastOption
+      .getOrElse(throw new QualifyRewriteException("QUALIFY without a SELECT block"))
     // the token right after SELECT (any depth — adjacency is by position)
     words.find(_._2 >= select._3) match {
       case Some(w) if w._1 == "DISTINCT" && s.substring(select._3, w._2).isBlank =>

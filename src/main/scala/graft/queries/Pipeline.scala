@@ -1455,6 +1455,67 @@ object Pipeline {
              |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
              |  CAST(len(list_slice(words, chunk_idx*24 + 1, chunk_idx*24 + 32)) AS INT) AS n_tok,
              |  md5(array_to_string(list_slice(words, chunk_idx*24 + 1, chunk_idx*24 + 32), ' ')) AS chunk_md5
-             |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin))
+             |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // -- expectation checks (data-validation gate) ---------------------------
+    // Validate.check: the pre/post-stage QA gate — null budgets, value
+    // ranges, key uniqueness, domain membership, referential integrity —
+    // each rule one auditable report row. ALL column rules over a table
+    // fold into ONE HashAggregate pass (conditional sums), so adding rules
+    // never adds scans; the FK check is a single anti-join count. The gate
+    // costs one read of each guarded table at any scale.
+    QueryDef("p45_expectations",
+      (s, d) => {
+        import s.implicits._
+        import graft.ops.Validate
+        import graft.ops.Validate.{Rule, countWhere}
+        val li = t(s, d, "lineitem")
+        val docs = t(s, d, "documents")
+        val liRules = Seq(
+          Rule("li_quantity_range", countWhere($"l_quantity" < 1 || $"l_quantity" > 50), 0L),
+          Rule("li_discount_range", countWhere($"l_discount" < 0 || $"l_discount" > 0.10), 0L),
+          Rule("li_null_orderkey", countWhere($"l_orderkey".isNull), 0L),
+          Rule("li_nonpositive_price", countWhere($"l_extendedprice" <= 0), 0L))
+        val docRules = Seq(
+          Rule("doc_pk_dup", count(lit(1)) - countDistinct($"doc_id"), 0L),
+          Rule("doc_empty_text", countWhere(length(coalesce($"text", lit(""))) === 0), 0L),
+          Rule("doc_lang_domain", countWhere(!$"lang".isin("en", "de", "es", "fr", "zh")), 0L))
+        val fk = Validate.fkViolations(li, "l_orderkey", t(s, d, "orders"), "o_orderkey")
+        val fkRow = Seq(("fk_lineitem_orders", fk, 0L, fk <= 0L))
+          .toDF("rule", "observed", "threshold", "passed")
+        Validate.check(li, liRules)
+          .union(Validate.check(docs, docRules))
+          .union(fkRow)
+          .orderBy($"rule")
+      },
+      Some("""WITH li AS (
+             |  SELECT
+             |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS li_quantity_range,
+             |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.10 THEN 1 ELSE 0 END) AS BIGINT) AS li_discount_range,
+             |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS li_null_orderkey,
+             |    CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS li_nonpositive_price
+             |  FROM lineitem),
+             |docs AS (
+             |  SELECT
+             |    CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS doc_pk_dup,
+             |    CAST(sum(CASE WHEN length(coalesce(text, '')) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS doc_empty_text,
+             |    CAST(sum(CASE WHEN lang NOT IN ('en', 'de', 'es', 'fr', 'zh') THEN 1 ELSE 0 END) AS BIGINT) AS doc_lang_domain
+             |  FROM documents),
+             |fk AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS v
+             |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |  WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL),
+             |rows AS (
+             |  SELECT 'li_quantity_range' AS rule, (SELECT li_quantity_range FROM li) AS observed
+             |  UNION ALL SELECT 'li_discount_range', (SELECT li_discount_range FROM li)
+             |  UNION ALL SELECT 'li_null_orderkey', (SELECT li_null_orderkey FROM li)
+             |  UNION ALL SELECT 'li_nonpositive_price', (SELECT li_nonpositive_price FROM li)
+             |  UNION ALL SELECT 'doc_pk_dup', (SELECT doc_pk_dup FROM docs)
+             |  UNION ALL SELECT 'doc_empty_text', (SELECT doc_empty_text FROM docs)
+             |  UNION ALL SELECT 'doc_lang_domain', (SELECT doc_lang_domain FROM docs)
+             |  UNION ALL SELECT 'fk_lineitem_orders', (SELECT v FROM fk))
+             |SELECT rule, observed, CAST(0 AS BIGINT) AS threshold,
+             |  observed <= 0 AS passed
+             |FROM rows ORDER BY rule""".stripMargin))
   )
 }

@@ -479,4 +479,31 @@ class OpsSpec extends AnyFunSuite {
     assert(chunksOf("", 4, 3).isEmpty)
     assert(chunksOf("   ", 4, 3).isEmpty)
   }
+
+  test("expectation checks: planted violations counted exactly, clean rules pass") {
+    val s = spark
+    import s.implicits._
+    import graft.ops.Validate
+    import graft.ops.Validate.{Rule, countWhere}
+    val df = Seq(
+      (1L, Some(10.0), "en"), (2L, Some(-3.0), "en"),   // one negative value
+      (3L, None, "de"),                                  // one null
+      (3L, Some(5.0), "xx")                              // dup key + bad domain
+    ).toDF("id", "v", "lang")
+    val out = Validate.check(df, Seq(
+      Rule("neg_v", countWhere($"v" < 0), 0L),
+      Rule("null_v", countWhere($"v".isNull), 0L),
+      Rule("dup_id", count(lit(1)) - countDistinct($"id"), 0L),
+      Rule("bad_lang", countWhere(!$"lang".isin("en", "de")), 1L)
+    )).collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out("neg_v") == ((1L, 0L, false)))
+    assert(out("null_v") == ((1L, 0L, false)))
+    assert(out("dup_id") == ((1L, 0L, false)))
+    assert(out("bad_lang") == ((1L, 1L, true)))          // within budget
+
+    val dim = Seq(1L, 2L).toDF("pk")
+    val fact = Seq(Some(1L), Some(2L), Some(9L), None).toDF("fk")
+    assert(Validate.fkViolations(fact, "fk", dim, "pk") == 1L) // 9 orphaned, null exempt
+  }
 }

@@ -132,6 +132,35 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("*("), "replace chain must stay inside codegen")
   }
 
+  test("p43/p44 sampling and chunking stay scan-side: no data shuffle") {
+    // both are per-row decisions — the only allowed Exchange is the output
+    // ORDER BY's rangepartitioning (presentation, not operator cost)
+    for (name <- Seq("p43_weighted_sample", "p44_chunk_overlap")) {
+      val plan = planOf(name)
+      val kinds = "Exchange (\\w+)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(kinds.forall(_.startsWith("rangepartitioning")),
+        s"$name shuffles data: $kinds")
+    }
+  }
+
+  test("p41 url dedup shuffles exactly once on the canonical key") {
+    val plan = planOf("p41_url_dedup")
+    val hashEx = "Exchange (hashpartitioning\\([^,]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(hashEx.length == 1 && hashEx.head.contains("canon_url"),
+      s"expected one canon_url shuffle, saw $hashEx")
+  }
+
+  test("q30 qualify: one window pass, dimension broadcast, marker pruned from output") {
+    val df = SparkEntry.queries("q30_qualify")(spark, sf)
+    df.collect()
+    assert(!df.columns.contains("__graft_qualify"))
+    val plan = planOf("q30_qualify")
+    assert("(?m)^\\s*[*+\\-: ]*Window ".r.findAllIn(plan).length == 1,
+      "QUALIFY must fold into exactly one Window operator")
+    assert(plan.contains("BroadcastHashJoin"), "segment dimension must broadcast")
+  }
+
   test("sweep: no pipeline query degenerates to a cross product (allowlisted brute force)") {
     // p06 is the documented brute-force correctness baseline (broadcast
     // cross join by design); p19/p36 probe tiny driver-bounded tables

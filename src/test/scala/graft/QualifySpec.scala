@@ -75,6 +75,21 @@ class QualifySpec extends AnyFunSuite {
     assert(sub.collect().head.getLong(0) == 2L)
   }
 
+  test("qualify on set-operation operands: each operand folds independently") {
+    val s = spark
+    s.sql(ddl).createOrReplaceTempView("q_t")
+    val out = Qualify.sql(s,
+      """SELECT grp, id FROM q_t
+        |QUALIFY row_number() OVER (PARTITION BY grp ORDER BY v DESC) = 1
+        |UNION ALL
+        |SELECT grp, id FROM q_t
+        |QUALIFY row_number() OVER (PARTITION BY grp ORDER BY v ASC) = 1
+        |ORDER BY grp, id""".stripMargin)
+    // best-per-group (2, 5) plus worst-per-group (1, 4)
+    assert(out.collect().map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("a", 1), ("a", 2), ("b", 4), ("b", 5)))
+  }
+
   test("qualify predicate referencing GROUP BY aggregates") {
     val s = spark
     s.sql(ddl).createOrReplaceTempView("q_t")
