@@ -42,8 +42,38 @@ object Qualify {
 
   private val Marker = "__graft_qualify"
 
-  /** Programmatic path: run a QUALIFY-bearing statement on any session. */
-  def sql(spark: SparkSession, text: String): DataFrame = spark.sql(rewrite(text))
+  /** Programmatic path: run a host-dialect statement on any session. */
+  def sql(spark: SparkSession, text: String): DataFrame = spark.sql(dialect(text))
+
+  /** All host-dialect shims: QUALIFY folding plus the `* EXCLUDE (...)`
+    * star modifier (Spark spells the identical feature `* EXCEPT`).
+    */
+  def dialect(text: String): String = rewriteExclude(rewrite(text))
+
+  /** `* EXCLUDE (` → `* EXCEPT (` — rewritten only in that exact token
+    * context (a star, then the word, then an open paren), so identifiers
+    * named `exclude` elsewhere are never touched.
+    */
+  def rewriteExclude(sql: String): String = {
+    if (!sql.toLowerCase.contains("exclude")) return sql
+    val words = scan(sql)._1
+    val hits = words.filter { case (w, st, en, _) =>
+      w == "EXCLUDE" && {
+        val before = sql.substring(0, st).reverse.dropWhile(_.isWhitespace)
+        val after = sql.substring(en).dropWhile(_.isWhitespace)
+        before.headOption.contains('*') && after.headOption.contains('(')
+      }
+    }
+    if (hits.isEmpty) return sql
+    val sb = new StringBuilder
+    var pos = 0
+    hits.foreach { case (_, st, en, _) =>
+      sb.append(sql.substring(pos, st)).append("EXCEPT")
+      pos = en
+    }
+    sb.append(sql.substring(pos))
+    sb.toString
+  }
 
   /** Rewrite every QUALIFY clause in `sql` (recursively, at any depth) into
     * the window-subquery form. Text without QUALIFY is returned unchanged.

@@ -5,20 +5,23 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.types.{DataType, StructType}
 
-/** Session parser adding the QUALIFY clause (see [[Qualify]]), installed by
+/** Session parser adding the host-dialect shims (see [[Qualify]]): the
+  * QUALIFY clause and the `* EXCLUDE (...)` star modifier. Installed by
   * GraftExtensions via injectParser. Statements are handed to the stock
-  * parser untouched unless they mention QUALIFY; if the rewrite — or the
-  * parse of the rewritten text — fails, the original text is parsed instead,
-  * so a schema that merely uses `qualify` as an identifier keeps working.
+  * parser untouched unless they mention a shimmed keyword; if the rewrite —
+  * or the parse of the rewritten text — fails, the original text is parsed
+  * instead, so a schema that merely uses `qualify`/`exclude` as an
+  * identifier keeps working.
   */
 class QualifyParser(delegate: ParserInterface) extends ParserInterface {
 
   private def withQualify(text: String, parse: String => LogicalPlan): LogicalPlan = {
-    if (!text.toLowerCase.contains("qualify")) return parse(text)
+    val lower = text.toLowerCase
+    if (!lower.contains("qualify") && !lower.contains("exclude")) return parse(text)
     val rewritten =
-      try Qualify.rewrite(text)
+      try Qualify.dialect(text)
       catch { case _: Qualify.QualifyRewriteException => text }
-    if (rewritten eq text) parse(text)
+    if (rewritten == text) parse(text)
     else
       try parse(rewritten)
       catch { case _: ParseException => parse(text) }

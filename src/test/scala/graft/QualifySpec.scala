@@ -101,6 +101,36 @@ class QualifySpec extends AnyFunSuite {
       Seq(("a", 60.0)))
   }
 
+  test("star EXCLUDE rewrites to EXCEPT only in the star-modifier position") {
+    assert(Qualify.rewriteExclude("SELECT * EXCLUDE (a, b) FROM t") ==
+      "SELECT * EXCEPT (a, b) FROM t")
+    assert(Qualify.rewriteExclude("SELECT t.* EXCLUDE (a) FROM t") ==
+      "SELECT t.* EXCEPT (a) FROM t")
+    // identifier / string / non-star positions stay put
+    val id = "SELECT exclude FROM t WHERE exclude > 1"
+    assert(Qualify.rewriteExclude(id) == id)
+    val s1 = "SELECT '* EXCLUDE (x)' AS w FROM t"
+    assert(Qualify.rewriteExclude(s1) == s1)
+    // end-to-end through the dialect entry point
+    val s = spark
+    s.sql(ddl).createOrReplaceTempView("q_t")
+    val out = Qualify.sql(s, "SELECT * EXCLUDE (v, grp) FROM q_t ORDER BY id")
+    assert(out.columns.toSeq == Seq("id"))
+    assert(out.count() == 5)
+  }
+
+  test("qualify and exclude compose in one statement") {
+    val s = spark
+    s.sql(ddl).createOrReplaceTempView("q_t")
+    val out = Qualify.sql(s,
+      """SELECT * EXCLUDE (v) FROM q_t
+        |QUALIFY row_number() OVER (PARTITION BY grp ORDER BY v DESC) = 1
+        |ORDER BY grp""".stripMargin)
+    assert(out.columns.toSeq == Seq("id", "grp"))
+    assert(out.collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((2, "a"), (5, "b")))
+  }
+
   test("injected parser: plain spark.sql accepts QUALIFY session-wide") {
     val base = SparkTestBase.spark
     val prev = SparkSession.getDefaultSession
