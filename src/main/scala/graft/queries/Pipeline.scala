@@ -1516,6 +1516,93 @@ object Pipeline {
              |  UNION ALL SELECT 'fk_lineitem_orders', (SELECT v FROM fk))
              |SELECT rule, observed, CAST(0 AS BIGINT) AS threshold,
              |  observed <= 0 AS passed
-             |FROM rows ORDER BY rule""".stripMargin))
+             |FROM rows ORDER BY rule""".stripMargin)),
+
+    // -- exact table profile (the host engine's SUMMARIZE) -------------------
+    // Validate.profile: per-column null count, EXACT distinct count, min and
+    // max in one aggregate pass (Spark's Expand-based multi-distinct — k
+    // profiled columns still read the table once). Exact countDistinct
+    // instead of SUMMARIZE's HLL keeps the profile itself oracle-able.
+    QueryDef("p46_profile",
+      (s, d) =>
+        graft.ops.Validate.profile(
+            t(s, d, "lineitem"),
+            Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus"))
+          .orderBy(col("col_name")),
+      Some("""SELECT 'l_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+             |  CAST(min(l_orderkey) AS VARCHAR) AS min_v, CAST(max(l_orderkey) AS VARCHAR) AS max_v
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'l_linenumber', CAST(count(*) AS BIGINT),
+             |  CAST(sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |  CAST(count(DISTINCT l_linenumber) AS BIGINT),
+             |  CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR)
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'l_quantity', CAST(count(*) AS BIGINT),
+             |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |  CAST(count(DISTINCT l_quantity) AS BIGINT),
+             |  CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR)
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'l_returnflag', CAST(count(*) AS BIGINT),
+             |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |  CAST(count(DISTINCT l_returnflag) AS BIGINT),
+             |  CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'l_linestatus', CAST(count(*) AS BIGINT),
+             |  CAST(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |  CAST(count(DISTINCT l_linestatus) AS BIGINT),
+             |  CAST(min(l_linestatus) AS VARCHAR), CAST(max(l_linestatus) AS VARCHAR)
+             |FROM lineitem
+             |ORDER BY col_name""".stripMargin)),
+
+    // -- incremental ingest dedup ---------------------------------------------
+    // Dedup.incrementalStatus: the 100 TB operating mode — a standing corpus
+    // is never re-deduplicated; the new DELTA dedups against the corpus's
+    // digest INDEX (index scale, not corpus scale) and against itself.
+    // Docs < 250 play the standing corpus; the rest is the delta with
+    // planted corpus-dups (>= 450 reuse an ingested text) and intra-delta
+    // dups (430..449 reuse an earlier delta text). One broadcast-able index
+    // join + one keeper window.
+    QueryDef("p47_incremental_dedup",
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents").select($"doc_id", $"text")
+        val src = docs.select($"doc_id".as("b_id"), $"text".as("b_text"))
+        val delta = docs.filter($"doc_id" >= 250)
+          .withColumn("ref_id",
+            when($"doc_id" >= 450, $"doc_id" - 300)
+              .when($"doc_id" >= 430, $"doc_id" - 20)
+              .otherwise(lit(null).cast("long")))
+          .join(src, $"ref_id" === $"b_id", "left")
+          .select($"doc_id", coalesce($"b_text", $"text").as("text"))
+        val seen = docs.filter($"doc_id" < 250).select(md5($"text").as("digest"))
+        graft.ops.Dedup.incrementalStatus(delta, "doc_id", "text", seen, "digest")
+          .select($"doc_id", $"digest", $"status")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH src AS (SELECT doc_id AS b_id, text AS b_text FROM documents),
+             |delta AS (
+             |  SELECT d.doc_id, coalesce(b.b_text, d.text) AS text
+             |  FROM documents d LEFT JOIN src b
+             |    ON b.b_id = (CASE WHEN d.doc_id >= 450 THEN d.doc_id - 300
+             |                      WHEN d.doc_id >= 430 THEN d.doc_id - 20 END)
+             |  WHERE d.doc_id >= 250),
+             |seen AS (SELECT DISTINCT md5(text) AS digest
+             |         FROM documents WHERE doc_id < 250),
+             |st AS (
+             |  SELECT dl.doc_id, md5(dl.text) AS digest,
+             |         s.digest IS NOT NULL AS in_corpus
+             |  FROM delta dl LEFT JOIN seen s ON md5(dl.text) = s.digest)
+             |SELECT doc_id, digest,
+             |  CASE WHEN in_corpus THEN 'dup_of_corpus'
+             |       WHEN doc_id <> min(doc_id) OVER (PARTITION BY digest)
+             |         THEN 'dup_in_delta'
+             |       ELSE 'new' END AS status
+             |FROM st ORDER BY doc_id""".stripMargin))
   )
 }

@@ -506,4 +506,32 @@ class OpsSpec extends AnyFunSuite {
     val fact = Seq(Some(1L), Some(2L), Some(9L), None).toDF("fk")
     assert(Validate.fkViolations(fact, "fk", dim, "pk") == 1L) // 9 orphaned, null exempt
   }
+
+  test("table profile: exact per-column stats in one pass, mixed types stringified") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Some(2.5), "b"), (2L, None, "a"), (2L, Some(7.0), "a"))
+      .toDF("k", "v", "t")
+    val out = graft.ops.Validate.profile(df, Seq("k", "v", "t"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(out("k") == ((3L, 0L, 2L, "1", "2")))
+    assert(out("v") == ((3L, 1L, 2L, "2.5", "7.0")))
+    assert(out("t") == ((3L, 0L, 2L, "a", "b")))
+  }
+
+  test("incremental dedup: corpus dups, intra-delta dups, and new rows classified") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.md5
+    val delta = Seq((10L, "alpha"), (11L, "beta"), (12L, "beta"), (13L, "gamma"))
+      .toDF("id", "text")
+    val seen = Seq("alpha").toDF("t").select(md5($"t").as("digest"))
+    val st = graft.ops.Dedup.incrementalStatus(delta, "id", "text", seen, "digest")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("status")).toMap
+    assert(st(10L) == "dup_of_corpus")
+    assert(st(11L) == "new")            // first carrier of 'beta' in the delta
+    assert(st(12L) == "dup_in_delta")
+    assert(st(13L) == "new")
+  }
 }

@@ -161,6 +161,16 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "segment dimension must broadcast")
   }
 
+  test("p46 profile hash-reduces the exploded stream (no Expand/SortAggregate cascade)") {
+    // the rejected shape (k countDistincts + string min/max in one agg)
+    // plans as SortAggregate over an Expand of the whole corpus — 11×
+    // slower at sf0.1; the long-format shape must keep the corpus-width
+    // stage a HashAggregate behind a Generate
+    val plan = planOf("p46_profile")
+    assert(!plan.contains("Expand"), "profile regressed to the Expand cascade")
+    assert(plan.contains("Generate") && plan.contains("HashAggregate"))
+  }
+
   test("sweep: no pipeline query degenerates to a cross product (allowlisted brute force)") {
     // p06 is the documented brute-force correctness baseline (broadcast
     // cross join by design); p19/p36 probe tiny driver-bounded tables
