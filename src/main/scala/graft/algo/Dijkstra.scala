@@ -157,6 +157,47 @@ final class Dijkstra(g: PreparedGraph) {
   /** Sum of per-edge haversine distances along a node path, in meters
     * (reference: rust/src/lib.rs:789-795).
     */
+  /** Single-source, single-target that never ENTERS a blocked node — the
+    * exclude_locations semantic (endpoints exempt: the target is always
+    * enterable, the source is where the search starts). Same contract as
+    * [[shortestPathWithNodes]] otherwise; the per-edge membership probe is
+    * confined to this variant so the unblocked kernels stay probe-free.
+    */
+  def shortestPathWithNodesAvoiding(source: Int, target: Int,
+      blocked: java.util.HashSet[Integer]): Option[(Long, Array[Int])] = {
+    if (source < 0 || target < 0) return None
+    if (source == target) return Some((0L, Array(source)))
+    reset(); relaxFrom(source)
+    var found = -1L
+    while (found < 0 && !pq.isEmpty) {
+      val top = pq.poll()
+      val u = top.node
+      if (top.d == distOf(u)) {
+        if (u == target) found = top.d
+        else {
+          var e = g.offsets(u)
+          val eEnd = g.offsets(u + 1)
+          while (e < eEnd) {
+            val v = g.targets(e)
+            if (v == target || !blocked.contains(v)) {
+              val nd = top.d + g.weightsMs(e)
+              if (nd < distOf(v)) {
+                dist(v) = nd; parent(v) = u; stamp(v) = gen
+                pq.add(new QE(v, nd))
+              }
+            }
+            e += 1
+          }
+        }
+      }
+    }
+    if (found < 0) return None
+    var path = List(target)
+    var cur = target
+    while (cur != source) { cur = parent(cur); path = cur :: path }
+    Some((found, path.toArray))
+  }
+
   def pathDistanceM(path: Array[Int]): Double = {
     var d = 0.0
     var i = 1

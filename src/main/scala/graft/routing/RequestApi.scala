@@ -65,7 +65,11 @@ object RequestApi {
     val locs = locations(req)
     if (locs.length < 2) return err("route requires >= 2 locations")
     val g = h.requireGraph(costing)
-    RoutingOps.route(g, (locs.head._2, locs.head._1), (locs(1)._2, locs(1)._1)) match {
+    // Valhalla's exclude_locations: road points the route must not pass
+    // through (each snaps to its nearest node; endpoints exempt)
+    val excl = locations(req, "exclude_locations")
+    RoutingOps.routeAvoiding(g, (locs.head._2, locs.head._1),
+        (locs(1)._2, locs(1)._1), excl) match {
       case None => err("No route found")
       case Some(r) =>
         val pts = graft.geo.Wkb.readLineString(r.geometry).getOrElse(Array.empty)

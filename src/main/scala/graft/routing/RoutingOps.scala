@@ -72,6 +72,33 @@ object RoutingOps {
     }
   }
 
+  /** Route avoiding blocked road points — Valhalla's `exclude_locations`
+    * option on the route action: each exclusion snaps to its nearest node
+    * and the search never enters it (endpoints exempt; an exclusion that
+    * snaps onto an endpoint is ignored rather than making the request
+    * unroutable). Empty exclusion list delegates to the plain
+    * (CH-accelerated) [[route]] — the probe-carrying search only runs when
+    * a request actually excludes something.
+    */
+  def routeAvoiding(g: PreparedGraph, fromLonLat: (Double, Double),
+                    toLonLat: (Double, Double),
+                    excludeLatLons: Seq[(Double, Double)]): Option[Route] = {
+    if (excludeLatLons.isEmpty) return route(g, fromLonLat, toLonLat)
+    val s = g.snap(fromLonLat._2, fromLonLat._1)
+    val t = g.snap(toLonLat._2, toLonLat._1)
+    if (s < 0 || t < 0) return None
+    val blocked = new java.util.HashSet[Integer]()
+    excludeLatLons.foreach { case (lat, lon) =>
+      val b = g.snap(lat, lon)
+      if (b >= 0 && b != s && b != t) blocked.add(b)
+    }
+    calc(g).shortestPathWithNodesAvoiding(s, t, blocked).map { case (ms, path) =>
+      val distM = calc(g).pathDistanceM(path)
+      val pts = path.map(i => (g.nodeLon(i), g.nodeLat(i))).toSeq
+      Route(distM / 1000.0, ms / 60000.0, Wkb.writeLineString(pts))
+    }
+  }
+
   /** Route with WKT/WKB-polymorphic endpoints: strings are parsed as WKT,
     * byte arrays as WKB; any geometry routes from its centroid
     * (reference input dispatch: src/travel_time_extension.cpp:227-385).

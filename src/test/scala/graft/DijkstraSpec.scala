@@ -126,4 +126,40 @@ class DijkstraSpec extends AnyFunSuite {
       GridFixture.latOf(99), GridFixture.lonOf(99)).get
     assert(sec > 0 && sec < 1200)
   }
+
+  test("avoiding a blocked node: empty set equals plain, detour forced, wall unreachable") {
+    val d = new Dijkstra(g)
+    val s = GridFixture.nodeId(0, 0)
+    val t = GridFixture.nodeId(0, 2)
+    val mid = GridFixture.nodeId(0, 1)
+    val (plainMs, plainPath) = d.shortestPathWithNodes(s, t).get
+    assert(plainPath.contains(mid)) // the direct row IS the shortest path
+
+    val none = new java.util.HashSet[Integer]()
+    assert(d.shortestPathWithNodesAvoiding(s, t, none).get._1 == plainMs)
+
+    val blocked = new java.util.HashSet[Integer]()
+    blocked.add(mid)
+    val (ms, path) = d.shortestPathWithNodesAvoiding(s, t, blocked).get
+    assert(!path.contains(mid), "route entered the excluded node")
+    assert(ms > plainMs, "detour must cost strictly more than the direct row")
+    // every hop of the detour is a real graph edge summing to the cost
+    var sum = 0L
+    for (k <- 1 until path.length) {
+      val u = path(k - 1); val v = path(k)
+      var e = g.offsets(u); var w = -1L
+      while (e < g.offsets(u + 1)) {
+        if (g.targets(e) == v && (w < 0 || g.weightsMs(e) < w)) w = g.weightsMs(e)
+        e += 1
+      }
+      assert(w >= 0, s"hop $u->$v is not a graph edge"); sum += w
+    }
+    assert(sum == ms)
+
+    // blocking every neighbor of the target walls it off
+    val wall = new java.util.HashSet[Integer]()
+    wall.add(GridFixture.nodeId(0, 1)); wall.add(GridFixture.nodeId(0, 3))
+    wall.add(GridFixture.nodeId(1, 2))
+    assert(d.shortestPathWithNodesAvoiding(s, t, wall).isEmpty)
+  }
 }

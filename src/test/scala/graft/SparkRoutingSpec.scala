@@ -112,6 +112,24 @@ class SparkRoutingSpec extends AnyFunSuite {
     assert(err.contains("\"error\""))
   }
 
+  test("request API: exclude_locations forces a costlier route (valhalla option)") {
+    def timeOf(json: String): Double =
+      one(s"SELECT get_json_object('$json', '$$.trip.summary.time') AS t")
+        .getString(0).toDouble
+    val plain = one(
+      s"""SELECT travel_time_request('route',
+         |  '{"locations": [{"lat": 43.7, "lon": 7.4}, {"lat": 43.7, "lon": 7.418}],
+         |    "costing": "auto"}') AS r""".stripMargin).getString(0)
+    val detour = one(
+      s"""SELECT travel_time_request('route',
+         |  '{"locations": [{"lat": 43.7, "lon": 7.4}, {"lat": 43.7, "lon": 7.418}],
+         |    "exclude_locations": [{"lat": 43.7, "lon": 7.409}],
+         |    "costing": "auto"}') AS r""".stripMargin).getString(0)
+    assert(plain.contains("\"trip\"") && detour.contains("\"trip\""))
+    assert(timeOf(detour) > timeOf(plain),
+      s"excluding the corridor node must cost more: $detour vs $plain")
+  }
+
   test("trace_route: jittered row trace matches the along-row path and its " +
     "time equals the endpoint route (wrapper.cpp:439-441)") {
     val jit = GridFixture.SpacingDeg * 0.2
