@@ -45,8 +45,8 @@ object Qualify {
   /** Programmatic path: run a host-dialect statement on any session. */
   def sql(spark: SparkSession, text: String): DataFrame = spark.sql(dialect(text))
 
-  /** All host-dialect shims: QUALIFY folding plus the `* EXCLUDE (...)`
-    * star modifier (Spark spells the identical feature `* EXCEPT`).
+  /** All host-dialect shims: QUALIFY and DISTINCT ON folding plus the
+    * `* EXCLUDE (...)` star modifier (Spark spells that one `* EXCEPT`).
     */
   def dialect(text: String): String = rewriteExclude(rewrite(text))
 
@@ -79,7 +79,8 @@ object Qualify {
     * the window-subquery form. Text without QUALIFY is returned unchanged.
     */
   def rewrite(sql: String): String = {
-    if (!sql.toLowerCase.contains("qualify")) return sql
+    val lower = sql.toLowerCase
+    if (!lower.contains("qualify") && !lower.contains("distinct")) return sql
     val groups = scan(sql)._2
     val sb = new StringBuilder
     var pos = 0
@@ -89,17 +90,73 @@ object Qualify {
       pos = close
     }
     sb.append(sql.substring(pos))
-    // each pass folds the first remaining depth-0 QUALIFY (set-op compounds
-    // may carry one per operand); bounded to rule out any pathological loop
+    // each pass folds the first remaining depth-0 QUALIFY or DISTINCT ON
+    // (set-op compounds may carry one per operand); bounded to rule out any
+    // pathological loop
     var out = sb.toString
     var prev = ""
     var guard = 0
     while ((out ne prev) && out != prev && guard < 32) {
       prev = out
-      out = rewriteTopLevel(out)
+      out = rewriteDistinctOnTop(rewriteTopLevel(out))
       guard += 1
     }
     out
+  }
+
+  /** Fold one depth-0 `SELECT DISTINCT ON (keys) list ... ORDER BY o` —
+    * the host/Postgres dialect for "first row per key" — into the
+    * row_number window form:
+    *
+    * {{{
+    * SELECT * EXCEPT (__graft_rn) FROM (
+    *   SELECT list, row_number() OVER (PARTITION BY keys ORDER BY o)
+    *     AS __graft_rn FROM ...
+    * ) WHERE __graft_rn = 1 ORDER BY o
+    * }}}
+    *
+    * The statement's ORDER BY does double duty exactly as in the host
+    * engine: it picks the surviving row per key AND orders the output — so
+    * it must reference columns that survive the select list (the window
+    * spec evaluates inside the subquery, the final sort outside). Without
+    * an ORDER BY the keys themselves order the pick (the host engine's
+    * "arbitrary row" becomes deterministic here).
+    */
+  private def rewriteDistinctOnTop(s: String): String = {
+    val (words, groups) = scan(s)
+    val top = words.filter(_._4 == 0)
+    // SELECT immediately followed by DISTINCT then ON (whitespace only
+    // between the three), then a paren group holding the keys
+    val hit = top.sliding(3).collectFirst {
+      case Seq(sel, ("DISTINCT", dSt, dEn, _), ("ON", oSt, oEn, _))
+          if sel._1 == "SELECT" &&
+            s.substring(sel._3, dSt).isBlank && s.substring(dEn, oSt).isBlank =>
+        (sel, oEn)
+    }
+    val (select, onEnd) = hit.getOrElse(return s)
+    val grp = groups.find(g => s.substring(onEnd, g._1).isBlank).getOrElse(return s)
+    val keys = s.substring(grp._1 + 1, grp._2).trim
+    if (keys.isEmpty) return s
+    val listStart = grp._2 + 1
+    val from = top.find(w => w._1 == "FROM" && w._2 > listStart)
+      .getOrElse(return s)
+    val order = top.find(w => w._1 == "ORDER" && w._2 > from._2)
+    val stoppers = Set("LIMIT", "OFFSET", "FETCH", "UNION", "INTERSECT", "EXCEPT")
+    val tailStart = top.find(w => stoppers(w._1) && w._2 > from._2).map(_._2)
+      .getOrElse(s.length)
+    val windowOrder = order match {
+      case Some(o) =>
+        val by = top.find(w => w._1 == "BY" && w._2 >= o._3).getOrElse(return s)
+        s.substring(by._3, tailStart).trim
+      case None => keys
+    }
+    val pre = s.substring(0, select._2)
+    val selList = s.substring(listStart, from._2)
+    val mid = s.substring(from._2, order.map(_._2).getOrElse(tailStart))
+    val tail = s.substring(order.map(_._2).getOrElse(tailStart))
+    s"${pre}SELECT * EXCEPT (__graft_rn) FROM (SELECT$selList, " +
+      s"row_number() OVER (PARTITION BY $keys ORDER BY $windowOrder) AS __graft_rn " +
+      s"$mid) WHERE __graft_rn = 1 $tail"
   }
 
   /** One lexer pass: (words with positions+paren depth, top-level paren

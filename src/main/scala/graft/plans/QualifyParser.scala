@@ -17,7 +17,8 @@ class QualifyParser(delegate: ParserInterface) extends ParserInterface {
 
   private def withQualify(text: String, parse: String => LogicalPlan): LogicalPlan = {
     val lower = text.toLowerCase
-    if (!lower.contains("qualify") && !lower.contains("exclude")) return parse(text)
+    if (!lower.contains("qualify") && !lower.contains("exclude") &&
+      !lower.contains("distinct")) return parse(text)
     val rewritten =
       try Qualify.dialect(text)
       catch { case _: Qualify.QualifyRewriteException => text }

@@ -692,8 +692,29 @@ object Relational {
         t(s, d, "orders").createOrReplaceTempView("orders")
         s.sql(byAllStatement)
       },
-      Some(byAllStatement))
+      Some(byAllStatement)),
+
+    // -- DISTINCT ON: first row per key (host/Postgres dialect) -------------
+    // Spark lacks the clause; plans.Qualify folds it to the row_number
+    // window form at parse time (the ORDER BY does double duty picking the
+    // surviving row and ordering output, exactly the host semantics). The
+    // oracle runs the IDENTICAL statement natively in DuckDB.
+    QueryDef("q33_distinct_on",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders")
+        graft.plans.Qualify.sql(s, distinctOnStatement)
+      },
+      Some(distinctOnStatement))
   )
+
+  /** q33's statement — one text, two engines: each customer's single most
+    * expensive order, DISTINCT ON semantics.
+    */
+  private val distinctOnStatement =
+    """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+      |FROM orders
+      |WHERE o_custkey < 300
+      |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
 
   /** q32's statement — BY-ALL shorthand (GROUP BY ALL / ORDER BY ALL), the
     * host engine's signature ergonomic that Spark also speaks: one text,

@@ -101,6 +101,34 @@ class QualifySpec extends AnyFunSuite {
       Seq(("a", 60.0)))
   }
 
+  test("distinct on: first row per key, order double-duty, plain DISTINCT untouched") {
+    val s = spark
+    s.sql(ddl).createOrReplaceTempView("q_t")
+    // highest v per group, output ordered by the same clause
+    val out = Qualify.sql(s,
+      """SELECT DISTINCT ON (grp) grp, id, v FROM q_t
+        |ORDER BY grp, v DESC""".stripMargin)
+    assert(out.columns.toSeq == Seq("grp", "id", "v"))
+    assert(out.collect().map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("a", 2), ("b", 5)))
+    // no ORDER BY: the keys order the pick — deterministic here because
+    // each group's minimum (grp) row is keyed by grp alone; just shape-check
+    val bare = Qualify.sql(s, "SELECT DISTINCT ON (grp) grp FROM q_t")
+    assert(bare.collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+    // inside a CTE body (recursive fold)
+    val cte = Qualify.sql(s,
+      """WITH best AS (
+        |  SELECT DISTINCT ON (grp) grp, v FROM q_t ORDER BY grp, v DESC
+        |)
+        |SELECT grp, v FROM best ORDER BY grp""".stripMargin)
+    assert(cte.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("a", 30.0), ("b", 15.0)))
+    // plain DISTINCT (no ON) passes through unrewritten
+    val plain = "SELECT DISTINCT grp FROM q_t ORDER BY grp"
+    assert(Qualify.dialect(plain) == plain)
+    assert(Qualify.sql(s, plain).collect().map(_.getString(0)).toSeq == Seq("a", "b"))
+  }
+
   test("star EXCLUDE rewrites to EXCEPT only in the star-modifier position") {
     assert(Qualify.rewriteExclude("SELECT * EXCLUDE (a, b) FROM t") ==
       "SELECT * EXCEPT (a, b) FROM t")
