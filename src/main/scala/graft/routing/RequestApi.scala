@@ -68,21 +68,31 @@ object RequestApi {
     // Valhalla's exclude_locations: road points the route must not pass
     // through (each snaps to its nearest node; endpoints exempt)
     val excl = locations(req, "exclude_locations")
-    RoutingOps.routeAvoiding(g, (locs.head._2, locs.head._1),
-        (locs(1)._2, locs(1)._1), excl) match {
-      case None => err("No route found")
-      case Some(r) =>
-        val pts = graft.geo.Wkb.readLineString(r.geometry).getOrElse(Array.empty)
-          .map { case (lon, lat) => (lat, lon) }.toSeq
-        compact(JObject("trip" -> JObject(
-          "status" -> JInt(0),
-          "units" -> JString("kilometers"),
-          "summary" -> JObject(
-            "length" -> JDouble(r.distance_km),
-            "time" -> JDouble(r.duration_minutes * 60.0)),
-          "legs" -> JArray(List(JObject(
-            "shape" -> JString(Polyline.encode(pts, precision = 6))))))))
+    // multi-stop: one leg per consecutive location pair — the reference's
+    // response decoder loops over trip.legs[] (wrapper.cpp:204-221), so the
+    // leg-per-waypoint shape is part of the surface, not an extension
+    val legs = locs.sliding(2).map { pair =>
+      RoutingOps.routeAvoiding(g, (pair.head._2, pair.head._1),
+        (pair(1)._2, pair(1)._1), excl)
+    }.toList
+    if (legs.exists(_.isEmpty)) return err("No route found")
+    val rs = legs.flatten
+    val legJson = rs.map { r =>
+      val pts = graft.geo.Wkb.readLineString(r.geometry).getOrElse(Array.empty)
+        .map { case (lon, lat) => (lat, lon) }.toSeq
+      JObject(
+        "summary" -> JObject(
+          "length" -> JDouble(r.distance_km),
+          "time" -> JDouble(r.duration_minutes * 60.0)),
+        "shape" -> JString(Polyline.encode(pts, precision = 6)))
     }
+    compact(JObject("trip" -> JObject(
+      "status" -> JInt(0),
+      "units" -> JString("kilometers"),
+      "summary" -> JObject(
+        "length" -> JDouble(rs.map(_.distance_km).sum),
+        "time" -> JDouble(rs.map(_.duration_minutes).sum * 60.0)),
+      "legs" -> JArray(legJson))))
   }
 
   private def locate(h: RouterHandle, costing: String, req: JValue): String = {

@@ -112,6 +112,27 @@ class SparkRoutingSpec extends AnyFunSuite {
     assert(err.contains("\"error\""))
   }
 
+  test("request API: multi-stop route emits one leg per pair, summary sums legs") {
+    def timeOf(json: String): Double =
+      one(s"SELECT get_json_object('$json', '$$.trip.summary.time') AS t")
+        .getString(0).toDouble
+    val via = one(
+      s"""SELECT travel_time_request('route',
+         |  '{"locations": [{"lat": 43.7, "lon": 7.4}, {"lat": 43.7, "lon": 7.418},
+         |                  {"lat": 43.718, "lon": 7.418}],
+         |    "costing": "auto"}') AS r""".stripMargin).getString(0)
+    val leg0 = one(s"SELECT get_json_object('$via', '$$.trip.legs[0].shape') AS s").getString(0)
+    val leg1 = one(s"SELECT get_json_object('$via', '$$.trip.legs[1].shape') AS s").getString(0)
+    assert(leg0 != null && leg1 != null && leg0.nonEmpty && leg1.nonEmpty)
+    def oneLeg(a: (Double, Double), b: (Double, Double)): Double = timeOf(one(
+      s"""SELECT travel_time_request('route',
+         |  '{"locations": [{"lat": ${a._1}, "lon": ${a._2}}, {"lat": ${b._1}, "lon": ${b._2}}],
+         |    "costing": "auto"}') AS r""".stripMargin).getString(0))
+    val expect = oneLeg((43.7, 7.4), (43.7, 7.418)) + oneLeg((43.7, 7.418), (43.718, 7.418))
+    assert(math.abs(timeOf(via) - expect) < 1e-6,
+      s"multi-stop total ${timeOf(via)} != leg sum $expect")
+  }
+
   test("request API: exclude_locations forces a costlier route (valhalla option)") {
     def timeOf(json: String): Double =
       one(s"SELECT get_json_object('$json', '$$.trip.summary.time') AS t")
