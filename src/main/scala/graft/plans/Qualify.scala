@@ -134,7 +134,9 @@ object Qualify {
         (sel, oEn)
     }
     val (select, onEnd) = hit.getOrElse(return s)
-    val grp = groups.find(g => s.substring(onEnd, g._1).isBlank).getOrElse(return s)
+    val grp = groups
+      .find(g => g._1 >= onEnd && s.substring(onEnd, g._1).isBlank)
+      .getOrElse(return s)
     val keys = s.substring(grp._1 + 1, grp._2).trim
     if (keys.isEmpty) return s
     val listStart = grp._2 + 1

@@ -127,6 +127,14 @@ class QualifySpec extends AnyFunSuite {
     val plain = "SELECT DISTINCT grp FROM q_t ORDER BY grp"
     assert(Qualify.dialect(plain) == plain)
     assert(Qualify.sql(s, plain).collect().map(_.getString(0)).toSeq == Seq("a", "b"))
+    // WITH clause BEFORE a top-level DISTINCT ON (the keys group is not the
+    // first top-level paren group — regression: must not misresolve it)
+    val withTop = Qualify.sql(s,
+      """WITH src AS (SELECT grp, id, v FROM q_t)
+        |SELECT DISTINCT ON (grp) grp, id, v FROM src
+        |ORDER BY grp, v DESC""".stripMargin)
+    assert(withTop.collect().map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("a", 2), ("b", 5)))
   }
 
   test("star EXCLUDE rewrites to EXCEPT only in the star-modifier position") {
