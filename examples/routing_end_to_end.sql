@@ -56,3 +56,12 @@ SELECT count(*) FROM graft_functions()
 WHERE function_name = 'travel_time_route_wkb';              -- 1
 SELECT typeof(travel_time_route_wkb(
   'POINT(7.4246 43.7384)', 'POINT(7.4263 43.7396)', 'auto').geometry);  -- binary
+
+-- Multi-stop routes and exclusions: one leg per consecutive location pair
+-- (the reference decoder loops trip.legs[]); exclude_locations snaps each
+-- blocked point to its road node and the search detours around it.
+SELECT travel_time_request('route',
+  '{"locations":[{"lat":43.7384,"lon":7.4246},{"lat":43.7396,"lon":7.4263},
+                 {"lat":43.7410,"lon":7.4280}],
+    "exclude_locations":[{"lat":43.7390,"lon":7.4255}],
+    "costing":"auto"}') AS via_json;
