@@ -45,10 +45,85 @@ object Qualify {
   /** Programmatic path: run a host-dialect statement on any session. */
   def sql(spark: SparkSession, text: String): DataFrame = spark.sql(dialect(text))
 
-  /** All host-dialect shims: QUALIFY and DISTINCT ON folding plus the
-    * `* EXCLUDE (...)` star modifier (Spark spells that one `* EXCEPT`).
+  /** All host-dialect shims: QUALIFY and DISTINCT ON folding, the
+    * `* EXCLUDE (...)` star modifier (Spark spells that one `* EXCEPT`),
+    * and the `struct_pack(k := v)` struct constructor (Spark spells it
+    * `named_struct('k', v)`).
     */
-  def dialect(text: String): String = rewriteExclude(rewrite(text))
+  def dialect(text: String): String =
+    rewriteStructPack(rewriteExclude(rewrite(text)))
+
+  /** `struct_pack(a := x, b := y)` → `named_struct('a', x, 'b', y)` — the
+    * host dialect's named-field struct constructor, used verbatim in every
+    * reference example that re-wraps route results
+    * (examples/geometry_macro.sql:31-35, test/sql/monaco_routing.test:135-139).
+    * Only the exact token context rewrites (the word, then an open paren,
+    * then `name :=` pairs at that group's own depth), so identifiers named
+    * `struct_pack` elsewhere and `:=` inside nested calls are never touched;
+    * nested struct_packs fold inside-out. Field-name case is preserved as
+    * written, matching the host engine's key semantics.
+    */
+  def rewriteStructPack(sql: String): String = {
+    if (!sql.toLowerCase.contains("struct_pack")) return sql
+    val (words, _) = scan(sql)
+    val hit = words.find { case (w, _, en, _) =>
+      w == "STRUCT_PACK" && sql.substring(en).dropWhile(_.isWhitespace).headOption.contains('(')
+    }.getOrElse(return sql)
+    val open = sql.indexOf('(', hit._3)
+    val close = matchParen(sql, open).getOrElse(return sql)
+    // fold nested struct_packs first, then rewrite this group's own
+    // `name :=` pairs (depth 0 relative to the folded inner text)
+    val inner = rewriteStructPack(sql.substring(open + 1, close))
+    val sb = new StringBuilder
+    var pos = 0
+    scan(inner)._1.filter(_._4 == 0).foreach { case (_, st, en, _) =>
+      val after = inner.substring(en)
+      val trimmed = after.dropWhile(_.isWhitespace)
+      if (trimmed.startsWith(":=") && st >= pos) {
+        sb.append(inner.substring(pos, st))
+        sb.append(s"'${inner.substring(st, en)}',")
+        pos = en + (after.length - trimmed.length) + 2
+      }
+    }
+    sb.append(inner.substring(pos))
+    rewriteStructPack(
+      sql.substring(0, hit._2) + "named_struct(" + sb.toString + ")" +
+        sql.substring(close + 1))
+  }
+
+  /** Index of the `)` matching the `(` at `open`, honoring the same string/
+    * comment skipping as [[scan]]; None if unbalanced.
+    */
+  private def matchParen(s: String, open: Int): Option[Int] = {
+    val n = s.length
+    var i = open; var depth = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '\'') {
+        i += 1
+        var done = false
+        while (i < n && !done) {
+          if (s.charAt(i) == '\'') {
+            if (i + 1 < n && s.charAt(i + 1) == '\'') i += 2 else { done = true; i += 1 }
+          } else i += 1
+        }
+      } else if (c == '"' || c == '`') {
+        i += 1; while (i < n && s.charAt(i) != c) i += 1; i += 1
+      } else if (c == '-' && i + 1 < n && s.charAt(i + 1) == '-') {
+        while (i < n && s.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && s.charAt(i + 1) == '*') {
+        i += 2
+        while (i + 1 < n && !(s.charAt(i) == '*' && s.charAt(i + 1) == '/')) i += 1
+        i = math.min(n, i + 2)
+      } else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') {
+        depth -= 1
+        if (depth == 0) return Some(i)
+        i += 1
+      } else i += 1
+    }
+    None
+  }
 
   /** `* EXCLUDE (` → `* EXCEPT (` — rewritten only in that exact token
     * context (a star, then the word, then an open paren), so identifiers

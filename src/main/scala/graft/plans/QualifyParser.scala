@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Session parser adding the host-dialect shims (see [[Qualify]]): the
-  * QUALIFY clause and the `* EXCLUDE (...)` star modifier. Installed by
+  * QUALIFY clause, DISTINCT ON, the `* EXCLUDE (...)` star modifier, and
+  * the `struct_pack(k := v)` struct constructor. Installed by
   * GraftExtensions via injectParser. Statements are handed to the stock
   * parser untouched unless they mention a shimmed keyword; if the rewrite —
   * or the parse of the rewritten text — fails, the original text is parsed
@@ -18,7 +19,8 @@ class QualifyParser(delegate: ParserInterface) extends ParserInterface {
   private def withQualify(text: String, parse: String => LogicalPlan): LogicalPlan = {
     val lower = text.toLowerCase
     if (!lower.contains("qualify") && !lower.contains("exclude") &&
-      !lower.contains("distinct")) return parse(text)
+      !lower.contains("distinct") && !lower.contains("struct_pack"))
+      return parse(text)
     val rewritten =
       try Qualify.dialect(text)
       catch { case _: Qualify.QualifyRewriteException => text }

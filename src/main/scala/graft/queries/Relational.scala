@@ -704,8 +704,35 @@ object Relational {
         t(s, d, "orders").createOrReplaceTempView("orders")
         graft.plans.Qualify.sql(s, distinctOnStatement)
       },
-      Some(distinctOnStatement))
+      Some(distinctOnStatement)),
+
+    // -- struct_pack: the host dialect's named-field struct constructor ----
+    // (examples/geometry_macro.sql:31-35). Folded at parse time into
+    // named_struct; the oracle runs the IDENTICAL statement natively.
+    QueryDef("q34_struct_pack",
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+        graft.plans.Qualify.sql(s, structPackStatement)
+      },
+      Some(structPackStatement))
   )
+
+  /** q34's statement — one text, two engines: per-flag rollup packed into a
+    * struct with `struct_pack(k := v)`, then unpacked by field access so the
+    * compared output is scalar columns (struct round-trip exercised, parquet
+    * compare kept flat).
+    */
+  private val structPackStatement =
+    """SELECT s.flag AS flag, s.n AS n, s.qty AS qty
+      |FROM (
+      |  SELECT struct_pack(
+      |    flag := l_returnflag,
+      |    n := count(*),
+      |    qty := round(sum(l_quantity), 2)
+      |  ) AS s
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |ORDER BY flag""".stripMargin
 
   /** q33's statement — one text, two engines: each customer's single most
     * expensive order, DISTINCT ON semantics.

@@ -167,6 +167,31 @@ class QualifySpec extends AnyFunSuite {
       Seq((2, "a"), (5, "b")))
   }
 
+  test("struct_pack rewrites to named_struct; untouched outside the call context") {
+    // unit: field-name case preserved, nested calls fold inside-out,
+    // `:=` inside strings stays put
+    assert(Qualify.rewriteStructPack("SELECT struct_pack(a := 1, Bb := x + 1) AS s") ==
+      "SELECT named_struct('a', 1, 'Bb', x + 1) AS s")
+    assert(Qualify.rewriteStructPack(
+      "SELECT struct_pack(outer_f := struct_pack(inner_f := v), n := 2) AS s") ==
+      "SELECT named_struct('outer_f', named_struct('inner_f', v), 'n', 2) AS s")
+    val lit = "SELECT 'struct_pack(a := 1)' AS w FROM t"
+    assert(Qualify.rewriteStructPack(lit) == lit)
+    val id = "SELECT struct_pack FROM t" // identifier, no call parens
+    assert(Qualify.rewriteStructPack(id) == id)
+    // end-to-end: the reference's macro-body shape (geometry_macro.sql:31-35)
+    val s = spark
+    s.sql(ddl).createOrReplaceTempView("q_t")
+    val out = Qualify.sql(s,
+      """SELECT sp.grp AS grp, sp.total AS total FROM (
+        |  SELECT struct_pack(grp := grp, total := round(sum(v), 1)) AS sp
+        |  FROM q_t GROUP BY grp
+        |) ORDER BY grp""".stripMargin)
+    assert(out.columns.toSeq == Seq("grp", "total"))
+    assert(out.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("a", 60.0), ("b", 20.0)))
+  }
+
   test("injected parser: plain spark.sql accepts QUALIFY session-wide") {
     val base = SparkTestBase.spark
     val prev = SparkSession.getDefaultSession
