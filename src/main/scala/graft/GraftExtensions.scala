@@ -95,6 +95,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(spark => new routing.RoutingFunctions.LoadConfigRule(spark))
     // the host engine's QUALIFY clause (window-result filtering), folded at
     // parse time into the equivalent window-subquery shape (plans.Qualify)
-    ext.injectParser((_, delegate) => new plans.QualifyParser(delegate))
+    ext.injectParser((session, delegate) => new plans.QualifyParser(session, delegate))
   }
 }

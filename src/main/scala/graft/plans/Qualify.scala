@@ -42,8 +42,149 @@ object Qualify {
 
   private val Marker = "__graft_qualify"
 
-  /** Programmatic path: run a host-dialect statement on any session. */
-  def sql(spark: SparkSession, text: String): DataFrame = spark.sql(dialect(text))
+  /** A host-dialect SQL macro: untyped, lazily bound — call sites inline the
+    * body with arguments substituted textually, exactly the host engine's
+    * macro semantics (the body never parses until a call parses).
+    */
+  final case class SqlMacro(name: String, params: Seq[String], body: String)
+
+  // per-session macro registries; weak keys so dropped sessions free theirs
+  private val macroRegistries =
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, SqlMacro]]()
+
+  private def registryOf(spark: SparkSession) = macroRegistries.synchronized {
+    var r = macroRegistries.get(spark)
+    if (r == null) { r = scala.collection.concurrent.TrieMap.empty; macroRegistries.put(spark, r) }
+    r
+  }
+
+  /** Programmatic path: run a host-dialect statement on any session.
+    * `CREATE [OR REPLACE] MACRO` statements register the macro and return a
+    * single-row acknowledgement; other statements expand known macro calls
+    * and then apply the dialect folds.
+    */
+  def sql(spark: SparkSession, text: String): DataFrame =
+    parseCreateMacro(text) match {
+      case Some(m) =>
+        registryOf(spark).put(m.name.toLowerCase, m)
+        spark.sql("SELECT true AS ok")
+      case None =>
+        spark.sql(dialect(expandMacros(text, registryOf(spark))))
+    }
+
+  /** Macros registered for `spark` via [[sql]] or the injected parser. */
+  def macrosOf(spark: SparkSession): collection.Map[String, SqlMacro] = registryOf(spark)
+
+  /** Register a macro for `spark` (the injected parser's DDL path). */
+  def registerMacro(spark: SparkSession, m: SqlMacro): Unit =
+    registryOf(spark).put(m.name.toLowerCase, m)
+
+  /** Recognize `CREATE [OR REPLACE] [TEMP|TEMPORARY] MACRO name(p1, p2) AS
+    * body` (the host dialect's scalar-macro DDL, examples/
+    * geometry_macro.sql:30-36). Table macros (`AS TABLE`) and parameter
+    * defaults are not recognized and fall through to the stock parser.
+    */
+  def parseCreateMacro(text: String): Option[SqlMacro] = {
+    val (words, _) = scan(text)
+    val top = words.filter(_._4 == 0)
+    if (top.isEmpty || top.head._1 != "CREATE" || top.head._2 > text.indexWhere(!_.isWhitespace))
+      return None
+    val kw = top.map(_._1)
+    val mIdx = kw.indexOf("MACRO")
+    if (mIdx < 0) return None
+    // everything between CREATE and MACRO must be the optional modifiers
+    if (!kw.slice(1, mIdx).forall(Set("OR", "REPLACE", "TEMP", "TEMPORARY"))) return None
+    if (mIdx + 1 >= top.length) return None
+    val name = top(mIdx + 1)
+    val open = text.indexOf('(', name._3)
+    if (open < 0 || !text.substring(name._3, open).isBlank) return None
+    val close = matchParen(text, open).getOrElse(return None)
+    val params = splitTopLevel(text.substring(open + 1, close)).map(_.trim)
+    if (params.exists(p => p.isEmpty || !p.forall(c => c.isLetterOrDigit || c == '_')))
+      return None
+    val asWord = words.find(w => w._1 == "AS" && w._2 > close).getOrElse(return None)
+    if (!text.substring(close + 1, asWord._2).isBlank) return None
+    val body = text.substring(asWord._3).trim.stripSuffix(";").trim
+    if (body.isEmpty || kw.contains("TABLE")) return None
+    Some(SqlMacro(name._1.toLowerCase, params.map(_.toLowerCase), body))
+  }
+
+  /** Inline every registered macro call in `text`: arguments substitute
+    * textually for parameter names in the body (each wrapped in parens to
+    * preserve precedence), and the inlined body is itself wrapped — the host
+    * engine's expansion semantics. Macros may call macros; expansion loops
+    * to a bounded fixed point.
+    */
+  def expandMacros(text: String, macros: collection.Map[String, SqlMacro]): String = {
+    if (macros.isEmpty) return text
+    var out = text
+    var guard = 0
+    var changed = true
+    while (changed && guard < 16) {
+      changed = false
+      guard += 1
+      val (words, _) = scan(out)
+      // expand the first call site found, then rescan (positions shift)
+      words.find { case (w, _, en, _) =>
+        macros.contains(w.toLowerCase) &&
+          out.substring(en).dropWhile(_.isWhitespace).headOption.contains('(')
+      }.foreach { case (w, st, en, _) =>
+        val m = macros(w.toLowerCase)
+        val open = out.indexOf('(', en)
+        matchParen(out, open).foreach { close =>
+          val args = splitTopLevel(out.substring(open + 1, close))
+          if (args.length == m.params.length) {
+            val sub = m.params.zip(args.map(a => s"(${a.trim})")).toMap
+            val (bw, _) = scan(m.body)
+            val sb = new StringBuilder
+            var pos = 0
+            bw.foreach { case (bword, bst, ben, _) =>
+              sub.get(bword.toLowerCase).foreach { arg =>
+                sb.append(m.body.substring(pos, bst)).append(arg)
+                pos = ben
+              }
+            }
+            sb.append(m.body.substring(pos))
+            val bodyTxt = sb.toString.trim
+            val wrapped =
+              if (bodyTxt.startsWith("(") && matchParen(bodyTxt, 0).contains(bodyTxt.length - 1))
+                bodyTxt
+              else s"($bodyTxt)"
+            out = out.substring(0, st) + wrapped + out.substring(close + 1)
+            changed = true
+          }
+        }
+      }
+    }
+    out
+  }
+
+  /** Split `s` on commas at paren depth 0, honoring strings/comments. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    if (s.trim.isEmpty) return Seq.empty
+    val parts = Seq.newBuilder[String]
+    val n = s.length
+    var i = 0; var depth = 0; var st = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '\'') {
+        i += 1
+        var done = false
+        while (i < n && !done) {
+          if (s.charAt(i) == '\'') {
+            if (i + 1 < n && s.charAt(i + 1) == '\'') i += 2 else { done = true; i += 1 }
+          } else i += 1
+        }
+      } else if (c == '"' || c == '`') {
+        i += 1; while (i < n && s.charAt(i) != c) i += 1; i += 1
+      } else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (c == ',' && depth == 0) { parts += s.substring(st, i); st = i + 1; i += 1 }
+      else i += 1
+    }
+    parts += s.substring(st)
+    parts.result()
+  }
 
   /** All host-dialect shims: QUALIFY and DISTINCT ON folding, the
     * `* EXCLUDE (...)` star modifier (Spark spells that one `* EXCEPT`),

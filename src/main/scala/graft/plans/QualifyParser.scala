@@ -1,28 +1,39 @@
 package graft.plans
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Session parser adding the host-dialect shims (see [[Qualify]]): the
-  * QUALIFY clause, DISTINCT ON, the `* EXCLUDE (...)` star modifier, and
-  * the `struct_pack(k := v)` struct constructor. Installed by
-  * GraftExtensions via injectParser. Statements are handed to the stock
-  * parser untouched unless they mention a shimmed keyword; if the rewrite —
+  * QUALIFY clause, DISTINCT ON, the `* EXCLUDE (...)` star modifier, the
+  * `struct_pack(k := v)` struct constructor, and `CREATE MACRO` with
+  * inline-at-parse-time call expansion. Installed by GraftExtensions via
+  * injectParser. Statements are handed to the stock parser untouched unless
+  * they mention a shimmed keyword or a registered macro; if the rewrite —
   * or the parse of the rewritten text — fails, the original text is parsed
   * instead, so a schema that merely uses `qualify`/`exclude` as an
   * identifier keeps working.
   */
-class QualifyParser(delegate: ParserInterface) extends ParserInterface {
+class QualifyParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
 
   private def withQualify(text: String, parse: String => LogicalPlan): LogicalPlan = {
+    Qualify.parseCreateMacro(text).foreach { m =>
+      Qualify.registerMacro(session, m)
+      // the DDL itself parses to a one-row acknowledgement, like the host
+      // engine's statement-ok result
+      return parse("SELECT true AS ok")
+    }
+    val macros = Qualify.macrosOf(session)
     val lower = text.toLowerCase
-    if (!lower.contains("qualify") && !lower.contains("exclude") &&
-      !lower.contains("distinct") && !lower.contains("struct_pack"))
-      return parse(text)
+    val mentionsShim = lower.contains("qualify") || lower.contains("exclude") ||
+      lower.contains("distinct") || lower.contains("struct_pack")
+    val mentionsMacro = macros.nonEmpty && macros.keysIterator.exists(lower.contains)
+    if (!mentionsShim && !mentionsMacro) return parse(text)
     val rewritten =
-      try Qualify.dialect(text)
+      try Qualify.dialect(Qualify.expandMacros(text, macros))
       catch { case _: Qualify.QualifyRewriteException => text }
     if (rewritten == text) parse(text)
     else

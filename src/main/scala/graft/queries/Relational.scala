@@ -714,7 +714,32 @@ object Relational {
         t(s, d, "lineitem").createOrReplaceTempView("lineitem")
         graft.plans.Qualify.sql(s, structPackStatement)
       },
-      Some(structPackStatement))
+      Some(structPackStatement)),
+
+    // -- CREATE MACRO: the host dialect's untyped SQL macro ----------------
+    // (examples/geometry_macro.sql:30-36). Registered per-session and
+    // inlined textually at call sites — the host's lazy-binding semantics.
+    // The oracle is the macro-expanded single statement (expansion is
+    // deterministic text substitution, so equality is by construction; a
+    // multi-statement oracle would depend on the driver's executor).
+    QueryDef("q35_create_macro",
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+        graft.plans.Qualify.sql(s,
+          "CREATE OR REPLACE MACRO disc_price(p, d) AS p * (1 - d)")
+        graft.plans.Qualify.sql(s,
+          """SELECT l_returnflag,
+            |       round(sum(disc_price(l_extendedprice, l_discount)), 2) AS revenue
+            |FROM lineitem
+            |GROUP BY l_returnflag
+            |ORDER BY l_returnflag""".stripMargin)
+      },
+      Some(
+        """SELECT l_returnflag,
+          |       round(sum((l_extendedprice) * (1 - (l_discount))), 2) AS revenue
+          |FROM lineitem
+          |GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin))
   )
 
   /** q34's statement — one text, two engines: per-flag rollup packed into a

@@ -110,13 +110,17 @@ object RoutingOps {
       r <- route(g, f, t)
     } yield r
 
-  /** (lon, lat) anchor of a WKT string or WKB blob. */
+  /** (lon, lat) anchor of a WKT string or WKB blob. Non-WKB bytes fall back
+    * to UTF-8 WKT — the host engine casts VARCHAR→BLOB preserving bytes, so
+    * `travel_time_route_wkb('POINT(…)', …)` must route exactly as the
+    * reference's own test does (test/sql/monaco_routing.test:23-29).
+    */
   def anchorOf(v: AnyRef): Option[(Double, Double)] = v match {
     case null            => None
     case s: String       => Wkt.centroid(s)
     case b: Array[Byte]  =>
       if (Wkb.looksLikeWkb(b)) Wkb.centroid(b)
-      else None
+      else Wkt.centroid(new String(b, java.nio.charset.StandardCharsets.UTF_8))
     case _               => None
   }
 

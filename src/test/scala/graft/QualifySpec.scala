@@ -192,6 +192,51 @@ class QualifySpec extends AnyFunSuite {
       Seq(("a", 60.0), ("b", 20.0)))
   }
 
+  test("create macro: DDL parse, precedence-safe expansion, macro-calls-macro") {
+    // DDL recognition
+    val m = Qualify.parseCreateMacro(
+      "CREATE OR REPLACE MACRO disc(p, d) AS p * (1 - d)").get
+    assert(m.name == "disc" && m.params == Seq("p", "d") && m.body == "p * (1 - d)")
+    assert(Qualify.parseCreateMacro("CREATE TEMP MACRO one() AS 1").isDefined)
+    // not macros: table macros, other DDL, mentions in strings
+    assert(Qualify.parseCreateMacro("CREATE MACRO t() AS TABLE SELECT 1").isEmpty)
+    assert(Qualify.parseCreateMacro("CREATE TABLE t (a INT)").isEmpty)
+    assert(Qualify.parseCreateMacro("SELECT 'CREATE MACRO x() AS 1'").isEmpty)
+    // expansion wraps args and body so precedence survives: add(1,2)*3 = 9
+    val macros = Map("add" -> Qualify.SqlMacro("add", Seq("a", "b"), "a + b"))
+    assert(Qualify.expandMacros("SELECT add(1, 2) * 3 AS v", macros) ==
+      "SELECT ((1) + (2)) * 3 AS v")
+    // arity mismatch and quoted mentions stay put
+    assert(Qualify.expandMacros("SELECT add(1) AS v", macros) == "SELECT add(1) AS v")
+    assert(Qualify.expandMacros("SELECT 'add(1, 2)' AS v", macros) == "SELECT 'add(1, 2)' AS v")
+    // end-to-end on a session, including macro-calls-macro
+    val s = spark
+    s.sql(ddl).createOrReplaceTempView("q_t")
+    Qualify.sql(s, "CREATE OR REPLACE MACRO twice(x) AS x * 2")
+    Qualify.sql(s, "CREATE OR REPLACE MACRO quad(x) AS twice(x) + twice(x)")
+    val out = Qualify.sql(s, "SELECT grp, round(sum(quad(v)), 1) AS q FROM q_t GROUP BY grp ORDER BY grp")
+    assert(out.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("a", 240.0), ("b", 80.0)))
+  }
+
+  test("injected parser: CREATE MACRO registers and expands via plain spark.sql") {
+    val base = SparkTestBase.spark
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+      assert(s2 ne base)
+      s2.sql(ddl).createOrReplaceTempView("q_t3")
+      assert(s2.sql("CREATE OR REPLACE MACRO halve(x) AS x / 2").collect()
+        .head.getBoolean(0))
+      val out = s2.sql("SELECT id, halve(v) AS h FROM q_t3 WHERE id = 2")
+      assert(out.collect().head.getDouble(1) == 15.0)
+    } finally {
+      prev.foreach { p => SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p) }
+    }
+  }
+
   test("injected parser: plain spark.sql accepts QUALIFY session-wide") {
     val base = SparkTestBase.spark
     val prev = SparkSession.getDefaultSession

@@ -205,6 +205,45 @@ class SparkRoutingSpec extends AnyFunSuite {
     } finally graft.routing.RoutingContext.clearElevation()
   }
 
+  test("route_wkb accepts WKT-string endpoints like the host's VARCHAR→BLOB cast " +
+    "(monaco_routing.test:23-29)") {
+    val viaStr = one(
+      """SELECT travel_time_route_wkb('POINT(7.4 43.7)', 'POINT(7.44 43.74)', 'auto') AS r""")
+      .getStruct(0)
+    val viaWkt = one(
+      """SELECT travel_time_route('POINT(7.4 43.7)', 'POINT(7.44 43.74)', 'auto') AS r""")
+      .getStruct(0)
+    assert(viaStr.getDouble(0) > 0)
+    assert(viaStr.getDouble(0) == viaWkt.getDouble(0))
+    assert(viaStr.getDouble(1) == viaWkt.getDouble(1))
+  }
+
+  test("reference geometry macro runs verbatim: CREATE MACRO + struct_pack " +
+    "(examples/geometry_macro.sql:30-36)") {
+    import graft.plans.Qualify
+    // the reference's statement text, unmodified (macro name shadows the
+    // built-in at Qualify.sql call sites, as CREATE OR REPLACE does there)
+    Qualify.sql(spark,
+      """CREATE OR REPLACE MACRO travel_time_route(from_geom, to_geom, costing) AS (
+        |    SELECT struct_pack(
+        |        distance_km := r.distance_km,
+        |        duration_minutes := r.duration_minutes,
+        |        geometry := ST_GeomFromWKB(r.geometry)
+        |    ) FROM (SELECT travel_time_route_wkb(from_geom, to_geom, costing) as r)
+        |);""".stripMargin)
+    val viaMacro = Qualify.sql(spark,
+      "SELECT travel_time_route('POINT(7.4 43.7)', 'POINT(7.481 43.781)', 'auto') AS r")
+      .collect().head.getStruct(0)
+    val direct = one(
+      "SELECT travel_time_route_wkb('POINT(7.4 43.7)', 'POINT(7.481 43.781)', 'auto') AS r")
+      .getStruct(0)
+    assert(viaMacro.getDouble(viaMacro.fieldIndex("distance_km")) == direct.getDouble(0))
+    assert(viaMacro.getDouble(viaMacro.fieldIndex("duration_minutes")) == direct.getDouble(1))
+    assert(java.util.Arrays.equals(
+      viaMacro.getAs[Array[Byte]](viaMacro.fieldIndex("geometry")),
+      direct.getAs[Array[Byte]](2)))
+  }
+
   test("macro equivalence: travel_time ≈ route duration (monaco_routing.test:132-160)") {
     val t = one("SELECT travel_time(43.7, 7.4, 43.781, 7.481, 'auto') AS t").getDouble(0)
     val r = one("SELECT travel_time_route('POINT(7.4 43.7)', 'POINT(7.481 43.781)', 'auto').duration_minutes AS m")
