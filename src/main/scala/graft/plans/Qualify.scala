@@ -188,11 +188,57 @@ object Qualify {
 
   /** All host-dialect shims: QUALIFY and DISTINCT ON folding, the
     * `* EXCLUDE (...)` star modifier (Spark spells that one `* EXCEPT`),
-    * and the `struct_pack(k := v)` struct constructor (Spark spells it
-    * `named_struct('k', v)`).
+    * the `struct_pack(k := v)` struct constructor (Spark spells it
+    * `named_struct('k', v)`), and the `USING SAMPLE` clause (Spark spells
+    * it `TABLESAMPLE`).
     */
   def dialect(text: String): String =
-    rewriteStructPack(rewriteExclude(rewrite(text)))
+    rewriteUsingSample(rewriteStructPack(rewriteExclude(rewrite(text))))
+
+  /** `USING SAMPLE n%` / `USING SAMPLE n PERCENT` / `USING SAMPLE n ROWS`
+    * → `TABLESAMPLE (n PERCENT|ROWS)` — the host dialect's sampling clause,
+    * same syntactic position (after a table or subquery). The method form
+    * `USING SAMPLE … (bernoulli, seed)` is left untouched (no Spark
+    * equivalent); `JOIN … USING (cols)` never matches because the next
+    * word must be SAMPLE.
+    */
+  def rewriteUsingSample(sql: String): String = {
+    val lower = sql.toLowerCase
+    if (!lower.contains("using") || !lower.contains("sample")) return sql
+    val (words, _) = scan(sql)
+    val sb = new StringBuilder
+    var pos = 0
+    words.sliding(2).foreach {
+      case Seq(("USING", uSt, uEn, _), ("SAMPLE", sSt, sEn, _))
+          if sql.substring(uEn, sSt).isBlank && uSt >= pos =>
+        // number [% | PERCENT | ROWS]
+        var i = sEn
+        while (i < sql.length && sql.charAt(i).isWhitespace) i += 1
+        val numSt = i
+        while (i < sql.length && (sql.charAt(i).isDigit || sql.charAt(i) == '.')) i += 1
+        val num = sql.substring(numSt, i)
+        if (num.nonEmpty) {
+          var j = i
+          while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+          val restUp = sql.substring(j).toUpperCase
+          val (unit, unitLen) =
+            if (j < sql.length && sql.charAt(j) == '%') ("PERCENT", 1)
+            else if (restUp.startsWith("PERCENT")) ("PERCENT", "PERCENT".length)
+            else if (restUp.startsWith("ROWS")) ("ROWS", "ROWS".length)
+            else ("ROWS", 0) // bare count defaults to rows, as in the host
+          val afterUnit = sql.substring(j + unitLen).dropWhile(_.isWhitespace)
+          if (!afterUnit.headOption.contains('(')) { // skip the method form
+            sb.append(sql.substring(pos, uSt))
+            sb.append(s"TABLESAMPLE ($num $unit)")
+            pos = j + unitLen
+          }
+        }
+      case _ =>
+    }
+    if (pos == 0) return sql
+    sb.append(sql.substring(pos))
+    sb.toString
+  }
 
   /** `struct_pack(a := x, b := y)` → `named_struct('a', x, 'b', y)` — the
     * host dialect's named-field struct constructor, used verbatim in every

@@ -29,7 +29,8 @@ class QualifyParser(session: SparkSession, delegate: ParserInterface)
     val macros = Qualify.macrosOf(session)
     val lower = text.toLowerCase
     val mentionsShim = lower.contains("qualify") || lower.contains("exclude") ||
-      lower.contains("distinct") || lower.contains("struct_pack")
+      lower.contains("distinct") || lower.contains("struct_pack") ||
+      (lower.contains("using") && lower.contains("sample"))
     val mentionsMacro = macros.nonEmpty && macros.keysIterator.exists(lower.contains)
     if (!mentionsShim && !mentionsMacro) return parse(text)
     val rewritten =

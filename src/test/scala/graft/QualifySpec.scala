@@ -192,6 +192,31 @@ class QualifySpec extends AnyFunSuite {
       Seq(("a", 60.0), ("b", 20.0)))
   }
 
+  test("using sample rewrites to TABLESAMPLE; join-USING and method form stay put") {
+    assert(Qualify.rewriteUsingSample("SELECT * FROM t USING SAMPLE 10%") ==
+      "SELECT * FROM t TABLESAMPLE (10 PERCENT)")
+    assert(Qualify.rewriteUsingSample("SELECT * FROM t USING SAMPLE 25 PERCENT WHERE a > 1") ==
+      "SELECT * FROM t TABLESAMPLE (25 PERCENT) WHERE a > 1")
+    assert(Qualify.rewriteUsingSample("SELECT * FROM t USING SAMPLE 100 ROWS") ==
+      "SELECT * FROM t TABLESAMPLE (100 ROWS)")
+    assert(Qualify.rewriteUsingSample("SELECT * FROM t USING SAMPLE 7") ==
+      "SELECT * FROM t TABLESAMPLE (7 ROWS)")
+    // join-USING is not a sample; the seeded method form has no Spark map
+    val ju = "SELECT * FROM a JOIN b USING (k)"
+    assert(Qualify.rewriteUsingSample(ju) == ju)
+    val mf = "SELECT * FROM t USING SAMPLE 10% (bernoulli, 377)"
+    assert(Qualify.rewriteUsingSample(mf) == mf)
+    val lit = "SELECT 'USING SAMPLE 10%' AS w FROM t"
+    assert(Qualify.rewriteUsingSample(lit) == lit)
+    // end-to-end: row-count bounds (sampling is nondeterministic by design)
+    val s = spark
+    s.sql(ddl).createOrReplaceTempView("q_t")
+    assert(Qualify.sql(s, "SELECT * FROM q_t USING SAMPLE 100%").count() == 5)
+    assert(Qualify.sql(s, "SELECT * FROM q_t USING SAMPLE 3 ROWS").count() == 3)
+    val n = Qualify.sql(s, "SELECT * FROM q_t USING SAMPLE 40%").count()
+    assert(n >= 0 && n <= 5)
+  }
+
   test("create macro: DDL parse, precedence-safe expansion, macro-calls-macro") {
     // DDL recognition
     val m = Qualify.parseCreateMacro(
