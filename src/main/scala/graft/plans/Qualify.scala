@@ -80,9 +80,9 @@ object Qualify {
     registryOf(spark).put(m.name.toLowerCase, m)
 
   /** Recognize `CREATE [OR REPLACE] [TEMP|TEMPORARY] MACRO name(p1, p2) AS
-    * body` (the host dialect's scalar-macro DDL, examples/
-    * geometry_macro.sql:30-36). Table macros (`AS TABLE`) and parameter
-    * defaults are not recognized and fall through to the stock parser.
+    * [TABLE] body` — the host dialect's scalar and table macro DDL
+    * (examples/geometry_macro.sql:30-36). Parameter defaults are not
+    * recognized and fall through to the stock parser.
     */
   def parseCreateMacro(text: String): Option[SqlMacro] = {
     val (words, _) = scan(text)
@@ -104,8 +104,15 @@ object Qualify {
       return None
     val asWord = words.find(w => w._1 == "AS" && w._2 > close).getOrElse(return None)
     if (!text.substring(close + 1, asWord._2).isBlank) return None
-    val body = text.substring(asWord._3).trim.stripSuffix(";").trim
-    if (body.isEmpty || kw.contains("TABLE")) return None
+    // `AS TABLE body` is the host's table macro — same textual-inline
+    // expansion (the parenthesized body is a FROM-position subquery)
+    val afterAs = words.find(_._2 >= asWord._3)
+    val bodyStart = afterAs match {
+      case Some(w) if w._1 == "TABLE" && text.substring(asWord._3, w._2).isBlank => w._3
+      case _ => asWord._3
+    }
+    val body = text.substring(bodyStart).trim.stripSuffix(";").trim
+    if (body.isEmpty) return None
     Some(SqlMacro(name._1.toLowerCase, params.map(_.toLowerCase), body))
   }
 

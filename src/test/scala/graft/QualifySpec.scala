@@ -223,8 +223,10 @@ class QualifySpec extends AnyFunSuite {
       "CREATE OR REPLACE MACRO disc(p, d) AS p * (1 - d)").get
     assert(m.name == "disc" && m.params == Seq("p", "d") && m.body == "p * (1 - d)")
     assert(Qualify.parseCreateMacro("CREATE TEMP MACRO one() AS 1").isDefined)
-    // not macros: table macros, other DDL, mentions in strings
-    assert(Qualify.parseCreateMacro("CREATE MACRO t() AS TABLE SELECT 1").isEmpty)
+    // table macros: the TABLE keyword strips, the body is the SELECT
+    val tm = Qualify.parseCreateMacro("CREATE MACRO t() AS TABLE SELECT 1").get
+    assert(tm.body == "SELECT 1")
+    // not macros: other DDL, mentions in strings
     assert(Qualify.parseCreateMacro("CREATE TABLE t (a INT)").isEmpty)
     assert(Qualify.parseCreateMacro("SELECT 'CREATE MACRO x() AS 1'").isEmpty)
     // expansion wraps args and body so precedence survives: add(1,2)*3 = 9
@@ -242,6 +244,11 @@ class QualifySpec extends AnyFunSuite {
     val out = Qualify.sql(s, "SELECT grp, round(sum(quad(v)), 1) AS q FROM q_t GROUP BY grp ORDER BY grp")
     assert(out.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
       Seq(("a", 240.0), ("b", 80.0)))
+    // table macro in FROM position: the inlined body is a subquery
+    Qualify.sql(s,
+      "CREATE OR REPLACE MACRO top_v(k) AS TABLE SELECT id, v FROM q_t ORDER BY v DESC LIMIT k")
+    val tv = Qualify.sql(s, "SELECT id FROM top_v(2) ORDER BY id")
+    assert(tv.collect().map(_.getInt(0)).toSeq == Seq(2, 3))
   }
 
   test("injected parser: CREATE MACRO registers and expands via plain spark.sql") {
