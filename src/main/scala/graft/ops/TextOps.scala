@@ -245,6 +245,44 @@ object TextOps {
     coalesce(aggregate(encoded, lit(0), _ + _), lit(0))
   }
 
+  /** CCNet-style character-LM quality score: train a character-trigram model
+    * on the corpus itself, then score each document by its mean negative
+    * log-likelihood under the model — high nll means unusual character
+    * statistics (boilerplate, encoding garbage, non-language runs), the
+    * classic LM-perplexity quality filter.
+    *
+    * Text is alphabet-normalized to `[a-z0-9 ]` first, which bounds the
+    * model at 37³ trigrams REGARDLESS of corpus size — so the plan shape
+    * survives 100 TB: two hash aggregations over the exploded trigram stream
+    * (both partial-aggregate map-side; training output is alphabet-bounded,
+    * not data-bounded), a broadcast join of the model back onto the stream,
+    * and one per-document aggregation whose shuffle carries a single row per
+    * document (the explode keeps a document's trigrams partition-local, so
+    * the sum combines before the exchange). Per-term log-probs round to 6 dp
+    * before summing: the sum of 1e-6-quantized terms is order-stable far
+    * below the emitted 4 dp, which is the cross-engine determinism contract
+    * (same discipline as p19/p21).
+    *
+    * Returns (idCol, n_tris, nll) for documents with ≥3 normalized chars.
+    */
+  def charLmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String): org.apache.spark.sql.DataFrame = {
+    val norm = df.select(col(idCol),
+        trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " ")).as("t"))
+      .filter(length(col("t")) >= 3)
+    val tris = norm.select(col(idCol),
+      explode(expr("transform(sequence(1, length(t) - 2), i -> substr(t, i, 3))")).as("tri"))
+    val triCnt = tris.groupBy(col("tri")).agg(count(lit(1)).as("tc"))
+    val bigCnt = triCnt.groupBy(substring(col("tri"), 1, 2).as("big"))
+      .agg(sum(col("tc")).as("bc"))
+    val model = triCnt.join(bigCnt, substring(triCnt("tri"), 1, 2) === bigCnt("big"))
+      .select(col("tri"), round(log(col("tc").cast("double") / col("bc")), 6).as("logp"))
+    tris.join(broadcast(model), "tri")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tris"),
+        round(-sum(col("logp")) / count(lit(1)), 4).as("nll"))
+  }
+
   /** Gopher-style repetition metrics per document: the standard
     * quality-filter family that catches boilerplate and degenerate
     * repetition which length/punctuation stats miss.

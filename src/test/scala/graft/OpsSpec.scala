@@ -534,4 +534,18 @@ class OpsSpec extends AnyFunSuite {
     assert(st(12L) == "dup_in_delta")
     assert(st(13L) == "new")
   }
+
+  test("charLmScore: hand-computed trigram LM nll, normalization, short-doc drop") {
+    // corpus {"ab ab", "abab"}: trigram counts ab_=1, b_a=1, _ab=1, aba=1,
+    // bab=1; prefix counts ab=2 (ab_, aba), b_=1, _a=1, ba=1. So only the
+    // two trigrams with prefix "ab" carry ln(1/2); all others are ln(1)=0.
+    //   doc 1: -(ln .5 + 0 + 0)/3 = 0.2310   doc 2: -(ln .5 + 0)/2 = 0.3466
+    val df = Seq((1L, "AB? ab"),   // normalizes to "ab ab" (case + punct)
+                 (2L, "abab"),
+                 (3L, "x!"))       // < 3 normalized chars → dropped
+      .toDF("doc_id", "text")
+    val out = TextOps.charLmScore(df, "doc_id", "text").orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 3L, 0.2310), (2L, 2L, 0.3466)))
+  }
 }
