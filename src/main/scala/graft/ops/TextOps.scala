@@ -266,22 +266,50 @@ object TextOps {
     * Returns (idCol, n_tris, nll) for documents with ≥3 normalized chars.
     */
   def charLmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String): org.apache.spark.sql.DataFrame =
+    charLmScoreWith(charLmModel(df, textCol), df, idCol, textCol)
+
+  /** Char-trigram stream of the alphabet-normalized text, carrying `keep`
+    * alongside (docs with < 3 normalized chars drop here, in training and
+    * scoring alike).
+    */
+  private def charTrigrams(df: org.apache.spark.sql.DataFrame, keep: Seq[Column],
+                           textCol: String) =
+    df.select(keep :+
+        trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " ")).as("__graft_t"): _*)
+      .filter(length(col("__graft_t")) >= 3)
+      .select(keep :+ explode(expr(
+        "transform(sequence(1, length(__graft_t) - 2), i -> substr(__graft_t, i, 3))"))
+        .as("tri"): _*)
+
+  /** Train the trigram model: (tri, logp) with logp = round(ln(P(c3|c1c2)), 6).
+    * Output is alphabet-bounded (≤ 37³ rows) however large the corpus.
+    */
+  def charLmModel(df: org.apache.spark.sql.DataFrame,
                   textCol: String): org.apache.spark.sql.DataFrame = {
-    val norm = df.select(col(idCol),
-        trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " ")).as("t"))
-      .filter(length(col("t")) >= 3)
-    val tris = norm.select(col(idCol),
-      explode(expr("transform(sequence(1, length(t) - 2), i -> substr(t, i, 3))")).as("tri"))
-    val triCnt = tris.groupBy(col("tri")).agg(count(lit(1)).as("tc"))
+    val triCnt = charTrigrams(df, Seq.empty, textCol)
+      .groupBy(col("tri")).agg(count(lit(1)).as("tc"))
     val bigCnt = triCnt.groupBy(substring(col("tri"), 1, 2).as("big"))
       .agg(sum(col("tc")).as("bc"))
-    val model = triCnt.join(bigCnt, substring(triCnt("tri"), 1, 2) === bigCnt("big"))
+    triCnt.join(bigCnt, substring(triCnt("tri"), 1, 2) === bigCnt("big"))
       .select(col("tri"), round(log(col("tc").cast("double") / col("bc")), 6).as("logp"))
-    tris.join(broadcast(model), "tri")
+  }
+
+  /** Score `df` under an already-trained model — the train-offline /
+    * score-online split: `model` may come from a different (larger, earlier)
+    * corpus, and `df` may be a STREAM (every stage here is stateless except
+    * the final per-doc aggregation). Unseen trigrams are dropped from both
+    * the numerator and n_tris (matches self-trained scoring, where none are
+    * unseen).
+    */
+  def charLmScoreWith(model: org.apache.spark.sql.DataFrame,
+                      df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String): org.apache.spark.sql.DataFrame =
+    charTrigrams(df, Seq(col(idCol)), textCol)
+      .join(broadcast(model), "tri")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tris"),
         round(-sum(col("logp")) / count(lit(1)), 4).as("nll"))
-  }
 
   /** Gopher-style repetition metrics per document: the standard
     * quality-filter family that catches boilerplate and degenerate

@@ -164,6 +164,21 @@ object Advanced {
            |FROM scrub GROUP BY source ORDER BY source""".stripMargin
       }),
 
+    QueryDef("s10_stream_charlm",
+      (s, d) => {
+        // score-on-ingest: the charLM quality model trains offline on the
+        // static corpus, then every streamed document scores against the
+        // broadcast model inside the micro-batch plan (p48's operator as a
+        // stream stage). Complete-mode per-doc agg; same oracle as p48.
+        val model = graft.ops.TextOps.charLmModel(
+          s.read.parquet(s"$d/documents.parquet"), "text")
+        EventStreams.runBoundedDocs(s, d, "s10_sink",
+            EventStreams.charLmStage(model),
+            outputMode = "complete", shufflePartitions = Some(8))
+          .orderBy(col("doc_id"))
+      },
+      Some(Pipeline.charLmOracleSql)),
+
     QueryDef("s09_stream_chunks",
       (s, d) => {
         // chunk-on-ingest: overlapping sliding-window chunking (the p44

@@ -1617,23 +1617,29 @@ object Pipeline {
         TextOps.charLmScore(t(s, d, "documents"), "doc_id", "text")
           .orderBy($"doc_id")
       },
-      Some("""WITH norm AS (
-             |  SELECT doc_id,
-             |         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
-             |  FROM documents),
-             |tris AS (
-             |  SELECT doc_id, substr(t, CAST(i AS INTEGER), 3) AS tri
-             |  FROM norm, unnest(range(1, length(t) - 1)) AS u(i)
-             |  WHERE length(t) >= 3),
-             |tri_cnt AS (SELECT tri, count(*) AS tc FROM tris GROUP BY tri),
-             |big_cnt AS (SELECT substr(tri, 1, 2) AS big, sum(tc) AS bc
-             |            FROM tri_cnt GROUP BY 1),
-             |model AS (
-             |  SELECT tri, round(ln(CAST(tc AS DOUBLE) / bc), 6) AS logp
-             |  FROM tri_cnt JOIN big_cnt ON substr(tri, 1, 2) = big)
-             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tris,
-             |       round(-sum(logp) / count(*), 4) AS nll
-             |FROM tris JOIN model USING (tri)
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+      Some(charLmOracleSql))
   )
+
+  /** DuckDB mirror of TextOps.charLmScore over `documents` — shared by p48
+    * (batch) and s10 (the same model applied on a stream).
+    */
+  private[queries] val charLmOracleSql: String =
+    """WITH norm AS (
+      |  SELECT doc_id,
+      |         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+      |  FROM documents),
+      |tris AS (
+      |  SELECT doc_id, substr(t, CAST(i AS INTEGER), 3) AS tri
+      |  FROM norm, unnest(range(1, length(t) - 1)) AS u(i)
+      |  WHERE length(t) >= 3),
+      |tri_cnt AS (SELECT tri, count(*) AS tc FROM tris GROUP BY tri),
+      |big_cnt AS (SELECT substr(tri, 1, 2) AS big, sum(tc) AS bc
+      |            FROM tri_cnt GROUP BY 1),
+      |model AS (
+      |  SELECT tri, round(ln(CAST(tc AS DOUBLE) / bc), 6) AS logp
+      |  FROM tri_cnt JOIN big_cnt ON substr(tri, 1, 2) = big)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tris,
+      |       round(-sum(logp) / count(*), 4) AS nll
+      |FROM tris JOIN model USING (tri)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -150,6 +150,17 @@ object EventStreams {
       .select(col("doc_id"), col("source"), col("c.chunk_idx"), col("c.n_tok"),
         md5(col("c.chunk")).as("chunk_md5"))
 
+  /** Score-on-ingest with an offline-trained model — the
+    * train-offline/apply-online split every production quality filter uses:
+    * the char-trigram LM (TextOps.charLmModel) is fit ONCE on the static
+    * corpus, and each arriving document scores against it via a BROADCAST
+    * join inside the micro-batch plan (trigram explode and model join are
+    * stateless; only the final per-doc aggregation keeps state). One
+    * definition serves batch and streaming; the batch twin is the oracle.
+    */
+  def charLmStage(model: DataFrame)(docs: DataFrame): DataFrame =
+    graft.ops.TextOps.charLmScoreWith(model, docs, "doc_id", "text")
+
   /** Stream-static enrichment — the standard streaming-ingest shape: each
     * arriving event picks up its dimension row via a BROADCAST join (the
     * static side is planned once and shipped to executors; no state store,

@@ -37,6 +37,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.forall(_.getAs[Int]("n_pii") == 3))
   }
 
+  test("charLM score-on-ingest stream equals the batch scorer (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val model = graft.ops.TextOps.charLmModel(docs, "text")
+    val streamed = EventStreams.runBoundedDocs(spark, dir, "t_s10",
+        EventStreams.charLmStage(model), outputMode = "complete")
+      .orderBy(col("doc_id")).collect()
+    val batch = graft.ops.TextOps.charLmScore(docs, "doc_id", "text")
+      .orderBy(col("doc_id")).collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    streamed.zip(batch).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("incremental session windows merge within gap and split across it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
