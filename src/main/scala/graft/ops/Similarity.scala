@@ -70,6 +70,30 @@ object Similarity {
       .select(col("a"), col("b"), col("sim"))
   }
 
+  /** SemDeDup-style semantic dedup (embedding-space): corpus vectors are
+    * clustered to `cents` (IVF/k-means cells), and WITHIN each cell a
+    * vector is dropped when any smaller-id cellmate sits at or above
+    * `threshold` rounded cosine — the lowest id of a duplicate
+    * neighborhood survives. The pair join is an equi-join on the cell key:
+    * cluster-local quadratic, which is the SemDeDup cost model (k grows
+    * with the corpus so cells stay bounded) — never an all-pairs product.
+    * Returns (idCol, cell, kept) for every vector.
+    */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               cents: Array[Array[Double]], threshold: Double,
+               dim: Option[Int] = None): DataFrame = {
+    val assigned = emb.select(col(idCol), col(vecCol),
+      nearestCell(col(vecCol), cents).as("cell"))
+    val l = assigned.select(col("cell"), col(idCol).as("a_id"), col(vecCol).as("a_v"))
+    val r = assigned.select(col("cell"), col(idCol).as("b_id"), col(vecCol).as("b_v"))
+    val drops = l.join(r, "cell")
+      .filter(col("a_id") < col("b_id"))
+      .filter(round(cosineBy(col("a_v"), col("b_v"), dim), 4) >= threshold)
+      .select(col("b_id").as(idCol)).distinct()
+    assigned.join(drops.withColumn("__graft_drop", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("__graft_drop").isNull.as("kept"))
+  }
+
   /** Brute-force cosine top-k: for each query vector (filtered by
     * `queryPred`), the k nearest corpus vectors (excluding itself).
     * Query set is broadcast against the corpus scan. Pass `dim` to use the

@@ -695,34 +695,10 @@ object Pipeline {
           .orderBy(col("qid"), col("rank"))
       },
       Some {
-        val d2 = "round(list_sum(list_transform(range(1, 65), " +
-          "i -> (b.e[i] - c.c[i]) * (b.e[i] - c.c[i]))), 6)"
-        def assign(centCte: String, outName: String): String =
-          s"""$outName AS (
-             |  SELECT vec_id, e, cell FROM (
-             |    SELECT b.vec_id, b.e, c.cell,
-             |      row_number() OVER (PARTITION BY b.vec_id ORDER BY $d2, c.cell) AS rn
-             |    FROM base b CROSS JOIN $centCte c)
-             |  WHERE rn = 1)""".stripMargin
-        def recompute(assignCte: String, initCte: String, outName: String): String =
-          s"""$outName AS (
-             |  SELECT $initCte.cell, COALESCE(l.c, $initCte.c) AS c
-             |  FROM $initCte LEFT JOIN (
-             |    SELECT cell, list(m ORDER BY i) AS c FROM (
-             |      SELECT cell, i, avg(e[i]) AS m
-             |      FROM $assignCte, range(1, 65) AS t(i) GROUP BY cell, i)
-             |    GROUP BY cell) l USING (cell))""".stripMargin
-        s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-           |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS c
-           |       FROM (SELECT * FROM base ORDER BY vec_id LIMIT 8)),
-           |${assign("c0", "a0")},
-           |${recompute("a0", "c0", "c1")},
-           |${assign("c1", "a1")},
-           |${recompute("a1", "c1", "c2")},
-           |${assign("c2", "corp")},
+        s"""$ivfCorpusCtes,
            |q AS (SELECT qid, qvec, cell FROM (
            |    SELECT b.vec_id AS qid, b.e AS qvec, c.cell,
-           |      row_number() OVER (PARTITION BY b.vec_id ORDER BY $d2, c.cell) AS rn
+           |      row_number() OVER (PARTITION BY b.vec_id ORDER BY $ivfD2, c.cell) AS rn
            |    FROM base b CROSS JOIN c2 c WHERE b.vec_id < 50)
            |  WHERE rn <= 2)
            |SELECT qid, CAST(row_number() OVER w AS INT) AS rank, n.vec_id AS nid,
@@ -733,6 +709,33 @@ object Pipeline {
            |             ORDER BY round(list_cosine_similarity(qvec, n.e), 4) DESC, n.vec_id)
            |QUALIFY row_number() OVER w <= 3
            |ORDER BY qid, rank""".stripMargin
+      }),
+
+    // -- SemDeDup: embedding-cluster semantic dedup (Abbas et al. 2023) ----
+    // Same trained cells as p19; within-cell pairs at rounded cosine >= 0.3
+    // (data-relative, see p15) drop the higher id. The pair join keys on
+    // the cell — cluster-local quadratic, the SemDeDup cost model — and the
+    // kept flag is a broadcast-able anti-join in production (left join +
+    // null test here so every vector reports its verdict).
+    QueryDef("p49_semdedup",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+        Similarity.semDedup(emb, "vec_id", "embedding", cents,
+            threshold = 0.3, dim = Some(64))
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        s"""$ivfCorpusCtes,
+           |drops AS (
+           |  SELECT DISTINCT s2.vec_id
+           |  FROM corp s1 JOIN corp s2 USING (cell)
+           |  WHERE s1.vec_id < s2.vec_id
+           |    AND round(list_cosine_similarity(s1.e, s2.e), 4) >= 0.3)
+           |SELECT c.vec_id, CAST(c.cell AS INTEGER) AS cell,
+           |       d.vec_id IS NULL AS kept
+           |FROM corp c LEFT JOIN drops d ON c.vec_id = d.vec_id
+           |ORDER BY c.vec_id""".stripMargin
       }),
 
     // -- KMV distinct-count sketch (per-source vocabulary size) -------------
@@ -1619,6 +1622,40 @@ object Pipeline {
       },
       Some(charLmOracleSql))
   )
+
+  /** DuckDB mirror of Similarity.ivfCentroids(k=8, iters=2) over
+    * `embeddings` plus the final corpus assignment: a WITH-prefix ending in
+    * `corp(vec_id, e, cell)`. Shared by p19 (IVF ANN probe) and p49
+    * (SemDeDup) so both gate the identical Lloyd mirror.
+    */
+  private val ivfD2 = "round(list_sum(list_transform(range(1, 65), " +
+    "i -> (b.e[i] - c.c[i]) * (b.e[i] - c.c[i]))), 6)"
+
+  private val ivfCorpusCtes: String = {
+    def assign(centCte: String, outName: String): String =
+      s"""$outName AS (
+         |  SELECT vec_id, e, cell FROM (
+         |    SELECT b.vec_id, b.e, c.cell,
+         |      row_number() OVER (PARTITION BY b.vec_id ORDER BY $ivfD2, c.cell) AS rn
+         |    FROM base b CROSS JOIN $centCte c)
+         |  WHERE rn = 1)""".stripMargin
+    def recompute(assignCte: String, initCte: String, outName: String): String =
+      s"""$outName AS (
+         |  SELECT $initCte.cell, COALESCE(l.c, $initCte.c) AS c
+         |  FROM $initCte LEFT JOIN (
+         |    SELECT cell, list(m ORDER BY i) AS c FROM (
+         |      SELECT cell, i, avg(e[i]) AS m
+         |      FROM $assignCte, range(1, 65) AS t(i) GROUP BY cell, i)
+         |    GROUP BY cell) l USING (cell))""".stripMargin
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS c
+       |       FROM (SELECT * FROM base ORDER BY vec_id LIMIT 8)),
+       |${assign("c0", "a0")},
+       |${recompute("a0", "c0", "c1")},
+       |${assign("c1", "a1")},
+       |${recompute("a1", "c1", "c2")},
+       |${assign("c2", "corp")}""".stripMargin
+  }
 
   /** DuckDB mirror of TextOps.charLmScore over `documents` — shared by p48
     * (batch) and s10 (the same model applied on a stream).

@@ -535,6 +535,22 @@ class OpsSpec extends AnyFunSuite {
     assert(st(13L) == "new")
   }
 
+  test("semDedup: within-cell drops by id order, cross-cell near-dups survive") {
+    val cents = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),    // cell 0 anchor
+      (2L, Seq(0.99f, 0.01f, 0.0f, 0.0f)),  // ≈ v1 → dropped
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),    // cell 1 anchor
+      (4L, Seq(0.0f, 0.99f, 0.01f, 0.0f)),  // ≈ v3 → dropped
+      (5L, Seq(0.6f, 0.8f, 0.0f, 0.0f)))    // cell 1, below threshold vs v3/v4
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(emb, "vec_id", "embedding", cents, threshold = 0.999)
+      .orderBy($"vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq((1L, 0, true), (2L, 0, false), (3L, 1, true),
+      (4L, 1, false), (5L, 1, true)))
+  }
+
   test("charLmScore: hand-computed trigram LM nll, normalization, short-doc drop") {
     // corpus {"ab ab", "abab"}: trigram counts ab_=1, b_a=1, _ab=1, aba=1,
     // bab=1; prefix counts ab=2 (ab_, aba), b_=1, _a=1, ba=1. So only the
