@@ -92,6 +92,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         graft.functions.Introspection.getClass.getName, "graft_functions"),
       graft.functions.Introspection.builder))
+    // host-dialect function-name aliases (len, list_*, string_split,
+    // regexp_matches, ...) — vocabulary parity so reference-host statements
+    // resolve unchanged; every alias is a native codegen'd expression
+    graft.functions.DuckCompat.injectable.foreach(ext.injectFunction)
     ext.injectOptimizerRule(spark => new routing.RoutingFunctions.LoadConfigRule(spark))
     // the host engine's QUALIFY clause (window-result filtering), folded at
     // parse time into the equivalent window-subquery shape (plans.Qualify)

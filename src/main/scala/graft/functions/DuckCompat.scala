@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.{ArrayType, MapType}
+
+/** Host-dialect function-name compatibility pack: the handful of DuckDB
+  * built-in names that differ only in spelling from a Spark expression, so
+  * statements written against the reference's host engine run verbatim
+  * (the complement of the syntax shims in plans.Qualify — those fold
+  * grammar, this maps vocabulary). Every alias resolves to a NATIVE
+  * codegen'd Catalyst expression — no UDFs:
+  *
+  *  - `len(x)`            → Length (string/binary) or Size (list/map) —
+  *                          type-dispatched at analysis like the host's
+  *  - `list_length`, `strlen`, `array_length` → same dispatch
+  *  - `list_contains`     → ArrayContains
+  *  - `list_has_any`      → ArraysOverlap
+  *  - `list_min/list_max` → ArrayMin / ArrayMax
+  *  - `list_distinct`     → ArrayDistinct
+  *  - `list_unique`       → Size(ArrayDistinct) (the host counts uniques)
+  *  - `list_value(...)`   → CreateArray
+  *  - `string_split/str_split/string_to_array` → StringSplitSQL (LITERAL
+  *                          delimiter, exactly the host's semantics — NOT
+  *                          Spark `split`'s regex)
+  *  - `regexp_matches`    → RLike (both are find-anywhere partial match)
+  *
+  * Null/edge parity follows the Spark expression (documented divergence:
+  * the host's `list_unique` ignores NULL elements; Size+ArrayDistinct
+  * counts a NULL entry once).
+  */
+object DuckCompat {
+
+  /** `len` with the host's type dispatch, as a RuntimeReplaceable so the
+    * replacement is chosen once the argument's type is known and execution
+    * uses the stock codegen'd expression.
+    */
+  case class Len(child: Expression) extends RuntimeReplaceable
+      with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+    override lazy val replacement: Expression = child.dataType match {
+      case _: ArrayType | _: MapType => Size(child)
+      case _                         => Length(child)
+    }
+    override def prettyName: String = "len"
+    override protected def withNewChildInternal(newChild: Expression): Len =
+      copy(child = newChild)
+  }
+
+  private def arity(name: String, n: Int)(f: Seq[Expression] => Expression)
+      : Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != n) throw new IllegalArgumentException(
+        s"$name expects $n arguments, got ${exprs.length}")
+      f(exprs)
+    }
+
+  /** (name, builder) for every alias — consumed by GraftExtensions
+    * (injectFunction) and by [[register]] (per-session temp functions).
+    */
+  val entries: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "len"             -> arity("len", 1)(e => Len(e.head)),
+    "strlen"          -> arity("strlen", 1)(e => Len(e.head)),
+    "list_length"     -> arity("list_length", 1)(e => Len(e.head)),
+    "array_length"    -> arity("array_length", 1)(e => Len(e.head)),
+    "list_contains"   -> arity("list_contains", 2)(e => ArrayContains(e(0), e(1))),
+    "list_has_any"    -> arity("list_has_any", 2)(e => ArraysOverlap(e(0), e(1))),
+    "list_min"        -> arity("list_min", 1)(e => ArrayMin(e.head)),
+    "list_max"        -> arity("list_max", 1)(e => ArrayMax(e.head)),
+    "list_distinct"   -> arity("list_distinct", 1)(e => ArrayDistinct(e.head)),
+    "list_unique"     -> arity("list_unique", 1)(e => Size(ArrayDistinct(e.head))),
+    "list_value"      -> (exprs => CreateArray(exprs)),
+    "string_split"    -> arity("string_split", 2)(e => StringSplitSQL(e(0), e(1))),
+    "str_split"       -> arity("str_split", 2)(e => StringSplitSQL(e(0), e(1))),
+    "string_to_array" -> arity("string_to_array", 2)(e => StringSplitSQL(e(0), e(1))),
+    "regexp_matches"  -> arity("regexp_matches", 2)(e => RLike(e(0), e(1))))
+
+  /** Per-session path for sessions built without GraftExtensions. */
+  def register(spark: SparkSession): Unit =
+    entries.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+
+  /** injectFunction tuples for GraftExtensions. */
+  def injectable: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] =
+    entries.map { case (name, builder) =>
+      (new FunctionIdentifier(name),
+        new ExpressionInfo(DuckCompat.getClass.getName, name), builder)
+    }
+}

@@ -739,8 +739,35 @@ object Relational {
           |       round(sum((l_extendedprice) * (1 - (l_discount))), 2) AS revenue
           |FROM lineitem
           |GROUP BY l_returnflag
-          |ORDER BY l_returnflag""".stripMargin))
+          |ORDER BY l_returnflag""".stripMargin)),
+
+    // -- host function vocabulary: len / string_split / list_* / regexp_matches
+    // (functions/DuckCompat — every alias a native codegen'd expression).
+    // One text, two engines: the statement leans on the aliases everywhere.
+    QueryDef("q36_duck_funcs",
+      (s, d) => {
+        graft.functions.DuckCompat.register(s)
+        t(s, d, "documents").createOrReplaceTempView("documents")
+        s.sql(duckFuncsStatement)
+      },
+      Some(duckFuncsStatement))
   )
+
+  /** q36's statement — host-spelled built-ins resolving to native Spark
+    * expressions via the DuckCompat alias pack (the CASTs pin the host's
+    * BIGINT len/count results to Spark's INT so the dtype-exact driver
+    * hash agrees).
+    */
+  private val duckFuncsStatement =
+    """SELECT doc_id,
+      |       CAST(len(text) AS INT) AS n_chars,
+      |       CAST(len(string_split(text, ' ')) AS INT) AS n_fields,
+      |       CAST(list_unique(string_split(lower(text), ' ')) AS INT) AS n_uniq,
+      |       regexp_matches(text, '[0-9][0-9][0-9]') AS has_num3,
+      |       list_contains(string_split(lower(text), ' '), 'the') AS has_the
+      |FROM documents
+      |WHERE doc_id < 50
+      |ORDER BY doc_id""".stripMargin
 
   /** q34's statement — one text, two engines: per-flag rollup packed into a
     * struct with `struct_pack(k := v)`, then unpacked by field access so the

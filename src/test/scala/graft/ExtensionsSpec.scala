@@ -48,6 +48,36 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("duck compat pack: host-spelled built-ins resolve to native expressions") {
+    val base = SparkTestBase.spark
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+      assert(s2 ne base)
+      val r = s2.sql(
+        """SELECT len('abcd') AS a, len(list_value(1, 2, 3)) AS b,
+          |  list_contains(string_split('x,y,z', ','), 'y') AS c,
+          |  list_has_any(list_value(1, 2), list_value(2, 9)) AS d,
+          |  list_min(list_value(4, 1, 7)) AS e, list_max(list_value(4, 1, 7)) AS f,
+          |  list_unique(list_value(1, 1, 2)) AS g,
+          |  regexp_matches('ab123', '[0-9][0-9]') AS h,
+          |  string_split('a.b.c', '.')[1] AS i
+          |""".stripMargin).collect().head
+      assert(r.getInt(0) == 4)        // string len
+      assert(r.getInt(1) == 3)        // list len
+      assert(r.getBoolean(2))         // list_contains on literal-split
+      assert(r.getBoolean(3))         // list_has_any overlap
+      assert(r.getInt(4) == 1 && r.getInt(5) == 7)
+      assert(r.getInt(6) == 2)        // unique count
+      assert(r.getBoolean(7))         // regexp find-anywhere
+      assert(r.getString(8) == "b")   // literal '.' delimiter, NOT regex
+    } finally {
+      prev.foreach { p => SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p) }
+    }
+  }
+
   test("graft_functions(): reference registration assertions run verbatim") {
     val s = SparkTestBase.spark
     graft.functions.Introspection.register(s)
