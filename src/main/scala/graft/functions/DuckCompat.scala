@@ -25,6 +25,12 @@ import org.apache.spark.sql.types.{ArrayType, MapType}
   *                          delimiter, exactly the host's semantics — NOT
   *                          Spark `split`'s regex)
   *  - `regexp_matches`    → RLike (both are find-anywhere partial match)
+  *  - `list_transform/list_filter` → ArrayTransform/ArrayFilter (the host's
+  *                          `x -> ...` lambda syntax is byte-identical)
+  *  - `list_sort`         → ArraySort; `list_concat` → Concat
+  *  - `array_has`         → ArrayContains
+  *  - `list_extract/list_element/array_extract` → ElementAt (1-based like
+  *                          the host; NULL out of bounds, even under ANSI)
   *
   * Null/edge parity follows the Spark expression (documented divergence:
   * the host's `list_unique` ignores NULL elements; Size+ArrayDistinct
@@ -73,7 +79,19 @@ object DuckCompat {
     "string_split"    -> arity("string_split", 2)(e => StringSplitSQL(e(0), e(1))),
     "str_split"       -> arity("str_split", 2)(e => StringSplitSQL(e(0), e(1))),
     "string_to_array" -> arity("string_to_array", 2)(e => StringSplitSQL(e(0), e(1))),
-    "regexp_matches"  -> arity("regexp_matches", 2)(e => RLike(e(0), e(1))))
+    "regexp_matches"  -> arity("regexp_matches", 2)(e => RLike(e(0), e(1))),
+    // the host's lambda syntax (x -> ...) is byte-identical to Spark's, so
+    // its higher-order list functions alias straight onto Spark's
+    "list_transform"  -> arity("list_transform", 2)(e => ArrayTransform(e(0), e(1))),
+    "list_filter"     -> arity("list_filter", 2)(e => ArrayFilter(e(0), e(1))),
+    "list_sort"       -> arity("list_sort", 1)(e => new ArraySort(e.head)),
+    "list_concat"     -> (exprs => Concat(exprs)),
+    "array_has"       -> arity("array_has", 2)(e => ArrayContains(e(0), e(1))),
+    // 1-based like the host; failOnError=false so out-of-bounds yields NULL
+    // (the host's behavior) even under ANSI mode
+    "list_extract"    -> arity("list_extract", 2)(e => ElementAt(e(0), e(1), None, false)),
+    "list_element"    -> arity("list_element", 2)(e => ElementAt(e(0), e(1), None, false)),
+    "array_extract"   -> arity("array_extract", 2)(e => ElementAt(e(0), e(1), None, false)))
 
   /** Per-session path for sessions built without GraftExtensions. */
   def register(spark: SparkSession): Unit =

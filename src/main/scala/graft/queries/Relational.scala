@@ -763,6 +763,7 @@ object Relational {
       |       CAST(len(text) AS INT) AS n_chars,
       |       CAST(len(string_split(text, ' ')) AS INT) AS n_fields,
       |       CAST(list_unique(string_split(lower(text), ' ')) AS INT) AS n_uniq,
+      |       CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 4)) AS INT) AS n_long,
       |       regexp_matches(text, '[0-9][0-9][0-9]') AS has_num3,
       |       list_contains(string_split(lower(text), ' '), 'the') AS has_the
       |FROM documents

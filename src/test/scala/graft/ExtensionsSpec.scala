@@ -73,6 +73,20 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(r.getInt(6) == 2)        // unique count
       assert(r.getBoolean(7))         // regexp find-anywhere
       assert(r.getString(8) == "b")   // literal '.' delimiter, NOT regex
+      val r2 = s2.sql(
+        """SELECT list_transform(list_value(1, 2, 3), x -> x * 10) AS a,
+          |  list_filter(list_value(1, 2, 3, 4), x -> x % 2 = 0) AS b,
+          |  list_sort(list_value(3, 1, 2)) AS c,
+          |  list_concat(list_value(1), list_value(2, 3)) AS d,
+          |  list_extract(list_value(7, 8, 9), 1) AS e,
+          |  list_extract(list_value(7, 8, 9), 99) AS f
+          |""".stripMargin).collect().head
+      assert(r2.getSeq[Int](0) == Seq(10, 20, 30))   // host lambda syntax
+      assert(r2.getSeq[Int](1) == Seq(2, 4))
+      assert(r2.getSeq[Int](2) == Seq(1, 2, 3))
+      assert(r2.getSeq[Int](3) == Seq(1, 2, 3))
+      assert(r2.getInt(4) == 7)                      // 1-based element
+      assert(r2.isNullAt(5))                         // OOB → NULL under ANSI
     } finally {
       prev.foreach { p => SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p) }
     }
