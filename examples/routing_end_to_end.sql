@@ -65,3 +65,18 @@ SELECT travel_time_request('route',
                  {"lat":43.7410,"lon":7.4280}],
     "exclude_locations":[{"lat":43.7390,"lon":7.4255}],
     "costing":"auto"}') AS via_json;
+
+-- The reference's geometry-macro example, VERBATIM (examples/
+-- geometry_macro.sql): CREATE MACRO registers an untyped SQL macro whose
+-- call sites inline at parse time (lazy binding, like the host engine);
+-- struct_pack folds to named_struct. Shadowing the built-in name with a
+-- macro is exactly what the reference example does.
+CREATE OR REPLACE MACRO travel_time_route(from_geom, to_geom, costing) AS (
+    SELECT struct_pack(
+        distance_km := r.distance_km,
+        duration_minutes := r.duration_minutes,
+        geometry := ST_GeomFromWKB(r.geometry)
+    ) FROM (SELECT travel_time_route_wkb(from_geom, to_geom, costing) as r)
+);
+SELECT travel_time_route('POINT(7.4246 43.7384)',
+                         'POINT(7.4263 43.7396)', 'auto').distance_km;

@@ -76,3 +76,18 @@ SELECT source, lang, count(*) AS n_docs, round(avg(n_words), 2) AS avg_words
 FROM capped
 GROUP BY ALL
 ORDER BY ALL;
+
+-- 8. Host vocabulary runs unchanged (functions.DuckCompat): len /
+--    string_split (literal delimiter) / list_* / regexp_matches all
+--    resolve to native codegen'd Spark expressions.
+SELECT doc_id,
+       CAST(len(text) AS INT) AS n_chars,
+       CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 4)) AS INT) AS n_long,
+       regexp_matches(text, '[0-9][0-9][0-9]') AS has_num3
+FROM documents USING SAMPLE 100 ROWS;
+
+-- 9. Scalar + table macros (host DDL, inlined at parse time).
+CREATE OR REPLACE MACRO disc_price(p, d) AS p * (1 - d);
+CREATE OR REPLACE MACRO top_docs(k) AS TABLE
+    SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT k;
+SELECT doc_id, CAST(len(text) AS INT) AS n FROM top_docs(5);
