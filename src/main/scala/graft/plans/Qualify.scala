@@ -127,15 +127,18 @@ object Qualify {
     var out = text
     var guard = 0
     var changed = true
+    // each pass expands EVERY call site in one scan (rightmost first, so
+    // earlier positions stay valid); the guard bounds only macro-in-macro
+    // NESTING depth, never the number of call sites in a statement
     while (changed && guard < 16) {
       changed = false
       guard += 1
       val (words, _) = scan(out)
-      // expand the first call site found, then rescan (positions shift)
-      words.find { case (w, _, en, _) =>
+      val sites = words.filter { case (w, _, en, _) =>
         macros.contains(w.toLowerCase) &&
           out.substring(en).dropWhile(_.isWhitespace).headOption.contains('(')
-      }.foreach { case (w, st, en, _) =>
+      }
+      sites.reverseIterator.foreach { case (w, st, en, _) =>
         val m = macros(w.toLowerCase)
         val open = out.indexOf('(', en)
         matchParen(out, open).foreach { close =>

@@ -249,6 +249,12 @@ class QualifySpec extends AnyFunSuite {
       "CREATE OR REPLACE MACRO top_v(k) AS TABLE SELECT id, v FROM q_t ORDER BY v DESC LIMIT k")
     val tv = Qualify.sql(s, "SELECT id FROM top_v(2) ORDER BY id")
     assert(tv.collect().map(_.getInt(0)).toSeq == Seq(2, 3))
+    // many call sites in one statement (regression: the expansion guard
+    // bounds nesting depth, not site count) + nested call-site arguments
+    val wide = (1 to 40).map(i => s"twice($i) AS c$i").mkString("SELECT ", ", ", "")
+    val row = Qualify.sql(s, wide).collect().head
+    assert((0 until 40).forall(i => row.getInt(i) == (i + 1) * 2))
+    assert(Qualify.sql(s, "SELECT twice(twice(3)) AS v").collect().head.getInt(0) == 12)
   }
 
   test("injected parser: CREATE MACRO registers and expands via plain spark.sql") {
