@@ -86,16 +86,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         routing.RoutingFunctions.DriverSideCall("valhalla_build_tiles", exprs,
           org.apache.spark.sql.types.StringType))))
     // catalog introspection parity with the reference's registration test
-    // (duckdb_functions() there): test/sql/travel_time.test:16-48
-    ext.injectTableFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_functions"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        graft.functions.Introspection.getClass.getName, "graft_functions"),
-      graft.functions.Introspection.builder))
+    // (test/sql/travel_time.test:16-48) — both spellings, so the reference
+    // assertions run verbatim
+    Seq("graft_functions", "duckdb_functions").foreach { name =>
+      ext.injectTableFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          graft.functions.Introspection.getClass.getName, name),
+        graft.functions.Introspection.builder))
+    }
     // host-dialect function-name aliases (len, list_*, string_split,
     // regexp_matches, ...) — vocabulary parity so reference-host statements
     // resolve unchanged; every alias is a native codegen'd expression
     graft.functions.DuckCompat.injectable.foreach(ext.injectFunction)
+    // host JSON-construction vocabulary (json_object/json_array/json) —
+    // the reference's GeoJSON-export examples run verbatim
+    graft.functions.JsonCompat.injectable.foreach(ext.injectFunction)
     ext.injectOptimizerRule(spark => new routing.RoutingFunctions.LoadConfigRule(spark))
     // the host engine's QUALIFY clause (window-result filtering), folded at
     // parse time into the equivalent window-subquery shape (plans.Qualify)

@@ -91,7 +91,37 @@ object DuckCompat {
     // (the host's behavior) even under ANSI mode
     "list_extract"    -> arity("list_extract", 2)(e => ElementAt(e(0), e(1), None, false)),
     "list_element"    -> arity("list_element", 2)(e => ElementAt(e(0), e(1), None, false)),
-    "array_extract"   -> arity("array_extract", 2)(e => ElementAt(e(0), e(1), None, false)))
+    "array_extract"   -> arity("array_extract", 2)(e => ElementAt(e(0), e(1), None, false)),
+    // `current_setting(name)` — the host's settings getter
+    // (examples/s3_tiles_example.sql:67). Resolved at analysis time against
+    // the active session conf (the same moment the host reads its config
+    // map): the raw name first (covers verbatim `SET valhalla_x = ...`
+    // statements, which Spark stores under the raw key), then the graft
+    // conf key the setting maps to. Unknown name → error, as in the host.
+    "current_setting" -> arity("current_setting", 1)(e => currentSetting(e.head)))
+
+  private val settingAliases = Map(
+    // `SET valhalla_tiles` analogue lives at spark.graft.routing.tiles
+    // (routing.RoutingContext.TilesConf); valhalla_config is the reference
+    // examples' spelling for the same config-path setting
+    "valhalla_tiles"  -> "spark.graft.routing.tiles",
+    "valhalla_config" -> "spark.graft.routing.tiles")
+
+  private def currentSetting(nameExpr: Expression): Expression = {
+    val name = nameExpr match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+      case _ => throw new IllegalArgumentException(
+        "current_setting expects a string literal setting name")
+    }
+    val spark = SparkSession.getActiveSession.getOrElse(
+      throw new IllegalStateException("no active SparkSession"))
+    val value = spark.conf.getOption(name)
+      .orElse(settingAliases.get(name.toLowerCase).flatMap(spark.conf.getOption))
+      .getOrElse(throw new IllegalArgumentException(
+        s"unrecognized configuration parameter \"$name\""))
+    Literal(org.apache.spark.unsafe.types.UTF8String.fromString(value),
+      org.apache.spark.sql.types.StringType)
+  }
 
   /** Per-session path for sessions built without GraftExtensions. */
   def register(spark: SparkSession): Unit =

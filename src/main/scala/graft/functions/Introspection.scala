@@ -45,8 +45,14 @@ object Introspection {
     plan(spark)
   }
 
-  /** Per-session install (the zero-code path is GraftExtensions). */
+  /** Per-session install (the zero-code path is GraftExtensions). Both
+    * names register: `graft_functions` is this engine's spelling,
+    * `duckdb_functions` the host's — so the reference's registration test
+    * (test/sql/travel_time.test:16-48) runs VERBATIM.
+    */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
-      "graft_functions", builder, "scala_udf")
+    Seq("graft_functions", "duckdb_functions").foreach { name =>
+      spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
 }

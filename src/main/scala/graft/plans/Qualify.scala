@@ -199,11 +199,43 @@ object Qualify {
   /** All host-dialect shims: QUALIFY and DISTINCT ON folding, the
     * `* EXCLUDE (...)` star modifier (Spark spells that one `* EXCEPT`),
     * the `struct_pack(k := v)` struct constructor (Spark spells it
-    * `named_struct('k', v)`), and the `USING SAMPLE` clause (Spark spells
-    * it `TABLESAMPLE`).
+    * `named_struct('k', v)`), the `USING SAMPLE` clause (Spark spells
+    * it `TABLESAMPLE`), and the `::JSON` cast (stripped — Spark has no
+    * JSON type; functions.JsonCompat detects JSON-ness structurally).
     */
   def dialect(text: String): String =
-    rewriteUsingSample(rewriteStructPack(rewriteExclude(rewrite(text))))
+    rewriteUsingSample(rewriteStructPack(rewriteExclude(rewriteJsonCast(rewrite(text)))))
+
+  /** Strip `::JSON` casts — the host dialect's way of tagging a VARCHAR as
+    * JSON so `json_object`/`json_array` embed it raw
+    * (examples/monaco_pure_sql.sql:108). Spark has no JSON type; the
+    * JSON-producing expression left in value position is detected
+    * structurally by functions.JsonCompat, so the cast is pure syntax here.
+    * Only the exact token context rewrites (`::` then the word JSON), so
+    * identifiers named `json` and `CAST(x AS ...)` forms are never touched.
+    */
+  def rewriteJsonCast(sql: String): String = {
+    if (!sql.toLowerCase.contains("json")) return sql
+    val (words, _) = scan(sql)
+    val hits = words.filter { case (w, st, _, _) =>
+      w == "JSON" && sql.substring(0, st).reverse.dropWhile(_.isWhitespace).startsWith("::")
+    }
+    if (hits.isEmpty) return sql
+    val sb = new StringBuilder
+    var pos = 0
+    hits.foreach { case (_, st, en, _) =>
+      // walk back from the word over whitespace, then over the two colons
+      var i = st - 1
+      while (i >= 0 && sql.charAt(i).isWhitespace) i -= 1
+      i -= 1 // the filter above verified sql(i-1..i) == "::"
+      if (i >= pos) {
+        sb.append(sql.substring(pos, i))
+        pos = en
+      }
+    }
+    sb.append(sql.substring(pos))
+    sb.toString
+  }
 
   /** `USING SAMPLE n%` / `USING SAMPLE n PERCENT` / `USING SAMPLE n ROWS`
     * → `TABLESAMPLE (n PERCENT|ROWS)` — the host dialect's sampling clause,

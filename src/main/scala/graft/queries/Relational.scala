@@ -750,8 +750,41 @@ object Relational {
         t(s, d, "documents").createOrReplaceTempView("documents")
         s.sql(duckFuncsStatement)
       },
-      Some(duckFuncsStatement))
+      Some(duckFuncsStatement)),
+
+    // -- host JSON construction: json_object / json_array / json ------------
+    // (functions/JsonCompat — native codegen'd expressions; the reference's
+    // GeoJSON-export vocabulary, examples/monaco_pure_sql.sql:101-113). One
+    // text, two engines: nested objects/arrays embed RAW (the host's JSON-
+    // type semantics, tracked structurally here), and the emitted JSON text
+    // must match the host's yyjson byte-for-byte — minified, minimal
+    // escaping. Aggregates feed through exact-integer paths (per-row round
+    // to cents, then BIGINT sum) so the payload is engine-order-independent.
+    QueryDef("q37_json_export",
+      (s, d) => {
+        graft.functions.JsonCompat.register(s)
+        t(s, d, "customer").createOrReplaceTempView("customer")
+        t(s, d, "nation").createOrReplaceTempView("nation")
+        graft.plans.Qualify.sql(s, jsonExportStatement)
+      },
+      Some(jsonExportStatement))
   )
+
+  /** q37's statement — host JSON constructors over an exact-integer
+    * aggregate; the `json(...)` value embeds raw in both engines.
+    */
+  private val jsonExportStatement =
+    """SELECT n_name AS nation,
+      |       json_object(
+      |         'nation', n_name,
+      |         'customers', CAST(count(*) AS INT),
+      |         'acct_cents', CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT),
+      |         'flags', json_array('active', true, 1),
+      |         'meta', json_object('source', 'tpch', 'schema', json('{"v":1}'))
+      |       ) AS payload
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
 
   /** q36's statement — host-spelled built-ins resolving to native Spark
     * expressions via the DuckCompat alias pack (the CASTs pin the host's

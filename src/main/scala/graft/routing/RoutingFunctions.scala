@@ -145,10 +145,14 @@ object RoutingFunctions {
       (lat: Double, lon: Double, costing: String) =>
         RoutingOps.snap(h.requireGraph(costing), lat, lon))
 
-    // WKT-string endpoints (the `travel_time_route` macro surface,
-    // examples/geometry_macro.sql:30-36)
+    // the `travel_time_route` macro surface (examples/geometry_macro.sql:30-36).
+    // Bytes, like _wkb: GEOMETRY arguments (st_point WKB — the reference
+    // macro's signature, test/sql/monaco_routing.test:150) pass through
+    // unchanged, and WKT-string endpoints arrive via Spark's implicit
+    // STRING→BINARY cast and route through routeAny's UTF-8 WKT fallback —
+    // the host's VARCHAR→BLOB coercion, so both spellings work
     spark.udf.register("travel_time_route",
-      (from: String, to: String, costing: String) =>
+      (from: Array[Byte], to: Array[Byte], costing: String) =>
         RoutingOps.routeAny(h.requireGraph(costing), from, to))
 
     // WKB-blob endpoints (canonical form, src/travel_time_extension.cpp:899-911)

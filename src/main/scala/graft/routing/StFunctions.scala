@@ -26,6 +26,8 @@ object StFunctions {
 
     spark.udf.register("st_npoints", (b: Array[Byte]) => nPoints(b))
     spark.udf.register("st_geometrytype", (b: Array[Byte]) => geomType(b))
+    // the reference's tests spell it ST_GeomType (test/sql/monaco_routing.test:57,150)
+    spark.udf.register("st_geomtype", (b: Array[Byte]) => geomType(b))
 
     spark.udf.register("st_startpoint", (b: Array[Byte]) =>
       Wkb.readLineString(b).flatMap(_.headOption).map(p => Wkb.writePoint(p._1, p._2)))

@@ -1,0 +1,98 @@
+package graft
+
+import graft.plans.Qualify
+import org.scalatest.funsuite.AnyFunSuite
+
+/** functions.JsonCompat — the host's JSON-construction vocabulary
+  * (json_object / json_array / json) with structural raw-embedding, plus
+  * the `::JSON` parse-time strip and `current_setting`.
+  */
+class JsonCompatSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = SparkTestBase.spark
+    graft.functions.JsonCompat.register(s)
+    graft.functions.DuckCompat.register(s)
+    s
+  }
+
+  private def one(sql: String): String =
+    spark.sql(sql).collect().head.getString(0)
+
+  test("json_object: minified key/value rendering by type") {
+    assert(one("SELECT json_object('a', 1, 'b', 'x', 'c', true, 'd', CAST(NULL AS INT)) AS j")
+      === """{"a":1,"b":"x","c":true,"d":null}""")
+    assert(one("SELECT json_object('pi', round(3.14159, 2)) AS j")
+      === """{"pi":3.14}""")
+    assert(one("SELECT json_object('d', DATE '2026-08-13') AS j")
+      === """{"d":"2026-08-13"}""")
+  }
+
+  test("json_object: string values escape, JSON-producing values embed raw") {
+    assert(one("""SELECT json_object('s', 'say "hi"\nplease') AS j""")
+      === "{\"s\":\"say \\\"hi\\\"\\nplease\"}")
+    // a nested json_object embeds raw, a plain string of the same text escapes
+    assert(one("SELECT json_object('inner', json_object('k', 1)) AS j")
+      === """{"inner":{"k":1}}""")
+    assert(one("""SELECT json_object('inner', '{"k":1}') AS j""")
+      === """{"inner":"{\"k\":1}"}""")
+    // json(...) tags arbitrary text as raw JSON
+    assert(one("""SELECT json_object('inner', json('{"k":1}')) AS j""")
+      === """{"inner":{"k":1}}""")
+  }
+
+  test("json_array: values render by type, nested objects embed raw") {
+    assert(one("SELECT json_array(1, 'two', false, json_object('three', 3)) AS j")
+      === """[1,"two",false,{"three":3}]""")
+    assert(one("SELECT json_array() AS j") === "[]")
+  }
+
+  test("json_object runs per-row over a table inside codegen") {
+    import spark.implicits._
+    val rows = Seq((1, "a"), (2, "b\"c")).toDF("id", "s")
+    rows.createOrReplaceTempView("jc_rows")
+    val out = spark.sql(
+      "SELECT json_object('id', id, 's', s) AS j FROM jc_rows ORDER BY id")
+      .collect().map(_.getString(0))
+    assert(out === Array("""{"id":1,"s":"a"}""", "{\"id\":2,\"s\":\"b\\\"c\"}"))
+  }
+
+  test("::JSON cast strips at parse time (examples/monaco_pure_sql.sql:108)") {
+    assert(Qualify.rewriteJsonCast("SELECT x::JSON FROM t") === "SELECT x FROM t")
+    assert(Qualify.rewriteJsonCast("SELECT f(y) :: JSON AS j") === "SELECT f(y)  AS j")
+    // not a cast context: untouched
+    assert(Qualify.rewriteJsonCast("SELECT json FROM t") === "SELECT json FROM t")
+    assert(Qualify.rewriteJsonCast("SELECT ':: JSON' AS s") === "SELECT ':: JSON' AS s")
+    // through the dialect pipeline, the value lands in json_object raw
+    val j = Qualify.sql(spark,
+      """SELECT json_object('g', json('{"a":[1,2]}')::JSON) AS j""")
+      .collect().head.getString(0)
+    assert(j === """{"g":{"a":[1,2]}}""")
+  }
+
+  test("current_setting reads the session conf under host or graft names " +
+    "(examples/s3_tiles_example.sql:67)") {
+    spark.conf.set("spark.graft.routing.tiles", "/tmp/tiles-under-test")
+    try {
+      assert(one("SELECT current_setting('valhalla_tiles') AS v")
+        === "/tmp/tiles-under-test")
+      assert(one("SELECT current_setting('valhalla_config') AS v")
+        === "/tmp/tiles-under-test")
+      // verbatim `SET x = y` statements store under the raw key; that wins
+      spark.sql("SET valhalla_config = s3://bucket/valhalla.json")
+      assert(one("SELECT current_setting('valhalla_config') AS v")
+        === "s3://bucket/valhalla.json")
+      spark.conf.unset("valhalla_config")
+      val err = intercept[Exception](one("SELECT current_setting('nope_setting') AS v"))
+      assert(err.getMessage.contains("nope_setting"))
+    } finally {
+      spark.conf.unset("spark.graft.routing.tiles")
+    }
+  }
+
+  test("compound values are rejected with a to_json pointer") {
+    val err = intercept[Exception](
+      spark.sql("SELECT json_object('a', array(1, 2)) AS j").collect())
+    assert(err.getMessage.contains("to_json"))
+  }
+}

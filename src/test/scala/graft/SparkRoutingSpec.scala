@@ -244,6 +244,72 @@ class SparkRoutingSpec extends AnyFunSuite {
       direct.getAs[Array[Byte]](2)))
   }
 
+  test("reference registration assertions run verbatim via duckdb_functions() " +
+    "(travel_time.test:16-48)") {
+    graft.functions.Introspection.register(spark)
+    Seq("travel_time_load_config", "travel_time", "travel_time_is_loaded",
+      "travel_time_locate", "travel_time_request", "travel_time_matrix")
+      .foreach { fn =>
+        val rows = spark.sql(
+          s"SELECT function_name FROM duckdb_functions() WHERE function_name = '$fn'")
+          .collect()
+        assert(rows.map(_.getString(0)).toSeq == Seq(fn), fn)
+      }
+    // travel_time.test:31 asserts by count
+    assert(spark.sql(
+      "SELECT count(*) FROM duckdb_functions() WHERE function_name = 'travel_time_route_wkb'")
+      .collect().head.getLong(0) == 1L)
+  }
+
+  test("ST_GeomType spelling runs verbatim (monaco_routing.test:57,150)") {
+    assert(one(
+      """SELECT ST_GeomType(ST_GeomFromWKB(
+        |    travel_time_route_wkb('POINT(7.4281 43.7396)', 'POINT(7.4197 43.7312)', 'auto').geometry
+        |)) AS t""".stripMargin).getString(0) == "LINESTRING")
+    assert(one(
+      "SELECT ST_GeomType(travel_time_route(st_point(7.4281, 43.7396), st_point(7.4197, 43.7312), 'auto').geometry) AS t")
+      .getString(0) == "LINESTRING")
+  }
+
+  test("reference GeoJSON export statement runs verbatim: json_object + json_array + " +
+    "::JSON (examples/monaco_pure_sql.sql:93-113)") {
+    import graft.plans.Qualify
+    graft.functions.JsonCompat.register(spark)
+    // the reference's SELECT, unmodified (the COPY wrapper around it is r16's
+    // surface; the statement text including the ::JSON cast parses as-is)
+    val feature = Qualify.sql(spark,
+      """WITH route AS (
+        |    SELECT travel_time_route(
+        |        ST_Point(7.4275, 43.7397),
+        |        ST_Point(7.4254, 43.7308),
+        |        'auto'
+        |    ) as r
+        |)
+        |SELECT json_object(
+        |    'type', 'FeatureCollection',
+        |    'features', json_array(
+        |        json_object(
+        |            'type', 'Feature',
+        |            'properties', json_object(
+        |                'name', 'Casino to Museum',
+        |                'distance_km', round(r.distance_km, 3),
+        |                'duration_min', round(r.duration_minutes, 2)
+        |            ),
+        |            'geometry', ST_AsGeoJSON(r.geometry)::JSON
+        |        )
+        |    )
+        |) AS geojson
+        |FROM route""".stripMargin).collect().head.getString(0)
+    // valid GeoJSON with the geometry embedded RAW (an object, not an
+    // escaped string) — the ::JSON semantics
+    assert(feature.startsWith("""{"type":"FeatureCollection","features":[{"type":"Feature","properties":{"name":"Casino to Museum","distance_km":"""))
+    assert(feature.contains(""""geometry":{"type":"LineString","coordinates":[["""))
+    assert(!feature.contains("\\\"type\\\""))
+    // the payload numbers are real route results
+    val dist = "\"distance_km\":([0-9.]+)".r.findFirstMatchIn(feature).get.group(1).toDouble
+    assert(dist > 0.5 && dist < 5.0)
+  }
+
   test("macro equivalence: travel_time ≈ route duration (monaco_routing.test:132-160)") {
     val t = one("SELECT travel_time(43.7, 7.4, 43.781, 7.481, 'auto') AS t").getDouble(0)
     val r = one("SELECT travel_time_route('POINT(7.4 43.7)', 'POINT(7.481 43.781)', 'auto').duration_minutes AS m")
