@@ -155,6 +155,14 @@ object RoutingFunctions {
       (from: Array[Byte], to: Array[Byte], costing: String) =>
         RoutingOps.routeAny(h.requireGraph(costing), from, to))
 
+    // `travel_time_route_geom` (ITALY.md:154-166,258-272): the reference's
+    // "already GEOMETRY" variant. WKB is this engine's canonical geometry
+    // form, so the surface is identical to travel_time_route — registered
+    // under its own name so the doc statements run verbatim
+    spark.udf.register("travel_time_route_geom",
+      (from: Array[Byte], to: Array[Byte], costing: String) =>
+        RoutingOps.routeAny(h.requireGraph(costing), from, to))
+
     // WKB-blob endpoints (canonical form, src/travel_time_extension.cpp:899-911)
     spark.udf.register("travel_time_route_wkb",
       (from: Array[Byte], to: Array[Byte], costing: String) =>

@@ -38,7 +38,17 @@ object StFunctions {
 
     // geodesic length in meters of a LINESTRING (0 for points)
     spark.udf.register("st_length_spheroid", (b: Array[Byte]) => lengthM(b))
+    // planar length in coordinate units — DuckDB-spatial ST_Length semantics
+    // (the reference's `length_degrees`, ITALY.md:165,269)
+    spark.udf.register("st_length", (b: Array[Byte]) => lengthPlanar(b))
   }
+
+  def lengthPlanar(b: Array[Byte]): Option[Double] =
+    Wkb.readLineString(b).map { pts =>
+      pts.sliding(2).collect { case Array(a, c) =>
+        math.hypot(c._1 - a._1, c._2 - a._2)
+      }.sum
+    }.orElse(Wkb.readPoint(b).map(_ => 0.0))
 
   def wktToWkb(s: String): Option[Array[Byte]] = {
     if (s == null) return None

@@ -310,6 +310,35 @@ class SparkRoutingSpec extends AnyFunSuite {
     assert(dist > 0.5 && dist < 5.0)
   }
 
+  test("reference route-analysis statement runs verbatim: travel_time_route_geom + " +
+    "ST_Length/ST_NPoints/ST_AsText (ITALY.md:256-273)") {
+    // the ITALY.md shape, with grid-fixture endpoints
+    val r = one(
+      """WITH route AS (
+        |    SELECT travel_time_route_geom(
+        |        ST_Point(7.4, 43.7),
+        |        ST_Point(7.47, 43.77),
+        |        'auto'
+        |    ) as r
+        |)
+        |SELECT
+        |    round(r.distance_km, 1) as km,
+        |    round(r.duration_minutes / 60.0, 1) as hours,
+        |    ST_NPoints(r.geometry) as waypoints,
+        |    round(ST_Length(r.geometry), 4) as length_degrees,
+        |    round(r.distance_km / (r.duration_minutes / 60.0), 0) as avg_speed_kmh,
+        |    ST_AsText(ST_StartPoint(r.geometry)) as start_point,
+        |    ST_AsText(ST_EndPoint(r.geometry)) as end_point
+        |FROM route""".stripMargin)
+    assert(r.getDouble(0) > 5.0)                  // km: ~0.07° each way
+    assert(r.getInt(2) > 2)                       // waypoints
+    // ≥ the snapped straight-line separation (hypot(0.07, 0.07) ≈ 0.099°)
+    assert(r.getDouble(3) >= 0.099 && r.getDouble(3) < 1.0)
+    assert(r.getDouble(4) > 10.0 && r.getDouble(4) < 150.0)
+    assert(r.getString(5).startsWith("POINT("))
+    assert(r.getString(6).startsWith("POINT("))
+  }
+
   test("macro equivalence: travel_time ≈ route duration (monaco_routing.test:132-160)") {
     val t = one("SELECT travel_time(43.7, 7.4, 43.781, 7.481, 'auto') AS t").getDouble(0)
     val r = one("SELECT travel_time_route('POINT(7.4 43.7)', 'POINT(7.481 43.781)', 'auto').duration_minutes AS m")
