@@ -69,7 +69,16 @@ object Qualify {
         registryOf(spark).put(m.name.toLowerCase, m)
         spark.sql("SELECT true AS ok")
       case None =>
-        spark.sql(dialect(expandMacros(text, registryOf(spark))))
+        parseCopy(text) match {
+          case Some(spec) =>
+            // expand macros + dialect on the export body here, so COPY gets
+            // the full shim treatment on sessions without the injected parser
+            val inner = dialect(expandMacros(spec.innerSql, registryOf(spark)))
+            val n = CopyToFile.run(spark, spec.copy(innerSql = inner))
+            spark.sql(s"SELECT CAST($n AS BIGINT) AS Count")
+          case None =>
+            spark.sql(dialect(expandMacros(text, registryOf(spark))))
+        }
     }
 
   /** Macros registered for `spark` via [[sql]] or the injected parser. */
@@ -78,6 +87,78 @@ object Qualify {
   /** Register a macro for `spark` (the injected parser's DDL path). */
   def registerMacro(spark: SparkSession, m: SqlMacro): Unit =
     registryOf(spark).put(m.name.toLowerCase, m)
+
+  /** Recognize the host's `COPY (<query>) TO '<file>' [(options)]` export
+    * statement — also the `COPY name TO ...` table form (inner query
+    * becomes `SELECT * FROM name`). Options parse loosely as
+    * key [value] pairs (`FORMAT CSV, HEADER, DELIMITER '|'`). Returns the
+    * spec for [[CopyToFile]]; anything not matching falls through to the
+    * stock parser.
+    */
+  def parseCopy(text: String): Option[CopyToFile.Spec] = {
+    val (words, groups) = scan(text)
+    val top = words.filter(_._4 == 0)
+    if (top.isEmpty || top.head._1 != "COPY" ||
+      top.head._2 > text.indexWhere(!_.isWhitespace)) return None
+    val copyEnd = top.head._3
+    // source: a parenthesized query, or a bare table identifier
+    val afterCopy = text.substring(copyEnd).dropWhile(_.isWhitespace)
+    val (inner, srcEnd) =
+      if (afterCopy.startsWith("(")) {
+        val open = text.indexOf('(', copyEnd)
+        val close = matchParen(text, open).getOrElse(return None)
+        (text.substring(open + 1, close).trim, close + 1)
+      } else {
+        val name = top.lift(1).getOrElse(return None)
+        if (!text.substring(copyEnd, name._2).isBlank) return None
+        (s"SELECT * FROM ${text.substring(name._2, name._3)}", name._3)
+      }
+    val toWord = top.find(w => w._1 == "TO" && w._2 >= srcEnd).getOrElse(return None)
+    if (!text.substring(srcEnd, toWord._2).isBlank) return None
+    // the target is a string literal right after TO
+    val afterTo = text.substring(toWord._3).dropWhile(_.isWhitespace)
+    if (!afterTo.startsWith("'")) return None
+    val quoteStart = toWord._3 + (text.substring(toWord._3).length - afterTo.length)
+    var i = quoteStart + 1
+    val sb = new StringBuilder
+    var closed = false
+    while (i < text.length && !closed) {
+      val c = text.charAt(i)
+      if (c == '\'') {
+        if (i + 1 < text.length && text.charAt(i + 1) == '\'') { sb.append('\''); i += 2 }
+        else { closed = true; i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    if (!closed || sb.isEmpty) return None
+    // optional (options) or WITH (options); then only `;`/whitespace may follow
+    val rest = text.substring(i)
+    val restTrim = rest.dropWhile(_.isWhitespace)
+    val restOffset = i + (rest.length - restTrim.length)
+    var options = Map.empty[String, String]
+    var tail = restTrim
+    val withStripped =
+      if (restTrim.toUpperCase.startsWith("WITH")) restTrim.substring(4).dropWhile(_.isWhitespace)
+      else restTrim
+    if (withStripped.startsWith("(")) {
+      val open = restOffset + (restTrim.length - withStripped.length)
+      val close = matchParen(text, open).getOrElse(return None)
+      options = splitTopLevel(text.substring(open + 1, close)).flatMap { part =>
+        val toks = part.trim.split("\\s+", 2)
+        if (toks.isEmpty || toks(0).isEmpty) None
+        else {
+          // keys case-fold; values keep their spelling (a DELIMITER is
+          // literal text) — boolean-ish values fold at the use site
+          val key = toks(0).toLowerCase
+          val value = if (toks.length > 1)
+            toks(1).trim.stripPrefix("'").stripSuffix("'") else "true"
+          Some(key -> value)
+        }
+      }.toMap
+      tail = text.substring(close + 1)
+    }
+    if (!tail.forall(c => c.isWhitespace || c == ';')) return None
+    Some(CopyToFile.Spec(inner, sb.toString, options))
+  }
 
   /** Recognize `CREATE [OR REPLACE] [TEMP|TEMPORARY] MACRO name(p1, p2) AS
     * [TABLE] body` — the host dialect's scalar and table macro DDL

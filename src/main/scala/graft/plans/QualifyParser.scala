@@ -26,10 +26,17 @@ class QualifyParser(session: SparkSession, delegate: ParserInterface)
       // engine's statement-ok result
       return parse("SELECT true AS ok")
     }
+    Qualify.parseCopy(text).foreach { spec =>
+      // the inner query is kept as text; CopyToFile.run re-enters
+      // session.sql at execution, so it receives the full shim treatment
+      // (macros registered by then included)
+      return CopyToFileCommand(spec)
+    }
     val macros = Qualify.macrosOf(session)
     val lower = text.toLowerCase
     val mentionsShim = lower.contains("qualify") || lower.contains("exclude") ||
       lower.contains("distinct") || lower.contains("struct_pack") ||
+      lower.contains("::") ||
       (lower.contains("using") && lower.contains("sample"))
     val mentionsMacro = macros.nonEmpty && macros.keysIterator.exists(lower.contains)
     if (!mentionsShim && !mentionsMacro) return parse(text)

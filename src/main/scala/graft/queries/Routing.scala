@@ -633,27 +633,31 @@ object Routing {
       (s, _) => {
         import s.implicits._
         ensure(s); pointsView(s)
-        // COPY (...) TO file analogue (examples/monaco_pure_sql.sql:88-116):
-        // route GeoJSON features -> write as text -> re-ingest via the
-        // binaryFile source (read_blob analogue) and as json lines
+        graft.functions.JsonCompat.register(s)
+        // the host's COPY (...) TO file statement, verbatim dialect
+        // (examples/monaco_pure_sql.sql:88-116): route GeoJSON features →
+        // ONE exported file → re-ingest via the binaryFile source
+        // (read_blob analogue) and as text lines
         val dir = java.nio.file.Files.createTempDirectory("graft-export").toString
-        val features = s.sql(
-          """SELECT to_json(named_struct(
-            |  'type', 'Feature',
-            |  'properties', named_struct('pair_id', pair_id,
-            |    'km', round(r.distance_km, 4)),
-            |  'geometry', st_asgeojson(r.geometry))) AS feature
-            |FROM (SELECT pair_id, travel_time_route(
-            |        concat('POINT(', lon1, ' ', lat1, ')'),
-            |        concat('POINT(', lon2, ' ', lat2, ')'), 'auto') AS r
-            |      FROM g_pairs) ORDER BY pair_id""".stripMargin)
-        features.coalesce(1).write.mode("overwrite").text(s"$dir/features")
-        val reread = s.read.text(s"$dir/features")
-        val blobBytes = s.read.format("binaryFile").load(s"$dir/features/*.txt")
+        val exported = graft.plans.Qualify.sql(s,
+          s"""COPY (
+             |  SELECT json_object(
+             |    'type', 'Feature',
+             |    'properties', json_object('pair_id', pair_id,
+             |      'km', round(r.distance_km, 4)),
+             |    'geometry', st_asgeojson(r.geometry)::JSON) AS feature
+             |  FROM (SELECT pair_id, travel_time_route(
+             |          concat('POINT(', lon1, ' ', lat1, ')'),
+             |          concat('POINT(', lon2, ' ', lat2, ')'), 'auto') AS r
+             |        FROM g_pairs) ORDER BY pair_id
+             |) TO '$dir/features.geojson'""".stripMargin)
+          .collect()(0).getLong(0)
+        val reread = s.read.text(s"$dir/features.geojson")
+        val blobBytes = s.read.format("binaryFile").load(s"$dir/features.geojson")
           .selectExpr("sum(length(content)) AS n").collect()(0).getLong(0)
-        Seq((reread.count(), blobBytes > 0,
+        Seq((exported, reread.count(), blobBytes > 0,
           reread.filter($"value".contains("\"Feature\"")).count()))
-          .toDF("n_features", "blob_ingest_ok", "n_valid")
+          .toDF("n_exported", "n_features", "blob_ingest_ok", "n_valid")
       }, None),
 
     QueryDef("r10_st_funcs",

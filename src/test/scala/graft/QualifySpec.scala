@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
 import graft.plans.Qualify
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
@@ -294,6 +296,65 @@ class QualifySpec extends AnyFunSuite {
       assert(s2.sql("SELECT 'QUALIFY' AS w").collect().head.getString(0) == "QUALIFY")
     } finally {
       prev.foreach { p => SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p) }
+    }
+  }
+
+  test("COPY TO: parse forms, csv/parquet/raw exports, Count return") {
+    import graft.plans.{CopyToFile, Qualify}
+    // parse: subquery + options
+    val spec = Qualify.parseCopy(
+      "COPY (SELECT 1 AS a) TO 'out.csv' (FORMAT CSV, HEADER false, DELIMITER '|');").get
+    assert(spec.innerSql == "SELECT 1 AS a" && spec.target == "out.csv")
+    assert(spec.options == Map("format" -> "CSV", "header" -> "false", "delimiter" -> "|"))
+    // parse: bare table form
+    assert(Qualify.parseCopy("COPY mytab TO 'x.parquet'").get.innerSql
+      == "SELECT * FROM mytab")
+    // not COPY statements
+    assert(Qualify.parseCopy("SELECT 'COPY (x) TO y' AS s").isEmpty)
+    assert(Qualify.parseCopy("COPY corrupted").isEmpty)
+
+    val dir = Files.createTempDirectory("graft-copy").toString
+    try {
+      // csv with header (the host default)
+      val ack = Qualify.sql(spark,
+        s"COPY (SELECT id, v FROM (VALUES (1, 'x'), (2, 'y')) AS t(id, v) ORDER BY id) TO '$dir/t.csv'")
+        .collect().head.getLong(0)
+      assert(ack == 2L)
+      val lines = Files.readAllLines(Paths.get(s"$dir/t.csv"))
+      assert(lines.size == 3 && lines.get(0) == "id,v" && lines.get(1) == "1,x")
+      // parquet single file, readable back
+      Qualify.sql(spark, s"COPY (SELECT 42 AS n) TO '$dir/t.parquet'")
+      assert(spark.read.parquet(s"$dir/t.parquet").collect().head.getInt(0) == 42)
+      // raw: single string column → file body verbatim
+      Qualify.sql(spark, s"""COPY (SELECT '{"type":"FeatureCollection"}' AS g) TO '$dir/t.geojson'""")
+      assert(new String(Files.readAllBytes(Paths.get(s"$dir/t.geojson")),
+        java.nio.charset.StandardCharsets.UTF_8) == "{\"type\":\"FeatureCollection\"}\n")
+      // raw: single binary column → bytes verbatim (the read_blob roundtrip,
+      // examples/monaco_end_to_end.sql:24-26)
+      Qualify.sql(spark, s"COPY (SELECT CAST('pbf-bytes' AS BINARY) AS b) TO '$dir/t.osm.pbf'")
+      assert(new String(Files.readAllBytes(Paths.get(s"$dir/t.osm.pbf")),
+        java.nio.charset.StandardCharsets.UTF_8) == "pbf-bytes")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("COPY TO via the injected parser: plain spark.sql exports one file") {
+    val base = SparkTestBase.spark
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val dir = Files.createTempDirectory("graft-copy-parser").toString
+    try {
+      val s2 = SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+      val n = s2.sql(
+        s"COPY (SELECT x AS id FROM (VALUES (7), (8), (9)) AS t(x)) TO '$dir/ids.csv' (HEADER false)")
+        .collect().head.getLong(0)
+      assert(n == 3L)
+      assert(Files.readAllLines(Paths.get(s"$dir/ids.csv")).size == 3)
+    } finally {
+      prev.foreach { p => SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p) }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
 }

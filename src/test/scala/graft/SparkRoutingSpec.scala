@@ -275,8 +275,40 @@ class SparkRoutingSpec extends AnyFunSuite {
     "::JSON (examples/monaco_pure_sql.sql:93-113)") {
     import graft.plans.Qualify
     graft.functions.JsonCompat.register(spark)
-    // the reference's SELECT, unmodified (the COPY wrapper around it is r16's
-    // surface; the statement text including the ::JSON cast parses as-is)
+    // the reference's COPY statement, unmodified except the target path —
+    // parses, routes, renders, and lands as ONE file exactly as in the host
+    val dir = java.nio.file.Files.createTempDirectory("graft-geojson").toString
+    val ack = Qualify.sql(spark,
+      s"""COPY (
+         |    WITH route AS (
+         |        SELECT travel_time_route(
+         |            ST_Point(7.4275, 43.7397),
+         |            ST_Point(7.4254, 43.7308),
+         |            'auto'
+         |        ) as r
+         |    )
+         |    SELECT json_object(
+         |        'type', 'FeatureCollection',
+         |        'features', json_array(
+         |            json_object(
+         |                'type', 'Feature',
+         |                'properties', json_object(
+         |                    'name', 'Casino to Museum',
+         |                    'distance_km', round(r.distance_km, 3),
+         |                    'duration_min', round(r.duration_minutes, 2)
+         |                ),
+         |                'geometry', ST_AsGeoJSON(r.geometry)::JSON
+         |            )
+         |        )
+         |    )
+         |    FROM route
+         |) TO '$dir/monaco_route.geojson'""".stripMargin).collect().head.getLong(0)
+    assert(ack == 1L)
+    val fileBody = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/monaco_route.geojson")),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    assert(fileBody.startsWith("""{"type":"FeatureCollection""""))
     val feature = Qualify.sql(spark,
       """WITH route AS (
         |    SELECT travel_time_route(
