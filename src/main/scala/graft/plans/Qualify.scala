@@ -63,7 +63,20 @@ object Qualify {
     * single-row acknowledgement; other statements expand known macro calls
     * and then apply the dialect folds.
     */
-  def sql(spark: SparkSession, text: String): DataFrame =
+  def sql(spark: SparkSession, text: String): DataFrame = {
+    ensureVocabulary(spark)
+    parseInstallLoad(text) match {
+      case Some((verb, ext)) =>
+        applyInstallLoad(spark, verb, ext)
+        return spark.sql("SELECT true AS ok")
+      case None =>
+    }
+    parseSetTiles(text) match {
+      case Some(path) =>
+        applySetTiles(spark, path)
+        return spark.sql("SELECT true AS ok")
+      case None =>
+    }
     parseCreateMacro(text) match {
       case Some(m) =>
         registryOf(spark).put(m.name.toLowerCase, m)
@@ -80,6 +93,21 @@ object Qualify {
             spark.sql(dialect(expandMacros(text, registryOf(spark))))
         }
     }
+  }
+
+  // host function vocabulary registered once per session on the
+  // programmatic path (GraftExtensions sessions get it injected) — the
+  // host autoloads its core extensions (json among them), so statements
+  // arriving here may assume the names exist
+  private val vocabDone = new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()
+
+  private def ensureVocabulary(spark: SparkSession): Unit = vocabDone.synchronized {
+    if (vocabDone.get(spark) == null) {
+      graft.functions.DuckCompat.register(spark)
+      graft.functions.JsonCompat.register(spark)
+      vocabDone.put(spark, java.lang.Boolean.TRUE)
+    }
+  }
 
   /** Macros registered for `spark` via [[sql]] or the injected parser. */
   def macrosOf(spark: SparkSession): collection.Map[String, SqlMacro] = registryOf(spark)
@@ -87,6 +115,87 @@ object Qualify {
   /** Register a macro for `spark` (the injected parser's DDL path). */
   def registerMacro(spark: SparkSession, m: SqlMacro): Unit =
     registryOf(spark).put(m.name.toLowerCase, m)
+
+  /** True if everything before `pos` is whitespace or comments — i.e. the
+    * token at `pos` is the statement's first. Lets the statement-form
+    * parsers (INSTALL/LOAD, SET, COPY, CREATE MACRO) accept script chunks
+    * that carry leading comment banners.
+    */
+  private def leadingIsTrivia(text: String, pos: Int): Boolean = {
+    var i = 0
+    while (i < pos) {
+      val c = text.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '-' && i + 1 < text.length && text.charAt(i + 1) == '-') {
+        while (i < pos && text.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < text.length && text.charAt(i + 1) == '*') {
+        i += 2
+        while (i + 1 < text.length && !(text.charAt(i) == '*' && text.charAt(i + 1) == '/')) i += 1
+        i = math.min(text.length, i + 2)
+      } else return false
+    }
+    true
+  }
+
+  /** Recognize the host's extension-management statements — `INSTALL x` /
+    * `LOAD x` (examples/monaco_pure_sql.sql:11-13). Exactly two words, so
+    * Spark's own `LOAD DATA INPATH ...` never matches. Returns
+    * (verb, extension-name).
+    */
+  def parseInstallLoad(text: String): Option[(String, String)] = {
+    val (words, _) = scan(text)
+    val top = words.filter(_._4 == 0)
+    if (top.length == 2 && (top.head._1 == "INSTALL" || top.head._1 == "LOAD") &&
+      leadingIsTrivia(text, top.head._2) &&
+      text.substring(top(1)._3).forall(c => c.isWhitespace || c == ';'))
+      Some((top.head._1, text.substring(top(1)._2, top(1)._3).toLowerCase))
+    else None
+  }
+
+  /** The host's LOAD semantics, mapped: everything ships in this one jar,
+    * so LOAD registers the named surface into the session instead of
+    * loading a shared library — `spatial` → the st_* shims, `json` → the
+    * json_object/json_array/json pack, the routing extension itself → the
+    * bootstrap travel_time* surface. Unknown names (httpfs — Hadoop speaks
+    * http/s3 natively) acknowledge as no-ops; INSTALL is always a no-op.
+    */
+  def applyInstallLoad(spark: SparkSession, verb: String, ext: String): Unit =
+    if (verb == "LOAD") ext match {
+      case "spatial" => graft.routing.StFunctions.register(spark)
+      case "json" => graft.functions.JsonCompat.register(spark)
+      case "valhalla_routing" | "duckdb_routing" | "travel_time" | "graft" =>
+        graft.routing.RoutingContext.install(spark)
+      case _ => ()
+    }
+
+  /** Recognize `SET valhalla_tiles = <path>` — the host's setting whose
+    * write callback LOADS the tiles (src/config_setting.cpp:23-70). Returns
+    * the path (quotes stripped) so the caller can run the same callback.
+    */
+  def parseSetTiles(text: String): Option[String] = {
+    val (words, _) = scan(text)
+    val top = words.filter(_._4 == 0)
+    if (top.length < 2 || top.head._1 != "SET" ||
+      !leadingIsTrivia(text, top.head._2)) return None
+    if (top(1)._1 != "VALHALLA_TILES") return None
+    val afterName = text.substring(top(1)._3).dropWhile(_.isWhitespace)
+    if (!afterName.startsWith("=")) return None
+    val raw = afterName.substring(1).trim.stripSuffix(";").trim
+    val value =
+      if (raw.length >= 2 && raw.startsWith("'") && raw.endsWith("'"))
+        raw.substring(1, raw.length - 1).replace("''", "'")
+      else raw
+    if (value.isEmpty) None else Some(value)
+  }
+
+  /** The host's valhalla_tiles write callback: record the path in the
+    * session conf and load the graph store eagerly
+    * (src/config_setting.cpp:23-70 loads on SET, not on first query).
+    */
+  def applySetTiles(spark: SparkSession, path: String): Unit = {
+    spark.conf.set(graft.routing.RoutingContext.TilesConf, path)
+    graft.routing.RoutingContext.ensureFromConf(spark)
+  }
 
   /** Recognize the host's `COPY (<query>) TO '<file>' [(options)]` export
     * statement — also the `COPY name TO ...` table form (inner query
@@ -99,7 +208,7 @@ object Qualify {
     val (words, groups) = scan(text)
     val top = words.filter(_._4 == 0)
     if (top.isEmpty || top.head._1 != "COPY" ||
-      top.head._2 > text.indexWhere(!_.isWhitespace)) return None
+      !leadingIsTrivia(text, top.head._2)) return None
     val copyEnd = top.head._3
     // source: a parenthesized query, or a bare table identifier
     val afterCopy = text.substring(copyEnd).dropWhile(_.isWhitespace)
@@ -168,7 +277,7 @@ object Qualify {
   def parseCreateMacro(text: String): Option[SqlMacro] = {
     val (words, _) = scan(text)
     val top = words.filter(_._4 == 0)
-    if (top.isEmpty || top.head._1 != "CREATE" || top.head._2 > text.indexWhere(!_.isWhitespace))
+    if (top.isEmpty || top.head._1 != "CREATE" || !leadingIsTrivia(text, top.head._2))
       return None
     val kw = top.map(_._1)
     val mIdx = kw.indexOf("MACRO")
@@ -248,6 +357,46 @@ object Qualify {
       }
     }
     out
+  }
+
+  /** Split a multi-statement host script into statements: `;` at paren
+    * depth 0 (strings/comments honored), CLI dot-command lines (`.timer on`)
+    * dropped, comment-only chunks dropped — so a reference `.sql` file runs
+    * top to bottom through [[sql]].
+    */
+  def splitStatements(script: String): Seq[String] = {
+    val body = script.linesIterator
+      .filterNot(_.trim.matches("^\\.[a-zA-Z]\\S*( .*)?"))
+      .mkString("\n")
+    val parts = Seq.newBuilder[String]
+    val n = body.length
+    var i = 0; var depth = 0; var st = 0
+    while (i < n) {
+      val c = body.charAt(i)
+      if (c == '\'') {
+        i += 1
+        var done = false
+        while (i < n && !done) {
+          if (body.charAt(i) == '\'') {
+            if (i + 1 < n && body.charAt(i + 1) == '\'') i += 2 else { done = true; i += 1 }
+          } else i += 1
+        }
+      } else if (c == '"' || c == '`') {
+        i += 1; while (i < n && body.charAt(i) != c) i += 1; i += 1
+      } else if (c == '-' && i + 1 < n && body.charAt(i + 1) == '-') {
+        while (i < n && body.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && body.charAt(i + 1) == '*') {
+        i += 2
+        while (i + 1 < n && !(body.charAt(i) == '*' && body.charAt(i + 1) == '/')) i += 1
+        i = math.min(n, i + 2)
+      } else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (c == ';' && depth == 0) { parts += body.substring(st, i); st = i + 1; i += 1 }
+      else i += 1
+    }
+    parts += body.substring(st)
+    // keep only chunks with actual tokens (scan skips comments)
+    parts.result().map(_.trim).filter(s => s.nonEmpty && scan(s)._1.nonEmpty)
   }
 
   /** Split `s` on commas at paren depth 0, honoring strings/comments. */

@@ -32,6 +32,15 @@ class QualifyParser(session: SparkSession, delegate: ParserInterface)
       // (macros registered by then included)
       return CopyToFileCommand(spec)
     }
+    Qualify.parseInstallLoad(text).foreach { case (verb, ext) =>
+      Qualify.applyInstallLoad(session, verb, ext)
+      return parse("SELECT true AS ok")
+    }
+    Qualify.parseSetTiles(text).foreach { path =>
+      // the host's setting write callback loads eagerly on SET
+      Qualify.applySetTiles(session, path)
+      return parse("SELECT true AS ok")
+    }
     val macros = Qualify.macrosOf(session)
     val lower = text.toLowerCase
     val mentionsShim = lower.contains("qualify") || lower.contains("exclude") ||

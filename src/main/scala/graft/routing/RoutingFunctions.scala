@@ -74,8 +74,10 @@ object RoutingFunctions {
       args match {
         case Seq(Literal(pbf, StringType), Literal(out, StringType))
             if pbf != null && out != null =>
+          // all costings, like the reference's tile build (its tiles serve
+          // every costing model; the PBF decode is shared across modes)
           val cfg = graft.graph.GraphStore.buildGraphFromPbf(
-            spark, pbf.toString, out.toString)
+            spark, pbf.toString, out.toString, graft.graph.SpeedModel.Modes)
           Literal(org.apache.spark.unsafe.types.UTF8String.fromString(cfg), StringType)
         case _ => orig
       }
