@@ -116,6 +116,10 @@ object Qualify {
   def registerMacro(spark: SparkSession, m: SqlMacro): Unit =
     registryOf(spark).put(m.name.toLowerCase, m)
 
+  /** Drop a registered macro (un-shadows a built-in of the same name). */
+  def unregisterMacro(spark: SparkSession, name: String): Unit =
+    registryOf(spark).remove(name.toLowerCase)
+
   /** True if everything before `pos` is whitespace or comments — i.e. the
     * token at `pos` is the statement's first. Lets the statement-form
     * parsers (INSTALL/LOAD, SET, COPY, CREATE MACRO) accept script chunks

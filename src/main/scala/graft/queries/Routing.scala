@@ -483,6 +483,47 @@ object Routing {
           "\nORDER BY kind, name")
       }, None),
 
+    QueryDef("r26_script_verbatim",
+      (s, _) => {
+        import s.implicits._
+        // the reference's complete pure-SQL workflow script
+        // (examples/monaco_pure_sql.sql) executed statement-by-statement —
+        // INSTALL/LOAD, PBF tile build, SET-callback load, macro DDL, the
+        // GeoJSON COPY export, multi-route and multi-modal sections — with
+        // only data-location substitutions (PureSqlScriptSpec holds the
+        // per-statement assertions; this row is the driver-visible witness)
+        val dir = java.nio.file.Files.createTempDirectory("graft-script").toString
+        val nodes = (0 until GridFixture.K * GridFixture.K).map(i =>
+          graft.graph.OsmPbf.OsmNode(1000L + i, GridFixture.latOf(i), GridFixture.lonOf(i)))
+        val ways = GridFixture.edges.zipWithIndex.map { case (e, i) =>
+          val tags = Map("highway" -> e.highway) ++
+            (if (e.oneway) Map("oneway" -> "yes") else Map.empty)
+          (5000L + i, tags, Seq(1000L + e.src, 1000L + e.dst))
+        }.toSeq
+        val pbf = s"$dir/monaco-latest.osm.pbf"
+        graft.graph.OsmPbfWriter.write(pbf, nodes, ways)
+        val script = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/root/reference/examples/monaco_pure_sql.sql")),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .replace("https://download.geofabrik.de/europe/monaco-latest.osm.pbf", pbf)
+          .replace("./monaco_tiles", s"$dir/monaco_tiles")
+          .replace("'monaco_route.geojson'", s"'$dir/monaco_route.geojson'")
+        val statements = graft.plans.Qualify.splitStatements(script)
+        val results = statements.map(st => graft.plans.Qualify.sql(s, st).collect())
+        val geojson = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$dir/monaco_route.geojson")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val out = Seq((statements.length, results.count(_.nonEmpty),
+          geojson.startsWith("""{"type":"FeatureCollection""""),
+          results.map(_.length).sum))
+          .toDF("n_statements", "n_nonempty", "geojson_ok", "total_rows")
+        // the script's macro shadows travel_time_route for later queries on
+        // this session; restore the built-in surface
+        graft.plans.Qualify.unregisterMacro(s, "travel_time_route")
+        ensure(s)
+        out
+      }, None),
+
     QueryDef("r13_optimized_route",
       (s, _) => {
         ensure(s)

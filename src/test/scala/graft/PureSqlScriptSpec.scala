@@ -94,10 +94,7 @@ class PureSqlScriptSpec extends AnyFunSuite {
       // Qualify.sql call sites; restore the shared session for other specs
       prevMacro match {
         case Some(m) => Qualify.registerMacro(spark, m)
-        case None =>
-          val reg = Qualify.macrosOf(spark)
-          reg.asInstanceOf[scala.collection.concurrent.TrieMap[String, Qualify.SqlMacro]]
-            .remove("travel_time_route")
+        case None => Qualify.unregisterMacro(spark, "travel_time_route")
       }
       graft.queries.Routing.ensure(spark)
     }
