@@ -95,6 +95,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.functions.Introspection.getClass.getName, name),
         graft.functions.Introspection.builder))
     }
+    // the host's file-ingest table functions over the binaryFile source
+    Seq("read_blob" -> graft.functions.ReadBlob.blobBuilder,
+        "read_text" -> graft.functions.ReadBlob.textBuilder).foreach {
+      case (name, builder) =>
+        ext.injectTableFunction((
+          new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+            graft.functions.ReadBlob.getClass.getName, name),
+          builder))
+    }
     // host-dialect function-name aliases (len, list_*, string_split,
     // regexp_matches, ...) — vocabulary parity so reference-host statements
     // resolve unchanged; every alias is a native codegen'd expression

@@ -75,7 +75,15 @@ object GraphStore {
     val isDir =
       try fs.getFileStatus(p0).isDirectory
       catch { case _: java.io.FileNotFoundException => false }
-    val cfg = if (isDir) new org.apache.hadoop.fs.Path(p0, ConfigName) else p0
+    val cfg0 = if (isDir) new org.apache.hadoop.fs.Path(p0, ConfigName) else p0
+    // the host's config filename spelling: `<dir>/valhalla.json` resolves
+    // to this store's config when present (monaco_end_to_end.sql:104)
+    val cfg =
+      if (!fs.exists(cfg0) && p0.getName == "valhalla.json" &&
+        p0.getParent != null &&
+        fs.exists(new org.apache.hadoop.fs.Path(p0.getParent, ConfigName)))
+        new org.apache.hadoop.fs.Path(p0.getParent, ConfigName)
+      else cfg0
     if (!fs.exists(cfg))
       throw new IllegalArgumentException(
         s"Routing config not found: $cfg (reference contract: src/config_setting.cpp:45-49)")

@@ -74,14 +74,22 @@ object CopyToFile {
             headerLines = if (fmt == "csv" && header) 1 else 0)
         } finally fs.delete(scratch, true)
 
-      case _ => // raw single-column export
+      case _ => // raw export: one column, or the one BINARY column of many
+        // (`SELECT * FROM read_blob(url)` carries filename/size/mtime
+        // alongside content — the blob is what the file gets)
         val cols = df.schema.fields
-        require(cols.length == 1,
-          s"COPY TO ${spec.target}: raw export needs a single column, got ${cols.length}")
-        val rows = df.collect()
+        val picked =
+          if (cols.length == 1) df
+          else cols.filter(_.dataType == org.apache.spark.sql.types.BinaryType) match {
+            case Array(one) => df.select(df.col(one.name))
+            case _ => throw new IllegalArgumentException(
+              s"COPY TO ${spec.target}: raw export needs a single column " +
+                s"(or exactly one BINARY column), got ${cols.length}")
+          }
+        val rows = picked.collect()
         val out = fs.create(target, true)
         try {
-          cols.head.dataType match {
+          picked.schema.fields.head.dataType match {
             case org.apache.spark.sql.types.BinaryType =>
               rows.foreach(r => if (!r.isNullAt(0)) out.write(r.getAs[Array[Byte]](0)))
             case _ =>

@@ -105,6 +105,7 @@ object Qualify {
     if (vocabDone.get(spark) == null) {
       graft.functions.DuckCompat.register(spark)
       graft.functions.JsonCompat.register(spark)
+      graft.functions.ReadBlob.register(spark)
       vocabDone.put(spark, java.lang.Boolean.TRUE)
     }
   }
@@ -172,16 +173,17 @@ object Qualify {
       case _ => ()
     }
 
-  /** Recognize `SET valhalla_tiles = <path>` — the host's setting whose
-    * write callback LOADS the tiles (src/config_setting.cpp:23-70). Returns
-    * the path (quotes stripped) so the caller can run the same callback.
+  /** Recognize `SET valhalla_tiles = <path>` (or the examples' alternate
+    * spelling `valhalla_config`) — the host's setting whose write callback
+    * LOADS the tiles (src/config_setting.cpp:23-70). Returns the path
+    * (quotes stripped) so the caller can run the same callback.
     */
   def parseSetTiles(text: String): Option[String] = {
     val (words, _) = scan(text)
     val top = words.filter(_._4 == 0)
     if (top.length < 2 || top.head._1 != "SET" ||
       !leadingIsTrivia(text, top.head._2)) return None
-    if (top(1)._1 != "VALHALLA_TILES") return None
+    if (top(1)._1 != "VALHALLA_TILES" && top(1)._1 != "VALHALLA_CONFIG") return None
     val afterName = text.substring(top(1)._3).dropWhile(_.isWhitespace)
     if (!afterName.startsWith("=")) return None
     val raw = afterName.substring(1).trim.stripSuffix(";").trim

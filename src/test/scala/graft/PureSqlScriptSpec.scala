@@ -20,10 +20,7 @@ class PureSqlScriptSpec extends AnyFunSuite {
 
   private lazy val spark = SparkTestBase.spark
 
-  test("monaco_pure_sql.sql runs statement-by-statement, verbatim") {
-    val dir = Files.createTempDirectory("graft-puresql").toString
-
-    // the "Monaco download": the grid fixture as a real OSM PBF
+  private def gridPbf(dir: String, name: String): String = {
     val nodes = (0 until GridFixture.K * GridFixture.K).map(i =>
       OsmPbf.OsmNode(1000L + i, GridFixture.latOf(i), GridFixture.lonOf(i)))
     val ways = GridFixture.edges.zipWithIndex.map { case (e, i) =>
@@ -31,8 +28,27 @@ class PureSqlScriptSpec extends AnyFunSuite {
         (if (e.oneway) Map("oneway" -> "yes") else Map.empty)
       (5000L + i, tags, Seq(1000L + e.src, 1000L + e.dst))
     }.toSeq
-    val pbfPath = s"$dir/monaco-latest.osm.pbf"
-    OsmPbfWriter.write(pbfPath, nodes, ways)
+    val path = s"$dir/$name"
+    OsmPbfWriter.write(path, nodes, ways)
+    path
+  }
+
+  private def runAll(script: String): Seq[(String, Array[Row])] =
+    Qualify.splitStatements(script).map { stmt =>
+      val rows =
+        try Qualify.sql(spark, stmt).collect()
+        catch {
+          case e: Exception =>
+            fail(s"statement failed:\n$stmt\n→ ${e.getMessage.take(400)}", e)
+        }
+      (stmt, rows)
+    }
+
+  test("monaco_pure_sql.sql runs statement-by-statement, verbatim") {
+    val dir = Files.createTempDirectory("graft-puresql").toString
+
+    // the "Monaco download": the grid fixture as a real OSM PBF
+    val pbfPath = gridPbf(dir, "monaco-latest.osm.pbf")
 
     val script = new String(
       Files.readAllBytes(Paths.get("/root/reference/examples/monaco_pure_sql.sql")),
@@ -46,16 +62,7 @@ class PureSqlScriptSpec extends AnyFunSuite {
 
     val prevMacro = Qualify.macrosOf(spark).get("travel_time_route")
     try {
-      val results = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Row])]
-      statements.foreach { stmt =>
-        val rows =
-          try Qualify.sql(spark, stmt).collect()
-          catch {
-            case e: Exception =>
-              fail(s"statement failed:\n$stmt\n→ ${e.getMessage.take(400)}", e)
-          }
-        results += ((stmt, rows))
-      }
+      val results = runAll(script)
 
       // Step 5: the Casino → Museum route row
       val routeRow = results.collectFirst {
@@ -92,6 +99,69 @@ class PureSqlScriptSpec extends AnyFunSuite {
     } finally {
       // the script's CREATE MACRO shadows the travel_time_route built-in for
       // Qualify.sql call sites; restore the shared session for other specs
+      prevMacro match {
+        case Some(m) => Qualify.registerMacro(spark, m)
+        case None => Qualify.unregisterMacro(spark, "travel_time_route")
+      }
+      graft.queries.Routing.ensure(spark)
+    }
+  }
+
+  test("monaco_end_to_end.sql runs verbatim: read_blob over real HTTP, COPY " +
+    "download, build, SET valhalla_config, GeoJSON export") {
+    val dir = Files.createTempDirectory("graft-e2esql").toString
+    val pbfPath = gridPbf(dir, "served.osm.pbf")
+    val bytes = Files.readAllBytes(Paths.get(pbfPath))
+
+    // serve the fixture over real HTTP — the script's Geofabrik download
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/monaco-latest.osm.pbf",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        ex.sendResponseHeaders(200, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      })
+    server.start()
+    val url =
+      s"http://127.0.0.1:${server.getAddress.getPort}/monaco-latest.osm.pbf"
+
+    val prevMacro = Qualify.macrosOf(spark).get("travel_time_route")
+    try {
+      val script = new String(
+        Files.readAllBytes(Paths.get("/root/reference/examples/monaco_end_to_end.sql")),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .replace("https://download.geofabrik.de/europe/monaco-latest.osm.pbf", url)
+        .replace("'monaco.osm.pbf'", s"'$dir/monaco.osm.pbf'")
+        .replace("valhalla_build_tiles('monaco.osm.pbf'",
+          s"valhalla_build_tiles('$dir/monaco.osm.pbf'")
+        .replace("'monaco_tiles'", s"'$dir/monaco_tiles'")
+        .replace("'monaco_tiles/valhalla.json'", s"'$dir/monaco_tiles/valhalla.json'")
+        .replace("'monaco_route.geojson'", s"'$dir/monaco_route.geojson'")
+
+      val results = runAll(script)
+      assert(results.length > 15)
+
+      // the downloaded PBF landed byte-identical through read_blob + COPY
+      assert(java.util.Arrays.equals(
+        Files.readAllBytes(Paths.get(s"$dir/monaco.osm.pbf")), bytes))
+
+      // the route section returns a real route with WKT geometry
+      val routeRow = results.collectFirst {
+        case (stmt, rows) if stmt.contains("route_geometry") => rows.head
+      }.get
+      assert(routeRow.getDouble(routeRow.fieldIndex("distance_km")) > 0.1)
+      assert(routeRow.getString(routeRow.fieldIndex("route_geometry"))
+        .startsWith("LINESTRING("))
+
+      // the exported single-feature GeoJSON
+      val geo = new String(
+        Files.readAllBytes(Paths.get(s"$dir/monaco_route.geojson")),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      assert(geo.startsWith("""{"type":"Feature","properties":"""))
+      assert(geo.contains(""""geometry":{"type":"LineString""""))
+    } finally {
+      server.stop(0)
       prevMacro match {
         case Some(m) => Qualify.registerMacro(spark, m)
         case None => Qualify.unregisterMacro(spark, "travel_time_route")

@@ -339,6 +339,26 @@ class QualifySpec extends AnyFunSuite {
     }
   }
 
+  test("read_blob / read_text table functions: host column shape over local files") {
+    val dir = Files.createTempDirectory("graft-readblob")
+    Files.write(dir.resolve("a.txt"), "hello graft".getBytes("UTF-8"))
+    Files.write(dir.resolve("b.txt"), "second file".getBytes("UTF-8"))
+    try {
+      val rows = graft.plans.Qualify.sql(spark,
+        s"SELECT filename, content, size FROM read_text('$dir/*.txt') ORDER BY filename")
+        .collect()
+      assert(rows.length == 2)
+      assert(rows.head.getString(0).endsWith("a.txt"))
+      assert(rows.head.getString(1) == "hello graft")
+      assert(rows.head.getLong(2) == 11L)
+      val blob = graft.plans.Qualify.sql(spark,
+        s"SELECT content FROM read_blob('$dir/a.txt')").collect().head.getAs[Array[Byte]](0)
+      assert(new String(blob, "UTF-8") == "hello graft")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("COPY TO via the injected parser: plain spark.sql exports one file") {
     val base = SparkTestBase.spark
     val prev = SparkSession.getDefaultSession
