@@ -107,6 +107,42 @@ class PureSqlScriptSpec extends AnyFunSuite {
     }
   }
 
+  test("every reference example script splits and parses through the dialect layer") {
+    val dir = new java.io.File("/root/reference/examples")
+    val scripts = dir.listFiles().filter(_.getName.endsWith(".sql")).sortBy(_.getName)
+    assert(scripts.length >= 8)
+    val parser = spark.sessionState.sqlParser
+    scripts.foreach { f =>
+      val text = new String(Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val macros = scala.collection.concurrent.TrieMap.empty[String, Qualify.SqlMacro]
+      val statements = Qualify.splitStatements(text)
+      assert(statements.nonEmpty, f.getName)
+      statements.foreach { stmt =>
+        def parseBody(s: String): Unit =
+          parser.parsePlan(Qualify.dialect(Qualify.expandMacros(s, macros)))
+        try {
+          Qualify.parseCreateMacro(stmt) match {
+            case Some(m) => macros.put(m.name.toLowerCase, m)
+            case None =>
+              if (Qualify.parseInstallLoad(stmt).isEmpty &&
+                Qualify.parseSetTiles(stmt).isEmpty) {
+                Qualify.parseCopy(stmt) match {
+                  case Some(spec) => parseBody(spec.innerSql)
+                  case None =>
+                    // generic SET statements parse natively
+                    parseBody(stmt)
+                }
+              }
+          }
+        } catch {
+          case e: Exception =>
+            fail(s"${f.getName}: statement does not parse:\n$stmt\n→ ${e.getMessage.take(300)}")
+        }
+      }
+    }
+  }
+
   test("monaco_end_to_end.sql runs verbatim: read_blob over real HTTP, COPY " +
     "download, build, SET valhalla_config, GeoJSON export") {
     val dir = Files.createTempDirectory("graft-e2esql").toString
