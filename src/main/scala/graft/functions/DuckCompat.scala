@@ -61,6 +61,67 @@ object DuckCompat {
       f(exprs)
     }
 
+  /** The host's spelling of a Catalyst type — what its `typeof` prints
+    * (BLOB not binary, VARCHAR not string), so the reference's
+    * introspection assertions (test/sql/monaco_routing.test:50-53) read
+    * their expected names.
+    */
+  def hostTypeName(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case BinaryType      => "BLOB"
+      case StringType      => "VARCHAR"
+      case BooleanType     => "BOOLEAN"
+      case DoubleType      => "DOUBLE"
+      case FloatType       => "FLOAT"
+      case ByteType        => "TINYINT"
+      case ShortType       => "SMALLINT"
+      case IntegerType     => "INTEGER"
+      case LongType        => "BIGINT"
+      case DateType        => "DATE"
+      case TimestampType   => "TIMESTAMP"
+      case d: DecimalType  => s"DECIMAL(${d.precision},${d.scale})"
+      case ArrayType(e, _) => hostTypeName(e) + "[]"
+      case s: StructType   =>
+        s.fields.map(f => s"${f.name} ${hostTypeName(f.dataType)}")
+          .mkString("STRUCT(", ", ", ")")
+      case MapType(k, v, _) => s"MAP(${hostTypeName(k)}, ${hostTypeName(v)})"
+      case other => other.sql
+    }
+  }
+
+  /** `typeof` with the host's type vocabulary. A pure function of the
+    * ARGUMENT'S TYPE: the child is never evaluated (its code is not even
+    * emitted), exactly like the host's constant-folding of typeof.
+    */
+  case class TypeofHost(child: Expression)
+      extends Expression
+      with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+    override def dataType: org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.StringType
+    override def nullable: Boolean = false
+    override def foldable: Boolean = true
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+      org.apache.spark.unsafe.types.UTF8String.fromString(hostTypeName(child.dataType))
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("typeofName",
+        org.apache.spark.unsafe.types.UTF8String.fromString(hostTypeName(child.dataType)),
+        "UTF8String")
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      ev.copy(
+        code = code"""
+          UTF8String ${ev.value} = $ref;
+          boolean ${ev.isNull} = false;
+        """)
+    }
+    override protected def withNewChildInternal(newChild: Expression): TypeofHost =
+      copy(child = newChild)
+    override def prettyName: String = "typeof"
+  }
+
   /** (name, builder) for every alias — consumed by GraftExtensions
     * (injectFunction) and by [[register]] (per-session temp functions).
     */
@@ -92,6 +153,9 @@ object DuckCompat {
     "list_extract"    -> arity("list_extract", 2)(e => ElementAt(e(0), e(1), None, false)),
     "list_element"    -> arity("list_element", 2)(e => ElementAt(e(0), e(1), None, false)),
     "array_extract"   -> arity("array_extract", 2)(e => ElementAt(e(0), e(1), None, false)),
+    // `typeof` speaking the host's type vocabulary (BLOB/VARCHAR/...) —
+    // shadows Spark's spelling wherever the host dialect pack is active
+    "typeof"          -> arity("typeof", 1)(e => TypeofHost(e.head)),
     // `current_setting(name)` — the host's settings getter
     // (examples/s3_tiles_example.sql:67). Resolved at analysis time against
     // the active session conf (the same moment the host reads its config

@@ -62,14 +62,30 @@ final class PreparedGraph(
   def numNodes: Int = nodeLat.length
   def numEdges: Int = targets.length
 
-  /** Nearest main-road node to (lat, lon); -1 if the graph is empty. */
-  def snap(lat: Double, lon: Double): Int = snapIndex.nearest(lat, lon)
+  /** Nearest main-road node to (lat, lon) within the search cutoff; -1 if
+    * the graph is empty or the nearest node is beyond it. The cutoff is
+    * Valhalla loki's default search radius posture the reference tests pin:
+    * a point far off the network (POINT(0 0) from 35+ km away) must yield
+    * NULL, not a clamp to the nearest corner
+    * (test/sql/travel_time.test "invalid coordinates should return NULL").
+    */
+  def snap(lat: Double, lon: Double): Int = {
+    val i = snapIndex.nearest(lat, lon)
+    if (i < 0) i
+    else if (Geo.haversineM(lat, lon, nodeLat(i), nodeLon(i)) > PreparedGraph.SnapCutoffM) -1
+    else i
+  }
 
   def snapWithDistance(lat: Double, lon: Double): Option[(Int, Double)] = {
     val idx = snap(lat, lon)
     if (idx < 0) None
     else Some((idx, Geo.haversineM(lat, lon, nodeLat(idx), nodeLon(idx))))
   }
+}
+
+object PreparedGraph {
+  /** Max snap distance in meters (Valhalla loki's default search posture). */
+  final val SnapCutoffM: Double = 35000.0
 }
 
 /** Uniform grid over (lat, lon) with ring-expansion nearest-neighbor search.

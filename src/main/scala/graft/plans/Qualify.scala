@@ -170,6 +170,10 @@ object Qualify {
       case "json" => graft.functions.JsonCompat.register(spark)
       case "valhalla_routing" | "duckdb_routing" | "travel_time" | "graft" =>
         graft.routing.RoutingContext.install(spark)
+        // the host extension also registers its catalog introspection at
+        // load (test/sql/travel_time.test:16-48 queries duckdb_functions()
+        // right after `require travel_time`)
+        graft.functions.Introspection.register(spark)
       case _ => ()
     }
 
@@ -440,7 +444,70 @@ object Qualify {
     * JSON type; functions.JsonCompat detects JSON-ness structurally).
     */
   def dialect(text: String): String =
-    rewriteUsingSample(rewriteStructPack(rewriteExclude(rewriteJsonCast(rewrite(text)))))
+    rewriteUsingSample(rewriteStructPack(rewriteExclude(rewriteJsonCast(
+      rewriteBracketLists(rewrite(text))))))
+
+  /** `[a, b, c]` list literals → `array(a, b, c)` — the host dialect's list
+    * constructor (test/sql/monaco_routing.test:113-118). A `[` is a literal
+    * when it does NOT follow a value (identifier, `)`, `]`, or a string
+    * literal); otherwise it is a subscript and stays untouched — so
+    * `xs[1]`, `m['k']` and `'a'[1]` keep Spark's element-access meaning
+    * while `[1, 2][1]` builds then subscripts, exactly the host's reading.
+    */
+  def rewriteBracketLists(sql: String): String = {
+    if (!sql.contains('[')) return sql
+    val sb = new StringBuilder(sql.length + 16)
+    val kind = new java.util.ArrayDeque[Boolean]() // true = literal list
+    val n = sql.length
+    var i = 0
+    var prev: Char = 0 // last significant char outside strings/comments
+    def subscriptish(c: Char): Boolean =
+      c.isLetterOrDigit || c == '_' || c == ')' || c == ']' || c == '\'' || c == '"' || c == '`'
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'') {
+        val st = i
+        i += 1
+        var done = false
+        while (i < n && !done) {
+          if (sql.charAt(i) == '\'') {
+            if (i + 1 < n && sql.charAt(i + 1) == '\'') i += 2 else { done = true; i += 1 }
+          } else i += 1
+        }
+        sb.append(sql.substring(st, i)); prev = '\''
+      } else if (c == '"' || c == '`') {
+        val st = i
+        i += 1; while (i < n && sql.charAt(i) != c) i += 1; i += 1
+        sb.append(sql.substring(st, math.min(i, n))); prev = c
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        val st = i
+        while (i < n && sql.charAt(i) != '\n') i += 1
+        sb.append(sql.substring(st, i))
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        val st = i
+        i += 2
+        while (i + 1 < n && !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) i += 1
+        i = math.min(n, i + 2)
+        sb.append(sql.substring(st, i))
+      } else if (c == '[') {
+        val literal = !subscriptish(prev)
+        kind.push(literal)
+        sb.append(if (literal) "array(" else "[")
+        prev = '('
+        i += 1
+      } else if (c == ']') {
+        val literal = if (kind.isEmpty) false else kind.pop()
+        sb.append(if (literal) ")" else "]")
+        prev = ']'
+        i += 1
+      } else {
+        sb.append(c)
+        if (!c.isWhitespace) prev = c
+        i += 1
+      }
+    }
+    sb.toString
+  }
 
   /** Strip `::JSON` casts — the host dialect's way of tagging a VARCHAR as
     * JSON so `json_object`/`json_array` embed it raw

@@ -45,7 +45,7 @@ class QualifyParser(session: SparkSession, delegate: ParserInterface)
     val lower = text.toLowerCase
     val mentionsShim = lower.contains("qualify") || lower.contains("exclude") ||
       lower.contains("distinct") || lower.contains("struct_pack") ||
-      lower.contains("::") ||
+      lower.contains("::") || lower.contains("[") ||
       (lower.contains("using") && lower.contains("sample"))
     val mentionsMacro = macros.nonEmpty && macros.keysIterator.exists(lower.contains)
     if (!mentionsShim && !mentionsMacro) return parse(text)

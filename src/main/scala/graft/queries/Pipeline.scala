@@ -738,6 +738,73 @@ object Pipeline {
            |ORDER BY c.vec_id""".stripMargin
       }),
 
+    // -- bucketed co-located join: the zero-shuffle fact-fact join ---------
+    // The 100 TB pattern the relational suite's broadcast joins can't cover:
+    // when BOTH sides are large, pre-bucketing by the join key (Spark
+    // bucketBy → parquet data-source tables) makes every subsequent join and
+    // aggregation on that key shuffle-free — the physical plan has ZERO
+    // Exchange nodes below the final rollup (PlanSpec "bucketed join plans
+    // with no exchange" asserts this on the plan; here the driver checks the
+    // VALUES against a plain-join DuckDB oracle — bucketing is physical
+    // layout, so results must be identical). The one-time bucketed write is
+    // the amortized cost a real pipeline pays once per table, not per query.
+    // Revenue goes through the exact-integer path (per-row cents, BIGINT
+    // sum) for engine-order-independence.
+    QueryDef("p50_bucketed_join",
+      (s, d) => {
+        // layout cache keyed by the dataset dir: the bucketed copy is
+        // written ONCE per dataset (the amortized contract), later runs
+        // re-attach the existing files as bucketed external tables via DDL
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .take(8).map("%02x".format(_)).mkString
+        val dir = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), s"graft-bucketed-$digest")
+        val marker = dir.resolve("_BUCKETS_OK")
+        s.sql("DROP TABLE IF EXISTS graft_b_orders")
+        s.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+        if (!java.nio.file.Files.exists(marker)) {
+          t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+            .write.format("parquet")
+            .option("path", s"$dir/orders")
+            .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .saveAsTable("graft_b_orders")
+          t(s, d, "lineitem")
+            .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+            .write.format("parquet")
+            .option("path", s"$dir/lineitem")
+            .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .saveAsTable("graft_b_lineitem")
+          java.nio.file.Files.createDirectories(dir)
+          java.nio.file.Files.writeString(marker, "ok")
+        } else {
+          s.sql(s"""CREATE TABLE graft_b_orders (o_orderkey BIGINT,
+                   |  o_orderpriority STRING) USING parquet
+                   |CLUSTERED BY (o_orderkey) SORTED BY (o_orderkey)
+                   |INTO 8 BUCKETS LOCATION '$dir/orders'""".stripMargin)
+          s.sql(s"""CREATE TABLE graft_b_lineitem (l_orderkey BIGINT,
+                   |  l_extendedprice DOUBLE, l_discount DOUBLE) USING parquet
+                   |CLUSTERED BY (l_orderkey) SORTED BY (l_orderkey)
+                   |INTO 8 BUCKETS LOCATION '$dir/lineitem'""".stripMargin)
+        }
+        s.sql(
+          """SELECT o_orderpriority,
+            |       CAST(count(*) AS BIGINT) AS n_items,
+            |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+            |                     AS BIGINT)) AS BIGINT) AS revenue_cents
+            |FROM graft_b_orders JOIN graft_b_lineitem ON l_orderkey = o_orderkey
+            |GROUP BY o_orderpriority
+            |ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some(
+        """SELECT o_orderpriority,
+          |       CAST(count(*) AS BIGINT) AS n_items,
+          |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+          |                     AS BIGINT)) AS BIGINT) AS revenue_cents
+          |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)),
+
     // -- KMV distinct-count sketch (per-source vocabulary size) -------------
     // Deterministic sketching: unlike HLL, the k-minimum-values estimate
     // (k-1)·M/h_k is plain SQL, so the ESTIMATE itself is oracle-checked

@@ -170,11 +170,18 @@ object RoutingFunctions {
       (from: Array[Byte], to: Array[Byte], costing: String) =>
         RoutingOps.routeAny(h.requireGraph(costing), from, to))
 
-    // table-function surface: explode(travel_time_matrix(...))
+    // scalar surface: explode(travel_time_matrix(...)) over column arrays
     spark.udf.register("travel_time_matrix",
       (srcLats: Seq[Double], srcLons: Seq[Double],
        dstLats: Seq[Double], dstLons: Seq[Double], costing: String) =>
         RoutingOps.matrixEntries(h.requireGraph(costing), srcLats, srcLons, dstLats, dstLons))
+
+    // table-function surface — the reference's FROM-position form
+    // (test/sql/monaco_routing.test:108-124: `FROM travel_time_matrix([..],
+    // ..., 'auto')`). Literal arrays evaluate at plan time; the bounded
+    // matrix (the host caps pairs at 2500) materializes as a LocalRelation.
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "travel_time_matrix", matrixTableBuilder(h), "scala_udf")
 
     spark.udf.register("travel_time_isochrone",
       (lat: Double, lon: Double, maxSeconds: Double, costing: String) =>
@@ -212,6 +219,59 @@ object RoutingFunctions {
       if (f == null || t == null) None
       else RoutingOps.route(h.requireGraph(costing), f, t))
     routeFromAnchors(asAnchor(fromCol), asAnchor(toCol))
+  }
+
+  /** Builder for the FROM-position `travel_time_matrix(...)` table function:
+    * the four coordinate arrays and the costing must be literal (foldable) —
+    * a driver-side plan-time evaluation, like the host's table function
+    * binding. Output schema matches the host's (from_idx, to_idx,
+    * distance_m, duration_s).
+    */
+  private def matrixTableBuilder(h: RouterHandle)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = { exprs =>
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    if (exprs.length != 5) throw new IllegalArgumentException(
+      s"travel_time_matrix expects (src_lats, src_lons, dst_lats, dst_lons, costing), " +
+        s"got ${exprs.length} arguments")
+    def doubles(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Double] = {
+      if (!e.foldable) throw new IllegalArgumentException(
+        "travel_time_matrix in FROM position expects literal coordinate arrays")
+      e.eval() match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          (0 until a.numElements()).map { i =>
+            a.get(i, e.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+              .elementType) match {
+              case d: java.lang.Double => d.doubleValue()
+              case f: java.lang.Float => f.doubleValue()
+              case d: org.apache.spark.sql.types.Decimal => d.toDouble
+              case l: java.lang.Long => l.doubleValue()
+              case i2: java.lang.Integer => i2.doubleValue()
+              case other => throw new IllegalArgumentException(
+                s"travel_time_matrix: non-numeric coordinate $other")
+            }
+          }
+        case other => throw new IllegalArgumentException(
+          s"travel_time_matrix: expected an array, got $other")
+      }
+    }
+    val costing = {
+      val e = exprs(4)
+      if (!e.foldable) throw new IllegalArgumentException(
+        "travel_time_matrix: costing must be a literal")
+      String.valueOf(e.eval())
+    }
+    val entries = RoutingOps.matrixEntries(h.requireGraph(costing),
+      doubles(exprs(0)), doubles(exprs(1)), doubles(exprs(2)), doubles(exprs(3)))
+    val output = Seq(
+      AttributeReference("from_idx", org.apache.spark.sql.types.IntegerType, nullable = false)(),
+      AttributeReference("to_idx", org.apache.spark.sql.types.IntegerType, nullable = false)(),
+      AttributeReference("distance_m", org.apache.spark.sql.types.DoubleType, nullable = false)(),
+      AttributeReference("duration_s", org.apache.spark.sql.types.DoubleType, nullable = false)())
+    LocalRelation(output, entries.map(m =>
+      InternalRow(m.from_idx, m.to_idx, m.distance_m, m.duration_s)))
   }
 }
 

@@ -112,11 +112,13 @@ class ExtensionsSpec extends AnyFunSuite {
     // a name that must NOT exist yields zero rows, not an error
     assert(s.sql("SELECT function_name FROM graft_functions() " +
       "WHERE function_name = 'no_such_function'").collect().isEmpty)
-    // monaco_routing.test:51 typeof shape (BLOB there, BINARY here)
+    // monaco_routing.test:51 typeof shape — with the host vocabulary pack
+    // active, typeof speaks the host's type names (BLOB, not binary)
+    graft.functions.DuckCompat.register(s)
     val t = s.sql("SELECT typeof(travel_time_route_wkb(" +
       "'POINT(7.4005 43.7005)', 'POINT(7.4055 43.7055)', 'auto').geometry) AS t")
       .collect().head.getString(0)
-    assert(t == "binary", s"route wkb introspects as $t")
+    assert(t == "BLOB", s"route wkb introspects as $t")
   }
 
   test("bloom surface: no false negatives, prune+residual equals exact anti-join") {

@@ -25,6 +25,47 @@ class PlanSpec extends AnyFunSuite {
     if (cut >= 0) s.substring(0, cut) else s
   }
 
+  test("p50 bucketed co-located join plans with no exchange below the rollup") {
+    // the plan property the driver's value-oracle can't see: with both
+    // sides bucketed on the join key, the join and the first aggregation
+    // consume the bucketing — ZERO shuffles until the final tiny rollup
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucket-plan").toString
+    spark.sql("DROP TABLE IF EXISTS gbp_orders")
+    spark.sql("DROP TABLE IF EXISTS gbp_lineitem")
+    // at sf0.001 AQE would broadcast either side; the bucketing story is for
+    // the regime where BOTH sides are too big for that — model it by
+    // disabling broadcast for this plan check
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.queries.Tables.t(spark, sf, "orders").write.format("parquet")
+        .option("path", s"$dir/orders")
+        .bucketBy(4, "o_orderkey").sortBy("o_orderkey").saveAsTable("gbp_orders")
+      graft.queries.Tables.t(spark, sf, "lineitem").write.format("parquet")
+        .option("path", s"$dir/lineitem")
+        .bucketBy(4, "l_orderkey").sortBy("l_orderkey").saveAsTable("gbp_lineitem")
+      val joined = spark.sql(
+        """SELECT o_orderkey, count(*) AS n
+          |FROM gbp_orders JOIN gbp_lineitem ON l_orderkey = o_orderkey
+          |GROUP BY o_orderkey""".stripMargin)
+      joined.collect()
+      val s = joined.queryExecution.executedPlan.toString
+      val cut = s.indexOf("== Initial Plan ==")
+      val plan = if (cut >= 0) s.substring(0, cut) else s
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a co-located join:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should need no shuffle at all:\n$plan")
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"scan did not use bucketing:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS gbp_orders")
+      spark.sql("DROP TABLE IF EXISTS gbp_lineitem")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("p01 exact dedup aggregates stay hash-based (no SortAggregate fallback)") {
     val plan = planOf("p01_exact_dedup")
     assert(!plan.contains("SortAggregate"), "digest dedup fell back to SortAggregate")

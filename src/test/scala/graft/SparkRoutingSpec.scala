@@ -56,6 +56,15 @@ class SparkRoutingSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(viaWkt.getAs[Array[Byte]](2), viaWkb.getAs[Array[Byte]](2)))
   }
 
+  test("far-off coordinates return NULL, not a clamp to the nearest corner " +
+    "(travel_time.test 'invalid coordinates should return NULL')") {
+    assert(one("SELECT travel_time_route_wkb('POINT(0 0)', 'POINT(0 0)', 'auto') IS NULL AS n")
+      .getBoolean(0))
+    assert(one("SELECT travel_time(0.0, 0.0, 43.74, 7.44, 'auto') AS t").isNullAt(0))
+    // within the cutoff, off-lattice points still snap (the bbox test below)
+    assert(!one("SELECT travel_time_locate(43.69, 7.39, 'auto') AS l").isNullAt(0))
+  }
+
   test("NULL inputs produce NULL, not errors (src/travel_time_extension.cpp:636-639)") {
     assert(one("SELECT travel_time(NULL, 7.4, 43.74, 7.44, 'auto') AS t").isNullAt(0))
     assert(one("SELECT travel_time_route(NULL, 'POINT(7.4 43.7)', 'auto') AS r").isNullAt(0))
