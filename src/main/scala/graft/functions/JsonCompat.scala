@@ -76,6 +76,8 @@ object JsonCompat {
       case BooleanType => TagBool
       case DateType => TagDate
       case TimestampType | TimestampNTZType => TagTimestamp
+      // a bare NULL literal — always renders as JSON null (tag irrelevant)
+      case NullType => TagLong
       case dt => throw new IllegalArgumentException(
         s"json value of type $dt is not supported — wrap compound values " +
           "with to_json(...) or a nested json_object/json_array")
@@ -295,9 +297,20 @@ object JsonCompat {
 
   // ---- registration ----
 
+  /** Pin JSON-ness at BUILD time: a value child that is JSON-producing is
+    * wrapped in the non-foldable [[JsonRaw]] marker, so the rawness
+    * survives constant folding (a foldable `to_json(...)` would otherwise
+    * collapse to a string Literal before the execution-time tag check and
+    * silently re-escape). The lazy structural check in tagOf remains as the
+    * safety net for children that resolve later.
+    */
+  private def pinRaw(e: Expression): Expression =
+    if (isJsonProducing(e)) JsonRaw(e) else e
+
   val entries: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "json_object" -> (exprs => JsonObjectExpr(exprs)),
-    "json_array"  -> (exprs => JsonArrayExpr(exprs)),
+    "json_object" -> (exprs => JsonObjectExpr(
+      exprs.zipWithIndex.map { case (e, i) => if (i % 2 == 1) pinRaw(e) else e })),
+    "json_array"  -> (exprs => JsonArrayExpr(exprs.map(pinRaw))),
     "json"        -> (exprs => {
       if (exprs.length != 1) throw new IllegalArgumentException(
         s"json expects 1 argument, got ${exprs.length}")

@@ -40,9 +40,20 @@ object ReadBlob {
     val cached = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-blob-$digest-$name")
     if (!java.nio.file.Files.exists(cached)) {
+      // download to a scratch name and move atomically, so an interrupted
+      // transfer can never leave a truncated file at the cache path
+      val tmp = java.nio.file.Paths.get(cached.toString +
+        s".${java.util.UUID.randomUUID().toString.take(8)}.tmp")
       val in = java.net.URI.create(url).toURL.openStream()
-      try java.nio.file.Files.copy(in, cached)
-      finally in.close()
+      try {
+        java.nio.file.Files.copy(in, tmp)
+        java.nio.file.Files.move(tmp, cached,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } finally {
+        in.close()
+        java.nio.file.Files.deleteIfExists(tmp)
+      }
     }
     cached.toString
   }

@@ -70,8 +70,7 @@ object CopyToFile {
           if (fs.exists(target)) fs.delete(target, false)
           if (!fs.rename(part, target))
             throw new IllegalStateException(s"COPY could not move $part to $target")
-          countWritten(spark, fmt, target, fs,
-            headerLines = if (fmt == "csv" && header) 1 else 0)
+          countWritten(spark, fmt, target, fs, header)
         } finally fs.delete(scratch, true)
 
       case _ => // raw export: one column, or the one BINARY column of many
@@ -86,19 +85,28 @@ object CopyToFile {
               s"COPY TO ${spec.target}: raw export needs a single column " +
                 s"(or exactly one BINARY column), got ${cols.length}")
           }
-        val rows = picked.collect()
+        // stream partition-by-partition (toLocalIterator): one partition's
+        // memory on the driver, not the whole result — a multi-GB blob or
+        // large text export writes without a full collect()
+        val binary = picked.schema.fields.head.dataType ==
+          org.apache.spark.sql.types.BinaryType
         val out = fs.create(target, true)
+        var n = 0L
         try {
-          picked.schema.fields.head.dataType match {
-            case org.apache.spark.sql.types.BinaryType =>
-              rows.foreach(r => if (!r.isNullAt(0)) out.write(r.getAs[Array[Byte]](0)))
-            case _ =>
-              val text = rows.map(r => if (r.isNullAt(0)) "" else String.valueOf(r.get(0)))
-                .mkString("", "\n", "\n")
-              out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val it = picked.toLocalIterator()
+          while (it.hasNext) {
+            val r = it.next()
+            if (binary) {
+              if (!r.isNullAt(0)) out.write(r.getAs[Array[Byte]](0))
+            } else {
+              val line = if (r.isNullAt(0)) "" else String.valueOf(r.get(0))
+              out.write(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              out.write('\n')
+            }
+            n += 1
           }
         } finally out.close()
-        rows.length.toLong
+        n
     }
   }
 
@@ -112,13 +120,18 @@ object CopyToFile {
   }
 
   /** Count what landed without re-running the query: parquet row-count from
-    * footer metadata, csv/json by line count of the one written file.
+    * footer metadata, csv by re-parsing the one written file (a quoted
+    * value may span physical lines, so line-counting would overcount),
+    * json by line count (the writer never splits a record across lines).
     */
   private def countWritten(spark: SparkSession, fmt: String, target: Path,
                            fs: org.apache.hadoop.fs.FileSystem,
-                           headerLines: Int): Long =
+                           header: Boolean): Long =
     fmt match {
       case "parquet" => spark.read.parquet(target.toString).count()
+      case "csv" =>
+        spark.read.option("header", header.toString).option("multiLine", "true")
+          .csv(target.toString).count()
       case _ =>
         val in = fs.open(target)
         try {
@@ -126,7 +139,7 @@ object CopyToFile {
             new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
           var n = 0L
           while (reader.readLine() != null) n += 1
-          math.max(0L, n - headerLines)
+          n
         } finally in.close()
     }
 }

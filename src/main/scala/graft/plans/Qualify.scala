@@ -142,6 +142,54 @@ object Qualify {
     true
   }
 
+  /** True if everything from `from` on is whitespace, comments, or `;`. */
+  private def tailIsTrivia(text: String, from: Int): Boolean = {
+    var i = from
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c.isWhitespace || c == ';') i += 1
+      else if (c == '-' && i + 1 < n && text.charAt(i + 1) == '-') {
+        while (i < n && text.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && text.charAt(i + 1) == '*') {
+        i += 2
+        while (i + 1 < n && !(text.charAt(i) == '*' && text.charAt(i + 1) == '/')) i += 1
+        i = math.min(n, i + 2)
+      } else return false
+    }
+    true
+  }
+
+  /** Drop `--` and block comments outside strings; used to clean a
+    * statement tail before reading a value from it.
+    */
+  private def stripComments(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '\'') {
+        val st = i
+        i += 1
+        var done = false
+        while (i < n && !done) {
+          if (s.charAt(i) == '\'') {
+            if (i + 1 < n && s.charAt(i + 1) == '\'') i += 2 else { done = true; i += 1 }
+          } else i += 1
+        }
+        sb.append(s.substring(st, i))
+      } else if (c == '-' && i + 1 < n && s.charAt(i + 1) == '-') {
+        while (i < n && s.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && s.charAt(i + 1) == '*') {
+        i += 2
+        while (i + 1 < n && !(s.charAt(i) == '*' && s.charAt(i + 1) == '/')) i += 1
+        i = math.min(n, i + 2)
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Recognize the host's extension-management statements — `INSTALL x` /
     * `LOAD x` (examples/monaco_pure_sql.sql:11-13). Exactly two words, so
     * Spark's own `LOAD DATA INPATH ...` never matches. Returns
@@ -152,7 +200,7 @@ object Qualify {
     val top = words.filter(_._4 == 0)
     if (top.length == 2 && (top.head._1 == "INSTALL" || top.head._1 == "LOAD") &&
       leadingIsTrivia(text, top.head._2) &&
-      text.substring(top(1)._3).forall(c => c.isWhitespace || c == ';'))
+      tailIsTrivia(text, top(1)._3))
       Some((top.head._1, text.substring(top(1)._2, top(1)._3).toLowerCase))
     else None
   }
@@ -190,7 +238,8 @@ object Qualify {
     if (top(1)._1 != "VALHALLA_TILES" && top(1)._1 != "VALHALLA_CONFIG") return None
     val afterName = text.substring(top(1)._3).dropWhile(_.isWhitespace)
     if (!afterName.startsWith("=")) return None
-    val raw = afterName.substring(1).trim.stripSuffix(";").trim
+    // trailing comments are trivia, not part of the path
+    val raw = stripComments(afterName.substring(1)).trim.stripSuffix(";").trim
     val value =
       if (raw.length >= 2 && raw.startsWith("'") && raw.endsWith("'"))
         raw.substring(1, raw.length - 1).replace("''", "'")
@@ -275,7 +324,7 @@ object Qualify {
       }.toMap
       tail = text.substring(close + 1)
     }
-    if (!tail.forall(c => c.isWhitespace || c == ';')) return None
+    if (!tailIsTrivia(tail, 0)) return None
     Some(CopyToFile.Spec(inner, sb.toString, options))
   }
 
@@ -448,11 +497,14 @@ object Qualify {
       rewriteBracketLists(rewrite(text))))))
 
   /** `[a, b, c]` list literals → `array(a, b, c)` — the host dialect's list
-    * constructor (test/sql/monaco_routing.test:113-118). A `[` is a literal
-    * when it does NOT follow a value (identifier, `)`, `]`, or a string
-    * literal); otherwise it is a subscript and stays untouched — so
-    * `xs[1]`, `m['k']` and `'a'[1]` keep Spark's element-access meaning
-    * while `[1, 2][1]` builds then subscripts, exactly the host's reading.
+    * constructor (test/sql/monaco_routing.test:113-118). A `[` is a
+    * SUBSCRIPT only when it is ADJACENT (no whitespace) to a value ending —
+    * an identifier character, `)`, `]`, or a string/quoted-identifier
+    * close — exactly how element access is written (`xs[1]`, `m['k']`,
+    * `f(x)[2]`, `'abc'[1]`); everything else is a literal, so
+    * `SELECT [1, 2]`, `THEN [..]` and `IN ([..])` all build lists even
+    * though a keyword (identifier characters) precedes them across the
+    * whitespace. `[1, 2][1]` builds then subscripts, the host's reading.
     */
   def rewriteBracketLists(sql: String): String = {
     if (!sql.contains('[')) return sql
@@ -460,8 +512,9 @@ object Qualify {
     val kind = new java.util.ArrayDeque[Boolean]() // true = literal list
     val n = sql.length
     var i = 0
-    var prev: Char = 0 // last significant char outside strings/comments
-    def subscriptish(c: Char): Boolean =
+    var prev: Char = 0       // last significant char outside strings/comments
+    var gapSincePrev = true  // whitespace/comment between prev and here?
+    def valueEnd(c: Char): Boolean =
       c.isLetterOrDigit || c == '_' || c == ')' || c == ']' || c == '\'' || c == '"' || c == '`'
     while (i < n) {
       val c = sql.charAt(i)
@@ -474,48 +527,51 @@ object Qualify {
             if (i + 1 < n && sql.charAt(i + 1) == '\'') i += 2 else { done = true; i += 1 }
           } else i += 1
         }
-        sb.append(sql.substring(st, i)); prev = '\''
+        sb.append(sql.substring(st, i)); prev = '\''; gapSincePrev = false
       } else if (c == '"' || c == '`') {
         val st = i
         i += 1; while (i < n && sql.charAt(i) != c) i += 1; i += 1
-        sb.append(sql.substring(st, math.min(i, n))); prev = c
+        sb.append(sql.substring(st, math.min(i, n))); prev = c; gapSincePrev = false
       } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
         val st = i
         while (i < n && sql.charAt(i) != '\n') i += 1
-        sb.append(sql.substring(st, i))
+        sb.append(sql.substring(st, i)); gapSincePrev = true
       } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
         val st = i
         i += 2
         while (i + 1 < n && !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) i += 1
         i = math.min(n, i + 2)
-        sb.append(sql.substring(st, i))
+        sb.append(sql.substring(st, i)); gapSincePrev = true
       } else if (c == '[') {
-        val literal = !subscriptish(prev)
-        kind.push(literal)
-        sb.append(if (literal) "array(" else "[")
-        prev = '('
+        val subscript = !gapSincePrev && valueEnd(prev)
+        kind.push(!subscript)
+        sb.append(if (subscript) "[" else "array(")
+        prev = '('; gapSincePrev = false
         i += 1
       } else if (c == ']') {
         val literal = if (kind.isEmpty) false else kind.pop()
         sb.append(if (literal) ")" else "]")
-        prev = ']'
+        prev = ']'; gapSincePrev = false
         i += 1
       } else {
         sb.append(c)
-        if (!c.isWhitespace) prev = c
+        if (c.isWhitespace) gapSincePrev = true
+        else { prev = c; gapSincePrev = false }
         i += 1
       }
     }
     sb.toString
   }
 
-  /** Strip `::JSON` casts — the host dialect's way of tagging a VARCHAR as
-    * JSON so `json_object`/`json_array` embed it raw
-    * (examples/monaco_pure_sql.sql:108). Spark has no JSON type; the
-    * JSON-producing expression left in value position is detected
-    * structurally by functions.JsonCompat, so the cast is pure syntax here.
-    * Only the exact token context rewrites (`::` then the word JSON), so
-    * identifiers named `json` and `CAST(x AS ...)` forms are never touched.
+  /** `<operand>::JSON` → `json(<operand>)` — the host dialect's JSON cast
+    * (examples/monaco_pure_sql.sql:108). Spark has no JSON type; `json(x)`
+    * is functions.JsonCompat's raw-embedding marker, so a plain string
+    * column or literal cast to JSON embeds RAW in `json_object`, exactly
+    * the host semantics. The operand extent is found by walking back over
+    * one postfix-primary chain (identifier / string literal / call or
+    * paren group / subscript, joined by `.`), using pair maps from a
+    * forward scan — never through strings or comments. Only the exact
+    * token context rewrites (`::` then the word JSON).
     */
   def rewriteJsonCast(sql: String): String = {
     if (!sql.toLowerCase.contains("json")) return sql
@@ -524,20 +580,89 @@ object Qualify {
       w == "JSON" && sql.substring(0, st).reverse.dropWhile(_.isWhitespace).startsWith("::")
     }
     if (hits.isEmpty) return sql
-    val sb = new StringBuilder
-    var pos = 0
-    hits.foreach { case (_, st, en, _) =>
-      // walk back from the word over whitespace, then over the two colons
+    val (pairs, stringSpans) = pairsAndStrings(sql)
+    val stringByEnd = stringSpans.map(s => s._2 -> s._1).toMap
+    def isIdent(c: Char) = c.isLetterOrDigit || c == '_'
+    // rightmost-first so earlier positions stay valid
+    var out = sql
+    hits.reverseIterator.foreach { case (_, st, en, _) =>
       var i = st - 1
       while (i >= 0 && sql.charAt(i).isWhitespace) i -= 1
-      i -= 1 // the filter above verified sql(i-1..i) == "::"
-      if (i >= pos) {
-        sb.append(sql.substring(pos, i))
-        pos = en
+      i -= 2 // skip both colons (the filter verified they are there)
+      while (i >= 0 && sql.charAt(i).isWhitespace) i -= 1
+      val operandEnd = i + 1 // exclusive
+      // walk back over one postfix chain
+      var start = operandEnd
+      var continue = start > 0
+      while (continue) {
+        continue = false
+        val c = sql.charAt(start - 1)
+        if (c == ')' || c == ']') {
+          pairs.get(start - 1) match {
+            case Some(open) => start = open
+            case None => // unbalanced — leave as-is
+          }
+          // a call: consume the function-name identifier before '('
+          while (start > 0 && isIdent(sql.charAt(start - 1))) start -= 1
+        } else if (c == '\'') {
+          stringByEnd.get(start - 1) match {
+            case Some(s0) => start = s0
+            case None =>
+          }
+        } else if (isIdent(c)) {
+          while (start > 0 && isIdent(sql.charAt(start - 1))) start -= 1
+        }
+        // qualified / chained: a.b, f(x).g — keep walking
+        if (start > 0 && sql.charAt(start - 1) == '.' && start - 1 > 0) {
+          start -= 1
+          continue = true
+        }
+      }
+      if (start < operandEnd) {
+        out = out.substring(0, start) + "json(" +
+          out.substring(start, operandEnd) + ")" + out.substring(en)
       }
     }
-    sb.append(sql.substring(pos))
-    sb.toString
+    out
+  }
+
+  /** One forward scan producing (close→open pair map for `()` and `[]`,
+    * string-literal spans as (start, endInclusive)). Comments and quoted
+    * identifiers are skipped like [[scan]].
+    */
+  private def pairsAndStrings(s: String): (Map[Int, Int], Seq[(Int, Int)]) = {
+    val pairs = Map.newBuilder[Int, Int]
+    val strings = Seq.newBuilder[(Int, Int)]
+    val stack = new java.util.ArrayDeque[Int]()
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '\'') {
+        val st = i
+        i += 1
+        var done = false
+        while (i < n && !done) {
+          if (s.charAt(i) == '\'') {
+            if (i + 1 < n && s.charAt(i + 1) == '\'') i += 2 else { done = true; i += 1 }
+          } else i += 1
+        }
+        strings += ((st, i - 1))
+      } else if (c == '"' || c == '`') {
+        i += 1; while (i < n && s.charAt(i) != c) i += 1; i += 1
+      } else if (c == '-' && i + 1 < n && s.charAt(i + 1) == '-') {
+        while (i < n && s.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && s.charAt(i + 1) == '*') {
+        i += 2
+        while (i + 1 < n && !(s.charAt(i) == '*' && s.charAt(i + 1) == '/')) i += 1
+        i = math.min(n, i + 2)
+      } else if (c == '(' || c == '[') { stack.push(i); i += 1 }
+      else if (c == ')' || c == ']') {
+        if (!stack.isEmpty) pairs += (i -> stack.pop())
+        i += 1
+      } else i += 1
+    }
+    (pairs.result(), strings.result())
   }
 
   /** `USING SAMPLE n%` / `USING SAMPLE n PERCENT` / `USING SAMPLE n ROWS`

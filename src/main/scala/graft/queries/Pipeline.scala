@@ -764,14 +764,16 @@ object Pipeline {
         s.sql("DROP TABLE IF EXISTS graft_b_orders")
         s.sql("DROP TABLE IF EXISTS graft_b_lineitem")
         if (!java.nio.file.Files.exists(marker)) {
+          // overwrite: a run that crashed after writing part files but
+          // before the marker must not double up rows on retry
           t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
-            .write.format("parquet")
+            .write.format("parquet").mode("overwrite")
             .option("path", s"$dir/orders")
             .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
             .saveAsTable("graft_b_orders")
           t(s, d, "lineitem")
             .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-            .write.format("parquet")
+            .write.format("parquet").mode("overwrite")
             .option("path", s"$dir/lineitem")
             .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
             .saveAsTable("graft_b_lineitem")

@@ -502,8 +502,11 @@ object Routing {
         }.toSeq
         val pbf = s"$dir/monaco-latest.osm.pbf"
         graft.graph.OsmPbfWriter.write(pbf, nodes, ways)
+        // env-resolvable so the witness can run where the reference
+        // checkout lives elsewhere (the round driver's box has it here)
+        val refDir = sys.env.getOrElse("GRAFT_REFERENCE_DIR", "/root/reference")
         val script = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("/root/reference/examples/monaco_pure_sql.sql")),
+          java.nio.file.Paths.get(s"$refDir/examples/monaco_pure_sql.sql")),
           java.nio.charset.StandardCharsets.UTF_8)
           .replace("https://download.geofabrik.de/europe/monaco-latest.osm.pbf", pbf)
           .replace("./monaco_tiles", s"$dir/monaco_tiles")

@@ -57,9 +57,10 @@ class JsonCompatSpec extends AnyFunSuite {
     assert(out === Array("""{"id":1,"s":"a"}""", "{\"id\":2,\"s\":\"b\\\"c\"}"))
   }
 
-  test("::JSON cast strips at parse time (examples/monaco_pure_sql.sql:108)") {
-    assert(Qualify.rewriteJsonCast("SELECT x::JSON FROM t") === "SELECT x FROM t")
-    assert(Qualify.rewriteJsonCast("SELECT f(y) :: JSON AS j") === "SELECT f(y)  AS j")
+  test("::JSON cast folds to the json() marker at parse time " +
+    "(examples/monaco_pure_sql.sql:108)") {
+    assert(Qualify.rewriteJsonCast("SELECT x::JSON FROM t") === "SELECT json(x) FROM t")
+    assert(Qualify.rewriteJsonCast("SELECT f(y) :: JSON AS j") === "SELECT json(f(y)) AS j")
     // not a cast context: untouched
     assert(Qualify.rewriteJsonCast("SELECT json FROM t") === "SELECT json FROM t")
     assert(Qualify.rewriteJsonCast("SELECT ':: JSON' AS s") === "SELECT ':: JSON' AS s")
@@ -88,6 +89,34 @@ class JsonCompatSpec extends AnyFunSuite {
     } finally {
       spark.conf.unset("spark.graft.routing.tiles")
     }
+  }
+
+  test("::JSON on a plain string embeds raw (cast folds to the json() marker)") {
+    // the host's semantics: any VARCHAR cast to JSON embeds raw, not
+    // re-escaped — including plain literals and columns
+    val j = Qualify.sql(spark,
+      """SELECT json_object('g', '{"k":[1,2]}'::JSON) AS j""").collect().head.getString(0)
+    assert(j === """{"g":{"k":[1,2]}}""")
+    import spark.implicits._
+    Seq("""{"v":7}""").toDF("c").createOrReplaceTempView("jc_cast")
+    val fromCol = Qualify.sql(spark,
+      "SELECT json_object('g', c::JSON) AS j FROM jc_cast").collect().head.getString(0)
+    assert(fromCol === """{"g":{"v":7}}""")
+    // rewrite shape: operand chains fold whole
+    assert(Qualify.rewriteJsonCast("SELECT r.geometry::JSON AS g")
+      === "SELECT json(r.geometry) AS g")
+    assert(Qualify.rewriteJsonCast("SELECT f(x, y)::JSON AS g")
+      === "SELECT json(f(x, y)) AS g")
+  }
+
+  test("untyped NULL value renders as JSON null") {
+    assert(one("SELECT json_object('a', NULL) AS j") === """{"a":null}""")
+    assert(one("SELECT json_array(NULL, 1) AS j") === "[null,1]")
+  }
+
+  test("foldable to_json value still embeds raw (pinned at build, survives folding)") {
+    assert(one("SELECT json_object('a', to_json(named_struct('b', 1))) AS j")
+      === """{"a":{"b":1}}""")
   }
 
   test("compound values are rejected with a to_json pointer") {

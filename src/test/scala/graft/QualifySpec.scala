@@ -339,6 +339,50 @@ class QualifySpec extends AnyFunSuite {
     }
   }
 
+  test("bracket list literals fold to array(); adjacency keeps subscripts") {
+    import graft.plans.Qualify
+    // literal positions: after keyword, after '(', after ','
+    assert(Qualify.rewriteBracketLists("SELECT [1, 2, 3] AS xs")
+      === "SELECT array(1, 2, 3) AS xs")
+    assert(Qualify.rewriteBracketLists("SELECT f([1], [2])")
+      === "SELECT f(array(1), array(2))")
+    assert(Qualify.rewriteBracketLists("SELECT [[1], [2]]")
+      === "SELECT array(array(1), array(2))")
+    // subscripts: adjacent to a value ending
+    assert(Qualify.rewriteBracketLists("SELECT xs[1], m['k'], f(x)[2], 'ab'[1]")
+      === "SELECT xs[1], m['k'], f(x)[2], 'ab'[1]")
+    // build-then-subscript, and strings/comments untouched
+    assert(Qualify.rewriteBracketLists("SELECT [1, 2][1]")
+      === "SELECT array(1, 2)[1]")
+    assert(Qualify.rewriteBracketLists("SELECT '[1]' -- [2]")
+      === "SELECT '[1]' -- [2]")
+    // end-to-end: the host spelling evaluates
+    val xs = graft.plans.Qualify.sql(spark, "SELECT [10, 20, 30] AS xs")
+      .collect().head.getSeq[Int](0)
+    assert(xs == Seq(10, 20, 30))
+  }
+
+  test("statement forms tolerate trailing comments") {
+    import graft.plans.Qualify
+    assert(Qualify.parseInstallLoad("LOAD spatial -- enable st_*")
+      .contains(("LOAD", "spatial")))
+    assert(Qualify.parseSetTiles("SET valhalla_tiles = './tiles' -- load graph")
+      .contains("./tiles"))
+    assert(Qualify.parseCopy("COPY (SELECT 1) TO 'x.csv' -- note").isDefined)
+  }
+
+  test("COPY csv Count is record-accurate for quoted multi-line values") {
+    val dir = Files.createTempDirectory("graft-copy-ml").toString
+    try {
+      val n = graft.plans.Qualify.sql(spark,
+        s"COPY (SELECT 'a\\nb' AS x UNION ALL SELECT 'c') TO '$dir/ml.csv'")
+        .collect().head.getLong(0)
+      assert(n == 2L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("read_blob / read_text table functions: host column shape over local files") {
     val dir = Files.createTempDirectory("graft-readblob")
     Files.write(dir.resolve("a.txt"), "hello graft".getBytes("UTF-8"))
