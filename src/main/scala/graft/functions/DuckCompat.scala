@@ -156,6 +156,18 @@ object DuckCompat {
     // `typeof` speaking the host's type vocabulary (BLOB/VARCHAR/...) —
     // shadows Spark's spelling wherever the host dialect pack is active
     "typeof"          -> arity("typeof", 1)(e => TypeofHost(e.head)),
+    // the host's text-similarity family (functions/TextSim — byte-level
+    // semantics pinned against the host; all native codegen'd)
+    "jaccard"         -> arity("jaccard", 2)(e => TextSim.JaccardSim(e(0), e(1))),
+    "hamming"         -> arity("hamming", 2)(e => TextSim.HammingDist(e(0), e(1))),
+    "mismatches"      -> arity("mismatches", 2)(e => TextSim.HammingDist(e(0), e(1))),
+    "jaro_similarity" -> arity("jaro_similarity", 2)(e => TextSim.JaroSim(e(0), e(1))),
+    "jaro_winkler_similarity" ->
+      arity("jaro_winkler_similarity", 2)(e => TextSim.JaroWinklerSim(e(0), e(1))),
+    "damerau_levenshtein" ->
+      arity("damerau_levenshtein", 2)(e => TextSim.DamerauLev(e(0), e(1))),
+    // the host's levenshtein alias; Spark ships levenshtein itself
+    "editdist3"       -> arity("editdist3", 2)(e => Levenshtein(e(0), e(1))),
     // `current_setting(name)` — the host's settings getter
     // (examples/s3_tiles_example.sql:67). Resolved at analysis time against
     // the active session conf (the same moment the host reads its config

@@ -767,8 +767,41 @@ object Relational {
         t(s, d, "nation").createOrReplaceTempView("nation")
         graft.plans.Qualify.sql(s, jsonExportStatement)
       },
-      Some(jsonExportStatement))
+      Some(jsonExportStatement)),
+
+    // -- host text-similarity family (functions/TextSim) --------------------
+    // jaccard / hamming / jaro / jaro_winkler / damerau_levenshtein /
+    // editdist3 — byte-level semantics pinned against the host, every one a
+    // native codegen'd expression. One text, two engines; doubles round(6)
+    // (both engines compute IEEE doubles from the same formula — rounding
+    // absorbs any last-bit association-order difference).
+    QueryDef("q38_text_similarity",
+      (s, d) => {
+        graft.functions.DuckCompat.register(s)
+        t(s, d, "documents").createOrReplaceTempView("documents")
+        s.sql(textSimStatement)
+      },
+      Some(textSimStatement))
   )
+
+  /** q38's statement — consecutive-document prefix comparisons. */
+  private val textSimStatement =
+    """WITH pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         substr(a.text, 1, 24) AS ta, substr(b.text, 1, 24) AS tb
+      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |  WHERE a.doc_id < 60 AND length(a.text) >= 1 AND length(b.text) >= 1
+      |)
+      |SELECT id_a, id_b,
+      |       round(jaccard(ta, tb), 6) AS jac,
+      |       CAST(hamming(lpad(CAST(id_a AS STRING), 6, '0'),
+      |                    lpad(CAST(id_b AS STRING), 6, '0')) AS BIGINT) AS ham,
+      |       round(jaro_similarity(ta, tb), 6) AS jaro,
+      |       round(jaro_winkler_similarity(ta, tb), 6) AS jw,
+      |       CAST(damerau_levenshtein(ta, tb) AS BIGINT) AS dl,
+      |       CAST(editdist3(ta, tb) AS BIGINT) AS lev
+      |FROM pairs
+      |ORDER BY id_a""".stripMargin
 
   /** q37's statement — host JSON constructors over an exact-integer
     * aggregate; the `json(...)` value embeds raw in both engines.

@@ -119,6 +119,33 @@ class JsonCompatSpec extends AnyFunSuite {
       === """{"a":{"b":1}}""")
   }
 
+  test("text-similarity family matches host-pinned goldens (byte-level)") {
+    import graft.functions.TextSim
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    assert(TextSim.jaccard(u("duck"), u("luck")) === 0.6)
+    assert(TextSim.jaccard(u("AB"), u("ab")) === 0.0)
+    assert(TextSim.jaccard(u("abcd"), u("cdef")) === 1.0 / 3)
+    // byte-level, like the host: 'héllo' is 5 distinct BYTES
+    assert(TextSim.jaccard(u("héllo"), u("hello")) === 0.5)
+    assert(TextSim.hamming(u("duck"), u("luck")) === 1L)
+    intercept[IllegalArgumentException](TextSim.hamming(u("a"), u("ab")))
+    intercept[IllegalArgumentException](TextSim.jaccard(u(""), u("abc")))
+    assert(math.abs(TextSim.jaro(u("MARTHA"), u("MARHTA")) - 0.944444) < 1e-6)
+    assert(math.abs(TextSim.jaroWinkler(u("MARTHA"), u("MARHTA")) - 0.961111) < 1e-6)
+    assert(math.abs(TextSim.jaroWinkler(u("DWAYNE"), u("DUANE")) - 0.84) < 1e-6)
+    // prefix caps at 4; boost only above the 0.7 jaro threshold
+    assert(math.abs(TextSim.jaroWinkler(u("abcdefgh"), u("abcdefxy")) - 0.9) < 1e-6)
+    assert(math.abs(TextSim.jaroWinkler(u("abZZZZZZZZ"), u("abQQQQQQQQ")) - 0.466667) < 1e-6)
+    // FULL Damerau-Levenshtein, not OSA: 'ca'→'abc' is 2
+    assert(TextSim.damerauLevenshtein(u("ca"), u("abc")) === 2L)
+    assert(TextSim.damerauLevenshtein(u("ab"), u("ba")) === 1L)
+    assert(TextSim.damerauLevenshtein(u("kitten"), u("sitting")) === 3L)
+    assert(TextSim.damerauLevenshtein(u(""), u("abc")) === 3L)
+    // SQL surface, inside codegen
+    assert(one("SELECT CAST(round(jaro_winkler_similarity('MARTHA', 'MARHTA'), 6) AS STRING) AS j")
+      === "0.961111")
+  }
+
   test("compound values are rejected with a to_json pointer") {
     val err = intercept[Exception](
       spark.sql("SELECT json_object('a', array(1, 2)) AS j").collect())
