@@ -781,8 +781,42 @@ object Relational {
         t(s, d, "documents").createOrReplaceTempView("documents")
         s.sql(textSimStatement)
       },
-      Some(textSimStatement))
+      Some(textSimStatement)),
+
+    // -- blocking + edit-distance verify: fuzzy key matching at scale ------
+    QueryDef("q39_fuzzy_keys",
+      (s, d) => {
+        graft.functions.DuckCompat.register(s)
+        t(s, d, "documents").createOrReplaceTempView("documents")
+        s.sql(fuzzyKeysStatement)
+      },
+      Some(fuzzyKeysStatement))
   )
+
+  /** q39's statement — blocking-based fuzzy key matching, the classic
+    * entity-resolution shape at scale: an equi-join on a cheap blocking key
+    * (first 4 normalized chars) carries the shuffle, and the quadratic
+    * edit-distance verify runs only INSIDE blocks — never all-pairs
+    * (PlanSpec asserts the join is a hash join on the block key, not a
+    * cartesian product). One text, two engines.
+    */
+  private val fuzzyKeysStatement =
+    """WITH keys AS (
+      |  SELECT doc_id,
+      |         substr(lower(regexp_replace(text, '[^a-zA-Z ]', '')), 1, 16) AS k
+      |  FROM documents
+      |  WHERE doc_id < 200
+      |),
+      |blocked AS (
+      |  SELECT doc_id, k, substr(k, 1, 4) AS blk FROM keys WHERE length(k) >= 4
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       CAST(damerau_levenshtein(a.k, b.k) AS BIGINT) AS dl,
+      |       round(jaro_winkler_similarity(a.k, b.k), 6) AS jw
+      |FROM blocked a JOIN blocked b
+      |  ON a.blk = b.blk AND a.doc_id < b.doc_id
+      |WHERE damerau_levenshtein(a.k, b.k) <= 6
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** q38's statement — consecutive-document prefix comparisons. */
   private val textSimStatement =

@@ -66,6 +66,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q39 fuzzy keys join on the blocking key, not a cross product") {
+    val plan = planOf("q39_fuzzy_keys")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy verify must run inside blocks only:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected an equi-join on the block key:\n$plan")
+  }
+
   test("p01 exact dedup aggregates stay hash-based (no SortAggregate fallback)") {
     val plan = planOf("p01_exact_dedup")
     assert(!plan.contains("SortAggregate"), "digest dedup fell back to SortAggregate")
