@@ -403,6 +403,34 @@ class QualifySpec extends AnyFunSuite {
     }
   }
 
+  test("INSTALL/LOAD and SET valhalla_tiles via the injected parser") {
+    val base = SparkTestBase.spark
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+      assert(s2.sql("INSTALL spatial").collect().head.getBoolean(0))
+      assert(s2.sql("LOAD spatial").collect().head.getBoolean(0))
+      // LOAD registered the st_* surface on this session
+      assert(s2.sql("SELECT st_astext(st_point(1.0, 2.0)) AS t")
+        .collect().head.getString(0) == "POINT(1.0 2.0)")
+      // SET runs the load callback eagerly
+      val dir = java.nio.file.Files.createTempDirectory("graft-set-parser").toString
+      graft.graph.GraphStore.save(
+        Map("auto" -> graft.graph.GridFixture.dataFrames(s2, "auto")), dir)
+      graft.routing.RoutingContext.unload()
+      assert(s2.sql(s"SET valhalla_tiles = '$dir'").collect().head.getBoolean(0))
+      assert(graft.routing.RoutingContext.isLoaded)
+      assert(s2.sql("SELECT travel_time(43.7, 7.4, 43.72, 7.42, 'auto') AS t")
+        .collect().head.getDouble(0) > 0)
+    } finally {
+      prev.foreach { p => SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p) }
+      graft.routing.RoutingContext.unload()
+      graft.queries.Routing.ensure(SparkTestBase.spark)
+    }
+  }
+
   test("COPY TO via the injected parser: plain spark.sql exports one file") {
     val base = SparkTestBase.spark
     val prev = SparkSession.getDefaultSession
