@@ -179,6 +179,43 @@ object Advanced {
       },
       Some(Pipeline.charLmOracleSql)),
 
+    QueryDef("s11_stream_fuzzy",
+      (s, d) => {
+        // fuzzy-watchlist match on ingest: the watchlist (normalized keys of
+        // the first five documents) is known offline; each streamed doc's
+        // key scores against it with the codegen'd jaro_winkler expression
+        // compiled into the row — stateless micro-batch stage, per-source
+        // rollup of the append sink vs the identical batch logic in DuckDB
+        graft.functions.DuckCompat.register(s)
+        val watch = s.read.parquet(s"$d/documents.parquet")
+          .selectExpr("doc_id",
+            "substr(lower(regexp_replace(text, '[^a-zA-Z ]', '')), 1, 12) AS k")
+          .where("doc_id < 5 AND length(k) >= 1")
+          .collect().map(_.getString(1)).toSeq
+        EventStreams.runBoundedDocs(s, d, "s11_sink",
+            EventStreams.fuzzyWatchStage(s, watch), shufflePartitions = Some(8))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+            round(avg(col("best_jw")), 4).as("avg_best"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH keys AS (
+             |  SELECT doc_id, source,
+             |    substr(lower(regexp_replace(text, '[^a-zA-Z ]', '', 'g')), 1, 12) AS k
+             |  FROM documents),
+             |watch AS (SELECT k AS w FROM keys WHERE doc_id < 5 AND length(k) >= 1),
+             |best AS (
+             |  SELECT doc_id, source,
+             |    max(round(jaro_winkler_similarity(k, w), 6)) AS best_jw
+             |  FROM keys, watch
+             |  WHERE length(k) >= 1
+             |  GROUP BY doc_id, source)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN best_jw >= 0.85 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+             |  round(avg(best_jw), 4) AS avg_best
+             |FROM best GROUP BY source ORDER BY source""".stripMargin)),
+
     QueryDef("s09_stream_chunks",
       (s, d) => {
         // chunk-on-ingest: overlapping sliding-window chunking (the p44

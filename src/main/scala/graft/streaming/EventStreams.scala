@@ -161,6 +161,31 @@ object EventStreams {
   def charLmStage(model: DataFrame)(docs: DataFrame): DataFrame =
     graft.ops.TextOps.charLmScoreWith(model, docs, "doc_id", "text")
 
+  /** Fuzzy-watchlist scoring on ingest: each arriving document's normalized
+    * key scores against a SMALL known watchlist by jaro_winkler similarity.
+    * The watchlist COMPILES INTO the row expression (greatest of per-key
+    * calls on the codegen'd TextSim expression) — no join, no state, no
+    * shuffle; ingest throughput is scan throughput. Large watchlists take
+    * the blocking-join shape instead (q39_fuzzy_keys). Per-key scores round
+    * to 6 dp BEFORE the max/avg rollup — the cross-engine float contract.
+    */
+  def fuzzyWatchStage(spark: SparkSession, watch: Seq[String])
+                     (docs: DataFrame): DataFrame = {
+    graft.functions.DuckCompat.register(spark)
+    val jwCalls = watch.map(w =>
+      s"round(jaro_winkler_similarity(k, '${w.replace("'", "''")}'), 6)")
+    val best =
+      if (jwCalls.isEmpty) "CAST(0.0 AS DOUBLE)"
+      else if (jwCalls.length == 1) jwCalls.head
+      else s"greatest(${jwCalls.mkString(", ")})"
+    docs
+      .select(col("doc_id"), col("source"),
+        expr("substr(lower(regexp_replace(text, '[^a-zA-Z ]', '')), 1, 12)").as("k"))
+      .filter(length(col("k")) >= 1)
+      .withColumn("best_jw", expr(best))
+      .withColumn("flagged", col("best_jw") >= 0.85)
+  }
+
   /** Stream-static enrichment — the standard streaming-ingest shape: each
     * arriving event picks up its dimension row via a BROADCAST join (the
     * static side is planned once and shipped to executors; no state store,
