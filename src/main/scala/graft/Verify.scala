@@ -26,8 +26,18 @@ object Verify {
     selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        val path = s"$outDir/$name"
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(path)
+        // Witness gate: queries that assert their own invariants expose
+        // them as boolean columns (`*_ok`, `matches_*`, `equivalent`). A
+        // false (or null) witness is a wrong answer — wipe the dump and
+        // fail the row so the driver records a hard err instead of
+        // archiving a regression as rows-green.
+        val written = spark.read.parquet(path)
+        checkWitness(written).foreach { msg =>
+          deleteRecursively(new java.io.File(path))
+          throw new IllegalStateException(msg)
+        }
         System.err.println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
@@ -50,5 +60,36 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+  }
+
+  /** Witness gate (VerifySpec): queries that assert their own invariants
+    * expose them as boolean columns (`*_ok`, `matches_*`, `equivalent`). A
+    * false (or null) witness is a wrong answer — the caller wipes the dump
+    * and fails the row so the driver records a hard err instead of
+    * archiving a regression as rows-green. Returns the failure message, or
+    * None when every witness holds (or none exist).
+    */
+  def checkWitness(df: org.apache.spark.sql.DataFrame): Option[String] = {
+    val witness = df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.BooleanType &&
+        (f.name.endsWith("_ok") || f.name.startsWith("matches_") ||
+          f.name == "equivalent") => f.name
+    }
+    if (witness.isEmpty) None
+    else {
+      import org.apache.spark.sql.functions.col
+      val nBad = df
+        .filter(witness.map(c => col(c).isNull || !col(c)).reduce(_ || _))
+        .count()
+      if (nBad > 0)
+        Some(s"witness column(s) ${witness.mkString(", ")} false on $nBad row(s)")
+      else None
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
   }
 }
