@@ -117,12 +117,93 @@ object JsonCompat {
     sb.append('"')
   }
 
+  /** yyjson-compatible double rendering (probed byte-for-byte against the
+    * host engine's `json_object` output across the magnitude sweep,
+    * JsonCompatSpec): shortest-round-trip digits, ECMAScript notation
+    * thresholds — fixed notation for 1e-6 <= |x| < 1e21, exponential
+    * otherwise with no '+' sign — and a ".0" suffix on integral fixed
+    * values. Java 17's `Double.toString` differs in both digit generation
+    * and notation ("1.0E7" vs "10000000.0"), which is why oracles with
+    * doubles >= 1e7 used to diverge.
+    */
+  def formatDouble(v: Double): String = {
+    if (v != v) "NaN"
+    else if (v == Double.PositiveInfinity) "Infinity"
+    else if (v == Double.NegativeInfinity) "-Infinity"
+    else if (v == 0.0) { if (1.0 / v < 0) "-0.0" else "0.0" }
+    else {
+      val a = math.abs(v)
+      val (d, e) = shortestDigits(a, 17, s => java.lang.Double.parseDouble(s) == a)
+      renderFp(v < 0, d, e)
+    }
+  }
+
+  /** Float variant: shortest digits that round-trip through FLOAT. */
+  def formatFloat(v: Float): String = {
+    if (v != v) "NaN"
+    else if (v == Float.PositiveInfinity) "Infinity"
+    else if (v == Float.NegativeInfinity) "-Infinity"
+    else if (v == 0.0f) { if (1.0f / v < 0) "-0.0" else "0.0" }
+    else {
+      val a = math.abs(v).toDouble
+      val (d, e) = shortestDigits(a, 9, s => java.lang.Float.parseFloat(s) == math.abs(v))
+      renderFp(v < 0, d, e)
+    }
+  }
+
+  /** Fewest significant digits whose decimal reading is exactly the value;
+    * returns (digit string, decimal exponent of the leading digit).
+    */
+  private def shortestDigits(a: Double, maxP: Int, ok: String => Boolean): (String, Int) = {
+    var p = 1
+    var cand: String = null
+    while (cand == null) {
+      val c = String.format(java.util.Locale.ROOT, "%." + (p - 1) + "e",
+        java.lang.Double.valueOf(a))
+      if (p == maxP || ok(c)) cand = c else p += 1
+    }
+    val ei = cand.indexOf('e')
+    (cand.substring(0, ei).replace(".", ""), cand.substring(ei + 1).toInt)
+  }
+
+  private def renderFp(neg: Boolean, digits: String, e: Int): String = {
+    val sb = new java.lang.StringBuilder(32)
+    if (neg) sb.append('-')
+    if (e >= -6 && e <= 20) {
+      if (e >= 0) {
+        val intLen = e + 1
+        if (digits.length <= intLen) {
+          sb.append(digits)
+          var i = digits.length
+          while (i < intLen) { sb.append('0'); i += 1 }
+          sb.append(".0")
+        } else {
+          sb.append(digits, 0, intLen).append('.')
+            .append(digits, intLen, digits.length)
+        }
+      } else {
+        sb.append("0.")
+        var i = -1
+        while (i > e) { sb.append('0'); i -= 1 }
+        sb.append(digits)
+      }
+    } else {
+      sb.append(digits.charAt(0))
+      if (digits.length > 1) sb.append('.').append(digits, 1, digits.length)
+      sb.append('e').append(e)
+    }
+    sb.toString
+  }
+
   private def appendValue(sb: java.lang.StringBuilder, v: Any, tag: Int): Unit = {
     if (v == null) { sb.append("null"); return }
     (tag: @annotation.switch) match {
       case TagString  => appendEscaped(sb, v.toString)
       case TagLong    => sb.append(v.toString)
-      case TagDouble  => sb.append(v.toString)
+      case TagDouble  => v match {
+        case f: java.lang.Float => sb.append(formatFloat(f.floatValue))
+        case d                  => sb.append(formatDouble(d.asInstanceOf[java.lang.Double].doubleValue))
+      }
       case TagDecimal => sb.append(
         v.asInstanceOf[org.apache.spark.sql.types.Decimal]
           .toJavaBigDecimal.toPlainString)

@@ -846,6 +846,8 @@ object Relational {
       |         'nation', n_name,
       |         'customers', CAST(count(*) AS INT),
       |         'acct_cents', CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT),
+      |         'acct_big', CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE) * 12345.0,
+      |         'acct_exp', CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE) * 1e18,
       |         'flags', json_array('active', true, 1),
       |         'meta', json_object('source', 'tpch', 'schema', json('{"v":1}'))
       |       ) AS payload

@@ -151,4 +151,59 @@ class JsonCompatSpec extends AnyFunSuite {
       spark.sql("SELECT json_object('a', array(1, 2)) AS j").collect())
     assert(err.getMessage.contains("to_json"))
   }
+
+  test("double rendering is byte-identical to the host's yyjson") {
+    import graft.functions.JsonCompat.formatDouble
+    // every expected string below probed against the host engine:
+    // SELECT json_object('x', <v>::DOUBLE)::VARCHAR — ECMAScript-style
+    // shortest round-trip, fixed notation for 1e-6 <= |x| < 1e21 with a
+    // ".0" suffix on integral values, exponential elsewhere with no '+'
+    val pinned = Seq(
+      1.5 -> "1.5",
+      1e7 -> "10000000.0",
+      12345678.25 -> "12345678.25",
+      1e15 -> "1000000000000000.0",
+      1e16 -> "10000000000000000.0",
+      1e17 -> "100000000000000000.0",
+      123456789012345678.0 -> "123456789012345680.0",
+      1e20 -> "100000000000000000000.0",
+      1e21 -> "1e21",
+      1e-6 -> "0.000001",
+      1e-7 -> "1e-7",
+      0.1 -> "0.1",
+      2.5e-8 -> "2.5e-8",
+      -2.5e-8 -> "-2.5e-8",
+      1.7976931348623157e308 -> "1.7976931348623157e308",
+      java.lang.Double.MIN_VALUE -> "5e-324",
+      0.0 -> "0.0",
+      -0.0 -> "-0.0",
+      3.14159 -> "3.14159",
+      100.0 -> "100.0",
+      1234567890123456.5 -> "1234567890123456.5",
+      // 2^53 boundary: pin REPRESENTABLE doubles only — the literal
+      // 9007199254740993.0 (2^53+1, exactly half-way) parses to ...992 on
+      // the JVM/Python but ...994 in DuckDB's SQL parser; that is a parser
+      // divergence upstream of the formatter under test
+      9007199254740992.0 -> "9007199254740992.0",
+      9007199254740994.0 -> "9007199254740994.0",
+      2.0 -> "2.0",
+      Double.NaN -> "NaN",
+      Double.PositiveInfinity -> "Infinity",
+      Double.NegativeInfinity -> "-Infinity")
+    for ((v, want) <- pinned)
+      assert(formatDouble(v) === want, s"for input $v")
+    // round-trip property on a deterministic sweep
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 2000) {
+      val v = java.lang.Double.longBitsToDouble(rnd.nextLong())
+      if (!v.isNaN && !v.isInfinite)
+        assert(java.lang.Double.parseDouble(formatDouble(v)) === v, s"round-trip $v")
+    }
+  }
+
+  test("json_object renders >=1e7 doubles host-identically (SQL surface)") {
+    assert(one("SELECT json_object('a', CAST(12345000000 AS DOUBLE), " +
+      "'b', CAST(7.3e26 AS DOUBLE), 'c', CAST(0.25e-8 AS DOUBLE)) AS j")
+      === """{"a":12345000000.0,"b":7.3e26,"c":2.5e-9}""")
+  }
 }
