@@ -564,4 +564,23 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(out.toSeq == Seq((1L, 3L, 0.2310), (2L, 2L, 0.3466)))
   }
+
+  test("bucketed layout fingerprint: stable per content, regeneration invalidates") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-fp").toString
+    Files.writeString(Paths.get(dir, "orders.parquet"), "v1-orders")
+    Files.writeString(Paths.get(dir, "lineitem.parquet"), "v1-lineitem")
+    val entries = Seq("orders.parquet", "lineitem.parquet")
+    val fp1 = graft.queries.Pipeline.layoutFingerprint(dir, entries)
+    assert(fp1 == graft.queries.Pipeline.layoutFingerprint(dir, entries),
+      "same content, same key")
+    // in-place regeneration: same path, new bytes/mtime → MUST be a miss
+    Files.writeString(Paths.get(dir, "orders.parquet"), "v2-orders!!")
+    val fp2 = graft.queries.Pipeline.layoutFingerprint(dir, entries)
+    assert(fp1 != fp2, "regenerated dataset must change the cache key")
+    // mtime-only change (same size) also invalidates
+    Files.setLastModifiedTime(Paths.get(dir, "lineitem.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(12345L))
+    assert(graft.queries.Pipeline.layoutFingerprint(dir, entries) != fp2)
+  }
 }
