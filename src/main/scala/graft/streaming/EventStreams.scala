@@ -226,7 +226,7 @@ object EventStreams {
     val stream = spark.readStream
       .schema(staticDf.schema)
       .parquet(s"$dir/events.parque[t]")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", graft.queries.Tables.normalizedTs(staticDf))
     runStream(spark, name, transform(stream), outputMode, shufflePartitions)
   }
 
