@@ -179,7 +179,16 @@ object Routing {
       tiledCache
     }
 
-  def defs: Seq[QueryDef] = Seq(
+  /** The raw defs carry no inline oracle (DuckDB has no routing engine);
+    * the deterministic ones are promoted to literal VALUES oracles from
+    * [[RoutingOracles]] (generated constants — see that file's scaladoc),
+    * so a routing regression turns a driver row hard red instead of
+    * hiding behind `no_oracle`.
+    */
+  def defs: Seq[QueryDef] = raw.map(q =>
+    q.copy(oracle = q.oracle.orElse(RoutingOracles.sql.get(q.name))))
+
+  private def raw: Seq[QueryDef] = Seq(
 
     QueryDef("r00_status",
       (s, _) => {
@@ -266,7 +275,8 @@ object Routing {
         val c = GridFixture.latOf(55); val cl = GridFixture.lonOf(55)
         s.sql(s"""SELECT maxsec, count(*) AS n_reachable FROM (
                  |  SELECT maxsec, explode(travel_time_isochrone($c, $cl, maxsec, 'auto')) AS n
-                 |  FROM VALUES (60.0), (180.0), (600.0) AS t(maxsec))
+                 |  FROM (SELECT CAST(m AS DOUBLE) AS maxsec
+                 |        FROM VALUES (60.0), (180.0), (600.0) AS t(m)))
                  |GROUP BY maxsec ORDER BY maxsec""".stripMargin)
       }, None),
 
@@ -716,6 +726,78 @@ object Routing {
                 |  round(st_length_spheroid(st_geomfromtext('LINESTRING(7.40 43.70, 7.41 43.70)')), 1) AS len_m,
                 |  st_asgeojson(st_point(7.42, 43.73)) AS geojson,
                 |  st_astext(st_centroid(st_geomfromtext('LINESTRING(0 0, 2 0, 2 2, 0 2)'))) AS centroid""".stripMargin)
+      }, None),
+
+    QueryDef("r27_monaco_real",
+      (s, _) => {
+        import s.implicits._
+        // REAL road network, not a synthetic lattice: decode the reference's
+        // own prebuilt Monaco cache (test/data/monaco.osm.pbf.auto.routing,
+        // bincode of RoutingData — rust/src/lib.rs:147-153, decoder
+        // graft.graph.RoutingCacheCodec), load it through the standard
+        // engine path, and assert the reference's z_integration invariants
+        // (test/sql/z_integration.test.skip:20-59) as witness booleans the
+        // Verify gate turns into hard driver red on regression. An
+        // independent plain-Dijkstra over the decoded adjacency list
+        // cross-checks the engine's CH answer on the Casino→Port pair.
+        val refDir = sys.env.getOrElse("GRAFT_REFERENCE_DIR", "/root/reference")
+        val fixture = s"$refDir/test/data/monaco.osm.pbf.auto.routing"
+        val g = graft.graph.RoutingCacheCodec.decode(fixture)
+        val (nodes, edges) = graft.graph.RoutingCacheCodec.toDataFrames(s, g)
+        RoutingContext.unload()
+        val h = RoutingContext.load(s, fixture, Map("auto" -> (nodes, edges)))
+        RoutingFunctions.register(s, h) // rebind the SQL surface to this graph
+        val row = try {
+          s.sql(
+            """SELECT
+              |  travel_time_node_count('auto') AS n_nodes,
+              |  round(travel_time(43.7397, 7.4282, 43.7347, 7.4207, 'auto'), 3) AS p2p_s,
+              |  round(travel_time_snap(43.7397, 7.4282, 'auto').lat, 6) AS snap_lat,
+              |  round(travel_time_snap(43.7397, 7.4282, 'auto').distance_m, 2) AS snap_dist_m,
+              |  (SELECT count(*) FROM (SELECT explode(travel_time_matrix(
+              |     array(43.7397, 43.7347), array(7.4282, 7.4207),
+              |     array(43.7397, 43.7347), array(7.4282, 7.4207), 'auto')))) AS matrix_n,
+              |  (SELECT count(*) FROM (SELECT explode(
+              |     travel_time_isochrone(43.7397, 7.4282, 300.0, 'auto')))) AS iso_nodes
+              |""".stripMargin).collect()(0)
+        } finally { RoutingContext.unload(); ensure(s): Unit }
+        val p2p = row.getDouble(1)
+        // independent check: textbook Dijkstra on the decoded adj_list in
+        // raw weight_ms, same snap endpoints the engine used
+        val snap = (latQ: Double, lonQ: Double) => (0 until g.numNodes)
+          .filter(g.mainRoad)
+          .minBy(i => graft.geo.Geo.approxDist2(latQ, lonQ, g.lat(i), g.lon(i)))
+        val (src, dst) = (snap(43.7397, 7.4282), snap(43.7347, 7.4207))
+        val dist = Array.fill(g.numNodes)(Long.MaxValue)
+        val pq = new java.util.PriorityQueue[(Long, Int)](
+          (a: (Long, Int), b: (Long, Int)) => java.lang.Long.compare(a._1, b._1))
+        dist(src) = 0L; pq.add((0L, src))
+        while (!pq.isEmpty) {
+          val (d, u) = pq.poll()
+          if (d == dist(u)) {
+            var j = 0
+            while (j < g.adjTo(u).length) {
+              val v = g.adjTo(u)(j); val nd = d + g.adjWeightMs(u)(j)
+              if (nd < dist(v)) { dist(v) = nd; pq.add((nd, v)) }
+              j += 1
+            }
+          }
+        }
+        val dijkstraS = dist(dst) / 1000.0
+        Seq((row.getInt(0), g.numEdges, g.mainRoad.count(identity),
+          row.getInt(0) > 1000,
+          p2p, p2p < 300.0,
+          row.getDouble(2), row.getDouble(3),
+          row.getDouble(2) > 43.0 && row.getDouble(2) < 44.0 && row.getDouble(3) < 500.0,
+          row.getLong(4), row.getLong(4) == 4L,
+          row.getLong(5), row.getLong(5) > 100L,
+          math.round(dijkstraS * 1000) / 1000.0,
+          math.abs(p2p - dijkstraS) < 0.0011)
+        ).toDF("n_nodes", "n_edges", "n_main_road",
+          "nodes_gt_1000_ok", "p2p_s", "p2p_lt_300_ok",
+          "snap_lat", "snap_dist_m", "snap_ok",
+          "matrix_n", "matrix_ok", "iso_nodes", "iso_gt_100_ok",
+          "dijkstra_s", "dijkstra_parity_ok")
       }, None)
   )
 }
