@@ -163,6 +163,18 @@ object Multimodal {
   /** STUB for media the JDK cannot decode (audio/video): deterministic
     * fixed-shape "features" derived from the raw bytes. Kept ONLY as the
     * non-image fallback; images take the real [[decodeImage]] path.
+    *
+    * Closure note on compressed audio/video (MP3/Vorbis/AAC/H.264): a
+    * pure-JVM decoder (e.g. the public JLayer/jorbis libraries) would slot
+    * in behind [[decode]]'s dispatch with zero Spark-side change, but this
+    * build environment resolves dependencies offline from a fixed cache
+    * that carries none of them, and the JDK's `javax.sound` SPI ships no
+    * compressed-format providers on a headless install — verified:
+    * `AudioSystem.getAudioFileTypes` lists only WAVE/AU/AIFF here. So the
+    * real-decode boundary is structural to the environment, not a design
+    * gap; the deterministic stub stays, and every format the JDK CAN
+    * decode (JPEG/PNG/GIF/BMP images, PCM WAV/AIFF audio) takes a real
+    * decode path above.
     */
   def stubDecode(bytes: Array[Byte]): Array[Float] = {
     val out = new Array[Float](FeatureDim)
