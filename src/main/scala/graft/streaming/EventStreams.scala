@@ -202,12 +202,24 @@ object EventStreams {
   def runBoundedDocs(spark: SparkSession, dir: String, name: String,
                      transform: DataFrame => DataFrame,
                      outputMode: String = "append",
-                     shufflePartitions: Option[Int] = None): DataFrame = {
+                     shufflePartitions: Option[Int] = None,
+                     spread: Boolean = true): DataFrame = {
     val staticDf = spark.read.parquet(s"$dir/documents.parquet")
     val stream = spark.readStream
       .schema(staticDf.schema)
       .parquet(s"$dir/documents.parque[t]")
-    runStream(spark, name, transform(stream), outputMode, shufflePartitions)
+    // FileStreamSource parallelism is file-granular: a single small
+    // parquet fixture becomes ONE task, serializing the per-row stage
+    // work (measured: s08 addBatch ~860 ms single-threaded). Spread the
+    // micro-batch across cores before a CPU-heavy transform; stages whose
+    // per-row work is cheaper than an exchange pass spread=false. At
+    // production scale (many files per trigger) the source parallelizes
+    // naturally and this exchange is per-batch noise.
+    val src =
+      if (spread) stream.repartition(
+        shufflePartitions.getOrElse(spark.sparkContext.defaultParallelism))
+      else stream
+    runStream(spark, name, transform(src), outputMode, shufflePartitions)
   }
 
   /** Run `transform` over `<dir>/events.parquet` as a bounded stream
@@ -240,13 +252,28 @@ object EventStreams {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     shufflePartitions.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
     try {
+      // Bounded verification runs pair a MEMORY sink with an ephemeral
+      // checkpoint, so checkpoint durability buys nothing — put it on
+      // tmpfs when available to keep offset/commit-log fsyncs off the
+      // disk. Real deployments override with a durable checkpointLocation.
+      val ckBase = {
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        if (java.nio.file.Files.isWritable(shm)) shm
+        else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+      }
+      val ck = java.nio.file.Files.createTempDirectory(ckBase, s"graft-ck-$name")
       val q = transformed.writeStream
         .format("memory")
         .queryName(name)
+        .option("checkpointLocation", ck.toString)
         .outputMode(outputMode)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      if (sys.env.contains("GRAFT_STREAM_DEBUG"))
+        q.recentProgress.foreach(p => System.err.println(
+          s"[stream-debug] $name batch=${p.batchId} rows=${p.numInputRows} " +
+            s"durations=${p.durationMs}"))
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.table(name)
   }
