@@ -143,11 +143,6 @@ object Similarity {
     * breaks rounded ties by cell index, so assignments are deterministic
     * and identical in Spark and the DuckDB oracle.
     */
-  private def dist2(vec: Column, cent: Array[Double]): Column =
-    round(aggregate(
-      zip_with(transform(vec, x => x.cast("double")), lit(cent), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (a, v) => a + v), 6)
-
   /** Index of the nearest centroid (lowest cell wins rounded ties).
     * Routed through [[nearestCells]] so every centroid distance is computed
     * exactly once — a naive when-chain argmin nests each partial best into
@@ -156,16 +151,18 @@ object Similarity {
   def nearestCell(vec: Column, cents: Array[Array[Double]]): Column =
     element_at(nearestCells(vec, cents, 1), 1)
 
-  /** The `nprobe` nearest cells, nearest first (struct array_sort orders by
-    * (dist, cell) — same tie-break as [[nearestCell]]).
+  /** The `nprobe` nearest cells, nearest first, ties to the lower cell
+    * index — the native [[graft.functions.NearestCells]] kernel. (The
+    * former HOF formulation — an `array()` of per-centroid
+    * `zip_with`+`aggregate` structs through `array_sort` — builds an
+    * O(k·dim)-node expression tree: fine at k=8, minutes of pure
+    * planning/codegen at the corpus-adaptive k a real IVF needs. The
+    * native expression carries the matrix as one literal; same results,
+    * SimilaritySpec pins the equivalence.)
     */
   def nearestCells(vec: Column, cents: Array[Array[Double]], nprobe: Int): Column = {
-    // the cast pins the field names positionally — struct() drops aliases
-    // on some expression shapes (HOF children resolve to col1/col2)
-    val scored = array(cents.zipWithIndex.map { case (c, i) =>
-      struct(dist2(vec, c), lit(i)).cast("struct<d:double,i:int>")
-    }: _*)
-    transform(slice(array_sort(scored), 1, nprobe), s => s.getField("i"))
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.functions.NearestCells(spark, vec, cents, nprobe)
   }
 
   /** Train IVF centroids: deterministic init (the first `k` vectors by id)

@@ -715,7 +715,8 @@ object Pipeline {
     QueryDef("p19_ivf_ann",
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding",
+          k = ivfK(emb.count()), iters = 2)
         Similarity.ivfTopK(emb, "vec_id", "embedding", cents, nprobe = 2,
           col("vec_id") < 50, k = 3, dim = Some(64))
           .orderBy(col("qid"), col("rank"))
@@ -746,7 +747,8 @@ object Pipeline {
     QueryDef("p49_semdedup",
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding",
+          k = ivfK(emb.count()), iters = 2)
         Similarity.semDedup(emb, "vec_id", "embedding", cents,
             threshold = 0.3, dim = Some(64))
           .orderBy(col("vec_id"))
@@ -1728,6 +1730,17 @@ object Pipeline {
   private val ivfD2 = "round(list_sum(list_transform(range(1, 65), " +
     "i -> (b.e[i] - c.c[i]) * (b.e[i] - c.c[i]))), 6)"
 
+  /** IVF/SemDeDup cell count: scales with the corpus so the within-cell
+    * quadratic stays bounded (~250 vectors per cell — the SemDeDup cost
+    * model requires cluster count to GROW with n; a fixed k turns
+    * cluster-local into corpus-quadratic: measured 219 s at the 20k-vector
+    * local sf1.0 stress vs 2.5 s at 2k). The floor of 8 keeps the sf0.01
+    * driver fixture (500 vectors) on exactly the former constant, and the
+    * oracle mirrors this formula in its `LIMIT (SELECT greatest(...))`
+    * subquery so both engines train identical centroids at every scale.
+    */
+  private def ivfK(n: Long): Int = math.max(8, math.ceil(n / 250.0).toInt)
+
   private val ivfCorpusCtes: String = {
     def assign(centCte: String, outName: String): String =
       s"""$outName AS (
@@ -1746,7 +1759,9 @@ object Pipeline {
          |    GROUP BY cell) l USING (cell))""".stripMargin
     s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS c
-       |       FROM (SELECT * FROM base ORDER BY vec_id LIMIT 8)),
+       |       FROM (SELECT * FROM base ORDER BY vec_id
+       |             LIMIT (SELECT greatest(8, CAST(ceil(count(*) / 250.0) AS INT))
+       |                    FROM base))),
        |${assign("c0", "a0")},
        |${recompute("a0", "c0", "c1")},
        |${assign("c1", "a1")},

@@ -234,6 +234,42 @@ class OpsSpec extends AnyFunSuite {
     assert(wide.sortBy(_.getAs[Int]("rank")).take(9).forall(_.getAs[Long]("nid") % 2 == 0))
   }
 
+  test("native nearest_cells matches the HOF argmin formulation bit-for-bit") {
+    // the native NearestCells expression must reproduce the retired
+    // zip_with+aggregate+array_sort pipeline exactly: squared L2 in double
+    // (floats promoted, left fold), round(_, 6) HALF_UP on the decimal
+    // string, (dist, cell) lexicographic, lower cell on rounded ties
+    import org.apache.spark.sql.functions.{aggregate => aggr, _}
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val cents = Array.fill(6)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    // include exact-duplicate centroids to force rounded ties
+    val centsWithTie = cents :+ cents(2).clone()
+    val vecs = (0L until 200L).map(i => (i, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    def hofDist2(vec: org.apache.spark.sql.Column, cent: Array[Double]) =
+      round(aggr(
+        zip_with(transform(vec, x => x.cast("double")), lit(cent), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, v) => a + v), 6)
+    val scored = array(centsWithTie.zipWithIndex.map { case (c, i) =>
+      struct(hofDist2($"embedding", c), lit(i)).cast("struct<d:double,i:int>")
+    }: _*)
+    val hof = vecs.select($"vec_id",
+      transform(slice(array_sort(scored), 1, 3), s => s.getField("i")).as("cells"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val native = vecs.select($"vec_id",
+      Similarity.nearestCells($"embedding", centsWithTie, 3).as("cells"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(native == hof)
+    // and the plan stays O(1) in k: a 512-centroid matrix must analyze
+    // fast and run (the HOF tree at this k would be ~50k expression nodes)
+    val bigK = Array.fill(512)(Array.fill(dim)(rnd.nextDouble()))
+    val t0 = System.nanoTime()
+    val n = vecs.select(Similarity.nearestCell($"embedding", bigK).as("cell"))
+      .groupBy($"cell").count().count()
+    assert(n > 0 && (System.nanoTime() - t0) < 60e9)
+  }
+
   test("bucketed top-k only searches the query's bucket") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f), 10),
