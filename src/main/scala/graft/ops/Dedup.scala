@@ -68,18 +68,39 @@ object Dedup {
       .select(col("doc"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
   }
 
-  /** LSH candidate pairs: docs sharing any band of `rowsPerBand` consecutive
-    * minhashes. Input df must have (idCol, textCol). Output: (a, b) with a<b,
-    * plus the number of matching bands.
+  /** Exact-duplicate collapse: one representative (min id) per identical
+    * text, keyed by md5 digest — the same exact-dedup contract the p01/p47
+    * operators use. The production pre-pass for dup-heavy corpora: web-scale
+    * data is FULL of byte-identical copies, and every downstream near-dup
+    * stage (signatures, banding, verify) need only touch one member per
+    * group; member pairs are reconstructed afterwards by expansion. The
+    * local 10× stress (every doc ×10 copies) runs the signature+verify
+    * pipeline on 1/10 the docs and 1/100 the verified pairs.
     */
-  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        q: Int = 5, k: Int = 12, rowsPerBand: Int = 3): DataFrame = {
+  private final case class Collapsed(members: DataFrame, reps: DataFrame)
+
+  private def collapse(df: DataFrame, idCol: String, textCol: String): Collapsed = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("__text")))
+    val m = df.select(col(idCol).as("doc"), col(textCol).as("__text"))
+      .withColumn("gid", min(col("doc")).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Collapsed(
+      members = m.select(col("doc"), col("gid")),
+      reps = m.filter(col("doc") === col("gid")).select(col("doc"), col("__text")))
+  }
+
+  /** Candidate (repA, repB, n_bands) pairs between DISTINCT texts via LSH
+    * banding — the former [[minhashCandidates]] body, now run on exact-dup
+    * representatives only.
+    */
+  private def bandCandidates(reps: DataFrame, q: Int, k: Int,
+                             rowsPerBand: Int): DataFrame = {
     val nBands = k / rowsPerBand
     // persist: the bands self-join below reads this subtree TWICE (both join
     // sides) — uncached, Spark recomputes the full explode + k-aggregate
     // signature pipeline per side. One narrow (doc, k longs) row per doc, so
     // the cache is ~1% of the shingle stream it replaces.
-    val sig = minhashSignatures(df, idCol, textCol, q, k)
+    val sig = minhashSignatures(reps, "doc", "__text", q, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sig.select(col("doc"),
       posexplode(transform(sequence(lit(0), lit(nBands - 1)),
@@ -94,6 +115,42 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** Rebuild member-level pairs from representative-level pairs:
+    * cross-group candidates expand to every member cross pair (re-ordered
+    * so a<b on raw ids), and every exact-dup group contributes all its
+    * internal pairs with the carried columns fixed to the identical-text
+    * values (`all bands match`, jaccard 1.0). Output cardinality equals
+    * the uncollapsed algorithm's exactly — only the work to produce it
+    * shrinks.
+    */
+  private def expandPairs(repPairs: DataFrame, members: DataFrame,
+                          intraCarried: Seq[Column]): DataFrame = {
+    val carried = repPairs.columns.filter(c => c != "a" && c != "b").map(col)
+    val inter = repPairs
+      .join(members.select(col("gid").as("a"), col("doc").as("__x")), "a")
+      .join(members.select(col("gid").as("b"), col("doc").as("__y")), "b")
+      .select(least(col("__x"), col("__y")).as("a") +:
+        greatest(col("__x"), col("__y")).as("b") +: carried.toIndexedSeq: _*)
+    val ml = members.as("l"); val mr = members.as("r")
+    val intra = ml.join(mr, col("l.gid") === col("r.gid") && col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("a") +: col("r.doc").as("b") +: intraCarried.toIndexedSeq: _*)
+    inter.unionByName(intra)
+  }
+
+  /** LSH candidate pairs: docs sharing any band of `rowsPerBand` consecutive
+    * minhashes. Input df must have (idCol, textCol). Output: (a, b) with a<b,
+    * plus the number of matching bands. Exact duplicates are collapsed before
+    * signing and expanded after ([[collapse]]/[[expandPairs]]), so identical
+    * copies never re-enter the signature or banding work.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        q: Int = 5, k: Int = 12, rowsPerBand: Int = 3): DataFrame = {
+    val nBands = k / rowsPerBand
+    val c = collapse(df, idCol, textCol)
+    expandPairs(bandCandidates(c.reps, q, k, rowsPerBand), c.members,
+      intraCarried = Seq(lit(nBands).cast("long").as("n_bands")))
+  }
+
   /** LSH-gated n-gram Jaccard: exact Jaccard computed ONLY on MinHash/LSH
     * candidate pairs — the production near-dup pipeline shape (candidates →
     * verify). Per-pair scoring is a codegen'd array_intersect over the two
@@ -102,9 +159,19 @@ object Dedup {
     */
   def lshJaccard(df: DataFrame, idCol: String, textCol: String,
                  q: Int = 5, k: Int = 12, rowsPerBand: Int = 3,
-                 threshold: Double = 0.0): DataFrame =
-    jaccardVerify(df, minhashCandidates(df, idCol, textCol, q, k, rowsPerBand),
-      idCol, textCol, q, threshold)
+                 threshold: Double = 0.0): DataFrame = {
+    val nBands = k / rowsPerBand
+    // verify on exact-dup REPRESENTATIVES: identical texts share one
+    // jaccard value, so a dup group of m docs costs 1 verification, not
+    // m² — then expand (intra pairs are jaccard 1.0 by identity)
+    val c = collapse(df, idCol, textCol)
+    val verified = jaccardVerify(c.reps,
+      bandCandidates(c.reps, q, k, rowsPerBand), "doc", "__text", q, threshold)
+    val expanded = expandPairs(verified, c.members,
+      intraCarried = Seq(lit(nBands).cast("long").as("n_bands"),
+        lit(1.0).as("jaccard")))
+    if (threshold > 1.0) expanded.filter(col("jaccard") >= threshold) else expanded
+  }
 
   /** Connected components over candidate pairs — the END of the near-dup
     * pipeline: LSH pairs induce clusters, every cluster elects its minimum
@@ -122,6 +189,36 @@ object Dedup {
     * Input: (a, b) pairs. Output: (doc, cluster, cluster_size) for every
     * doc appearing in a pair, cluster = min doc id reachable.
     */
+  /** End-to-end near-dup clustering from documents, with the exact-dup
+    * collapse applied through the WHOLE pipeline: label propagation runs on
+    * the representative pair graph (one node per distinct text), then
+    * members inherit their group's component. Identical-copy cliques — the
+    * dominant edge mass in dup-heavy corpora (the 10× stress graph is ~99%
+    * intra-group edges) — never enter the iterative CC at all. Results are
+    * identical to running [[nearDupClusters]] on the expanded pairs: a
+    * component's label is the min raw id = min gid of its groups (gid IS
+    * the group min), sizes sum the group cardinalities, and a multi-member
+    * group whose rep pairs with nothing is its own cluster.
+    */
+  def nearDupClustersFromDocs(df: DataFrame, idCol: String, textCol: String,
+                              q: Int = 5, k: Int = 12,
+                              rowsPerBand: Int = 3): DataFrame = {
+    val c = collapse(df, idCol, textCol)
+    val repPairs = bandCandidates(c.reps, q, k, rowsPerBand).select(col("a"), col("b"))
+    val repLabel = nearDupClusters(repPairs)
+      .select(col("doc").as("gid"), col("cluster").as("rlab"))
+    val sizes = c.members.groupBy(col("gid")).agg(count(lit(1)).as("m"))
+    // groups in the output: rep participates in a cross-text pair, OR the
+    // group itself has >= 2 members (its intra pairs alone include it)
+    val groups = sizes.join(repLabel, Seq("gid"), "left")
+      .filter(col("rlab").isNotNull || col("m") >= 2)
+      .withColumn("cluster", coalesce(col("rlab"), col("gid")))
+    val csize = groups.groupBy(col("cluster")).agg(sum(col("m")).as("cluster_size"))
+    c.members.join(groups.select(col("gid"), col("cluster")), "gid")
+      .join(csize, "cluster")
+      .select(col("doc"), col("cluster"), col("cluster_size"))
+  }
+
   def nearDupClusters(pairs: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val edges = pairs.select(col("a").as("x"), col("b").as("y"))

@@ -581,12 +581,9 @@ object Pipeline {
     // fine at oracle scale, quadratic in cluster size at real scale, which
     // is exactly why the Spark side iterates instead.
     QueryDef("p24_neardup_clusters",
-      (s, d) => {
-        val cands = Dedup.minhashCandidates(t(s, d, "documents"), "doc_id", "text",
+      (s, d) => Dedup.nearDupClustersFromDocs(t(s, d, "documents"), "doc_id", "text",
           q = 5, k = 12, rowsPerBand = 3)
-        Dedup.nearDupClusters(cands.select(col("a"), col("b")))
-          .orderBy(col("doc"))
-      },
+        .orderBy(col("doc")),
       Some(s"""WITH cand AS ($minhashCandidatesSql),
               |edges AS (SELECT a AS x, b AS y FROM cand
               |          UNION SELECT b AS x, a AS y FROM cand),

@@ -136,6 +136,32 @@ class OpsSpec extends AnyFunSuite {
     assert(!cands.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
   }
 
+  test("collapsed near-dup clustering matches pair-level CC, incl. unpaired dup group") {
+    // three exact-dup groups: {1,2,9} (text A), {3,4} (text B ~ text A so
+    // the groups pair up), {7,8} (text C, similar to NOTHING — its rep
+    // enters no cross-text pair, so the group must still cluster via its
+    // intra pairs), plus a unique unpaired doc 5 that must NOT appear
+    val a = "spark shuffle partition broadcast join aggregate window state"
+    val b = "spark shuffle partition broadcast join aggregate window stats"
+    val cTx = "zzzz qqqq mmmm wwww kkkk xxxx vvvv bbbb nnnn hhhh jjjj gggg"
+    val docs = Seq(1L -> a, 2L -> a, 9L -> a, 3L -> b, 4L -> b,
+      7L -> cTx, 8L -> cTx, 5L -> "totally unrelated short text nothing")
+      .toDF("doc_id", "text")
+    val viaDocs = Dedup.nearDupClustersFromDocs(docs, "doc_id", "text",
+      q = 4, k = 8, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaPairs = Dedup.nearDupClusters(
+      Dedup.minhashCandidates(docs, "doc_id", "text", q = 4, k = 8, rowsPerBand = 2)
+        .select(col("a"), col("b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaDocs == viaPairs)
+    assert(viaDocs.contains((7L, 7L, 2L)) && viaDocs.contains((8L, 7L, 2L)),
+      "unpaired dup group clusters on its own")
+    assert(!viaDocs.exists(_._1 == 5L), "unique unpaired doc is absent")
+    assert(viaDocs.filter(t => Set(1L, 2L, 3L, 4L, 9L)(t._1)).forall(_._2 == 1L),
+      "cross-paired groups merge under the min raw id")
+  }
+
   test("ngram jaccard: identical docs = 1.0, disjoint absent") {
     val docs = Seq((1L, "abcdefghij"), (2L, "abcdefghij"), (3L, "zzzzyyyyxx"))
       .toDF("doc_id", "text")
