@@ -52,14 +52,19 @@ object Advanced {
           shufflePartitions = Some(8))
         .orderBy(col("user_id"), col("session_start")),
       Some("""WITH marked AS (
-             |  SELECT user_id, ts, value,
+             |  SELECT user_id, ts, event_id, value,
              |    CASE WHEN lag(ts) OVER w IS NULL
              |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
              |      THEN 1 ELSE 0 END AS new_session
              |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
              |sess AS (
              |  SELECT user_id, ts, value,
-             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             |    -- order ties by (ts, event_id) like the lag window: with
+             |    -- duplicate timestamps a ts-only ROWS frame can place tie
+             |    -- rows BEFORE their group's new-session marker, splitting a
+             |    -- tie group across sessions (4 phantom sessions at the 10x
+             |    -- stress); session_window correctly merges equal-ts events
+             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
              |      ROWS UNBOUNDED PRECEDING) AS sid
              |  FROM marked)
              |SELECT user_id, min(ts) AS session_start,

@@ -71,12 +71,20 @@ object Relational {
         l.join(o, l("l_orderkey") === o("o_orderkey"))
           .join(broadcast(c), o("o_custkey") === c("c_custkey"))
           .groupBy($"c_mktsegment")
-          .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"),
+          // exact-integer revenue (the p50 contract): prices/discounts are
+          // 2-decimal, so cents × (100 - discount%) is an exact BIGINT in
+          // 1e-4 dollars — double summation drifts in the 4th decimal once
+          // group sums pass ~1e10 (caught by the sf1.0 stress gate), and
+          // BIGINT summation is also engine-order-independent
+          .agg(round(sum(round($"l_extendedprice" * 100, 0).cast("long") *
+              (lit(100L) - round($"l_discount" * 100, 0).cast("long"))) / 1e4, 4)
+              .as("revenue"),
             count(lit(1)).as("n_items"))
           .orderBy($"c_mktsegment")
       },
       Some("""SELECT c_mktsegment,
-             |round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+             |round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+             |          (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 1e4, 4) AS revenue,
              |count(*) AS n_items
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
@@ -206,14 +214,19 @@ object Relational {
         import s.implicits._
         t(s, d, "orders")
           .cube($"o_orderstatus", $"o_orderpriority")
-          .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 4).as("total"))
+          // exact-cents BIGINT sum (see q03): the grand-total cube cell
+          // crosses 7e10 at the 10× stress, where double-sum order costs
+          // the 4th decimal
+          .agg(count(lit(1)).as("n"),
+            round(sum(round($"o_totalprice" * 100, 0).cast("long")) / 100.0, 4).as("total"))
           .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
             coalesce($"o_orderpriority", lit("ALL")).as("priority"), $"n", $"total")
           .orderBy($"status", $"priority")
       },
       Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
              |coalesce(o_orderpriority, 'ALL') AS priority,
-             |count(*) AS n, round(sum(o_totalprice), 4) AS total
+             |count(*) AS n,
+             |round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 4) AS total
              |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
              |ORDER BY status, priority""".stripMargin)),
 
