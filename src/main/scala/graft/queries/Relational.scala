@@ -43,10 +43,18 @@ object Relational {
         t(s, d, "lineitem")
           .filter($"l_shipdate" <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
           .groupBy($"l_returnflag", $"l_linestatus")
+          // price sums through the exact-cents BIGINT path (the q03/p50
+          // contract): this query folds ALL of lineitem into ~4 groups, so
+          // the sums are the first to cross double's 4-decimal precision as
+          // data grows (quantity stays a plain double sum — integer-valued,
+          // exact to 2^53; averages are magnitude-bounded)
           .agg(
             round(sum($"l_quantity"), 4).as("sum_qty"),
-            round(sum($"l_extendedprice"), 4).as("sum_base_price"),
-            round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("sum_disc_price"),
+            round(sum(round($"l_extendedprice" * 100, 0).cast("long")) / 100.0, 4)
+              .as("sum_base_price"),
+            round(sum(round($"l_extendedprice" * 100, 0).cast("long") *
+                (lit(100L) - round($"l_discount" * 100, 0).cast("long"))) / 1e4, 4)
+              .as("sum_disc_price"),
             round(avg($"l_quantity"), 4).as("avg_qty"),
             round(avg($"l_discount"), 4).as("avg_disc"),
             count(lit(1)).as("count_order"))
@@ -54,8 +62,9 @@ object Relational {
       },
       Some("""SELECT l_returnflag, l_linestatus,
              |round(sum(l_quantity), 4) AS sum_qty,
-             |round(sum(l_extendedprice), 4) AS sum_base_price,
-             |round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+             |round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0, 4) AS sum_base_price,
+             |round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+             |          (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 1e4, 4) AS sum_disc_price,
              |round(avg(l_quantity), 4) AS avg_qty,
              |round(avg(l_discount), 4) AS avg_disc,
              |count(*) AS count_order
