@@ -93,6 +93,49 @@ object Dedup {
     * banding — the former [[minhashCandidates]] body, now run on exact-dup
     * representatives only.
     */
+  /** (doc, band, bucket) rows from a (doc, sig) signature frame. */
+  private def bandsOf(sig: DataFrame, nBands: Int, rowsPerBand: Int): DataFrame =
+    sig.select(col("doc"),
+      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
+        b => concat_ws("#", transform(
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+          x => x.cast("string"))))))
+      .toDF("doc", "band", "bucket")
+
+  /** The corpus LSH band index, (doc, band, bucket) — what a streaming
+    * ingest probes (s12): build once from the standing corpus, broadcast
+    * into the micro-batch plan, and each arriving document's per-row
+    * [[bandBucketArray]] joins against it. Identical construction to
+    * [[minhashCandidates]]'s interior (no exact-dup collapse: the index
+    * must hold EVERY corpus doc id so matches name real documents).
+    */
+  def bandBuckets(df: DataFrame, idCol: String, textCol: String,
+                  q: Int = 5, k: Int = 12, rowsPerBand: Int = 3): DataFrame =
+    bandsOf(minhashSignatures(
+      df.select(col(idCol).as("doc"), col(textCol).as("__text")),
+      "doc", "__text", q, k), k / rowsPerBand, rowsPerBand)
+
+  /** Per-row band buckets as ONE column expression (array of bucket
+    * strings, index = band): the stateless-streaming form of the signature
+    * pipeline — no explode/groupBy, so it runs inside a micro-batch plan
+    * with no state store. Bucket encoding matches [[bandBuckets]] exactly
+    * (same q-gram shingles, same 60-bit md5-prefix minhash, same
+    * '#'-joined rows-per-band concatenation). The signature itself is the
+    * native [[graft.functions.MinhashSig]] kernel, and the `transform(
+    * array(sig), ...)` wrapper binds it ONCE per row — referencing the
+    * signature inside the per-band lambda directly would re-run the k·|sh|
+    * digest kernel once per band.
+    */
+  def bandBucketArray(textCol: String, q: Int, k: Int, rowsPerBand: Int): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val sig = graft.functions.MinhashSig(spark, col(textCol), q, k)
+    element_at(transform(array(sig), sv =>
+      transform(sequence(lit(0), lit(k / rowsPerBand - 1)),
+        b => concat_ws("#", transform(
+          slice(sv, b * rowsPerBand + 1, lit(rowsPerBand)),
+          x => x.cast("string"))))), 1)
+  }
+
   private def bandCandidates(reps: DataFrame, q: Int, k: Int,
                              rowsPerBand: Int): DataFrame = {
     val nBands = k / rowsPerBand
@@ -102,12 +145,7 @@ object Dedup {
     // the cache is ~1% of the shingle stream it replaces.
     val sig = minhashSignatures(reps, "doc", "__text", q, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = sig.select(col("doc"),
-      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
-        b => concat_ws("#", transform(
-          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-          x => x.cast("string"))))))
-      .toDF("doc", "band", "bucket")
+    val bands = bandsOf(sig, nBands, rowsPerBand)
     val l = bands.as("l"); val r = bands.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
         col("l.doc") < col("r.doc"))
@@ -332,6 +370,73 @@ object Dedup {
           .when(col(idCol) =!= min(col(idCol)).over(w), "dup_in_delta")
           .otherwise("new"))
       .drop("__seen")
+  }
+
+  /** Exact duplicated-substring span detection — the character-level dedup
+    * step of Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499): for every document, find the maximal
+    * spans all of whose length-`w` windows occur at least twice in the
+    * corpus (in another document, or repeated within this one), and report
+    * per-document span statistics. Repeated boilerplate (headers, license
+    * blocks, templated paragraphs) shows up as spans even when the
+    * documents as wholes are nowhere near duplicates — which is exactly
+    * why the span pass exists alongside MinHash.
+    *
+    * Shape: one generator pass emits (doc, off, window); one hash-aggregate
+    * (map-side partial) finds windows with ≥2 occurrences; a join back
+    * marks the duplicated offsets; adjacent offsets merge into maximal
+    * spans per document (lag + running sum — windows partitioned by doc,
+    * no global sort). The window TEXT is the key, so there are no hash
+    * collisions to adjudicate and the DuckDB oracle matches byte-for-byte.
+    *
+    * 100 TB design: stride-1 windows shuffle O(w × corpus) bytes — the
+    * honest cost of exact substring dedup (the reference algorithm's
+    * suffix array is likewise O(corpus), but single-machine). At scale the
+    * group key becomes an 8-byte rolling hash (the join's final equality
+    * on text re-verifies collisions) behind a stride-⌊w/2⌋ prefilter that
+    * can only miss spans shorter than 1.5 w; the per-document merge stage
+    * is unchanged.
+    */
+  def substringSpans(df: DataFrame, idCol: String, textCol: String,
+                     w: Int): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("off"))
+    val wins = df
+      .filter(length(col(textCol)) >= w)
+      .select(col(idCol), col(textCol),
+        expr(s"explode(sequence(1, length($textCol) - ${w - 1}))").as("off"))
+      .select(col(idCol), col("off"),
+        expr(s"substring($textCol, off, $w)").as("win"))
+    // any second occurrence — cross-document or a self-repeat — makes a
+    // window "duplicated" (Lee et al. drop repeated spans wherever the
+    // other copy lives)
+    val dup = wins.groupBy(col("win"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select(col("win"))
+    val spans = wins.join(dup, "win")
+      .select(col(idCol), col("off"))
+      .withColumn("prev", lag(col("off"), 1).over(win))
+      .withColumn("ns", when(col("prev").isNull || col("off") > col("prev") + 1, 1L)
+        .otherwise(0L))
+      .withColumn("span_id", sum(col("ns"))
+        .over(win.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col(idCol), col("span_id"))
+      .agg(min(col("off")).as("s"), (max(col("off")) + lit(w - 1)).as("e"))
+    val agg = spans.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_spans"),
+      sum(col("e") - col("s") + 1).as("dup_chars"),
+      max(col("e") - col("s") + 1).cast("long").as("max_span"))
+    df.select(col(idCol), length(col(textCol)).as("__len"))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        coalesce(col("max_span"), lit(0L)).as("max_span"),
+        round(coalesce(col("dup_chars"), lit(0L)).cast("double") / col("__len"), 4)
+          .as("dup_frac"))
   }
 
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,

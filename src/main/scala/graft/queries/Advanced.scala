@@ -241,6 +241,43 @@ object Advanced {
              |  round(avg(best_jw), 4) AS avg_best
              |FROM best GROUP BY source ORDER BY source""".stripMargin)),
 
+    QueryDef("s12_stream_neardup",
+      (s, d) => {
+        // near-dup-on-ingest: the standing corpus's LSH band index (built
+        // batch-side, broadcast) is probed by each arriving document's
+        // per-row band buckets — matches sink as (doc_id, partner, band),
+        // then a batch rollup counts distinct near-dup partners per doc.
+        // The oracle is the batch minhash-candidate pair set, re-read as
+        // per-document partner counts (both orientations + zero rows).
+        val corpus = t(s, d, "documents")
+        val idx = graft.ops.Dedup.bandBuckets(corpus, "doc_id", "text",
+          q = 5, k = 12, rowsPerBand = 3)
+        val sink = EventStreams.runBoundedDocs(s, d, "s12_sink",
+          EventStreams.nearDupStage(idx), shufflePartitions = Some(8))
+        val perDoc = sink.groupBy(col("doc_id"))
+          .agg(countDistinct(col("partner")).as("n_partners"),
+            count(lit(1)).as("n_band_hits"))
+        corpus.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_partners"), lit(0L)).as("n_partners"),
+            coalesce(col("n_band_hits"), lit(0L)).as("n_band_hits"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH cand AS (${Pipeline.minhashCandidatesSql}),
+             |bi AS (
+             |  SELECT a AS doc_id, b AS partner, n_bands FROM cand
+             |  UNION ALL
+             |  SELECT b AS doc_id, a AS partner, n_bands FROM cand),
+             |agg AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_partners,
+             |         CAST(sum(n_bands) AS BIGINT) AS n_band_hits
+             |  FROM bi GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  coalesce(a.n_partners, 0) AS n_partners,
+             |  coalesce(a.n_band_hits, 0) AS n_band_hits
+             |FROM documents d LEFT JOIN agg a USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
     QueryDef("s09_stream_chunks",
       (s, d) => {
         // chunk-on-ingest: overlapping sliding-window chunking (the p44

@@ -49,7 +49,7 @@ object Pipeline {
   /** DuckDB mirror of Dedup.minhashCandidates(q=5, k=12, rowsPerBand=3):
     * yields (a, b, n_bands). Shared by p04 and the p05 verification stage.
     */
-  private val minhashCandidatesSql: String = {
+  private[queries] val minhashCandidatesSql: String = {
     val mins = (0 until 12).map { seed =>
       s"list_min(list_transform(list_distinct(sh), " +
         s"x -> CAST(('0x' || substring(md5('$seed|' || x), 1, 15)) AS BIGINT)))"
@@ -833,6 +833,56 @@ object Pipeline {
           |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
           |GROUP BY o_orderpriority
           |ORDER BY o_orderpriority""".stripMargin)),
+
+    // -- exact duplicated-substring spans (Lee et al. 2021) -----------------
+    // Character-level exact dedup: per document, the maximal spans whose
+    // every 40-char window occurs >= 2x in the corpus — boilerplate and
+    // templated passages that MinHash (a whole-document measure) cannot
+    // see. Window TEXT is the group key (no collision ambiguity); adjacent
+    // duplicated offsets merge per-document. See Dedup.substringSpans for
+    // the 100 TB cost model (rolling-hash + strided prefilter upgrade).
+    QueryDef("p51_substring_spans",
+      (s, d) => {
+        import s.implicits._
+        Dedup.substringSpans(t(s, d, "documents").select($"doc_id", $"text"),
+            "doc_id", "text", w = 40)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH w0 AS (
+             |  SELECT doc_id, text,
+             |    unnest(generate_series(1, length(text) - 39)) AS off
+             |  FROM documents WHERE length(text) >= 40),
+             |wins AS (
+             |  SELECT doc_id, off, substring(text, CAST(off AS INTEGER), 40) AS win
+             |  FROM w0),
+             |dup AS (SELECT win FROM wins GROUP BY win HAVING count(*) >= 2),
+             |pos AS (SELECT doc_id, off FROM wins JOIN dup USING (win)),
+             |sp AS (
+             |  SELECT doc_id, off,
+             |    CASE WHEN lag(off) OVER w IS NULL
+             |           OR off > lag(off) OVER w + 1 THEN 1 ELSE 0 END AS ns
+             |  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY off)),
+             |sp2 AS (
+             |  SELECT doc_id, off,
+             |    sum(ns) OVER (PARTITION BY doc_id ORDER BY off) AS span_id
+             |  FROM sp),
+             |spans AS (
+             |  SELECT doc_id, span_id, min(off) AS s, max(off) + 39 AS e
+             |  FROM sp2 GROUP BY doc_id, span_id),
+             |agg AS (
+             |  SELECT doc_id,
+             |    CAST(count(*) AS BIGINT) AS n_spans,
+             |    CAST(sum(e - s + 1) AS BIGINT) AS dup_chars,
+             |    CAST(max(e - s + 1) AS BIGINT) AS max_span
+             |  FROM spans GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  coalesce(a.n_spans, 0) AS n_spans,
+             |  coalesce(a.dup_chars, 0) AS dup_chars,
+             |  coalesce(a.max_span, 0) AS max_span,
+             |  round(CAST(coalesce(a.dup_chars, 0) AS DOUBLE) / length(d.text), 4)
+             |    AS dup_frac
+             |FROM documents d LEFT JOIN agg a USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
 
     // -- KMV distinct-count sketch (per-source vocabulary size) -------------
     // Deterministic sketching: unlike HLL, the k-minimum-values estimate

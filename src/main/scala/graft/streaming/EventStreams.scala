@@ -186,6 +186,29 @@ object EventStreams {
       .withColumn("flagged", col("best_jw") >= 0.85)
   }
 
+  /** Near-dup-on-ingest — the streaming half of the MinHash/LSH dedup
+    * family: each arriving document computes its LSH band buckets as ONE
+    * per-row expression (Dedup.bandBucketArray — no explode/groupBy, no
+    * state store) and probes a STATIC corpus band index via a broadcast
+    * stream-static join. Matches land in the sink as (doc_id, partner,
+    * band); the per-doc rollup happens batch-side so the stream stage
+    * itself stays stateless — ingest throughput is signature throughput.
+    * At scale the index is the standing corpus's persisted signature table
+    * (the same artifact minhashCandidates banding writes), re-broadcast
+    * per trigger only when it changes.
+    */
+  def nearDupStage(corpusBands: DataFrame)(docs: DataFrame): DataFrame = {
+    val probes = docs.select(col("doc_id"),
+      posexplode(graft.ops.Dedup.bandBucketArray("text", 5, 12, 3))
+        .as(Seq("band", "bucket")))
+    probes.join(
+        broadcast(corpusBands.select(col("doc").as("partner"),
+          col("band"), col("bucket"))),
+        Seq("band", "bucket"))
+      .filter(col("partner") =!= col("doc_id"))
+      .select(col("doc_id"), col("partner"), col("band"))
+  }
+
   /** Stream-static enrichment — the standard streaming-ingest shape: each
     * arriving event picks up its dimension row via a BROADCAST join (the
     * static side is planned once and shipped to executors; no state store,

@@ -645,4 +645,44 @@ class OpsSpec extends AnyFunSuite {
       java.nio.file.attribute.FileTime.fromMillis(12345L))
     assert(graft.queries.Pipeline.layoutFingerprint(dir, entries) != fp2)
   }
+
+  test("substringSpans: cross-doc span, self-repeat run, clean doc, merge maximality") {
+    val df = Seq(
+      (1L, "abcdefghij"),   // shares "abcdefg" with doc 2 -> one 7-char span
+      (2L, "xxabcdefgyy"),  // same span at offset 3
+      (3L, "zzzzzzzzzz"),   // all windows identical (self-repeat) -> whole doc
+      (4L, "unique wrds!")) // nothing repeated -> zero rows all around
+      .toDF("doc_id", "text")
+    val out = Dedup.substringSpans(df, "doc_id", "text", w = 5)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out(0) == ((1L, 1L, 7L, 7L, 0.7)),    "doc 1: one maximal 7-char span")
+    assert(out(1) == ((2L, 1L, 7L, 7L, 0.6364)), "doc 2: same span, longer doc")
+    assert(out(2) == ((3L, 1L, 10L, 10L, 1.0)),  "doc 3: self-repeats cover the doc")
+    assert(out(3) == ((4L, 0L, 0L, 0L, 0.0)),    "doc 4: clean")
+  }
+
+  test("minhash_sig kernel == batch signature pipeline; band buckets agree") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+                 (2L, "pack my box with five dozen liquor jugs"),
+                 (3L, "ab"),   // shorter than q -> single whole-text shingle
+                 (4L, ""))     // empty text -> md5 of "seed|" per function
+      .toDF("doc_id", "text")
+    val batch = Dedup.minhashSignatures(df, "doc_id", "text", q = 5, k = 12)
+      .orderBy($"doc").collect().map(r => r.getSeq[Long](1))
+    val perRow = df.select($"doc_id",
+        graft.functions.MinhashSig(spark, $"text", 5, 12).as("sig"))
+      .orderBy($"doc_id").collect().map(r => r.getSeq[Long](1))
+    assert(batch.toSeq == perRow.toSeq,
+      "native per-row kernel must be bit-identical to explode+min-agg")
+    // derived band buckets: per-row array vs the corpus index rows
+    val idx = Dedup.bandBuckets(df, "doc_id", "text", q = 5, k = 12, rowsPerBand = 3)
+      .orderBy($"doc", $"band").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val arr = df.select($"doc_id",
+        posexplode(Dedup.bandBucketArray("text", 5, 12, 3)).as(Seq("band", "bucket")))
+      .orderBy($"doc_id", $"band").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(idx.toSeq == arr.toSeq)
+  }
 }
