@@ -226,6 +226,87 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
 
+  // ---- product quantization: per-subspace codebooks + ADC scan ------------
+
+  /** Train PQ codebooks (Jégou et al. 2011, "Product Quantization for
+    * Nearest Neighbor Search"): the vector splits into `m` contiguous
+    * `subDim`-wide subspaces, each clustered independently with the same
+    * deterministic Lloyd recipe as [[ivfCentroids]] (init = first `k`
+    * rows' slices by id, `iters` steps, empty cells keep their centroid)
+    * — except the per-dimension means round to 6 decimals each step, so
+    * the codebooks are cross-engine REPRODUCIBLE constants (a 6-dp decimal
+    * is exactly representable as the same double in Spark and the DuckDB
+    * oracle; unrounded means differ in final ulps between engines'
+    * summation orders and those ulps would flow into every ADC distance).
+    * Distributed like ivfCentroids: assignment is per-row, means are one
+    * HashAggregate, the driver holds m·k·subDim doubles.
+    */
+  def pqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+                  m: Int, subDim: Int, k: Int, iters: Int): Array[Array[Array[Double]]] = {
+    val spark = emb.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    Array.tabulate(m) { j =>
+      val sub = emb.select(col(idCol).as("__id"),
+        slice(col(vecCol), j * subDim + 1, subDim).as("v"))
+      var cents: Array[Array[Double]] = sub.orderBy(col("__id")).limit(k)
+        .select(col("v")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val work = sub.repartition(par)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (0 until iters).foreach { _ =>
+        val means = work
+          .select(nearestCell(col("v"), cents).as("cell"),
+            posexplode(transform(col("v"), x => x.cast("double"))).as(Seq("pos", "x")))
+          .groupBy(col("cell"), col("pos")).agg(round(avg(col("x")), 6).as("mn"))
+          .collect()
+        val next = cents.map(_.clone())
+        means.foreach { r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) }
+        cents = next
+      }
+      work.unpersist(blocking = false)
+      cents
+    }
+  }
+
+  /** PQ ANN by asymmetric distance computation (ADC): the corpus is stored
+    * as m small codes (nearest codebook entry per subspace — `m·log2(k)`
+    * bits per vector instead of `dim` floats), queries stay exact, and the
+    * approximate distance is the sum of exact-query-slice-to-centroid
+    * squared L2 terms. This is the COMPRESSION half of large-scale ANN: the
+    * scan touches every code but reads 4 bytes/vector, not 256 — at 100 TB
+    * it composes with IVF (scan only probed cells' code lists, the IVFADC
+    * layout) which p19 already provides. Each subspace term and the final
+    * sum round to 6 dp (deterministic, engine-identical given the rounded
+    * codebooks); rank ties break by neighbor id.
+    */
+  def pqAdcTopK(emb: DataFrame, idCol: String, vecCol: String,
+                books: Array[Array[Array[Double]]], subDim: Int,
+                queryPred: Column, k: Int): DataFrame = {
+    val par = emb.sparkSession.sparkContext.defaultParallelism
+    val codeCols = books.indices.map(j =>
+      nearestCell(slice(col(vecCol), j * subDim + 1, subDim), books(j)).as(s"c$j"))
+    val corpus = emb.repartition(par)
+      .select(col(idCol).as("nid") +: codeCols: _*)
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val dTerms = books.indices.map { j =>
+      val cents = typedLit(books(j).map(_.toSeq).toSeq)
+      val qslice = transform(slice(col("qvec"), j * subDim + 1, subDim),
+        x => x.cast("double"))
+      round(aggregate(
+        zip_with(qslice, element_at(cents, col(s"c$j") + 1),
+          (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, v) => acc + v), 6)
+    }
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("adc", round(dTerms.reduce(_ + _), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(asc("adc"), asc("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("adc"))
+  }
+
   /** Random-hyperplane (SimHash) LSH bucket signature for cosine ANN:
     * `nBits` sign bits of projections onto deterministic pseudo-random
     * hyperplanes (seeded per (bit, dim) — reproducible across runs and

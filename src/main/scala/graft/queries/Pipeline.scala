@@ -884,6 +884,25 @@ object Pipeline {
              |FROM documents d LEFT JOIN agg a USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // -- product-quantization ANN (Jégou et al. 2011) -----------------------
+    // The compression half of large-scale ANN: corpus vectors become m=4
+    // one-byte codes (nearest trained codebook entry per 16-dim subspace),
+    // queries stay exact, and the ADC scan ranks by the sum of per-subspace
+    // query-to-centroid distances — 4 bytes/vector instead of 256. Codebook
+    // training is the same deterministic Lloyd recipe as p19's IVF but with
+    // 6-dp-rounded means (the cross-engine reproducibility contract); at
+    // 100 TB this composes with IVF cells into the IVFADC layout.
+    QueryDef("p52_pq_ann",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+          m = 4, subDim = 16, k = 16, iters = 2)
+        Similarity.pqAdcTopK(emb, "vec_id", "embedding", books, subDim = 16,
+            col("vec_id") < 50, k = 3)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(pqOracleSql(m = 4, subDim = 16, k = 16))),
+
     // -- KMV distinct-count sketch (per-source vocabulary size) -------------
     // Deterministic sketching: unlike HLL, the k-minimum-values estimate
     // (k-1)·M/h_k is plain SQL, so the ESTIMATE itself is oracle-checked
@@ -1814,6 +1833,65 @@ object Pipeline {
        |${assign("c1", "a1")},
        |${recompute("a1", "c1", "c2")},
        |${assign("c2", "corp")}""".stripMargin
+  }
+
+  /** DuckDB mirror of Similarity.pqCodebooks + pqAdcTopK: per subspace j,
+    * slice → deterministic init (first k rows by vec_id) → two Lloyd steps
+    * with 6-dp-rounded means → final assignment; then the ADC scan joins
+    * each corpus code back to its trained centroid and ranks by the
+    * rounded sum of per-subspace squared L2 terms. Same assign/recompute
+    * skeleton as [[ivfCorpusCtes]], instantiated per subspace.
+    */
+  private def pqOracleSql(m: Int, subDim: Int, k: Int): String = {
+    def d2(b: String, c: String) =
+      s"round(list_sum(list_transform(range(1, ${subDim + 1}), " +
+        s"i -> ($b.v[i] - $c.c[i]) * ($b.v[i] - $c.c[i]))), 6)"
+    val sb = new StringBuilder
+    sb ++= "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)"
+    for (j <- 0 until m) {
+      val lo = j * subDim + 1
+      val hi = (j + 1) * subDim
+      def assign(cent: String, out: String) =
+        s"$out AS (SELECT vec_id, v, cell FROM (" +
+          s"SELECT b.vec_id, b.v, c.cell, row_number() OVER (" +
+          s"PARTITION BY b.vec_id ORDER BY ${d2("b", "c")}, c.cell) AS rn " +
+          s"FROM b$j b CROSS JOIN $cent c) WHERE rn = 1)"
+      def recompute(assignCte: String, init: String, out: String) =
+        s"$out AS (SELECT $init.cell, COALESCE(l.c, $init.c) AS c " +
+          s"FROM $init LEFT JOIN (SELECT cell, list(mn ORDER BY i) AS c FROM (" +
+          s"SELECT cell, i, round(avg(v[i]), 6) AS mn " +
+          s"FROM $assignCte, range(1, ${subDim + 1}) AS t(i) GROUP BY cell, i) " +
+          s"GROUP BY cell) l USING (cell))"
+      sb ++= s",\nb$j AS (SELECT vec_id, list_slice(e, $lo, $hi) AS v FROM base)"
+      sb ++= s",\nc0_$j AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, " +
+        s"v AS c FROM (SELECT * FROM b$j ORDER BY vec_id LIMIT $k))"
+      sb ++= ",\n" + assign(s"c0_$j", s"a0_$j")
+      sb ++= ",\n" + recompute(s"a0_$j", s"c0_$j", s"c1_$j")
+      sb ++= ",\n" + assign(s"c1_$j", s"a1_$j")
+      sb ++= ",\n" + recompute(s"a1_$j", s"c1_$j", s"c2_$j")
+      sb ++= ",\n" + assign(s"c2_$j", s"a2_$j")
+    }
+    sb ++= ",\ncodes AS (SELECT a2_0.vec_id, " +
+      (0 until m).map(j => s"a2_$j.cell AS c$j").mkString(", ") +
+      " FROM a2_0 " +
+      (1 until m).map(j => s"JOIN a2_$j USING (vec_id)").mkString(" ") + ")"
+    sb ++= ",\nq AS (SELECT vec_id AS qid, " +
+      (0 until m).map(j =>
+        s"list_slice(e, ${j * subDim + 1}, ${(j + 1) * subDim}) AS qv$j")
+        .mkString(", ") +
+      " FROM base WHERE vec_id < 50)"
+    val terms = (0 until m).map(j =>
+      s"round(list_sum(list_transform(range(1, ${subDim + 1}), " +
+        s"i -> (q.qv$j[i] - cc$j.c[i]) * (q.qv$j[i] - cc$j.c[i]))), 6)")
+    sb ++= "\nSELECT qid, CAST(row_number() OVER w AS INT) AS rank, nid, adc FROM (" +
+      s"\n  SELECT q.qid, cd.vec_id AS nid, round(${terms.mkString(" + ")}, 6) AS adc" +
+      "\n  FROM codes cd CROSS JOIN q " +
+      (0 until m).map(j => s"JOIN c2_$j cc$j ON cc$j.cell = cd.c$j").mkString(" ") +
+      "\n  WHERE cd.vec_id <> q.qid)" +
+      "\nWINDOW w AS (PARTITION BY qid ORDER BY adc, nid)" +
+      "\nQUALIFY row_number() OVER w <= 3" +
+      "\nORDER BY qid, rank"
+    sb.toString
   }
 
   /** DuckDB mirror of TextOps.charLmScore over `documents` — shared by p48

@@ -812,7 +812,43 @@ object Relational {
         t(s, d, "documents").createOrReplaceTempView("documents")
         s.sql(fuzzyKeysStatement)
       },
-      Some(fuzzyKeysStatement))
+      Some(fuzzyKeysStatement)),
+
+    // -- ORC source/sink roundtrip ------------------------------------------
+    // The remaining built-in columnar format (q27 covers CSV; parquet IS the
+    // input surface): write a pruned orders projection as ORC, read it back,
+    // and aggregate through the exact-cents contract. Exercises Spark's
+    // native ORC reader/writer including predicate pushdown on the re-read
+    // (the filter reaches the OrcScan).
+    QueryDef("q40_orc_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        val dirPath = java.nio.file.Files.createTempDirectory("graft-orc")
+        try {
+          val dir = dirPath.toString
+          t(s, d, "orders")
+            .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+            .write.mode("overwrite").orc(s"$dir/ord")
+          val back = s.read.orc(s"$dir/ord")
+          back.filter($"o_orderkey" < 30000)
+            .groupBy($"o_orderpriority")
+            .agg(count(lit(1)).as("n"),
+              sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+                .as("price_cents"))
+            .orderBy($"o_orderpriority")
+            .localCheckpoint(true)
+        } finally {
+          import java.nio.file.{Files, Path}
+          import scala.jdk.CollectionConverters._
+          val all = Files.walk(dirPath).iterator().asScala.toSeq
+          all.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_: Path))
+        }
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             |    AS price_cents
+             |FROM orders WHERE o_orderkey < 30000
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 
   /** q39's statement — blocking-based fuzzy key matching, the classic

@@ -662,6 +662,29 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3) == ((4L, 0L, 0L, 0L, 0.0)),    "doc 4: clean")
   }
 
+  test("PQ: codebooks deterministic, codes cluster-pure, ADC ranks own cluster first") {
+    // two well-separated clusters per subspace: vectors 0-3 near the
+    // origin, 4-7 near (10,10,10,10); sub-vector noise keeps rows distinct
+    val rows = (0 until 8).map { i =>
+      val base = if (i < 4) 0.0f else 10.0f
+      (i.toLong, Array(base + i * 0.01f, base - i * 0.01f,
+        base + i * 0.02f, base - i * 0.02f).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val b1 = Similarity.pqCodebooks(df, "vec_id", "embedding",
+      m = 2, subDim = 2, k = 2, iters = 2)
+    val b2 = Similarity.pqCodebooks(df, "vec_id", "embedding",
+      m = 2, subDim = 2, k = 2, iters = 2)
+    assert(b1.length == 2 && b1.forall(bk => bk.length == 2 && bk.forall(_.length == 2)))
+    assert(b1.map(_.map(_.toSeq).toSeq).toSeq == b2.map(_.map(_.toSeq).toSeq).toSeq,
+      "training must be run-to-run deterministic")
+    val out = Similarity.pqAdcTopK(df, "vec_id", "embedding", b1, subDim = 2,
+        col("vec_id") === 0, k = 3)
+      .orderBy($"rank").collect()
+    assert(out.map(_.getLong(2)).toSet == Set(1L, 2L, 3L),
+      "ADC top-3 of a cluster-0 query must be its three cluster-mates")
+  }
+
   test("minhash_sig kernel == batch signature pipeline; band buckets agree") {
     val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
                  (2L, "pack my box with five dozen liquor jugs"),
