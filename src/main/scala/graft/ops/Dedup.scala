@@ -126,6 +126,29 @@ object Dedup {
     * signature inside the per-band lambda directly would re-run the k·|sh|
     * digest kernel once per band.
     */
+  /** Cross-corpus near-dup decontamination: MinHash band buckets on both
+    * corpora (same [[bandBuckets]] index the intra-corpus dedup uses),
+    * joined TRAIN × EVAL on (band, bucket), then exact-Jaccard verified —
+    * the near-dup twin of the exact-shingle-overlap contamination check.
+    * Output: (a = train doc, b = eval doc, n_bands, jaccard).
+    *
+    * Scale: the shuffle carries (band, bucket) rows, never documents; the
+    * eval band index (eval suites are always corpus-tiny) broadcasts; and
+    * only band-collision pairs pay the shingle-set intersect.
+    */
+  def decontaminationPairs(train: DataFrame, eval: DataFrame,
+                           idCol: String, textCol: String,
+                           q: Int = 5, k: Int = 12,
+                           rowsPerBand: Int = 3): DataFrame = {
+    val cands = bandBuckets(train, idCol, textCol, q, k, rowsPerBand)
+      .join(broadcast(bandBuckets(eval, idCol, textCol, q, k, rowsPerBand)
+        .withColumnRenamed("doc", "edoc")), Seq("band", "bucket"))
+      .groupBy(col("doc").as("a"), col("edoc").as("b"))
+      .agg(count(lit(1)).as("n_bands"))
+    // verify over the union so one shingle frame serves both join sides
+    jaccardVerify(train.unionByName(eval), cands, idCol, textCol, q, threshold = 0.0)
+  }
+
   def bandBucketArray(textCol: String, q: Int, k: Int, rowsPerBand: Int): Column = {
     val spark = org.apache.spark.sql.SparkSession.active
     val sig = graft.functions.MinhashSig(spark, col(textCol), q, k)

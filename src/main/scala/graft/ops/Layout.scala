@@ -51,4 +51,64 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
   }
+
+  /** Deterministic training-shard writer + manifest — the last step of a
+    * training-data pipeline: materialize the corpus as N stable shards and
+    * emit per-shard accounting a downstream loader can trust. Shard
+    * assignment is the 28-bit md5 prefix of the document id mod `nShards`
+    * (a pure per-row expression — retry- and engine-reproducible, unlike
+    * round-robin), the write is ONE hash repartition on the shard key with
+    * parallel per-shard writer tasks, and the manifest is computed FROM THE
+    * WRITTEN FILES — doc/word/char counts plus an order-independent
+    * integrity digest (sum of per-doc 30-bit md5(doc_id|text) prefixes;
+    * bounded terms keep a BIGINT sum exact past 10^9 rows per shard).
+    * `counts_match` compares the read-back manifest against the pre-write
+    * plan row-for-row; Verify hard-fails any false witness column.
+    *
+    * 100 TB shape: no collects, no windows — two map-side-combined
+    * HashAggregates (pre-write and read-back) plus the shard-keyed
+    * exchange the write itself requires. If one shard outgrows a single
+    * writer task, salt the repartition key (shard, salt) and keep
+    * `partitionBy(shard)` — the directory layout is unchanged.
+    */
+  def shardManifest(df: DataFrame, idCol: String, textCol: String,
+                    nShards: Int): DataFrame = {
+    val staged = df.select(
+      col(idCol).cast("long").as("doc_id"), col(textCol).as("text"),
+      (conv(substring(md5(col(idCol).cast("string")), 1, 7), 16, 10)
+        .cast("long") % nShards).as("shard"))
+    def manifest(src: DataFrame): DataFrame = {
+      val dg = conv(substring(
+        md5(concat(col("doc_id").cast("string"), lit("|"), col("text"))), 1, 15),
+        16, 10).cast("long") % 1073741824L
+      src.groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.ops.TextOps.wordCount(col("text")).cast("long")).as("n_words"),
+          sum(length(col("text")).cast("long")).as("n_chars"),
+          sum(dg).as("digest"))
+    }
+    val dirPath = java.nio.file.Files.createTempDirectory("graft-shards")
+    try {
+      val dir = dirPath.toString
+      staged.repartition(nShards, col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(dir)
+      val cols = Seq("n_docs", "n_words", "n_chars", "digest")
+      val planned = manifest(staged)
+        .select(col("shard") +: cols.map(c => col(c).as(s"p_$c")): _*)
+      val written = manifest(df.sparkSession.read.parquet(dir))
+      val matches = cols.map(c => col(c) === col(s"p_$c")).reduce(_ && _)
+      written.join(planned, "shard")
+        .withColumn("counts_match", matches.cast("int"))
+        .select(col("shard"), col("n_docs"), col("n_words"), col("n_chars"),
+          col("digest"), col("counts_match"))
+        .orderBy(col("shard"))
+        // materialize before the finally deletes the parquet under the scan
+        .localCheckpoint(true)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val all = java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq
+      all.sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_: java.nio.file.Path))
+    }
+  }
 }

@@ -336,4 +336,51 @@ object Similarity {
     }
     concat_ws("", bits.toSeq.map(_.cast("string")): _*)
   }
+
+  /** Sign-bit binary quantization: 32 consecutive dimensions of a float
+    * vector packed into one integer word (bit i of word w = 1 iff
+    * `vec[32w+i] >= 0`), held as BIGINT so Spark and the oracle share exact
+    * two's-complement semantics without touching bit 63. A 64-dim float
+    * corpus becomes two longs per row — 16 bytes against 256, the working
+    * set that makes exact Hamming rerank over billions of rows a scan, not
+    * an index build (the modern "binary embedding" retrieval first stage).
+    *
+    * Codegen contract: the 32 terms are unrolled `element_at` arithmetic
+    * like [[cosineFixed]], NOT a `zip_with`/`aggregate` lambda — the HOF
+    * form is interpreted per element, this stays inside whole-stage codegen
+    * for the one pass that touches the float data.
+    */
+  def signWord(vec: Column, word: Int): Column =
+    (0 until 32).map { i =>
+      when(element_at(vec, word * 32 + i + 1) >= 0f, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Binary-quantized Hamming top-k: pack query set and corpus to sign
+    * words, broadcast the (always small) query set, score every corpus row
+    * with XOR + POPCNT per word, keep the k nearest per query
+    * (ties broken by neighbour id — the deterministic cross-engine
+    * contract). The scan is the scale story: after packing, the per-pair
+    * cost is `dim/32` long XORs — no floats, no lambdas — and the only
+    * shuffle is the final per-query top-k window over k·|Q| survivors.
+    */
+  def hammingTopK(emb: DataFrame, idCol: String, vecCol: String,
+                  queryPred: Column, k: Int, dim: Int): DataFrame = {
+    require(dim % 32 == 0, s"dim $dim must be a multiple of 32")
+    val words = dim / 32
+    def packed(idAs: String, prefix: String, src: DataFrame) =
+      src.select(col(idCol).as(idAs) +:
+        (0 until words).map(w => signWord(col(vecCol), w).as(s"$prefix$w")): _*)
+    val corpus = packed("nid", "nw", emb)
+    val queries = packed("qid", "qw", emb.filter(queryPred))
+    val ham = (0 until words)
+      .map(w => bit_count(col(s"qw$w").bitwiseXOR(col(s"nw$w"))))
+      .reduce(_ + _).cast("long")
+    val win = Window.partitionBy(col("qid")).orderBy(asc("hamming"), asc("nid"))
+    corpus.crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("hamming", ham)
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("hamming"))
+  }
 }

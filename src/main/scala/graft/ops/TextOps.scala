@@ -325,6 +325,34 @@ object TextOps {
     * numbers per doc. No windows, no per-doc sorts — scan-parallel at any
     * corpus size.
     */
+  /** Gopher-style word-shape gate — the word-level half of the Gopher
+    * quality rules (repetition lives in [[repetitionStats]], punctuation/
+    * length in the p02/p03 stats): word-count bounds, mean word length in
+    * [3, 10], fraction of words containing an alphabetic character, and a
+    * minimum stopword presence. Every stat is an integer sum divided once
+    * and rounded once, and the ROUNDED value feeds the keep verdict — the
+    * cross-engine contract that lets thresholds sit exactly on a 4-dp
+    * boundary. Pure per-row expressions: no explode, no shuffle.
+    */
+  def gopherGate(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String): org.apache.spark.sql.DataFrame = {
+    val w = tokens(col(textCol))
+    val nWords = size(w)
+    val sumLen = aggregate(transform(w, t => length(t).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val nAlpha = size(filter(w, t => t.rlike("[A-Za-z]")))
+    df.select(col(idCol), nWords.cast("long").as("n_words"),
+        round(when(nWords > 0, sumLen.cast("double") / nWords)
+          .otherwise(0.0), 4).as("mean_word_len"),
+        round(when(nWords > 0, nAlpha.cast("double") / nWords)
+          .otherwise(0.0), 4).as("frac_alpha_words"),
+        stopwordCount(col(textCol)).cast("long").as("n_stopwords"))
+      .withColumn("keep",
+        (col("n_words") >= 15 && col("n_words") <= 100000 &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("frac_alpha_words") >= 0.8 && col("n_stopwords") >= 2).cast("int"))
+  }
+
   def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
                       textCol: String): org.apache.spark.sql.DataFrame = {
     val id = col(idCol)

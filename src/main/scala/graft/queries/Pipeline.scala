@@ -1785,7 +1785,158 @@ object Pipeline {
         TextOps.charLmScore(t(s, d, "documents"), "doc_id", "text")
           .orderBy($"doc_id")
       },
-      Some(charLmOracleSql))
+      Some(charLmOracleSql)),
+
+    // -- Gopher-style word-shape gate ---------------------------------------
+    // The word-level half of the Gopher quality rules (the repetition half
+    // is p27, the punctuation/length half is p02/p03): word-count bounds,
+    // mean word length in [3, 10], fraction of words containing an
+    // alphabetic character, and a minimum stopword presence. All per-row
+    // expressions — integer sums divided once, rounded once, and the SAME
+    // rounded value feeds both engines' keep verdicts, so the gate can sit
+    // threshold-exact on a 4-dp boundary without splitting.
+    QueryDef("p53_gopher_gate",
+      (s, d) => {
+        import s.implicits._
+        TextOps.gopherGate(t(s, d, "documents"), "doc_id", "text")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH base AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS w,
+             |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS wl
+             |  FROM documents),
+             |st AS (
+             |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+             |    round(CASE WHEN len(w) > 0 THEN
+             |      CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w)
+             |      ELSE 0.0 END, 4) AS mean_word_len,
+             |    round(CASE WHEN len(w) > 0 THEN
+             |      CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(w)
+             |      ELSE 0.0 END, 4) AS frac_alpha_words,
+             |    CAST(len(list_filter(wl, t -> list_contains($StopEnSql, t))) AS BIGINT)
+             |      AS n_stopwords
+             |  FROM base)
+             |SELECT doc_id, n_words, mean_word_len, frac_alpha_words, n_stopwords,
+             |  CAST(n_words >= 15 AND n_words <= 100000
+             |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+             |    AND frac_alpha_words >= 0.8 AND n_stopwords >= 2 AS INT) AS keep
+             |FROM st ORDER BY doc_id""".stripMargin)),
+
+    // -- binary sign quantization + Hamming top-k ANN -----------------------
+    // The "binary embedding" retrieval stage: 64 float dims → two packed
+    // BIGINT words (Similarity.signWord — unrolled element_at arithmetic,
+    // whole-stage codegen), exact Hamming rerank = XOR + POPCNT per word.
+    // Integer-only end to end, so unlike the cosine family the SCORE needs
+    // no rounding contract — both engines rank on identical longs.
+    QueryDef("p54_hamming_ann",
+      (s, d) => Similarity.hammingTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+          col("vec_id") < 10, k = 10, dim = 64)
+        .orderBy(col("qid"), col("rank")),
+      Some("""WITH p AS (
+             |  SELECT vec_id,
+             |    CAST(list_sum(list_transform(range(0, 32),
+             |      i -> CASE WHEN embedding[i + 1] >= 0 THEN (1::BIGINT << i)
+             |                ELSE 0::BIGINT END)) AS BIGINT) AS w0,
+             |    CAST(list_sum(list_transform(range(0, 32),
+             |      i -> CASE WHEN embedding[i + 33] >= 0 THEN (1::BIGINT << i)
+             |                ELSE 0::BIGINT END)) AS BIGINT) AS w1
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS qid, w0 AS qw0, w1 AS qw1 FROM p WHERE vec_id < 10)
+             |SELECT qid, CAST(row_number() OVER win AS INT) AS rank, nid,
+             |  CAST(bit_count(xor(qw0, nw0)) + bit_count(xor(qw1, nw1)) AS BIGINT) AS hamming
+             |FROM (SELECT vec_id AS nid, w0 AS nw0, w1 AS nw1 FROM p) c
+             |CROSS JOIN q WHERE qid <> nid
+             |WINDOW win AS (PARTITION BY qid
+             |  ORDER BY bit_count(xor(qw0, nw0)) + bit_count(xor(qw1, nw1)), nid)
+             |QUALIFY row_number() OVER win <= 10
+             |ORDER BY qid, rank""".stripMargin)),
+
+    // -- cross-corpus near-dup decontamination ------------------------------
+    // p20 catches EXACT 8-word-shingle overlap with the eval split; this is
+    // its near-dup twin — the same MinHash band index the intra-corpus
+    // dedup uses (Dedup.bandBuckets), but joined TRAIN × EVAL, then
+    // exact-Jaccard verified. The shuffle carries (band, bucket) rows, the
+    // (always small) eval band index broadcasts, and only band-collision
+    // pairs pay the shingle-set intersect — the decontamination pass a
+    // 100 TB pretraining corpus runs against its eval suites before
+    // training.
+    QueryDef("p55_decontaminate_neardup",
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        Dedup.decontaminationPairs(docs.filter($"doc_id" % 97 =!= 0),
+            docs.filter($"doc_id" % 97 === 0), "doc_id", "text")
+          .withColumn("contaminated", ($"jaccard" >= 0.5).cast("int"))
+          .orderBy($"a", $"b")
+      },
+      Some {
+        val mins = (0 until 12).map { seed =>
+          s"list_min(list_transform(list_distinct(sh), " +
+            s"x -> CAST(('0x' || substring(md5('$seed|' || x), 1, 15)) AS BIGINT)))"
+        }.mkString(",\n      ")
+        s"""WITH shl AS (
+           |  SELECT doc_id AS doc,
+           |    list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+           |                   i -> substring(text, i, 5)) AS sh
+           |  FROM documents),
+           |sig AS (
+           |  SELECT doc, [
+           |      $mins
+           |    ] AS sig FROM shl),
+           |bands AS (
+           |  SELECT doc, u.band, u.bucket FROM (
+           |    SELECT doc, unnest(list_transform(range(0, 4), b ->
+           |      {'band': b, 'bucket': array_to_string(list_slice(sig, b * 3 + 1, b * 3 + 3), '#')})) AS u
+           |    FROM sig)),
+           |cand AS (
+           |  SELECT l.doc AS a, r.doc AS b, CAST(count(*) AS BIGINT) AS n_bands
+           |  FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
+           |  WHERE l.doc % 97 <> 0 AND r.doc % 97 = 0
+           |  GROUP BY l.doc, r.doc),
+           |shd AS (
+           |  SELECT doc_id AS doc, list_transform(list_distinct(
+           |    list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+           |                   i -> substring(text, i, 5))),
+           |    x -> CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)) AS shingles
+           |  FROM documents),
+           |v AS (
+           |  SELECT a, b, n_bands,
+           |    round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+           |      (len(sa.shingles) + len(sb.shingles)
+           |       - len(list_intersect(sa.shingles, sb.shingles))), 4) AS jaccard
+           |  FROM cand
+           |  JOIN shd sa ON sa.doc = a
+           |  JOIN shd sb ON sb.doc = b)
+           |SELECT a, b, n_bands, jaccard,
+           |  CAST(jaccard >= 0.5 AS INT) AS contaminated
+           |FROM v ORDER BY a, b""".stripMargin
+      }),
+
+    // -- deterministic shard writer + manifest ------------------------------
+    // Side-effecting like q27: writes the corpus as shard=N/ parquet
+    // partitions into a temp dir, recomputes the manifest from the WRITTEN
+    // files, and cross-checks it against the pre-write plan (counts_match
+    // is a witness column — Verify hard-fails if the roundtrip drops or
+    // mangles a row). The oracle recomputes the same manifest arithmetic
+    // straight from the source table.
+    QueryDef("p56_shard_manifest",
+      (s, d) => graft.ops.Layout.shardManifest(
+        t(s, d, "documents"), "doc_id", "text", nShards = 8),
+      Some("""WITH staged AS (
+             |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+             |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 8 AS shard,
+             |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15)) AS BIGINT)
+             |      % 1073741824 AS dg,
+             |    len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS nw,
+             |    length(text) AS nc
+             |  FROM documents)
+             |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(nw) AS BIGINT) AS n_words,
+             |  CAST(sum(nc) AS BIGINT) AS n_chars,
+             |  CAST(sum(dg) AS BIGINT) AS digest,
+             |  1 AS counts_match
+             |FROM staged GROUP BY shard ORDER BY shard""".stripMargin))
   )
 
   /** DuckDB mirror of Similarity.ivfCentroids(k=8, iters=2) over

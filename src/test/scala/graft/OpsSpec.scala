@@ -708,4 +708,91 @@ class OpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
     assert(idx.toSeq == arr.toSeq)
   }
+
+  test("signWord packs the documented bit layout; hammingTopK exact distances + tie order") {
+    // bit i of word w == 1 iff vec[32w + i] >= 0
+    val onlyDim0 = Array.fill(64)(-1.0f).updated(0, 1.0f).toSeq
+    val onlyDim32 = Array.fill(64)(-1.0f).updated(32, 1.0f).toSeq
+    val onlyDim63 = Array.fill(64)(-1.0f).updated(63, 1.0f).toSeq
+    val allPos = Array.fill(64)(1.0f).toSeq
+    val allNeg = Array.fill(64)(-1.0f).toSeq
+    val halfPos = (Array.fill(32)(1.0f) ++ Array.fill(32)(-1.0f)).toSeq
+    val df = Seq((0L, allPos), (1L, allNeg), (2L, halfPos),
+        (3L, onlyDim0), (4L, onlyDim32), (5L, onlyDim63))
+      .toDF("vec_id", "embedding")
+    val words = df.select($"vec_id",
+        Similarity.signWord($"embedding", 0).as("w0"),
+        Similarity.signWord($"embedding", 1).as("w1"))
+      .orderBy($"vec_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(words(0) == ((0xFFFFFFFFL, 0xFFFFFFFFL)), "all positive -> all 32 bits set per word")
+    assert(words(1) == ((0L, 0L)), "all negative -> zero words")
+    assert(words(3) == ((1L, 0L)), "dim 0 -> bit 0 of word 0")
+    assert(words(4) == ((0L, 1L)), "dim 32 -> bit 0 of word 1")
+    assert(words(5) == ((0L, 1L << 31)), "dim 63 -> bit 31 of word 1 (no sign overflow)")
+    val out = Similarity.hammingTopK(df, "vec_id", "embedding",
+        col("vec_id") === 0, k = 5, dim = 64)
+      .orderBy($"rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    // distances from all-positive: halfPos=32, allNeg=64, onlyDim*=63 each
+    assert(out(0) == ((1, 2L, 32L)))
+    assert(out.slice(1, 4).toSeq == Seq((2, 3L, 63L), (3, 4L, 63L), (4, 5L, 63L)),
+      "equal distances must tie-break by neighbour id")
+    assert(out(4) == ((5, 1L, 64L)))
+  }
+
+  test("gopherGate: word-shape stats and each rule's failure mode") {
+    val good = ("the cat and the dog ran over to the big red barn near a tall tree " +
+      "and it sat for a while watching the birds in the field")  // long, stopword-rich
+    val df = Seq(
+      (1L, good),
+      (2L, "a b c d e f g h i j k l m n o p q r s t"),       // mean word len 1 -> fails
+      (3L, "short text"),                                     // n_words < 15 -> fails
+      (4L, "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16"),        // no alpha words, no stopwords
+      (5L, ""))                                               // empty -> all zero stats
+      .toDF("doc_id", "text")
+    val out = TextOps.gopherGate(df, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getInt(5)))
+    assert(out(0)._6 == 1, "good doc passes every rule")
+    assert(out(0)._5 >= 2 && out(0)._3 >= 3.0, "good doc stats sane")
+    assert(out(1) == ((2L, 20L, 1.0, 1.0, 1L, 0)), "1-char words fail mean_word_len")
+    assert(out(2)._2 == 2L && out(2)._6 == 0, "short doc fails word-count bound")
+    assert(out(3)._4 == 0.0 && out(3)._6 == 0, "numeric doc fails alpha fraction")
+    assert(out(4) == ((5L, 0L, 0.0, 0.0, 0L, 0)), "empty doc -> zero stats, dropped")
+  }
+
+  test("decontaminationPairs: near-copy of an eval doc flags, unrelated doc does not") {
+    val evalDoc = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val nearCopy = "the quick brown fox jumps over the lazy dog near the river bank"
+    val unrelated = "completely different content about spark shuffles and parquet files"
+    val train = Seq((10L, nearCopy), (11L, unrelated), (12L, evalDoc))
+      .toDF("doc_id", "text")
+    val eval = Seq((90L, evalDoc)).toDF("doc_id", "text")
+    val out = Dedup.decontaminationPairs(train, eval, "doc_id", "text")
+      .orderBy($"a").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val byTrain = out.map(p => p._1 -> p).toMap
+    assert(byTrain.contains(10L) && byTrain(10L)._3 > 0.5,
+      "near-copy must surface with high jaccard")
+    assert(byTrain.contains(12L) && byTrain(12L)._3 == 1.0,
+      "exact copy across corpora is jaccard 1.0")
+    assert(!byTrain.contains(11L), "unrelated doc must not collide in any band")
+  }
+
+  test("shardManifest: stable assignment, exact accounting, roundtrip witness") {
+    val docs = (0L until 40L).map(i => (i, s"doc $i body with some words " + ("x " * (i % 7).toInt)))
+      .toDF("doc_id", "text")
+    val m1 = graft.ops.Layout.shardManifest(docs, "doc_id", "text", nShards = 4)
+      .collect()
+    assert(m1.map(_.getLong(0)).toSeq == m1.map(_.getLong(0)).toSeq.sorted, "ordered by shard")
+    assert(m1.map(_.getLong(1)).sum == 40L, "every doc lands in exactly one shard")
+    assert(m1.forall(_.getInt(5) == 1), "read-back manifest must equal the pre-write plan")
+    val m2 = graft.ops.Layout.shardManifest(docs, "doc_id", "text", nShards = 4)
+      .collect()
+    assert(m1.map(r => (r.getLong(0), r.getLong(4))).toSeq ==
+      m2.map(r => (r.getLong(0), r.getLong(4))).toSeq,
+      "digest is content-deterministic across runs")
+  }
 }
