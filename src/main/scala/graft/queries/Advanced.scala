@@ -445,7 +445,26 @@ object Advanced {
              |  CAST((strlen(text) // 32 + 1) // 2 AS BIGINT) AS n_frames,
              |  CAST(((strlen(text) // 32 + 1) // 2) * 32 AS BIGINT) AS total_bytes
              |FROM documents WHERE strlen(text) >= 32
-             |ORDER BY id""".stripMargin))
+             |ORDER BY id""".stripMargin)),
+
+    // -- IVF route-on-ingest: streaming vector-index maintenance ------------
+    // Cells trained offline on the standing corpus (identical Lloyd run to
+    // p19 — the oracle REUSES p19's mirror CTEs, so both the batch probe
+    // and the streaming router gate the same trained centroids); arriving
+    // embeddings are assigned by the native NearestCells kernel as a
+    // stateless per-row stage. Oracle = the batch corpus assignment.
+    QueryDef("s13_stream_ivf_route",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val cents = graft.ops.Similarity.ivfCentroids(emb, "vec_id", "embedding",
+          k = Pipeline.ivfK(emb.count()), iters = 2)
+        EventStreams.runBoundedTable(s, d, "embeddings", "s13_sink",
+            EventStreams.ivfRouteStage(cents), spread = false)
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""${Pipeline.ivfCorpusCtes}
+             |SELECT vec_id, CAST(cell AS BIGINT) AS cell
+             |FROM corp ORDER BY vec_id""".stripMargin))
   )
 
   /** (doc_id, media) with a deterministic PNG per seed column — the shared

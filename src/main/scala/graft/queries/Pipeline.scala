@@ -1956,9 +1956,9 @@ object Pipeline {
     * oracle mirrors this formula in its `LIMIT (SELECT greatest(...))`
     * subquery so both engines train identical centroids at every scale.
     */
-  private def ivfK(n: Long): Int = math.max(8, math.ceil(n / 250.0).toInt)
+  private[queries] def ivfK(n: Long): Int = math.max(8, math.ceil(n / 250.0).toInt)
 
-  private val ivfCorpusCtes: String = {
+  private[queries] val ivfCorpusCtes: String = {
     def assign(centCte: String, outName: String): String =
       s"""$outName AS (
          |  SELECT vec_id, e, cell FROM (

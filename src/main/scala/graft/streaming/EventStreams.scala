@@ -158,6 +158,21 @@ object EventStreams {
     * stateless; only the final per-doc aggregation keeps state). One
     * definition serves batch and streaming; the batch twin is the oracle.
     */
+  /** IVF-route-on-ingest: the streaming half of vector-index maintenance.
+    * Cells are trained OFFLINE on the standing corpus
+    * ([[graft.ops.Similarity.ivfCentroids]]); each arriving embedding is
+    * assigned to its nearest cell by the native `NearestCells` kernel —
+    * the centroid matrix rides in the expression as one literal, so the
+    * stage is stateless per-row work with no join, no state store, and
+    * ingest runs at scan throughput. This is how a production vector
+    * index absorbs new vectors between retrains: route on ingest, retrain
+    * cells on a slow cadence.
+    */
+  def ivfRouteStage(cents: Array[Array[Double]])(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      graft.ops.Similarity.nearestCell(col("embedding"), cents)
+        .cast("long").as("cell"))
+
   def charLmStage(model: DataFrame)(docs: DataFrame): DataFrame =
     graft.ops.TextOps.charLmScoreWith(model, docs, "doc_id", "text")
 
@@ -226,11 +241,19 @@ object EventStreams {
                      transform: DataFrame => DataFrame,
                      outputMode: String = "append",
                      shufflePartitions: Option[Int] = None,
-                     spread: Boolean = true): DataFrame = {
-    val staticDf = spark.read.parquet(s"$dir/documents.parquet")
+                     spread: Boolean = true): DataFrame =
+    runBoundedTable(spark, dir, "documents", name, transform, outputMode,
+      shufflePartitions, spread)
+
+  def runBoundedTable(spark: SparkSession, dir: String, table: String,
+                      name: String, transform: DataFrame => DataFrame,
+                      outputMode: String = "append",
+                      shufflePartitions: Option[Int] = None,
+                      spread: Boolean = true): DataFrame = {
+    val staticDf = spark.read.parquet(s"$dir/$table.parquet")
     val stream = spark.readStream
       .schema(staticDf.schema)
-      .parquet(s"$dir/documents.parque[t]")
+      .parquet(s"$dir/$table.parque[t]")
     // FileStreamSource parallelism is file-granular: a single small
     // parquet fixture becomes ONE task, serializing the per-row stage
     // work (measured: s08 addBatch ~860 ms single-threaded). Spread the

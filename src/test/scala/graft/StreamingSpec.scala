@@ -113,4 +113,22 @@ class StreamingSpec extends AnyFunSuite {
     val run = q.start(); run.awaitTermination()
     assert(spark.table("t_dedup").count() == 2)
   }
+
+  test("IVF route-on-ingest stream equals the batch assignment (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = graft.ops.Similarity.ivfCentroids(emb, "vec_id", "embedding",
+      k = 8, iters = 2)
+    val streamed = EventStreams.runBoundedTable(spark, dir, "embeddings", "t_s13",
+        EventStreams.ivfRouteStage(cents), spread = false)
+      .orderBy(col("vec_id")).collect()
+    val batch = emb.select(col("vec_id"),
+        graft.ops.Similarity.nearestCell(col("embedding"), cents)
+          .cast("long").as("cell"))
+      .orderBy(col("vec_id")).collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    streamed.zip(batch).foreach { case (a, b) => assert(a == b) }
+    // routing must scatter across cells, not collapse to one
+    assert(streamed.map(_.getLong(1)).distinct.length > 1)
+  }
 }
