@@ -41,6 +41,11 @@ object Verify {
         System.err.println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // drop per-query persisted intermediates (see Bench) so suite-wide
+        // cache pressure can't tax later queries
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

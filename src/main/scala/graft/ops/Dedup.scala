@@ -339,6 +339,54 @@ object Dedup {
     * long-lived sessions moving to a NEW corpus should
     * `spark.catalog.clearCache()` between corpora.
     */
+  /** (doc, shingles ARRAY<BIGINT>) — each document's distinct q-gram set
+    * as 60-bit md5-prefix hashes. Persisted: verification joins read it
+    * from both sides; uncached, the text scan + per-shingle hashing would
+    * run twice. LONG hashes, not strings: `array_intersect` on a primitive
+    * type takes the specialized hash path (~100× faster per pair).
+    */
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String,
+                          q: Int): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("doc"),
+        transform(array_distinct(shinglesExpr(textCol, q)),
+          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")).as("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Directional Broder containment on LSH candidates: C(A→B) = |A∩B|/|A|
+    * and its mirror — the asymmetric measure that catches a SMALL document
+    * embedded in a larger one (quotes, boilerplate headers, licence
+    * blocks), which symmetric Jaccard dilutes toward 0 as the host
+    * document grows. Candidates come from the same banded MinHash index
+    * as [[minhashCandidates]] (exact-dup collapse included), so only band
+    * collisions pay the set intersect; both denominators reuse ONE
+    * intersect evaluation.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       q: Int = 5, k: Int = 12, rowsPerBand: Int = 3): DataFrame =
+    containmentVerify(df, minhashCandidates(df, idCol, textCol, q, k, rowsPerBand),
+      idCol, textCol, q)
+
+  /** The verify stage of [[containmentPairs]], on caller-supplied candidate
+    * (a, b[, n_bands]) pairs — also the right entry point when candidates
+    * come from a different index (exact-dup groups, a containment-tuned
+    * sketch, an URL join).
+    */
+  def containmentVerify(df: DataFrame, cands: DataFrame, idCol: String,
+                        textCol: String, q: Int = 5): DataFrame = {
+    val sh = shingleSets(df, idCol, textCol, q)
+    val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
+    val carried =
+      if (cands.columns.contains("n_bands")) Seq(col("a"), col("b"), col("n_bands"))
+      else Seq(col("a"), col("b"))
+    cands
+      .join(sh.select(col("doc").as("a"), col("shingles").as("sha")), "a")
+      .join(sh.select(col("doc").as("b"), col("shingles").as("shb")), "b")
+      .withColumn("cont_a_in_b", round(inter / size(col("sha")), 4))
+      .withColumn("cont_b_in_a", round(inter / size(col("shb")), 4))
+      .select(carried :+ col("cont_a_in_b") :+ col("cont_b_in_a"): _*)
+  }
+
   def jaccardVerify(df: DataFrame, cands: DataFrame, idCol: String, textCol: String,
                     q: Int = 5, threshold: Double = 0.0): DataFrame = {
     // Jaccard over 60-bit shingle hashes, not strings: array_intersect on
@@ -346,13 +394,7 @@ object Dedup {
     // ~100x slower per pair), and |A∪B| = |A|+|B|-|A∩B| removes the
     // array_union evaluation entirely (measured ~2 ms/pair — the dominant
     // cost at 100k+ candidate pairs).
-    // persist: both join sides below read this subtree — uncached, the text
-    // scan + per-shingle md5 hashing runs twice
-    val sh = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).as("doc"),
-        transform(array_distinct(shinglesExpr(textCol, q)),
-          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")).as("shingles"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = shingleSets(df, idCol, textCol, q)
     val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
     val carried =
       if (cands.columns.contains("n_bands")) Seq(col("a"), col("b"), col("n_bands"))

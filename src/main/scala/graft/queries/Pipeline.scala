@@ -1913,6 +1913,40 @@ object Pipeline {
            |FROM v ORDER BY a, b""".stripMargin
       }),
 
+    // -- directional containment (doc-in-doc detection) ---------------------
+    // Broder's asymmetric containment over the p04 candidate pairs:
+    // |A∩B|/|A| catches a small document embedded in a larger one (quotes,
+    // boilerplate, licence blocks) where symmetric Jaccard dilutes toward
+    // zero as the host grows. Same banded index, one intersect per pair,
+    // both denominators off it.
+    QueryDef("p57_containment",
+      (s, d) => {
+        import s.implicits._
+        Dedup.containmentPairs(t(s, d, "documents"), "doc_id", "text")
+          .withColumn("contained",
+            (greatest($"cont_a_in_b", $"cont_b_in_a") >= 0.9).cast("int"))
+          .orderBy($"a", $"b")
+      },
+      Some(s"""WITH cand AS ($minhashCandidatesSql),
+             |shd AS (
+             |  SELECT doc_id AS doc, list_transform(list_distinct(
+             |    list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+             |                   i -> substring(text, i, 5))),
+             |    x -> CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)) AS shingles
+             |  FROM documents),
+             |v AS (
+             |  SELECT a, b, n_bands,
+             |    round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             |          / len(sa.shingles), 4) AS cont_a_in_b,
+             |    round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             |          / len(sb.shingles), 4) AS cont_b_in_a
+             |  FROM cand
+             |  JOIN shd sa ON sa.doc = a
+             |  JOIN shd sb ON sb.doc = b)
+             |SELECT a, b, n_bands, cont_a_in_b, cont_b_in_a,
+             |  CAST(greatest(cont_a_in_b, cont_b_in_a) >= 0.9 AS INT) AS contained
+             |FROM v ORDER BY a, b""".stripMargin)),
+
     // -- deterministic shard writer + manifest ------------------------------
     // Side-effecting like q27: writes the corpus as shard=N/ parquet
     // partitions into a temp dir, recomputes the manifest from the WRITTEN

@@ -781,6 +781,27 @@ class OpsSpec extends AnyFunSuite {
     assert(!byTrain.contains(11L), "unrelated doc must not collide in any band")
   }
 
+  test("containment: embedded doc scores exactly 1 one-way while jaccard dilutes") {
+    val small = "the quick brown fox jumps over the lazy dog"
+    val host = small + " and then continues with a very long tail of unrelated " +
+      "filler words that grows the host document far beyond the quoted fragment"
+    val df = Seq((1L, small), (2L, host)).toDF("doc_id", "text")
+    // measure semantics on an explicit candidate pair (independent of LSH
+    // recall — at this dilution a jaccard-tuned band index may not fire)
+    val cand = Seq((1L, 2L)).toDF("a", "b")
+    val r = Dedup.containmentVerify(df, cand, "doc_id", "text").collect().head
+    assert(r.getDouble(2) == 1.0,
+      "every shingle of a strict prefix appears in the host -> containment 1.0")
+    assert(r.getDouble(3) < 0.6, s"host-in-small stays low, got ${r.getDouble(3)}")
+    // end-to-end through the banded index: exact dups always collide
+    val dup = Seq((1L, "identical text body"), (2L, "identical text body"),
+        (3L, "something else entirely different")).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(dup, "doc_id", "text").collect()
+    assert(pairs.length == 1 &&
+      pairs.head.getDouble(3) == 1.0 && pairs.head.getDouble(4) == 1.0,
+      "exact-dup pair flows through with containment 1.0 both ways")
+  }
+
   test("shardManifest: stable assignment, exact accounting, roundtrip witness") {
     val docs = (0L until 40L).map(i => (i, s"doc $i body with some words " + ("x " * (i % 7).toInt)))
       .toDF("doc_id", "text")
