@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines.
@@ -325,6 +326,61 @@ object TextOps {
     * numbers per doc. No windows, no per-doc sorts — scan-parallel at any
     * corpus size.
     */
+  /** BM25 top-k retrieval (Robertson/Spärck Jones): score each document
+    * against a small query set, keep the k best per query — the classic
+    * keyword-retrieval stage a curation pipeline runs to pull topical
+    * slices out of a corpus. Standard Okapi form:
+    * idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with
+    * idf = ln(1 + (N−df+0.5)/(df+0.5)).
+    *
+    * Cross-engine float contract: each per-term contribution is quantized
+    * to integer MICRO-units (round(term·1e6) as BIGINT) BEFORE the
+    * per-(query, doc) sum, so the sum is exact integer arithmetic —
+    * order-independent across engines and partitionings — and the rank
+    * key is the integer itself. The only doubles that cross engines are
+    * single expressions (ln, one division chain) evaluated identically.
+    *
+    * Scale shape: one corpus explode feeding two map-side-combined
+    * HashAggregates (tf and dl), corpus-level stats as a 1-row broadcast,
+    * query terms and their df as broadcast joins, final per-query top-k
+    * window over matching docs only.
+    */
+  def bm25TopK(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+               queries: Seq[(Int, Seq[String])], k1: Double = 1.2,
+               b: Double = 0.75, topK: Int = 10): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col(idCol).as("doc"), explode(tokens(lower(col(textCol)))).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = toks.groupBy($"doc", $"term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = toks.groupBy($"doc").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), avg($"dl").as("avgdl"))
+    val qterms = queries.flatMap { case (qid, ts) => ts.map(qid -> _) }
+      .toDF("qid", "term")
+    val dfreq = tf.join(broadcast(qterms.select($"term").distinct()), "term")
+      .groupBy($"term").agg(count(lit(1)).as("dfq"))
+    // association mirrors the oracle SQL token-for-token: the quantized
+    // micro-unit is the rank key, so even last-ulp drift is not allowed
+    val idf = log(lit(1.0) + ($"n" - $"dfq" + lit(0.5)) / ($"dfq" + lit(0.5)))
+    val denom = $"tf" + lit(k1) * (lit(1.0 - b) + lit(b) * $"dl" / $"avgdl")
+    val terms = tf
+      .join(broadcast(qterms), "term")
+      .join(broadcast(dfreq), "term")
+      .join(dl, "doc")
+      .crossJoin(broadcast(stats))
+      .select($"qid", $"doc",
+        round(idf * $"tf" * lit(k1 + 1.0) / denom * lit(1e6)).cast("long").as("ppm"))
+    val w = Window.partitionBy($"qid").orderBy(desc("sppm"), asc("doc"))
+    terms.groupBy($"qid", $"doc").agg(sum($"ppm").as("sppm"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= topK)
+      .select($"qid", $"rank", $"doc",
+        round($"sppm".cast("double") / 1e6, 4).as("score"))
+  }
+
   /** Gopher-style word-shape gate — the word-level half of the Gopher
     * quality rules (repetition lives in [[repetitionStats]], punctuation/
     * length in the p02/p03 stats): word-count bounds, mean word length in

@@ -1913,6 +1913,19 @@ object Pipeline {
            |FROM v ORDER BY a, b""".stripMargin
       }),
 
+    // -- BM25 top-k keyword retrieval ---------------------------------------
+    // The curation pipeline's topical-slice puller. Exactness contract:
+    // per-term contributions quantize to integer micro-units BEFORE the
+    // per-(query, doc) sum (order-independent integer arithmetic; the rank
+    // key IS the integer), so only single ln/division expressions cross
+    // engines as doubles. Query 3 mixes the corpus's one rare term with a
+    // common one — the idf split BM25 exists for.
+    QueryDef("p58_bm25_topk",
+      (s, d) => TextOps.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+          bm25Queries, topK = 10)
+        .orderBy(col("qid"), col("rank")),
+      Some(bm25OracleSql)),
+
     // -- directional containment (doc-in-doc detection) ---------------------
     // Broder's asymmetric containment over the p04 candidate pairs:
     // |A∩B|/|A| catches a small document embedded in a larger one (quotes,
@@ -1990,6 +2003,52 @@ object Pipeline {
     * oracle mirrors this formula in its `LIMIT (SELECT greatest(...))`
     * subquery so both engines train identical centroids at every scale.
     */
+  private val bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("spark", "join"),
+    1 -> Seq("vector", "stream"),
+    2 -> Seq("hash", "merge", "batch"),
+    3 -> Seq("dup", "filter"),
+    4 -> Seq("customer", "query"))
+
+  /** DuckDB mirror of TextOps.bm25TopK(k1=1.2, b=0.75, topK=10) — same
+    * micro-unit quantization pre-sum, ranked on the exact integer.
+    */
+  private val bm25OracleSql: String = {
+    val values = bm25Queries
+      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id AS doc,
+       |    unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM dl),
+       |q(qid, term) AS (VALUES $values),
+       |dfreq AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS dfq FROM tf
+       |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
+       |terms AS (
+       |  SELECT q.qid, tf.doc,
+       |    CAST(round(ln(1 + (st.n - dfreq.dfq + 0.5) / (dfreq.dfq + 0.5))
+       |      * tf.tf * (1.2 + 1.0)
+       |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))
+       |      * 1000000) AS BIGINT) AS ppm
+       |  FROM q
+       |  JOIN tf USING (term)
+       |  JOIN dfreq ON dfreq.term = q.term
+       |  JOIN dl ON dl.doc = tf.doc
+       |  CROSS JOIN st),
+       |sc AS (SELECT qid, doc, CAST(sum(ppm) AS BIGINT) AS sppm
+       |       FROM terms GROUP BY 1, 2)
+       |SELECT qid, CAST(row_number() OVER w AS INT) AS rank, doc,
+       |  round(CAST(sppm AS DOUBLE) / 1000000, 4) AS score
+       |FROM sc
+       |WINDOW w AS (PARTITION BY qid ORDER BY sppm DESC, doc)
+       |QUALIFY row_number() OVER w <= 10
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   private[queries] def ivfK(n: Long): Int = math.max(8, math.ceil(n / 250.0).toInt)
 
   private[queries] val ivfCorpusCtes: String = {

@@ -781,6 +781,38 @@ class OpsSpec extends AnyFunSuite {
     assert(!byTrain.contains(11L), "unrelated doc must not collide in any band")
   }
 
+  test("bm25TopK matches an independent driver-side Okapi computation") {
+    val corpus = Map(
+      1L -> Seq("apple", "banana", "apple"),
+      2L -> Seq("apple", "banana", "banana", "cherry"),
+      3L -> Seq("cherry", "cherry", "cherry", "date", "date"))
+    val df = corpus.toSeq.map { case (id, ws) => (id, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val qs = Seq(0 -> Seq("apple", "cherry"))
+    val out = TextOps.bm25TopK(df, "doc_id", "text", qs, topK = 3)
+      .orderBy($"rank").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // independent reimplementation (plain scala, same quantization contract)
+    val n = corpus.size.toDouble
+    val avgdl = corpus.values.map(_.length).sum / n
+    def dfq(t: String) = corpus.values.count(_.contains(t))
+    def ppm(t: String, ws: Seq[String]): Long = {
+      val tf = ws.count(_ == t).toDouble
+      if (tf == 0) 0L
+      else math.round(math.log(1 + (n - dfq(t) + 0.5) / (dfq(t) + 0.5)) *
+        tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * ws.length / avgdl)) * 1e6)
+    }
+    val expected = corpus.toSeq
+      .map { case (id, ws) => (id, qs.head._2.map(ppm(_, ws)).sum) }
+      .filter(_._2 != 0L)
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex
+      .map { case ((id, s), i) =>
+        (0, i + 1, id, math.rint(s / 1e6 * 1e4) / 1e4) }
+    assert(out.toSeq == expected,
+      s"engine ${out.toSeq} != independent ${expected}")
+  }
+
   test("containment: embedded doc scores exactly 1 one-way while jaccard dilutes") {
     val small = "the quick brown fox jumps over the lazy dog"
     val host = small + " and then continues with a very long tail of unrelated " +
