@@ -252,8 +252,12 @@ object Advanced {
         val corpus = t(s, d, "documents")
         val idx = graft.ops.Dedup.bandBuckets(corpus, "doc_id", "text",
           q = 5, k = 12, rowsPerBand = 3)
+        // fileSink: the match stream is the high-fanout output (10x-stress
+        // corpora emit GiBs of matches — past the memory sink's
+        // driver.maxResultSize funnel); executors write parquet directly
         val sink = EventStreams.runBoundedDocs(s, d, "s12_sink",
-          EventStreams.nearDupStage(idx), shufflePartitions = Some(8))
+          EventStreams.nearDupStage(idx), shufflePartitions = Some(8),
+          fileSink = true)
         val perDoc = sink.groupBy(col("doc_id"))
           .agg(countDistinct(col("partner")).as("n_partners"),
             count(lit(1)).as("n_band_hits"))

@@ -241,15 +241,17 @@ object EventStreams {
                      transform: DataFrame => DataFrame,
                      outputMode: String = "append",
                      shufflePartitions: Option[Int] = None,
-                     spread: Boolean = true): DataFrame =
+                     spread: Boolean = true,
+                     fileSink: Boolean = false): DataFrame =
     runBoundedTable(spark, dir, "documents", name, transform, outputMode,
-      shufflePartitions, spread)
+      shufflePartitions, spread, fileSink)
 
   def runBoundedTable(spark: SparkSession, dir: String, table: String,
                       name: String, transform: DataFrame => DataFrame,
                       outputMode: String = "append",
                       shufflePartitions: Option[Int] = None,
-                      spread: Boolean = true): DataFrame = {
+                      spread: Boolean = true,
+                      fileSink: Boolean = false): DataFrame = {
     val staticDf = spark.read.parquet(s"$dir/$table.parquet")
     val stream = spark.readStream
       .schema(staticDf.schema)
@@ -265,7 +267,7 @@ object EventStreams {
       if (spread) stream.repartition(
         shufflePartitions.getOrElse(spark.sparkContext.defaultParallelism))
       else stream
-    runStream(spark, name, transform(src), outputMode, shufflePartitions)
+    runStream(spark, name, transform(src), outputMode, shufflePartitions, fileSink)
   }
 
   /** Run `transform` over `<dir>/events.parquet` as a bounded stream
@@ -290,7 +292,8 @@ object EventStreams {
 
   private def runStream(spark: SparkSession, name: String, transformed: DataFrame,
                         outputMode: String,
-                        shufflePartitions: Option[Int]): DataFrame = {
+                        shufflePartitions: Option[Int],
+                        fileSink: Boolean = false): DataFrame = {
     // a stateful query instantiates one state store PER shuffle partition
     // PER stateful operator; heavily-stateful shapes (stream-stream joins
     // run four stores per partition) want fewer, larger partitions at
@@ -308,19 +311,44 @@ object EventStreams {
         else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
       }
       val ck = java.nio.file.Files.createTempDirectory(ckBase, s"graft-ck-$name")
-      val q = transformed.writeStream
-        .format("memory")
-        .queryName(name)
+      // High-fanout per-row stages (s12's match stream) take a FILE sink —
+      // the memory sink funnels every task's output through
+      // spark.driver.maxResultSize, which a 10x corpus blows (measured:
+      // 1.04 GiB of matches vs the 1 GiB cap). A parquet sink is also the
+      // production shape: executors write partitions directly. The result
+      // reads back and is localCheckpoint'd so the temp dir can be
+      // deleted before returning.
+      val outDir =
+        if (fileSink)
+          Some(java.nio.file.Files.createTempDirectory(s"graft-sink-$name"))
+        else None
+      val writer0 = transformed.writeStream
         .option("checkpointLocation", ck.toString)
         .outputMode(outputMode)
         .trigger(Trigger.AvailableNow())
-        .start()
+      val q = outDir match {
+        case Some(dir) =>
+          writer0.format("parquet").option("path", dir.toString).start()
+        case None =>
+          writer0.format("memory").queryName(name).start()
+      }
       q.awaitTermination()
       if (sys.env.contains("GRAFT_STREAM_DEBUG"))
         q.recentProgress.foreach(p => System.err.println(
           s"[stream-debug] $name batch=${p.batchId} rows=${p.numInputRows} " +
             s"durations=${p.durationMs}"))
+      outDir match {
+        case Some(dir) =>
+          try spark.read.schema(transformed.schema).parquet(dir.toString)
+            .localCheckpoint(true)
+          finally {
+            import scala.jdk.CollectionConverters._
+            val all = java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+            all.sortBy(-_.getNameCount)
+              .foreach(java.nio.file.Files.deleteIfExists(_: java.nio.file.Path))
+          }
+        case None => spark.table(name)
+      }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    spark.table(name)
   }
 }

@@ -265,4 +265,44 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"bucketed join still shuffles:\n$plan")
   }
+
+  test("p54 hamming ANN broadcasts the query set; corpus side is never shuffled") {
+    val plan = planOf("p54_hamming_ann")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"query set must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"corpus must stream past the broadcast, not shuffle:\n$plan")
+  }
+
+  test("p55 decontamination broadcasts the eval band index") {
+    val plan = planOf("p55_decontaminate_neardup")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval band index must broadcast into the train probe:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"band join must stay an equi-join:\n$plan")
+  }
+
+  test("p58 bm25 broadcasts query terms, df table and corpus stats; aggs stay hash") {
+    val plan = planOf("p58_bm25_topk")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-term joins must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortAggregate"),
+      s"tf/dl aggregation must stay a HashAggregate:\n$plan")
+  }
+
+  test("s13 ivf route stage is stateless: no state store operator in the stream plan") {
+    // the streamed result's lineage is a memory-sink table; assert on the
+    // stage's batch shape instead — pure project over the scan, no
+    // aggregate, no join
+    val d = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+    val cents = graft.ops.Similarity.ivfCentroids(emb, "vec_id", "embedding",
+      k = 8, iters = 1)
+    val staged = graft.streaming.EventStreams.ivfRouteStage(cents)(emb)
+    staged.collect()
+    val plan = staged.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join") &&
+      !plan.contains("Aggregate"),
+      s"route stage must be a per-row project only:\n$plan")
+  }
 }
