@@ -463,15 +463,25 @@ object Dedup {
     * is unchanged.
     */
   def substringSpans(df: DataFrame, idCol: String, textCol: String,
-                     w: Int): DataFrame = {
+                     w: Int, hashedKeys: Boolean = false): DataFrame = {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("off"))
+    // Key choice is the 100 TB lever: the duplicated-window aggregate
+    // shuffles one key per CHARACTER POSITION, so raw window text means
+    // w× corpus bytes on the wire. hashedKeys=true ships the xxhash64 of
+    // the window instead — 8 bytes per position regardless of w (Lee et
+    // al.'s own trick). The tiny birthday-collision odds mark a rare
+    // non-duplicated span as duplicated (harmless for training-data
+    // dedup, and OpsSpec pins hashed == text results on real data); the
+    // oracle-gated query keeps text keys, which are collision-FREE.
+    val keyExpr =
+      if (hashedKeys) xxhash64(expr(s"substring($textCol, off, $w)"))
+      else expr(s"substring($textCol, off, $w)")
     val wins = df
       .filter(length(col(textCol)) >= w)
       .select(col(idCol), col(textCol),
         expr(s"explode(sequence(1, length($textCol) - ${w - 1}))").as("off"))
-      .select(col(idCol), col("off"),
-        expr(s"substring($textCol, off, $w)").as("win"))
+      .select(col(idCol), col("off"), keyExpr.as("win"))
     // any second occurrence — cross-document or a self-repeat — makes a
     // window "duplicated" (Lee et al. drop repeated spans wherever the
     // other copy lives)

@@ -662,6 +662,18 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3) == ((4L, 0L, 0L, 0L, 0.0)),    "doc 4: clean")
   }
 
+  test("substringSpans hashed-key scale path equals the collision-free text-key path") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val text = Dedup.substringSpans(docs, "doc_id", "text", w = 40)
+      .orderBy($"doc_id").collect()
+    val hashed = Dedup.substringSpans(docs, "doc_id", "text", w = 40, hashedKeys = true)
+      .orderBy($"doc_id").collect()
+    assert(text.length == hashed.length && text.length > 0)
+    text.zip(hashed).foreach { case (a, b) => assert(a == b) }
+    assert(text.exists(_.getLong(1) > 0), "fixture must exercise duplicated spans")
+  }
+
   test("PQ: codebooks deterministic, codes cluster-pure, ADC ranks own cluster first") {
     // two well-separated clusters per subspace: vectors 0-3 near the
     // origin, 4-7 near (10,10,10,10); sub-vector noise keeps rows distinct
