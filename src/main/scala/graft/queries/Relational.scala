@@ -848,7 +848,32 @@ object Relational {
              |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
              |    AS price_cents
              |FROM orders WHERE o_orderkey < 30000
-             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // -- VariantType JSON processing ----------------------------------------
+    // Spark 4's semi-structured path: parse_json materializes the binary
+    // VARIANT encoding once, variant_get then extracts typed fields
+    // without re-parsing text per access — at 100 TB the difference
+    // between one parse and one parse PER extraction, and the layout
+    // shredded columnar JSON storage builds on. Exact-cents sum contract
+    // (q02 discipline) keeps the double aggregate engine-exact.
+    QueryDef("q41_variant_json",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "events")
+          .select($"event_id", $"value", parse_json($"props").as("v"))
+          .groupBy(expr("variant_get(v, '$.k', 'int') div 10").cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(round($"value" * 100).cast("long")) / 100.0, 2).as("sum_value"))
+          .orderBy($"bucket")
+      },
+      Some("""SELECT
+             |  CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) // 10 AS BIGINT)
+             |    AS bucket,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0, 2)
+             |    AS sum_value
+             |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin))
   )
 
   /** q39's statement — blocking-based fuzzy key matching, the classic
