@@ -126,6 +126,28 @@ object Dedup {
     * signature inside the per-band lambda directly would re-run the k·|sh|
     * digest kernel once per band.
     */
+  /** Dataset snapshot diff — the versioning primitive between two corpus
+    * snapshots: FULL OUTER join on the document id, content compared by
+    * md5 digest, each id classified `added` / `removed` / `changed` /
+    * `same`. The audit a pipeline runs before promoting a new crawl or
+    * after an incremental ingest (the row-level complement of
+    * [[incrementalStatus]], which dedups by CONTENT rather than keys by
+    * id). Scale: digests are per-row expressions, so the only exchange is
+    * the id-keyed join — co-partitioned for free when both snapshots are
+    * written bucketed by id ([[graft.queries.Pipeline]] p50's layout).
+    */
+  def snapshotDiff(cur: DataFrame, old: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    def digests(df: DataFrame, dg: String) =
+      df.select(col(idCol).as("doc_id"), md5(col(textCol)).as(dg))
+    digests(cur, "dg_new").join(digests(old, "dg_old"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("dg_old").isNull, "added")
+          .when(col("dg_new").isNull, "removed")
+          .when(col("dg_new") =!= col("dg_old"), "changed")
+          .otherwise("same").as("status"))
+  }
+
   /** Cross-corpus near-dup decontamination: MinHash band buckets on both
     * corpora (same [[bandBuckets]] index the intra-corpus dedup uses),
     * joined TRAIN × EVAL on (band, bucket), then exact-Jaccard verified —

@@ -1913,6 +1913,43 @@ object Pipeline {
            |FROM v ORDER BY a, b""".stripMargin
       }),
 
+    // -- dataset snapshot diff (versioning audit) ---------------------------
+    // The "previous snapshot" is synthesized deterministically from the
+    // current corpus: docs with id%11=0 are absent from it (-> added now),
+    // id%7=0 carry a different content digest (-> changed), and clones at
+    // id+1000000 for id%13=0 exist only in it (-> removed); everything
+    // else is byte-identical (-> same). Both engines build the identical
+    // old snapshot, so the diff is exactly oracled.
+    QueryDef("p59_snapshot_diff",
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val old = docs.filter($"doc_id" % 11 =!= 0)
+          .select($"doc_id",
+            when($"doc_id" % 7 === 0, concat($"text", lit("|v0")))
+              .otherwise($"text").as("text"))
+          .unionByName(docs.filter($"doc_id" % 13 === 0)
+            .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+        Dedup.snapshotDiff(docs, old, "doc_id", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH old AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 7 = 0 THEN text || '|v0' ELSE text END AS text
+             |  FROM documents WHERE doc_id % 11 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+             |  WHERE doc_id % 13 = 0),
+             |n AS (SELECT doc_id, md5(text) AS dg_new FROM documents),
+             |o AS (SELECT doc_id, md5(text) AS dg_old FROM old)
+             |SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+             |  CASE WHEN o.dg_old IS NULL THEN 'added'
+             |       WHEN n.dg_new IS NULL THEN 'removed'
+             |       WHEN n.dg_new <> o.dg_old THEN 'changed'
+             |       ELSE 'same' END AS status
+             |FROM n FULL OUTER JOIN o ON n.doc_id = o.doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
     // -- BM25 top-k keyword retrieval ---------------------------------------
     // The curation pipeline's topical-slice puller. Exactness contract:
     // per-term contributions quantize to integer micro-units BEFORE the

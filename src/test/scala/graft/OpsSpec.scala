@@ -846,6 +846,16 @@ class OpsSpec extends AnyFunSuite {
       "exact-dup pair flows through with containment 1.0 both ways")
   }
 
+  test("snapshotDiff classifies added/removed/changed/same exactly") {
+    val cur = Seq((1L, "alpha"), (2L, "beta"), (4L, "delta")).toDF("doc_id", "text")
+    val old = Seq((1L, "alpha"), (2L, "BETA-OLD"), (3L, "gamma")).toDF("doc_id", "text")
+    val out = Dedup.snapshotDiff(cur, old, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq(1L -> "same", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("shardManifest: stable assignment, exact accounting, roundtrip witness") {
     val docs = (0L until 40L).map(i => (i, s"doc $i body with some words " + ("x " * (i % 7).toInt)))
       .toDF("doc_id", "text")
