@@ -1,0 +1,108 @@
+package graft
+
+import graft.ops.{Dedup, Sampling, Similarity, Sketch, TextOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partitioning invariance — the 1000-executor determinism claim made
+  * executable: every operator whose Scaladoc promises retry- or
+  * engine-reproducibility must return IDENTICAL results no matter how the
+  * input arrives partitioned (one file, hash-scattered, skew-clustered by
+  * a data column). On a real cluster the ambient partitioning changes with
+  * executor count, AQE decisions, and upstream shuffles; an operator whose
+  * answer depends on it is nondeterministic at scale even though every
+  * local[4] run looks stable.
+  */
+class PartitionInvarianceSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$d/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$d/embeddings.parquet")
+
+  /** The three arrival shapes: as-read (single file = one partition),
+    * round-robin scattered, and clustered by a data column (skew-ish).
+    */
+  private def shapes(df: DataFrame, clusterCol: String): Seq[DataFrame] =
+    Seq(df, df.repartition(7), df.repartition(3, col(clusterCol)))
+
+  private def pin(name: String, results: Seq[Seq[String]]): Unit = {
+    assert(results.head.nonEmpty, s"$name: empty result can't pin invariance")
+    results.tail.zipWithIndex.foreach { case (r, i) =>
+      assert(r == results.head, s"$name: partitioning shape ${i + 1} diverged")
+    }
+  }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("stratified + weighted sampling select the same rows under any partitioning") {
+    pin("stratifiedSample", shapes(docs, "lang").map { v =>
+      rows(Sampling.stratifiedSample(v, "doc_id", "lang",
+        Map("en" -> 500), defaultPermill = 250).orderBy($"doc_id"))
+    })
+    pin("weightedSample", shapes(docs, "source").map { v =>
+      rows(Sampling.weightedSample(v.withColumn("w", length($"text") % 10 + 1),
+        "doc_id", "w", cap = 8).orderBy($"doc_id"))
+    })
+  }
+
+  test("minhash signatures and band buckets are partitioning-invariant") {
+    pin("minhashSignatures", shapes(docs, "lang").map { v =>
+      rows(Dedup.minhashSignatures(v.select($"doc_id", $"text"),
+          "doc_id", "text", q = 5, k = 12)
+        .selectExpr("doc", "sig").orderBy($"doc"))
+    })
+    pin("bandBuckets", shapes(docs, "source").map { v =>
+      rows(Dedup.bandBuckets(v, "doc_id", "text")
+        .orderBy($"doc", $"band"))
+    })
+  }
+
+  test("KMV sketch keeps the same k-minima (and estimate) under any partitioning") {
+    pin("kmvDistinct", shapes(docs, "source").map { v =>
+      val toks = v.select($"source",
+          explode(split(lower($"text"), "\\s+")).as("token"))
+        .filter(length($"token") > 0)
+      rows(Sketch.kmvDistinct(toks, "source", "token", k = 64).orderBy($"source"))
+    })
+  }
+
+  test("IVF training yields identical corpus ASSIGNMENTS from any partitioning") {
+    // raw centroid doubles may drift in the last ulp (double `avg` sums in
+    // partition order — unavoidable without a fixed reduction tree); the
+    // operator's declared contract is the ROUNDED-argmin assignment, which
+    // must be exactly stable. Train from each arrival shape, assign the
+    // corpus with each trained set, compare assignments.
+    val assignments = shapes(emb, "label").map { v =>
+      val cents = Similarity.ivfCentroids(v, "vec_id", "embedding", k = 8, iters = 2)
+      rows(emb.select($"vec_id",
+          Similarity.nearestCell($"embedding", cents).as("cell"))
+        .orderBy($"vec_id"))
+    }
+    assert(assignments.head.nonEmpty)
+    assignments.tail.foreach(a => assert(a == assignments.head,
+      "rounded-argmin assignment must not depend on row placement"))
+  }
+
+  test("BM25 ranking is partitioning-invariant (integer micro-unit contract)") {
+    pin("bm25TopK", shapes(docs, "lang").map { v =>
+      rows(TextOps.bm25TopK(v, "doc_id", "text",
+          Seq(0 -> Seq("spark", "join"), 1 -> Seq("the", "customer")), topK = 10)
+        .orderBy($"qid", $"rank"))
+    })
+  }
+
+  test("substring spans (text and hashed keys) are partitioning-invariant") {
+    for (hashed <- Seq(false, true)) {
+      pin(s"substringSpans(hashed=$hashed)", shapes(docs, "source").map { v =>
+        rows(Dedup.substringSpans(v.select($"doc_id", $"text"),
+            "doc_id", "text", w = 40, hashedKeys = hashed)
+          .orderBy($"doc_id"))
+      })
+    }
+  }
+}
