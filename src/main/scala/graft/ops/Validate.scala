@@ -95,4 +95,39 @@ object Validate {
     fact.select(col(fkCol)).filter(col(fkCol).isNotNull)
       .join(dim.select(col(pkCol)), col(fkCol) === col(pkCol), "left_anti")
       .count()
+
+  /** Population-stability-index drift between two snapshots — the monitor
+    * a pipeline runs next to [[graft.ops.Dedup.snapshotDiff]] before
+    * promoting a new crawl: per feature, PSI = Σ_bins (p_new − p_old) ·
+    * ln(p_new / p_old), with +1 Laplace smoothing so empty bins stay
+    * finite. Inputs are (feature, bin) frames (one row per document per
+    * feature); `nBins` is the smoothing denominator addend.
+    *
+    * Exactness contract (p58 discipline): each bin term quantizes to
+    * integer micro-units BEFORE the per-feature sum, so bin order and
+    * partitioning can't move the result; the only doubles that cross
+    * engines are single division/ln expressions over exact counts.
+    * Scale: two map-side-combined count aggregates, a bin-keyed full
+    * outer join of the (features × bins)-sized count tables — never the
+    * corpora — and a broadcast of the per-feature totals.
+    */
+  def psiDrift(cur: DataFrame, old: DataFrame, nBins: Int): DataFrame = {
+    def cnts(df: DataFrame, as: String) =
+      df.groupBy(col("feature"), col("bin")).agg(count(lit(1)).as(as))
+    val j = cnts(cur, "cn")
+      .join(cnts(old, "co2"), Seq("feature", "bin"), "full_outer")
+      .select(col("feature"), col("bin"),
+        coalesce(col("cn"), lit(0L)).as("cn"),
+        coalesce(col("co2"), lit(0L)).as("co"))
+    val tot = j.groupBy(col("feature"))
+      .agg(sum(col("cn")).as("nn"), sum(col("co")).as("no"))
+    val pn = (col("cn") + lit(1.0)) / (col("nn") + lit(nBins.toDouble))
+    val po = (col("co") + lit(1.0)) / (col("no") + lit(nBins.toDouble))
+    j.join(broadcast(tot), "feature")
+      .select(col("feature"), col("nn"), col("no"),
+        round((pn - po) * log(pn / po) * lit(1000000.0)).cast("long").as("ppm"))
+      .groupBy(col("feature"))
+      .agg(first(col("nn")).as("n_cur"), first(col("no")).as("n_old"),
+        round(sum(col("ppm")).cast("double") / lit(1000000.0), 4).as("psi"))
+  }
 }

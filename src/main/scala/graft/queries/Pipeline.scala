@@ -1950,6 +1950,70 @@ object Pipeline {
              |FROM n FULL OUTER JOIN o ON n.doc_id = o.doc_id
              |ORDER BY doc_id""".stripMargin)),
 
+    // -- corpus drift monitor (PSI between snapshots) -----------------------
+    // Pairs with p59: the same synthetic old snapshot, but instead of a
+    // row diff, a distribution diff — population stability index over
+    // fixed char-length and word-count bins. Laplace-smoothed, each bin
+    // term quantized to micro-units pre-sum (p58 discipline).
+    QueryDef("p60_drift_psi",
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val old = docs.filter($"doc_id" % 11 =!= 0)
+          .select($"doc_id",
+            when($"doc_id" % 7 === 0, concat($"text", lit("|v0")))
+              .otherwise($"text").as("text"))
+          .unionByName(docs.filter($"doc_id" % 13 === 0)
+            .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+        def feats(src: org.apache.spark.sql.DataFrame) =
+          src.selectExpr("'chars' AS feature",
+              "CAST(least(length(text) div 100, 4) AS BIGINT) AS bin")
+            .unionByName(src.selectExpr("'words' AS feature",
+              "CAST(least(size(filter(split(text, '\\\\s+'), t -> length(t) > 0)) div 20, 4) AS BIGINT) AS bin"))
+        graft.ops.Validate.psiDrift(feats(docs), feats(old), nBins = 5)
+          .orderBy($"feature")
+      },
+      Some("""WITH old AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 7 = 0 THEN text || '|v0' ELSE text END AS text
+             |  FROM documents WHERE doc_id % 11 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+             |  WHERE doc_id % 13 = 0),
+             |fc AS (
+             |  SELECT 'chars' AS feature, CAST(least(length(text) // 100, 4) AS BIGINT) AS bin
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT 'words', CAST(least(len(list_filter(string_split_regex(text, '\s+'),
+             |    x -> len(x) > 0)) // 20, 4) AS BIGINT) FROM documents),
+             |fo AS (
+             |  SELECT 'chars' AS feature, CAST(least(length(text) // 100, 4) AS BIGINT) AS bin
+             |  FROM old
+             |  UNION ALL
+             |  SELECT 'words', CAST(least(len(list_filter(string_split_regex(text, '\s+'),
+             |    x -> len(x) > 0)) // 20, 4) AS BIGINT) FROM old),
+             |cc AS (SELECT feature, bin, CAST(count(*) AS BIGINT) AS cn FROM fc GROUP BY 1, 2),
+             |cold AS (SELECT feature, bin, CAST(count(*) AS BIGINT) AS co FROM fo GROUP BY 1, 2),
+             |j AS (
+             |  SELECT COALESCE(cc.feature, cold.feature) AS feature,
+             |    COALESCE(cc.bin, cold.bin) AS bin,
+             |    COALESCE(cn, 0) AS cn, COALESCE(co, 0) AS co
+             |  FROM cc FULL OUTER JOIN cold
+             |    ON cc.feature = cold.feature AND cc.bin = cold.bin),
+             |tot AS (SELECT feature, CAST(sum(cn) AS BIGINT) AS nn,
+             |               CAST(sum(co) AS BIGINT) AS no
+             |        FROM j GROUP BY 1),
+             |terms AS (
+             |  SELECT j.feature, nn, no,
+             |    CAST(round(((cn + 1.0) / (nn + 5.0) - (co + 1.0) / (no + 5.0))
+             |      * ln(((cn + 1.0) / (nn + 5.0)) / ((co + 1.0) / (no + 5.0)))
+             |      * 1000000.0) AS BIGINT) AS ppm
+             |  FROM j JOIN tot USING (feature))
+             |SELECT feature, nn AS n_cur, no AS n_old,
+             |  round(CAST(sum(ppm) AS BIGINT) / 1000000.0, 4) AS psi
+             |FROM terms GROUP BY feature, nn, no
+             |ORDER BY feature""".stripMargin)),
+
     // -- BM25 top-k keyword retrieval ---------------------------------------
     // The curation pipeline's topical-slice puller. Exactness contract:
     // per-term contributions quantize to integer micro-units BEFORE the

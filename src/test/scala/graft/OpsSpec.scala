@@ -846,6 +846,24 @@ class OpsSpec extends AnyFunSuite {
       "exact-dup pair flows through with containment 1.0 both ways")
   }
 
+  test("psiDrift: zero on identical snapshots, hand-checked on a known shift") {
+    def frame(bins: Seq[Long]) =
+      bins.map(b => ("f", b)).toDF("feature", "bin")
+    val cur = frame(Seq.fill(8)(0L) ++ Seq.fill(2)(1L))
+    val old = frame(Seq.fill(5)(0L) ++ Seq.fill(5)(1L))
+    val same = graft.ops.Validate.psiDrift(cur, cur, nBins = 2).collect().head
+    assert(same.getDouble(3) == 0.0, "identical distributions -> psi exactly 0")
+    val out = graft.ops.Validate.psiDrift(cur, old, nBins = 2).collect().head
+    assert((out.getLong(1), out.getLong(2)) == ((10L, 10L)))
+    // independent computation, same micro-unit quantization contract
+    def p(c: Long, n: Long) = (c + 1.0) / (n + 2.0)
+    val expected = Seq((8L, 5L), (2L, 5L)).map { case (cn, co) =>
+      math.round((p(cn, 10) - p(co, 10)) * math.log(p(cn, 10) / p(co, 10)) * 1e6)
+    }.sum / 1e6
+    assert(out.getDouble(3) == math.rint(expected * 1e4) / 1e4,
+      s"psi ${out.getDouble(3)} != independent $expected")
+  }
+
   test("snapshotDiff classifies added/removed/changed/same exactly") {
     val cur = Seq((1L, "alpha"), (2L, "beta"), (4L, "delta")).toDF("doc_id", "text")
     val old = Seq((1L, "alpha"), (2L, "BETA-OLD"), (3L, "gamma")).toDF("doc_id", "text")
