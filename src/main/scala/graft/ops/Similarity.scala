@@ -360,12 +360,16 @@ object Similarity {
     * with XOR + POPCNT per word, keep the k nearest per query
     * (ties broken by neighbour id — the deterministic cross-engine
     * contract). The scan is the scale story: after packing, the per-pair
-    * cost is `dim/32` long XORs — no floats, no lambdas — and the only
-    * shuffle is the final per-query top-k window over k·|Q| survivors.
+    * cost is `dim/32` long XORs — no floats, no lambdas — and the top-k
+    * is the bounded [[graft.functions.TopKMinPairs]] aggregate: map-side
+    * partial aggregation reduces each task's slice to ≤ k pairs, so the
+    * shuffle carries k·tasks rows per query instead of co-locating all
+    * N scored rows on one reducer the way a `row_number()` window would.
     */
   def hammingTopK(emb: DataFrame, idCol: String, vecCol: String,
                   queryPred: Column, k: Int, dim: Int): DataFrame = {
     require(dim % 32 == 0, s"dim $dim must be a multiple of 32")
+    val spark = emb.sparkSession
     val words = dim / 32
     def packed(idAs: String, prefix: String, src: DataFrame) =
       src.select(col(idCol).as(idAs) +:
@@ -375,12 +379,13 @@ object Similarity {
     val ham = (0 until words)
       .map(w => bit_count(col(s"qw$w").bitwiseXOR(col(s"nw$w"))))
       .reduce(_ + _).cast("long")
-    val win = Window.partitionBy(col("qid")).orderBy(asc("hamming"), asc("nid"))
     corpus.crossJoin(broadcast(queries))
       .filter(col("qid") =!= col("nid"))
       .withColumn("hamming", ham)
-      .withColumn("rank", row_number().over(win))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("hamming"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKMinPairs(spark, col("hamming"), col("nid"), k).as("tk"))
+      .select(col("qid"), posexplode(col("tk")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("nid"), col("col.score").as("hamming"))
   }
 }

@@ -266,12 +266,18 @@ class PlanSpec extends AnyFunSuite {
       s"bucketed join still shuffles:\n$plan")
   }
 
-  test("p54 hamming ANN broadcasts the query set; corpus side is never shuffled") {
+  test("p54 hamming ANN broadcasts the query set; top-k is a partial aggregate, not a window") {
     val plan = planOf("p54_hamming_ann")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"query set must broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
       s"corpus must stream past the broadcast, not shuffle:\n$plan")
+    // the scale property: TopKMinPairs gets map-side partial aggregation —
+    // each task ships <= k pairs per query, where a row_number window
+    // would co-locate ALL N scored rows per query on one reducer
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("partial_topk_min_pairs"),
+      s"top-k must partial-aggregate map-side:\n$plan")
+    assert(!plan.contains("Window"), s"top-k must not fall back to a window:\n$plan")
   }
 
   test("p55 decontamination broadcasts the eval band index") {
