@@ -10,20 +10,24 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Bounded top-k aggregate: the k smallest `(score, id)` pairs per group,
-  * lexicographic (score asc, id asc), as `ARRAY<STRUCT<score, id>>`.
+  * ordered (score asc, id asc), as `ARRAY<STRUCT<score, id>>`. `id` may be
+  * BIGINT or STRING; string ties compare in binary (UTF8) order — the same
+  * order DuckDB's default collation gives an `ORDER BY`, so a cross-engine
+  * oracle can mirror the tie-break exactly.
   *
   * Why a custom aggregate instead of the `row_number()` window: a window
   * must co-locate EVERY scored row of a group on one reducer — for a
   * brute-force ANN scan that is N rows per query through a single
-  * partition. A TypedImperativeAggregate gets map-side PARTIAL
-  * aggregation: each task reduces its slice to ≤ k pairs, the shuffle
-  * carries at most k·tasks rows per group, and the final merge touches
-  * k-sized buffers only. Same exact result (the k smallest of the union
-  * is the k smallest of per-slice k-smallest), order-independent by
-  * construction — the contract [[graft.ops.Similarity.hammingTopK]]'s
-  * oracle checks against a DuckDB QUALIFY window.
+  * partition; for a global vocabulary top-k it is the ENTIRE vocabulary.
+  * A TypedImperativeAggregate gets map-side PARTIAL aggregation: each task
+  * reduces its slice to ≤ k pairs, the shuffle carries at most k·tasks
+  * rows per group, and the final merge touches k-sized buffers only. Same
+  * exact result (the k smallest of the union is the k smallest of
+  * per-slice k-smallest), order- and partitioning-independent by
+  * construction.
   *
   * The buffer compacts (sort + trim) only when it exceeds `2k + 64`, so
   * per-row update cost stays amortized O(1) sorts aside.
@@ -31,7 +35,7 @@ import org.apache.spark.sql.types._
 case class TopKMinPairs(
     score: Expression, id: Expression, kExpr: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[ArrayBuffer[(Long, Long)]] {
+  extends TypedImperativeAggregate[ArrayBuffer[(Long, Any)]] {
 
   private lazy val k: Int = kExpr.eval(InternalRow.empty) match {
     case i: Int  => i
@@ -40,61 +44,98 @@ case class TopKMinPairs(
       s"topk_min_pairs k must be an integer literal, got $other")
   }
 
+  private lazy val stringIds: Boolean = id.dataType match {
+    case StringType => true
+    case LongType   => false
+    case other      => throw new IllegalArgumentException(
+      s"topk_min_pairs id must be BIGINT or STRING, got $other")
+  }
+
+  private implicit lazy val ord: Ordering[(Long, Any)] = new Ordering[(Long, Any)] {
+    override def compare(a: (Long, Any), b: (Long, Any)): Int = {
+      val c = java.lang.Long.compare(a._1, b._1)
+      if (c != 0) c
+      else if (stringIds)
+        a._2.asInstanceOf[UTF8String].compareTo(b._2.asInstanceOf[UTF8String])
+      else java.lang.Long.compare(a._2.asInstanceOf[Long], b._2.asInstanceOf[Long])
+    }
+  }
+
   override def children: Seq[Expression] = Seq(score, id, kExpr)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(new StructType()
     .add("score", LongType, nullable = false)
-    .add("id", LongType, nullable = false), containsNull = false)
+    .add("id", id.dataType, nullable = false), containsNull = false)
 
-  override def createAggregationBuffer(): ArrayBuffer[(Long, Long)] =
+  override def createAggregationBuffer(): ArrayBuffer[(Long, Any)] =
     ArrayBuffer.empty
 
-  private def compact(buf: ArrayBuffer[(Long, Long)]): Unit =
+  private def compact(buf: ArrayBuffer[(Long, Any)]): Unit =
     if (buf.length > k) {
       val kept = buf.sorted.take(k)
       buf.clear()
       buf ++= kept
     }
 
-  override def update(buf: ArrayBuffer[(Long, Long)],
-                      input: InternalRow): ArrayBuffer[(Long, Long)] = {
+  override def update(buf: ArrayBuffer[(Long, Any)],
+                      input: InternalRow): ArrayBuffer[(Long, Any)] = {
     val s = score.eval(input)
     val i = id.eval(input)
     if (s != null && i != null) {
-      buf += ((s.asInstanceOf[Long], i.asInstanceOf[Long]))
+      // UTF8Strings handed out by eval may alias reused row buffers — copy
+      val iv: Any =
+        if (stringIds) i.asInstanceOf[UTF8String].clone() else i
+      buf += ((s.asInstanceOf[Long], iv))
       if (buf.length > 2 * k + 64) compact(buf)
     }
     buf
   }
 
-  override def merge(buf: ArrayBuffer[(Long, Long)],
-                     other: ArrayBuffer[(Long, Long)]): ArrayBuffer[(Long, Long)] = {
+  override def merge(buf: ArrayBuffer[(Long, Any)],
+                     other: ArrayBuffer[(Long, Any)]): ArrayBuffer[(Long, Any)] = {
     buf ++= other
     compact(buf)
     buf
   }
 
-  override def eval(buf: ArrayBuffer[(Long, Long)]): Any =
+  override def eval(buf: ArrayBuffer[(Long, Any)]): Any =
     new GenericArrayData(buf.sorted.take(k).map { case (s, i) =>
       new GenericInternalRow(Array[Any](s, i))
     }.toArray[Any])
 
-  override def serialize(buf: ArrayBuffer[(Long, Long)]): Array[Byte] = {
+  override def serialize(buf: ArrayBuffer[(Long, Any)]): Array[Byte] = {
     compact(buf) // never ship more than k pairs
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.length)
-    buf.foreach { case (s, i) => out.writeLong(s); out.writeLong(i) }
+    buf.foreach { case (s, i) =>
+      out.writeLong(s)
+      if (stringIds) {
+        val b = i.asInstanceOf[UTF8String].getBytes
+        out.writeInt(b.length); out.write(b)
+      } else out.writeLong(i.asInstanceOf[Long])
+    }
     out.flush()
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Long, Long)] = {
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Long, Any)] = {
     val in = ByteBuffer.wrap(bytes)
     val n = in.getInt
-    val buf = ArrayBuffer.empty[(Long, Long)]
+    val buf = ArrayBuffer.empty[(Long, Any)]
     var j = 0
-    while (j < n) { buf += ((in.getLong, in.getLong)); j += 1 }
+    while (j < n) {
+      val s = in.getLong
+      val iv: Any =
+        if (stringIds) {
+          val len = in.getInt
+          val b = new Array[Byte](len)
+          in.get(b)
+          UTF8String.fromBytes(b)
+        } else in.getLong
+      buf += ((s, iv))
+      j += 1
+    }
     buf
   }
 

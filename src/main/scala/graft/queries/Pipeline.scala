@@ -434,9 +434,18 @@ object Pipeline {
         val vocab = toks.groupBy($"token")
           .agg(count(lit(1)).as("n_occurrences"),
             countDistinct($"doc_id").as("n_docs"))
-        val w = Window.orderBy($"n_occurrences".desc, $"token")
-        vocab.withColumn("rank", row_number().over(w).cast("int"))
-          .filter($"rank" <= 15)
+        // global top-k via the bounded TopKMinPairs aggregate (score =
+        // -count so asc = most frequent; string ids tie-break in binary
+        // order, matching the oracle's ORDER BY). A row_number() window
+        // here would pull the ENTIRE vocabulary through one reducer — at
+        // web scale that is 10^8+ terms; the aggregate ships <= 15 pairs
+        // per map task. The 15 winners then re-join vocab (broadcast) to
+        // pick up n_docs.
+        val top = vocab
+          .agg(graft.functions.TopKMinPairs(s, -$"n_occurrences", $"token", 15).as("tk"))
+          .select(posexplode($"tk"))
+          .select((col("pos") + 1).cast("int").as("rank"), $"col.id".as("token"))
+        vocab.join(broadcast(top), "token")
           .select($"rank", $"token", $"n_occurrences", $"n_docs")
           .orderBy($"rank")
       },

@@ -753,6 +753,25 @@ class OpsSpec extends AnyFunSuite {
     assert(out(4) == ((5, 1L, 64L)))
   }
 
+  test("TopKMinPairs: exact k-smallest, binary string tie-break, partition-invariant") {
+    val df = Seq((5L, "b"), (5L, "a"), (3L, "z"), (7L, "a"), (3L, "a"))
+      .toDF("s", "i")
+    val expected = Seq((3L, "a"), (3L, "z"), (5L, "a"))
+    for (shape <- Seq(df, df.repartition(4))) {
+      val got = shape
+        .agg(graft.functions.TopKMinPairs(spark, col("s"), col("i"), 3).as("tk"))
+        .collect().head.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(got == expected, s"got $got under ${shape.rdd.getNumPartitions} partitions")
+    }
+    // long-id path: same contract
+    val dfl = Seq((5L, 2L), (5L, 1L), (3L, 9L), (7L, 1L)).toDF("s", "i")
+    val gotL = dfl.agg(graft.functions.TopKMinPairs(spark, col("s"), col("i"), 2).as("tk"))
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(gotL == Seq((3L, 9L), (5L, 1L)))
+  }
+
   test("gopherGate: word-shape stats and each rule's failure mode") {
     val good = ("the cat and the dog ran over to the big red barn near a tall tree " +
       "and it sat for a while watching the birds in the field")  // long, stopword-rich
