@@ -245,27 +245,42 @@ object Similarity {
                   m: Int, subDim: Int, k: Int, iters: Int): Array[Array[Array[Double]]] = {
     val spark = emb.sparkSession
     val par = spark.sparkContext.defaultParallelism
-    Array.tabulate(m) { j =>
-      val sub = emb.select(col(idCol).as("__id"),
-        slice(col(vecCol), j * subDim + 1, subDim).as("v"))
-      var cents: Array[Array[Double]] = sub.orderBy(col("__id")).limit(k)
-        .select(col("v")).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-      val work = sub.repartition(par)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (0 until iters).foreach { _ =>
-        val means = work
-          .select(nearestCell(col("v"), cents).as("cell"),
-            posexplode(transform(col("v"), x => x.cast("double"))).as(Seq("pos", "x")))
-          .groupBy(col("cell"), col("pos")).agg(round(avg(col("x")), 6).as("mn"))
-          .collect()
-        val next = cents.map(_.clone())
-        means.foreach { r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) }
-        cents = next
-      }
-      work.unpersist(blocking = false)
-      cents
+    // ALL m sub-slices in one exploded frame — the corpus is read and
+    // persisted ONCE, and each Lloyd iteration is ONE job assigning every
+    // subspace (per-row `when(j, …)` branch over the m centroid-matrix
+    // literals) instead of m separate corpus passes. Per-subspace math is
+    // unchanged (subspaces never mix in a group key), so the trained
+    // books are the same; the 6-dp-rounded means are the cross-run/
+    // cross-engine contract exactly as before.
+    val slices = emb.select(col(idCol).as("__id"),
+      posexplode(array((0 until m).map(j =>
+        slice(col(vecCol), j * subDim + 1, subDim)): _*)).as(Seq("j", "v")))
+    val work = slices.repartition(par)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deterministic init: sub-slices of the first k rows by id — one job
+    val initRows = emb.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble))
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      initRows.map(_.slice(j * subDim, (j + 1) * subDim).toArray)
     }
+    (0 until iters).foreach { _ =>
+      val cellExpr = (1 until m).foldLeft(
+        when(col("j") === 0, nearestCell(col("v"), books(0)))) { (acc, j) =>
+        acc.when(col("j") === j, nearestCell(col("v"), books(j)))
+      }
+      val means = work
+        .select(col("j"), cellExpr.as("cell"),
+          posexplode(transform(col("v"), x => x.cast("double"))).as(Seq("pos", "x")))
+        .groupBy(col("j"), col("cell"), col("pos"))
+        .agg(round(avg(col("x")), 6).as("mn"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      means.foreach { r => next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3) }
+      books = next
+    }
+    work.unpersist(blocking = false)
+    books
   }
 
   /** PQ ANN by asymmetric distance computation (ADC): the corpus is stored
