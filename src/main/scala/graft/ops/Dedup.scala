@@ -486,8 +486,6 @@ object Dedup {
     */
   def substringSpans(df: DataFrame, idCol: String, textCol: String,
                      w: Int, hashedKeys: Boolean = false): DataFrame = {
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("off"))
     // Key choice is the 100 TB lever: the duplicated-window aggregate
     // shuffles one key per CHARACTER POSITION, so raw window text means
     // w× corpus bytes on the wire. hashedKeys=true ships the xxhash64 of
@@ -496,14 +494,7 @@ object Dedup {
     // non-duplicated span as duplicated (harmless for training-data
     // dedup, and OpsSpec pins hashed == text results on real data); the
     // oracle-gated query keeps text keys, which are collision-FREE.
-    val keyExpr =
-      if (hashedKeys) xxhash64(expr(s"substring($textCol, off, $w)"))
-      else expr(s"substring($textCol, off, $w)")
-    val wins = df
-      .filter(length(col(textCol)) >= w)
-      .select(col(idCol), col(textCol),
-        expr(s"explode(sequence(1, length($textCol) - ${w - 1}))").as("off"))
-      .select(col(idCol), col("off"), keyExpr.as("win"))
+    val wins = windowsOf(df, idCol, textCol, w, hashedKeys)
     // any second occurrence — cross-document or a self-repeat — makes a
     // window "duplicated" (Lee et al. drop repeated spans wherever the
     // other copy lives)
@@ -511,8 +502,53 @@ object Dedup {
       .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)
       .select(col("win"))
-    val spans = wins.join(dup, "win")
-      .select(col(idCol), col("off"))
+    mergeSpans(df, idCol, textCol, w,
+      wins.join(dup, "win").select(col(idCol), col("off")))
+  }
+
+  /** Cross-corpus substring decontamination (the span-level eval check the
+    * GPT-3-style shingle overlap p20 approximates): maximal spans of TRAIN
+    * documents whose every w-char window occurs verbatim ANYWHERE in the
+    * reference corpus (an eval suite). Same window/merge machinery as
+    * [[substringSpans]]; the dup predicate is a semi-join against the
+    * reference's distinct window set instead of a global count. Scale:
+    * eval suites are corpus-tiny, so the distinct reference windows
+    * broadcast and the train window stream never shuffles.
+    */
+  def substringSpansAgainst(train: DataFrame, ref: DataFrame,
+                            idCol: String, textCol: String,
+                            w: Int, hashedKeys: Boolean = false): DataFrame = {
+    val refWins = windowsOf(ref, idCol, textCol, w, hashedKeys)
+      .select(col("win")).distinct()
+    mergeSpans(train, idCol, textCol, w,
+      windowsOf(train, idCol, textCol, w, hashedKeys)
+        .join(broadcast(refWins), "win")
+        .select(col(idCol), col("off")))
+  }
+
+  /** (id, off, win) — every w-char window of every document; `win` is the
+    * raw text or its xxhash64 (see [[substringSpans]]'s key-choice note).
+    */
+  private def windowsOf(df: DataFrame, idCol: String, textCol: String,
+                        w: Int, hashedKeys: Boolean): DataFrame = {
+    val keyExpr =
+      if (hashedKeys) xxhash64(expr(s"substring($textCol, off, $w)"))
+      else expr(s"substring($textCol, off, $w)")
+    df.filter(length(col(textCol)) >= w)
+      .select(col(idCol), col(textCol),
+        expr(s"explode(sequence(1, length($textCol) - ${w - 1}))").as("off"))
+      .select(col(idCol), col("off"), keyExpr.as("win"))
+  }
+
+  /** Merge marked window offsets (id, off) into maximal per-doc spans and
+    * aggregate to the per-document report — shared by the intra-corpus and
+    * cross-corpus span operators.
+    */
+  private def mergeSpans(df: DataFrame, idCol: String, textCol: String,
+                         w: Int, marked: DataFrame): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("off"))
+    val spans = marked
       .withColumn("prev", lag(col("off"), 1).over(win))
       .withColumn("ns", when(col("prev").isNull || col("off") > col("prev") + 1, 1L)
         .otherwise(0L))

@@ -893,6 +893,59 @@ object Pipeline {
              |FROM documents d LEFT JOIN agg a USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // -- span-level eval decontamination (cross-corpus substring) -----------
+    // The substring-exact sibling of p20's shingle overlap and p55's
+    // near-dup check: maximal spans of TRAIN documents whose every 40-char
+    // window occurs verbatim in the eval split — what a pipeline actually
+    // REDACTS before training. Same window/merge machinery as p51; the
+    // (tiny) eval window set broadcasts.
+    QueryDef("p61_eval_span_decontam",
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents").select($"doc_id", $"text")
+        Dedup.substringSpansAgainst(docs.filter($"doc_id" % 97 =!= 0),
+            docs.filter($"doc_id" % 97 === 0), "doc_id", "text", w = 40)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH w0 AS (
+             |  SELECT doc_id, text,
+             |    unnest(generate_series(1, length(text) - 39)) AS off
+             |  FROM documents WHERE length(text) >= 40),
+             |wins AS (
+             |  SELECT doc_id, off, substring(text, CAST(off AS INTEGER), 40) AS win
+             |  FROM w0),
+             |refw AS (SELECT DISTINCT win FROM wins WHERE doc_id % 97 = 0),
+             |pos AS (
+             |  SELECT doc_id, off FROM wins JOIN refw USING (win)
+             |  WHERE doc_id % 97 <> 0),
+             |sp AS (
+             |  SELECT doc_id, off,
+             |    CASE WHEN lag(off) OVER w IS NULL
+             |           OR off > lag(off) OVER w + 1 THEN 1 ELSE 0 END AS ns
+             |  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY off)),
+             |sp2 AS (
+             |  SELECT doc_id, off,
+             |    sum(ns) OVER (PARTITION BY doc_id ORDER BY off) AS span_id
+             |  FROM sp),
+             |spans AS (
+             |  SELECT doc_id, span_id, min(off) AS s, max(off) + 39 AS e
+             |  FROM sp2 GROUP BY doc_id, span_id),
+             |agg AS (
+             |  SELECT doc_id,
+             |    CAST(count(*) AS BIGINT) AS n_spans,
+             |    CAST(sum(e - s + 1) AS BIGINT) AS dup_chars,
+             |    CAST(max(e - s + 1) AS BIGINT) AS max_span
+             |  FROM spans GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  coalesce(a.n_spans, 0) AS n_spans,
+             |  coalesce(a.dup_chars, 0) AS dup_chars,
+             |  coalesce(a.max_span, 0) AS max_span,
+             |  round(CAST(coalesce(a.dup_chars, 0) AS DOUBLE) / length(d.text), 4)
+             |    AS dup_frac
+             |FROM (SELECT * FROM documents WHERE doc_id % 97 <> 0) d
+             |LEFT JOIN agg a USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // -- product-quantization ANN (Jégou et al. 2011) -----------------------
     // The compression half of large-scale ANN: corpus vectors become m=4
     // one-byte codes (nearest trained codebook entry per 16-dim subspace),

@@ -674,6 +674,25 @@ class OpsSpec extends AnyFunSuite {
     assert(text.exists(_.getLong(1) > 0), "fixture must exercise duplicated spans")
   }
 
+  test("substringSpansAgainst: only eval-matching spans flag; self-repeats don't") {
+    val evalDoc = "AAAAABBBBB"                      // ref corpus
+    val train = Seq(
+      (1L, "xxAAAAABBBBByy"),    // contains the full eval doc -> span [3,12]
+      (2L, "AAAAAAAAAA"),        // self-repeating but NOT in eval (w=5: AAAAA IS in eval!)
+      (3L, "zzzzzzzzzz"))        // clean
+      .toDF("doc_id", "text")
+    val ref = Seq((90L, evalDoc)).toDF("doc_id", "text")
+    val out = Dedup.substringSpansAgainst(train, ref, "doc_id", "text", w = 5)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1: windows at offsets 3..8 match eval windows -> one span 3..12 (10 chars)
+    assert(out(0) == ((1L, 1L, 10L, 10L)), s"got ${out(0)}")
+    // doc 2: every 5-window is AAAAA, which occurs in eval -> whole doc one span
+    assert(out(1) == ((2L, 1L, 10L, 10L)), s"got ${out(1)}")
+    // doc 3: nothing in common with eval
+    assert(out(2) == ((3L, 0L, 0L, 0L)), s"got ${out(2)}")
+  }
+
   test("PQ: codebooks deterministic, codes cluster-pure, ADC ranks own cluster first") {
     // two well-separated clusters per subspace: vectors 0-3 near the
     // origin, 4-7 near (10,10,10,10); sub-vector noise keeps rows distinct
