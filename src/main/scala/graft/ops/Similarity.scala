@@ -331,6 +331,52 @@ object Similarity {
     * (bit, dim) — reproducible across runs and engines with no stored model
     * (the SQL oracle embeds these exact literals).
     */
+  /** IVFADC (Jégou et al. 2011) — the production large-scale ANN layout:
+    * coarse IVF cells prune the candidate set to `nprobe` cells per query,
+    * and ranking inside the probed cells runs on PQ codes via ADC — the
+    * scan touches m one-byte codes per candidate, never the float vector.
+    * Exactly [[ivfTopK]]'s pruning composed with [[pqAdcTopK]]'s ranking:
+    * corpus rows carry (coarse cell, m codes), queries broadcast with
+    * their nprobe cells, the join keys on the cell, and the top-k is the
+    * bounded [[graft.functions.TopKMinPairs]] aggregate over the
+    * micro-unit-quantized ADC score (a bijection of the 6-dp-rounded
+    * double, so ranking on the long IS ranking on adc).
+    */
+  def ivfAdcTopK(emb: DataFrame, idCol: String, vecCol: String,
+                 coarse: Array[Array[Double]],
+                 books: Array[Array[Array[Double]]], subDim: Int,
+                 nprobe: Int, queryPred: Column, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val codeCols = books.indices.map(j =>
+      nearestCell(slice(col(vecCol), j * subDim + 1, subDim), books(j)).as(s"c$j"))
+    val corpus = emb.repartition(par)
+      .select(col(idCol).as("nid") +:
+        nearestCell(col(vecCol), coarse).as("cell") +: codeCols: _*)
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        explode(nearestCells(col(vecCol), coarse, nprobe)).as("cell"))
+    val dTerms = books.indices.map { j =>
+      val cents = typedLit(books(j).map(_.toSeq).toSeq)
+      val qslice = transform(slice(col("qvec"), j * subDim + 1, subDim),
+        x => x.cast("double"))
+      round(aggregate(
+        zip_with(qslice, element_at(cents, col(s"c$j") + 1),
+          (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, v) => acc + v), 6)
+    }
+    corpus.join(broadcast(queries), "cell")
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("adc", round(dTerms.reduce(_ + _), 6))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKMinPairs(spark,
+        round(col("adc") * lit(1000000.0)).cast("long"), col("nid"), k).as("tk"))
+      .select(col("qid"), posexplode(col("tk")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("nid"),
+        round(col("col.score").cast("double") / lit(1000000.0), 6).as("adc"))
+  }
+
   def hyperplaneWeights(dim: Int, nBits: Int, seed: Long = 42L): Array[Array[Double]] =
     Array.tabulate(nBits) { b =>
       Array.tabulate(dim) { i =>

@@ -965,6 +965,25 @@ object Pipeline {
       },
       Some(pqOracleSql(m = 4, subDim = 16, k = 16))),
 
+    // -- IVFADC: coarse IVF pruning + ADC over PQ codes ---------------------
+    // The full Jégou et al. composition the p19/p52 scaladocs promise: the
+    // coarse quantizer restricts each query to nprobe cells, and ranking
+    // inside them reads m one-byte codes per candidate (never the float
+    // vector). Top-k via the bounded TopKMinPairs aggregate on the
+    // micro-unit-quantized ADC score.
+    QueryDef("p62_ivfadc",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val coarse = Similarity.ivfCentroids(emb, "vec_id", "embedding",
+          k = ivfK(emb.count()), iters = 2)
+        val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+          m = 4, subDim = 16, k = 16, iters = 2)
+        Similarity.ivfAdcTopK(emb, "vec_id", "embedding", coarse, books,
+            subDim = 16, nprobe = 2, col("vec_id") < 50, k = 3)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(ivfAdcOracleSql(m = 4, subDim = 16, k = 16))),
+
     // -- KMV distinct-count sketch (per-source vocabulary size) -------------
     // Deterministic sketching: unlike HLL, the k-minimum-values estimate
     // (k-1)·M/h_k is plain SQL, so the ESTIMATE itself is oracle-checked
@@ -2249,7 +2268,11 @@ object Pipeline {
     * rounded sum of per-subspace squared L2 terms. Same assign/recompute
     * skeleton as [[ivfCorpusCtes]], instantiated per subspace.
     */
-  private def pqOracleSql(m: Int, subDim: Int, k: Int): String = {
+  /** The PQ training + corpus-encoding CTE prefix (through `codes` and the
+    * per-subspace trained books `c2_j`) — shared by p52's flat ADC scan
+    * and p62's IVFADC composition.
+    */
+  private def pqCtes(m: Int, subDim: Int, k: Int): String = {
     def d2(b: String, c: String) =
       s"round(list_sum(list_transform(range(1, ${subDim + 1}), " +
         s"i -> ($b.v[i] - $c.c[i]) * ($b.v[i] - $c.c[i]))), 6)"
@@ -2282,6 +2305,12 @@ object Pipeline {
       (0 until m).map(j => s"a2_$j.cell AS c$j").mkString(", ") +
       " FROM a2_0 " +
       (1 until m).map(j => s"JOIN a2_$j USING (vec_id)").mkString(" ") + ")"
+    sb.toString
+  }
+
+  private def pqOracleSql(m: Int, subDim: Int, k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= pqCtes(m, subDim, k)
     sb ++= ",\nq AS (SELECT vec_id AS qid, " +
       (0 until m).map(j =>
         s"list_slice(e, ${j * subDim + 1}, ${(j + 1) * subDim}) AS qv$j")
@@ -2299,6 +2328,40 @@ object Pipeline {
       "\nQUALIFY row_number() OVER w <= 3" +
       "\nORDER BY qid, rank"
     sb.toString
+  }
+
+  /** DuckDB mirror of Similarity.ivfAdcTopK: the PQ CTE prefix (training +
+    * corpus codes) composed with the IVF mirror's coarse cells + corpus
+    * assignment; queries take their nprobe=2 nearest coarse cells and ADC
+    * ranks PQ codes WITHIN the probed cells only.
+    */
+  private def ivfAdcOracleSql(m: Int, subDim: Int, k: Int): String = {
+    val ivfTail = ivfCorpusCtes.stripPrefix(
+      "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),")
+    val qslices = (0 until m).map(j =>
+      s"list_slice(qvec, ${j * subDim + 1}, ${(j + 1) * subDim}) AS qv$j")
+      .mkString(", ")
+    val terms = (0 until m).map(j =>
+      s"round(list_sum(list_transform(range(1, ${subDim + 1}), " +
+        s"i -> (q2.qv$j[i] - cc$j.c[i]) * (q2.qv$j[i] - cc$j.c[i]))), 6)")
+    pqCtes(m, subDim, k) + "," + ivfTail +
+      s""",
+         |qq AS (SELECT qid, qvec, cell FROM (
+         |    SELECT b.vec_id AS qid, b.e AS qvec, c.cell,
+         |      row_number() OVER (PARTITION BY b.vec_id ORDER BY $ivfD2, c.cell) AS rn
+         |    FROM base b CROSS JOIN c2 c WHERE b.vec_id < 50)
+         |  WHERE rn <= 2),
+         |q2 AS (SELECT qid, cell, $qslices FROM qq)
+         |SELECT qid, CAST(row_number() OVER w AS INT) AS rank, nid, adc FROM (
+         |  SELECT q2.qid, n.vec_id AS nid, round(${terms.mkString(" + ")}, 6) AS adc
+         |  FROM corp n
+         |  JOIN q2 USING (cell)
+         |  JOIN codes cd ON cd.vec_id = n.vec_id
+         |  ${(0 until m).map(j => s"JOIN c2_$j cc$j ON cc$j.cell = cd.c$j").mkString(" ")}
+         |  WHERE q2.qid <> n.vec_id)
+         |WINDOW w AS (PARTITION BY qid ORDER BY adc, nid)
+         |QUALIFY row_number() OVER w <= 3
+         |ORDER BY qid, rank""".stripMargin
   }
 
   /** DuckDB mirror of TextOps.charLmScore over `documents` — shared by p48

@@ -716,6 +716,24 @@ class OpsSpec extends AnyFunSuite {
       "ADC top-3 of a cluster-0 query must be its three cluster-mates")
   }
 
+  test("IVFADC: probed-cell candidates only, ADC ranks cluster-mates first") {
+    val rows = (0 until 8).map { i =>
+      val base = if (i < 4) 0.0f else 10.0f
+      (i.toLong, Array(base + i * 0.01f, base - i * 0.01f,
+        base + i * 0.02f, base - i * 0.02f).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val coarse = Similarity.ivfCentroids(df, "vec_id", "embedding", k = 2, iters = 2)
+    val books = Similarity.pqCodebooks(df, "vec_id", "embedding",
+      m = 2, subDim = 2, k = 2, iters = 2)
+    val out = Similarity.ivfAdcTopK(df, "vec_id", "embedding", coarse, books,
+        subDim = 2, nprobe = 1, col("vec_id") === 0, k = 3)
+      .orderBy($"rank").collect()
+    assert(out.map(_.getLong(2)).toSet == Set(1L, 2L, 3L),
+      "top-3 of a cluster-0 query through its probed cell must be its cluster-mates")
+    assert(out.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+  }
+
   test("minhash_sig kernel == batch signature pipeline; band buckets agree") {
     val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
                  (2L, "pack my box with five dozen liquor jugs"),
