@@ -61,6 +61,23 @@ case class TopKMinPairs(
     }
   }
 
+  // fail at analysis, not mid-job on an executor: a wrongly-typed score
+  // would otherwise surface as an opaque ClassCastException after shuffle
+  // work is already done
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult.{TypeCheckFailure, TypeCheckSuccess}
+    if (score.dataType != LongType)
+      TypeCheckFailure(s"topk_min_pairs score must be BIGINT, got ${score.dataType.sql}")
+    else if (id.dataType != LongType && id.dataType != StringType)
+      TypeCheckFailure(s"topk_min_pairs id must be BIGINT or STRING, got ${id.dataType.sql}")
+    else if (!kExpr.foldable ||
+      (kExpr.dataType != IntegerType && kExpr.dataType != LongType))
+      TypeCheckFailure("topk_min_pairs k must be an integer literal")
+    else if (k <= 0)
+      TypeCheckFailure(s"topk_min_pairs k must be positive, got $k")
+    else TypeCheckSuccess
+  }
+
   override def children: Seq[Expression] = Seq(score, id, kExpr)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(new StructType()

@@ -322,15 +322,6 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), col("adc"))
   }
 
-  /** Random-hyperplane (SimHash) LSH bucket signature for cosine ANN:
-    * `nBits` sign bits of projections onto deterministic pseudo-random
-    * hyperplanes (seeded per (bit, dim) — reproducible across runs and
-    * engines with no stored model).
-    */
-  /** Deterministic hyperplane weights in [-1, 1): splitmix64-ish per
-    * (bit, dim) — reproducible across runs and engines with no stored model
-    * (the SQL oracle embeds these exact literals).
-    */
   /** IVFADC (Jégou et al. 2011) — the production large-scale ANN layout:
     * coarse IVF cells prune the candidate set to `nprobe` cells per query,
     * and ranking inside the probed cells runs on PQ codes via ADC — the
@@ -377,6 +368,12 @@ object Similarity {
         round(col("col.score").cast("double") / lit(1000000.0), 6).as("adc"))
   }
 
+  /** Random-hyperplane (SimHash) LSH for cosine ANN — deterministic
+    * hyperplane weights in [-1, 1): splitmix64-ish per (bit, dim),
+    * reproducible across runs and engines with no stored model (the SQL
+    * oracle embeds these exact literals). [[hyperplaneSignature]] below
+    * emits the `nBits` sign-bit bucket string.
+    */
   def hyperplaneWeights(dim: Int, nBits: Int, seed: Long = 42L): Array[Array[Double]] =
     Array.tabulate(nBits) { b =>
       Array.tabulate(dim) { i =>

@@ -114,8 +114,17 @@ object Validate {
   def psiDrift(cur: DataFrame, old: DataFrame, nBins: Int): DataFrame = {
     def cnts(df: DataFrame, as: String) =
       df.groupBy(col("feature"), col("bin")).agg(count(lit(1)).as(as))
-    val j = cnts(cur, "cn")
+    val counts = cnts(cur, "cn")
       .join(cnts(old, "co2"), Seq("feature", "bin"), "full_outer")
+    // Bins empty in BOTH snapshots still carry a smoothing term whenever
+    // the two totals differ (p = (0+1)/(N+nBins) differs per side), so the
+    // sum must run over the FULL declared domain [0, nBins) — joining only
+    // observed bins would silently understate drift. The grid full-outer
+    // joins the observed counts so out-of-domain bins present in the data
+    // are kept as well.
+    val grid = counts.select(col("feature")).distinct()
+      .crossJoin(cur.sparkSession.range(nBins).select(col("id").as("bin")))
+    val j = grid.join(counts, Seq("feature", "bin"), "full_outer")
       .select(col("feature"), col("bin"),
         coalesce(col("cn"), lit(0L)).as("cn"),
         coalesce(col("co2"), lit(0L)).as("co"))

@@ -431,9 +431,13 @@ object Pipeline {
         val toks = t(s, d, "documents")
           .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("token"))
           .filter(length($"token") > 0)
+        // persisted: both the top-k aggregate and the n_docs re-join read
+        // this subtree — uncached, the vocabulary-sized final aggregation
+        // (including the countDistinct merge) would run twice
         val vocab = toks.groupBy($"token")
           .agg(count(lit(1)).as("n_occurrences"),
             countDistinct($"doc_id").as("n_docs"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // global top-k via the bounded TopKMinPairs aggregate (score =
         // -count so asc = most frequent; string ids tie-break in binary
         // order, matching the oracle's ORDER BY). A row_number() window
@@ -2075,12 +2079,21 @@ object Pipeline {
              |    x -> len(x) > 0)) // 20, 4) AS BIGINT) FROM old),
              |cc AS (SELECT feature, bin, CAST(count(*) AS BIGINT) AS cn FROM fc GROUP BY 1, 2),
              |cold AS (SELECT feature, bin, CAST(count(*) AS BIGINT) AS co FROM fo GROUP BY 1, 2),
-             |j AS (
+             |jc AS (
              |  SELECT COALESCE(cc.feature, cold.feature) AS feature,
              |    COALESCE(cc.bin, cold.bin) AS bin,
              |    COALESCE(cn, 0) AS cn, COALESCE(co, 0) AS co
              |  FROM cc FULL OUTER JOIN cold
              |    ON cc.feature = cold.feature AND cc.bin = cold.bin),
+             |grid AS (
+             |  SELECT feature, CAST(range AS BIGINT) AS bin
+             |  FROM (SELECT DISTINCT feature FROM jc), range(0, 5)),
+             |j AS (
+             |  SELECT COALESCE(g.feature, jc.feature) AS feature,
+             |    COALESCE(g.bin, jc.bin) AS bin,
+             |    COALESCE(jc.cn, 0) AS cn, COALESCE(jc.co, 0) AS co
+             |  FROM grid g FULL OUTER JOIN jc
+             |    ON g.feature = jc.feature AND g.bin = jc.bin),
              |tot AS (SELECT feature, CAST(sum(cn) AS BIGINT) AS nn,
              |               CAST(sum(co) AS BIGINT) AS no
              |        FROM j GROUP BY 1),
@@ -2261,16 +2274,13 @@ object Pipeline {
        |${assign("c2", "corp")}""".stripMargin
   }
 
-  /** DuckDB mirror of Similarity.pqCodebooks + pqAdcTopK: per subspace j,
-    * slice → deterministic init (first k rows by vec_id) → two Lloyd steps
-    * with 6-dp-rounded means → final assignment; then the ADC scan joins
-    * each corpus code back to its trained centroid and ranks by the
-    * rounded sum of per-subspace squared L2 terms. Same assign/recompute
-    * skeleton as [[ivfCorpusCtes]], instantiated per subspace.
-    */
-  /** The PQ training + corpus-encoding CTE prefix (through `codes` and the
-    * per-subspace trained books `c2_j`) — shared by p52's flat ADC scan
-    * and p62's IVFADC composition.
+  /** The PQ training + corpus-encoding CTE prefix, mirroring
+    * Similarity.pqCodebooks: per subspace j, slice → deterministic init
+    * (first k rows by vec_id) → two Lloyd steps with 6-dp-rounded means →
+    * final assignment, ending in `codes` and the per-subspace trained
+    * books `c2_j`. Same assign/recompute skeleton as [[ivfCorpusCtes]],
+    * instantiated per subspace; shared by p52's flat ADC scan and p62's
+    * IVFADC composition.
     */
   private def pqCtes(m: Int, subDim: Int, k: Int): String = {
     def d2(b: String, c: String) =
@@ -2308,6 +2318,10 @@ object Pipeline {
     sb.toString
   }
 
+  /** DuckDB mirror of Similarity.pqAdcTopK on [[pqCtes]]'s trained books:
+    * the flat ADC scan joins each corpus code back to its trained centroid
+    * and ranks by the rounded sum of per-subspace squared L2 terms.
+    */
   private def pqOracleSql(m: Int, subDim: Int, k: Int): String = {
     val sb = new StringBuilder
     sb ++= pqCtes(m, subDim, k)
@@ -2338,6 +2352,10 @@ object Pipeline {
   private def ivfAdcOracleSql(m: Int, subDim: Int, k: Int): String = {
     val ivfTail = ivfCorpusCtes.stripPrefix(
       "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),")
+    // fail fast if the shared base-CTE text ever drifts — a silent no-op
+    // strip would concatenate two WITH clauses into unparseable SQL
+    require(ivfTail != ivfCorpusCtes,
+      "ivfCorpusCtes base CTE changed; update ivfAdcOracleSql's composition")
     val qslices = (0 until m).map(j =>
       s"list_slice(qvec, ${j * subDim + 1}, ${(j + 1) * subDim}) AS qv$j")
       .mkString(", ")

@@ -918,6 +918,19 @@ class OpsSpec extends AnyFunSuite {
     }.sum / 1e6
     assert(out.getDouble(3) == math.rint(expected * 1e4) / 1e4,
       s"psi ${out.getDouble(3)} != independent $expected")
+    // bins empty in BOTH snapshots still carry a smoothing term when the
+    // totals differ: cur 10 docs vs old 20, all in bin 0, nBins=3 — bins
+    // 1 and 2 each contribute (1/13 - 1/23)·ln((1/13)/(1/23))
+    val c2 = frame(Seq.fill(10)(0L))
+    val o2 = frame(Seq.fill(20)(0L))
+    val out2 = graft.ops.Validate.psiDrift(c2, o2, nBins = 3).collect().head
+    def p2(c: Long, n: Long) = (c + 1.0) / (n + 3.0)
+    val exp2 = (Seq((10L, 20L), (0L, 0L), (0L, 0L)).map { case (cn, co) =>
+      math.round((p2(cn, 10) - p2(co, 20)) * math.log(p2(cn, 10) / p2(co, 20)) * 1e6)
+    }.sum) / 1e6
+    assert(out2.getDouble(3) == math.rint(exp2 * 1e4) / 1e4,
+      s"both-empty bins must contribute: ${out2.getDouble(3)} != $exp2")
+    assert(out2.getDouble(3) > 0.0, "total-size drift alone must register")
   }
 
   test("snapshotDiff classifies added/removed/changed/same exactly") {
