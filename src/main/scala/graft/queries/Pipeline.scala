@@ -611,6 +611,71 @@ object Pipeline {
               |FROM reach GROUP BY src
               |ORDER BY doc""".stripMargin)),
 
+    // -- quality-aware near-dup keeper election -----------------------------
+    // The production variant of p24's min-id keeper: inside each near-dup
+    // cluster, KEEP the member with the highest quality score (doc-id
+    // tie-break on the 4-dp-rounded value both engines share — the p03
+    // contract), drop the rest. Singleton docs keep themselves. The
+    // election is one per-cluster window, bounded by cluster size.
+    QueryDef("p63_quality_keeper",
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val clusters = Dedup.nearDupClustersFromDocs(docs, "doc_id", "text",
+            q = 5, k = 12, rowsPerBand = 3)
+          .select($"doc".as("doc_id"), $"cluster", $"cluster_size")
+        val member = docs
+          .select($"doc_id", round(TextOps.qualityScore($"text"), 4).as("quality"))
+          .join(clusters, Seq("doc_id"), "left")
+          .select($"doc_id", coalesce($"cluster", $"doc_id").as("cluster"),
+            coalesce($"cluster_size", lit(1L)).as("cluster_size"), $"quality")
+        val w = Window.partitionBy($"cluster").orderBy($"quality".desc, $"doc_id")
+        member.withColumn("keeper", first($"doc_id").over(w))
+          .withColumn("keep", ($"doc_id" === $"keeper").cast("int"))
+          .select($"doc_id", $"cluster", $"cluster_size", $"quality",
+            $"keeper", $"keep")
+          .orderBy($"doc_id")
+      },
+      Some {
+        val hitsEn = "len(list_filter(list_filter(string_split_regex(lower(text), " +
+          s"'\\s+'), x -> len(x) > 0), t -> list_contains($StopEnSql, t)))"
+        val nWords = "len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0))"
+        s"""WITH cand AS ($minhashCandidatesSql),
+           |edges AS (SELECT a AS x, b AS y FROM cand
+           |          UNION SELECT b AS x, a AS y FROM cand),
+           |reach AS (
+           |  WITH RECURSIVE r(src, node) AS (
+           |    SELECT x, x FROM edges
+           |    UNION
+           |    SELECT r.src, e.y FROM r JOIN edges e ON r.node = e.x)
+           |  SELECT * FROM r),
+           |cl AS (
+           |  SELECT src AS doc_id, min(node) AS cluster,
+           |    CAST(count(*) OVER (PARTITION BY min(node)) AS BIGINT) AS cluster_size
+           |  FROM reach GROUP BY src),
+           |qual AS (
+           |  SELECT doc_id,
+           |    round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+           |      + (1.0 - least((CASE WHEN length(text) > 0
+           |          THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+           |          ELSE 0.0 END) * 5.0, 1.0)) * 0.3
+           |      + least((CASE WHEN $nWords > 0
+           |          THEN CAST($hitsEn AS DOUBLE) / $nWords ELSE 0.0 END) * 4.0, 1.0) * 0.3,
+           |      4) AS quality
+           |  FROM documents),
+           |m AS (
+           |  SELECT qual.doc_id, COALESCE(cl.cluster, qual.doc_id) AS cluster,
+           |    COALESCE(cl.cluster_size, 1) AS cluster_size, qual.quality
+           |  FROM qual LEFT JOIN cl USING (doc_id)),
+           |k AS (
+           |  SELECT m.*, first_value(doc_id)
+           |    OVER (PARTITION BY cluster ORDER BY quality DESC, doc_id) AS keeper
+           |  FROM m)
+           |SELECT doc_id, cluster, cluster_size, quality, keeper,
+           |  CAST(doc_id = keeper AS INT) AS keep
+           |FROM k ORDER BY doc_id""".stripMargin
+      }),
+
     // -- int8 embedding quantization + reconstruction quality ---------------
     // Per-vector symmetric int8: scale = max|v|/127, q_i = floor(v/scale +
     // 0.5) (floor(+0.5) IS the cross-engine rounding contract — engines
