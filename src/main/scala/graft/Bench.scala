@@ -45,7 +45,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // The stdout line is the primary contract, but sbt appends its own
+    // [success] banner after it, which has broken downstream parsing of the
+    // captured output tail — so the same JSON also lands in a known file
+    // (cwd = repo root under `sbt run`) for any consumer to read directly.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_out.json"), json + "\n")
     spark.stop()
   }
 }

@@ -70,9 +70,19 @@ object Layout {
     * exchange the write itself requires. If one shard outgrows a single
     * writer task, salt the repartition key (shard, salt) and keep
     * `partitionBy(shard)` — the directory layout is unchanged.
+    *
+    * `outPath`: where the shards land, resolved through the Hadoop
+    * FileSystem API — so `hdfs://…` / `s3a://…` work exactly like a local
+    * path, and executors and driver agree on the target (ADVICE r4: a
+    * driver-local temp dir only works when driver and executors share a
+    * filesystem). When given, the written shards are KEPT (they are the
+    * product; the manifest is the receipt) and served lazily from the
+    * written files. When None (verification/harness runs, local mode),
+    * a driver-local temp dir is used and deleted after the manifest
+    * materializes — explicitly a shared-filesystem-only convenience.
     */
   def shardManifest(df: DataFrame, idCol: String, textCol: String,
-                    nShards: Int): DataFrame = {
+                    nShards: Int, outPath: Option[String] = None): DataFrame = {
     val staged = df.select(
       col(idCol).cast("long").as("doc_id"), col(textCol).as("text"),
       (conv(substring(md5(col(idCol).cast("string")), 1, 7), 16, 10)
@@ -87,28 +97,30 @@ object Layout {
           sum(length(col("text")).cast("long")).as("n_chars"),
           sum(dg).as("digest"))
     }
-    val dirPath = java.nio.file.Files.createTempDirectory("graft-shards")
+    val keepOutput = outPath.isDefined
+    val dir = outPath.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-shards").toString)
+    val spark = df.sparkSession
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     try {
-      val dir = dirPath.toString
       staged.repartition(nShards, col("shard"))
         .write.mode("overwrite").partitionBy("shard").parquet(dir)
       val cols = Seq("n_docs", "n_words", "n_chars", "digest")
       val planned = manifest(staged)
         .select(col("shard") +: cols.map(c => col(c).as(s"p_$c")): _*)
-      val written = manifest(df.sparkSession.read.parquet(dir))
+      val written = manifest(spark.read.parquet(dir))
       val matches = cols.map(c => col(c) === col(s"p_$c")).reduce(_ && _)
-      written.join(planned, "shard")
+      val result = written.join(planned, "shard")
         .withColumn("counts_match", matches.cast("int"))
         .select(col("shard"), col("n_docs"), col("n_words"), col("n_chars"),
           col("digest"), col("counts_match"))
         .orderBy(col("shard"))
-        // materialize before the finally deletes the parquet under the scan
-        .localCheckpoint(true)
+      // temp-dir mode: materialize before the finally deletes the parquet
+      // under the scan; persistent mode: stay lazy, the files are durable
+      if (keepOutput) result else result.localCheckpoint(true)
     } finally {
-      import scala.jdk.CollectionConverters._
-      val all = java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq
-      all.sortBy(-_.getNameCount)
-        .foreach(java.nio.file.Files.deleteIfExists(_: java.nio.file.Path))
+      if (!keepOutput) { fs.delete(hPath, true): Unit }
     }
   }
 }

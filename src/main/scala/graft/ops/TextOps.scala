@@ -344,6 +344,14 @@ object TextOps {
     * HashAggregates (tf and dl), corpus-level stats as a 1-row broadcast,
     * query terms and their df as broadcast joins, final per-query top-k
     * window over matching docs only.
+    *
+    * Persist lifecycle: `toks`/`tf` are cached (MEMORY_AND_DISK) for the
+    * duration of THIS job — the plan reads each several times. The cache is
+    * scoped to the returned plan, not unpersisted here (the result is lazy;
+    * dropping the cache before materialization would recompute the corpus
+    * explode per reader). Callers running many jobs in one session should
+    * `spark.catalog.clearCache()` between jobs, as the Bench/Verify
+    * harnesses do.
     */
   def bm25TopK(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
                queries: Seq[(Int, Seq[String])], k1: Double = 1.2,

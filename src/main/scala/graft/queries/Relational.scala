@@ -862,18 +862,24 @@ object Relational {
         import s.implicits._
         t(s, d, "events")
           .select($"event_id", $"value", parse_json($"props").as("v"))
-          .groupBy(expr("variant_get(v, '$.k', 'int') div 10").cast("long").as("bucket"))
+          // floor-consistent bucketing (ADVICE r4): Spark `div` truncates
+          // toward zero while DuckDB `//` floors, so a negative k would
+          // silently diverge — floor() on both sides closes the latent gap
+          .groupBy(floor(expr("variant_get(v, '$.k', 'int')") / 10.0)
+            .cast("long").as("bucket"))
           .agg(count(lit(1)).as("n"),
             round(sum(round($"value" * 100).cast("long")) / 100.0, 2).as("sum_value"))
           .orderBy($"bucket")
       },
+      // NULLS FIRST pins DuckDB to Spark's ascending default for a
+      // missing/null $.k (DuckDB defaults NULLS LAST)
       Some("""SELECT
-             |  CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) // 10 AS BIGINT)
+             |  CAST(floor(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10.0) AS BIGINT)
              |    AS bucket,
              |  CAST(count(*) AS BIGINT) AS n,
              |  round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0, 2)
              |    AS sum_value
-             |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin))
+             |FROM events GROUP BY bucket ORDER BY bucket NULLS FIRST""".stripMargin))
   )
 
   /** q39's statement — blocking-based fuzzy key matching, the classic

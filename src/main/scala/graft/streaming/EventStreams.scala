@@ -294,6 +294,11 @@ object EventStreams {
                         outputMode: String,
                         shufflePartitions: Option[Int],
                         fileSink: Boolean = false): DataFrame = {
+    // fail fast on the flag conflict rather than from Spark internals at
+    // start(): the parquet streaming sink supports only append
+    require(!fileSink || outputMode == "append",
+      s"fileSink=true requires outputMode 'append' (the parquet streaming " +
+        s"sink supports no other mode); got outputMode='$outputMode'")
     // a stateful query instantiates one state store PER shuffle partition
     // PER stateful operator; heavily-stateful shapes (stream-stream joins
     // run four stores per partition) want fewer, larger partitions at
