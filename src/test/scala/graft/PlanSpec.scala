@@ -280,6 +280,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"top-k must not fall back to a window:\n$plan")
   }
 
+  test("p07/p19/p52 ANN top-k is a partial aggregate, not a window (VERDICT r4 #3)") {
+    // same property as the p54 gate, for the remaining ANN entry points: a
+    // row_number window would co-locate every scored row of a query on one
+    // reducer; TopKMinPairs partial-aggregates each task's slice to <= k
+    for (q <- Seq("p07_bucketed_ann", "p19_ivf_ann", "p52_pq_ann")) {
+      val plan = planOf(q)
+      assert(plan.contains("ObjectHashAggregate") && plan.contains("partial_topk_min_pairs"),
+        s"$q top-k must partial-aggregate map-side:\n$plan")
+      assert(!plan.contains("Window"),
+        s"$q top-k must not fall back to a window:\n$plan")
+    }
+  }
+
   test("p55 decontamination broadcasts the eval band index") {
     val plan = planOf("p55_decontaminate_neardup")
     assert(plan.contains("BroadcastHashJoin"),
