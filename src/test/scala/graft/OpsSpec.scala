@@ -734,6 +734,55 @@ class OpsSpec extends AnyFunSuite {
     assert(out.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
   }
 
+  test("IVFADC code layout: persisted codes + reloaded model reproduce ivfAdcTopK exactly") {
+    val rows = (0 until 12).map { i =>
+      val base = if (i < 6) 0.0f else 10.0f
+      (i.toLong, Array(base + i * 0.01f, base - i * 0.01f,
+        base + i * 0.02f, base - i * 0.02f).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val coarse = Similarity.ivfCentroids(df, "vec_id", "embedding", k = 2, iters = 2)
+    val books = Similarity.pqCodebooks(df, "vec_id", "embedding",
+      m = 2, subDim = 2, k = 2, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfadc-spec")
+    try {
+      Similarity.writeIvfAdcLayout(df, "vec_id", "embedding", coarse, books,
+        subDim = 2, s"$dir/codes")
+      Similarity.writeIvfAdcModel(dir.resolve("model.bin"), coarse, books)
+      val (c2, b2) = Similarity.readIvfAdcModel(dir.resolve("model.bin"))
+      assert(c2.map(_.toSeq).toSeq == coarse.map(_.toSeq).toSeq &&
+        b2.map(_.map(_.toSeq).toSeq).toSeq == books.map(_.map(_.toSeq).toSeq).toSeq,
+        "model must round-trip bit-exactly")
+      val queries = df.filter($"vec_id" < 3)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val fromCodes = Similarity.ivfAdcTopKFromCodes(
+          spark.read.parquet(s"$dir/codes"), queries, c2, b2,
+          subDim = 2, nprobe = 1, k = 3)
+        .orderBy($"qid", $"rank").collect().toSeq
+      val direct = Similarity.ivfAdcTopK(df, "vec_id", "embedding", coarse, books,
+          subDim = 2, nprobe = 1, $"vec_id" < 3, k = 3)
+        .orderBy($"qid", $"rank").collect().toSeq
+      assert(fromCodes == direct,
+        "code-layout probe must equal the recode-per-run path row for row")
+      // the scale property: a one-cell probe reads only that cell's
+      // partition directory from the coded table
+      val probed = Similarity.ivfAdcTopKFromCodes(
+        spark.read.parquet(s"$dir/codes"),
+        queries.filter($"qid" === 0), c2, b2, subDim = 2, nprobe = 1, k = 3)
+      probed.collect()
+      val s0 = probed.queryExecution.executedPlan.toString
+      val cut = s0.indexOf("== Initial Plan ==")
+      val plan = if (cut >= 0) s0.substring(0, cut) else s0
+      assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+        s"one-cell probe must partition-prune the coded scan:\n$plan")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val all = java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+      all.sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_: java.nio.file.Path))
+    }
+  }
+
   test("minhash_sig kernel == batch signature pipeline; band buckets agree") {
     val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
                  (2L, "pack my box with five dozen liquor jugs"),

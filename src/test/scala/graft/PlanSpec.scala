@@ -293,6 +293,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("p64 ivfadc layout serves probes from a pruned code scan with no float column") {
+    val plan = planOf("p64_ivfadc_layout")
+    // the corpus side must be the PERSISTED code table: partition-pruned on
+    // the probed cells, reading (nid, c0..c3) — the float embedding column
+    // appears only in the tiny query-side scan (pushed-filter vec_id < 50)
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"coded scan must carry a cell partition filter:\n$plan")
+    val codedScan = plan.linesIterator
+      .find(l => l.contains("graft-ivfadc") && l.contains("FileScan"))
+    assert(codedScan.isDefined, s"expected a FileScan over the code layout:\n$plan")
+    assert(!codedScan.get.contains("embedding"),
+      s"code scan must not read the float-vector column:\n${codedScan.get}")
+    assert(plan.contains("partial_topk_min_pairs") && !plan.contains("Window"),
+      s"top-k must stay the bounded aggregate:\n$plan")
+  }
+
   test("p55 decontamination broadcasts the eval band index") {
     val plan = planOf("p55_decontaminate_neardup")
     assert(plan.contains("BroadcastHashJoin"),
