@@ -17,6 +17,19 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * construction is native Spark ETL, so the "tile build" is a distributed
   * job writing partitioned parquet, not a subprocess.
   */
+/** Analytic plane elevation surface, declared in the graph config — the
+  * synthetic stand-in for Valhalla's elevation tile directory (the config
+  * is where Valhalla wires elevation too: `additional_data.elevation` in
+  * its generated json, src/valhalla_build_tiles_simple.cpp:16-146). A
+  * plane is enough to make the `height` request action value-bearing and
+  * oracle-checkable; a real deployment swaps [[sample]] for a DEM raster
+  * lookup without touching the lifecycle.
+  */
+case class PlaneDem(base: Double, perDegLat: Double, perDegLon: Double) {
+  def sample(lat: Double, lon: Double): Double =
+    base + perDegLat * lat + perDegLon * lon
+}
+
 object GraphStore {
   final val ConfigName = "graft_routing.json"
 
@@ -43,22 +56,57 @@ object GraphStore {
     buildGraph(spark, ways, rawNodes, outDir, modes)
   }
 
-  /** Persist already-built per-mode (nodes, edges) DataFrames. */
-  def save(byMode: Map[String, (DataFrame, DataFrame)], outDir: String): String = {
+  /** Persist already-built per-mode (nodes, edges) DataFrames. A
+    * [[PlaneDem]] lands in the config's `elevation` entry, so loading the
+    * config also wires the `height` action's sampler — elevation is part
+    * of the graph generation, exactly like Valhalla's config'd elevation
+    * dir.
+    */
+  def save(byMode: Map[String, (DataFrame, DataFrame)], outDir: String,
+           dem: Option[PlaneDem] = None): String = {
     byMode.foreach { case (m, (nodes, edges)) =>
       nodes.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$m/nodes.parquet")
       edges.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$m/edges.parquet")
     }
-    writeConfig(outDir, byMode.keys.toSeq.sorted)
+    writeConfig(outDir, byMode.keys.toSeq.sorted, dem)
   }
 
-  private def writeConfig(outDir: String, modes: Seq[String]): String = {
+  private def writeConfig(outDir: String, modes: Seq[String],
+                          dem: Option[PlaneDem] = None): String = {
+    val demJson = dem.map(p =>
+      s""", "elevation": {"kind": "plane", "base": ${p.base}, """ +
+        s""""per_deg_lat": ${p.perDegLat}, "per_deg_lon": ${p.perDegLon}}""")
+      .getOrElse("")
     val cfg = s"""{"format": "graft-graph-parquet", "version": 1, """ +
-      s""""modes": [${modes.sorted.map("\"" + _ + "\"").mkString(", ")}]}"""
+      s""""modes": [${modes.sorted.map("\"" + _ + "\"").mkString(", ")}]$demJson}"""
     val path = java.nio.file.Paths.get(outDir, ConfigName)
     java.nio.file.Files.createDirectories(path.getParent)
     java.nio.file.Files.writeString(path, cfg)
     path.toString
+  }
+
+  /** The config's optional `elevation` plane, if declared — read through
+    * the Hadoop FileSystem like [[resolveConfig]]. Number parsing accepts
+    * the plain decimal/scientific forms `writeConfig` emits.
+    */
+  def readDem(cfgPath: String,
+              conf: org.apache.hadoop.conf.Configuration =
+                new org.apache.hadoop.conf.Configuration()): Option[PlaneDem] = {
+    val p = new org.apache.hadoop.fs.Path(cfgPath)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val at = text.indexOf("\"elevation\"")
+    if (at < 0) return None
+    val seg = text.substring(at)
+    def num(key: String): Option[Double] =
+      (s""""$key"\\s*:\\s*(-?[0-9.eE+-]+)""").r.findFirstMatchIn(seg)
+        .map(_.group(1).toDouble)
+    for (b <- num("base"); a <- num("per_deg_lat"); c <- num("per_deg_lon"))
+      yield PlaneDem(b, a, c)
   }
 
   /** Smart-path resolution: a directory argument means `<dir>/graft_routing
@@ -91,8 +139,11 @@ object GraphStore {
     val text =
       try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
-    val modes = "\"([a-z]+)\"".r.findAllMatchIn(
-      text.substring(text.indexOf("modes"))).map(_.group(1)).toSeq
+    // scan only the modes ARRAY: keys of later config entries (e.g.
+    // "elevation") must not parse as modes
+    val after = text.substring(text.indexOf("modes"))
+    val arr = after.substring(after.indexOf('['), after.indexOf(']') + 1)
+    val modes = "\"([a-z]+)\"".r.findAllMatchIn(arr).map(_.group(1)).toSeq
     (cfg.toString, modes)
   }
 }

@@ -47,8 +47,22 @@ object Similarity {
     dot / (na * nb)
   }
 
-  private def cosineBy(a: Column, b: Column, dim: Option[Int]): Column =
-    dim.map(cosineFixed(a, b, _)).getOrElse(cosine(a, b))
+  /** The hot-path cosine kernel: the native [[graft.functions.CosineSim]]
+    * loop expression for every caller. The former fixed-dim route unrolled
+    * `dim` `element_at` terms — at dim=64 that is ~380 index-checked array
+    * reads inlined into ONE generated consume method, which blows Janino's
+    * 64 KB method limit inside a broadcast-hash-join stage and silently
+    * drops the whole stage to interpreted execution (the round-4 Janino
+    * stack; CodegenSweepSpec now pins the suite with fallback disabled).
+    * The loop kernel is a ~10-line generated method at any dimension, with
+    * identical left-fold summation — oracle hashes unchanged. `dim` stays
+    * in the signature as the callers' declaration of fixed dimension.
+    */
+  private def cosineBy(a: Column, b: Column, dim: Option[Int]): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val _ = dim
+    graft.functions.CosineSim(spark, a, b)
+  }
 
   /** Per-query top-k of MAX `sim` (4-dp-rounded, ties to the lower
     * neighbour id) via the bounded [[graft.functions.TopKMinPairs]]

@@ -74,6 +74,55 @@ object Pipeline {
        |GROUP BY l.doc, r.doc""".stripMargin
   }
 
+  /** Unroll depth for the connected-components oracle: measured fixpoint is
+    * 7 hook+jump rounds at sf0.01 and 4 at the sf1.0 stress fixture; 10
+    * leaves headroom and the surplus rounds are cheap no-ops (each is two
+    * joins over the already-converged label table). The in-oracle guard
+    * below errors if the unroll is ever insufficient — under-convergence
+    * can only fail loudly, never pass silently.
+    */
+  private[queries] final val CcOracleRounds = 10
+
+  /** Connected components of the `cand(a, b)` near-dup candidate graph as
+    * UNROLLED label propagation — the sf1.0-tractable replacement for the
+    * former `WITH RECURSIVE` transitive-closure oracle (VERDICT r4 #4: the
+    * closure materializes |cluster|² reach pairs, infeasible at 10×; label
+    * propagation carries one label per node per round). Each round is one
+    * "hook" (min over the closed neighborhood) and one "jump"
+    * (lab := lab(lab) — labels are node ids, so the indirection is a
+    * self-join), mirroring the Spark side's pointer-jumping CC. All stages
+    * are MATERIALIZED: DuckDB inlines plain CTEs, and each round reads its
+    * predecessor twice — un-materialized, the expansion is 2^rounds copies
+    * of the candidate pipeline. Yields `cl(doc_id, cluster, cluster_size)`;
+    * the CASE/error() guard makes a non-converged unroll a hard oracle
+    * error rather than wrong clusters.
+    */
+  private[queries] def ccClusterCtes(rounds: Int): String = {
+    val sb = Seq.newBuilder[String]
+    sb += "edges AS MATERIALIZED (SELECT a AS x, b AS y FROM cand " +
+      "UNION SELECT b AS x, a AS y FROM cand)"
+    sb += "nodes AS MATERIALIZED (SELECT DISTINCT x AS node FROM edges)"
+    sb += "l0 AS MATERIALIZED (SELECT node, node AS lab FROM nodes)"
+    for (r <- 1 to rounds) {
+      sb += s"h$r AS MATERIALIZED (SELECT node, min(lab) AS lab FROM (" +
+        s"SELECT node, lab FROM l${r - 1} UNION ALL " +
+        s"SELECT e.x AS node, l.lab FROM edges e JOIN l${r - 1} l ON l.node = e.y" +
+        s") GROUP BY node)"
+      sb += s"l$r AS MATERIALIZED (SELECT a.node, min(b.lab) AS lab " +
+        s"FROM h$r a JOIN h$r b ON b.node = a.lab GROUP BY a.node)"
+    }
+    sb += s"conv AS MATERIALIZED (SELECT count(*) AS n_changed " +
+      s"FROM l${rounds - 1} a JOIN l$rounds b " +
+      s"ON a.node = b.node AND a.lab <> b.lab)"
+    sb += "cl AS MATERIALIZED (SELECT doc_id, cluster, " +
+      "CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size " +
+      "FROM (SELECT node AS doc_id, CASE WHEN (SELECT n_changed FROM conv) > 0 " +
+      s"THEN CAST(error('cc oracle: not converged in $rounds rounds " +
+      "- raise CcOracleRounds') AS BIGINT) ELSE lab END AS cluster " +
+      s"FROM l$rounds))"
+    sb.result().mkString(",\n")
+  }
+
   /** DuckDB mirror of TextOps.bpeMerges' training loop: WITH-clause stages
     * wfreq, s1..s{n+1}, p1..pn (weighted pair counts), t1..tn (winning
     * pair per iteration). Shared by p36 (emit the merge table) and p37
@@ -597,19 +646,10 @@ object Pipeline {
       (s, d) => Dedup.nearDupClustersFromDocs(t(s, d, "documents"), "doc_id", "text",
           q = 5, k = 12, rowsPerBand = 3)
         .orderBy(col("doc")),
-      Some(s"""WITH cand AS ($minhashCandidatesSql),
-              |edges AS (SELECT a AS x, b AS y FROM cand
-              |          UNION SELECT b AS x, a AS y FROM cand),
-              |reach AS (
-              |  WITH RECURSIVE r(src, node) AS (
-              |    SELECT x, x FROM edges
-              |    UNION
-              |    SELECT r.src, e.y FROM r JOIN edges e ON r.node = e.x)
-              |  SELECT * FROM r)
-              |SELECT src AS doc, min(node) AS cluster,
-              |  CAST(count(*) OVER (PARTITION BY min(node)) AS BIGINT) AS cluster_size
-              |FROM reach GROUP BY src
-              |ORDER BY doc""".stripMargin)),
+      Some(s"""WITH cand AS MATERIALIZED ($minhashCandidatesSql),
+              |${ccClusterCtes(CcOracleRounds)}
+              |SELECT doc_id AS doc, cluster, cluster_size
+              |FROM cl ORDER BY doc""".stripMargin)),
 
     // -- quality-aware near-dup keeper election -----------------------------
     // The production variant of p24's min-id keeper: inside each near-dup
@@ -640,19 +680,8 @@ object Pipeline {
         val hitsEn = "len(list_filter(list_filter(string_split_regex(lower(text), " +
           s"'\\s+'), x -> len(x) > 0), t -> list_contains($StopEnSql, t)))"
         val nWords = "len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0))"
-        s"""WITH cand AS ($minhashCandidatesSql),
-           |edges AS (SELECT a AS x, b AS y FROM cand
-           |          UNION SELECT b AS x, a AS y FROM cand),
-           |reach AS (
-           |  WITH RECURSIVE r(src, node) AS (
-           |    SELECT x, x FROM edges
-           |    UNION
-           |    SELECT r.src, e.y FROM r JOIN edges e ON r.node = e.x)
-           |  SELECT * FROM r),
-           |cl AS (
-           |  SELECT src AS doc_id, min(node) AS cluster,
-           |    CAST(count(*) OVER (PARTITION BY min(node)) AS BIGINT) AS cluster_size
-           |  FROM reach GROUP BY src),
+        s"""WITH cand AS MATERIALIZED ($minhashCandidatesSql),
+           |${ccClusterCtes(CcOracleRounds)},
            |qual AS (
            |  SELECT doc_id,
            |    round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4

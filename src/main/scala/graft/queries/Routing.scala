@@ -798,6 +798,59 @@ object Routing {
           "snap_lat", "snap_dist_m", "snap_ok",
           "matrix_n", "matrix_ok", "iso_nodes", "iso_gt_100_ok",
           "dijkstra_s", "dijkstra_parity_ok")
+      }, None),
+
+    QueryDef("r28_height_dem",
+      (s, _) => {
+        import s.implicits._
+        // Elevation as part of the graph generation (VERDICT r4 #7): the
+        // persisted config declares a plane DEM, travel_time_load_config
+        // wires the sampler, and the ninth request action returns real
+        // values — then a dem-less reload degrades heights back to null
+        // (Valhalla-without-elevation-tiles semantics), proving the
+        // sampler belongs to the generation, not the process.
+        val dem = graft.graph.PlaneDem(
+          base = 250.0, perDegLat = 800.0, perDegLon = -350.0)
+        val pts = Seq(0, 55, 99)
+        val shape = pts.map(i =>
+          s"""{"lat": ${GridFixture.latOf(i)}, "lon": ${GridFixture.lonOf(i)}}""")
+          .mkString("[", ", ", "]")
+        val withDem = java.nio.file.Files.createTempDirectory("graft-dem").toString
+        val noDem = java.nio.file.Files.createTempDirectory("graft-nodem").toString
+        graft.graph.GraphStore.save(
+          Map("auto" -> GridFixture.dataFrames(s, "auto")), withDem, Some(dem))
+        graft.graph.GraphStore.save(
+          Map("auto" -> GridFixture.dataFrames(s, "auto")), noDem)
+        val row =
+          try {
+            RoutingContext.loadConfig(s, withDem)
+            val r = s.sql(
+              s"""SELECT travel_time_request('height', '{"shape": $shape}') AS h,
+                 |  travel_time_request('height',
+                 |    '{"shape": $shape, "range": true}') AS hr""".stripMargin)
+              .selectExpr(
+                "round(CAST(get_json_object(h, '$.height[0]') AS DOUBLE), 2) AS h0",
+                "round(CAST(get_json_object(h, '$.height[1]') AS DOUBLE), 2) AS h1",
+                "round(CAST(get_json_object(h, '$.height[2]') AS DOUBLE), 2) AS h2",
+                "round(CAST(get_json_object(hr, '$.range_height[2][0]') AS DOUBLE), 1) AS range_m_last",
+                // get_json_object renders a JSON null as the STRING 'null',
+                // so non-nullness is a value-shape check, not IS NOT NULL
+                "CAST(coalesce(get_json_object(h, '$.height[0]'), 'null') != 'null' AND " +
+                  "coalesce(get_json_object(h, '$.height[1]'), 'null') != 'null' AND " +
+                  "coalesce(get_json_object(h, '$.height[2]'), 'null') != 'null' AS BOOLEAN) AS heights_ok")
+              .collect()(0)
+            RoutingContext.loadConfig(s, noDem)
+            val nulls = s.sql(
+              s"""SELECT travel_time_request('height', '{"shape": $shape}') AS h""")
+              .selectExpr(
+                "CAST(coalesce(get_json_object(h, '$.height[0]'), 'null') = 'null' " +
+                  "AS BOOLEAN) AS demless_null_ok")
+              .collect()(0)
+            (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+              r.getBoolean(4), nulls.getBoolean(0))
+          } finally { RoutingContext.unload(); ensure(s): Unit }
+        Seq(row).toDF("h0", "h1", "h2", "range_m_last",
+          "heights_ok", "demless_null_ok")
       }, None)
   )
 }

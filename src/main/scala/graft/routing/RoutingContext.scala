@@ -138,6 +138,15 @@ object RoutingContext {
     // Hadoop Path, not NIO: the config may live on s3a://, hdfs://, file:
     val dir = new org.apache.hadoop.fs.Path(cfgPath).getParent.toString
     val h = loadParquet(spark, dir, modes)
+    // elevation belongs to the loaded generation: a config that declares a
+    // surface wires the `height` sampler, one that doesn't leaves heights
+    // null (Valhalla-without-elevation-tiles semantics) — and replaces any
+    // sampler a previous generation installed
+    graft.graph.GraphStore.readDem(cfgPath,
+        spark.sparkContext.hadoopConfiguration) match {
+      case Some(dem) => setElevation(dem.sample)
+      case None => clearElevation()
+    }
     RoutingFunctions.register(spark, h)
     h
   }

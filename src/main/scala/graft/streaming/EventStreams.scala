@@ -201,24 +201,50 @@ object EventStreams {
       .withColumn("flagged", col("best_jw") >= 0.85)
   }
 
+  /** Row-count gate for broadcasting the corpus band index into the
+    * micro-batch plan: ~5M (partner, band, bucket) rows is a few hundred
+    * MB broadcast — past it, shipping the index to every task each trigger
+    * costs more than shuffling the (small) batch to the index. The same
+    * bounded-input-vs-shuffle trade as [[graft.graph.Tiled]]'s
+    * BroadcastPairLimit snap gate. SURVEY §9.3 is the design note.
+    */
+  final val BroadcastIndexLimit = 5000000L
+
   /** Near-dup-on-ingest — the streaming half of the MinHash/LSH dedup
     * family: each arriving document computes its LSH band buckets as ONE
     * per-row expression (Dedup.bandBucketArray — no explode/groupBy, no
-    * state store) and probes a STATIC corpus band index via a broadcast
+    * state store) and probes a STATIC corpus band index via a
     * stream-static join. Matches land in the sink as (doc_id, partner,
     * band); the per-doc rollup happens batch-side so the stream stage
     * itself stays stateless — ingest throughput is signature throughput.
-    * At scale the index is the standing corpus's persisted signature table
-    * (the same artifact minhashCandidates banding writes), re-broadcast
-    * per trigger only when it changes.
+    *
+    * Index-size gate (VERDICT r4 #8): while the index fits
+    * `broadcastLimit` rows it broadcasts — re-shipped per trigger only
+    * when it changes. Past the gate (a corpus whose band index outgrows
+    * executor broadcast memory) the join runs WITHOUT the broadcast hint,
+    * so the static side shuffles on (band, bucket) and each micro-batch
+    * co-partitions with it — at deployment scale the index is a persisted
+    * table bucketed by (band, bucket) (the p50 bucketed-layout machinery),
+    * which removes even that static-side exchange; the stream side's
+    * per-batch shuffle is proportional to the BATCH, never the corpus.
+    * The gate runs ONCE at stage construction against the persisted index
+    * frame (a deployment reads the count from table metadata), never per
+    * micro-batch.
     */
-  def nearDupStage(corpusBands: DataFrame)(docs: DataFrame): DataFrame = {
+  def nearDupStage(corpusBands: DataFrame,
+                   broadcastLimit: Long = BroadcastIndexLimit)
+                  (docs: DataFrame): DataFrame = {
+    val idx = corpusBands.select(col("doc").as("partner"),
+        col("band"), col("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fits = idx.count() <= broadcastLimit
     val probes = docs.select(col("doc_id"),
       posexplode(graft.ops.Dedup.bandBucketArray("text", 5, 12, 3))
         .as(Seq("band", "bucket")))
-    probes.join(
-        broadcast(corpusBands.select(col("doc").as("partner"),
-          col("band"), col("bucket"))),
+    // past the gate the hint pins the shuffled join: without it the
+    // optimizer's auto-broadcast would re-ship a just-under-threshold
+    // index every trigger — the exact regime the gate exists to end
+    probes.join(if (fits) broadcast(idx) else idx.hint("shuffle_merge"),
         Seq("band", "bucket"))
       .filter(col("partner") =!= col("doc_id"))
       .select(col("doc_id"), col("partner"), col("band"))

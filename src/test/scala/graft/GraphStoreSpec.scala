@@ -171,6 +171,26 @@ class GraphStoreSpec extends AnyFunSuite {
     assert(graft.graph.ChStore.load(chFile, other).isEmpty)
   }
 
+  test("PlaneDem config roundtrip wires the height sampler through loadConfig") {
+    val dem = graft.graph.PlaneDem(base = 250.0, perDegLat = 800.0, perDegLon = -350.0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-dem-spec").toString
+    GraphStore.save(Map("auto" -> GridFixture.dataFrames(spark, "auto")), dir, Some(dem))
+    val cfg = s"$dir/${GraphStore.ConfigName}"
+    assert(GraphStore.readDem(cfg) == Some(dem), "dem must roundtrip exactly")
+    // a config without the entry reads as None
+    val bare = java.nio.file.Files.createTempDirectory("graft-nodem-spec").toString
+    GraphStore.save(Map("auto" -> GridFixture.dataFrames(spark, "auto")), bare)
+    assert(GraphStore.readDem(s"$bare/${GraphStore.ConfigName}").isEmpty)
+    try {
+      RoutingContext.loadConfig(spark, dir)
+      assert(RoutingContext.elevation.exists(f =>
+        f(43.7, 7.4) == dem.sample(43.7, 7.4)))
+      RoutingContext.loadConfig(spark, bare)
+      assert(RoutingContext.elevation.isEmpty,
+        "a dem-less generation must clear the previous sampler")
+    } finally { RoutingContext.unload(); graft.queries.Routing.ensure(spark): Unit }
+  }
+
   test("missing config errors with the reference's contract") {
     val e = intercept[IllegalArgumentException] {
       GraphStore.resolveConfig("/nonexistent/path")

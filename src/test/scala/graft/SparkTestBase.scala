@@ -13,6 +13,10 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // a whole-stage codegen compile failure (e.g. a method past Janino's
+      // 64 KB limit) must FAIL the suite, not silently run interpreted —
+      // the suite-wide arm of CodegenSweepSpec's per-query gate
+      .config("spark.sql.codegen.fallback", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
