@@ -468,7 +468,54 @@ object Advanced {
       },
       Some(s"""${Pipeline.ivfCorpusCtes}
              |SELECT vec_id, CAST(cell AS BIGINT) AS cell
-             |FROM corp ORDER BY vec_id""".stripMargin))
+             |FROM corp ORDER BY vec_id""".stripMargin)),
+
+    QueryDef("s14_stream_decontam",
+      (s, d) => {
+        // decontamination-on-ingest: the EVAL suites' band index (always
+        // corpus-tiny — here doc_id % 97 = 0) broadcasts into the
+        // micro-batch plan, and each arriving TRAIN document probes it
+        // per-row (same stateless nearDupStage kernel as s12, different
+        // standing index) — the gate a pretraining ingest runs so
+        // contaminated documents are flagged BEFORE they land, rather
+        // than by a batch sweep after. Matches sink as (doc, partner,
+        // band); the per-doc verdict rolls up batch-side.
+        val corpus = t(s, d, "documents")
+        val evalIdx = graft.ops.Dedup.bandBuckets(
+          corpus.filter(col("doc_id") % 97 === 0), "doc_id", "text",
+          q = 5, k = 12, rowsPerBand = 3)
+        val sink = EventStreams.runBoundedDocs(s, d, "s14_sink",
+          docs => EventStreams.nearDupStage(evalIdx)(
+            docs.filter(col("doc_id") % 97 =!= 0)),
+          shufflePartitions = Some(8), fileSink = true)
+        val perDoc = sink.groupBy(col("doc_id"))
+          .agg(countDistinct(col("partner")).as("n_eval_matches"),
+            count(lit(1)).as("n_band_hits"))
+        corpus.filter(col("doc_id") % 97 =!= 0).select(col("doc_id"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_eval_matches"), lit(0L)).as("n_eval_matches"),
+            coalesce(col("n_band_hits"), lit(0L)).as("n_band_hits"),
+            (coalesce(col("n_eval_matches"), lit(0L)) > 0).cast("int").as("flagged"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${Pipeline.bandCtesSql},
+             |cand AS (
+             |  SELECT l.doc AS a, r.doc AS b, CAST(count(*) AS BIGINT) AS n_bands
+             |  FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
+             |  WHERE l.doc % 97 <> 0 AND r.doc % 97 = 0
+             |  GROUP BY l.doc, r.doc),
+             |agg AS (
+             |  SELECT a AS doc_id, CAST(count(*) AS BIGINT) AS n_eval_matches,
+             |         CAST(sum(n_bands) AS BIGINT) AS n_band_hits
+             |  FROM cand GROUP BY a)
+             |SELECT d.doc_id,
+             |  coalesce(g.n_eval_matches, 0) AS n_eval_matches,
+             |  coalesce(g.n_band_hits, 0) AS n_band_hits,
+             |  CAST(coalesce(g.n_eval_matches, 0) > 0 AS INT) AS flagged
+             |FROM documents d LEFT JOIN agg g USING (doc_id)
+             |WHERE d.doc_id % 97 <> 0
+             |ORDER BY d.doc_id""".stripMargin))
   )
 
   /** (doc_id, media) with a deterministic PNG per seed column — the shared

@@ -46,14 +46,42 @@ object Pipeline {
       .take(8).map("%02x".format(_)).mkString
   }
 
+  /** The k=12 per-seed minhash component expressions over a shingle list
+    * `sh` — one text, shared by [[minhashCandidatesSql]] and the p66
+    * signature mirror so the two can never drift.
+    */
+  private def minhashMinsSql: String =
+    (0 until 12).map { seed =>
+      s"list_min(list_transform(list_distinct(sh), " +
+        s"x -> CAST(('0x' || substring(md5('$seed|' || x), 1, 15)) AS BIGINT)))"
+    }.mkString(",\n      ")
+
+  /** DuckDB mirror of Dedup.bandBuckets' interior (q=5, k=12,
+    * rowsPerBand=3): CTEs `shl` (shingle lists), `sig` (k=12 signatures),
+    * `bands` ((doc, band, bucket) rows). Shared by the p55 and s14
+    * decontamination oracles.
+    */
+  private[queries] val bandCtesSql: String =
+    s"""shl AS (
+       |  SELECT doc_id AS doc,
+       |    list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+       |                   i -> substring(text, i, 5)) AS sh
+       |  FROM documents),
+       |sig AS (
+       |  SELECT doc, [
+       |      $minhashMinsSql
+       |    ] AS sig FROM shl),
+       |bands AS (
+       |  SELECT doc, u.band, u.bucket FROM (
+       |    SELECT doc, unnest(list_transform(range(0, 4), b ->
+       |      {'band': b, 'bucket': array_to_string(list_slice(sig, b * 3 + 1, b * 3 + 3), '#')})) AS u
+       |    FROM sig))""".stripMargin
+
   /** DuckDB mirror of Dedup.minhashCandidates(q=5, k=12, rowsPerBand=3):
     * yields (a, b, n_bands). Shared by p04 and the p05 verification stage.
     */
   private[queries] val minhashCandidatesSql: String = {
-    val mins = (0 until 12).map { seed =>
-      s"list_min(list_transform(list_distinct(sh), " +
-        s"x -> CAST(('0x' || substring(md5('$seed|' || x), 1, 15)) AS BIGINT)))"
-    }.mkString(",\n      ")
+    val mins = minhashMinsSql
     s"""WITH shl AS (
        |  SELECT doc_id AS doc,
        |    list_transform(generate_series(1, greatest(length(text) - 4, 1)),
@@ -1120,6 +1148,122 @@ object Pipeline {
       },
       Some(ivfAdcOracleSql(m = 4, subDim = 16, k = 16))),
 
+    // -- ANN recall@k: the index-quality gate -------------------------------
+    // The evaluation operator every approximate index needs before it is
+    // trusted at corpus scale: recall@3 of the IVF probe (p19's exact
+    // configuration) against the brute-force ground truth (p06's kernel),
+    // per query. The truth side is the one allowlisted quadratic (the
+    // evaluation runs on a BOUNDED query sample — here 50 queries — never
+    // the corpus); the candidate side is the production index path. A
+    // recall regression after retuning nprobe/k shows up as a value change
+    // here, not as silently worse dedup downstream.
+    QueryDef("p65_ann_recall",
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding",
+          k = ivfK(emb.count()), iters = 2)
+        val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", cents,
+            nprobe = 2, col("vec_id") < 50, k = 3, dim = Some(64))
+          .select($"qid", $"nid")
+        val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+            col("vec_id") < 50, k = 3, dim = Some(64))
+          .select($"qid", $"nid").withColumn("hit", lit(1))
+        ivf.join(truth, Seq("qid", "nid"), "left")
+          .groupBy($"qid")
+          .agg(count($"hit").as("n_hits"))
+          .select($"qid", $"n_hits",
+            round($"n_hits".cast("double") / 3.0, 4).as("recall"))
+          .orderBy($"qid")
+      },
+      Some {
+        s"""$ivfCorpusCtes,
+           |q AS (SELECT qid, qvec, cell FROM (
+           |    SELECT b.vec_id AS qid, b.e AS qvec, c.cell,
+           |      row_number() OVER (PARTITION BY b.vec_id ORDER BY $ivfD2, c.cell) AS rn
+           |    FROM base b CROSS JOIN c2 c WHERE b.vec_id < 50)
+           |  WHERE rn <= 2),
+           |ivf AS (SELECT qid, nid FROM (
+           |    SELECT qid, n.vec_id AS nid, row_number() OVER (
+           |      PARTITION BY qid
+           |      ORDER BY round(list_cosine_similarity(qvec, n.e), 4) DESC, n.vec_id) AS rn
+           |    FROM corp n JOIN q USING (cell) WHERE qid <> n.vec_id)
+           |  WHERE rn <= 3),
+           |qq AS (SELECT vec_id AS qid, e AS qvec FROM base WHERE vec_id < 50),
+           |truth AS (SELECT qid, nid FROM (
+           |    SELECT qid, n.vec_id AS nid, row_number() OVER (
+           |      PARTITION BY qid
+           |      ORDER BY round(list_cosine_similarity(qvec, n.e), 4) DESC, n.vec_id) AS rn
+           |    FROM base n CROSS JOIN qq WHERE qid <> n.vec_id)
+           |  WHERE rn <= 3)
+           |SELECT i.qid, CAST(count(t.nid) AS BIGINT) AS n_hits,
+           |  round(CAST(count(t.nid) AS DOUBLE) / 3.0, 4) AS recall
+           |FROM ivf i LEFT JOIN truth t ON i.qid = t.qid AND i.nid = t.nid
+           |GROUP BY i.qid ORDER BY i.qid""".stripMargin
+      }),
+
+    // -- MinHash estimator calibration: signature agreement vs true Jaccard -
+    // The estimator-quality twin of p65's recall gate: on every LSH
+    // candidate pair, the MinHash ESTIMATE (fraction of equal signature
+    // components — the statistic the banding's collision probability is
+    // built on) next to the exact shingle-set Jaccard it estimates, plus
+    // the absolute error. This is how a pipeline tunes k and the band
+    // shape before trusting the index at corpus scale; the whole
+    // computation reuses the candidate pairs' signatures, so the only
+    // work past p04/p05 is a k-wide per-pair compare.
+    QueryDef("p66_minhash_estimate",
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
+          q = 5, k = 12, rowsPerBand = 3).select($"a", $"b")
+        val sig = Dedup.minhashSignatures(
+          docs.select($"doc_id".as("doc"), $"text".as("__text")),
+          "doc", "__text", q = 5, k = 12)
+        val exact = Dedup.jaccardVerify(docs, cands, "doc_id", "text",
+          q = 5, threshold = 0.0)
+        val nEq = aggregate(
+          zip_with($"sa", $"sb", (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v)
+        exact
+          .join(sig.select($"doc".as("a"), $"sig".as("sa")), "a")
+          .join(sig.select($"doc".as("b"), $"sig".as("sb")), "b")
+          .withColumn("n_eq", nEq.cast("long"))
+          .withColumn("est", round($"n_eq".cast("double") / 12.0, 4))
+          .select($"a", $"b", $"n_eq", $"est", $"jaccard",
+            round(abs($"est" - $"jaccard"), 4).as("abs_err"))
+          .orderBy($"a", $"b")
+      },
+      Some {
+        val mins = minhashMinsSql
+        s"""WITH cand AS MATERIALIZED (SELECT a, b FROM ($minhashCandidatesSql)),
+           |shl AS (
+           |  SELECT doc_id AS doc,
+           |    list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+           |                   i -> substring(text, i, 5)) AS sh
+           |  FROM documents),
+           |sig AS (
+           |  SELECT doc, [
+           |      $mins
+           |    ] AS sig FROM shl),
+           |shd AS (
+           |  SELECT doc, list_transform(list_distinct(sh),
+           |    x -> CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)) AS shingles
+           |  FROM shl),
+           |pair AS (
+           |  SELECT a, b,
+           |    CAST(len(list_filter(range(1, 13), i -> ga.sig[i] = gb.sig[i])) AS BIGINT) AS n_eq,
+           |    round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+           |      (len(sa.shingles) + len(sb.shingles)
+           |       - len(list_intersect(sa.shingles, sb.shingles))), 4) AS jaccard
+           |  FROM cand
+           |  JOIN sig ga ON ga.doc = a JOIN sig gb ON gb.doc = b
+           |  JOIN shd sa ON sa.doc = a JOIN shd sb ON sb.doc = b)
+           |SELECT a, b, n_eq, round(n_eq / 12.0, 4) AS est, jaccard,
+           |  round(abs(round(n_eq / 12.0, 4) - jaccard), 4) AS abs_err
+           |FROM pair ORDER BY a, b""".stripMargin
+      }),
+
     // -- KMV distinct-count sketch (per-source vocabulary size) -------------
     // Deterministic sketching: unlike HLL, the k-minimum-values estimate
     // (k-1)·M/h_k is plain SQL, so the ESTIMATE itself is oracle-checked
@@ -2088,24 +2232,7 @@ object Pipeline {
           .orderBy($"a", $"b")
       },
       Some {
-        val mins = (0 until 12).map { seed =>
-          s"list_min(list_transform(list_distinct(sh), " +
-            s"x -> CAST(('0x' || substring(md5('$seed|' || x), 1, 15)) AS BIGINT)))"
-        }.mkString(",\n      ")
-        s"""WITH shl AS (
-           |  SELECT doc_id AS doc,
-           |    list_transform(generate_series(1, greatest(length(text) - 4, 1)),
-           |                   i -> substring(text, i, 5)) AS sh
-           |  FROM documents),
-           |sig AS (
-           |  SELECT doc, [
-           |      $mins
-           |    ] AS sig FROM shl),
-           |bands AS (
-           |  SELECT doc, u.band, u.bucket FROM (
-           |    SELECT doc, unnest(list_transform(range(0, 4), b ->
-           |      {'band': b, 'bucket': array_to_string(list_slice(sig, b * 3 + 1, b * 3 + 3), '#')})) AS u
-           |    FROM sig)),
+        s"""WITH $bandCtesSql,
            |cand AS (
            |  SELECT l.doc AS a, r.doc AS b, CAST(count(*) AS BIGINT) AS n_bands
            |  FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket

@@ -879,7 +879,48 @@ object Relational {
              |  CAST(count(*) AS BIGINT) AS n,
              |  round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0, 2)
              |    AS sum_value
-             |FROM events GROUP BY bucket ORDER BY bucket NULLS FIRST""".stripMargin))
+             |FROM events GROUP BY bucket ORDER BY bucket NULLS FIRST""".stripMargin)),
+
+    // -- hive-partitioned layout: write partitionBy, read partition-pruned --
+    // The directory-partitioning half of the layout story (p50 covers
+    // bucketing, p25 z-ordering): a `partitionBy(status)` write puts each
+    // status in its own directory, and a status-filtered read back never
+    // opens the other directories — the plan's PartitionFilters prune at
+    // FILE level before any row is read (PlanSpec asserts it). At 100 TB
+    // this is the difference between scanning one date/status slice and
+    // scanning the table; values go through the exact-cents contract so
+    // the layout can only change cost, never the answer.
+    QueryDef("q42_partitioned_prune",
+      (s, d) => {
+        import s.implicits._
+        val dirPath = java.nio.file.Files.createTempDirectory("graft-hivepart")
+        try {
+          val dir = dirPath.toString
+          t(s, d, "orders")
+            .select($"o_orderkey", $"o_orderpriority", $"o_totalprice",
+              $"o_orderstatus")
+            .write.mode("overwrite").partitionBy("o_orderstatus")
+            .parquet(s"$dir/ord")
+          s.read.parquet(s"$dir/ord")
+            .filter($"o_orderstatus" === "F")
+            .groupBy($"o_orderpriority")
+            .agg(count(lit(1)).as("n"),
+              sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+                .as("price_cents"))
+            .orderBy($"o_orderpriority")
+            .localCheckpoint(true)
+        } finally {
+          import java.nio.file.{Files, Path}
+          import scala.jdk.CollectionConverters._
+          val all = Files.walk(dirPath).iterator().asScala.toSeq
+          all.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_: Path))
+        }
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             |    AS price_cents
+             |FROM orders WHERE o_orderstatus = 'F'
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 
   /** q39's statement — blocking-based fuzzy key matching, the classic

@@ -226,8 +226,11 @@ class PlanSpec extends AnyFunSuite {
     // (centroids / 1-row top-pair) where a broadcast nested loop over a
     // fixed-size side is the intended plan. Everything else must never
     // enumerate pairs.
+    // p65 embeds the brute-force baseline BY DEFINITION: it is the recall
+    // evaluation of the index against exhaustive ground truth on a bounded
+    // query sample
     val allowCross = Set("p06_brute_topk", "p19_ivf_ann", "p36_bpe_merges",
-      "p37_bpe_encode")
+      "p37_bpe_encode", "p65_ann_recall")
     val names = SparkEntry.queries.keys.filter(_.startsWith("p")).toSeq.sorted
     for (name <- names if !allowCross(name)) {
       val plan = planOf(name)
@@ -307,6 +310,33 @@ class PlanSpec extends AnyFunSuite {
       s"code scan must not read the float-vector column:\n${codedScan.get}")
     assert(plan.contains("partial_topk_min_pairs") && !plan.contains("Window"),
       s"top-k must stay the bounded aggregate:\n$plan")
+  }
+
+  test("hive-partitioned layout: status filter becomes a partition filter (q42 shape)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hivepart-plan")
+    try {
+      val spark0 = spark
+      import spark0.implicits._
+      graft.queries.Tables.t(spark, sf, "orders")
+        .select($"o_orderkey", $"o_orderpriority", $"o_totalprice", $"o_orderstatus")
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(s"$dir/ord")
+      val df = spark.read.parquet(s"$dir/ord")
+        .filter($"o_orderstatus" === "F")
+        .groupBy($"o_orderpriority").count()
+      df.collect()
+      val s0 = df.queryExecution.executedPlan.toString
+      val cut = s0.indexOf("== Initial Plan ==")
+      val plan = if (cut >= 0) s0.substring(0, cut) else s0
+      assert("PartitionFilters: \\[[^\\]]*o_orderstatus".r.findFirstIn(plan).isDefined,
+        s"status filter must prune partition directories, not filter rows:\n$plan")
+      val all = new java.io.File(s"$dir/ord").list().count(_.startsWith("o_orderstatus="))
+      assert(all > 1, "fixture must have several status partitions for pruning to mean anything")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val all = java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+      all.sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_: java.nio.file.Path))
+    }
   }
 
   test("p55 decontamination broadcasts the eval band index") {
