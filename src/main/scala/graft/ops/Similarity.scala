@@ -405,6 +405,36 @@ object Similarity {
     topKMinAdc(scored, k)
   }
 
+  /** Two-stage retrieval — the production ANN serving shape (shortlist on
+    * compressed codes, exact rerank on floats): stage 1 is [[ivfAdcTopK]]
+    * with a `shortlist`-sized k (the cheap scan: probed cells only, m
+    * bytes per candidate); stage 2 fetches ONLY the shortlisted vectors'
+    * floats by an id equi-join (at corpus scale, a point-lookup join
+    * against the primary store — shortlist·|queries| rows, never a scan)
+    * and reranks them with the exact [[graft.functions.CosineSim]] kernel.
+    * Fixes ADC's quantization error in the final ordering while touching
+    * `shortlist / |corpus|` of the float data. Ties break by neighbour id
+    * at both stages — the cross-engine contract.
+    */
+  def adcRerankTopK(emb: DataFrame, idCol: String, vecCol: String,
+                    coarse: Array[Array[Double]],
+                    books: Array[Array[Array[Double]]], subDim: Int,
+                    nprobe: Int, queryPred: Column, shortlist: Int,
+                    k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val short = ivfAdcTopK(emb, idCol, vecCol, coarse, books, subDim,
+        nprobe, queryPred, shortlist)
+      .select(col("qid"), col("nid"))
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val scored = short
+      .join(emb.select(col(idCol).as("nid"), col(vecCol).as("nvec")), "nid")
+      .join(broadcast(queries), "qid")
+      .withColumn("sim",
+        round(graft.functions.CosineSim(spark, col("qvec"), col("nvec")), 4))
+    topKMaxSim(scored, k)
+  }
+
   /** Write the IVFADC coded-corpus LAYOUT — the artifact that makes the
     * flagship ANN honest at 100 TB: every corpus vector is encoded ONCE
     * (coarse cell + m PQ codes) and lands in a parquet table PARTITIONED

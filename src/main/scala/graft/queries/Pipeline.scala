@@ -1202,6 +1202,29 @@ object Pipeline {
            |GROUP BY i.qid ORDER BY i.qid""".stripMargin
       }),
 
+    // -- two-stage retrieval: ADC shortlist -> exact float rerank -----------
+    // The production serving composition (Jégou et al.'s ADC + the rerank
+    // stage every deployed system adds): the compressed-code scan
+    // shortlists 10 candidates per query through the probed cells, the
+    // shortlist's floats are fetched by id (a point lookup at corpus
+    // scale, never a scan) and exact cosine reorders them for the final
+    // top-3 — ADC's quantization error is confined to RECALL (what p65
+    // measures), never to the final ordering.
+    QueryDef("p67_adc_rerank",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val coarse = Similarity.ivfCentroids(emb, "vec_id", "embedding",
+          k = ivfK(emb.count()), iters = 2)
+        val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+          m = 4, subDim = 16, k = 16, iters = 2)
+        Similarity.adcRerankTopK(emb, "vec_id", "embedding", coarse, books,
+            subDim = 16, nprobe = 2, col("vec_id") < 50,
+            shortlist = 10, k = 3)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(adcRerankOracleSql(m = 4, subDim = 16, k = 16,
+        shortlist = 10, topK = 3))),
+
     // -- MinHash estimator calibration: signature agreement vs true Jaccard -
     // The estimator-quality twin of p65's recall gate: on every LSH
     // candidate pair, the MinHash ESTIMATE (fraction of equal signature
@@ -2638,6 +2661,53 @@ object Pipeline {
          |  WHERE q2.qid <> n.vec_id)
          |WINDOW w AS (PARTITION BY qid ORDER BY adc, nid)
          |QUALIFY row_number() OVER w <= 3
+         |ORDER BY qid, rank""".stripMargin
+  }
+
+  /** DuckDB mirror of Similarity.adcRerankTopK: [[ivfAdcOracleSql]]'s ADC
+    * pipeline truncated at `shortlist` candidates per query, then exact
+    * cosine rerank of the shortlisted (qid, nid) pairs against the float
+    * vectors, top `topK`.
+    */
+  private def adcRerankOracleSql(m: Int, subDim: Int, k: Int,
+                                 shortlist: Int, topK: Int): String = {
+    val ivfTail = ivfCorpusCtes.stripPrefix(
+      "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),")
+    require(ivfTail != ivfCorpusCtes,
+      "ivfCorpusCtes base CTE changed; update adcRerankOracleSql's composition")
+    val qslices = (0 until m).map(j =>
+      s"list_slice(qvec, ${j * subDim + 1}, ${(j + 1) * subDim}) AS qv$j")
+      .mkString(", ")
+    val terms = (0 until m).map(j =>
+      s"round(list_sum(list_transform(range(1, ${subDim + 1}), " +
+        s"i -> (q2.qv$j[i] - cc$j.c[i]) * (q2.qv$j[i] - cc$j.c[i]))), 6)")
+    val adcExpr = s"round(${terms.mkString(" + ")}, 6)"
+    pqCtes(m, subDim, k) + "," + ivfTail +
+      s""",
+         |qq AS (SELECT qid, qvec, cell FROM (
+         |    SELECT b.vec_id AS qid, b.e AS qvec, c.cell,
+         |      row_number() OVER (PARTITION BY b.vec_id ORDER BY $ivfD2, c.cell) AS rn
+         |    FROM base b CROSS JOIN c2 c WHERE b.vec_id < 50)
+         |  WHERE rn <= 2),
+         |q2 AS (SELECT qid, cell, $qslices FROM qq),
+         |sl AS MATERIALIZED (SELECT qid, nid FROM (
+         |  SELECT q2.qid, n.vec_id AS nid,
+         |    row_number() OVER (PARTITION BY q2.qid
+         |                       ORDER BY $adcExpr, n.vec_id) AS rn
+         |  FROM corp n
+         |  JOIN q2 USING (cell)
+         |  JOIN codes cd ON cd.vec_id = n.vec_id
+         |  ${(0 until m).map(j => s"JOIN c2_$j cc$j ON cc$j.cell = cd.c$j").mkString(" ")}
+         |  WHERE q2.qid <> n.vec_id)
+         |  WHERE rn <= $shortlist)
+         |SELECT qid, CAST(row_number() OVER w AS INT) AS rank, nid,
+         |  round(list_cosine_similarity(qb.e, nb.e), 4) AS sim
+         |FROM sl
+         |JOIN base qb ON qb.vec_id = sl.qid
+         |JOIN base nb ON nb.vec_id = sl.nid
+         |WINDOW w AS (PARTITION BY qid
+         |  ORDER BY round(list_cosine_similarity(qb.e, nb.e), 4) DESC, nid)
+         |QUALIFY row_number() OVER w <= $topK
          |ORDER BY qid, rank""".stripMargin
   }
 
