@@ -459,9 +459,7 @@ object Advanced {
     // stateless per-row stage. Oracle = the batch corpus assignment.
     QueryDef("s13_stream_ivf_route",
       (s, d) => {
-        val emb = t(s, d, "embeddings")
-        val cents = graft.ops.Similarity.ivfCentroids(emb, "vec_id", "embedding",
-          k = Pipeline.ivfK(emb.count()), iters = 2)
+        val cents = Pipeline.ivfModel(s, d)
         EventStreams.runBoundedTable(s, d, "embeddings", "s13_sink",
             EventStreams.ivfRouteStage(cents), spread = false)
           .orderBy(col("vec_id"))

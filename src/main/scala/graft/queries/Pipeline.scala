@@ -46,6 +46,35 @@ object Pipeline {
       .take(8).map("%02x".format(_)).mkString
   }
 
+  /** JVM-wide memo of the deterministic trained ANN models, keyed by the
+    * embeddings table's CONTENT fingerprint: p19/p49/p62/p64/p65/p67/s13
+    * all train the SAME coarse centroids (and the PQ family the same
+    * codebooks) — training is deterministic (fixed init, fixed iters,
+    * rounded means), so memoizing can change only the suite's cost, never
+    * any result. The production analogue is the trained-model artifact a
+    * pipeline stores next to its index (p64 persists exactly that); a
+    * regenerated dataset is a fingerprint miss and retrains.
+    */
+  private val modelCache = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  private[queries] def ivfModel(s: org.apache.spark.sql.SparkSession,
+                                d: String): Array[Array[Double]] =
+    modelCache.computeIfAbsent(
+      s"ivf|${layoutFingerprint(d, Seq("embeddings.parquet"))}", _ => {
+        val emb = t(s, d, "embeddings")
+        Similarity.ivfCentroids(emb, "vec_id", "embedding",
+          k = ivfK(emb.count()), iters = 2)
+      }).asInstanceOf[Array[Array[Double]]]
+
+  private[queries] def pqModel(s: org.apache.spark.sql.SparkSession,
+                               d: String): Array[Array[Array[Double]]] =
+    modelCache.computeIfAbsent(
+      s"pq|${layoutFingerprint(d, Seq("embeddings.parquet"))}", _ => {
+        val emb = t(s, d, "embeddings")
+        Similarity.pqCodebooks(emb, "vec_id", "embedding",
+          m = 4, subDim = 16, k = 16, iters = 2)
+      }).asInstanceOf[Array[Array[Array[Double]]]]
+
   /** The k=12 per-seed minhash component expressions over a shingle list
     * `sh` — one text, shared by [[minhashCandidatesSql]] and the p66
     * signature mirror so the two can never drift.
@@ -847,8 +876,7 @@ object Pipeline {
     QueryDef("p19_ivf_ann",
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding",
-          k = ivfK(emb.count()), iters = 2)
+        val cents = ivfModel(s, d)
         Similarity.ivfTopK(emb, "vec_id", "embedding", cents, nprobe = 2,
           col("vec_id") < 50, k = 3, dim = Some(64))
           .orderBy(col("qid"), col("rank"))
@@ -879,8 +907,7 @@ object Pipeline {
     QueryDef("p49_semdedup",
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding",
-          k = ivfK(emb.count()), iters = 2)
+        val cents = ivfModel(s, d)
         Similarity.semDedup(emb, "vec_id", "embedding", cents,
             threshold = 0.3, dim = Some(64))
           .orderBy(col("vec_id"))
@@ -1083,8 +1110,7 @@ object Pipeline {
     QueryDef("p52_pq_ann",
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
-          m = 4, subDim = 16, k = 16, iters = 2)
+        val books = pqModel(s, d)
         Similarity.pqAdcTopK(emb, "vec_id", "embedding", books, subDim = 16,
             col("vec_id") < 50, k = 3)
           .orderBy(col("qid"), col("rank"))
@@ -1100,10 +1126,8 @@ object Pipeline {
     QueryDef("p62_ivfadc",
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        val coarse = Similarity.ivfCentroids(emb, "vec_id", "embedding",
-          k = ivfK(emb.count()), iters = 2)
-        val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
-          m = 4, subDim = 16, k = 16, iters = 2)
+        val coarse = ivfModel(s, d)
+        val books = pqModel(s, d)
         Similarity.ivfAdcTopK(emb, "vec_id", "embedding", coarse, books,
             subDim = 16, nprobe = 2, col("vec_id") < 50, k = 3)
           .orderBy(col("qid"), col("rank"))
@@ -1130,10 +1154,8 @@ object Pipeline {
           // one-time build: train (same recipe as p62 — the oracle depends
           // on it), encode, persist codes + model, then the marker commits
           // the layout (a crash before it leaves a retryable overwrite)
-          val coarse = Similarity.ivfCentroids(emb, "vec_id", "embedding",
-            k = ivfK(emb.count()), iters = 2)
-          val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
-            m = 4, subDim = 16, k = 16, iters = 2)
+          val coarse = ivfModel(s, d)
+          val books = pqModel(s, d)
           Similarity.writeIvfAdcLayout(emb, "vec_id", "embedding",
             coarse, books, subDim = 16, s"$dir/codes")
           Similarity.writeIvfAdcModel(dir.resolve("_MODEL.bin"), coarse, books)
@@ -1161,8 +1183,7 @@ object Pipeline {
       (s, d) => {
         import s.implicits._
         val emb = t(s, d, "embeddings")
-        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding",
-          k = ivfK(emb.count()), iters = 2)
+        val cents = ivfModel(s, d)
         val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", cents,
             nprobe = 2, col("vec_id") < 50, k = 3, dim = Some(64))
           .select($"qid", $"nid")
@@ -1213,10 +1234,8 @@ object Pipeline {
     QueryDef("p67_adc_rerank",
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        val coarse = Similarity.ivfCentroids(emb, "vec_id", "embedding",
-          k = ivfK(emb.count()), iters = 2)
-        val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
-          m = 4, subDim = 16, k = 16, iters = 2)
+        val coarse = ivfModel(s, d)
+        val books = pqModel(s, d)
         Similarity.adcRerankTopK(emb, "vec_id", "embedding", coarse, books,
             subDim = 16, nprobe = 2, col("vec_id") < 50,
             shortlist = 10, k = 3)
