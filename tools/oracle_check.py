@@ -8,11 +8,14 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, prefixes=()):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if prefixes:
+        oracle = {k: v for k, v in oracle.items()
+                  if any(k.startswith(p) for p in prefixes)}
     n_pass = n_fail = 0
     for name in sorted(oracle):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
@@ -66,4 +69,6 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    # optional extra args: query-name prefixes to restrict the run (local
+    # chunking for long sf1.0 sweeps; the driver passes none)
+    sys.exit(main(sys.argv[1], sys.argv[2], tuple(sys.argv[3:])))
