@@ -898,6 +898,25 @@ class OpsSpec extends AnyFunSuite {
     assert(!byTrain.contains(11L), "unrelated doc must not collide in any band")
   }
 
+  test("decontaminationPairs: colliding train/eval doc ids stay unambiguous (ADVICE r4)") {
+    // train id 1 and eval id 1 are DIFFERENT documents; the per-side
+    // shingle computation must score (train 1, eval 1) on their own
+    // texts — the former union-based verify fanned out on the shared id
+    val evalDoc = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "completely different content about spark shuffles and parquet files"))
+      .toDF("doc_id", "text")
+    val eval = Seq((1L, evalDoc)).toDF("doc_id", "text")
+    val out = Dedup.decontaminationPairs(train, eval, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3)))
+    assert(out.map(_._1).distinct.length == out.length,
+      s"no duplicated (a, b) rows despite the id collision: ${out.toSeq}")
+    val hit = out.toMap.get((1L, 1L))
+    assert(hit.exists(j => j > 0.5 && j < 1.0),
+      s"train 1 vs eval 1 must score the two DIFFERENT texts (got $hit)")
+  }
+
   test("bm25TopK matches an independent driver-side Okapi computation") {
     val corpus = Map(
       1L -> Seq("apple", "banana", "apple"),
