@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over embedding columns (`ARRAY<FLOAT>`).
   *
@@ -158,10 +157,7 @@ object Similarity {
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col("qid") =!= col("nid"))
       .withColumn("sim", round(cosineBy(col("qvec"), col("nvec"), dim), 4))
-    val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), asc("nid"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+    topKMaxSim(scored, k)
   }
 
   /** Bucketed (IVF-style) ANN: candidates are restricted to the query's
