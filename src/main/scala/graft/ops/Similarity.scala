@@ -455,6 +455,28 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(path)
   }
 
+  /** Incremental maintenance of [[writeIvfAdcLayout]]'s code table: encode
+    * ONLY the new vectors under the STANDING model (coarse + books must be
+    * the generation the layout was written with — re-training would change
+    * existing codes, which is a rebuild, not an append) and append their
+    * files into the same cell-partitioned directories. This is how a
+    * production index absorbs a new crawl slice: per-slice cost is the
+    * slice's encode + write, the standing corpus is never touched, and
+    * probes see old and new rows identically (p68 proves byte-equality
+    * with the recode-everything path).
+    */
+  def appendIvfAdcLayout(newRows: DataFrame, idCol: String, vecCol: String,
+                         coarse: Array[Array[Double]],
+                         books: Array[Array[Array[Double]]], subDim: Int,
+                         path: String): Unit = {
+    val codeCols = books.indices.map(j =>
+      nearestCell(slice(col(vecCol), j * subDim + 1, subDim), books(j)).as(s"c$j"))
+    newRows.select(col(idCol).as("nid") +:
+        nearestCell(col(vecCol), coarse).as("cell") +: codeCols: _*)
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
   /** Serve an IVFADC query batch FROM the persisted code layout: the
     * queries (the always-small side) compute their `nprobe` nearest coarse
     * cells, the probed cell set (bounded by the coarse codebook size, a

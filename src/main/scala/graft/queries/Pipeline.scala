@@ -1223,6 +1223,42 @@ object Pipeline {
            |GROUP BY i.qid ORDER BY i.qid""".stripMargin
       }),
 
+    // -- incremental IVFADC maintenance: append a slice to the code table ---
+    // The refresh path p64's layout needs in production: a new crawl slice
+    // is encoded UNDER THE STANDING MODEL (retraining would change
+    // existing codes — that's a rebuild) and appended into the same
+    // cell-partitioned directories; the standing corpus is never touched.
+    // Here the corpus is split in half, written as base + appended slice,
+    // and the probe must be byte-identical to the recode-everything p62
+    // oracle — the append can only change WHEN encoding work happens,
+    // never what a probe sees.
+    QueryDef("p68_ivfadc_append",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val coarse = ivfModel(s, d)
+        val books = pqModel(s, d)
+        val mid = emb.count() / 2 // ids are 0..n-1: a genuine half split
+        val dir = java.nio.file.Files.createTempDirectory("graft-ivfadc-app")
+        try {
+          Similarity.writeIvfAdcLayout(emb.filter(col("vec_id") < mid),
+            "vec_id", "embedding", coarse, books, subDim = 16, s"$dir/codes")
+          Similarity.appendIvfAdcLayout(emb.filter(col("vec_id") >= mid),
+            "vec_id", "embedding", coarse, books, subDim = 16, s"$dir/codes")
+          val queries = emb.filter(col("vec_id") < 50)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+          Similarity.ivfAdcTopKFromCodes(s.read.parquet(s"$dir/codes"),
+              queries, coarse, books, subDim = 16, nprobe = 2, k = 3)
+            .orderBy(col("qid"), col("rank"))
+            .localCheckpoint(true)
+        } finally {
+          import scala.jdk.CollectionConverters._
+          val all = java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+          all.sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_: java.nio.file.Path))
+        }
+      },
+      Some(ivfAdcOracleSql(m = 4, subDim = 16, k = 16))),
+
     // -- two-stage retrieval: ADC shortlist -> exact float rerank -----------
     // The production serving composition (Jégou et al.'s ADC + the rerank
     // stage every deployed system adds): the compressed-code scan
