@@ -51,7 +51,11 @@ object Bench {
     // [success] banner after it, which has broken downstream parsing of the
     // captured output tail — so the same JSON also lands in a known file
     // (cwd = repo root under `sbt run`) for any consumer to read directly.
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_out.json"), json + "\n")
+    // Full-suite runs only: a prefix-restricted local run must not
+    // overwrite the artifact with a partial total that reads as complete.
+    if (only.isEmpty)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_out.json"), json + "\n"): Unit
     spark.stop()
   }
 }

@@ -94,7 +94,7 @@ object Dedup {
     * representatives only.
     */
   /** (doc, band, bucket) rows from a (doc, sig) signature frame. */
-  private def bandsOf(sig: DataFrame, nBands: Int, rowsPerBand: Int): DataFrame =
+  private[graft] def bandsOf(sig: DataFrame, nBands: Int, rowsPerBand: Int): DataFrame =
     sig.select(col("doc"),
       posexplode(transform(sequence(lit(0), lit(nBands - 1)),
         b => concat_ws("#", transform(

@@ -73,10 +73,19 @@ object Similarity {
     * a `row_number()` window would (the VERDICT r4 scale flag on p19/p52).
     * `lit(0.0) - x` (not unary minus) on the way back out keeps a zero sim
     * at +0.0 — the cross-engine bit pattern.
+    *
+    * A zero-norm (or otherwise degenerate) vector scores cosine NaN; NaN
+    * is EXCLUDED from ranking here — a vector with no defined direction is
+    * not a nearest-neighbour candidate. (The former row_number window
+    * ranked NaN FIRST under Spark's descending NaN-greatest ordering — an
+    * unrankable row beating every real neighbour; the quantizing cast
+    * would instead fabricate sim 0.0 or throw under ANSI. Explicit
+    * exclusion is the only behavior that survives both engines.)
     */
   private def topKMaxSim(scored: DataFrame, k: Int): DataFrame = {
     val spark = scored.sparkSession
     scored
+      .filter(!isnan(col("sim")))
       .groupBy(col("qid"))
       .agg(graft.functions.TopKMinPairs(spark,
         round(col("sim") * lit(-10000.0)).cast("long"), col("nid"), k).as("tk"))
@@ -147,8 +156,12 @@ object Similarity {
 
   /** Brute-force cosine top-k: for each query vector (filtered by
     * `queryPred`), the k nearest corpus vectors (excluding itself).
-    * Query set is broadcast against the corpus scan. Pass `dim` to use the
-    * codegen'd fixed-dimension kernel.
+    * Query set is broadcast against the corpus scan.
+    *
+    * `dim` (here and on the other ANN entry points) is retained for source
+    * compatibility but is a NO-OP since the cosine kernel became the
+    * native loop expression (see [[cosineBy]]) — the loop handles any
+    * dimension without the unrolled form's codegen-size cliff.
     */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
                      queryPred: Column, k: Int, dim: Option[Int] = None): DataFrame = {
@@ -446,13 +459,24 @@ object Similarity {
   def writeIvfAdcLayout(emb: DataFrame, idCol: String, vecCol: String,
                         coarse: Array[Array[Double]],
                         books: Array[Array[Array[Double]]], subDim: Int,
-                        path: String): Unit = {
+                        path: String): Unit =
+    encodeAndWrite(emb, idCol, vecCol, coarse, books, subDim, path, "overwrite")
+
+  /** The one encode+write body behind [[writeIvfAdcLayout]] (overwrite)
+    * and [[appendIvfAdcLayout]] (append): base layout and appended slices
+    * MUST share the exact column/partition shape or probes silently read a
+    * mixed layout.
+    */
+  private def encodeAndWrite(rows: DataFrame, idCol: String, vecCol: String,
+                             coarse: Array[Array[Double]],
+                             books: Array[Array[Array[Double]]], subDim: Int,
+                             path: String, mode: String): Unit = {
     val codeCols = books.indices.map(j =>
       nearestCell(slice(col(vecCol), j * subDim + 1, subDim), books(j)).as(s"c$j"))
-    emb.select(col(idCol).as("nid") +:
+    rows.select(col(idCol).as("nid") +:
         nearestCell(col(vecCol), coarse).as("cell") +: codeCols: _*)
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+      .write.mode(mode).partitionBy("cell").parquet(path)
   }
 
   /** Incremental maintenance of [[writeIvfAdcLayout]]'s code table: encode
@@ -468,14 +492,8 @@ object Similarity {
   def appendIvfAdcLayout(newRows: DataFrame, idCol: String, vecCol: String,
                          coarse: Array[Array[Double]],
                          books: Array[Array[Array[Double]]], subDim: Int,
-                         path: String): Unit = {
-    val codeCols = books.indices.map(j =>
-      nearestCell(slice(col(vecCol), j * subDim + 1, subDim), books(j)).as(s"c$j"))
-    newRows.select(col(idCol).as("nid") +:
-        nearestCell(col(vecCol), coarse).as("cell") +: codeCols: _*)
-      .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(path)
-  }
+                         path: String): Unit =
+    encodeAndWrite(newRows, idCol, vecCol, coarse, books, subDim, path, "append")
 
   /** Serve an IVFADC query batch FROM the persisted code layout: the
     * queries (the always-small side) compute their `nprobe` nearest coarse

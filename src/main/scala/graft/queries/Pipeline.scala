@@ -1152,14 +1152,42 @@ object Pipeline {
         val marker = dir.resolve("_LAYOUT_OK")
         if (!java.nio.file.Files.exists(marker)) {
           // one-time build: train (same recipe as p62 — the oracle depends
-          // on it), encode, persist codes + model, then the marker commits
-          // the layout (a crash before it leaves a retryable overwrite)
+          // on it), encode, persist codes + model. Built in a PRIVATE
+          // staging dir and atomically renamed into place so concurrent
+          // drivers (a bench and a verify run on the same sf dir) can't
+          // interleave writes into one directory: whoever renames first
+          // wins, the loser discards its staging copy and reads the
+          // winner's committed layout. The marker still gates re-use (a
+          // crash BEFORE rename leaves only an orphaned staging dir).
           val coarse = ivfModel(s, d)
           val books = pqModel(s, d)
+          // a marker-less existing dir is debris from a superseded layout
+          // format or an interrupted legacy write — clear it so the rename
+          // can land
+          if (java.nio.file.Files.exists(dir)) {
+            import scala.jdk.CollectionConverters._
+            val all = java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+            all.sortBy(-_.getNameCount)
+              .foreach(java.nio.file.Files.deleteIfExists(_: java.nio.file.Path))
+          }
+          val staging = java.nio.file.Files.createTempDirectory(
+            dir.getParent, s"graft-ivfadc-$digest-stage")
           Similarity.writeIvfAdcLayout(emb, "vec_id", "embedding",
-            coarse, books, subDim = 16, s"$dir/codes")
-          Similarity.writeIvfAdcModel(dir.resolve("_MODEL.bin"), coarse, books)
-          java.nio.file.Files.writeString(marker, "ok")
+            coarse, books, subDim = 16, s"$staging/codes")
+          Similarity.writeIvfAdcModel(staging.resolve("_MODEL.bin"), coarse, books)
+          java.nio.file.Files.writeString(staging.resolve("_LAYOUT_OK"), "ok")
+          try java.nio.file.Files.move(staging, dir,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException |
+                 _: java.nio.file.DirectoryNotEmptyException |
+                 _: java.nio.file.AccessDeniedException =>
+              // lost the race — another driver committed first; use theirs
+              import scala.jdk.CollectionConverters._
+              val all = java.nio.file.Files.walk(staging).iterator().asScala.toSeq
+              all.sortBy(-_.getNameCount)
+                .foreach(java.nio.file.Files.deleteIfExists(_: java.nio.file.Path))
+          }
         }
         val (coarse, books) = Similarity.readIvfAdcModel(dir.resolve("_MODEL.bin"))
         val queries = emb.filter(col("vec_id") < 50)
@@ -1293,11 +1321,19 @@ object Pipeline {
       (s, d) => {
         import s.implicits._
         val docs = t(s, d, "documents")
-        val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
-          q = 5, k = 12, rowsPerBand = 3).select($"a", $"b")
+        // ONE signature pipeline feeds both the banded candidate join and
+        // the per-pair component compare (a second minhashCandidates call
+        // would recompute the k·|shingles| digest scan — the dominant
+        // stage — under a differently-shaped plan Spark cannot share)
         val sig = Dedup.minhashSignatures(
-          docs.select($"doc_id".as("doc"), $"text".as("__text")),
-          "doc", "__text", q = 5, k = 12)
+            docs.select($"doc_id".as("doc"), $"text".as("__text")),
+            "doc", "__text", q = 5, k = 12)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val bands = Dedup.bandsOf(sig, nBands = 4, rowsPerBand = 3)
+        val cands = bands.as("l").join(bands.as("r"),
+            col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+              col("l.doc") < col("r.doc"))
+          .select(col("l.doc").as("a"), col("r.doc").as("b")).distinct()
         val exact = Dedup.jaccardVerify(docs, cands, "doc_id", "text",
           q = 5, threshold = 0.0)
         val nEq = aggregate(

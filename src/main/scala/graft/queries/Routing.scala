@@ -848,7 +848,17 @@ object Routing {
               .collect()(0)
             (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
               r.getBoolean(4), nulls.getBoolean(0))
-          } finally { RoutingContext.unload(); ensure(s): Unit }
+          } finally {
+            RoutingContext.unload(); ensure(s)
+            // both graph stores are fully collected above — drop the dirs
+            import scala.jdk.CollectionConverters._
+            Seq(withDem, noDem).foreach { base =>
+              val p = java.nio.file.Paths.get(base)
+              val all = java.nio.file.Files.walk(p).iterator().asScala.toSeq
+              all.sortBy(-_.getNameCount)
+                .foreach(java.nio.file.Files.deleteIfExists(_: java.nio.file.Path))
+            }
+          }
         Seq(row).toDF("h0", "h1", "h2", "range_m_last",
           "heights_ok", "demless_null_ok")
       }, None)

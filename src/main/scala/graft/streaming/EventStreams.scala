@@ -230,6 +230,13 @@ object EventStreams {
     * The gate runs ONCE at stage construction against the persisted index
     * frame (a deployment reads the count from table metadata), never per
     * micro-batch.
+    *
+    * Persist lifecycle: the index frame is cached (MEMORY_AND_DISK) for
+    * the stage's lifetime and not unpersisted here — the stream that
+    * reads it is lazy and long-lived. Sessions that rebuild the stage per
+    * index refresh should `spark.catalog.clearCache()` (or unpersist the
+    * previous index) between generations, as the Bench/Verify harnesses
+    * do, or retired index caches accumulate.
     */
   def nearDupStage(corpusBands: DataFrame,
                    broadcastLimit: Long = BroadcastIndexLimit)
