@@ -1718,6 +1718,72 @@ object Pipeline {
              |FROM c WHERE n_copies > 0
              |ORDER BY source, doc_id, copy""".stripMargin)),
 
+    // -- temperature-scaled source mixing (alpha-sampling) ------------------
+    // The multilingual/multi-source pretraining recipe (alpha = 0.5): each
+    // source's share of the mixture is proportional to n^alpha, flattening
+    // the natural distribution so small sources are not drowned out. The
+    // per-source replication weight w_s = (n_s^0.5 / SUM n_t^0.5) * N / n_s
+    // is derived in EXACT integer arithmetic (root-permill = floor(sqrt(n)
+    // * 1000) — IEEE sqrt of an integer is engine-identical — then the
+    // half-up integer division (2a + b) div (2b)), so Spark and DuckDB
+    // compute bit-equal permill weights; the mixture itself is p33's
+    // deterministic hash-fractional replication under those weights. The
+    // per-source derivation is driver-side over the (tiny) source count
+    // table; every per-document decision is a scan-side expression.
+    QueryDef("p69_temperature_mix",
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents").select($"doc_id", $"source")
+        val counts = docs.groupBy($"source").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val bigN = counts.values.sum
+        val roots = counts.map { case (src, n) =>
+          src -> math.floor(math.sqrt(n.toDouble) * 1000).toLong
+        }
+        val ssum = roots.values.sum
+        val permill = counts.map { case (src, n) =>
+          val a = 2L * roots(src) * bigN * 1000L
+          val b = 2L * n * ssum
+          src -> ((a + b / 2) / b).toInt
+        }
+        val mix = graft.ops.Sampling.mixEpochs(docs, "doc_id", "source",
+          permill, defaultPermill = 1000, salt = "tmix")
+        val summary = counts.toSeq.map { case (src, n) =>
+          (src, n, permill(src).toLong)
+        }.toDF("source", "n_docs", "permill")
+        summary
+          .join(mix.groupBy($"source").agg(count(lit(1)).as("n_mixture")),
+            Seq("source"), "left")
+          .select($"source", $"n_docs", $"permill",
+            coalesce($"n_mixture", lit(0L)).as("n_mixture"))
+          .orderBy($"source")
+      },
+      Some("""WITH n AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+             |  FROM documents GROUP BY source),
+             |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn FROM n),
+             |r AS (SELECT source, n_docs,
+             |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000) AS BIGINT) AS s
+             |  FROM n),
+             |sm AS (SELECT CAST(sum(s) AS BIGINT) AS ssum FROM r),
+             |w AS (SELECT source, n_docs,
+             |    CAST((2 * s * nn * 1000 + n_docs * ssum) // (2 * n_docs * ssum)
+             |      AS BIGINT) AS permill
+             |  FROM r, tot, sm),
+             |m AS (SELECT d.doc_id, d.source, w.permill,
+             |    CAST(('0x' || substring(md5('tmix|' || CAST(doc_id AS VARCHAR)), 1, 8))
+             |      AS BIGINT) % 1000 AS b
+             |  FROM documents d JOIN w USING (source)),
+             |c AS (SELECT source,
+             |    CAST(permill // 1000
+             |      + CASE WHEN b < permill % 1000 THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+             |  FROM m)
+             |SELECT w.source, w.n_docs, w.permill,
+             |  CAST(coalesce(sum(c.n_copies), 0) AS BIGINT) AS n_mixture
+             |FROM w LEFT JOIN c ON c.source = w.source
+             |GROUP BY w.source, w.n_docs, w.permill
+             |ORDER BY w.source""".stripMargin)),
+
     // -- curriculum quality deciles -----------------------------------------
     // Per-language quality deciles (ntile over the rounded score — the
     // curriculum / data-ablation binning step) rolled up to per-bin stats.
