@@ -75,6 +75,60 @@ object Pipeline {
           m = 4, subDim = 16, k = 16, iters = 2)
       }).asInstanceOf[Array[Array[Array[Double]]]]
 
+  /** Quality-aware keeper election over the near-dup clusters — the p63
+    * verdict computation, shared with p70's cleaned-corpus materialization:
+    * every document gets (doc_id, cluster, cluster_size, quality, keeper,
+    * keep) where keep = 1 iff it is its cluster's highest-quality member
+    * (doc-id tie-break on the 4-dp-rounded score). Singletons keep
+    * themselves.
+    */
+  private def keeperVerdicts(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val clusters = Dedup.nearDupClustersFromDocs(docs, "doc_id", "text",
+        q = 5, k = 12, rowsPerBand = 3)
+      .select(col("doc").as("doc_id"), col("cluster"), col("cluster_size"))
+    val member = docs
+      .select(col("doc_id"), round(TextOps.qualityScore(col("text")), 4).as("quality"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"), col("quality"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    member.withColumn("keeper", first(col("doc_id")).over(w))
+      .withColumn("keep", (col("doc_id") === col("keeper")).cast("int"))
+      .select(col("doc_id"), col("cluster"), col("cluster_size"), col("quality"),
+        col("keeper"), col("keep"))
+  }
+
+  /** DuckDB mirror of [[keeperVerdicts]]' tail: CTEs `qual` (the p03
+    * quality score), `m` (cluster-joined members) and `k` (keeper per
+    * cluster), assuming `cl(doc_id, cluster, cluster_size)` is in scope
+    * (from [[ccClusterCtes]]). Shared by p63 and p70.
+    */
+  private[queries] def keeperCtesSql: String = {
+    val hitsEn = "len(list_filter(list_filter(string_split_regex(lower(text), " +
+      s"'\\s+'), x -> len(x) > 0), t -> list_contains($StopEnSql, t)))"
+    val nWords = "len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0))"
+    s"""qual AS (
+       |  SELECT doc_id,
+       |    round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+       |      + (1.0 - least((CASE WHEN length(text) > 0
+       |          THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+       |          ELSE 0.0 END) * 5.0, 1.0)) * 0.3
+       |      + least((CASE WHEN $nWords > 0
+       |          THEN CAST($hitsEn AS DOUBLE) / $nWords ELSE 0.0 END) * 4.0, 1.0) * 0.3,
+       |      4) AS quality
+       |  FROM documents),
+       |m AS (
+       |  SELECT qual.doc_id, COALESCE(cl.cluster, qual.doc_id) AS cluster,
+       |    COALESCE(cl.cluster_size, 1) AS cluster_size, qual.quality
+       |  FROM qual LEFT JOIN cl USING (doc_id)),
+       |k AS (
+       |  SELECT m.*, first_value(doc_id)
+       |    OVER (PARTITION BY cluster ORDER BY quality DESC, doc_id) AS keeper
+       |  FROM m)""".stripMargin
+  }
+
   /** The k=12 per-seed minhash component expressions over a shingle list
     * `sh` — one text, shared by [[minhashCandidatesSql]] and the p66
     * signature mirror so the two can never drift.
@@ -715,48 +769,12 @@ object Pipeline {
     // contract), drop the rest. Singleton docs keep themselves. The
     // election is one per-cluster window, bounded by cluster size.
     QueryDef("p63_quality_keeper",
-      (s, d) => {
-        import s.implicits._
-        val docs = t(s, d, "documents")
-        val clusters = Dedup.nearDupClustersFromDocs(docs, "doc_id", "text",
-            q = 5, k = 12, rowsPerBand = 3)
-          .select($"doc".as("doc_id"), $"cluster", $"cluster_size")
-        val member = docs
-          .select($"doc_id", round(TextOps.qualityScore($"text"), 4).as("quality"))
-          .join(clusters, Seq("doc_id"), "left")
-          .select($"doc_id", coalesce($"cluster", $"doc_id").as("cluster"),
-            coalesce($"cluster_size", lit(1L)).as("cluster_size"), $"quality")
-        val w = Window.partitionBy($"cluster").orderBy($"quality".desc, $"doc_id")
-        member.withColumn("keeper", first($"doc_id").over(w))
-          .withColumn("keep", ($"doc_id" === $"keeper").cast("int"))
-          .select($"doc_id", $"cluster", $"cluster_size", $"quality",
-            $"keeper", $"keep")
-          .orderBy($"doc_id")
-      },
+      (s, d) => keeperVerdicts(t(s, d, "documents"))
+        .orderBy(col("doc_id")),
       Some {
-        val hitsEn = "len(list_filter(list_filter(string_split_regex(lower(text), " +
-          s"'\\s+'), x -> len(x) > 0), t -> list_contains($StopEnSql, t)))"
-        val nWords = "len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0))"
         s"""WITH cand AS MATERIALIZED ($minhashCandidatesSql),
            |${ccClusterCtes(CcOracleRounds)},
-           |qual AS (
-           |  SELECT doc_id,
-           |    round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
-           |      + (1.0 - least((CASE WHEN length(text) > 0
-           |          THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
-           |          ELSE 0.0 END) * 5.0, 1.0)) * 0.3
-           |      + least((CASE WHEN $nWords > 0
-           |          THEN CAST($hitsEn AS DOUBLE) / $nWords ELSE 0.0 END) * 4.0, 1.0) * 0.3,
-           |      4) AS quality
-           |  FROM documents),
-           |m AS (
-           |  SELECT qual.doc_id, COALESCE(cl.cluster, qual.doc_id) AS cluster,
-           |    COALESCE(cl.cluster_size, 1) AS cluster_size, qual.quality
-           |  FROM qual LEFT JOIN cl USING (doc_id)),
-           |k AS (
-           |  SELECT m.*, first_value(doc_id)
-           |    OVER (PARTITION BY cluster ORDER BY quality DESC, doc_id) AS keeper
-           |  FROM m)
+           |$keeperCtesSql
            |SELECT doc_id, cluster, cluster_size, quality, keeper,
            |  CAST(doc_id = keeper AS INT) AS keep
            |FROM k ORDER BY doc_id""".stripMargin
@@ -1783,6 +1801,45 @@ object Pipeline {
              |FROM w LEFT JOIN c ON c.source = w.source
              |GROUP BY w.source, w.n_docs, w.permill
              |ORDER BY w.source""".stripMargin)),
+
+    // -- cleaned-corpus materialization: verdicts -> shards + manifest ------
+    // The capstone composition a training-data pipeline actually ships:
+    // apply the quality-aware near-dup keeper verdicts (p63), materialize
+    // ONLY the kept documents as deterministic training shards, and emit
+    // the per-shard manifest with the roundtrip witness (p56's
+    // written-files cross-check — Verify hard-fails a false
+    // counts_match). Everything downstream of the verdicts is the same
+    // audited machinery; the oracle recomputes verdicts + manifest
+    // arithmetic end to end.
+    QueryDef("p70_clean_corpus",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val kept = keeperVerdicts(docs).filter(col("keep") === 1)
+          .select(col("doc_id"))
+        graft.ops.Layout.shardManifest(
+          docs.join(kept, "doc_id").select(col("doc_id"), col("text")),
+          "doc_id", "text", nShards = 8)
+      },
+      Some {
+        s"""WITH cand AS MATERIALIZED ($minhashCandidatesSql),
+           |${ccClusterCtes(CcOracleRounds)},
+           |$keeperCtesSql,
+           |kept AS (SELECT doc_id FROM k WHERE doc_id = keeper),
+           |staged AS (
+           |  SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.text,
+           |    CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 8 AS shard,
+           |    CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || '|' || d.text), 1, 15)) AS BIGINT)
+           |      % 1073741824 AS dg,
+           |    len(list_filter(string_split_regex(d.text, '\\s+'), x -> len(x) > 0)) AS nw,
+           |    length(d.text) AS nc
+           |  FROM documents d JOIN kept USING (doc_id))
+           |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(nw) AS BIGINT) AS n_words,
+           |  CAST(sum(nc) AS BIGINT) AS n_chars,
+           |  CAST(sum(dg) AS BIGINT) AS digest,
+           |  1 AS counts_match
+           |FROM staged GROUP BY shard ORDER BY shard""".stripMargin
+      }),
 
     // -- curriculum quality deciles -----------------------------------------
     // Per-language quality deciles (ntile over the rounded score — the
