@@ -60,6 +60,28 @@ object Sampling {
       .drop("__wt")
   }
 
+  /** Temperature-scaled (alpha = 0.5) per-source mixture weights in
+    * per-mill, from per-source document counts: share_s ∝ n_s^0.5
+    * renormalized, weight_s = share_s · N / n_s. EXACT integer arithmetic
+    * end to end — root-permill = floor(sqrt(n)·1000) (IEEE sqrt of an
+    * integer is engine-identical), then the half-up integer division
+    * (2a + b) div (2b) — so Spark and any SQL oracle derive bit-equal
+    * weights. Driver-side over the (tiny) source-count map; feed the
+    * result to [[mixEpochs]].
+    */
+  def temperatureWeightsSqrt(counts: Map[String, Long]): Map[String, Int] = {
+    val bigN = counts.values.sum
+    val roots = counts.map { case (s, n) =>
+      s -> math.floor(math.sqrt(n.toDouble) * 1000).toLong
+    }
+    val ssum = roots.values.sum
+    counts.map { case (s, n) =>
+      val a = 2L * roots(s) * bigN * 1000L
+      val b = 2L * n * ssum
+      s -> ((a + b / 2) / b).toInt
+    }
+  }
+
   /** Importance-weighted Bernoulli sample: P(keep) = min(weight, cap)/cap,
     * decided by comparing a salted hash bucket in [0, cap) against the
     * clamped integer weight — the "quality-weighted subsample" pass (keep

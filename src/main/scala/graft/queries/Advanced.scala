@@ -513,7 +513,40 @@ object Advanced {
              |  CAST(coalesce(g.n_eval_matches, 0) > 0 AS INT) AS flagged
              |FROM documents d LEFT JOIN agg g USING (doc_id)
              |WHERE d.doc_id % 97 <> 0
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    QueryDef("s15_stream_mix",
+      (s, d) => {
+        // temperature-mix-on-ingest: the per-source alpha-weights are
+        // derived batch-side from the STANDING corpus (a tiny driver-side
+        // count map — the weight generation a deployment refreshes per
+        // corpus release), and the stream stage is the stateless
+        // replication expression itself (per-row n_copies + explode, no
+        // state store): every arriving document materializes its mixture
+        // copies inside the micro-batch plan. The rollup must equal the
+        // batch p69 mixture row for row — ingest-time upsampling is the
+        // same mixture, paid per document instead of per epoch.
+        import s.implicits._
+        val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
+        val counts = docs.groupBy(col("source")).count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val permill = graft.ops.Sampling.temperatureWeightsSqrt(counts)
+        val sink = EventStreams.runBoundedDocs(s, d, "s15_sink",
+          st => graft.ops.Sampling.mixEpochs(
+            st.select(col("doc_id"), col("source")),
+            "doc_id", "source", permill, defaultPermill = 1000, salt = "tmix"),
+          shufflePartitions = Some(8))
+        val summary = counts.toSeq.map { case (src, n) =>
+          (src, n, permill(src).toLong)
+        }.toDF("source", "n_docs", "permill")
+        summary
+          .join(sink.groupBy(col("source")).agg(count(lit(1)).as("n_mixture")),
+            Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("permill"),
+            coalesce(col("n_mixture"), lit(0L)).as("n_mixture"))
+          .orderBy(col("source"))
+      },
+      Some(Pipeline.temperatureMixOracleSql))
   )
 
   /** (doc_id, media) with a deterministic PNG per seed column — the shared

@@ -129,6 +129,38 @@ object Pipeline {
        |  FROM m)""".stripMargin
   }
 
+  /** DuckDB mirror of Sampling.temperatureWeightsSqrt + mixEpochs
+    * (salt "tmix"): per source (n_docs, permill, n_mixture). Shared by the
+    * batch p69 and the streaming s15 — the mixture a stream materializes
+    * on ingest must equal the batch mixture row for row.
+    */
+  private[queries] val temperatureMixOracleSql: String =
+    """WITH n AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn FROM n),
+      |r AS (SELECT source, n_docs,
+      |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000) AS BIGINT) AS s
+      |  FROM n),
+      |sm AS (SELECT CAST(sum(s) AS BIGINT) AS ssum FROM r),
+      |w AS (SELECT source, n_docs,
+      |    CAST((2 * s * nn * 1000 + n_docs * ssum) // (2 * n_docs * ssum)
+      |      AS BIGINT) AS permill
+      |  FROM r, tot, sm),
+      |m AS (SELECT d.doc_id, d.source, w.permill,
+      |    CAST(('0x' || substring(md5('tmix|' || CAST(doc_id AS VARCHAR)), 1, 8))
+      |      AS BIGINT) % 1000 AS b
+      |  FROM documents d JOIN w USING (source)),
+      |c AS (SELECT source,
+      |    CAST(permill // 1000
+      |      + CASE WHEN b < permill % 1000 THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+      |  FROM m)
+      |SELECT w.source, w.n_docs, w.permill,
+      |  CAST(coalesce(sum(c.n_copies), 0) AS BIGINT) AS n_mixture
+      |FROM w LEFT JOIN c ON c.source = w.source
+      |GROUP BY w.source, w.n_docs, w.permill
+      |ORDER BY w.source""".stripMargin
+
   /** The k=12 per-seed minhash component expressions over a shingle list
     * `sh` — one text, shared by [[minhashCandidatesSql]] and the p66
     * signature mirror so the two can never drift.
@@ -1754,16 +1786,7 @@ object Pipeline {
         val docs = t(s, d, "documents").select($"doc_id", $"source")
         val counts = docs.groupBy($"source").count()
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        val bigN = counts.values.sum
-        val roots = counts.map { case (src, n) =>
-          src -> math.floor(math.sqrt(n.toDouble) * 1000).toLong
-        }
-        val ssum = roots.values.sum
-        val permill = counts.map { case (src, n) =>
-          val a = 2L * roots(src) * bigN * 1000L
-          val b = 2L * n * ssum
-          src -> ((a + b / 2) / b).toInt
-        }
+        val permill = graft.ops.Sampling.temperatureWeightsSqrt(counts)
         val mix = graft.ops.Sampling.mixEpochs(docs, "doc_id", "source",
           permill, defaultPermill = 1000, salt = "tmix")
         val summary = counts.toSeq.map { case (src, n) =>
@@ -1776,31 +1799,7 @@ object Pipeline {
             coalesce($"n_mixture", lit(0L)).as("n_mixture"))
           .orderBy($"source")
       },
-      Some("""WITH n AS (
-             |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
-             |  FROM documents GROUP BY source),
-             |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn FROM n),
-             |r AS (SELECT source, n_docs,
-             |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000) AS BIGINT) AS s
-             |  FROM n),
-             |sm AS (SELECT CAST(sum(s) AS BIGINT) AS ssum FROM r),
-             |w AS (SELECT source, n_docs,
-             |    CAST((2 * s * nn * 1000 + n_docs * ssum) // (2 * n_docs * ssum)
-             |      AS BIGINT) AS permill
-             |  FROM r, tot, sm),
-             |m AS (SELECT d.doc_id, d.source, w.permill,
-             |    CAST(('0x' || substring(md5('tmix|' || CAST(doc_id AS VARCHAR)), 1, 8))
-             |      AS BIGINT) % 1000 AS b
-             |  FROM documents d JOIN w USING (source)),
-             |c AS (SELECT source,
-             |    CAST(permill // 1000
-             |      + CASE WHEN b < permill % 1000 THEN 1 ELSE 0 END AS BIGINT) AS n_copies
-             |  FROM m)
-             |SELECT w.source, w.n_docs, w.permill,
-             |  CAST(coalesce(sum(c.n_copies), 0) AS BIGINT) AS n_mixture
-             |FROM w LEFT JOIN c ON c.source = w.source
-             |GROUP BY w.source, w.n_docs, w.permill
-             |ORDER BY w.source""".stripMargin)),
+      Some(temperatureMixOracleSql)),
 
     // -- cleaned-corpus materialization: verdicts -> shards + manifest ------
     // The capstone composition a training-data pipeline actually ships:

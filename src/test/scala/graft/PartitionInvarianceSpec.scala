@@ -88,6 +88,24 @@ class PartitionInvarianceSpec extends AnyFunSuite {
       "rounded-argmin assignment must not depend on row placement"))
   }
 
+  test("bounded-aggregate ANN top-k is partitioning-invariant (brute force + IVF)") {
+    // the TopKMinPairs conversion's core claim: map-side partial
+    // aggregation reduces each task's slice to <= k pairs, and the k
+    // smallest of the union of per-slice k-smallest is the k smallest of
+    // the union — so rank lists must be identical from ANY row placement
+    pin("bruteForceTopK", shapes(emb, "label").map { v =>
+      rows(Similarity.bruteForceTopK(v, "vec_id", "embedding",
+          col("vec_id") < 10, k = 5, dim = Some(64))
+        .orderBy($"qid", $"rank"))
+    })
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+    pin("ivfTopK", shapes(emb, "label").map { v =>
+      rows(Similarity.ivfTopK(v, "vec_id", "embedding", cents, nprobe = 2,
+          col("vec_id") < 10, k = 3, dim = Some(64))
+        .orderBy($"qid", $"rank"))
+    })
+  }
+
   test("BM25 ranking is partitioning-invariant (integer micro-unit contract)") {
     pin("bm25TopK", shapes(docs, "lang").map { v =>
       rows(TextOps.bm25TopK(v, "doc_id", "text",
