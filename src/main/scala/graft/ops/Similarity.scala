@@ -585,7 +585,22 @@ object Similarity {
       }
     }
 
+  /** The signature bucket key, via the native
+    * [[graft.functions.HyperplaneSig]] kernel (one generated call, weight
+    * matrix as a single literal) — bit-identical to the retained HOF
+    * formulation below (OpsSpec pins it), which ran nBits interpreted
+    * `aggregate`+`zip_with` folds per row.
+    */
   def hyperplaneSignature(vecCol: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.functions.HyperplaneSig(spark, vecCol, hyperplaneWeights(dim, nBits, seed))
+  }
+
+  /** The original HOF formulation, kept as the differential baseline for
+    * the native kernel's equivalence spec.
+    */
+  private[graft] def hyperplaneSignatureHof(vecCol: Column, dim: Int, nBits: Int,
+                                            seed: Long = 42L): Column = {
     val bits = hyperplaneWeights(dim, nBits, seed).map { weights =>
       val proj = aggregate(
         zip_with(transform(vecCol, x => x.cast("double")), lit(weights), (x, w) => x * w),

@@ -898,6 +898,22 @@ class OpsSpec extends AnyFunSuite {
     assert(!byTrain.contains(11L), "unrelated doc must not collide in any band")
   }
 
+  test("hyperplane_sig native kernel == HOF formulation (incl. negative/NaN projections)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val both = emb.select(
+        Similarity.hyperplaneSignature($"embedding", dim = 64, nBits = 12).as("native"),
+        Similarity.hyperplaneSignatureHof($"embedding", dim = 64, nBits = 12).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getString(0) == r.getString(1)))
+    // a zero vector projects to +0.0 on every plane -> all-ones from both
+    val zero = Seq((1L, Array.fill(4)(0.0f).toSeq)).toDF("id", "v")
+    val z = zero.select(
+      Similarity.hyperplaneSignature($"v", dim = 4, nBits = 6).as("n"),
+      Similarity.hyperplaneSignatureHof($"v", dim = 4, nBits = 6).as("h")).collect()(0)
+    assert(z.getString(0) == z.getString(1) && z.getString(0) == "111111")
+  }
+
   test("decontaminationPairs: colliding train/eval doc ids stay unambiguous (ADVICE r4)") {
     // train id 1 and eval id 1 are DIFFERENT documents; the per-side
     // shingle computation must score (train 1, eval 1) on their own
