@@ -352,26 +352,33 @@ object Similarity {
   def pqAdcTopK(emb: DataFrame, idCol: String, vecCol: String,
                 books: Array[Array[Array[Double]]], subDim: Int,
                 queryPred: Column, k: Int): DataFrame = {
-    val par = emb.sparkSession.sparkContext.defaultParallelism
+    val spark = emb.sparkSession
+    val par = spark.sparkContext.defaultParallelism
     val codeCols = books.indices.map(j =>
       nearestCell(slice(col(vecCol), j * subDim + 1, subDim), books(j)).as(s"c$j"))
     val corpus = emb.repartition(par)
       .select(col(idCol).as("nid") +: codeCols: _*)
     val queries = emb.filter(queryPred)
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"))
-    val dTerms = books.indices.map { j =>
-      val cents = typedLit(books(j).map(_.toSeq).toSeq)
-      val qslice = transform(slice(col("qvec"), j * subDim + 1, subDim),
-        x => x.cast("double"))
-      round(aggregate(
-        zip_with(qslice, element_at(cents, col(s"c$j") + 1),
-          (x, c) => (x - c) * (x - c)),
-        lit(0.0), (acc, v) => acc + v), 6)
-    }
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("adc", round(dTerms.reduce(_ + _), 6))
+      .withColumn("adc", adcDistance(spark, books, subDim))
     topKMinAdc(scored, k)
+  }
+
+  /** The per-pair ADC score over (qvec, c0..c{m-1}) columns — the native
+    * [[graft.functions.AdcDistance]] kernel (one generated call, codebooks
+    * as one literal; the former per-subspace `aggregate`+`zip_with` folds
+    * interpreted m·subDim lambdas per pair and carried one codebook
+    * literal per subspace in the plan). Bit-identical scores; OpsSpec pins
+    * the equivalence, the p52/p62/p64/p67/p68 oracles stand unchanged.
+    */
+  private def adcDistance(spark: SparkSession,
+                          books: Array[Array[Array[Double]]],
+                          subDim: Int): Column = {
+    val _ = subDim // dimension is carried by the codebooks themselves
+    graft.functions.AdcDistance(spark, col("qvec"),
+      array(books.indices.map(j => col(s"c$j")): _*), books)
   }
 
   /** IVFADC (Jégou et al. 2011) — the production large-scale ANN layout:
@@ -399,18 +406,9 @@ object Similarity {
     val queries = emb.filter(queryPred)
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
         explode(nearestCells(col(vecCol), coarse, nprobe)).as("cell"))
-    val dTerms = books.indices.map { j =>
-      val cents = typedLit(books(j).map(_.toSeq).toSeq)
-      val qslice = transform(slice(col("qvec"), j * subDim + 1, subDim),
-        x => x.cast("double"))
-      round(aggregate(
-        zip_with(qslice, element_at(cents, col(s"c$j") + 1),
-          (x, c) => (x - c) * (x - c)),
-        lit(0.0), (acc, v) => acc + v), 6)
-    }
     val scored = corpus.join(broadcast(queries), "cell")
       .filter(col("qid") =!= col("nid"))
-      .withColumn("adc", round(dTerms.reduce(_ + _), 6))
+      .withColumn("adc", adcDistance(spark, books, subDim))
     topKMinAdc(scored, k)
   }
 
@@ -519,20 +517,12 @@ object Similarity {
     // cell restriction into STATIC partition pruning on the coded scan
     val probedCells = q.select(col("cell")).distinct().collect()
       .map(_.getInt(0)).sorted
-    val dTerms = books.indices.map { j =>
-      val cents = typedLit(books(j).map(_.toSeq).toSeq)
-      val qslice = transform(slice(col("qvec"), j * subDim + 1, subDim),
-        x => x.cast("double"))
-      round(aggregate(
-        zip_with(qslice, element_at(cents, col(s"c$j") + 1),
-          (x, c) => (x - c) * (x - c)),
-        lit(0.0), (acc, v) => acc + v), 6)
-    }
     val scored = coded
       .filter(col("cell").isin(probedCells.map(_.asInstanceOf[Any]): _*))
       .join(broadcast(q), "cell")
       .filter(col("qid") =!= col("nid"))
-      .withColumn("adc", round(dTerms.reduce(_ + _), 6))
+      .withColumn("adc",
+        adcDistance(coded.sparkSession, books, subDim))
     topKMinAdc(scored, k)
   }
 

@@ -898,6 +898,39 @@ class OpsSpec extends AnyFunSuite {
     assert(!byTrain.contains(11L), "unrelated doc must not collide in any band")
   }
 
+  test("adc_distance native kernel == HOF per-subspace folds (rounding contract included)") {
+    val books = Array(
+      Array(Array(0.1, -0.25), Array(1.5, 2.0)),
+      Array(Array(-3.0, 0.000001), Array(0.5, 0.5)))
+    val subDim = 2
+    val df = Seq(
+      (0L, Seq(0.11f, -0.2f, -2.9f, 0.1f), 0, 0),
+      (1L, Seq(1.6f, 1.9f, 0.4f, 0.6f), 1, 1),
+      (2L, Seq(-5.0f, 7.5f, 0.0f, 0.0f), 0, 1),
+      (3L, Seq(0.123456f, 9.87f, -1.1f, 2.2f), 1, 0))
+      .toDF("id", "qvec", "c0", "c1")
+    val hof = {
+      val terms = books.indices.map { j =>
+        val cents = typedLit(books(j).map(_.toSeq).toSeq)
+        val qslice = transform(
+          slice($"qvec", j * subDim + 1, subDim), x => x.cast("double"))
+        round(aggregate(
+          zip_with(qslice, element_at(cents, col(s"c$j") + 1),
+            (x, c) => (x - c) * (x - c)),
+          lit(0.0), (acc, v) => acc + v), 6)
+      }
+      round(terms.reduce(_ + _), 6)
+    }
+    val both = df.select(
+      graft.functions.AdcDistance(spark, $"qvec",
+        array($"c0", $"c1"), books).as("native"),
+      hof.as("hofv")).collect()
+    both.foreach { r =>
+      assert(!r.isNullAt(0) && r.getDouble(0) == r.getDouble(1),
+        s"native ${r.get(0)} != hof ${r.get(1)}")
+    }
+  }
+
   test("hyperplane_sig native kernel == HOF formulation (incl. negative/NaN projections)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val both = emb.select(
