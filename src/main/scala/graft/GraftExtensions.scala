@@ -105,6 +105,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             graft.functions.ReadBlob.getClass.getName, name),
           builder))
     }
+    // the remaining native graft kernels — the per-session register()
+    // calls stay for programmatic use, but a SQL-first deployment gets
+    // the whole vocabulary from the extension alone
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("nearest_cells"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.NearestCells].getName, "nearest_cells"),
+      arity("nearest_cells", 3)(exprs =>
+        graft.functions.NearestCells(exprs(0), exprs(1), exprs(2)))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("hyperplane_sig"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.HyperplaneSig].getName, "hyperplane_sig"),
+      arity("hyperplane_sig", 2)(exprs =>
+        graft.functions.HyperplaneSig(exprs(0), exprs(1)))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("adc_distance"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.AdcDistance].getName, "adc_distance"),
+      arity("adc_distance", 3)(exprs =>
+        graft.functions.AdcDistance(exprs(0), exprs(1), exprs(2)))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("topk_min_pairs"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.TopKMinPairs].getName, "topk_min_pairs"),
+      arity("topk_min_pairs", 3)(exprs =>
+        graft.functions.TopKMinPairs(exprs(0), exprs(1), exprs(2)))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.MinhashSig].getName, "minhash_sig"),
+      arity("minhash_sig", 3) { exprs =>
+        require(exprs(1).foldable && exprs(2).foldable,
+          "minhash_sig: q and k must be literals")
+        graft.functions.MinhashSig(exprs(0),
+          exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])
+      }))
     // host-dialect function-name aliases (len, list_*, string_split,
     // regexp_matches, ...) — vocabulary parity so reference-host statements
     // resolve unchanged; every alias is a native codegen'd expression

@@ -48,6 +48,38 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("extensions session: the full native kernel vocabulary resolves in plain SQL") {
+    val base = SparkTestBase.spark
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+      assert(s2 ne base)
+      val r = s2.sql(
+        """SELECT
+          |  nearest_cells(array(0.1D, 0.1D),
+          |    array(array(0.0D, 0.0D), array(5.0D, 5.0D)), 1)[0] AS cell,
+          |  hyperplane_sig(array(1.0D, -1.0D),
+          |    array(array(1.0D, 0.0D), array(0.0D, 1.0D))) AS sig,
+          |  adc_distance(array(1.0D, 2.0D), array(0),
+          |    array(array(array(1.0D, 2.0D), array(9.0D, 9.0D)))) AS adc,
+          |  size(minhash_sig('hello world text', 5, 12)) AS k
+          |""".stripMargin).collect().head
+      assert(r.getInt(0) == 0)
+      assert(r.getString(1) == "10") // +proj then -proj
+      assert(r.getDouble(2) == 0.0)  // exact codebook match
+      assert(r.getInt(3) == 12)
+      val agg = s2.sql(
+        """SELECT topk_min_pairs(s, i, 2) AS tk FROM
+          |  VALUES (3L, 30L), (1L, 10L), (2L, 20L) AS t(s, i)""".stripMargin)
+        .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      assert(agg.map(_.getLong(1)) == Seq(10L, 20L))
+    } finally {
+      prev.foreach { p => SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p) }
+    }
+  }
+
   test("duck compat pack: host-spelled built-ins resolve to native expressions") {
     val base = SparkTestBase.spark
     val prev = SparkSession.getDefaultSession
