@@ -1840,6 +1840,66 @@ object Pipeline {
            |FROM staged GROUP BY shard ORDER BY shard""".stripMargin
       }),
 
+    // -- single-pass observed metrics (pipeline observability) --------------
+    // Dataset.observe attaches aggregate metrics to a flowing query: the
+    // corpus stats a pipeline MONITORS (row counts, char volume, null
+    // rate) are collected during the pass that does the real work — at
+    // 100 TB the difference between free telemetry and a second full
+    // scan. Here the "real work" is a per-source rollup; the observed
+    // corpus-level metrics ride along, and the output cross-checks them
+    // against directly-computed values (matches_direct is a witness —
+    // Verify hard-fails if observe() ever under- or over-counts).
+    QueryDef("p71_observed_metrics",
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val ob = new org.apache.spark.sql.Observation("p71")
+        val work = docs.observe(ob,
+          count(lit(1)).as("n_docs"),
+          sum(length($"text")).as("n_chars"),
+          count($"lang").as("n_lang_nonnull"))
+        // the real pass: per-source volume rollup (materializes `work`)
+        val rollup = work.groupBy($"source")
+          .agg(count(lit(1)).as("n"), sum(length($"text")).as("chars"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        val m = ob.get
+        val direct = docs.agg(
+            count(lit(1)).as("n_docs"),
+            sum(length($"text")).as("n_chars"),
+            count($"lang").as("n_lang_nonnull"))
+          .collect()(0)
+        val rows = Seq(
+          ("n_docs", m("n_docs").asInstanceOf[Long], direct.getLong(0)),
+          ("n_chars", m("n_chars").asInstanceOf[Long], direct.getLong(1)),
+          ("n_lang_nonnull", m("n_lang_nonnull").asInstanceOf[Long], direct.getLong(2)),
+          // the rollup the metrics rode along with must itself reconcile
+          ("rollup_docs", rollup.map(_._2).sum, direct.getLong(0)),
+          ("rollup_chars", rollup.map(_._3).sum, direct.getLong(1)))
+        rows.toDF("metric", "observed", "direct")
+          .withColumn("matches_direct", ($"observed" === $"direct"))
+          .orderBy($"metric")
+      },
+      Some("""WITH direct AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(length(text)) AS BIGINT) AS n_chars,
+             |    CAST(count(lang) AS BIGINT) AS n_lang_nonnull
+             |  FROM documents)
+             |SELECT metric,
+             |  CASE metric WHEN 'n_docs' THEN n_docs
+             |              WHEN 'n_chars' THEN n_chars
+             |              WHEN 'n_lang_nonnull' THEN n_lang_nonnull
+             |              WHEN 'rollup_docs' THEN n_docs
+             |              WHEN 'rollup_chars' THEN n_chars END AS observed,
+             |  CASE metric WHEN 'n_docs' THEN n_docs
+             |              WHEN 'n_chars' THEN n_chars
+             |              WHEN 'n_lang_nonnull' THEN n_lang_nonnull
+             |              WHEN 'rollup_docs' THEN n_docs
+             |              WHEN 'rollup_chars' THEN n_chars END AS direct,
+             |  true AS matches_direct
+             |FROM direct, (SELECT unnest(['n_chars', 'n_docs', 'n_lang_nonnull',
+             |                             'rollup_chars', 'rollup_docs']) AS metric)
+             |ORDER BY metric""".stripMargin)),
+
     // -- curriculum quality deciles -----------------------------------------
     // Per-language quality deciles (ntile over the rounded score — the
     // curriculum / data-ablation binning step) rolled up to per-bin stats.
