@@ -90,9 +90,86 @@ object DuckCompat {
     }
   }
 
+  /** The functions whose RESULT the host types as GEOMETRY (DuckDB-spatial
+    * constructors and accessors returning geometry), plus the `geometry`
+    * field of the `travel_time_route(_geom)` macro struct — the macro's
+    * whole purpose is the BLOB→GEOMETRY upgrade
+    * (examples/geometry_macro.sql:30-36). `travel_time_route_wkb` stays
+    * BLOB (test/sql/monaco_routing.test:51), `st_aswkb` stays BLOB (host
+    * WKB_BLOB).
+    */
+  private val GeometryProducers = Set(
+    "st_point", "st_geomfromwkb", "st_geomfromtext",
+    "st_startpoint", "st_endpoint", "st_centroid")
+  private val GeometryStructFns = Set("travel_time_route", "travel_time_route_geom")
+
+  /** Is `e` a host-GEOMETRY-typed value? This engine keeps WKB BinaryType
+    * as the single canonical geometry representation (SURVEY §1.2/§7 risk
+    * 3 — Spark has no GEOMETRY type and a UDT would bifurcate every ST_
+    * and routing signature), so GEOMETRY-ness exists exactly where the
+    * host makes it observable: at `typeof` introspection. The check is
+    * structural over the expression that produced the value, mirroring
+    * the host's typing of the same functions.
+    */
+  private def producesGeometry(e: Expression): Boolean = e match {
+    case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+      producesGeometry(a.child)
+    case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF =>
+      u.udfName.exists(n => GeometryProducers.contains(n.toLowerCase))
+    case g: org.apache.spark.sql.catalyst.expressions.GetStructField
+        if fieldNameOf(g).equalsIgnoreCase("geometry") =>
+      structFieldIsGeometry(g.child, g.ordinal)
+    case _ => false
+  }
+
+  private def fieldNameOf(
+      g: org.apache.spark.sql.catalyst.expressions.GetStructField): String =
+    g.name.getOrElse(g.child.dataType match {
+      case s: org.apache.spark.sql.types.StructType if s.length > g.ordinal =>
+        s(g.ordinal).name
+      case _ => ""
+    })
+
+  /** Does field `ordinal` of the struct-valued `child` hold a geometry?
+    * Covers the three shapes the reference exercises: the registered
+    * route-macro UDFs; a `struct_pack`/`named_struct` whose field value is
+    * itself geometry-producing; and the host macro's scalar-subquery form
+    * (`(SELECT struct_pack(... geometry := ST_GeomFromWKB(...)) FROM …)`,
+    * test/sql/monaco_routing.test:134-140) — walked through the subquery
+    * plan's top projection.
+    */
+  private def structFieldIsGeometry(child: Expression, ordinal: Int): Boolean =
+    child match {
+      case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF =>
+        u.udfName.exists(n => GeometryStructFns.contains(n.toLowerCase))
+      case cns: org.apache.spark.sql.catalyst.expressions.CreateNamedStruct
+          if cns.valExprs.length > ordinal =>
+        producesGeometry(cns.valExprs(ordinal))
+      case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+        structFieldIsGeometry(a.child, ordinal)
+      case s: org.apache.spark.sql.catalyst.expressions.ScalarSubquery =>
+        topProjection(s.plan).exists(structFieldIsGeometry(_, ordinal))
+      case _ => false
+    }
+
+  private def topProjection(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[Expression] = plan match {
+    case p: org.apache.spark.sql.catalyst.plans.logical.Project
+        if p.projectList.length == 1 =>
+      Some(p.projectList.head match {
+        case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+        case other => other
+      })
+    case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+      topProjection(s.child)
+    case _ => None
+  }
+
   /** `typeof` with the host's type vocabulary. A pure function of the
-    * ARGUMENT'S TYPE: the child is never evaluated (its code is not even
-    * emitted), exactly like the host's constant-folding of typeof.
+    * ARGUMENT'S TYPE (plus the [[producesGeometry]] structural check): the
+    * child is never evaluated (its code is not even emitted), exactly like
+    * the host's constant-folding of typeof.
     */
   case class TypeofHost(child: Expression)
       extends Expression
@@ -101,14 +178,16 @@ object DuckCompat {
       org.apache.spark.sql.types.StringType
     override def nullable: Boolean = false
     override def foldable: Boolean = true
+    private def typeName: String =
+      if (producesGeometry(child)) "GEOMETRY" else hostTypeName(child.dataType)
     override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
-      org.apache.spark.unsafe.types.UTF8String.fromString(hostTypeName(child.dataType))
+      org.apache.spark.unsafe.types.UTF8String.fromString(typeName)
     override protected def doGenCode(
         ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
         ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
         : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
       val ref = ctx.addReferenceObj("typeofName",
-        org.apache.spark.unsafe.types.UTF8String.fromString(hostTypeName(child.dataType)),
+        org.apache.spark.unsafe.types.UTF8String.fromString(typeName),
         "UTF8String")
       import org.apache.spark.sql.catalyst.expressions.codegen.Block._
       ev.copy(

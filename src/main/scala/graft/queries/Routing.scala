@@ -469,6 +469,10 @@ object Routing {
         // resolvable through catalog introspection after load, and the
         // route-geometry type must introspect as BINARY (DuckDB: BLOB)
         graft.functions.Introspection.register(s)
+        // the host-vocabulary typeof is part of the surface under test —
+        // register it HERE, not by courtesy of whichever query ran earlier
+        // (a minimal-selection Verify run exposed the order dependence)
+        graft.functions.DuckCompat.register(s)
         ensure(s)
         val fns = Seq("travel_time_load_config", "travel_time",
           "travel_time_is_loaded", "travel_time_route_wkb",

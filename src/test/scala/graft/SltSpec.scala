@@ -48,13 +48,13 @@ class SltSpec extends AnyFunSuite {
     org.apache.spark.sql.SparkSession.setActiveSession(s)
     try {
       graft.routing.RoutingContext.unload()
+      // no skips: the former typeof-of-GEOMETRY divergence is closed —
+      // typeof recognizes host-GEOMETRY-typed expressions structurally
+      // (DuckCompat.producesGeometry), so line 144's macro introspection
+      // reads GEOMETRY while line 51's _wkb stays BLOB, exactly the host
       SltRunner.run(s, text,
         substitute = _.replace("./valhalla_data/valhalla.json",
-          s"$monacoTiles/valhalla.json"),
-        // documented divergence: geometry is WKB BinaryType by design
-        // (SURVEY §7 risk 3 — Spark has no GEOMETRY type), so the host's
-        // `typeof(...) = GEOMETRY` introspection reads BLOB here
-        skip = (_, expected) => expected == Seq("GEOMETRY"))
+          s"$monacoTiles/valhalla.json"))
     } finally {
       prev.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
       graft.routing.RoutingContext.unload()
@@ -68,10 +68,10 @@ class SltSpec extends AnyFunSuite {
     assert(r.checks >= 8)
   }
 
-  test("test/sql/monaco_routing.test passes verbatim (1 documented skip)") {
+  test("test/sql/monaco_routing.test passes verbatim (zero skips)") {
     val r = runFile("monaco_routing.test")
     assert(r.failures.isEmpty, r.failures.mkString("\n\n"))
-    assert(r.checks >= 20)
-    assert(r.skipped.length == 1)
+    assert(r.checks >= 21)
+    assert(r.skipped.isEmpty)
   }
 }
