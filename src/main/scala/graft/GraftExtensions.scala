@@ -139,8 +139,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("minhash_sig", 3) { exprs =>
         require(exprs(1).foldable && exprs(2).foldable,
           "minhash_sig: q and k must be literals")
+        def asInt(e: Expression, what: String): Int = e.eval() match {
+          case i: Int  => i
+          case l: Long => l.toInt
+          case other   => throw new IllegalArgumentException(
+            s"minhash_sig: $what must be an integer literal, got $other")
+        }
         graft.functions.MinhashSig(exprs(0),
-          exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])
+          asInt(exprs(1), "q"), asInt(exprs(2), "k"))
       }))
     // host-dialect function-name aliases (len, list_*, string_split,
     // regexp_matches, ...) — vocabulary parity so reference-host statements

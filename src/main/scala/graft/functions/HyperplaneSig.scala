@@ -58,17 +58,23 @@ case class HyperplaneSig(vec: Expression, weightsExpr: Expression)
   private def vecIsDouble: Boolean =
     vec.dataType.asInstanceOf[ArrayType].elementType == DoubleType
 
-  /** The kernel, shared by eval and generated code (reference-object call). */
+  /** The kernel, shared by eval and generated code (reference-object call).
+    * A vector whose length differs from the hyperplane dimension yields
+    * the all-'0' signature: the HOF baseline's `zip_with` null-pads the
+    * shorter side, which nulls every projection — length mismatch means
+    * "no defined bucket", not the sign of a partial projection.
+    */
   def kernel(v: ArrayData, isDouble: Boolean): UTF8String = {
     val bits = new Array[Byte](weights.length)
+    val dim = if (weights.isEmpty) 0 else weights(0).length
+    val ragged = v.numElements() != dim
     var b = 0
     while (b < weights.length) {
       val w = weights(b)
-      val n = math.min(v.numElements(), w.length)
       var proj = 0.0
-      var sawNull = false
+      var sawNull = ragged || w.length != dim
       var j = 0
-      while (j < n) {
+      while (j < dim && !sawNull) {
         if (v.isNullAt(j)) sawNull = true
         else {
           val x = if (isDouble) v.getDouble(j) else v.getFloat(j).toDouble

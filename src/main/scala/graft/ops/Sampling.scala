@@ -76,8 +76,12 @@ object Sampling {
     }
     val ssum = roots.values.sum
     counts.map { case (s, n) =>
-      val a = 2L * roots(s) * bigN * 1000L
-      val b = 2L * n * ssum
+      // BigInt intermediates: 2·root·N·1000 crosses Long.MaxValue around
+      // 3e8 total docs — exactly the corpus scale this derivation targets
+      // (the oracle mirrors with HUGEINT); the quotient is a per-mill
+      // weight and always fits
+      val a = BigInt(2) * roots(s) * bigN * 1000
+      val b = BigInt(2) * n * ssum
       s -> ((a + b / 2) / b).toInt
     }
   }

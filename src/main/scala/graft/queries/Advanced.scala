@@ -531,11 +531,14 @@ object Advanced {
         val counts = docs.groupBy(col("source")).count()
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         val permill = graft.ops.Sampling.temperatureWeightsSqrt(counts)
+        // fileSink: the mixture is a corpus-sized high-fanout output (~N
+        // replicated rows) — the memory sink's driver funnel is exactly
+        // what the s12 stress run blew; executors write parquet directly
         val sink = EventStreams.runBoundedDocs(s, d, "s15_sink",
           st => graft.ops.Sampling.mixEpochs(
             st.select(col("doc_id"), col("source")),
             "doc_id", "source", permill, defaultPermill = 1000, salt = "tmix"),
-          shufflePartitions = Some(8))
+          shufflePartitions = Some(8), fileSink = true)
         val summary = counts.toSeq.map { case (src, n) =>
           (src, n, permill(src).toLong)
         }.toDF("source", "n_docs", "permill")

@@ -144,7 +144,8 @@ object Pipeline {
       |  FROM n),
       |sm AS (SELECT CAST(sum(s) AS BIGINT) AS ssum FROM r),
       |w AS (SELECT source, n_docs,
-      |    CAST((2 * s * nn * 1000 + n_docs * ssum) // (2 * n_docs * ssum)
+      |    CAST((2 * CAST(s AS HUGEINT) * nn * 1000 + CAST(n_docs AS HUGEINT) * ssum)
+      |      // (2 * CAST(n_docs AS HUGEINT) * ssum)
       |      AS BIGINT) AS permill
       |  FROM r, tot, sm),
       |m AS (SELECT d.doc_id, d.source, w.permill,
@@ -1211,32 +1212,40 @@ object Pipeline {
           // crash BEFORE rename leaves only an orphaned staging dir).
           val coarse = ivfModel(s, d)
           val books = pqModel(s, d)
-          // a marker-less existing dir is debris from a superseded layout
-          // format or an interrupted legacy write — clear it so the rename
-          // can land
-          if (java.nio.file.Files.exists(dir)) {
-            import scala.jdk.CollectionConverters._
-            val all = java.nio.file.Files.walk(dir).iterator().asScala.toSeq
-            all.sortBy(-_.getNameCount)
-              .foreach(java.nio.file.Files.deleteIfExists(_: java.nio.file.Path))
-          }
           val staging = java.nio.file.Files.createTempDirectory(
             dir.getParent, s"graft-ivfadc-$digest-stage")
           Similarity.writeIvfAdcLayout(emb, "vec_id", "embedding",
             coarse, books, subDim = 16, s"$staging/codes")
           Similarity.writeIvfAdcModel(staging.resolve("_MODEL.bin"), coarse, books)
           java.nio.file.Files.writeString(staging.resolve("_LAYOUT_OK"), "ok")
-          try java.nio.file.Files.move(staging, dir,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          catch {
-            case _: java.nio.file.FileAlreadyExistsException |
-                 _: java.nio.file.DirectoryNotEmptyException |
-                 _: java.nio.file.AccessDeniedException =>
-              // lost the race — another driver committed first; use theirs
-              import scala.jdk.CollectionConverters._
-              val all = java.nio.file.Files.walk(staging).iterator().asScala.toSeq
-              all.sortBy(-_.getNameCount)
-                .foreach(java.nio.file.Files.deleteIfExists(_: java.nio.file.Path))
+          def discard(p: java.nio.file.Path): Unit = {
+            import scala.jdk.CollectionConverters._
+            val all = java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            all.sortBy(-_.getNameCount)
+              .foreach(java.nio.file.Files.deleteIfExists(_: java.nio.file.Path))
+          }
+          def tryCommit(): Boolean =
+            try {
+              java.nio.file.Files.move(staging, dir,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              true
+            } catch {
+              case _: java.nio.file.FileAlreadyExistsException |
+                   _: java.nio.file.DirectoryNotEmptyException |
+                   _: java.nio.file.AccessDeniedException => false
+            }
+          if (!tryCommit()) {
+            // rename blocked by an existing dir. MARKER PRESENT = another
+            // driver committed while we built — use theirs, discard ours.
+            // Marker absent = debris from an interrupted legacy write;
+            // clear it and retry ONCE (never touch a dir whose marker
+            // re-check says committed — deleting a just-committed layout
+            // under a concurrent reader is the race this ordering avoids)
+            if (java.nio.file.Files.exists(marker)) discard(staging)
+            else {
+              discard(dir)
+              if (!tryCommit()) discard(staging)
+            }
           }
         }
         val (coarse, books) = Similarity.readIvfAdcModel(dir.resolve("_MODEL.bin"))
@@ -1374,7 +1383,15 @@ object Pipeline {
         // ONE signature pipeline feeds both the banded candidate join and
         // the per-pair component compare (a second minhashCandidates call
         // would recompute the k·|shingles| digest scan — the dominant
-        // stage — under a differently-shaped plan Spark cannot share)
+        // stage — under a differently-shaped plan Spark cannot share).
+        // Unlike minhashCandidates this bands EVERY doc (no exact-dup
+        // collapse): identical copies inflate in-bucket join work by a
+        // constant factor bounded by the OUTPUT pair multiplicity (every
+        // dup pair is a real output row here — the calibration covers
+        // them), so the trade is signature work on 1/dup-factor of the
+        // docs (collapse) vs one signature pass total (this); at a
+        // dup-ratio where the collapse wins, band collapsed reps and
+        // expand pairs as Dedup.minhashCandidates does.
         val sig = Dedup.minhashSignatures(
             docs.select($"doc_id".as("doc"), $"text".as("__text")),
             "doc", "__text", q = 5, k = 12)

@@ -945,6 +945,17 @@ class OpsSpec extends AnyFunSuite {
       Similarity.hyperplaneSignature($"v", dim = 4, nBits = 6).as("n"),
       Similarity.hyperplaneSignatureHof($"v", dim = 4, nBits = 6).as("h")).collect()(0)
     assert(z.getString(0) == z.getString(1) && z.getString(0) == "111111")
+    // length mismatch: the HOF's zip_with null-pads, nulling every
+    // projection -> all-zero signature; the kernel must agree (not sign a
+    // partial projection)
+    for (len <- Seq(3, 5)) {
+      val ragged = Seq((1L, Array.fill(len)(1.0f).toSeq)).toDF("id", "v")
+      val r = ragged.select(
+        Similarity.hyperplaneSignature($"v", dim = 4, nBits = 6).as("n"),
+        Similarity.hyperplaneSignatureHof($"v", dim = 4, nBits = 6).as("h")).collect()(0)
+      assert(r.getString(0) == r.getString(1) && r.getString(0) == "000000",
+        s"len=$len: native ${r.getString(0)} hof ${r.getString(1)}")
+    }
   }
 
   test("decontaminationPairs: colliding train/eval doc ids stay unambiguous (ADVICE r4)") {
