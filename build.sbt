@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify contract is "ONE JSON line, parseable from the stdout
+// tail". Two settings make that literal: forked run output goes straight
+// to stdout (no [info] prefix, no logger buffering), and sbt's
+// "[success] Total time" epilogue — which for five rounds trailed the
+// bench JSON and broke the driver's tail parse — is suppressed.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / showTiming := false
+// the two display settings are read by sbt's command engine, not by a
+// task — exclude them from the unused-key lint so every launch is quiet
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -23,8 +23,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * left-to-right fold Σ x_i·w_i in double (floats promoted), bit = '1'
   * iff proj >= 0 — a NaN projection or a null element (which nulls the
   * whole HOF fold) yields '0', exactly like `when(proj >= 0, 1)
-  * .otherwise(0)` on a null/NaN input. OpsSpec pins the equivalence
-  * against the retained HOF formulation.
+  * .otherwise(0)` on a null/NaN input. A NULL input *vector* likewise
+  * yields the all-'0' signature (every projection is null → every bit
+  * takes the `otherwise(0)` branch), so the expression is never null.
+  * OpsSpec pins the equivalence against the retained HOF formulation,
+  * null vector included.
   */
 case class HyperplaneSig(vec: Expression, weightsExpr: Expression)
     extends BinaryExpression {
@@ -48,7 +51,7 @@ case class HyperplaneSig(vec: Expression, weightsExpr: Expression)
   }
 
   override def dataType: DataType = StringType
-  override def nullable: Boolean = vec.nullable
+  override def nullable: Boolean = false
 
   @transient private lazy val weights: Array[Array[Double]] = {
     val arr = weightsExpr.eval(null).asInstanceOf[ArrayData]
@@ -88,9 +91,13 @@ case class HyperplaneSig(vec: Expression, weightsExpr: Expression)
     UTF8String.fromBytes(bits)
   }
 
+  /** Signature of a NULL vector: every projection nulls, every bit '0'. */
+  def allZeroSig: UTF8String =
+    UTF8String.fromBytes(Array.fill[Byte](weights.length)('0'.toByte))
+
   override def eval(input: InternalRow): Any = {
     val v = vec.eval(input)
-    if (v == null) null else kernel(v.asInstanceOf[ArrayData], vecIsDouble)
+    if (v == null) allZeroSig else kernel(v.asInstanceOf[ArrayData], vecIsDouble)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -100,11 +107,9 @@ case class HyperplaneSig(vec: Expression, weightsExpr: Expression)
     ev.copy(code =
       code"""
         |${vc.code}
-        |boolean ${ev.isNull} = ${vc.isNull};
-        |org.apache.spark.unsafe.types.UTF8String ${ev.value} = null;
-        |if (!${ev.isNull}) {
-        |  ${ev.value} = $self.kernel(${vc.value}, $vecIsDouble);
-        |}
+        |boolean ${ev.isNull} = false;
+        |org.apache.spark.unsafe.types.UTF8String ${ev.value} =
+        |  ${vc.isNull} ? $self.allZeroSig() : $self.kernel(${vc.value}, $vecIsDouble);
        """.stripMargin)
   }
 

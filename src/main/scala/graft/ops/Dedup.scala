@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators: exact, MinHash+LSH, n-gram Jaccard.
@@ -114,6 +114,43 @@ object Dedup {
     bandsOf(minhashSignatures(
       df.select(col(idCol).as("doc"), col(textCol).as("__text")),
       "doc", "__text", q, k), k / rowsPerBand, rowsPerBand)
+
+  /** Materialize a [[bandBuckets]] frame as a PERSISTED band-index table
+    * bucketed on the probe key `(band, bucket)` — regime 3 of the §9.3
+    * streaming-dedup ladder (regimes 1-2 live in
+    * [[graft.streaming.EventStreams.nearDupStage]]): at deployment scale
+    * the corpus index is too big to broadcast (regime 1) and too expensive
+    * to re-shuffle every trigger (regime 2), so its shuffle is paid ONCE
+    * at write time. Every subsequent probe join reads pre-partitioned
+    * buckets — the static side carries NO Exchange in the per-trigger
+    * plan; only the (batch-sized) stream side shuffles. Column rename to
+    * `partner` happens here so the probe join needs no projection on the
+    * 100-TB side.
+    */
+  def writeBandIndexTable(corpusBands: DataFrame, table: String,
+                          path: String, nBuckets: Int = 8): Unit =
+    corpusBands.select(col("doc").as("partner"), col("band"), col("bucket"))
+      .write.format("parquet").mode("overwrite")
+      .option("path", path)
+      .bucketBy(nBuckets, "band", "bucket").sortBy("band", "bucket")
+      .saveAsTable(table)
+
+  /** Re-attach an existing [[writeBandIndexTable]] layout (written by an
+    * earlier session) as a bucketed external table — the amortized path:
+    * the files already carry the bucket layout, only the catalog entry is
+    * (re)created. The DDL must state the SAME bucket spec the writer used
+    * or Spark would silently treat the files as unbucketed and re-shuffle.
+    */
+  def attachBandIndexTable(spark: SparkSession, table: String,
+                           path: String, nBuckets: Int = 8): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(
+      s"""CREATE TABLE $table (partner BIGINT, band INT, bucket STRING)
+         |USING parquet
+         |CLUSTERED BY (band, bucket) SORTED BY (band, bucket)
+         |INTO $nBuckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
+  }
 
   /** Per-row band buckets as ONE column expression (array of bucket
     * strings, index = band): the stateless-streaming form of the signature

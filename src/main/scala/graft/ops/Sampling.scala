@@ -82,7 +82,13 @@ object Sampling {
       // weight and always fits
       val a = BigInt(2) * roots(s) * bigN * 1000
       val b = BigInt(2) * n * ssum
-      s -> ((a + b / 2) / b).toInt
+      val w = (a + b / 2) / b
+      // fail loudly rather than wrap: a per-mill weight beyond Int range
+      // means pathological skew (one giant source + singletons at >>3e8
+      // docs) and the caller must rescale, not receive a truncated weight
+      require(w.isValidInt,
+        s"temperature weight for source '$s' out of Int range ($w); rescale inputs")
+      s -> w.toInt
     }
   }
 

@@ -549,7 +549,62 @@ object Advanced {
             coalesce(col("n_mixture"), lit(0L)).as("n_mixture"))
           .orderBy(col("source"))
       },
-      Some(Pipeline.temperatureMixOracleSql))
+      Some(Pipeline.temperatureMixOracleSql)),
+
+    QueryDef("s16_stream_neardup_idx",
+      (s, d) => {
+        // s12's near-dup-on-ingest in §9.3 regime 3: the corpus band index
+        // is a PERSISTED table bucketed on the probe key (band, bucket) —
+        // written once per corpus release (fingerprint-cached like p50's
+        // layout: a regenerated dataset is an automatic cache miss, a
+        // re-run re-attaches the existing files by DDL), so the
+        // per-trigger join plan carries NO static-side Exchange; only the
+        // micro-batch probes shuffle. Same sink rows, same rollup, same
+        // oracle as s12 — the layout changes the COST of the answer,
+        // never the answer (StreamingSpec proves the plan property).
+        val corpus = t(s, d, "documents")
+        val digest = Pipeline.layoutFingerprint(d, Seq("documents.parquet"))
+        val dir = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), s"graft-bandidx-$digest")
+        val marker = dir.resolve("_INDEX_OK")
+        s.sql("DROP TABLE IF EXISTS graft_band_idx")
+        if (!java.nio.file.Files.exists(marker)) {
+          val idx = graft.ops.Dedup.bandBuckets(corpus, "doc_id", "text",
+            q = 5, k = 12, rowsPerBand = 3)
+          graft.ops.Dedup.writeBandIndexTable(idx, "graft_band_idx",
+            s"$dir/idx", nBuckets = 8)
+          java.nio.file.Files.createDirectories(dir)
+          java.nio.file.Files.writeString(marker, "ok")
+        } else {
+          graft.ops.Dedup.attachBandIndexTable(s, "graft_band_idx",
+            s"$dir/idx", nBuckets = 8)
+        }
+        val sink = EventStreams.runBoundedDocs(s, d, "s16_sink",
+          EventStreams.nearDupStageIndexed(s, "graft_band_idx"),
+          shufflePartitions = Some(8), fileSink = true)
+        val perDoc = sink.groupBy(col("doc_id"))
+          .agg(countDistinct(col("partner")).as("n_partners"),
+            count(lit(1)).as("n_band_hits"))
+        corpus.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_partners"), lit(0L)).as("n_partners"),
+            coalesce(col("n_band_hits"), lit(0L)).as("n_band_hits"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH cand AS (${Pipeline.minhashCandidatesSql}),
+             |bi AS (
+             |  SELECT a AS doc_id, b AS partner, n_bands FROM cand
+             |  UNION ALL
+             |  SELECT b AS doc_id, a AS partner, n_bands FROM cand),
+             |agg AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_partners,
+             |         CAST(sum(n_bands) AS BIGINT) AS n_band_hits
+             |  FROM bi GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  coalesce(a.n_partners, 0) AS n_partners,
+             |  coalesce(a.n_band_hits, 0) AS n_band_hits
+             |FROM documents d LEFT JOIN agg a USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin))
   )
 
   /** (doc_id, media) with a deterministic PNG per seed column — the shared

@@ -417,6 +417,7 @@ object Pipeline {
              |SELECT qid, CAST(row_number() OVER w AS INT) AS rank, nid,
              |  round(list_cosine_similarity(qvec, nvec), 4) AS sim
              |FROM c CROSS JOIN q WHERE qid <> nid
+             |  AND NOT isnan(round(list_cosine_similarity(qvec, nvec), 4))
              |WINDOW w AS (PARTITION BY qid
              |             ORDER BY round(list_cosine_similarity(qvec, nvec), 4) DESC, nid)
              |QUALIFY row_number() OVER w <= 5
@@ -434,6 +435,7 @@ object Pipeline {
              |SELECT qid, CAST(row_number() OVER w AS INT) AS rank, nid,
              |  round(list_cosine_similarity(qvec, nvec), 4) AS sim
              |FROM c JOIN q ON qbucket = nbucket WHERE qid <> nid
+             |  AND NOT isnan(round(list_cosine_similarity(qvec, nvec), 4))
              |WINDOW w AS (PARTITION BY qid
              |             ORDER BY round(list_cosine_similarity(qvec, nvec), 4) DESC, nid)
              |QUALIFY row_number() OVER w <= 3
@@ -511,6 +513,7 @@ object Pipeline {
            |SELECT qid, CAST(row_number() OVER w AS INT) AS rank, nid,
            |  round(list_cosine_similarity(qvec, nvec), 4) AS sim
            |FROM c JOIN q ON qbucket = nbucket WHERE qid <> nid
+           |  AND NOT isnan(round(list_cosine_similarity(qvec, nvec), 4))
            |WINDOW w AS (PARTITION BY qid
            |             ORDER BY round(list_cosine_similarity(qvec, nvec), 4) DESC, nid)
            |QUALIFY row_number() OVER w <= 3
@@ -1204,48 +1207,44 @@ object Pipeline {
         if (!java.nio.file.Files.exists(marker)) {
           // one-time build: train (same recipe as p62 — the oracle depends
           // on it), encode, persist codes + model. Built in a PRIVATE
-          // staging dir and atomically renamed into place so concurrent
-          // drivers (a bench and a verify run on the same sf dir) can't
-          // interleave writes into one directory: whoever renames first
-          // wins, the loser discards its staging copy and reads the
-          // winner's committed layout. The marker still gates re-use (a
-          // crash BEFORE rename leaves only an orphaned staging dir).
-          val coarse = ivfModel(s, d)
-          val books = pqModel(s, d)
-          val staging = java.nio.file.Files.createTempDirectory(
-            dir.getParent, s"graft-ivfadc-$digest-stage")
-          Similarity.writeIvfAdcLayout(emb, "vec_id", "embedding",
-            coarse, books, subDim = 16, s"$staging/codes")
-          Similarity.writeIvfAdcModel(staging.resolve("_MODEL.bin"), coarse, books)
-          java.nio.file.Files.writeString(staging.resolve("_LAYOUT_OK"), "ok")
-          def discard(p: java.nio.file.Path): Unit = {
-            import scala.jdk.CollectionConverters._
-            val all = java.nio.file.Files.walk(p).iterator().asScala.toSeq
-            all.sortBy(-_.getNameCount)
-              .foreach(java.nio.file.Files.deleteIfExists(_: java.nio.file.Path))
-          }
-          def tryCommit(): Boolean =
-            try {
+          // staging dir and atomically renamed into place. The whole
+          // build-or-adopt decision holds an OS file lock (sibling .lock,
+          // FileChannel.tryLock-with-wait) so the marker check and any
+          // debris cleanup are ATOMIC across concurrent local drivers (a
+          // bench and a verify run on the same sf dir): the ADVICE r5 race
+          // — exists(marker)-then-discard(dir) deleting files under a
+          // concurrent writer mid-commit — cannot interleave, because the
+          // writer commits under the same lock. Readers past the marker
+          // never take the lock (a committed layout is immutable).
+          val lockPath = dir.getParent.resolve(s"graft-ivfadc-$digest.lock")
+          val lockCh = java.nio.channels.FileChannel.open(lockPath,
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.WRITE)
+          val lock = lockCh.lock() // blocks until the competing driver commits
+          try {
+            if (!java.nio.file.Files.exists(marker)) {
+              def discard(p: java.nio.file.Path): Unit = {
+                import scala.jdk.CollectionConverters._
+                val all = java.nio.file.Files.walk(p).iterator().asScala.toSeq
+                all.sortBy(-_.getNameCount)
+                  .foreach(java.nio.file.Files.deleteIfExists(_: java.nio.file.Path))
+              }
+              // marker absent UNDER THE LOCK = dir (if present) is debris
+              // from an interrupted legacy/crashed write — safe to clear
+              if (java.nio.file.Files.exists(dir)) discard(dir)
+              val coarse = ivfModel(s, d)
+              val books = pqModel(s, d)
+              val staging = java.nio.file.Files.createTempDirectory(
+                dir.getParent, s"graft-ivfadc-$digest-stage")
+              Similarity.writeIvfAdcLayout(emb, "vec_id", "embedding",
+                coarse, books, subDim = 16, s"$staging/codes")
+              Similarity.writeIvfAdcModel(staging.resolve("_MODEL.bin"), coarse, books)
+              java.nio.file.Files.writeString(staging.resolve("_LAYOUT_OK"), "ok")
               java.nio.file.Files.move(staging, dir,
                 java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-              true
-            } catch {
-              case _: java.nio.file.FileAlreadyExistsException |
-                   _: java.nio.file.DirectoryNotEmptyException |
-                   _: java.nio.file.AccessDeniedException => false
-            }
-          if (!tryCommit()) {
-            // rename blocked by an existing dir. MARKER PRESENT = another
-            // driver committed while we built — use theirs, discard ours.
-            // Marker absent = debris from an interrupted legacy write;
-            // clear it and retry ONCE (never touch a dir whose marker
-            // re-check says committed — deleting a just-committed layout
-            // under a concurrent reader is the race this ordering avoids)
-            if (java.nio.file.Files.exists(marker)) discard(staging)
-            else {
-              discard(dir)
-              if (!tryCommit()) discard(staging)
-            }
+            } // else: a competing driver committed while we waited — adopt
+          } finally {
+            lock.release(); lockCh.close()
           }
         }
         val (coarse, books) = Similarity.readIvfAdcModel(dir.resolve("_MODEL.bin"))

@@ -257,6 +257,31 @@ object EventStreams {
       .select(col("doc_id"), col("partner"), col("band"))
   }
 
+  /** Regime 3 of the §9.3 index-size ladder — the deployment-scale shape:
+    * the corpus band index is a PERSISTED table bucketed on
+    * `(band, bucket)` ([[graft.ops.Dedup.writeBandIndexTable]]), so the
+    * static side's shuffle was paid once at write time and the per-trigger
+    * join plan carries NO static-side Exchange — the bucketed scan already
+    * satisfies the join's required distribution. Only the micro-batch's
+    * probe rows shuffle, and that exchange is proportional to the BATCH,
+    * never the corpus. The `merge` hint pins the sort-merge shape: without
+    * it a small index would auto-broadcast (regime 1's plan — re-shipped
+    * per trigger, the cost this regime exists to end) and the bucket
+    * layout would buy nothing. Rows are identical across all three
+    * regimes (StreamingSpec proves path equality and the no-Exchange
+    * plan property).
+    */
+  def nearDupStageIndexed(spark: SparkSession, indexTable: String)
+                         (docs: DataFrame): DataFrame = {
+    val idx = spark.table(indexTable)
+    val probes = docs.select(col("doc_id"),
+      posexplode(graft.ops.Dedup.bandBucketArray("text", 5, 12, 3))
+        .as(Seq("band", "bucket")))
+    probes.join(idx.hint("merge"), Seq("band", "bucket"))
+      .filter(col("partner") =!= col("doc_id"))
+      .select(col("doc_id"), col("partner"), col("band"))
+  }
+
   /** Stream-static enrichment — the standard streaming-ingest shape: each
     * arriving event picks up its dimension row via a BROADCAST join (the
     * static side is planned once and shipped to executors; no state store,

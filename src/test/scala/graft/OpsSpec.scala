@@ -956,6 +956,16 @@ class OpsSpec extends AnyFunSuite {
       assert(r.getString(0) == r.getString(1) && r.getString(0) == "000000",
         s"len=$len: native ${r.getString(0)} hof ${r.getString(1)}")
     }
+    // NULL vector: every projection nulls -> every bit takes the
+    // otherwise('0') branch in the HOF; the native kernel must emit the
+    // same all-zero signature, not SQL NULL (ADVICE r5)
+    val nullVec = Seq((1L, Option.empty[Seq[Float]])).toDF("id", "v")
+    val nv = nullVec.select(
+      Similarity.hyperplaneSignature($"v", dim = 4, nBits = 6).as("n"),
+      Similarity.hyperplaneSignatureHof($"v", dim = 4, nBits = 6).as("h")).collect()(0)
+    assert(!nv.isNullAt(0) && !nv.isNullAt(1),
+      s"null vec must not null the signature: native ${nv.get(0)} hof ${nv.get(1)}")
+    assert(nv.getString(0) == nv.getString(1) && nv.getString(0) == "000000")
   }
 
   test("decontaminationPairs: colliding train/eval doc ids stay unambiguous (ADVICE r4)") {

@@ -60,6 +60,64 @@ class StreamingSpec extends AnyFunSuite {
       s"fallback must be a shuffled equi-join on (band, bucket):\n$fin")
   }
 
+  test("near-dup regime 3: bucketed persisted index, no static-side exchange per trigger") {
+    // §9.3's deployment-scale regime: the corpus band index persisted as a
+    // (band, bucket)-bucketed table — its shuffle paid once at write time.
+    // Proven here on the REAL per-trigger plan (StreamingQuery.explain of
+    // the AvailableNow run): the join is a sort-merge whose static side is
+    // the bucketed scan with NO Exchange above it — exactly ONE
+    // "Exchange hashpartitioning" in the whole micro-batch plan, and it is
+    // the probe (batch-sized) side. Rows identical to regimes 1 and 2.
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val idx = graft.ops.Dedup.bandBuckets(docs, "doc_id", "text", 5, 12, 3)
+    val tblDir = java.nio.file.Files.createTempDirectory("graft-bandidx")
+    spark.sql("DROP TABLE IF EXISTS t_band_idx")
+    graft.ops.Dedup.writeBandIndexTable(idx, "t_band_idx",
+      tblDir.resolve("idx").toString, nBuckets = 8)
+    // reference rows: regime 1 (broadcast) on the same batch frame
+    val viaBroadcast = EventStreams.nearDupStage(idx)(docs)
+      .orderBy(col("doc_id"), col("partner"), col("band")).collect()
+
+    // regime 3 on the batch frame: row equality + structural no-exchange
+    val viaIndexed = EventStreams.nearDupStageIndexed(spark, "t_band_idx")(docs)
+    val rows = viaIndexed.orderBy(col("doc_id"), col("partner"), col("band")).collect()
+    assert(rows.length == viaBroadcast.length && rows.length > 0)
+    rows.zip(viaBroadcast).foreach { case (a, b) => assert(a == b) }
+
+    // regime 3 as an actual micro-batch: per-trigger plan from the query
+    val ck = java.nio.file.Files.createTempDirectory("graft-ck-regime3")
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(s"$dir/documents.parque[t]")
+    val q = EventStreams.nearDupStageIndexed(spark, "t_band_idx")(stream)
+      .writeStream.format("memory").queryName("t_regime3")
+      .outputMode("append")
+      .option("checkpointLocation", ck.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val baos = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(baos)) { q.explain() }
+    val full = baos.toString
+    // AQE's explain appends the pre-adaptive "== Initial Plan ==" dump,
+    // which repeats every node — assert on the final plan only
+    val cut0 = full.indexOf("== Initial Plan ==")
+    val plan = if (cut0 >= 0) full.substring(0, cut0) else full
+    assert(plan.contains("Bucketed: true"),
+      s"the static side must read its bucket layout:\n$plan")
+    assert(plan.contains("SortMergeJoin"),
+      s"regime 3 must sort-merge against the bucketed index:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"the merge hint must pin the plan off regime 1's broadcast:\n$plan")
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nExchanges == 1,
+      s"exactly one exchange (the probe side) allowed per trigger, got $nExchanges:\n$plan")
+    val streamedRows = spark.table("t_regime3")
+      .orderBy(col("doc_id"), col("partner"), col("band")).collect()
+    assert(streamedRows.length == viaBroadcast.length)
+    streamedRows.zip(viaBroadcast).foreach { case (a, b) => assert(a == b) }
+    spark.sql("DROP TABLE IF EXISTS t_band_idx")
+  }
+
   test("charLM score-on-ingest stream equals the batch scorer (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$dir/documents.parquet")
