@@ -101,37 +101,69 @@ object Multimodal {
         samples(i) = v.toShort / 32768.0
         i += 1
       }
-      var sumSq = 0.0; var sumAbs = 0.0; var peak = 0.0; var zc = 0
-      val quarterSq = new Array[Double](4)
-      i = 0
-      while (i < n) {
-        val s = samples(i)
-        sumSq += s * s; sumAbs += math.abs(s); peak = math.max(peak, math.abs(s))
-        if (i > 0 && (samples(i - 1) >= 0) != (s >= 0)) zc += 1
-        quarterSq(math.min(3, i * 4 / n)) += s * s
-        i += 1
-      }
-      val out = new Array[Float](FeatureDim)
-      out(0) = math.sqrt(sumSq / n).toFloat            // rms
-      out(1) = (zc.toDouble / n).toFloat               // zero-crossing rate
-      out(2) = (sumAbs / n).toFloat                    // mean |amplitude|
-      out(3) = peak.toFloat
-      var q = 0
-      while (q < 4) {
-        out(4 + q) = math.sqrt(quarterSq(q) / math.max(1, n / 4)).toFloat
-        q += 1
-      }
-      Some(out)
+      Some(audioFeatures(samples))
     } finally in.close()
   }
 
+  /** The shared audio feature kernel: RMS, zero-crossing rate, mean
+    * |amplitude|, peak, per-quarter RMS over normalized [-1, 1) samples —
+    * one formula for every container (WAV/AIFF via javax.sound, FLAC via
+    * the native [[Flac]] decoder), so identical samples give bit-identical
+    * features regardless of how they were compressed.
+    */
+  private def audioFeatures(samples: Array[Double]): Array[Float] = {
+    val n = samples.length
+    var sumSq = 0.0; var sumAbs = 0.0; var peak = 0.0; var zc = 0
+    val quarterSq = new Array[Double](4)
+    var i = 0
+    while (i < n) {
+      val s = samples(i)
+      sumSq += s * s; sumAbs += math.abs(s); peak = math.max(peak, math.abs(s))
+      if (i > 0 && (samples(i - 1) >= 0) != (s >= 0)) zc += 1
+      quarterSq(math.min(3, i * 4 / n)) += s * s
+      i += 1
+    }
+    val out = new Array[Float](FeatureDim)
+    out(0) = math.sqrt(sumSq / n).toFloat            // rms
+    out(1) = (zc.toDouble / n).toFloat               // zero-crossing rate
+    out(2) = (sumAbs / n).toFloat                    // mean |amplitude|
+    out(3) = peak.toFloat
+    var q = 0
+    while (q < 4) {
+      out(4 + q) = math.sqrt(quarterSq(q) / math.max(1, n / 4)).toFloat
+      q += 1
+    }
+    out
+  }
+
+  /** Real COMPRESSED audio decode: the native pure-Scala [[Flac]] decoder
+    * (the JDK's javax.sound SPI carries no compressed formats on a
+    * headless install). Same mono/16-bit feature contract as
+    * [[decodeAudio]]; because FLAC is lossless, a FLAC encode of the WAV
+    * fixture's samples produces byte-identical features — which is what
+    * lets the p72 oracle reuse p39's independently-derived DSP literals.
+    */
+  def decodeFlacAudio(bytes: Array[Byte]): Option[Array[Float]] =
+    Flac.decode(bytes).flatMap { d =>
+      if (d.info.channels != 1 || d.bitsPerSample != 16 || d.nSamples == 0) None
+      else {
+        val pcm = d.channels(0)
+        val samples = new Array[Double](pcm.length)
+        var i = 0
+        while (i < pcm.length) { samples(i) = pcm(i) / 32768.0; i += 1 }
+        Some(audioFeatures(samples))
+      }
+    }
+
   /** Decode dispatch: real pixels when ImageIO reads the bytes, real PCM
-    * samples when javax.sound does (WAV/AIFF), the deterministic stub only
-    * for formats the JDK genuinely lacks (compressed audio, video).
+    * samples when javax.sound does (WAV/AIFF) or the native [[Flac]]
+    * decoder does (compressed audio), the deterministic stub only for
+    * formats nothing here can decode (lossy audio, video).
     */
   def decode(bytes: Array[Byte]): Array[Float] =
     decodeImage(bytes)
       .orElse(decodeAudio(bytes))
+      .orElse(decodeFlacAudio(bytes))
       .getOrElse(stubDecode(bytes))
 
   /** Deterministic 16-bit mono PCM WAV fixture: a seed-keyed sine (RIFF
@@ -139,12 +171,11 @@ object Multimodal {
     */
   def syntheticWav(seed: Long, nSamples: Int = 4410,
                    sampleRate: Int = 44100): Array[Byte] = {
-    val freq = 200.0 + (seed % 40) * 50.0 // 200..2150 Hz
-    val amp = 0.5
+    val pcm = sineSamples(seed, nSamples, sampleRate) // 200..2150 Hz by seed
     val data = new Array[Byte](nSamples * 2)
     var i = 0
     while (i < nSamples) {
-      val v = (amp * math.sin(2 * math.Pi * freq * i / sampleRate) * 32767).toInt
+      val v = pcm(i)
       data(2 * i) = (v & 0xff).toByte
       data(2 * i + 1) = ((v >> 8) & 0xff).toByte
       i += 1
@@ -160,21 +191,44 @@ object Multimodal {
     out.array()
   }
 
-  /** STUB for media the JDK cannot decode (audio/video): deterministic
-    * fixed-shape "features" derived from the raw bytes. Kept ONLY as the
-    * non-image fallback; images take the real [[decodeImage]] path.
+  /** The [[syntheticWav]] sine as ints — shared by both fixture encoders
+    * so WAV and FLAC carry the SAME samples (lossless compression of one
+    * signal → one feature vector → one oracle).
+    */
+  private[graft] def sineSamples(seed: Long, nSamples: Int = 4410,
+                                 sampleRate: Int = 44100): Array[Int] = {
+    val freq = 200.0 + (seed % 40) * 50.0
+    val amp = 0.5
+    Array.tabulate(nSamples)(i =>
+      (amp * math.sin(2 * math.Pi * freq * i / sampleRate) * 32767).toInt)
+  }
+
+  /** Deterministic FLAC fixture: the [[syntheticWav]] sine, losslessly
+    * FLAC-encoded by the native [[Flac]] encoder (per-frame subframe
+    * strategy cycles VERBATIM/FIXED/LPC so the fixture exercises every
+    * decoder path). Decoding yields exactly the WAV samples — same
+    * features, same oracle literals.
+    */
+  def syntheticFlac(seed: Long, nSamples: Int = 4410,
+                    sampleRate: Int = 44100): Array[Byte] =
+    Flac.encode(Array(sineSamples(seed, nSamples, sampleRate)), sampleRate)
+
+  /** STUB for media nothing here can decode (lossy audio, video):
+    * deterministic fixed-shape "features" derived from the raw bytes.
+    * Kept ONLY as the last fallback; images take the real [[decodeImage]]
+    * path, PCM containers the real [[decodeAudio]] path, and COMPRESSED
+    * audio the native from-scratch [[Flac]] decoder (lossless — so the
+    * stub's remaining territory is genuinely undecodable-here media).
     *
-    * Closure note on compressed audio/video (MP3/Vorbis/AAC/H.264): a
-    * pure-JVM decoder (e.g. the public JLayer/jorbis libraries) would slot
-    * in behind [[decode]]'s dispatch with zero Spark-side change, but this
-    * build environment resolves dependencies offline from a fixed cache
-    * that carries none of them, and the JDK's `javax.sound` SPI ships no
+    * Closure note on the rest (MP3/Vorbis/AAC/H.264): a pure-JVM decoder
+    * (e.g. the public JLayer/jorbis libraries) would slot in behind
+    * [[decode]]'s dispatch with zero Spark-side change, but this build
+    * environment resolves dependencies offline from a fixed cache that
+    * carries none of them, and the JDK's `javax.sound` SPI ships no
     * compressed-format providers on a headless install — verified:
-    * `AudioSystem.getAudioFileTypes` lists only WAVE/AU/AIFF here. So the
-    * real-decode boundary is structural to the environment, not a design
-    * gap; the deterministic stub stays, and every format the JDK CAN
-    * decode (JPEG/PNG/GIF/BMP images, PCM WAV/AIFF audio) takes a real
-    * decode path above.
+    * `AudioSystem.getAudioFileTypes` lists only WAVE/AU/AIFF here. Lossy
+    * codecs are also not integer-exact, so they could never meet the
+    * hash-equality oracle contract the lossless formats do.
     */
   def stubDecode(bytes: Array[Byte]): Array[Float] = {
     val out = new Array[Float](FeatureDim)

@@ -432,6 +432,44 @@ object Advanced {
               |FROM documents d JOIN v ON d.doc_id % 40 = v.seed
               |ORDER BY id""".stripMargin)),
 
+    QueryDef("p72_flac_features",
+      (s, d) => {
+        import s.implicits._
+        // REAL compressed-audio decode: the WAV sine per document,
+        // losslessly FLAC-encoded by the native encoder, decoded back by
+        // the from-scratch Flac bitstream reader (LPC + Rice residuals +
+        // CRC/MD5 verification) inside the same mapPartitions batch shape
+        // as p39. Lossless means same samples -> same features, so the
+        // oracle reuses p39's independently-derived DSP literals; only
+        // n_bytes is container-specific (codec-determined per seed, the
+        // pngBytes pattern).
+        val ids = t(s, d, "documents").select($"doc_id")
+        val media = {
+          import org.apache.spark.sql.Row
+          import org.apache.spark.sql.types._
+          val schema = StructType(Seq(
+            StructField("doc_id", LongType), StructField("media", BinaryType)))
+          s.createDataFrame(
+            ids.select($"doc_id".cast("long")).rdd.mapPartitions { it =>
+              it.map(r => Row(r.getLong(0), Multimodal.syntheticFlac(r.getLong(0))))
+            }, schema)
+        }
+        Multimodal.extractFeatures(media, "doc_id", "media", "audio/flac")
+          .select($"id", $"format", $"n_bytes",
+            round(element_at($"features", 1).cast("double"), 4).as("rms"),
+            round(element_at($"features", 2).cast("double"), 5).as("zcr"),
+            round(element_at($"features", 4).cast("double"), 4).as("peak"))
+          .orderBy($"id")
+      },
+      Some(s"""WITH v(seed, rms, zcr, peak, n_bytes) AS (VALUES
+              |  ${MultimodalOracle.flacFeatValues})
+              |SELECT d.doc_id AS id, 'audio/flac' AS format,
+              |  CAST(v.n_bytes AS BIGINT) AS n_bytes,
+              |  CAST(v.rms AS DOUBLE) AS rms, CAST(v.zcr AS DOUBLE) AS zcr,
+              |  CAST(v.peak AS DOUBLE) AS peak
+              |FROM documents d JOIN v ON d.doc_id % 40 = v.seed
+              |ORDER BY id""".stripMargin)),
+
     QueryDef("p12_multimodal_frames",
       (s, d) => {
         import s.implicits._
