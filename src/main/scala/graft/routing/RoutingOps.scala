@@ -229,27 +229,46 @@ object RoutingOps {
     else (bestMs, bestD)
   }
 
-  /** Polygon contour per cutoff: concave hull (k-NN, graft.geo.Hull) of
-    * each contour's reachable node cloud as a GeoJSON FeatureCollection —
-    * the Valhalla-contour surface (valhalla-wrapper/src/wrapper.cpp:323-383;
-    * Valhalla contours are concave, so a convex ring would over-cover any
-    * star-shaped road network). Cutoffs in minutes, like the reference's
-    * `contours: [{time: ...}]` request shape.
+  /** Polygon contour per cutoff as a GeoJSON FeatureCollection — the
+    * Valhalla-contour surface (valhalla-wrapper/src/wrapper.cpp:323-383).
+    * Construction matches Valhalla's isotile: the settled Dijkstra cost
+    * field rasterized onto a regular grid and contoured at the budget
+    * ([[graft.geo.Isotile]]) — exact cell membership (budget-satisfying
+    * nodes inside, unreached samples outside, notches and pockets
+    * preserved), where the former k-NN concave hull was a cloud
+    * heuristic. One polygon → "Polygon", several components →
+    * "MultiPolygon", holes as inner rings. Cutoffs in minutes, like the
+    * reference's `contours: [{time: ...}]` request shape.
     */
   def isochroneContours(g: PreparedGraph, lat: Double, lon: Double,
-                        cutoffsMinutes: Seq[Double]): String = {
+                        cutoffsMinutes: Seq[Double],
+                        gridCells: Int = 128): String = {
     val s = g.snap(lat, lon)
     val features = if (s < 0) Nil else {
       val maxMs = (cutoffsMinutes.max * 60000).toLong
       val reach = calc(g).reachableWithin(s, maxMs)
+      val field = reach.toSeq.map { case (n, ms) => (g.nodeLon(n), g.nodeLat(n), ms) }
+      // resolution follows the expansion density (Valhalla sizes its
+      // isotile from the expansion too): ~sqrt(settled) cells per side
+      // keeps the average cell at ≥1 settled node, so a connected reach
+      // rasterizes connected; finer than that and sparse node clouds
+      // shatter into single-cell islands
+      val res = math.min(gridCells,
+        math.max(4, math.ceil(math.sqrt(field.size.toDouble)).toInt))
       cutoffsMinutes.sorted.map { cm =>
         val cutMs = (cm * 60000).toLong
-        val pts = reach.collect { case (n, ms) if ms <= cutMs => (g.nodeLon(n), g.nodeLat(n)) }
-        // thin huge clouds first: hull cost bounded, boundary preserved
-        val ring = graft.geo.Hull.concave(graft.geo.Hull.thin(pts.toSeq))
-        val coords = ring.map { case (x, y) => s"[$x,$y]" }.mkString(",")
+        val polys = graft.geo.Isotile.contours(field, cutMs, res)
+        def ringJson(r: Seq[(Double, Double)]): String =
+          r.map { case (x, y) => s"[$x,$y]" }.mkString("[", ",", "]")
+        def polyJson(p: Seq[Seq[(Double, Double)]]): String =
+          p.map(ringJson).mkString("[", ",", "]")
+        val geom =
+          if (polys.lengthCompare(1) == 0)
+            s"""{"type":"Polygon","coordinates":${polyJson(polys.head)}}"""
+          else
+            s"""{"type":"MultiPolygon","coordinates":${polys.map(polyJson).mkString("[", ",", "]")}}"""
         s"""{"type":"Feature","properties":{"contour":$cm},""" +
-          s""""geometry":{"type":"Polygon","coordinates":[[$coords]]}}"""
+          s""""geometry":$geom}"""
       }
     }
     s"""{"type":"FeatureCollection","features":[${features.mkString(",")}]}"""

@@ -59,6 +59,61 @@ class ContourSpec extends AnyFunSuite {
     info(f"thin ${cloud.length} -> ${thinned.length} pts, hull ${cc.length} vtx in $ms%.0f ms")
   }
 
+  test("isotile contour contains exactly the budget-satisfying samples (notch case)") {
+    // U-shaped reach on an 11x11 lattice: notch samples are PRESENT in the
+    // settled field but over budget — the grid construction must leave
+    // their cells outside, where a hull walk could smooth across the
+    // opening. Cell-per-node resolution (nCells = 10 spans per side).
+    val cut = 1000L
+    val field = for {
+      x <- 0 to 10; y <- 0 to 10
+    } yield {
+      val overBudget = x > 3 && x < 7 && y > 3
+      (x.toDouble, y.toDouble, if (overBudget) 9999L else 500L)
+    }
+    val polys = graft.geo.Isotile.contours(field, cut, nCells = 10)
+    assert(polys.nonEmpty)
+    def insideAny(p: (Double, Double)): Boolean = polys.exists { poly =>
+      Hull.pointInRing(p, poly.head) && !poly.tail.exists(h => Hull.pointInRing(p, h))
+    }
+    field.foreach { case (x, y, c) =>
+      if (c <= cut) assert(insideAny((x, y)), s"reached ($x,$y) must be inside")
+      else assert(!insideAny((x, y)), s"over-budget ($x,$y) must be outside")
+    }
+    // the notch interior (between lattice points) is outside too
+    assert(!insideAny((5.0, 8.0)))
+  }
+
+  test("isotile emits a hole for an interior unreached pocket") {
+    // reachable ring around an unreached center: one outer ring + one hole
+    val field = for {
+      x <- 0 to 6; y <- 0 to 6
+    } yield (x.toDouble, y.toDouble,
+      if (x >= 2 && x <= 4 && y >= 2 && y <= 4) 9999L else 100L)
+    val polys = graft.geo.Isotile.contours(field, 1000L, nCells = 6)
+    assert(polys.length == 1, s"one connected component, got ${polys.length}")
+    assert(polys.head.length == 2, s"outer + hole, got ${polys.head.length} rings")
+    val outer = polys.head.head; val hole = polys.head(1)
+    assert(Hull.pointInRing((3.0, 3.0), outer) && Hull.pointInRing((3.0, 3.0), hole),
+      "pocket center sits inside the hole ring (excluded from the polygon)")
+    assert(Hull.pointInRing((0.5, 0.5), outer) && !Hull.pointInRing((0.5, 0.5), hole),
+      "ring interior is polygon interior")
+  }
+
+  test("isotile keeps diagonally-touching components as separate polygons") {
+    val field = Seq((0.0, 0.0, 100L), (1.0, 1.0, 100L), (3.0, 3.0, 9999L))
+    val polys = graft.geo.Isotile.contours(field, 1000L, nCells = 3)
+    assert(polys.length == 2, s"diagonal touch must not merge: ${polys.length}")
+    polys.foreach(p => assert(p.head.length == 5, "each is a single cell square"))
+  }
+
+  test("isotile at full budget equals the reach, empty past it") {
+    val field = Seq((0.0, 0.0, 100L), (1.0, 0.0, 200L))
+    assert(graft.geo.Isotile.contours(field, 50L).isEmpty)
+    val all = graft.geo.Isotile.contours(field, 300L, nCells = 1)
+    assert(all.length == 1)
+  }
+
   test("isochrone contours: nested polygons, smaller cutoff inside larger") {
     val gj = spark.sql(
       s"""SELECT travel_time_isochrone_geojson(${GridFixture.latOf(55)},
@@ -66,7 +121,10 @@ class ContourSpec extends AnyFunSuite {
       .collect().head.getString(0)
     assert(gj.contains("\"FeatureCollection\""))
     assert(gj.contains("\"contour\":3.0") && gj.contains("\"contour\":15.0"))
-    assert(gj.contains("\"Polygon\""))
+    // the isotile contour is faithful to connectivity: a fast corridor
+    // reaching a detached pocket yields MultiPolygon, a connected reach a
+    // single Polygon — both are valid Valhalla-shaped geometries
+    assert(gj.contains("\"Polygon\"") || gj.contains("\"MultiPolygon\""))
     // crude nesting check: the 15-min polygon's lon span exceeds the 3-min one
     def span(contour: String): Double = {
       val part = gj.substring(gj.indexOf(contour))
