@@ -17,18 +17,30 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * construction is native Spark ETL, so the "tile build" is a distributed
   * job writing partitioned parquet, not a subprocess.
   */
-/** Analytic plane elevation surface, declared in the graph config — the
-  * synthetic stand-in for Valhalla's elevation tile directory (the config
-  * is where Valhalla wires elevation too: `additional_data.elevation` in
-  * its generated json, src/valhalla_build_tiles_simple.cpp:16-146). A
-  * plane is enough to make the `height` request action value-bearing and
-  * oracle-checkable; a real deployment swaps [[sample]] for a DEM raster
-  * lookup without touching the lifecycle.
+/** Elevation source declared in the graph config — the analogue of
+  * Valhalla wiring elevation through its config
+  * (`additional_data.elevation` in its generated json,
+  * src/valhalla_build_tiles_simple.cpp:16-146). Two kinds: the analytic
+  * [[PlaneDem]] (oracle-friendly synthetic surface) and [[HgtDemDir]]
+  * (a real SRTM `.hgt` raster tileset — the production shape, what the
+  * reference's Europe build downloads ~100 GB of,
+  * scripts/BUILD_EUROPE_TILES.md:29-56).
   */
-case class PlaneDem(base: Double, perDegLat: Double, perDegLon: Double) {
+sealed trait DemConfig
+
+/** Analytic plane elevation surface — enough to make the `height` request
+  * action value-bearing and exactly oracle-checkable.
+  */
+case class PlaneDem(base: Double, perDegLat: Double, perDegLon: Double)
+    extends DemConfig {
   def sample(lat: Double, lon: Double): Double =
     base + perDegLat * lat + perDegLon * lon
 }
+
+/** SRTM raster tileset directory ([[HgtDem]] does the sampling).
+  * Relative paths resolve against the config's own directory at load.
+  */
+case class HgtDemDir(dir: String) extends DemConfig
 
 object GraphStore {
   final val ConfigName = "graft_routing.json"
@@ -63,7 +75,7 @@ object GraphStore {
     * dir.
     */
   def save(byMode: Map[String, (DataFrame, DataFrame)], outDir: String,
-           dem: Option[PlaneDem] = None): String = {
+           dem: Option[DemConfig] = None): String = {
     byMode.foreach { case (m, (nodes, edges)) =>
       nodes.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$m/nodes.parquet")
       edges.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$m/edges.parquet")
@@ -72,11 +84,14 @@ object GraphStore {
   }
 
   private def writeConfig(outDir: String, modes: Seq[String],
-                          dem: Option[PlaneDem] = None): String = {
-    val demJson = dem.map(p =>
-      s""", "elevation": {"kind": "plane", "base": ${p.base}, """ +
-        s""""per_deg_lat": ${p.perDegLat}, "per_deg_lon": ${p.perDegLon}}""")
-      .getOrElse("")
+                          dem: Option[DemConfig] = None): String = {
+    val demJson = dem.map {
+      case p: PlaneDem =>
+        s""", "elevation": {"kind": "plane", "base": ${p.base}, """ +
+          s""""per_deg_lat": ${p.perDegLat}, "per_deg_lon": ${p.perDegLon}}"""
+      case h: HgtDemDir =>
+        s""", "elevation": {"kind": "hgt", "dem_dir": "${h.dir.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
+    }.getOrElse("")
     val cfg = s"""{"format": "graft-graph-parquet", "version": 1, """ +
       s""""modes": [${modes.sorted.map("\"" + _ + "\"").mkString(", ")}]$demJson}"""
     val path = java.nio.file.Paths.get(outDir, ConfigName)
@@ -107,6 +122,43 @@ object GraphStore {
         .map(_.group(1).toDouble)
     for (b <- num("base"); a <- num("per_deg_lat"); c <- num("per_deg_lon"))
       yield PlaneDem(b, a, c)
+  }
+
+  /** The config's elevation entry as a SAMPLER, whichever kind it
+    * declares: a plane evaluates analytically, an `hgt` tileset samples
+    * the [[HgtDem]] raster (relative `dem_dir` resolves against the
+    * config's directory — the tileset normally travels WITH the graph
+    * store, like Valhalla's elevation dir beside its tiles). None when no
+    * elevation is declared; a raster sampler returns NaN per point where
+    * tiles are missing or void (rendered as JSON null by `height`).
+    */
+  def readElevation(cfgPath: String,
+                    conf: org.apache.hadoop.conf.Configuration =
+                      new org.apache.hadoop.conf.Configuration())
+      : Option[(Double, Double) => Double] = {
+    readDem(cfgPath, conf) match {
+      case Some(plane) => return Some(plane.sample)
+      case None => ()
+    }
+    val p = new org.apache.hadoop.fs.Path(cfgPath)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val at = text.indexOf("\"elevation\"")
+    if (at < 0) return None
+    val seg = text.substring(at)
+    if (!"""\"kind\"\s*:\s*\"hgt\"""".r.findFirstIn(seg).isDefined) return None
+    """"dem_dir"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(seg).map { m =>
+      val raw = m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
+      val demPath = new org.apache.hadoop.fs.Path(raw)
+      val resolved =
+        if (demPath.isAbsolute || raw.contains("://")) raw
+        else new org.apache.hadoop.fs.Path(p.getParent, raw).toString
+      new HgtDem(resolved, conf).sample _
+    }
   }
 
   /** Smart-path resolution: a directory argument means `<dir>/graft_routing

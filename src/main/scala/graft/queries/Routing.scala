@@ -865,6 +865,67 @@ object Routing {
           }
         Seq(row).toDF("h0", "h1", "h2", "range_m_last",
           "heights_ok", "demless_null_ok")
+      }, None),
+
+    QueryDef("r29_height_hgt",
+      (s, _) => {
+        import s.implicits._
+        // Raster elevation — the production DEM shape (VERDICT r5 #4): a
+        // synthetic SRTM .hgt tile (side 601, big-endian int16, row 0 =
+        // north, a void pocket) written into the graph store's dem/
+        // subdir; the config declares {"kind": "hgt", "dem_dir": "dem"}
+        // (relative, resolving against the config — the tileset travels
+        // WITH the graph, like Valhalla's elevation dir), and
+        // travel_time_load_config wires the bilinear sampler. The tile
+        // carries the LINEAR field 200 + row + 2·col, which bilinear
+        // interpolation reproduces exactly — any indexing, endianness or
+        // seam bug breaks the *_ok witnesses. Void pocket and
+        // missing-tile points must degrade to JSON null PER POINT.
+        val dir = java.nio.file.Files.createTempDirectory("graft-hgt").toString
+        val side = 601
+        graft.graph.HgtDem.writeTile(s"$dir/dem", 43, 7, side,
+          (r, c) => if (r >= 100 && r <= 110 && c >= 100 && c <= 110) -32768
+                    else 200 + r + 2 * c)
+        graft.graph.GraphStore.save(
+          Map("auto" -> GridFixture.dataFrames(s, "auto")), dir,
+          Some(graft.graph.HgtDemDir("dem")))
+        val pts = Seq(0, 55, 99).map(i => (GridFixture.latOf(i), GridFixture.lonOf(i)))
+        val voidPt = (44.0 - 105.5 / 600.0, 7.0 + 105.5 / 600.0)
+        val missPt = (45.5, 7.5) // no N45E007 tile in the fixture set
+        val shape = (pts :+ voidPt :+ missPt).map { case (la, lo) =>
+          s"""{"lat": $la, "lon": $lo}"""
+        }.mkString("[", ", ", "]")
+        def expected(la: Double, lo: Double): Double =
+          math.round((200.0 + (44.0 - la) * (side - 1) +
+            2.0 * (lo - 7.0) * (side - 1)) * 100) / 100.0
+        val row =
+          try {
+            RoutingContext.loadConfig(s, dir)
+            val r = s.sql(
+              s"""SELECT travel_time_request('height', '{"shape": $shape}') AS h""")
+              .selectExpr(
+                "round(CAST(get_json_object(h, '$.height[0]') AS DOUBLE), 2) AS h0",
+                "round(CAST(get_json_object(h, '$.height[1]') AS DOUBLE), 2) AS h1",
+                "round(CAST(get_json_object(h, '$.height[2]') AS DOUBLE), 2) AS h2",
+                "CAST(coalesce(get_json_object(h, '$.height[3]'), 'null') = 'null' AS BOOLEAN) AS void_null_ok",
+                "CAST(coalesce(get_json_object(h, '$.height[4]'), 'null') = 'null' AS BOOLEAN) AS missing_null_ok")
+              .collect()(0)
+            val oks = pts.zipWithIndex.map { case ((la, lo), i) =>
+              math.abs(r.getDouble(i) - expected(la, lo)) <= 0.011
+            }
+            (r.getDouble(0), r.getDouble(1), r.getDouble(2),
+              oks(0), oks(1), oks(2), r.getBoolean(3), r.getBoolean(4))
+          } finally {
+            RoutingContext.unload(); ensure(s)
+            import scala.jdk.CollectionConverters._
+            val p = java.nio.file.Paths.get(dir)
+            java.nio.file.Files.walk(p).iterator().asScala.toSeq
+              .sortBy(-_.getNameCount)
+              .foreach(java.nio.file.Files.deleteIfExists(_: java.nio.file.Path))
+          }
+        Seq(row).toDF("h0", "h1", "h2",
+          "h0_bilinear_ok", "h1_bilinear_ok", "h2_bilinear_ok",
+          "void_null_ok", "missing_null_ok")
       }, None)
   )
 }

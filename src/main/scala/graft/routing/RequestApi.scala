@@ -254,9 +254,14 @@ object RequestApi {
     val pts = shapePoints(req)
     if (pts.isEmpty) return err("height requires shape points")
     val sampler = RoutingContext.elevation
+    // NaN = "no data at this point" (raster sampler over a missing/void
+    // tile) — rendered as JSON null per point, like Valhalla over a
+    // partial elevation tileset; a whole-provider absence nulls all
     def hOf(lat: Double, lon: Double): JValue =
-      sampler.map(f => JDouble(math.round(f(lat, lon) * 100) / 100.0): JValue)
-        .getOrElse(JNull)
+      sampler.map { f =>
+        val v = f(lat, lon)
+        if (v.isNaN) JNull else JDouble(math.round(v * 100) / 100.0): JValue
+      }.getOrElse(JNull)
     val shapeJson = JArray(pts.map { case (lat, lon) =>
       JObject("lat" -> JDouble(lat), "lon" -> JDouble(lon))
     })

@@ -142,9 +142,9 @@ object RoutingContext {
     // surface wires the `height` sampler, one that doesn't leaves heights
     // null (Valhalla-without-elevation-tiles semantics) — and replaces any
     // sampler a previous generation installed
-    graft.graph.GraphStore.readDem(cfgPath,
+    graft.graph.GraphStore.readElevation(cfgPath,
         spark.sparkContext.hadoopConfiguration) match {
-      case Some(dem) => setElevation(dem.sample)
+      case Some(sampler) => setElevation(sampler)
       case None => clearElevation()
     }
     RoutingFunctions.register(spark, h)

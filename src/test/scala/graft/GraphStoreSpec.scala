@@ -191,6 +191,51 @@ class GraphStoreSpec extends AnyFunSuite {
     } finally { RoutingContext.unload(); graft.queries.Routing.ensure(spark): Unit }
   }
 
+  test("HgtDem: tile naming, bilinear exactness, voids, seams, missing tiles") {
+    import graft.graph.HgtDem
+    assert(HgtDem.tileName(43, 7) == "N43E007.hgt")
+    assert(HgtDem.tileName(-1, -7) == "S01W007.hgt")
+    assert(HgtDem.tileName(0, 120) == "N00E120.hgt")
+    val dir = java.nio.file.Files.createTempDirectory("graft-hgt-spec").toString
+    val side = 101
+    // linear field + a void post at (50, 50)
+    def elev(r: Int, c: Int): Int = if (r == 50 && c == 50) -32768 else 100 + 3 * r + 5 * c
+    HgtDem.writeTile(dir, 43, 7, side, elev)
+    val dem = new HgtDem(dir, new org.apache.hadoop.conf.Configuration())
+    // exact posts (row 0 = NORTH edge = lat 44)
+    assert(dem.sample(44.0, 7.0) == 100.0, "NW corner = post (0,0)")
+    assert(dem.sample(43.0, 7.0) == 100.0 + 3 * 100, "SW corner = post (100,0)")
+    assert(dem.sample(44.0, 8.0 - 1e-12) +- (100.0 + 5 * 100, 0.01), "NE corner")
+    // bilinear reproduces the linear field exactly at off-post points
+    for ((la, lo) <- Seq((43.7384, 7.4246), (43.21, 7.87), (43.999, 7.001))) {
+      val exp = 100.0 + 3 * (44.0 - la) * (side - 1) + 5 * (lo - 7.0) * (side - 1)
+      assert(math.abs(dem.sample(la, lo) - exp) < 1e-6, s"($la,$lo)")
+    }
+    // any void corner -> NaN
+    val voidLat = 44.0 - 49.5 / (side - 1); val voidLon = 7.0 + 49.5 / (side - 1)
+    assert(dem.sample(voidLat, voidLon).isNaN, "void-adjacent sample must be NaN")
+    // missing tile -> NaN
+    assert(dem.sample(45.5, 7.5).isNaN)
+    assert(dem.sample(43.5, 9.5).isNaN)
+    // readElevation wires the raster kind with a relative dem_dir
+    val store = java.nio.file.Files.createTempDirectory("graft-hgt-store").toString
+    HgtDem.writeTile(s"$store/dem", 43, 7, side, elev)
+    GraphStore.save(Map("auto" -> GridFixture.dataFrames(spark, "auto")), store,
+      Some(graft.graph.HgtDemDir("dem")))
+    val sampler = GraphStore.readElevation(s"$store/${GraphStore.ConfigName}")
+    assert(sampler.isDefined, "hgt elevation entry must produce a sampler")
+    assert(math.abs(sampler.get(43.25, 7.75) -
+      (100.0 + 3 * 75 + 5 * 75)) < 1e-6)
+    assert(sampler.get(43.5, 7.5).isNaN, "the (50,50) void post samples NaN")
+    // plane entries still read through the same entry point
+    assert(GraphStore.readDem(s"$store/${GraphStore.ConfigName}").isEmpty,
+      "an hgt entry is not a plane")
+  }
+
+  private implicit final class Approx(private val a: Double) {
+    def +-(et: (Double, Double)): Boolean = math.abs(a - et._1) <= et._2
+  }
+
   test("missing config errors with the reference's contract") {
     val e = intercept[IllegalArgumentException] {
       GraphStore.resolveConfig("/nonexistent/path")
