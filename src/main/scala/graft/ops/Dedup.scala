@@ -77,7 +77,21 @@ object Dedup {
     * local 10× stress (every doc ×10 copies) runs the signature+verify
     * pipeline on 1/10 the docs and 1/100 the verified pairs.
     */
-  private final case class Collapsed(members: DataFrame, reps: DataFrame)
+  /** Seal-and-release (VERDICT r5 #5): materialize `result` eagerly via
+    * localCheckpoint — its lineage then references the checkpointed
+    * blocks, not the operator's internal caches — and unpersist those
+    * caches before returning. Library callers accumulate nothing across
+    * invocations; the sealed result itself is pairs-scale (bounded by the
+    * candidate count), never corpus-scale.
+    */
+  private def sealAndRelease(result: DataFrame, caches: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(true)
+    caches.foreach(_.unpersist(false))
+    out
+  }
+
+  private final case class Collapsed(members: DataFrame, reps: DataFrame,
+                                     cache: DataFrame)
 
   private def collapse(df: DataFrame, idCol: String, textCol: String): Collapsed = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("__text")))
@@ -86,7 +100,8 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Collapsed(
       members = m.select(col("doc"), col("gid")),
-      reps = m.filter(col("doc") === col("gid")).select(col("doc"), col("__text")))
+      reps = m.filter(col("doc") === col("gid")).select(col("doc"), col("__text")),
+      cache = m)
   }
 
   /** Candidate (repA, repB, n_bands) pairs between DISTINCT texts via LSH
@@ -209,14 +224,16 @@ object Dedup {
       .groupBy(col("doc").as("a"), col("edoc").as("b"))
       .agg(count(lit(1)).as("n_bands"))
     val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
-    cands
-      .join(shingleSets(train, idCol, textCol, q)
-        .select(col("doc").as("a"), col("shingles").as("sha")), "a")
-      .join(shingleSets(eval, idCol, textCol, q)
-        .select(col("doc").as("b"), col("shingles").as("shb")), "b")
-      .withColumn("jaccard", round(
-        inter / (size(col("sha")) + size(col("shb")) - inter), 4))
-      .select(col("a"), col("b"), col("n_bands"), col("jaccard"))
+    val shTrain = shingleSets(train, idCol, textCol, q)
+    val shEval = shingleSets(eval, idCol, textCol, q)
+    sealAndRelease(
+      cands
+        .join(shTrain.select(col("doc").as("a"), col("shingles").as("sha")), "a")
+        .join(shEval.select(col("doc").as("b"), col("shingles").as("shb")), "b")
+        .withColumn("jaccard", round(
+          inter / (size(col("sha")) + size(col("shb")) - inter), 4))
+        .select(col("a"), col("b"), col("n_bands"), col("jaccard")),
+      shTrain, shEval)
   }
 
   def bandBucketArray(textCol: String, q: Int, k: Int, rowsPerBand: Int): Column = {
@@ -229,8 +246,11 @@ object Dedup {
           x => x.cast("string"))))), 1)
   }
 
+  /** Returns (candidate pairs, the persisted signature cache) — the
+    * caller releases the cache once its consumer is sealed/materialized.
+    */
   private def bandCandidates(reps: DataFrame, q: Int, k: Int,
-                             rowsPerBand: Int): DataFrame = {
+                             rowsPerBand: Int): (DataFrame, DataFrame) = {
     val nBands = k / rowsPerBand
     // persist: the bands self-join below reads this subtree TWICE (both join
     // sides) — uncached, Spark recomputes the full explode + k-aggregate
@@ -240,10 +260,12 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = bandsOf(sig, nBands, rowsPerBand)
     val l = bands.as("l"); val r = bands.as("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+    val cands = l.join(r,
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
         col("l.doc") < col("r.doc"))
       .groupBy(col("l.doc").as("a"), col("r.doc").as("b"))
       .agg(count(lit(1)).as("n_bands"))
+    (cands, sig)
   }
 
   /** Rebuild member-level pairs from representative-level pairs:
@@ -276,10 +298,22 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         q: Int = 5, k: Int = 12, rowsPerBand: Int = 3): DataFrame = {
+    val (plan, caches) = minhashCandidatesPlan(df, idCol, textCol, q, k, rowsPerBand)
+    sealAndRelease(plan, caches: _*)
+  }
+
+  /** Unsealed [[minhashCandidates]] plan + its caches, for composition
+    * (containmentPairs) — the composer seals once at its own tail.
+    */
+  private def minhashCandidatesPlan(df: DataFrame, idCol: String, textCol: String,
+                                    q: Int, k: Int, rowsPerBand: Int)
+      : (DataFrame, Seq[DataFrame]) = {
     val nBands = k / rowsPerBand
     val c = collapse(df, idCol, textCol)
-    expandPairs(bandCandidates(c.reps, q, k, rowsPerBand), c.members,
+    val (cands, sig) = bandCandidates(c.reps, q, k, rowsPerBand)
+    val plan = expandPairs(cands, c.members,
       intraCarried = Seq(lit(nBands).cast("long").as("n_bands")))
+    (plan, Seq(sig, c.cache))
   }
 
   /** LSH-gated n-gram Jaccard: exact Jaccard computed ONLY on MinHash/LSH
@@ -296,12 +330,14 @@ object Dedup {
     // jaccard value, so a dup group of m docs costs 1 verification, not
     // m² — then expand (intra pairs are jaccard 1.0 by identity)
     val c = collapse(df, idCol, textCol)
-    val verified = jaccardVerify(c.reps,
-      bandCandidates(c.reps, q, k, rowsPerBand), "doc", "__text", q, threshold)
+    val (cands, sig) = bandCandidates(c.reps, q, k, rowsPerBand)
+    val (verified, sh) = jaccardVerifyPlan(c.reps, cands, "doc", "__text", q, threshold)
     val expanded = expandPairs(verified, c.members,
       intraCarried = Seq(lit(nBands).cast("long").as("n_bands"),
         lit(1.0).as("jaccard")))
-    if (threshold > 1.0) expanded.filter(col("jaccard") >= threshold) else expanded
+    val gated =
+      if (threshold > 1.0) expanded.filter(col("jaccard") >= threshold) else expanded
+    sealAndRelease(gated, sig, sh, c.cache)
   }
 
   /** Connected components over candidate pairs — the END of the near-dup
@@ -335,9 +371,16 @@ object Dedup {
                               q: Int = 5, k: Int = 12,
                               rowsPerBand: Int = 3): DataFrame = {
     val c = collapse(df, idCol, textCol)
-    val repPairs = bandCandidates(c.reps, q, k, rowsPerBand).select(col("a"), col("b"))
+    val (cands, sig) = bandCandidates(c.reps, q, k, rowsPerBand)
+    val repPairs = cands.select(col("a"), col("b"))
+    // nearDupClusters iterates EAGERLY (its convergence loop runs here),
+    // so the signature cache is drained by the time it returns; the
+    // collapse cache stays — members/reps feed the lazy result below
+    // (corpus-scale, so not sealed; the suite materializes through
+    // Pipeline.ccClusterTable's parquet layout, which amortizes it away)
     val repLabel = nearDupClusters(repPairs)
       .select(col("doc").as("gid"), col("cluster").as("rlab"))
+    sig.unpersist(false)
     val sizes = c.members.groupBy(col("gid")).agg(count(lit(1)).as("m"))
     // groups in the output: rep participates in a cross-text pair, OR the
     // group itself has >= 2 members (its intra pairs alone include it)
@@ -404,10 +447,9 @@ object Dedup {
     * reuses them instead of recomputing the MinHash pipeline. `cands` needs
     * (a, b) columns; an `n_bands` column is carried through when present.
     *
-    * Cache lifecycle: the shingle subtree persists MEMORY_AND_DISK for the
-    * session (shared across repeated calls by Spark's CacheManager);
-    * long-lived sessions moving to a NEW corpus should
-    * `spark.catalog.clearCache()` between corpora.
+    * Cache lifecycle: the shingle subtree persists for the verify and is
+    * released before returning — the result comes back sealed
+    * ([[sealAndRelease]]).
     */
   /** (doc, shingles ARRAY<BIGINT>) — each document's distinct q-gram set
     * as 60-bit md5-prefix hashes. Persisted: verification joins read it
@@ -416,11 +458,10 @@ object Dedup {
     * type takes the specialized hash path (~100× faster per pair).
     */
   /** Hashed q-gram shingle sets, cached MEMORY_AND_DISK because every
-    * verify joins this frame twice (both pair sides). The cache lives for
-    * the duration of the caller's job and is NOT unpersisted here — the
-    * results that read it are lazy. Sessions running many dedup jobs
-    * should `spark.catalog.clearCache()` between jobs (the Bench/Verify
-    * harnesses do), or cache pressure accumulates across jobs.
+    * verify joins this frame twice (both pair sides). Each public
+    * consumer SEALS its (pairs-scale) result and releases this cache
+    * before returning ([[sealAndRelease]]) — nothing accumulates across
+    * library invocations (VERDICT r5 #5).
     */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String,
                           q: Int): DataFrame =
@@ -440,9 +481,12 @@ object Dedup {
     * intersect evaluation.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-                       q: Int = 5, k: Int = 12, rowsPerBand: Int = 3): DataFrame =
-    containmentVerify(df, minhashCandidates(df, idCol, textCol, q, k, rowsPerBand),
-      idCol, textCol, q)
+                       q: Int = 5, k: Int = 12, rowsPerBand: Int = 3): DataFrame = {
+    val (cands, candCaches) =
+      minhashCandidatesPlan(df, idCol, textCol, q, k, rowsPerBand)
+    val (plan, sh) = containmentVerifyPlan(df, cands, idCol, textCol, q)
+    sealAndRelease(plan, candCaches :+ sh: _*)
+  }
 
   /** The verify stage of [[containmentPairs]], on caller-supplied candidate
     * (a, b[, n_bands]) pairs — also the right entry point when candidates
@@ -451,17 +495,25 @@ object Dedup {
     */
   def containmentVerify(df: DataFrame, cands: DataFrame, idCol: String,
                         textCol: String, q: Int = 5): DataFrame = {
+    val (plan, sh) = containmentVerifyPlan(df, cands, idCol, textCol, q)
+    sealAndRelease(plan, sh)
+  }
+
+  private def containmentVerifyPlan(df: DataFrame, cands: DataFrame,
+                                    idCol: String, textCol: String,
+                                    q: Int): (DataFrame, DataFrame) = {
     val sh = shingleSets(df, idCol, textCol, q)
     val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
     val carried =
       if (cands.columns.contains("n_bands")) Seq(col("a"), col("b"), col("n_bands"))
       else Seq(col("a"), col("b"))
-    cands
+    val plan = cands
       .join(sh.select(col("doc").as("a"), col("shingles").as("sha")), "a")
       .join(sh.select(col("doc").as("b"), col("shingles").as("shb")), "b")
       .withColumn("cont_a_in_b", round(inter / size(col("sha")), 4))
       .withColumn("cont_b_in_a", round(inter / size(col("shb")), 4))
       .select(carried :+ col("cont_a_in_b") :+ col("cont_b_in_a"): _*)
+    (plan, sh)
   }
 
   def jaccardVerify(df: DataFrame, cands: DataFrame, idCol: String, textCol: String,
@@ -471,18 +523,30 @@ object Dedup {
     // ~100x slower per pair), and |A∪B| = |A|+|B|-|A∩B| removes the
     // array_union evaluation entirely (measured ~2 ms/pair — the dominant
     // cost at 100k+ candidate pairs).
+    val (plan, sh) = jaccardVerifyPlan(df, cands, idCol, textCol, q, threshold)
+    sealAndRelease(plan, sh)
+  }
+
+  /** The unsealed [[jaccardVerify]] plan + its shingle cache — for
+    * composition inside [[lshJaccard]], which seals ONCE at its own tail
+    * (sealing here too would leave an orphaned inner checkpoint).
+    */
+  private def jaccardVerifyPlan(df: DataFrame, cands: DataFrame, idCol: String,
+                                textCol: String, q: Int,
+                                threshold: Double): (DataFrame, DataFrame) = {
     val sh = shingleSets(df, idCol, textCol, q)
     val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
     val carried =
       if (cands.columns.contains("n_bands")) Seq(col("a"), col("b"), col("n_bands"))
       else Seq(col("a"), col("b"))
-    cands
+    val plan = cands
       .join(sh.select(col("doc").as("a"), col("shingles").as("sha")), "a")
       .join(sh.select(col("doc").as("b"), col("shingles").as("shb")), "b")
       .withColumn("jaccard", round(
         inter / (size(col("sha")) + size(col("shb")) - inter), 4))
       .filter(col("jaccard") >= threshold)
       .select(carried :+ col("jaccard"): _*)
+    (plan, sh)
   }
 
   /** Exact all-pairs n-gram Jaccard: |A∩B| / |A∪B| over distinct q-gram

@@ -449,16 +449,20 @@ object Similarity {
     * scans of m small int codes per row — the float corpus is never read
     * again (VERDICT r4 #1: [[ivfAdcTopK]] recodes the corpus per run; this
     * is the persisted production shape it stood in for). One shuffle on
-    * the cell key gives one writer task per cell — at scale, salt the key
-    * and keep `partitionBy(cell)` for bigger cells, exactly like
-    * [[Layout.shardManifest]]'s note. `path` resolves through the Hadoop
-    * FileSystem API (hdfs/s3a work like local paths).
+    * the cell key gives one writer task per cell; `saltWriters > 1` adds
+    * a doc-hash salt to the SHUFFLE key only, so a hot coarse cell fans
+    * out across up to that many writer tasks (and files) while
+    * `partitionBy(cell)` keeps the directory layout — and therefore every
+    * probe — IDENTICAL (OpsSpec proves probe equality and the file
+    * fan-out). `path` resolves through the Hadoop FileSystem API
+    * (hdfs/s3a work like local paths).
     */
   def writeIvfAdcLayout(emb: DataFrame, idCol: String, vecCol: String,
                         coarse: Array[Array[Double]],
                         books: Array[Array[Array[Double]]], subDim: Int,
-                        path: String): Unit =
-    encodeAndWrite(emb, idCol, vecCol, coarse, books, subDim, path, "overwrite")
+                        path: String, saltWriters: Int = 1): Unit =
+    encodeAndWrite(emb, idCol, vecCol, coarse, books, subDim, path, "overwrite",
+      saltWriters)
 
   /** The one encode+write body behind [[writeIvfAdcLayout]] (overwrite)
     * and [[appendIvfAdcLayout]] (append): base layout and appended slices
@@ -468,13 +472,25 @@ object Similarity {
   private def encodeAndWrite(rows: DataFrame, idCol: String, vecCol: String,
                              coarse: Array[Array[Double]],
                              books: Array[Array[Array[Double]]], subDim: Int,
-                             path: String, mode: String): Unit = {
+                             path: String, mode: String,
+                             saltWriters: Int = 1): Unit = {
+    require(saltWriters >= 1, s"saltWriters must be >= 1, got $saltWriters")
     val codeCols = books.indices.map(j =>
       nearestCell(slice(col(vecCol), j * subDim + 1, subDim), books(j)).as(s"c$j"))
-    rows.select(col(idCol).as("nid") +:
-        nearestCell(col(vecCol), coarse).as("cell") +: codeCols: _*)
-      .repartition(col("cell"))
-      .write.mode(mode).partitionBy("cell").parquet(path)
+    val coded = rows.select(col(idCol).as("nid") +:
+      nearestCell(col(vecCol), coarse).as("cell") +: codeCols: _*)
+    // salt shapes only the SHUFFLE (writer-task assignment); the salt
+    // column never reaches the writer, so file CONTENT placement by cell
+    // dir is identical — one hot cell just stops serializing into one
+    // task. The partition count is pinned explicitly: an AQE-coalescible
+    // exchange would merge the salted splits right back into one task
+    // on a small batch, silently undoing the fan-out.
+    val distributed =
+      if (saltWriters == 1) coded.repartition(col("cell"))
+      else coded.repartition(
+        rows.sparkSession.sessionState.conf.numShufflePartitions,
+        col("cell"), pmod(hash(col("nid")), lit(saltWriters)))
+    distributed.write.mode(mode).partitionBy("cell").parquet(path)
   }
 
   /** Incremental maintenance of [[writeIvfAdcLayout]]'s code table: encode
@@ -490,8 +506,9 @@ object Similarity {
   def appendIvfAdcLayout(newRows: DataFrame, idCol: String, vecCol: String,
                          coarse: Array[Array[Double]],
                          books: Array[Array[Array[Double]]], subDim: Int,
-                         path: String): Unit =
-    encodeAndWrite(newRows, idCol, vecCol, coarse, books, subDim, path, "append")
+                         path: String, saltWriters: Int = 1): Unit =
+    encodeAndWrite(newRows, idCol, vecCol, coarse, books, subDim, path, "append",
+      saltWriters)
 
   /** Serve an IVFADC query batch FROM the persisted code layout: the
     * queries (the always-small side) compute their `nprobe` nearest coarse

@@ -345,13 +345,12 @@ object TextOps {
     * query terms and their df as broadcast joins, final per-query top-k
     * window over matching docs only.
     *
-    * Persist lifecycle: `toks`/`tf` are cached (MEMORY_AND_DISK) for the
-    * duration of THIS job — the plan reads each several times. The cache is
-    * scoped to the returned plan, not unpersisted here (the result is lazy;
-    * dropping the cache before materialization would recompute the corpus
-    * explode per reader). Callers running many jobs in one session should
-    * `spark.catalog.clearCache()` between jobs, as the Bench/Verify
-    * harnesses do.
+    * Persist lifecycle (VERDICT r5 #5): `toks`/`tf` are cached
+    * (MEMORY_AND_DISK) while the plan reads each several times, the tiny
+    * top-k result is SEALED (eager localCheckpoint — its lineage no
+    * longer references the caches) and the caches released before
+    * returning. Library callers accumulate nothing across invocations;
+    * the spec asserts zero leaked persistent RDDs.
     */
   def bm25TopK(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
                queries: Seq[(Int, Seq[String])], k1: Double = 1.2,
@@ -382,11 +381,15 @@ object TextOps {
       .select($"qid", $"doc",
         round(idf * $"tf" * lit(k1 + 1.0) / denom * lit(1e6)).cast("long").as("ppm"))
     val w = Window.partitionBy($"qid").orderBy(desc("sppm"), asc("doc"))
-    terms.groupBy($"qid", $"doc").agg(sum($"ppm").as("sppm"))
+    val ranked = terms.groupBy($"qid", $"doc").agg(sum($"ppm").as("sppm"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= topK)
       .select($"qid", $"rank", $"doc",
         round($"sppm".cast("double") / 1e6, 4).as("score"))
+    // seal (queries × topK rows — tiny) and release the corpus caches
+    val out = ranked.localCheckpoint(true)
+    toks.unpersist(false); tf.unpersist(false)
+    out
   }
 
   /** Gopher-style word-shape gate — the word-level half of the Gopher
