@@ -142,13 +142,29 @@ object Flac {
       acc = (acc << 1) | (b & 1); nAcc += 1
       if (nAcc == 8) { out.write(acc); acc = 0; nAcc = 0 }
     }
+    /** Chunked MSB-first write — fills the accumulator byte-at-a-time
+      * instead of bit-at-a-time (the encoder's hot loop: a 16-bit verbatim
+      * frame is ~70k bit appends otherwise).
+      */
     def writeBits(v: Long, n: Int): Unit = {
-      var i = n - 1
-      while (i >= 0) { writeBit(((v >> i) & 1L).toInt); i -= 1 }
+      var left = n
+      while (left > 0) {
+        val take = math.min(8 - nAcc, left)
+        val chunk = ((v >>> (left - take)) & ((1L << take) - 1)).toInt
+        acc = (acc << take) | chunk
+        nAcc += take
+        if (nAcc == 8) { out.write(acc); acc = 0; nAcc = 0 }
+        left -= take
+      }
     }
     def writeUnary(q: Int): Unit = {
-      var i = 0
-      while (i < q) { writeBit(0); i += 1 }
+      var left = q
+      while (left >= 8 - nAcc) {
+        // flush zeros a byte at a time
+        val take = 8 - nAcc
+        acc <<= take; out.write(acc); acc = 0; left -= take; nAcc = 0
+      }
+      acc <<= left; nAcc += left
       writeBit(1)
     }
     def writeUtf8Number(v: Long): Unit = {

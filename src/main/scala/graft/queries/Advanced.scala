@@ -412,7 +412,13 @@ object Advanced {
           val schema = StructType(Seq(
             StructField("doc_id", LongType), StructField("media", BinaryType)))
           s.createDataFrame(
-            ids.select($"doc_id".cast("long")).rdd.mapPartitions { it =>
+            // spread before the per-row codec work: the single-file
+            // parquet split would otherwise serialize the whole fixture
+            // encode on one core (at production scale many input files
+            // parallelize the scan naturally)
+            ids.select($"doc_id".cast("long"))
+              .repartition(s.sparkContext.defaultParallelism)
+              .rdd.mapPartitions { it =>
               it.map(r => Row(r.getLong(0), Multimodal.syntheticWav(r.getLong(0))))
             }, schema)
         }
@@ -450,7 +456,11 @@ object Advanced {
           val schema = StructType(Seq(
             StructField("doc_id", LongType), StructField("media", BinaryType)))
           s.createDataFrame(
-            ids.select($"doc_id".cast("long")).rdd.mapPartitions { it =>
+            // spread like p39: FLAC encode is ~2 ms/doc of CPU — on the
+            // single parquet split it would serialize on one core
+            ids.select($"doc_id".cast("long"))
+              .repartition(s.sparkContext.defaultParallelism)
+              .rdd.mapPartitions { it =>
               it.map(r => Row(r.getLong(0), Multimodal.syntheticFlac(r.getLong(0))))
             }, schema)
         }
