@@ -155,15 +155,79 @@ object Multimodal {
       }
     }
 
+  /** Companded / ADPCM WAV decode: a native RIFF chunk walk (the JDK SPI
+    * rejects every non-PCM format tag on a headless install) dispatching
+    * on `wFormatTag` — 6 = A-law, 7 = μ-law (both [[G711]]), 0x11 =
+    * IMA/DVI ADPCM ([[ImaAdpcm]]). Mono only, same feature contract as
+    * [[decodeAudio]]. The sample count comes from the `fact` chunk when
+    * present (required for ADPCM's zero-padded final block), else from
+    * the data size.
+    */
+  def decodeCompandedAudio(bytes: Array[Byte]): Option[Array[Float]] = {
+    if (bytes == null || bytes.length < 36 ||
+      bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' || bytes(3) != 'F' ||
+      bytes(8) != 'W' || bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E')
+      return None
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var fmtTag = -1; var channels = -1; var blockAlign = -1
+    var factSamples = -1
+    var dataOff = -1; var dataLen = -1
+    while (off + 8 <= bytes.length) {
+      val id = new String(bytes, off, 4, "US-ASCII")
+      val size = buf.getInt(off + 4)
+      if (size < 0 || off + 8 + size > bytes.length) return None
+      id match {
+        case "fmt " if size >= 16 =>
+          fmtTag = buf.getShort(off + 8) & 0xffff
+          channels = buf.getShort(off + 10) & 0xffff
+          blockAlign = buf.getShort(off + 20) & 0xffff
+        case "fact" if size >= 4 => factSamples = buf.getInt(off + 8)
+        case "data" => dataOff = off + 8; dataLen = size
+        case _ => ()
+      }
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (channels != 1 || dataOff < 0) return None
+    val samples: Array[Double] = fmtTag match {
+      case 6 | 7 =>
+        val n = if (factSamples >= 0) math.min(factSamples, dataLen) else dataLen
+        val s = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          val v = if (fmtTag == 7) G711.ulawToLinear(bytes(dataOff + i))
+                  else G711.alawToLinear(bytes(dataOff + i))
+          s(i) = v / 32768.0
+          i += 1
+        }
+        s
+      case 0x11 if blockAlign > 4 =>
+        val nBlocks = dataLen / blockAlign
+        val maxN = nBlocks * ImaAdpcm.samplesPerBlock(blockAlign)
+        val n = if (factSamples >= 0) math.min(factSamples, maxN) else maxN
+        val data = java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + dataLen)
+        val pcm = ImaAdpcm.decode(data, blockAlign, n)
+        val s = new Array[Double](n)
+        var i = 0
+        while (i < n) { s(i) = pcm(i) / 32768.0; i += 1 }
+        s
+      case _ => return None
+    }
+    if (samples.isEmpty) None else Some(audioFeatures(samples))
+  }
+
   /** Decode dispatch: real pixels when ImageIO reads the bytes, real PCM
     * samples when javax.sound does (WAV/AIFF) or the native [[Flac]]
-    * decoder does (compressed audio), the deterministic stub only for
-    * formats nothing here can decode (lossy audio, video).
+    * decoder does (compressed audio) or the native [[G711]]/[[ImaAdpcm]]
+    * codecs do (companded / ADPCM WAV), the deterministic stub only for
+    * formats nothing here can decode (psychoacoustic audio, video).
     */
   def decode(bytes: Array[Byte]): Array[Float] =
     decodeImage(bytes)
       .orElse(decodeAudio(bytes))
       .orElse(decodeFlacAudio(bytes))
+      .orElse(decodeCompandedAudio(bytes))
       .getOrElse(stubDecode(bytes))
 
   /** Deterministic 16-bit mono PCM WAV fixture: a seed-keyed sine (RIFF
@@ -213,12 +277,68 @@ object Multimodal {
                     sampleRate: Int = 44100): Array[Byte] =
     Flac.encode(Array(sineSamples(seed, nSamples, sampleRate)), sampleRate)
 
-  /** STUB for media nothing here can decode (lossy audio, video):
-    * deterministic fixed-shape "features" derived from the raw bytes.
-    * Kept ONLY as the last fallback; images take the real [[decodeImage]]
-    * path, PCM containers the real [[decodeAudio]] path, and COMPRESSED
-    * audio the native from-scratch [[Flac]] decoder (lossless — so the
-    * stub's remaining territory is genuinely undecodable-here media).
+  /** Deterministic companded / ADPCM WAV fixtures: the SAME sine as
+    * [[syntheticWav]], encoded through the native [[G711]] / [[ImaAdpcm]]
+    * codecs into a hand-written RIFF container (fmt tag 7 = μ-law, 6 =
+    * A-law, 0x11 = IMA ADPCM; 18/20-byte fmt chunk with cbSize, plus the
+    * `fact` chunk non-PCM WAV requires). Unlike FLAC these are LOSSY, so
+    * the expected features are NOT p39's — the p73 oracle literals are
+    * re-derived by the independent Python codec mirror in
+    * tools/gen_multimodal_oracle.py (encode→decode→DSP, no shared code).
+    */
+  def syntheticCompandedWav(seed: Long, codec: String, nSamples: Int = 4410,
+                            sampleRate: Int = 44100): Array[Byte] = {
+    val pcm = sineSamples(seed, nSamples, sampleRate)
+    codec match {
+      case "ulaw" | "alaw" =>
+        val data = new Array[Byte](nSamples)
+        var i = 0
+        while (i < nSamples) {
+          data(i) = if (codec == "ulaw") G711.linearToUlaw(pcm(i).toShort)
+                    else G711.linearToAlaw(pcm(i).toShort)
+          i += 1
+        }
+        val fmtTag = if (codec == "ulaw") 7 else 6
+        val out = java.nio.ByteBuffer.allocate(12 + 26 + 12 + 8 + data.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        out.put("RIFF".getBytes); out.putInt(38 + 12 + 8 + data.length)
+        out.put("WAVE".getBytes)
+        out.put("fmt ".getBytes); out.putInt(18)
+        out.putShort(fmtTag.toShort); out.putShort(1)    // mono
+        out.putInt(sampleRate); out.putInt(sampleRate)   // 1 byte/sample
+        out.putShort(1); out.putShort(8)                 // block align, bits
+        out.putShort(0)                                  // cbSize
+        out.put("fact".getBytes); out.putInt(4); out.putInt(nSamples)
+        out.put("data".getBytes); out.putInt(data.length); out.put(data)
+        out.array()
+      case "adpcm" =>
+        val blockAlign = 256
+        val data = ImaAdpcm.encode(pcm, blockAlign)
+        val spb = ImaAdpcm.samplesPerBlock(blockAlign)
+        val out = java.nio.ByteBuffer.allocate(12 + 28 + 12 + 8 + data.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        out.put("RIFF".getBytes); out.putInt(40 + 12 + 8 + data.length)
+        out.put("WAVE".getBytes)
+        out.put("fmt ".getBytes); out.putInt(20)
+        out.putShort(0x11); out.putShort(1)              // IMA ADPCM, mono
+        out.putInt(sampleRate)
+        out.putInt(sampleRate * blockAlign / spb)        // avg byte rate
+        out.putShort(blockAlign.toShort); out.putShort(4) // bits/sample
+        out.putShort(2); out.putShort(spb.toShort)       // cbSize, samples/block
+        out.put("fact".getBytes); out.putInt(4); out.putInt(nSamples)
+        out.put("data".getBytes); out.putInt(data.length); out.put(data)
+        out.array()
+      case other => throw new IllegalArgumentException(s"codec: $other")
+    }
+  }
+
+  /** STUB for media nothing here can decode (psychoacoustic audio,
+    * video): deterministic fixed-shape "features" derived from the raw
+    * bytes. Kept ONLY as the last fallback; images take the real
+    * [[decodeImage]] path, PCM containers the real [[decodeAudio]] path,
+    * COMPRESSED audio the native from-scratch [[Flac]] decoder, and
+    * companded/ADPCM audio the native [[G711]]/[[ImaAdpcm]] codecs — so
+    * the stub's remaining territory is genuinely undecodable-here media.
     *
     * Closure note on the rest (MP3/Vorbis/AAC/H.264): a pure-JVM decoder
     * (e.g. the public JLayer/jorbis libraries) would slot in behind
@@ -226,9 +346,12 @@ object Multimodal {
     * environment resolves dependencies offline from a fixed cache that
     * carries none of them, and the JDK's `javax.sound` SPI ships no
     * compressed-format providers on a headless install — verified:
-    * `AudioSystem.getAudioFileTypes` lists only WAVE/AU/AIFF here. Lossy
-    * codecs are also not integer-exact, so they could never meet the
-    * hash-equality oracle contract the lossless formats do.
+    * `AudioSystem.getAudioFileTypes` lists only WAVE/AU/AIFF here.
+    * Psychoacoustic codecs are also not integer-exact (decoders are
+    * float-filterbank implementations with spec-permitted tolerance), so
+    * they could never meet the hash-equality oracle contract the
+    * deterministic formats — including the LOSSY-but-integer G.711 and
+    * IMA ADPCM paths (p73) — do.
     */
   def stubDecode(bytes: Array[Byte]): Array[Float] = {
     val out = new Array[Float](FeatureDim)

@@ -480,6 +480,59 @@ object Advanced {
               |FROM documents d JOIN v ON d.doc_id % 40 = v.seed
               |ORDER BY id""".stripMargin)),
 
+    QueryDef("p73_lossy_audio",
+      (s, d) => {
+        import s.implicits._
+        // REAL lossy-audio decode: each document's sine encoded through a
+        // NATIVE deterministic lossy codec — G.711 μ-law / A-law
+        // companding or IMA ADPCM, chosen by doc_id % 3 — wrapped in a
+        // real RIFF container (fmt tags 7/6/0x11 + fact chunk) and decoded
+        // back by the native RIFF walk in Multimodal.decodeCompandedAudio.
+        // Unlike FLAC the samples CHANGE under compression, so the oracle
+        // literals are re-derived by the independent Python encode+decode
+        // mirror (tools/gen_multimodal_oracle.py lossy_seed) — agreement
+        // pins the full codec math cross-language, not just the DSP.
+        val ids = t(s, d, "documents").select($"doc_id")
+        val media = {
+          import org.apache.spark.sql.Row
+          import org.apache.spark.sql.types._
+          val schema = StructType(Seq(
+            StructField("doc_id", LongType), StructField("media", BinaryType)))
+          val codecs = Array("ulaw", "alaw", "adpcm")
+          s.createDataFrame(
+            // spread like p39/p72 before the per-row codec CPU
+            ids.select($"doc_id".cast("long"))
+              .repartition(s.sparkContext.defaultParallelism)
+              .rdd.mapPartitions { it =>
+              it.map { r =>
+                val id = r.getLong(0)
+                Row(id, Multimodal.syntheticCompandedWav(
+                  id, codecs((id % 3).toInt)))
+              }
+            }, schema)
+        }
+        Multimodal.extractFeatures(media, "doc_id", "media", "audio/wav-lossy")
+          .select($"id",
+            expr("CASE CAST(id % 3 AS INT) WHEN 0 THEN 'ulaw' WHEN 1 THEN 'alaw' ELSE 'adpcm' END")
+              .as("codec"),
+            $"n_bytes",
+            round(element_at($"features", 1).cast("double"), 4).as("rms"),
+            round(element_at($"features", 2).cast("double"), 5).as("zcr"),
+            round(element_at($"features", 4).cast("double"), 4).as("peak"))
+          .orderBy($"id")
+      },
+      Some(s"""WITH v(codec, seed, rms, zcr, peak, n_bytes) AS (VALUES
+              |  ${MultimodalOracle.lossyFeatValues}),
+              |c(i, codec) AS (VALUES (0, 'ulaw'), (1, 'alaw'), (2, 'adpcm'))
+              |SELECT d.doc_id AS id, c.codec,
+              |  CAST(v.n_bytes AS BIGINT) AS n_bytes,
+              |  CAST(v.rms AS DOUBLE) AS rms, CAST(v.zcr AS DOUBLE) AS zcr,
+              |  CAST(v.peak AS DOUBLE) AS peak
+              |FROM documents d
+              |JOIN c ON d.doc_id % 3 = c.i
+              |JOIN v ON v.codec = c.codec AND d.doc_id % 40 = v.seed
+              |ORDER BY id""".stripMargin)),
+
     QueryDef("p12_multimodal_frames",
       (s, d) => {
         import s.implicits._

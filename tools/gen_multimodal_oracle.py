@@ -102,6 +102,158 @@ def audio_seed(seed, n_samples=4410, sr=44100):
     return (spark_round(rms, 4), spark_round(zcr, 5), spark_round(peak_f, 4))
 
 
+def sine_samples(seed, n_samples=4410, sr=44100):
+    freq = 200.0 + (seed % 40) * 50.0
+    return [int(0.5 * math.sin(2 * math.pi * freq * i / sr) * 32767)
+            for i in range(n_samples)]
+
+
+# --- G.711 mirror (canonical CCITT/Sun formulation, ops/AudioCodecs.scala) ---
+
+def _segment(v):
+    return 0 if v <= 0 else min(7, v.bit_length() - 1)
+
+
+def linear2ulaw(pcm):
+    sign = 0x80 if pcm < 0 else 0x00
+    if pcm < 0:
+        pcm = -pcm
+    pcm = min(pcm, 32635) + 0x84
+    exponent = _segment((pcm >> 7) & 0xFF)
+    mantissa = (pcm >> (exponent + 3)) & 0x0F
+    return (~(sign | (exponent << 4) | mantissa)) & 0xFF
+
+
+def ulaw2linear(u):
+    u = (~u) & 0xFF
+    t = ((((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)) - 0x84
+    return -t if (u & 0x80) else t
+
+
+SEG_AEND = [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF]
+
+
+def linear2alaw(pcm):
+    pcm >>= 3  # arithmetic shift: Python >> on negatives floors, same as Java
+    if pcm >= 0:
+        mask = 0xD5
+    else:
+        mask = 0x55
+        pcm = -pcm - 1
+    pcm = min(pcm, 0xFFF)
+    seg = 0
+    while pcm > SEG_AEND[seg]:
+        seg += 1
+    if seg < 2:
+        aval = (seg << 4) | ((pcm >> 1) & 0x0F)
+    else:
+        aval = (seg << 4) | ((pcm >> seg) & 0x0F)
+    return (aval ^ mask) & 0xFF
+
+
+def alaw2linear(b):
+    a = (b ^ 0x55) & 0xFF
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+# --- IMA ADPCM mirror (block codec, ops/AudioCodecs.scala) -------------------
+
+STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767]
+INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _clamp16(s):
+    return max(-32768, min(32767, s))
+
+
+def adpcm_roundtrip(samples, block_align=256):
+    """Mirror of ImaAdpcm.encode followed by ImaAdpcm.decode (mono)."""
+    spb = (block_align - 4) * 2 + 1
+    n = len(samples)
+    out = []
+    for blk in range((n + spb - 1) // spb):
+        s0 = blk * spb
+        predictor = _clamp16(samples[s0])
+        index = 0
+        if s0 + 1 < n:
+            d = abs(samples[s0 + 1] - predictor)
+            while index < 88 and STEP_TABLE[index] < d:
+                index += 1
+        out.append(predictor)
+        for i in range(1, spb):
+            if len(out) >= n:
+                break
+            target = samples[s0 + i] if s0 + i < n else 0
+            step = STEP_TABLE[index]
+            diff = target - predictor
+            nibble = 0
+            if diff < 0:
+                nibble = 8
+                diff = -diff
+            vpdiff = step >> 3
+            st = step
+            if diff >= st:
+                nibble |= 4
+                diff -= st
+                vpdiff += st
+            st >>= 1
+            if diff >= st:
+                nibble |= 2
+                diff -= st
+                vpdiff += st
+            st >>= 1
+            if diff >= st:
+                nibble |= 1
+                vpdiff += st
+            predictor = _clamp16(
+                predictor - vpdiff if (nibble & 8) else predictor + vpdiff)
+            index = max(0, min(88, index + INDEX_TABLE[nibble]))
+            out.append(predictor)
+    return out[:n]
+
+
+def lossy_seed(seed, codec):
+    """Features of syntheticCompandedWav(seed, codec) through the real
+    decode path: encode→decode→DSP, mirroring ops/AudioCodecs.scala with
+    zero shared code (the cross-language differential that makes the p73
+    literals an independent oracle)."""
+    pcm = sine_samples(seed)
+    if codec == "ulaw":
+        dec = [ulaw2linear(linear2ulaw(v)) for v in pcm]
+    elif codec == "alaw":
+        dec = [alaw2linear(linear2alaw(v)) for v in pcm]
+    else:
+        dec = adpcm_roundtrip(pcm)
+    samples = [v / 32768.0 for v in dec]
+    sum_sq = peak = 0.0
+    zc = 0
+    for i, s in enumerate(samples):
+        sum_sq += s * s
+        peak = max(peak, abs(s))
+        if i > 0 and (samples[i - 1] >= 0) != (s >= 0):
+            zc += 1
+    n = len(samples)
+    rms = float(np.float32(math.sqrt(sum_sq / n)))
+    zcr = float(np.float32(zc / n))
+    peak_f = float(np.float32(peak))
+    return (spark_round(rms, 4), spark_round(zcr, 5), spark_round(peak_f, 4))
+
+
 def fmt_rows(rows, per_line):
     lines = []
     for i in range(0, len(rows), per_line):
@@ -127,6 +279,18 @@ def main():
     print("  /** (rms, zcr, peak) per audio seed, pre-rounded like the query. */")
     print("  val audioFeat: Array[(String, String, String)] = Array(")
     print(fmt_rows([f'("{a}", "{b}", "{c}")' for a, b, c in auds], 3))
+    print("  )")
+    print()
+    print("  /** (codec, seed) -> (rms, zcr, peak) through the native lossy")
+    print("    * codecs (G.711 u/A-law, IMA ADPCM), re-derived by the Python")
+    print("    * encode+decode mirror — codec-major, 40 seeds each. */")
+    print("  val lossyFeat: Array[(String, String, String, String)] = Array(")
+    rows = []
+    for codec in ("ulaw", "alaw", "adpcm"):
+        for s in range(40):
+            a, b, c = lossy_seed(s, codec)
+            rows.append(f'("{codec}", "{a}", "{b}", "{c}")')
+    print(fmt_rows(rows, 2))
     print("  )")
 
 
