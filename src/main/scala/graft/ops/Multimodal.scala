@@ -217,17 +217,132 @@ object Multimodal {
     if (samples.isEmpty) None else Some(audioFeatures(samples))
   }
 
+  /** Real VIDEO decode: uncompressed-DIB AVI (RIFF 'AVI ', BI_RGB 24-bit
+    * bottom-up frames in '00db'/'00dc' chunks — the classic raw AVI the
+    * Microsoft AVI/OpenDML spec defines; rows padded to 4 bytes). The JDK
+    * ships no video framework at all, so the container walk and frame
+    * unpack are native here; intra-coded codecs (H.264 &c.) stay stubbed —
+    * their float DCT output could never meet the hash-equality oracle,
+    * while raw DIB frames are integer-exact.
+    *
+    * Features ([[FeatureDim]] = 8): mean R, G, B and mean luma pooled over
+    * ALL frames' pixels (the image contract, indices 0-3) plus per
+    * temporal-quarter mean luma (indices 4-7 — the audio contract's
+    * time pooling, quarter = min(3, frame*4/nFrames)). None when the bytes
+    * are not a decodable-here AVI.
+    */
+  def decodeAviVideo(bytes: Array[Byte]): Option[Array[Float]] = parseAvi(bytes).map { avi =>
+    import avi.{w, h, stride, frames}
+    val nF = frames.length
+    var sumR = 0.0; var sumG = 0.0; var sumB = 0.0
+    val quarterLuma = new Array[Double](4)
+    val quarterN = new Array[Long](4)
+    var f = 0
+    while (f < nF) {
+      val base = frames(f)
+      val q = math.min(3, f * 4 / nF)
+      var row = 0
+      while (row < h) { // stored bottom-up; sums pool every pixel anyway
+        var x = 0
+        val ro = base + row * stride
+        while (x < w) {
+          val b = bytes(ro + 3 * x) & 0xff
+          val g = bytes(ro + 3 * x + 1) & 0xff
+          val r = bytes(ro + 3 * x + 2) & 0xff
+          sumR += r; sumG += g; sumB += b
+          quarterLuma(q) += 0.299 * r + 0.587 * g + 0.114 * b
+          quarterN(q) += 1
+          x += 1
+        }
+        row += 1
+      }
+      f += 1
+    }
+    val n = nF.toDouble * w * h
+    val out = new Array[Float](FeatureDim)
+    out(0) = (sumR / n / 255.0).toFloat
+    out(1) = (sumG / n / 255.0).toFloat
+    out(2) = (sumB / n / 255.0).toFloat
+    out(3) = ((0.299 * sumR + 0.587 * sumG + 0.114 * sumB) / n / 255.0).toFloat
+    var q = 0
+    while (q < 4) {
+      out(4 + q) =
+        if (quarterN(q) == 0) 0f
+        else (quarterLuma(q) / quarterN(q) / 255.0).toFloat
+      q += 1
+    }
+    out
+  }
+
+  /** Parsed uncompressed-AVI geometry: frame data offsets into the
+    * original byte array plus the DIB geometry needed to read them
+    * (bottom-up rows, `stride` = width*3 rounded up to 4 bytes).
+    */
+  private[graft] final case class AviDib(w: Int, h: Int, stride: Int,
+                                         frames: Array[Int])
+
+  /** Native RIFF/AVI container walk. None unless the file is a
+    * BI_RGB 24-bit uncompressed AVI with equal-size frame chunks —
+    * anything else is compressed video, the stub's remaining territory.
+    */
+  private[graft] def parseAvi(bytes: Array[Byte]): Option[AviDib] = {
+    if (bytes == null || bytes.length < 24 ||
+      bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' || bytes(3) != 'F' ||
+      bytes(8) != 'A' || bytes(9) != 'V' || bytes(10) != 'I' || bytes(11) != ' ')
+      return None
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var w = -1; var h = -1; var bitCount = -1; var compression = -1
+    var lastStrh = ""
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Int] // data offsets
+    var frameSize = -1
+    var bad = false
+    def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+      var off = start
+      while (!bad && off + 8 <= end) {
+        val id = new String(bytes, off, 4, "US-ASCII")
+        val size = buf.getInt(off + 4)
+        if (size < 0 || off + 8 + size > end) { bad = true; return }
+        if (id == "LIST" || id == "RIFF") {
+          if (size >= 4) {
+            val lt = new String(bytes, off + 8, 4, "US-ASCII")
+            walk(off + 12, off + 8 + size, inMovi || lt == "movi")
+          }
+        } else if (inMovi && (id.endsWith("db") || id.endsWith("dc"))) {
+          if (frameSize < 0) frameSize = size
+          if (size != frameSize) bad = true else frames += off + 8
+        } else if (id == "strh" && size >= 4) {
+          lastStrh = new String(bytes, off + 8, 4, "US-ASCII")
+        } else if (id == "strf" && lastStrh == "vids" && size >= 40) {
+          w = buf.getInt(off + 12); h = buf.getInt(off + 16)
+          bitCount = buf.getShort(off + 22) & 0xffff
+          compression = buf.getInt(off + 24)
+        }
+        off += 8 + size + (size & 1) // RIFF chunks are word-aligned
+      }
+    }
+    walk(12, bytes.length, inMovi = false)
+    if (bad || w <= 0 || h <= 0 || bitCount != 24 || compression != 0 ||
+      frames.isEmpty) return None
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (frameSize != stride * h) return None
+    Some(AviDib(w, h, stride, frames.toArray))
+  }
+
   /** Decode dispatch: real pixels when ImageIO reads the bytes, real PCM
     * samples when javax.sound does (WAV/AIFF) or the native [[Flac]]
     * decoder does (compressed audio) or the native [[G711]]/[[ImaAdpcm]]
-    * codecs do (companded / ADPCM WAV), the deterministic stub only for
-    * formats nothing here can decode (psychoacoustic audio, video).
+    * codecs do (companded / ADPCM WAV), real frames when the native
+    * [[decodeAviVideo]] walk reads an uncompressed AVI — the deterministic
+    * stub only for formats nothing here can decode (psychoacoustic audio,
+    * intra-coded video).
     */
   def decode(bytes: Array[Byte]): Array[Float] =
     decodeImage(bytes)
       .orElse(decodeAudio(bytes))
       .orElse(decodeFlacAudio(bytes))
       .orElse(decodeCompandedAudio(bytes))
+      .orElse(decodeAviVideo(bytes))
       .getOrElse(stubDecode(bytes))
 
   /** Deterministic 16-bit mono PCM WAV fixture: a seed-keyed sine (RIFF
@@ -332,12 +447,96 @@ object Multimodal {
     }
   }
 
+  /** Deterministic uncompressed-AVI fixture: 6-9 frames (seed-keyed) of
+    * fmix64-hashed pixels (the [[syntheticPng]] mixer with a frame term)
+    * in a hand-written RIFF 'AVI ' container — LIST hdrl (avih + one
+    * 'vids'/'DIB ' strl), LIST movi of '00db' BI_RGB 24-bit bottom-up
+    * frames (rows padded to 4 bytes; w = 15 deliberately exercises the
+    * pad), and the idx1 keyframe index AVI 1.0 players require. Fully
+    * integer-exact, so the Python mirror re-derives the decoded features
+    * with no shared code.
+    */
+  def syntheticAvi(seed: Long, w: Int = 15, h: Int = 10): Array[Byte] = {
+    // 40-seed period, folded HERE like sineSamples' freq — so the oracle's
+    // `doc_id % 40 = seed` join sees one video per residue, not per id
+    val k = seed % 40
+    val nFrames = (6 + k % 4).toInt
+    val stride = ((w * 3 + 3) / 4) * 4
+    val frameSize = stride * h
+    def mix(v: Long): Long = {
+      var z = v
+      z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
+      z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
+      z ^ (z >>> 33)
+    }
+    val moviPayload = 4 + nFrames * (8 + frameSize) // frameSize is even
+    val idx1Payload = nFrames * 16
+    val hdrlTotal = 8 + 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val riffPayload = 4 + hdrlTotal + (8 + moviPayload) + (8 + idx1Payload)
+    val out = java.nio.ByteBuffer.allocate(8 + riffPayload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes); out.putInt(riffPayload); out.put("AVI ".getBytes)
+    out.put("LIST".getBytes); out.putInt(hdrlTotal - 8); out.put("hdrl".getBytes)
+    out.put("avih".getBytes); out.putInt(56)
+    out.putInt(40000); out.putInt(frameSize * 25); out.putInt(0)
+    out.putInt(0x10)                                  // AVIF_HASINDEX
+    out.putInt(nFrames); out.putInt(0); out.putInt(1) // frames, initial, streams
+    out.putInt(frameSize); out.putInt(w); out.putInt(h)
+    out.putInt(0); out.putInt(0); out.putInt(0); out.putInt(0)
+    out.put("LIST".getBytes); out.putInt(4 + (8 + 56) + (8 + 40))
+    out.put("strl".getBytes)
+    out.put("strh".getBytes); out.putInt(56)
+    out.put("vids".getBytes); out.put("DIB ".getBytes)
+    out.putInt(0); out.putShort(0); out.putShort(0); out.putInt(0)
+    out.putInt(1); out.putInt(25)                     // scale, rate → 25 fps
+    out.putInt(0); out.putInt(nFrames); out.putInt(frameSize)
+    out.putInt(-1); out.putInt(0)                     // quality, sampleSize
+    out.putShort(0); out.putShort(0)                  // rcFrame
+    out.putShort(w.toShort); out.putShort(h.toShort)
+    out.put("strf".getBytes); out.putInt(40)
+    out.putInt(40); out.putInt(w); out.putInt(h)      // BITMAPINFOHEADER
+    out.putShort(1); out.putShort(24)                 // planes, bits
+    out.putInt(0); out.putInt(frameSize)              // BI_RGB, image size
+    out.putInt(0); out.putInt(0); out.putInt(0); out.putInt(0)
+    out.put("LIST".getBytes); out.putInt(moviPayload); out.put("movi".getBytes)
+    var f = 0
+    while (f < nFrames) {
+      out.put("00db".getBytes); out.putInt(frameSize)
+      var row = 0
+      while (row < h) {
+        val y = h - 1 - row // DIB rows are stored bottom-up
+        var x = 0
+        while (x < w) {
+          val p = mix(k * 1000003L + f * 7919L + y * 1009L + x)
+          val rgb = (p & 0xffffff).toInt
+          out.put((rgb & 0xff).toByte)         // B
+          out.put(((rgb >> 8) & 0xff).toByte)  // G
+          out.put(((rgb >> 16) & 0xff).toByte) // R
+          x += 1
+        }
+        var pad = w * 3
+        while (pad < stride) { out.put(0.toByte); pad += 1 }
+        row += 1
+      }
+      f += 1
+    }
+    out.put("idx1".getBytes); out.putInt(idx1Payload)
+    f = 0
+    while (f < nFrames) {
+      out.put("00db".getBytes); out.putInt(0x10)      // AVIIF_KEYFRAME
+      out.putInt(4 + f * (8 + frameSize)); out.putInt(frameSize)
+      f += 1
+    }
+    out.array()
+  }
+
   /** STUB for media nothing here can decode (psychoacoustic audio,
-    * video): deterministic fixed-shape "features" derived from the raw
-    * bytes. Kept ONLY as the last fallback; images take the real
+    * intra-coded video): deterministic fixed-shape "features" derived from
+    * the raw bytes. Kept ONLY as the last fallback; images take the real
     * [[decodeImage]] path, PCM containers the real [[decodeAudio]] path,
-    * COMPRESSED audio the native from-scratch [[Flac]] decoder, and
-    * companded/ADPCM audio the native [[G711]]/[[ImaAdpcm]] codecs — so
+    * COMPRESSED audio the native from-scratch [[Flac]] decoder,
+    * companded/ADPCM audio the native [[G711]]/[[ImaAdpcm]] codecs, and
+    * uncompressed AVI the native [[decodeAviVideo]] container walk — so
     * the stub's remaining territory is genuinely undecodable-here media.
     *
     * Closure note on the rest (MP3/Vorbis/AAC/H.264): a pure-JVM decoder
@@ -563,9 +762,49 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** REAL keyframe extraction: walk each AVI's container ([[parseAvi]]),
+    * take every k-th frame, and re-wrap it as a standalone BMP (14-byte
+    * BITMAPFILEHEADER + the same BITMAPINFOHEADER + the DIB rows verbatim
+    * — zero re-encoding, byte-deterministic) so each emitted frame is
+    * directly decodable by the real [[decodeImage]] path downstream.
+    * Explode-shape like [[sampleFrames]]: one input row → many frame rows,
+    * partition-local, no shuffle. Non-AVI rows drop.
+    */
+  def aviKeyframes(df: DataFrame, idCol: String, mediaCol: String,
+                   everyK: Int = 1): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("frame", BinaryType)))
+    val rdd = df.select(col(idCol).cast("long"), col(mediaCol)).rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        parseAvi(bytes).iterator.flatMap { avi =>
+          val frameSize = avi.stride * avi.h
+          (0 until avi.frames.length by everyK).iterator.map { f =>
+            val bmp = java.nio.ByteBuffer.allocate(54 + frameSize)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            bmp.put('B'.toByte); bmp.put('M'.toByte)
+            bmp.putInt(54 + frameSize); bmp.putInt(0); bmp.putInt(54)
+            bmp.putInt(40); bmp.putInt(avi.w); bmp.putInt(avi.h)
+            bmp.putShort(1); bmp.putShort(24)
+            bmp.putInt(0); bmp.putInt(frameSize)
+            bmp.putInt(0); bmp.putInt(0); bmp.putInt(0); bmp.putInt(0)
+            bmp.put(bytes, avi.frames(f), frameSize)
+            Row(id, f, bmp.array())
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** "Video" frame sampling over an opaque blob: emit every k-th fixed-size
     * chunk as a frame row (id, frame_idx, frame BINARY). The chunking stands
-    * in for keyframe extraction; the explode-shape (one input row → many
+    * in for keyframe extraction ([[aviKeyframes]] is the REAL path for
+    * decodable containers); the explode-shape (one input row → many
     * frame rows, no shuffle) is the real contract.
     */
   def sampleFrames(df: DataFrame, idCol: String, mediaCol: String,

@@ -37,6 +37,26 @@ object Advanced {
   }
   import Tables.t
 
+  /** (doc_id, media BINARY): one synthetic blob per document id, spread
+    * across the default parallelism BEFORE the per-row codec CPU (the
+    * p39/p72/p73 pattern — fixture generation is the expensive stage, so
+    * it must not ride the scan's partitioning).
+    */
+  private def synthMedia(s: SparkSession, d: String)
+                        (mk: Long => Array[Byte]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("media", BinaryType)))
+    s.createDataFrame(
+      t(s, d, "documents").select(col("doc_id").cast("long"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .rdd.mapPartitions(_.map { r =>
+          val id = r.getLong(0)
+          Row(id, mk(id))
+        }), schema)
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef("s01_stream_hourly",
@@ -532,6 +552,65 @@ object Advanced {
               |JOIN c ON d.doc_id % 3 = c.i
               |JOIN v ON v.codec = c.codec AND d.doc_id % 40 = v.seed
               |ORDER BY id""".stripMargin)),
+
+    QueryDef("p74_video_decode",
+      (s, d) => {
+        import s.implicits._
+        // REAL video decode: each document's deterministic uncompressed
+        // AVI (RIFF container, BI_RGB 24-bit bottom-up DIB frames, 6-9
+        // frames by seed) decoded by the native container walk in
+        // Multimodal.decodeAviVideo — whole-video RGB/luma pooling plus
+        // per-temporal-quarter luma. Oracle literals re-derived by the
+        // independent Python mirror (tools/gen_multimodal_oracle.py
+        // video_seed) — the JDK has no video framework, so this is the
+        // only real decode path for the video class.
+        val media = synthMedia(s, d)(Multimodal.syntheticAvi(_))
+        Multimodal.extractFeatures(media, "doc_id", "media", "video/avi")
+          .select($"id", $"n_bytes",
+            round(element_at($"features", 1).cast("double"), 4).as("mean_r"),
+            round(element_at($"features", 4).cast("double"), 4).as("mean_luma"),
+            round(element_at($"features", 5).cast("double"), 4).as("tq0"),
+            round(element_at($"features", 8).cast("double"), 4).as("tq3"))
+          .orderBy($"id")
+      },
+      Some(s"""WITH v(seed, n_frames, n_bytes, mean_r, mean_luma, tq0, tq3) AS (VALUES
+              |  ${MultimodalOracle.videoFeatValues})
+              |SELECT d.doc_id AS id, CAST(v.n_bytes AS BIGINT) AS n_bytes,
+              |  CAST(v.mean_r AS DOUBLE) AS mean_r,
+              |  CAST(v.mean_luma AS DOUBLE) AS mean_luma,
+              |  CAST(v.tq0 AS DOUBLE) AS tq0, CAST(v.tq3 AS DOUBLE) AS tq3
+              |FROM documents d JOIN v ON d.doc_id % 40 = v.seed
+              |ORDER BY id""".stripMargin)),
+
+    QueryDef("p75_video_keyframes",
+      (s, d) => {
+        import s.implicits._
+        // REAL keyframe extraction: every 2nd frame of each AVI re-wrapped
+        // as a standalone BMP by Multimodal.aviKeyframes (byte-verbatim DIB
+        // rows, no re-encode), then featurized through the REAL image path
+        // (ImageIO BMP decode → spatial quadrant pooling). The (id,
+        // frame_idx) pair rides through extractFeatures' single id column
+        // as id*16+frame_idx (nFrames ≤ 9 < 16) and splits back after.
+        val media = synthMedia(s, d)(Multimodal.syntheticAvi(_))
+        val frames = Multimodal.aviKeyframes(media, "doc_id", "media", everyK = 2)
+          .select((col("id") * 16 + col("frame_idx")).as("fkey"), col("frame"))
+        Multimodal.extractFeatures(frames, "fkey", "frame", "image/bmp")
+          .select(expr("CAST(id / 16 AS BIGINT)").as("doc"),
+            expr("CAST(id % 16 AS INT)").as("frame_idx"),
+            round(element_at($"features", 1).cast("double"), 4).as("mean_r"),
+            round(element_at($"features", 4).cast("double"), 4).as("mean_luma"),
+            round(element_at($"features", 5).cast("double"), 4).as("q0"))
+          .withColumnRenamed("doc", "id")
+          .orderBy($"id", $"frame_idx")
+      },
+      Some(s"""WITH v(seed, frame_idx, mean_r, mean_luma, q0) AS (VALUES
+              |  ${MultimodalOracle.videoFrameFeatValues})
+              |SELECT d.doc_id AS id, CAST(v.frame_idx AS INT) AS frame_idx,
+              |  CAST(v.mean_r AS DOUBLE) AS mean_r,
+              |  CAST(v.mean_luma AS DOUBLE) AS mean_luma,
+              |  CAST(v.q0 AS DOUBLE) AS q0
+              |FROM documents d JOIN v ON d.doc_id % 40 = v.seed
+              |ORDER BY id, frame_idx""".stripMargin)),
 
     QueryDef("p12_multimodal_frames",
       (s, d) => {

@@ -1,0 +1,154 @@
+package graft
+
+import graft.ops.Multimodal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native uncompressed-AVI video contracts (container walk, whole-video
+  * features, keyframe extraction).
+  *
+  * The p74/p75 oracles pin the fixture→decode→DSP chain against the
+  * independent Python mirror at sf scale; this spec pins the structural
+  * invariants — the RIFF geometry, the bottom-up row order, the BMP
+  * re-wrap's byte fidelity — so a regression localizes to a function.
+  */
+class AviSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  /** The fixture's pixel hash, reimplemented here (not imported) so the
+    * test derives expectations independently of the writer.
+    */
+  private def mix(v: Long): Long = {
+    var z = v
+    z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
+    z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
+    z ^ (z >>> 33)
+  }
+
+  test("container geometry: header fields, frame count, idx1, word alignment") {
+    for (seed <- Seq(0L, 1L, 3L, 39L)) {
+      val bytes = Multimodal.syntheticAvi(seed)
+      val nFrames = (6 + (seed % 40) % 4).toInt
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      // RIFF size field covers the file exactly (players hard-require this)
+      assert(new String(bytes, 0, 4) == "RIFF" && new String(bytes, 8, 4) == "AVI ")
+      assert(buf.getInt(4) == bytes.length - 8, s"seed $seed: RIFF size")
+      val avi = Multimodal.parseAvi(bytes).get
+      assert(avi.w == 15 && avi.h == 10, "fixture geometry")
+      assert(avi.stride == 48, "15*3=45 rows pad to the 4-byte DIB stride")
+      assert(avi.frames.length == nFrames, s"seed $seed: frame count")
+      // every frame offset is word-aligned and in ascending order
+      assert(avi.frames.sliding(2).forall { case Array(a, b) => a < b; case _ => true })
+    }
+  }
+
+  test("whole-video decode equals an independent pixel-sum derivation") {
+    val seed = 5L
+    val (w, h) = (15, 10)
+    val nFrames = (6 + (seed % 40) % 4).toInt
+    var sumR = 0.0; var sumG = 0.0; var sumB = 0.0
+    val qLuma = new Array[Double](4); val qN = new Array[Long](4)
+    for (f <- 0 until nFrames) {
+      val q = math.min(3, f * 4 / nFrames)
+      for (row <- 0 until h; x <- 0 until w) {
+        val y = h - 1 - row // the decoder reads stored (bottom-up) order
+        val rgb = (mix(seed * 1000003L + f * 7919L + y * 1009L + x) & 0xffffff).toInt
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        sumR += r; sumG += g; sumB += b
+        qLuma(q) += 0.299 * r + 0.587 * g + 0.114 * b
+        qN(q) += 1
+      }
+    }
+    val n = nFrames.toDouble * w * h
+    val f = Multimodal.decodeAviVideo(Multimodal.syntheticAvi(seed)).get
+    assert(f(0) == (sumR / n / 255.0).toFloat, "mean R")
+    assert(f(1) == (sumG / n / 255.0).toFloat, "mean G")
+    assert(f(2) == (sumB / n / 255.0).toFloat, "mean B")
+    assert(f(3) == ((0.299 * sumR + 0.587 * sumG + 0.114 * sumB) / n / 255.0).toFloat)
+    for (q <- 0 until 4)
+      assert(f(4 + q) == (qLuma(q) / qN(q) / 255.0).toFloat, s"temporal quarter $q")
+  }
+
+  test("dispatch lands on the real video path; malformed containers reject") {
+    val bytes = Multimodal.syntheticAvi(11L)
+    val real = Multimodal.decodeAviVideo(bytes).get
+    assert(Multimodal.decode(bytes).sameElements(real), "dispatch diverged")
+    assert(!real.sameElements(Multimodal.stubDecode(bytes)), "fell through to stub")
+    // rejections: null, non-RIFF, WAVE (audio territory), truncation,
+    // compressed video (biCompression != 0) — all stay None, no throw
+    assert(Multimodal.parseAvi(null).isEmpty)
+    assert(Multimodal.parseAvi("not a movie".getBytes).isEmpty)
+    assert(Multimodal.parseAvi(Multimodal.syntheticWav(0L)).isEmpty)
+    assert(Multimodal.parseAvi(bytes.take(bytes.length / 2)).isEmpty)
+    val compressed = bytes.clone()
+    // strf's biCompression lives right after planes/bitCount; flip it and
+    // the parser must refuse (that territory belongs to the stub)
+    val strfAt = {
+      var i = 0
+      while (!(compressed(i) == 's' && compressed(i + 1) == 't' &&
+        compressed(i + 2) == 'r' && compressed(i + 3) == 'f')) i += 1
+      i
+    }
+    compressed(strfAt + 8 + 16) = 1 // BI_RLE8
+    assert(Multimodal.parseAvi(compressed).isEmpty, "compressed AVI must reject")
+  }
+
+  test("keyframes: every k-th frame as a byte-faithful BMP the image path decodes") {
+    val df = Seq((3L, Multimodal.syntheticAvi(3L)),
+      (8L, Multimodal.syntheticAvi(8L)),
+      (9L, "junk".getBytes)).toDF("doc_id", "media")
+    val frames = Multimodal.aviKeyframes(df, "doc_id", "media", everyK = 2)
+      .orderBy($"id", $"frame_idx").collect()
+    val n3 = (6 + 3 % 4 + 1) / 2 // ceil(nFrames/2)
+    val n8 = (6 + 8 % 4 + 1) / 2
+    assert(frames.length == n3 + n8, "non-AVI rows drop; every-2nd frame emitted")
+    assert(frames.map(_.getInt(1)).toSeq ==
+      (0 until 6 + 3 % 4 by 2) ++ (0 until 6 + 8 % 4 by 2))
+    // each BMP decodes through the REAL image path to the frame's exact pixels
+    for (row <- frames.take(2)) {
+      val id = row.getLong(0); val fIdx = row.getInt(1)
+      val bmp = row.getAs[Array[Byte]](2)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+      assert(img != null && img.getWidth == 15 && img.getHeight == 10)
+      for (y <- 0 until 10; x <- 0 until 15) {
+        val expected = (mix(id * 1000003L + fIdx * 7919L + y * 1009L + x) & 0xffffff).toInt
+        assert((img.getRGB(x, y) & 0xffffff) == expected,
+          s"id $id frame $fIdx pixel ($x,$y)")
+      }
+    }
+  }
+
+  test("oracle mirror: Python-derived video literals equal the Scala decode path") {
+    // videoFeat/videoFrameFeat come from tools/gen_multimodal_oracle.py,
+    // which re-derives the pixel hash, the decoder's accumulation order,
+    // and the float32 narrowing in Python with no shared code — equality
+    // across all 40 whole-video cells and all ~200 per-frame cells is a
+    // full cross-language differential.
+    val videoFeat = graft.queries.MultimodalOracle.videoFeat
+    for (seed <- 0 until 40) {
+      val f = Multimodal.decodeAviVideo(Multimodal.syntheticAvi(seed.toLong)).get
+      val (nf, meanR, meanLuma, tq0, tq3) = videoFeat(seed)
+      assert(nf == 6 + seed % 4, s"seed $seed frame count")
+      assert(math.abs(f(0) - meanR.toDouble) < 5e-5, s"mean_r $seed: ${f(0)} vs $meanR")
+      assert(math.abs(f(3) - meanLuma.toDouble) < 5e-5, s"mean_luma $seed")
+      assert(math.abs(f(4) - tq0.toDouble) < 5e-5, s"tq0 $seed")
+      assert(math.abs(f(7) - tq3.toDouble) < 5e-5, s"tq3 $seed")
+    }
+    val all = (0 until 40).map(s => (s.toLong, Multimodal.syntheticAvi(s.toLong)))
+      .toDF("doc_id", "media")
+    val bmps = Multimodal.aviKeyframes(all, "doc_id", "media", everyK = 2)
+      .collect().map(r => (r.getLong(0).toInt, r.getInt(1)) -> r.getAs[Array[Byte]](2))
+      .toMap
+    val frameFeat = graft.queries.MultimodalOracle.videoFrameFeat
+    assert(frameFeat.length == bmps.size, "mirror and extractor agree on the frame set")
+    for ((seed, fIdx, meanR, meanLuma, q0) <- frameFeat) {
+      val f = Multimodal.decodeImage(bmps((seed, fIdx))).get
+      assert(math.abs(f(0) - meanR.toDouble) < 5e-5, s"frame mean_r $seed/$fIdx")
+      assert(math.abs(f(3) - meanLuma.toDouble) < 5e-5, s"frame mean_luma $seed/$fIdx")
+      assert(math.abs(f(4) - q0.toDouble) < 5e-5, s"frame q0 $seed/$fIdx")
+    }
+  }
+}

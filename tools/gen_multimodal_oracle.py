@@ -254,6 +254,69 @@ def lossy_seed(seed, codec):
     return (spark_round(rms, 4), spark_round(zcr, 5), spark_round(peak_f, 4))
 
 
+# --- uncompressed-AVI mirror (ops/Multimodal.scala syntheticAvi/decodeAviVideo)
+
+def _avi_n_frames(seed):
+    return 6 + (seed % 40) % 4
+
+
+def video_seed(seed, w=15, h=10):
+    """decodeAviVideo features of syntheticAvi(seed): whole-video RGB/luma
+    pooling + per-temporal-quarter luma, accumulated in the decoder's exact
+    order (frames, then STORED bottom-up rows, then x)."""
+    n_frames = _avi_n_frames(seed)
+    sum_r = sum_g = sum_b = 0.0
+    q_luma = [0.0] * 4
+    q_n = [0] * 4
+    for f in range(n_frames):
+        q = min(3, f * 4 // n_frames)
+        for row in range(h):
+            y = h - 1 - row  # DIB rows are stored bottom-up
+            for x in range(w):
+                p = mix(seed * 1000003 + f * 7919 + y * 1009 + x)
+                rgb = p & 0xFFFFFF
+                r, g, b = (rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF
+                sum_r += r
+                sum_g += g
+                sum_b += b
+                q_luma[q] += 0.299 * r + 0.587 * g + 0.114 * b
+                q_n[q] += 1
+    n = float(n_frames * w * h)
+    mean_r = float(np.float32(sum_r / n / 255.0))
+    mean_luma = float(np.float32(
+        (0.299 * sum_r + 0.587 * sum_g + 0.114 * sum_b) / n / 255.0))
+    tq0 = float(np.float32(q_luma[0] / q_n[0] / 255.0))
+    tq3 = float(np.float32(q_luma[3] / q_n[3] / 255.0))
+    return (n_frames, spark_round(mean_r, 4), spark_round(mean_luma, 4),
+            spark_round(tq0, 4), spark_round(tq3, 4))
+
+
+def video_frame_seed(seed, f, w=15, h=10):
+    """decodeImage features of frame f re-wrapped as BMP by aviKeyframes:
+    the image decoder's top-down y iteration over the same pixel hash."""
+    sum_r = sum_g = sum_b = 0.0
+    quad_luma = [0.0] * 4
+    quad_n = [0] * 4
+    for y in range(h):
+        for x in range(w):
+            p = mix(seed * 1000003 + f * 7919 + y * 1009 + x)
+            rgb = p & 0xFFFFFF
+            r, g, b = (rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF
+            sum_r += r
+            sum_g += g
+            sum_b += b
+            q = (2 if y * 2 >= h else 0) + (1 if x * 2 >= w else 0)
+            quad_luma[q] += 0.299 * r + 0.587 * g + 0.114 * b
+            quad_n[q] += 1
+    n = float(w * h)
+    mean_r = float(np.float32(sum_r / n / 255.0))
+    mean_luma = float(np.float32(
+        (0.299 * sum_r + 0.587 * sum_g + 0.114 * sum_b) / n / 255.0))
+    q0 = float(np.float32(quad_luma[0] / quad_n[0] / 255.0))
+    return (spark_round(mean_r, 4), spark_round(mean_luma, 4),
+            spark_round(q0, 4))
+
+
 def fmt_rows(rows, per_line):
     lines = []
     for i in range(0, len(rows), per_line):
@@ -290,6 +353,25 @@ def main():
         for s in range(40):
             a, b, c = lossy_seed(s, codec)
             rows.append(f'("{codec}", "{a}", "{b}", "{c}")')
+    print(fmt_rows(rows, 2))
+    print("  )")
+    print()
+    print("  /** (n_frames, mean_r, mean_luma, tq0, tq3) per video seed —")
+    print("    * whole-video decodeAviVideo features via the Python mirror. */")
+    print("  val videoFeat: Array[(Int, String, String, String, String)] = Array(")
+    vids = [video_seed(s) for s in range(40)]
+    print(fmt_rows([f'({n}, "{a}", "{b}", "{c}", "{d}")'
+                    for n, a, b, c, d in vids], 2))
+    print("  )")
+    print()
+    print("  /** (seed, frame_idx, mean_r, mean_luma, q0) for every-2nd")
+    print("    * keyframe — per-frame decodeImage features via the mirror. */")
+    print("  val videoFrameFeat: Array[(Int, Int, String, String, String)] = Array(")
+    rows = []
+    for s in range(40):
+        for f in range(0, _avi_n_frames(s), 2):
+            a, b, c = video_frame_seed(s, f)
+            rows.append(f'({s}, {f}, "{a}", "{b}", "{c}")')
     print(fmt_rows(rows, 2))
     print("  )")
 
