@@ -77,18 +77,16 @@ object Dedup {
     * local 10× stress (every doc ×10 copies) runs the signature+verify
     * pipeline on 1/10 the docs and 1/100 the verified pairs.
     */
-  /** Seal-and-release (VERDICT r5 #5): materialize `result` eagerly via
-    * localCheckpoint — its lineage then references the checkpointed
-    * blocks, not the operator's internal caches — and unpersist those
-    * caches before returning. Library callers accumulate nothing across
-    * invocations; the sealed result itself is pairs-scale (bounded by the
-    * candidate count), never corpus-scale.
+  /** Seal-and-release (VERDICT r5 #5): cut the result's lineage off the
+    * operator's internal caches with a LAZY localCheckpoint and release
+    * the caches as soon as the caller's first action lands the checkpoint
+    * ([[CacheHygiene.sealAndRelease]] — the eager variant recomputed every
+    * plan a caller was about to materialize anyway, ~2× on the MinHash
+    * bench family). The sealed result itself is pairs-scale (bounded by
+    * the candidate count), never corpus-scale.
     */
-  private def sealAndRelease(result: DataFrame, caches: DataFrame*): DataFrame = {
-    val out = result.localCheckpoint(true)
-    caches.foreach(_.unpersist(false))
-    out
-  }
+  private def sealAndRelease(result: DataFrame, caches: DataFrame*): DataFrame =
+    CacheHygiene.sealAndRelease(result, caches: _*)
 
   private final case class Collapsed(members: DataFrame, reps: DataFrame,
                                      cache: DataFrame)

@@ -347,10 +347,12 @@ object TextOps {
     *
     * Persist lifecycle (VERDICT r5 #5): `toks`/`tf` are cached
     * (MEMORY_AND_DISK) while the plan reads each several times, the tiny
-    * top-k result is SEALED (eager localCheckpoint — its lineage no
-    * longer references the caches) and the caches released before
-    * returning. Library callers accumulate nothing across invocations;
-    * the spec asserts zero leaked persistent RDDs.
+    * top-k result is SEALED (lazy localCheckpoint — after the caller's
+    * first action its lineage no longer references the caches) and the
+    * caches released the moment that checkpoint lands
+    * ([[CacheHygiene.sealAndRelease]]). Library callers accumulate
+    * nothing across invocations; the spec asserts zero leaked persists
+    * post-materialization.
     */
   def bm25TopK(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
                queries: Seq[(Int, Seq[String])], k1: Double = 1.2,
@@ -387,9 +389,8 @@ object TextOps {
       .select($"qid", $"rank", $"doc",
         round($"sppm".cast("double") / 1e6, 4).as("score"))
     // seal (queries × topK rows — tiny) and release the corpus caches
-    val out = ranked.localCheckpoint(true)
-    toks.unpersist(false); tf.unpersist(false)
-    out
+    // once the caller's first action lands the checkpoint
+    CacheHygiene.sealAndRelease(ranked, toks, tf)
   }
 
   /** Gopher-style word-shape gate — the word-level half of the Gopher

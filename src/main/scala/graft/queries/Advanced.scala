@@ -784,7 +784,48 @@ object Advanced {
              |  coalesce(a.n_partners, 0) AS n_partners,
              |  coalesce(a.n_band_hits, 0) AS n_band_hits
              |FROM documents d LEFT JOIN agg a USING (doc_id)
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    QueryDef("s17_stream_media",
+      (s, d) => {
+        import s.implicits._
+        // featurize-on-ingest for a MEDIA stream: real decode (ImageIO
+        // pixels / native FLAC / native AVI walk by doc_id % 3) inside the
+        // micro-batch plan, stateless end-to-end. The oracle is the
+        // per-seed mirror literal table for all three modalities — the
+        // streaming path must reproduce the independently-derived feature
+        // constants exactly, per document.
+        EventStreams.runBoundedDocs(s, d, "s17_sink",
+            EventStreams.mediaFeatureStage)
+          .select($"doc_id".as("id"), $"kind", $"n_bytes",
+            round($"f1".cast("double"), 4).as("f1"),
+            round($"f4".cast("double"), 4).as("f4"))
+          .orderBy($"id")
+      },
+      Some(s"""WITH img(seed, mean_r, mean_luma, q0, nb) AS (VALUES
+              |  ${MultimodalOracle.imageFeatValues}),
+              |fl(seed, rms, zcr, peak, nb) AS (VALUES
+              |  ${MultimodalOracle.flacFeatValues}),
+              |vid(seed, n_frames, nb, mean_r, mean_luma, tq0, tq3) AS (VALUES
+              |  ${MultimodalOracle.videoFeatValues})
+              |SELECT * FROM (
+              |  SELECT d.doc_id AS id, 'image' AS kind,
+              |    CAST(img.nb AS BIGINT) AS n_bytes,
+              |    CAST(img.mean_r AS DOUBLE) AS f1,
+              |    CAST(img.mean_luma AS DOUBLE) AS f4
+              |  FROM documents d JOIN img ON d.doc_id % 300 = img.seed
+              |  WHERE d.doc_id % 3 = 0
+              |  UNION ALL
+              |  SELECT d.doc_id, 'flac', CAST(fl.nb AS BIGINT),
+              |    CAST(fl.rms AS DOUBLE), CAST(fl.peak AS DOUBLE)
+              |  FROM documents d JOIN fl ON d.doc_id % 40 = fl.seed
+              |  WHERE d.doc_id % 3 = 1
+              |  UNION ALL
+              |  SELECT d.doc_id, 'video', CAST(vid.nb AS BIGINT),
+              |    CAST(vid.mean_r AS DOUBLE), CAST(vid.mean_luma AS DOUBLE)
+              |  FROM documents d JOIN vid ON d.doc_id % 40 = vid.seed
+              |  WHERE d.doc_id % 3 = 2)
+              |ORDER BY id""".stripMargin))
   )
 
   /** (doc_id, media) with a deterministic PNG per seed column — the shared

@@ -282,6 +282,45 @@ object EventStreams {
       .select(col("doc_id"), col("partner"), col("band"))
   }
 
+  /** Row shape of [[mediaFeatureStage]] (top-level-in-object so the
+    * implicit product Encoder resolves inside the streaming plan).
+    */
+  final case class MediaFeat(doc_id: Long, kind: String, n_bytes: Long,
+                             f1: Float, f4: Float)
+
+  /** Featurize-on-ingest for a MEDIA stream — the multimodal half of the
+    * live-crawl shape (s06 gates text quality; this stage decodes bytes):
+    * each arriving document's media blob runs the REAL decode dispatch
+    * (ImageIO pixels / native FLAC / native AVI container walk) inside the
+    * micro-batch plan. The blob itself is the deterministic per-id fixture
+    * (PNG / FLAC / uncompressed AVI by doc_id % 3 — the fixture-generator
+    * role a real crawl's bytes column would fill), synthesized and decoded
+    * in ONE typed mapPartitions so the bytes never ship twice. Stateless:
+    * no state store, no watermark — ingest throughput IS decode
+    * throughput, and the upstream `spread` repartition fans the
+    * CPU-heavy decode across cores exactly like the batch p39/p72/p74
+    * fixture pattern. Emits (doc_id, kind, n_bytes, f1, f4) where f1/f4
+    * are decode features 0 and 3 (mean-R/luma for pixels, RMS/peak for
+    * audio). One definition serves batch and streaming; the batch twin
+    * plus the per-seed mirror literals are the oracle.
+    */
+  def mediaFeatureStage(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val (kind, bytes) = (id % 3) match {
+          case 0 => ("image", graft.ops.Multimodal.syntheticPng(id % 300))
+          case 1 => ("flac", graft.ops.Multimodal.syntheticFlac(id))
+          case _ => ("video", graft.ops.Multimodal.syntheticAvi(id))
+        }
+        val f = graft.ops.Multimodal.decode(bytes)
+        MediaFeat(id, kind, bytes.length.toLong, f(0), f(3))
+      }
+    }.toDF()
+  }
+
   /** Stream-static enrichment — the standard streaming-ingest shape: each
     * arriving event picks up its dimension row via a BROADCAST join (the
     * static side is planned once and shipped to executors; no state store,

@@ -1156,6 +1156,9 @@ class OpsSpec extends AnyFunSuite {
     // most one new persisted RDD (the sealed result's blocks) remains.
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    // release immediately after the checkpoint lands (the default keeps a
+    // reuse window for repeated invocations — see CacheHygiene)
+    spark.conf.set("graft.seal.linger.ms", "0")
     val docs = (0L until 60L).map { i =>
       (i, s"shared boilerplate sentence number ${i % 7} with document ${i} body text")
     }.toDF("doc_id", "text")
@@ -1166,29 +1169,39 @@ class OpsSpec extends AnyFunSuite {
       val before = spark.sparkContext.getPersistentRDDs.size
       val out = run
       assert(out.count() >= 0)
-      val after = spark.sparkContext.getPersistentRDDs.size
+      // release is deferred to the first materialization (the count above
+      // lands the lazy checkpoint; the watcher unpersists right after) —
+      // poll briefly instead of asserting an instantaneous state
+      val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+      var after = spark.sparkContext.getPersistentRDDs.size
+      while (after - before > 1 && System.nanoTime < deadline) {
+        Thread.sleep(100)
+        after = spark.sparkContext.getPersistentRDDs.size
+      }
       assert(after - before <= 1,
         s"$label leaked ${after - before - 1} intermediate cache(s) " +
           s"beyond its sealed result (before=$before after=$after)")
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
-    leaked("bm25TopK") {
-      graft.ops.TextOps.bm25TopK(docs, "doc_id", "text",
-        Seq((1, Seq("boilerplate", "document"))), topK = 3)
-    }
-    leaked("lshJaccard") {
-      Dedup.lshJaccard(docs, "doc_id", "text", q = 4, k = 8, rowsPerBand = 2)
-    }
-    leaked("minhashCandidates") {
-      Dedup.minhashCandidates(docs, "doc_id", "text", q = 4, k = 8, rowsPerBand = 2)
-    }
-    leaked("containmentPairs") {
-      Dedup.containmentPairs(docs, "doc_id", "text", q = 4, k = 8, rowsPerBand = 2)
-    }
-    leaked("decontaminationPairs") {
-      Dedup.decontaminationPairs(docs, eval, "doc_id", "text", q = 4, k = 8,
-        rowsPerBand = 2)
-    }
+    try {
+      leaked("bm25TopK") {
+        graft.ops.TextOps.bm25TopK(docs, "doc_id", "text",
+          Seq((1, Seq("boilerplate", "document"))), topK = 3)
+      }
+      leaked("lshJaccard") {
+        Dedup.lshJaccard(docs, "doc_id", "text", q = 4, k = 8, rowsPerBand = 2)
+      }
+      leaked("minhashCandidates") {
+        Dedup.minhashCandidates(docs, "doc_id", "text", q = 4, k = 8, rowsPerBand = 2)
+      }
+      leaked("containmentPairs") {
+        Dedup.containmentPairs(docs, "doc_id", "text", q = 4, k = 8, rowsPerBand = 2)
+      }
+      leaked("decontaminationPairs") {
+        Dedup.decontaminationPairs(docs, eval, "doc_id", "text", q = 4, k = 8,
+          rowsPerBand = 2)
+      }
+    } finally spark.conf.unset("graft.seal.linger.ms")
   }
 }
