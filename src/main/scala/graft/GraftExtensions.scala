@@ -148,6 +148,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.MinhashSig(exprs(0),
           asInt(exprs(1), "q"), asInt(exprs(2), "k"))
       }))
+    // the multimodal decode dispatch as SQL vocabulary: featurize/route a
+    // BINARY media column from pure SQL (real ImageIO / native FLAC /
+    // G.711+ADPCM / AVI decode paths, the stub only past all of them)
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("media_features"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.MediaFeatures].getName, "media_features"),
+      arity("media_features", 1)(exprs =>
+        graft.functions.MediaFeatures(exprs(0)))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("media_kind"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.MediaKind].getName, "media_kind"),
+      arity("media_kind", 1)(exprs => graft.functions.MediaKind(exprs(0)))))
     // host-dialect function-name aliases (len, list_*, string_split,
     // regexp_matches, ...) — vocabulary parity so reference-host statements
     // resolve unchanged; every alias is a native codegen'd expression

@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native SQL surface for the multimodal decode dispatch
+  * ([[graft.ops.Multimodal.decode]]): a SQL-first deployment featurizes a
+  * `BINARY` media column without touching the DataFrame API —
+  *
+  * {{{
+  * SELECT doc_id, media_features(media) AS f, media_kind(media) AS kind
+  * FROM corpus
+  * }}}
+  *
+  * Both are real `Expression`s with `doGenCode` (a reference-object call —
+  * the decode itself is codec work, not arithmetic to inline), so they
+  * live inside whole-stage codegen with no UDF boundary and no Janino
+  * fallback (CodegenSweepSpec's contract). Per-partition decoder setup
+  * (the `mapPartitions` batching in `Multimodal.extractFeatures`) is the
+  * scale path for dedicated pipelines; this expression is the ergonomic
+  * path for ad-hoc SQL over the same bytes, and the two produce identical
+  * features (spec-pinned).
+  */
+case class MediaFeatures(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"media_features expects BINARY, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  def kernel(bytes: Array[Byte]): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(graft.ops.Multimodal.decode(bytes))
+
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("mediaFeatures", this,
+      classOf[MediaFeatures].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.kernel($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MediaFeatures =
+    copy(child = newChild)
+
+  override def prettyName: String = "media_features"
+}
+
+/** Which real decoder claims the bytes — 'image' (ImageIO), 'audio'
+  * (javax.sound PCM), 'flac' (native FLAC), 'companded' (native
+  * G.711/ADPCM WAV), 'video' (native uncompressed AVI) or 'stub' (nothing
+  * here decodes it). The SQL predicate for routing a mixed media column to
+  * per-modality pipelines.
+  */
+case class MediaKind(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"media_kind expects BINARY, got $other")
+  }
+
+  override def dataType: DataType = StringType
+
+  def kernel(bytes: Array[Byte]): UTF8String = {
+    import graft.ops.Multimodal._
+    val kind =
+      if (decodeImage(bytes).isDefined) "image"
+      else if (decodeAudio(bytes).isDefined) "audio"
+      else if (decodeFlacAudio(bytes).isDefined) "flac"
+      else if (decodeCompandedAudio(bytes).isDefined) "companded"
+      else if (decodeAviVideo(bytes).isDefined) "video"
+      else "stub"
+    UTF8String.fromString(kind)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("mediaKind", this, classOf[MediaKind].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.kernel($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MediaKind =
+    copy(child = newChild)
+
+  override def prettyName: String = "media_kind"
+}

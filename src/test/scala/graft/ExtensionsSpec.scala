@@ -75,6 +75,34 @@ class ExtensionsSpec extends AnyFunSuite {
           |  VALUES (3L, 30L), (1L, 10L), (2L, 20L) AS t(s, i)""".stripMargin)
         .collect().head.getSeq[org.apache.spark.sql.Row](0)
       assert(agg.map(_.getLong(1)) == Seq(10L, 20L))
+      // media vocabulary: the SQL path must route each fixture to its REAL
+      // decoder and produce exactly the DataFrame path's features
+      import s2.implicits._
+      val media = Seq(
+        (0L, graft.ops.Multimodal.syntheticPng(7L)),
+        (1L, graft.ops.Multimodal.syntheticWav(7L)),
+        (2L, graft.ops.Multimodal.syntheticFlac(7L)),
+        (3L, graft.ops.Multimodal.syntheticCompandedWav(7L, "ulaw")),
+        (4L, graft.ops.Multimodal.syntheticAvi(7L)),
+        (5L, "opaque lossy payload".getBytes)).toDF("id", "media")
+      media.createOrReplaceTempView("media_fixture")
+      // fallback disabled: the media expressions must survive codegen (the
+      // CodegenSweepSpec contract — they are not on any driver query path,
+      // so the sweep does not cover them)
+      s2.conf.set("spark.sql.codegen.fallback", "false")
+      val kinds =
+        try s2.sql(
+          """SELECT id, media_kind(media) AS kind, media_features(media) AS f
+            |FROM media_fixture ORDER BY id""".stripMargin).collect()
+        finally s2.conf.unset("spark.sql.codegen.fallback")
+      assert(kinds.map(_.getString(1)).toSeq ==
+        Seq("image", "audio", "flac", "companded", "video", "stub"))
+      kinds.foreach { row =>
+        val viaSql = row.getSeq[Float](2)
+        val direct = graft.ops.Multimodal.decode(
+          media.filter($"id" === row.getLong(0)).collect()(0).getAs[Array[Byte]](1))
+        assert(viaSql == direct.toSeq, s"id ${row.getLong(0)} features diverge")
+      }
     } finally {
       prev.foreach { p => SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p) }
     }
