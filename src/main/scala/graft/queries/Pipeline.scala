@@ -57,12 +57,24 @@ object Pipeline {
     * marker never take the lock — a committed layout is immutable.
     * Returns the committed dir.
     */
-  private[queries] def cachedLayout(name: String, digest: String)
+  /** In-JVM companion to the OS file lock below: `FileChannel.lock` only
+    * BLOCKS across processes — a second thread in the SAME JVM gets an
+    * `OverlappingFileLockException` instead of waiting (two concurrent
+    * queries on one multi-session driver would crash, not queue). The
+    * per-layout monitor serializes in-JVM racers; the file lock then
+    * serializes across JVMs as before.
+    */
+  private val layoutMutexes =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private[graft] def cachedLayout(name: String, digest: String)
                                    (build: java.nio.file.Path => Unit): java.nio.file.Path = {
     val dir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft-$name-$digest")
     val marker = dir.resolve("_LAYOUT_OK")
     if (!java.nio.file.Files.exists(marker)) {
+      val mutex = layoutMutexes.computeIfAbsent(s"$name-$digest", _ => new Object)
+      mutex.synchronized { if (!java.nio.file.Files.exists(marker)) {
       val lockPath = dir.getParent.resolve(s"graft-$name-$digest.lock")
       val lockCh = java.nio.channels.FileChannel.open(lockPath,
         java.nio.file.StandardOpenOption.CREATE,
@@ -89,6 +101,7 @@ object Pipeline {
       } finally {
         lock.release(); lockCh.close()
       }
+      } } // mutex.synchronized + inner marker re-check
     }
     dir
   }

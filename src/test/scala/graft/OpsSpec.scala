@@ -646,6 +646,41 @@ class OpsSpec extends AnyFunSuite {
     assert(graft.queries.Pipeline.layoutFingerprint(dir, entries) != fp2)
   }
 
+  test("cachedLayout: in-JVM racers queue on the monitor, build runs exactly once") {
+    // FileChannel.lock only blocks ACROSS processes — same-JVM contention
+    // throws OverlappingFileLockException unless the JVM-level mutex
+    // serializes first. Race 4 threads at a fresh digest with a slow
+    // build: exactly one build, zero lock exceptions, all adopt the same
+    // committed dir, marker present, no stage debris left behind.
+    val digest = s"race${System.nanoTime()}"
+    val built = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errors = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Throwable]())
+    val dirs = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[java.nio.file.Path]())
+    val threads = (0 until 4).map { _ =>
+      new Thread(() => {
+        try dirs.add(graft.queries.Pipeline.cachedLayout("opsspec", digest) { staging =>
+          built.incrementAndGet()
+          Thread.sleep(300) // widen the race window
+          java.nio.file.Files.writeString(staging.resolve("payload"), "x")
+        })
+        catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(30000))
+    assert(errors.isEmpty, s"racers failed: ${errors}")
+    assert(built.get() == 1, s"build ran ${built.get()} times")
+    assert(dirs.size == 4 && dirs.stream().distinct().count() == 1)
+    val dir = dirs.get(0)
+    assert(java.nio.file.Files.exists(dir.resolve("_LAYOUT_OK")))
+    assert(java.nio.file.Files.exists(dir.resolve("payload")))
+    import scala.jdk.CollectionConverters._
+    val debris = java.nio.file.Files.list(dir.getParent).iterator().asScala
+      .filter(_.getFileName.toString.startsWith(s"graft-opsspec-$digest-stage"))
+    assert(debris.isEmpty, "staging debris left behind")
+  }
+
   test("substringSpans: cross-doc span, self-repeat run, clean doc, merge maximality") {
     val df = Seq(
       (1L, "abcdefghij"),   // shares "abcdefg" with doc 2 -> one 7-char span

@@ -16,9 +16,10 @@ class PlanSpec extends AnyFunSuite {
 
   /** The returned frame's final executed plan — right for queries whose
     * interesting plan IS the result plan. Operators that seal-and-release
-    * (eager localCheckpoint + cache release, VERDICT r5 #5) run their
-    * interesting plan INSIDE the operator call and return a checkpoint
-    * scan; assert those with [[allPlansOf]].
+    * (LAZY localCheckpoint + deferred cache release, VERDICT r5 #5 via
+    * CacheHygiene) return a LogicalRDD scan whose interesting plan runs
+    * as the checkpoint's own execution at first action; assert those with
+    * [[allPlansOf]], which captures every execution the collect triggers.
     */
   private def planOf(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf)
@@ -237,6 +238,20 @@ class PlanSpec extends AnyFunSuite {
       val kinds = "Exchange (\\w+)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
       assert(kinds.forall(_.startsWith("rangepartitioning")),
         s"$name shuffles data: $kinds")
+    }
+  }
+
+  test("p74/p75 media decode stays scan-side: only the spread and the output sort shuffle") {
+    // decode is per-row codec CPU — the only allowed Exchanges are the
+    // documented fixture-spread repartition (round-robin, pre-decode) and
+    // the output ORDER BY's rangepartitioning (presentation)
+    for (name <- Seq("p74_video_decode", "p75_video_keyframes")) {
+      val plan = planOf(name)
+      val kinds = "Exchange (\\w+)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(kinds.nonEmpty && kinds.forall(k =>
+        k.toLowerCase.startsWith("rangepartitioning") ||
+        k.toLowerCase.startsWith("roundrobin")),
+        s"$name shuffles data beyond spread+sort: $kinds")
     }
   }
 
