@@ -212,4 +212,25 @@ class StreamingSpec extends AnyFunSuite {
     // routing must scatter across cells, not collapse to one
     assert(streamed.map(_.getLong(1)).distinct.length > 1)
   }
+
+  test("media featurize-on-ingest stream equals the batch decode, stateless plan (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = EventStreams.runBoundedDocs(spark, dir, "t_s17",
+        EventStreams.mediaFeatureStage)
+      .orderBy(col("doc_id")).collect()
+    // batch twin: the SAME stage over a static read
+    val batch = EventStreams.mediaFeatureStage(
+        spark.read.parquet(s"$dir/documents.parquet"))
+      .orderBy(col("doc_id")).collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    streamed.zip(batch).foreach { case (a, b) => assert(a == b) }
+    // all three modalities must appear and route off the stub
+    assert(streamed.map(_.getString(1)).distinct.sorted.toSeq ==
+      Seq("flac", "image", "video"))
+    // stateless claim: per-row decode keeps no state store in the stream
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = EventStreams.mediaFeatureStage(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("StateStore"), "media stage must be stateless")
+  }
 }
