@@ -91,3 +91,17 @@ CREATE OR REPLACE MACRO disc_price(p, d) AS p * (1 - d);
 CREATE OR REPLACE MACRO top_docs(k) AS TABLE
     SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT k;
 SELECT doc_id, CAST(len(text) AS INT) AS n FROM top_docs(5);
+
+-- 10. Multimodal columns from pure SQL (round 6): media_kind routes a
+--     mixed BINARY column to per-modality pipelines, media_features runs
+--     the REAL decode dispatch (ImageIO pixels, javax.sound PCM, native
+--     FLAC, native G.711/ADPCM WAV, native uncompressed AVI) inside
+--     whole-stage codegen; anything undecodable reports kind 'stub' and
+--     deterministic fallback features, so a 100 TB crawl never aborts on
+--     a corrupt blob.
+--   CREATE TEMPORARY VIEW crawl USING parquet OPTIONS (path '<dir>/crawl.parquet');
+-- SELECT media_kind(media)                                AS kind,
+--        count(*)                                         AS n_blobs,
+--        round(avg(element_at(media_features(media), 4)), 4) AS mean_luma_or_peak
+-- FROM crawl
+-- GROUP BY ALL ORDER BY ALL;
