@@ -55,9 +55,10 @@ case class MediaFeatures(child: Expression) extends UnaryExpression {
 
 /** Which real decoder claims the bytes — 'image' (ImageIO), 'audio'
   * (javax.sound PCM), 'flac' (native FLAC), 'companded' (native
-  * G.711/ADPCM WAV), 'video' (native uncompressed AVI) or 'stub' (nothing
-  * here decodes it). The SQL predicate for routing a mixed media column to
-  * per-modality pipelines.
+  * G.711/ADPCM WAV), 'video' (native uncompressed AVI), 'rle_video'
+  * (native BI_RLE8 compressed AVI) or 'stub' (nothing here decodes it).
+  * The SQL predicate for routing a mixed media column to per-modality
+  * pipelines.
   */
 case class MediaKind(child: Expression) extends UnaryExpression {
 
@@ -77,6 +78,7 @@ case class MediaKind(child: Expression) extends UnaryExpression {
       else if (decodeFlacAudio(bytes).isDefined) "flac"
       else if (decodeCompandedAudio(bytes).isDefined) "companded"
       else if (decodeAviVideo(bytes).isDefined) "video"
+      else if (decodeRle8Video(bytes).isDefined) "rle_video"
       else "stub"
     UTF8String.fromString(kind)
   }

@@ -281,11 +281,22 @@ object Multimodal {
   private[graft] final case class AviDib(w: Int, h: Int, stride: Int,
                                          frames: Array[Int])
 
-  /** Native RIFF/AVI container walk. None unless the file is a
-    * BI_RGB 24-bit uncompressed AVI with equal-size frame chunks —
-    * anything else is compressed video, the stub's remaining territory.
+  /** Raw RIFF/AVI walk output: video-stream geometry, BITMAPINFOHEADER
+    * codec fields, the 8-bit palette when one is declared (RGBQUAD order:
+    * B,G,R,reserved — stored here as packed 0xRRGGBB ints), and every movi
+    * frame chunk as (dataOffset, size).
     */
-  private[graft] def parseAvi(bytes: Array[Byte]): Option[AviDib] = {
+  private[graft] final case class AviRaw(w: Int, h: Int, bitCount: Int,
+                                         compression: Int,
+                                         palette: Array[Int],
+                                         frameOff: Array[Int],
+                                         frameLen: Array[Int])
+
+  /** Native RIFF/AVI container walk, codec-agnostic: collects geometry +
+    * palette + frame chunks; [[parseAvi]] (BI_RGB) and [[decodeRle8Video]]
+    * (BI_RLE8) apply their codec-specific validation on top.
+    */
+  private[graft] def walkAvi(bytes: Array[Byte]): Option[AviRaw] = {
     if (bytes == null || bytes.length < 24 ||
       bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' || bytes(3) != 'F' ||
       bytes(8) != 'A' || bytes(9) != 'V' || bytes(10) != 'I' || bytes(11) != ' ')
@@ -293,9 +304,10 @@ object Multimodal {
     val buf = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     var w = -1; var h = -1; var bitCount = -1; var compression = -1
+    var palette: Array[Int] = Array.emptyIntArray
     var lastStrh = ""
-    val frames = scala.collection.mutable.ArrayBuffer.empty[Int] // data offsets
-    var frameSize = -1
+    val frameOff = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val frameLen = scala.collection.mutable.ArrayBuffer.empty[Int]
     var bad = false
     def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
       var off = start
@@ -309,25 +321,43 @@ object Multimodal {
             walk(off + 12, off + 8 + size, inMovi || lt == "movi")
           }
         } else if (inMovi && (id.endsWith("db") || id.endsWith("dc"))) {
-          if (frameSize < 0) frameSize = size
-          if (size != frameSize) bad = true else frames += off + 8
+          frameOff += off + 8; frameLen += size
         } else if (id == "strh" && size >= 4) {
           lastStrh = new String(bytes, off + 8, 4, "US-ASCII")
         } else if (id == "strf" && lastStrh == "vids" && size >= 40) {
           w = buf.getInt(off + 12); h = buf.getInt(off + 16)
           bitCount = buf.getShort(off + 22) & 0xffff
           compression = buf.getInt(off + 24)
+          if (bitCount == 8 && size >= 44) {
+            val declared = buf.getInt(off + 40) // biClrUsed
+            val n = math.min(if (declared > 0) declared else 256,
+              (size - 40) / 4)
+            palette = Array.tabulate(math.max(0, n)) { c =>
+              val p = off + 48 + 4 * c
+              ((bytes(p + 2) & 0xff) << 16) | ((bytes(p + 1) & 0xff) << 8) |
+                (bytes(p) & 0xff)
+            }
+          }
         }
         off += 8 + size + (size & 1) // RIFF chunks are word-aligned
       }
     }
     walk(12, bytes.length, inMovi = false)
-    if (bad || w <= 0 || h <= 0 || bitCount != 24 || compression != 0 ||
-      frames.isEmpty) return None
-    val stride = ((w * 3 + 3) / 4) * 4
-    if (frameSize != stride * h) return None
-    Some(AviDib(w, h, stride, frames.toArray))
+    if (bad || w <= 0 || h <= 0 || frameOff.isEmpty) None
+    else Some(AviRaw(w, h, bitCount, compression, palette,
+      frameOff.toArray, frameLen.toArray))
   }
+
+  /** BI_RGB validation over [[walkAvi]]: 24-bit uncompressed with
+    * equal-size frame chunks matching the padded-stride geometry.
+    */
+  private[graft] def parseAvi(bytes: Array[Byte]): Option[AviDib] =
+    walkAvi(bytes).flatMap { raw =>
+      val stride = ((raw.w * 3 + 3) / 4) * 4
+      if (raw.bitCount != 24 || raw.compression != 0 ||
+        !raw.frameLen.forall(_ == stride * raw.h)) None
+      else Some(AviDib(raw.w, raw.h, stride, raw.frameOff))
+    }
 
   /** Decode dispatch: real pixels when ImageIO reads the bytes, real PCM
     * samples when javax.sound does (WAV/AIFF) or the native [[Flac]]
@@ -343,6 +373,7 @@ object Multimodal {
       .orElse(decodeFlacAudio(bytes))
       .orElse(decodeCompandedAudio(bytes))
       .orElse(decodeAviVideo(bytes))
+      .orElse(decodeRle8Video(bytes))
       .getOrElse(stubDecode(bytes))
 
   /** Deterministic 16-bit mono PCM WAV fixture: a seed-keyed sine (RIFF
@@ -525,6 +556,286 @@ object Multimodal {
     while (f < nFrames) {
       out.put("00db".getBytes); out.putInt(0x10)      // AVIIF_KEYFRAME
       out.putInt(4 + f * (8 + frameSize)); out.putInt(frameSize)
+      f += 1
+    }
+    out.array()
+  }
+
+  /** Real COMPRESSED video decode: BI_RLE8 AVI — Microsoft RLE, the
+    * palettized run-length codec of the Windows BMP/AVI spec (biCompression
+    * = 1). Unlike the raw-DIB path this is TEMPORAL compression: pixels a
+    * P-frame leaves untouched (end-of-line, delta skips, early end-of-
+    * bitmap) keep the previous frame's content, so the decoder carries a
+    * persistent index framebuffer across frames and reconstructs each
+    * frame before pooling. Byte-exact integer output → meets the
+    * hash-equality oracle, which float-DCT codecs never could.
+    *
+    * Opcode grammar decoded (full spec): (n>0, idx) encoded run; 00 00
+    * end-of-line; 00 01 end-of-bitmap; 00 02 dx dy position delta (the
+    * inter-frame skip); 00 n>=3 absolute run, word-aligned.
+    *
+    * Feature contract identical to [[decodeAviVideo]] (indices 0-7), with
+    * RGB resolved through the stream's declared palette.
+    */
+  def decodeRle8Video(bytes: Array[Byte]): Option[Array[Float]] =
+    walkAvi(bytes).flatMap { raw =>
+      if (raw.bitCount != 8 || raw.compression != 1 || raw.palette.isEmpty)
+        return None
+      import raw.{w, h}
+      val nF = raw.frameOff.length
+      val cur = new Array[Byte](w * h) // bottom-up row-major, index 0 initial
+      var sumR = 0.0; var sumG = 0.0; var sumB = 0.0
+      val quarterLuma = new Array[Double](4)
+      val quarterN = new Array[Long](4)
+      var f = 0
+      while (f < nF) {
+        if (!rle8Frame(bytes, raw.frameOff(f), raw.frameOff(f) + raw.frameLen(f),
+          cur, w, h)) return None
+        val q = math.min(3, f * 4 / nF)
+        var i = 0
+        while (i < w * h) {
+          val idx = cur(i) & 0xff
+          if (idx >= raw.palette.length) return None
+          val rgb = raw.palette(idx)
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+          sumR += r; sumG += g; sumB += b
+          quarterLuma(q) += 0.299 * r + 0.587 * g + 0.114 * b
+          quarterN(q) += 1
+          i += 1
+        }
+        f += 1
+      }
+      val n = nF.toDouble * w * h
+      val out = new Array[Float](FeatureDim)
+      out(0) = (sumR / n / 255.0).toFloat
+      out(1) = (sumG / n / 255.0).toFloat
+      out(2) = (sumB / n / 255.0).toFloat
+      out(3) = ((0.299 * sumR + 0.587 * sumG + 0.114 * sumB) / n / 255.0).toFloat
+      var q = 0
+      while (q < 4) {
+        out(4 + q) =
+          if (quarterN(q) == 0) 0f
+          else (quarterLuma(q) / quarterN(q) / 255.0).toFloat
+        q += 1
+      }
+      Some(out)
+    }
+
+  /** Decode one RLE8 frame chunk into `buf` (bottom-up row-major indices),
+    * leaving skipped pixels untouched (temporal prediction). False on any
+    * out-of-bounds write or truncated opcode — corrupt frames must not
+    * read garbage.
+    */
+  private[graft] def rle8Frame(bytes: Array[Byte], start: Int, end: Int,
+                               buf: Array[Byte], w: Int, h: Int): Boolean = {
+    var x = 0; var row = 0; var p = start
+    while (p + 2 <= end) {
+      val b0 = bytes(p) & 0xff; val b1 = bytes(p + 1) & 0xff; p += 2
+      if (b0 > 0) {
+        if (row >= h || x + b0 > w) return false
+        java.util.Arrays.fill(buf, row * w + x, row * w + x + b0, b1.toByte)
+        x += b0
+      } else b1 match {
+        case 0 => x = 0; row += 1; if (row > h) return false
+        case 1 => return true // end of bitmap; rest stays predicted
+        case 2 =>
+          if (p + 2 > end) return false
+          x += bytes(p) & 0xff; row += bytes(p + 1) & 0xff; p += 2
+          if (x > w || row > h) return false
+        case nAbs =>
+          if (row >= h || x + nAbs > w || p + nAbs > end) return false
+          System.arraycopy(bytes, p, buf, row * w + x, nAbs)
+          p += nAbs + (nAbs & 1) // absolute runs are word-aligned
+          x += nAbs
+      }
+    }
+    true // implicit end-of-bitmap at chunk end
+  }
+
+  /** Deterministic BI_RLE8 AVI fixture: a static per-row background with a
+    * moving 4×3 rectangle, palettized to 64 seed-keyed colors. Frame 0 is
+    * a keyframe (every pixel coded); each following frame is a true
+    * P-frame — the encoder diffs against the reconstructed previous frame
+    * and emits position deltas / end-of-lines for unchanged spans, encoded
+    * runs for homogeneous changed spans, and absolute mode for
+    * heterogeneous ones, so every opcode of the codec is exercised by the
+    * fixture itself. Integer-exact content (fmix64 palette, integer rect
+    * walk) → the Python mirror re-derives the decoded features with no
+    * shared code, and n_bytes comes from this writer like [[aviBytes]].
+    */
+  def syntheticRleAvi(seed: Long, w: Int = 16, h: Int = 12): Array[Byte] = {
+    val k = (seed % 40).toInt // 40-seed period, like syntheticAvi
+    val nFrames = 5 + k % 4
+    val nColors = 64
+    def mix(v: Long): Long = {
+      var z = v
+      z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
+      z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
+      z ^ (z >>> 33)
+    }
+    // logical content in TOP-DOWN coords; buffers stored bottom-up
+    def frameIndices(f: Int): Array[Byte] = {
+      val rx = (k + 3 * f) % (w - 4); val ry = (k / 7 + 2 * f) % (h - 3)
+      val buf = new Array[Byte](w * h)
+      var row = 0
+      while (row < h) {
+        val y = h - 1 - row
+        var x = 0
+        while (x < w) {
+          val inRect = x >= rx && x < rx + 4 && y >= ry && y < ry + 3
+          val idx = if (inRect) (k + f + x + y) % nColors else (k * 5 + y) % nColors
+          buf(row * w + x) = idx.toByte
+          x += 1
+        }
+        row += 1
+      }
+      buf
+    }
+    def encodeFrame(cur: Array[Byte], prev: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(w * h / 2)
+      def same(row: Int, x: Int) =
+        prev != null && prev(row * w + x) == cur(row * w + x)
+      def rowUnchanged(row: Int): Boolean = {
+        var x = 0
+        while (x < w) { if (!same(row, x)) return false; x += 1 }
+        prev != null
+      }
+      var row = 0
+      while (row < h) {
+        if (rowUnchanged(row)) {
+          var run = 0
+          while (row + run < h && rowUnchanged(row + run)) run += 1
+          if (row + run >= h) row = h // trailing unchanged rows → EOB only
+          else {
+            if (run == 1) { out.write(0); out.write(0) } // EOL
+            else { out.write(0); out.write(2); out.write(0); out.write(run) }
+            row += run
+          }
+        } else {
+          var x = 0
+          while (x < w) {
+            // unchanged prefix ≥3 → delta skip (1-2 re-code cheaper than 4B)
+            var u = 0
+            while (x + u < w && same(row, x + u)) u += 1
+            if (x + u >= w && u > 0) x = w // rest unchanged → EOL covers it
+            else if (u >= 3) {
+              out.write(0); out.write(2); out.write(u); out.write(0); x += u
+            } else {
+              // changed span: up to the next ≥3-long unchanged run
+              var e = x + u // u<3 pixels re-coded along with the span
+              var done = false
+              while (!done && e < w) {
+                var u2 = 0
+                while (e + u2 < w && same(row, e + u2)) u2 += 1
+                if (u2 >= 3 || e + u2 >= w) done = true
+                if (!done) e += u2 + 1
+                else if (e + u2 >= w && u2 < 3) e = w
+              }
+              var i = x
+              while (i < e) {
+                var run = 1
+                while (i + run < e && cur(row * w + i + run) == cur(row * w + i) &&
+                  run < 255) run += 1
+                if (run >= 2) {
+                  out.write(run); out.write(cur(row * w + i) & 0xff); i += run
+                } else {
+                  var j = i + 1 // count singletons ahead
+                  var r2 = 1
+                  while (j < e && r2 < 2) {
+                    r2 = 1
+                    while (j + r2 < e && cur(row * w + j + r2) == cur(row * w + j) &&
+                      r2 < 255) r2 += 1
+                    if (r2 < 2) j += 1
+                  }
+                  val nSingle = j - i
+                  if (nSingle >= 3) {
+                    out.write(0); out.write(nSingle)
+                    var t = i
+                    while (t < j) { out.write(cur(row * w + t) & 0xff); t += 1 }
+                    if ((nSingle & 1) != 0) out.write(0) // word align
+                  } else {
+                    var t = i
+                    while (t < j) { out.write(1); out.write(cur(row * w + t) & 0xff); t += 1 }
+                  }
+                  i = j
+                }
+              }
+              x = e
+            }
+          }
+          row += 1
+          if (row < h) { out.write(0); out.write(0) } // EOL
+        }
+      }
+      out.write(0); out.write(1) // end of bitmap
+      out.toByteArray
+    }
+    val frames = new Array[Array[Byte]](nFrames)
+    var prev: Array[Byte] = null
+    var f = 0
+    while (f < nFrames) {
+      val cur = frameIndices(f)
+      frames(f) = encodeFrame(cur, prev)
+      prev = cur
+      f += 1
+    }
+    val framePadded = frames.map(fr => fr.length + (fr.length & 1))
+    val moviPayload = 4 + frames.indices.map(8 + framePadded(_)).sum
+    val idx1Payload = nFrames * 16
+    val strfSize = 40 + nColors * 4
+    val hdrlTotal = 8 + 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + strfSize))
+    val riffPayload = 4 + hdrlTotal + (8 + moviPayload) + (8 + idx1Payload)
+    val out = java.nio.ByteBuffer.allocate(8 + riffPayload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes); out.putInt(riffPayload); out.put("AVI ".getBytes)
+    out.put("LIST".getBytes); out.putInt(hdrlTotal - 8); out.put("hdrl".getBytes)
+    out.put("avih".getBytes); out.putInt(56)
+    out.putInt(40000); out.putInt(w * h * 25); out.putInt(0)
+    out.putInt(0x10)                                  // AVIF_HASINDEX
+    out.putInt(nFrames); out.putInt(0); out.putInt(1)
+    out.putInt(w * h); out.putInt(w); out.putInt(h)
+    out.putInt(0); out.putInt(0); out.putInt(0); out.putInt(0)
+    out.put("LIST".getBytes); out.putInt(4 + (8 + 56) + (8 + strfSize))
+    out.put("strl".getBytes)
+    out.put("strh".getBytes); out.putInt(56)
+    out.put("vids".getBytes); out.put("MRLE".getBytes)
+    out.putInt(0); out.putShort(0); out.putShort(0); out.putInt(0)
+    out.putInt(1); out.putInt(25)
+    out.putInt(0); out.putInt(nFrames); out.putInt(w * h)
+    out.putInt(-1); out.putInt(0)
+    out.putShort(0); out.putShort(0)
+    out.putShort(w.toShort); out.putShort(h.toShort)
+    out.put("strf".getBytes); out.putInt(strfSize)
+    out.putInt(40); out.putInt(w); out.putInt(h)      // BITMAPINFOHEADER
+    out.putShort(1); out.putShort(8)                  // planes, 8-bit
+    out.putInt(1); out.putInt(w * h)                  // BI_RLE8
+    out.putInt(0); out.putInt(0)
+    out.putInt(nColors); out.putInt(0)                // biClrUsed
+    var c = 0
+    while (c < nColors) {                             // RGBQUAD: B,G,R,0
+      val rgb = (mix(k * 31L + c) & 0xffffff).toInt
+      out.put((rgb & 0xff).toByte); out.put(((rgb >> 8) & 0xff).toByte)
+      out.put(((rgb >> 16) & 0xff).toByte); out.put(0.toByte)
+      c += 1
+    }
+    out.put("LIST".getBytes); out.putInt(moviPayload); out.put("movi".getBytes)
+    f = 0
+    var dataOff = 4
+    val offsets = new Array[Int](nFrames)
+    while (f < nFrames) {
+      offsets(f) = dataOff
+      out.put("00dc".getBytes); out.putInt(frames(f).length)
+      out.put(frames(f))
+      if ((frames(f).length & 1) != 0) out.put(0.toByte)
+      dataOff += 8 + framePadded(f)
+      f += 1
+    }
+    out.put("idx1".getBytes); out.putInt(idx1Payload)
+    f = 0
+    while (f < nFrames) {
+      out.put("00dc".getBytes)
+      out.putInt(if (f == 0) 0x10 else 0)             // only frame 0 is a keyframe
+      out.putInt(offsets(f)); out.putInt(frames(f).length)
       f += 1
     }
     out.array()

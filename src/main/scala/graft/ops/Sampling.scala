@@ -115,4 +115,59 @@ object Sampling {
         .when(b < trainPermill + valPermill, "val")
         .otherwise("test"))
   }
+
+  /** DSIR importance scores (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): score each document by the
+    * log-likelihood ratio of its hashed word-bigram features under the
+    * TARGET distribution (rows where `targetCol` is true — e.g. a trusted
+    * high-quality subset) vs the RAW distribution (all rows), with add-one
+    * smoothing over a `vocab`-sized hashed feature space.
+    *
+    * Scale shape — DSIR's whole point is that it avoids training a model:
+    * two linear passes over the corpus. Both n-gram distributions are
+    * BOUNDED aggregates (≤ vocab rows) broadcast back to the feature
+    * stream; the only shuffle keyed by data volume is the per-(doc,
+    * feature) count (map-side combined). The float sum per document runs
+    * over its ≤ vocab DISTINCT features with integer multiplicities, not
+    * raw occurrences — fewer terms, engine-stable to 4 dp.
+    *
+    * Feature hash = md5-derived (the engine-portable p08/p09 idiom), so an
+    * identical distribution estimate is computable by any engine that has
+    * md5 — the oracle recomputes it end to end.
+    *
+    * Returns (id, n_feats, score): one row per document that HAS at least
+    * one bigram; callers left-join and default score 0 for the rest.
+    */
+  def dsirScores(df: DataFrame, idCol: String, textCol: String,
+                 targetCol: String, vocab: Int = 4096): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), col(targetCol).as("is_target"),
+      TextOps.tokens(lower(col(textCol))).as("ts"))
+    val bi = toks.select(col("id"), col("is_target"),
+      explode(when(size(col("ts")) >= 2,
+        expr("transform(sequence(1, size(ts) - 1), " +
+          "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
+        .otherwise(array().cast("array<string>"))).as("bg"))
+      .select(col("id"), col("is_target"),
+        pmod(conv(substring(md5(col("bg")), 1, 15), 16, 10).cast("long"),
+          lit(vocab.toLong)).as("h"))
+    // feature-space distributions: ≤ vocab rows each, broadcastable at any
+    // corpus size — this is the "estimate the importance weights" pass
+    val counts = bi.groupBy(col("h"))
+      .agg(count(lit(1)).as("nr"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("nt"))
+    val totals = bi.agg(count(lit(1)).as("r"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("t"))
+    val lr = counts.crossJoin(broadcast(totals))
+      .select(col("h"),
+        (log((col("nt") + 1).cast("double") / (col("t") + lit(vocab.toLong))) -
+          log((col("nr") + 1).cast("double") / (col("r") + lit(vocab.toLong))))
+          .as("lrv"))
+    // the "score every document" pass: integer per-(doc, feature) counts,
+    // then one broadcast join against the weight table
+    bi.groupBy(col("id"), col("h")).agg(count(lit(1)).as("n"))
+      .join(broadcast(lr), "h")
+      .groupBy(col("id"))
+      .agg(sum(col("n")).as("n_feats"),
+        sum(col("n") * col("lrv")).as("score"))
+  }
 }

@@ -612,6 +612,35 @@ object Advanced {
               |FROM documents d JOIN v ON d.doc_id % 40 = v.seed
               |ORDER BY id, frame_idx""".stripMargin)),
 
+    QueryDef("p76_rle_video",
+      (s, d) => {
+        import s.implicits._
+        // REAL compressed-video decode: BI_RLE8 (Microsoft RLE) AVI with
+        // genuine TEMPORAL compression — frame 0 is a keyframe, later
+        // frames are P-frames of delta-skips over a persistent framebuffer.
+        // The decoder reconstructs every frame before pooling; oracle
+        // literals are the Python mirror's re-derivation of the
+        // reconstructed content (tools/gen_multimodal_oracle.py
+        // rle_video_seed), so a single mispredicted pixel anywhere in the
+        // P-frame chain breaks the hash.
+        val media = synthMedia(s, d)(Multimodal.syntheticRleAvi(_))
+        Multimodal.extractFeatures(media, "doc_id", "media", "video/x-msvideo")
+          .select($"id", $"n_bytes",
+            round(element_at($"features", 1).cast("double"), 4).as("mean_r"),
+            round(element_at($"features", 4).cast("double"), 4).as("mean_luma"),
+            round(element_at($"features", 5).cast("double"), 4).as("tq0"),
+            round(element_at($"features", 8).cast("double"), 4).as("tq3"))
+          .orderBy($"id")
+      },
+      Some(s"""WITH v(seed, n_frames, n_bytes, mean_r, mean_luma, tq0, tq3) AS (VALUES
+              |  ${MultimodalOracle.rleVideoFeatValues})
+              |SELECT d.doc_id AS id, CAST(v.n_bytes AS BIGINT) AS n_bytes,
+              |  CAST(v.mean_r AS DOUBLE) AS mean_r,
+              |  CAST(v.mean_luma AS DOUBLE) AS mean_luma,
+              |  CAST(v.tq0 AS DOUBLE) AS tq0, CAST(v.tq3 AS DOUBLE) AS tq3
+              |FROM documents d JOIN v ON d.doc_id % 40 = v.seed
+              |ORDER BY id""".stripMargin)),
+
     QueryDef("p12_multimodal_frames",
       (s, d) => {
         import s.implicits._
@@ -825,7 +854,119 @@ object Advanced {
               |    CAST(vid.mean_r AS DOUBLE), CAST(vid.mean_luma AS DOUBLE)
               |  FROM documents d JOIN vid ON d.doc_id % 40 = vid.seed
               |  WHERE d.doc_id % 3 = 2)
-              |ORDER BY id""".stripMargin))
+              |ORDER BY id""".stripMargin)),
+
+    // -- archive ingestion: the first mile of a 100 TB corpus ---------------
+
+    QueryDef("s18_stream_warc",
+      (s, d) => {
+        import s.implicits._
+        // live-crawl ingest: every arriving element is one fetched
+        // .warc.gz archive, decoded by the REAL gzip-member/WARC/HTTP
+        // path inside the micro-batch plan (stateless — no state store).
+        // The digest pins byte fidelity through the whole container
+        // round-trip, per document, under the streaming engine.
+        EventStreams.runBoundedDocs(s, d, "s18_sink",
+            EventStreams.warcIngestStage)
+          .select($"doc_id", $"url", $"status", $"n_bytes",
+            md5(encode($"text", "UTF-8")).as("digest"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  'https://example.com/' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
+             |  CAST(200 AS INTEGER) AS status,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  md5(text) AS digest
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("p77_compressed_text",
+      (s, d) => {
+        import s.implicits._
+        // REAL multi-codec decompression: each document compressed under a
+        // codec keyed by doc_id % 5 (gzip / zstd / bzip2 / xz / lz4-frame —
+        // the JDK + the codec libraries Spark itself ships), then recovered
+        // by magic-byte sniff + streaming decode. md5(recovered bytes) ==
+        // md5(documents.text) proves byte-exact round-trip through all five
+        // REAL codecs; the oracle never sees the compressed form.
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val codecs = Array("gzip", "zstd", "bzip2", "xz", "lz4")
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("blob", BinaryType)))
+        val blobs = s.createDataFrame(
+          t(s, d, "documents").select($"doc_id".cast("long"), $"text")
+            .repartition(s.sparkContext.defaultParallelism)
+            .rdd.mapPartitions(_.map { r =>
+              val id = r.getLong(0)
+              val raw = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              Row(id, graft.ops.Ingest.compress(raw, codecs((id % 5).toInt)))
+            }), schema)
+        graft.ops.Ingest.decompressText(blobs, "doc_id", "blob")
+          .select($"id", $"codec", $"n_raw",
+            md5(encode($"text", "UTF-8")).as("digest"))
+          .orderBy($"id")
+      },
+      Some("""SELECT doc_id AS id,
+             |  CASE CAST(doc_id % 5 AS INT)
+             |    WHEN 0 THEN 'gzip' WHEN 1 THEN 'zstd' WHEN 2 THEN 'bzip2'
+             |    WHEN 3 THEN 'xz' ELSE 'lz4' END AS codec,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_raw,
+             |  md5(text) AS digest
+             |FROM documents ORDER BY id""".stripMargin)),
+
+    QueryDef("p78_warc_ingest",
+      (s, d) => {
+        import s.implicits._
+        // The Common Crawl read path, end to end: documents grouped into
+        // 192 synthetic .warc.gz files (one warcinfo record + one gzip
+        // member PER response record, concatenated — ISO 28500 record-at-
+        // time compression), then ingested by the real pipeline: RFC 1952
+        // member split with CRC verification → WARC header parse → type
+        // filter → HTTP envelope strip. Ingestion is mapPartitions over
+        // files — zero shuffle; the fixture groupBy is the only exchange
+        // and belongs to fixture construction, not the operator.
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("file", LongType), StructField("warc_gz", BinaryType)))
+        val grouped = t(s, d, "documents")
+          .select($"doc_id".cast("long"), $"source", $"text")
+          .groupBy(($"doc_id" % 192).as("file"))
+          .agg(sort_array(collect_list(struct($"doc_id", $"source", $"text"))).as("recs"))
+        val warcs = s.createDataFrame(
+          grouped.rdd.mapPartitions(_.map { r =>
+            val file = r.getLong(0)
+            val recs = r.getSeq[Row](1)
+            val info = graft.ops.Ingest.writeWarcRecord(graft.ops.Ingest.WarcRecord(
+              "warcinfo", None, Some(s"<urn:uuid:info-$file>"),
+              Some("application/warc-fields"),
+              "software: graft-fixture\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            val members = info +: recs.map { rec =>
+              val body = rec.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n" +
+                s"Content-Length: ${body.length}\r\n\r\n")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8) ++ body
+              graft.ops.Ingest.writeWarcRecord(graft.ops.Ingest.WarcRecord(
+                "response",
+                Some(s"https://example.com/${rec.getString(1)}/${rec.getLong(0)}"),
+                Some(s"<urn:uuid:rec-${rec.getLong(0)}>"),
+                Some("application/http; msgtype=response"), http))
+            }
+            Row(file, graft.ops.Ingest.gzipConcat(members))
+          }), schema)
+        graft.ops.Ingest.warcIngest(warcs, "file", "warc_gz")
+          .select(
+            element_at(split($"url", "/"), -1).cast("long").as("id"),
+            $"url", $"status", $"n_bytes",
+            md5(encode($"text", "UTF-8")).as("digest"))
+          .orderBy($"id")
+      },
+      Some("""SELECT doc_id AS id,
+             |  'https://example.com/' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
+             |  CAST(200 AS INTEGER) AS status,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  md5(text) AS digest
+             |FROM documents ORDER BY id""".stripMargin))
   )
 
   /** (doc_id, media) with a deterministic PNG per seed column — the shared

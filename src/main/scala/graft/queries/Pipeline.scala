@@ -2797,6 +2797,59 @@ object Pipeline {
              |  CAST(sum(dg) AS BIGINT) AS digest,
              |  1 AS counts_match
              |FROM staged GROUP BY shard ORDER BY shard""".stripMargin))
+  ,
+
+    // -- DSIR data selection (Xie et al. 2023) ------------------------------
+    QueryDef("p79_dsir_select",
+      (s, d) => {
+        import s.implicits._
+        // target distribution = the English subset (the "trusted corpus"
+        // role); every document scored by the hashed-bigram log-likelihood
+        // ratio target-vs-raw. keep = "more target-like than raw-average",
+        // thresholded on the ROUNDED score so both engines gate the same
+        // value they emit.
+        val docs = t(s, d, "documents")
+        val scored = graft.ops.Sampling.dsirScores(
+          docs.withColumn("is_en", $"lang" === "en"),
+          "doc_id", "text", "is_en")
+        docs.select($"doc_id").join(scored, $"doc_id" === scored("id"), "left")
+          .select($"doc_id",
+            coalesce($"n_feats", lit(0L)).as("n_feats"),
+            coalesce(round($"score", 4), lit(0.0)).as("score"),
+            coalesce(round($"score", 4) > 0, lit(false)).as("keep"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang,
+             |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ts
+             |  FROM documents),
+             |bi AS (
+             |  SELECT doc_id, lang = 'en' AS is_target,
+             |    CAST(('0x' || substring(md5(bg), 1, 15)) AS BIGINT) % 4096 AS h
+             |  FROM (SELECT doc_id, lang,
+             |          unnest(list_transform(generate_series(1, len(ts) - 1),
+             |                 i -> ts[i] || ' ' || ts[i + 1])) AS bg
+             |        FROM toks) u),
+             |tot AS (
+             |  SELECT count(*) AS r,
+             |    count(*) FILTER (WHERE is_target) AS t FROM bi),
+             |cnt AS (
+             |  SELECT h, count(*) AS nr,
+             |    count(*) FILTER (WHERE is_target) AS nt FROM bi GROUP BY h),
+             |lr AS (
+             |  SELECT h, ln((nt + 1) / CAST(t + 4096 AS DOUBLE))
+             |            - ln((nr + 1) / CAST(r + 4096 AS DOUBLE)) AS lrv
+             |  FROM cnt CROSS JOIN tot),
+             |dh AS (SELECT doc_id, h, count(*) AS n FROM bi GROUP BY doc_id, h),
+             |sc AS (
+             |  SELECT dh.doc_id, sum(dh.n) AS n_feats, sum(dh.n * lr.lrv) AS score
+             |  FROM dh JOIN lr USING (h) GROUP BY dh.doc_id)
+             |SELECT d.doc_id,
+             |  CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
+             |  coalesce(round(sc.score, 4), 0.0) AS score,
+             |  coalesce(round(sc.score, 4) > 0, FALSE) AS keep
+             |FROM documents d LEFT JOIN sc USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin))
   )
 
   /** DuckDB mirror of Similarity.ivfCentroids(k=8, iters=2) over

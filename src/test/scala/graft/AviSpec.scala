@@ -151,4 +151,104 @@ class AviSpec extends AnyFunSuite {
       assert(math.abs(f(4) - q0.toDouble) < 5e-5, s"frame q0 $seed/$fIdx")
     }
   }
+
+  // ----- BI_RLE8 compressed video ----------------------------------------
+
+  /** The RLE fixture's content formula, reimplemented independently of the
+    * writer: bottom-up index buffer of frame f for seed k.
+    */
+  private def rleFrame(k: Int, f: Int, w: Int = 16, h: Int = 12): Array[Byte] = {
+    val rx = (k + 3 * f) % (w - 4); val ry = (k / 7 + 2 * f) % (h - 3)
+    val buf = new Array[Byte](w * h)
+    for (row <- 0 until h; x <- 0 until w) {
+      val y = h - 1 - row
+      val inRect = x >= rx && x < rx + 4 && y >= ry && y < ry + 3
+      buf(row * w + x) =
+        (if (inRect) (k + f + x + y) % 64 else (k * 5 + y) % 64).toByte
+    }
+    buf
+  }
+
+  test("RLE8: every P-frame reconstructs the exact content formula") {
+    val (w, h) = (16, 12)
+    for (seed <- 0 until 40) {
+      val bytes = Multimodal.syntheticRleAvi(seed.toLong)
+      val raw = Multimodal.walkAvi(bytes).get
+      assert(raw.bitCount == 8 && raw.compression == 1 && raw.palette.length == 64)
+      assert(raw.frameOff.length == 5 + seed % 4, s"seed $seed frame count")
+      val buf = new Array[Byte](w * h)
+      for (f <- raw.frameOff.indices) {
+        assert(Multimodal.rle8Frame(bytes, raw.frameOff(f),
+          raw.frameOff(f) + raw.frameLen(f), buf, w, h), s"seed $seed frame $f decodes")
+        assert(java.util.Arrays.equals(buf, rleFrame(seed, f)),
+          s"seed $seed frame $f: reconstructed P-frame == content formula")
+      }
+    }
+  }
+
+  test("RLE8: features match the Python mirror across all 40 seeds") {
+    val rleFeat = graft.queries.MultimodalOracle.rleVideoFeat
+    for (seed <- 0 until 40) {
+      val f = Multimodal.decodeRle8Video(Multimodal.syntheticRleAvi(seed.toLong)).get
+      val (nf, meanR, meanLuma, tq0, tq3) = rleFeat(seed)
+      assert(nf == 5 + seed % 4, s"seed $seed frame count")
+      assert(math.abs(f(0) - meanR.toDouble) < 5e-5, s"mean_r $seed")
+      assert(math.abs(f(3) - meanLuma.toDouble) < 5e-5, s"mean_luma $seed")
+      assert(math.abs(f(4) - tq0.toDouble) < 5e-5, s"tq0 $seed")
+      assert(math.abs(f(7) - tq3.toDouble) < 5e-5, s"tq3 $seed")
+    }
+  }
+
+  test("RLE8: temporal compression is real — P-frames are small, opcodes all exercised") {
+    val (w, h) = (16, 12)
+    var sawDelta = false; var sawAbsolute = false; var sawEncodedRun = false
+    for (seed <- 0 until 40) {
+      val bytes = Multimodal.syntheticRleAvi(seed.toLong)
+      val raw = Multimodal.walkAvi(bytes).get
+      val sizes = raw.frameLen.toSeq
+      // every frame (keyframe included — the background rows are runs)
+      // codes in under half the raw frame size: compression is real, not
+      // escape-coded passthrough
+      assert(sizes.forall(_ < w * h / 2),
+        s"seed $seed: frames genuinely compressed ($sizes vs raw ${w * h})")
+      for (f <- raw.frameOff.indices) {
+        var p = raw.frameOff(f); val end = p + raw.frameLen(f)
+        while (p + 2 <= end) {
+          val b0 = bytes(p) & 0xff; val b1 = bytes(p + 1) & 0xff
+          if (b0 > 0) { sawEncodedRun = true; p += 2 }
+          else b1 match {
+            case 0 | 1 => p += 2
+            case 2     => sawDelta = true; p += 4
+            case n     => sawAbsolute = true; p += 2 + n + (n & 1)
+          }
+        }
+      }
+    }
+    assert(sawEncodedRun && sawDelta && sawAbsolute,
+      "fixture exercises encoded runs, position deltas, and absolute mode")
+  }
+
+  test("RLE8: dy-delta skips rows, early EOB predicts the rest, corrupt input is refused") {
+    val (w, h) = (8, 4)
+    val buf = Array.fill[Byte](w * h)(7)
+    // frame: run of 4 on row 0, delta (dx=1, dy=2) from (4,0) to (5,2),
+    // absolute 3 px (odd → word pad), early EOB — everything else predicted
+    val stream = Array[Byte](4, 9, 0, 2, 1, 2, 0, 3, 1, 2, 3, 0, 0, 1)
+    assert(Multimodal.rle8Frame(stream, 0, stream.length, buf, w, h))
+    assert(buf.take(4).forall(_ == 9), "row 0 run")
+    assert(buf.slice(4, 21).forall(_ == 7), "pixels skipped by the delta stay predicted")
+    assert(buf.slice(21, 24).sameElements(Array[Byte](1, 2, 3)), "absolute after delta")
+    assert(buf.drop(24).forall(_ == 7), "early EOB leaves the last row predicted")
+    // out-of-bounds run must be refused, not written
+    assert(!Multimodal.rle8Frame(Array[Byte](9, 1), 0, 2, new Array[Byte](w * h), w, h))
+    // truncated absolute mode
+    assert(!Multimodal.rle8Frame(Array[Byte](0, 3, 1), 0, 3, new Array[Byte](w * h), w, h))
+    // whole-file: flipping a movi byte must yield None or different-but-decoded,
+    // never an exception; truncation must yield None
+    val whole = Multimodal.syntheticRleAvi(3L)
+    assert(Multimodal.decodeRle8Video(java.util.Arrays.copyOf(whole, whole.length / 2)).isEmpty)
+    // a BI_RGB AVI must NOT route to the RLE decoder and vice versa
+    assert(Multimodal.decodeRle8Video(Multimodal.syntheticAvi(3L)).isEmpty)
+    assert(Multimodal.decodeAviVideo(whole).isEmpty)
+  }
 }

@@ -1,0 +1,166 @@
+package graft
+
+import graft.ops.Ingest
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Archive-ingestion layer: codec round-trips, RFC 1952 member framing,
+  * ISO 28500 WARC parsing, and the DataFrame operators' error channels.
+  */
+class IngestSpec extends AnyFunSuite {
+
+  private val codecs = Seq("gzip", "zstd", "bzip2", "xz", "lz4")
+
+  test("every codec round-trips arbitrary bytes and sniffs correctly") {
+    // deterministic samples (scalatest+scalacheck bridge is not in the
+    // offline cache — the GeoSpec pattern): sizes spanning empty, tiny,
+    // block-boundary, and incompressible-random payloads
+    val rnd = new scala.util.Random(42)
+    val samples: Seq[Array[Byte]] =
+      Seq(Array.empty[Byte], Array[Byte](0), "abc".getBytes(UTF_8),
+        Array.fill[Byte](100000)(7)) ++
+        Seq(17, 1024, 65537).map { n =>
+          val a = new Array[Byte](n); rnd.nextBytes(a); a
+        }
+    samples.foreach { raw =>
+      codecs.foreach { c =>
+        val packed = Ingest.compress(raw, c)
+        assert(Ingest.sniffCodec(packed).contains(c), s"sniff $c")
+        val out = Ingest.decompress(packed)
+        assert(out.isDefined && out.get._1 == c)
+        assert(java.util.Arrays.equals(out.get._2, raw), s"roundtrip $c n=${raw.length}")
+      }
+    }
+  }
+
+  test("decompress is a soft error channel: garbage and truncation give None") {
+    assert(Ingest.decompress("plain text, no magic".getBytes(UTF_8)).isEmpty)
+    assert(Ingest.decompress(Array.empty[Byte]).isEmpty)
+    codecs.foreach { c =>
+      val packed = Ingest.compress("some document body".getBytes(UTF_8), c)
+      val truncated = java.util.Arrays.copyOf(packed, packed.length / 2)
+      // truncated streams must not throw — a 100 TB crawl always has some
+      assert(Ingest.decompress(truncated).isEmpty, s"truncated $c")
+    }
+  }
+
+  test("gzipMembers splits record-at-time concatenation and verifies CRC") {
+    val recs = (0 until 7).map(i => s"record $i body ${"x" * i}".getBytes(UTF_8))
+    val packed = Ingest.gzipConcat(recs)
+    val out = Ingest.gzipMembers(packed)
+    assert(out.size == 7)
+    out.zip(recs).foreach { case (a, b) => assert(java.util.Arrays.equals(a, b)) }
+
+    // single member == GZIPInputStream's own view of the same bytes
+    val one = Ingest.gzipMembers(Ingest.gzipConcat(Seq(recs.head)))
+    assert(one.size == 1 && java.util.Arrays.equals(one.head, recs.head))
+
+    // flipped payload bit -> CRC mismatch must be LOUD (framing primitive
+    // throws; the DataFrame operator is the soft layer)
+    val corrupt = packed.clone()
+    corrupt(packed.length / 2) = (corrupt(packed.length / 2) ^ 0x40).toByte
+    intercept[IllegalArgumentException](Ingest.gzipMembers(corrupt))
+    intercept[IllegalArgumentException](
+      Ingest.gzipMembers(java.util.Arrays.copyOf(packed, packed.length - 3)))
+  }
+
+  test("gzipMembers handles optional header fields (FNAME/FEXTRA/FHCRC)") {
+    // hand-build a member with FNAME + FHCRC around a raw-deflate payload
+    val payload = "named member".getBytes(UTF_8)
+    val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    deflater.setInput(payload); deflater.finish()
+    val comp = new Array[Byte](payload.length + 64)
+    val n = deflater.deflate(comp); deflater.end()
+    val head = new java.io.ByteArrayOutputStream()
+    head.write(Array(0x1f, 0x8b, 8, 8).map(_.toByte)) // FLG = FNAME
+    head.write(new Array[Byte](6))                    // mtime/xfl/os
+    head.write("doc.txt".getBytes(UTF_8)); head.write(0)
+    head.write(comp, 0, n)
+    val crc = new java.util.zip.CRC32(); crc.update(payload)
+    val tail = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(crc.getValue.toInt).putInt(payload.length).array()
+    head.write(tail)
+    val out = Ingest.gzipMembers(head.toByteArray)
+    assert(out.size == 1 && java.util.Arrays.equals(out.head, payload))
+  }
+
+  test("WARC record round-trip, case-insensitive headers, exact Content-Length") {
+    val body = "body with \r\n\r\n separator INSIDE payload".getBytes(UTF_8)
+    val rec = Ingest.WarcRecord("response", Some("https://example.com/a/1"),
+      Some("<urn:uuid:1>"), Some("application/http; msgtype=response"), body)
+    val parsed = Ingest.parseWarcRecord(Ingest.writeWarcRecord(rec))
+    assert(parsed.isDefined)
+    assert(parsed.get.warcType == "response")
+    assert(parsed.get.targetUri.contains("https://example.com/a/1"))
+    // Content-Length exact: the embedded CRLFCRLF inside the payload must
+    // NOT truncate it — the classic scan-for-separator corruption bug
+    assert(java.util.Arrays.equals(parsed.get.payload, body))
+
+    val lower = new String(Ingest.writeWarcRecord(rec), UTF_8)
+      .replace("WARC-Type", "warc-type").replace("Content-Length", "CONTENT-LENGTH")
+    assert(Ingest.parseWarcRecord(lower.getBytes(UTF_8)).exists(_.warcType == "response"))
+
+    assert(Ingest.parseWarcRecord("not a warc".getBytes(UTF_8)).isEmpty)
+    assert(Ingest.parseWarcRecord("WARC/1.0\r\nContent-Length: 999\r\n\r\nshort"
+      .getBytes(UTF_8)).isEmpty)
+  }
+
+  test("stripHttpEnvelope returns status + exact body") {
+    val body = "héllo wörld".getBytes(UTF_8)
+    val payload = "HTTP/1.1 404 Not Found\r\nX-H: 1\r\n\r\n".getBytes(UTF_8) ++ body
+    val out = Ingest.stripHttpEnvelope(payload)
+    assert(out.exists(_._1 == 404))
+    assert(java.util.Arrays.equals(out.get._2, body))
+    assert(Ingest.stripHttpEnvelope("no envelope".getBytes(UTF_8)).isEmpty)
+  }
+
+  test("decompressText operator: five codecs + NULL row for corrupt blobs") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val texts = (0L until 25L).map(i => i -> s"document $i ${"pad" * (i % 7).toInt}")
+    val rows = texts.map { case (id, t) =>
+      Row(id, Ingest.compress(t.getBytes(UTF_8), codecs((id % 5).toInt)))
+    } :+ Row(99L, "not compressed".getBytes(UTF_8))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3),
+      StructType(Seq(StructField("id", LongType), StructField("blob", BinaryType))))
+    val out = Ingest.decompressText(df, "id", "blob").collect().map(r => r.getLong(0) -> r).toMap
+    texts.foreach { case (id, t) =>
+      assert(out(id).getString(1) == codecs((id % 5).toInt))
+      assert(out(id).getLong(2) == t.getBytes(UTF_8).length)
+      assert(out(id).getString(3) == t)
+    }
+    assert(out(99L).isNullAt(1) && out(99L).isNullAt(3))
+  }
+
+  test("warcIngest operator: member order preserved, non-response skipped, bad file -> 0 rows") {
+    val spark = SparkTestBase.spark
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def response(id: Long, text: String): Array[Byte] = {
+      val body = text.getBytes(UTF_8)
+      val http = s"HTTP/1.1 200 OK\r\n\r\n".getBytes(UTF_8) ++ body
+      Ingest.writeWarcRecord(Ingest.WarcRecord("response",
+        Some(s"https://x.test/$id"), Some(s"<urn:uuid:$id>"),
+        Some("application/http; msgtype=response"), http))
+    }
+    val info = Ingest.writeWarcRecord(Ingest.WarcRecord("warcinfo", None,
+      Some("<urn:uuid:info>"), Some("application/warc-fields"),
+      "software: test\r\n".getBytes(UTF_8)))
+    val request = Ingest.writeWarcRecord(Ingest.WarcRecord("request",
+      Some("https://x.test/9"), None, None, "GET / HTTP/1.1\r\n\r\n".getBytes(UTF_8)))
+    val good = Ingest.gzipConcat(Seq(info, response(3, "three"), request, response(1, "one")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(0L, good), Row(1L, "rubbish".getBytes(UTF_8))), 2),
+      StructType(Seq(StructField("file", LongType), StructField("blob", BinaryType))))
+    val out = Ingest.warcIngest(df, "file", "blob").collect()
+    assert(out.length == 2) // warcinfo + request filtered, bad file dropped
+    assert(out.map(_.getString(1)).toSeq == Seq("https://x.test/3", "https://x.test/1"))
+    assert(out.map(_.getString(4)).toSeq == Seq("three", "one"))
+    assert(out.forall(_.getInt(2) == 200))
+  }
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Similarity, TextOps}
+import graft.ops.{Dedup, Sampling, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -1238,5 +1238,38 @@ class OpsSpec extends AnyFunSuite {
           rowsPerBand = 2)
       }
     } finally spark.conf.unset("graft.seal.linger.ms")
+  }
+
+  test("dsirScores: target-like docs score positive, off-distribution negative") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    // two clearly separated bigram distributions: "good" docs repeat one
+    // phrase family, "junk" docs another; one doc has no bigrams at all
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over lazy dogs daily", true),
+      (2L, "the quick brown fox runs over lazy dogs nightly", true),
+      (3L, "quick brown fox over lazy dogs again and again", true),
+      (4L, "buy cheap pills now click here buy cheap pills", false),
+      (5L, "click here now buy cheap pills click here now", false),
+      (6L, "solo", false)
+    ).toDF("doc_id", "text", "is_good")
+    val out = Sampling.dsirScores(docs, "doc_id", "text", "is_good")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // no-bigram doc is absent (caller left-joins a default)
+    assert(!out.contains(6L))
+    assert(out(1L)._1 == 8, "n_feats counts bigram occurrences")
+    // every target doc scores strictly above every junk doc, and the
+    // separation crosses zero (the p79 keep threshold is meaningful)
+    val good = Seq(1L, 2L, 3L).map(out(_)._2)
+    val junk = Seq(4L, 5L).map(out(_)._2)
+    assert(good.min > junk.max, s"separation: $good vs $junk")
+    assert(good.forall(_ > 0) && junk.forall(_ < 0), s"signs: $good / $junk")
+    // deterministic under repartitioning (the distribution estimate and the
+    // per-doc sums are the same values regardless of layout, to 4 dp)
+    val rep = Sampling.dsirScores(docs.repartition(7), "doc_id", "text", "is_good")
+      .collect().map(r => r.getLong(0) -> math.round(r.getDouble(2) * 1e4)).toMap
+    out.foreach { case (id, (_, sc)) =>
+      assert(rep(id) == math.round(sc * 1e4), s"doc $id stable under layout")
+    }
   }
 }

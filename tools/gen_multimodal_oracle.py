@@ -291,6 +291,51 @@ def video_seed(seed, w=15, h=10):
             spark_round(tq0, 4), spark_round(tq3, 4))
 
 
+# --- BI_RLE8 AVI mirror (ops/Multimodal.scala syntheticRleAvi/decodeRle8Video)
+
+def _rle_n_frames(seed):
+    return 5 + (seed % 40) % 4
+
+
+def rle_video_seed(seed, w=16, h=12):
+    """decodeRle8Video features of syntheticRleAvi(seed): the decoder pools
+    the RECONSTRUCTED palettized frames; the mirror re-derives the same
+    pixels from the content formula (static per-row background + moving
+    4x3 rect), so agreement proves the whole encode->P-frame->decode chain."""
+    k = seed % 40
+    n_frames = _rle_n_frames(seed)
+    pal = []
+    for c in range(64):
+        rgb = mix(k * 31 + c) & 0xFFFFFF
+        pal.append(((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF))
+    sum_r = sum_g = sum_b = 0.0
+    q_luma = [0.0] * 4
+    q_n = [0] * 4
+    for f in range(n_frames):
+        q = min(3, f * 4 // n_frames)
+        rx = (k + 3 * f) % (w - 4)
+        ry = (k // 7 + 2 * f) % (h - 3)
+        for row in range(h):
+            y = h - 1 - row  # decoder pools the bottom-up buffer linearly
+            for x in range(w):
+                in_rect = rx <= x < rx + 4 and ry <= y < ry + 3
+                idx = (k + f + x + y) % 64 if in_rect else (k * 5 + y) % 64
+                r, g, b = pal[idx]
+                sum_r += r
+                sum_g += g
+                sum_b += b
+                q_luma[q] += 0.299 * r + 0.587 * g + 0.114 * b
+                q_n[q] += 1
+    n = float(n_frames * w * h)
+    mean_r = float(np.float32(sum_r / n / 255.0))
+    mean_luma = float(np.float32(
+        (0.299 * sum_r + 0.587 * sum_g + 0.114 * sum_b) / n / 255.0))
+    tq0 = float(np.float32(q_luma[0] / q_n[0] / 255.0))
+    tq3 = float(np.float32(q_luma[3] / q_n[3] / 255.0))
+    return (n_frames, spark_round(mean_r, 4), spark_round(mean_luma, 4),
+            spark_round(tq0, 4), spark_round(tq3, 4))
+
+
 def video_frame_seed(seed, f, w=15, h=10):
     """decodeImage features of frame f re-wrapped as BMP by aviKeyframes:
     the image decoder's top-down y iteration over the same pixel hash."""
@@ -362,6 +407,14 @@ def main():
     vids = [video_seed(s) for s in range(40)]
     print(fmt_rows([f'({n}, "{a}", "{b}", "{c}", "{d}")'
                     for n, a, b, c, d in vids], 2))
+    print("  )")
+    print()
+    print("  /** (n_frames, mean_r, mean_luma, tq0, tq3) per BI_RLE8 video")
+    print("    * seed — decodeRle8Video features via the Python mirror. */")
+    print("  val rleVideoFeat: Array[(Int, String, String, String, String)] = Array(")
+    rvids = [rle_video_seed(s) for s in range(40)]
+    print(fmt_rows([f'({n}, "{a}", "{b}", "{c}", "{d}")'
+                    for n, a, b, c, d in rvids], 2))
     print("  )")
     print()
     print("  /** (seed, frame_idx, mean_r, mean_luma, q0) for every-2nd")
