@@ -966,8 +966,131 @@ object Advanced {
              |  CAST(200 AS INTEGER) AS status,
              |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              |  md5(text) AS digest
-             |FROM documents ORDER BY id""".stripMargin))
+             |FROM documents ORDER BY id""".stripMargin)),
+
+    // -- stateful stream admission: per-key quota ---------------------------
+
+    QueryDef("s19_stream_quota",
+      (s, d) => {
+        import s.implicits._
+        // rate-limited ingest: at most 2 events admitted per
+        // (event_type, hour), sequenced, via flatMapGroupsWithState —
+        // one Long of state per live key. The oracle is the declarative
+        // row_number window over the same data.
+        EventStreams.runBounded(s, d, "s19_sink",
+            EventStreams.quotaAdmit(cap = 2), outputMode = "append")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, event_type, hour_ts, admit_seq FROM (
+             |  SELECT event_id, event_type,
+             |    date_trunc('hour', ts) AS hour_ts,
+             |    row_number() OVER (
+             |      PARTITION BY event_type, date_trunc('hour', ts)
+             |      ORDER BY ts, event_id) AS admit_seq
+             |  FROM events)
+             |WHERE admit_seq <= 2 ORDER BY event_id""".stripMargin)),
+
+    // -- link-graph centrality: host PageRank quality prior -----------------
+
+    QueryDef("p80_host_pagerank",
+      (s, d) => {
+        import s.implicits._
+        // CommonCrawl-style host ranking: a deterministic synthetic link
+        // graph over 100 hosts derived from documents (hosts ≡ doc_id%100;
+        // every doc links its host to a hashed target; hosts with
+        // u%13==0 publish nothing → dangling). 8 power iterations in
+        // exact pico-rank integer units — see GraphRank's determinism
+        // contract; the oracle unrolls the identical iterations as CTEs.
+        val e0 = t(s, d, "documents")
+          .select(($"doc_id" % 100).cast("long").as("u"),
+            (($"doc_id" * 37 + 11) % 100).cast("long").as("v"))
+          .distinct()
+        val edges = e0.filter($"u" % 13 =!= 0 && $"u" =!= $"v")
+        val nodes = e0.select($"u".as("node")).union(e0.select($"v")).distinct()
+        graft.ops.GraphRank.pageRank(nodes, edges, "u", "v", iters = 8)
+          .select($"node", $"out_deg", $"rank_units", $"rank".as("pr"))
+          .orderBy($"node")
+      },
+      Some(pageRankOracleSql)),
+
+    // -- exact quantiles without a sort -------------------------------------
+
+    QueryDef("p81_exact_quantiles",
+      (s, d) => {
+        import s.implicits._
+        // exact p50/p90/p99 tokens-per-document per language via the
+        // value-histogram plan (shuffle cardinality = |distinct (lang,
+        // count)|, never the row count) — the percentile gate a 100 TB
+        // corpus can afford. quantile_disc semantics on both engines.
+        val docs = t(s, d, "documents").select($"lang",
+          size(graft.ops.TextOps.tokens($"text")).as("ntoks"))
+        graft.ops.Stats.exactQuantiles(docs, "lang", "ntoks",
+            Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+          .orderBy($"lang")
+      },
+      Some("""WITH v AS (
+             |  SELECT lang,
+             |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+             |         x -> len(x) > 0)) AS BIGINT) AS ntoks
+             |  FROM documents),
+             |h AS (SELECT lang, ntoks AS v, CAST(count(*) AS BIGINT) AS cnt
+             |      FROM v GROUP BY 1, 2),
+             |c AS (SELECT lang, v, cnt,
+             |        CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY v
+             |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             |        CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+             |      FROM h)
+             |SELECT lang, n,
+             |  min(CASE WHEN cum >= ceil(0.5 * n) THEN v END) AS p50,
+             |  min(CASE WHEN cum >= ceil(0.9 * n) THEN v END) AS p90,
+             |  min(CASE WHEN cum >= ceil(0.99 * n) THEN v END) AS p99,
+             |  min(v) AS min_ntoks, max(v) AS max_ntoks
+             |FROM c GROUP BY lang, n ORDER BY lang""".stripMargin))
   )
+
+  /** DuckDB mirror of [[graft.ops.GraphRank.pageRank]] over the p80
+    * synthetic host graph: the 8 power iterations unrolled as CTEs, every
+    * per-edge contribution rounded to an integer pico-rank unit BEFORE
+    * summation (the order-independence trick), dangling mass redistributed
+    * uniformly each round. Literal-identical arithmetic to the Spark op:
+    * (damping * rank) / degree in double, round, CAST BIGINT, integer sum.
+    */
+  private val pageRankOracleSql: String = {
+    val iters = 8
+    val b = new StringBuilder
+    b ++= """WITH e0 AS (
+            |  SELECT DISTINCT doc_id % 100 AS u, (doc_id * 37 + 11) % 100 AS v
+            |  FROM documents),
+            |e AS (SELECT u, v FROM e0 WHERE u % 13 <> 0 AND u <> v),
+            |nodes AS (SELECT u AS node FROM e0 UNION SELECT v FROM e0),
+            |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+            |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY u),
+            |sc AS (SELECT n, CAST(round((1.0 - 0.85) * 1e12 / n) AS BIGINT) AS base FROM nn),
+            |r0 AS (SELECT node, CAST(round(1e12 / n) AS BIGINT) AS r
+            |       FROM nodes CROSS JOIN nn),
+            |""".stripMargin
+    for (k <- 1 to iters) {
+      val p = k - 1
+      b ++= s"""c$k AS (SELECT e.v AS node,
+               |  CAST(sum(CAST(round(0.85 * CAST(r AS DOUBLE) / deg) AS BIGINT)) AS BIGINT) AS cs
+               |  FROM e JOIN r$p ON r$p.node = e.u JOIN deg ON deg.u = e.u
+               |  GROUP BY e.v),
+               |d$k AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dmass
+               |  FROM r$p WHERE node NOT IN (SELECT u FROM deg)),
+               |s$k AS (SELECT base, CAST(round(0.85 * CAST(dmass AS DOUBLE) / n) AS BIGINT) AS dshare
+               |  FROM sc CROSS JOIN d$k),
+               |r$k AS (SELECT nodes.node,
+               |  CAST(base + dshare + coalesce(cs, 0) AS BIGINT) AS r
+               |  FROM nodes LEFT JOIN c$k ON c$k.node = nodes.node CROSS JOIN s$k),
+               |""".stripMargin
+    }
+    b ++= s"""fin AS (SELECT node, r FROM r$iters)
+             |SELECT fin.node, CAST(coalesce(deg.deg, 0) AS BIGINT) AS out_deg,
+             |  r AS rank_units, round(CAST(r AS DOUBLE) / 1e12, 8) AS pr
+             |FROM fin LEFT JOIN deg ON deg.u = fin.node
+             |ORDER BY node""".stripMargin
+    b.toString
+  }
 
   /** (doc_id, media) with a deterministic PNG per seed column — the shared
     * fixture shape for p11/p38.

@@ -103,6 +103,61 @@ object EventStreams {
       .toDF("user_id", "n_events", "total_value")
   }
 
+  /** Quota admission on an event stream: at most `cap` events admitted per
+    * (event_type, event-hour) key, in (ts, event_id) order — the
+    * rate-limiting / per-source-budget shape every ingest pipeline needs
+    * ("take at most N crawl records per host per hour"). State is ONE
+    * Long per live key (the admitted count so far), carried across
+    * micro-batches by flatMapGroupsWithState; admitted rows keep their
+    * 1-based admission sequence so the batch twin (a row_number window)
+    * is value-identical, not just count-identical.
+    *
+    * Timestamps travel as epoch micros inside the state machine (a
+    * java.sql.Timestamp key would split its µs across getTime/getNanos)
+    * and are rebuilt with timestamp_micros on the way out. Within a
+    * micro-batch rows are sorted per key before admission; across
+    * batches arrival order rules (the streaming contract) — with the
+    * bounded AvailableNow source the two coincide, which is what lets
+    * the window-function oracle gate the stateful path exactly.
+    */
+  def quotaAdmit(cap: Int)(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_id").cast("long"), col("event_type"),
+        unix_micros(col("ts")),
+        unix_micros(date_trunc("hour", col("ts"))))
+      .as[(Long, String, Long, Long)]
+      .groupByKey { case (_, et, _, h) => (et, h) }
+      .flatMapGroupsWithState[Long, (Long, String, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((et, hourUs), rows, state: GroupState[Long]) =>
+          val admitted = state.getOption.getOrElse(0L)
+          val taken = rows.toSeq.sortBy { case (id, _, tsUs, _) => (tsUs, id) }
+            .take(((cap - admitted) max 0L).toInt)
+          state.update(admitted + taken.size)
+          taken.iterator.zipWithIndex.map { case ((id, _, _, _), i) =>
+            (id, et, hourUs, admitted + i + 1)
+          }
+      }
+      .toDF("event_id", "event_type", "hour_us", "admit_seq")
+      .select(col("event_id"), col("event_type"),
+        timestamp_micros(col("hour_us")).as("hour_ts"), col("admit_seq"))
+  }
+
+  /** Batch twin of [[quotaAdmit]]: the same admission set and sequence via
+    * a plain ranking window — what the quota IS, declaratively.
+    */
+  def quotaAdmitBatch(cap: Int)(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"), date_trunc("hour", col("ts")))
+      .orderBy(col("ts"), col("event_id"))
+    events.select(col("event_id").cast("long"), col("event_type"),
+        date_trunc("hour", col("ts")).as("hour_ts"),
+        row_number().over(w).cast("long").as("admit_seq"))
+      .filter(col("admit_seq") <= cap)
+  }
+
   /** Online quality gating of a DOCUMENT stream — the live-crawl-ingest
     * shape: per-row language ID + quality scoring (pure codegen'd
     * expressions, no state, no watermark) with a threshold filter. One
