@@ -53,12 +53,34 @@ case class MediaFeatures(child: Expression) extends UnaryExpression {
   override def prettyName: String = "media_features"
 }
 
+object MediaFeatures {
+
+  /** Register `media_features(b)` as a session SQL function — the
+    * ergonomic route for sessions built without [[graft.GraftExtensions]]
+    * (same pattern as [[CosineSim.register]]).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "media_features", exprs => {
+        if (exprs.length != 1) throw new IllegalArgumentException(
+          s"media_features expects 1 argument, got ${exprs.length}")
+        MediaFeatures(exprs(0))
+      }, "built-in")
+
+  def apply(spark: org.apache.spark.sql.SparkSession,
+            media: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("media_features", media)
+  }
+}
+
 /** Which real decoder claims the bytes — 'image' (ImageIO), 'audio'
   * (javax.sound PCM), 'flac' (native FLAC), 'companded' (native
   * G.711/ADPCM WAV), 'video' (native uncompressed AVI), 'rle_video'
-  * (native BI_RLE8 compressed AVI) or 'stub' (nothing here decodes it).
-  * The SQL predicate for routing a mixed media column to per-modality
-  * pipelines.
+  * (native BI_RLE8 compressed AVI), 'mjpeg_video' (DCT-compressed MJPEG
+  * AVI through the real ImageIO JPEG codec) or 'stub' (nothing here
+  * decodes it). The SQL predicate for routing a mixed media column to
+  * per-modality pipelines.
   */
 case class MediaKind(child: Expression) extends UnaryExpression {
 
@@ -79,6 +101,7 @@ case class MediaKind(child: Expression) extends UnaryExpression {
       else if (decodeCompandedAudio(bytes).isDefined) "companded"
       else if (decodeAviVideo(bytes).isDefined) "video"
       else if (decodeRle8Video(bytes).isDefined) "rle_video"
+      else if (decodeMjpegVideo(bytes).isDefined) "mjpeg_video"
       else "stub"
     UTF8String.fromString(kind)
   }
@@ -95,4 +118,24 @@ case class MediaKind(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "media_kind"
+}
+
+object MediaKind {
+
+  /** Register `media_kind(b)` as a session SQL function (see
+    * [[MediaFeatures.register]]).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "media_kind", exprs => {
+        if (exprs.length != 1) throw new IllegalArgumentException(
+          s"media_kind expects 1 argument, got ${exprs.length}")
+        MediaKind(exprs(0))
+      }, "built-in")
+
+  def apply(spark: org.apache.spark.sql.SparkSession,
+            media: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("media_kind", media)
+  }
 }

@@ -363,9 +363,11 @@ object Multimodal {
     * samples when javax.sound does (WAV/AIFF) or the native [[Flac]]
     * decoder does (compressed audio) or the native [[G711]]/[[ImaAdpcm]]
     * codecs do (companded / ADPCM WAV), real frames when the native
-    * [[decodeAviVideo]] walk reads an uncompressed AVI — the deterministic
-    * stub only for formats nothing here can decode (psychoacoustic audio,
-    * intra-coded video).
+    * [[decodeAviVideo]] / [[decodeRle8Video]] walks read an uncompressed
+    * or RLE AVI or the real ImageIO JPEG codec reads an MJPEG AVI's
+    * frames ([[decodeMjpegVideo]]) — the deterministic stub only for
+    * formats nothing here can decode (psychoacoustic audio,
+    * inter-predicted DCT video).
     */
   def decode(bytes: Array[Byte]): Array[Float] =
     decodeImage(bytes)
@@ -374,6 +376,7 @@ object Multimodal {
       .orElse(decodeCompandedAudio(bytes))
       .orElse(decodeAviVideo(bytes))
       .orElse(decodeRle8Video(bytes))
+      .orElse(decodeMjpegVideo(bytes))
       .getOrElse(stubDecode(bytes))
 
   /** Deterministic 16-bit mono PCM WAV fixture: a seed-keyed sine (RIFF
@@ -841,13 +844,191 @@ object Multimodal {
     out.array()
   }
 
+  /** 'MJPG' as the little-endian fourcc int a BITMAPINFOHEADER carries. */
+  private[graft] final val FourccMjpg: Int =
+    'M' | ('J' << 8) | ('P' << 16) | ('G' << 24)
+
+  /** Real DCT-compressed video decode: MJPEG AVI — each '00dc' chunk is a
+    * complete baseline-JPEG image (the intra-only codec surveillance,
+    * robotics and capture-card corpora actually ship), decoded by the
+    * JDK's real ImageIO JPEG codec inside the same native RIFF walk as
+    * the other AVI flavors. This is genuine DCT video: quantized
+    * frequency-domain coefficients, chroma subsampling, Huffman entropy
+    * coding — which is exactly why its contract differs from the
+    * integer-exact codecs: decoded pixels carry quantization error, so
+    * correctness is gated cross-codec (features within a small L∞ bound
+    * of the losslessly-coded twin of the same frames; see p82/AviSpec),
+    * never by hash equality.
+    *
+    * Feature contract identical to [[decodeAviVideo]] (indices 0-7).
+    * None when the fourcc isn't MJPG, any frame fails to decode, or a
+    * frame's geometry contradicts the stream header — corrupt archives
+    * degrade to the stub, not to garbage features.
+    */
+  def decodeMjpegVideo(bytes: Array[Byte]): Option[Array[Float]] =
+    walkAvi(bytes).flatMap { raw =>
+      if (raw.compression != FourccMjpg || raw.bitCount != 24) return None
+      import raw.{w, h}
+      val nF = raw.frameOff.length
+      var sumR = 0.0; var sumG = 0.0; var sumB = 0.0
+      val quarterLuma = new Array[Double](4)
+      val quarterN = new Array[Long](4)
+      var f = 0
+      while (f < nF) {
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+            bytes, raw.frameOff(f), raw.frameLen(f)))
+          catch { case _: java.io.IOException => null }
+        if (img == null || img.getWidth != w || img.getHeight != h)
+          return None
+        val q = math.min(3, f * 4 / nF)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            sumR += r; sumG += g; sumB += b
+            quarterLuma(q) += 0.299 * r + 0.587 * g + 0.114 * b
+            quarterN(q) += 1
+            x += 1
+          }
+          y += 1
+        }
+        f += 1
+      }
+      val n = nF.toDouble * w * h
+      val out = new Array[Float](FeatureDim)
+      out(0) = (sumR / n / 255.0).toFloat
+      out(1) = (sumG / n / 255.0).toFloat
+      out(2) = (sumB / n / 255.0).toFloat
+      out(3) = ((0.299 * sumR + 0.587 * sumG + 0.114 * sumB) / n / 255.0).toFloat
+      var q = 0
+      while (q < 4) {
+        out(4 + q) =
+          if (quarterN(q) == 0) 0f
+          else (quarterLuma(q) / quarterN(q) / 255.0).toFloat
+        q += 1
+      }
+      Some(out)
+    }
+
+  /** One baseline-JPEG encode through the JDK writer at an explicit
+    * quality — the fixture side of the MJPEG path (per-frame, so the AVI
+    * is bona-fide motion JPEG, not one image reused).
+    */
+  private def encodeJpeg(img: java.awt.image.BufferedImage,
+                         quality: Float): Array[Byte] = {
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpeg").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Deterministic MJPEG AVI fixture: the SAME fmix64 formula frames as
+    * [[syntheticAvi]] (same seed period, frame count, geometry and pixel
+    * values), each frame run through the real JDK JPEG encoder and packed
+    * into a RIFF 'AVI ' container with the 'MJPG' fourcc and variable-size
+    * word-aligned '00dc' chunks. Because the pixels are identical,
+    * [[syntheticAvi]]'s lossless decode is this fixture's ground truth:
+    * `|features(mjpeg) - features(dib)|_∞` is pure JPEG quantization
+    * error, bounded far under the 0.02 gate at quality 0.9.
+    */
+  def syntheticMjpegAvi(seed: Long, w: Int = 15, h: Int = 10): Array[Byte] = {
+    val k = seed % 40
+    val nFrames = (6 + k % 4).toInt
+    def mix(v: Long): Long = {
+      var z = v
+      z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
+      z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
+      z ^ (z >>> 33)
+    }
+    val frames: Array[Array[Byte]] = Array.tabulate(nFrames) { f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = mix(k * 1000003L + f * 7919L + y * 1009L + x)
+          img.setRGB(x, y, 0xff000000 | (p & 0xffffff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      encodeJpeg(img, 0.9f)
+    }
+    def framePadded(f: Int) = frames(f).length + (frames(f).length & 1)
+    val maxFrame = frames.map(_.length).max
+    val moviPayload = 4 + frames.indices.map(8 + framePadded(_)).sum
+    val idx1Payload = nFrames * 16
+    val hdrlTotal = 8 + 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val riffPayload = 4 + hdrlTotal + (8 + moviPayload) + (8 + idx1Payload)
+    val out = java.nio.ByteBuffer.allocate(8 + riffPayload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes); out.putInt(riffPayload); out.put("AVI ".getBytes)
+    out.put("LIST".getBytes); out.putInt(hdrlTotal - 8); out.put("hdrl".getBytes)
+    out.put("avih".getBytes); out.putInt(56)
+    out.putInt(40000); out.putInt(maxFrame * 25); out.putInt(0)
+    out.putInt(0x10)                                  // AVIF_HASINDEX
+    out.putInt(nFrames); out.putInt(0); out.putInt(1)
+    out.putInt(maxFrame); out.putInt(w); out.putInt(h)
+    out.putInt(0); out.putInt(0); out.putInt(0); out.putInt(0)
+    out.put("LIST".getBytes); out.putInt(4 + (8 + 56) + (8 + 40))
+    out.put("strl".getBytes)
+    out.put("strh".getBytes); out.putInt(56)
+    out.put("vids".getBytes); out.put("MJPG".getBytes)
+    out.putInt(0); out.putShort(0); out.putShort(0); out.putInt(0)
+    out.putInt(1); out.putInt(25)                     // scale, rate → 25 fps
+    out.putInt(0); out.putInt(nFrames); out.putInt(maxFrame)
+    out.putInt(-1); out.putInt(0)
+    out.putShort(0); out.putShort(0)
+    out.putShort(w.toShort); out.putShort(h.toShort)
+    out.put("strf".getBytes); out.putInt(40)
+    out.putInt(40); out.putInt(w); out.putInt(h)      // BITMAPINFOHEADER
+    out.putShort(1); out.putShort(24)                 // planes, bits
+    out.putInt(FourccMjpg); out.putInt(maxFrame)      // biCompression MJPG
+    out.putInt(0); out.putInt(0); out.putInt(0); out.putInt(0)
+    out.put("LIST".getBytes); out.putInt(moviPayload); out.put("movi".getBytes)
+    var f = 0
+    var dataOff = 4
+    val offsets = new Array[Int](nFrames)
+    while (f < nFrames) {
+      offsets(f) = dataOff
+      out.put("00dc".getBytes); out.putInt(frames(f).length)
+      out.put(frames(f))
+      if ((frames(f).length & 1) != 0) out.put(0.toByte)
+      dataOff += 8 + framePadded(f)
+      f += 1
+    }
+    out.put("idx1".getBytes); out.putInt(idx1Payload)
+    f = 0
+    while (f < nFrames) {
+      out.put("00dc".getBytes); out.putInt(0x10)      // MJPEG: all keyframes
+      out.putInt(offsets(f)); out.putInt(frames(f).length)
+      f += 1
+    }
+    out.array()
+  }
+
   /** STUB for media nothing here can decode (psychoacoustic audio,
-    * intra-coded video): deterministic fixed-shape "features" derived from
+    * inter-predicted DCT video): deterministic fixed-shape "features"
+    * derived from
     * the raw bytes. Kept ONLY as the last fallback; images take the real
     * [[decodeImage]] path, PCM containers the real [[decodeAudio]] path,
     * COMPRESSED audio the native from-scratch [[Flac]] decoder,
-    * companded/ADPCM audio the native [[G711]]/[[ImaAdpcm]] codecs, and
-    * uncompressed AVI the native [[decodeAviVideo]] container walk — so
+    * companded/ADPCM audio the native [[G711]]/[[ImaAdpcm]] codecs,
+    * uncompressed AVI the native [[decodeAviVideo]] container walk, and
+    * intra-only DCT video the real [[decodeMjpegVideo]] JPEG path — so
     * the stub's remaining territory is genuinely undecodable-here media.
     *
     * Closure note on the rest (MP3/Vorbis/AAC/H.264): a pure-JVM decoder

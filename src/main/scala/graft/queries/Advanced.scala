@@ -641,6 +641,49 @@ object Advanced {
               |FROM documents d JOIN v ON d.doc_id % 40 = v.seed
               |ORDER BY id""".stripMargin)),
 
+    QueryDef("p82_mjpeg_video",
+      (s, d) => {
+        import s.implicits._
+        // REAL DCT-compressed video: MJPEG AVI — per-frame baseline JPEG
+        // through the JDK's actual ImageIO codec inside the native RIFF
+        // walk (Multimodal.decodeMjpegVideo). DCT quantization makes
+        // hash-exact feature literals impossible BY DESIGN, so the gate
+        // is cross-codec: each video's MJPEG features must land within
+        // JPEG quantization error (L∞ < 0.02 on [0,1]-scaled pooled
+        // means) of its BI_RGB twin built from the IDENTICAL formula
+        // frames — and the twin itself is exact-oracled by p74. A broken
+        // DCT path (wrong color transform, misread chunk, bad geometry)
+        // blows the bound; Verify's witness gate turns a false dct_ok
+        // into a hard failure, so the boolean is load-bearing.
+        // Media is seed-keyed (doc_id % 40, the shared fixture fold), so
+        // the encode+decode pair runs once per RESIDUE and broadcast-joins
+        // onto the corpus — 40 codec invocations total, not one per row.
+        // Corpus-scale per-row decode is p74/p76's claim; this query's is
+        // the cross-codec bound.
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(StructField("seed", LongType),
+          StructField("mjpeg", BinaryType), StructField("dib", BinaryType)))
+        val media = s.createDataFrame(
+          s.range(0, 40).toDF("seed").repartition(8)
+            .rdd.mapPartitions(_.map { r =>
+              val k = r.getLong(0)
+              Row(k, Multimodal.syntheticMjpegAvi(k), Multimodal.syntheticAvi(k))
+            }), schema)
+        val gate = media.select($"seed",
+            graft.functions.MediaKind(s, $"mjpeg").as("kind"),
+            (array_max(zip_with(
+              graft.functions.MediaFeatures(s, $"mjpeg"),
+              graft.functions.MediaFeatures(s, $"dib"),
+              (a, b) => abs(a - b))) < lit(0.02f)).as("dct_ok"))
+        t(s, d, "documents").select($"doc_id".as("id"), ($"doc_id" % 40).as("seed"))
+          .join(broadcast(gate), "seed")
+          .select($"id", $"kind", $"dct_ok")
+          .orderBy($"id")
+      },
+      Some("""SELECT doc_id AS id, 'mjpeg_video' AS kind, true AS dct_ok
+             |FROM documents ORDER BY id""".stripMargin)),
+
     QueryDef("p12_multimodal_frames",
       (s, d) => {
         import s.implicits._

@@ -251,4 +251,85 @@ class AviSpec extends AnyFunSuite {
     assert(Multimodal.decodeRle8Video(Multimodal.syntheticAvi(3L)).isEmpty)
     assert(Multimodal.decodeAviVideo(whole).isEmpty)
   }
+
+  test("MJPEG: DCT decode lands within JPEG quantization error of the lossless twin, all 40 seeds") {
+    // the MJPEG fixture encodes the SAME formula frames as syntheticAvi,
+    // so the BI_RGB decode is exact ground truth — the whole-pipeline
+    // correctness statement for a lossy codec: pooled means within a
+    // bound an order of magnitude tighter than the p82 witness gate
+    var worst = 0.0
+    for (k <- 0L until 40L) {
+      val fj = Multimodal.decodeMjpegVideo(Multimodal.syntheticMjpegAvi(k))
+        .getOrElse(fail(s"seed $k: MJPEG did not decode"))
+      val fd = Multimodal.decodeAviVideo(Multimodal.syntheticAvi(k))
+        .getOrElse(fail(s"seed $k: twin did not decode"))
+      val err = fj.zip(fd).map { case (a, b) => math.abs(a - b).toDouble }.max
+      worst = math.max(worst, err)
+      assert(err < 0.02, s"seed $k: L-inf $err exceeds the JPEG error bound")
+    }
+    // quality 0.9 on pooled means should be comfortably under the gate —
+    // if this creeps toward 0.02 the fixture quality or decoder changed
+    assert(worst < 0.015, s"worst-case error $worst is suspiciously large")
+  }
+
+  test("MJPEG: frames are genuinely DCT-compressed JPEGs; routing is exclusive") {
+    val bytes = Multimodal.syntheticMjpegAvi(7L)
+    // every movi chunk starts with the JPEG SOI marker and is smaller
+    // than the raw frame (15*10*3 = 450 B) could never be after DCT+
+    // entropy coding of noise... noise compresses poorly, so only assert
+    // the marker and that ImageIO reads each chunk standalone
+    val raw = Multimodal.walkAvi(bytes).get
+    assert(raw.compression == Multimodal.FourccMjpg && raw.frameOff.length == (6 + 7 % 4))
+    raw.frameOff.zip(raw.frameLen).foreach { case (off, len) =>
+      assert((bytes(off) & 0xff) == 0xff && (bytes(off + 1) & 0xff) == 0xd8,
+        "chunk starts with JPEG SOI")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes, off, len))
+      assert(img != null && img.getWidth == 15 && img.getHeight == 10)
+    }
+    // exclusive routing: MJPEG is not claimed by the other AVI decoders,
+    // and the dispatch + media_kind land on the real path
+    assert(Multimodal.decodeAviVideo(bytes).isEmpty)
+    assert(Multimodal.decodeRle8Video(bytes).isEmpty)
+    assert(Multimodal.decodeMjpegVideo(Multimodal.syntheticAvi(7L)).isEmpty)
+    assert(Multimodal.decodeMjpegVideo(Multimodal.syntheticRleAvi(7L)).isEmpty)
+    assert(Seq(bytes).toDF("media")
+      .select(graft.functions.MediaKind(spark, col("media")))
+      .head.getString(0) == "mjpeg_video")
+    val viaDispatch = Multimodal.decode(bytes)
+    assert(viaDispatch.sameElements(Multimodal.decodeMjpegVideo(bytes).get),
+      "decode() dispatch routes MJPEG to the real DCT path, not the stub")
+  }
+
+  test("MJPEG: corrupt or truncated frames refuse loudly (None), never garbage") {
+    val bytes = Multimodal.syntheticMjpegAvi(11L)
+    val raw = Multimodal.walkAvi(bytes).get
+    // truncate mid-frame: container walk fails or decode refuses
+    assert(Multimodal.decodeMjpegVideo(
+      java.util.Arrays.copyOf(bytes, raw.frameOff(1))).isEmpty)
+    // corrupt a frame's SOI marker: that frame no longer decodes as JPEG
+    val broken = bytes.clone()
+    broken(raw.frameOff(2)) = 0x00
+    assert(Multimodal.decodeMjpegVideo(broken).isEmpty)
+    // geometry contradiction: a frame decoding to the wrong size refuses.
+    // Build a container whose header says 15x10 but whose first chunk is
+    // an 8x8 JPEG — splice the small JPEG into frame 0's chunk region is
+    // fiddly; instead assert the guard directly on a wrong-geometry AVI:
+    // reuse seed frames but lie in the header via a surgical strf patch
+    val lying = bytes.clone()
+    val buf = java.nio.ByteBuffer.wrap(lying).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // find strf chunk: scan for "strf" fourcc, then biWidth at +12
+    var i = 0
+    var patched = false
+    while (!patched && i < lying.length - 16) {
+      if (lying(i) == 's' && lying(i + 1) == 't' && lying(i + 2) == 'r' &&
+        lying(i + 3) == 'f') {
+        buf.putInt(i + 12, 14) // header now claims width 14
+        patched = true
+      }
+      i += 1
+    }
+    assert(patched && Multimodal.decodeMjpegVideo(lying).isEmpty,
+      "frame/header geometry mismatch must refuse")
+  }
 }
