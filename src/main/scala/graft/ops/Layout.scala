@@ -123,4 +123,56 @@ object Layout {
       if (!keepOutput) { fs.delete(hPath, true): Unit }
     }
   }
+
+  /** Size-tiered compaction planning over a file listing — the table-
+    * maintenance pass every long-lived 100 TB table needs (streaming
+    * sinks, incremental appends and shard retries all accrete small
+    * files until scans drown in open/seek overhead; this is the planner
+    * behind an OPTIMIZE/auto-compaction service).
+    *
+    * Deterministic rule, chosen so the plan is a PURE windowed expression
+    * (identical on any engine, no driver-side loop): per directory,
+    * files under `targetBytes` are candidates, ordered (size DESC,
+    * file ASC); a candidate's bin is its exclusive running-sum of
+    * candidate sizes integer-divided by the target — so every bin's
+    * total lands within one member's size of the target on BOTH sides
+    * (over by at most its own largest member, under by at most the
+    * previous bin's overshoot), and first-fit-decreasing-style
+    * big-with-small mixing falls out of the ordering.
+    * Files at/over target, and bins left with a single member (nothing
+    * to merge with), are `keep`.
+    *
+    * Scale shape: this plans over the LISTING (metadata rows — millions
+    * of files, not the petabytes inside them). One hash shuffle on the
+    * directory, two window passes over per-directory groups that a
+    * single task holds trivially; the rewrite a caller executes from the
+    * plan is then partition-pruned per (dir, bin). Exact integer
+    * arithmetic end to end (BIGINT running sums, `DIV`), so the plan is
+    * hash-identical across engines and retries.
+    *
+    * @return (dir, file, size, action 'compact'|'keep', bin — NULL on
+    *         keep rows; bins number 0.. per directory, not globally)
+    */
+  def compactionPlan(files: DataFrame, dirCol: String, fileCol: String,
+                     sizeCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(dirCol))
+      .orderBy(col(sizeCol).desc, col(fileCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val small = col(sizeCol).cast("long") < lit(targetBytes)
+    val staged = files.select(col(dirCol).as("dir"), col(fileCol).as("file"),
+        col(sizeCol).cast("long").as("size"))
+      .withColumn("__cumb",
+        coalesce(sum(when(small, col("size")).otherwise(lit(0L))).over(w), lit(0L)))
+      .withColumn("__bin0", when(small, expr(s"__cumb DIV ${targetBytes}L")))
+    val nb = Window.partitionBy(col("dir"), col("__bin0"))
+    staged
+      .withColumn("__nb", count(lit(1)).over(nb))
+      .select(col("dir"), col("file"), col("size"),
+        when(col("__bin0").isNotNull && col("__nb") >= 2, lit("compact"))
+          .otherwise(lit("keep")).as("action"),
+        when(col("__bin0").isNotNull && col("__nb") >= 2, col("__bin0"))
+          .cast("long").as("bin"))
+  }
 }

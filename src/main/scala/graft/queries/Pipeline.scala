@@ -2799,6 +2799,51 @@ object Pipeline {
              |FROM staged GROUP BY shard ORDER BY shard""".stripMargin))
   ,
 
+    QueryDef("p83_compaction_plan",
+      (s, d) => {
+        import s.implicits._
+        // size-tiered compaction planning (Layout.compactionPlan): the
+        // OPTIMIZE pass of a long-lived table, planned over a synthetic
+        // file LISTING derived from documents (8 partition dirs,
+        // char-length-keyed sizes spanning well under and over the
+        // 250 KB target). Exact integer windows → hash-identical plan
+        // on both engines.
+        val listing = t(s, d, "documents").select(
+          concat(lit("part="), ($"doc_id" % 8).cast("string")).as("dir"),
+          concat(lit("f"), $"doc_id".cast("string")).as("file"),
+          (pmod(length($"text").cast("long") * 37L, lit(9999983L)) + 1L).as("size"))
+        graft.ops.Layout.compactionPlan(listing, "dir", "file", "size",
+            targetBytes = 250000L)
+          .orderBy($"dir", $"file")
+      },
+      Some("""WITH f AS (
+             |  SELECT 'part=' || CAST(doc_id % 8 AS VARCHAR) AS dir,
+             |    'f' || CAST(doc_id AS VARCHAR) AS file,
+             |    CAST((length(text) * 37) % 9999983 + 1 AS BIGINT) AS size
+             |  FROM documents),
+             |w AS (
+             |  SELECT dir, file, size,
+             |    coalesce(sum(CASE WHEN size < 250000 THEN size ELSE 0 END)
+             |      OVER (PARTITION BY dir ORDER BY size DESC, file ASC
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0) AS cumb
+             |  FROM f),
+             |b AS (
+             |  SELECT dir, file, size,
+             |    CASE WHEN size < 250000 THEN cumb // 250000 END AS bin0
+             |  FROM w),
+             |c AS (
+             |  SELECT dir, file, size, bin0,
+             |    count(*) OVER (PARTITION BY dir, bin0) AS nb
+             |  FROM b)
+             |SELECT dir, file, size,
+             |  CASE WHEN bin0 IS NOT NULL AND nb >= 2
+             |       THEN 'compact' ELSE 'keep' END AS action,
+             |  CAST(CASE WHEN bin0 IS NOT NULL AND nb >= 2
+             |       THEN bin0 END AS BIGINT) AS bin
+             |FROM c ORDER BY dir, file""".stripMargin))
+  ,
+
     // -- DSIR data selection (Xie et al. 2023) ------------------------------
     QueryDef("p79_dsir_select",
       (s, d) => {

@@ -1183,6 +1183,57 @@ class OpsSpec extends AnyFunSuite {
       "digest is content-deterministic across runs")
   }
 
+  test("compactionPlan: bins fill to target, oversized and lonely files keep, partitioning-invariant") {
+    val target = 1000L
+    val rnd = new scala.util.Random(7)
+    val listing = (
+      // dir a: many small files → several full bins
+      (1 to 40).map(i => ("a", f"a$i%03d", 50L + rnd.nextInt(400))) ++
+      // dir b: two big files over target (keep) + three smalls (one bin)
+      Seq(("b", "big1", 1500L), ("b", "big2", 1000L),
+          ("b", "s1", 200L), ("b", "s2", 300L), ("b", "s3", 100L)) ++
+      // dir c: ONE small file — nothing to merge with → keep
+      Seq(("c", "only", 10L))
+    ).toDF("dir", "file", "size")
+    val plan = graft.ops.Layout
+      .compactionPlan(listing, "dir", "file", "size", target)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3), if (r.isNullAt(4)) -1L else r.getLong(4)))
+    assert(plan.length == 46, "every listed file appears exactly once")
+    // at/over target → keep with null bin
+    assert(plan.filter(p => p._3 >= target)
+      .forall(p => p._4 == "keep" && p._5 == -1L))
+    // the lonely small file keeps (a 1-file bin compacts nothing)
+    assert(plan.find(_._2 == "only").get._4 == "keep")
+    // dir b's three smalls share one bin
+    val bBins = plan.filter(p => p._1 == "b" && p._4 == "compact").map(_._5)
+    assert(bBins.length == 3 && bBins.distinct.length == 1)
+    // every compact bin has >= 2 members; every bin total lands within
+    // one candidate's size of the target on both sides (the cumsum-
+    // bucketing guarantee: over by at most its own largest member,
+    // under by at most the previous bin's overshoot)
+    val byBin = plan.filter(_._4 == "compact").groupBy(p => (p._1, p._5))
+    val maxCand = plan.filter(_._3 < target).map(_._3).max
+    byBin.foreach { case ((dir, bin), fs) =>
+      assert(fs.length >= 2, s"bin ($dir,$bin) has a single member")
+      val total = fs.map(_._3).sum
+      assert(total < target + fs.map(_._3).max, s"bin ($dir,$bin) overfills")
+    }
+    val aBins = byBin.keys.filter(_._1 == "a").map(_._2).toSeq.sorted
+    aBins.dropRight(1).foreach { bin =>
+      assert(byBin(("a", bin)).map(_._3).sum > target - maxCand,
+        s"non-final bin $bin underfills beyond the one-member bound")
+    }
+    // exact-integer windows → the plan is invariant to input partitioning
+    val plan2 = graft.ops.Layout
+      .compactionPlan(listing.repartition(13), "dir", "file", "size", target)
+      .orderBy($"dir", $"file").collect()
+    val plan1 = graft.ops.Layout
+      .compactionPlan(listing, "dir", "file", "size", target)
+      .orderBy($"dir", $"file").collect()
+    assert(plan1.sameElements(plan2))
+  }
+
   test("operators release their internal persists (VERDICT r5 #5)") {
     // Library hygiene: each sealed operator may leave ONLY its own
     // checkpointed result behind — no intermediate cache (shingle sets,
