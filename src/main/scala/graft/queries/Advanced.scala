@@ -1033,6 +1033,43 @@ object Advanced {
              |  FROM events)
              |WHERE admit_seq <= 2 ORDER BY event_id""".stripMargin)),
 
+    // -- ingest health: late-arrival audit ----------------------------------
+
+    QueryDef("s20_stream_late_audit",
+      (s, d) => {
+        import s.implicits._
+        // out-of-orderness audit (EventStreams.lateAudit): the fixture's
+        // event time is perfectly sorted by arrival, so a deterministic
+        // ±300 s jitter (keyed on event_id) scrambles it first; the
+        // stateful stage then flags arrivals lagging their source's
+        // running max by > 120 s and reports the lag — the measurement a
+        // pipeline uses to SIZE its watermarks instead of guessing them.
+        // One Long of state per source. Oracle = the running-max window
+        // over the identically jittered batch.
+        val jittered = (df: DataFrame) => df.withColumn("ts",
+          timestamp_micros(unix_micros($"ts") +
+            (($"event_id".cast("long") * 2654435761L) % 601L - 300L) * 1000000L))
+        EventStreams.runBounded(s, d, "s20_sink",
+            ev => EventStreams.lateAudit(120)(jittered(ev)),
+            outputMode = "append")
+          .orderBy($"event_id")
+      },
+      Some("""WITH j AS (
+             |  SELECT event_id, event_type,
+             |    epoch_us(ts) + ((event_id * 2654435761) % 601 - 300) * 1000000 AS ts_us
+             |  FROM events),
+             |w AS (
+             |  SELECT event_id, event_type, ts_us,
+             |    max(ts_us) OVER (PARTITION BY event_type ORDER BY event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+             |  FROM j)
+             |SELECT event_id, event_type,
+             |  coalesce(prevmax IS NOT NULL AND ts_us < prevmax - 120000000,
+             |           false) AS is_late,
+             |  CAST(CASE WHEN prevmax IS NOT NULL AND ts_us < prevmax - 120000000
+             |       THEN prevmax - ts_us ELSE 0 END AS BIGINT) AS lag_us
+             |FROM w ORDER BY event_id""".stripMargin)),
+
     // -- link-graph centrality: host PageRank quality prior -----------------
 
     QueryDef("p80_host_pagerank",

@@ -158,6 +158,66 @@ object EventStreams {
       .filter(col("admit_seq") <= cap)
   }
 
+  /** Late-arrival audit: per source (event_type), track the maximum
+    * event-time seen so far in ARRIVAL order (event_id is the ingest
+    * sequence) and flag every arrival whose event time lags that running
+    * max by more than `toleranceSec` — the out-of-orderness signal that
+    * sizes watermarks, feeds ingest health dashboards, and decides when
+    * a source's data is safe to seal into training shards. State is ONE
+    * Long per live source (the max event-time in µs), carried by
+    * flatMapGroupsWithState; `lag_us` reports how far behind the running
+    * max a late row arrived (0 when on time), so downstream can pick the
+    * watermark delay as a quantile of observed lag rather than a guess.
+    *
+    * Within a micro-batch rows are processed per key in event_id
+    * (arrival) order; across batches arrival order rules — with the
+    * bounded AvailableNow source the two coincide, which is what lets
+    * the running-max window twin gate the stateful path exactly.
+    */
+  def lateAudit(toleranceSec: Long)(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val tolUs = toleranceSec * 1000000L
+    events.select(col("event_id").cast("long"), col("event_type"),
+        unix_micros(col("ts")))
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, String, Boolean, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (et, rows, state: GroupState[Long]) =>
+          var maxUs = state.getOption.getOrElse(Long.MinValue)
+          val out = rows.toSeq.sortBy(_._1).map { case (id, _, tsUs) =>
+            val late = maxUs != Long.MinValue && tsUs < maxUs - tolUs
+            val lag = if (late) maxUs - tsUs else 0L
+            if (tsUs > maxUs) maxUs = tsUs
+            (id, et, late, lag)
+          }
+          state.update(maxUs)
+          out.iterator
+      }
+      .toDF("event_id", "event_type", "is_late", "lag_us")
+  }
+
+  /** Batch twin of [[lateAudit]]: the running max is a plain window over
+    * arrival order — what the audit IS, declaratively.
+    */
+  def lateAuditBatch(toleranceSec: Long)(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tolUs = toleranceSec * 1000000L
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events.select(col("event_id").cast("long"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prevmax", max(col("ts_us")).over(w))
+      .select(col("event_id"), col("event_type"),
+        coalesce(col("prevmax").isNotNull &&
+          col("ts_us") < col("prevmax") - tolUs, lit(false)).as("is_late"),
+        when(col("prevmax").isNotNull &&
+          col("ts_us") < col("prevmax") - tolUs, col("prevmax") - col("ts_us"))
+          .otherwise(lit(0L)).as("lag_us"))
+  }
+
   /** Online quality gating of a DOCUMENT stream — the live-crawl-ingest
     * shape: per-row language ID + quality scoring (pure codegen'd
     * expressions, no state, no watermark) with a threshold filter. One

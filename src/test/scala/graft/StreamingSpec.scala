@@ -80,6 +80,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("admit_seq")).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("late-arrival audit stream equals the running-max window twin; lateness exists (sf0.001)") {
+    import spark.implicits._
+    val jitter = (df: org.apache.spark.sql.DataFrame) => df.withColumn("ts",
+      timestamp_micros(unix_micros(col("ts")) +
+        ((col("event_id").cast("long") * 2654435761L) % 601L - 300L) * 1000000L))
+    val dir = "/root/testdata/sf0.001"
+    val streamed = EventStreams.runBounded(spark, dir, "t_s20",
+        ev => EventStreams.lateAudit(120)(jitter(ev)), outputMode = "append")
+      .orderBy(col("event_id")).collect()
+    val batch = EventStreams.lateAuditBatch(120)(
+        jitter(graft.queries.Tables.t(spark, dir, "events")))
+      .orderBy(col("event_id")).collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    streamed.zip(batch).foreach { case (a, b) => assert(a == b) }
+    // the jitter makes the audit non-trivial: some rows are late, most
+    // are not, and every late row carries a positive lag beyond tolerance
+    val late = streamed.filter(_.getAs[Boolean]("is_late"))
+    assert(late.nonEmpty && late.length < streamed.length / 2)
+    assert(late.forall(_.getAs[Long]("lag_us") > 120000000L))
+    assert(streamed.filterNot(_.getAs[Boolean]("is_late"))
+      .forall(_.getAs[Long]("lag_us") == 0L))
+  }
+
+  test("late-audit state survives across micro-batches (MemoryStream, two triggers)") {
+    import spark.implicits._
+    // batch 2 delivers an event older than batch 1's running max by more
+    // than the tolerance: only cross-batch state can flag it
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val df = input.toDF.toDF("event_id", "event_type", "ts")
+    input.addData((1L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "view", ts("2024-01-01 10:30:00")))
+    val q = EventStreams.lateAudit(300)(df)
+      .writeStream.format("memory").queryName("t_late_state")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      input.addData((3L, "view", ts("2024-01-01 10:20:00")), // 10 min late
+        (4L, "view", ts("2024-01-01 10:31:00")))             // on time
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("t_late_state").orderBy(col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getAs[Boolean]("is_late"), r.getAs[Long]("lag_us")))
+    assert(out.toSeq == Seq((1L, false, 0L), (2L, false, 0L),
+      (3L, true, 600000000L), (4L, false, 0L)))
+  }
+
   test("near-dup stage beyond-broadcast gate: shuffled index join equals broadcast path") {
     // VERDICT r4 #8: when the corpus band index outgrows broadcast, the
     // stage must degrade to a shuffled stream-static join with identical
