@@ -105,3 +105,43 @@ SELECT doc_id, CAST(len(text) AS INT) AS n FROM top_docs(5);
 --        round(avg(element_at(media_features(media), 4)), 4) AS mean_luma_or_peak
 -- FROM crawl
 -- GROUP BY ALL ORDER BY ALL;
+
+-- 11. Exact quality gates without sorting the corpus (round 6): the
+--     value-histogram quantile — shuffle cardinality is |distinct
+--     (lang, n_words)|, never the row count, so "p99 tokens per doc"
+--     stays exact at 100 TB (ops/Stats.exactQuantiles is the
+--     DataFrame-level spelling of the same plan).
+SELECT lang, n,
+  min(CASE WHEN cum >= ceil(0.5 * n) THEN v END)  AS p50_words,
+  min(CASE WHEN cum >= ceil(0.99 * n) THEN v END) AS p99_words
+FROM (
+  SELECT lang, v, cnt,
+    sum(cnt) OVER (PARTITION BY lang ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+    sum(cnt) OVER (PARTITION BY lang)        AS n
+  FROM (SELECT lang, n_words AS v, count(*) AS cnt
+        FROM capped GROUP BY 1, 2))
+GROUP BY lang, n ORDER BY lang;
+
+-- 12. Table maintenance: size-tiered compaction planning over the file
+--     LISTING (round 6; ops/Layout.compactionPlan) — pure windowed
+--     arithmetic, so the plan is deterministic across engines/retries.
+--     With a real lakehouse catalog, `files` comes from its metadata
+--     table; the rewrite executes per (dir, bin), partition-pruned.
+-- SELECT dir, file, size,
+--   CASE WHEN bin0 IS NOT NULL AND nb >= 2 THEN 'compact' ELSE 'keep' END AS action,
+--   CASE WHEN bin0 IS NOT NULL AND nb >= 2 THEN bin0 END                  AS bin
+-- FROM (SELECT *, count(*) OVER (PARTITION BY dir, bin0) AS nb
+--       FROM (SELECT *, CASE WHEN size < 134217728 THEN cumb // 134217728 END AS bin0
+--             FROM (SELECT dir, file, size,
+--                     coalesce(sum(CASE WHEN size < 134217728 THEN size ELSE 0 END)
+--                       OVER (PARTITION BY dir ORDER BY size DESC, file
+--                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+--                   FROM files) c) b) a;
+
+-- 13. DataFrame-level round-6 operators with no SQL spelling here:
+--     * ops/GraphRank.pageRank       — host-level quality prior over the
+--       crawl link graph, exact BIGINT pico-rank units (p80).
+--     * streaming/EventStreams.quotaAdmit / lateAudit — per-source ingest
+--       rate limiting and out-of-orderness audit with one Long of state
+--       per key; both equal their declarative window twins (s19/s20).

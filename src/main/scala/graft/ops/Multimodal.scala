@@ -875,10 +875,14 @@ object Multimodal {
       val quarterN = new Array[Long](4)
       var f = 0
       while (f < nF) {
+        // Exception, not just IOException (house style, decodeImage:38):
+        // ImageIO's JPEG plugin surfaces some malformed bitstreams as
+        // runtime exceptions, and a corrupt blob must degrade to None
+        // (→ stub features), never kill a task
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
             bytes, raw.frameOff(f), raw.frameLen(f)))
-          catch { case _: java.io.IOException => null }
+          catch { case _: Exception => null }
         if (img == null || img.getWidth != w || img.getHeight != h)
           return None
         val q = math.min(3, f * 4 / nF)
