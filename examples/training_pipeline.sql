@@ -94,16 +94,20 @@ SELECT doc_id, CAST(len(text) AS INT) AS n FROM top_docs(5);
 
 -- 10. Multimodal columns from pure SQL (round 6): media_kind routes a
 --     mixed BINARY column to per-modality pipelines, media_features runs
---     the REAL decode dispatch (ImageIO pixels, javax.sound PCM, native
---     FLAC, native G.711/ADPCM WAV, native uncompressed AVI) inside
---     whole-stage codegen; anything undecodable reports kind 'stub' and
---     deterministic fallback features, so a 100 TB crawl never aborts on
---     a corrupt blob.
+--     the REAL decode dispatch (ImageIO pixels + MJPEG AVI frames,
+--     javax.sound PCM, native FLAC, native G.711/ADPCM WAV, native
+--     uncompressed/RLE8 AVI) inside whole-stage codegen; anything
+--     undecodable reports kind 'stub' and deterministic fallback
+--     features, so a 100 TB crawl never aborts on a corrupt blob.
+--     Wanting BOTH the label and the features? media_decode runs the
+--     dispatch ONCE and returns STRUCT<kind, features> — two separate
+--     function calls would decode every blob twice.
 --   CREATE TEMPORARY VIEW crawl USING parquet OPTIONS (path '<dir>/crawl.parquet');
--- SELECT media_kind(media)                                AS kind,
---        count(*)                                         AS n_blobs,
---        round(avg(element_at(media_features(media), 4)), 4) AS mean_luma_or_peak
--- FROM crawl
+-- WITH m AS (SELECT media_decode(media) AS d FROM crawl)
+-- SELECT d.kind                                     AS kind,
+--        count(*)                                   AS n_blobs,
+--        round(avg(element_at(d.features, 4)), 4)   AS mean_luma_or_peak
+-- FROM m
 -- GROUP BY ALL ORDER BY ALL;
 
 -- 11. Exact quality gates without sorting the corpus (round 6): the

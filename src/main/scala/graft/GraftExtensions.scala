@@ -162,6 +162,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.MediaKind].getName, "media_kind"),
       arity("media_kind", 1)(exprs => graft.functions.MediaKind(exprs(0)))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("media_decode"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.MediaDecode].getName, "media_decode"),
+      arity("media_decode", 1)(exprs => graft.functions.MediaDecode(exprs(0)))))
     // host-dialect function-name aliases (len, list_*, string_split,
     // regexp_matches, ...) — vocabulary parity so reference-host statements
     // resolve unchanged; every alias is a native codegen'd expression

@@ -92,19 +92,8 @@ case class MediaKind(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
 
-  def kernel(bytes: Array[Byte]): UTF8String = {
-    import graft.ops.Multimodal._
-    val kind =
-      if (decodeImage(bytes).isDefined) "image"
-      else if (decodeAudio(bytes).isDefined) "audio"
-      else if (decodeFlacAudio(bytes).isDefined) "flac"
-      else if (decodeCompandedAudio(bytes).isDefined) "companded"
-      else if (decodeAviVideo(bytes).isDefined) "video"
-      else if (decodeRle8Video(bytes).isDefined) "rle_video"
-      else if (decodeMjpegVideo(bytes).isDefined) "mjpeg_video"
-      else "stub"
-    UTF8String.fromString(kind)
-  }
+  def kernel(bytes: Array[Byte]): UTF8String =
+    UTF8String.fromString(graft.ops.Multimodal.decodeWithKind(bytes)._1)
 
   override def nullSafeEval(input: Any): Any =
     kernel(input.asInstanceOf[Array[Byte]])
@@ -118,6 +107,67 @@ case class MediaKind(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "media_kind"
+}
+
+/** One-pass decode for queries that want routing AND features:
+  * `media_decode(b)` → `STRUCT<kind STRING, features ARRAY<FLOAT>>`.
+  * `SELECT media_kind(b), media_features(b)` runs the full codec dispatch
+  * twice per row (two independent expressions — Spark's subexpression
+  * elimination only merges identical trees); this expression runs it
+  * once, and the struct fields prune like any other.
+  */
+case class MediaDecode(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"media_decode expects BINARY, got $other")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("features", ArrayType(FloatType, containsNull = false),
+      nullable = false)))
+
+  def kernel(bytes: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val (kind, feats) = graft.ops.Multimodal.decodeWithKind(bytes)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(kind),
+        UnsafeArrayData.fromPrimitiveArray(feats)))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("mediaDecode", this, classOf[MediaDecode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.kernel($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MediaDecode =
+    copy(child = newChild)
+
+  override def prettyName: String = "media_decode"
+}
+
+object MediaDecode {
+
+  /** Register `media_decode(b)` as a session SQL function (see
+    * [[MediaFeatures.register]]).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "media_decode", exprs => {
+        if (exprs.length != 1) throw new IllegalArgumentException(
+          s"media_decode expects 1 argument, got ${exprs.length}")
+        MediaDecode(exprs(0))
+      }, "built-in")
+
+  def apply(spark: org.apache.spark.sql.SparkSession,
+            media: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("media_decode", media)
+  }
 }
 
 object MediaKind {

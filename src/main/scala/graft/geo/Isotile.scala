@@ -144,12 +144,18 @@ object Isotile {
     // attach each hole to the outer ring containing a point just inside
     // the hole loop: midpoint of its first edge nudged right of travel (a
     // clockwise loop encloses the region to its right). The nudge is a
-    // quarter cell, so it cannot cross another boundary edge.
+    // quarter cell, so it cannot cross another boundary edge. With nested
+    // geometry (island inside a lake inside the region) the point lies in
+    // SEVERAL outer rings — the hole belongs to the INNERMOST containing
+    // one, i.e. the smallest by area (each ring's even-odd test ignores
+    // the others, so `find` on discovery order could pick the outermost).
     holes.foreach { h =>
       val f = h(0); val t = h(1)
       val mx = (f._1 + t._1) / 2.0 + (t._2 - f._2) * 0.25
       val my = (f._2 + t._2) / 2.0 - (t._1 - f._1) * 0.25
-      outers.find(o => pointInIntRing(mx, my, o._1)).foreach(_._2 += h)
+      val containing = outers.filter(o => pointInIntRing(mx, my, o._1))
+      if (containing.nonEmpty)
+        containing.minBy(o => signedArea2(o._1))._2 += h
     }
     outers.toSeq.map { case (o, hs) =>
       o.map(toLonLat) +: hs.toSeq.map(_.map(toLonLat))

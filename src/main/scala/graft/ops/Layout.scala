@@ -157,10 +157,12 @@ object Layout {
                      sizeCol: String, targetBytes: Long): DataFrame = {
     require(targetBytes > 0, "targetBytes must be positive")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(dirCol))
-      .orderBy(col(sizeCol).desc, col(fileCol).asc)
+    // windows and predicates reference the RENAMED columns — the caller's
+    // names are gone after the normalizing select below
+    val w = Window.partitionBy(col("dir"))
+      .orderBy(col("size").desc, col("file").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val small = col(sizeCol).cast("long") < lit(targetBytes)
+    val small = col("size") < lit(targetBytes)
     val staged = files.select(col(dirCol).as("dir"), col(fileCol).as("file"),
         col(sizeCol).cast("long").as("size"))
       .withColumn("__cumb",

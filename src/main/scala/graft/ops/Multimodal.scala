@@ -369,15 +369,22 @@ object Multimodal {
     * formats nothing here can decode (psychoacoustic audio,
     * inter-predicted DCT video).
     */
-  def decode(bytes: Array[Byte]): Array[Float] =
-    decodeImage(bytes)
-      .orElse(decodeAudio(bytes))
-      .orElse(decodeFlacAudio(bytes))
-      .orElse(decodeCompandedAudio(bytes))
-      .orElse(decodeAviVideo(bytes))
-      .orElse(decodeRle8Video(bytes))
-      .orElse(decodeMjpegVideo(bytes))
-      .getOrElse(stubDecode(bytes))
+  def decode(bytes: Array[Byte]): Array[Float] = decodeWithKind(bytes)._2
+
+  /** One dispatch pass returning BOTH the routing label and the features —
+    * the kernel behind `media_decode` (and [[decode]] / `media_kind`), so
+    * a query that wants kind + features pays ONE decode, not two. Labels
+    * match [[graft.functions.MediaKind]]'s documented vocabulary.
+    */
+  def decodeWithKind(bytes: Array[Byte]): (String, Array[Float]) =
+    decodeImage(bytes).map(("image", _))
+      .orElse(decodeAudio(bytes).map(("audio", _)))
+      .orElse(decodeFlacAudio(bytes).map(("flac", _)))
+      .orElse(decodeCompandedAudio(bytes).map(("companded", _)))
+      .orElse(decodeAviVideo(bytes).map(("video", _)))
+      .orElse(decodeRle8Video(bytes).map(("rle_video", _)))
+      .orElse(decodeMjpegVideo(bytes).map(("mjpeg_video", _)))
+      .getOrElse(("stub", stubDecode(bytes)))
 
   /** Deterministic 16-bit mono PCM WAV fixture: a seed-keyed sine (RIFF
     * header hand-written — byte-stable across JDKs, unlike re-encoding).
@@ -450,7 +457,9 @@ object Multimodal {
         val fmtTag = if (codec == "ulaw") 7 else 6
         val out = java.nio.ByteBuffer.allocate(12 + 26 + 12 + 8 + data.length)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        out.put("RIFF".getBytes); out.putInt(38 + 12 + 8 + data.length)
+        // RIFF size = everything after the size field itself:
+        // WAVE(4) + fmt(26) + fact(12) + data header(8) + payload
+        out.put("RIFF".getBytes); out.putInt(4 + 26 + 12 + 8 + data.length)
         out.put("WAVE".getBytes)
         out.put("fmt ".getBytes); out.putInt(18)
         out.putShort(fmtTag.toShort); out.putShort(1)    // mono
@@ -466,7 +475,8 @@ object Multimodal {
         val spb = ImaAdpcm.samplesPerBlock(blockAlign)
         val out = java.nio.ByteBuffer.allocate(12 + 28 + 12 + 8 + data.length)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        out.put("RIFF".getBytes); out.putInt(40 + 12 + 8 + data.length)
+        // WAVE(4) + fmt(28) + fact(12) + data header(8) + payload
+        out.put("RIFF".getBytes); out.putInt(4 + 28 + 12 + 8 + data.length)
         out.put("WAVE".getBytes)
         out.put("fmt ".getBytes); out.putInt(20)
         out.putShort(0x11); out.putShort(1)              // IMA ADPCM, mono

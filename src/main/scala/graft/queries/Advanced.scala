@@ -816,21 +816,21 @@ object Advanced {
         // never the answer (StreamingSpec proves the plan property).
         val corpus = t(s, d, "documents")
         val digest = Pipeline.layoutFingerprint(d, Seq("documents.parquet"))
-        val dir = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), s"graft-bandidx-$digest")
-        val marker = dir.resolve("_INDEX_OK")
-        s.sql("DROP TABLE IF EXISTS graft_band_idx")
-        if (!java.nio.file.Files.exists(marker)) {
+        // build through cachedLayout — the JVM-mutex + OS-file-lock +
+        // staging/atomic-rename commit protocol p64/p50 use — so two
+        // drivers on one sf dir (bench + verify, the documented race)
+        // never interleave writes into the same index directory. The
+        // staging-side catalog entry is dropped after the write; the
+        // committed files are (re)attached by DDL every run.
+        val dir = Pipeline.cachedLayout("bandidx", digest) { staging =>
           val idx = graft.ops.Dedup.bandBuckets(corpus, "doc_id", "text",
             q = 5, k = 12, rowsPerBand = 3)
-          graft.ops.Dedup.writeBandIndexTable(idx, "graft_band_idx",
-            s"$dir/idx", nBuckets = 8)
-          java.nio.file.Files.createDirectories(dir)
-          java.nio.file.Files.writeString(marker, "ok")
-        } else {
-          graft.ops.Dedup.attachBandIndexTable(s, "graft_band_idx",
-            s"$dir/idx", nBuckets = 8)
+          graft.ops.Dedup.writeBandIndexTable(idx, "graft_band_idx_stage",
+            staging.resolve("idx").toString, nBuckets = 8)
+          s.sql("DROP TABLE IF EXISTS graft_band_idx_stage")
         }
+        graft.ops.Dedup.attachBandIndexTable(s, "graft_band_idx",
+          s"$dir/idx", nBuckets = 8)
         val sink = EventStreams.runBoundedDocs(s, d, "s16_sink",
           EventStreams.nearDupStageIndexed(s, "graft_band_idx"),
           shufflePartitions = Some(8), fileSink = true)

@@ -100,6 +100,35 @@ class ContourSpec extends AnyFunSuite {
       "ring interior is polygon interior")
   }
 
+  test("isotile attaches a nested hole to the innermost outer ring (island-in-lake)") {
+    // region with an unreached lake, a reached island in the lake, and an
+    // unreached pond at the island's center: the pond's test point lies
+    // inside BOTH outer rings (each ring's even-odd test ignores the
+    // other), so attachment must pick the smallest containing outer — the
+    // island — not whichever ring discovery order offers first
+    val field = for {
+      x <- 0 to 12; y <- 0 to 12
+    } yield {
+      val inLake = x >= 2 && x <= 10 && y >= 2 && y <= 10
+      val inIsland = x >= 4 && x <= 8 && y >= 4 && y <= 8
+      val inPond = x == 6 && y == 6
+      val reached = !inLake || (inIsland && !inPond)
+      (x.toDouble, y.toDouble, if (reached) 100L else 9999L)
+    }
+    val polys = graft.geo.Isotile.contours(field, 1000L, nCells = 12)
+    assert(polys.length == 2, s"region + island, got ${polys.length}")
+    def outerMaxX(p: Seq[Seq[(Double, Double)]]): Double = p.head.map(_._1).max
+    val island = polys.minBy(outerMaxX)
+    val region = polys.maxBy(outerMaxX)
+    assert(region.length == 2, s"region has exactly the lake hole, got ${region.length - 1}")
+    assert(island.length == 2, s"island has exactly the pond hole, got ${island.length - 1}")
+    assert(Hull.pointInRing((6.0, 6.0), island(1)), "pond is the island's hole")
+    assert(Hull.pointInRing((3.0, 3.0), region(1)), "lake is the region's hole")
+    assert(!Hull.pointInRing((6.0, 6.0), region(1)) ||
+      Hull.pointInRing((6.0, 6.0), island.head),
+      "pond must not be misattached to the region")
+  }
+
   test("isotile keeps diagonally-touching components as separate polygons") {
     val field = Seq((0.0, 0.0, 100L), (1.0, 1.0, 100L), (3.0, 3.0, 9999L))
     val polys = graft.geo.Isotile.contours(field, 1000L, nCells = 3)

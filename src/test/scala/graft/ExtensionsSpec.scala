@@ -90,11 +90,19 @@ class ExtensionsSpec extends AnyFunSuite {
       // CodegenSweepSpec contract — they are not on any driver query path,
       // so the sweep does not cover them)
       s2.conf.set("spark.sql.codegen.fallback", "false")
-      val kinds =
-        try s2.sql(
-          """SELECT id, media_kind(media) AS kind, media_features(media) AS f
-            |FROM media_fixture ORDER BY id""".stripMargin).collect()
-        finally s2.conf.unset("spark.sql.codegen.fallback")
+      val (kinds, combined) =
+        try {
+          val k = s2.sql(
+            """SELECT id, media_kind(media) AS kind, media_features(media) AS f
+              |FROM media_fixture ORDER BY id""".stripMargin).collect()
+          // media_decode: ONE dispatch pass for kind + features — must
+          // agree field-for-field with the two single-purpose functions
+          val c = s2.sql(
+            """SELECT id, media_decode(media).kind AS kind,
+              |  media_decode(media).features AS f
+              |FROM media_fixture ORDER BY id""".stripMargin).collect()
+          (k, c)
+        } finally s2.conf.unset("spark.sql.codegen.fallback")
       assert(kinds.map(_.getString(1)).toSeq ==
         Seq("image", "audio", "flac", "companded", "video", "stub"))
       kinds.foreach { row =>
@@ -102,6 +110,11 @@ class ExtensionsSpec extends AnyFunSuite {
         val direct = graft.ops.Multimodal.decode(
           media.filter($"id" === row.getLong(0)).collect()(0).getAs[Array[Byte]](1))
         assert(viaSql == direct.toSeq, s"id ${row.getLong(0)} features diverge")
+      }
+      kinds.zip(combined).foreach { case (a, b) =>
+        assert(a.getLong(0) == b.getLong(0) && a.getString(1) == b.getString(1)
+          && a.getSeq[Float](2) == b.getSeq[Float](2),
+          s"media_decode diverges from media_kind/media_features at id ${a.getLong(0)}")
       }
     } finally {
       prev.foreach { p => SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p) }

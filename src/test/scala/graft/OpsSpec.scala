@@ -1232,6 +1232,14 @@ class OpsSpec extends AnyFunSuite {
       .compactionPlan(listing, "dir", "file", "size", target)
       .orderBy($"dir", $"file").collect()
     assert(plan1.sameElements(plan2))
+    // caller column names are arbitrary — the op normalizes, then windows
+    // over its own names (regression: the windows once referenced the
+    // caller's names post-rename and threw UNRESOLVED_COLUMN)
+    val renamed = graft.ops.Layout.compactionPlan(
+        listing.toDF("directory", "fname", "bytes"),
+        "directory", "fname", "bytes", target)
+      .orderBy($"dir", $"file").collect()
+    assert(renamed.sameElements(plan1))
   }
 
   test("operators release their internal persists (VERDICT r5 #5)") {
