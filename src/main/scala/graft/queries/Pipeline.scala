@@ -2799,6 +2799,37 @@ object Pipeline {
              |FROM staged GROUP BY shard ORDER BY shard""".stripMargin))
   ,
 
+    QueryDef("p84_exact_k_sample",
+      (s, d) => {
+        import s.implicits._
+        // exact-k-per-stratum deterministic sample — the eval-set /
+        // calibration-set constructor ("exactly 40 docs per language,
+        // reproducible forever"): selection order is a salted md5 hash,
+        // so membership is a pure function of content keys (engine- and
+        // retry-stable, unlike df.sample), and the per-stratum top-k runs
+        // through the bounded TopKMinPairs aggregate — each map task
+        // ships <= k pairs per stratum, where the row_number() spelling
+        // would pull every stratum's full population through one reducer
+        // (the p18/p54 scale argument, applied to sampling).
+        val k = 40
+        val hashed = t(s, d, "documents").select($"lang", $"doc_id",
+          conv(substring(md5(concat($"doc_id".cast("string"), lit("|rsv"))),
+            1, 15), 16, 10).cast("long").as("h"))
+        hashed.groupBy($"lang")
+          .agg(graft.functions.TopKMinPairs(s, $"h", $"doc_id", k).as("tk"))
+          .select($"lang", posexplode($"tk"))
+          .select($"lang", (col("pos") + 1).cast("int").as("rank"),
+            $"col.id".cast("long").as("doc_id"))
+          .orderBy($"lang", $"rank")
+      },
+      Some("""SELECT lang, CAST(row_number() OVER w AS INT) AS rank, doc_id
+             |FROM (SELECT lang, doc_id,
+             |        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|rsv'), 1, 15)) AS BIGINT) AS h
+             |      FROM documents)
+             |WINDOW w AS (PARTITION BY lang ORDER BY h, doc_id)
+             |QUALIFY row_number() OVER w <= 40
+             |ORDER BY lang, rank""".stripMargin)),
+
     QueryDef("p83_compaction_plan",
       (s, d) => {
         import s.implicits._

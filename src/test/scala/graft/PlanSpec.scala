@@ -350,7 +350,8 @@ class PlanSpec extends AnyFunSuite {
     // same property as the p54 gate, for the remaining ANN entry points: a
     // row_number window would co-locate every scored row of a query on one
     // reducer; TopKMinPairs partial-aggregates each task's slice to <= k
-    for (q <- Seq("p06_brute_topk", "p07_bucketed_ann", "p19_ivf_ann", "p52_pq_ann")) {
+    for (q <- Seq("p06_brute_topk", "p07_bucketed_ann", "p19_ivf_ann", "p52_pq_ann",
+        "p84_exact_k_sample")) {
       val plan = planOf(q)
       assert(plan.contains("ObjectHashAggregate") && plan.contains("partial_topk_min_pairs"),
         s"$q top-k must partial-aggregate map-side:\n$plan")
