@@ -124,20 +124,42 @@ object EventStreams {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
-    events.select(col("event_id").cast("long"), col("event_type"),
+    // State is keyed by (source, HOUR) — a key universe that grows with
+    // wall-clock time, so unbounded retention would leak one counter per
+    // key forever. An event-time timeout expires each hour's counter once
+    // the watermark passes hour-end + 2 h (admissions are long since
+    // settled by then); data arriving later than that is watermark-late
+    // by definition and re-starts the (already irrelevant) counter.
+    // the raw watermark-tagged `ts` column must REACH the stateful
+    // operator's input (the analyzer requires a watermarked attribute in
+    // its child), so it rides along untouched; the state machine itself
+    // still works in epoch micros
+    events.withWatermark("ts", "2 hours")
+      .select(col("event_id").cast("long"), col("event_type"), col("ts"),
         unix_micros(col("ts")),
         unix_micros(date_trunc("hour", col("ts"))))
-      .as[(Long, String, Long, Long)]
-      .groupByKey { case (_, et, _, h) => (et, h) }
+      .as[(Long, String, java.sql.Timestamp, Long, Long)]
+      .groupByKey { case (_, et, _, _, h) => (et, h) }
       .flatMapGroupsWithState[Long, (Long, String, Long, Long)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case ((et, hourUs), rows, state: GroupState[Long]) =>
-          val admitted = state.getOption.getOrElse(0L)
-          val taken = rows.toSeq.sortBy { case (id, _, tsUs, _) => (tsUs, id) }
-            .take(((cap - admitted) max 0L).toInt)
-          state.update(admitted + taken.size)
-          taken.iterator.zipWithIndex.map { case ((id, _, _, _), i) =>
-            (id, et, hourUs, admitted + i + 1)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val admitted = state.getOption.getOrElse(0L)
+            val taken = rows.toSeq.sortBy { case (id, _, _, tsUs, _) => (tsUs, id) }
+              .take(((cap - admitted) max 0L).toInt)
+            state.update(admitted + taken.size)
+            // hour end + 2 h slack, but never at/under the current
+            // watermark (setTimeoutTimestamp rejects that — reachable when
+            // a watermark-late straggler re-creates an expired key)
+            state.setTimeoutTimestamp(math.max(
+              hourUs / 1000L + 3L * 3600 * 1000,
+              state.getCurrentWatermarkMs() + 60000L))
+            taken.iterator.zipWithIndex.map { case ((id, _, _, _, _), i) =>
+              (id, et, hourUs, admitted + i + 1)
+            }
           }
       }
       .toDF("event_id", "event_type", "hour_us", "admit_seq")
@@ -173,6 +195,13 @@ object EventStreams {
     * (arrival) order; across batches arrival order rules — with the
     * bounded AvailableNow source the two coincide, which is what lets
     * the running-max window twin gate the stateful path exactly.
+    *
+    * State retention: keys are SOURCES (event types / hosts a pipeline
+    * actively ingests) — a bounded, slowly-changing universe, so no
+    * timeout is set. Deliberately NOT an event-time timeout: a watermark
+    * on the input would drop exactly the late rows this operator exists
+    * to measure. For an unbounded source universe, expire idle keys with
+    * a processing-time timeout instead.
     */
   def lateAudit(toleranceSec: Long)(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

@@ -80,6 +80,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("admit_seq")).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("quota state is BOUNDED: expired hour counters leave the state store (event-time timeout)") {
+    import spark.implicits._
+    // (source, hour) keys grow with wall-clock time — the operator must
+    // shed them or a long-running ingest leaks state forever. The hour-10
+    // counter times out once the watermark (max ts - 2 h) passes
+    // hour-start + 3 h; the live hour-16 counter stays.
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val df = input.toDF.toDF("event_id", "event_type", "ts")
+    val q = EventStreams.quotaAdmit(cap = 5)(df)
+      .writeStream.format("memory").queryName("t_quota_ttl")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "view", ts("2024-01-01 10:00:00")),
+        (2L, "view", ts("2024-01-01 10:00:01")))
+      q.processAllAvailable()
+      input.addData((3L, "view", ts("2024-01-01 16:00:00")))
+      q.processAllAvailable() // watermark advances to 14:00 AFTER this batch
+      input.addData((4L, "view", ts("2024-01-01 16:30:00")))
+      q.processAllAvailable() // hour-10 counter (timeout 13:00) expires here
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows == 1L,
+        s"expired hour counter must leave the store: $stateRows rows")
+    } finally q.stop()
+    val out = spark.table("t_quota_ttl").orderBy(col("event_id")).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L),
+      "expiry must not affect admissions")
+  }
+
   test("late-arrival audit stream equals the running-max window twin; lateness exists (sf0.001)") {
     import spark.implicits._
     val jitter = (df: org.apache.spark.sql.DataFrame) => df.withColumn("ts",
