@@ -82,7 +82,15 @@ object EventStreams {
     * count + value sum, emitting one updated row per user per micro-batch.
     * The custom-state escape hatch for semantics windows/aggregations can't
     * express (KeyValueGroupedDataset state machine; state survives across
-    * micro-batches, GroupStateTimeout cleans idle keys at scale).
+    * micro-batches).
+    *
+    * State retention: deliberately NO timeout — the semantics are
+    * LIFETIME totals, and expiring an idle user would silently reset
+    * their count on re-appearance. State size is one (Long, Double) per
+    * distinct user ever seen; at a scale where that outgrows the store,
+    * the operator's contract itself has to change (e.g. TTL'd totals via
+    * a processing-time timeout, as [[quotaAdmit]] does for its
+    * naturally-expiring hour keys, or periodic snapshot-and-reseed).
     */
   def runningUserTotals(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

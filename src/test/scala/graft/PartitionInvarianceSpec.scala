@@ -50,6 +50,27 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     })
   }
 
+  test("exact-k stratum sample and histogram quantiles are partitioning-invariant") {
+    // the p84 shape: bounded TopKMinPairs per stratum over a salted hash —
+    // "reproducible forever" must mean under ANY arrival shape
+    pin("exactKSample", shapes(docs, "lang").map { v =>
+      val hashed = v.select($"lang", $"doc_id",
+        conv(substring(md5(concat($"doc_id".cast("string"), lit("|rsv"))),
+          1, 15), 16, 10).cast("long").as("h"))
+      rows(hashed.groupBy($"lang")
+        .agg(graft.functions.TopKMinPairs(spark, $"h", $"doc_id", 25).as("tk"))
+        .select($"lang", posexplode($"tk"))
+        .select($"lang", col("pos"), $"col.id")
+        .orderBy($"lang", col("pos")))
+    })
+    pin("exactQuantiles", shapes(docs, "lang").map { v =>
+      rows(graft.ops.Stats.exactQuantiles(
+          v.select($"lang", length($"text").as("n")), "lang", "n",
+          Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+        .orderBy($"lang"))
+    })
+  }
+
   test("minhash signatures and band buckets are partitioning-invariant") {
     pin("minhashSignatures", shapes(docs, "lang").map { v =>
       rows(Dedup.minhashSignatures(v.select($"doc_id", $"text"),
