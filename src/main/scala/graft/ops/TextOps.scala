@@ -110,6 +110,51 @@ object TextOps {
         Ipv4Re, "[IP]"),
       PhoneRe, "[PHONE]")
 
+  /** Candidate payment-card spans: 13-19 digits, optionally space/dash
+    * separated, word-bounded. High-recall by design — a bare regex also
+    * matches invoice numbers, tracking ids and timestamps, which is why
+    * production scrubbing VALIDATES before redacting ([[luhnValid]]);
+    * redacting every digit run would mangle legitimate text corpus-wide.
+    */
+  val CardRe = "\\b(\\d[ -]?){12,18}\\d\\b"
+
+  /** Luhn checksum over one candidate span (separators stripped) as a pure
+    * codegen'd HOF expression — no UDF: reverse the digits, double every
+    * second one (subtracting 9 past 9), and the sum must be ≡ 0 (mod 10).
+    * The same arithmetic is expressible verbatim in ANSI SQL, so the
+    * DuckDB oracle validates the identical spans.
+    */
+  def luhnValid(cand: Column): Column = {
+    val ds = reverse(regexp_replace(cand, "[ -]", ""))
+    // split(s, "") can yield a trailing empty string (Java Pattern.split
+    // with limit -1) — keep only real single-char cells
+    val chars = filter(split(ds, ""), c => length(c) === 1)
+    val pos = sequence(lit(1), size(chars))
+    val terms = zip_with(chars, pos, (ch, i) => {
+      val d = ch.cast("int")
+      when(pmod(i, lit(2)) === 0,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+    size(chars) >= 13 && size(chars) <= 19 &&
+      pmod(aggregate(terms, lit(0), (a, x) => a + x), lit(10)) === 0
+  }
+
+  /** Distinct card-shaped candidate spans in `text`, extraction order. */
+  def cardCandidates(text: Column): Column =
+    array_distinct(regexp_extract_all(text, lit(CardRe), lit(0)))
+
+  /** The Luhn-valid subset of [[cardCandidates]]. */
+  def validCards(text: Column): Column =
+    filter(cardCandidates(text), luhnValid(_))
+
+  /** Redact exactly the VALIDATED card numbers (literal replace folded
+    * over the valid set) — an invoice number that merely looks like a
+    * card survives. "[CARD]" contains no digits, so one replacement can
+    * never create a new candidate for a later one.
+    */
+  def redactCards(text: Column): Column =
+    aggregate(validCards(text), text, (acc, c) => replace(acc, c, lit("[CARD]")))
+
   /** Fixed-size token chunks (n tokens each, space-rejoined, last chunk
     * ragged): the deterministic "line" unit for corpus-level line dedup on
     * text with no natural line structure. Empty array for empty text.

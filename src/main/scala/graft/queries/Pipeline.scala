@@ -2799,6 +2799,60 @@ object Pipeline {
              |FROM staged GROUP BY shard ORDER BY shard""".stripMargin))
   ,
 
+    QueryDef("p85_card_redact",
+      (s, d) => {
+        import s.implicits._
+        // Luhn-VALIDATED payment-card redaction (TextOps.redactCards):
+        // the precision layer a naive digit-run regex lacks — each doc
+        // gets one genuinely valid test card (by doc_id % 3, three
+        // separator styles) and one near-miss whose checksum fails; the
+        // scrub must redact exactly the valid one and leave the invoice-
+        // number-shaped impostor intact. Pure codegen'd HOF expressions
+        // per row, no UDF, no shuffle; the oracle re-runs the identical
+        // checksum arithmetic and fold in SQL.
+        val card = expr("""CASE CAST(doc_id % 3 AS INT)
+          WHEN 0 THEN '4111 1111 1111 1111'
+          WHEN 1 THEN '5500-0000-0000-0004'
+          ELSE '340000000000009' END""")
+        val aug = concat($"text", lit(" pay "), card,
+          lit(" ref 4111111111111112"))
+        t(s, d, "documents").select($"doc_id", aug.as("a"))
+          .select($"doc_id",
+            size(graft.ops.TextOps.cardCandidates($"a")).cast("int").as("n_candidates"),
+            size(graft.ops.TextOps.validCards($"a")).cast("int").as("n_valid"),
+            md5(graft.ops.TextOps.redactCards($"a")).as("redacted_digest"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id, text || ' pay ' ||
+             |    CASE CAST(doc_id % 3 AS INT)
+             |      WHEN 0 THEN '4111 1111 1111 1111'
+             |      WHEN 1 THEN '5500-0000-0000-0004'
+             |      ELSE '340000000000009' END ||
+             |    ' ref 4111111111111112' AS a
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, a,
+             |    list_distinct(regexp_extract_all(a, '\b(\d[ -]?){12,18}\d\b')) AS cands
+             |  FROM aug),
+             |v AS (
+             |  SELECT doc_id, a, cands,
+             |    list_filter(cands, cd ->
+             |      list_sum(list_transform(
+             |        generate_series(1, len(replace(replace(cd, ' ', ''), '-', ''))),
+             |        i -> CASE WHEN i % 2 = 0 THEN
+             |               CASE WHEN CAST(substring(reverse(replace(replace(cd, ' ', ''), '-', '')), i, 1) AS INT) * 2 > 9
+             |                    THEN CAST(substring(reverse(replace(replace(cd, ' ', ''), '-', '')), i, 1) AS INT) * 2 - 9
+             |                    ELSE CAST(substring(reverse(replace(replace(cd, ' ', ''), '-', '')), i, 1) AS INT) * 2 END
+             |             ELSE CAST(substring(reverse(replace(replace(cd, ' ', ''), '-', '')), i, 1) AS INT) END)) % 10 = 0) AS valids
+             |  FROM c)
+             |SELECT doc_id,
+             |  CAST(len(cands) AS INT) AS n_candidates,
+             |  CAST(len(valids) AS INT) AS n_valid,
+             |  md5(list_reduce(list_prepend(a, valids),
+             |    (acc, cd) -> replace(acc, cd, '[CARD]'))) AS redacted_digest
+             |FROM v ORDER BY doc_id""".stripMargin)),
+
     QueryDef("p84_exact_k_sample",
       (s, d) => {
         import s.implicits._

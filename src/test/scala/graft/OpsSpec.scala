@@ -344,6 +344,34 @@ class OpsSpec extends AnyFunSuite {
     assert(out(4).getInt(2) == 0)
   }
 
+  test("card redaction: Luhn validates, near-misses and invoice ids survive") {
+    val df = Seq(
+      (1, "pay 4111 1111 1111 1111 now"),          // valid Visa test number
+      (2, "mc 5500-0000-0000-0004 ok"),            // valid MC, dash-separated
+      (3, "amex 340000000000009 works"),           // valid Amex, 15 contiguous
+      (4, "ref 4111111111111112 is an invoice"),   // near-miss: checksum fails
+      (5, "order 1234567890123456 tracking"),      // card-shaped, not Luhn-valid
+      (6, "short 4111 1111 is nothing"),           // under 13 digits: no candidate
+      (7, "both 4111111111111111 and ref 4111111111111112 here"))
+      .toDF("id", "text")
+    val out = df.select($"id",
+      size(TextOps.cardCandidates($"text")).as("nc"),
+      size(TextOps.validCards($"text")).as("nv"),
+      TextOps.redactCards($"text").as("r"))
+      .orderBy($"id").collect()
+    assert(out(0).getInt(1) == 1 && out(0).getInt(2) == 1 &&
+      out(0).getString(3) == "pay [CARD] now")
+    assert(out(1).getString(3) == "mc [CARD] ok")
+    assert(out(2).getString(3) == "amex [CARD] works")
+    // validation is the whole point: candidates that fail Luhn are KEPT
+    assert(out(3).getInt(1) == 1 && out(3).getInt(2) == 0 &&
+      out(3).getString(3) == "ref 4111111111111112 is an invoice")
+    assert(out(4).getInt(2) == 0 && out(4).getString(3).contains("1234567890123456"))
+    assert(out(5).getInt(1) == 0)
+    assert(out(6).getInt(1) == 2 && out(6).getInt(2) == 1 &&
+      out(6).getString(3) == "both [CARD] and ref 4111111111111112 here")
+  }
+
   test("tokenChunks: ragged last chunk, exact boundaries, empty text") {
     val df = Seq(
       (1, "a b c d e"),  // n=2 -> ["a b","c d","e"]
