@@ -36,17 +36,21 @@ object Stats {
   def exactQuantiles(df: DataFrame, keyCol: String, valCol: String,
                      qs: Seq[(String, Double)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hist = df.groupBy(col(keyCol), col(valCol).cast("long").as("v"))
-      .agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy(keyCol).orderBy("v")
+    // internal columns are __-prefixed so a caller whose key happens to
+    // be named v/cnt/cum/n cannot collide; the OUTPUT count column stays
+    // `n` (part of the operator's contract)
+    val hist = df.groupBy(col(keyCol), col(valCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(keyCol).orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
-      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(keyCol)))
+    val cum = hist.withColumn("__cum", sum(col("__cnt")).over(w))
+      .withColumn("__n", sum(col("__cnt")).over(Window.partitionBy(keyCol)))
     val aggs =
       qs.map { case (name, q) =>
-        min(when(col("cum") >= ceil(lit(q) * col("n")), col("v"))).as(name)
-      } ++ Seq(min(col("v")).as(s"min_$valCol"), max(col("v")).as(s"max_$valCol"))
-    cum.groupBy(col(keyCol), col("n"))
+        min(when(col("__cum") >= ceil(lit(q) * col("__n")), col("__v"))).as(name)
+      } ++ Seq(min(col("__v")).as(s"min_$valCol"), max(col("__v")).as(s"max_$valCol"))
+    cum.groupBy(col(keyCol), col("__n"))
       .agg(aggs.head, aggs.tail: _*)
+      .withColumnRenamed("__n", "n")
   }
 }

@@ -80,6 +80,17 @@ class GraphRankSpec extends AnyFunSuite {
     }
   }
 
+  test("exactQuantiles is safe for caller columns named like its internals") {
+    import spark.implicits._
+    // a key literally named `n` (or v/cnt/cum) must not collide with the
+    // operator's working columns
+    val df = Seq(("n1", 3L), ("n1", 7L), ("n2", 5L)).toDF("n", "v")
+    val r = Stats.exactQuantiles(df, "n", "v", Seq("p50" -> 0.5))
+      .orderBy("n").collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq ==
+      Seq(("n1", 2L, 3L), ("n2", 1L, 5L)))
+  }
+
   test("exactQuantiles hits exact boundary values (q=1.0 is the max)") {
     import spark.implicits._
     val df = Seq.tabulate(10)(i => ("k", (i + 1).toLong)).toDF("k", "v")
