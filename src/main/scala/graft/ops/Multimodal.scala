@@ -1052,11 +1052,19 @@ object Multimodal {
     * carries none of them, and the JDK's `javax.sound` SPI ships no
     * compressed-format providers on a headless install — verified:
     * `AudioSystem.getAudioFileTypes` lists only WAVE/AU/AIFF here.
-    * Psychoacoustic codecs are also not integer-exact (decoders are
-    * float-filterbank implementations with spec-permitted tolerance), so
-    * they could never meet the hash-equality oracle contract the
-    * deterministic formats — including the LOSSY-but-integer G.711 and
-    * IMA ADPCM paths (p73) — do.
+    * From-scratch is also off the table for a different reason than
+    * effort: these codecs' conformance hinges on NORMATIVE TABULATED
+    * DATA (MPEG audio's 512-coefficient synthesis window and bit-
+    * allocation tables, AAC/H.264 Huffman/CAVLC codebooks) that is spec
+    * data, not derivable math — FLAC, G.711, ADPCM, RLE8 and JPEG-
+    * via-ImageIO were implementable exactly because their pipelines are
+    * closed-form (or the JDK ships the codec); MJPEG closed the last
+    * spec-derivable codec class. Psychoacoustic codecs are additionally
+    * not integer-exact (float filterbanks with spec-permitted
+    * tolerance), so they could never meet the hash-equality oracle
+    * contract the deterministic formats — including the LOSSY-but-
+    * integer G.711 and IMA ADPCM paths (p73) — do; the p82-style
+    * cross-codec bound would be the right gate if a decoder ever lands.
     */
   def stubDecode(bytes: Array[Byte]): Array[Float] = {
     val out = new Array[Float](FeatureDim)
