@@ -31,7 +31,9 @@ object Stats {
     * Returns one row per key: key, n (row count), min/max, and one
     * column per requested quantile named by `names` (e.g. "p50").
     * Quantile definition: smallest v with cumCount(v) >= ceil(q*n) —
-    * identical to DuckDB's `quantile_disc` for 0 < q <= 1.
+    * identical to DuckDB's `quantile_disc` for 0 < q <= 1. When the KEY
+    * column is itself named `n`, the count column is emitted as
+    * `n_rows` so the output schema never carries a duplicate name.
     */
   def exactQuantiles(df: DataFrame, keyCol: String, valCol: String,
                      qs: Seq[(String, Double)]): DataFrame = {
@@ -49,8 +51,9 @@ object Stats {
       qs.map { case (name, q) =>
         min(when(col("__cum") >= ceil(lit(q) * col("__n")), col("__v"))).as(name)
       } ++ Seq(min(col("__v")).as(s"min_$valCol"), max(col("__v")).as(s"max_$valCol"))
+    val nOut = if (keyCol == "n") "n_rows" else "n"
     cum.groupBy(col(keyCol), col("__n"))
       .agg(aggs.head, aggs.tail: _*)
-      .withColumnRenamed("__n", "n")
+      .withColumnRenamed("__n", nOut)
   }
 }

@@ -147,13 +147,20 @@ object TextOps {
   def validCards(text: Column): Column =
     filter(cardCandidates(text), luhnValid(_))
 
-  /** Redact exactly the VALIDATED card numbers (literal replace folded
-    * over the valid set) — an invoice number that merely looks like a
-    * card survives. "[CARD]" contains no digits, so one replacement can
-    * never create a new candidate for a later one.
+  /** Redact exactly the VALIDATED card numbers — an invoice number that
+    * merely looks like a card survives. The fold replaces WORD-BOUNDED
+    * occurrences (`\b…\b` regex per valid span, not a bare literal
+    * replace): a valid card embedded inside a longer digit run is part
+    * of THAT (non-card) number and must be left alone — a digit on
+    * either side is a word character, so `\b` skips it. Candidates are
+    * all `[0-9 -]`, so the span needs no regex escaping. "[CARD]"
+    * contains no digits, so one replacement can never create a new
+    * candidate for a later one.
     */
   def redactCards(text: Column): Column =
-    aggregate(validCards(text), text, (acc, c) => replace(acc, c, lit("[CARD]")))
+    aggregate(validCards(text), text,
+      (acc, c) => regexp_replace(acc, concat(lit("\\b"), c, lit("\\b")),
+        lit("[CARD]")))
 
   /** Fixed-size token chunks (n tokens each, space-rejoined, last chunk
     * ragged): the deterministic "line" unit for corpus-level line dedup on

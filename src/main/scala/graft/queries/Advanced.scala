@@ -1020,8 +1020,12 @@ object Advanced {
         // (event_type, hour), sequenced, via flatMapGroupsWithState —
         // one Long of state per live key. The oracle is the declarative
         // row_number window over the same data.
+        // noDataBatches=false: the quota stage registers hours-long
+        // processing-time idle timers; under AvailableNow the engine
+        // would otherwise keep scheduling empty batches until they fire
         EventStreams.runBounded(s, d, "s19_sink",
-            EventStreams.quotaAdmit(cap = 2), outputMode = "append")
+            EventStreams.quotaAdmit(cap = 2), outputMode = "append",
+            noDataBatches = false)
           .orderBy($"event_id")
       },
       Some("""SELECT event_id, event_type, hour_ts, admit_seq FROM (

@@ -2850,7 +2850,8 @@ object Pipeline {
              |  CAST(len(cands) AS INT) AS n_candidates,
              |  CAST(len(valids) AS INT) AS n_valid,
              |  md5(list_reduce(list_prepend(a, valids),
-             |    (acc, cd) -> replace(acc, cd, '[CARD]'))) AS redacted_digest
+             |    (acc, cd) -> regexp_replace(acc, '\b' || cd || '\b',
+             |                                '[CARD]', 'g'))) AS redacted_digest
              |FROM v ORDER BY doc_id""".stripMargin)),
 
     QueryDef("p84_exact_k_sample",

@@ -128,44 +128,42 @@ object EventStreams {
     * bounded AvailableNow source the two coincide, which is what lets
     * the window-function oracle gate the stateful path exactly.
     */
-  def quotaAdmit(cap: Int)(events: DataFrame): DataFrame = {
+  def quotaAdmit(cap: Int, idleTimeout: String = "4 hours")
+                (events: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
     // State is keyed by (source, HOUR) — a key universe that grows with
     // wall-clock time, so unbounded retention would leak one counter per
-    // key forever. An event-time timeout expires each hour's counter once
-    // the watermark passes hour-end + 2 h (admissions are long since
-    // settled by then); data arriving later than that is watermark-late
-    // by definition and re-starts the (already irrelevant) counter.
-    // the raw watermark-tagged `ts` column must REACH the stateful
-    // operator's input (the analyzer requires a watermarked attribute in
-    // its child), so it rides along untouched; the state machine itself
-    // still works in epoch micros
-    events.withWatermark("ts", "2 hours")
-      .select(col("event_id").cast("long"), col("event_type"), col("ts"),
+    // key forever. Bounded via a PROCESSING-TIME idle timeout, NOT an
+    // event-time one: an event-time timeout requires a watermark on the
+    // input, and the watermark FILTERS late rows out of the stateful
+    // operator entirely — a >delay-late arrival would be silently
+    // dropped instead of rate-limited, breaking both the operator's
+    // contract and the batch-twin equality. An hour's counter goes idle
+    // naturally once its hour stops arriving and is shed `idleTimeout`
+    // of wall time later. Trade-off of bounded state: `idleTimeout` must
+    // exceed the longest expected ingest pause, or a mid-hour quiet
+    // spell resets that hour's counter.
+    events
+      .select(col("event_id").cast("long"), col("event_type"),
         unix_micros(col("ts")),
         unix_micros(date_trunc("hour", col("ts"))))
-      .as[(Long, String, java.sql.Timestamp, Long, Long)]
-      .groupByKey { case (_, et, _, _, h) => (et, h) }
+      .as[(Long, String, Long, Long)]
+      .groupByKey { case (_, et, _, h) => (et, h) }
       .flatMapGroupsWithState[Long, (Long, String, Long, Long)](
-        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
         case ((et, hourUs), rows, state: GroupState[Long]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
             val admitted = state.getOption.getOrElse(0L)
-            val taken = rows.toSeq.sortBy { case (id, _, _, tsUs, _) => (tsUs, id) }
+            val taken = rows.toSeq.sortBy { case (id, _, tsUs, _) => (tsUs, id) }
               .take(((cap - admitted) max 0L).toInt)
             state.update(admitted + taken.size)
-            // hour end + 2 h slack, but never at/under the current
-            // watermark (setTimeoutTimestamp rejects that — reachable when
-            // a watermark-late straggler re-creates an expired key)
-            state.setTimeoutTimestamp(math.max(
-              hourUs / 1000L + 3L * 3600 * 1000,
-              state.getCurrentWatermarkMs() + 60000L))
-            taken.iterator.zipWithIndex.map { case ((id, _, _, _, _), i) =>
+            state.setTimeoutDuration(idleTimeout)
+            taken.iterator.zipWithIndex.map { case ((id, _, _, _), i) =>
               (id, et, hourUs, admitted + i + 1)
             }
           }
@@ -573,7 +571,8 @@ object EventStreams {
   def runBounded(spark: SparkSession, dir: String, name: String,
                  transform: DataFrame => DataFrame,
                  outputMode: String = "complete",
-                 shufflePartitions: Option[Int] = None): DataFrame = {
+                 shufflePartitions: Option[Int] = None,
+                 noDataBatches: Boolean = true): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val staticDf = spark.read.parquet(s"$dir/events.parquet")
     // FileStreamSource requires a directory or glob basePath — glob the
@@ -582,13 +581,15 @@ object EventStreams {
       .schema(staticDf.schema)
       .parquet(s"$dir/events.parque[t]")
       .withColumn("ts", graft.queries.Tables.normalizedTs(staticDf))
-    runStream(spark, name, transform(stream), outputMode, shufflePartitions)
+    runStream(spark, name, transform(stream), outputMode, shufflePartitions,
+      noDataBatches = noDataBatches)
   }
 
   private def runStream(spark: SparkSession, name: String, transformed: DataFrame,
                         outputMode: String,
                         shufflePartitions: Option[Int],
-                        fileSink: Boolean = false): DataFrame = {
+                        fileSink: Boolean = false,
+                        noDataBatches: Boolean = true): DataFrame = {
     // fail fast on the flag conflict rather than from Spark internals at
     // start(): the parquet streaming sink supports only append
     require(!fileSink || outputMode == "append",
@@ -600,6 +601,18 @@ object EventStreams {
     // test scale — the conf is fixed at query start, so restore after
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     shufflePartitions.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
+    // No-data micro-batches exist to fire event-time/processing-time
+    // timers eagerly. Under Trigger.AvailableNow a PENDING processing-
+    // time timer (e.g. quotaAdmit's idle TTL, hours long by design)
+    // keeps the engine scheduling empty batches until the timer fires —
+    // the bounded run never terminates. Stages that register such
+    // timers pass noDataBatches=false: timers then fire lazily on later
+    // data-driven triggers, which is their production semantics anyway.
+    // Left ON for everything else — watermarked append-mode windows
+    // need the final no-data batch to flush their last windows.
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNoData = spark.conf.get(noDataKey, "true")
+    if (!noDataBatches) spark.conf.set(noDataKey, "false")
     try {
       // Bounded verification runs pair a MEMORY sink with an ephemeral
       // checkpoint, so checkpoint durability buys nothing — put it on
@@ -649,6 +662,9 @@ object EventStreams {
           }
         case None => spark.table(name)
       }
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set(noDataKey, prevNoData)
+    }
   }
 }

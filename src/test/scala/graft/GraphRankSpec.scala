@@ -83,10 +83,14 @@ class GraphRankSpec extends AnyFunSuite {
   test("exactQuantiles is safe for caller columns named like its internals") {
     import spark.implicits._
     // a key literally named `n` (or v/cnt/cum) must not collide with the
-    // operator's working columns
+    // operator's working columns — and the output schema must stay
+    // duplicate-free (count column becomes n_rows for an n-named key)
     val df = Seq(("n1", 3L), ("n1", 7L), ("n2", 5L)).toDF("n", "v")
-    val r = Stats.exactQuantiles(df, "n", "v", Seq("p50" -> 0.5))
-      .orderBy("n").collect()
+    val out = Stats.exactQuantiles(df, "n", "v", Seq("p50" -> 0.5))
+    assert(out.columns.toSeq == Seq("n", "n_rows", "p50", "min_v", "max_v"))
+    assert(out.columns.distinct.length == out.columns.length)
+    val r = out.orderBy("n")
+      .select(col("n"), col("n_rows"), col("p50")).collect()
     assert(r.map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq ==
       Seq(("n1", 2L, 3L), ("n2", 1L, 5L)))
   }

@@ -352,7 +352,11 @@ class OpsSpec extends AnyFunSuite {
       (4, "ref 4111111111111112 is an invoice"),   // near-miss: checksum fails
       (5, "order 1234567890123456 tracking"),      // card-shaped, not Luhn-valid
       (6, "short 4111 1111 is nothing"),           // under 13 digits: no candidate
-      (7, "both 4111111111111111 and ref 4111111111111112 here"))
+      (7, "both 4111111111111111 and ref 4111111111111112 here"),
+      // review regression: a longer NON-card run containing a valid card
+      // as a substring must survive intact — a bare literal replace
+      // would corrupt it to '9[CARD]'
+      (8, "pay 4111111111111111 ref 94111111111111111 end"))
       .toDF("id", "text")
     val out = df.select($"id",
       size(TextOps.cardCandidates($"text")).as("nc"),
@@ -370,6 +374,9 @@ class OpsSpec extends AnyFunSuite {
     assert(out(5).getInt(1) == 0)
     assert(out(6).getInt(1) == 2 && out(6).getInt(2) == 1 &&
       out(6).getString(3) == "both [CARD] and ref 4111111111111112 here")
+    assert(out(7).getInt(1) == 2 && out(7).getInt(2) == 1 &&
+      out(7).getString(3) == "pay [CARD] ref 94111111111111111 end",
+      s"embedded occurrence corrupted: ${out(7).getString(3)}")
   }
 
   test("tokenChunks: ragged last chunk, exact boundaries, empty text") {

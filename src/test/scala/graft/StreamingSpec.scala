@@ -40,7 +40,8 @@ class StreamingSpec extends AnyFunSuite {
   test("quota admission stream equals the batch row_number window, cap respected (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val streamed = EventStreams.runBounded(spark, dir, "t_s19",
-        EventStreams.quotaAdmit(cap = 2), outputMode = "append")
+        EventStreams.quotaAdmit(cap = 2), outputMode = "append",
+        noDataBatches = false)
       .orderBy(col("event_id")).collect()
     val batch = EventStreams.quotaAdmitBatch(cap = 2)(
         graft.queries.Tables.t(spark, dir, "events"))
@@ -53,7 +54,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count(_.getAs[Long]("admit_seq") == 2L) > 0)
   }
 
-  test("quota state survives across micro-batches (MemoryStream, two triggers)") {
+  /** Run `body` with no-data micro-batches disabled: the quota stage's
+    * pending processing-time idle timers otherwise keep the engine
+    * cycling empty batches, and `processAllAvailable` never sees it go
+    * idle. Timers still fire lazily on data-driven triggers.
+    */
+  private def withoutNoDataBatches[A](body: => A): A = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, prev)
+  }
+
+  test("quota state survives across micro-batches (MemoryStream, two triggers)")
+  { withoutNoDataBatches {
     import spark.implicits._
     // same key in two separate micro-batches: the second batch must see
     // the first batch's admitted count in the state store and reject the
@@ -78,35 +92,60 @@ class StreamingSpec extends AnyFunSuite {
     // the same hour too (10:59) so it is rejected as well
     assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
     assert(out.map(_.getAs[Long]("admit_seq")).toSeq == Seq(1L, 2L, 3L))
-  }
+  } }
 
-  test("quota state is BOUNDED: expired hour counters leave the state store (event-time timeout)") {
+  test("quota state is BOUNDED: idle hour counters leave the state store (processing-time timeout)")
+  { withoutNoDataBatches {
     import spark.implicits._
     // (source, hour) keys grow with wall-clock time — the operator must
-    // shed them or a long-running ingest leaks state forever. The hour-10
-    // counter times out once the watermark (max ts - 2 h) passes
-    // hour-start + 3 h; the live hour-16 counter stays.
+    // shed them or a long-running ingest leaks state forever. With a
+    // tiny idle timeout and a real pause, the hour-10 counter expires on
+    // the next trigger; only the freshly-touched hour-16 counter stays.
     val input = MemoryStream[(Long, String, Timestamp)](spark)
     val df = input.toDF.toDF("event_id", "event_type", "ts")
-    val q = EventStreams.quotaAdmit(cap = 5)(df)
+    val q = EventStreams.quotaAdmit(cap = 5, idleTimeout = "100 milliseconds")(df)
       .writeStream.format("memory").queryName("t_quota_ttl")
       .outputMode("append").start()
     try {
       input.addData((1L, "view", ts("2024-01-01 10:00:00")),
         (2L, "view", ts("2024-01-01 10:00:01")))
       q.processAllAvailable()
+      Thread.sleep(1000) // let the hour-10 counter go idle past the timeout
       input.addData((3L, "view", ts("2024-01-01 16:00:00")))
-      q.processAllAvailable() // watermark advances to 14:00 AFTER this batch
-      input.addData((4L, "view", ts("2024-01-01 16:30:00")))
-      q.processAllAvailable() // hour-10 counter (timeout 13:00) expires here
+      q.processAllAvailable() // hour-10 expires during this trigger
       val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
       assert(stateRows == 1L,
-        s"expired hour counter must leave the store: $stateRows rows")
+        s"idle hour counter must leave the store: $stateRows rows")
     } finally q.stop()
     val out = spark.table("t_quota_ttl").orderBy(col("event_id")).collect()
-    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L),
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L),
       "expiry must not affect admissions")
-  }
+  } }
+
+  test("quota admits arbitrarily LATE arrivals — bounded state must not filter them")
+  { withoutNoDataBatches {
+    import spark.implicits._
+    // regression (review finding): an event-time timeout's watermark
+    // silently dropped >delay-late rows before the state function. A
+    // first-ever event for a key, hours older than the global max, must
+    // still be rate-limited — i.e. ADMITTED when its counter has room.
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val df = input.toDF.toDF("event_id", "event_type", "ts")
+    val q = EventStreams.quotaAdmit(cap = 3)(df)
+      .writeStream.format("memory").queryName("t_quota_late")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "view", ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      // 3 h older than everything seen so far, different source
+      input.addData((2L, "click", ts("2024-01-01 09:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("t_quota_late").orderBy(col("event_id")).collect()
+    assert(out.map(r => (r.getLong(0), r.getAs[Long]("admit_seq"))).toSeq ==
+      Seq((1L, 1L), (2L, 1L)),
+      "a late first arrival must be admitted, not silently dropped")
+  } }
 
   test("late-arrival audit stream equals the running-max window twin; lateness exists (sf0.001)") {
     import spark.implicits._
