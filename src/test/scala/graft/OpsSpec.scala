@@ -379,6 +379,58 @@ class OpsSpec extends AnyFunSuite {
       s"embedded occurrence corrupted: ${out(7).getString(3)}")
   }
 
+  test("luhnValid property sweep: agrees with a reference checksum over 300 seeded candidates") {
+    def refLuhn(digits: String): Boolean = {
+      val ds = digits.reverse.map(_ - '0')
+      ds.zipWithIndex.map { case (d, i) =>
+        if (i % 2 == 1) { val t = d * 2; if (t > 9) t - 9 else t } else d
+      }.sum % 10 == 0
+    }
+    val rnd = new scala.util.Random(1234)
+    val cands = (1 to 300).map { _ =>
+      val n = 13 + rnd.nextInt(7)
+      val digits = Seq.fill(n)(rnd.nextInt(10)).mkString
+      val sep = rnd.nextInt(3) match {
+        case 0 => digits
+        case 1 => digits.grouped(4).mkString(" ")
+        case _ => digits.grouped(4).mkString("-")
+      }
+      (sep, refLuhn(digits))
+    }
+    val got = cands.map(_._1).toDF("c")
+      .select($"c", TextOps.luhnValid($"c").as("ok")).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cands.foreach { case (c, expected) =>
+      assert(got(c) == expected, s"luhn mismatch on '$c'")
+    }
+    // the sweep must exercise both verdicts to mean anything
+    assert(cands.exists(_._2) && cands.exists(!_._2))
+  }
+
+  test("compactionPlan property sweep: coverage, bin bounds, keep rules on random listings") {
+    val rnd = new scala.util.Random(99)
+    for (trial <- 1 to 5) {
+      val target = 500L + rnd.nextInt(1500)
+      val listing = (1 to 120).map { i =>
+        (s"d${rnd.nextInt(4)}", f"f$trial%02d_$i%03d",
+          (1 + rnd.nextInt(2 * target.toInt)).toLong)
+      }.toDF("dir", "file", "size")
+      val plan = graft.ops.Layout
+        .compactionPlan(listing, "dir", "file", "size", target)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getString(3), if (r.isNullAt(4)) -1L else r.getLong(4)))
+      assert(plan.length == 120, "every file exactly once")
+      assert(plan.filter(_._3 >= target).forall(p => p._4 == "keep" && p._5 == -1L),
+        "at/over target always keeps")
+      val byBin = plan.filter(_._4 == "compact").groupBy(p => (p._1, p._5))
+      byBin.foreach { case ((dir, bin), fs) =>
+        assert(fs.length >= 2, s"trial $trial: 1-file bin ($dir,$bin)")
+        assert(fs.map(_._3).sum < target + fs.map(_._3).max,
+          s"trial $trial: bin ($dir,$bin) overfills")
+      }
+    }
+  }
+
   test("tokenChunks: ragged last chunk, exact boundaries, empty text") {
     val df = Seq(
       (1, "a b c d e"),  // n=2 -> ["a b","c d","e"]
