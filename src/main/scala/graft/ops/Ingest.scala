@@ -128,10 +128,15 @@ object Ingest {
       require(u8(off + 2) == 8, s"gzip member: CM=${u8(off + 2)} is not deflate")
       val flg = u8(off + 3)
       var p = off + 10
-      if ((flg & FEXTRA) != 0) { p += 2 + u16(p) }
-      if ((flg & FNAME) != 0) { while (u8(p) != 0) p += 1; p += 1 }
-      if ((flg & FCOMMENT) != 0) { while (u8(p) != 0) p += 1; p += 1 }
-      if ((flg & FHCRC) != 0) p += 2
+      // A member truncated inside its optional headers must surface as the
+      // documented IllegalArgumentException, not a raw AIOOBE.
+      def need(n: Int): Unit = require(p.toLong + n <= bytes.length,
+        s"gzip member at $off: truncated header")
+      if ((flg & FEXTRA) != 0) { need(2); p += 2 + u16(p); need(0) }
+      if ((flg & FNAME) != 0) { while (p < bytes.length && u8(p) != 0) p += 1; need(1); p += 1 }
+      if ((flg & FCOMMENT) != 0) { while (p < bytes.length && u8(p) != 0) p += 1; need(1); p += 1 }
+      if ((flg & FHCRC) != 0) { need(2); p += 2 }
+      need(0)
       val inf = new java.util.zip.Inflater(true) // raw deflate, no zlib wrapper
       try {
         inf.setInput(bytes, p, bytes.length - p)

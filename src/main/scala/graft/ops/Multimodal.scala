@@ -314,7 +314,9 @@ object Multimodal {
       while (!bad && off + 8 <= end) {
         val id = new String(bytes, off, 4, "US-ASCII")
         val size = buf.getInt(off + 4)
-        if (size < 0 || off + 8 + size > end) { bad = true; return }
+        // Long arithmetic: a declared size near Int.MaxValue would wrap
+        // `off + 8 + size` negative and slip past an Int-typed guard.
+        if (size < 0 || off.toLong + 8L + size > end) { bad = true; return }
         if (id == "LIST" || id == "RIFF") {
           if (size >= 4) {
             val lt = new String(bytes, off + 8, 4, "US-ASCII")

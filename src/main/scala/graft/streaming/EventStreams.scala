@@ -159,11 +159,23 @@ object EventStreams {
             Iterator.empty
           } else {
             val admitted = state.getOption.getOrElse(0L)
-            val taken = rows.toSeq.sortBy { case (id, _, tsUs, _) => (tsUs, id) }
-              .take(((cap - admitted) max 0L).toInt)
+            val k = ((cap - admitted) max 0L).toInt
+            // Bounded selection: keep only the k earliest (ts, id) pairs in
+            // a max-heap of size ≤ k instead of buffering and sorting the
+            // whole group — a hot key in one micro-batch costs O(k) memory,
+            // never O(group), honoring the bounded-state framing.
+            val ord = Ordering.Tuple2[Long, Long]
+            val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Long)](ord)
+            if (k > 0) rows.foreach { case (id, _, tsUs, _) =>
+              if (heap.size < k) heap.enqueue((tsUs, id))
+              else if (ord.lt((tsUs, id), heap.head)) {
+                heap.dequeue(); heap.enqueue((tsUs, id))
+              }
+            }
+            val taken = heap.dequeueAll.reverse // ascending (ts, id)
             state.update(admitted + taken.size)
             state.setTimeoutDuration(idleTimeout)
-            taken.iterator.zipWithIndex.map { case ((id, _, _, _), i) =>
+            taken.iterator.zipWithIndex.map { case ((_, id), i) =>
               (id, et, hourUs, admitted + i + 1)
             }
           }

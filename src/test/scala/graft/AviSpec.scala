@@ -252,6 +252,28 @@ class AviSpec extends AnyFunSuite {
     assert(Multimodal.decodeAviVideo(whole).isEmpty)
   }
 
+  test("RIFF walk: a chunk size near Int.MaxValue degrades to None, never throws") {
+    // crafted ~24-byte blob: Int arithmetic would wrap off+8+size negative,
+    // slip past the bound guard, and index the array at a negative offset —
+    // the 'corrupt blob degrades, never kills a task' contract requires the
+    // walk to refuse it instead
+    val b = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(16)
+      .put("AVI ".getBytes("US-ASCII"))
+      .put("JUNK".getBytes("US-ASCII")).putInt(0x7ffffff0)
+      .putInt(0)
+    assert(Multimodal.walkAvi(b.array()).isEmpty)
+    // same overflow inside a LIST recursion
+    val c = java.nio.ByteBuffer.allocate(36).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    c.put("RIFF".getBytes("US-ASCII")).putInt(28)
+      .put("AVI ".getBytes("US-ASCII"))
+      .put("LIST".getBytes("US-ASCII")).putInt(16)
+      .put("movi".getBytes("US-ASCII"))
+      .put("00db".getBytes("US-ASCII")).putInt(0x7ffffff0)
+      .putInt(0)
+    assert(Multimodal.walkAvi(c.array()).isEmpty)
+  }
+
   test("MJPEG: DCT decode lands within JPEG quantization error of the lossless twin, all 40 seeds") {
     // the MJPEG fixture encodes the SAME formula frames as syntheticAvi,
     // so the BI_RGB decode is exact ground truth — the whole-pipeline

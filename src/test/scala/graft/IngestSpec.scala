@@ -85,6 +85,21 @@ class IngestSpec extends AnyFunSuite {
     assert(out.size == 1 && java.util.Arrays.equals(out.head, payload))
   }
 
+  test("gzipMembers: truncation INSIDE optional headers throws the documented IAE") {
+    // FNAME declared but the name never hits its NUL terminator
+    val noNul = Array(0x1f, 0x8b, 8, 8, 0, 0, 0, 0, 0, 0, 'a', 'b', 'c').map(_.toByte)
+    val e1 = intercept[IllegalArgumentException](Ingest.gzipMembers(noNul))
+    assert(e1.getMessage.contains("truncated header"))
+    // FEXTRA declared but only one of its two xlen bytes present
+    val shortExtra = Array(0x1f, 0x8b, 8, 4, 0, 0, 0, 0, 0, 0, 0x10).map(_.toByte)
+    val e2 = intercept[IllegalArgumentException](Ingest.gzipMembers(shortExtra))
+    assert(e2.getMessage.contains("truncated header"))
+    // FEXTRA length field pointing past the end of the buffer
+    val longExtra = Array(0x1f, 0x8b, 8, 4, 0, 0, 0, 0, 0, 0, 0xff, 0x7f).map(_.toByte)
+    val e3 = intercept[IllegalArgumentException](Ingest.gzipMembers(longExtra))
+    assert(e3.getMessage.contains("truncated header"))
+  }
+
   test("WARC record round-trip, case-insensitive headers, exact Content-Length") {
     val body = "body with \r\n\r\n separator INSIDE payload".getBytes(UTF_8)
     val rec = Ingest.WarcRecord("response", Some("https://example.com/a/1"),
