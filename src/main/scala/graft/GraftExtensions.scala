@@ -167,6 +167,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.MediaDecode].getName, "media_decode"),
       arity("media_decode", 1)(exprs => graft.functions.MediaDecode(exprs(0)))))
+    // HTML main-content extraction as SQL vocabulary: the crawl chain's
+    // last step (gzip → WARC → HTTP → html_text → clean blocks)
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("html_text"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.HtmlText].getName, "html_text"),
+      arity("html_text", 1)(exprs => graft.functions.HtmlText(exprs(0)))))
     // host-dialect function-name aliases (len, list_*, string_split,
     // regexp_matches, ...) — vocabulary parity so reference-host statements
     // resolve unchanged; every alias is a native codegen'd expression

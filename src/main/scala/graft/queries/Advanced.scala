@@ -1011,6 +1011,70 @@ object Advanced {
              |  md5(text) AS digest
              |FROM documents ORDER BY id""".stripMargin)),
 
+    QueryDef("p86_html_extract",
+      (s, d) => {
+        import s.implicits._
+        // The COMPLETE Common Crawl read path, now with its last link:
+        // gzip member split → WARC parse → HTTP strip → HTML main-content
+        // extraction. Fixture: each document wrapped in adversarial
+        // deterministic markup (entity-mangled chars, whitespace runs,
+        // inline <b>/<em>, quoted-'>' attributes, script/style/comment
+        // noise, and 5 boilerplate blocks spanning both drop rules —
+        // semantic ancestry and link density), served as text/html
+        // response records in 192 .warc.gz files. The oracle re-derives
+        // the expected clean text from documents.text alone in plain SQL
+        // (chunk tokens into 12-token paragraphs, join with \n), so the
+        // extractor must invert every layer of the mangle exactly.
+        // Plan shape: fixture groupBy is the only exchange; ingest +
+        // extraction ride mapPartitions/codegen at file parallelism.
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("file", LongType), StructField("warc_gz", BinaryType)))
+        val grouped = t(s, d, "documents")
+          .select($"doc_id".cast("long"), $"source", $"text")
+          .groupBy(($"doc_id" % 192).as("file"))
+          .agg(sort_array(collect_list(struct($"doc_id", $"source", $"text"))).as("recs"))
+        val warcs = s.createDataFrame(
+          grouped.rdd.mapPartitions(_.map { r =>
+            val file = r.getLong(0)
+            val recs = r.getSeq[Row](1)
+            val members = recs.map { rec =>
+              val html = graft.ops.Html.wrapFixture(
+                rec.getLong(0), rec.getString(1), rec.getString(2))
+              val body = html.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+                s"Content-Length: ${body.length}\r\n\r\n")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8) ++ body
+              graft.ops.Ingest.writeWarcRecord(graft.ops.Ingest.WarcRecord(
+                "response",
+                Some(s"https://example.com/${rec.getString(1)}/${rec.getLong(0)}"),
+                Some(s"<urn:uuid:rec-${rec.getLong(0)}>"),
+                Some("application/http; msgtype=response"), http))
+            }
+            Row(file, graft.ops.Ingest.gzipConcat(members))
+          }), schema)
+        graft.ops.Ingest.warcIngest(warcs, "file", "warc_gz")
+          .select(
+            element_at(split($"url", "/"), -1).cast("long").as("id"),
+            graft.functions.HtmlText(s, $"text").as("h"))
+          .select($"id", $"h.title".as("title"),
+            md5(encode($"h.text", "UTF-8")).as("digest"),
+            $"h.n_kept".as("n_kept"), $"h.n_dropped".as("n_dropped"))
+          .orderBy($"id")
+      },
+      Some("""WITH l AS (
+             |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)
+             |SELECT doc_id AS id,
+             |  'Doc ' || doc_id || ' - ' || source AS title,
+             |  md5(array_to_string(
+             |    list_transform(range(0, CAST(ceil(len(toks)/12.0) AS BIGINT)),
+             |      i -> array_to_string(list_slice(toks, i*12+1, least((i+1)*12, len(toks))), ' ')),
+             |    chr(10))) AS digest,
+             |  CAST(ceil(len(toks)/12.0) AS INTEGER) AS n_kept,
+             |  5 AS n_dropped
+             |FROM l ORDER BY id""".stripMargin)),
+
     // -- stateful stream admission: per-key quota ---------------------------
 
     QueryDef("s19_stream_quota",
