@@ -81,6 +81,77 @@ object Sketch {
     * Output per unordered pair: (<group>_a, <group>_b, n_kept, est_union,
     * est_jaccard, est_intersection).
     */
+  // -------------------------------------------------------------------
+  // HyperLogLog (Flajolet et al. 2007) — deterministic, integer-exact
+  // -------------------------------------------------------------------
+
+  /** HLL register table over `hash60`: one row per (group, register index)
+    * with the max rank `mj` = leading-zero count + 1 of the hash's
+    * non-index bits. 60-bit hashes split into p index bits + (60-p) rank
+    * bits, so every step stays in BIGINT and the whole sketch — unlike
+    * production HLLs that bury registers in opaque bytes — has an exact
+    * cross-engine SQL mirror.
+    *
+    * Scale shape: `groupBy(group, idx).max` runs with map-side partials;
+    * a group's sketch is AT MOST 2^p rows (4 KB at p=9) no matter how
+    * many values feed it. Sketches MERGE by elementwise max — union the
+    * register tables of two corpora/days and re-aggregate; p87 proves
+    * merged-vs-direct equality through its `__all` rows.
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                   p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, "HLL needs 4 <= p <= 16")
+    val m = 1 << p
+    val q1 = 61 - p // max rank: all (60-p) rank bits zero
+    val g = groupCols.map(col)
+    val w = shiftright(col("__h"), p) // h >= 0, so >> == >>>
+    df.select(g :+ hash60(col(valueCol)).as("__h"): _*)
+      .select(g :+ col("__h").bitwiseAND(lit((m - 1).toLong)).as("idx")
+        :+ when(w === 0L, lit(q1)).otherwise(lit(q1) - length(bin(w))).as("rho"): _*)
+      .groupBy(g :+ col("idx"): _*)
+      .agg(max(col("rho")).as("mj"))
+  }
+
+  /** Distinct-count estimate from an HLL register table. The harmonic sum
+    * Σ 2^(-Mj) is carried as the EXACT integer `s_scaled` = Σ 2^(q1-Mj)
+    * (empty registers contribute 2^q1 each; ≤ 2^p · 2^q1 = 2^61, inside
+    * BIGINT), so the raw-branch estimate is a pure function of integers
+    * and bit-identical across engines; the small-range branch is
+    * Flajolet's linear counting m·ln(m/V). Output: (groups…, n_hit,
+    * v_zero, s_scaled, est_distinct).
+    */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String], p: Int): DataFrame = {
+    val m = 1 << p
+    val q1 = 61 - p
+    val alpha = m match { // Flajolet's bias-corrected constants
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1 + 1.079 / m)
+    }
+    val g = groupCols.map(col)
+    val eRaw = lit(alpha * m * m) * lit(java.lang.Math.scalb(1.0, q1)) /
+      col("s_scaled").cast("double")
+    registers.groupBy(g: _*)
+      .agg(count(lit(1)).cast("int").as("n_hit"),
+        sum(expr(s"shiftleft(cast(1 as bigint), $q1 - mj)")).as("__s0"))
+      .select(g :+ col("n_hit") :+ (lit(m) - col("n_hit")).as("v_zero")
+        :+ (col("__s0") + (lit(m.toLong) - col("n_hit")) * lit(1L << q1)).as("s_scaled"): _*)
+      .select(g :+ col("n_hit") :+ col("v_zero") :+ col("s_scaled")
+        :+ round(when(eRaw <= lit(2.5 * m) && col("v_zero") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero")))
+          .otherwise(eRaw), 4).as("est_distinct"): _*)
+  }
+
+  /** Per-group HLL distinct estimate in one call (register build +
+    * estimate); see [[hllRegisters]]/[[hllEstimate]] for the pieces, which
+    * split exactly where persisted sketch tables and cross-corpus merges
+    * slot in.
+    */
+  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String,
+                  p: Int = 9): DataFrame =
+    hllEstimate(hllRegisters(df, Seq(groupCol), valueCol, p), Seq(groupCol), p)
+
   def kmvSetOps(df: DataFrame, groupCol: String, valueCol: String,
                 k: Int, saltBuckets: Int = 16): DataFrame = {
     val kept = kminSet(df, groupCol, valueCol, k, saltBuckets)
