@@ -132,7 +132,14 @@ object Sketch {
     val g = groupCols.map(col)
     val eRaw = lit(alpha * m * m) * lit(java.lang.Math.scalb(1.0, q1)) /
       col("s_scaled").cast("double")
-    registers.groupBy(g: _*)
+    // Re-aggregate by max first: a register table unioned from several
+    // sketches (the merge path) may hold multiple rows per (group, idx);
+    // counting those raw would give n_hit > m and a garbage estimate. The
+    // input is already sketch-scale (≤ 2^p rows per group), so this extra
+    // HashAggregate is byte-cheap and makes merge-by-union just work.
+    registers
+      .groupBy(g :+ col("idx"): _*).agg(max(col("mj")).as("mj"))
+      .groupBy(g: _*)
       .agg(count(lit(1)).cast("int").as("n_hit"),
         sum(expr(s"shiftleft(cast(1 as bigint), $q1 - mj)")).as("__s0"))
       .select(g :+ col("n_hit") :+ (lit(m) - col("n_hit")).as("v_zero")

@@ -2981,6 +2981,90 @@ object Pipeline {
              |  coalesce(round(sc.score, 4) > 0, FALSE) AS keep
              |FROM documents d LEFT JOIN sc USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin))
+  ,
+
+    // -- HyperLogLog distinct sketch (Flajolet et al. 2007) ------------------
+    // Two metrics exercise both estimator branches at p=9 (m=512): per-source
+    // token vocab (~31 distinct → linear counting m·ln(m/V)) and 5-gram
+    // shingle cardinality (~1.5k distinct → the raw harmonic-mean branch).
+    // The `__all` rows are NOT computed from the corpus: they are the
+    // per-source register tables unioned and merged by elementwise max —
+    // while the oracle computes `__all` directly from all values. Their
+    // hash-equality IS the mergeability proof. s_scaled is the exact integer
+    // harmonic sum Σ 2^(q1-Mj), so every column oracles bit-exactly.
+    QueryDef("p87_hll_distinct",
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val toks = docs.select(lit("token").as("metric"), $"source",
+            explode(split(lower($"text"), "\\s+")).as("v"))
+          .filter(length($"v") > 0)
+        val shingles = docs.select(lit("shingle5").as("metric"), $"source",
+          explode(graft.ops.Dedup.shinglesExpr("text", 5)).as("v"))
+        val vals = toks.union(shingles)
+        val perSrc = graft.ops.Sketch.hllRegisters(
+          vals, Seq("metric", "source"), "v", p = 9)
+        // merge path: relabel + union; hllEstimate's max-re-aggregation
+        // folds the 20 per-source sketches into one __all sketch per metric
+        val regs = perSrc.union(perSrc.withColumn("source", lit("__all")))
+        val est = graft.ops.Sketch.hllEstimate(regs, Seq("metric", "source"), p = 9)
+        val exact = vals.union(vals.withColumn("source", lit("__all")))
+          .groupBy($"metric", $"source").agg(countDistinct($"v").as("n_exact"))
+        est.join(exact, Seq("metric", "source"))
+          .select($"metric", $"source", $"n_exact", $"n_hit", $"v_zero",
+            $"s_scaled", $"est_distinct")
+          .orderBy($"metric", $"source")
+      },
+      Some {
+        // exact literal mirror of hllEstimate's p=9 constants: alpha·m²
+        // (Java shortest-repr round-trips through DuckDB's strtod) and 2^52
+        val alphaM2 = 0.7213 / (1 + 1.079 / 512) * 512 * 512
+        s"""WITH vals0 AS (
+           |  SELECT 'token' AS metric, source,
+           |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+           |                       x -> len(x) > 0)) AS v
+           |  FROM documents
+           |  UNION ALL
+           |  SELECT 'shingle5' AS metric, source,
+           |    unnest(list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+           |                          i -> substring(text, i, 5))) AS v
+           |  FROM documents),
+           |vals AS (
+           |  SELECT * FROM vals0
+           |  UNION ALL SELECT metric, '__all' AS source, v FROM vals0),
+           |hashed AS (
+           |  SELECT metric, source,
+           |    CAST(('0x' || substring(md5(v), 1, 15)) AS BIGINT) AS h
+           |  FROM vals),
+           |reg AS (
+           |  SELECT metric, source, h & 511 AS idx,
+           |    max(CASE WHEN (h >> 9) = 0 THEN 52
+           |             ELSE 52 - len(bin(h >> 9)) END) AS mj
+           |  FROM hashed GROUP BY 1, 2, 3),
+           |agg AS (
+           |  SELECT metric, source,
+           |    CAST(count(*) AS INT) AS n_hit,
+           |    CAST(sum(CAST(1 AS BIGINT) << (52 - mj)) AS BIGINT) AS s0
+           |  FROM reg GROUP BY 1, 2),
+           |fin AS (
+           |  SELECT metric, source, n_hit,
+           |    CAST(512 - n_hit AS INT) AS v_zero,
+           |    s0 + (512 - CAST(n_hit AS BIGINT)) * (CAST(1 AS BIGINT) << 52)
+           |      AS s_scaled
+           |  FROM agg),
+           |exact AS (
+           |  SELECT metric, source, CAST(count(DISTINCT v) AS BIGINT) AS n_exact
+           |  FROM vals GROUP BY 1, 2)
+           |SELECT f.metric, f.source, e.n_exact, f.n_hit, f.v_zero, f.s_scaled,
+           |  round(CASE WHEN (${alphaM2}e0 * 4503599627370496e0)
+           |                    / CAST(f.s_scaled AS DOUBLE) <= 1280.0
+           |                  AND f.v_zero > 0
+           |             THEN 512.0 * ln(512.0 / f.v_zero)
+           |             ELSE (${alphaM2}e0 * 4503599627370496e0)
+           |                    / CAST(f.s_scaled AS DOUBLE) END, 4) AS est_distinct
+           |FROM fin f JOIN exact e USING (metric, source)
+           |ORDER BY metric, source""".stripMargin
+      })
   )
 
   /** DuckDB mirror of Similarity.ivfCentroids(k=8, iters=2) over
