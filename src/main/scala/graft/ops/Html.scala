@@ -170,7 +170,9 @@ object Html {
 
     /** Case-insensitive `</name` scan for rawtext elements; returns the
       * index of that '<' or `n` when unterminated (content then skipped to
-      * EOF — the parse-error recovery browsers apply).
+      * EOF — the parse-error recovery browsers apply). Per the WHATWG
+      * rawtext end-tag rule the name must be FOLLOWED by whitespace, '/'
+      * or '>' — so `</scripts>` does not close `<script>`.
       */
     def findClose(from: Int, name: String): Int = {
       var i = from
@@ -178,8 +180,12 @@ object Html {
       while (i >= 0) {
         i = html.indexOf('<', i)
         if (i < 0) return n
-        if (i + needle.length <= n &&
-          html.regionMatches(true, i, needle, 0, needle.length)) return i
+        if (i + needle.length < n &&
+          html.regionMatches(true, i, needle, 0, needle.length)) {
+          val after = html.charAt(i + needle.length)
+          if (after == '>' || after == '/' || Character.isWhitespace(after))
+            return i
+        }
         if (i >= 0) i += 1
       }
       n
@@ -211,9 +217,12 @@ object Html {
             val name = html.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
             val end = tagEnd(i)
             val selfClosing = end - 2 >= i && html.charAt(math.max(i, end - 2)) == '/'
-            if (!isClose && rawTextTags.contains(name) && !selfClosing) {
+            // self-closing syntax is IGNORED on non-void elements (WHATWG):
+            // `<script/>` still opens a rawtext element, so its content
+            // never leaks into extracted text
+            if (!isClose && rawTextTags.contains(name)) {
               i = tagEnd(findClose(end, name)) // drop content entirely
-            } else if (!isClose && name == "title" && !selfClosing) {
+            } else if (!isClose && name == "title") {
               val close = findClose(end, "title")
               if (!titleSet) {
                 val raw = html.substring(end, close)
@@ -314,14 +323,21 @@ object Html {
       while (j < p.length) {
         val h = mix(docId * 1000003L + pi * 8191L + j)
         val tok = escape(p(j))
+        // numeric-entity mangle works on the full leading CODE POINT: a
+        // UTF-16 unit would emit a lone-surrogate reference for non-BMP
+        // leads, which decodeEntityAt rightly rejects. Isolated surrogates
+        // (cp0 in the surrogate range) skip the mangle entirely.
+        val cp0 = if (tok.nonEmpty) tok.codePointAt(0) else -1
+        val cpOk = cp0 > 0 && !(cp0 >= 0xd800 && cp0 <= 0xdfff) && cp0 != '&'.toInt
         java.lang.Math.floorMod(h, 7L) match {
           case 0L => sb.append("<b>").append(tok).append("</b>")
           case 1L => sb.append("<em>").append(tok).append("</em>")
-          case 2L if tok.nonEmpty && tok.charAt(0) != '&' =>
-            sb.append("&#").append(tok.charAt(0).toInt).append(';').append(tok.substring(1))
-          case 3L if tok.nonEmpty && tok.charAt(0) != '&' =>
-            sb.append("&#x").append(Integer.toHexString(tok.charAt(0).toInt))
-              .append(';').append(tok.substring(1))
+          case 2L if cpOk =>
+            sb.append("&#").append(cp0).append(';')
+              .append(tok.substring(Character.charCount(cp0)))
+          case 3L if cpOk =>
+            sb.append("&#x").append(Integer.toHexString(cp0))
+              .append(';').append(tok.substring(Character.charCount(cp0)))
           case _ => sb.append(tok)
         }
         if (j < p.length - 1) {

@@ -129,6 +129,49 @@ class HtmlSpec extends AnyFunSuite {
     }
   }
 
+  test("rawtext end tag requires a delimiter: </scripts> does not close <script>") {
+    // WHATWG rawtext end-tag rule: the name must be followed by
+    // whitespace, '/' or '>'. '</scripts>' is script DATA, not a close.
+    val e = Html.extract(
+      "<p>before</p><script>var a = 1; // </scripts> still code\n</script><p>after</p>")
+    assert(e.text == "before\nafter", e.text)
+    // same rule for RCDATA title: </titlefoo> does not end the title
+    val t = Html.extract("<title>real </titlefoo> title</title><p>body</p>")
+    assert(t.title == "real </titlefoo> title" || t.title == "real  title")
+    // the spaced and attributed forms DO close it
+    val s2 = Html.extract("<script>x</script ><p>a</p>")
+    assert(s2.text == "a")
+    val s3 = Html.extract("<script>x</script foo='1'><p>b</p>")
+    assert(s3.text == "b")
+  }
+
+  test("self-closing syntax on rawtext tags is ignored: <script/> still opens") {
+    // a browser treats the stray '/' as a parse error and opens the
+    // element anyway — following text is script data, never content
+    val e = Html.extract("<p>keep</p><script/>var leaked = 1;</script><p>kept too</p>")
+    assert(e.text == "keep\nkept too", e.text)
+    val s = Html.extract("<style/>p{color:red}</style><p>x</p>")
+    assert(s.text == "x", s.text)
+  }
+
+  test("fixture numeric mangle encodes full code points, not UTF-16 units") {
+    // a token leading with a non-BMP char (surrogate pair) must round-trip:
+    // the mangle emits &#128512; (the code point), never a lone surrogate
+    val text = "😀grin plain 😀grin plain " * 12
+    val toks = text.trim.split(" ")
+    var anyMangled = false
+    for (id <- 0L until 20L) {
+      val html = Html.wrapFixture(id, "s", text.trim)
+      assert(!html.contains("&#55357;") && !html.contains("&#xd83d;"),
+        s"doc $id emitted a lone surrogate reference")
+      if (html.contains("&#128512;") || html.contains("&#x1f600;")) anyMangled = true
+      val e = Html.extract(html)
+      val expected = toks.grouped(Html.ParagraphTokens).map(_.mkString(" ")).mkString("\n")
+      assert(e.text == expected, s"doc $id")
+    }
+    assert(anyMangled, "fixture never exercised the numeric mangle on the emoji lead")
+  }
+
   test("html_text SQL expression matches Html.extract and stays codegen'd") {
     val spark = SparkTestBase.spark
     import spark.implicits._
