@@ -240,20 +240,93 @@ object Ingest {
     }
   }
 
-  /** Strip the HTTP response envelope from a `response` record's payload:
-    * returns (status, bodyBytes). The body starts after the first CRLFCRLF;
-    * status is the integer on the status line.
+  /** Parse the HTTP response envelope from a `response` record's payload:
+    * (status, Content-Type header value if present, bodyBytes). The body
+    * starts after the first CRLFCRLF; headers decode as ISO-8859-1 (the
+    * HTTP/1.1 field encoding — identity on bytes, never throws).
     */
-  def stripHttpEnvelope(payload: Array[Byte]): Option[(Int, Array[Byte])] = {
+  def parseHttpResponse(payload: Array[Byte]): Option[(Int, Option[String], Array[Byte])] = {
     val sep = indexOfCrlfCrlf(payload, 0)
     if (sep < 0) return None
-    val head = new String(payload, 0, sep, java.nio.charset.StandardCharsets.UTF_8)
-    val statusLine = head.takeWhile(_ != '\r')
-    if (!statusLine.startsWith("HTTP/")) return None
-    val parts = statusLine.split(" ")
+    val head = new String(payload, 0, sep, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val lines = head.split("\r\n")
+    if (!lines(0).startsWith("HTTP/")) return None
+    val parts = lines(0).split(" ")
     if (parts.length < 2) return None
-    parts(1).toIntOption.map(status =>
-      status -> java.util.Arrays.copyOfRange(payload, sep + 4, payload.length))
+    parts(1).toIntOption.map { status =>
+      val ct = lines.iterator.drop(1).map(_.split(":", 2)).collectFirst {
+        case Array(k, v) if k.trim.equalsIgnoreCase("content-type") => v.trim
+      }
+      (status, ct, java.util.Arrays.copyOfRange(payload, sep + 4, payload.length))
+    }
+  }
+
+  /** Strip the HTTP response envelope: returns (status, bodyBytes). */
+  def stripHttpEnvelope(payload: Array[Byte]): Option[(Int, Array[Byte])] =
+    parseHttpResponse(payload).map { case (status, _, body) => (status, body) }
+
+  // ---------------------------------------------------------------------
+  // HTTP body charset (WHATWG encoding sniff, deterministic layers)
+  // ---------------------------------------------------------------------
+
+  private val charsetParamRe =
+    java.util.regex.Pattern.compile("(?i)charset\\s*=\\s*[\"']?([A-Za-z0-9._:\\-]+)")
+  private val metaCharsetRe = java.util.regex.Pattern.compile(
+    "(?i)<meta[^>]{0,512}?charset\\s*=\\s*[\"']?([A-Za-z0-9._:\\-]+)")
+
+  /** The charset an HTTP body decodes under — the WHATWG sniff reduced to
+    * its deterministic layers, in precedence order:
+    *  1. a UTF BOM (overrides any declaration — WHATWG Encoding §6);
+    *  2. the `charset=` parameter of the Content-Type header;
+    *  3. a `<meta charset=…>` / `<meta http-equiv … content="…charset=…">`
+    *     prescan over the first 1024 bytes (read as ISO-8859-1 — identity
+    *     on bytes, so the scan itself can't mojibake);
+    *  4. UTF-8.
+    * Unknown or JDK-unsupported labels fall through to the next layer —
+    * real crawls carry garbage labels and must degrade, never throw.
+    */
+  def resolveCharset(contentType: Option[String],
+                     body: Array[Byte]): java.nio.charset.Charset = {
+    def b(i: Int) = if (body != null && i < body.length) body(i) & 0xff else -1
+    if (b(0) == 0xef && b(1) == 0xbb && b(2) == 0xbf)
+      return java.nio.charset.StandardCharsets.UTF_8
+    if (b(0) == 0xfe && b(1) == 0xff) return java.nio.charset.StandardCharsets.UTF_16BE
+    if (b(0) == 0xff && b(1) == 0xfe) return java.nio.charset.StandardCharsets.UTF_16LE
+    def lookup(label: String): Option[java.nio.charset.Charset] =
+      try Some(java.nio.charset.Charset.forName(label.trim))
+      catch { case _: Exception => None }
+    val fromHeader = contentType.flatMap { ct =>
+      val m = charsetParamRe.matcher(ct)
+      if (m.find()) lookup(m.group(1)) else None
+    }
+    fromHeader.getOrElse {
+      val win = new String(body, 0, math.min(1024, body.length),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      val m = metaCharsetRe.matcher(win)
+      (if (m.find()) lookup(m.group(1)) else None)
+        .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
+    }
+  }
+
+  /** Decode an HTTP body via [[resolveCharset]], stripping the BOM when one
+    * selected the charset (browsers never surface U+FEFF as content).
+    * Malformed sequences decode as U+FFFD (the `new String` default) —
+    * degradation, not an exception. Returns (text, canonical charset name).
+    */
+  def decodeHttpBody(body: Array[Byte],
+                     contentType: Option[String]): (String, String) = {
+    val cs = resolveCharset(contentType, body)
+    def b(i: Int) = if (i < body.length) body(i) & 0xff else -1
+    val skip =
+      if (cs == java.nio.charset.StandardCharsets.UTF_8 &&
+        b(0) == 0xef && b(1) == 0xbb && b(2) == 0xbf) 3
+      else if ((cs == java.nio.charset.StandardCharsets.UTF_16BE &&
+        b(0) == 0xfe && b(1) == 0xff) ||
+        (cs == java.nio.charset.StandardCharsets.UTF_16LE &&
+          b(0) == 0xff && b(1) == 0xfe)) 2
+      else 0
+    (new String(body, skip, body.length - skip, cs),
+      cs.name().toLowerCase(java.util.Locale.ROOT))
   }
 
   private def indexOfCrlfCrlf(bytes: Array[Byte], from: Int): Int = {
@@ -297,12 +370,17 @@ object Ingest {
   }
 
   /** (file, warcGz) → one row per HTTP `response` record: (file, url,
-    * status, n_bytes, text). The full CC read path: gzip member split →
-    * WARC header parse → type filter (warcinfo/request records skipped,
-    * exactly what a text pipeline does) → HTTP envelope strip. Malformed
-    * FILES yield zero rows rather than failing the stage; per-file record
-    * ORDER is preserved (member order is crawl order and downstream
-    * packing depends on it).
+    * status, n_bytes, charset, text). The full CC read path: gzip member
+    * split → WARC header parse → type filter (warcinfo/request records
+    * skipped, exactly what a text pipeline does) → HTTP envelope strip →
+    * charset-aware body decode ([[decodeHttpBody]]: BOM > Content-Type
+    * header > meta prescan > UTF-8 — real crawls are heavily ISO-8859-1 /
+    * windows-1252 / GBK, and decoding them as UTF-8 would mojibake every
+    * downstream text operator). `n_bytes` counts WIRE bytes (pre-decode);
+    * `charset` is the canonical name actually used. Malformed FILES yield
+    * zero rows rather than failing the stage; per-file record ORDER is
+    * preserved (member order is crawl order and downstream packing
+    * depends on it).
     */
   def warcIngest(df: DataFrame, fileCol: String, blobCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -311,6 +389,7 @@ object Ingest {
       StructField("url", StringType),
       StructField("status", IntegerType),
       StructField("n_bytes", LongType),
+      StructField("charset", StringType),
       StructField("text", StringType)))
     val rdd = df.select(col(fileCol).cast("long"), col(blobCol)).rdd.mapPartitions { it =>
       it.flatMap { r =>
@@ -322,9 +401,9 @@ object Ingest {
           .flatMap(parseWarcRecord)
           .filter(_.warcType == "response")
           .flatMap { rec =>
-            stripHttpEnvelope(rec.payload).map { case (status, body) =>
-              Row(file, rec.targetUri.orNull, status, body.length.toLong,
-                new String(body, java.nio.charset.StandardCharsets.UTF_8))
+            parseHttpResponse(rec.payload).map { case (status, ct, body) =>
+              val (text, cs) = decodeHttpBody(body, ct)
+              Row(file, rec.targetUri.orNull, status, body.length.toLong, cs, text)
             }
           }
       }

@@ -37,6 +37,39 @@ object Advanced {
   }
   import Tables.t
 
+  /** The charset mix real Common Crawl carries, as (Content-Type label,
+    * canonical JDK name, per-charset NON-ASCII suffix): the suffix makes a
+    * UTF-8-assuming decoder fail the digest instead of passing vacuously
+    * on ASCII fixture text. The 'latin1' label doubles as an alias-
+    * normalization check; € (0x80 in cp1252, absent from ISO-8859-1)
+    * distinguishes the two Latin families.
+    */
+  private[queries] val charsetCases: Array[(String, String, String)] = Array(
+    ("UTF-8", "utf-8", " ✓ ünïcode"),
+    ("latin1", "iso-8859-1", " çafé ±"),
+    ("GBK", "gbk", " 中文编码"),
+    ("Windows-1252", "windows-1252", " €“quoted”"))
+
+  /** Wire-byte length of a [[charsetCases]] suffix under its own charset
+    * (the oracle's n_bytes correction term).
+    */
+  private[queries] def charsetSuffixBytes(canon: String): Int =
+    charsetCases.find(_._2 == canon).get._3
+      .getBytes(java.nio.charset.Charset.forName(canon)).length
+
+  /** p88's declaration-channel matrix: (Content-Type header value, in-page
+    * declaration markup, canonical charset, non-ASCII marker). Empty decl +
+    * utf-8 means the fixture prepends a UTF-8 BOM instead.
+    */
+  private val p88Cases: Array[(String, String, String, String)] = Array(
+    ("text/html; charset=GBK", "", "gbk", "中文内容标记"),
+    ("text/html", "<meta charset=\"windows-1252\">", "windows-1252",
+      "€uro–dash“q”"),
+    ("text/html",
+      "<meta http-equiv=\"Content-Type\" content=\"text/html; charset=iso-8859-1\">",
+      "iso-8859-1", "déjà vu ±"),
+    ("text/html", "", "utf-8", "✓ bom ünïcode"))
+
   /** (doc_id, media BINARY): one synthetic blob per document id, spread
     * across the default parallelism BEFORE the per-row codec CPU (the
     * p39/p72/p73 pattern — fixture generation is the expensive stage, so
@@ -965,11 +998,17 @@ object Advanced {
         // member PER response record, concatenated — ISO 28500 record-at-
         // time compression), then ingested by the real pipeline: RFC 1952
         // member split with CRC verification → WARC header parse → type
-        // filter → HTTP envelope strip. Ingestion is mapPartitions over
+        // filter → HTTP envelope strip → charset-aware decode. Each body
+        // is WIRE-ENCODED in a charset keyed by doc_id % 4 (utf-8 /
+        // iso-8859-1 via its 'latin1' alias / GBK / windows-1252, all
+        // declared in the Content-Type header) and carries a per-charset
+        // non-ASCII suffix — so a decoder that assumed UTF-8 would emit
+        // mojibake and fail the digest. Ingestion is mapPartitions over
         // files — zero shuffle; the fixture groupBy is the only exchange
         // and belongs to fixture construction, not the operator.
         import org.apache.spark.sql.Row
         import org.apache.spark.sql.types._
+        val cases = charsetCases
         val schema = StructType(Seq(
           StructField("file", LongType), StructField("warc_gz", BinaryType)))
         val grouped = t(s, d, "documents")
@@ -985,14 +1024,17 @@ object Advanced {
               Some("application/warc-fields"),
               "software: graft-fixture\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
             val members = info +: recs.map { rec =>
-              val body = rec.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-              val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n" +
+              val id = rec.getLong(0)
+              val (label, canon, suffix) = cases((id % 4).toInt)
+              val cs = java.nio.charset.Charset.forName(canon)
+              val body = (rec.getString(2) + suffix).getBytes(cs)
+              val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=$label\r\n" +
                 s"Content-Length: ${body.length}\r\n\r\n")
                 .getBytes(java.nio.charset.StandardCharsets.UTF_8) ++ body
               graft.ops.Ingest.writeWarcRecord(graft.ops.Ingest.WarcRecord(
                 "response",
-                Some(s"https://example.com/${rec.getString(1)}/${rec.getLong(0)}"),
-                Some(s"<urn:uuid:rec-${rec.getLong(0)}>"),
+                Some(s"https://example.com/${rec.getString(1)}/$id"),
+                Some(s"<urn:uuid:rec-$id>"),
                 Some("application/http; msgtype=response"), http))
             }
             Row(file, graft.ops.Ingest.gzipConcat(members))
@@ -1000,16 +1042,28 @@ object Advanced {
         graft.ops.Ingest.warcIngest(warcs, "file", "warc_gz")
           .select(
             element_at(split($"url", "/"), -1).cast("long").as("id"),
-            $"url", $"status", $"n_bytes",
+            $"url", $"status", $"n_bytes", $"charset",
             md5(encode($"text", "UTF-8")).as("digest"))
           .orderBy($"id")
       },
-      Some("""SELECT doc_id AS id,
-             |  'https://example.com/' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
-             |  CAST(200 AS INTEGER) AS status,
-             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-             |  md5(text) AS digest
-             |FROM documents ORDER BY id""".stripMargin)),
+      Some {
+        def branch(f: ((String, String, String), Int) => String): String =
+          charsetCases.zipWithIndex.map { case (c, k) =>
+            s"WHEN $k THEN ${f(c, k)}"
+          }.mkString(" ")
+        val wire = branch((c, _) =>
+          charsetSuffixBytes(c._2).toString)
+        val canon = branch((c, _) => s"'${c._2}'")
+        val suf = branch((c, _) => s"'${c._3}'")
+        s"""SELECT doc_id AS id,
+           |  'https://example.com/' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
+           |  CAST(200 AS INTEGER) AS status,
+           |  CAST(octet_length(encode(text)) +
+           |       CASE CAST(doc_id % 4 AS INT) $wire END AS BIGINT) AS n_bytes,
+           |  CASE CAST(doc_id % 4 AS INT) $canon END AS charset,
+           |  md5(text || CASE CAST(doc_id % 4 AS INT) $suf END) AS digest
+           |FROM documents ORDER BY id""".stripMargin
+      }),
 
     QueryDef("p86_html_extract",
       (s, d) => {
@@ -1074,6 +1128,79 @@ object Advanced {
              |  CAST(ceil(len(toks)/12.0) AS INTEGER) AS n_kept,
              |  5 AS n_dropped
              |FROM l ORDER BY id""".stripMargin)),
+
+    // -- charset sniffing through the crawl chain ----------------------------
+    QueryDef("p88_charset_html",
+      (s, d) => {
+        import s.implicits._
+        // Every DECLARATION channel of the WHATWG encoding sniff, each
+        // carrying a non-ASCII marker its charset encodes differently:
+        //   doc_id%4=0  Content-Type header (GBK)
+        //   doc_id%4=1  <meta charset="windows-1252"> prescan (no header)
+        //   doc_id%4=2  <meta http-equiv Content-Type> prescan (iso-8859-1)
+        //   doc_id%4=3  UTF-8 BOM, no declaration anywhere
+        // The digest is over warcIngest→html_text output, so a UTF-8-
+        // assuming decode (or a prescan miss) mojibakes the marker and
+        // fails the hash. Same plan shape as p86: fixture groupBy is the
+        // only exchange; decode + extraction ride mapPartitions/codegen.
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("file", LongType), StructField("warc_gz", BinaryType)))
+        val cases = p88Cases
+        val grouped = t(s, d, "documents")
+          .select($"doc_id".cast("long"), $"source", $"text")
+          .groupBy(($"doc_id" % 192).as("file"))
+          .agg(sort_array(collect_list(struct($"doc_id", $"source", $"text"))).as("recs"))
+        val warcs = s.createDataFrame(
+          grouped.rdd.mapPartitions(_.map { r =>
+            val file = r.getLong(0)
+            val recs = r.getSeq[Row](1)
+            val members = recs.map { rec =>
+              val id = rec.getLong(0)
+              val (ctype, decl, canon, marker) = cases((id % 4).toInt)
+              val html = s"<html><head>$decl<title>CS $id</title></head>" +
+                s"<body><p>${rec.getString(2)}</p><p>$marker</p></body></html>"
+              val enc = html.getBytes(java.nio.charset.Charset.forName(canon))
+              val body =
+                if (canon == "utf-8" && decl.isEmpty)
+                  Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ enc
+                else enc
+              val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n" +
+                s"Content-Length: ${body.length}\r\n\r\n")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8) ++ body
+              graft.ops.Ingest.writeWarcRecord(graft.ops.Ingest.WarcRecord(
+                "response",
+                Some(s"https://example.com/${rec.getString(1)}/$id"),
+                Some(s"<urn:uuid:rec-$id>"),
+                Some("application/http; msgtype=response"), http))
+            }
+            Row(file, graft.ops.Ingest.gzipConcat(members))
+          }), schema)
+        graft.ops.Ingest.warcIngest(warcs, "file", "warc_gz")
+          .select(
+            element_at(split($"url", "/"), -1).cast("long").as("id"),
+            $"charset",
+            graft.functions.HtmlText(s, $"text").as("h"))
+          .select($"id", $"charset", $"h.title".as("title"),
+            md5(encode($"h.text", "UTF-8")).as("digest"),
+            $"h.n_kept".as("n_kept"))
+          .orderBy($"id")
+      },
+      Some {
+        def branch(f: ((String, String, String, String)) => String): String =
+          p88Cases.zipWithIndex.map { case (c, k) => s"WHEN $k THEN ${f(c)}" }
+            .mkString(" ")
+        val canon = branch(c => s"'${c._3}'")
+        val marker = branch(c => s"'${c._4}'")
+        s"""SELECT doc_id AS id,
+           |  CASE CAST(doc_id % 4 AS INT) $canon END AS charset,
+           |  'CS ' || CAST(doc_id AS VARCHAR) AS title,
+           |  md5(text || chr(10) || CASE CAST(doc_id % 4 AS INT) $marker END)
+           |    AS digest,
+           |  CAST(2 AS INTEGER) AS n_kept
+           |FROM documents ORDER BY id""".stripMargin
+      }),
 
     // -- stateful stream admission: per-key quota ---------------------------
 

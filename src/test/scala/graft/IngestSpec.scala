@@ -175,7 +175,63 @@ class IngestSpec extends AnyFunSuite {
     val out = Ingest.warcIngest(df, "file", "blob").collect()
     assert(out.length == 2) // warcinfo + request filtered, bad file dropped
     assert(out.map(_.getString(1)).toSeq == Seq("https://x.test/3", "https://x.test/1"))
-    assert(out.map(_.getString(4)).toSeq == Seq("three", "one"))
+    assert(out.map(_.getString(5)).toSeq == Seq("three", "one"))
+    assert(out.forall(_.getString(4) == "utf-8")) // no declaration → fallback
     assert(out.forall(_.getInt(2) == 200))
+  }
+
+  test("parseHttpResponse surfaces the Content-Type header, case-insensitively") {
+    val payload = ("HTTP/1.1 200 OK\r\nx-a: 1\r\ncOnTeNt-TyPe: text/html;" +
+      " charset=ISO-8859-1\r\n\r\nbody").getBytes(UTF_8)
+    val (st, ct, body) = Ingest.parseHttpResponse(payload).get
+    assert(st == 200 && ct.contains("text/html; charset=ISO-8859-1"))
+    assert(new String(body, UTF_8) == "body")
+  }
+
+  test("charset resolution: header > meta prescan > utf-8; BOM beats everything") {
+    import java.nio.charset.Charset
+    def cs(ct: Option[String], body: Array[Byte]) =
+      Ingest.resolveCharset(ct, body).name()
+    // header param, quoted and aliased labels normalize
+    assert(cs(Some("text/plain; charset=latin1"), Array[Byte]()) == "ISO-8859-1")
+    assert(cs(Some("text/html; charset=\"GBK\""), Array[Byte]()) == "GBK")
+    // no header → meta prescan, both declaration shapes
+    val meta1 = "<html><head><meta charset='windows-1252'></head>".getBytes(UTF_8)
+    assert(cs(Some("text/html"), meta1) == "windows-1252")
+    val meta2 = ("<html><head><meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=gbk\"></head>").getBytes(UTF_8)
+    assert(cs(None, meta2) == "GBK")
+    // meta outside the 1024-byte prescan window is invisible
+    val late = (" " * 1100 + "<meta charset=gbk>").getBytes(UTF_8)
+    assert(cs(None, late) == "UTF-8")
+    // garbage labels degrade to the next layer, never throw
+    assert(cs(Some("text/html; charset=not-a-charset"), meta1) == "windows-1252")
+    assert(cs(Some("text/html; charset=bogus"), Array[Byte]()) == "UTF-8")
+    // a BOM overrides even an explicit (wrong) header declaration
+    val bom = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ "x".getBytes(UTF_8)
+    assert(cs(Some("text/plain; charset=latin1"), bom) == "UTF-8")
+    assert(cs(None, Array[Byte](0xfe.toByte, 0xff.toByte)) == "UTF-16BE")
+    assert(cs(None, Array[Byte](0xff.toByte, 0xfe.toByte)) == "UTF-16LE")
+  }
+
+  test("decodeHttpBody: non-UTF-8 wire bytes round-trip; BOM stripped; bad bytes degrade") {
+    import java.nio.charset.Charset
+    val text = "déjà vu — € “q” 中文"
+    for (canon <- Seq("iso-8859-1", "windows-1252", "gbk", "utf-8")) {
+      val c = Charset.forName(canon)
+      val enc = c.encode(text) // unencodable chars become '?' — fine, we
+      val wire = new Array[Byte](enc.remaining()); enc.get(wire) // compare decoded-vs-decoded
+      val expected = new String(wire, c)
+      val (got, used) = Ingest.decodeHttpBody(wire,
+        Some(s"text/plain; charset=$canon"))
+      assert(used == canon && got == expected, canon)
+    }
+    // UTF-8 BOM never surfaces as U+FEFF content
+    val bom = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ "hi".getBytes(UTF_8)
+    assert(Ingest.decodeHttpBody(bom, None) == (("hi", "utf-8")))
+    // malformed UTF-8 decodes with U+FFFD, never throws
+    val bad = Array[Byte](0x68, 0xC3.toByte, 0x28)
+    val (s2, _) = Ingest.decodeHttpBody(bad, None)
+    assert(s2.contains('�') && s2.startsWith("h"))
   }
 }
