@@ -6,11 +6,56 @@ package graft.graph
   * rust/src/lib.rs:43-98) and main-road classification (rust/src/lib.rs:100-118).
   * A `None` speed means the way is not traversable in that mode and is dropped
   * from the graph for that mode.
+  *
+  * Beyond the Rust blueprint's three modes, the reference's Valhalla side
+  * exposes the full costing list (`truck`, `taxi`, `bus`, `motorcycle`,
+  * `motor_scooter` — reference README.md:160, ITALY.md:238-245). Those are
+  * modeled here as Valhalla-flavored profiles: heavy vehicles (truck/bus)
+  * track auto with a lower cruising ceiling and are barred from
+  * living_street, so a truck route is never faster than the car route over
+  * the same feasible set (ITALY.md's golden: car 2.4 h vs truck 2.5 h on
+  * the identical 273.2 km route — ratio ≈ 1.04, matched by the ~0.93×
+  * class speeds below); taxi/motorcycle share the auto profile;
+  * motor_scooter is the low-power profile (no motorways, 45 km/h cap).
   */
 object SpeedModel {
-  final val Modes: Seq[String] = Seq("auto", "bicycle", "pedestrian")
+  /** Modes built by default for every graph load (the reference's
+    * multi-mode golden set, ITALY.md:222-245).
+    */
+  final val Modes: Seq[String] = Seq("auto", "truck", "bicycle", "pedestrian")
+
+  /** Remaining Valhalla costing names; accepted whenever a load names them
+    * explicitly (`RoutingContext.loadParquet(..., modes)`), not built by
+    * default — per-mode graphs cost memory and the golden set covers the
+    * distinct profiles.
+    */
+  final val ExtraModes: Seq[String] = Seq("taxi", "bus", "motorcycle", "motor_scooter")
 
   def speedKmh(highway: String, mode: String): Option[Double] = mode match {
+    case "taxi" | "motorcycle" => speedKmh(highway, "auto") // auto profile
+    case "truck" | "bus" => // heavy-vehicle profile
+      highway match {
+        case "motorway"       => Some(112.0)
+        case "motorway_link"  => Some(72.0)
+        case "trunk"          => Some(93.0)
+        case "trunk_link"     => Some(55.0)
+        case "primary"        => Some(72.0)
+        case "primary_link"   => Some(45.0)
+        case "secondary"      => Some(54.0)
+        case "secondary_link" => Some(36.0)
+        case "tertiary"       => Some(45.0)
+        case "tertiary_link"  => Some(27.0)
+        case "residential"    => Some(24.0)
+        case "living_street"  => None // heavy vehicles barred
+        case "service"        => Some(15.0)
+        case "unclassified"   => Some(36.0)
+        case _                => None
+      }
+    case "motor_scooter" => // low-power: no motorways, 45 km/h ceiling
+      highway match {
+        case "motorway" | "motorway_link" => None
+        case h => speedKmh(h, "auto").map(math.min(_, 45.0))
+      }
     case "auto" =>
       highway match {
         case "motorway"       => Some(120.0)

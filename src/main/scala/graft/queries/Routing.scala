@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   */
 object Routing {
 
-  final val Modes = Seq("auto", "bicycle", "pedestrian")
+  final val Modes = Seq("auto", "truck", "bicycle", "pedestrian")
 
   /** Idempotent per-session fixture load + function registration
     * (the reference's `travel_time_load_config` lifecycle,
@@ -195,6 +195,7 @@ object Routing {
         ensure(s)
         s.sql("""SELECT travel_time_is_loaded() AS loaded,
                 |  travel_time_node_count('auto') AS n_auto,
+                |  travel_time_node_count('truck') AS n_truck,
                 |  travel_time_node_count('bicycle') AS n_bicycle,
                 |  travel_time_node_count('pedestrian') AS n_pedestrian""".stripMargin)
       }, None),
@@ -283,9 +284,12 @@ object Routing {
     QueryDef("r08_mode_ordering",
       (s, _) => {
         ensure(s); pointsView(s)
-        // bicycle slower than auto, pedestrian slowest (monaco_routing.test:82-88)
+        // auto fastest, truck next (heavy profile: slower class speeds,
+        // ITALY.md:238-245), bicycle, then pedestrian slowest
+        // (monaco_routing.test:82-88)
         s.sql("""SELECT pair_id,
                 |  round(travel_time(lat1, lon1, lat2, lon2, 'auto'), 3) AS sec_auto,
+                |  round(travel_time(lat1, lon1, lat2, lon2, 'truck'), 3) AS sec_truck,
                 |  round(travel_time(lat1, lon1, lat2, lon2, 'bicycle'), 3) AS sec_bicycle,
                 |  round(travel_time(lat1, lon1, lat2, lon2, 'pedestrian'), 3) AS sec_pedestrian
                 |FROM g_pairs ORDER BY pair_id""".stripMargin)

@@ -111,12 +111,13 @@ class DijkstraSpec extends AnyFunSuite {
     assert(b > 0)
   }
 
-  test("mode ordering: auto faster than bicycle faster than pedestrian (monaco_routing.test:82-88)") {
-    val modes = Seq("auto", "bicycle", "pedestrian").map { m =>
+  test("mode ordering: auto < truck < bicycle < pedestrian (monaco_routing.test:82-88; ITALY.md:238-245)") {
+    val modes = Seq("auto", "truck", "bicycle", "pedestrian").map { m =>
       val gm = GridFixture.prepared(m)
       m -> new Dijkstra(gm).shortestPathMs(0, 99)
     }.toMap
-    assert(modes("auto") < modes("bicycle"))
+    assert(modes("auto") < modes("truck")) // heavy profile never beats car
+    assert(modes("truck") < modes("bicycle"))
     assert(modes("bicycle") < modes("pedestrian"))
   }
 

@@ -20,6 +20,25 @@ class GraphSpec extends AnyFunSuite {
     assert(SpeedModel.speedKmh("residential", "nosuchmode") == None)
   }
 
+  test("valhalla costing profiles: truck/bus heavy, taxi/motorcycle=auto, scooter capped") {
+    // heavy profile: strictly at-or-below auto on every class it allows,
+    // barred from living_street — so a truck route can never beat the car
+    // route over the same feasible set (ITALY.md:238-245 golden ordering)
+    for (h <- SpeedModel.MainRoads) {
+      val autoS = SpeedModel.speedKmh(h, "auto")
+      val truckS = SpeedModel.speedKmh(h, "truck")
+      if (h == "living_street") assert(truckS.isEmpty)
+      else assert(truckS.get < autoS.get, h)
+      assert(SpeedModel.speedKmh(h, "bus") == truckS) // bus shares the profile
+      assert(SpeedModel.speedKmh(h, "taxi") == autoS)
+      assert(SpeedModel.speedKmh(h, "motorcycle") == autoS)
+      val scoot = SpeedModel.speedKmh(h, "motor_scooter")
+      if (h.startsWith("motorway")) assert(scoot.isEmpty)
+      else assert(scoot == autoS.map(math.min(_, 45.0)), h)
+    }
+    assert(SpeedModel.speedKmh("footway", "truck").isEmpty)
+  }
+
   test("main-road classification (rust/src/lib.rs:100-118)") {
     assert(SpeedModel.isMainRoad("motorway"))
     assert(SpeedModel.isMainRoad("residential"))
