@@ -1202,6 +1202,34 @@ object Advanced {
            |FROM documents ORDER BY id""".stripMargin
       }),
 
+    // -- streaming crawl chain: WARC -> HTML extraction ----------------------
+    QueryDef("s21_stream_html",
+      (s, d) => {
+        import s.implicits._
+        // the p86 chain under the streaming engine: each arriving document
+        // becomes a fetched .warc.gz archive of adversarial markup, decoded
+        // and extracted inside the micro-batch plan (stateless). The oracle
+        // is p86's: expected clean text re-derived from documents.text in
+        // SQL, so streaming extraction must invert the mangle exactly.
+        EventStreams.runBoundedDocs(s, d, "s21_sink",
+            EventStreams.htmlIngestStage)
+          .select($"doc_id", $"title",
+            md5(encode($"text", "UTF-8")).as("digest"),
+            $"n_kept", $"n_dropped")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH l AS (
+             |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)
+             |SELECT doc_id,
+             |  'Doc ' || doc_id || ' - ' || source AS title,
+             |  md5(array_to_string(
+             |    list_transform(range(0, CAST(ceil(len(toks)/12.0) AS BIGINT)),
+             |      i -> array_to_string(list_slice(toks, i*12+1, least((i+1)*12, len(toks))), ' ')),
+             |    chr(10))) AS digest,
+             |  CAST(ceil(len(toks)/12.0) AS INTEGER) AS n_kept,
+             |  5 AS n_dropped
+             |FROM l ORDER BY doc_id""".stripMargin)),
+
     // -- stateful stream admission: per-key quota ---------------------------
 
     QueryDef("s19_stream_quota",

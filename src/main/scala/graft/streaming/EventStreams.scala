@@ -529,6 +529,51 @@ object EventStreams {
       }.toDF()
   }
 
+  /** The live-crawl first mile COMPLETE, as one stateless micro-batch
+    * stage: archive → gzip member → WARC record → HTTP envelope →
+    * charset-aware decode → HTML main-content extraction. Like
+    * [[warcIngestStage]] the archive is built from the row itself
+    * (adversarial [[graft.ops.Html.wrapFixture]] markup), so the stage is
+    * a self-contained round-trip witness: the extracted text must equal
+    * the whitespace-normalized document that went in, paragraph-chunked —
+    * the p86 contract, now proven under the streaming engine. Extraction
+    * is the codegen'd `html_text` expression riding the micro-batch plan;
+    * no state store, no watermark.
+    */
+  def htmlIngestStage(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.UTF_8
+    val pages = docs.select(col("doc_id").cast("long"), col("source"), col("text"))
+      .as[(Long, String, String)].mapPartitions { it =>
+        it.flatMap { case (id, source, text) =>
+          val html = graft.ops.Html.wrapFixture(id, source, text)
+          val body = html.getBytes(UTF_8)
+          val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+            s"charset=utf-8\r\nContent-Length: ${body.length}\r\n\r\n")
+            .getBytes(UTF_8) ++ body
+          val rec = graft.ops.Ingest.writeWarcRecord(graft.ops.Ingest.WarcRecord(
+            "response", Some(s"https://example.com/$source/$id"),
+            Some(s"<urn:uuid:rec-$id>"),
+            Some("application/http; msgtype=response"), http))
+          graft.ops.Ingest.gzipMembers(graft.ops.Ingest.gzipConcat(Seq(rec)))
+            .iterator
+            .flatMap(graft.ops.Ingest.parseWarcRecord)
+            .filter(_.warcType == "response")
+            .flatMap { r =>
+              graft.ops.Ingest.parseHttpResponse(r.payload).map {
+                case (_, ct, b) => (id, graft.ops.Ingest.decodeHttpBody(b, ct)._1)
+              }
+            }
+        }
+      }.toDF("doc_id", "html")
+    pages
+      .select(col("doc_id"), graft.functions.HtmlText(spark, col("html")).as("h"))
+      .select(col("doc_id"), col("h.title").as("title"),
+        col("h.text").as("text"),
+        col("h.n_kept").as("n_kept"), col("h.n_dropped").as("n_dropped"))
+  }
+
   /** Stream-static enrichment — the standard streaming-ingest shape: each
     * arriving event picks up its dimension row via a BROADCAST join (the
     * static side is planned once and shipped to executors; no state store,

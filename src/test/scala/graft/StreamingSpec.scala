@@ -389,4 +389,29 @@ class StreamingSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("StateStore"), "media stage must be stateless")
   }
+
+  test("html extract-on-ingest stream equals the batch chain and inverts the mangle (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = EventStreams.runBoundedDocs(spark, dir, "t_s21",
+        EventStreams.htmlIngestStage)
+      .orderBy(col("doc_id")).collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val batch = EventStreams.htmlIngestStage(docs).orderBy(col("doc_id")).collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    streamed.zip(batch).foreach { case (a, b) => assert(a == b) }
+    // extraction must invert wrapFixture: text == 12-token paragraph chunks
+    val expected = docs.collect().map { r =>
+      val id = r.getAs[Long]("doc_id")
+      id -> r.getAs[String]("text").split(" ").filter(_.nonEmpty)
+        .grouped(graft.ops.Html.ParagraphTokens).map(_.mkString(" ")).mkString("\n")
+    }.toMap
+    streamed.foreach { r =>
+      assert(r.getString(2) == expected(r.getLong(0)), s"doc ${r.getLong(0)}")
+      assert(r.getInt(4) == graft.ops.Html.FixtureBoilerBlocks)
+    }
+    // stateless: extraction rides the micro-batch plan, no state store
+    val plan = EventStreams.htmlIngestStage(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("StateStore"), "html stage must be stateless")
+  }
 }
