@@ -20,6 +20,30 @@ import org.json4s.jackson.JsonMethods
 object RequestApi {
   private implicit val formats: Formats = DefaultFormats
 
+  /** Service limits from the reference's GENERATED Valhalla config
+    * (src/valhalla_build_tiles_simple.cpp:104-129), enforced at the
+    * `travel_time_request` surface — the same layer Valhalla's loki worker
+    * enforces them (oversized requests answer on the error channel, they
+    * never start a search). Costings absent from the generated config
+    * (truck &c.) take the auto row, Valhalla's default-fill behavior.
+    */
+  object ServiceLimits {
+    final val MatrixMaxPairs = 2500
+    final val IsochroneMaxContours = 4
+    final val IsochroneMaxTimeContourMin = 120.0
+    final val IsochroneMaxLocations = 1
+    final val TraceMaxShape = 16000
+    def maxLocations(costing: String): Int = costing match {
+      case "bicycle" | "pedestrian" => 50
+      case _ => 20
+    }
+    def maxDistanceM(costing: String): Double = costing match {
+      case "bicycle" => 500000.0
+      case "pedestrian" => 250000.0
+      case _ => 5000000.0
+    }
+  }
+
   def dispatch(h: RouterHandle, action: String, json: String): String = {
     try {
       val req = JsonMethods.parse(json)
@@ -64,6 +88,8 @@ object RequestApi {
   private def route(h: RouterHandle, costing: String, req: JValue): String = {
     val locs = locations(req)
     if (locs.length < 2) return err("route requires >= 2 locations")
+    if (locs.length > ServiceLimits.maxLocations(costing))
+      return err(s"Exceeded max locations of ${ServiceLimits.maxLocations(costing)}")
     val g = h.requireGraph(costing)
     // Valhalla's exclude_locations: road points the route must not pass
     // through (each snaps to its nearest node; endpoints exempt)
@@ -77,6 +103,8 @@ object RequestApi {
     }.toList
     if (legs.exists(_.isEmpty)) return err("No route found")
     val rs = legs.flatten
+    if (rs.map(_.distance_km).sum * 1000.0 > ServiceLimits.maxDistanceM(costing))
+      return err("Path distance exceeds the max distance limit")
     val legJson = rs.map { r =>
       val pts = graft.geo.Wkb.readLineString(r.geometry).getOrElse(Array.empty)
         .map { case (lon, lat) => (lat, lon) }.toSeq
@@ -112,6 +140,9 @@ object RequestApi {
     val srcs = locations(req, "sources")
     val dsts = locations(req, "targets")
     if (srcs.isEmpty || dsts.isEmpty) return err("matrix requires sources and targets")
+    if (srcs.length.toLong * dsts.length > ServiceLimits.MatrixMaxPairs)
+      return err("Sources to targets exceeded the max location pairs of " +
+        s"${ServiceLimits.MatrixMaxPairs}")
     val g = h.requireGraph(costing)
     val entries = RoutingOps.matrixEntries(g,
       srcs.map(_._1), srcs.map(_._2), dsts.map(_._1), dsts.map(_._2))
@@ -195,6 +226,8 @@ object RequestApi {
   private def traceRoute(h: RouterHandle, costing: String, req: JValue): String = {
     val pts = shapePoints(req)
     if (pts.length < 2) return err("trace_route requires >= 2 shape points")
+    if (pts.length > ServiceLimits.TraceMaxShape)
+      return err(s"Exceeded max shape of ${ServiceLimits.TraceMaxShape} points")
     val g = h.requireGraph(costing)
     RoutingOps.traceMatch(g, pts) match {
       case None => err("No path found along trace")
@@ -218,6 +251,8 @@ object RequestApi {
   private def traceAttributes(h: RouterHandle, costing: String, req: JValue): String = {
     val pts = shapePoints(req)
     if (pts.isEmpty) return err("trace_attributes requires shape points")
+    if (pts.length > ServiceLimits.TraceMaxShape)
+      return err(s"Exceeded max shape of ${ServiceLimits.TraceMaxShape} points")
     val g = h.requireGraph(costing)
     RoutingOps.traceMatch(g, pts) match {
       case None => err("No path found along trace")
@@ -283,12 +318,19 @@ object RequestApi {
   private def isochrone(h: RouterHandle, costing: String, req: JValue): String = {
     val locs = locations(req)
     if (locs.isEmpty) return err("isochrone requires a location")
-    val g = h.requireGraph(costing)
+    if (locs.length > ServiceLimits.IsochroneMaxLocations)
+      return err(s"Exceeded max locations of ${ServiceLimits.IsochroneMaxLocations}")
     val cutoffs = (req \ "contours") match {
       case JArray(cs) if cs.nonEmpty =>
         cs.flatMap(c => (c \ "time").extractOpt[Double])
       case _ => List(10.0)
     }
+    if (cutoffs.length > ServiceLimits.IsochroneMaxContours)
+      return err(s"Exceeded max contours of ${ServiceLimits.IsochroneMaxContours}")
+    if (cutoffs.exists(_ > ServiceLimits.IsochroneMaxTimeContourMin))
+      return err("Exceeded max time contour of " +
+        s"${ServiceLimits.IsochroneMaxTimeContourMin.toInt} minutes")
+    val g = h.requireGraph(costing)
     // polygons:true -> Valhalla-style contour polygons (wrapper.cpp:323-383)
     if ((req \ "polygons").extractOpt[Boolean].getOrElse(false))
       return RoutingOps.isochroneContours(g, locs.head._1, locs.head._2, cutoffs)

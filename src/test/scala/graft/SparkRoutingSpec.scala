@@ -121,6 +121,47 @@ class SparkRoutingSpec extends AnyFunSuite {
     assert(err.contains("\"error\""))
   }
 
+  test("request API: service limits from the reference's generated config " +
+    "(valhalla_build_tiles_simple.cpp:104-129) answer on the error channel") {
+    val h = Routing.ensure(spark)
+    def loc(i: Int) =
+      s"""{"lat": ${GridFixture.latOf(i % 100)}, "lon": ${GridFixture.lonOf(i % 100)}}"""
+    def isErr(json: String, needle: String): Unit =
+      assert(json.contains("\"error\"") && json.contains(needle), json)
+    // route: max 20 locations for auto, 50 for bicycle (21 passes there)
+    val locs21 = (0 until 21).map(loc).mkString("[", ",", "]")
+    isErr(graft.routing.RequestApi.dispatch(h, "route",
+      s"""{"locations": $locs21, "costing": "auto"}"""), "max locations")
+    assert(graft.routing.RequestApi.dispatch(h, "route",
+      s"""{"locations": $locs21, "costing": "bicycle"}""").contains("\"trip\""))
+    // matrix: 51 x 51 = 2601 > 2500 pairs
+    val locs51 = (0 until 51).map(loc).mkString("[", ",", "]")
+    isErr(graft.routing.RequestApi.dispatch(h, "sources_to_targets",
+      s"""{"sources": $locs51, "targets": $locs51, "costing": "auto"}"""),
+      "max location pairs")
+    // isochrone: > 4 contours; > 120 min contour; > 1 location
+    val c5 = (1 to 5).map(i => s"""{"time": ${i * 10}}""").mkString("[", ",", "]")
+    isErr(graft.routing.RequestApi.dispatch(h, "isochrone",
+      s"""{"locations": [${loc(0)}], "contours": $c5}"""), "max contours")
+    isErr(graft.routing.RequestApi.dispatch(h, "isochrone",
+      s"""{"locations": [${loc(0)}], "contours": [{"time": 150}]}"""),
+      "max time contour")
+    isErr(graft.routing.RequestApi.dispatch(h, "isochrone",
+      s"""{"locations": [${loc(0)}, ${loc(5)}], "contours": [{"time": 10}]}"""),
+      "max locations")
+    // trace: > 16000 shape points (via encoded_polyline to keep the JSON small)
+    val pts = Array.tabulate(16001)(i =>
+      (GridFixture.latOf(i % 100), GridFixture.lonOf(i % 100))).toSeq
+    val enc = graft.geo.Polyline.encode(pts, precision = 6)
+    isErr(graft.routing.RequestApi.dispatch(h, "trace_route",
+      s"""{"encoded_polyline": "${enc.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""),
+      "max shape")
+    // at-limit requests still answer on the data channel
+    val c4 = (1 to 4).map(i => s"""{"time": ${i * 10}}""").mkString("[", ",", "]")
+    assert(graft.routing.RequestApi.dispatch(h, "isochrone",
+      s"""{"locations": [${loc(0)}], "contours": $c4}""").contains("features"))
+  }
+
   test("request API: multi-stop route emits one leg per pair, summary sums legs") {
     def timeOf(json: String): Double =
       one(s"SELECT get_json_object('$json', '$$.trip.summary.time') AS t")
