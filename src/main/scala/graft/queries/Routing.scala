@@ -50,25 +50,36 @@ object Routing {
     * session, then rehydrated through [[graft.graph.Tiled.load]] so queries
     * exercise the persisted overlay/CH path, not the in-memory builder.
     */
-  /** Italy-scale lattice parameters for r24: 1600×1600 ≈ 2.56M nodes and
-    * ~10M directed edges (ITALY.md:55-56 scale), full local grid inside
-    * tiles, and only every 10th lane crossing a tile boundary — the
-    * motorway-crossing density of a real road network. (A FULL lattice's
-    * boundary overlay is Θ(k²) edges regardless of tiling — the adversarial
-    * worst case no planet graph has; arterial thinning models reality and
-    * keeps the overlay collectable.)
+  /** Italy-scale lattice parameters for r24: 3115×3115 = 9,703,225 nodes —
+    * at or above the reference's PUBLISHED Italy cardinality (9.7M nodes /
+    * 24.6M directed edges, ITALY.md:55-56; the full interior lattice here
+    * carries ~38M directed edges, strictly more per node than Italy) —
+    * full local grid inside tiles, and only every 10th lane crossing a
+    * tile boundary — the motorway-crossing density of a real road network.
+    * (A FULL lattice's boundary overlay is Θ(k²) edges regardless of
+    * tiling — the adversarial worst case no planet graph has; arterial
+    * thinning models reality and keeps the overlay collectable.)
     */
-  private final val ItalyK = 1600
+  private final val ItalyK = 3115
+  /** The reference's published Italy graph cardinality (ITALY.md:55-56)
+    * and build-time baseline (~7 min, ITALY.md:54) the witness is graded
+    * against.
+    */
+  private final val ItalyPublishedNodes = 9700000L
+  private final val ItalyPublishedDirectedEdges = 24600000L
+  private final val ItalyBaselineBuildMs = 7L * 60L * 1000L
   private final val ItalyCells = 8
   private final val ItalyArterial = 10
   private final val ItalyEdgeMs = 108000L // 0.9 km at 30 km/h
 
-  @volatile private var italyCache: (graft.graph.TiledRouter, Long) = null
+  @volatile private var italyCache: (graft.graph.TiledRouter, Long, Long) = null
 
   /** Distributed generate → Tiled.build → persist → Tiled.load, once per
-    * JVM; returns the rehydrated router and the directed edge count.
+    * JVM; returns the rehydrated router, the directed edge count, and the
+    * recorded build wall time (ms — stamped when the layout was first
+    * built, the number graded against ITALY.md:54's ~7-minute baseline).
     */
-  private def italyRouter(s: SparkSession): (graft.graph.TiledRouter, Long) =
+  private def italyRouter(s: SparkSession): (graft.graph.TiledRouter, Long, Long) =
     synchronized {
       if (italyCache == null) {
         import s.implicits._
@@ -97,12 +108,18 @@ object Routing {
           sys.props("java.io.tmpdir"), s"graft-italy-k$k-c$cells-a$a").toString
         val marker = java.nio.file.Paths.get(dir, "_GRAFT_BUILT")
         if (!java.nio.file.Files.exists(marker)) {
+          val t0 = System.nanoTime()
           val nEdges = edges.count()
           graft.graph.Tiled.build(s, nodes, edges, cells, dir)
-          java.nio.file.Files.writeString(marker, nEdges.toString)
+          val buildMs = (System.nanoTime() - t0) / 1000000L
+          System.err.println(s"[r24] italy-scale build: $nEdges directed " +
+            s"edges in ${buildMs} ms (baseline ${ItalyBaselineBuildMs} ms)")
+          java.nio.file.Files.writeString(marker, s"$nEdges $buildMs")
         }
-        val nEdges = java.nio.file.Files.readString(marker).trim.toLong
-        italyCache = (graft.graph.Tiled.load(s, dir), nEdges)
+        val parts = java.nio.file.Files.readString(marker).trim
+          .split("\\s+")
+        italyCache = (graft.graph.Tiled.load(s, dir), parts(0).toLong,
+          if (parts.length > 1) parts(1).toLong else -1L)
       }
       italyCache
     }
@@ -116,7 +133,7 @@ object Routing {
   private def italyScaleWitness(s: SparkSession): DataFrame = {
     import s.implicits._
     val k = ItalyK
-    val (router, nEdges) = italyRouter(s)
+    val (router, nEdges, buildMs) = italyRouter(s)
     def latOf(r: Long) = 43.0 + r * 0.009
     def lonOf(c: Long) = 7.0 + c * 0.009
     val rnd = new scala.util.Random(42)
@@ -148,7 +165,13 @@ object Routing {
     // point-query path through the tile LRU + overlay CH
     val p1 = router.travelTimeMs(latOf(10), lonOf(10), latOf(20), lonOf(20))
     Seq(
+      ("build_under_7min_baseline",
+        if (buildMs >= 0 && buildMs < ItalyBaselineBuildMs) 1L else 0L),
       ("edges_directed", nEdges),
+      ("ge_italy_published_edges",
+        if (nEdges >= ItalyPublishedDirectedEdges) 1L else 0L),
+      ("ge_italy_published_nodes",
+        if (k.toLong * k >= ItalyPublishedNodes) 1L else 0L),
       ("nodes", k.toLong * k),
       ("overlay_ch_built", if (router.overlay.ch != null) 1L else 0L),
       ("overlay_edges", router.overlay.numEdges.toLong),
