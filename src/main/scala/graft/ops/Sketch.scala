@@ -159,6 +159,105 @@ object Sketch {
                   p: Int = 9): DataFrame =
     hllEstimate(hllRegisters(df, Seq(groupCol), valueCol, p), Seq(groupCol), p)
 
+  // -------------------------------------------------------------------
+  // Equi-width histogram sketch — mergeable quantiles without a sort
+  // -------------------------------------------------------------------
+
+  /** Fixed-bin integer histogram over [lo, hi): one row per (group, bin)
+    * with an exact BIGINT count — the quantile analogue of [[hllRegisters]].
+    * A group's sketch is ≤ `bins` rows no matter the corpus; sketches
+    * MERGE by per-bin SUM (union two corpora's tables and re-aggregate),
+    * and the whole thing is one map-side-combined HashAggregate — the
+    * approximate-quantile shape a 100 TB job can afford, where exact
+    * quantiles (p81) pay a shuffle of every distinct value.
+    */
+  def histogramSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                      lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 2 && hi > lo, "histogram needs bins >= 2 and hi > lo")
+    val g = groupCols.map(col)
+    val bin = least(lit(bins - 1), greatest(lit(0),
+      floor((col(valueCol) - lit(lo)) / lit(hi - lo) * lit(bins)).cast("int")))
+    df.groupBy(g :+ bin.as("bin"): _*).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Interpolated quantile estimates from a histogram sketch. Ranks are
+    * EXACT integer arithmetic — q = qnum/qden, target rank
+    * ⌈q·n⌉ = (n·qnum + qden − 1) div qden — so the picked bin is engine-
+    * exact; only the final within-bin linear interpolation is a double
+    * (same two-operand expression both engines). Re-aggregates by SUM
+    * first, so merged (unioned) sketch tables just work — the [[hllEstimate]]
+    * contract. Output: (groups…, q, n, est_q).
+    */
+  def histogramQuantiles(hist: DataFrame, groupCols: Seq[String],
+                         lo: Double, hi: Double, bins: Int,
+                         qs: Seq[(Int, Int, String)]): DataFrame = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val g = groupCols.map(col)
+    val h = hist.groupBy(g :+ col("bin"): _*).agg(sum(col("cnt")).as("cnt"))
+    val wCum = Window.partitionBy(g: _*).orderBy(col("bin"))
+    val c = h.withColumn("cum", sum(col("cnt")).over(wCum))
+    val t = h.groupBy(g: _*).agg(sum(col("cnt")).as("n"))
+    val width = (hi - lo) / bins
+    val wPick = Window.partitionBy(g :+ col("q"): _*).orderBy(col("bin"))
+    c.join(t, groupCols)
+      .crossJoin(broadcast(qs.toDF("qnum", "qden", "q")))
+      .withColumn("r", expr("(n * qnum + qden - 1) div qden"))
+      .filter(col("cum") >= col("r"))
+      .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+      .select(g :+ col("q") :+ col("n") :+
+        round(lit(lo) + (col("bin") + (col("r") - (col("cum") - col("cnt"))) /
+          col("cnt")) * lit(width), 4).as("est_q"): _*)
+  }
+
+  // -------------------------------------------------------------------
+  // Count-min sketch (Cormode & Muthukrishnan 2005) — heavy hitters
+  // -------------------------------------------------------------------
+
+  /** CMS table over `hash60`: `depth` independent rows of `width` integer
+    * counters as plain (group, row, col, cnt) rows — every OCCURRENCE of a
+    * value increments one cell per row, so point estimates bound true
+    * frequencies from above. A group's sketch is ≤ depth·width rows no
+    * matter the corpus; sketches MERGE by per-cell SUM. One exploded
+    * HashAggregate, map-side combined.
+    */
+  def cmsSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, "CMS needs depth >= 1, width >= 2")
+    val g = groupCols.map(col)
+    val cells = array((0 until depth).map(j =>
+      struct(lit(j).as("row"),
+        pmod(hash60(concat(lit(s"$j|"), col(valueCol))), lit(width.toLong))
+          .as("col"))): _*)
+    df.select(g :+ explode(cells).as("cell"): _*)
+      .groupBy(g :+ col("cell.row").as("row") :+ col("cell.col").as("col"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates from a CMS table: est(q) = min over rows of
+    * the addressed cell (absent cell = 0). Work scales with
+    * groups × queries × depth — never the corpus. Re-aggregates by SUM
+    * first so merged sketch tables just work. Output: (groups…, q, est).
+    */
+  def cmsEstimate(cms: DataFrame, groupCols: Seq[String], queries: DataFrame,
+                  depth: Int, width: Int): DataFrame = {
+    val g = groupCols.map(col)
+    val merged = cms.groupBy(g :+ col("row") :+ col("col"): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+    val cells = array((0 until depth).map(j =>
+      struct(lit(j).as("row"),
+        pmod(hash60(concat(lit(s"$j|"), col("q"))), lit(width.toLong))
+          .as("col"))): _*)
+    val probes = merged.select(g: _*).distinct()
+      .crossJoin(broadcast(queries))
+      .select(g :+ col("q") :+ explode(cells).as("cell"): _*)
+      .select(g :+ col("q") :+ col("cell.row").as("row")
+        :+ col("cell.col").as("col"): _*)
+    probes.join(merged, groupCols :+ "row" :+ "col", "left")
+      .groupBy(g :+ col("q"): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   def kmvSetOps(df: DataFrame, groupCol: String, valueCol: String,
                 k: Int, saltBuckets: Int = 16): DataFrame = {
     val kept = kminSet(df, groupCol, valueCol, k, saltBuckets)

@@ -20,6 +20,12 @@ object Pipeline {
 
   private val StopEnSql = TextOps.StopwordsEn.mkString("['", "', '", "']")
 
+  /** p90's fixed probe set: 7 vocabulary tokens + one token absent from
+    * every document (exercises the zero/collision path of the CMS).
+    */
+  private val p90Probes: Seq[String] =
+    Seq("table", "row", "value", "hash", "window", "spark", "query", "zz-absent")
+
   /** Content fingerprint of a dataset's source files — path plus (size,
     * mtime) of every file under each entry (recursing into directories in
     * sorted order), SHA-256 truncated to 8 bytes. Keys the bucketed-layout
@@ -3064,6 +3070,136 @@ object Pipeline {
            |                    / CAST(f.s_scaled AS DOUBLE) END, 4) AS est_distinct
            |FROM fin f JOIN exact e USING (metric, source)
            |ORDER BY metric, source""".stripMargin
+      })
+  ,
+
+    // -- Equi-width histogram sketch: mergeable quantiles --------------------
+    // The quantile analogue of p87: per-event-type 64-bin histograms over
+    // events.value; p50/p90/p99 estimated by exact integer rank arithmetic
+    // + within-bin interpolation, next to the true interpolated quantile.
+    // The __all rows merge the per-type histograms by bin-SUM while the
+    // oracle computes them directly — the same hash-equality mergeability
+    // proof. At 100 TB this replaces p81's exact path when the value
+    // domain is wide: the sketch is one map-side-combined HashAggregate,
+    // 64 rows per group, merging across corpora by addition.
+    QueryDef("p89_histogram_quantiles",
+      (s, d) => {
+        import s.implicits._
+        val v = t(s, d, "events").select($"event_type", $"value")
+        val hist = graft.ops.Sketch.histogramSketch(
+          v, Seq("event_type"), "value", lo = 0.0, hi = 512.0, bins = 64)
+        val regs = hist.union(hist.withColumn("event_type", lit("__all")))
+        val est = graft.ops.Sketch.histogramQuantiles(
+          regs, Seq("event_type"), lo = 0.0, hi = 512.0, bins = 64,
+          qs = Seq((1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99")))
+        val vAll = v.union(v.withColumn("event_type", lit("__all")))
+        val exact = vAll.groupBy($"event_type").agg(
+          round(expr("percentile(value, 0.5)"), 4).as("x50"),
+          round(expr("percentile(value, 0.9)"), 4).as("x90"),
+          round(expr("percentile(value, 0.99)"), 4).as("x99"))
+        est.join(exact, "event_type")
+          .select($"event_type", $"q", $"n", $"est_q",
+            when($"q" === "p50", $"x50").when($"q" === "p90", $"x90")
+              .otherwise($"x99").as("exact_q"))
+          .orderBy($"event_type", $"q")
+      },
+      Some("""WITH v AS (SELECT event_type, value FROM events),
+             |v2 AS (SELECT event_type, value FROM v
+             |       UNION ALL SELECT '__all', value FROM v),
+             |h AS (SELECT event_type,
+             |        least(greatest(CAST(floor((value - 0.0) / 512.0 * 64) AS INT), 0), 63) AS bin,
+             |        CAST(count(*) AS BIGINT) AS cnt
+             |      FROM v2 GROUP BY 1, 2),
+             |c AS (SELECT event_type, bin, cnt,
+             |        CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum
+             |      FROM h),
+             |t AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+             |qs(qnum, qden, q) AS (VALUES (1, 2, 'p50'), (9, 10, 'p90'), (99, 100, 'p99')),
+             |pick AS (
+             |  SELECT * FROM (
+             |    SELECT c.event_type, qs.q, t.n, c.bin, c.cnt, c.cum,
+             |      (t.n * qs.qnum + qs.qden - 1) // qs.qden AS r,
+             |      row_number() OVER (PARTITION BY c.event_type, qs.q ORDER BY c.bin) AS rn
+             |    FROM c JOIN t USING (event_type) CROSS JOIN qs
+             |    WHERE c.cum >= (t.n * qs.qnum + qs.qden - 1) // qs.qden)
+             |  WHERE rn = 1),
+             |ex AS (SELECT event_type,
+             |        round(quantile_cont(value, 0.5), 4) AS x50,
+             |        round(quantile_cont(value, 0.9), 4) AS x90,
+             |        round(quantile_cont(value, 0.99), 4) AS x99
+             |      FROM v2 GROUP BY 1)
+             |SELECT p.event_type, p.q, p.n,
+             |  round(0.0 + (p.bin + (p.r - (p.cum - p.cnt)) / p.cnt) * 8.0, 4) AS est_q,
+             |  CASE p.q WHEN 'p50' THEN ex.x50 WHEN 'p90' THEN ex.x90
+             |       ELSE ex.x99 END AS exact_q
+             |FROM pick p JOIN ex USING (event_type)
+             |ORDER BY event_type, q""".stripMargin)),
+
+    // -- Count-min sketch: heavy-hitter frequency estimates ------------------
+    // Per-source CMS (depth 4 × width 512 integer cells) over token
+    // OCCURRENCES; point estimates for a fixed probe set (7 vocab tokens +
+    // one absent) next to exact counts, with the upper-bound property
+    // emitted as a Verify-gated witness. __all rows merge per-source
+    // sketches by cell-SUM vs the oracle's direct computation. Work after
+    // the sketch is groups × probes × depth — never the corpus.
+    QueryDef("p90_cms_heavyhitters",
+      (s, d) => {
+        import s.implicits._
+        val toks = t(s, d, "documents")
+          .select($"source", explode(split(lower($"text"), "\\s+")).as("v"))
+          .filter(length($"v") > 0)
+        val cms = graft.ops.Sketch.cmsSketch(
+          toks, Seq("source"), "v", depth = 4, width = 512)
+        val regs = cms.union(cms.withColumn("source", lit("__all")))
+        val probes = p90Probes.toDF("q")
+        val est = graft.ops.Sketch.cmsEstimate(
+          regs, Seq("source"), probes, depth = 4, width = 512)
+        val toksAll = toks.union(toks.withColumn("source", lit("__all")))
+        val hits = toksAll.join(broadcast(probes), $"v" === $"q")
+          .groupBy($"source", $"q").agg(count(lit(1)).as("__n"))
+        val grid = toksAll.select($"source").distinct().crossJoin(broadcast(probes))
+        val exact = grid.join(hits, Seq("source", "q"), "left")
+          .select($"source", $"q", coalesce($"__n", lit(0L)).as("n_exact"))
+        est.join(exact, Seq("source", "q"))
+          .select($"source", $"q", $"n_exact", $"est",
+            ($"est" >= $"n_exact").as("cms_ge_exact_ok"))
+          .orderBy($"source", $"q")
+      },
+      Some {
+        val qvals = p90Probes.map(q => s"('$q')").mkString(", ")
+        val rowSel = (0 until 4).map(j =>
+          s"SELECT source, $j AS row, CAST(('0x' || substring(md5('$j|' || v), 1, 15)) AS BIGINT) % 512 AS col FROM toks")
+          .mkString("\n    UNION ALL ")
+        s"""WITH toks0 AS (
+           |  SELECT source,
+           |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+           |                       x -> len(x) > 0)) AS v
+           |  FROM documents),
+           |toks AS (SELECT source, v FROM toks0
+           |         UNION ALL SELECT '__all', v FROM toks0),
+           |qs(q) AS (VALUES $qvals),
+           |cms AS (
+           |  SELECT source, row, col, CAST(count(*) AS BIGINT) AS cnt FROM (
+           |    $rowSel
+           |  ) GROUP BY 1, 2, 3),
+           |probes AS (
+           |  SELECT g.source, qs.q, j.row,
+           |    CAST(('0x' || substring(md5(CAST(j.row AS VARCHAR) || '|' || qs.q), 1, 15)) AS BIGINT) % 512 AS col
+           |  FROM (SELECT DISTINCT source FROM toks) g
+           |  CROSS JOIN qs CROSS JOIN (VALUES (0), (1), (2), (3)) j(row)),
+           |est AS (
+           |  SELECT p.source, p.q, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
+           |  FROM probes p LEFT JOIN cms c
+           |    ON c.source = p.source AND c.row = p.row AND c.col = p.col
+           |  GROUP BY 1, 2),
+           |ex AS (
+           |  SELECT g.source, qs.q, CAST(coalesce(c.cnt0, 0) AS BIGINT) AS n_exact
+           |  FROM (SELECT DISTINCT source FROM toks) g CROSS JOIN qs
+           |  LEFT JOIN (SELECT source, v, count(*) AS cnt0 FROM toks GROUP BY 1, 2) c
+           |    ON c.source = g.source AND c.v = qs.q)
+           |SELECT e.source, e.q, x.n_exact, e.est, e.est >= x.n_exact AS cms_ge_exact_ok
+           |FROM est e JOIN ex x USING (source, q)
+           |ORDER BY source, q""".stripMargin
       })
   )
 

@@ -121,6 +121,17 @@ class DijkstraSpec extends AnyFunSuite {
     assert(modes("bicycle") < modes("pedestrian"))
   }
 
+  test("extra costings route end-to-end: taxi/motorcycle = auto, bus = truck, scooter off motorways") {
+    def ms(m: String) = new Dijkstra(GridFixture.prepared(m)).shortestPathMs(0, 99)
+    assert(ms("taxi") == ms("auto"))
+    assert(ms("motorcycle") == ms("auto"))
+    assert(ms("bus") == ms("truck"))
+    // scooter: no motorway diagonal, 45 km/h cap -> strictly slower than
+    // auto but still connected (residential lattice carries it)
+    assert(ms("motor_scooter") > ms("auto"))
+    assert(ms("motor_scooter") < Long.MaxValue)
+  }
+
   test("travel time 0->99 under 20 minutes sanity bound (monaco <300s analogue)") {
     val sec = RoutingOps.travelTimeSeconds(g,
       GridFixture.latOf(0), GridFixture.lonOf(0),

@@ -127,6 +127,76 @@ class SketchSpec extends AnyFunSuite {
     assert(est(regs.filter($"g" === "s1").union(m23)) == direct)
   }
 
+  // ---- histogram quantile sketch ----------------------------------------
+
+  test("histogram quantiles: estimate within one bin width; rank arithmetic exact") {
+    // uniform 1..10000 over [0, 10240) with 64 bins (width 160): the
+    // interpolated estimate must land within one bin of the true quantile
+    val df = (1 to 10000).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val hist = Sketch.histogramSketch(df, Seq("g"), "v", 0.0, 10240.0, 64)
+    assert(hist.count() <= 64)
+    val est = Sketch.histogramQuantiles(hist, Seq("g"), 0.0, 10240.0, 64,
+        Seq((1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99")))
+      .collect().map(r => r.getString(1) -> r.getDouble(3)).toMap
+    for ((q, truth) <- Seq("p50" -> 5000.0, "p90" -> 9000.0, "p99" -> 9900.0))
+      assert(math.abs(est(q) - truth) <= 160.0, s"$q est ${est(q)}")
+  }
+
+  test("histogram: out-of-range values clamp to edge bins; merge by sum = direct") {
+    val a = (1 to 500).map(i => ("a", i.toDouble))
+    val b = (1 to 500).map(i => ("b", (i + 250).toDouble))
+    val out = Seq(("a", -50.0), ("a", 99999.0)) // below lo / above hi
+    val df = (a ++ b ++ out).toDF("g", "v")
+    val hist = Sketch.histogramSketch(df, Seq("g"), "v", 0.0, 1024.0, 32)
+    val bins = hist.filter($"g" === "a").collect()
+      .map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(bins.keys.min == 0 && bins.keys.max == 31) // clamped, not dropped
+    assert(hist.agg(sum($"cnt")).collect()(0).getLong(0) == 1002L)
+    // merged (union + re-agg inside histogramQuantiles) == direct on a∪b
+    val merged = Sketch.histogramQuantiles(
+      hist.withColumn("g", lit("m")), Seq("g"), 0.0, 1024.0, 32, Seq((1, 2, "p50")))
+      .collect()(0).toSeq
+    val direct = Sketch.histogramQuantiles(
+      Sketch.histogramSketch(df.withColumn("g", lit("m")), Seq("g"), "v", 0.0, 1024.0, 32),
+      Seq("g"), 0.0, 1024.0, 32, Seq((1, 2, "p50"))).collect()(0).toSeq
+    assert(merged == direct)
+  }
+
+  // ---- count-min sketch --------------------------------------------------
+
+  test("cms: estimates upper-bound true frequencies; sparse load is exact") {
+    // 20 distinct values into 4x512 cells: collision probability per row is
+    // tiny, and min-over-4-rows needs only ONE collision-free row — exact
+    val vals = (1 to 20).flatMap(i => Seq.fill(i)(("g", s"tok$i")))
+    val cms = Sketch.cmsSketch(vals.toDF("g", "v"), Seq("g"), "v", depth = 4, width = 512)
+    val queries = (1 to 20).map(i => s"tok$i").toDF("q")
+    val est = Sketch.cmsEstimate(cms, Seq("g"), queries, depth = 4, width = 512)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    for (i <- 1 to 20) assert(est(s"tok$i") == i.toLong, s"tok$i")
+    // absent value: est >= 0 and bounded by the heaviest cell
+    val absent = Sketch.cmsEstimate(cms, Seq("g"),
+      Seq("nope").toDF("q"), depth = 4, width = 512).collect()(0).getLong(2)
+    assert(absent >= 0L && absent <= 20L)
+  }
+
+  test("cms: merge by cell-sum equals the direct sketch; never underestimates under load") {
+    val s1 = (1 to 3000).map(i => ("s1", s"w${i % 97}"))
+    val s2 = (1 to 3000).map(i => ("s2", s"w${i % 113}"))
+    val cms = Sketch.cmsSketch((s1 ++ s2).toDF("g", "v"), Seq("g"), "v", 4, 128)
+    val queries = (0 until 97).map(i => s"w$i").toDF("q")
+    val merged = Sketch.cmsEstimate(cms.withColumn("g", lit("m")),
+      Seq("g"), queries, 4, 128).collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val direct = Sketch.cmsEstimate(
+      Sketch.cmsSketch((s1 ++ s2).map { case (_, v) => ("m", v) }.toDF("g", "v"),
+        Seq("g"), "v", 4, 128),
+      Seq("g"), queries, 4, 128).collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(merged == direct)
+    // true combined frequency of w_i: s1 contributes ~31 for i<97, s2 ~27
+    // for i<113; the CMS may only overestimate
+    val exact = (s1 ++ s2).groupBy(_._2).view.mapValues(_.size).toMap
+    for (i <- 0 until 97) assert(merged(s"w$i") >= exact(s"w$i").toLong, s"w$i")
+  }
+
   test("hll: rho covers the all-rank-bits-zero boundary") {
     // hllRegisters on a value whose hash has (h >> p) == 0 must emit the
     // max rank q1 = 61 - p, not a length(bin(0)) artifact. Hash space is
