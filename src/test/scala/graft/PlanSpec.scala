@@ -180,6 +180,22 @@ class PlanSpec extends AnyFunSuite {
       "the distinct/count stages must stay fixed-width HashAggregate")
   }
 
+  test("p87/p89 sketch builds stay hash-based; p90 probes broadcast") {
+    // register/bin/cell builds are fixed-width groupBys — a SortAggregate
+    // here would sort the exploded value stream instead of combining
+    // map-side
+    val p87 = planOf("p87_hll_distinct")
+    assert(!p87.contains("SortAggregate"), "hll registers must HashAggregate")
+    val p89 = planOf("p89_histogram_quantiles")
+    assert(!p89.contains("SortAggregate"), "histogram bins must HashAggregate")
+    val p90 = planOf("p90_cms_heavyhitters")
+    assert(!p90.contains("SortAggregate"), "cms cells must HashAggregate")
+    // the probe set is sketch-scale: its joins must broadcast, never
+    // shuffle the sketch
+    assert(p90.contains("BroadcastHashJoin") || p90.contains("BroadcastNestedLoopJoin"),
+      "cms probes must broadcast")
+  }
+
   private def countOf(plan: String, marker: String): Int =
     plan.sliding(marker.length).count(_ == marker)
 
