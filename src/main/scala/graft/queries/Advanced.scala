@@ -1202,6 +1202,103 @@ object Advanced {
            |FROM documents ORDER BY id""".stripMargin
       }),
 
+    // -- crawl-to-corpus capstone --------------------------------------------
+    QueryDef("p91_crawl_to_corpus",
+      (s, d) => {
+        import s.implicits._
+        // The reference chain COMPOSED end to end, bytes to training set:
+        // .warc.gz archives (with every doc_id%5==0 page served TWICE
+        // under a second URL — real crawls re-fetch) → gzip member split →
+        // WARC parse → HTTP strip → charset decode → html_text extraction
+        // → global exact dedup on extracted text (min-URL keeper) →
+        // quality gate (≥ 30 words) → per-source ship audit. The oracle
+        // re-derives every count from documents.text alone. Plan shape:
+        // ingest+extraction ride mapPartitions/codegen at file
+        // parallelism; the ONLY data shuffle is the dedup's digest window
+        // — exactly the pay-once a 100 TB crawl dedup costs.
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types._
+        import java.nio.charset.StandardCharsets.UTF_8
+        val schema = StructType(Seq(
+          StructField("file", LongType), StructField("warc_gz", BinaryType)))
+        val grouped = t(s, d, "documents")
+          .select($"doc_id".cast("long"), $"source", $"text")
+          .groupBy(($"doc_id" % 192).as("file"))
+          .agg(sort_array(collect_list(struct($"doc_id", $"source", $"text"))).as("recs"))
+        val warcs = s.createDataFrame(
+          grouped.rdd.mapPartitions(_.map { r =>
+            val file = r.getLong(0)
+            val members = r.getSeq[Row](1).flatMap { rec =>
+              val id = rec.getLong(0); val src = rec.getString(1)
+              val html = graft.ops.Html.wrapFixture(id, src, rec.getString(2))
+              def member(url: String, tag: String) = {
+                val body = html.getBytes(UTF_8)
+                val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+                  s"charset=utf-8\r\nContent-Length: ${body.length}\r\n\r\n")
+                  .getBytes(UTF_8) ++ body
+                graft.ops.Ingest.writeWarcRecord(graft.ops.Ingest.WarcRecord(
+                  "response", Some(url), Some(s"<urn:uuid:rec-$tag-$id>"),
+                  Some("application/http; msgtype=response"), http))
+              }
+              val primary = member(s"https://example.com/$src/$id", "a")
+              if (id % 5 == 0)
+                Seq(primary, member(s"https://example.com/$src/dup-$id", "b"))
+              else Seq(primary)
+            }
+            Row(file, graft.ops.Ingest.gzipConcat(members))
+          }), schema)
+        val pages = graft.ops.Ingest.warcIngest(warcs, "file", "warc_gz")
+          .select($"url", graft.functions.HtmlText(s, $"text").as("h"))
+          .select($"url",
+            element_at(split($"url", "/"), -2).as("source"),
+            $"h.text".as("ext"),
+            size(split($"h.text", "\\s+")).as("n_words"))
+        val ranked = pages
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(md5(encode($"ext", "UTF-8"))).orderBy($"url")))
+        ranked.groupBy($"source").agg(
+            count(lit(1)).as("n_pages"),
+            sum(when($"rk" > 1, 1).otherwise(0)).as("n_dup_removed"),
+            sum(when($"rk" === 1 && $"n_words" < 30, 1).otherwise(0))
+              .as("n_quality_dropped"),
+            sum(when($"rk" === 1 && $"n_words" >= 30, 1).otherwise(0))
+              .as("n_shipped"),
+            sum(when($"rk" === 1 && $"n_words" >= 30, $"n_words").otherwise(0))
+              .as("words_shipped"))
+          .orderBy($"source")
+      },
+      Some("""WITH l AS (
+             |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+             |e AS (
+             |  SELECT doc_id, source,
+             |    array_to_string(
+             |      list_transform(range(0, CAST(ceil(len(toks)/12.0) AS BIGINT)),
+             |        i -> array_to_string(list_slice(toks, i*12+1, least((i+1)*12, len(toks))), ' ')),
+             |      chr(10)) AS ext,
+             |    CAST(len(toks) AS INT) AS n_words
+             |  FROM l),
+             |pages AS (
+             |  SELECT 'https://example.com/' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
+             |         source, ext, n_words
+             |  FROM e
+             |  UNION ALL
+             |  SELECT 'https://example.com/' || source || '/dup-' || CAST(doc_id AS VARCHAR),
+             |         source, ext, n_words
+             |  FROM e WHERE doc_id % 5 = 0),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY md5(ext) ORDER BY url) AS rk
+             |      FROM pages)
+             |SELECT source,
+             |  CAST(count(*) AS BIGINT) AS n_pages,
+             |  CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_removed,
+             |  CAST(sum(CASE WHEN rk = 1 AND n_words < 30 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_quality_dropped,
+             |  CAST(sum(CASE WHEN rk = 1 AND n_words >= 30 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_shipped,
+             |  CAST(sum(CASE WHEN rk = 1 AND n_words >= 30 THEN n_words ELSE 0 END) AS BIGINT)
+             |    AS words_shipped
+             |FROM r GROUP BY source ORDER BY source""".stripMargin)),
+
     // -- streaming crawl chain: WARC -> HTML extraction ----------------------
     QueryDef("s21_stream_html",
       (s, d) => {
