@@ -1327,6 +1327,73 @@ object Advanced {
              |  5 AS n_dropped
              |FROM l ORDER BY doc_id""".stripMargin)),
 
+    // -- streaming sketch maintenance -----------------------------------------
+    QueryDef("s22_stream_hll",
+      (s, d) => {
+        import s.implicits._
+        // the sketch AS streaming state: per-source HLL registers
+        // maintained by an incremental streaming aggregation — max is
+        // algebraic, so each micro-batch merges into the state store and
+        // complete mode emits the merged register table (2^p rows per
+        // source, bounded state by construction — the reason mergeable
+        // sketches are streaming-native). Estimate + exact contrast are
+        // computed batch-side from the final registers; numbers must be
+        // IDENTICAL to the batch sketch, which is what the p87-pattern
+        // integer-exact oracle asserts.
+        val regs = EventStreams.runBoundedDocs(s, d, "s22_sink",
+          docs => graft.ops.Sketch.hllRegisters(
+            docs.select($"source", explode(split(lower($"text"), "\\s+")).as("v"))
+              .filter(length($"v") > 0),
+            Seq("source"), "v", p = 9),
+          outputMode = "complete")
+        val est = graft.ops.Sketch.hllEstimate(regs, Seq("source"), p = 9)
+        val exact = t(s, d, "documents")
+          .select($"source", explode(split(lower($"text"), "\\s+")).as("v"))
+          .filter(length($"v") > 0)
+          .groupBy($"source").agg(countDistinct($"v").as("n_exact"))
+        est.join(exact, "source")
+          .select($"source", $"n_exact", $"n_hit", $"v_zero", $"s_scaled",
+            $"est_distinct")
+          .orderBy($"source")
+      },
+      Some {
+        val alphaM2 = 0.7213 / (1 + 1.079 / 512) * 512 * 512
+        s"""WITH toks AS (
+           |  SELECT source,
+           |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+           |                       x -> len(x) > 0)) AS v
+           |  FROM documents),
+           |hashed AS (
+           |  SELECT source, CAST(('0x' || substring(md5(v), 1, 15)) AS BIGINT) AS h
+           |  FROM toks),
+           |reg AS (
+           |  SELECT source, h & 511 AS idx,
+           |    max(CASE WHEN (h >> 9) = 0 THEN 52
+           |             ELSE 52 - len(bin(h >> 9)) END) AS mj
+           |  FROM hashed GROUP BY 1, 2),
+           |agg AS (
+           |  SELECT source, CAST(count(*) AS INT) AS n_hit,
+           |    CAST(sum(CAST(1 AS BIGINT) << (52 - mj)) AS BIGINT) AS s0
+           |  FROM reg GROUP BY 1),
+           |fin AS (
+           |  SELECT source, n_hit, CAST(512 - n_hit AS INT) AS v_zero,
+           |    s0 + (512 - CAST(n_hit AS BIGINT)) * (CAST(1 AS BIGINT) << 52)
+           |      AS s_scaled
+           |  FROM agg),
+           |exact AS (
+           |  SELECT source, CAST(count(DISTINCT v) AS BIGINT) AS n_exact
+           |  FROM toks GROUP BY 1)
+           |SELECT f.source, e.n_exact, f.n_hit, f.v_zero, f.s_scaled,
+           |  round(CASE WHEN (${alphaM2}e0 * 4503599627370496e0)
+           |                    / CAST(f.s_scaled AS DOUBLE) <= 1280.0
+           |                  AND f.v_zero > 0
+           |             THEN 512.0 * ln(512.0 / f.v_zero)
+           |             ELSE (${alphaM2}e0 * 4503599627370496e0)
+           |                    / CAST(f.s_scaled AS DOUBLE) END, 4) AS est_distinct
+           |FROM fin f JOIN exact e USING (source)
+           |ORDER BY source""".stripMargin
+      }),
+
     // -- stateful stream admission: per-key quota ---------------------------
 
     QueryDef("s19_stream_quota",

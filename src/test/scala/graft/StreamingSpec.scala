@@ -390,6 +390,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(!plan.contains("StateStore"), "media stage must be stateless")
   }
 
+  test("hll registers merge across micro-batches (MemoryStream, two triggers)") {
+    import spark.implicits._
+    // the streaming aggregation must MERGE batch-2 values into batch-1
+    // state (max per register), not restart: after both triggers the
+    // register table equals the batch sketch over the union — which a
+    // single-trigger run can't witness
+    val input = MemoryStream[(String, String)](spark)
+    val df = input.toDF.toDF("g", "v")
+    val b1 = (1 to 400).map(i => ("g", s"a$i"))
+    val b2 = (1 to 400).map(i => ("g", s"b$i"))
+    input.addData(b1: _*)
+    val q = graft.ops.Sketch.hllRegisters(df, Seq("g"), "v", p = 9)
+      .writeStream.format("memory").queryName("t_hll_state")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val afterB1 = spark.table("t_hll_state").count()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      assert(spark.table("t_hll_state").count() >= afterB1) // registers only grow
+    } finally q.stop()
+    val streamed = spark.table("t_hll_state")
+      .orderBy(col("idx")).collect().map(_.toSeq).toSeq
+    val batch = graft.ops.Sketch.hllRegisters(
+        (b1 ++ b2).toDF("g", "v"), Seq("g"), "v", p = 9)
+      .orderBy(col("idx")).collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+
   test("html extract-on-ingest stream equals the batch chain and inverts the mangle (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val streamed = EventStreams.runBoundedDocs(spark, dir, "t_s21",
