@@ -77,6 +77,19 @@ object RequestApi {
 
   private def compact(v: JValue): String = JsonMethods.compact(JsonMethods.render(v))
 
+  /** Distance units per `directions_options.units` (or top-level `units`,
+    * the newer Valhalla spelling; README.md:242): kilometers unless
+    * miles/mi is requested. Valhalla's own conversion constant (1.609344
+    * km per international mile) keeps lengths bit-comparable.
+    */
+  private def unitsOf(req: JValue): (String, Double) = {
+    val u = (req \ "directions_options" \ "units").extractOpt[String]
+      .orElse((req \ "units").extractOpt[String])
+      .getOrElse("kilometers")
+    if (u == "miles" || u == "mi") ("miles", 1.0 / 1.609344)
+    else ("kilometers", 1.0)
+  }
+
   private def locations(req: JValue, field: String = "locations"): List[(Double, Double)] =
     (req \ field) match {
       case JArray(ls) => ls.map { l =>
@@ -105,20 +118,21 @@ object RequestApi {
     val rs = legs.flatten
     if (rs.map(_.distance_km).sum * 1000.0 > ServiceLimits.maxDistanceM(costing))
       return err("Path distance exceeds the max distance limit")
+    val (unit, f) = unitsOf(req)
     val legJson = rs.map { r =>
       val pts = graft.geo.Wkb.readLineString(r.geometry).getOrElse(Array.empty)
         .map { case (lon, lat) => (lat, lon) }.toSeq
       JObject(
         "summary" -> JObject(
-          "length" -> JDouble(r.distance_km),
+          "length" -> JDouble(r.distance_km * f),
           "time" -> JDouble(r.duration_minutes * 60.0)),
         "shape" -> JString(Polyline.encode(pts, precision = 6)))
     }
     compact(JObject("trip" -> JObject(
       "status" -> JInt(0),
-      "units" -> JString("kilometers"),
+      "units" -> JString(unit),
       "summary" -> JObject(
-        "length" -> JDouble(rs.map(_.distance_km).sum),
+        "length" -> JDouble(rs.map(_.distance_km).sum * f),
         "time" -> JDouble(rs.map(_.duration_minutes).sum * 60.0)),
       "legs" -> JArray(legJson))))
   }
@@ -146,16 +160,18 @@ object RequestApi {
     val g = h.requireGraph(costing)
     val entries = RoutingOps.matrixEntries(g,
       srcs.map(_._1), srcs.map(_._2), dsts.map(_._1), dsts.map(_._2))
+    val (unit, f) = unitsOf(req)
     // valhalla shape: sources_to_targets[srcIdx][dstIdx] = {time, distance}
     val rows = entries.groupBy(_.from_idx).toList.sortBy(_._1).map { case (_, row) =>
       JArray(row.sortBy(_.to_idx).toList.map { e =>
         JObject(
           "time" -> (if (e.duration_s < 0) JNull else JDouble(e.duration_s)),
-          "distance" -> (if (e.distance_m < 0) JNull else JDouble(e.distance_m / 1000.0)),
+          "distance" -> (if (e.distance_m < 0) JNull
+            else JDouble(e.distance_m / 1000.0 * f)),
           "from_index" -> JInt(e.from_idx), "to_index" -> JInt(e.to_idx))
       })
     }
-    compact(JObject("sources_to_targets" -> JArray(rows), "units" -> JString("kilometers")))
+    compact(JObject("sources_to_targets" -> JArray(rows), "units" -> JString(unit)))
   }
 
   /** Visit-all-locations tour from the first location: greedy nearest
@@ -229,15 +245,16 @@ object RequestApi {
     if (pts.length > ServiceLimits.TraceMaxShape)
       return err(s"Exceeded max shape of ${ServiceLimits.TraceMaxShape} points")
     val g = h.requireGraph(costing)
+    val (unit, f) = unitsOf(req)
     RoutingOps.traceMatch(g, pts) match {
       case None => err("No path found along trace")
       case Some(m) =>
         val shape = m.pathNodes.toSeq.map(i => (g.nodeLat(i), g.nodeLon(i)))
         compact(JObject("trip" -> JObject(
           "status" -> JInt(0),
-          "units" -> JString("kilometers"),
+          "units" -> JString(unit),
           "summary" -> JObject(
-            "length" -> JDouble(m.totalDistM / 1000.0),
+            "length" -> JDouble(m.totalDistM / 1000.0 * f),
             "time" -> JDouble(m.totalMs / 1000.0)),
           "legs" -> JArray(List(JObject(
             "shape" -> JString(Polyline.encode(shape, precision = 6))))))))

@@ -121,6 +121,25 @@ class SparkRoutingSpec extends AnyFunSuite {
     assert(err.contains("\"error\""))
   }
 
+  test("request API: directions_options.units converts lengths to miles (README.md:242)") {
+    val locs = """[{"lat": 43.7, "lon": 7.4}, {"lat": 43.781, "lon": 7.481}]"""
+    def len(json: String): Double =
+      one(s"SELECT CAST(get_json_object('$json', '$$.trip.summary.length') AS DOUBLE) AS l")
+        .getDouble(0)
+    val km = one(s"""SELECT travel_time_request('route',
+      '{"locations": $locs, "costing": "auto"}') AS r""").getString(0)
+    val mi = one(s"""SELECT travel_time_request('route',
+      '{"locations": $locs, "costing": "auto",
+        "directions_options": {"units": "miles"}}') AS r""").getString(0)
+    assert(km.contains("\"units\":\"kilometers\""))
+    assert(mi.contains("\"units\":\"miles\""))
+    assert(math.abs(len(mi) - len(km) / 1.609344) < 1e-9)
+    // top-level "units" (newer Valhalla spelling) works too
+    val mi2 = one(s"""SELECT travel_time_request('route',
+      '{"locations": $locs, "costing": "auto", "units": "mi"}') AS r""").getString(0)
+    assert(math.abs(len(mi2) - len(mi)) < 1e-12)
+  }
+
   test("request API: service limits from the reference's generated config " +
     "(valhalla_build_tiles_simple.cpp:104-129) answer on the error channel") {
     val h = Routing.ensure(spark)
