@@ -121,6 +121,23 @@ class SparkRoutingSpec extends AnyFunSuite {
     assert(err.contains("\"error\""))
   }
 
+  test("ITALY.md multi-mode replay: per-costing route structs, truck never beats car (ITALY.md:222-245)") {
+    // the reference's multi-mode section shape: one travel_time_route call
+    // per costing over the same endpoints, mode supplied AS DATA
+    val rows = spark.sql(
+      """SELECT m,
+        |  travel_time_route('POINT(7.4 43.7)', 'POINT(7.481 43.781)', m).distance_km AS km,
+        |  travel_time_route('POINT(7.4 43.7)', 'POINT(7.481 43.781)', m).duration_minutes / 60.0 AS hours
+        |FROM VALUES ('auto'), ('truck'), ('bicycle') AS t(m)""".stripMargin)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    for ((_, (km, h)) <- rows) assert(km > 0 && h > 0)
+    // the golden's ordering: car <= truck <= bicycle in hours; truck's
+    // route stays distance-comparable to the car route (same corridor)
+    assert(rows("auto")._2 <= rows("truck")._2)
+    assert(rows("truck")._2 <= rows("bicycle")._2)
+    assert(math.abs(rows("truck")._1 - rows("auto")._1) / rows("auto")._1 < 0.15)
+  }
+
   test("request API: directions_options.units converts lengths to miles (README.md:242)") {
     val locs = """[{"lat": 43.7, "lon": 7.4}, {"lat": 43.781, "lon": 7.481}]"""
     def len(json: String): Double =
