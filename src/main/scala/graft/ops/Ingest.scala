@@ -302,7 +302,10 @@ object Ingest {
     fromHeader.getOrElse {
       val win = new String(body, 0, math.min(1024, body.length),
         java.nio.charset.StandardCharsets.ISO_8859_1)
-      val m = metaCharsetRe.matcher(win)
+      // the WHATWG prescan SKIPS comments — a commented-out
+      // <meta charset=…> must not select the encoding
+      val uncommented = win.replaceAll("(?s)<!--.*?(-->|$)", " ")
+      val m = metaCharsetRe.matcher(uncommented)
       (if (m.find()) lookup(m.group(1)) else None)
         .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
     }

@@ -172,6 +172,37 @@ class HtmlSpec extends AnyFunSuite {
     assert(anyMangled, "fixture never exercised the numeric mangle on the emoji lead")
   }
 
+  test("fuzz: arbitrary tag-soup never throws, output bounded, extraction deterministic") {
+    // deterministic pseudo-random soup of the parser's hard fragments:
+    // unbalanced rawtext, half-open comments/CDATA, malformed entities,
+    // quoted '>', self-closing syntax, non-ASCII, truncations
+    val frags = Array("<p>", "</p>", "<script>", "</script>", "<a href='x'>",
+      "</a>", "&amp;", "&#65;", "&#x1F600;", "&bogus;", "&#;", "<!--", "-->",
+      "<![CDATA[", "]]>", "<div class=\"a>b\">", "text ", "<", ">", "&",
+      "éé中文", "<title>", "</title>", "<br/>", "<script/>", "</scripts>",
+      "\n\t ", "<p", "=\"", "'", "<nav>", "</nav>", "<style>", "p{c:r}")
+    def mix(v: Long): Long = {
+      var z = v
+      z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
+      z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
+      z ^ (z >>> 33)
+    }
+    for (seed <- 0 until 400) {
+      val n = 1 + (mix(seed.toLong) & 63).toInt
+      val sb = new StringBuilder
+      for (i <- 0 until n)
+        sb.append(frags(java.lang.Math.floorMod(
+          mix(seed * 131L + i), frags.length.toLong).toInt))
+      val html = sb.toString
+      val e = Html.extract(html) // must never throw
+      // every transform (entity decode, whitespace collapse) shrinks or
+      // preserves length — output can never exceed input
+      assert(e.text.length <= html.length && e.title.length <= html.length, s"seed $seed")
+      assert(e.nKept >= 0 && e.nDropped >= 0)
+      assert(Html.extract(html) == e, s"seed $seed not deterministic")
+    }
+  }
+
   test("html_text SQL expression matches Html.extract and stays codegen'd") {
     val spark = SparkTestBase.spark
     import spark.implicits._

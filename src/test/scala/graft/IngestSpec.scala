@@ -204,6 +204,15 @@ class IngestSpec extends AnyFunSuite {
     // meta outside the 1024-byte prescan window is invisible
     val late = (" " * 1100 + "<meta charset=gbk>").getBytes(UTF_8)
     assert(cs(None, late) == "UTF-8")
+    // the prescan skips comments (WHATWG): a commented-out meta never
+    // selects; a live one after the comment still does
+    val commented = "<!-- <meta charset=gbk> --><p>x</p>".getBytes(UTF_8)
+    assert(cs(None, commented) == "UTF-8")
+    val after = "<!-- <meta charset=gbk> --><meta charset=latin1>".getBytes(UTF_8)
+    assert(cs(None, after) == "ISO-8859-1")
+    // an UNCLOSED comment swallows the rest of the window
+    val unclosed = "<!-- <meta charset=gbk>".getBytes(UTF_8)
+    assert(cs(None, unclosed) == "UTF-8")
     // garbage labels degrade to the next layer, never throw
     assert(cs(Some("text/html; charset=not-a-charset"), meta1) == "windows-1252")
     assert(cs(Some("text/html; charset=bogus"), Array[Byte]()) == "UTF-8")
