@@ -346,10 +346,14 @@ object Ingest {
   // DataFrame operators
   // ---------------------------------------------------------------------
 
-  /** (id, blob) → (id, codec, n_raw, text): auto-detected decompression of
-    * one compressed document per row. Unrecognized/corrupt blobs surface as
-    * codec NULL with NULL text (soft error channel), never an exception.
-    * Pure per-row CPU — no shuffle, scales with input splits.
+  /** (id, blob) → (id, codec, n_raw, charset, text): auto-detected
+    * decompression of one compressed document per row. Unrecognized/corrupt
+    * blobs surface as codec NULL with NULL text (soft error channel), never
+    * an exception. Decoded bytes go through the same charset sniff as the
+    * HTTP path ([[decodeHttpBody]] with no header: BOM > meta prescan >
+    * UTF-8) — a BOM'd or meta-declared archived page decodes correctly
+    * instead of mojibaking. Pure per-row CPU — no shuffle, scales with
+    * input splits.
     */
   def decompressText(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -357,15 +361,16 @@ object Ingest {
       StructField("id", LongType),
       StructField("codec", StringType),
       StructField("n_raw", LongType),
+      StructField("charset", StringType),
       StructField("text", StringType)))
     val rdd = df.select(col(idCol).cast("long"), col(blobCol)).rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         decompress(r.getAs[Array[Byte]](1)) match {
           case Some((codec, raw)) =>
-            Row(id, codec, raw.length.toLong,
-              new String(raw, java.nio.charset.StandardCharsets.UTF_8))
-          case None => Row(id, null, null, null)
+            val (text, cs) = decodeHttpBody(raw, None)
+            Row(id, codec, raw.length.toLong, cs, text)
+          case None => Row(id, null, null, null, null)
         }
       }
     }

@@ -978,7 +978,7 @@ object Advanced {
               Row(id, graft.ops.Ingest.compress(raw, codecs((id % 5).toInt)))
             }), schema)
         graft.ops.Ingest.decompressText(blobs, "doc_id", "blob")
-          .select($"id", $"codec", $"n_raw",
+          .select($"id", $"codec", $"n_raw", $"charset",
             md5(encode($"text", "UTF-8")).as("digest"))
           .orderBy($"id")
       },
@@ -987,6 +987,7 @@ object Advanced {
              |    WHEN 0 THEN 'gzip' WHEN 1 THEN 'zstd' WHEN 2 THEN 'bzip2'
              |    WHEN 3 THEN 'xz' ELSE 'lz4' END AS codec,
              |  CAST(octet_length(encode(text)) AS BIGINT) AS n_raw,
+             |  'utf-8' AS charset,
              |  md5(text) AS digest
              |FROM documents ORDER BY id""".stripMargin)),
 

@@ -146,9 +146,25 @@ class IngestSpec extends AnyFunSuite {
     texts.foreach { case (id, t) =>
       assert(out(id).getString(1) == codecs((id % 5).toInt))
       assert(out(id).getLong(2) == t.getBytes(UTF_8).length)
-      assert(out(id).getString(3) == t)
+      assert(out(id).getString(3) == "utf-8")
+      assert(out(id).getString(4) == t)
     }
-    assert(out(99L).isNullAt(1) && out(99L).isNullAt(3))
+    assert(out(99L).isNullAt(1) && out(99L).isNullAt(4))
+    // archived pages with a BOM or an in-page declaration decode through
+    // the same sniff as the HTTP path
+    val bomText = "bom çafé"
+    val bomBlob = Ingest.compress(
+      Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ bomText.getBytes(UTF_8), "gzip")
+    val metaHtml = "<meta charset=\"windows-1252\"><p>€ offer</p>"
+    val metaBlob = Ingest.compress(
+      metaHtml.getBytes(java.nio.charset.Charset.forName("windows-1252")), "zstd")
+    val df2 = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, bomBlob), Row(2L, metaBlob))),
+      StructType(Seq(StructField("id", LongType), StructField("blob", BinaryType))))
+    val out2 = Ingest.decompressText(df2, "id", "blob")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out2(1L).getString(3) == "utf-8" && out2(1L).getString(4) == bomText)
+    assert(out2(2L).getString(3) == "windows-1252" && out2(2L).getString(4) == metaHtml)
   }
 
   test("warcIngest operator: member order preserved, non-response skipped, bad file -> 0 rows") {
