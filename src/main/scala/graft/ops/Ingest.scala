@@ -249,7 +249,14 @@ object Ingest {
     val sep = indexOfCrlfCrlf(payload, 0)
     if (sep < 0) return None
     val head = new String(payload, 0, sep, java.nio.charset.StandardCharsets.ISO_8859_1)
-    val lines = head.split("\r\n")
+    // unfold obs-fold continuations (RFC 7230 §3.2.4: a line starting with
+    // SP/HTAB extends the previous header) BEFORE field splitting — a folded
+    // Content-Type must not lose its charset parameter
+    val lines = head.split("\r\n").foldLeft(Vector.empty[String]) { (acc, l) =>
+      if (acc.nonEmpty && l.nonEmpty && (l.head == ' ' || l.head == '\t'))
+        acc.init :+ (acc.last + " " + l.trim)
+      else acc :+ l
+    }
     if (!lines(0).startsWith("HTTP/")) return None
     val parts = lines(0).split(" ")
     if (parts.length < 2) return None
@@ -271,8 +278,97 @@ object Ingest {
 
   private val charsetParamRe =
     java.util.regex.Pattern.compile("(?i)charset\\s*=\\s*[\"']?([A-Za-z0-9._:\\-]+)")
-  private val metaCharsetRe = java.util.regex.Pattern.compile(
-    "(?i)<meta[^>]{0,512}?charset\\s*=\\s*[\"']?([A-Za-z0-9._:\\-]+)")
+
+  /** WHATWG Encoding label table, reduced to the rows that differ from JDK
+    * `Charset.forName`: every latin1/ascii-family label is an alias of
+    * windows-1252 (browsers NEVER decode as true ISO-8859-1 — bytes
+    * 0x80-0x9F are €/smart-quotes on the real web, not C1 controls).
+    * Everything else passes through to the JDK lookup unchanged.
+    */
+  private val Cp1252Labels: Set[String] = Set(
+    "ansi_x3.4-1968", "ascii", "cp819", "cp1252", "csisolatin1", "ibm819",
+    "iso-8859-1", "iso-ir-100", "iso8859-1", "iso88591", "iso_8859-1",
+    "iso_8859-1:1987", "l1", "latin1", "us-ascii", "windows-1252", "x-cp1252")
+
+  private def normalizeLabel(label: String, fromMeta: Boolean): String = {
+    val l = label.trim.toLowerCase(java.util.Locale.ROOT)
+    if (Cp1252Labels(l)) "windows-1252"
+    // the HTML spec's meta rules: a UTF-16 label in a byte-level prescan is
+    // self-contradictory (the document decoded as ASCII-compatible bytes),
+    // so it means UTF-8; x-user-defined means windows-1252
+    else if (fromMeta && (l == "utf-16" || l == "utf-16le" || l == "utf-16be")) "utf-8"
+    else if (fromMeta && l == "x-user-defined") "windows-1252"
+    else l
+  }
+
+  /** One `<meta …>` tag's attributes as (lowercased name → value), parsed
+    * with the WHATWG prescan's attribute rules (quoted or bare values,
+    * first occurrence of a name wins). `s` starts just past "<meta". */
+  private def metaAttrs(s: String): Map[String, String] = {
+    val out = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    val n = s.length
+    def ws(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+    while (i < n && s(i) != '>') {
+      while (i < n && (ws(s(i)) || s(i) == '/')) i += 1
+      if (i >= n || s(i) == '>') return out.toMap
+      val n0 = i
+      while (i < n && !ws(s(i)) && s(i) != '=' && s(i) != '>' && s(i) != '/') i += 1
+      val name = s.substring(n0, i).toLowerCase(java.util.Locale.ROOT)
+      while (i < n && ws(s(i))) i += 1
+      var value = ""
+      if (i < n && s(i) == '=') {
+        i += 1
+        while (i < n && ws(s(i))) i += 1
+        if (i < n && (s(i) == '"' || s(i) == '\'')) {
+          val q = s(i); i += 1
+          val v0 = i
+          while (i < n && s(i) != q) i += 1
+          value = s.substring(v0, math.min(i, n))
+          if (i < n) i += 1
+        } else {
+          val v0 = i
+          while (i < n && !ws(s(i)) && s(i) != '>') i += 1
+          value = s.substring(v0, i)
+        }
+      }
+      if (name.nonEmpty && !out.contains(name)) out(name) = value
+    }
+    out.toMap
+  }
+
+  /** The WHATWG meta prescan's charset extraction over an (uncommented)
+    * window: only a real `charset` ATTRIBUTE, or a `charset=` parameter
+    * inside the `content` of a `http-equiv=content-type` meta, declares an
+    * encoding — `charset=` text in an unrelated attribute value (e.g. a
+    * description) must not. */
+  private def metaPrescanCharset(uncommented: String): Option[String] = {
+    val lower = uncommented.toLowerCase(java.util.Locale.ROOT)
+    var from = 0
+    while (true) {
+      val at = lower.indexOf("<meta", from)
+      if (at < 0) return None
+      val tail = at + 5
+      // "<meta" must end the tag name: whitespace or / closes it
+      if (tail < uncommented.length &&
+          (uncommented(tail) == ' ' || uncommented(tail) == '\t' ||
+           uncommented(tail) == '\n' || uncommented(tail) == '\r' ||
+           uncommented(tail) == '\f' || uncommented(tail) == '/')) {
+        val attrs = metaAttrs(uncommented.substring(tail))
+        attrs.get("charset").filter(_.nonEmpty) match {
+          case some @ Some(_) => return some
+          case None =>
+            if (attrs.get("http-equiv").exists(_.equalsIgnoreCase("content-type")))
+              attrs.get("content").foreach { c =>
+                val m = charsetParamRe.matcher(c)
+                if (m.find()) return Some(m.group(1))
+              }
+        }
+      }
+      from = tail
+    }
+    None
+  }
 
   /** The charset an HTTP body decodes under — the WHATWG sniff reduced to
     * its deterministic layers, in precedence order:
@@ -282,8 +378,11 @@ object Ingest {
     *     prescan over the first 1024 bytes (read as ISO-8859-1 — identity
     *     on bytes, so the scan itself can't mojibake);
     *  4. UTF-8.
-    * Unknown or JDK-unsupported labels fall through to the next layer —
-    * real crawls carry garbage labels and must degrade, never throw.
+    * Labels resolve through the WHATWG table first ([[normalizeLabel]]:
+    * latin1/ascii family → windows-1252, meta-declared UTF-16 → UTF-8),
+    * then the JDK. Unknown or JDK-unsupported labels fall through to the
+    * next layer — real crawls carry garbage labels and must degrade,
+    * never throw.
     */
   def resolveCharset(contentType: Option[String],
                      body: Array[Byte]): java.nio.charset.Charset = {
@@ -292,12 +391,12 @@ object Ingest {
       return java.nio.charset.StandardCharsets.UTF_8
     if (b(0) == 0xfe && b(1) == 0xff) return java.nio.charset.StandardCharsets.UTF_16BE
     if (b(0) == 0xff && b(1) == 0xfe) return java.nio.charset.StandardCharsets.UTF_16LE
-    def lookup(label: String): Option[java.nio.charset.Charset] =
-      try Some(java.nio.charset.Charset.forName(label.trim))
+    def lookup(label: String, fromMeta: Boolean): Option[java.nio.charset.Charset] =
+      try Some(java.nio.charset.Charset.forName(normalizeLabel(label, fromMeta)))
       catch { case _: Exception => None }
     val fromHeader = contentType.flatMap { ct =>
       val m = charsetParamRe.matcher(ct)
-      if (m.find()) lookup(m.group(1)) else None
+      if (m.find()) lookup(m.group(1), fromMeta = false) else None
     }
     fromHeader.getOrElse {
       val win = new String(body, 0, math.min(1024, body.length),
@@ -305,8 +404,7 @@ object Ingest {
       // the WHATWG prescan SKIPS comments — a commented-out
       // <meta charset=…> must not select the encoding
       val uncommented = win.replaceAll("(?s)<!--.*?(-->|$)", " ")
-      val m = metaCharsetRe.matcher(uncommented)
-      (if (m.find()) lookup(m.group(1)) else None)
+      metaPrescanCharset(uncommented).flatMap(lookup(_, fromMeta = true))
         .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
     }
   }

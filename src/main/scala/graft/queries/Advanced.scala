@@ -38,24 +38,24 @@ object Advanced {
   import Tables.t
 
   /** The charset mix real Common Crawl carries, as (Content-Type label,
-    * canonical JDK name, per-charset NON-ASCII suffix): the suffix makes a
-    * UTF-8-assuming decoder fail the digest instead of passing vacuously
-    * on ASCII fixture text. The 'latin1' label doubles as an alias-
-    * normalization check; € (0x80 in cp1252, absent from ISO-8859-1)
-    * distinguishes the two Latin families.
+    * canonical decode charset, per-charset NON-ASCII suffix): the suffix
+    * makes a UTF-8-assuming decoder fail the digest instead of passing
+    * vacuously on ASCII fixture text. The 'latin1' label checks the WHATWG
+    * label table — browsers resolve the whole latin1/ascii family to
+    * windows-1252, so its suffix carries € (0x80: a C1 control under a
+    * literal JDK ISO-8859-1 decode, the euro sign under the WHATWG one).
     */
   private[queries] val charsetCases: Array[(String, String, String)] = Array(
     ("UTF-8", "utf-8", " ✓ ünïcode"),
-    ("latin1", "iso-8859-1", " çafé ±"),
+    ("latin1", "windows-1252", " çafé €±"),
     ("GBK", "gbk", " 中文编码"),
     ("Windows-1252", "windows-1252", " €“quoted”"))
 
-  /** Wire-byte length of a [[charsetCases]] suffix under its own charset
-    * (the oracle's n_bytes correction term).
+  /** Wire-byte length of a [[charsetCases]] case's suffix under its decode
+    * charset (the oracle's n_bytes correction term).
     */
-  private[queries] def charsetSuffixBytes(canon: String): Int =
-    charsetCases.find(_._2 == canon).get._3
-      .getBytes(java.nio.charset.Charset.forName(canon)).length
+  private[queries] def charsetSuffixBytes(c: (String, String, String)): Int =
+    c._3.getBytes(java.nio.charset.Charset.forName(c._2)).length
 
   /** p88's declaration-channel matrix: (Content-Type header value, in-page
     * declaration markup, canonical charset, non-ASCII marker). Empty decl +
@@ -65,9 +65,11 @@ object Advanced {
     ("text/html; charset=GBK", "", "gbk", "中文内容标记"),
     ("text/html", "<meta charset=\"windows-1252\">", "windows-1252",
       "€uro–dash“q”"),
+    // declared iso-8859-1, decoded windows-1252 (the WHATWG label table) —
+    // the € (0x80) in the marker proves the C1 range took the cp1252 row
     ("text/html",
       "<meta http-equiv=\"Content-Type\" content=\"text/html; charset=iso-8859-1\">",
-      "iso-8859-1", "déjà vu ±"),
+      "windows-1252", "déjà vu €±"),
     ("text/html", "", "utf-8", "✓ bom ünïcode"))
 
   /** (doc_id, media BINARY): one synthetic blob per document id, spread
@@ -1001,8 +1003,8 @@ object Advanced {
         // member split with CRC verification → WARC header parse → type
         // filter → HTTP envelope strip → charset-aware decode. Each body
         // is WIRE-ENCODED in a charset keyed by doc_id % 4 (utf-8 /
-        // iso-8859-1 via its 'latin1' alias / GBK / windows-1252, all
-        // declared in the Content-Type header) and carries a per-charset
+        // windows-1252 via its WHATWG 'latin1' alias / GBK / windows-1252
+        // declared outright, all in the Content-Type header) and carries a
         // non-ASCII suffix — so a decoder that assumed UTF-8 would emit
         // mojibake and fail the digest. Ingestion is mapPartitions over
         // files — zero shuffle; the fixture groupBy is the only exchange
@@ -1053,7 +1055,7 @@ object Advanced {
             s"WHEN $k THEN ${f(c, k)}"
           }.mkString(" ")
         val wire = branch((c, _) =>
-          charsetSuffixBytes(c._2).toString)
+          charsetSuffixBytes(c).toString)
         val canon = branch((c, _) => s"'${c._2}'")
         val suf = branch((c, _) => s"'${c._3}'")
         s"""SELECT doc_id AS id,
@@ -1138,7 +1140,8 @@ object Advanced {
         // carrying a non-ASCII marker its charset encodes differently:
         //   doc_id%4=0  Content-Type header (GBK)
         //   doc_id%4=1  <meta charset="windows-1252"> prescan (no header)
-        //   doc_id%4=2  <meta http-equiv Content-Type> prescan (iso-8859-1)
+        //   doc_id%4=2  <meta http-equiv Content-Type> prescan declaring
+        //               iso-8859-1, decoded windows-1252 (WHATWG table)
         //   doc_id%4=3  UTF-8 BOM, no declaration anywhere
         // The digest is over warcIngest→html_text output, so a UTF-8-
         // assuming decode (or a prescan miss) mojibakes the marker and

@@ -103,6 +103,16 @@ object RequestApi {
     if (locs.length < 2) return err("route requires >= 2 locations")
     if (locs.length > ServiceLimits.maxLocations(costing))
       return err(s"Exceeded max locations of ${ServiceLimits.maxLocations(costing)}")
+    // loki's PRE-search rejection: the straight-line (haversine) distance
+    // between consecutive locations is checked against the limit before any
+    // graph work, so an oversized request never pays the search the limit
+    // exists to prevent (and a borderline beeline-under/path-over request
+    // routes, as in the reference)
+    val beelineM = locs.sliding(2).map { pair =>
+      graft.geo.Geo.haversineM(pair.head._1, pair.head._2, pair(1)._1, pair(1)._2)
+    }.sum
+    if (beelineM > ServiceLimits.maxDistanceM(costing))
+      return err("Path distance exceeds the max distance limit")
     val g = h.requireGraph(costing)
     // Valhalla's exclude_locations: road points the route must not pass
     // through (each snaps to its nearest node; endpoints exempt)
@@ -116,8 +126,6 @@ object RequestApi {
     }.toList
     if (legs.exists(_.isEmpty)) return err("No route found")
     val rs = legs.flatten
-    if (rs.map(_.distance_km).sum * 1000.0 > ServiceLimits.maxDistanceM(costing))
-      return err("Path distance exceeds the max distance limit")
     val (unit, f) = unitsOf(req)
     val legJson = rs.map { r =>
       val pts = graft.geo.Wkb.readLineString(r.geometry).getOrElse(Array.empty)

@@ -202,14 +202,24 @@ class IngestSpec extends AnyFunSuite {
     val (st, ct, body) = Ingest.parseHttpResponse(payload).get
     assert(st == 200 && ct.contains("text/html; charset=ISO-8859-1"))
     assert(new String(body, UTF_8) == "body")
+    // obs-fold (RFC 7230 §3.2.4): a continuation line starting with SP/HTAB
+    // extends the previous header — the folded charset parameter survives
+    val folded = ("HTTP/1.1 200 OK\r\nContent-Type: text/html;\r\n" +
+      "\tcharset=GBK\r\nx-b: 2\r\n\r\nbody").getBytes(UTF_8)
+    val (st2, ct2, _) = Ingest.parseHttpResponse(folded).get
+    assert(st2 == 200 && ct2.contains("text/html; charset=GBK"))
   }
 
   test("charset resolution: header > meta prescan > utf-8; BOM beats everything") {
     import java.nio.charset.Charset
     def cs(ct: Option[String], body: Array[Byte]) =
       Ingest.resolveCharset(ct, body).name()
-    // header param, quoted and aliased labels normalize
-    assert(cs(Some("text/plain; charset=latin1"), Array[Byte]()) == "ISO-8859-1")
+    // header param, quoted and aliased labels normalize — the WHATWG label
+    // table maps the whole latin1/ascii family to windows-1252 (browsers
+    // never decode true ISO-8859-1; bytes 0x80-0x9F are euro/smart-quotes)
+    assert(cs(Some("text/plain; charset=latin1"), Array[Byte]()) == "windows-1252")
+    assert(cs(Some("text/plain; charset=ISO-8859-1"), Array[Byte]()) == "windows-1252")
+    assert(cs(Some("text/plain; charset=US-ASCII"), Array[Byte]()) == "windows-1252")
     assert(cs(Some("text/html; charset=\"GBK\""), Array[Byte]()) == "GBK")
     // no header → meta prescan, both declaration shapes
     val meta1 = "<html><head><meta charset='windows-1252'></head>".getBytes(UTF_8)
@@ -225,7 +235,21 @@ class IngestSpec extends AnyFunSuite {
     val commented = "<!-- <meta charset=gbk> --><p>x</p>".getBytes(UTF_8)
     assert(cs(None, commented) == "UTF-8")
     val after = "<!-- <meta charset=gbk> --><meta charset=latin1>".getBytes(UTF_8)
-    assert(cs(None, after) == "ISO-8859-1")
+    assert(cs(None, after) == "windows-1252")
+    // attribute-aware prescan: 'charset=' inside an unrelated attribute
+    // value is NOT a declaration (the WHATWG prescan parses attributes)
+    val decoy = ("<meta name=\"description\" content=\"charset=koi8-r\">"
+      ).getBytes(UTF_8)
+    assert(cs(None, decoy) == "UTF-8")
+    val decoyThenReal = ("<meta name=d content=\"charset=koi8-r\">" +
+      "<meta http-equiv=Content-Type content=\"text/html; charset=gbk\">").getBytes(UTF_8)
+    assert(cs(None, decoyThenReal) == "GBK")
+    // meta-declared UTF-16 is self-contradictory in a byte prescan → UTF-8
+    // (HTML spec's extraction rule); header-declared UTF-16 is honored
+    assert(cs(None, "<meta charset=utf-16>".getBytes(UTF_8)) == "UTF-8")
+    assert(cs(Some("text/plain; charset=utf-16be"), Array[Byte]()) == "UTF-16BE")
+    // <metax …> is not a meta tag
+    assert(cs(None, "<metax charset=gbk>".getBytes(UTF_8)) == "UTF-8")
     // an UNCLOSED comment swallows the rest of the window
     val unclosed = "<!-- <meta charset=gbk>".getBytes(UTF_8)
     assert(cs(None, unclosed) == "UTF-8")
@@ -242,15 +266,23 @@ class IngestSpec extends AnyFunSuite {
   test("decodeHttpBody: non-UTF-8 wire bytes round-trip; BOM stripped; bad bytes degrade") {
     import java.nio.charset.Charset
     val text = "déjà vu — € “q” 中文"
-    for (canon <- Seq("iso-8859-1", "windows-1252", "gbk", "utf-8")) {
+    // (declared label, charset it actually decodes under — latin1-family
+    // labels resolve to windows-1252 per the WHATWG table)
+    for ((label, canon) <- Seq("iso-8859-1" -> "windows-1252",
+      "windows-1252" -> "windows-1252", "gbk" -> "gbk", "utf-8" -> "utf-8")) {
       val c = Charset.forName(canon)
       val enc = c.encode(text) // unencodable chars become '?' — fine, we
       val wire = new Array[Byte](enc.remaining()); enc.get(wire) // compare decoded-vs-decoded
       val expected = new String(wire, c)
       val (got, used) = Ingest.decodeHttpBody(wire,
-        Some(s"text/plain; charset=$canon"))
-      assert(used == canon && got == expected, canon)
+        Some(s"text/plain; charset=$label"))
+      assert(used == canon && got == expected, label)
     }
+    // an iso-8859-1-LABELED page with a 0x80 byte decodes to € (cp1252),
+    // not the C1 control U+0080 — the behavior real browsers ship
+    val euro = "price: ".getBytes(Charset.forName("us-ascii")) ++ Array(0x80.toByte)
+    val (eTxt, eCs) = Ingest.decodeHttpBody(euro, Some("text/html; charset=iso-8859-1"))
+    assert(eCs == "windows-1252" && eTxt == "price: €")
     // UTF-8 BOM never surfaces as U+FEFF content
     val bom = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ "hi".getBytes(UTF_8)
     assert(Ingest.decodeHttpBody(bom, None) == (("hi", "utf-8")))

@@ -196,6 +196,17 @@ class SparkRoutingSpec extends AnyFunSuite {
     val c4 = (1 to 4).map(i => s"""{"time": ${i * 10}}""").mkString("[", ",", "]")
     assert(graft.routing.RequestApi.dispatch(h, "isochrone",
       s"""{"locations": [${loc(0)}], "contours": $c4}""").contains("features"))
+    // route max_distance is enforced PRE-search on the straight-line
+    // (haversine) location distance, like loki: an oversized pedestrian
+    // request (>250 km beeline) errors without paying a graph search —
+    // the endpoints here aren't even snappable, which is the point
+    isErr(graft.routing.RequestApi.dispatch(h, "route",
+      """{"locations": [{"lat": 43.7, "lon": 7.4}, {"lat": 46.5, "lon": 7.4}],
+        | "costing": "pedestrian"}""".stripMargin), "max distance")
+    // the same beeline is fine for auto (5000 km limit)
+    assert(!graft.routing.RequestApi.dispatch(h, "route",
+      """{"locations": [{"lat": 43.7, "lon": 7.4}, {"lat": 46.5, "lon": 7.4}],
+        | "costing": "auto"}""".stripMargin).contains("max distance"))
   }
 
   test("request API: multi-stop route emits one leg per pair, summary sums legs") {
