@@ -296,14 +296,72 @@ object Tiled {
     Seq((grid.minLat, grid.minLon, grid.cellLat, grid.cellLon, grid.cells))
       .toDF("min_lat", "min_lon", "cell_lat", "cell_lon", "cells")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/grid")
+    val outFs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (ov.ch != null) {
-      val fs = new org.apache.hadoop.fs.Path(outDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
       ChStore.saveStream(
-        fs.create(new org.apache.hadoop.fs.Path(s"$outDir/overlay_ch.bin"), true),
+        outFs.create(new org.apache.hadoop.fs.Path(s"$outDir/overlay_ch.bin"), true),
         ChStore.fingerprintCsr(off, tgt, w, nb, tgt.length), ov.ch)
     }
+    saveOverlayBin(outFs, s"$outDir/overlay.bin", grid,
+      bIds, bTiles, bLat, bLon, triples)
     new TiledRouter(spark, outDir, grid, ov)
+  }
+
+  /** Flat-binary overlay sidecar (`overlay.bin`): grid + boundary nodes +
+    * sorted overlay triples in one stream. Parquet stays the canonical,
+    * engine-readable layout; the sidecar exists because three session-warm
+    * DataFrame reads of tiny files still pay plan/codegen/job overhead that
+    * dominates first-query latency (ITALY.md:374's 2-3 s tile-load budget —
+    * the sidecar reads in tens of ms like `overlay_ch.bin`). Written at
+    * build time; [[load]] self-heals pre-sidecar layouts by writing it
+    * after a parquet-path rehydration.
+    */
+  private final val OverlayBinMagic = 0x47524f56 // "GROV"
+  private final val OverlayBinVersion = 1
+
+  private def saveOverlayBin(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                             grid: TileGrid, bIds: Array[Long], bTiles: Array[Int],
+                             bLat: Array[Double], bLon: Array[Double],
+                             triples: Array[(Int, Int, Int)]): Unit = {
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      fs.create(new org.apache.hadoop.fs.Path(path), true), 1 << 16))
+    try {
+      out.writeInt(OverlayBinMagic); out.writeInt(OverlayBinVersion)
+      out.writeDouble(grid.minLat); out.writeDouble(grid.minLon)
+      out.writeDouble(grid.cellLat); out.writeDouble(grid.cellLon)
+      out.writeInt(grid.cells)
+      out.writeInt(bIds.length)
+      bIds.foreach(out.writeLong); bTiles.foreach(out.writeInt)
+      bLat.foreach(out.writeDouble); bLon.foreach(out.writeDouble)
+      out.writeInt(triples.length)
+      triples.foreach { t => out.writeInt(t._1); out.writeInt(t._2); out.writeInt(t._3) }
+    } finally out.close()
+  }
+
+  private def loadOverlayBin(fs: org.apache.hadoop.fs.FileSystem, path: String)
+      : Option[(TileGrid, Array[Long], Array[Int], Array[Double], Array[Double],
+                Array[(Int, Int, Int)])] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(p)) return None
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      fs.open(p), 1 << 16))
+    try {
+      if (in.readInt() != OverlayBinMagic || in.readInt() != OverlayBinVersion)
+        return None // unknown layout — fall back to the parquet path
+      val grid = TileGrid(in.readDouble(), in.readDouble(), in.readDouble(),
+        in.readDouble(), in.readInt())
+      val nb = in.readInt()
+      val bIds = Array.fill(nb)(in.readLong())
+      val bTiles = Array.fill(nb)(in.readInt())
+      val bLat = Array.fill(nb)(in.readDouble())
+      val bLon = Array.fill(nb)(in.readDouble())
+      val m = in.readInt()
+      val triples = Array.fill(m)((in.readInt(), in.readInt(), in.readInt()))
+      Some((grid, bIds, bTiles, bLat, bLon, triples))
+    } catch {
+      case _: java.io.IOException => None // truncated/corrupt — parquet wins
+    } finally in.close()
   }
 
   private def overlayCsr(nb: Int, triples: Array[(Int, Int, Int)])
@@ -355,27 +413,36 @@ object Tiled {
     */
   def load(spark: SparkSession, dir: String): TiledRouter = {
     import spark.implicits._
-    val g = spark.read.parquet(s"$dir/grid")
-      .select($"min_lat", $"min_lon", $"cell_lat", $"cell_lon", $"cells")
-      .as[(Double, Double, Double, Double, Int)].head()
-    val grid = TileGrid(g._1, g._2, g._3, g._4, g._5)
-    val nRows = spark.read.parquet(s"$dir/overlay_nodes")
-      .select($"idx".cast("int"), $"id".cast("long"), $"tile".cast("int"),
-        $"lat".cast("double"), $"lon".cast("double"))
-      .as[(Int, Long, Int, Double, Double)].collect().sortBy(_._1)
-    val nb = nRows.length
-    val bIds = nRows.map(_._2); val bTiles = nRows.map(_._3)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (grid, bIds, bTiles, bLat, bLon, triples) =
+      loadOverlayBin(fs, s"$dir/overlay.bin").getOrElse {
+        val g = spark.read.parquet(s"$dir/grid")
+          .select($"min_lat", $"min_lon", $"cell_lat", $"cell_lon", $"cells")
+          .as[(Double, Double, Double, Double, Int)].head()
+        val nRows = spark.read.parquet(s"$dir/overlay_nodes")
+          .select($"idx".cast("int"), $"id".cast("long"), $"tile".cast("int"),
+            $"lat".cast("double"), $"lon".cast("double"))
+          .as[(Int, Long, Int, Double, Double)].collect().sortBy(_._1)
+        val ts = spark.read.parquet(s"$dir/overlay_edges")
+          .select($"src".cast("int"), $"dst".cast("int"), $"time_ms".cast("int"))
+          .as[(Int, Int, Int)].collect().sorted
+        val loaded = (TileGrid(g._1, g._2, g._3, g._4, g._5), nRows.map(_._2),
+          nRows.map(_._3), nRows.map(_._4), nRows.map(_._5), ts)
+        // self-heal: upgrade a pre-sidecar layout in place so the NEXT load
+        // skips the DataFrame path (best-effort — a read-only dir just
+        // stays on the slow path)
+        try saveOverlayBin(fs, s"$dir/overlay.bin", loaded._1, loaded._2,
+          loaded._3, loaded._4, loaded._5, ts)
+        catch { case _: java.io.IOException => }
+        loaded
+      }
+    val nb = bIds.length
     val bIndex = new java.util.HashMap[Long, Integer](nb * 2)
     var i = 0
     while (i < nb) { bIndex.put(bIds(i), i); i += 1 }
-    val triples = spark.read.parquet(s"$dir/overlay_edges")
-      .select($"src".cast("int"), $"dst".cast("int"), $"time_ms".cast("int"))
-      .as[(Int, Int, Int)].collect().sorted
     val (off, tgt, w) = overlayCsr(nb, triples)
-    val ov = new Overlay(bIds, bTiles, bIndex, off, tgt, w,
-      nRows.map(_._4), nRows.map(_._5))
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ov = new Overlay(bIds, bTiles, bIndex, off, tgt, w, bLat, bLon)
     val chPath = new org.apache.hadoop.fs.Path(s"$dir/overlay_ch.bin")
     if (fs.exists(chPath))
       ChStore.loadStream(fs.open(chPath),

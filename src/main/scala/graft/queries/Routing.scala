@@ -67,19 +67,38 @@ object Routing {
     */
   private final val ItalyPublishedNodes = 9700000L
   private final val ItalyPublishedDirectedEdges = 24600000L
-  private final val ItalyBaselineBuildMs = 7L * 60L * 1000L
+  /** Build-time budget the witness gates against — ITALY.md:54's ~7-minute
+    * baseline by default. Wall-clock gates are the one place correctness
+    * can fail with no code defect (a loaded machine), so the budget is
+    * env-overridable: set GRAFT_ITALY_BUILD_BUDGET_MS to re-grade a stamped
+    * slow build without clearing the layout cache.
+    */
+  private def italyBuildBudgetMs: Long =
+    sys.env.get("GRAFT_ITALY_BUILD_BUDGET_MS").map(_.toLong)
+      .getOrElse(7L * 60L * 1000L)
+  /** First-query latency budget: ITALY.md:374's "first query (tile load)
+    * ~2-3 s" baseline at 2× the top of the band (same env-override escape
+    * hatch as the build budget).
+    */
+  private def italyLoadBudgetMs: Long =
+    sys.env.get("GRAFT_ITALY_LOAD_BUDGET_MS").map(_.toLong).getOrElse(6000L)
   private final val ItalyCells = 8
   private final val ItalyArterial = 10
   private final val ItalyEdgeMs = 108000L // 0.9 km at 30 km/h
 
-  @volatile private var italyCache: (graft.graph.TiledRouter, Long, Long) = null
+  /** (router, directed edges, build ms from the marker, load ms, first
+    * point-query ms) — load and first-query timed fresh each JVM.
+    */
+  @volatile private var italyCache: (graft.graph.TiledRouter, Long, Long, Long, Long) = null
 
   /** Distributed generate → Tiled.build → persist → Tiled.load, once per
-    * JVM; returns the rehydrated router, the directed edge count, and the
+    * JVM; returns the rehydrated router, the directed edge count, the
     * recorded build wall time (ms — stamped when the layout was first
-    * built, the number graded against ITALY.md:54's ~7-minute baseline).
+    * built, graded against ITALY.md:54's ~7-minute baseline), the
+    * measured `Tiled.load` wall time, and the first point query's wall
+    * time (tile-LRU cold — ITALY.md:374's first-query number).
     */
-  private def italyRouter(s: SparkSession): (graft.graph.TiledRouter, Long, Long) =
+  private def italyRouter(s: SparkSession): (graft.graph.TiledRouter, Long, Long, Long, Long) =
     synchronized {
       if (italyCache == null) {
         import s.implicits._
@@ -113,13 +132,24 @@ object Routing {
           graft.graph.Tiled.build(s, nodes, edges, cells, dir)
           val buildMs = (System.nanoTime() - t0) / 1000000L
           System.err.println(s"[r24] italy-scale build: $nEdges directed " +
-            s"edges in ${buildMs} ms (baseline ${ItalyBaselineBuildMs} ms)")
+            s"edges in ${buildMs} ms (budget ${italyBuildBudgetMs} ms)")
           java.nio.file.Files.writeString(marker, s"$nEdges $buildMs")
         }
         val parts = java.nio.file.Files.readString(marker).trim
           .split("\\s+")
-        italyCache = (graft.graph.Tiled.load(s, dir), parts(0).toLong,
-          if (parts.length > 1) parts(1).toLong else -1L)
+        val tLoad = System.nanoTime()
+        val router = graft.graph.Tiled.load(s, dir)
+        val loadMs = (System.nanoTime() - tLoad) / 1000000L
+        // first point query pays the tile-LRU cold path — ITALY.md:374's
+        // "first query (tile load) ~2-3 s"; subsequent queries are warm
+        val tQ = System.nanoTime()
+        router.travelTimeMs(43.0 + 10 * 0.009, 7.0 + 10 * 0.009,
+          43.0 + 20 * 0.009, 7.0 + 20 * 0.009): Unit
+        val firstQueryMs = (System.nanoTime() - tQ) / 1000000L
+        System.err.println(s"[r24] load ${loadMs} ms, first query " +
+          s"${firstQueryMs} ms (budget ${italyLoadBudgetMs} ms combined)")
+        italyCache = (router, parts(0).toLong,
+          if (parts.length > 1) parts(1).toLong else -1L, loadMs, firstQueryMs)
       }
       italyCache
     }
@@ -133,7 +163,7 @@ object Routing {
   private def italyScaleWitness(s: SparkSession): DataFrame = {
     import s.implicits._
     val k = ItalyK
-    val (router, nEdges, buildMs) = italyRouter(s)
+    val (router, nEdges, buildMs, loadMs, firstQueryMs) = italyRouter(s)
     def latOf(r: Long) = 43.0 + r * 0.009
     def lonOf(c: Long) = 7.0 + c * 0.009
     val rnd = new scala.util.Random(42)
@@ -166,8 +196,13 @@ object Routing {
     val p1 = router.travelTimeMs(latOf(10), lonOf(10), latOf(20), lonOf(20))
     Seq(
       ("build_under_7min_baseline",
-        if (buildMs >= 0 && buildMs < ItalyBaselineBuildMs) 1L else 0L),
+        if (buildMs >= 0 && buildMs < italyBuildBudgetMs) 1L else 0L),
       ("edges_directed", nEdges),
+      // ITALY.md:374's "first query (tile load) ~2-3 s", split out of the
+      // witness: persisted-layout rehydration + the cold tile-LRU point
+      // query, gated at 2× the band's top (see italyLoadBudgetMs)
+      ("first_query_under_baseline",
+        if (loadMs + firstQueryMs < italyLoadBudgetMs) 1L else 0L),
       ("ge_italy_published_edges",
         if (nEdges >= ItalyPublishedDirectedEdges) 1L else 0L),
       ("ge_italy_published_nodes",
