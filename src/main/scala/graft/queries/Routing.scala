@@ -21,11 +21,15 @@ object Routing {
 
   /** Idempotent per-session fixture load + function registration
     * (the reference's `travel_time_load_config` lifecycle,
-    * src/travel_time_extension.cpp:433-466).
+    * src/travel_time_extension.cpp:433-466). Loads the golden four modes
+    * PLUS the remaining Valhalla costing list (README.md:160) so r30 can
+    * drive taxi/bus/motorcycle/motor_scooter end-to-end — on the 100-node
+    * fixture the extra graphs are byte-cheap.
     */
   def ensure(s: SparkSession): RouterHandle = {
     val h = RoutingContext.load(s, "grid-fixture",
-      Modes.map(m => m -> GridFixture.dataFrames(s, m)).toMap)
+      (Modes ++ graft.graph.SpeedModel.ExtraModes)
+        .map(m => m -> GridFixture.dataFrames(s, m)).toMap)
     RoutingFunctions.register(s, h)
     StFunctions.register(s)
     h
@@ -988,6 +992,38 @@ object Routing {
         Seq(row).toDF("h0", "h1", "h2",
           "h0_bilinear_ok", "h1_bilinear_ok", "h2_bilinear_ok",
           "void_null_ok", "missing_null_ok")
+      }, None),
+
+    QueryDef("r30_extra_costings",
+      (s, _) => {
+        ensure(s); pointsView(s)
+        // The rest of the Valhalla costing list (README.md:160) end-to-end,
+        // with its profile invariants as witness columns: taxi and
+        // motorcycle take the auto profile verbatim, bus the truck
+        // (heavy-vehicle) profile, and motor_scooter is barred from
+        // motorways with a 45 km/h ceiling — so it can never beat auto,
+        // and on the motorway-corridor pair (pair 1, the diagonal) it is
+        // STRICTLY slower (it has to take the lattice). ITALY.md:222-245.
+        s.sql("""SELECT pair_id,
+                |  round(travel_time(lat1, lon1, lat2, lon2, 'auto'), 3) AS sec_auto,
+                |  round(travel_time(lat1, lon1, lat2, lon2, 'taxi'), 3) AS sec_taxi,
+                |  round(travel_time(lat1, lon1, lat2, lon2, 'bus'), 3) AS sec_bus,
+                |  round(travel_time(lat1, lon1, lat2, lon2, 'truck'), 3) AS sec_truck,
+                |  round(travel_time(lat1, lon1, lat2, lon2, 'motorcycle'), 3) AS sec_motorcycle,
+                |  round(travel_time(lat1, lon1, lat2, lon2, 'motor_scooter'), 3) AS sec_scooter,
+                |  travel_time(lat1, lon1, lat2, lon2, 'taxi')
+                |    = travel_time(lat1, lon1, lat2, lon2, 'auto') AS taxi_eq_auto_ok,
+                |  travel_time(lat1, lon1, lat2, lon2, 'motorcycle')
+                |    = travel_time(lat1, lon1, lat2, lon2, 'auto') AS moto_eq_auto_ok,
+                |  travel_time(lat1, lon1, lat2, lon2, 'bus')
+                |    = travel_time(lat1, lon1, lat2, lon2, 'truck') AS bus_eq_truck_ok,
+                |  travel_time(lat1, lon1, lat2, lon2, 'motor_scooter')
+                |    >= travel_time(lat1, lon1, lat2, lon2, 'auto') AS scooter_ge_auto_ok,
+                |  CASE WHEN pair_id = 1
+                |       THEN travel_time(lat1, lon1, lat2, lon2, 'motor_scooter')
+                |            > travel_time(lat1, lon1, lat2, lon2, 'auto')
+                |       ELSE true END AS scooter_avoids_motorway_ok
+                |FROM g_pairs ORDER BY pair_id""".stripMargin)
       }, None)
   )
 }
