@@ -1398,6 +1398,118 @@ object Advanced {
            |ORDER BY source""".stripMargin
       }),
 
+    QueryDef("s23_stream_histogram",
+      (s, d) => {
+        import s.implicits._
+        // the s22 pattern for the quantile sketch: per-event-type histogram
+        // bins as streaming state (count is algebraic — each micro-batch
+        // SUM-merges into the state store; complete mode emits the merged
+        // bin table, ≤ 64 rows per group by construction). Quantile
+        // interpolation runs batch-side on the final bins and must equal
+        // the batch sketch (p89's oracle, minus the exact contrast).
+        // localCheckpoint: the quantile interpolation self-joins the sink
+        // (cumulative window × per-group totals), and a MemoryPlan re-read
+        // keeps its expr-ids — checkpointing the ≤64-rows-per-group sketch
+        // gives the join fresh references (byte-cheap by construction)
+        val hist = EventStreams.runBounded(s, d, "s23_sink",
+          ev => graft.ops.Sketch.histogramSketch(
+            ev.select($"event_type", $"value"),
+            Seq("event_type"), "value", lo = 0.0, hi = 512.0, bins = 64),
+          outputMode = "complete").localCheckpoint(true)
+        graft.ops.Sketch.histogramQuantiles(
+            hist, Seq("event_type"), lo = 0.0, hi = 512.0, bins = 64,
+            qs = Seq((1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99")))
+          .orderBy($"event_type", $"q")
+      },
+      Some("""WITH v2 AS (SELECT event_type, value FROM events),
+             |h AS (SELECT event_type,
+             |        least(greatest(CAST(floor((value - 0.0) / 512.0 * 64) AS INT), 0), 63) AS bin,
+             |        CAST(count(*) AS BIGINT) AS cnt
+             |      FROM v2 GROUP BY 1, 2),
+             |c AS (SELECT event_type, bin, cnt,
+             |        CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum
+             |      FROM h),
+             |t AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+             |qs(qnum, qden, q) AS (VALUES (1, 2, 'p50'), (9, 10, 'p90'), (99, 100, 'p99')),
+             |pick AS (
+             |  SELECT * FROM (
+             |    SELECT c.event_type, qs.q, t.n, c.bin, c.cnt, c.cum,
+             |      (t.n * qs.qnum + qs.qden - 1) // qs.qden AS r,
+             |      row_number() OVER (PARTITION BY c.event_type, qs.q ORDER BY c.bin) AS rn
+             |    FROM c JOIN t USING (event_type) CROSS JOIN qs
+             |    WHERE c.cum >= (t.n * qs.qnum + qs.qden - 1) // qs.qden)
+             |  WHERE rn = 1)
+             |SELECT p.event_type, p.q, p.n,
+             |  round(0.0 + (p.bin + (p.r - (p.cum - p.cnt)) / p.cnt) * 8.0, 4) AS est_q
+             |FROM pick p
+             |ORDER BY event_type, q""".stripMargin)),
+
+    QueryDef("s24_stream_cms",
+      (s, d) => {
+        import s.implicits._
+        // the s22 pattern for the count-min sketch: per-source CMS cells as
+        // streaming state (≤ depth·width = 2048 rows per source by
+        // construction; occurrence counts SUM-merge across micro-batches).
+        // Point estimates + the upper-bound witness are computed batch-side
+        // from the final cells against exact counts — numbers must be
+        // IDENTICAL to the batch sketch (p90's oracle).
+        val cms = EventStreams.runBoundedDocs(s, d, "s24_sink",
+          docs => graft.ops.Sketch.cmsSketch(
+            docs.select($"source", explode(split(lower($"text"), "\\s+")).as("v"))
+              .filter(length($"v") > 0),
+            Seq("source"), "v", depth = 4, width = 512),
+          outputMode = "complete").localCheckpoint(true) // see s23
+        val probes = Pipeline.p90Probes.toDF("q")
+        val est = graft.ops.Sketch.cmsEstimate(
+          cms, Seq("source"), probes, depth = 4, width = 512)
+        val toks = t(s, d, "documents")
+          .select($"source", explode(split(lower($"text"), "\\s+")).as("v"))
+          .filter(length($"v") > 0)
+        val hits = toks.join(broadcast(probes), $"v" === $"q")
+          .groupBy($"source", $"q").agg(count(lit(1)).as("__n"))
+        val grid = toks.select($"source").distinct().crossJoin(broadcast(probes))
+        val exact = grid.join(hits, Seq("source", "q"), "left")
+          .select($"source", $"q", coalesce($"__n", lit(0L)).as("n_exact"))
+        est.join(exact, Seq("source", "q"))
+          .select($"source", $"q", $"n_exact", $"est",
+            ($"est" >= $"n_exact").as("cms_ge_exact_ok"))
+          .orderBy($"source", $"q")
+      },
+      Some {
+        val qvals = Pipeline.p90Probes.map(q => s"('$q')").mkString(", ")
+        val rowSel = (0 until 4).map(j =>
+          s"SELECT source, $j AS row, CAST(('0x' || substring(md5('$j|' || v), 1, 15)) AS BIGINT) % 512 AS col FROM toks")
+          .mkString("\n    UNION ALL ")
+        s"""WITH toks AS (
+           |  SELECT source,
+           |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+           |                       x -> len(x) > 0)) AS v
+           |  FROM documents),
+           |qs(q) AS (VALUES $qvals),
+           |cms AS (
+           |  SELECT source, row, col, CAST(count(*) AS BIGINT) AS cnt FROM (
+           |    $rowSel
+           |  ) GROUP BY 1, 2, 3),
+           |probes AS (
+           |  SELECT g.source, qs.q, j.row,
+           |    CAST(('0x' || substring(md5(CAST(j.row AS VARCHAR) || '|' || qs.q), 1, 15)) AS BIGINT) % 512 AS col
+           |  FROM (SELECT DISTINCT source FROM toks) g
+           |  CROSS JOIN qs CROSS JOIN (VALUES (0), (1), (2), (3)) j(row)),
+           |est AS (
+           |  SELECT p.source, p.q, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
+           |  FROM probes p LEFT JOIN cms c
+           |    ON c.source = p.source AND c.row = p.row AND c.col = p.col
+           |  GROUP BY 1, 2),
+           |ex AS (
+           |  SELECT g.source, qs.q, CAST(coalesce(c.cnt0, 0) AS BIGINT) AS n_exact
+           |  FROM (SELECT DISTINCT source FROM toks) g CROSS JOIN qs
+           |  LEFT JOIN (SELECT source, v, count(*) AS cnt0 FROM toks GROUP BY 1, 2) c
+           |    ON c.source = g.source AND c.v = qs.q)
+           |SELECT e.source, e.q, x.n_exact, e.est, e.est >= x.n_exact AS cms_ge_exact_ok
+           |FROM est e JOIN ex x USING (source, q)
+           |ORDER BY source, q""".stripMargin
+      }),
+
     // -- stateful stream admission: per-key quota ---------------------------
 
     QueryDef("s19_stream_quota",

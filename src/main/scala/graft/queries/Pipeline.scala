@@ -23,7 +23,7 @@ object Pipeline {
   /** p90's fixed probe set: 7 vocabulary tokens + one token absent from
     * every document (exercises the zero/collision path of the CMS).
     */
-  private val p90Probes: Seq[String] =
+  private[queries] val p90Probes: Seq[String] =
     Seq("table", "row", "value", "hash", "window", "spark", "query", "zz-absent")
 
   /** Content fingerprint of a dataset's source files — path plus (size,

@@ -419,6 +419,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("histogram bins and CMS cells SUM-merge across micro-batches (MemoryStream, two triggers)") {
+    import spark.implicits._
+    // the count-based sketches must ACCUMULATE batch-2 occurrences into
+    // batch-1 state (sum per bin/cell), not restart: after both triggers
+    // each table equals the batch sketch over the union — which a
+    // single-trigger run can't witness
+    val b1 = (1 to 300).map(i => ("g", (i % 50).toDouble, s"tok${i % 7}"))
+    val b2 = (1 to 300).map(i => ("g", (i % 80).toDouble, s"tok${i % 11}"))
+    val input = MemoryStream[(String, Double, String)](spark)
+    val df = input.toDF.toDF("g", "x", "v")
+    input.addData(b1: _*)
+    val qh = graft.ops.Sketch.histogramSketch(df, Seq("g"), "x", 0.0, 100.0, 16)
+      .writeStream.format("memory").queryName("t_hist_state")
+      .outputMode("complete").start()
+    val qc = graft.ops.Sketch.cmsSketch(df, Seq("g"), "v", depth = 3, width = 32)
+      .writeStream.format("memory").queryName("t_cms_state")
+      .outputMode("complete").start()
+    try {
+      qh.processAllAvailable(); qc.processAllAvailable()
+      input.addData(b2: _*)
+      qh.processAllAvailable(); qc.processAllAvailable()
+    } finally { qh.stop(); qc.stop() }
+    val all = (b1 ++ b2).toDF("g", "x", "v")
+    val histStream = spark.table("t_hist_state")
+      .orderBy(col("bin")).collect().map(_.toSeq).toSeq
+    val histBatch = graft.ops.Sketch.histogramSketch(all, Seq("g"), "x", 0.0, 100.0, 16)
+      .orderBy(col("bin")).collect().map(_.toSeq).toSeq
+    assert(histStream == histBatch && histStream.nonEmpty)
+    val cmsStream = spark.table("t_cms_state")
+      .orderBy(col("row"), col("col")).collect().map(_.toSeq).toSeq
+    val cmsBatch = graft.ops.Sketch.cmsSketch(all, Seq("g"), "v", depth = 3, width = 32)
+      .orderBy(col("row"), col("col")).collect().map(_.toSeq).toSeq
+    assert(cmsStream == cmsBatch && cmsStream.nonEmpty)
+  }
+
   test("html extract-on-ingest stream equals the batch chain and inverts the mangle (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val streamed = EventStreams.runBoundedDocs(spark, dir, "t_s21",
