@@ -72,6 +72,100 @@ object Advanced {
       "windows-1252", "déjà vu €±"),
     ("text/html", "", "utf-8", "✓ bom ünïcode"))
 
+  /** p92's planted near-dup payload: a trailing boilerplate paragraph long
+    * enough to change the byte digest but small next to the document, so
+    * the q=5 shingle Jaccard against the original stays near 1.
+    */
+  private val P92NdTok = "boilerplate trailer appended by the mirror crawl"
+
+  /** DuckDB mirror of p92: pages (primary + exact-dup + near-dup variants
+    * with their charset-marker paragraph) re-derived from documents.text,
+    * exact dedup, the FULL MinHash/LSH + Jaccard-verify near-dup pass
+    * (same k=12 component expressions as p04 via
+    * [[Pipeline.minhashMinsSql]]), quality gate, per-source ship audit.
+    */
+  private def p92OracleSql: String = {
+    def branch(f: ((String, String, String)) => String): String =
+      charsetCases.zipWithIndex.map { case (c, k) => s"WHEN $k THEN ${f(c)}" }
+        .mkString(" ")
+    val marker = branch(c => s"'${c._3.trim}'")
+    val canon = branch(c => s"'${c._2}'")
+    s"""WITH base AS (
+       |  SELECT doc_id, source,
+       |    text || chr(10) || CASE CAST(doc_id % 4 AS INT) $marker END AS ext0,
+       |    CASE CAST(doc_id % 4 AS INT) $canon END AS charset
+       |  FROM documents),
+       |pg AS (
+       |  SELECT 'https://example.com/' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
+       |         source, charset, ext0 AS ext FROM base
+       |  UNION ALL
+       |  SELECT 'https://example.com/' || source || '/dup-' || CAST(doc_id AS VARCHAR),
+       |         source, charset, ext0 FROM base WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT 'https://example.com/' || source || '/nd-' || CAST(doc_id AS VARCHAR),
+       |         source, charset, ext0 || chr(10) || '$P92NdTok'
+       |  FROM base WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0),
+       |pages AS (SELECT url, source, charset, ext,
+       |    CAST(len(string_split_regex(ext, '\\s+')) AS INT) AS n_words FROM pg),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY md5(ext) ORDER BY url) AS rk
+       |      FROM pages),
+       |kept AS (SELECT * FROM r WHERE rk = 1),
+       |shl AS (
+       |  SELECT url AS doc,
+       |    list_transform(generate_series(1, greatest(length(ext) - 4, 1)),
+       |                   i -> substring(ext, i, 5)) AS sh
+       |  FROM kept),
+       |sig AS (
+       |  SELECT doc, [
+       |      ${Pipeline.minhashMinsSql}
+       |    ] AS sig FROM shl),
+       |bands AS (
+       |  SELECT doc, u.band, u.bucket FROM (
+       |    SELECT doc, unnest(list_transform(range(0, 4), b ->
+       |      {'band': b, 'bucket': array_to_string(list_slice(sig, b * 3 + 1, b * 3 + 3), '#')})) AS u
+       |    FROM sig)),
+       |cand AS (
+       |  SELECT l.doc AS a, r2.doc AS b FROM bands l JOIN bands r2
+       |    ON l.band = r2.band AND l.bucket = r2.bucket AND l.doc < r2.doc
+       |  GROUP BY 1, 2),
+       |shd AS (
+       |  SELECT doc, list_distinct(list_transform(sh,
+       |    x -> CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT))) AS shingles
+       |  FROM shl),
+       |nddrop AS (
+       |  SELECT DISTINCT b AS url FROM cand
+       |  JOIN shd sa ON sa.doc = a
+       |  JOIN shd sb ON sb.doc = b
+       |  WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+       |        (len(sa.shingles) + len(sb.shingles)
+       |         - len(list_intersect(sa.shingles, sb.shingles))), 4) >= 0.8),
+       |surv AS (SELECT * FROM kept WHERE url NOT IN (SELECT url FROM nddrop)),
+       |ea AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_pages,
+       |    CAST(count(DISTINCT charset) AS BIGINT) AS n_charsets,
+       |    CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup
+       |  FROM r GROUP BY 1),
+       |na AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_near_dup FROM kept
+       |  WHERE url IN (SELECT url FROM nddrop) GROUP BY 1),
+       |sp AS (
+       |  SELECT source,
+       |    CAST(sum(CASE WHEN n_words < 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_dropped,
+       |    CAST(sum(CASE WHEN n_words >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_shipped,
+       |    CAST(sum(CASE WHEN n_words >= 30 THEN n_words ELSE 0 END) AS BIGINT) AS words_shipped,
+       |    md5(coalesce(string_agg(md5(ext), '' ORDER BY md5(ext))
+       |                   FILTER (WHERE n_words >= 30), '')) AS ship_digest
+       |  FROM surv GROUP BY 1)
+       |SELECT ea.source, ea.n_pages, ea.n_charsets, ea.n_exact_dup,
+       |  CAST(coalesce(na.n_near_dup, 0) AS BIGINT) AS n_near_dup,
+       |  CAST(coalesce(sp.n_quality_dropped, 0) AS BIGINT) AS n_quality_dropped,
+       |  CAST(coalesce(sp.n_shipped, 0) AS BIGINT) AS n_shipped,
+       |  CAST(coalesce(sp.words_shipped, 0) AS BIGINT) AS words_shipped,
+       |  sp.ship_digest
+       |FROM ea LEFT JOIN na USING (source) LEFT JOIN sp USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
   /** (doc_id, media BINARY): one synthetic blob per document id, spread
     * across the default parallelism BEFORE the per-row codec CPU (the
     * p39/p72/p73 pattern — fixture generation is the expensive stage, so
@@ -1302,6 +1396,117 @@ object Advanced {
              |  CAST(sum(CASE WHEN rk = 1 AND n_words >= 30 THEN n_words ELSE 0 END) AS BIGINT)
              |    AS words_shipped
              |FROM r GROUP BY source ORDER BY source""".stripMargin)),
+
+    // -- crawl capstone v2: charset mix + MinHash near-dup -------------------
+    QueryDef("p92_crawl_neardup",
+      (s, d) => {
+        import s.implicits._
+        // p91's chain with the two realities it idealized away: bodies are
+        // WIRE-ENCODED in the p88 charset mix (Content-Type-declared utf-8 /
+        // latin1→cp1252 / GBK / cp1252, each carrying a non-ASCII marker
+        // paragraph its charset encodes differently), and crawls carry
+        // NEAR-duplicates (every doc_id%7==0 page re-fetched with a trailing
+        // boilerplate paragraph — byte-different, so exact dedup misses it).
+        // Chain: archive → WARC → HTTP → charset decode → html_text →
+        // exact dedup (min-URL keeper) → MinHash+LSH near-dup pass on the
+        // survivors (q=5, k=12, 4 bands × 3 rows, verified Jaccard ≥ 0.8,
+        // min-URL keeper) → quality gate → per-source ship audit with the
+        // charset mix counted. The oracle re-derives EVERYTHING — including
+        // the MinHash signatures and band collisions — from documents.text
+        // alone. Plan shape: ingest+extraction at file parallelism; the
+        // data shuffles are the dedup digest window and the (band, bucket)
+        // candidate exchange — the two pay-once costs of a 100 TB crawl
+        // dedup; verification is gated by candidates.
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types._
+        import java.nio.charset.StandardCharsets.UTF_8
+        val cases = charsetCases
+        val schema = StructType(Seq(
+          StructField("file", LongType), StructField("warc_gz", BinaryType)))
+        val grouped = t(s, d, "documents")
+          .select($"doc_id".cast("long"), $"source", $"text")
+          .groupBy(($"doc_id" % 192).as("file"))
+          .agg(sort_array(collect_list(struct($"doc_id", $"source", $"text"))).as("recs"))
+        val warcs = s.createDataFrame(
+          grouped.rdd.mapPartitions(_.map { r =>
+            val file = r.getLong(0)
+            val members = r.getSeq[Row](1).flatMap { rec =>
+              val id = rec.getLong(0); val src = rec.getString(1)
+              val text = rec.getString(2)
+              val (label, canon, suffix) = cases((id % 4).toInt)
+              val cs = java.nio.charset.Charset.forName(canon)
+              def member(url: String, tag: String, extra: Option[String]) = {
+                val html = s"<html><head><title>P $id</title></head>" +
+                  s"<body><p>$text</p><p>${suffix.trim}</p>" +
+                  extra.map(e => s"<p>$e</p>").getOrElse("") + "</body></html>"
+                val body = html.getBytes(cs)
+                val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+                  s"charset=$label\r\nContent-Length: ${body.length}\r\n\r\n")
+                  .getBytes(UTF_8) ++ body
+                graft.ops.Ingest.writeWarcRecord(graft.ops.Ingest.WarcRecord(
+                  "response", Some(url), Some(s"<urn:uuid:rec-$tag-$id>"),
+                  Some("application/http; msgtype=response"), http))
+              }
+              val primary = member(s"https://example.com/$src/$id", "a", None)
+              val dup = if (id % 5 == 0)
+                Seq(member(s"https://example.com/$src/dup-$id", "b", None)) else Nil
+              val nd = if (id % 7 == 0 && id % 5 != 0)
+                Seq(member(s"https://example.com/$src/nd-$id", "c", Some(P92NdTok)))
+              else Nil
+              primary +: (dup ++ nd)
+            }
+            Row(file, graft.ops.Ingest.gzipConcat(members))
+          }), schema)
+        val pages = graft.ops.Ingest.warcIngest(warcs, "file", "warc_gz")
+          .select($"url",
+            element_at(split($"url", "/"), -2).as("source"),
+            $"charset",
+            graft.functions.HtmlText(s, $"text").as("h"))
+          .select($"url", $"source", $"charset", $"h.text".as("ext"),
+            size(split($"h.text", "\\s+")).as("n_words"))
+        val ranked = pages
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(md5(encode($"ext", "UTF-8"))).orderBy($"url")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val kept = ranked.filter($"rk" === 1)
+        // near-dup pass: LSH candidates verified by exact Jaccard; the
+        // b-side of every verified pair drops (a < b ⇒ keeper = min URL)
+        val ndDrop = graft.ops.Dedup.lshJaccard(
+            kept.select($"url", $"ext"), "url", "ext",
+            q = 5, k = 12, rowsPerBand = 3, threshold = 0.8)
+          .select($"b".as("url")).distinct()
+        val survivors = kept.join(ndDrop, Seq("url"), "left_anti")
+        val exactAgg = ranked.groupBy($"source").agg(
+          count(lit(1)).as("n_pages"),
+          countDistinct($"charset").as("n_charsets"),
+          sum(when($"rk" > 1, 1L).otherwise(0L)).as("n_exact_dup"))
+        val ndAgg = kept.join(ndDrop, Seq("url"), "left_semi")
+          .groupBy($"source").agg(count(lit(1)).as("n_near_dup"))
+        // ship_digest pins the shipped BYTES, not just counts: a decode
+        // that mojibakes consistently (garbling primary and dup copies
+        // alike) would leave every count intact — only a content hash
+        // catches it
+        val shipAgg = survivors.groupBy($"source").agg(
+          sum(when($"n_words" < 30, 1L).otherwise(0L)).as("n_quality_dropped"),
+          sum(when($"n_words" >= 30, 1L).otherwise(0L)).as("n_shipped"),
+          sum(when($"n_words" >= 30, $"n_words".cast("long")).otherwise(0L))
+            .as("words_shipped"),
+          md5(encode(concat_ws("", sort_array(collect_list(
+            when($"n_words" >= 30, md5(encode($"ext", "UTF-8")))))), "UTF-8"))
+            .as("ship_digest"))
+        exactAgg
+          .join(ndAgg, Seq("source"), "left")
+          .join(shipAgg, Seq("source"), "left")
+          .select($"source", $"n_pages", $"n_charsets", $"n_exact_dup",
+            coalesce($"n_near_dup", lit(0L)).as("n_near_dup"),
+            coalesce($"n_quality_dropped", lit(0L)).as("n_quality_dropped"),
+            coalesce($"n_shipped", lit(0L)).as("n_shipped"),
+            coalesce($"words_shipped", lit(0L)).as("words_shipped"),
+            $"ship_digest")
+          .orderBy($"source")
+      },
+      Some(p92OracleSql)),
 
     // -- streaming crawl chain: WARC -> HTML extraction ----------------------
     QueryDef("s21_stream_html",

@@ -256,7 +256,7 @@ object Pipeline {
     * `sh` — one text, shared by [[minhashCandidatesSql]] and the p66
     * signature mirror so the two can never drift.
     */
-  private def minhashMinsSql: String =
+  private[queries] def minhashMinsSql: String =
     (0 until 12).map { seed =>
       s"list_min(list_transform(list_distinct(sh), " +
         s"x -> CAST(('0x' || substring(md5('$seed|' || x), 1, 15)) AS BIGINT)))"

@@ -548,9 +548,22 @@ object EventStreams {
       .as[(Long, String, String)].mapPartitions { it =>
         it.flatMap { case (id, source, text) =>
           val html = graft.ops.Html.wrapFixture(id, source, text)
-          val body = html.getBytes(UTF_8)
-          val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
-            s"charset=utf-8\r\nContent-Length: ${body.length}\r\n\r\n")
+          // the decode mix, live: a third of the archives arrive as BOM'd
+          // UTF-16 (LE and BE) with NO charset declaration — bytes a UTF-8-
+          // assuming decoder turns to NUL-riddled garbage, so the unchanged
+          // batch oracle only holds if the streaming stage runs the real
+          // BOM sniff. The decoded text is identical by construction.
+          val (body, ctHeader) = (id % 3) match {
+            case 1 => (Array(0xff.toByte, 0xfe.toByte) ++
+              html.getBytes(java.nio.charset.StandardCharsets.UTF_16LE),
+              "text/html")
+            case 2 => (Array(0xfe.toByte, 0xff.toByte) ++
+              html.getBytes(java.nio.charset.StandardCharsets.UTF_16BE),
+              "text/html")
+            case _ => (html.getBytes(UTF_8), "text/html; charset=utf-8")
+          }
+          val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ctHeader\r\n" +
+            s"Content-Length: ${body.length}\r\n\r\n")
             .getBytes(UTF_8) ++ body
           val rec = graft.ops.Ingest.writeWarcRecord(graft.ops.Ingest.WarcRecord(
             "response", Some(s"https://example.com/$source/$id"),
