@@ -209,6 +209,70 @@ class SparkRoutingSpec extends AnyFunSuite {
         | "costing": "auto"}""".stripMargin).contains("max distance"))
   }
 
+  test("request API: isochrone GeoJSON contour response matches the wrapper " +
+    "contract (valhalla-wrapper/src/wrapper.cpp:323-383)") {
+    // The wrapper's consumer loop: parse the response as GeoJSON, walk
+    // `features[]` IN ORDER mapping features[idx] -> contour_minutes[idx],
+    // and re-serialize each feature's `geometry` member verbatim. So the
+    // contract under test: FeatureCollection shape, one feature per
+    // requested contour in request (ascending) order, and a standalone-
+    // serializable Polygon/MultiPolygon geometry per feature with closed
+    // linear rings. (Real Valhalla can emit contours largest-first for
+    // render stacking; the wrapper indexes blindly, so we pin the
+    // ascending request order our requests use.)
+    val h = Routing.ensure(spark)
+    val minutes = Seq(2.0, 5.0, 10.0)
+    val contours = minutes.map(m => s"""{"time": $m}""").mkString("[", ",", "]")
+    val resp = graft.routing.RequestApi.dispatch(h, "isochrone",
+      s"""{"locations": [{"lat": 43.727, "lon": 7.427}], "costing": "auto",
+         | "contours": $contours, "polygons": true}""".stripMargin)
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val doc = JsonMethods.parse(resp)
+    assert((doc \ "error") == JNothing, resp.take(200))
+    assert((doc \ "type").extract[String] == "FeatureCollection")
+    val features = (doc \ "features").extract[List[JValue]]
+    assert(features.length == minutes.length)
+    def rings(geom: JValue): List[List[(Double, Double)]] = {
+      def ring(r: JValue): List[(Double, Double)] =
+        r.extract[List[List[Double]]].map(p => (p(0), p(1)))
+      (geom \ "type").extract[String] match {
+        case "Polygon" => (geom \ "coordinates").extract[List[JValue]].map(ring)
+        case "MultiPolygon" =>
+          (geom \ "coordinates").extract[List[List[JValue]]].flatten.map(ring)
+        case other => fail(s"geometry type $other")
+      }
+    }
+    val bboxes = features.zip(minutes).map { case (f, m) =>
+      assert((f \ "type").extract[String] == "Feature")
+      // properties.contour carries the requested minutes, by index
+      assert((f \ "properties" \ "contour").extract[Double] == m)
+      val geom = f \ "geometry"
+      // the wrapper re-serializes `geometry` standalone — it must be a
+      // self-contained object with closed rings of >= 4 positions
+      val rs = rings(geom)
+      assert(rs.nonEmpty, s"contour $m has no rings")
+      rs.foreach { r =>
+        assert(r.length >= 4, s"contour $m ring of ${r.length} points")
+        assert(r.head == r.last, s"contour $m ring not closed")
+      }
+      val xs = rs.flatten.map(_._1); val ys = rs.flatten.map(_._2)
+      (xs.min, ys.min, xs.max, ys.max)
+    }
+    // contours nest: each larger-minute bbox contains the smaller's
+    bboxes.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._1 <= a._1 && b._2 <= a._2 && b._3 >= a._3 && b._4 >= a._4,
+        s"contour bboxes not nested: $a vs $b")
+    }
+    // the (snapped) origin lies inside every contour's bbox
+    val snap = one("SELECT travel_time_locate(43.727, 7.427, 'auto') AS p").getStruct(0)
+    val (sLat, sLon) = (snap.getDouble(0), snap.getDouble(1))
+    bboxes.foreach { case (x0, y0, x1, y1) =>
+      assert(sLon >= x0 && sLon <= x1 && sLat >= y0 && sLat <= y1)
+    }
+  }
+
   test("request API: multi-stop route emits one leg per pair, summary sums legs") {
     def timeOf(json: String): Double =
       one(s"SELECT get_json_object('$json', '$$.trip.summary.time') AS t")
