@@ -31,7 +31,16 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      val r = name -> math.min(once(), once())
+      // min-of-2, plus a third sample when the first two disagree by >2x:
+      // driver bench windows share the machine with other round work, and a
+      // single noisy sample has produced 2-8x phantom regressions (r7/r8
+      // verdicts); a third draw makes the min robust to one bad window
+      val a = once(); val b = once()
+      val best =
+        if (a >= 0 && b >= 0 && math.max(a, b) > 2 * math.min(a, b))
+          math.min(math.min(a, b), once())
+        else math.min(a, b)
+      val r = name -> best
       // Operators persist intermediates (dup-collapse reps, shingle sets,
       // IVF work frames) for the duration of THEIR job; across a
       // 137-query suite the leftover blocks accumulate into cache/GC
