@@ -177,6 +177,34 @@ class TiledSpec extends AnyFunSuite {
     }
   }
 
+  test("overlay sidecar: missing/corrupt overlay.bin falls back to parquet and self-heals") {
+    val g = GridFixture.prepared("auto")
+    val (nodes, edges) = dfsOf(g)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tiled-sc").toString
+    val built = Tiled.build(spark, nodes, edges, cells = 2, dir)
+    val sidecar = java.nio.file.Paths.get(dir, "overlay.bin")
+    assert(java.nio.file.Files.exists(sidecar), "build must write the sidecar")
+    def check(r: graft.graph.TiledRouter): Unit = {
+      assert(r.overlay.size == built.overlay.size)
+      val rnd = new scala.util.Random(7)
+      (0 until 40).foreach { _ =>
+        val s = rnd.nextInt(g.numNodes); val t = rnd.nextInt(g.numNodes)
+        assert(r.travelTimeMs(g.nodeLat(s), g.nodeLon(s), g.nodeLat(t), g.nodeLon(t))
+          == built.travelTimeMs(g.nodeLat(s), g.nodeLon(s), g.nodeLat(t), g.nodeLon(t)))
+      }
+    }
+    // pre-sidecar layout (e.g. built by an older version): parquet path
+    // loads AND writes the sidecar back — the self-heal upgrade
+    java.nio.file.Files.delete(sidecar)
+    check(Tiled.load(spark, dir))
+    assert(java.nio.file.Files.exists(sidecar), "load must self-heal the sidecar")
+    check(Tiled.load(spark, dir)) // and the healed sidecar loads identically
+    // a truncated/corrupt sidecar degrades to the parquet path, never to
+    // wrong answers
+    java.nio.file.Files.write(sidecar, Array[Byte](71, 82, 79, 86, 0, 0))
+    check(Tiled.load(spark, dir))
+  }
+
   test("batch OD matrix over tiles == flat Dijkstra (120 pairs, 4x4 tiles)") {
     import spark.implicits._
     val g = GridFixture.lattice(40)
