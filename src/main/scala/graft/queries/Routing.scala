@@ -368,7 +368,11 @@ object Routing {
                  |  round(CAST(get_json_object(travel_time_request('route',
                  |    '{"locations": [$from, $to], "costing": "auto"}'),
                  |    '$$.trip.summary.time') AS DOUBLE), 3) AS route_seconds,
-                 |  get_json_object(travel_time_request('nope', '{}'), '$$.error') IS NOT NULL AS bad_action_errors""".stripMargin)
+                 |  get_json_object(travel_time_request('nope', '{}'), '$$.error') IS NOT NULL AS bad_action_errors,
+                 |  get_json_object(travel_time_request('route',
+                 |    '{"locations": [{"lat": 43.7, "lon": 7.4}, {"lat": 46.5, "lon": 7.4}],
+                 |      "costing": "pedestrian"}'),
+                 |    '$$.error') LIKE '%max distance%' AS presearch_limit_ok""".stripMargin)
       }, None),
 
     QueryDef("r18_trace",
