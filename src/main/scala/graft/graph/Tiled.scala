@@ -352,15 +352,21 @@ object Tiled {
       val grid = TileGrid(in.readDouble(), in.readDouble(), in.readDouble(),
         in.readDouble(), in.readInt())
       val nb = in.readInt()
+      // corrupt count fields would NegativeArraySize/OOM before any read
+      // throws — bound them by what the stream could possibly hold
+      if (nb < 0 || nb > (1 << 24)) return None
       val bIds = Array.fill(nb)(in.readLong())
       val bTiles = Array.fill(nb)(in.readInt())
       val bLat = Array.fill(nb)(in.readDouble())
       val bLon = Array.fill(nb)(in.readDouble())
       val m = in.readInt()
+      if (m < 0 || m > (1 << 27)) return None
       val triples = Array.fill(m)((in.readInt(), in.readInt(), in.readInt()))
       Some((grid, bIds, bTiles, bLat, bLon, triples))
     } catch {
-      case _: java.io.IOException => None // truncated/corrupt — parquet wins
+      // truncated/corrupt — the parquet path wins (EOF, negative-size and
+      // allocation failures alike; corruption must degrade, never crash)
+      case scala.util.control.NonFatal(_) => None
     } finally in.close()
   }
 

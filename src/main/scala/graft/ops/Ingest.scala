@@ -337,17 +337,21 @@ object Ingest {
     out.toMap
   }
 
-  /** The WHATWG meta prescan's charset extraction over an (uncommented)
-    * window: only a real `charset` ATTRIBUTE, or a `charset=` parameter
-    * inside the `content` of a `http-equiv=content-type` meta, declares an
-    * encoding — `charset=` text in an unrelated attribute value (e.g. a
-    * description) must not. */
-  private def metaPrescanCharset(uncommented: String): Option[String] = {
+  /** The WHATWG meta prescan's charset declarations over an (uncommented)
+    * window, IN ORDER: only a real `charset` ATTRIBUTE, or a `charset=`
+    * parameter inside the `content` of a `http-equiv=content-type` meta,
+    * declares an encoding — `charset=` text in an unrelated attribute
+    * value (e.g. a description) must not. Returns every declared label:
+    * per the spec, a label that fails to resolve does NOT end the prescan
+    * (`<meta charset=bogus><meta charset=gbk>` decodes GBK in a browser),
+    * so the caller tries each in order.
+    */
+  private def metaPrescanCharsets(uncommented: String): List[String] = {
     val lower = uncommented.toLowerCase(java.util.Locale.ROOT)
+    val out = List.newBuilder[String]
     var from = 0
-    while (true) {
-      val at = lower.indexOf("<meta", from)
-      if (at < 0) return None
+    var at = lower.indexOf("<meta", from)
+    while (at >= 0) {
       val tail = at + 5
       // "<meta" must end the tag name: whitespace or / closes it
       if (tail < uncommented.length &&
@@ -356,18 +360,19 @@ object Ingest {
            uncommented(tail) == '\f' || uncommented(tail) == '/')) {
         val attrs = metaAttrs(uncommented.substring(tail))
         attrs.get("charset").filter(_.nonEmpty) match {
-          case some @ Some(_) => return some
+          case Some(label) => out += label
           case None =>
             if (attrs.get("http-equiv").exists(_.equalsIgnoreCase("content-type")))
               attrs.get("content").foreach { c =>
                 val m = charsetParamRe.matcher(c)
-                if (m.find()) return Some(m.group(1))
+                if (m.find()) out += m.group(1)
               }
         }
       }
       from = tail
+      at = lower.indexOf("<meta", from)
     }
-    None
+    out.result()
   }
 
   /** The charset an HTTP body decodes under — the WHATWG sniff reduced to
@@ -404,7 +409,8 @@ object Ingest {
       // the WHATWG prescan SKIPS comments — a commented-out
       // <meta charset=…> must not select the encoding
       val uncommented = win.replaceAll("(?s)<!--.*?(-->|$)", " ")
-      metaPrescanCharset(uncommented).flatMap(lookup(_, fromMeta = true))
+      metaPrescanCharsets(uncommented).iterator
+        .flatMap(lookup(_, fromMeta = true)).nextOption()
         .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
     }
   }

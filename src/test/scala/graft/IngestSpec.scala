@@ -250,6 +250,10 @@ class IngestSpec extends AnyFunSuite {
     assert(cs(Some("text/plain; charset=utf-16be"), Array[Byte]()) == "UTF-16BE")
     // <metax …> is not a meta tag
     assert(cs(None, "<metax charset=gbk>".getBytes(UTF_8)) == "UTF-8")
+    // an unresolvable label does NOT end the prescan (WHATWG: failure to
+    // get an encoding continues scanning) — the next declaration wins
+    val bogusThenReal = "<meta charset=bogus><meta charset=gbk>".getBytes(UTF_8)
+    assert(cs(None, bogusThenReal) == "GBK")
     // an UNCLOSED comment swallows the rest of the window
     val unclosed = "<!-- <meta charset=gbk>".getBytes(UTF_8)
     assert(cs(None, unclosed) == "UTF-8")
