@@ -42,6 +42,15 @@ object RequestApi {
       case "pedestrian" => 250000.0
       case _ => 5000000.0
     }
+    /** `max_matrix_distance` rows of the generated config
+      * (valhalla_build_tiles_simple.cpp:106-111).
+      */
+    def maxMatrixDistanceM(costing: String): Double = costing match {
+      case "bicycle" | "pedestrian" => 200000.0
+      case _ => 400000.0
+    }
+    /** `max_exclude_locations` (valhalla_build_tiles_simple.cpp:123). */
+    final val MaxExcludeLocations = 50
   }
 
   def dispatch(h: RouterHandle, action: String, json: String): String = {
@@ -117,6 +126,8 @@ object RequestApi {
     // Valhalla's exclude_locations: road points the route must not pass
     // through (each snaps to its nearest node; endpoints exempt)
     val excl = locations(req, "exclude_locations")
+    if (excl.length > ServiceLimits.MaxExcludeLocations)
+      return err(s"Exceeded max avoid locations of ${ServiceLimits.MaxExcludeLocations}")
     // multi-stop: one leg per consecutive location pair — the reference's
     // response decoder loops over trip.legs[] (wrapper.cpp:204-221), so the
     // leg-per-waypoint shape is part of the surface, not an extension
@@ -165,6 +176,12 @@ object RequestApi {
     if (srcs.length.toLong * dsts.length > ServiceLimits.MatrixMaxPairs)
       return err("Sources to targets exceeded the max location pairs of " +
         s"${ServiceLimits.MatrixMaxPairs}")
+    // loki's pre-search max_matrix_distance: the straight-line distance of
+    // every source→target pair is bounded before any graph work
+    val maxBeeline = (for (s <- srcs; t <- dsts) yield
+      graft.geo.Geo.haversineM(s._1, s._2, t._1, t._2)).maxOption.getOrElse(0.0)
+    if (maxBeeline > ServiceLimits.maxMatrixDistanceM(costing))
+      return err("Path distance exceeds the max distance limit")
     val g = h.requireGraph(costing)
     val entries = RoutingOps.matrixEntries(g,
       srcs.map(_._1), srcs.map(_._2), dsts.map(_._1), dsts.map(_._2))

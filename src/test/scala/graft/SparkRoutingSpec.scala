@@ -207,6 +207,21 @@ class SparkRoutingSpec extends AnyFunSuite {
     assert(!graft.routing.RequestApi.dispatch(h, "route",
       """{"locations": [{"lat": 43.7, "lon": 7.4}, {"lat": 46.5, "lon": 7.4}],
         | "costing": "auto"}""".stripMargin).contains("max distance"))
+    // matrix: max_matrix_distance (400 km auto, 200 km bicycle) also
+    // rejects pre-search on the worst source→target beeline
+    isErr(graft.routing.RequestApi.dispatch(h, "sources_to_targets",
+      """{"sources": [{"lat": 43.7, "lon": 7.4}],
+        | "targets": [{"lat": 47.5, "lon": 7.4}], "costing": "auto"}""".stripMargin),
+      "max distance")
+    isErr(graft.routing.RequestApi.dispatch(h, "sources_to_targets",
+      """{"sources": [{"lat": 43.7, "lon": 7.4}],
+        | "targets": [{"lat": 45.6, "lon": 7.4}], "costing": "bicycle"}""".stripMargin),
+      "max distance")
+    // max_exclude_locations: 51 avoid points answer on the error channel
+    val excl51 = (0 until 51).map(loc).mkString("[", ",", "]")
+    isErr(graft.routing.RequestApi.dispatch(h, "route",
+      s"""{"locations": [${loc(0)}, ${loc(99)}], "costing": "auto",
+         | "exclude_locations": $excl51}""".stripMargin), "max avoid locations")
   }
 
   test("request API: isochrone GeoJSON contour response matches the wrapper " +
