@@ -51,6 +51,10 @@ object RequestApi {
     }
     /** `max_exclude_locations` (valhalla_build_tiles_simple.cpp:123). */
     final val MaxExcludeLocations = 50
+    /** skadi `max_shape` — the height action's point cap
+      * (valhalla_build_tiles_simple.cpp:119).
+      */
+    final val HeightMaxShape = 750000
   }
 
   def dispatch(h: RouterHandle, action: String, json: String): String = {
@@ -330,6 +334,8 @@ object RequestApi {
   private def height(req: JValue): String = {
     val pts = shapePoints(req)
     if (pts.isEmpty) return err("height requires shape points")
+    if (pts.length > ServiceLimits.HeightMaxShape)
+      return err(s"Exceeded max shape of ${ServiceLimits.HeightMaxShape} points")
     val sampler = RoutingContext.elevation
     // NaN = "no data at this point" (raster sampler over a missing/void
     // tile) — rendered as JSON null per point, like Valhalla over a

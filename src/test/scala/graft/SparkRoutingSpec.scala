@@ -222,6 +222,14 @@ class SparkRoutingSpec extends AnyFunSuite {
     isErr(graft.routing.RequestApi.dispatch(h, "route",
       s"""{"locations": [${loc(0)}, ${loc(99)}], "costing": "auto",
          | "exclude_locations": $excl51}""".stripMargin), "max avoid locations")
+    // skadi max_shape: height rejects >750000 points (via encoded_polyline
+    // to keep the request JSON bounded)
+    val heightPts = Array.tabulate(750001)(i =>
+      (GridFixture.latOf(i % 100), GridFixture.lonOf(i % 100))).toSeq
+    val heightEnc = graft.geo.Polyline.encode(heightPts, precision = 6)
+    isErr(graft.routing.RequestApi.dispatch(h, "height",
+      s"""{"encoded_polyline": "${heightEnc.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""),
+      "max shape")
   }
 
   test("request API: isochrone GeoJSON contour response matches the wrapper " +
