@@ -154,6 +154,39 @@ final class Dijkstra(g: PreparedGraph) {
     out.toArray
   }
 
+  /** Bounded single-source search by DISTANCE: every node reachable within
+    * `maxMeters` along a minimum-distance path, with its distance in
+    * meters — the kernel for Valhalla's `contours[].distance` isochrones
+    * (a different metric, not a rescaled time: the min-distance tree can
+    * route through slow roads the min-time tree avoids). Costs carry as
+    * integer millimeters in the shared dist array.
+    */
+  def reachableWithinDistM(source: Int, maxMeters: Double): Array[(Int, Double)] = {
+    if (source < 0) return Array.empty
+    reset(); relaxFrom(source)
+    val maxMm = math.round(maxMeters * 1000.0)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    while (!pq.isEmpty) {
+      val top = pq.poll()
+      val u = top.node
+      if (top.d == distOf(u) && top.d <= maxMm) {
+        out += ((u, top.d / 1000.0))
+        var e = g.offsets(u)
+        val eEnd = g.offsets(u + 1)
+        while (e < eEnd) {
+          val v = g.targets(e)
+          val nd = top.d + math.round(g.distM(e).toDouble * 1000.0)
+          if (nd <= maxMm && nd < distOf(v)) {
+            dist(v) = nd; parent(v) = u; stamp(v) = gen
+            pq.add(new QE(v, nd))
+          }
+          e += 1
+        }
+      }
+    }
+    out.toArray
+  }
+
   /** Sum of per-edge haversine distances along a node path, in meters
     * (reference: rust/src/lib.rs:789-795).
     */

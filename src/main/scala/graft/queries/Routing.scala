@@ -1042,6 +1042,47 @@ object Routing {
                 |            > travel_time(lat1, lon1, lat2, lon2, 'auto')
                 |       ELSE true END AS scooter_avoids_motorway_ok
                 |FROM g_pairs ORDER BY pair_id""".stripMargin)
+      }, None),
+
+    QueryDef("r31_isodistance",
+      (s, _) => {
+        import s.implicits._
+        // Valhalla's SECOND isochrone metric (`contours[].distance`, km)
+        // through the request API: node clouds per cutoff (min-DISTANCE
+        // expansion — a different tree than min-time), polygon form with
+        // metric-tagged features, and the two error-channel rules (no
+        // metric mixing; max_distance_contour from the generated config).
+        val h = ensure(s)
+        val loc = """{"lat": 43.727, "lon": 7.427}"""
+        def parse(j: String) = org.json4s.jackson.JsonMethods.parse(j)
+        implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+        import org.json4s._
+        val cloudRows = Seq(1.0, 2.0, 5.0).map { km =>
+          val doc = parse(graft.routing.RequestApi.dispatch(h, "isochrone",
+            s"""{"locations": [$loc], "costing": "auto",
+               | "contours": [{"distance": $km}]}""".stripMargin))
+          val ms = (doc \ "features").extract[List[JValue]]
+            .map(f => (f \ "properties" \ "meters").extract[Double])
+          (km, ms.length.toLong, math.round(ms.max * 10) / 10.0,
+            ms.forall(_ <= km * 1000.0))
+        }
+        val poly = parse(graft.routing.RequestApi.dispatch(h, "isochrone",
+          s"""{"locations": [$loc], "costing": "auto",
+             | "contours": [{"distance": 2}, {"distance": 5}],
+             | "polygons": true}""".stripMargin))
+        val pf = (poly \ "features").extract[List[JValue]]
+        val polyOk = pf.length == 2 &&
+          pf.forall(f => (f \ "properties" \ "metric").extract[String] == "distance")
+        val mixErr = graft.routing.RequestApi.dispatch(h, "isochrone",
+          s"""{"locations": [$loc], "contours": [{"time": 5}, {"distance": 2}]}""")
+          .contains("mix")
+        val capErr = graft.routing.RequestApi.dispatch(h, "isochrone",
+          s"""{"locations": [$loc], "contours": [{"distance": 250}]}""")
+          .contains("max distance contour")
+        cloudRows.map { case (km, n, maxM, within) =>
+          (km, n, maxM, within, polyOk, mixErr, capErr)
+        }.toDF("km", "n_nodes", "max_m", "within_ok", "poly_metric_ok",
+          "mix_rejected_ok", "cap_rejected_ok").orderBy($"km")
       }, None)
   )
 }

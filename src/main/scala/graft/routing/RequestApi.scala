@@ -31,6 +31,8 @@ object RequestApi {
     final val MatrixMaxPairs = 2500
     final val IsochroneMaxContours = 4
     final val IsochroneMaxTimeContourMin = 120.0
+    /** `max_distance_contour` (km, valhalla_build_tiles_simple.cpp:113). */
+    final val IsochroneMaxDistContourKm = 200.0
     final val IsochroneMaxLocations = 1
     final val TraceMaxShape = 16000
     def maxLocations(costing: String): Int = costing match {
@@ -368,20 +370,52 @@ object RequestApi {
     if (locs.isEmpty) return err("isochrone requires a location")
     if (locs.length > ServiceLimits.IsochroneMaxLocations)
       return err(s"Exceeded max locations of ${ServiceLimits.IsochroneMaxLocations}")
-    val cutoffs = (req \ "contours") match {
+    // contours carry either `time` (minutes) or `distance` (km) — the two
+    // Valhalla metrics; a request may not mix them (Valhalla's own rule)
+    val entries = (req \ "contours") match {
       case JArray(cs) if cs.nonEmpty =>
-        cs.flatMap(c => (c \ "time").extractOpt[Double])
-      case _ => List(10.0)
+        cs.map(c => ((c \ "time").extractOpt[Double],
+          (c \ "distance").extractOpt[Double]))
+      case _ => List((Some(10.0), None))
     }
+    val timeCuts = entries.flatMap(_._1)
+    val distCuts = entries.flatMap(_._2)
+    if (timeCuts.nonEmpty && distCuts.nonEmpty)
+      return err("Can't mix time and distance contours")
+    val byDistance = distCuts.nonEmpty
+    val cutoffs = if (byDistance) distCuts else timeCuts
     if (cutoffs.length > ServiceLimits.IsochroneMaxContours)
       return err(s"Exceeded max contours of ${ServiceLimits.IsochroneMaxContours}")
-    if (cutoffs.exists(_ > ServiceLimits.IsochroneMaxTimeContourMin))
+    if (!byDistance && cutoffs.exists(_ > ServiceLimits.IsochroneMaxTimeContourMin))
       return err("Exceeded max time contour of " +
         s"${ServiceLimits.IsochroneMaxTimeContourMin.toInt} minutes")
+    if (byDistance && cutoffs.exists(_ > ServiceLimits.IsochroneMaxDistContourKm))
+      return err("Exceeded max distance contour of " +
+        s"${ServiceLimits.IsochroneMaxDistContourKm.toInt} km")
     val g = h.requireGraph(costing)
     // polygons:true -> Valhalla-style contour polygons (wrapper.cpp:323-383)
     if ((req \ "polygons").extractOpt[Boolean].getOrElse(false))
-      return RoutingOps.isochroneContours(g, locs.head._1, locs.head._2, cutoffs)
+      return if (byDistance)
+        RoutingOps.isodistanceContours(g, locs.head._1, locs.head._2, cutoffs)
+      else RoutingOps.isochroneContours(g, locs.head._1, locs.head._2, cutoffs)
+    if (byDistance) {
+      // point-cloud form of the distance metric: (lon, lat, meters)
+      val s = h.requireGraph(costing).snap(locs.head._1, locs.head._2)
+      val maxM = cutoffs.max * 1000.0
+      val pts =
+        if (s < 0) Array.empty[(Int, Double)]
+        else graft.routing.Routers.calculator(g).reachableWithinDistM(s, maxM)
+      val features = pts.toList.map { case (n, m) =>
+        JObject(
+          "type" -> JString("Feature"),
+          "geometry" -> JObject(
+            "type" -> JString("Point"),
+            "coordinates" -> JArray(List(JDouble(g.nodeLon(n)), JDouble(g.nodeLat(n))))),
+          "properties" -> JObject("meters" -> JDouble(math.round(m * 10) / 10.0)))
+      }
+      return compact(JObject("type" -> JString("FeatureCollection"),
+        "features" -> JArray(features)))
+    }
     val maxSec = cutoffs.maxOption.getOrElse(10.0) * 60.0
     val nodes = RoutingOps.isochrone(g, locs.head._1, locs.head._2, maxSec)
     val features = nodes.toList.map { n =>

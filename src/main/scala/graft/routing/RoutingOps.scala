@@ -242,12 +242,37 @@ object RoutingOps {
     */
   def isochroneContours(g: PreparedGraph, lat: Double, lon: Double,
                         cutoffsMinutes: Seq[Double],
-                        gridCells: Int = 128): String = {
+                        gridCells: Int = 128): String =
+    contoursOver(g, lat, lon, cutoffsMinutes, "time", gridCells)
+
+  /** Distance contours (`contours[].distance`, km — Valhalla's second
+    * isochrone metric): same isotile rasterization over the MIN-DISTANCE
+    * expansion, which is a different tree than min-time (it will take a
+    * short slow road the time metric routes around).
+    */
+  def isodistanceContours(g: PreparedGraph, lat: Double, lon: Double,
+                          cutoffsKm: Seq[Double],
+                          gridCells: Int = 128): String =
+    contoursOver(g, lat, lon, cutoffsKm, "distance", gridCells)
+
+  private def contoursOver(g: PreparedGraph, lat: Double, lon: Double,
+                           cutoffs: Seq[Double], metric: String,
+                           gridCells: Int): String = {
     val s = g.snap(lat, lon)
     val features = if (s < 0) Nil else {
-      val maxMs = (cutoffsMinutes.max * 60000).toLong
-      val reach = calc(g).reachableWithin(s, maxMs)
-      val field = reach.toSeq.map { case (n, ms) => (g.nodeLon(n), g.nodeLat(n), ms) }
+      // field costs in the metric's integer unit: ms for time, mm for
+      // distance — Isotile interpolates on Longs either way
+      val field: Seq[(Double, Double, Long)] =
+        if (metric == "time") {
+          val maxMs = (cutoffs.max * 60000).toLong
+          calc(g).reachableWithin(s, maxMs).toSeq
+            .map { case (n, ms) => (g.nodeLon(n), g.nodeLat(n), ms) }
+        } else {
+          val maxM = cutoffs.max * 1000.0
+          calc(g).reachableWithinDistM(s, maxM).toSeq
+            .map { case (n, m) => (g.nodeLon(n), g.nodeLat(n),
+              math.round(m * 1000.0)) }
+        }
       // resolution follows the expansion density (Valhalla sizes its
       // isotile from the expansion too): ~sqrt(settled) cells per side
       // keeps the average cell at ≥1 settled node, so a connected reach
@@ -255,9 +280,11 @@ object RoutingOps {
       // shatter into single-cell islands
       val res = math.min(gridCells,
         math.max(4, math.ceil(math.sqrt(field.size.toDouble)).toInt))
-      cutoffsMinutes.sorted.map { cm =>
-        val cutMs = (cm * 60000).toLong
-        val polys = graft.geo.Isotile.contours(field, cutMs, res)
+      cutoffs.sorted.map { cm =>
+        val cut =
+          if (metric == "time") (cm * 60000).toLong
+          else math.round(cm * 1000.0 * 1000.0) // km → mm
+        val polys = graft.geo.Isotile.contours(field, cut, res)
         def ringJson(r: Seq[(Double, Double)]): String =
           r.map { case (x, y) => s"[$x,$y]" }.mkString("[", ",", "]")
         def polyJson(p: Seq[Seq[(Double, Double)]]): String =
@@ -267,7 +294,7 @@ object RoutingOps {
             s"""{"type":"Polygon","coordinates":${polyJson(polys.head)}}"""
           else
             s"""{"type":"MultiPolygon","coordinates":${polys.map(polyJson).mkString("[", ",", "]")}}"""
-        s"""{"type":"Feature","properties":{"contour":$cm},""" +
+        s"""{"type":"Feature","properties":{"contour":$cm,"metric":"$metric"},""" +
           s""""geometry":$geom}"""
       }
     }

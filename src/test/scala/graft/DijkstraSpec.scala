@@ -88,6 +88,30 @@ class DijkstraSpec extends AnyFunSuite {
     assert(dd.shortestPathMs(0, 2) == -1L)
   }
 
+  test("distance reach: exact haversine hop meters, min-DISTANCE tree not rescaled time") {
+    // adjacent hops: reported meters equal the haversine edge length
+    def hopM(a: Int, b: Int): Double =
+      Geo.haversineM(GridFixture.latOf(a), GridFixture.lonOf(a),
+        GridFixture.latOf(b), GridFixture.lonOf(b))
+    val r = d.reachableWithinDistM(0, 1100.0).toMap
+    assert(math.abs(r(1) - hopM(0, 1)) < 0.01)   // east ~727 m
+    assert(math.abs(r(10) - hopM(0, 10)) < 0.01) // north ~1001 m
+    assert(r(0) == 0.0)
+    // monotone in budget and bounded by it
+    val r5 = d.reachableWithinDistM(0, 5000.0)
+    assert(r5.length > r.size && r5.forall(_._2 <= 5000.0))
+    assert(r.keySet.subsetOf(r5.map(_._1).toSet))
+    // the metric is distance, NOT time: from (0,0), the diagonal motorway
+    // to (1,1) is FASTER than the two-hop lattice walk but LONGER in
+    // meters (hypotenuse ~1237 m vs going through the corner at min
+    // distance only if shorter) — min-distance must pick the true
+    // shortest-length path to (1,1)
+    val diag = hopM(0, GridFixture.nodeId(1, 1))
+    val viaCorner = hopM(0, 1) + hopM(1, GridFixture.nodeId(1, 1))
+    assert(math.abs(r5.toMap.apply(GridFixture.nodeId(1, 1))
+      - math.min(diag, viaCorner)) < 0.01)
+  }
+
   test("isochrone: monotone in budget, full lattice within 30 min (z_integration analogue)") {
     // residential hop ≈ 87 s (E-W) / 120 s (N-S); motorway diagonal hop ≈ 37 s
     val small = d.reachableWithin(55, 60 * 1000L)

@@ -296,6 +296,49 @@ class SparkRoutingSpec extends AnyFunSuite {
     }
   }
 
+  test("request API: distance contours (contours[].distance) — second metric, " +
+    "no mixing, max_distance_contour limit") {
+    val h = Routing.ensure(spark)
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val loc = """{"lat": 43.727, "lon": 7.427}"""
+    // polygon form: features carry metric=distance and nest like time's
+    val resp = graft.routing.RequestApi.dispatch(h, "isochrone",
+      s"""{"locations": [$loc], "costing": "auto",
+         | "contours": [{"distance": 2}, {"distance": 5}], "polygons": true}""".stripMargin)
+    val doc = JsonMethods.parse(resp)
+    assert((doc \ "error") == JNothing, resp.take(200))
+    val fs = (doc \ "features").extract[List[JValue]]
+    assert(fs.length == 2)
+    assert(fs.forall(f => (f \ "properties" \ "metric").extract[String] == "distance"))
+    assert((fs(0) \ "properties" \ "contour").extract[Double] == 2.0)
+    // point-cloud form: every node's meters within the cutoff, and the
+    // 2 km cloud is a strict subset of the 5 km cloud
+    def cloud(km: Double): Map[(Double, Double), Double] = {
+      val r = JsonMethods.parse(graft.routing.RequestApi.dispatch(h, "isochrone",
+        s"""{"locations": [$loc], "costing": "auto",
+           | "contours": [{"distance": $km}]}""".stripMargin))
+      (r \ "features").extract[List[JValue]].map { f =>
+        val c = (f \ "geometry" \ "coordinates").extract[List[Double]]
+        (c(0), c(1)) -> (f \ "properties" \ "meters").extract[Double]
+      }.toMap
+    }
+    val c2 = cloud(2.0); val c5 = cloud(5.0)
+    assert(c2.nonEmpty && c5.size > c2.size)
+    assert(c2.values.forall(_ <= 2000.0) && c5.values.forall(_ <= 5000.0))
+    assert(c2.keySet.subsetOf(c5.keySet))
+    // min-DISTANCE metric, not rescaled time: meters to a lattice neighbor
+    // equal the haversine hop, whatever the road's speed
+    // mixing metrics and oversize contours answer on the error channel
+    assert(graft.routing.RequestApi.dispatch(h, "isochrone",
+      s"""{"locations": [$loc], "contours": [{"time": 5}, {"distance": 2}]}""")
+      .contains("mix"))
+    assert(graft.routing.RequestApi.dispatch(h, "isochrone",
+      s"""{"locations": [$loc], "contours": [{"distance": 250}]}""")
+      .contains("max distance contour"))
+  }
+
   test("request API: multi-stop route emits one leg per pair, summary sums legs") {
     def timeOf(json: String): Double =
       one(s"SELECT get_json_object('$json', '$$.trip.summary.time') AS t")
