@@ -1,6 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** min-of-2, plus a third sample when the first two disagree by >2x:
+    * driver bench windows share the machine with other round work, and a
+    * single noisy sample has produced 2-8x phantom regressions (r7/r8
+    * verdicts); a third draw makes the min robust to one bad window.
+    * -1 is the "query threw" sentinel, so a failing THIRD sample must not
+    * poison the min when both primary samples succeeded — only a primary
+    * failure marks the query failed.
+    */
+  private[graft] def robustMin(a: Double, b: Double, third: () => Double): Double =
+    if (a >= 0 && b >= 0 && math.max(a, b) > 2 * math.min(a, b)) {
+      val c = third()
+      if (c >= 0) math.min(math.min(a, b), c) else math.min(a, b)
+    } else math.min(a, b)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // local[32] is the contract bench shape; the env var only narrows it
@@ -31,16 +45,7 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      // min-of-2, plus a third sample when the first two disagree by >2x:
-      // driver bench windows share the machine with other round work, and a
-      // single noisy sample has produced 2-8x phantom regressions (r7/r8
-      // verdicts); a third draw makes the min robust to one bad window
-      val a = once(); val b = once()
-      val best =
-        if (a >= 0 && b >= 0 && math.max(a, b) > 2 * math.min(a, b))
-          math.min(math.min(a, b), once())
-        else math.min(a, b)
-      val r = name -> best
+      val r = name -> robustMin(once(), once(), () => once())
       // Operators persist intermediates (dup-collapse reps, shingle sets,
       // IVF work frames) for the duration of THEIR job; across a
       // 137-query suite the leftover blocks accumulate into cache/GC

@@ -171,6 +171,14 @@ object Tiled {
     val grid = TileGrid(minLat, minLon,
       math.max(1e-9, (maxLat - minLat) / cells), math.max(1e-9, (maxLon - minLon) / cells),
       cells)
+    // invalidate any previous sidecar BEFORE touching the parquet layout: a
+    // rebuild that crashes after the parquet writes but before the sidecar
+    // rewrite must leave load() on the (fresh, correct) parquet path, never
+    // on a stale overlay.bin that silently wins over it
+    val outFs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    outFs.delete(new org.apache.hadoop.fs.Path(s"$outDir/overlay.bin"), false): Unit
+    outFs.delete(new org.apache.hadoop.fs.Path(s"$outDir/overlay.stamp"), false): Unit
 
     def tileExpr(latC: org.apache.spark.sql.Column, lonC: org.apache.spark.sql.Column) = {
       val ti = least(lit(cells - 1), greatest(lit(0),
@@ -296,8 +304,11 @@ object Tiled {
     Seq((grid.minLat, grid.minLon, grid.cellLat, grid.cellLon, grid.cells))
       .toDF("min_lat", "min_lon", "cell_lat", "cell_lon", "cells")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/grid")
-    val outFs = new org.apache.hadoop.fs.Path(outDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the stamp belongs to the parquet phase: load() cross-checks the
+    // sidecar's embedded fingerprint against it, so a sidecar from any
+    // OTHER build generation can never win over this parquet layout
+    saveOverlayStamp(outFs, outDir,
+      overlayFingerprint(grid, bIds, bTiles, bLat, bLon, triples))
     if (ov.ch != null) {
       ChStore.saveStream(
         outFs.create(new org.apache.hadoop.fs.Path(s"$outDir/overlay_ch.bin"), true),
@@ -319,11 +330,73 @@ object Tiled {
     */
   private final val OverlayBinMagic = 0x47524f56 // "GROV"
   private final val OverlayBinVersion = 1
+  // the count bounds a sidecar is allowed to carry — SHARED by save and
+  // load: an oversized overlay is never written (the parquet path is the
+  // contract there), so load can't loop on reject→self-heal-rewrite→reject
+  private final val MaxSidecarNodes = 1 << 24
+  private final val MaxSidecarTriples = 1 << 27
+  /** Bumped when the load path changes materially — r24's first-query gate
+    * stamps its clean measurement keyed to this token, so a stamped pass
+    * can't keep the gate green across a load-path rewrite. */
+  private[graft] final val LoadCodeToken = "ld2"
 
+  /** Order-sensitive FNV-1a over the overlay payload: binds one build
+    * generation's sidecar to the stamp written with the SAME generation's
+    * parquet (determinism across builds is not required — only that a
+    * sidecar and stamp from different generations can never match). */
+  private[graph] def overlayFingerprint(grid: TileGrid, bIds: Array[Long],
+      bTiles: Array[Int], bLat: Array[Double], bLon: Array[Double],
+      triples: Array[(Int, Int, Int)]): Long = {
+    var h = 0xcbf29ce484222325L
+    def mix(v: Long): Unit = { h ^= v; h *= 0x100000001b3L }
+    mix(java.lang.Double.doubleToLongBits(grid.minLat))
+    mix(java.lang.Double.doubleToLongBits(grid.minLon))
+    mix(java.lang.Double.doubleToLongBits(grid.cellLat))
+    mix(java.lang.Double.doubleToLongBits(grid.cellLon))
+    mix(grid.cells.toLong); mix(bIds.length.toLong); mix(triples.length.toLong)
+    bIds.foreach(mix); bTiles.foreach(t => mix(t.toLong))
+    bLat.foreach(v => mix(java.lang.Double.doubleToLongBits(v)))
+    bLon.foreach(v => mix(java.lang.Double.doubleToLongBits(v)))
+    triples.foreach { t =>
+      mix(t._1.toLong); mix(t._2.toLong); mix(t._3.toLong)
+    }
+    h
+  }
+
+  private def saveOverlayStamp(fs: org.apache.hadoop.fs.FileSystem,
+                               dir: String, fp: Long): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/overlay.stamp"), true)
+    try out.write(java.lang.Long.toHexString(fp)
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    finally out.close()
+  }
+
+  private def loadOverlayStamp(fs: org.apache.hadoop.fs.FileSystem,
+                               dir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/overlay.stamp")
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val bytes = try in.readAllBytes() finally in.close()
+        val s = new String(bytes, java.nio.charset.StandardCharsets.US_ASCII).trim
+        Some(java.lang.Long.parseUnsignedLong(s, 16))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Returns false (writing nothing) when the overlay exceeds the sidecar
+    * count bounds — load would reject it anyway, and a build must not ship
+    * a file every load rejects and then wastes a full rewrite re-creating.
+    * The payload fingerprint is appended AFTER the v1 layout: pre-stamp
+    * layouts (no trailing long, no stamp file) still load on the fast path.
+    */
   private def saveOverlayBin(fs: org.apache.hadoop.fs.FileSystem, path: String,
                              grid: TileGrid, bIds: Array[Long], bTiles: Array[Int],
                              bLat: Array[Double], bLon: Array[Double],
-                             triples: Array[(Int, Int, Int)]): Unit = {
+                             triples: Array[(Int, Int, Int)]): Boolean = {
+    if (bIds.length > MaxSidecarNodes || triples.length > MaxSidecarTriples)
+      return false
     val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
       fs.create(new org.apache.hadoop.fs.Path(path), true), 1 << 16))
     try {
@@ -336,12 +409,14 @@ object Tiled {
       bLat.foreach(out.writeDouble); bLon.foreach(out.writeDouble)
       out.writeInt(triples.length)
       triples.foreach { t => out.writeInt(t._1); out.writeInt(t._2); out.writeInt(t._3) }
+      out.writeLong(overlayFingerprint(grid, bIds, bTiles, bLat, bLon, triples))
     } finally out.close()
+    true
   }
 
   private def loadOverlayBin(fs: org.apache.hadoop.fs.FileSystem, path: String)
       : Option[(TileGrid, Array[Long], Array[Int], Array[Double], Array[Double],
-                Array[(Int, Int, Int)])] = {
+                Array[(Int, Int, Int)], Option[Long])] = {
     val p = new org.apache.hadoop.fs.Path(path)
     if (!fs.exists(p)) return None
     val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
@@ -354,15 +429,18 @@ object Tiled {
       val nb = in.readInt()
       // corrupt count fields would NegativeArraySize/OOM before any read
       // throws — bound them by what the stream could possibly hold
-      if (nb < 0 || nb > (1 << 24)) return None
+      if (nb < 0 || nb > MaxSidecarNodes) return None
       val bIds = Array.fill(nb)(in.readLong())
       val bTiles = Array.fill(nb)(in.readInt())
       val bLat = Array.fill(nb)(in.readDouble())
       val bLon = Array.fill(nb)(in.readDouble())
       val m = in.readInt()
-      if (m < 0 || m > (1 << 27)) return None
+      if (m < 0 || m > MaxSidecarTriples) return None
       val triples = Array.fill(m)((in.readInt(), in.readInt(), in.readInt()))
-      Some((grid, bIds, bTiles, bLat, bLon, triples))
+      // trailing fingerprint — absent on pre-stamp sidecars (EOF here is a
+      // legacy layout, not corruption; the payload above read completely)
+      val fp = try Some(in.readLong()) catch { case _: java.io.EOFException => None }
+      Some((grid, bIds, bTiles, bLat, bLon, triples, fp))
     } catch {
       // truncated/corrupt — the parquet path wins (EOF, negative-size and
       // allocation failures alike; corruption must degrade, never crash)
@@ -421,8 +499,16 @@ object Tiled {
     import spark.implicits._
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a stamp (written with the parquet phase) binds the sidecar to THIS
+    // build generation: a fingerprint mismatch — or a fingerprint-less
+    // legacy sidecar sitting beside a stamp — is a stale leftover from an
+    // interrupted rebuild and must lose to the fresh parquet
+    val stamp = loadOverlayStamp(fs, dir)
+    val fromSidecar = loadOverlayBin(fs, s"$dir/overlay.bin")
+      .filter { case (_, _, _, _, _, _, fp) => stamp.forall(s => fp.contains(s)) }
+      .map { case (g, a, b, c, d, t, _) => (g, a, b, c, d, t) }
     val (grid, bIds, bTiles, bLat, bLon, triples) =
-      loadOverlayBin(fs, s"$dir/overlay.bin").getOrElse {
+      fromSidecar.getOrElse {
         val g = spark.read.parquet(s"$dir/grid")
           .select($"min_lat", $"min_lon", $"cell_lat", $"cell_lon", $"cells")
           .as[(Double, Double, Double, Double, Int)].head()
@@ -435,12 +521,17 @@ object Tiled {
           .as[(Int, Int, Int)].collect().sorted
         val loaded = (TileGrid(g._1, g._2, g._3, g._4, g._5), nRows.map(_._2),
           nRows.map(_._3), nRows.map(_._4), nRows.map(_._5), ts)
-        // self-heal: upgrade a pre-sidecar layout in place so the NEXT load
-        // skips the DataFrame path (best-effort — a read-only dir just
-        // stays on the slow path)
-        try saveOverlayBin(fs, s"$dir/overlay.bin", loaded._1, loaded._2,
-          loaded._3, loaded._4, loaded._5, ts)
-        catch { case _: java.io.IOException => }
+        // self-heal: upgrade a pre-sidecar (or stale-sidecar) layout in
+        // place so the NEXT load skips the DataFrame path — sidecar and
+        // stamp re-derived together from the canonical parquet (best-effort;
+        // a read-only dir or an over-bounds overlay just stays on the slow
+        // path, with nothing written)
+        try {
+          if (saveOverlayBin(fs, s"$dir/overlay.bin", loaded._1, loaded._2,
+              loaded._3, loaded._4, loaded._5, ts))
+            saveOverlayStamp(fs, dir, overlayFingerprint(loaded._1, loaded._2,
+              loaded._3, loaded._4, loaded._5, ts))
+        } catch { case _: java.io.IOException => }
         loaded
       }
     val nb = bIds.length

@@ -303,15 +303,20 @@ object Ingest {
 
   /** One `<meta …>` tag's attributes as (lowercased name → value), parsed
     * with the WHATWG prescan's attribute rules (quoted or bare values,
-    * first occurrence of a name wins). `s` starts just past "<meta". */
-  private def metaAttrs(s: String): Map[String, String] = {
+    * first occurrence of a name wins), plus the index in `s` just past the
+    * consumed tag's closing '>' (or `s.length` when unterminated) — the
+    * prescan resumes THERE, so a `<meta` literal inside a quoted attribute
+    * value is never re-parsed as a real tag. `s` starts just past "<meta".
+    */
+  private def metaAttrs(s: String): (Map[String, String], Int) = {
     val out = scala.collection.mutable.Map.empty[String, String]
     var i = 0
     val n = s.length
     def ws(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+    def done = (out.toMap, if (i < n) i + 1 else n)
     while (i < n && s(i) != '>') {
       while (i < n && (ws(s(i)) || s(i) == '/')) i += 1
-      if (i >= n || s(i) == '>') return out.toMap
+      if (i >= n || s(i) == '>') return done
       val n0 = i
       while (i < n && !ws(s(i)) && s(i) != '=' && s(i) != '>' && s(i) != '/') i += 1
       val name = s.substring(n0, i).toLowerCase(java.util.Locale.ROOT)
@@ -334,7 +339,7 @@ object Ingest {
       }
       if (name.nonEmpty && !out.contains(name)) out(name) = value
     }
-    out.toMap
+    done
   }
 
   /** The WHATWG meta prescan's charset declarations over an (uncommented)
@@ -358,7 +363,7 @@ object Ingest {
           (uncommented(tail) == ' ' || uncommented(tail) == '\t' ||
            uncommented(tail) == '\n' || uncommented(tail) == '\r' ||
            uncommented(tail) == '\f' || uncommented(tail) == '/')) {
-        val attrs = metaAttrs(uncommented.substring(tail))
+        val (attrs, consumed) = metaAttrs(uncommented.substring(tail))
         attrs.get("charset").filter(_.nonEmpty) match {
           case Some(label) => out += label
           case None =>
@@ -368,8 +373,12 @@ object Ingest {
                 if (m.find()) out += m.group(1)
               }
         }
-      }
-      from = tail
+        // resume past the consumed tag's closing '>' (WHATWG: the prescan
+        // advances past the whole tag), not at the tag-name end — a <meta
+        // literal inside a quoted attribute value must not re-parse as a
+        // real tag and declare a bogus charset
+        from = tail + consumed
+      } else from = tail
       at = lower.indexOf("<meta", from)
     }
     out.result()

@@ -158,14 +158,20 @@ object Routing {
         System.err.println(s"[r24] load ${loadMs} ms, first query " +
           s"${firstQueryMs} ms (budget ${italyLoadBudgetMs} ms combined)")
         val freshOk = loadMs + firstQueryMs < italyLoadBudgetMs
-        val stampedOk = parts.length >= 4 &&
+        // a stamped pass only counts when it was measured under the SAME
+        // load code (Tiled.LoadCodeToken): without the token the stamp is
+        // sticky forever, and a later regression in Tiled.load could never
+        // re-fail the gate on a cached layout
+        val token = graft.graph.Tiled.LoadCodeToken
+        val stampedOk = parts.length >= 5 && parts(4) == token &&
           parts(2).toLongOption.zip(parts(3).toLongOption)
             .exists { case (l, q) => l + q < italyLoadBudgetMs }
-        // stamp the first clean measurement beside buildMs: once the layout
-        // has loaded within budget, a noisy later window can't re-fail it
-        if (freshOk && parts.length == 2)
+        // stamp (or re-stamp after a load-path change) the first clean
+        // measurement beside buildMs: once this load code has measured
+        // within budget, a noisy later window can't re-fail it
+        if (freshOk && !stampedOk)
           java.nio.file.Files.writeString(marker,
-            s"${parts(0)} ${parts(1)} $loadMs $firstQueryMs")
+            s"${parts(0)} ${parts(1)} $loadMs $firstQueryMs $token")
         italyCache = (router, parts(0).toLong,
           if (parts.length > 1) parts(1).toLong else -1L, freshOk || stampedOk)
       }

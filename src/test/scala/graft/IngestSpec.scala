@@ -244,6 +244,14 @@ class IngestSpec extends AnyFunSuite {
     val decoyThenReal = ("<meta name=d content=\"charset=koi8-r\">" +
       "<meta http-equiv=Content-Type content=\"text/html; charset=gbk\">").getBytes(UTF_8)
     assert(cs(None, decoyThenReal) == "GBK")
+    // the prescan resumes past the consumed tag's closing '>' (WHATWG): a
+    // '<meta' LITERAL inside a quoted attribute value is part of the
+    // consumed tag and must never re-parse as a real tag
+    val nested = "<meta name=x content=\"<meta charset=gbk>\">".getBytes(UTF_8)
+    assert(cs(None, nested) == "UTF-8")
+    val nestedThenReal = ("<meta name=x content=\"<meta charset=gbk>\">" +
+      "<meta charset=latin1>").getBytes(UTF_8)
+    assert(cs(None, nestedThenReal) == "windows-1252")
     // meta-declared UTF-16 is self-contradictory in a byte prescan → UTF-8
     // (HTML spec's extraction rule); header-declared UTF-16 is honored
     assert(cs(None, "<meta charset=utf-16>".getBytes(UTF_8)) == "UTF-8")

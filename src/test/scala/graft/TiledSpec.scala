@@ -205,6 +205,41 @@ class TiledSpec extends AnyFunSuite {
     check(Tiled.load(spark, dir))
   }
 
+  test("overlay sidecar: a stale sidecar from another build loses to the parquet") {
+    val g = GridFixture.prepared("auto")
+    val (nodes, edges) = dfsOf(g)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tiled-st").toString
+    // a DIFFERENT graph's layout stands in for the previous build
+    // generation: its sidecar is well-formed, loads cleanly, and would
+    // silently answer from the wrong overlay if it won
+    val g2 = GridFixture.lattice(12)
+    val (n2, e2) = dfsOf(g2)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-tiled-st2").toString
+    Tiled.build(spark, n2, e2, cells = 2, dir2): Unit
+    val built = Tiled.build(spark, nodes, edges, cells = 2, dir)
+    // simulate a rebuild into `dir` that crashed after the parquet phase
+    // but before the sidecar rewrite: an overlay.bin from another
+    // generation survives beside the fresh parquet + stamp; its embedded
+    // fingerprint can't match dir's stamp → load must answer from the
+    // parquet, identically to the fresh build
+    java.nio.file.Files.copy(java.nio.file.Paths.get(dir2, "overlay.bin"),
+      java.nio.file.Paths.get(dir, "overlay.bin"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    val loaded = Tiled.load(spark, dir)
+    assert(loaded.overlay.size == built.overlay.size,
+      "stale sidecar must not win over the parquet layout")
+    val rnd = new scala.util.Random(11)
+    (0 until 40).foreach { _ =>
+      val s = rnd.nextInt(g.numNodes); val t = rnd.nextInt(g.numNodes)
+      assert(loaded.travelTimeMs(g.nodeLat(s), g.nodeLon(s), g.nodeLat(t), g.nodeLon(t))
+        == built.travelTimeMs(g.nodeLat(s), g.nodeLon(s), g.nodeLat(t), g.nodeLon(t)))
+    }
+    // and the reject self-heals: the sidecar was rewritten from the parquet
+    // so the NEXT load takes the fast path with the correct payload
+    val healed = Tiled.load(spark, dir)
+    assert(healed.overlay.size == built.overlay.size)
+  }
+
   test("batch OD matrix over tiles == flat Dijkstra (120 pairs, 4x4 tiles)") {
     import spark.implicits._
     val g = GridFixture.lattice(40)
