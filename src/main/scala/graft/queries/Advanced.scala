@@ -1833,7 +1833,186 @@ object Advanced {
              |  min(CASE WHEN cum >= ceil(0.9 * n) THEN v END) AS p90,
              |  min(CASE WHEN cum >= ceil(0.99 * n) THEN v END) AS p99,
              |  min(v) AS min_ntoks, max(v) AS max_ntoks
-             |FROM c GROUP BY lang, n ORDER BY lang""".stripMargin))
+             |FROM c GROUP BY lang, n ORDER BY lang""".stripMargin)),
+
+    // -- incremental corpus refresh: keyed upsert/merge -----------------------
+    // The MERGE INTO shape a standing corpus needs per re-crawl: a delta of
+    // inserts / updates / tombstones / stale rows merges into the corpus by
+    // key, latest-version-wins, with a per-key action audit an ingest run
+    // asserts before committing the swap. ONE full-outer join co-partitioned
+    // on the key (a bucketed base skips its Exchange; the daily cost is a
+    // delta-sized shuffle). Delta branches are deterministic residue classes
+    // with explicit precedence, so every action arm is exercised and the
+    // oracle can rebuild the identical delta in SQL.
+    QueryDef("p93_upsert_merge",
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents").select($"doc_id", $"text")
+        val base = docs.withColumn("version", lit(1L))
+        val upd = docs.filter($"doc_id" % 7 === 0 && $"doc_id" % 13 =!= 3)
+          .select($"doc_id", concat($"text", lit(" [rev2]")).as("text"),
+            lit(2L).as("version"), lit(false).as("tomb"))
+        val tomb = docs.filter($"doc_id" % 13 === 3)
+          .select($"doc_id", lit("").as("text"), lit(2L).as("version"),
+            lit(true).as("tomb"))
+        val stale = docs.filter($"doc_id" % 11 === 5 && $"doc_id" % 13 =!= 3 &&
+            $"doc_id" % 7 =!= 0)
+          .select($"doc_id", lit("stale rewrite").as("text"),
+            lit(0L).as("version"), lit(false).as("tomb"))
+        val same = docs.filter($"doc_id" % 19 === 4 && $"doc_id" % 13 =!= 3 &&
+            $"doc_id" % 7 =!= 0 && $"doc_id" % 11 =!= 5)
+          .select($"doc_id", $"text", lit(2L).as("version"),
+            lit(false).as("tomb"))
+        val ins = docs.filter($"doc_id" % 17 === 2)
+          .select(($"doc_id" + 1000000L).as("doc_id"),
+            concat(lit("fresh crawl of "), $"doc_id".cast("string")).as("text"),
+            lit(2L).as("version"), lit(false).as("tomb"))
+        val delta = upd.unionByName(tomb).unionByName(stale)
+          .unionByName(same).unionByName(ins)
+        graft.ops.Incremental
+          .merge(base, delta, "doc_id", "version", "tomb", Seq("text"))
+          .select($"doc_id", $"action", $"version",
+            md5(coalesce($"text", lit(""))).as("digest"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, text, CAST(1 AS BIGINT) AS version FROM documents),
+             |delta AS (
+             |  SELECT doc_id, text || ' [rev2]' AS text,
+             |         CAST(2 AS BIGINT) AS version, FALSE AS tomb
+             |  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 13 <> 3
+             |  UNION ALL
+             |  SELECT doc_id, '', CAST(2 AS BIGINT), TRUE
+             |  FROM documents WHERE doc_id % 13 = 3
+             |  UNION ALL
+             |  SELECT doc_id, 'stale rewrite', CAST(0 AS BIGINT), FALSE
+             |  FROM documents
+             |  WHERE doc_id % 11 = 5 AND doc_id % 13 <> 3 AND doc_id % 7 <> 0
+             |  UNION ALL
+             |  SELECT doc_id, text, CAST(2 AS BIGINT), FALSE
+             |  FROM documents
+             |  WHERE doc_id % 19 = 4 AND doc_id % 13 <> 3 AND doc_id % 7 <> 0
+             |    AND doc_id % 11 <> 5
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, 'fresh crawl of ' || CAST(doc_id AS VARCHAR),
+             |         CAST(2 AS BIGINT), FALSE
+             |  FROM documents WHERE doc_id % 17 = 2),
+             |m AS (
+             |  SELECT coalesce(b.doc_id, dl.doc_id) AS doc_id,
+             |    CASE WHEN dl.version IS NULL THEN 'carry'
+             |         WHEN b.version IS NOT NULL AND dl.version < b.version
+             |           THEN 'stale_skip'
+             |         WHEN dl.tomb AND b.version IS NULL THEN 'noop_delete'
+             |         WHEN dl.tomb THEN 'delete'
+             |         WHEN b.version IS NULL THEN 'insert'
+             |         WHEN dl.text IS NOT DISTINCT FROM b.text THEN 'unchanged'
+             |         ELSE 'update' END AS action,
+             |    CASE WHEN dl.version IS NOT NULL
+             |              AND (b.version IS NULL OR dl.version >= b.version)
+             |         THEN dl.version ELSE b.version END AS version,
+             |    md5(coalesce(
+             |      CASE WHEN dl.version IS NOT NULL
+             |                AND (b.version IS NULL OR dl.version >= b.version)
+             |           THEN dl.text ELSE b.text END, '')) AS digest
+             |  FROM base b FULL OUTER JOIN delta dl USING (doc_id))
+             |SELECT doc_id, action, version, digest FROM m
+             |ORDER BY doc_id""".stripMargin)),
+
+    // -- delete propagation (legal removal through derived artifacts) --------
+    // A removal request names keys; the purge set expands to every exact
+    // duplicate of the offending CONTENT (digest expansion), then anti-joins
+    // through the corpus AND each derived artifact (here: the chunk table).
+    // Request and expansion are request-scale broadcasts; nothing
+    // corpus-scale shuffles — the anti-joins ride each artifact's scan. The
+    // audit's orphan row is the invariant a compliance run gates on.
+    QueryDef("p94_delete_propagation",
+      (s, d) => {
+        import s.implicits._
+        val corpus = t(s, d, "documents").select($"doc_id", $"text", $"n_chars")
+        val requests = corpus.filter($"doc_id" % 97 === 5).select($"doc_id")
+        val purge = graft.ops.Incremental
+          .expandDeletesByDigest(corpus, requests, "doc_id", md5($"text"))
+        val after = graft.ops.Incremental.applyDeletes(corpus, purge, "doc_id")
+        val chunks = corpus.select($"doc_id", explode(expr(
+          "sequence(0, greatest(cast(ceil(n_chars / 256.0) as int), 1) - 1)"))
+          .as("k"))
+        val chunksAfter = graft.ops.Incremental
+          .applyDeletes(chunks, purge, "doc_id")
+        val orphans = after.join(purge, Seq("doc_id")).select($"doc_id")
+          .unionByName(chunksAfter.join(purge, Seq("doc_id")).select($"doc_id"))
+        def stageN(stage: String, df: DataFrame) =
+          df.agg(count(lit(1)).as("n")).select(lit(stage).as("stage"), $"n")
+        stageN("a_requests", requests)
+          .unionByName(stageN("b_purge_keys", purge))
+          .unionByName(stageN("c_corpus_before", corpus))
+          .unionByName(stageN("d_corpus_after", after))
+          .unionByName(stageN("e_chunks_before", chunks))
+          .unionByName(stageN("f_chunks_after", chunksAfter))
+          .unionByName(stageN("g_orphans", orphans))
+          .unionByName(after.agg(coalesce(sum($"doc_id"), lit(0L)).as("n"))
+            .select(lit("h_survivor_id_sum").as("stage"), $"n"))
+          .orderBy($"stage")
+      },
+      Some("""WITH corpus AS (SELECT doc_id, text, n_chars FROM documents),
+             |req AS (SELECT doc_id FROM corpus WHERE doc_id % 97 = 5),
+             |bad_dig AS (
+             |  SELECT DISTINCT md5(text) AS dg FROM corpus JOIN req USING (doc_id)),
+             |purge AS (
+             |  SELECT DISTINCT doc_id FROM corpus
+             |  WHERE md5(text) IN (SELECT dg FROM bad_dig)),
+             |after AS (
+             |  SELECT * FROM corpus
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM purge)),
+             |chunks AS (
+             |  SELECT doc_id, unnest(range(0,
+             |    CAST(greatest(ceil(n_chars / 256.0), 1) AS BIGINT))) AS k
+             |  FROM corpus),
+             |chunks_after AS (
+             |  SELECT * FROM chunks
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM purge))
+             |SELECT 'a_requests' AS stage, CAST(count(*) AS BIGINT) AS n FROM req
+             |UNION ALL SELECT 'b_purge_keys', CAST(count(*) AS BIGINT) FROM purge
+             |UNION ALL SELECT 'c_corpus_before', CAST(count(*) AS BIGINT) FROM corpus
+             |UNION ALL SELECT 'd_corpus_after', CAST(count(*) AS BIGINT) FROM after
+             |UNION ALL SELECT 'e_chunks_before', CAST(count(*) AS BIGINT) FROM chunks
+             |UNION ALL SELECT 'f_chunks_after', CAST(count(*) AS BIGINT) FROM chunks_after
+             |UNION ALL SELECT 'g_orphans',
+             |  (SELECT CAST(count(*) AS BIGINT) FROM after JOIN purge USING (doc_id))
+             |  + (SELECT CAST(count(*) AS BIGINT) FROM chunks_after JOIN purge USING (doc_id))
+             |UNION ALL SELECT 'h_survivor_id_sum',
+             |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM after
+             |ORDER BY stage""".stripMargin)),
+
+    // -- streaming upsert: CDC latest-state materialization -------------------
+    // The streaming twin of p93's latest-wins semantics: per-key state is
+    // ONE struct (the max-(ts, event_id) op seen so far) maintained by an
+    // incremental streaming aggregation — max over a struct is algebraic,
+    // so micro-batches merge into the state store and complete mode emits
+    // the live register table. A key whose LATEST op is the tombstone type
+    // ('error' plays the CDC delete) is dead in the materialized view.
+    // State is bounded at one row per live key by construction.
+    QueryDef("s25_stream_upsert",
+      (s, d) => {
+        import s.implicits._
+        val regs = EventStreams.runBounded(s, d, "s25_sink",
+          ev => ev.groupBy($"user_id")
+            .agg(max(struct($"ts", $"event_id", $"event_type", $"value"))
+              .as("last")),
+          outputMode = "complete")
+        regs.select($"user_id", $"last.event_id".as("last_event_id"),
+            $"last.event_type".as("last_type"), $"last.value".as("last_value"),
+            ($"last.event_type" =!= "error").as("live"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH ranked AS (
+             |  SELECT user_id, event_id, event_type, value,
+             |    row_number() OVER (PARTITION BY user_id
+             |                       ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events)
+             |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+             |  value AS last_value, event_type <> 'error' AS live
+             |FROM ranked WHERE rn = 1
+             |ORDER BY user_id""".stripMargin))
   )
 
   /** DuckDB mirror of [[graft.ops.GraphRank.pageRank]] over the p80
