@@ -1983,6 +1983,66 @@ object Advanced {
              |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM after
              |ORDER BY stage""".stripMargin)),
 
+    // -- curriculum export: exact global order WITHOUT a 1-partition window ---
+    // "Sort the corpus by difficulty and cut equal-depth shards" needs exact
+    // global row numbers and prefix sums — which `row_number() OVER (ORDER
+    // BY …)` computes on ONE reducer. Ranking.withGlobalOrder does it
+    // distributed: per-bucket counts/sums, exclusive offsets over the
+    // bucket-scale table, broadcast back, finish per-bucket. The manifest's
+    // boundary_ok witness checks rank continuity, score monotonicity across
+    // shard boundaries, AND that the distributed prefix sum telescopes
+    // (running shard_tokens == end_cum) — i.e. it equals the naive global
+    // window the oracle computes.
+    QueryDef("p95_curriculum_shards",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, d, "documents").select($"doc_id", $"n_chars")
+        val ranked = graft.ops.Ranking.withGlobalOrder(
+          docs, "n_chars", Seq("doc_id"), "rnk",
+          valueCol = Some("n_chars"), cumCol = "cum")
+        val withN = ranked.crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+        val sharded = withN.withColumn("shard",
+          graft.ops.Ranking.shardByRank($"rnk", 8, $"n"))
+        val m = sharded.groupBy($"shard").agg(
+          count(lit(1)).as("n_rows"),
+          min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"),
+          min($"rnk").as("min_rank"), max($"rnk").as("max_rank"),
+          sum($"n_chars").as("shard_tokens"), max($"cum").as("end_cum"))
+        // manifest-scale windows (8 rows)
+        val wl = Window.orderBy($"shard")
+        val wc = Window.orderBy($"shard")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        m.select($"shard", $"n_rows", $"min_chars", $"max_chars",
+            $"min_rank", $"max_rank", $"shard_tokens", $"end_cum",
+            (coalesce(lag($"max_rank", 1).over(wl) + 1 === $"min_rank", lit(true)) &&
+             coalesce(lag($"max_chars", 1).over(wl) <= $"min_chars", lit(true)) &&
+             (sum($"shard_tokens").over(wc) === $"end_cum")).as("boundary_ok"))
+          .orderBy($"shard")
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id, n_chars,
+             |    row_number() OVER (ORDER BY n_chars, doc_id) AS rnk,
+             |    sum(n_chars) OVER (ORDER BY n_chars, doc_id
+             |                       ROWS UNBOUNDED PRECEDING) AS cum,
+             |    count(*) OVER () AS n
+             |  FROM documents),
+             |s AS (SELECT *, CAST(floor((rnk - 1) * 8 / n) AS INT) AS shard FROM r),
+             |m AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+             |    min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+             |    CAST(min(rnk) AS BIGINT) AS min_rank,
+             |    CAST(max(rnk) AS BIGINT) AS max_rank,
+             |    CAST(sum(n_chars) AS BIGINT) AS shard_tokens,
+             |    CAST(max(cum) AS BIGINT) AS end_cum
+             |  FROM s GROUP BY 1)
+             |SELECT shard, n_rows, min_chars, max_chars, min_rank, max_rank,
+             |  shard_tokens, end_cum,
+             |  coalesce(lag(max_rank) OVER (ORDER BY shard) + 1 = min_rank, TRUE)
+             |  AND coalesce(lag(max_chars) OVER (ORDER BY shard) <= min_chars, TRUE)
+             |  AND sum(shard_tokens) OVER (ORDER BY shard
+             |        ROWS UNBOUNDED PRECEDING) = end_cum AS boundary_ok
+             |FROM m ORDER BY shard""".stripMargin)),
+
     // -- streaming upsert: CDC latest-state materialization -------------------
     // The streaming twin of p93's latest-wins semantics: per-key state is
     // ONE struct (the max-(ts, event_id) op seen so far) maintained by an
