@@ -50,12 +50,12 @@ object Sketch {
       .select(col(groupCol), col("__h"))
   }
 
-  /** Per-group KMV distinct estimate over `valueCol`.
-    * Output: (groupCol, n_kept, est_distinct) — n_kept < k means exact.
+  /** Distinct estimate from an already-cut k-min sketch table
+    * (groupCol, __h rows) — shared by the batch path and the streaming
+    * state twin (s26), so both read the same estimator.
     */
-  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
-                  k: Int, saltBuckets: Int = 16): DataFrame = {
-    val kept = kminSet(df, groupCol, valueCol, k, saltBuckets)
+  private[graft] def kmvEstimate(kept: DataFrame, groupCol: String,
+                                 k: Int): DataFrame = {
     val m = M
     kept.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_kept"), max(col("__h")).as("__hk"))
@@ -64,6 +64,13 @@ object Sketch {
           .otherwise(round(lit((k - 1).toDouble * m) / col("__hk").cast("double"), 4))
           .as("est_distinct"))
   }
+
+  /** Per-group KMV distinct estimate over `valueCol`.
+    * Output: (groupCol, n_kept, est_distinct) — n_kept < k means exact.
+    */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Int, saltBuckets: Int = 16): DataFrame =
+    kmvEstimate(kminSet(df, groupCol, valueCol, k, saltBuckets), groupCol, k)
 
   /** Pairwise set-relationship estimates between per-group value sets, from
     * KMV sketches alone — the theta-sketch estimator family: |A∪B| from the
@@ -208,6 +215,69 @@ object Sketch {
       .select(g :+ col("q") :+ col("n") :+
         round(lit(lo) + (col("bin") + (col("r") - (col("cum") - col("cnt"))) /
           col("cnt")) * lit(width), 4).as("est_q"): _*)
+  }
+
+  // -------------------------------------------------------------------
+  // HDR (log-linear) histogram — relative-error quantiles, any range
+  // -------------------------------------------------------------------
+
+  /** HDR-histogram-style log-linear bins over POSITIVE integers: bin key =
+    * (bit length of v, top-`subBits` bits of v). p89's equi-width grid
+    * needs [lo, hi) sized in advance; this sketch covers ANY value range
+    * with bounded RELATIVE bin width ≤ 2^-(subBits-1) — the quantile
+    * sketch for open-ended domains (doc lengths, token counts, file
+    * sizes). Bin assignment is pure integer ops (bit length via the
+    * binary-string length both engines expose, then shifts), so it has an
+    * exact cross-engine mirror — a ln()-based DDSketch bucket can flip on
+    * a last-ulp difference; this can't. Values below 1 clamp to 1.
+    *
+    * Scale shape: one map-side-combined HashAggregate to ≤
+    * 63·2^(subBits-1) + 2^subBits rows per group (~520 at subBits=4)
+    * regardless of corpus size; sketches MERGE by bin-SUM ([[hdrQuantiles]]
+    * re-aggregates first, so merged tables can't double-count).
+    */
+  def hdrSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                subBits: Int = 4): DataFrame = {
+    require(subBits >= 1 && subBits <= 8, "HDR needs 1 <= subBits <= 8")
+    val g = groupCols.map(col)
+    df.select(g :+ greatest(col(valueCol).cast("long"), lit(1L)).as("__v"): _*)
+      .withColumn("__b", length(bin(col("__v"))).cast("int"))
+      .withColumn("__shift", greatest(col("__b") - lit(subBits), lit(0)))
+      .withColumn("__sub", expr("shiftright(__v, __shift)"))
+      .groupBy(g :+ col("__b").as("b") :+ col("__sub").as("sub"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile estimates from an HDR sketch: exact integer rank arithmetic
+    * (r = ⌈q·n⌉ as (n·qnum + qden − 1) div qden), cumulative bin walk in
+    * (b, sub) order, then ONE double division for the within-bin linear
+    * interpolation — the p89 determinism contract. `qs` rows are
+    * (numerator, denominator, label). Re-aggregates the sketch first so a
+    * UNION of per-corpus sketches (merge-by-SUM) estimates correctly.
+    */
+  def hdrQuantiles(sketch: DataFrame, groupCols: Seq[String], subBits: Int,
+                   qs: Seq[(Int, Int, String)]): DataFrame = {
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val g = groupCols.map(col)
+    val h = sketch.groupBy(g :+ col("b") :+ col("sub"): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+    val wCum = Window.partitionBy(g: _*).orderBy(col("b"), col("sub"))
+    val c = h.withColumn("cum", sum(col("cnt")).over(wCum))
+    val t = h.groupBy(g: _*).agg(sum(col("cnt")).as("n"))
+    val wPick = Window.partitionBy(g :+ col("q"): _*).orderBy(col("b"), col("sub"))
+    c.join(t, groupCols)
+      .crossJoin(broadcast(qs.toDF("qnum", "qden", "q")))
+      .withColumn("r", expr("(n * qnum + qden - 1) div qden"))
+      .filter(col("cum") >= col("r"))
+      .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+      .withColumn("__shift", greatest(col("b") - lit(subBits), lit(0)))
+      .withColumn("__lower", expr("shiftleft(sub, __shift)"))
+      .withColumn("__width", expr("shiftleft(CAST(1 AS BIGINT), __shift)"))
+      .select(g :+ col("q") :+ col("n") :+
+        round(col("__lower") +
+          (col("r") - col("cum") + col("cnt")).cast("double") *
+            col("__width") / col("cnt"), 4).as("est_q"): _*)
   }
 
   // -------------------------------------------------------------------

@@ -2072,7 +2072,125 @@ object Advanced {
              |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
              |  value AS last_value, event_type <> 'error' AS live
              |FROM ranked WHERE rn = 1
-             |ORDER BY user_id""".stripMargin))
+             |ORDER BY user_id""".stripMargin)),
+
+    // -- HDR (log-linear) quantile sketch: unbounded domains -----------------
+    // p89's equi-width grid needs [lo, hi) sized in advance; the HDR bins
+    // (bit length × top-4 bits — pure integer ops, exactly mirrorable,
+    // unlike ln()-based DDSketch buckets that can flip on a last-ulp
+    // difference) bound RELATIVE error over ANY range — the quantile
+    // sketch for open-ended domains like document lengths. ≤ ~520 rows
+    // per group regardless of corpus size; __all rows merge per-lang
+    // sketches by bin-SUM while the oracle computes them directly — the
+    // usual hash-equality mergeability proof. est_q sits next to the true
+    // interpolated quantile for the accuracy read.
+    QueryDef("p97_hdr_quantiles",
+      (s, d) => {
+        import s.implicits._
+        val v = t(s, d, "documents")
+          .select($"lang", greatest($"n_chars", lit(1L)).as("value"))
+        val sk = graft.ops.Sketch.hdrSketch(v, Seq("lang"), "value", subBits = 4)
+        val regs = sk.union(sk.withColumn("lang", lit("__all")))
+        val est = graft.ops.Sketch.hdrQuantiles(regs, Seq("lang"), subBits = 4,
+          qs = Seq((1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99")))
+        val vAll = v.union(v.withColumn("lang", lit("__all")))
+        val exact = vAll.groupBy($"lang").agg(
+          round(expr("percentile(value, 0.5)"), 4).as("x50"),
+          round(expr("percentile(value, 0.9)"), 4).as("x90"),
+          round(expr("percentile(value, 0.99)"), 4).as("x99"))
+        est.join(exact, "lang")
+          .select($"lang", $"q", $"n", $"est_q",
+            when($"q" === "p50", $"x50").when($"q" === "p90", $"x90")
+              .otherwise($"x99").as("exact_q"))
+          .orderBy($"lang", $"q")
+      },
+      Some("""WITH v0 AS (SELECT lang, greatest(n_chars, 1) AS value FROM documents),
+             |v2 AS (SELECT lang, value FROM v0
+             |       UNION ALL SELECT '__all', value FROM v0),
+             |h AS (SELECT lang, len(bin(value)) AS b,
+             |        value >> greatest(len(bin(value)) - 4, 0) AS sub,
+             |        CAST(count(*) AS BIGINT) AS cnt
+             |      FROM v2 GROUP BY 1, 2, 3),
+             |c AS (SELECT lang, b, sub, cnt,
+             |        CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY b, sub)
+             |          AS BIGINT) AS cum
+             |      FROM h),
+             |t AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+             |qs(qnum, qden, q) AS (VALUES (1, 2, 'p50'), (9, 10, 'p90'), (99, 100, 'p99')),
+             |pick AS (
+             |  SELECT * FROM (
+             |    SELECT c.lang, qs.q, t.n, c.b, c.sub, c.cnt, c.cum,
+             |      (t.n * qs.qnum + qs.qden - 1) // qs.qden AS r,
+             |      row_number() OVER (PARTITION BY c.lang, qs.q
+             |                         ORDER BY c.b, c.sub) AS rn
+             |    FROM c JOIN t USING (lang) CROSS JOIN qs
+             |    WHERE c.cum >= (t.n * qs.qnum + qs.qden - 1) // qs.qden)
+             |  WHERE rn = 1),
+             |ex AS (SELECT lang,
+             |        round(quantile_cont(value, 0.5), 4) AS x50,
+             |        round(quantile_cont(value, 0.9), 4) AS x90,
+             |        round(quantile_cont(value, 0.99), 4) AS x99
+             |      FROM v2 GROUP BY 1)
+             |SELECT p.lang, p.q, p.n,
+             |  round((p.sub << greatest(p.b - 4, 0))
+             |    + CAST(p.r - p.cum + p.cnt AS DOUBLE)
+             |      * (CAST(1 AS BIGINT) << greatest(p.b - 4, 0)) / p.cnt, 4) AS est_q,
+             |  CASE p.q WHEN 'p50' THEN ex.x50 WHEN 'p90' THEN ex.x90
+             |       ELSE ex.x99 END AS exact_q
+             |FROM pick p JOIN ex USING (lang)
+             |ORDER BY lang, q""".stripMargin)),
+
+    // -- streaming KMV: non-algebraic sketch state ----------------------------
+    // s22-s24 keep HLL/histogram/CMS as streaming AGGREGATION state because
+    // max/sum are algebraic; a k-min set is not, so the KMV sketch takes
+    // the custom-state escape hatch (flatMapGroupsWithState, a bounded
+    // TreeSet of ≤ k hashes per source). The estimate from the final
+    // sketch must equal the batch KMV — p26's oracle, reused verbatim.
+    QueryDef("s26_stream_kmv",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val sk = EventStreams.runBoundedDocs(s, d, "s26_sink",
+          EventStreams.kmvSketchState(64), outputMode = "append")
+        // k smallest distinct of the union of per-batch snapshots == the
+        // final sketch (see kmvSketchState); sink is ≤ batches·k rows per
+        // source, so this window is sketch-scale
+        val kept = sk.distinct()
+          .withColumn("__r", row_number().over(
+            Window.partitionBy($"source").orderBy($"h")))
+          .filter($"__r" <= 64)
+          .select($"source", $"h".as("__h"))
+        val est = graft.ops.Sketch.kmvEstimate(kept, "source", k = 64)
+        val exact = t(s, d, "documents")
+          .select($"source", explode(split(lower($"text"), "\\s+")).as("token"))
+          .filter(length($"token") > 0)
+          .groupBy($"source").agg(countDistinct($"token").as("n_exact"))
+        est.join(exact, "source")
+          .select($"source", $"n_exact", $"n_kept", $"est_distinct")
+          .orderBy($"source")
+      },
+      Some("""WITH toks AS (
+             |  SELECT source,
+             |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
+             |  FROM documents),
+             |hashed AS (
+             |  SELECT DISTINCT source, CAST('0x' || substring(md5(token), 1, 15) AS BIGINT) AS h
+             |  FROM toks),
+             |kept AS (
+             |  SELECT source, h FROM hashed
+             |  QUALIFY row_number() OVER (PARTITION BY source ORDER BY h) <= 64),
+             |agg AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS hk
+             |  FROM kept GROUP BY source),
+             |exact AS (
+             |  SELECT source, CAST(count(DISTINCT token) AS BIGINT) AS n_exact
+             |  FROM toks GROUP BY source)
+             |SELECT a.source, e.n_exact, a.n_kept,
+             |  CASE WHEN a.n_kept < 64 THEN CAST(a.n_kept AS DOUBLE)
+             |       ELSE round(63.0 * 1152921504606846976.0 / CAST(a.hk AS DOUBLE), 4)
+             |  END AS est_distinct
+             |FROM agg a JOIN exact e USING (source)
+             |ORDER BY source""".stripMargin))
   )
 
   /** DuckDB mirror of [[graft.ops.GraphRank.pageRank]] over the p80

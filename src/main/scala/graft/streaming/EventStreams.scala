@@ -111,6 +111,51 @@ object EventStreams {
       .toDF("user_id", "n_events", "total_value")
   }
 
+  /** KMV sketch as CUSTOM streaming state: the k smallest distinct token
+    * hashes per source. HLL/histogram/CMS state (s22-s24) rides the
+    * streaming AGGREGATION because max/sum are algebraic; a k-min SET is
+    * not, so it takes the state-store escape hatch: a bounded TreeSet per
+    * key (≤ k+1 longs live at any moment BY CONSTRUCTION — a batch hash
+    * only enters if it beats the current k-th), updated per micro-batch by
+    * flatMapGroupsWithState, emitting the sketch rows after each batch.
+    *
+    * Batch-side recovery from a multi-batch sink is exact: a hash leaves
+    * the sketch only by being OUT-RANKED, so the k smallest of the union
+    * of emitted snapshots equal the k smallest of everything seen — the
+    * final sketch, hence the batch oracle, survives snapshot mixing.
+    */
+  def kmvSketchState(k: Int)(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("source"),
+        explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .select(col("source"), graft.ops.Sketch.hash60(col("token")).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], (String, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (src, rows, state: GroupState[Array[Long]]) =>
+          val set = new java.util.TreeSet[java.lang.Long]()
+          state.getOption.foreach(_.foreach(set.add(_)))
+          rows.foreach { case (_, h) =>
+            if (set.size < k) set.add(h): Unit
+            else if (h < set.last) {
+              set.add(h): Unit
+              if (set.size > k) set.pollLast(): Unit
+            }
+          }
+          val merged = new Array[Long](set.size)
+          val it = set.iterator(); var i = 0
+          while (it.hasNext) { merged(i) = it.next(); i += 1 }
+          state.update(merged)
+          merged.iterator.map(src -> _)
+      }
+      .toDF("source", "h")
+  }
+
   /** Quota admission on an event stream: at most `cap` events admitted per
     * (event_type, event-hour) key, in (ts, event_id) order — the
     * rate-limiting / per-source-budget shape every ingest pipeline needs

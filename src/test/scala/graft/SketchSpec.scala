@@ -213,4 +213,62 @@ class SketchSpec extends AnyFunSuite {
       assert(regs.groupBy($"g", $"idx").count().filter($"count" > 1).isEmpty)
     }
   }
+
+  test("hdr: relative error bounded by the sub-bucket width at any magnitude") {
+    // log-uniform values across five orders of magnitude — the domain an
+    // equi-width histogram can't grid in advance
+    val r = new scala.util.Random(5)
+    val vals = (1 to 20000).map(_ => ("g", math.round(math.pow(10, 1 + 4 * r.nextDouble()))))
+    val df = vals.toDF("g", "value")
+    val est = Sketch.hdrQuantiles(
+      Sketch.hdrSketch(df, Seq("g"), "value"), Seq("g"), subBits = 4,
+      qs = Seq((1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99")))
+      .collect().map(r => r.getString(1) -> r.getDouble(3)).toMap
+    val sorted = vals.map(_._2).sorted
+    def rankVal(num: Int, den: Int) = sorted((sorted.size * num + den - 1) / den - 1)
+    for ((q, (num, den)) <- Seq("p50" -> (1, 2), "p90" -> (9, 10), "p99" -> (99, 100))) {
+      val truth = rankVal(num, den).toDouble
+      // bin width / lower bound ≤ 2^-(subBits-1) = 1/8; interpolation adds
+      // at most one more width
+      assert(math.abs(est(q) - truth) / truth <= 0.25,
+        s"$q: est ${est(q)} vs true $truth")
+    }
+  }
+
+  test("hdr: small values get exact unit bins; clamp at 1; merge by sum = direct") {
+    val a = (1 to 50).flatMap(i => Seq.fill(i)(("a", i.toLong)))
+    val b = Seq(("b", 0L), ("b", -7L), ("b", 1L)) // clamp to 1
+    val df = (a ++ b).toDF("g", "value")
+    val sk = Sketch.hdrSketch(df, Seq("g"), "value")
+    // values < 2^subBits land in width-1 bins -> the sketch IS the exact
+    // distribution there
+    val unit = sk.filter($"g" === "a" && $"b" <= 4)
+      .select($"sub", $"cnt").as[(Long, Long)].collect().toMap
+    (1 to 15).foreach(i => assert(unit(i.toLong) == i.toLong))
+    assert(sk.filter($"g" === "b").select($"sub", $"cnt").as[(Long, Long)]
+      .collect().toSeq == Seq((1L, 3L)))
+    // merge: union of two half-sketches re-aggregates to the direct one
+    val half1 = Sketch.hdrSketch(a.take(600).toDF("g", "value"), Seq("g"), "value")
+    val half2 = Sketch.hdrSketch(a.drop(600).toDF("g", "value"), Seq("g"), "value")
+    val merged = Sketch.hdrQuantiles(half1.union(half2), Seq("g"), 4,
+      Seq((1, 2, "p50"), (99, 100, "p99"))).collect().map(_.toSeq).toSet
+    val direct = Sketch.hdrQuantiles(
+      Sketch.hdrSketch(a.toDF("g", "value"), Seq("g"), "value"), Seq("g"), 4,
+      Seq((1, 2, "p50"), (99, 100, "p99"))).collect().map(_.toSeq).toSet
+    assert(merged == direct)
+  }
+
+  test("hdr: bin assignment is pure integer arithmetic (boundary values)") {
+    // powers of two sit at bin boundaries — the values a float-log bucket
+    // rule can misplace; the bit-length rule can't
+    val vals = Seq(1L, 2L, 15L, 16L, 17L, 255L, 256L, (1L << 40) - 1, 1L << 40)
+    val sk = Sketch.hdrSketch(vals.map(("g", _)).toDF("g", "value"), Seq("g"), "value")
+      .select($"b", $"sub", $"cnt").as[(Int, Long, Long)].collect().toSet
+    def expected(v: Long) = {
+      val b = 64 - java.lang.Long.numberOfLeadingZeros(v)
+      (b, v >> math.max(b - 4, 0))
+    }
+    val want = vals.groupBy(expected).map { case ((b, s), vs) => (b, s, vs.size.toLong) }.toSet
+    assert(sk == want)
+  }
 }

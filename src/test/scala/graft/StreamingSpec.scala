@@ -478,4 +478,39 @@ class StreamingSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("StateStore"), "html stage must be stateless")
   }
+
+  test("kmv state re-ranks across micro-batches (MemoryStream, two triggers)") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // k=8 with 10 tokens in batch 1 and 12 more in batch 2: the second
+    // trigger MUST evict members of the first snapshot whenever a smaller
+    // hash arrives — only cross-batch state can produce the final k-mins
+    val input = MemoryStream[(String, String)](spark)
+    val df = input.toDF.toDF("source", "text")
+    input.addData(("w", "aa bb cc dd ee ff gg hh ii jj"))
+    val q = EventStreams.kmvSketchState(8)(df)
+      .writeStream.format("memory").queryName("t_kmv_state")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      input.addData(("w", "kk ll mm nn oo pp qq rr ss tt uu vv"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val sink = spark.table("t_kmv_state")
+    // two snapshots of exactly k rows each
+    assert(sink.count() == 16L)
+    // recover the final sketch from the snapshot union (the s26 recipe)
+    // and check the estimate equals the one-shot batch KMV over all rows
+    val kept = sink.distinct()
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"))))
+      .filter(col("__r") <= 8).select(col("source"), col("h").as("__h"))
+    val got = graft.ops.Sketch.kmvEstimate(kept, "source", 8)
+      .collect().map(_.toSeq).toSeq
+    val all = ("aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp qq rr ss tt uu vv")
+      .split(" ").toSeq.map(("w", _)).toDF("source", "v")
+    val want = graft.ops.Sketch.kmvDistinct(all, "source", "v", k = 8)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, s"streamed sketch $got != batch sketch $want")
+  }
 }
