@@ -45,6 +45,7 @@ object Incremental {
   def merge(base: DataFrame, delta: DataFrame, keyCol: String,
             versionCol: String, tombstoneCol: String,
             payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "merge needs at least one payload column")
     val k = col(keyCol)
     def pay(df: DataFrame, prefix: String) =
       payloadCols.foldLeft(df) { (d, c) => d.withColumnRenamed(c, s"$prefix$c") }

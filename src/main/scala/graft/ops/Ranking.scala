@@ -32,7 +32,9 @@ object Ranking {
   /** Appends `rankCol` = the exact 1-based global row number of the total
     * order (`bucketCol` asc, then `tieCols` asc), and — when `valueCol` is
     * set — `cumCol` = the inclusive prefix sum of `valueCol` in that same
-    * order.
+    * order. `bucketCol` values must be NON-NULL (engines disagree on null
+    * ordering) and the input must not already carry `__b`/`__rank_off`/
+    * `__sum_off` columns.
     */
   def withGlobalOrder(df: DataFrame, bucketCol: String, tieCols: Seq[String],
                       rankCol: String, valueCol: Option[String] = None,

@@ -1930,8 +1930,13 @@ object Advanced {
         import s.implicits._
         val corpus = t(s, d, "documents").select($"doc_id", $"text", $"n_chars")
         val requests = corpus.filter($"doc_id" % 97 === 5).select($"doc_id")
+        // the purge set feeds FIVE consumers (its own count, two
+        // anti-joins, two orphan joins); it is request-scale, so persist
+        // it once instead of re-running the digest expansion's corpus
+        // scan per consumer
         val purge = graft.ops.Incremental
           .expandDeletesByDigest(corpus, requests, "doc_id", md5($"text"))
+          .persist()
         val after = graft.ops.Incremental.applyDeletes(corpus, purge, "doc_id")
         val chunks = corpus.select($"doc_id", explode(expr(
           "sequence(0, greatest(cast(ceil(n_chars / 256.0) as int), 1) - 1)"))
