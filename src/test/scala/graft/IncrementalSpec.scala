@@ -63,6 +63,29 @@ class IncrementalSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("unchanged", "update"))
   }
 
+  test("merge against a key-bucketed base shuffles ONLY the delta") {
+    // the 100 TB contract in Incremental.merge's doc: a base laid out
+    // bucketed by the merge key satisfies the join's distribution from its
+    // scan, so a daily delta merge pays one delta-sized Exchange and
+    // nothing corpus-sized
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge-base")
+    spark.sql("DROP TABLE IF EXISTS t_merge_base")
+    (1 to 1000).map(i => (i.toLong, 1L, s"doc $i")).toDF("k", "version", "text")
+      .write.format("parquet").option("path", dir.toString)
+      .bucketBy(8, "k").sortBy("k").saveAsTable("t_merge_base")
+    val base = spark.table("t_merge_base")
+    val delta = (1 to 50).map(i => (i * 7L, 2L, s"doc ${i * 7} v2", false))
+      .toDF("k", "version", "text", "tomb")
+    val merged = Incremental.merge(base, delta, "k", "version", "tomb", Seq("text"))
+    assert(merged.filter($"action" === "update").count() > 0)
+    val plan = merged.queryExecution.executedPlan.toString
+    val cut = plan.indexOf("== Initial Plan ==")
+    val fin = if (cut >= 0) plan.substring(0, cut) else plan
+    val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(fin).length
+    assert(exchanges == 1,
+      s"bucketed base must not re-shuffle (want 1 Exchange, the delta):\n$fin")
+  }
+
   test("delete propagation: digest expansion catches exact duplicates; anti-joins broadcast") {
     val corpus = Seq(
       (1L, "offending text"), (2L, "clean"), (3L, "offending text"),
