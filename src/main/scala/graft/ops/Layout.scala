@@ -177,4 +177,88 @@ object Layout {
         when(col("__bin0").isNotNull && col("__nb") >= 2, col("__bin0"))
           .cast("long").as("bin"))
   }
+
+  // ---- manifest-pinned snapshots (dataset time travel) ---------------------
+
+  /** Append one snapshot version to a manifest-pinned dataset at `base` —
+    * the Iceberg/Delta contract reduced to its load-bearing core, and the
+    * property a TRAINING corpus cannot live without: "dataset v1.3" must
+    * mean the same bytes forever, even while v1.4 lands beside it.
+    *
+    *  - Data files are immutable and append-only under `base/data/`
+    *    (version-prefixed names; a version never rewrites another
+    *    version's files).
+    *  - `base/manifests/v{N}.txt` lists EVERY file visible at version N
+    *    (the previous manifest's files plus this append), one name per
+    *    line — so a reader pins a version by file LIST, never by
+    *    directory listing (concurrent appends can't leak into a pinned
+    *    read, and nothing is ever copied or rewritten to make a new
+    *    version).
+    *
+    * Returns the new version number (1-based). `filesPerVersion` is the
+    * write parallelism knob — at corpus scale this is the shard count of
+    * the append, not 2.
+    */
+  def appendSnapshot(base: java.nio.file.Path, df: DataFrame,
+                     filesPerVersion: Int = 2): Int = {
+    import scala.jdk.CollectionConverters._
+    val dataDir = base.resolve("data")
+    val manDir = base.resolve("manifests")
+    java.nio.file.Files.createDirectories(dataDir)
+    java.nio.file.Files.createDirectories(manDir)
+    val prev = java.nio.file.Files.list(manDir).iterator().asScala.toSeq
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("v") && n.endsWith(".txt"))
+      .map(n => n.stripPrefix("v").stripSuffix(".txt").toInt)
+      .sorted
+    val version = prev.lastOption.getOrElse(0) + 1
+    val carried: Seq[String] = prev.lastOption match {
+      case Some(pv) =>
+        java.nio.file.Files.readAllLines(
+          manDir.resolve(s"v$pv.txt")).asScala.toSeq.filter(_.nonEmpty)
+      case None => Seq.empty
+    }
+    // stage the parquet write, then adopt the parts under stable
+    // version-prefixed names (file-content assignment across parts is
+    // write-order detail; a pinned read always takes the whole set)
+    val staging = java.nio.file.Files.createTempDirectory(base, s"stage-v$version")
+    df.repartition(filesPerVersion).write.mode("overwrite")
+      .parquet(staging.resolve("out").toString)
+    val parts = java.nio.file.Files.list(staging.resolve("out")).iterator().asScala
+      .toSeq.map(_.getFileName.toString)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).sorted
+    val named = parts.zipWithIndex.map { case (p, i) =>
+      val name = f"v$version-$i%05d.parquet"
+      java.nio.file.Files.move(staging.resolve("out").resolve(p),
+        dataDir.resolve(name))
+      name
+    }
+    // clean staging debris (_SUCCESS etc.)
+    java.nio.file.Files.walk(staging).iterator().asScala.toSeq
+      .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    // manifest commit is the atomic publish point: write-then-move
+    val tmp = manDir.resolve(s".v$version.txt.tmp")
+    java.nio.file.Files.write(tmp,
+      (carried ++ named).mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, manDir.resolve(s"v$version.txt"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    version
+  }
+
+  /** The file list pinned by manifest `version`. */
+  def snapshotFiles(base: java.nio.file.Path, version: Int): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(
+      base.resolve("manifests").resolve(s"v$version.txt"))
+      .asScala.toSeq.filter(_.nonEmpty)
+      .map(n => base.resolve("data").resolve(n).toString)
+  }
+
+  /** Read EXACTLY snapshot `version` — the pinned file list, never the
+    * live directory. Reading v1 while v2 lands returns v1's rows,
+    * forever.
+    */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession,
+                   base: java.nio.file.Path, version: Int): DataFrame =
+    spark.read.parquet(snapshotFiles(base, version): _*)
 }

@@ -2195,8 +2195,276 @@ object Advanced {
              |       ELSE round(63.0 * 1152921504606846976.0 / CAST(a.hk AS DOUBLE), 4)
              |  END AS est_distinct
              |FROM agg a JOIN exact e USING (source)
-             |ORDER BY source""".stripMargin))
+             |ORDER BY source""".stripMargin)),
+
+    // -- corpus hygiene: per-source boilerplate line removal -----------------
+    // The CCNet/RefinedWeb step a crawl pipeline runs right after HTML
+    // extraction: nav bars, promo banners and footers repeat across a
+    // host's pages and survive html_text because they ARE text. A line is
+    // boilerplate within its source when >= half the source's documents
+    // carry it (and at least 2 do) — both thresholds exact-integer. The
+    // fixture plants a nav line on every page, a promo on every second,
+    // and a rare copyright notice on every tenth (below the floor — must
+    // survive); the driver path runs the 100 TB shape (hashed line keys in
+    // the discovery shuffle, broadcast per-source verdict arrays), the
+    // oracle re-derives everything from plain lines.
+    QueryDef("p98_boilerplate_strip",
+      (s, d) => {
+        import s.implicits._
+        val pages = bpPages(t(s, d, "documents"))
+        val bp = graft.ops.Hygiene.boilerplateTable(
+          pages, "source", "doc_id", "page", hashLines = true)
+        graft.ops.Hygiene.stripBoilerplate(
+            pages, bp, "source", "doc_id", "page", hashLines = true)
+          .select($"doc".as("doc_id"), $"source", $"n_lines", $"n_kept",
+            md5($"clean").as("clean_digest"))
+          .orderBy($"doc_id")
+      },
+      Some(boilerplateOracleSql)),
+
+    // -- streaming boilerplate strip on ingest -------------------------------
+    // Train-offline/apply-online (the s10 charLM pattern for layout
+    // hygiene): the per-source boilerplate table is discovered once over
+    // the standing corpus and broadcast into the micro-batch plan as
+    // hashed line keys; each arriving page drops its source's boilerplate
+    // inside the scan stage. Stateless; the batch twin's oracle validates
+    // the streaming engine run.
+    QueryDef("s27_stream_boilerplate",
+      (s, d) => {
+        val bp = cachedBoilerplate(s, d)
+        EventStreams.runBoundedDocs(s, d, "s27_sink",
+            EventStreams.boilerplateStage(bp, bpPageCol))
+          .orderBy(col("doc_id"))
+      },
+      Some(boilerplateOracleSql)),
+
+    // -- supervised quality classification (countable Naive Bayes) ----------
+    // The CCNet/GPT-3 filtering step: a linear classifier trained on a
+    // labeled seed, applied to every document. Binary multinomial NB IS a
+    // linear model (w_word = logP(w|pos) − logP(w|neg), bias = prior
+    // log-odds) whose training is one counting pass — the form of
+    // "quality classifier" whose train AND apply are exact-arithmetic
+    // aggregates, so the whole model oracles cross-engine. Seed = the
+    // even-id half labeled by lang; apply = the full corpus. All log
+    // terms quantize to integer micro-units pre-sum (p48/p58 discipline).
+    QueryDef("p99_nb_classifier",
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val labeled = docs.where($"doc_id" % 2 === 0).select(
+          when($"lang" === "en", lit("pos")).otherwise(lit("neg")).as("cls"),
+          $"text")
+        val w = graft.ops.Classify.nbWeights(labeled, "cls", "text", "pos")
+        val c = graft.ops.Classify.nbConsts(labeled, "cls", "text", "pos")
+        graft.ops.Classify.nbScore(docs, "doc_id", "text", w, c, "pos", "neg")
+          .select($"id".as("doc_id"), $"n_tokens", $"score_micro", $"pred")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH seed AS (
+             |  SELECT CASE WHEN lang = 'en' THEN 'pos' ELSE 'neg' END AS cls, text
+             |  FROM documents WHERE doc_id % 2 = 0),
+             |tok AS (SELECT cls, word FROM (
+             |    SELECT cls, unnest(string_split(text, ' ')) AS word FROM seed)
+             |  WHERE length(word) > 0),
+             |cw AS (SELECT word,
+             |    CAST(sum(CASE WHEN cls = 'pos' THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+             |    CAST(sum(CASE WHEN cls = 'neg' THEN 1 ELSE 0 END) AS BIGINT) AS c_neg
+             |  FROM tok GROUP BY 1),
+             |st AS (SELECT CAST(sum(c_pos) AS BIGINT) AS t_pos,
+             |    CAST(sum(c_neg) AS BIGINT) AS t_neg,
+             |    CAST(count(*) AS BIGINT) AS v FROM cw),
+             |wts AS (SELECT word,
+             |    CAST(round(ln((c_pos + 1.0) / (t_pos + v)) * 1e6) AS BIGINT)
+             |  - CAST(round(ln((c_neg + 1.0) / (t_neg + v)) * 1e6) AS BIGINT) AS w_micro
+             |  FROM cw CROSS JOIN st),
+             |cons AS (SELECT
+             |    CAST(round(ln(1.0 / (t_pos + v)) * 1e6) AS BIGINT)
+             |  - CAST(round(ln(1.0 / (t_neg + v)) * 1e6) AS BIGINT) AS w_unk,
+             |    (SELECT CAST(round(ln(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1.0 / count(*)) * 1e6) AS BIGINT)
+             |          - CAST(round(ln(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) * 1.0 / count(*)) * 1e6) AS BIGINT)
+             |     FROM documents WHERE doc_id % 2 = 0) AS prior
+             |  FROM st),
+             |dt AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+             |  WHERE length(word) > 0 GROUP BY 1, 2),
+             |sc AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             |    CAST(sum(cnt * coalesce(w_micro, (SELECT w_unk FROM cons))) AS BIGINT) AS sc
+             |  FROM dt LEFT JOIN wts USING (word) GROUP BY 1)
+             |SELECT d.doc_id,
+             |  CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+             |  CAST(coalesce(sc.sc, 0) + (SELECT prior FROM cons) AS BIGINT) AS score_micro,
+             |  CASE WHEN coalesce(sc.sc, 0) + (SELECT prior FROM cons) >= 0
+             |       THEN 'pos' ELSE 'neg' END AS pred
+             |FROM documents d LEFT JOIN sc USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // -- memorization-risk secret scrub --------------------------------------
+    // The detect-secrets layer: API-key-shaped tokens (long, machine
+    // alphabet, mixed character classes) whose character entropy clears
+    // 3.0 bits are redacted before a model can memorize them. Each doc
+    // plants one genuine key (mixed-case hex, high entropy), one padding
+    // near-miss (mixed-class but ~0.9 bits — must survive), and one hex
+    // near-miss (high entropy but single-case — never a candidate).
+    // Entropy terms quantize to integer micro-bits pre-sum; the redaction
+    // is a plain-replace fold (the p85 idiom). Per-row expression chain,
+    // shuffle-free.
+    QueryDef("p100_secret_scrub",
+      (s, d) => {
+        import s.implicits._
+        val sec = md5(concat($"doc_id".cast("string"), lit("|sec")))
+        val nm = md5(concat($"doc_id".cast("string"), lit("|nm")))
+        val aug = concat($"text",
+          lit(" key Sk9_"), upper(substring(sec, 1, 12)), substring(sec, 13, 12),
+          lit(" ref Aa1_xxxxxxxxxxxxxxxxxxxxxxxx q"), substring(nm, 1, 25))
+        t(s, d, "documents").select($"doc_id", aug.as("a"))
+          .select($"doc_id",
+            size(graft.ops.Hygiene.secretCandidates("a")).cast("int").as("n_candidates"),
+            size(graft.ops.Hygiene.secretTokens("a")).cast("int").as("n_secrets"),
+            md5(graft.ops.Hygiene.redactSecrets("a")).as("redacted_digest"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id, text || ' key Sk9_'
+             |    || upper(substring(md5(CAST(doc_id AS VARCHAR) || '|sec'), 1, 12))
+             |    || substring(md5(CAST(doc_id AS VARCHAR) || '|sec'), 13, 12)
+             |    || ' ref Aa1_xxxxxxxxxxxxxxxxxxxxxxxx q'
+             |    || substring(md5(CAST(doc_id AS VARCHAR) || '|nm'), 1, 25) AS a
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, a,
+             |    list_filter(list_filter(string_split(a, ' '), t -> len(t) > 0), t ->
+             |      len(t) >= 24 AND regexp_matches(t, '^[A-Za-z0-9_-]+$')
+             |      AND regexp_matches(t, '[0-9]') AND regexp_matches(t, '[a-z]')
+             |      AND regexp_matches(t, '[A-Z]')) AS cands
+             |  FROM aug),
+             |v AS (
+             |  SELECT doc_id, a, cands,
+             |    list_distinct(list_filter(cands, t ->
+             |      CAST(list_sum(list_transform(
+             |        list_distinct(list_transform(range(1, length(t) + 1), i -> substr(t, i, 1))),
+             |        c -> CAST(round(
+             |          -(len(list_filter(list_transform(range(1, length(t) + 1), j -> substr(t, j, 1)), x -> x = c)) * 1.0 / length(t))
+             |          * log2(len(list_filter(list_transform(range(1, length(t) + 1), j -> substr(t, j, 1)), x -> x = c)) * 1.0 / length(t))
+             |          * 1e6) AS BIGINT))) AS BIGINT) >= 3000000)) AS secrets
+             |  FROM c)
+             |SELECT doc_id,
+             |  CAST(len(cands) AS INT) AS n_candidates,
+             |  CAST(len(secrets) AS INT) AS n_secrets,
+             |  md5(list_reduce(list_prepend(a, secrets),
+             |    (acc, t) -> replace(acc, t, '[SECRET]'))) AS redacted_digest
+             |FROM v ORDER BY doc_id""".stripMargin)),
+
+    // -- manifest-pinned snapshots (dataset time travel) ---------------------
+    // "Dataset v1 means the same bytes forever": versions are immutable
+    // append-only data files plus a per-version manifest listing EVERY
+    // visible file; a pinned read takes the manifest's file list, never
+    // the live directory, so later appends (and debris) are invisible to
+    // it. v1 = the %4!=3 residue classes; v2 appends the rest WITHOUT
+    // touching v1's files — the audit proves v1's read is still exactly
+    // the v1 rows (count, chars, content digest) and that v2 sees the
+    // union, with the manifest file counts pinned as literals.
+    QueryDef("p101_snapshot_pinning",
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val fp = Pipeline.layoutFingerprint(d, Seq("documents.parquet"))
+        val base = Pipeline.cachedLayout("snapshots", fp) { staging =>
+          graft.ops.Layout.appendSnapshot(staging, docs.where($"doc_id" % 4 =!= 3))
+          graft.ops.Layout.appendSnapshot(staging, docs.where($"doc_id" % 4 === 3))
+          ()
+        }
+        def audit(v: Int) = {
+          val nFiles = graft.ops.Layout.snapshotFiles(base, v).size
+          graft.ops.Layout.readSnapshot(s, base, v)
+            .agg(count(lit(1)).as("n_rows"),
+              sum($"n_chars").as("n_chars"),
+              sum(conv(substring(md5(concat($"doc_id".cast("string"), lit("|"),
+                  $"text")), 1, 15), 16, 10).cast("long") % 1073741824L)
+                .as("digest"))
+            .select(lit(v).as("version"), lit(nFiles).as("n_files"),
+              $"n_rows", $"n_chars", $"digest")
+        }
+        audit(1).unionAll(audit(2)).orderBy($"version")
+      },
+      Some("""WITH dg AS (
+             |  SELECT doc_id, n_chars,
+             |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15) AS BIGINT)
+             |      % 1073741824 AS h
+             |  FROM documents)
+             |SELECT 1 AS version, 2 AS n_files,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             |  CAST(sum(h) AS BIGINT) AS digest
+             |FROM dg WHERE doc_id % 4 <> 3
+             |UNION ALL
+             |SELECT 2, 4, CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT),
+             |  CAST(sum(h) AS BIGINT)
+             |FROM dg
+             |ORDER BY version""".stripMargin))
   )
+
+  /** The p98/s27 page fixture: nav on every page, promo on every second,
+    * copyright notice on every tenth (below the boilerplate floor — must
+    * survive). concat_ws skips the NULL arms identically in both engines.
+    */
+  private[queries] def bpPageCol: org.apache.spark.sql.Column =
+    concat_ws("\n",
+      concat(lit("NAV menu "), col("source")),
+      when(col("doc_id") % 2 === 0, concat(lit("PROMO subscribe "), col("source"))),
+      col("text"),
+      when(col("doc_id") % 10 === 0, concat(lit("COPYRIGHT notice "), col("source"))))
+
+  private[queries] def bpPages(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"), bpPageCol.as("page"))
+
+  /** The trained (hashed-key) boilerplate table, once per corpus content —
+    * the charLmCache pattern: leaving it lazy would re-run the discovery
+    * aggregation inside every micro-batch plan check and bench iteration.
+    */
+  private val bpCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(String, Seq[Long])]]()
+
+  private def cachedBoilerplate(s: SparkSession, d: String): DataFrame = {
+    val key = Pipeline.layoutFingerprint(d, Seq("documents.parquet"))
+    val rows = bpCache.computeIfAbsent(key, _ =>
+      graft.ops.Hygiene.boilerplateTable(
+          bpPages(s.read.parquet(s"$d/documents.parquet")),
+          "source", "doc_id", "page", hashLines = true)
+        .collect().map(r => (r.getString(0), r.getSeq[Long](1))))
+    import s.implicits._
+    rows.toSeq.toDF("source", "bp")
+  }
+
+  /** Shared p98/s27 oracle: boilerplate discovery + strip re-derived from
+    * plain lines in SQL.
+    */
+  private[queries] val boilerplateOracleSql: String =
+    """WITH pages AS (
+      |  SELECT doc_id, source, concat_ws(chr(10),
+      |    'NAV menu ' || source,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'PROMO subscribe ' || source END,
+      |    text,
+      |    CASE WHEN doc_id % 10 = 0 THEN 'COPYRIGHT notice ' || source END) AS page
+      |  FROM documents),
+      |lines AS (SELECT DISTINCT doc_id, source, line FROM (
+      |  SELECT doc_id, source, unnest(string_split(page, chr(10))) AS line FROM pages)),
+      |freq AS (SELECT source, line, CAST(count(*) AS BIGINT) AS df_docs
+      |  FROM lines GROUP BY 1, 2),
+      |nd AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |  FROM pages GROUP BY 1),
+      |bp AS (SELECT freq.source, list(line) AS bps
+      |  FROM freq JOIN nd USING (source)
+      |  WHERE df_docs >= 2 AND df_docs * 2 >= n_docs GROUP BY 1),
+      |strip AS (
+      |  SELECT p.doc_id, p.source,
+      |    len(string_split(p.page, chr(10))) AS n_lines,
+      |    list_filter(string_split(p.page, chr(10)),
+      |      l -> NOT coalesce(list_contains(b.bps, l), FALSE)) AS kept
+      |  FROM pages p LEFT JOIN bp b ON p.source = b.source)
+      |SELECT doc_id, source, CAST(n_lines AS INT) AS n_lines,
+      |  CAST(len(kept) AS INT) AS n_kept,
+      |  md5(array_to_string(kept, chr(10))) AS clean_digest
+      |FROM strip ORDER BY doc_id""".stripMargin
 
   /** DuckDB mirror of [[graft.ops.GraphRank.pageRank]] over the p80
     * synthetic host graph: the 8 power iterations unrolled as CTEs, every

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -109,6 +109,24 @@ object EventStreams {
           Iterator((userId, n, math.round(tot * 10000.0) / 10000.0))
       }
       .toDF("user_id", "n_events", "total_value")
+  }
+
+  /** Boilerplate-strip-on-ingest: the per-source boilerplate line table is
+    * discovered OFFLINE over the standing corpus (the CCNet recipe — a
+    * host's nav/footer vocabulary changes on crawl cadence, not per page)
+    * and broadcast into the micro-batch plan as hashed line keys; each
+    * arriving page drops its source's boilerplate lines inside the scan
+    * stage. Stateless — no state store, no watermark; ingest throughput is
+    * split+filter throughput. `mkPage` builds the page column from the
+    * streamed document row (the fixture synthesizer in the driver query;
+    * a real deployment feeds `html_text` output).
+    */
+  def boilerplateStage(bp: DataFrame, mkPage: Column)(docs: DataFrame): DataFrame = {
+    val pages = docs.select(col("doc_id"), col("source"), mkPage.as("page"))
+    graft.ops.Hygiene.stripBoilerplate(
+        pages, bp, "source", "doc_id", "page", hashLines = true)
+      .select(col("doc").as("doc_id"), col("source"), col("n_lines"),
+        col("n_kept"), md5(col("clean")).as("clean_digest"))
   }
 
   /** KMV sketch as CUSTOM streaming state: the k smallest distinct token
