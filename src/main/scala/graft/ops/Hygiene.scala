@@ -107,8 +107,11 @@ object Hygiene {
     * natural-language word fails (no digit).
     */
   private def candidatesSql(textCol: String, minLen: Int): String =
-    s"""filter(${tokensSql(textCol)}, t ->
-       |  length(t) >= $minLen
+    // one pass over the raw split: the length floor subsumes the
+    // empty-token filter (minLen >= 1), and short-circuits the regexes
+    // off every normal word
+    s"""filter(split($textCol, ' '), t ->
+       |  length(t) >= ${math.max(minLen, 1)}
        |  AND t RLIKE '^[A-Za-z0-9_-]+$$'
        |  AND t RLIKE '[0-9]' AND t RLIKE '[a-z]' AND t RLIKE '[A-Z]')""".stripMargin
 
@@ -143,6 +146,22 @@ object Hygiene {
   /** Candidate tokens (pre-entropy), for audit columns. */
   def secretCandidates(textCol: String, minLen: Int = 24): Column =
     expr(candidatesSql(textCol, minLen))
+
+  /** Staged form: entropy-gate a PRECOMPUTED candidates column. HOFs are
+    * CodegenFallback, so multi-column outputs get no common-subexpression
+    * elimination — a query that needs candidate counts, secrets AND the
+    * redacted text should materialize each stage as a column (Catalyst's
+    * CollapseProject keeps non-cheap expressions staged) instead of
+    * re-deriving the whole chain per output column.
+    */
+  def secretTokensFrom(candsCol: String,
+                       minMicroBits: Long = 3000000L): Column =
+    expr(s"""array_distinct(filter($candsCol,
+            |  t -> ${entropySql("t")} >= ${minMicroBits}L))""".stripMargin)
+
+  /** Staged form: fold a PRECOMPUTED secrets column over the text. */
+  def redactFrom(textCol: String, secretsCol: String): Column =
+    expr(s"aggregate($secretsCol, $textCol, (acc, t) -> replace(acc, t, '[SECRET]'))")
 
   /** Redact every detected secret: a left fold of plain `replace` over
     * the (long, random — collision-free in practice) offending tokens.

@@ -2316,11 +2316,16 @@ object Advanced {
         val aug = concat($"text",
           lit(" key Sk9_"), upper(substring(sec, 1, 12)), substring(sec, 13, 12),
           lit(" ref Aa1_xxxxxxxxxxxxxxxxxxxxxxxx q"), substring(nm, 1, 25))
+        // staged columns: HOFs are CodegenFallback (no cross-column CSE),
+        // so candidates and the entropy gate each evaluate ONCE per row
+        // instead of once per output column
         t(s, d, "documents").select($"doc_id", aug.as("a"))
+          .withColumn("cands", graft.ops.Hygiene.secretCandidates("a"))
+          .withColumn("secrets", graft.ops.Hygiene.secretTokensFrom("cands"))
           .select($"doc_id",
-            size(graft.ops.Hygiene.secretCandidates("a")).cast("int").as("n_candidates"),
-            size(graft.ops.Hygiene.secretTokens("a")).cast("int").as("n_secrets"),
-            md5(graft.ops.Hygiene.redactSecrets("a")).as("redacted_digest"))
+            size($"cands").cast("int").as("n_candidates"),
+            size($"secrets").cast("int").as("n_secrets"),
+            md5(graft.ops.Hygiene.redactFrom("a", "secrets")).as("redacted_digest"))
           .orderBy($"doc_id")
       },
       Some("""WITH aug AS (
@@ -2353,6 +2358,43 @@ object Advanced {
              |  md5(list_reduce(list_prepend(a, secrets),
              |    (acc, t) -> replace(acc, t, '[SECRET]'))) AS redacted_digest
              |FROM v ORDER BY doc_id""".stripMargin)),
+
+    // -- streaming snapshot ingestion (manifest commit per micro-batch) -----
+    // The streaming half of p101: each micro-batch of arriving documents
+    // commits as one snapshot version — append-only files, then the
+    // manifest's atomic move publishes them. A mid-batch failure leaves
+    // unreferenced files, never a corrupt visible version, because
+    // visibility IS the manifest move. The audit reads the LATEST pinned
+    // version back (batch-count-invariant: rows/chars/content digest must
+    // equal the corpus no matter how the engine batched the files); the
+    // multi-version pinning behavior is pinned by RecoverySpec.
+    QueryDef("s28_stream_snapshot_ingest",
+      (s, d) => {
+        import s.implicits._
+        val base = java.nio.file.Files.createTempDirectory("graft-s28")
+        try {
+          val versions = EventStreams.snapshotIngest(s, d, "documents", base)
+          graft.ops.Layout.readSnapshot(s, base, versions)
+            .agg(count(lit(1)).as("n_rows"),
+              sum($"n_chars").as("n_chars"),
+              sum(conv(substring(md5(concat($"doc_id".cast("string"), lit("|"),
+                  $"text")), 1, 15), 16, 10).cast("long") % 1073741824L)
+                .as("digest"))
+            .select(lit(versions).as("versions"), $"n_rows", $"n_chars",
+              $"digest")
+            .localCheckpoint(true)
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(base).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      },
+      Some("""SELECT 1 AS versions,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             |  CAST(sum(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15) AS BIGINT)
+             |    % 1073741824) AS BIGINT) AS digest
+             |FROM documents""".stripMargin)),
 
     // -- manifest-pinned snapshots (dataset time travel) ---------------------
     // "Dataset v1 means the same bytes forever": versions are immutable

@@ -129,6 +129,40 @@ object EventStreams {
         col("n_kept"), md5(col("clean")).as("clean_digest"))
   }
 
+  /** Stream a document table into a manifest-pinned snapshot series: each
+    * non-empty micro-batch commits as ONE snapshot version through
+    * [[graft.ops.Layout.appendSnapshot]] — data files land append-only
+    * under the base, then the manifest's write-then-atomic-move publishes
+    * them. This is the streaming half of the p101 contract: ingest lands
+    * crawl batches continuously while every downstream trainer keeps
+    * reading the version it pinned; a batch that fails mid-write leaves
+    * unreferenced files, never a corrupt visible version, because
+    * visibility IS the manifest move. Empty micro-batches (AvailableNow
+    * bookkeeping) commit nothing. Returns the number of versions
+    * committed.
+    */
+  def snapshotIngest(spark: SparkSession, dir: String, table: String,
+                     base: java.nio.file.Path, filesPerBatch: Int = 2): Int = {
+    import scala.jdk.CollectionConverters._
+    val staticDf = spark.read.parquet(s"$dir/$table.parquet")
+    val stream = spark.readStream
+      .schema(staticDf.schema)
+      .parquet(s"$dir/$table.parque[t]")
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", base.resolve("_chk").toString)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        if (!df.isEmpty)
+          graft.ops.Layout.appendSnapshot(base, df, filesPerBatch): Unit
+      }
+      .start()
+    q.awaitTermination()
+    val manDir = base.resolve("manifests")
+    if (!java.nio.file.Files.exists(manDir)) 0
+    else java.nio.file.Files.list(manDir).iterator().asScala
+      .count(p => p.getFileName.toString.matches("v\\d+\\.txt"))
+  }
+
   /** KMV sketch as CUSTOM streaming state: the k smallest distinct token
     * hashes per source. HLL/histogram/CMS state (s22-s24) rides the
     * streaming AGGREGATION because max/sum are algebraic; a k-min SET is
