@@ -49,6 +49,52 @@ object UrlOps {
     * form, the id-minimal row per canonical group is the keeper, and the
     * group size comes along for audit. One shuffle (canonical key).
     */
+  /** The host's parent-domain chain, most-specific first:
+    * `cdn.eu.d7.example` → [cdn.eu.d7.example, eu.d7.example, d7.example,
+    * example]. Bounded by the label count per row. This is how a domain
+    * blocklist with subdomain inheritance ("blocking d7.example blocks
+    * every host under it") becomes an EQUALITY join instead of an
+    * ends-with scan: explode the chain, join suffix keys — and label
+    * boundaries are correct by construction (`3.example` can never match
+    * host `d3.example`, which a naive substring endswith gets wrong).
+    */
+  def domainChain(host: Column): Column = {
+    val parts = split(host, "\\.")
+    transform(sequence(lit(1), size(parts)),
+      i => array_join(slice(parts, i, size(parts) - i + 1), "."))
+  }
+
+  /** Apply a blocked-domain-suffix list with subdomain inheritance.
+    * Returns (id, host, blocked, matched) where `matched` is the
+    * longest (then lexicographically greatest) blocklist suffix that
+    * covers the host, NULL when unblocked.
+    *
+    * Scale shape: the host side explodes into its bounded domain chain
+    * (≤ label count rows per doc) and joins the blocklist on suffix
+    * EQUALITY — broadcast when the list is list-sized (the normal case:
+    * opt-out registries are thousands of rows, not billions); never a
+    * LIKE/endswith against every row.
+    */
+  def applyDomainBlocklist(docs: DataFrame, idCol: String, hostCol: String,
+                           blocklist: DataFrame): DataFrame = {
+    // normalize names BEFORE the explode select: when hostCol is already
+    // named "host" the same-select alias would resolve the explode's
+    // reference as a lateral column alias (rejected in resolved plans)
+    val base = docs.select(col(idCol).as("id"), col(hostCol).as("host"))
+    val chain = base.select(col("id"), col("host"),
+      explode(domainChain(col("host"))).as("sfx"))
+    val hits = chain
+      .join(broadcast(blocklist.select(col("suffix").as("sfx"))), "sfx")
+      .groupBy(col("id"))
+      .agg(max(struct(length(col("sfx")).as("l"), col("sfx").as("s")))
+        .as("m"))
+      .select(col("id"), col("m.s").as("matched"))
+    docs.select(col(idCol).as("id"), col(hostCol).as("host"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), col("host"),
+        col("matched").isNotNull.as("blocked"), col("matched"))
+  }
+
   def urlDedup(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
     val canon = df.withColumn("canon_url", canonicalUrl(col(urlCol)))
     val w = Window.partitionBy(col("canon_url"))

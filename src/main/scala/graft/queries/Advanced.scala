@@ -2396,6 +2396,112 @@ object Advanced {
              |    % 1073741824) AS BIGINT) AS digest
              |FROM documents""".stripMargin)),
 
+    // -- leakage-safe train/val/test split -----------------------------------
+    // The eval-integrity rule a naive per-doc hash split violates: near
+    // duplicates of a training document must NOT land in the eval split
+    // (they leak the answer). Group-aware split = the p24 near-dup
+    // clusters (cached layout, singletons are their own group) hashed by
+    // CLUSTER id, so every member co-assigns. The audit proves zero
+    // clusters span splits (group_split_ok) and counts how many clusters
+    // the per-doc hash WOULD have torn apart — the hazard being prevented.
+    QueryDef("p102_leakage_safe_split",
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents").select($"doc_id")
+        val cl = Pipeline.ccClusterTable(s, d)
+          .select($"doc".as("doc_id"), $"cluster")
+        val eff = docs.join(cl, Seq("doc_id"), "left")
+          .select($"doc_id", coalesce($"cluster", $"doc_id").as("cluster"))
+        val asg = graft.ops.Sampling.assignSplit(eff, "cluster", salt = "gsplit")
+          .withColumn("nb", graft.ops.Sampling.hashBucket($"doc_id", "gsplit"))
+          .withColumn("naive",
+            when($"nb" < 800, "train").when($"nb" < 900, "val").otherwise("test"))
+        val summary = asg.groupBy($"split").agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct($"cluster").as("n_clusters"))
+        val gOk = asg.groupBy($"cluster")
+          .agg(countDistinct($"split").as("ns"))
+          .agg((max($"ns") === 1).as("group_split_ok"))
+        val leaky = asg.groupBy($"cluster")
+          .agg(countDistinct($"naive").as("nn"))
+          .agg(sum(when($"nn" > 1, 1L).otherwise(0L)).as("naive_leaky_clusters"))
+        summary.crossJoin(broadcast(gOk)).crossJoin(broadcast(leaky))
+          .select($"split", $"n_docs", $"n_clusters", $"group_split_ok",
+            $"naive_leaky_clusters")
+          .orderBy($"split")
+      },
+      Some(s"""WITH cand AS MATERIALIZED (${Pipeline.minhashCandidatesSql}),
+              |${Pipeline.ccClusterCtes(Pipeline.CcOracleRounds)},
+              |eff AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster
+              |  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+              |asg AS (SELECT doc_id, cluster,
+              |    CASE WHEN cb < 800 THEN 'train' WHEN cb < 900 THEN 'val'
+              |         ELSE 'test' END AS split,
+              |    CASE WHEN nb < 800 THEN 'train' WHEN nb < 900 THEN 'val'
+              |         ELSE 'test' END AS naive
+              |  FROM (SELECT doc_id, cluster,
+              |      CAST(('0x' || substring(md5('gsplit|' || CAST(cluster AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS cb,
+              |      CAST(('0x' || substring(md5('gsplit|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS nb
+              |    FROM eff)),
+              |g AS (SELECT max(ns) = 1 AS group_split_ok FROM (
+              |  SELECT count(DISTINCT split) AS ns FROM asg GROUP BY cluster)),
+              |lk AS (SELECT CAST(count(*) AS BIGINT) AS naive_leaky_clusters FROM (
+              |  SELECT cluster FROM asg GROUP BY cluster
+              |  HAVING count(DISTINCT naive) > 1))
+              |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+              |  (SELECT group_split_ok FROM g) AS group_split_ok,
+              |  (SELECT naive_leaky_clusters FROM lk) AS naive_leaky_clusters
+              |FROM asg GROUP BY split ORDER BY split""".stripMargin)),
+
+    // -- domain blocklist with subdomain inheritance -------------------------
+    // Opt-out / compliance filtering at the host level: blocking
+    // d7.example must block every host under it (www., cdn.eu., ...) —
+    // and must NOT block d3.example when the list says 3.example (label
+    // boundaries). The host explodes into its bounded parent-domain chain
+    // and joins the blocklist on suffix EQUALITY (broadcast) — never an
+    // ends-with scan over the corpus. `matched` is the longest covering
+    // suffix.
+    QueryDef("p103_domain_blocklist",
+      (s, d) => {
+        import s.implicits._
+        val hosts = t(s, d, "documents").select($"doc_id",
+          concat(
+            when($"doc_id" % 3 === 1, "www.")
+              .when($"doc_id" % 3 === 2, "cdn.eu.").otherwise(""),
+            lit("d"), ($"doc_id" % 20).cast("string"), lit(".example"))
+            .as("host"))
+        val bl = Seq("d3.example", "d11.example", "cdn.eu.d7.example",
+          "eu.d8.example", "3.example").toDF("suffix")
+        graft.ops.UrlOps.applyDomainBlocklist(hosts, "doc_id", "host", bl)
+          .select($"id".as("doc_id"), $"host", $"blocked", $"matched")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH hosts AS (
+             |  SELECT doc_id,
+             |    (CASE WHEN doc_id % 3 = 1 THEN 'www.'
+             |          WHEN doc_id % 3 = 2 THEN 'cdn.eu.' ELSE '' END)
+             |    || 'd' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS host
+             |  FROM documents),
+             |bl(suffix) AS (VALUES ('d3.example'), ('d11.example'),
+             |  ('cdn.eu.d7.example'), ('eu.d8.example'), ('3.example')),
+             |chain AS (
+             |  SELECT doc_id, host,
+             |    unnest(list_transform(range(1, len(string_split(host, '.')) + 1),
+             |      i -> array_to_string(
+             |        list_slice(string_split(host, '.'), i,
+             |          len(string_split(host, '.'))), '.'))) AS sfx
+             |  FROM hosts),
+             |hit AS (SELECT doc_id, sfx AS matched FROM (
+             |  SELECT c.doc_id, c.sfx,
+             |    row_number() OVER (PARTITION BY c.doc_id
+             |      ORDER BY length(c.sfx) DESC, c.sfx DESC) AS rn
+             |  FROM chain c JOIN bl ON bl.suffix = c.sfx) WHERE rn = 1)
+             |SELECT h.doc_id, h.host, hit.matched IS NOT NULL AS blocked,
+             |  hit.matched
+             |FROM hosts h LEFT JOIN hit USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // -- manifest-pinned snapshots (dataset time travel) ---------------------
     // "Dataset v1 means the same bytes forever": versions are immutable
     // append-only data files plus a per-version manifest listing EVERY

@@ -551,6 +551,33 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("domain chain + blocklist: subdomain inheritance, label boundaries, longest match") {
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    val chain = Seq("cdn.eu.d7.example").toDF("host")
+      .select(graft.ops.UrlOps.domainChain(col("host")).as("c"))
+      .head.getSeq[String](0)
+    assert(chain === Seq("cdn.eu.d7.example", "eu.d7.example", "d7.example", "example"))
+    val hosts = Seq(
+      (1L, "www.d3.example"),   // blocked via parent d3.example
+      (2L, "d3.example"),       // blocked exactly
+      (3L, "wd3.example"),      // '3.example' must NOT match (label boundary)
+      (4L, "cdn.eu.d7.example"),// two covering suffixes -> longest wins
+      (5L, "clean.example")     // unblocked
+    ).toDF("doc_id", "host")
+    val bl = Seq("d3.example", "3.example", "cdn.eu.d7.example", "d7.example")
+      .toDF("suffix")
+    val out = graft.ops.UrlOps
+      .applyDomainBlocklist(hosts, "doc_id", "host", bl)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(2), Option(r.getString(3))))).toMap
+    assert(out(1L) === ((true, Some("d3.example"))))
+    assert(out(2L) === ((true, Some("d3.example"))))
+    assert(out(3L) === ((false, None)), "label boundary: wd3.example is not under 3.example")
+    assert(out(4L) === ((true, Some("cdn.eu.d7.example"))), "longest covering suffix wins")
+    assert(out(5L) === ((false, None)))
+  }
+
   test("url canonicalization: case, www, ports, tracking params, order, fragment, slash") {
     import org.apache.spark.sql.functions.col
     val s = spark
