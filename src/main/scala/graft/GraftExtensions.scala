@@ -133,6 +133,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("topk_min_pairs", 3)(exprs =>
         graft.functions.TopKMinPairs(exprs(0), exprs(1), exprs(2)))))
     ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("secret_scan"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.SecretScan].getName, "secret_scan"),
+      graft.functions.SecretScan.builder _))
+    ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.MinhashSig].getName, "minhash_sig"),

@@ -2316,16 +2316,15 @@ object Advanced {
         val aug = concat($"text",
           lit(" key Sk9_"), upper(substring(sec, 1, 12)), substring(sec, 13, 12),
           lit(" ref Aa1_xxxxxxxxxxxxxxxxxxxxxxxx q"), substring(nm, 1, 25))
-        // staged columns: HOFs are CodegenFallback (no cross-column CSE),
-        // so candidates and the entropy gate each evaluate ONCE per row
-        // instead of once per output column
+        // the native one-pass kernel (candidates + entropy gate in one
+        // generated call, bit-identical to the HOF spelling — HygieneSpec
+        // differential); the redaction fold runs over the tiny result
         t(s, d, "documents").select($"doc_id", aug.as("a"))
-          .withColumn("cands", graft.ops.Hygiene.secretCandidates("a"))
-          .withColumn("secrets", graft.ops.Hygiene.secretTokensFrom("cands"))
+          .withColumn("sc", graft.functions.SecretScan(s, $"a"))
           .select($"doc_id",
-            size($"cands").cast("int").as("n_candidates"),
-            size($"secrets").cast("int").as("n_secrets"),
-            md5(graft.ops.Hygiene.redactFrom("a", "secrets")).as("redacted_digest"))
+            size($"sc.cands").cast("int").as("n_candidates"),
+            size($"sc.secrets").cast("int").as("n_secrets"),
+            md5(graft.ops.Hygiene.redactFrom("a", "sc.secrets")).as("redacted_digest"))
           .orderBy($"doc_id")
       },
       Some("""WITH aug AS (

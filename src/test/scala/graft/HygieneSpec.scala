@@ -105,6 +105,34 @@ class HygieneSpec extends AnyFunSuite {
     assert(n2 === 1, ">= comparison at the exact boundary must admit")
   }
 
+  test("native secret_scan kernel is bit-identical to the HOF spelling") {
+    val r = new scala.util.Random(31)
+    val alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789_-éπ. "
+    val rows = (0 until 400).map { i =>
+      // random token soup, plus planted fixture shapes at several lengths
+      val soup = (0 until 12).map(_ =>
+        (0 until (1 + r.nextInt(30))).map(_ => alpha(r.nextInt(alpha.length)))
+          .mkString).mkString(" ")
+      val planted = i % 4 match {
+        case 0 => " Sk9_A7fB2cD4eF6a8B1c9D3e"
+        case 1 => " Aa1_xxxxxxxxxxxxxxxxxxxxxxxx"
+        case 2 => " AAbb1122AAbb1122AAbb1122"
+        case _ => ""
+      }
+      (i.toLong, soup + planted)
+    }
+    val df = spark.createDataFrame(rows).toDF("id", "text")
+    val hof = df
+      .withColumn("cands", graft.ops.Hygiene.secretCandidates("text"))
+      .withColumn("secrets", graft.ops.Hygiene.secretTokensFrom("cands"))
+      .select($"id", $"cands", $"secrets")
+    val native = df
+      .withColumn("sc", graft.functions.SecretScan(spark, $"text"))
+      .select($"id", $"sc.cands".as("cands"), $"sc.secrets".as("secrets"))
+    assert(hof.exceptAll(native).isEmpty && native.exceptAll(hof).isEmpty,
+      "kernel must reproduce the HOF candidates AND secrets exactly")
+  }
+
   test("multiple distinct secrets all redact; fold order is content-stable") {
     val df = Seq((1L,
       "k1 Sk9_A7fB2cD4eF6a8B1c9D3e mid Qz8_Z1xY3wV5uT7sR9qP2oN4 end"))
