@@ -92,6 +92,26 @@ object Hygiene {
       array_join(kept, Nl).as("clean"))
   }
 
+  // ---- confusable-skeleton (homoglyph) dedup key ---------------------------
+
+  /** Homoglyph fold table (Unicode TR39-style confusables, the subset
+    * that round-trips as single chars through `translate`): Cyrillic and
+    * Greek lowercase letters that render identically to Latin ones — the
+    * script-mixing trick SEO spam uses to slip copies past exact AND
+    * canonical dedup (`p40` lowercases and strips punctuation but never
+    * folds scripts, so "sсаm" with Cyrillic с/а hashes differently).
+    */
+  val ConfusableFrom = "аеорсхуѕіјԛԝο"
+  val ConfusableTo = "aeopcxysijqwo"
+
+  /** The skeleton dedup key: NFC → lowercase → homoglyph fold. Pure
+    * per-row expression chain; the dedup that uses it pays exactly one
+    * digest-keyed shuffle, like every other dedup pass here.
+    */
+  def confusableSkeleton(text: Column): Column =
+    translate(lower(call_function("nfc_normalize", text)),
+      ConfusableFrom, ConfusableTo)
+
   // ---- secret scrub ------------------------------------------------------
 
   /** Whitespace tokens of `textCol`, as a SQL fragment (HOF lambdas need

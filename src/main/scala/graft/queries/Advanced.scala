@@ -2501,6 +2501,59 @@ object Advanced {
              |FROM hosts h LEFT JOIN hit USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    // -- homoglyph (confusable-skeleton) dedup -------------------------------
+    // The adversarial-dedup gap: SEO spam slips copies past exact AND
+    // canonical dedup by swapping Latin letters for identical-looking
+    // Cyrillic ones. The skeleton key (NFC → lower → TR39-style homoglyph
+    // fold) catches them; the fixture plants Cyrillic-substituted twins
+    // of every fifth document under new ids and the audit shows exact
+    // digests missing every pair (exact_dups == 1) while the skeleton
+    // groups each twin with its original (group_size == 2, min-id
+    // keeper).
+    QueryDef("p104_homoglyph_dedup",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.NfcNormalize.register(s)
+        val base = t(s, d, "documents").select($"doc_id", $"text")
+          .where($"doc_id" < 250)
+        val attacked = base.where($"doc_id" % 5 === 0)
+          .select(($"doc_id" + 100000L).as("doc_id"),
+            translate($"text", "aeopcxysij", "аеорсхуѕіј").as("text"))
+        val corpus = base.unionByName(attacked)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"k")
+        val wx = org.apache.spark.sql.expressions.Window
+          .partitionBy($"x")
+        corpus
+          .select($"doc_id",
+            md5(graft.ops.Hygiene.confusableSkeleton($"text")).as("k"),
+            md5($"text").as("x"))
+          .select($"doc_id",
+            count(lit(1)).over(wx).as("exact_dups"),
+            count(lit(1)).over(w).as("group_size"),
+            min($"doc_id").over(w).as("keeper"))
+          .withColumn("keep", ($"doc_id" === $"keeper").cast("int"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id < 250),
+             |att AS (
+             |  SELECT doc_id + 100000 AS doc_id,
+             |    translate(text, 'aeopcxysij', 'аеорсхуѕіј') AS text
+             |  FROM base WHERE doc_id % 5 = 0),
+             |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM att),
+             |sk AS (SELECT doc_id,
+             |    md5(translate(lower(nfc_normalize(text)),
+             |      'аеорсхуѕіјԛԝο', 'aeopcxysijqwo')) AS k,
+             |    md5(text) AS x
+             |  FROM corpus)
+             |SELECT doc_id,
+             |  CAST(count(*) OVER (PARTITION BY x) AS BIGINT) AS exact_dups,
+             |  CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS group_size,
+             |  min(doc_id) OVER (PARTITION BY k) AS keeper,
+             |  CAST(doc_id = min(doc_id) OVER (PARTITION BY k) AS INT) AS keep
+             |FROM sk ORDER BY doc_id""".stripMargin)),
+
     // -- manifest-pinned snapshots (dataset time travel) ---------------------
     // "Dataset v1 means the same bytes forever": versions are immutable
     // append-only data files plus a per-version manifest listing EVERY

@@ -68,6 +68,24 @@ class HygieneSpec extends AnyFunSuite {
     assert(bp.isEmpty, "1/4 docs is below both floors even with 3 in-doc copies")
   }
 
+  test("confusable skeleton folds homoglyphs that exact and canonical keys miss") {
+    graft.functions.NfcNormalize.register(spark)
+    val df = Seq(
+      (1L, "scam alert"),
+      (2L, "sсаm alert"), // Cyrillic с/а — renders identically
+      (3L, "SCAM alert"),           // case variant: same skeleton too
+      (4L, "spam alert")            // genuinely different
+    ).toDF("id", "t")
+    val keys = df.select($"id",
+      md5(graft.ops.Hygiene.confusableSkeleton($"t")).as("k"),
+      md5($"t").as("exact"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(keys(1L)._1 === keys(2L)._1, "homoglyph twin must share the skeleton")
+    assert(keys(1L)._1 === keys(3L)._1, "case variant must share the skeleton")
+    assert(keys(1L)._1 !== keys(4L)._1)
+    assert(keys(1L)._2 !== keys(2L)._2, "exact digest must MISS the homoglyph twin")
+  }
+
   // ---- secrets ----
 
   test("entropy gate: random-shaped key detected, padding and hex survive") {
