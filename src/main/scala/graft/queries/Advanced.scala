@@ -2554,6 +2554,100 @@ object Advanced {
              |  CAST(doc_id = min(doc_id) OVER (PARTITION BY k) AS INT) AS keep
              |FROM sk ORDER BY doc_id""".stripMargin)),
 
+    // -- feature correlation / regression audit ------------------------------
+    // Statistical QA over corpus features (the drift/sanity pass a
+    // feature pipeline runs per release): Pearson r and the OLS slope
+    // between n_chars and the word count, per language — computed from
+    // ONE map-side-combined aggregate of exact BIGINT moment sums
+    // (n, Σx, Σy, Σxy, Σx², Σy²). The only floating point is the final
+    // closed-form division/sqrt over identical integers, which IEEE
+    // evaluates identically on any engine — corr()/covar built-ins
+    // accumulate doubles in partition order and cannot be oracled
+    // exactly; moment sums can.
+    QueryDef("p105_feature_correlation",
+      (s, d) => {
+        import s.implicits._
+        val base = t(s, d, "documents").select($"lang",
+          $"n_chars".cast("long").as("x"),
+          graft.ops.TextOps.wordCount($"text").cast("long").as("y"))
+        val m = base.groupBy($"lang").agg(
+          count(lit(1)).as("n"),
+          sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy"),
+          sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"))
+        val covN = ($"n" * $"sxy" - $"sx" * $"sy").cast("double")
+        val varX = ($"n" * $"sxx" - $"sx" * $"sx").cast("double")
+        val varY = ($"n" * $"syy" - $"sy" * $"sy").cast("double")
+        m.select($"lang", $"n".as("n_docs"),
+            round(covN / sqrt(varX * varY), 6).as("pearson_r"),
+            round(covN / varX, 6).as("ols_slope"))
+          .orderBy($"lang")
+      },
+      Some("""WITH base AS (
+             |  SELECT lang, CAST(n_chars AS BIGINT) AS x,
+             |    CAST(len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0)) AS BIGINT) AS y
+             |  FROM documents),
+             |m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x * y) AS BIGINT) AS sxy,
+             |    CAST(sum(x * x) AS BIGINT) AS sxx,
+             |    CAST(sum(y * y) AS BIGINT) AS syy
+             |  FROM base GROUP BY lang)
+             |SELECT lang, n AS n_docs,
+             |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+             |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+             |         * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS pearson_r,
+             |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+             |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS ols_slope
+             |FROM m ORDER BY lang""".stripMargin)),
+
+    // -- MP3 frame-header inventory (media cataloging) ------------------------
+    // The metadata half of MP3 handling: full decode is quantized-DCT
+    // float math that can never meet the hash-equality contract (the
+    // FLAC/G.711 line), but the FRAME GRAMMAR is pure integer arithmetic
+    // — sync walk, ID3v2 syncsafe skip, 144·bitrate/samplerate+padding
+    // stepping — which is exactly what a media-catalog pass runs at scan
+    // speed over a 100 TB audio corpus. Each doc synthesizes a multi-
+    // frame VBR stream (per-frame bitrate rotation, alternating padding,
+    // ID3 prefix on even ids); the oracle re-derives every inventory
+    // column closed-form from the seed arithmetic, so one mis-stepped
+    // frame boundary anywhere breaks the hash (the p12 precedent).
+    QueryDef("p106_mp3_inventory",
+      (s, d) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        import s.implicits._
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("n_frames", IntegerType),
+          StructField("samplerate", IntegerType), StructField("br_min", IntegerType),
+          StructField("br_max", IntegerType), StructField("is_vbr", BooleanType),
+          StructField("duration_us", LongType)))
+        val rows = t(s, d, "documents").select($"doc_id").rdd.mapPartitions {
+          it => it.map { r =>
+            val id = r.getLong(0)
+            val inv = graft.ops.Mp3.parse(graft.ops.Mp3.syntheticMp3(id)).get
+            Row(id, inv.nFrames, inv.sampleRateHz, inv.brMinKbps,
+              inv.brMaxKbps, inv.isVbr, inv.durationUs)
+          }
+        }
+        s.createDataFrame(rows, schema).orderBy($"doc_id")
+      },
+      Some("""WITH inv AS (
+             |  SELECT doc_id,
+             |    CAST(3 + doc_id % 4 AS INT) AS n,
+             |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 44100
+             |      WHEN 1 THEN 48000 ELSE 32000 END AS sr,
+             |    list_transform(range(0, 3 + doc_id % 4), i -> list_extract(
+             |      [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+             |      CAST(1 + (doc_id + i) % 14 AS INT))) AS brs
+             |  FROM documents)
+             |SELECT doc_id, n AS n_frames, sr AS samplerate,
+             |  CAST(list_min(brs) AS INT) AS br_min,
+             |  CAST(list_max(brs) AS INT) AS br_max,
+             |  list_min(brs) <> list_max(brs) AS is_vbr,
+             |  CAST(n AS BIGINT) * 1152 * 1000000 // sr AS duration_us
+             |FROM inv ORDER BY doc_id""".stripMargin)),
+
     // -- manifest-pinned snapshots (dataset time travel) ---------------------
     // "Dataset v1 means the same bytes forever": versions are immutable
     // append-only data files plus a per-version manifest listing EVERY

@@ -920,7 +920,58 @@ object Relational {
              |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
              |    AS price_cents
              |FROM orders WHERE o_orderstatus = 'F'
-             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // -- SCD2 point-in-time dimension join -----------------------------------
+    // The slowly-changing-dimension shape every warehouse fact pipeline
+    // needs: facts join the dimension row whose validity interval
+    // [valid_from, valid_to) contains the fact's event time. The fixture
+    // derives a two-version dimension per user from the event-time span
+    // (split at the integer-µs midpoint, so single-event users land in
+    // the open-ended second version); the join is an equi-join on the key
+    // with range predicates riding as join conditions — per-key dimension
+    // versions are bounded, so this scales as an ordinary keyed join, not
+    // an interval product. Value sums run over exact DECIMAL (the q15
+    // contract: DOUBLE partial-sum order differs between engines).
+    QueryDef("q43_scd2_join",
+      (s, d) => {
+        import s.implicits._
+        val ev = t(s, d, "events").where($"user_id" < 50)
+          .select($"user_id", unix_micros($"ts").as("us"), $"value")
+        val span = ev.groupBy($"user_id").agg(
+          min($"us").as("t0"), max($"us").as("t2"))
+        val mid = expr("(t0 + t2) DIV 2")
+        val dim = span.select($"user_id", $"t0".as("vfrom"), mid.as("vto"),
+            lit("bronze").as("tier"))
+          .unionByName(span.select($"user_id", mid.as("vfrom"),
+            ($"t2" + 1).as("vto"), lit("gold").as("tier")))
+        // dim derives from ev — alias both sides or the analyzer flags
+        // the lineage-shared user_id as an ambiguous self-join column
+        ev.as("e").join(dim.as("di"),
+            col("e.user_id") === col("di.user_id") &&
+              col("e.us") >= col("di.vfrom") && col("e.us") < col("di.vto"))
+          .groupBy(col("e.user_id").as("user_id"), col("di.tier").as("tier"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("e.value").cast("decimal(18,6)")), 4)
+              .cast("double").as("total_value"))
+          .orderBy($"user_id", $"tier")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_us(ts) AS us, value
+             |  FROM events WHERE user_id < 50),
+             |span AS (SELECT user_id, min(us) AS t0, max(us) AS t2
+             |  FROM ev GROUP BY 1),
+             |dim AS (
+             |  SELECT user_id, t0 AS vfrom, (t0 + t2) // 2 AS vto,
+             |    'bronze' AS tier FROM span
+             |  UNION ALL
+             |  SELECT user_id, (t0 + t2) // 2, t2 + 1, 'gold' FROM span)
+             |SELECT e.user_id AS user_id, d.tier, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+             |    AS total_value
+             |FROM ev e JOIN dim d
+             |  ON e.user_id = d.user_id AND e.us >= d.vfrom AND e.us < d.vto
+             |GROUP BY 1, 2 ORDER BY e.user_id, tier""".stripMargin))
   )
 
   /** q39's statement — blocking-based fuzzy key matching, the classic
