@@ -198,6 +198,13 @@ object Layout {
     * Returns the new version number (1-based). `filesPerVersion` is the
     * write parallelism knob — at corpus scale this is the shard count of
     * the append, not 2.
+    *
+    * Writer contract: ONE appender at a time per base (the p101 caller
+    * serializes through cachedLayout's lock; the s28 stream commits from
+    * a single driver). A racing second appender fails LOUDLY — both
+    * compute the same version, and the second data-file/manifest
+    * `Files.move` throws on the existing target — it can never silently
+    * corrupt a published manifest.
     */
   def appendSnapshot(base: java.nio.file.Path, df: DataFrame,
                      filesPerVersion: Int = 2): Int = {
