@@ -82,7 +82,10 @@ object Hygiene {
     val joined = pages.join(
       broadcast(bp.withColumnRenamed("source", "__bp_source")),
       pages(srcCol) === col("__bp_source"), "left")
-    val lines = split(col(pageCol), Nl)
+    // NULL page degrades to the empty page (split(NULL) is NULL and
+    // size(NULL) is -1 — a crawl row with no body must not emit negative
+    // audit counts)
+    val lines = split(coalesce(col(pageCol), lit("")), Nl)
     val key: Column => Column = if (hashLines) l => xxhash64(l) else identity
     val kept = filter(lines, l =>
       !coalesce(array_contains(col("bp"), key(l)), lit(false)))

@@ -2648,6 +2648,110 @@ object Advanced {
              |  CAST(n AS BIGINT) * 1152 * 1000000 // sr AS duration_us
              |FROM inv ORDER BY doc_id""".stripMargin)),
 
+    // -- streaming observed metrics (ingest monitoring) -----------------------
+    // p71's observability contract under the streaming engine: `observe`
+    // aggregates ride each micro-batch plan (no extra pass, no extra
+    // action — the hook a production ingest job feeds its dashboards
+    // from), and their cross-batch SUMS must reconcile with the batch
+    // engine's totals over the same input. matches_direct is
+    // Verify-gated.
+    QueryDef("s29_stream_observe",
+      (s, d) => {
+        import s.implicits._
+        val observed = EventStreams.observedIngestTotals(s, d, "s29")
+        val direct = t(s, d, "documents").agg(
+            count(lit(1)).as("n_docs"),
+            sum(length($"text")).as("n_chars"),
+            count($"lang").as("n_lang_nonnull"))
+          .collect()(0)
+        val directMap = Map("n_docs" -> direct.getLong(0),
+          "n_chars" -> direct.getLong(1), "n_lang_nonnull" -> direct.getLong(2))
+        observed.map { case (m, v) => (m, v, directMap(m)) }
+          .toDF("metric", "observed", "direct")
+          .withColumn("matches_direct", $"observed" === $"direct")
+          .orderBy($"metric")
+      },
+      Some("""WITH direct AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(length(text)) AS BIGINT) AS n_chars,
+             |    CAST(count(lang) AS BIGINT) AS n_lang_nonnull
+             |  FROM documents)
+             |SELECT metric,
+             |  CASE metric WHEN 'n_docs' THEN n_docs
+             |              WHEN 'n_chars' THEN n_chars
+             |              ELSE n_lang_nonnull END AS observed,
+             |  CASE metric WHEN 'n_docs' THEN n_docs
+             |              WHEN 'n_chars' THEN n_chars
+             |              ELSE n_lang_nonnull END AS direct,
+             |  TRUE AS matches_direct
+             |FROM direct, (VALUES ('n_chars'), ('n_docs'), ('n_lang_nonnull')) v(metric)
+             |ORDER BY metric""".stripMargin)),
+
+    // -- data card: the per-source dataset datasheet --------------------------
+    // The "datasheets for datasets" release artifact: one wide audited row
+    // per source — volumes (docs/chars/words), the exact half-up mean
+    // chars (the p34 (2Σ+n) DIV 2n contract, so no float mean can
+    // disagree), language composition (count of distinct langs + modal
+    // lang with count-desc/lang-asc tie rule), and the exact-duplicate
+    // participation count. One corpus scan feeding source-keyed
+    // aggregates; the lang and dup tables are (source × lang) /
+    // (source × digest-group) bounded.
+    QueryDef("p107_data_card",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val b = t(s, d, "documents").select($"source", $"lang",
+          $"n_chars".cast("long").as("nc"),
+          graft.ops.TextOps.wordCount($"text").cast("long").as("nw"),
+          md5($"text").as("dg"))
+        val agg = b.groupBy($"source").agg(
+          count(lit(1)).as("n_docs"), sum($"nc").as("n_chars"),
+          sum($"nw").as("n_words"))
+        val lc = b.groupBy($"source", $"lang").agg(count(lit(1)).as("c"))
+        val top = lc.withColumn("rn", row_number().over(
+            Window.partitionBy($"source").orderBy($"c".desc, $"lang".asc)))
+          .where($"rn" === 1).select($"source", $"lang".as("top_lang"))
+        val nl = lc.groupBy($"source")
+          .agg(count(lit(1)).as("n_langs"))
+        val dup = b.groupBy($"source", $"dg").agg(count(lit(1)).as("k"))
+          .where($"k" > 1).groupBy($"source")
+          .agg(sum($"k").as("exact_dup_docs"))
+        agg.join(top, "source").join(nl, "source")
+          .join(dup, Seq("source"), "left")
+          .select($"source", $"n_docs", $"n_chars", $"n_words",
+            expr("(2 * n_chars + n_docs) DIV (2 * n_docs)").as("avg_chars"),
+            $"top_lang", $"n_langs",
+            coalesce($"exact_dup_docs", lit(0L)).as("exact_dup_docs"))
+          .orderBy($"source")
+      },
+      Some("""WITH b AS (
+             |  SELECT source, lang, CAST(n_chars AS BIGINT) AS nc,
+             |    CAST(len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0)) AS BIGINT) AS nw,
+             |    md5(text) AS dg
+             |  FROM documents),
+             |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(nc) AS BIGINT) AS n_chars,
+             |    CAST(sum(nw) AS BIGINT) AS n_words
+             |  FROM b GROUP BY 1),
+             |lc AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+             |  FROM b GROUP BY 1, 2),
+             |top AS (SELECT source, lang AS top_lang FROM (
+             |  SELECT source, lang,
+             |    row_number() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rn
+             |  FROM lc) WHERE rn = 1),
+             |nl AS (SELECT source, CAST(count(*) AS BIGINT) AS n_langs
+             |  FROM lc GROUP BY 1),
+             |dup AS (SELECT source, CAST(sum(k) AS BIGINT) AS exact_dup_docs
+             |  FROM (SELECT source, dg, count(*) AS k FROM b GROUP BY 1, 2)
+             |  WHERE k > 1 GROUP BY source)
+             |SELECT a.source, n_docs, n_chars, n_words,
+             |  (2 * n_chars + n_docs) // (2 * n_docs) AS avg_chars,
+             |  top_lang, n_langs,
+             |  CAST(coalesce(exact_dup_docs, 0) AS BIGINT) AS exact_dup_docs
+             |FROM agg a JOIN top USING (source) JOIN nl USING (source)
+             |LEFT JOIN dup USING (source)
+             |ORDER BY source""".stripMargin)),
+
     // -- manifest-pinned snapshots (dataset time travel) ---------------------
     // "Dataset v1 means the same bytes forever": versions are immutable
     // append-only data files plus a per-version manifest listing EVERY

@@ -163,6 +163,44 @@ object EventStreams {
       .count(p => p.getFileName.toString.matches("v\\d+\\.txt"))
   }
 
+  /** Streaming observability: `observe` metrics emitted per micro-batch
+    * (the production ingest-monitoring hook — row counts and byte volumes
+    * ride the existing plan as accumulator-style aggregates, costing no
+    * extra pass and no extra action) accumulated across the run from the
+    * query's progress records. Returns one (metric, observed) row per
+    * metric, where `observed` is the cross-batch SUM — which must equal
+    * the batch-engine aggregate over the same input, the invariant the
+    * driver oracle checks. Progress is read synchronously from
+    * `recentProgress` after termination (a listener would race the
+    * async event bus).
+    */
+  def observedIngestTotals(spark: SparkSession, dir: String,
+                           name: String): Seq[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val staticDf = spark.read.parquet(s"$dir/documents.parquet")
+    val stream = spark.readStream
+      .schema(staticDf.schema)
+      .parquet(s"$dir/documents.parque[t]")
+      .observe(name,
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("n_chars"),
+        count(col("lang")).as("n_lang_nonnull"))
+    val q = stream.writeStream
+      .format("noop")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory(s"graft-$name").toString)
+      .start()
+    q.awaitTermination()
+    val perBatch = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get(name)))
+    val cols = Seq("n_docs", "n_chars", "n_lang_nonnull")
+    cols.map(c => c -> perBatch.map { r =>
+      val v = r.getAs[Any](c)
+      if (v == null) 0L else v.asInstanceOf[Long]
+    }.sum)
+  }
+
   /** KMV sketch as CUSTOM streaming state: the k smallest distinct token
     * hashes per source. HLL/histogram/CMS state (s22-s24) rides the
     * streaming AGGREGATION because max/sum are algebraic; a k-min SET is
