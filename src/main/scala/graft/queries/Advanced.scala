@@ -2752,6 +2752,86 @@ object Advanced {
              |LEFT JOIN dup USING (source)
              |ORDER BY source""".stripMargin)),
 
+    // -- contrastive pair mining ----------------------------------------------
+    // Training-set construction for embedding models: every member of a
+    // multi-doc near-dup cluster anchors one (anchor, positive, negative)
+    // triple — the positive is the cluster's smallest OTHER member, the
+    // negative is the min doc of the anchor's cluster's SUCCESSOR on a
+    // hash-permuted ring over ALL clusters (md5 order, wrap-around).
+    // The ring guarantees a different-cluster negative by construction
+    // (no per-anchor corpus scan, no rejection sampling), reproducible
+    // across engines and retries; cluster layout comes from the cached
+    // p24 artifact. pos_ok/neg_ok are Verify-gated.
+    QueryDef("p108_contrastive_pairs",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val docs = t(s, d, "documents").select($"doc_id")
+        val cl = Pipeline.ccClusterTable(s, d)
+          .select($"doc".as("doc_id"), $"cluster")
+        val eff = docs.join(cl, Seq("doc_id"), "left")
+          .select($"doc_id", coalesce($"cluster", $"doc_id").as("cluster"))
+        // two smallest members per cluster (cluster-bounded window)
+        val wc = Window.partitionBy($"cluster").orderBy($"doc_id")
+        val ranked = eff.withColumn("rn", row_number().over(wc))
+          .withColumn("sz", count(lit(1)).over(Window.partitionBy($"cluster")))
+        val mins = ranked.where($"rn" <= 2).groupBy($"cluster").agg(
+          min($"doc_id").as("m1"),
+          max(when($"rn" === 2, $"doc_id")).as("m2"))
+        // hash ring over the (bounded) distinct-cluster table
+        val ring = eff.select($"cluster").distinct()
+          .withColumn("h", md5(concat($"cluster".cast("string"), lit("|ring"))))
+        val wr = Window.orderBy($"h")
+        val ringRanked = ring
+          .withColumn("r", row_number().over(wr))
+          .withColumn("n", count(lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        val succ = ringRanked.as("a").join(ringRanked.as("b"),
+            expr("b.r = a.r % a.n + 1"))
+          .select(col("a.cluster").as("cluster"), col("b.cluster").as("succ"))
+        val negOf = succ.join(
+          eff.groupBy($"cluster".as("succ")).agg(min($"doc_id").as("neg_id")),
+          "succ")
+        ranked.where($"sz" >= 2)
+          .join(broadcast(mins), "cluster")
+          .join(broadcast(negOf), "cluster")
+          .select($"doc_id".as("anchor_id"), $"cluster",
+            when($"doc_id" === $"m1", $"m2").otherwise($"m1").as("pos_id"),
+            $"neg_id", $"succ".as("neg_cluster"))
+          .withColumn("pos_ok", $"pos_id" =!= $"anchor_id")
+          .withColumn("neg_ok", $"neg_cluster" =!= $"cluster")
+          .orderBy($"anchor_id")
+      },
+      Some(s"""WITH cand AS MATERIALIZED (${Pipeline.minhashCandidatesSql}),
+              |${Pipeline.ccClusterCtes(Pipeline.CcOracleRounds)},
+              |eff AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster
+              |  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+              |rk AS (SELECT doc_id, cluster,
+              |    row_number() OVER (PARTITION BY cluster ORDER BY doc_id) AS rn,
+              |    count(*) OVER (PARTITION BY cluster) AS sz
+              |  FROM eff),
+              |mins AS (SELECT cluster, min(doc_id) AS m1,
+              |    max(CASE WHEN rn = 2 THEN doc_id END) AS m2
+              |  FROM rk WHERE rn <= 2 GROUP BY cluster),
+              |ring AS (SELECT cluster,
+              |    row_number() OVER (ORDER BY md5(CAST(cluster AS VARCHAR) || '|ring')) AS r,
+              |    count(*) OVER () AS n
+              |  FROM (SELECT DISTINCT cluster FROM eff)),
+              |succ AS (SELECT a.cluster, b.cluster AS succ
+              |  FROM ring a JOIN ring b ON b.r = a.r % a.n + 1),
+              |neg AS (SELECT s.cluster, s.succ, e.neg_id
+              |  FROM succ s JOIN (SELECT cluster AS succ, min(doc_id) AS neg_id
+              |    FROM eff GROUP BY 1) e USING (succ))
+              |SELECT rk.doc_id AS anchor_id, rk.cluster,
+              |  CASE WHEN rk.doc_id = m.m1 THEN m.m2 ELSE m.m1 END AS pos_id,
+              |  n.neg_id, n.succ AS neg_cluster,
+              |  CASE WHEN rk.doc_id = m.m1 THEN m.m2 ELSE m.m1 END <> rk.doc_id AS pos_ok,
+              |  n.succ <> rk.cluster AS neg_ok
+              |FROM rk JOIN mins m ON m.cluster = rk.cluster
+              |JOIN neg n ON n.cluster = rk.cluster
+              |WHERE rk.sz >= 2
+              |ORDER BY anchor_id""".stripMargin)),
+
     // -- manifest-pinned snapshots (dataset time travel) ---------------------
     // "Dataset v1 means the same bytes forever": versions are immutable
     // append-only data files plus a per-version manifest listing EVERY
