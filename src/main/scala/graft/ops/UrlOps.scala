@@ -95,6 +95,20 @@ object UrlOps {
         col("matched").isNotNull.as("blocked"), col("matched"))
   }
 
+  /** Per-row form of the blocklist match for LIST-sized blocklists (the
+    * fuzzyWatchStage pattern): the suffix set compiles into the row
+    * expression, so the stage is stateless and streaming-safe (the join
+    * form's per-id argmax is a streaming aggregation). The chain is
+    * ordered longest-first with strictly decreasing lengths, so the
+    * FIRST hit in chain order IS the longest covering suffix — the same
+    * election applyDomainBlocklist runs as an argmax.
+    */
+  def blockedMatch(host: Column, suffixes: Seq[String]): Column = {
+    val bl = array(suffixes.map(lit): _*)
+    val hits = filter(domainChain(host), x => array_contains(bl, x))
+    when(size(hits) > 0, element_at(hits, 1))
+  }
+
   def urlDedup(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
     val canon = df.withColumn("canon_url", canonicalUrl(col(urlCol)))
     val w = Window.partitionBy(col("canon_url"))

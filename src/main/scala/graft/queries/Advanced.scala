@@ -2476,30 +2476,7 @@ object Advanced {
           .select($"id".as("doc_id"), $"host", $"blocked", $"matched")
           .orderBy($"doc_id")
       },
-      Some("""WITH hosts AS (
-             |  SELECT doc_id,
-             |    (CASE WHEN doc_id % 3 = 1 THEN 'www.'
-             |          WHEN doc_id % 3 = 2 THEN 'cdn.eu.' ELSE '' END)
-             |    || 'd' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS host
-             |  FROM documents),
-             |bl(suffix) AS (VALUES ('d3.example'), ('d11.example'),
-             |  ('cdn.eu.d7.example'), ('eu.d8.example'), ('3.example')),
-             |chain AS (
-             |  SELECT doc_id, host,
-             |    unnest(list_transform(range(1, len(string_split(host, '.')) + 1),
-             |      i -> array_to_string(
-             |        list_slice(string_split(host, '.'), i,
-             |          len(string_split(host, '.'))), '.'))) AS sfx
-             |  FROM hosts),
-             |hit AS (SELECT doc_id, sfx AS matched FROM (
-             |  SELECT c.doc_id, c.sfx,
-             |    row_number() OVER (PARTITION BY c.doc_id
-             |      ORDER BY length(c.sfx) DESC, c.sfx DESC) AS rn
-             |  FROM chain c JOIN bl ON bl.suffix = c.sfx) WHERE rn = 1)
-             |SELECT h.doc_id, h.host, hit.matched IS NOT NULL AS blocked,
-             |  hit.matched
-             |FROM hosts h LEFT JOIN hit USING (doc_id)
-             |ORDER BY doc_id""".stripMargin)),
+      Some(domainBlocklistOracleSql)),
 
     // -- homoglyph (confusable-skeleton) dedup -------------------------------
     // The adversarial-dedup gap: SEO spam slips copies past exact AND
@@ -2832,6 +2809,36 @@ object Advanced {
               |WHERE rk.sz >= 2
               |ORDER BY anchor_id""".stripMargin)),
 
+    // -- streaming domain-blocklist enforcement -------------------------------
+    // Opt-out compliance belongs ON INGEST: a blocked domain's pages must
+    // never land in the corpus, not get scrubbed later. The list-sized
+    // blocklist COMPILES INTO the row expression (UrlOps.blockedMatch —
+    // the fuzzyWatchStage pattern; the chain's strictly-decreasing
+    // lengths make the first hit the longest match), so the stage is
+    // stateless per-row work: no join, no state store, ingest at scan
+    // throughput. Registry-scale blocklists take p103's broadcast-join
+    // form instead. p103's batch oracle validates the streaming run.
+    QueryDef("s30_stream_blocklist",
+      (s, d) => {
+        import s.implicits._
+        val bl = Seq("d3.example", "d11.example", "cdn.eu.d7.example",
+          "eu.d8.example", "3.example")
+        EventStreams.runBoundedDocs(s, d, "s30_sink", docs => {
+            val host = concat(
+              when($"doc_id" % 3 === 1, "www.")
+                .when($"doc_id" % 3 === 2, "cdn.eu.").otherwise(""),
+              lit("d"), ($"doc_id" % 20).cast("string"), lit(".example"))
+            docs.select($"doc_id", host.as("host"))
+              .withColumn("matched",
+                graft.ops.UrlOps.blockedMatch($"host", bl))
+              .select($"doc_id", $"host",
+                $"matched".isNotNull.as("blocked"), $"matched")
+          }, spread = false) // per-row array walk is cheaper than an exchange
+          .orderBy($"doc_id")
+      },
+      // p103's oracle verbatim — layout of the compute changes, never the answer
+      Some(domainBlocklistOracleSql)),
+
     // -- manifest-pinned snapshots (dataset time travel) ---------------------
     // "Dataset v1 means the same bytes forever": versions are immutable
     // append-only data files plus a per-version manifest listing EVERY
@@ -2912,6 +2919,35 @@ object Advanced {
     import s.implicits._
     rows.toSeq.toDF("source", "bp")
   }
+
+  /** Shared p103/s30 oracle: blocklist with subdomain inheritance
+    * re-derived via the unnested domain chain in SQL.
+    */
+  private[queries] val domainBlocklistOracleSql: String =
+    """WITH hosts AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 3 = 1 THEN 'www.'
+      |          WHEN doc_id % 3 = 2 THEN 'cdn.eu.' ELSE '' END)
+      |    || 'd' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS host
+      |  FROM documents),
+      |bl(suffix) AS (VALUES ('d3.example'), ('d11.example'),
+      |  ('cdn.eu.d7.example'), ('eu.d8.example'), ('3.example')),
+      |chain AS (
+      |  SELECT doc_id, host,
+      |    unnest(list_transform(range(1, len(string_split(host, '.')) + 1),
+      |      i -> array_to_string(
+      |        list_slice(string_split(host, '.'), i,
+      |          len(string_split(host, '.'))), '.'))) AS sfx
+      |  FROM hosts),
+      |hit AS (SELECT doc_id, sfx AS matched FROM (
+      |  SELECT c.doc_id, c.sfx,
+      |    row_number() OVER (PARTITION BY c.doc_id
+      |      ORDER BY length(c.sfx) DESC, c.sfx DESC) AS rn
+      |  FROM chain c JOIN bl ON bl.suffix = c.sfx) WHERE rn = 1)
+      |SELECT h.doc_id, h.host, hit.matched IS NOT NULL AS blocked,
+      |  hit.matched
+      |FROM hosts h LEFT JOIN hit USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   /** Shared p98/s27 oracle: boilerplate discovery + strip re-derived from
     * plain lines in SQL.

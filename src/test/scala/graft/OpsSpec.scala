@@ -576,6 +576,14 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L) === ((false, None)), "label boundary: wd3.example is not under 3.example")
     assert(out(4L) === ((true, Some("cdn.eu.d7.example"))), "longest covering suffix wins")
     assert(out(5L) === ((false, None)))
+    // the per-row compiled form (streaming stage) elects the same match
+    // as the join form's argmax on every host
+    val suffixes = Seq("d3.example", "3.example", "cdn.eu.d7.example", "d7.example")
+    val perRow = hosts
+      .select($"doc_id", graft.ops.UrlOps.blockedMatch($"host", suffixes).as("m"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out.forall { case (id, (_, m)) => perRow(id) === m },
+      "blockedMatch must equal applyDomainBlocklist's election")
   }
 
   test("url canonicalization: case, www, ports, tracking params, order, fragment, slash") {
