@@ -2839,6 +2839,57 @@ object Advanced {
       // p103's oracle verbatim — layout of the compute changes, never the answer
       Some(domainBlocklistOracleSql)),
 
+    // -- winsorized robust statistics -----------------------------------------
+    // Outlier-robust per-stratum stats: clip each value to its stratum's
+    // exact [p05, p95] (the p81 value-histogram quantile plan — shuffle
+    // cardinality = distinct (lang, value), never the row count) and
+    // report the clipped mean in the exact half-up integer form. The
+    // quantile table is stratum-bounded and broadcasts back; nothing
+    // corpus-scale sorts.
+    QueryDef("p109_winsorized_stats",
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+          .select($"lang", $"n_chars".cast("long").as("v"))
+        val q = graft.ops.Stats.exactQuantiles(docs, "lang", "v",
+            Seq("p05" -> 0.05, "p95" -> 0.95))
+          .select($"lang", $"p05", $"p95")
+        val clip = greatest($"p05", least($"p95", $"v"))
+        docs.join(broadcast(q), "lang")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            min($"p05").as("p05"), min($"p95").as("p95"),
+            sum(when($"v" < $"p05", 1L).otherwise(0L)).as("n_clip_low"),
+            sum(when($"v" > $"p95", 1L).otherwise(0L)).as("n_clip_high"),
+            sum(clip).as("__cs"))
+          .select($"lang", $"n_docs", $"p05", $"p95",
+            $"n_clip_low", $"n_clip_high",
+            expr("(2 * __cs + n_docs) DIV (2 * n_docs)").as("wins_mean"))
+          .orderBy($"lang")
+      },
+      Some("""WITH h AS (
+             |  SELECT lang, CAST(n_chars AS BIGINT) AS v,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM documents GROUP BY 1, 2),
+             |c AS (SELECT lang, v, cnt,
+             |    sum(cnt) OVER (PARTITION BY lang ORDER BY v
+             |      ROWS UNBOUNDED PRECEDING) AS cum,
+             |    sum(cnt) OVER (PARTITION BY lang) AS n
+             |  FROM h),
+             |q AS (SELECT lang,
+             |    min(CASE WHEN cum >= ceil(0.05 * n) THEN v END) AS p05,
+             |    min(CASE WHEN cum >= ceil(0.95 * n) THEN v END) AS p95
+             |  FROM c GROUP BY lang),
+             |j AS (SELECT d.lang, CAST(d.n_chars AS BIGINT) AS v, q.p05, q.p95
+             |  FROM documents d JOIN q USING (lang))
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(min(p05) AS BIGINT) AS p05, CAST(min(p95) AS BIGINT) AS p95,
+             |  CAST(sum(CASE WHEN v < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
+             |  CAST(sum(CASE WHEN v > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high,
+             |  CAST((2 * sum(greatest(p05, least(p95, v))) + count(*))
+             |    // (2 * count(*)) AS BIGINT) AS wins_mean
+             |FROM j GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // -- manifest-pinned snapshots (dataset time travel) ---------------------
     // "Dataset v1 means the same bytes forever": versions are immutable
     // append-only data files plus a per-version manifest listing EVERY

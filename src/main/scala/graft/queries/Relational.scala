@@ -971,7 +971,48 @@ object Relational {
              |    AS total_value
              |FROM ev e JOIN dim d
              |  ON e.user_id = d.user_id AND e.us >= d.vfrom AND e.us < d.vto
-             |GROUP BY 1, 2 ORDER BY e.user_id, tier""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY e.user_id, tier""".stripMargin)),
+
+    // -- schema evolution: mergeSchema over mixed-generation files -----------
+    // The long-lived-table reality: files written before a column existed
+    // sit beside files written after. mergeSchema reconciles the
+    // generations at read time (old-generation rows surface NULL for the
+    // late column — count(lang) sees only new-generation rows), so a
+    // reader never needs the table rewritten. The aggregate proves both
+    // generations' ROWS and the late column's null semantics survived the
+    // merge.
+    QueryDef("q44_schema_evolution",
+      (s, d) => {
+        import s.implicits._
+        val dirPath = java.nio.file.Files.createTempDirectory("graft-schevo")
+        try {
+          val docs = t(s, d, "documents")
+          docs.where($"doc_id" % 2 === 0)
+            .select($"doc_id", $"source", $"n_chars")
+            .write.parquet(s"$dirPath/g1")
+          docs.where($"doc_id" % 2 === 1)
+            .select($"doc_id", $"source", $"n_chars", $"lang")
+            .write.parquet(s"$dirPath/g2")
+          s.read.option("mergeSchema", "true")
+            .parquet(s"$dirPath/g1", s"$dirPath/g2")
+            .groupBy($"source")
+            .agg(count(lit(1)).as("n_docs"),
+              count($"lang").as("n_with_lang"),
+              sum($"n_chars").as("n_chars"))
+            .orderBy($"source")
+            .localCheckpoint(true)
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      },
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(CASE WHEN doc_id % 2 = 1 THEN lang END) AS BIGINT)
+             |    AS n_with_lang,
+             |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin))
   )
 
   /** q39's statement — blocking-based fuzzy key matching, the classic
