@@ -2681,16 +2681,25 @@ object Advanced {
           $"n_chars".cast("long").as("nc"),
           graft.ops.TextOps.wordCount($"text").cast("long").as("nw"),
           md5($"text").as("dg"))
-        val agg = b.groupBy($"source").agg(
-          count(lit(1)).as("n_docs"), sum($"nc").as("n_chars"),
-          sum($"nw").as("n_words"))
-        val lc = b.groupBy($"source", $"lang").agg(count(lit(1)).as("c"))
+        // ONE corpus pass: reduce to the (source, lang, digest) grain
+        // first (doc-level width: ~60 B/doc vs the full text), seal it,
+        // and derive every datasheet table from the sealed reduction —
+        // the naive spelling re-scans the corpus once per derived table
+        // (4 scans at 100 TB for one audit row per source)
+        val g1 = b.groupBy($"source", $"lang", $"dg")
+          .agg(count(lit(1)).as("cnt"), sum($"nc").as("snc"),
+            sum($"nw").as("snw"))
+          .localCheckpoint(true)
+        val agg = g1.groupBy($"source").agg(
+          sum($"cnt").as("n_docs"), sum($"snc").as("n_chars"),
+          sum($"snw").as("n_words"))
+        val lc = g1.groupBy($"source", $"lang").agg(sum($"cnt").as("c"))
         val top = lc.withColumn("rn", row_number().over(
             Window.partitionBy($"source").orderBy($"c".desc, $"lang".asc)))
           .where($"rn" === 1).select($"source", $"lang".as("top_lang"))
         val nl = lc.groupBy($"source")
           .agg(count(lit(1)).as("n_langs"))
-        val dup = b.groupBy($"source", $"dg").agg(count(lit(1)).as("k"))
+        val dup = g1.groupBy($"source", $"dg").agg(sum($"cnt").as("k"))
           .where($"k" > 1).groupBy($"source")
           .agg(sum($"k").as("exact_dup_docs"))
         agg.join(top, "source").join(nl, "source")

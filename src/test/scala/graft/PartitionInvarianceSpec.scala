@@ -144,4 +144,47 @@ class PartitionInvarianceSpec extends AnyFunSuite {
       })
     }
   }
+
+  test("boilerplate discovery + strip are partitioning-invariant (both key paths)") {
+    def pages(v: DataFrame) = v.select($"doc_id", $"source",
+      concat_ws("\n", concat(lit("NAV "), $"source"),
+        $"text",
+        when($"doc_id" % 2 === 0, concat(lit("PROMO "), $"source"))).as("page"))
+    for (hashed <- Seq(false, true)) {
+      pin(s"stripBoilerplate(hashed=$hashed)", shapes(docs, "source").map { v =>
+        val p = pages(v)
+        val bp = graft.ops.Hygiene.boilerplateTable(
+          p, "source", "doc_id", "page", hashLines = hashed)
+        rows(graft.ops.Hygiene.stripBoilerplate(
+            p, bp, "source", "doc_id", "page", hashLines = hashed)
+          .orderBy($"doc"))
+      })
+    }
+  }
+
+  test("NB classifier weights and scores are partitioning-invariant (micro-unit contract)") {
+    pin("nbScore", shapes(docs, "lang").map { v =>
+      val labeled = v.where($"doc_id" % 2 === 0).select(
+        when($"lang" === "en", lit("pos")).otherwise(lit("neg")).as("cls"),
+        $"text")
+      val w = graft.ops.Classify.nbWeights(labeled, "cls", "text", "pos")
+      val c = graft.ops.Classify.nbConsts(labeled, "cls", "text", "pos")
+      rows(graft.ops.Classify.nbScore(v, "doc_id", "text", w, c, "pos", "neg")
+        .orderBy($"id"))
+    })
+  }
+
+  test("winsorized stats are partitioning-invariant (exact quantile + half-up mean)") {
+    pin("winsorized", shapes(docs, "lang").map { v =>
+      val base = v.select($"lang", $"n_chars".cast("long").as("v"))
+      val q = graft.ops.Stats.exactQuantiles(base, "lang", "v",
+          Seq("p05" -> 0.05, "p95" -> 0.95))
+        .select($"lang", $"p05", $"p95")
+      rows(base.join(broadcast(q), "lang").groupBy($"lang")
+        .agg(count(lit(1)).as("n"),
+          sum(greatest($"p05", least($"p95", $"v"))).as("cs"))
+        .select($"lang", expr("(2 * cs + n) DIV (2 * n)").as("m"))
+        .orderBy($"lang"))
+    })
+  }
 }
