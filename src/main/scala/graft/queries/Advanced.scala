@@ -2899,6 +2899,82 @@ object Advanced {
              |    // (2 * count(*)) AS BIGINT) AS wins_mean
              |FROM j GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // -- hybrid retrieval: reciprocal-rank fusion ------------------------------
+    // The retrieval-stack capstone: a lexical arm (query-term overlap over
+    // the corpus — the inverted-index/BM25 slot; p58 is the scale path)
+    // and a vector arm (p06's brute cosine top-k) fuse by RRF, the
+    // industry-standard rank combiner: w(rank) = 1/(60+rank), here
+    // quantized to integer micro-units so the fused ORDER is exact BIGINT
+    // arithmetic (a float sum could flip equal-weight ties between
+    // engines). Arms join FULL OUTER on (query, id) — a hit in either arm
+    // can win.
+    QueryDef("p110_hybrid_rrf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        def rrf(r: org.apache.spark.sql.Column) =
+          round(lit(1e6) / (lit(60) + r)).cast("long")
+        val vec = graft.ops.Similarity.bruteForceTopK(
+            t(s, d, "embeddings"), "vec_id", "embedding",
+            col("vec_id") < 5, k = 20, dim = Some(64))
+          .select($"qid", $"nid".as("id"), $"rank".as("vrank"))
+        val docs = t(s, d, "documents").select($"doc_id", $"text")
+        val qt = docs.where($"doc_id" < 5).select($"doc_id".as("qid"),
+          array_distinct(slice(split($"text", " "), 1, 8)).as("terms"))
+        val wl = Window.partitionBy($"qid").orderBy($"ls".desc, $"id".asc)
+        val lex = docs.crossJoin(broadcast(qt))
+          .select($"qid", $"doc_id".as("id"),
+            size(filter($"terms",
+              tm => array_contains(split($"text", " "), tm))).as("ls"))
+          .where($"ls" > 0 && $"id" =!= $"qid")
+          .withColumn("lrank", row_number().over(wl))
+          .where($"lrank" <= 20)
+          .select($"qid", $"id", $"lrank")
+        val wf = Window.partitionBy($"qid").orderBy($"fused_micro".desc, $"id".asc)
+        lex.join(vec, Seq("qid", "id"), "full_outer")
+          .select($"qid", $"id",
+            (coalesce(rrf($"lrank"), lit(0L)) +
+              coalesce(rrf($"vrank"), lit(0L))).as("fused_micro"),
+            $"lrank".isNotNull.as("in_lex"), $"vrank".isNotNull.as("in_vec"))
+          .withColumn("frank", row_number().over(wf))
+          .where($"frank" <= 10)
+          .select($"qid", $"frank".cast("int").as("frank"), $"id",
+            $"fused_micro", $"in_lex", $"in_vec")
+          .orderBy($"qid", $"frank")
+      },
+      Some("""WITH qv AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+             |  FROM embeddings WHERE vec_id < 5),
+             |cv AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS nvec FROM embeddings),
+             |vec AS (SELECT qid, nid AS id, CAST(row_number() OVER w AS INT) AS vrank
+             |  FROM cv CROSS JOIN qv WHERE qid <> nid
+             |    AND NOT isnan(round(list_cosine_similarity(qvec, nvec), 4))
+             |  WINDOW w AS (PARTITION BY qid
+             |    ORDER BY round(list_cosine_similarity(qvec, nvec), 4) DESC, nid)
+             |  QUALIFY row_number() OVER w <= 20),
+             |qt AS (SELECT doc_id AS qid,
+             |    list_distinct(list_slice(string_split(text, ' '), 1, 8)) AS terms
+             |  FROM documents WHERE doc_id < 5),
+             |lex AS (SELECT qid, id, CAST(row_number() OVER wl AS INT) AS lrank
+             |  FROM (SELECT q.qid, d.doc_id AS id,
+             |      len(list_filter(q.terms,
+             |        tm -> list_contains(string_split(d.text, ' '), tm))) AS ls
+             |    FROM documents d CROSS JOIN qt q WHERE d.doc_id <> q.qid)
+             |  WHERE ls > 0
+             |  WINDOW wl AS (PARTITION BY qid ORDER BY ls DESC, id)
+             |  QUALIFY row_number() OVER wl <= 20),
+             |f AS (SELECT coalesce(l.qid, v.qid) AS qid, coalesce(l.id, v.id) AS id,
+             |    CAST(coalesce(CAST(round(1e6 / (60 + l.lrank)) AS BIGINT), 0)
+             |       + coalesce(CAST(round(1e6 / (60 + v.vrank)) AS BIGINT), 0) AS BIGINT)
+             |      AS fused_micro,
+             |    l.lrank IS NOT NULL AS in_lex, v.vrank IS NOT NULL AS in_vec
+             |  FROM lex l FULL OUTER JOIN vec v ON l.qid = v.qid AND l.id = v.id)
+             |SELECT qid, CAST(row_number() OVER wf AS INT) AS frank, id,
+             |  fused_micro, in_lex, in_vec
+             |FROM f
+             |WINDOW wf AS (PARTITION BY qid ORDER BY fused_micro DESC, id)
+             |QUALIFY row_number() OVER wf <= 10
+             |ORDER BY qid, frank""".stripMargin)),
+
     // -- manifest-pinned snapshots (dataset time travel) ---------------------
     // "Dataset v1 means the same bytes forever": versions are immutable
     // append-only data files plus a per-version manifest listing EVERY
