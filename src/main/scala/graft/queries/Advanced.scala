@@ -2309,54 +2309,21 @@ object Advanced {
     // is a plain-replace fold (the p85 idiom). Per-row expression chain,
     // shuffle-free.
     QueryDef("p100_secret_scrub",
-      (s, d) => {
-        import s.implicits._
-        val sec = md5(concat($"doc_id".cast("string"), lit("|sec")))
-        val nm = md5(concat($"doc_id".cast("string"), lit("|nm")))
-        val aug = concat($"text",
-          lit(" key Sk9_"), upper(substring(sec, 1, 12)), substring(sec, 13, 12),
-          lit(" ref Aa1_xxxxxxxxxxxxxxxxxxxxxxxx q"), substring(nm, 1, 25))
-        // the native one-pass kernel (candidates + entropy gate in one
-        // generated call, bit-identical to the HOF spelling — HygieneSpec
-        // differential); the redaction fold runs over the tiny result
-        t(s, d, "documents").select($"doc_id", aug.as("a"))
-          .withColumn("sc", graft.functions.SecretScan(s, $"a"))
-          .select($"doc_id",
-            size($"sc.cands").cast("int").as("n_candidates"),
-            size($"sc.secrets").cast("int").as("n_secrets"),
-            md5(graft.ops.Hygiene.redactFrom("a", "sc.secrets")).as("redacted_digest"))
-          .orderBy($"doc_id")
-      },
-      Some("""WITH aug AS (
-             |  SELECT doc_id, text || ' key Sk9_'
-             |    || upper(substring(md5(CAST(doc_id AS VARCHAR) || '|sec'), 1, 12))
-             |    || substring(md5(CAST(doc_id AS VARCHAR) || '|sec'), 13, 12)
-             |    || ' ref Aa1_xxxxxxxxxxxxxxxxxxxxxxxx q'
-             |    || substring(md5(CAST(doc_id AS VARCHAR) || '|nm'), 1, 25) AS a
-             |  FROM documents),
-             |c AS (
-             |  SELECT doc_id, a,
-             |    list_filter(list_filter(string_split(a, ' '), t -> len(t) > 0), t ->
-             |      len(t) >= 24 AND regexp_matches(t, '^[A-Za-z0-9_-]+$')
-             |      AND regexp_matches(t, '[0-9]') AND regexp_matches(t, '[a-z]')
-             |      AND regexp_matches(t, '[A-Z]')) AS cands
-             |  FROM aug),
-             |v AS (
-             |  SELECT doc_id, a, cands,
-             |    list_distinct(list_filter(cands, t ->
-             |      CAST(list_sum(list_transform(
-             |        list_distinct(list_transform(range(1, length(t) + 1), i -> substr(t, i, 1))),
-             |        c -> CAST(round(
-             |          -(len(list_filter(list_transform(range(1, length(t) + 1), j -> substr(t, j, 1)), x -> x = c)) * 1.0 / length(t))
-             |          * log2(len(list_filter(list_transform(range(1, length(t) + 1), j -> substr(t, j, 1)), x -> x = c)) * 1.0 / length(t))
-             |          * 1e6) AS BIGINT))) AS BIGINT) >= 3000000)) AS secrets
-             |  FROM c)
-             |SELECT doc_id,
-             |  CAST(len(cands) AS INT) AS n_candidates,
-             |  CAST(len(secrets) AS INT) AS n_secrets,
-             |  md5(list_reduce(list_prepend(a, secrets),
-             |    (acc, t) -> replace(acc, t, '[SECRET]'))) AS redacted_digest
-             |FROM v ORDER BY doc_id""".stripMargin)),
+      (s, d) => secretScrubStage(s)(t(s, d, "documents"))
+        .orderBy(col("doc_id")),
+      Some(secretScrubOracleSql)),
+
+    // -- streaming secret scrub on ingest --------------------------------------
+    // Memorization-risk redaction belongs in the ingest path with the
+    // rest of the hygiene stages (s06 quality, s08 PII, s27 boilerplate):
+    // the stage IS the batch operator applied per micro-batch — the
+    // native secret_scan kernel runs inside the streaming plan, stateless,
+    // scan-throughput. p100's oracle validates the engine run.
+    QueryDef("s31_stream_secret_scrub",
+      (s, d) => EventStreams.runBoundedDocs(s, d, "s31_sink",
+          secretScrubStage(s), spread = false)
+        .orderBy(col("doc_id")),
+      Some(secretScrubOracleSql)),
 
     // -- streaming snapshot ingestion (manifest commit per micro-batch) -----
     // The streaming half of p101: each micro-batch of arriving documents
@@ -3055,6 +3022,61 @@ object Advanced {
     import s.implicits._
     rows.toSeq.toDF("source", "bp")
   }
+
+  /** The p100/s31 scrub: plant the per-doc secret/near-miss fixture, run
+    * the native one-pass `secret_scan` kernel (candidates + entropy gate
+    * in one generated call, bit-identical to the HOF spelling —
+    * HygieneSpec differential), fold the redaction over the tiny result.
+    * Defined once so the streaming twin is LITERALLY the batch operator
+    * applied per micro-batch.
+    */
+  private def secretScrubStage(s: SparkSession)(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sec = md5(concat(col("doc_id").cast("string"), lit("|sec")))
+    val nm = md5(concat(col("doc_id").cast("string"), lit("|nm")))
+    val aug = concat(col("text"),
+      lit(" key Sk9_"), upper(substring(sec, 1, 12)), substring(sec, 13, 12),
+      lit(" ref Aa1_xxxxxxxxxxxxxxxxxxxxxxxx q"), substring(nm, 1, 25))
+    docs.select(col("doc_id"), aug.as("a"))
+      .withColumn("sc", graft.functions.SecretScan(s, col("a")))
+      .select(col("doc_id"),
+        size(col("sc.cands")).cast("int").as("n_candidates"),
+        size(col("sc.secrets")).cast("int").as("n_secrets"),
+        md5(graft.ops.Hygiene.redactFrom("a", "sc.secrets")).as("redacted_digest"))
+  }
+
+  /** Shared p100/s31 oracle: the secret scrub re-derived in SQL. */
+  private[queries] val secretScrubOracleSql: String =
+    """WITH aug AS (
+             |  SELECT doc_id, text || ' key Sk9_'
+             |    || upper(substring(md5(CAST(doc_id AS VARCHAR) || '|sec'), 1, 12))
+             |    || substring(md5(CAST(doc_id AS VARCHAR) || '|sec'), 13, 12)
+             |    || ' ref Aa1_xxxxxxxxxxxxxxxxxxxxxxxx q'
+             |    || substring(md5(CAST(doc_id AS VARCHAR) || '|nm'), 1, 25) AS a
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, a,
+             |    list_filter(list_filter(string_split(a, ' '), t -> len(t) > 0), t ->
+             |      len(t) >= 24 AND regexp_matches(t, '^[A-Za-z0-9_-]+$')
+             |      AND regexp_matches(t, '[0-9]') AND regexp_matches(t, '[a-z]')
+             |      AND regexp_matches(t, '[A-Z]')) AS cands
+             |  FROM aug),
+             |v AS (
+             |  SELECT doc_id, a, cands,
+             |    list_distinct(list_filter(cands, t ->
+             |      CAST(list_sum(list_transform(
+             |        list_distinct(list_transform(range(1, length(t) + 1), i -> substr(t, i, 1))),
+             |        c -> CAST(round(
+             |          -(len(list_filter(list_transform(range(1, length(t) + 1), j -> substr(t, j, 1)), x -> x = c)) * 1.0 / length(t))
+             |          * log2(len(list_filter(list_transform(range(1, length(t) + 1), j -> substr(t, j, 1)), x -> x = c)) * 1.0 / length(t))
+             |          * 1e6) AS BIGINT))) AS BIGINT) >= 3000000)) AS secrets
+             |  FROM c)
+             |SELECT doc_id,
+             |  CAST(len(cands) AS INT) AS n_candidates,
+             |  CAST(len(secrets) AS INT) AS n_secrets,
+             |  md5(list_reduce(list_prepend(a, secrets),
+             |    (acc, t) -> replace(acc, t, '[SECRET]'))) AS redacted_digest
+             |FROM v ORDER BY doc_id""".stripMargin
 
   /** Shared p103/s30 oracle: blocklist with subdomain inheritance
     * re-derived via the unnested domain chain in SQL.
