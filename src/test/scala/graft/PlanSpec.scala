@@ -450,4 +450,23 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("Aggregate"),
       s"route stage must be a per-row project only:\n$plan")
   }
+
+  test("p98 boilerplate strip broadcasts the per-source verdict arrays") {
+    // the application join must be a broadcast (the verdict table is a
+    // host's boilerplate vocabulary — tiny no matter the corpus size);
+    // a shuffled join here would re-exchange the corpus to clean it
+    val plan = planOf("p98_boilerplate_strip")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"verdict join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus side must never sort-merge for the strip:\n$plan")
+  }
+
+  test("p103 domain blocklist joins the chain on suffix equality, broadcast") {
+    val plan = planOf("p103_domain_blocklist")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"registry join must be a broadcast equality join:\n$plan")
+    assert(plan.contains("Generate") || plan.contains("explode"),
+      s"hosts must explode into their bounded chain (no LIKE scan):\n$plan")
+  }
 }
