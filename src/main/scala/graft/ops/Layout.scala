@@ -180,6 +180,139 @@ object Layout {
 
   // ---- manifest-pinned snapshots (dataset time travel) ---------------------
 
+  /** `Files.list`/`Files.walk` return OS directory streams that hold a
+    * file descriptor until closed — materialize-and-close, so repeated
+    * appends (bench iterations, long-running streaming ingest) can't
+    * leak descriptors on the driver.
+    */
+  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.list(p)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
+  private def walkAll(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.walk(p)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
+  /** One manifest file line: a data-file name plus optional per-column
+    * min/max footer stats (`kind` ∈ long | double | string; min/max in
+    * canonical string form).
+    */
+  final case class ManifestEntry(
+      name: String, stats: Map[String, (String, String, String)]) {
+    private[Layout] def line: String =
+      if (stats.isEmpty) name
+      else name + "\t" + stats.toSeq.sortBy(_._1).map { case (c, (k, mn, mx)) =>
+        s"$c:$k:${Layout.hex(mn)}:${Layout.hex(mx)}"
+      }.mkString(";")
+  }
+
+  private def hex(s: String): String =
+    s.getBytes("UTF-8").map("%02x".format(_)).mkString
+  private def unhex(h: String): String =
+    new String(h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray, "UTF-8")
+
+  /** Typed comparison for manifest stats values. */
+  private def statCmp(kind: String, a: String, b: String): Int = kind match {
+    case "long"   => java.lang.Long.compare(a.toLong, b.toLong)
+    case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case _        => a.compareTo(b)
+  }
+
+  /** Committed manifest versions at `base`, ascending (empty when none). */
+  def snapshotVersions(base: java.nio.file.Path): Seq[Int] = {
+    val manDir = base.resolve("manifests")
+    if (!java.nio.file.Files.exists(manDir)) Seq.empty
+    else listDir(manDir).map(_.getFileName.toString)
+      .filter(n => n.matches("v\\d+\\.txt"))
+      .map(n => n.stripPrefix("v").stripSuffix(".txt").toInt)
+      .sorted
+  }
+
+  /** Parse manifest `version`: (committing batchId if stamped, entries).
+    * Metadata lines start with `#`; file lines are `name` (legacy) or
+    * `name\tcol:kind:minhex:maxhex;…`.
+    */
+  def readManifest(base: java.nio.file.Path,
+                   version: Int): (Option[Long], Seq[ManifestEntry]) = {
+    import scala.jdk.CollectionConverters._
+    val lines = java.nio.file.Files.readAllLines(
+      base.resolve("manifests").resolve(s"v$version.txt"))
+      .asScala.toSeq.filter(_.nonEmpty)
+    val batch = lines.filter(_.startsWith("#"))
+      .flatMap { m =>
+        if (m.startsWith("#batch=")) Some(m.stripPrefix("#batch=").toLong)
+        else None
+      }.headOption
+    val entries = lines.filterNot(_.startsWith("#")).map { ln =>
+      ln.split('\t') match {
+        case Array(n) => ManifestEntry(n, Map.empty)
+        case Array(n, st) =>
+          ManifestEntry(n, st.split(';').iterator.map { part =>
+            val Array(c, k, mn, mx) = part.split(':')
+            c -> ((k, unhex(mn), unhex(mx)))
+          }.toMap)
+        case other => ManifestEntry(other.head, Map.empty)
+      }
+    }
+    (batch, entries)
+  }
+
+  /** Per-file min/max column stats read from the parquet FOOTER — the
+    * stats come free with the write (no second data scan; at 100 TB the
+    * footer read is a few KB per file on the driver, the same cost
+    * Iceberg pays to build its manifests). Columns with missing/unusable
+    * statistics in ANY block are omitted for that file (pruning then
+    * keeps the file — unknown never prunes).
+    */
+  private def footerStats(file: java.nio.file.Path,
+                          cols: Set[String]): Map[String, (String, String, String)] = {
+    if (cols.isEmpty) return Map.empty
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toUri),
+      new org.apache.hadoop.conf.Configuration())
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val acc = scala.collection.mutable.Map[String, (String, String, String)]()
+      val dropped = scala.collection.mutable.Set[String]()
+      for (b <- rd.getFooter.getBlocks.asScala; c <- b.getColumns.asScala) {
+        val name = c.getPath.toDotString
+        if (cols.contains(name) && !dropped.contains(name)) {
+          val st = c.getStatistics
+          if (st == null || !st.hasNonNullValue) { dropped += name; acc.remove(name) }
+          else {
+            val typed: Option[(String, String, String)] = st.genericGetMin match {
+              case l: java.lang.Long    => Some(("long", l.toString, st.genericGetMax.toString))
+              case i: java.lang.Integer => Some(("long", i.toString, st.genericGetMax.toString))
+              case d: java.lang.Double  => Some(("double", d.toString, st.genericGetMax.toString))
+              case f: java.lang.Float   => Some(("double", f.toString, st.genericGetMax.toString))
+              case bin: org.apache.parquet.io.api.Binary =>
+                Some(("string", new String(bin.getBytes, "UTF-8"),
+                  new String(st.genericGetMax
+                    .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes, "UTF-8")))
+              case _ => None
+            }
+            typed match {
+              case None => dropped += name; acc.remove(name)
+              case Some((k, mn, mx)) => acc.get(name) match {
+                case None => acc(name) = (k, mn, mx)
+                case Some((k0, m0, m1)) =>
+                  acc(name) = (k0,
+                    if (statCmp(k0, mn, m0) < 0) mn else m0,
+                    if (statCmp(k0, mx, m1) > 0) mx else m1)
+              }
+            }
+          }
+        }
+      }
+      acc.toMap
+    } finally rd.close()
+  }
+
   /** Append one snapshot version to a manifest-pinned dataset at `base` —
     * the Iceberg/Delta contract reduced to its load-bearing core, and the
     * property a TRAINING corpus cannot live without: "dataset v1.3" must
@@ -199,67 +332,120 @@ object Layout {
     * write parallelism knob — at corpus scale this is the shard count of
     * the append, not 2.
     *
+    * `batchId` is the REPLAY-IDEMPOTENCE key for at-least-once callers
+    * (streaming foreachBatch): when the LATEST manifest already carries
+    * the same `#batch=` stamp, the append is a replay of an
+    * already-committed batch — return that version, write nothing. A
+    * crash between the manifest move and the caller's checkpoint commit
+    * then re-runs the batch WITHOUT publishing a duplicate version.
+    *
+    * `statsCols` records per-file min/max (from the parquet footers —
+    * no extra scan) into the manifest, the Iceberg-style pruning index
+    * [[pruneSnapshotFiles]] consults; `layoutCol` range-partitions the
+    * append on that column so the recorded ranges are DISJOINT and a
+    * selective read opens O(matching) files instead of all of them.
+    *
     * Writer contract: ONE appender at a time per base (the p101 caller
     * serializes through cachedLayout's lock; the s28 stream commits from
     * a single driver). A racing second appender fails LOUDLY — both
-    * compute the same version, and the second data-file/manifest
-    * `Files.move` throws on the existing target — it can never silently
-    * corrupt a published manifest.
+    * compute the same version and the second data-file `Files.move`
+    * throws on the existing target (the primary guard; the manifest
+    * move alone is a POSIX rename, which would replace silently — hence
+    * the explicit target-absence check before it). It can never
+    * silently corrupt a published manifest.
     */
   def appendSnapshot(base: java.nio.file.Path, df: DataFrame,
-                     filesPerVersion: Int = 2): Int = {
-    import scala.jdk.CollectionConverters._
+                     filesPerVersion: Int = 2,
+                     batchId: Option[Long] = None,
+                     statsCols: Seq[String] = Nil,
+                     layoutCol: Option[String] = None): Int =
+    commitVersion(base, df, filesPerVersion, batchId, statsCols, layoutCol,
+      carryForward = true)
+
+  /** Rewrite the CURRENT content as one fresh version whose manifest
+    * references ONLY the newly-written files — the OPTIMIZE/compaction
+    * commit. Older versions stay pinned and readable until
+    * [[expireVersions]] retires them; after expiry their files become
+    * unreferenced and the orphan sweep reclaims the space. Content is
+    * bit-stable: a pinned read of the compacted version returns exactly
+    * the pre-compaction rows.
+    */
+  def compactSnapshot(spark: org.apache.spark.sql.SparkSession,
+                      base: java.nio.file.Path,
+                      filesPerVersion: Int = 2,
+                      statsCols: Seq[String] = Nil,
+                      layoutCol: Option[String] = None): Int = {
+    val latest = snapshotVersions(base).lastOption.getOrElse(
+      throw new IllegalStateException(s"no snapshot versions at $base"))
+    commitVersion(base, readSnapshot(spark, base, latest), filesPerVersion,
+      batchId = None, statsCols, layoutCol, carryForward = false)
+  }
+
+  private def commitVersion(base: java.nio.file.Path, df: DataFrame,
+                            filesPerVersion: Int, batchId: Option[Long],
+                            statsCols: Seq[String], layoutCol: Option[String],
+                            carryForward: Boolean): Int = {
+    statsCols.foreach(c => require(c.matches("[A-Za-z0-9_.]+"),
+      s"stats column name '$c' must be a plain identifier"))
     val dataDir = base.resolve("data")
     val manDir = base.resolve("manifests")
     java.nio.file.Files.createDirectories(dataDir)
     java.nio.file.Files.createDirectories(manDir)
-    val prev = java.nio.file.Files.list(manDir).iterator().asScala.toSeq
-      .map(_.getFileName.toString)
-      .filter(n => n.startsWith("v") && n.endsWith(".txt"))
-      .map(n => n.stripPrefix("v").stripSuffix(".txt").toInt)
-      .sorted
+    val prev = snapshotVersions(base)
+    // replay of an already-committed batch: the latest manifest carries
+    // this batchId — the caller crashed after publish but before its own
+    // offset commit. Idempotent skip, same version back.
+    val replayOf: Option[Int] = batchId.flatMap(id =>
+      prev.lastOption.filter(pv => readManifest(base, pv)._1.contains(id)))
+    if (replayOf.isDefined) return replayOf.get
     val version = prev.lastOption.getOrElse(0) + 1
-    val carried: Seq[String] = prev.lastOption match {
-      case Some(pv) =>
-        java.nio.file.Files.readAllLines(
-          manDir.resolve(s"v$pv.txt")).asScala.toSeq.filter(_.nonEmpty)
-      case None => Seq.empty
-    }
+    val carried: Seq[String] =
+      if (!carryForward) Seq.empty
+      else prev.lastOption match {
+        case Some(pv) => readManifest(base, pv)._2.map(_.line)
+        case None     => Seq.empty
+      }
     // stage the parquet write, then adopt the parts under stable
     // version-prefixed names (file-content assignment across parts is
     // write-order detail; a pinned read always takes the whole set)
     val staging = java.nio.file.Files.createTempDirectory(base, s"stage-v$version")
-    df.repartition(filesPerVersion).write.mode("overwrite")
-      .parquet(staging.resolve("out").toString)
-    val parts = java.nio.file.Files.list(staging.resolve("out")).iterator().asScala
-      .toSeq.map(_.getFileName.toString)
+    val shaped = layoutCol match {
+      case Some(c) => df.repartitionByRange(filesPerVersion, col(c))
+      case None    => df.repartition(filesPerVersion)
+    }
+    shaped.write.mode("overwrite").parquet(staging.resolve("out").toString)
+    val parts = listDir(staging.resolve("out"))
+      .map(_.getFileName.toString)
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).sorted
     val named = parts.zipWithIndex.map { case (p, i) =>
       val name = f"v$version-$i%05d.parquet"
       java.nio.file.Files.move(staging.resolve("out").resolve(p),
         dataDir.resolve(name))
-      name
+      ManifestEntry(name, footerStats(dataDir.resolve(name), statsCols.toSet)).line
     }
     // clean staging debris (_SUCCESS etc.)
-    java.nio.file.Files.walk(staging).iterator().asScala.toSeq
-      .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
-    // manifest commit is the atomic publish point: write-then-move
+    walkAll(staging).sortBy(-_.getNameCount)
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    // manifest commit is the atomic publish point: write-then-move. The
+    // move is rename() (replaces silently), so assert target absence
+    // first — a lost race is loud here, not silent.
+    val meta = batchId.map(id => s"#batch=$id").toSeq
     val tmp = manDir.resolve(s".v$version.txt.tmp")
     java.nio.file.Files.write(tmp,
-      (carried ++ named).mkString("\n").getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, manDir.resolve(s"v$version.txt"),
+      (meta ++ carried ++ named).mkString("\n").getBytes("UTF-8"))
+    val target = manDir.resolve(s"v$version.txt")
+    if (java.nio.file.Files.exists(target))
+      throw new IllegalStateException(
+        s"concurrent appender already published $target")
+    java.nio.file.Files.move(tmp, target,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     version
   }
 
   /** The file list pinned by manifest `version`. */
-  def snapshotFiles(base: java.nio.file.Path, version: Int): Seq[String] = {
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.readAllLines(
-      base.resolve("manifests").resolve(s"v$version.txt"))
-      .asScala.toSeq.filter(_.nonEmpty)
-      .map(n => base.resolve("data").resolve(n).toString)
-  }
+  def snapshotFiles(base: java.nio.file.Path, version: Int): Seq[String] =
+    readManifest(base, version)._2
+      .map(e => base.resolve("data").resolve(e.name).toString)
 
   /** Read EXACTLY snapshot `version` — the pinned file list, never the
     * live directory. Reading v1 while v2 lands returns v1's rows,
@@ -268,4 +454,89 @@ object Layout {
   def readSnapshot(spark: org.apache.spark.sql.SparkSession,
                    base: java.nio.file.Path, version: Int): DataFrame =
     spark.read.parquet(snapshotFiles(base, version): _*)
+
+  /** Manifest-stat file pruning for `lo <= col <= hi` (pass null for an
+    * open bound): (kept full paths, total files in the version). A file
+    * without recorded stats for `col` is KEPT — unknown never prunes.
+    * This is what turns a selective pinned read at 100 TB from
+    * open-every-file into O(matching-files): the manifest is consulted
+    * on the driver, the executors only ever see the surviving paths.
+    */
+  def pruneSnapshotFiles(base: java.nio.file.Path, version: Int, column: String,
+                         lo: Any, hi: Any): (Seq[String], Int) = {
+    val entries = readManifest(base, version)._2
+    def s(v: Any): String = v match {
+      case null => null
+      case x    => x.toString
+    }
+    val (loS, hiS) = (s(lo), s(hi))
+    val kept = entries.filter { e =>
+      e.stats.get(column) match {
+        case None => true
+        case Some((kind, mn, mx)) =>
+          (loS == null || statCmp(kind, mx, loS) >= 0) &&
+            (hiS == null || statCmp(kind, mn, hiS) <= 0)
+      }
+    }
+    (kept.map(e => base.resolve("data").resolve(e.name).toString), entries.size)
+  }
+
+  /** Pinned read of `version` restricted to files whose recorded `col`
+    * range intersects [lo, hi]: (df, files opened, files in version).
+    * The caller still applies its row-level predicate — pruning is a
+    * superset guarantee, exactly parquet row-group semantics one level
+    * up.
+    */
+  def readSnapshotRange(spark: org.apache.spark.sql.SparkSession,
+                        base: java.nio.file.Path, version: Int, column: String,
+                        lo: Any, hi: Any): (DataFrame, Int, Int) = {
+    val (kept, total) = pruneSnapshotFiles(base, version, column, lo, hi)
+    val df =
+      if (kept.nonEmpty) spark.read.parquet(kept: _*)
+      else readSnapshot(spark, base, version).limit(0)
+    (df, kept.size, total)
+  }
+
+  /** Retire all but the newest `keepN` manifests, then sweep ORPHANS:
+    * data files referenced by no retained manifest — space from expired
+    * versions (post-compaction) and debris from crashed appends (files
+    * adopted into `data/` whose manifest move never happened). Returns
+    * (expired versions, deleted data-file names). Retained pinned reads
+    * are untouched — GC deletes only what no retained manifest can ever
+    * reference (manifests are immutable once published), so "v N is
+    * byte-identical before and after GC" holds by construction and is
+    * witnessed in OpsSpec.
+    */
+  def expireVersions(base: java.nio.file.Path,
+                     keepN: Int): (Seq[Int], Seq[String]) = {
+    require(keepN >= 1, "must retain at least one version")
+    val versions = snapshotVersions(base)
+    val (expire, retain) = versions.splitAt(math.max(0, versions.size - keepN))
+    val manDir = base.resolve("manifests")
+    expire.foreach(v =>
+      java.nio.file.Files.deleteIfExists(manDir.resolve(s"v$v.txt")))
+    val referenced: Set[String] =
+      retain.flatMap(v => readManifest(base, v)._2.map(_.name)).toSet
+    val dataDir = base.resolve("data")
+    val orphans =
+      if (!java.nio.file.Files.exists(dataDir)) Seq.empty[String]
+      else listDir(dataDir).map(_.getFileName.toString)
+        .filter(n => n.endsWith(".parquet") && !referenced.contains(n))
+        .sorted
+    orphans.foreach(n => java.nio.file.Files.delete(dataDir.resolve(n)))
+    (expire, orphans)
+  }
+
+  /** Data files present under `base/data/` but referenced by no
+    * committed manifest — the audit half of the GC contract (a healthy
+    * base reports zero). */
+  def orphanFiles(base: java.nio.file.Path): Seq[String] = {
+    val referenced = snapshotVersions(base)
+      .flatMap(v => readManifest(base, v)._2.map(_.name)).toSet
+    val dataDir = base.resolve("data")
+    if (!java.nio.file.Files.exists(dataDir)) Seq.empty
+    else listDir(dataDir).map(_.getFileName.toString)
+      .filter(n => n.endsWith(".parquet") && !referenced.contains(n))
+      .sorted
+  }
 }

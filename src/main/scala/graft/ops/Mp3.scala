@@ -67,8 +67,13 @@ object Mp3 {
     while (!done && pos + 4 <= bytes.length) {
       val b0 = u(bytes(pos)); val b1 = u(bytes(pos + 1))
       val b2 = u(bytes(pos + 2))
-      // 11-bit sync + MPEG-1 (b1 bits 4-3 = 11) + Layer III (bits 2-1 = 01)
-      if (b0 != 0xff || (b1 & 0xf6) != 0xf2) done = true
+      // 11-bit sync + MPEG-1 (b1 bits 4-3 = 11) + Layer III (bits 2-1 =
+      // 01): mask 0xfe pins ALL of sync/version/layer, leaving only the
+      // protection bit free — a looser mask (0xf6) would let MPEG-2
+      // headers (version bits 10, b1 = 0xf2/0xf3) through and misdecode
+      // them with MPEG-1 tables (wrong 144-factor frame size, wrong
+      // samplerate row), desyncing the walk on real MPEG-2 files.
+      if (b0 != 0xff || (b1 & 0xfe) != 0xfa) done = true
       else {
         val brIdx = (b2 >> 4) & 0xf
         val srIdx = (b2 >> 2) & 0x3

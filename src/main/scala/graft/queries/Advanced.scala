@@ -2661,8 +2661,12 @@ object Advanced {
           sum($"cnt").as("n_docs"), sum($"snc").as("n_chars"),
           sum($"snw").as("n_words"))
         val lc = g1.groupBy($"source", $"lang").agg(sum($"cnt").as("c"))
+        // asc_nulls_last: Spark's bare asc is NULLS FIRST while DuckDB's
+        // ORDER BY defaults NULLS LAST — a modal-count tie involving a
+        // NULL lang (q44 models such rows) would otherwise elect a
+        // different top_lang per engine
         val top = lc.withColumn("rn", row_number().over(
-            Window.partitionBy($"source").orderBy($"c".desc, $"lang".asc)))
+            Window.partitionBy($"source").orderBy($"c".desc, $"lang".asc_nulls_last)))
           .where($"rn" === 1).select($"source", $"lang".as("top_lang"))
         val nl = lc.groupBy($"source")
           .agg(count(lit(1)).as("n_langs"))
@@ -2690,7 +2694,7 @@ object Advanced {
              |  FROM b GROUP BY 1, 2),
              |top AS (SELECT source, lang AS top_lang FROM (
              |  SELECT source, lang,
-             |    row_number() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rn
+             |    row_number() OVER (PARTITION BY source ORDER BY c DESC, lang NULLS LAST) AS rn
              |  FROM lc) WHERE rn = 1),
              |nl AS (SELECT source, CAST(count(*) AS BIGINT) AS n_langs
              |  FROM lc GROUP BY 1),

@@ -140,10 +140,17 @@ object EventStreams {
     * visibility IS the manifest move. Empty micro-batches (AvailableNow
     * bookkeeping) commit nothing. Returns the number of versions
     * committed.
+    *
+    * Replay idempotence: foreachBatch is AT-LEAST-ONCE — a crash after
+    * the manifest's atomic move but before the checkpoint offset commit
+    * re-runs the same batch on restart. The committing `batchId` is
+    * therefore stamped into the manifest, and `appendSnapshot` skips the
+    * commit when the latest manifest already carries it — so a replayed
+    * batch can never publish a duplicate version (RecoverySpec replays a
+    * committed batch and pins version count + content unchanged).
     */
   def snapshotIngest(spark: SparkSession, dir: String, table: String,
                      base: java.nio.file.Path, filesPerBatch: Int = 2): Int = {
-    import scala.jdk.CollectionConverters._
     val staticDf = spark.read.parquet(s"$dir/$table.parquet")
     val stream = spark.readStream
       .schema(staticDf.schema)
@@ -151,16 +158,14 @@ object EventStreams {
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", base.resolve("_chk").toString)
-      .foreachBatch { (df: DataFrame, _: Long) =>
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
         if (!df.isEmpty)
-          graft.ops.Layout.appendSnapshot(base, df, filesPerBatch): Unit
+          graft.ops.Layout.appendSnapshot(base, df, filesPerBatch,
+            batchId = Some(batchId)): Unit
       }
       .start()
     q.awaitTermination()
-    val manDir = base.resolve("manifests")
-    if (!java.nio.file.Files.exists(manDir)) 0
-    else java.nio.file.Files.list(manDir).iterator().asScala
-      .count(p => p.getFileName.toString.matches("v\\d+\\.txt"))
+    graft.ops.Layout.snapshotVersions(base).size
   }
 
   /** Streaming observability: `observe` metrics emitted per micro-batch

@@ -44,6 +44,24 @@ class Mp3Spec extends AnyFunSuite {
     assert(Mp3.parse(mut).get.nFrames === 1)
   }
 
+  test("MPEG-2 Layer III headers stop the walk (version bits are pinned)") {
+    // 0xff 0xf3: valid 11-bit sync but version bits 10 (MPEG-2). Decoding
+    // it with MPEG-1 tables would claim a frame; the walk must refuse.
+    val mpeg2 = Array(0xff, 0xf3, (4 << 4) | (0 << 2), 0xc0).map(_.toByte) ++
+      Array.fill[Byte](200)(0)
+    assert(Mp3.parse(mpeg2).isEmpty)
+    // and an MPEG-2 header after one legal MPEG-1 frame keeps only frame 1
+    val one = {
+      val brIdx = 4; val size = 144 * Mp3.BitrateKbps(brIdx) * 1000 / 44100
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(0xff); b.write(0xfb); b.write((brIdx << 4) | (0 << 2)); b.write(0xc0)
+      (4 until size).foreach(_ => b.write(0))
+      b.toByteArray
+    }
+    val inv = Mp3.parse(one ++ mpeg2).get
+    assert(inv.nFrames === 1 && inv.sampleRateHz === 44100)
+  }
+
   test("ID3v2 prefix skips by syncsafe length; malformed syncsafe refuses") {
     val withId3 = Mp3.syntheticMp3(4L) // even seed: ID3 present
     assert(withId3.take(3).map(_.toChar).mkString === "ID3")

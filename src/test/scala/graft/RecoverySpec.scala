@@ -76,4 +76,31 @@ class RecoverySpec extends AnyFunSuite {
     assert(Layout.readSnapshot(spark, base, 2)
       .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
   }
+
+  test("snapshot commit is replay-idempotent on the stamped batchId") {
+    // the at-least-once hole: foreachBatch commits the manifest, then the
+    // process dies BEFORE the checkpoint offset commit — on restart the
+    // SAME batch (same batchId, same rows) runs again. The manifest's
+    // #batch stamp must make the second commit a no-op.
+    val base = java.nio.file.Files.createTempDirectory("graft-rec-replay")
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "t")
+    val b1 = Seq((3L, "c")).toDF("id", "t")
+    assert(Layout.appendSnapshot(base, b0, batchId = Some(0L)) === 1)
+    assert(Layout.appendSnapshot(base, b1, batchId = Some(1L)) === 2)
+    val before = Layout.readSnapshot(spark, base, 2)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // replay of batch 1 (crash between manifest move and offset commit)
+    assert(Layout.appendSnapshot(base, b1, batchId = Some(1L)) === 2,
+      "replayed batch must return the already-committed version")
+    assert(Layout.snapshotVersions(base) === Seq(1, 2),
+      "replay must not publish a duplicate version")
+    assert(Layout.readSnapshot(spark, base, 2)
+      .collect().map(_.getLong(0)).sorted.toSeq === before,
+      "latest version content unchanged under replay")
+    // a genuinely NEW batch still appends
+    assert(Layout.appendSnapshot(base, Seq((4L, "d")).toDF("id", "t"),
+      batchId = Some(2L)) === 3)
+    assert(Layout.readSnapshot(spark, base, 3)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+  }
 }

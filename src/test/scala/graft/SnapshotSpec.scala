@@ -4,53 +4,127 @@ import graft.ops.Layout
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** [[graft.ops.Layout]] snapshot series: manifest-pinned reads must be
-  * immutable under later appends.
+/** Manifest-pinned snapshot contracts beyond basic pinning (OpsSpec /
+  * RecoverySpec): footer-stat recording + file pruning, compaction
+  * content-stability, retention + orphan GC, and loud data-file
+  * collision on a racing appender.
   */
 class SnapshotSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   import spark.implicits._
 
-  test("a pinned version returns the same rows forever") {
-    val base = java.nio.file.Files.createTempDirectory("graft-snap")
-    val v1df = (0 until 30).map(i => (i.toLong, s"text $i")).toDF("id", "t")
-    val v1 = Layout.appendSnapshot(base, v1df)
-    assert(v1 === 1)
-    val before = Layout.readSnapshot(spark, base, 1)
-      .orderBy($"id").collect().map(_.getLong(0)).toSeq
-    assert(before === (0L until 30L))
+  private def tmpBase() = java.nio.file.Files.createTempDirectory("graft-snap")
 
-    val v2df = (30 until 50).map(i => (i.toLong, s"text $i")).toDF("id", "t")
-    assert(Layout.appendSnapshot(base, v2df) === 2)
+  private def rows(lo: Long, hi: Long) =
+    (lo until hi).map(i => (i, s"doc-$i", s"s${i % 3}")).toDF("id", "t", "src")
 
-    // v1 after the append: unchanged; v2: union
-    val after = Layout.readSnapshot(spark, base, 1)
-      .orderBy($"id").collect().map(_.getLong(0)).toSeq
-    assert(after === before, "append must not change a pinned read")
-    val all = Layout.readSnapshot(spark, base, 2)
-      .orderBy($"id").collect().map(_.getLong(0)).toSeq
-    assert(all === (0L until 50L))
+  test("manifest records footer min/max; range layout makes pruning selective") {
+    val base = tmpBase()
+    Layout.appendSnapshot(base, rows(0, 100), filesPerVersion = 4,
+      statsCols = Seq("id", "src"), layoutCol = Some("id"))
+    val (_, entries) = Layout.readManifest(base, 1)
+    assert(entries.size === 4)
+    assert(entries.forall(_.stats.contains("id")))
+    // global min/max across files must cover exactly 0..99
+    val mins = entries.map(_.stats("id")._2.toLong)
+    val maxs = entries.map(_.stats("id")._3.toLong)
+    assert(mins.min === 0L && maxs.max === 99L)
+    // range layout => disjoint id ranges => a 10-wide probe opens <= 2 files
+    val (df, kept, total) = Layout.readSnapshotRange(spark, base, 1, "id", 40L, 49L)
+    assert(total === 4 && kept < total, s"pruning must drop files ($kept/$total)")
+    assert(df.where($"id".between(40, 49)).count() === 10,
+      "pruned read is a superset of the matching rows")
+    // string stats prune too (src in s0/s1/s2 — all files contain all, so
+    // an out-of-range probe drops everything)
+    val (_, kept2, _) = Layout.readSnapshotRange(spark, base, 1, "src", "zz", "zz")
+    assert(kept2 === 0, "no file's [min,max] intersects [zz,zz]")
+    // a column with no recorded stats never prunes
+    val (k3, t3) = Layout.pruneSnapshotFiles(base, 1, "t", "a", "b")
+    assert(k3.size === t3, "unknown column keeps every file")
+    // open bounds
+    val (k4, _) = Layout.pruneSnapshotFiles(base, 1, "id", 90L, null)
+    assert(k4.nonEmpty && k4.size < 4)
   }
 
-  test("manifests pin by file list, not directory listing") {
-    val base = java.nio.file.Files.createTempDirectory("graft-snap2")
-    Layout.appendSnapshot(base, Seq((1L, "a")).toDF("id", "t"))
-    // a foreign file landing in data/ (debris, concurrent writer) is
-    // invisible to every pinned read
-    Seq((99L, "intruder")).toDF("id", "t").write
-      .parquet(base.resolve("data").resolve("zz-intruder.parquet").toString)
-    val got = Layout.readSnapshot(spark, base, 1).collect().map(_.getLong(0)).toSeq
-    assert(got === Seq(1L))
-    assert(Layout.snapshotFiles(base, 1).size === 2)
+  test("stats lines carry forward across appends; stat-less appends still read") {
+    val base = tmpBase()
+    Layout.appendSnapshot(base, rows(0, 50), filesPerVersion = 2,
+      statsCols = Seq("id"), layoutCol = Some("id"))
+    Layout.appendSnapshot(base, rows(50, 100), filesPerVersion = 2)
+    val (_, e2) = Layout.readManifest(base, 2)
+    assert(e2.size === 4)
+    val (withStats, bare) = e2.partition(_.stats.nonEmpty)
+    assert(withStats.size === 2 && bare.size === 2,
+      "v1's stats survive the carry; v2's files are bare")
+    // pruning keeps ALL v2 files (no stats) plus matching v1 files
+    val (kept, total) = Layout.pruneSnapshotFiles(base, 2, "id", 0L, 10L)
+    assert(total === 4 && kept.size === 3)
+    assert(Layout.readSnapshot(spark, base, 2).count() === 100)
   }
 
-  test("version numbering continues from the latest manifest") {
-    val base = java.nio.file.Files.createTempDirectory("graft-snap3")
-    Layout.appendSnapshot(base, Seq((1L, "a")).toDF("id", "t"))
-    Layout.appendSnapshot(base, Seq((2L, "b")).toDF("id", "t"))
-    val v3 = Layout.appendSnapshot(base, Seq((3L, "c")).toDF("id", "t"))
-    assert(v3 === 3)
-    assert(Layout.readSnapshot(spark, base, 3).count() === 3)
-    assert(Layout.readSnapshot(spark, base, 2).count() === 2)
+  test("compaction rewrites content bit-stable into only-fresh files") {
+    val base = tmpBase()
+    Layout.appendSnapshot(base, rows(0, 40), filesPerVersion = 3)
+    Layout.appendSnapshot(base, rows(40, 60), filesPerVersion = 3)
+    val before = Layout.readSnapshot(spark, base, 2)
+      .orderBy($"id").collect().toSeq
+    val v = Layout.compactSnapshot(spark, base, filesPerVersion = 2,
+      statsCols = Seq("id"), layoutCol = Some("id"))
+    assert(v === 3)
+    val (_, e3) = Layout.readManifest(base, 3)
+    assert(e3.size === 2 && e3.forall(_.name.startsWith("v3-")),
+      "compacted manifest references only freshly-written files")
+    assert(Layout.readSnapshot(spark, base, 3)
+      .orderBy($"id").collect().toSeq === before,
+      "compaction must be content-identical")
+    // v2 remains pinned and readable until expiry
+    assert(Layout.readSnapshot(spark, base, 2)
+      .orderBy($"id").collect().toSeq === before)
+  }
+
+  test("expireVersions retires manifests and sweeps orphans; retained reads unchanged") {
+    val base = tmpBase()
+    Layout.appendSnapshot(base, rows(0, 40), filesPerVersion = 2)
+    Layout.appendSnapshot(base, rows(40, 60), filesPerVersion = 2)
+    Layout.compactSnapshot(spark, base, filesPerVersion = 2)
+    // crashed append: a data file adopted into data/ whose manifest move
+    // never happened
+    val dataDir = base.resolve("data")
+    java.nio.file.Files.write(dataDir.resolve("v9-00000.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(Layout.orphanFiles(base) === Seq("v9-00000.parquet"))
+    val keep = Layout.readSnapshot(spark, base, 3).orderBy($"id").collect().toSeq
+    val (expired, deleted) = Layout.expireVersions(base, keepN = 1)
+    assert(expired === Seq(1, 2))
+    // v1+v2 contributed 4 shared data files, all unreferenced by v3's
+    // compacted manifest; plus the crashed-append orphan
+    assert(deleted.size === 5 && deleted.contains("v9-00000.parquet"))
+    assert(Layout.snapshotVersions(base) === Seq(3))
+    assert(Layout.orphanFiles(base).isEmpty, "post-GC base audits clean")
+    assert(Layout.readSnapshot(spark, base, 3)
+      .orderBy($"id").collect().toSeq === keep,
+      "retained pinned read byte-identical across GC")
+    // without compaction, cumulative manifests keep every file referenced:
+    // expiry then deletes NO data files
+    val base2 = tmpBase()
+    Layout.appendSnapshot(base2, rows(0, 10))
+    Layout.appendSnapshot(base2, rows(10, 20))
+    val (_, deleted2) = Layout.expireVersions(base2, keepN = 1)
+    assert(deleted2.isEmpty, "files carried by the retained manifest survive")
+    assert(Layout.readSnapshot(spark, base2, 2).count() === 20)
+  }
+
+  test("a racing appender fails loudly on the data-file move") {
+    val base = tmpBase()
+    Layout.appendSnapshot(base, rows(0, 10))
+    // the racer already adopted version 2's first data file
+    java.nio.file.Files.write(base.resolve("data").resolve("v2-00000.parquet"),
+      Array[Byte](0))
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      Layout.appendSnapshot(base, rows(10, 20))
+    }
+    // the published v1 manifest is untouched by the failed append
+    assert(Layout.snapshotVersions(base) === Seq(1))
+    assert(Layout.readSnapshot(spark, base, 1).count() === 10)
   }
 }
