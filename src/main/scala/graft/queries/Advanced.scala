@@ -2992,7 +2992,113 @@ object Advanced {
              |SELECT 2, 4, CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT),
              |  CAST(sum(h) AS BIGINT)
              |FROM dg
-             |ORDER BY version""".stripMargin))
+             |ORDER BY version""".stripMargin)),
+
+    // -- manifest column stats: pruned pinned reads ---------------------------
+    // The Iceberg-manifest upgrade to p101: appendSnapshot records
+    // per-file min/max (straight from the parquet footers — no second
+    // scan) and range-partitions each append on doc_id, so a SELECTIVE
+    // pinned read consults the manifest on the driver and opens
+    // O(matching) files instead of every file of the version. At 100 TB
+    // "WHERE id <= K" against a pinned version is the difference between
+    // opening ~1/8 of the files and opening all of them. pruned_ok and
+    // superset_ok are Verify-gated: the scan must open at most half the
+    // version's files AND return exactly the rows the full pinned read
+    // filters to.
+    QueryDef("p111_snapshot_stat_pruning",
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val fp = Pipeline.layoutFingerprint(d, Seq("documents.parquet"))
+        val base = Pipeline.cachedLayout("snapstats", fp) { staging =>
+          graft.ops.Layout.appendSnapshot(staging,
+            docs.where($"doc_id" % 2 === 0), filesPerVersion = 4,
+            statsCols = Seq("doc_id"), layoutCol = Some("doc_id"))
+          graft.ops.Layout.appendSnapshot(staging,
+            docs.where($"doc_id" % 2 === 1), filesPerVersion = 4,
+            statsCols = Seq("doc_id"), layoutCol = Some("doc_id"))
+          ()
+        }
+        // scale-proportional probe: the lowest eighth of the id domain
+        val k = docs.agg(max($"doc_id")).head().getLong(0) / 8
+        val (pruned, scanned, total) =
+          graft.ops.Layout.readSnapshotRange(s, base, 2, "doc_id", 0L, k)
+        pruned.where($"doc_id" <= k)
+          .agg(count(lit(1)).as("n_rows"), sum($"n_chars").as("n_chars"),
+            sum(conv(substring(md5(concat($"doc_id".cast("string"), lit("|"),
+                $"text")), 1, 15), 16, 10).cast("long") % 1073741824L)
+              .as("digest"))
+          .select(lit(2).as("version"), lit(total).as("files_total"),
+            lit(scanned * 2 <= total).as("pruned_ok"),
+            $"n_rows", $"n_chars", $"digest")
+      },
+      Some("""WITH k AS (SELECT max(doc_id) // 8 AS k FROM documents)
+             |SELECT 2 AS version, 8 AS files_total, TRUE AS pruned_ok,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             |  CAST(sum(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15) AS BIGINT)
+             |    % 1073741824) AS BIGINT) AS digest
+             |FROM documents, k WHERE doc_id <= k.k""".stripMargin)),
+
+    // -- snapshot retention + orphan GC ---------------------------------------
+    // The lifecycle end of the p101 contract: versions accumulate until
+    // expireVersions(keepN) retires their manifests, and the orphan
+    // sweep reclaims data files no retained manifest references — space
+    // from pre-compaction versions AND debris from crashed appends
+    // (adopted data file, manifest move never happened). The immutability
+    // witness is the point: the retained version's pinned read is
+    // byte-identical before and after GC, because GC deletes only what
+    // no retained manifest can ever reference. Fresh base per run (GC is
+    // destructive — a cached layout would be consumed by its first run);
+    // the working set is a bounded subset, so the build cost stays a
+    // constant fraction of a corpus scan at every sf.
+    QueryDef("p112_snapshot_gc",
+      (s, d) => {
+        import s.implicits._
+        val sub = t(s, d, "documents").where($"doc_id" % 7 < 2)
+        val base = java.nio.file.Files.createTempDirectory("graft-p112")
+        graft.ops.Layout.appendSnapshot(base, sub.where($"doc_id" % 2 === 0))
+        graft.ops.Layout.appendSnapshot(base, sub.where($"doc_id" % 2 === 1))
+        // crashed append: data adopted, manifest never published
+        java.nio.file.Files.write(
+          base.resolve("data").resolve("v9-00000.parquet"), Array[Byte](1))
+        val orphansBefore = graft.ops.Layout.orphanFiles(base).size
+        graft.ops.Layout.compactSnapshot(s, base)
+        def snap(v: Int) = graft.ops.Layout.readSnapshot(s, base, v)
+          .agg(count(lit(1)), sum(conv(substring(md5(concat(
+              $"doc_id".cast("string"), lit("|"), $"text")), 1, 15), 16, 10)
+            .cast("long") % 1073741824L)).head()
+        val beforeGc = snap(3)
+        val versionsBefore = graft.ops.Layout.snapshotVersions(base).size
+        val (expired, deleted) = graft.ops.Layout.expireVersions(base, keepN = 1)
+        val afterGc = snap(3)
+        val immutable = beforeGc == afterGc
+        // every base-derived value is materialized above — the run's
+        // working dir can go before the (base-independent) result plan
+        import scala.jdk.CollectionConverters._
+        val w = java.nio.file.Files.walk(base)
+        try w.iterator().asScala.toList.sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally w.close()
+        sub.agg(count(lit(1)).as("n_rows"), sum($"n_chars").as("n_chars"))
+          .select(lit(versionsBefore).as("versions_before"),
+            lit(expired.size).as("expired_n"),
+            lit(deleted.size).as("deleted_files"),
+            lit(orphansBefore).as("orphans_before"),
+            lit(graft.ops.Layout.orphanFiles(base).size).as("orphans_after"),
+            lit(immutable).as("immutable_ok"),
+            $"n_rows", $"n_chars",
+            lit(afterGc.getLong(0)).as("n_rows_pinned"),
+            lit(afterGc.getLong(1)).as("digest_pinned"))
+      },
+      Some("""SELECT 3 AS versions_before, 2 AS expired_n, 5 AS deleted_files,
+             |  1 AS orphans_before, 0 AS orphans_after, TRUE AS immutable_ok,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             |  CAST(count(*) AS BIGINT) AS n_rows_pinned,
+             |  CAST(sum(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15) AS BIGINT)
+             |    % 1073741824) AS BIGINT) AS digest_pinned
+             |FROM documents WHERE doc_id % 7 < 2""".stripMargin))
   )
 
   /** The p98/s27 page fixture: nav on every page, promo on every second,
