@@ -1,0 +1,615 @@
+package graft.ops
+
+/** Pure-Scala PDF text extraction — a from-scratch implementation of the
+  * public PDF 1.4 file format (ISO 32000-1 subset), no dependencies
+  * beyond the JDK's `Inflater`. Real crawl corpora are full of PDFs; the
+  * ingest family (WARC, charsets, HTML, FLAC, AVI, MP3) lacked the one
+  * document modality a training pipeline hits most. Same design as
+  * [[Flac]]: a strict decoder plus a deterministic fixture generator
+  * that exercises every decoder path, so the operator is exact-oracle-able
+  * (the fixture's logical text has a closed form both engines can
+  * compute) and differentially testable (PdfSpec round-trips; an
+  * independent Python mirror in `tools/check_pdf_fixture.py` re-parses
+  * the emitted bytes with zero shared code).
+  *
+  * Decoder coverage: header check, `startxref` → xref table walk
+  * (multi-subsection), trailer `/Root`, page-tree recursion
+  * (`/Pages`/`/Kids`), `/Contents` as single ref or array, stream
+  * extraction with direct or INDIRECT `/Length`, `/Filter /FlateDecode`
+  * (zlib) or none, full object grammar (dict/array/name/number/ref/
+  * bool/null, literal strings with all escapes `\( \) \\ \n \r \t \b \f
+  * \ddd` + balanced nested parens + line continuations, hex strings with
+  * odd-digit padding), and the content-stream TEXT operators:
+  * `Tj` (show), `TJ` (array show, kerning numbers skipped), `'` and `"`
+  * (next-line shows), `T*`/`Td`/`TD` (line moves).
+  *
+  * Extraction semantics (deterministic, oracle-able): shows append their
+  * string; every line-move (`Td`/`TD`/`T*`, and the implicit move of
+  * `'`/`"`) emits ONE newline, collapsed — consecutive moves, or a move
+  * at page start, add nothing. Page texts are returned separately; the
+  * pipeline stage joins them with `\n`.
+  *
+  * Malformed input is DATA, not a crash: any structural violation
+  * (missing header, dangling xref offset, truncated stream, bad object
+  * grammar) returns None.
+  *
+  * Scale note: per-blob CPU work inside `mapPartitions` — embarrassingly
+  * parallel, no shuffle; 100 TB of PDFs scales with executor count
+  * exactly like the image/audio paths.
+  */
+object Pdf {
+
+  // ------------------------------------------------------------- objects
+  private sealed trait PObj
+  private final case class PNum(v: Double) extends PObj {
+    def int: Int = v.toInt
+  }
+  private final case class PName(s: String) extends PObj
+  private final case class PStr(s: String) extends PObj
+  private final case class PArr(items: Vector[PObj]) extends PObj
+  private final case class PDict(m: Map[String, PObj]) extends PObj
+  private final case class PRef(num: Int, gen: Int) extends PObj
+  private final case class PBool(b: Boolean) extends PObj
+  private case object PNull extends PObj
+  private final case class POp(name: String) extends PObj // content operator
+
+  private def bad(msg: String): Nothing =
+    throw new IllegalArgumentException(msg)
+
+  // --------------------------------------------------------------- lexer
+  /** Recursive-descent reader over the raw bytes (PDF is a byte format;
+    * strings decode as Latin-1 — the fixture is ASCII).
+    */
+  private final class Lexer(buf: Array[Byte], var pos: Int) {
+    private def cur: Int = if (pos < buf.length) buf(pos) & 0xff else -1
+    private def isWs(c: Int) =
+      c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0
+    private def isDelim(c: Int) =
+      c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
+        c == '{' || c == '}' || c == '/' || c == '%'
+
+    def atEnd: Boolean = { skipWs(); pos >= buf.length }
+
+    def skipWs(): Unit = {
+      var going = true
+      while (going) {
+        while (isWs(cur)) pos += 1
+        if (cur == '%') { while (cur != -1 && cur != '\n' && cur != '\r') pos += 1 }
+        else going = false
+      }
+    }
+
+    def peekKeyword(kw: String): Boolean = {
+      skipWs()
+      buf.length - pos >= kw.length &&
+        (0 until kw.length).forall(i => (buf(pos + i) & 0xff) == kw.charAt(i))
+    }
+
+    def expect(kw: String): Unit =
+      if (peekKeyword(kw)) pos += kw.length else bad(s"expected '$kw' at $pos")
+
+    def readLong(): Long = {
+      skipWs()
+      val neg = cur == '-'
+      if (neg || cur == '+') pos += 1
+      if (cur < '0' || cur > '9') bad(s"expected integer at $pos")
+      var v = 0L
+      while (cur >= '0' && cur <= '9') { v = v * 10 + (cur - '0'); pos += 1 }
+      if (neg) -v else v
+    }
+
+    private def readNumber(): PNum = {
+      skipWs()
+      val start = pos
+      if (cur == '-' || cur == '+') pos += 1
+      while ((cur >= '0' && cur <= '9') || cur == '.') pos += 1
+      if (pos == start) bad(s"expected number at $pos")
+      PNum(new String(buf, start, pos - start, "ISO-8859-1").toDouble)
+    }
+
+    private def readName(): PName = {
+      pos += 1 // '/'
+      val sb = new StringBuilder
+      while (cur != -1 && !isWs(cur) && !isDelim(cur)) {
+        if (cur == '#' && pos + 2 < buf.length) { // #xx hex escape in names
+          sb.append(Integer.parseInt(
+            new String(buf, pos + 1, 2, "ISO-8859-1"), 16).toChar)
+          pos += 3
+        } else { sb.append(cur.toChar); pos += 1 }
+      }
+      PName(sb.toString)
+    }
+
+    private def readLiteralString(): PStr = {
+      pos += 1 // '('
+      val sb = new StringBuilder
+      var depth = 1
+      while (depth > 0) {
+        cur match {
+          case -1 => bad("unterminated literal string")
+          case '\\' =>
+            pos += 1
+            cur match {
+              case 'n' => sb.append('\n'); pos += 1
+              case 'r' => sb.append('\r'); pos += 1
+              case 't' => sb.append('\t'); pos += 1
+              case 'b' => sb.append('\b'); pos += 1
+              case 'f' => sb.append('\f'); pos += 1
+              case '(' => sb.append('('); pos += 1
+              case ')' => sb.append(')'); pos += 1
+              case '\\' => sb.append('\\'); pos += 1
+              case '\r' => pos += 1; if (cur == '\n') pos += 1 // continuation
+              case '\n' => pos += 1
+              case c if c >= '0' && c <= '7' =>
+                var v = 0; var n = 0
+                while (n < 3 && cur >= '0' && cur <= '7') {
+                  v = v * 8 + (cur - '0'); pos += 1; n += 1
+                }
+                sb.append((v & 0xff).toChar)
+              case c => sb.append(c.toChar); pos += 1 // unknown escape: keep char
+            }
+          case '(' => depth += 1; sb.append('('); pos += 1
+          case ')' =>
+            depth -= 1
+            if (depth > 0) sb.append(')')
+            pos += 1
+          case c => sb.append(c.toChar); pos += 1
+        }
+      }
+      PStr(sb.toString)
+    }
+
+    private def readHexString(): PStr = {
+      pos += 1 // '<'
+      val sb = new StringBuilder
+      val hx = new StringBuilder
+      while (cur != '>') {
+        if (cur == -1) bad("unterminated hex string")
+        val c = cur.toChar
+        if (!isWs(cur)) {
+          if (!Character.isLetterOrDigit(c)) bad(s"bad hex char $c")
+          hx.append(c)
+        }
+        pos += 1
+      }
+      pos += 1
+      if (hx.length % 2 == 1) hx.append('0') // odd count: implicit trailing 0
+      var i = 0
+      while (i < hx.length) {
+        sb.append(Integer.parseInt(hx.substring(i, i + 2), 16).toChar)
+        i += 2
+      }
+      PStr(sb.toString)
+    }
+
+    /** One object-grammar value; bare keywords come back as POp (content
+      * operators / `obj` / `R` handled by callers).
+      */
+    def readValue(): PObj = {
+      skipWs()
+      cur match {
+        case -1 => bad("eof")
+        case '/' => readName()
+        case '(' => readLiteralString()
+        case '[' =>
+          pos += 1
+          val items = Vector.newBuilder[PObj]
+          skipWs()
+          // fold `n g R` refs here too — /Kids arrays are ref lists
+          while (cur != ']') { items += readValueResolvingRef(); skipWs() }
+          pos += 1
+          PArr(items.result())
+        case '<' =>
+          if (pos + 1 < buf.length && (buf(pos + 1) & 0xff) == '<') {
+            pos += 2
+            val m = Map.newBuilder[String, PObj]
+            skipWs()
+            while (cur != '>') {
+              readValue() match {
+                case PName(k) => m += k -> readValueResolvingRef()
+                case other    => bad(s"dict key must be a name, got $other")
+              }
+              skipWs()
+            }
+            expect(">>")
+            PDict(m.result())
+          } else readHexString()
+        case c if c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') =>
+          readNumber()
+        case _ =>
+          val start = pos
+          while (cur != -1 && !isWs(cur) && !isDelim(cur)) pos += 1
+          val kw = new String(buf, start, pos - start, "ISO-8859-1")
+          kw match {
+            case "true"  => PBool(true)
+            case "false" => PBool(false)
+            case "null"  => PNull
+            case ""      => bad(s"stray delimiter at $pos")
+            case op      => POp(op)
+          }
+      }
+    }
+
+    /** Like readValue, but folds the `n g R` indirect-reference grammar:
+      * an integer followed by another integer and `R`.
+      */
+    def readValueResolvingRef(): PObj = {
+      val v = readValue()
+      v match {
+        case PNum(n) if n == Math.floor(n) =>
+          val save = pos
+          try {
+            readValue() match {
+              case PNum(g) if g == Math.floor(g) =>
+                readValue() match {
+                  case POp("R") => PRef(n.toInt, g.toInt)
+                  case _        => pos = save; v
+                }
+              case _ => pos = save; v
+            }
+          } catch {
+            case _: IllegalArgumentException  => pos = save; v
+            case _: IndexOutOfBoundsException => pos = save; v
+          }
+        case _ => v
+      }
+    }
+  }
+
+  // ------------------------------------------------------------ document
+  private final class Doc(buf: Array[Byte]) {
+    // declared BEFORE `offsets`: its initializer assigns this var, and
+    // Scala runs class-body initializers in declaration order — declared
+    // after, the `= _` would null it back out
+    private var trailerDict: PDict = _
+
+    private val offsets: Map[Int, Int] = {
+      // locate the last `startxref`
+      val kw = "startxref".getBytes("ISO-8859-1")
+      var at = -1
+      var i = buf.length - kw.length
+      while (at < 0 && i >= 0) {
+        var j = 0
+        while (j < kw.length && buf(i + j) == kw(j)) j += 1
+        if (j == kw.length) at = i else i -= 1
+      }
+      if (at < 0) bad("no startxref")
+      val lx = new Lexer(buf, at + kw.length)
+      val xrefOff = lx.readLong()
+      if (xrefOff < 0 || xrefOff >= buf.length) bad("dangling startxref offset")
+      val xl = new Lexer(buf, xrefOff.toInt)
+      xl.expect("xref")
+      val m = Map.newBuilder[Int, Int]
+      while (!xl.peekKeyword("trailer")) {
+        val start = xl.readLong().toInt
+        val count = xl.readLong().toInt
+        if (count < 0 || count > buf.length) bad("absurd xref subsection")
+        for (k <- 0 until count) {
+          val off = xl.readLong()
+          xl.readLong() // generation
+          xl.skipWs()
+          val tpe = (buf(xl.pos) & 0xff).toChar
+          xl.pos += 1
+          tpe match {
+            case 'n' =>
+              if (off >= buf.length) bad("xref entry beyond file")
+              m += (start + k) -> off.toInt
+            case 'f'   => () // free entry
+            case other => bad(s"bad xref entry type '$other'")
+          }
+        }
+      }
+      xl.expect("trailer")
+      trailerDict = xl.readValueResolvingRef() match {
+        case d: PDict => d
+        case other    => bad(s"trailer must be a dict, got $other")
+      }
+      m.result()
+    }
+
+    def trailer: PDict = trailerDict
+
+    /** Parse object `num`; returns (value, raw stream bytes if present). */
+    private val cache = scala.collection.mutable.Map[Int, (PObj, Option[Array[Byte]])]()
+    def obj(num: Int): (PObj, Option[Array[Byte]]) =
+      cache.getOrElseUpdate(num, {
+        val off = offsets.getOrElse(num, bad(s"object $num not in xref"))
+        val lx = new Lexer(buf, off)
+        val n = lx.readLong()
+        if (n != num) bad(s"object at offset claims id $n, xref said $num")
+        lx.readLong() // generation
+        lx.expect("obj")
+        val v = lx.readValueResolvingRef()
+        lx.skipWs()
+        if (lx.peekKeyword("stream")) {
+          lx.expect("stream")
+          // EOL after `stream`: CRLF or LF
+          if ((buf(lx.pos) & 0xff) == '\r') lx.pos += 1
+          if ((buf(lx.pos) & 0xff) == '\n') lx.pos += 1
+          val len = resolve(v.asInstanceOf[PDict].m.getOrElse("Length",
+            bad("stream without /Length"))) match {
+            case PNum(l) => l.toInt
+            case other   => bad(s"bad /Length $other")
+          }
+          if (lx.pos + len > buf.length) bad("truncated stream payload")
+          val data = java.util.Arrays.copyOfRange(buf, lx.pos, lx.pos + len)
+          lx.pos += len
+          lx.expect("endstream")
+          (v, Some(data))
+        } else (v, None)
+      })
+
+    def resolve(o: PObj): PObj = o match {
+      case PRef(n, _) => resolve(obj(n)._1)
+      case other      => other
+    }
+
+    def dict(o: PObj): PDict = resolve(o) match {
+      case d: PDict => d
+      case other    => bad(s"expected dict, got $other")
+    }
+  }
+
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(data.length * 4)
+      val b = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(b)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          bad("truncated flate stream")
+        out.write(b, 0, n)
+      }
+      out.toByteArray
+    } catch {
+      case e: java.util.zip.DataFormatException => bad(s"bad flate data: $e")
+    } finally inf.end()
+  }
+
+  private def decodeStream(doc: Doc, d: PDict, raw: Array[Byte]): Array[Byte] =
+    doc.resolve(d.m.getOrElse("Filter", PNull)) match {
+      case PNull                    => raw
+      case PName("FlateDecode")     => inflate(raw)
+      case PArr(Vector())           => raw
+      case PArr(Vector(PName("FlateDecode"))) => inflate(raw)
+      case other                    => bad(s"unsupported filter $other")
+    }
+
+  // --------------------------------------------------- content-text walk
+  /** The deterministic extraction semantics: shows append, line-moves
+    * emit one collapsed newline (nothing at page start / after another
+    * move).
+    */
+  private def pageText(content: Array[Byte]): String = {
+    val lx = new Lexer(content, 0)
+    val sb = new StringBuilder
+    val operands = scala.collection.mutable.ArrayBuffer[PObj]()
+    def newline(): Unit =
+      if (sb.nonEmpty && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
+    def lastStr: String = operands.reverseIterator.collectFirst {
+      case PStr(s) => s
+    }.getOrElse(bad("text-show without a string operand"))
+    while (!lx.atEnd) {
+      lx.readValue() match {
+        case POp(op) =>
+          op match {
+            case "Tj" => sb.append(lastStr)
+            case "'"  => newline(); sb.append(lastStr)
+            case "\"" => newline(); sb.append(lastStr)
+            case "TJ" =>
+              operands.lastOption match {
+                case Some(PArr(items)) =>
+                  items.foreach { case PStr(s) => sb.append(s); case _ => () }
+                case other => bad(s"TJ without array, got $other")
+              }
+            case "Td" | "TD" | "T*" => newline()
+            case _                  => () // BT/ET/Tf/Tm/graphics ops: no text effect
+          }
+          operands.clear()
+        case v => operands += v
+      }
+    }
+    sb.toString
+  }
+
+  /** Extract the text of every page, in page-tree order. None on any
+    * structural violation — malformed input is data.
+    */
+  def extractText(bytes: Array[Byte]): Option[Vector[String]] = {
+    try {
+      if (bytes == null || bytes.length < 8 ||
+        new String(bytes, 0, 5, "ISO-8859-1") != "%PDF-") return None
+      val doc = new Doc(bytes)
+      val root = doc.dict(doc.trailer.m.getOrElse("Root", bad("no /Root")))
+      val pagesRoot = doc.dict(root.m.getOrElse("Pages", bad("no /Pages")))
+      val pages = Vector.newBuilder[PDict]
+      def walk(node: PDict): Unit = node.m.get("Type") match {
+        case Some(PName("Pages")) =>
+          doc.resolve(node.m.getOrElse("Kids", bad("Pages without /Kids"))) match {
+            case PArr(kids) => kids.foreach(k => walk(doc.dict(k)))
+            case other      => bad(s"bad /Kids $other")
+          }
+        case Some(PName("Page")) => pages += node
+        case other               => bad(s"bad page-tree node type $other")
+      }
+      walk(pagesRoot)
+      Some(pages.result().map { pg =>
+        // /Contents: a ref to a stream, a ref to an array of refs, or a
+        // direct array — normalize to the stream refs WITHOUT resolving
+        // them (the stream bytes live on the indirect object)
+        val contentRefs: Vector[PObj] =
+          pg.m.getOrElse("Contents", PNull) match {
+            case PNull => Vector.empty
+            case r @ PRef(n, _) => doc.obj(n) match {
+              case (PArr(items), None) => items
+              case _                   => Vector(r)
+            }
+            case PArr(items) => items
+            case other       => bad(s"bad /Contents $other")
+          }
+        contentRefs.map { c =>
+          val (v, rawOpt) = c match {
+            case PRef(n, _) => doc.obj(n)
+            case _          => bad("page /Contents must be indirect")
+          }
+          val d = v match {
+            case dd: PDict => dd
+            case other     => bad(s"content object not a stream dict: $other")
+          }
+          pageText(decodeStream(doc, d,
+            rawOpt.getOrElse(bad("content object has no stream"))))
+        }.mkString("\n")
+      })
+    } catch {
+      case _: IllegalArgumentException => None
+      case _: IndexOutOfBoundsException => None
+      case _: NumberFormatException => None
+      case _: ClassCastException => None
+    }
+  }
+
+  // ------------------------------------------------------ fixture writer
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Closed-form logical text of fixture line (p, i) — the contract the
+    * DuckDB oracle re-derives: base text + a paren/backslash suffix every
+    * 5th line (exercises literal-string escapes) + an 'A' every 7th
+    * (written as octal `\101`).
+    */
+  private[graft] def logicalLine(seed: Long, p: Int, i: Int): String = {
+    val h = md5hex(s"$seed|$p|$i").substring(0, 12)
+    val s1 = if ((seed + i) % 5 == 0) " (x\\y)" else ""
+    val s2 = if ((seed + i) % 7 == 0) "A" else ""
+    s"Page $p line $i $h$s1$s2"
+  }
+
+  /** Full logical document text: pages' lines joined by `\n`. */
+  private[graft] def logicalText(seed: Long): String = {
+    val np = 1 + (seed % 2).toInt
+    (0 until np).flatMap { p =>
+      val nl = (2 + ((seed + p) % 3)).toInt
+      (0 until nl).map(i => logicalLine(seed, p, i))
+    }.mkString("\n")
+  }
+
+  private def litStr(s: String, octalLast: Boolean): String = {
+    val (body, tail) = if (octalLast) (s.init, "\\101") else (s, "")
+    "(" + body.flatMap {
+      case '('  => "\\("
+      case ')'  => "\\)"
+      case '\\' => "\\\\"
+      case c    => c.toString
+    } + tail + ")"
+  }
+
+  private def hexStr(s: String): String =
+    s.getBytes("ISO-8859-1").map("%02X".format(_)).mkString
+
+  /** Content-stream ops for page p: every line cycles its SHOW form
+    * (single `Tj` / split double `Tj` / `TJ` array with kerning / hex
+    * `Tj`) and its LINE-MOVE form (`Td` / `T*` / `'` / `"`), so the
+    * extractor's whole operator surface is load-bearing on every doc.
+    */
+  private def contentOps(seed: Long, p: Int): String = {
+    val nl = (2 + ((seed + p) % 3)).toInt
+    val sb = new StringBuilder
+    sb.append("BT /F1 12 Tf 72 720 Td\n")
+    for (i <- 0 until nl) {
+      val full = logicalLine(seed, p, i)
+      val octal = (seed + i) % 7 == 0
+      val sep = if (i == 0) -1 else ((seed + i) % 3).toInt
+      val mode = ((seed + p + i) % 4).toInt
+      if (sep == 0) sb.append("0 -14 Td ")
+      else if (sep == 1) sb.append("T* ")
+      if (sep == 2) {
+        if ((seed + i) % 2 == 0)
+          sb.append(s"1 2 ${litStr(full, octal)} \"\n")
+        else sb.append(s"${litStr(full, octal)} '\n")
+      } else mode match {
+        case 0 => sb.append(s"${litStr(full, octal)} Tj\n")
+        case 1 =>
+          val (a, b) = full.splitAt(full.length / 2)
+          sb.append(s"${litStr(a, octalLast = false)} Tj ${litStr(b, octal)} Tj\n")
+        case 2 =>
+          val (a, b) = full.splitAt(full.length / 2)
+          sb.append(s"[${litStr(a, octalLast = false)} -120 ${litStr(b, octal)}] TJ\n")
+        case _ => sb.append(s"<${hexStr(full)}> Tj\n")
+      }
+    }
+    sb.append("ET\n")
+    sb.toString
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    try {
+      d.setInput(data); d.finish()
+      val out = new java.io.ByteArrayOutputStream(data.length)
+      val b = new Array[Byte](8192)
+      while (!d.finished()) out.write(b, 0, d.deflate(b))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  /** Deterministic fixture: `1 + seed%2` pages of `2 + (seed+p)%3` lines;
+    * even seeds carry FlateDecode-compressed content streams, `seed%3==0`
+    * routes `/Length` through an indirect reference, and the header's
+    * binary-comment line keeps byte-transparency load-bearing. xref
+    * offsets are exact — `extractText(syntheticPdf(s))` must round-trip
+    * [[logicalText]] for every seed (PdfSpec; the p113 oracle re-derives
+    * the same closed form in SQL).
+    */
+  def syntheticPdf(seed: Long): Array[Byte] = {
+    val np = 1 + (seed % 2).toInt
+    val compress = seed % 2 == 0
+    val indirectLen = seed % 3 == 0
+    val contents: Seq[Array[Byte]] = (0 until np).map { p =>
+      val raw = contentOps(seed, p).getBytes("ISO-8859-1")
+      if (compress) deflate(raw) else raw
+    }
+    val nObjs = 3 + 2 * np + (if (indirectLen) np else 0)
+    val out = new java.io.ByteArrayOutputStream()
+    val offsets = new Array[Int](nObjs + 1)
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n%")
+    out.write(Array(0xe2, 0xe3, 0xcf, 0xd3).map(_.toByte))
+    w("\n")
+    def obj(num: Int)(body: => Unit): Unit = {
+      offsets(num) = out.size(); w(s"$num 0 obj\n"); body; w("endobj\n")
+    }
+    obj(1)(w("<< /Type /Catalog /Pages 2 0 R >>\n"))
+    obj(2)(w("<< /Type /Pages /Kids [" +
+      (0 until np).map(p => s"${4 + 2 * p} 0 R").mkString(" ") +
+      s"] /Count $np >>\n"))
+    obj(3)(w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n"))
+    for (p <- 0 until np) {
+      obj(4 + 2 * p)(w(s"<< /Type /Page /Parent 2 0 R " +
+        s"/MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 3 0 R >> >> " +
+        s"/Contents ${5 + 2 * p} 0 R >>\n"))
+      obj(5 + 2 * p) {
+        val data = contents(p)
+        val lenPart =
+          if (indirectLen) s"/Length ${3 + 2 * np + 1 + p} 0 R"
+          else s"/Length ${data.length}"
+        val filt = if (compress) " /Filter /FlateDecode" else ""
+        w(s"<< $lenPart$filt >>\nstream\n")
+        out.write(data)
+        w("\nendstream\n")
+      }
+    }
+    if (indirectLen)
+      for (p <- 0 until np) obj(3 + 2 * np + 1 + p)(w(s"${contents(p).length}\n"))
+    val xrefOff = out.size()
+    w(s"xref\n0 ${nObjs + 1}\n")
+    w("0000000000 65535 f \n")
+    for (n <- 1 to nObjs) w(f"${offsets(n)}%010d 00000 n \n")
+    w(s"trailer\n<< /Size ${nObjs + 1} /Root 1 0 R >>\nstartxref\n$xrefOff\n")
+    w("%%EOF\n")
+    out.toByteArray
+  }
+}

@@ -3098,8 +3098,70 @@ object Advanced {
              |  CAST(count(*) AS BIGINT) AS n_rows_pinned,
              |  CAST(sum(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15) AS BIGINT)
              |    % 1073741824) AS BIGINT) AS digest_pinned
-             |FROM documents WHERE doc_id % 7 < 2""".stripMargin))
+             |FROM documents WHERE doc_id % 7 < 2""".stripMargin)),
+
+    // -- PDF text extraction --------------------------------------------------
+    // The missing document modality of the ingest family: a from-scratch
+    // PDF 1.4 parser (xref walk, indirect /Length, FlateDecode via the
+    // JDK Inflater, full string/escape grammar, Tj/TJ/'/"/Td/TD/T* text
+    // semantics — ops/Pdf.scala) over per-doc fixtures that exercise
+    // every decoder path. The oracle re-derives the fixture's logical
+    // text in closed form — so the digest only matches if the WHOLE
+    // container round-trips: offsets, compression, escapes, and the
+    // newline-collapse semantics. Differential partner:
+    // tools/check_pdf_fixture.py (independent Python parser, zero shared
+    // code). Per-blob mapPartitions work — shuffle-free at any scale.
+    QueryDef("p113_pdf_extract",
+      (s, d) => pdfStage(t(s, d, "documents")).orderBy(col("doc_id")),
+      Some(pdfOracleSql)),
+
+    // The streaming twin: the SAME extraction stage per micro-batch —
+    // PDF ingest rides the stream at scan throughput (stateless, no
+    // state store), the s27/s31 pattern.
+    QueryDef("s32_stream_pdf_extract",
+      (s, d) => EventStreams.runBoundedDocs(s, d, "s32_sink", pdfStage)
+        .orderBy(col("doc_id")),
+      Some(pdfOracleSql))
   )
+
+  /** Shared p113/s32 stage: synthesize the per-doc PDF fixture, run the
+    * real extractor, account pages/lines/chars + the text digest.
+    */
+  private def pdfStage(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val pages = graft.ops.Pdf.extractText(graft.ops.Pdf.syntheticPdf(id))
+          .getOrElse(throw new IllegalStateException(s"doc $id: PDF refused"))
+        val text = pages.mkString("\n")
+        val nLines = 1 + text.count(_ == '\n')
+        (id, pages.size, nLines, text.length.toLong,
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(text))
+      }
+    }.toDF("doc_id", "n_pages", "n_lines", "n_chars", "text_digest")
+  }
+
+  /** p113/s32 oracle: the fixture's logical text re-derived in closed
+    * form (pages/lines/suffix cadence mirror ops/Pdf.logicalLine).
+    */
+  private[queries] val pdfOracleSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, CAST(1 + doc_id % 2 AS INT) AS np FROM documents),
+      |ls AS (
+      |  SELECT doc_id, np,
+      |    flatten(list_transform(range(0, np), p ->
+      |      list_transform(range(0, 2 + (doc_id + p) % 3), i ->
+      |        'Page ' || p || ' line ' || i || ' ' ||
+      |        substring(md5(CAST(doc_id AS VARCHAR) || '|' || p || '|' || i), 1, 12) ||
+      |        CASE WHEN (doc_id + i) % 5 = 0 THEN ' (x\y)' ELSE '' END ||
+      |        CASE WHEN (doc_id + i) % 7 = 0 THEN 'A' ELSE '' END))) AS lines
+      |  FROM base),
+      |txt AS (SELECT doc_id, np, len(lines) AS nl,
+      |    array_to_string(lines, chr(10)) AS t FROM ls)
+      |SELECT doc_id, np AS n_pages, CAST(nl AS INT) AS n_lines,
+      |  CAST(length(t) AS BIGINT) AS n_chars, md5(t) AS text_digest
+      |FROM txt ORDER BY doc_id""".stripMargin
 
   /** The p98/s27 page fixture: nav on every page, promo on every second,
     * copyright notice on every tenth (below the boilerplate floor — must

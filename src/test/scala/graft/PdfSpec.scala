@@ -1,0 +1,96 @@
+package graft
+
+import graft.ops.Pdf
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[graft.ops.Pdf]]: the from-scratch PDF text extractor against its
+  * fixture generator — closed-form round-trips across every encoder path
+  * (compressed/raw, direct/indirect Length, all four show forms, all
+  * line-move forms, escapes, hex strings) plus corrupt-input refusal.
+  * Also dumps fixtures for `tools/check_pdf_fixture.py`, the independent
+  * Python mirror (zero shared code with either the writer or the
+  * extractor).
+  */
+class PdfSpec extends AnyFunSuite {
+
+  test("extractText round-trips logicalText for 120 seeds") {
+    (0L until 120L).foreach { seed =>
+      val pages = Pdf.extractText(Pdf.syntheticPdf(seed))
+        .getOrElse(fail(s"seed $seed: extraction refused"))
+      assert(pages.size === 1 + (seed % 2).toInt, s"seed $seed page count")
+      assert(pages.mkString("\n") === Pdf.logicalText(seed), s"seed $seed")
+    }
+  }
+
+  test("escape and hex paths are load-bearing (seed picks with each suffix)") {
+    // seed 0: 5-divisible AND 7-divisible line 0 -> both suffixes; also
+    // compressed + indirect length
+    val t0 = Pdf.logicalText(0L)
+    assert(t0.contains(" (x\\y)A") || t0.contains("(x\\y)"), t0)
+    assert(Pdf.extractText(Pdf.syntheticPdf(0L)).get.mkString("\n") === t0)
+    // an odd, non-multiple-of-3 seed: raw streams, direct length
+    val t7 = Pdf.logicalText(7L)
+    assert(Pdf.extractText(Pdf.syntheticPdf(7L)).get.mkString("\n") === t7)
+  }
+
+  test("hex strings with an odd digit count get the implicit trailing zero") {
+    // hand-built one-page PDF via the fixture, then check a standalone
+    // content stream through the public path: <48454C50> vs <48454C5>
+    // ('HELP' vs 'HEL' + 'P'&0xF0='P'): build minimal docs around both
+    def onePage(content: String): Array[Byte] = {
+      val raw = content.getBytes("ISO-8859-1")
+      val out = new java.io.ByteArrayOutputStream()
+      def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+      val off = new Array[Int](6)
+      def obj(n: Int)(b: => Unit): Unit = { off(n) = out.size(); w(s"$n 0 obj\n"); b; w("endobj\n") }
+      w("%PDF-1.4\n")
+      obj(1)(w("<< /Type /Catalog /Pages 2 0 R >>\n"))
+      obj(2)(w("<< /Type /Pages /Kids [3 0 R] /Count 1 >>\n"))
+      obj(3)(w("<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n"))
+      obj(4) { w(s"<< /Length ${raw.length} >>\nstream\n"); out.write(raw); w("\nendstream\n") }
+      val x = out.size()
+      w("xref\n0 5\n0000000000 65535 f \n")
+      (1 to 4).foreach(n => w(f"${off(n)}%010d 00000 n \n"))
+      w(s"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n$x\n%%EOF\n")
+      out.toByteArray
+    }
+    assert(Pdf.extractText(onePage("BT <48454C50> Tj ET")).get === Vector("HELP"))
+    assert(Pdf.extractText(onePage("BT <48454C5> Tj ET")).get === Vector("HELP"))
+    // balanced unescaped parens inside a literal string are legal
+    assert(Pdf.extractText(onePage("BT (a(b)c) Tj ET")).get === Vector("a(b)c"))
+    // consecutive line moves collapse to one newline; leading move emits none
+    assert(Pdf.extractText(onePage("BT 0 0 Td T* (a) Tj T* 0 -14 Td (b) Tj ET"))
+      .get === Vector("a\nb"))
+  }
+
+  test("corrupt inputs refuse instead of crashing") {
+    assert(Pdf.extractText(null).isEmpty)
+    assert(Pdf.extractText("not a pdf at all".getBytes).isEmpty)
+    val good = Pdf.syntheticPdf(1L)
+    // truncation kills the xref table
+    assert(Pdf.extractText(java.util.Arrays.copyOf(good, good.length / 2)).isEmpty)
+    // dangling startxref offset
+    val s = new String(good, "ISO-8859-1")
+    val broken = s.replaceAll("startxref\n\\d+", "startxref\n99999999")
+    assert(Pdf.extractText(broken.getBytes("ISO-8859-1")).isEmpty)
+    // corrupt a compressed stream's bytes (seed 2: compressed)
+    val comp = Pdf.syntheticPdf(2L)
+    val idx = new String(comp, "ISO-8859-1").indexOf("stream\n") + 10
+    val mut = comp.clone(); mut(idx) = (mut(idx) ^ 0x55).toByte
+    // either flate refuses or the text no longer matches; must not throw
+    val out = Pdf.extractText(mut)
+    assert(out.isEmpty || out.get.mkString("\n") != Pdf.logicalText(2L))
+  }
+
+  test("fixture dump for the independent Python mirror") {
+    val dir = java.nio.file.Paths.get("target", "pdf-fixtures")
+    java.nio.file.Files.createDirectories(dir)
+    (0L until 24L).foreach { seed =>
+      java.nio.file.Files.write(dir.resolve(s"seed$seed.pdf"),
+        Pdf.syntheticPdf(seed))
+      java.nio.file.Files.write(dir.resolve(s"seed$seed.txt"),
+        Pdf.logicalText(seed).getBytes("UTF-8"))
+    }
+    assert(java.nio.file.Files.exists(dir.resolve("seed0.pdf")))
+  }
+}

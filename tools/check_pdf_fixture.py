@@ -1,0 +1,305 @@
+#!/usr/bin/env python3
+"""Independent mirror of the PDF fixture path (the Flac/gen_multimodal
+recipe): re-parse the PDFs dumped by PdfSpec ('fixture dump' test writes
+target/pdf-fixtures/seed*.pdf + .txt goldens) with a from-scratch PYTHON
+extractor sharing zero code with either graft.ops.Pdf side, and compare
+the extracted text against the golden logical text. Agreement is a real
+differential check of the container: xref walk, indirect /Length,
+FlateDecode, literal/hex strings, escapes, and the Tj/TJ/'/"/Td/TD/T*
+text semantics.
+
+Run after `sbt "testOnly graft.PdfSpec"`:
+    python3 tools/check_pdf_fixture.py
+"""
+import re
+import sys
+import zlib
+from pathlib import Path
+
+WS = b" \t\r\n\f\x00"
+DELIM = b"()<>[]{}/%"
+
+
+class Lexer:
+    def __init__(self, buf, pos=0):
+        self.buf = buf
+        self.pos = pos
+
+    def cur(self):
+        return self.buf[self.pos] if self.pos < len(self.buf) else None
+
+    def skip_ws(self):
+        while True:
+            while self.cur() is not None and self.cur() in WS:
+                self.pos += 1
+            if self.cur() == ord("%"):
+                while self.cur() is not None and self.cur() not in b"\r\n":
+                    self.pos += 1
+            else:
+                return
+
+    def at_end(self):
+        self.skip_ws()
+        return self.pos >= len(self.buf)
+
+    def read_token(self):
+        """One value or operator. Returns ('num', v) ('str', s) ('name', s)
+        ('arr', list) ('dict', d) ('op', s) ('ref', (n, g))."""
+        self.skip_ws()
+        c = self.cur()
+        if c is None:
+            raise ValueError("eof")
+        if c == ord("/"):
+            self.pos += 1
+            start = self.pos
+            while self.cur() is not None and self.cur() not in WS + DELIM:
+                self.pos += 1
+            return ("name", self.buf[start:self.pos].decode("latin-1"))
+        if c == ord("("):
+            return ("str", self._literal())
+        if c == ord("["):
+            self.pos += 1
+            items = []
+            while True:
+                self.skip_ws()
+                if self.cur() == ord("]"):
+                    self.pos += 1
+                    return ("arr", items)
+                items.append(self.read_value_ref())
+        if c == ord("<"):
+            if self.buf[self.pos + 1] == ord("<"):
+                self.pos += 2
+                d = {}
+                while True:
+                    self.skip_ws()
+                    if self.cur() == ord(">"):
+                        self.pos += 2
+                        return ("dict", d)
+                    k = self.read_token()
+                    assert k[0] == "name", k
+                    d[k[1]] = self.read_value_ref()
+            return ("str", self._hexstr())
+        if c in b"+-.0123456789":
+            start = self.pos
+            self.pos += 1
+            while self.cur() is not None and self.cur() in b".0123456789":
+                self.pos += 1
+            txt = self.buf[start:self.pos].decode("latin-1")
+            return ("num", float(txt) if "." in txt else int(txt))
+        start = self.pos
+        while self.cur() is not None and self.cur() not in WS + DELIM:
+            self.pos += 1
+        return ("op", self.buf[start:self.pos].decode("latin-1"))
+
+    def read_value_ref(self):
+        v = self.read_token()
+        if v[0] == "num" and isinstance(v[1], int):
+            save = self.pos
+            try:
+                g = self.read_token()
+                if g[0] == "num" and isinstance(g[1], int):
+                    r = self.read_token()
+                    if r == ("op", "R"):
+                        return ("ref", (v[1], g[1]))
+                self.pos = save
+            except (ValueError, IndexError):
+                self.pos = save
+        return v
+
+    def _literal(self):
+        self.pos += 1
+        out = []
+        depth = 1
+        while True:
+            c = self.cur()
+            if c is None:
+                raise ValueError("unterminated literal")
+            if c == ord("\\"):
+                self.pos += 1
+                e = self.cur()
+                mapped = {ord("n"): "\n", ord("r"): "\r", ord("t"): "\t",
+                          ord("b"): "\b", ord("f"): "\f", ord("("): "(",
+                          ord(")"): ")", ord("\\"): "\\"}
+                if e in mapped:
+                    out.append(mapped[e])
+                    self.pos += 1
+                elif e in b"\r\n":
+                    self.pos += 1
+                    if e == ord("\r") and self.cur() == ord("\n"):
+                        self.pos += 1
+                elif e is not None and ord("0") <= e <= ord("7"):
+                    v = 0
+                    for _ in range(3):
+                        if self.cur() is not None and ord("0") <= self.cur() <= ord("7"):
+                            v = v * 8 + (self.cur() - ord("0"))
+                            self.pos += 1
+                        else:
+                            break
+                    out.append(chr(v & 0xFF))
+                else:
+                    out.append(chr(e))
+                    self.pos += 1
+            elif c == ord("("):
+                depth += 1
+                out.append("(")
+                self.pos += 1
+            elif c == ord(")"):
+                depth -= 1
+                self.pos += 1
+                if depth == 0:
+                    return "".join(out)
+                out.append(")")
+            else:
+                out.append(chr(c))
+                self.pos += 1
+
+    def _hexstr(self):
+        self.pos += 1
+        hx = []
+        while self.cur() != ord(">"):
+            if self.cur() is None:
+                raise ValueError("unterminated hex")
+            if self.cur() not in WS:
+                hx.append(chr(self.cur()))
+            self.pos += 1
+        self.pos += 1
+        if len(hx) % 2:
+            hx.append("0")
+        return "".join(chr(int("".join(hx[i:i + 2]), 16))
+                       for i in range(0, len(hx), 2))
+
+
+class PdfDoc:
+    def __init__(self, buf):
+        assert buf[:5] == b"%PDF-", "bad header"
+        at = buf.rfind(b"startxref")
+        assert at >= 0
+        lx = Lexer(buf, at + len(b"startxref"))
+        t = lx.read_token()
+        assert t[0] == "num"
+        xl = Lexer(buf, t[1])
+        assert xl.read_token() == ("op", "xref")
+        self.buf = buf
+        self.offsets = {}
+        while True:
+            xl.skip_ws()
+            if buf[xl.pos:xl.pos + 7] == b"trailer":
+                xl.pos += 7
+                break
+            start = xl.read_token()[1]
+            count = xl.read_token()[1]
+            for k in range(count):
+                off = xl.read_token()[1]
+                xl.read_token()  # gen
+                xl.skip_ws()
+                tpe = chr(buf[xl.pos])
+                xl.pos += 1
+                if tpe == "n":
+                    self.offsets[start + k] = off
+        self.trailer = xl.read_value_ref()[1]
+
+    def obj(self, num):
+        lx = Lexer(self.buf, self.offsets[num])
+        assert lx.read_token()[1] == num
+        lx.read_token()
+        assert lx.read_token() == ("op", "obj")
+        v = lx.read_value_ref()
+        lx.skip_ws()
+        if self.buf[lx.pos:lx.pos + 6] == b"stream":
+            lx.pos += 6
+            if self.buf[lx.pos] == ord("\r"):
+                lx.pos += 1
+            if self.buf[lx.pos] == ord("\n"):
+                lx.pos += 1
+            length = self.resolve(v[1]["Length"])[1]
+            data = self.buf[lx.pos:lx.pos + length]
+            return v, data
+        return v, None
+
+    def resolve(self, v):
+        while v[0] == "ref":
+            v = self.obj(v[1][0])[0]
+        return v
+
+    def page_streams(self):
+        root = self.resolve(self.trailer["Root"])[1]
+        out = []
+
+        def walk(node):
+            if node["Type"][1] == "Pages":
+                for kid in self.resolve(node["Kids"])[1]:
+                    walk(self.resolve(kid)[1])
+            else:
+                cont = node["Contents"]
+                v, data = self.obj(cont[1][0])
+                filt = v[1].get("Filter")
+                if filt is not None and self.resolve(filt)[1] == "FlateDecode":
+                    data = zlib.decompress(data)
+                out.append(data)
+
+        walk(self.resolve(root["Pages"])[1])
+        return out
+
+
+def page_text(content):
+    lx = Lexer(content, 0)
+    out = []
+    operands = []
+
+    def newline():
+        if out and out[-1] != "\n":
+            out.append("\n")
+
+    def last_str():
+        for v in reversed(operands):
+            if v[0] == "str":
+                return v[1]
+        raise ValueError("show without string")
+
+    while not lx.at_end():
+        v = lx.read_token()
+        if v[0] != "op":
+            operands.append(v)
+            continue
+        op = v[1]
+        if op == "Tj":
+            out.append(last_str())
+        elif op in ("'", '"'):
+            newline()
+            out.append(last_str())
+        elif op == "TJ":
+            arr = operands[-1]
+            assert arr[0] == "arr"
+            for item in arr[1]:
+                if item[0] == "str":
+                    out.append(item[1])
+        elif op in ("Td", "TD", "T*"):
+            newline()
+        operands = []
+    return "".join(out)
+
+
+def main():
+    fixdir = Path("target/pdf-fixtures")
+    pdfs = sorted(fixdir.glob("seed*.pdf"),
+                  key=lambda p: int(re.findall(r"\d+", p.name)[0]))
+    if not pdfs:
+        print("no fixtures — run: sbt 'testOnly graft.PdfSpec'", file=sys.stderr)
+        sys.exit(2)
+    bad = 0
+    for pdf in pdfs:
+        golden = pdf.with_suffix(".txt").read_text(encoding="utf-8")
+        doc = PdfDoc(pdf.read_bytes())
+        text = "\n".join(page_text(c) for c in doc.page_streams())
+        status = "OK" if text == golden else "MISMATCH"
+        if text != golden:
+            bad += 1
+            print(f"{pdf.name}: {status}\n  got: {text!r}\n  want: {golden!r}")
+        else:
+            print(f"{pdf.name}: {status}")
+    print(f"\n{len(pdfs) - bad}/{len(pdfs)} fixtures agree")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
