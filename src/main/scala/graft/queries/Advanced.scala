@@ -3121,7 +3121,74 @@ object Advanced {
     QueryDef("s32_stream_pdf_extract",
       (s, d) => EventStreams.runBoundedDocs(s, d, "s32_sink", pdfStage)
         .orderBy(col("doc_id")),
-      Some(pdfOracleSql))
+      Some(pdfOracleSql)),
+
+    // -- robots.txt opt-out ingestion -----------------------------------------
+    // The builder half of the p103 governance story: parse crawl-native
+    // opt-out signals (robots.txt groups, RFC 9309) into per-domain rule
+    // tables and elect per-page verdicts — specific-agent groups shadow
+    // `*`, longest rule wins, Allow beats Disallow on ties, wildcards
+    // and `$` anchors in the rule grammar. The fixture plants all four
+    // group shapes keyed off md5(source); paths cycle five kinds so
+    // every election edge (Allow override, shadowed disallow-all, `$`
+    // hit, length tie) is load-bearing. The oracle re-derives the
+    // longest-match election in SQL from a VALUES mirror of the
+    // EFFECTIVE rules — so a parsing bug (wrong group, missed merge,
+    // broken grammar) shifts verdicts and fails the hash. Scale shape:
+    // robots parse rides a scan of the (bounded) domain corpus; verdict
+    // application is a broadcast join + one per-id argmax exchange.
+    QueryDef("p114_robots_optout",
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val variant = (conv(substring(md5($"source"), 1, 6), 16, 10)
+          .cast("long") % 4).cast("int")
+        val robots = docs.select($"source").distinct()
+          .select($"source".as("domain"), variant.as("v"))
+          .as[(String, Int)]
+          .map { case (dom, v) => (dom, graft.ops.Robots.fixtureRobots(v)) }
+          .toDF("domain", "content")
+        val rules = graft.ops.Robots.ruleTable(robots, "graftbot")
+        val pages = docs.select($"doc_id", $"source".as("domain"),
+          concat(
+            element_at(array(lit("/public/p"), lit("/private/x"),
+              lit("/private/ok"), lit("/tmp/c"), lit("/tmp/c")),
+              ($"doc_id" % 5).cast("int") + 1),
+            $"doc_id".cast("string"),
+            element_at(array(lit(""), lit(""), lit(""), lit("z"), lit("ok")),
+              ($"doc_id" % 5).cast("int") + 1)).as("path"))
+        graft.ops.Robots.applyRobots(pages, "doc_id", "domain", "path", rules)
+          .select($"id".as("doc_id"), $"domain", $"path", $"allowed", $"matched")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT doc_id, source AS domain,
+             |    CAST(CAST('0x' || substring(md5(source), 1, 6) AS BIGINT) % 4 AS INT) AS vr,
+             |    CASE CAST(doc_id % 5 AS INT)
+             |      WHEN 0 THEN '/public/p' || doc_id
+             |      WHEN 1 THEN '/private/x' || doc_id
+             |      WHEN 2 THEN '/private/ok' || doc_id
+             |      WHEN 3 THEN '/tmp/c' || doc_id || 'z'
+             |      ELSE '/tmp/c' || doc_id || 'ok' END AS path
+             |  FROM documents),
+             |rules(vr, rule, allow, rx) AS (VALUES
+             |  (0, '/private', FALSE, '^/private'),
+             |  (0, '/private/ok', TRUE, '^/private/ok'),
+             |  (1, '/tmp/*', FALSE, '^/tmp/.*'),
+             |  (1, '/*z$', FALSE, '^/.*z$'),
+             |  (3, '/private', FALSE, '^/private'),
+             |  (3, '/tmp/*', FALSE, '^/tmp/.*'),
+             |  (3, '/tmp/*ok', TRUE, '^/tmp/.*ok')),
+             |m AS (
+             |  SELECT v.doc_id, r.rule, r.allow,
+             |    row_number() OVER (PARTITION BY v.doc_id
+             |      ORDER BY len(r.rule) DESC, r.allow DESC, r.rule DESC) AS rn
+             |  FROM v JOIN rules r ON r.vr = v.vr
+             |    AND regexp_matches(v.path, r.rx))
+             |SELECT v.doc_id, v.domain, v.path,
+             |  coalesce(m.allow, TRUE) AS allowed, m.rule AS matched
+             |FROM v LEFT JOIN m ON m.doc_id = v.doc_id AND m.rn = 1
+             |ORDER BY v.doc_id""".stripMargin))
   )
 
   /** Shared p113/s32 stage: synthesize the per-doc PDF fixture, run the

@@ -1,0 +1,96 @@
+package graft
+
+import graft.ops.Robots
+import graft.ops.Robots.RobotRule
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[graft.ops.Robots]]: group selection, rule grammar, verdict
+  * election, and the char-walk-vs-regex differential.
+  */
+class RobotsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("group selection: specific agent shadows *, case-insensitive, groups merge") {
+    val txt = Robots.fixtureRobots(1)
+    assert(Robots.parseRobots(txt, "graftbot") ===
+      Seq(RobotRule("/tmp/*", false), RobotRule("/*z$", false)),
+      "GraftBot group (mixed case) shadows the disallow-all * group")
+    assert(Robots.parseRobots(txt, "nobot") === Seq(RobotRule("/", false)),
+      "unknown agent falls back to *")
+    // two groups for the same agent union; consecutive UA lines share rules
+    val multi = "User-agent: a\nUser-agent: b\nDisallow: /x\n\n" +
+      "User-agent: b\nAllow: /x/y\n"
+    assert(Robots.parseRobots(multi, "b") ===
+      Seq(RobotRule("/x", false), RobotRule("/x/y", true)))
+    assert(Robots.parseRobots(multi, "a") === Seq(RobotRule("/x", false)))
+    // a UA line AFTER rules starts a new group
+    val re = "User-agent: a\nDisallow: /1\nUser-agent: b\nDisallow: /2\n"
+    assert(Robots.parseRobots(re, "b") === Seq(RobotRule("/2", false)))
+  }
+
+  test("empty Disallow, comments, noise directives, CRLF") {
+    assert(Robots.parseRobots(Robots.fixtureRobots(2), "graftbot").isEmpty)
+    val noisy = "# hi\nUser-agent: * # inline\nCrawl-delay: 5\n" +
+      "Disallow: /a # tail comment\nSitemap: http://e/s\nDisallow: /b\n"
+    assert(Robots.parseRobots(noisy, "x") ===
+      Seq(RobotRule("/a", false), RobotRule("/b", false)),
+      "noise directives do not break the group")
+  }
+
+  test("rule matching: prefix, wildcard backtracking, $ anchor") {
+    assert(Robots.ruleMatches("/private", "/private/x"))
+    assert(!Robots.ruleMatches("/private", "/pub"))
+    assert(Robots.ruleMatches("/tmp/*ok", "/tmp/abc-ok-d-ok"))
+    assert(Robots.ruleMatches("/*z$", "/a/b/z"))
+    assert(!Robots.ruleMatches("/*z$", "/a/zb"))
+    assert(Robots.ruleMatches("/a*b*c", "/a-x-b-y-c-tail"))
+    assert(!Robots.ruleMatches("/a*b$", "/a-b-c"))
+    assert(Robots.ruleMatches("/", "/anything"))
+  }
+
+  test("verdict: longest match wins, Allow wins ties, no match allows") {
+    val rules = Seq(RobotRule("/tmp/*", false), RobotRule("/tmp/*ok", true))
+    assert(!Robots.pathAllowed(rules, "/tmp/c1"))
+    assert(Robots.pathAllowed(rules, "/tmp/c1ok"), "longer Allow wins")
+    assert(Robots.pathAllowed(rules, "/pub"))
+    // exact length tie: Allow wins
+    val tie = Seq(RobotRule("/abc", false), RobotRule("/ab*", true))
+    assert(Robots.pathAllowed(tie, "/abc"))
+  }
+
+  test("char-walk matcher agrees with the ruleRegex translation") {
+    val rules = Seq("/private", "/private/ok", "/tmp/*", "/*z$", "/tmp/*ok",
+      "/", "/a*b*c", "/a*b$", "/exact$")
+    val paths = Seq("/private/x9", "/private/ok3", "/tmp/c4", "/tmp/c4z",
+      "/tmp/c4ok", "/a-b-c", "/a-b", "/exact", "/exactly", "/z", "/pub")
+    val df = rules.flatMap(r => paths.map(p => (r, p))).toDF("rule", "path")
+      .withColumn("rx", Robots.ruleRegex(col("rule")))
+      .withColumn("re_match", expr("path rlike rx"))
+    df.collect().foreach { row =>
+      val (r, p, m) = (row.getString(0), row.getString(1), row.getBoolean(3))
+      assert(Robots.ruleMatches(r, p) === m,
+        s"rule '$r' vs path '$p': charwalk vs regex '${row.getString(2)}'")
+    }
+  }
+
+  test("applyRobots elects the same verdicts as the reference matcher") {
+    val rules = Seq(
+      ("d0", "/private", false), ("d0", "/private/ok", true),
+      ("d1", "/tmp/*", false), ("d1", "/*z$", false))
+      .toDF("domain", "rule", "allow")
+    val docs = Seq(
+      (1L, "d0", "/private/x"), (2L, "d0", "/private/okay"),
+      (3L, "d1", "/tmp/q"), (4L, "d1", "/docz"), (5L, "d1", "/pub"),
+      (6L, "d2", "/anything"))
+      .toDF("id", "domain", "path")
+    val got = Robots.applyRobots(docs, "id", "domain", "path", rules)
+      .orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(3), Option(r.getString(4))))
+    assert(got === Array(
+      (1L, false, Some("/private")), (2L, true, Some("/private/ok")),
+      (3L, false, Some("/tmp/*")), (4L, false, Some("/*z$")),
+      (5L, true, None), (6L, true, None)))
+  }
+}
