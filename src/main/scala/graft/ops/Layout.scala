@@ -362,6 +362,20 @@ object Layout {
     commitVersion(base, df, filesPerVersion, batchId, statsCols, layoutCol,
       carryForward = true)
 
+  /** Publish `df` as a REPLACEMENT version: the new manifest references
+    * ONLY the freshly-written files (no carry) — the commit shape of a
+    * merge/OPTIMIZE result, where the new version IS the whole corpus
+    * rather than an increment. Older versions stay pinned and readable
+    * until [[expireVersions]] retires them.
+    */
+  def replaceSnapshot(base: java.nio.file.Path, df: DataFrame,
+                      filesPerVersion: Int = 2,
+                      batchId: Option[Long] = None,
+                      statsCols: Seq[String] = Nil,
+                      layoutCol: Option[String] = None): Int =
+    commitVersion(base, df, filesPerVersion, batchId, statsCols, layoutCol,
+      carryForward = false)
+
   /** Rewrite the CURRENT content as one fresh version whose manifest
     * references ONLY the newly-written files — the OPTIMIZE/compaction
     * commit. Older versions stay pinned and readable until
@@ -377,8 +391,8 @@ object Layout {
                       layoutCol: Option[String] = None): Int = {
     val latest = snapshotVersions(base).lastOption.getOrElse(
       throw new IllegalStateException(s"no snapshot versions at $base"))
-    commitVersion(base, readSnapshot(spark, base, latest), filesPerVersion,
-      batchId = None, statsCols, layoutCol, carryForward = false)
+    replaceSnapshot(base, readSnapshot(spark, base, latest), filesPerVersion,
+      statsCols = statsCols, layoutCol = layoutCol)
   }
 
   private def commitVersion(base: java.nio.file.Path, df: DataFrame,

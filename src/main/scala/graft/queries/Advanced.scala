@@ -3188,7 +3188,168 @@ object Advanced {
              |SELECT v.doc_id, v.domain, v.path,
              |  coalesce(m.allow, TRUE) AS allowed, m.rule AS matched
              |FROM v LEFT JOIN m ON m.doc_id = v.doc_id AND m.rn = 1
-             |ORDER BY v.doc_id""".stripMargin))
+             |ORDER BY v.doc_id""".stripMargin)),
+
+    // -- re-crawl capstone: merge → publish → data card -----------------------
+    // The whole standing-corpus refresh cycle as ONE receipt: the p93
+    // delta merges into the corpus (latest-wins, per-action audit), the
+    // merge RESULT publishes as a p101 replacement snapshot version (new
+    // manifest references only fresh files — v1 stays pinned), and the
+    // p107-style data card re-derives PER VERSION from the PINNED reads
+    // — so a broken publish, a carried duplicate, or a miscounted merge
+    // all shift the card/digest and fail the hash. One row per version:
+    // card + that version's merge-action counts. Scale: the merge is the
+    // one co-partitioned full-outer join; cards are map-side-combined
+    // aggregates over pinned scans; publish cost is the corpus write a
+    // re-crawl commit pays anyway.
+    QueryDef("p115_recrawl_capstone",
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+          .select($"doc_id", $"text", $"lang", $"source")
+        def mkDelta = {
+          val upd = docs.filter($"doc_id" % 7 === 0 && $"doc_id" % 13 =!= 3)
+            .select($"doc_id", concat($"text", lit(" [rev2]")).as("text"),
+              $"lang", $"source", lit(2L).as("version"), lit(false).as("tomb"))
+          val tomb = docs.filter($"doc_id" % 13 === 3)
+            .select($"doc_id", lit("").as("text"), $"lang", $"source",
+              lit(2L).as("version"), lit(true).as("tomb"))
+          val stale = docs.filter($"doc_id" % 11 === 5 && $"doc_id" % 13 =!= 3 &&
+              $"doc_id" % 7 =!= 0)
+            .select($"doc_id", lit("stale rewrite").as("text"), $"lang",
+              $"source", lit(0L).as("version"), lit(false).as("tomb"))
+          val same = docs.filter($"doc_id" % 19 === 4 && $"doc_id" % 13 =!= 3 &&
+              $"doc_id" % 7 =!= 0 && $"doc_id" % 11 =!= 5)
+            .select($"doc_id", $"text", $"lang", $"source",
+              lit(2L).as("version"), lit(false).as("tomb"))
+          val ins = docs.filter($"doc_id" % 17 === 2)
+            .select(($"doc_id" + 1000000L).as("doc_id"),
+              concat(lit("fresh crawl of "), $"doc_id".cast("string")).as("text"),
+              lit("en").as("lang"), lit("recrawl").as("source"),
+              lit(2L).as("version"), lit(false).as("tomb"))
+          upd.unionByName(tomb).unionByName(stale).unionByName(same)
+            .unionByName(ins)
+        }
+        def mkMerge = graft.ops.Incremental.merge(
+          docs.withColumn("version", lit(1L)), mkDelta,
+          "doc_id", "version", "tomb", Seq("text", "lang", "source"))
+        val fp = Pipeline.layoutFingerprint(d, Seq("documents.parquet"))
+        val base = Pipeline.cachedLayout("recrawl", fp) { staging =>
+          graft.ops.Layout.appendSnapshot(staging, docs)
+          val corpus2 = mkMerge
+            .where(!$"action".isin("delete", "noop_delete"))
+            .select($"doc_id", $"text", $"lang", $"source")
+          graft.ops.Layout.replaceSnapshot(staging, corpus2)
+          ()
+        }
+        // the audit receipt is re-asserted per run (bounded: 7 actions)
+        val counts: Map[String, Long] = mkMerge.groupBy($"action")
+          .agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        def c(a: String) = lit(counts.getOrElse(a, 0L)).as(s"n_$a")
+        def zero(a: String) = lit(0L).as(s"n_$a")
+        val actions = Seq("insert", "update", "unchanged", "delete",
+          "noop_delete", "stale_skip", "carry")
+        def card(v: Int, acts: Seq[org.apache.spark.sql.Column]) = {
+          val nFiles = graft.ops.Layout.snapshotFiles(base, v).size
+          graft.ops.Layout.readSnapshot(s, base, v)
+            .agg(count(lit(1)).as("n_docs"),
+              sum(graft.ops.TextOps.wordCount($"text").cast("long")).as("n_words"),
+              sum(length($"text").cast("long")).as("n_chars"),
+              sum(conv(substring(md5(concat($"doc_id".cast("string"), lit("|"),
+                  $"text")), 1, 15), 16, 10).cast("long") % 1073741824L)
+                .as("digest"))
+            .select((lit(v).as("version") +: lit(nFiles).as("n_files") +:
+              $"n_docs" +: $"n_words" +: $"n_chars" +:
+              expr("(2 * n_chars + n_docs) DIV (2 * n_docs)").as("avg_chars") +:
+              $"digest" +: acts): _*)
+        }
+        card(1, actions.map(zero)).unionAll(card(2, actions.map(c)))
+          .orderBy($"version")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, text, lang, source, CAST(1 AS BIGINT) AS version
+             |  FROM documents),
+             |delta AS (
+             |  SELECT doc_id, text || ' [rev2]' AS text, lang, source,
+             |         CAST(2 AS BIGINT) AS version, FALSE AS tomb
+             |  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 13 <> 3
+             |  UNION ALL
+             |  SELECT doc_id, '', lang, source, CAST(2 AS BIGINT), TRUE
+             |  FROM documents WHERE doc_id % 13 = 3
+             |  UNION ALL
+             |  SELECT doc_id, 'stale rewrite', lang, source,
+             |         CAST(0 AS BIGINT), FALSE
+             |  FROM documents
+             |  WHERE doc_id % 11 = 5 AND doc_id % 13 <> 3 AND doc_id % 7 <> 0
+             |  UNION ALL
+             |  SELECT doc_id, text, lang, source, CAST(2 AS BIGINT), FALSE
+             |  FROM documents
+             |  WHERE doc_id % 19 = 4 AND doc_id % 13 <> 3 AND doc_id % 7 <> 0
+             |    AND doc_id % 11 <> 5
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, 'fresh crawl of ' || CAST(doc_id AS VARCHAR),
+             |         'en', 'recrawl', CAST(2 AS BIGINT), FALSE
+             |  FROM documents WHERE doc_id % 17 = 2),
+             |m AS (
+             |  SELECT coalesce(b.doc_id, dl.doc_id) AS doc_id,
+             |    CASE WHEN dl.version IS NULL THEN 'carry'
+             |         WHEN b.version IS NOT NULL AND dl.version < b.version
+             |           THEN 'stale_skip'
+             |         WHEN dl.tomb AND b.version IS NULL THEN 'noop_delete'
+             |         WHEN dl.tomb THEN 'delete'
+             |         WHEN b.version IS NULL THEN 'insert'
+             |         WHEN dl.text IS NOT DISTINCT FROM b.text
+             |              AND dl.lang IS NOT DISTINCT FROM b.lang
+             |              AND dl.source IS NOT DISTINCT FROM b.source
+             |           THEN 'unchanged'
+             |         ELSE 'update' END AS action,
+             |    CASE WHEN dl.version IS NOT NULL
+             |              AND (b.version IS NULL OR dl.version >= b.version)
+             |         THEN dl.text ELSE b.text END AS text
+             |  FROM base b FULL OUTER JOIN delta dl USING (doc_id)),
+             |cnt AS (
+             |  SELECT
+             |    CAST(sum(CASE WHEN action = 'insert' THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+             |    CAST(sum(CASE WHEN action = 'update' THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+             |    CAST(sum(CASE WHEN action = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+             |    CAST(sum(CASE WHEN action = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete,
+             |    CAST(sum(CASE WHEN action = 'noop_delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_noop_delete,
+             |    CAST(sum(CASE WHEN action = 'stale_skip' THEN 1 ELSE 0 END) AS BIGINT) AS n_stale_skip,
+             |    CAST(sum(CASE WHEN action = 'carry' THEN 1 ELSE 0 END) AS BIGINT) AS n_carry
+             |  FROM m),
+             |c2 AS (SELECT doc_id, text FROM m
+             |       WHERE action NOT IN ('delete', 'noop_delete')),
+             |card1 AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+             |      w -> len(w) > 0))) AS BIGINT) AS n_words,
+             |    CAST(sum(length(text)) AS BIGINT) AS n_chars,
+             |    CAST(sum(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15) AS BIGINT)
+             |      % 1073741824) AS BIGINT) AS digest
+             |  FROM documents),
+             |card2 AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+             |      w -> len(w) > 0))) AS BIGINT) AS n_words,
+             |    CAST(sum(length(text)) AS BIGINT) AS n_chars,
+             |    CAST(sum(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15) AS BIGINT)
+             |      % 1073741824) AS BIGINT) AS digest
+             |  FROM c2)
+             |SELECT 1 AS version, 2 AS n_files, n_docs, n_words, n_chars,
+             |  (2 * n_chars + n_docs) // (2 * n_docs) AS avg_chars, digest,
+             |  CAST(0 AS BIGINT) AS n_insert, CAST(0 AS BIGINT) AS n_update,
+             |  CAST(0 AS BIGINT) AS n_unchanged, CAST(0 AS BIGINT) AS n_delete,
+             |  CAST(0 AS BIGINT) AS n_noop_delete,
+             |  CAST(0 AS BIGINT) AS n_stale_skip, CAST(0 AS BIGINT) AS n_carry
+             |FROM card1
+             |UNION ALL
+             |SELECT 2, 2, n_docs, n_words, n_chars,
+             |  (2 * n_chars + n_docs) // (2 * n_docs), digest,
+             |  n_insert, n_update, n_unchanged, n_delete, n_noop_delete,
+             |  n_stale_skip, n_carry
+             |FROM card2, cnt
+             |ORDER BY version""".stripMargin))
   )
 
   /** Shared p113/s32 stage: synthesize the per-doc PDF fixture, run the
