@@ -501,4 +501,79 @@ object TextOps {
           round(col("__dup3").cast("double") / col("__n3"), 4)), lit(0.0))
           .as("frac_dup_3grams"))
   }
+
+  /** Word-level bigram LM with Stupid Backoff (Brants et al. 2007) — the
+    * perplexity upgrade over [[charLmScore]]'s char trigrams: word
+    * statistics catch fluency defects character n-grams can't see.
+    * Train on `trainFilter` docs, score `scoreFilter` docs (a held-out
+    * split makes the BACKOFF arm load-bearing: unseen bigrams fall back
+    * to the smoothed unigram).
+    *
+    * Model bounding (the charLM discipline, for an UNBOUNDED vocab):
+    * the top-`vocabSize` training words by (count desc, word asc) are
+    * the vocabulary; every other token maps to `<unk>`. Scores:
+    *   seen bigram:   c(w1 w2) / c(w1 ·)
+    *   unseen bigram: 0.4 · (c(w2) + 1) / (N + vocabSize + 1)
+    * (add-one on the unigram keeps the backoff total even for an unseen
+    * `<unk>`). Each ln-term quantizes to integer MICRO-units before the
+    * per-doc sum — the exact-sum determinism contract — and the emitted
+    * nll rounds once to 4 dp.
+    *
+    * Scale shape: vocab/unigram/context tables are vocabSize-bounded
+    * (eagerly localCheckpoint'ed — they feed 2-4 consumers each and
+    * must not re-scan the corpus per consumer) and broadcast into the
+    * scoring stream; the bigram model is the one data-bound table and
+    * joins by (w1, w2) key. Everything else is explode + map-side-
+    * combined HashAggregates — no windows over corpus-scale data (the
+    * vocab election sorts the word-COUNT table, not the corpus).
+    */
+  def wordLmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, trainFilter: Column, scoreFilter: Column,
+                  vocabSize: Int = 1000): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+        filter(split(trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " ")),
+          " "), x => x =!= "").as("w"),
+        trainFilter.as("__train"), scoreFilter.as("__score"))
+      .where(size(col("w")) >= 2)
+    def bigrams(src: org.apache.spark.sql.DataFrame) = src
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))"))
+        .as("pr"))
+      .select(col("doc_id"), col("pr.a").as("rw1"), col("pr.b").as("rw2"))
+    val trainToks = toks.where(col("__train"))
+      .select(col("doc_id"), explode(col("w")).as("word"))
+    val vocab = trainToks.groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word").asc).limit(vocabSize)
+      .select(col("word")).localCheckpoint(true)
+    def mapped(src: org.apache.spark.sql.DataFrame, c: String, out: String) =
+      src.join(broadcast(vocab.select(col("word").as(c), lit(1).as(s"__in_$c"))),
+          Seq(c), "left")
+        .withColumn(out, when(col(s"__in_$c").isNotNull, col(c))
+          .otherwise(lit("<unk>")))
+        .drop(c, s"__in_$c")
+    val uni = mapped(trainToks, "word", "mw")
+      .groupBy(col("mw").as("uw")).agg(count(lit(1)).as("uc"))
+      .localCheckpoint(true)
+    val n = uni.agg(sum(col("uc"))).head().getLong(0)
+    val trb = mapped(mapped(bigrams(toks.where(col("__train"))),
+      "rw1", "w1"), "rw2", "w2")
+    val bc = trb.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
+    val cp = bc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val scm = mapped(mapped(bigrams(toks.where(col("__score"))),
+      "rw1", "w1"), "rw2", "w2")
+    val term = when(col("c12").isNotNull,
+        round(log(col("c12").cast("double") / col("c1")) * 1e6))
+      .otherwise(round(log(lit(0.4) * (coalesce(col("uc"), lit(0L)) + 1) /
+        lit(n + vocabSize + 1)) * 1e6))
+      .cast("long")
+    scm.join(bc, Seq("w1", "w2"), "left")
+      .join(broadcast(cp), Seq("w1"), "left")
+      .join(broadcast(uni), col("w2") === col("uw"), "left")
+      .select(col("doc_id"), term.as("t"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-sum(col("t")).cast("double") / (count(lit(1)) * 1e6), 4).as("nll"))
+  }
 }

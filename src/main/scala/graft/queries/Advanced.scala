@@ -3349,7 +3349,76 @@ object Advanced {
              |  n_insert, n_update, n_unchanged, n_delete, n_noop_delete,
              |  n_stale_skip, n_carry
              |FROM card2, cnt
-             |ORDER BY version""".stripMargin))
+             |ORDER BY version""".stripMargin)),
+
+    // -- word-bigram LM with Stupid Backoff -----------------------------------
+    // The perplexity upgrade over p48's char trigrams: train the bigram
+    // model on 90% of the corpus, score the HELD-OUT 10% — so the
+    // backoff arm (unseen bigram → 0.4 · smoothed unigram) is
+    // load-bearing, not dead code. Vocab is the top-1000 training words
+    // (count desc, word asc), everything else maps to <unk> — the
+    // charLM bounded-model discipline applied to an unbounded word
+    // space. Integer micro-unit ln-terms before the per-doc sum; the
+    // oracle re-derives vocab, counts, and both score arms in SQL.
+    QueryDef("p116_wordlm_backoff",
+      (s, d) => {
+        import s.implicits._
+        graft.ops.TextOps.wordLmScore(t(s, d, "documents"), "doc_id", "text",
+            trainFilter = col("doc_id") % 10 =!= 0,
+            scoreFilter = col("doc_id") % 10 === 0)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(trim(
+             |      regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+             |      x -> len(x) > 0) AS w
+             |  FROM documents),
+             |t2 AS (SELECT doc_id, w FROM tok WHERE len(w) >= 2),
+             |tr_tok AS (SELECT doc_id, unnest(w) AS word FROM t2
+             |           WHERE doc_id % 10 <> 0),
+             |vocab AS (SELECT word FROM (
+             |    SELECT word, row_number() OVER (ORDER BY count(*) DESC, word) AS rn
+             |    FROM tr_tok GROUP BY word) WHERE rn <= 1000),
+             |trm AS (SELECT CASE WHEN v.word IS NULL THEN '<unk>' ELSE t.word END AS mw
+             |        FROM tr_tok t LEFT JOIN vocab v ON v.word = t.word),
+             |uni AS (SELECT mw AS uw, CAST(count(*) AS BIGINT) AS uc
+             |        FROM trm GROUP BY mw),
+             |nn AS (SELECT CAST(sum(uc) AS BIGINT) AS n FROM uni),
+             |tr_big AS (
+             |  SELECT unnest(list_transform(range(1, len(w)),
+             |    i -> [w[i], w[i + 1]])) AS pr
+             |  FROM t2 WHERE doc_id % 10 <> 0),
+             |trb AS (SELECT
+             |    CASE WHEN v1.word IS NULL THEN '<unk>' ELSE pr[1] END AS w1,
+             |    CASE WHEN v2.word IS NULL THEN '<unk>' ELSE pr[2] END AS w2
+             |  FROM tr_big LEFT JOIN vocab v1 ON v1.word = pr[1]
+             |              LEFT JOIN vocab v2 ON v2.word = pr[2]),
+             |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+             |       FROM trb GROUP BY 1, 2),
+             |cp AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY 1),
+             |sc_big AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+             |    i -> [w[i], w[i + 1]])) AS pr
+             |  FROM t2 WHERE doc_id % 10 = 0),
+             |scm AS (SELECT doc_id,
+             |    CASE WHEN v1.word IS NULL THEN '<unk>' ELSE pr[1] END AS w1,
+             |    CASE WHEN v2.word IS NULL THEN '<unk>' ELSE pr[2] END AS w2
+             |  FROM sc_big LEFT JOIN vocab v1 ON v1.word = pr[1]
+             |              LEFT JOIN vocab v2 ON v2.word = pr[2]),
+             |term AS (SELECT doc_id,
+             |    CASE WHEN bc.c12 IS NOT NULL
+             |      THEN CAST(round(ln(CAST(bc.c12 AS DOUBLE) / cp.c1) * 1e6) AS BIGINT)
+             |      ELSE CAST(round(ln(0.4e0 * (coalesce(uni.uc, 0) + 1)
+             |        / (nn.n + 1001)) * 1e6) AS BIGINT)
+             |    END AS t
+             |  FROM scm LEFT JOIN bc ON bc.w1 = scm.w1 AND bc.w2 = scm.w2
+             |           LEFT JOIN cp ON cp.w1 = scm.w1
+             |           LEFT JOIN uni ON uni.uw = scm.w2
+             |           CROSS JOIN nn)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |  round(-CAST(sum(t) AS DOUBLE) / (count(*) * 1e6), 4) AS nll
+             |FROM term GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   /** Shared p113/s32 stage: synthesize the per-doc PDF fixture, run the

@@ -749,6 +749,33 @@ class OpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 3L, 0.2310), (2L, 2L, 0.3466)))
   }
 
+  test("wordLmScore: hand-computed Stupid Backoff with both arms load-bearing") {
+    // train {1:"a b a b c", 2:"a b c c"}, vocabSize 2 → vocab {a,b}
+    // (counts a=3 b=3 c=3, tie breaks word-asc), c → <unk>.
+    // uni: a=3 b=3 u=3, N=9. bigrams: (a,b)=3 (b,a)=1 (b,u)=2 (u,u)=1;
+    // prefix: a=3 b=3 u=1.
+    // score 10:"b a d c a" → mapped pairs (b,a)(a,u)(u,u)(u,a):
+    //   (b,a) seen ln(1/3); (a,u) UNSEEN → ln(.4·(3+1)/(9+2+1));
+    //   (u,u) seen ln(1)=0; (u,a) UNSEEN → same backoff.
+    // micro-sum −5128418 over 4 → nll 1.2821
+    val df = Seq((1L, "a b a b c"), (2L, "a b c c"), (10L, "b a d c a"))
+      .toDF("doc_id", "text")
+    val out = TextOps.wordLmScore(df, "doc_id", "text",
+        trainFilter = col("doc_id") < 10, scoreFilter = col("doc_id") === 10,
+        vocabSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((10L, 4L, 1.2821)))
+    // <unk> ABSENT from training (vocab covers it all): the add-one
+    // smoothing keeps the backoff finite — uc(<unk>)=0 arm
+    val df2 = Seq((1L, "a b a b"), (10L, "a c b")).toDF("doc_id", "text")
+    val out2 = TextOps.wordLmScore(df2, "doc_id", "text",
+        trainFilter = col("doc_id") < 10, scoreFilter = col("doc_id") === 10,
+        vocabSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // (a,u): ln(.4·1/7) and (u,b): ln(.4·3/7) → nll 2.3129
+    assert(out2.toSeq === Seq((10L, 2L, 2.3129)))
+  }
+
   test("bucketed layout fingerprint: stable per content, regeneration invalidates") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("graft-fp").toString
