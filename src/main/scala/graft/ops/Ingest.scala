@@ -245,7 +245,20 @@ object Ingest {
     * starts after the first CRLFCRLF; headers decode as ISO-8859-1 (the
     * HTTP/1.1 field encoding — identity on bytes, never throws).
     */
-  def parseHttpResponse(payload: Array[Byte]): Option[(Int, Option[String], Array[Byte])] = {
+  def parseHttpResponse(payload: Array[Byte]): Option[(Int, Option[String], Array[Byte])] =
+    parseHttpHeaders(payload).map { case (status, headers, body) =>
+      (status, headers.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("content-type") => v
+      }, body)
+    }
+
+  /** Full header parse of an HTTP response payload: (status, ALL header
+    * fields in wire order with repeats preserved, bodyBytes). The
+    * repeat-preserving form matters for list-valued fields (an
+    * `X-Robots-Tag` may legally appear once per directive source).
+    */
+  def parseHttpHeaders(
+      payload: Array[Byte]): Option[(Int, Vector[(String, String)], Array[Byte])] = {
     val sep = indexOfCrlfCrlf(payload, 0)
     if (sep < 0) return None
     val head = new String(payload, 0, sep, java.nio.charset.StandardCharsets.ISO_8859_1)
@@ -261,10 +274,11 @@ object Ingest {
     val parts = lines(0).split(" ")
     if (parts.length < 2) return None
     parts(1).toIntOption.map { status =>
-      val ct = lines.iterator.drop(1).map(_.split(":", 2)).collectFirst {
-        case Array(k, v) if k.trim.equalsIgnoreCase("content-type") => v.trim
-      }
-      (status, ct, java.util.Arrays.copyOfRange(payload, sep + 4, payload.length))
+      val headers = lines.drop(1).flatMap(_.split(":", 2) match {
+        case Array(k, v) => Some(k.trim -> v.trim)
+        case _           => None
+      })
+      (status, headers, java.util.Arrays.copyOfRange(payload, sep + 4, payload.length))
     }
   }
 
@@ -485,6 +499,44 @@ object Ingest {
             Row(id, codec, raw.length.toLong, cs, text)
           case None => Row(id, null, null, null, null)
         }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** (file, warcGz) → one row per HTTP `response` record carrying every
+    * occurrence of ONE named header: (file, url, status, vals). The
+    * governance-signal scan a crawl pipeline runs beside the text path —
+    * `X-Robots-Tag` opt-outs, cache-control audits — without decoding
+    * bodies at all (headers only; the body bytes are never charset-
+    * decoded). Same shape as [[warcIngest]]: per-file mapPartitions,
+    * zero shuffle, malformed files yield zero rows.
+    */
+  def warcHeaderScan(df: DataFrame, fileCol: String, blobCol: String,
+                     header: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("file", LongType),
+      StructField("url", StringType),
+      StructField("status", IntegerType),
+      StructField("vals", ArrayType(StringType))))
+    val rdd = df.select(col(fileCol).cast("long"), col(blobCol)).rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val file = r.getLong(0)
+        val members =
+          try gzipMembers(r.getAs[Array[Byte]](1))
+          catch { case scala.util.control.NonFatal(_) => Vector.empty }
+        members.iterator
+          .flatMap(parseWarcRecord)
+          .filter(_.warcType == "response")
+          .flatMap { rec =>
+            parseHttpHeaders(rec.payload).map { case (status, headers, _) =>
+              val vals = headers.collect {
+                case (k, v) if k.equalsIgnoreCase(header) => v
+              }
+              Row(file, rec.targetUri.orNull, status, vals)
+            }
+          }
       }
     }
     spark.createDataFrame(rdd, schema)

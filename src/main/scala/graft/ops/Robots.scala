@@ -142,6 +142,47 @@ object Robots {
         coalesce(col("hit_allow"), lit(true)).as("allowed"), col("matched"))
   }
 
+  /** Directive names whose colon form (`unavailable_after: <date>`) is a
+    * VALUE, not an agent scope — the disambiguation every real REP
+    * header parser carries.
+    */
+  private val XRobotsDirectiveNames = Set(
+    "all", "noindex", "nofollow", "none", "noarchive", "nosnippet",
+    "notranslate", "noimageindex", "noai", "indexifembedded",
+    "unavailable_after", "max-snippet", "max-image-preview",
+    "max-video-preview")
+
+  /** Effective `X-Robots-Tag` directives for `agent` from every
+    * occurrence of the header, in wire order: each value is either a
+    * bare comma-separated directive list (applies to all agents) or
+    * `agent: directives…` scoped to one product token — the prefix
+    * before the first colon is a scope only when it is a single token
+    * that is NOT itself a directive name (`unavailable_after: <date>`
+    * stays a directive). Case-insensitive; order of appearance
+    * preserved.
+    */
+  def xRobotsDirectives(values: Seq[String], agent: String): Seq[String] = {
+    val lc = agent.toLowerCase
+    values.flatMap { v =>
+      val colon = v.indexOf(':')
+      val prefix =
+        if (colon > 0) Some(v.substring(0, colon).trim.toLowerCase) else None
+      val isScope = prefix.exists(p => !p.contains(' ') && !p.contains(',') &&
+        !XRobotsDirectiveNames.contains(p))
+      val (scope, rest) =
+        if (isScope) (prefix, v.substring(colon + 1)) else (None, v)
+      if (scope.forall(_ == lc))
+        rest.split(',').map(_.trim.toLowerCase).filter(_.nonEmpty).toSeq
+      else Seq.empty
+    }
+  }
+
+  /** The opt-out verdict a TRAINING pipeline draws from the directives:
+    * `noindex`, `none`, and the emerging `noai` all exclude the page.
+    */
+  def xRobotsOptOut(directives: Seq[String]): Boolean =
+    directives.exists(d => d == "noindex" || d == "none" || d == "noai")
+
   /** Deterministic fixture body for variant `v` (0..3) — the four
     * shapes the p114 oracle's VALUES rule table mirrors: plain `*`
     * group with an Allow override; a specific-agent group that SHADOWS

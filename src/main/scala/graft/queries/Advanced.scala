@@ -3418,7 +3418,78 @@ object Advanced {
              |           CROSS JOIN nn)
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
              |  round(-CAST(sum(t) AS DOUBLE) / (count(*) * 1e6), 4) AS nll
-             |FROM term GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM term GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // -- X-Robots-Tag opt-out from crawl headers ------------------------------
+    // The header channel of the opt-out story (p114 is the robots.txt
+    // channel): `Ingest.warcHeaderScan` walks the same gzip-member/WARC/
+    // HTTP envelope as warcIngest but collects every occurrence of ONE
+    // named header WITHOUT decoding bodies — the governance pre-pass a
+    // crawl pipeline runs at header speed. Fixture plants six header
+    // shapes (absent, bare, comma list delivered OBS-FOLDED across
+    // lines, foreign-agent scope, mixed-case own-agent scope, repeated
+    // headers) so unfolding, repeat preservation, scope disambiguation
+    // and case-insensitivity are each load-bearing; the oracle
+    // re-derives directives + verdicts closed-form from doc_id % 6.
+    QueryDef("p117_xrobots_optout",
+      (s, d) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        import s.implicits._
+        val schema = StructType(Seq(
+          StructField("file", LongType), StructField("warc_gz", BinaryType)))
+        val grouped = t(s, d, "documents")
+          .select($"doc_id".cast("long"), $"source")
+          .groupBy(($"doc_id" % 64).as("file"))
+          .agg(sort_array(collect_list(struct($"doc_id", $"source"))).as("recs"))
+        val warcs = s.createDataFrame(
+          grouped.rdd.mapPartitions(_.map { r =>
+            val file = r.getLong(0)
+            val members = r.getSeq[Row](1).map { rec =>
+              val id = rec.getLong(0)
+              val xr = (id % 6) match {
+                case 1 => "X-Robots-Tag: noindex\r\n"
+                case 2 => "X-Robots-Tag: noai,\r\n nofollow\r\n" // obs-fold
+                case 3 => "X-Robots-Tag: otherbot: noindex\r\n"
+                case 4 => "X-Robots-Tag: GraftBot: none\r\n"
+                case 5 => "X-Robots-Tag: nofollow\r\nX-Robots-Tag: noarchive\r\n"
+                case _ => ""
+              }
+              val body = "x".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+                xr + s"Content-Length: ${body.length}\r\n\r\n")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8) ++ body
+              graft.ops.Ingest.writeWarcRecord(graft.ops.Ingest.WarcRecord(
+                "response",
+                Some(s"https://${rec.getString(1)}.example.com/$id"),
+                Some(s"<urn:uuid:rec-$id>"),
+                Some("application/http; msgtype=response"), http))
+            }
+            Row(file, graft.ops.Ingest.gzipConcat(members))
+          }), schema)
+        val scanned = graft.ops.Ingest
+          .warcHeaderScan(warcs, "file", "warc_gz", "X-Robots-Tag")
+        scanned.select($"url", $"vals").as[(String, Seq[String])]
+          .map { case (url, vals) =>
+            val dirs = graft.ops.Robots.xRobotsDirectives(vals, "graftbot")
+            (url, dirs.mkString(","), graft.ops.Robots.xRobotsOptOut(dirs))
+          }
+          .toDF("url", "directives", "opt_out")
+          .select(
+            element_at(split($"url", "/"), -1).cast("long").as("id"),
+            regexp_extract($"url", "^https://([^/]+)/", 1).as("domain"),
+            $"directives", $"opt_out")
+          .orderBy($"id")
+      },
+      Some("""SELECT doc_id AS id, source || '.example.com' AS domain,
+             |  CASE CAST(doc_id % 6 AS INT)
+             |    WHEN 1 THEN 'noindex'
+             |    WHEN 2 THEN 'noai,nofollow'
+             |    WHEN 4 THEN 'none'
+             |    WHEN 5 THEN 'nofollow,noarchive'
+             |    ELSE '' END AS directives,
+             |  CAST(doc_id % 6 AS INT) IN (1, 2, 4) AS opt_out
+             |FROM documents ORDER BY id""".stripMargin))
   )
 
   /** Shared p113/s32 stage: synthesize the per-doc PDF fixture, run the

@@ -75,6 +75,23 @@ class RobotsSpec extends AnyFunSuite {
     }
   }
 
+  test("xRobotsDirectives: scoping, case, repeats, unavailable_after is not a scope") {
+    import Robots.{xRobotsDirectives => xr, xRobotsOptOut => opt}
+    assert(xr(Seq("noindex"), "graftbot") === Seq("noindex"))
+    assert(xr(Seq("noai, nofollow"), "graftbot") === Seq("noai", "nofollow"))
+    assert(xr(Seq("otherbot: noindex"), "graftbot") === Seq.empty,
+      "foreign-agent scope excluded")
+    assert(xr(Seq("GraftBot: none"), "graftbot") === Seq("none"),
+      "own scope, case-insensitive")
+    assert(xr(Seq("nofollow", "noarchive"), "graftbot") ===
+      Seq("nofollow", "noarchive"), "repeated headers union in order")
+    // the colon in unavailable_after introduces a VALUE, not a scope
+    assert(xr(Seq("unavailable_after: 01 Jan 2030"), "graftbot") ===
+      Seq("unavailable_after: 01 jan 2030"))
+    assert(opt(Seq("noindex")) && opt(Seq("none")) && opt(Seq("noai")))
+    assert(!opt(Seq("nofollow", "noarchive")) && !opt(Seq.empty))
+  }
+
   test("applyRobots elects the same verdicts as the reference matcher") {
     val rules = Seq(
       ("d0", "/private", false), ("d0", "/private/ok", true),
