@@ -386,7 +386,20 @@ object Multimodal {
       .orElse(decodeAviVideo(bytes).map(("video", _)))
       .orElse(decodeRle8Video(bytes).map(("rle_video", _)))
       .orElse(decodeMjpegVideo(bytes).map(("mjpeg_video", _)))
+      .orElse(decodePdfDoc(bytes).map(("pdf", _)))
       .getOrElse(("stub", stubDecode(bytes)))
+
+  /** PDF routed through the media vocabulary: `media_kind` says "pdf"
+    * and the feature vector is the extraction accounting (pages, lines,
+    * chars) — exact integers, unlike the lossy-codec paths. The real
+    * text lives behind [[graft.ops.Pdf.extractText]] (p113).
+    */
+  def decodePdfDoc(bytes: Array[Byte]): Option[Array[Float]] =
+    graft.ops.Pdf.extractText(bytes).map { pages =>
+      val text = pages.mkString("\n")
+      Array(pages.size.toFloat, (1 + text.count(_ == '\n')).toFloat,
+        text.length.toFloat)
+    }
 
   /** Deterministic 16-bit mono PCM WAV fixture: a seed-keyed sine (RIFF
     * header hand-written — byte-stable across JDKs, unlike re-encoding).

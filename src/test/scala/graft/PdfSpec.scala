@@ -63,6 +63,17 @@ class PdfSpec extends AnyFunSuite {
       .get === Vector("a\nb"))
   }
 
+  test("PDF routes through the media vocabulary: media_kind = pdf, exact counts") {
+    val bytes = Pdf.syntheticPdf(3L)
+    val (kind, feats) = graft.ops.Multimodal.decodeWithKind(bytes)
+    assert(kind === "pdf")
+    val text = Pdf.logicalText(3L)
+    assert(feats.toSeq === Seq(2f, (1 + text.count(_ == '\n')).toFloat,
+      text.length.toFloat))
+    // non-PDF bytes still fall through to the stub
+    assert(graft.ops.Multimodal.decodeWithKind("plain".getBytes)._1 === "stub")
+  }
+
   test("corrupt inputs refuse instead of crashing") {
     assert(Pdf.extractText(null).isEmpty)
     assert(Pdf.extractText("not a pdf at all".getBytes).isEmpty)
