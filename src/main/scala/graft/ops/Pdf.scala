@@ -257,13 +257,48 @@ object Pdf {
   }
 
   // ------------------------------------------------------------ document
+  private sealed trait XrefEntry
+  private final case class AtOffset(off: Int) extends XrefEntry
+  private final case class InObjStm(stm: Int, idx: Int) extends XrefEntry
+
   private final class Doc(buf: Array[Byte]) {
     // declared BEFORE `offsets`: its initializer assigns this var, and
     // Scala runs class-body initializers in declaration order — declared
     // after, the `= _` would null it back out
     private var trailerDict: PDict = _
 
-    private val offsets: Map[Int, Int] = {
+    /** Parse `num gen obj <value> [stream]` at a byte offset. `Length`
+      * resolution goes through `resolveLen` — the bootstrap xref-stream
+      * parse runs before any offsets exist, so it only accepts a direct
+      * length there.
+      */
+    private def parseAt(off: Int,
+                        resolveLen: PObj => PObj): (Long, PObj, Option[Array[Byte]]) = {
+      val lx = new Lexer(buf, off)
+      val n = lx.readLong()
+      lx.readLong() // generation
+      lx.expect("obj")
+      val v = lx.readValueResolvingRef()
+      lx.skipWs()
+      if (lx.peekKeyword("stream")) {
+        lx.expect("stream")
+        // EOL after `stream`: CRLF or LF
+        if ((buf(lx.pos) & 0xff) == '\r') lx.pos += 1
+        if ((buf(lx.pos) & 0xff) == '\n') lx.pos += 1
+        val len = resolveLen(v.asInstanceOf[PDict].m.getOrElse("Length",
+          bad("stream without /Length"))) match {
+          case PNum(l) => l.toInt
+          case other   => bad(s"bad /Length $other")
+        }
+        if (lx.pos + len > buf.length) bad("truncated stream payload")
+        val data = java.util.Arrays.copyOfRange(buf, lx.pos, lx.pos + len)
+        lx.pos += len
+        lx.expect("endstream")
+        (n, v, Some(data))
+      } else (n, v, None)
+    }
+
+    private val offsets: Map[Int, XrefEntry] = {
       // locate the last `startxref`
       val kw = "startxref".getBytes("ISO-8859-1")
       var at = -1
@@ -277,23 +312,30 @@ object Pdf {
       val lx = new Lexer(buf, at + kw.length)
       val xrefOff = lx.readLong()
       if (xrefOff < 0 || xrefOff >= buf.length) bad("dangling startxref offset")
-      val xl = new Lexer(buf, xrefOff.toInt)
+      val probe = new Lexer(buf, xrefOff.toInt)
+      if (probe.peekKeyword("xref")) parseXrefTable(xrefOff.toInt)
+      else parseXrefStream(xrefOff.toInt)
+    }
+
+    /** Classic PDF 1.4 cross-reference TABLE + `trailer` dict. */
+    private def parseXrefTable(off: Int): Map[Int, XrefEntry] = {
+      val xl = new Lexer(buf, off)
       xl.expect("xref")
-      val m = Map.newBuilder[Int, Int]
+      val m = Map.newBuilder[Int, XrefEntry]
       while (!xl.peekKeyword("trailer")) {
         val start = xl.readLong().toInt
         val count = xl.readLong().toInt
         if (count < 0 || count > buf.length) bad("absurd xref subsection")
         for (k <- 0 until count) {
-          val off = xl.readLong()
+          val o = xl.readLong()
           xl.readLong() // generation
           xl.skipWs()
           val tpe = (buf(xl.pos) & 0xff).toChar
           xl.pos += 1
           tpe match {
             case 'n' =>
-              if (off >= buf.length) bad("xref entry beyond file")
-              m += (start + k) -> off.toInt
+              if (o >= buf.length) bad("xref entry beyond file")
+              m += (start + k) -> AtOffset(o.toInt)
             case 'f'   => () // free entry
             case other => bad(s"bad xref entry type '$other'")
           }
@@ -307,36 +349,116 @@ object Pdf {
       m.result()
     }
 
+    /** PDF 1.5 cross-reference STREAM: a `/Type /XRef` stream object
+      * whose data rows are /W-wide big-endian fields (type, offset-or-
+      * objstm, gen-or-index) over the /Index subsections; its dict IS
+      * the trailer. /Length must be direct (the xref is what would
+      * resolve an indirect one).
+      */
+    private def parseXrefStream(off: Int): Map[Int, XrefEntry] = {
+      val (_, v, rawOpt) = parseAt(off, {
+        case n: PNum => n
+        case other   => bad(s"xref stream /Length must be direct, got $other")
+      })
+      val d = v match {
+        case dd: PDict => dd
+        case other     => bad(s"xref stream is not a dict, got $other")
+      }
+      if (!d.m.get("Type").contains(PName("XRef"))) bad("startxref object is not /Type /XRef")
+      val data = decodeStreamStatic(d, rawOpt.getOrElse(bad("xref stream has no data")))
+      val w = d.m.get("W") match {
+        case Some(PArr(ws)) => ws.map {
+          case PNum(x) => x.toInt
+          case other   => bad(s"bad /W field $other")
+        }
+        case other => bad(s"xref stream missing /W, got $other")
+      }
+      if (w.size != 3 || w.exists(x => x < 0 || x > 8)) bad(s"absurd /W $w")
+      val size = d.m.get("Size") match {
+        case Some(PNum(s)) => s.toInt
+        case other         => bad(s"xref stream missing /Size, got $other")
+      }
+      val index: Seq[(Int, Int)] = d.m.get("Index") match {
+        case None => Seq((0, size))
+        case Some(PArr(items)) =>
+          val nums = items.map {
+            case PNum(x) => x.toInt
+            case other   => bad(s"bad /Index item $other")
+          }
+          if (nums.size % 2 != 0) bad("odd /Index")
+          nums.grouped(2).map(p => (p(0), p(1))).toSeq
+        case other => bad(s"bad /Index $other")
+      }
+      val rowLen = w.sum
+      var pos = 0
+      def field(width: Int): Long = {
+        var v = 0L
+        var k = 0
+        while (k < width) { v = (v << 8) | (data(pos) & 0xff); pos += 1; k += 1 }
+        v
+      }
+      val m = Map.newBuilder[Int, XrefEntry]
+      for ((start, count) <- index; k <- 0 until count) {
+        if (pos + rowLen > data.length) bad("xref stream data short of /Index")
+        // type field width 0 ⇒ implicit type 1 (spec default)
+        val tpe = if (w(0) == 0) 1L else field(w(0))
+        val f2 = field(w(1))
+        val f3 = field(w(2))
+        tpe match {
+          case 0 => () // free
+          case 1 =>
+            if (f2 >= buf.length) bad("xref stream entry beyond file")
+            m += (start + k) -> AtOffset(f2.toInt)
+          case 2 => m += (start + k) -> InObjStm(f2.toInt, f3.toInt)
+          case other => bad(s"bad xref stream entry type $other")
+        }
+      }
+      trailerDict = d
+      m.result()
+    }
+
     def trailer: PDict = trailerDict
+
+    /** Objects of one `/Type /ObjStm` object stream: header is N
+      * (objnum, relative-offset) int pairs, bodies start at /First.
+      * Compressed objects are plain values — never streams.
+      */
+    private val objStmCache = scala.collection.mutable.Map[Int, Map[Int, PObj]]()
+    private def objStm(stm: Int): Map[Int, PObj] =
+      objStmCache.getOrElseUpdate(stm, {
+        val (v, rawOpt) = obj(stm)
+        val d = v match {
+          case dd: PDict => dd
+          case other     => bad(s"object stream $stm is not a dict, got $other")
+        }
+        if (!d.m.get("Type").contains(PName("ObjStm"))) bad(s"object $stm is not /Type /ObjStm")
+        val data = decodeStreamStatic(d, rawOpt.getOrElse(bad("ObjStm without data")))
+        val n = d.m.get("N") match {
+          case Some(PNum(x)) => x.toInt
+          case other         => bad(s"ObjStm missing /N, got $other")
+        }
+        val first = d.m.get("First") match {
+          case Some(PNum(x)) => x.toInt
+          case other         => bad(s"ObjStm missing /First, got $other")
+        }
+        val hl = new Lexer(data, 0)
+        val pairs = (0 until n).map(_ => (hl.readLong().toInt, hl.readLong().toInt))
+        pairs.map { case (num, rel) =>
+          if (first + rel >= data.length) bad("ObjStm offset beyond data")
+          num -> new Lexer(data, first + rel).readValueResolvingRef()
+        }.toMap
+      })
 
     /** Parse object `num`; returns (value, raw stream bytes if present). */
     private val cache = scala.collection.mutable.Map[Int, (PObj, Option[Array[Byte]])]()
     def obj(num: Int): (PObj, Option[Array[Byte]]) =
-      cache.getOrElseUpdate(num, {
-        val off = offsets.getOrElse(num, bad(s"object $num not in xref"))
-        val lx = new Lexer(buf, off)
-        val n = lx.readLong()
-        if (n != num) bad(s"object at offset claims id $n, xref said $num")
-        lx.readLong() // generation
-        lx.expect("obj")
-        val v = lx.readValueResolvingRef()
-        lx.skipWs()
-        if (lx.peekKeyword("stream")) {
-          lx.expect("stream")
-          // EOL after `stream`: CRLF or LF
-          if ((buf(lx.pos) & 0xff) == '\r') lx.pos += 1
-          if ((buf(lx.pos) & 0xff) == '\n') lx.pos += 1
-          val len = resolve(v.asInstanceOf[PDict].m.getOrElse("Length",
-            bad("stream without /Length"))) match {
-            case PNum(l) => l.toInt
-            case other   => bad(s"bad /Length $other")
-          }
-          if (lx.pos + len > buf.length) bad("truncated stream payload")
-          val data = java.util.Arrays.copyOfRange(buf, lx.pos, lx.pos + len)
-          lx.pos += len
-          lx.expect("endstream")
-          (v, Some(data))
-        } else (v, None)
+      cache.getOrElseUpdate(num, offsets.getOrElse(num, bad(s"object $num not in xref")) match {
+        case AtOffset(off) =>
+          val (n, v, data) = parseAt(off, resolve)
+          if (n != num) bad(s"object at offset claims id $n, xref said $num")
+          (v, data)
+        case InObjStm(stm, _) =>
+          (objStm(stm).getOrElse(num, bad(s"object $num absent from ObjStm $stm")), None)
       })
 
     def resolve(o: PObj): PObj = o match {
@@ -367,6 +489,20 @@ object Pdf {
       case e: java.util.zip.DataFormatException => bad(s"bad flate data: $e")
     } finally inf.end()
   }
+
+  /** Direct-filter stream decode (no doc needed): the bootstrap paths —
+    * xref streams and ObjStm unpacking — where /Filter is always a
+    * direct name. No /DecodeParms predictors (the fixture writes none;
+    * a predictor'd real-world xref stream refuses loudly).
+    */
+  private def decodeStreamStatic(d: PDict, raw: Array[Byte]): Array[Byte] =
+    d.m.getOrElse("Filter", PNull) match {
+      case PNull                    => raw
+      case PName("FlateDecode")     => inflate(raw)
+      case PArr(Vector())           => raw
+      case PArr(Vector(PName("FlateDecode"))) => inflate(raw)
+      case other                    => bad(s"unsupported filter $other")
+    }
 
   private def decodeStream(doc: Doc, d: PDict, raw: Array[Byte]): Array[Byte] =
     doc.resolve(d.m.getOrElse("Filter", PNull)) match {
@@ -558,12 +694,17 @@ object Pdf {
   /** Deterministic fixture: `1 + seed%2` pages of `2 + (seed+p)%3` lines;
     * even seeds carry FlateDecode-compressed content streams, `seed%3==0`
     * routes `/Length` through an indirect reference, and the header's
-    * binary-comment line keeps byte-transparency load-bearing. xref
-    * offsets are exact — `extractText(syntheticPdf(s))` must round-trip
-    * [[logicalText]] for every seed (PdfSpec; the p113 oracle re-derives
-    * the same closed form in SQL).
+    * binary-comment line keeps byte-transparency load-bearing.
+    * `seed%5==0` writes the PDF 1.5 MODERN layout instead — cross-
+    * reference STREAM (/Type /XRef, /W [1 4 2]) + an object stream
+    * holding catalog/pages/font/page dicts — which is what real crawl
+    * PDFs overwhelmingly are. xref offsets are exact —
+    * `extractText(syntheticPdf(s))` must round-trip [[logicalText]] for
+    * every seed (PdfSpec; the p113 oracle re-derives the same closed
+    * form in SQL, so both layouts feed the same digests).
     */
   def syntheticPdf(seed: Long): Array[Byte] = {
+    if (seed % 5 == 0) return syntheticPdf15(seed)
     val np = 1 + (seed % 2).toInt
     val compress = seed % 2 == 0
     val indirectLen = seed % 3 == 0
@@ -610,6 +751,81 @@ object Pdf {
     for (n <- 1 to nObjs) w(f"${offsets(n)}%010d 00000 n \n")
     w(s"trailer\n<< /Size ${nObjs + 1} /Root 1 0 R >>\nstartxref\n$xrefOff\n")
     w("%%EOF\n")
+    out.toByteArray
+  }
+
+  /** The PDF 1.5 layout: object 1 is a `/Type /ObjStm` object stream
+    * holding catalog (2), pages (3), font (4) and the page dicts
+    * (5..4+P) as type-2 xref entries; content streams are regular
+    * objects (5+P..4+2P); object 5+2P is the `/Type /XRef` cross-
+    * reference STREAM (/W [1 4 2], raw data) whose dict doubles as the
+    * trailer. Content and ObjStm data compress per the even-seed rule.
+    */
+  private def syntheticPdf15(seed: Long): Array[Byte] = {
+    val np = 1 + (seed % 2).toInt
+    val compress = seed % 2 == 0
+    val contents: Seq[Array[Byte]] = (0 until np).map { p =>
+      val raw = contentOps(seed, p).getBytes("ISO-8859-1")
+      if (compress) deflate(raw) else raw
+    }
+    val nObjs = 5 + 2 * np // ObjStm + 3 + P dicts + P contents + XRef
+    val xrefObj = 5 + 2 * np
+    val out = new java.io.ByteArrayOutputStream()
+    val offsets = new Array[Int](nObjs + 1)
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.5\n%")
+    out.write(Array(0xe2, 0xe3, 0xcf, 0xd3).map(_.toByte))
+    w("\n")
+    // the compressed-object payloads (catalog, pages, font, page dicts)
+    val inStm: Seq[(Int, String)] =
+      Seq(
+        2 -> "<< /Type /Catalog /Pages 3 0 R >>",
+        3 -> ("<< /Type /Pages /Kids [" +
+          (0 until np).map(p => s"${5 + p} 0 R").mkString(" ") +
+          s"] /Count $np >>"),
+        4 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>") ++
+        (0 until np).map(p => (5 + p) ->
+          (s"<< /Type /Page /Parent 3 0 R /MediaBox [0 0 612 792] " +
+            s"/Resources << /Font << /F1 4 0 R >> >> " +
+            s"/Contents ${5 + np + p} 0 R >>"))
+    val bodies = inStm.map(_._2)
+    val rel = bodies.scanLeft(0)((acc, b) => acc + b.length + 1).init
+    val header = inStm.zip(rel)
+      .map { case ((num, _), r) => s"$num $r" }.mkString(" ") + "\n"
+    val stmData = (header + bodies.mkString(" ") + " ").getBytes("ISO-8859-1")
+    val stmOut = if (compress) deflate(stmData) else stmData
+    offsets(1) = out.size()
+    val filt = if (compress) " /Filter /FlateDecode" else ""
+    w(s"1 0 obj\n<< /Type /ObjStm /N ${inStm.size} /First ${header.length}" +
+      s" /Length ${stmOut.length}$filt >>\nstream\n")
+    out.write(stmOut)
+    w("\nendstream\nendobj\n")
+    for (p <- 0 until np) {
+      offsets(5 + np + p) = out.size()
+      w(s"${5 + np + p} 0 obj\n<< /Length ${contents(p).length}$filt >>\nstream\n")
+      out.write(contents(p))
+      w("\nendstream\nendobj\n")
+    }
+    // xref stream: /W [1 4 2] rows for objects 0..nObjs (raw data)
+    offsets(xrefObj) = out.size()
+    val rows = new java.io.ByteArrayOutputStream()
+    def row(tpe: Int, f2: Int, f3: Int): Unit = {
+      rows.write(tpe)
+      rows.write((f2 >> 24) & 0xff); rows.write((f2 >> 16) & 0xff)
+      rows.write((f2 >> 8) & 0xff); rows.write(f2 & 0xff)
+      rows.write((f3 >> 8) & 0xff); rows.write(f3 & 0xff)
+    }
+    row(0, 0, 0xffff)                       // object 0: free
+    row(1, offsets(1), 0)                   // the ObjStm itself
+    inStm.zipWithIndex.foreach { case (_, i) => row(2, 1, i) }
+    for (p <- 0 until np) row(1, offsets(5 + np + p), 0)
+    row(1, offsets(xrefObj), 0)             // the xref stream itself
+    val xr = rows.toByteArray
+    w(s"$xrefObj 0 obj\n<< /Type /XRef /Size ${nObjs + 1} /W [1 4 2] " +
+      s"/Root 2 0 R /Length ${xr.length} >>\nstream\n")
+    out.write(xr)
+    w("\nendstream\nendobj\n")
+    w(s"startxref\n${offsets(xrefObj)}\n%%EOF\n")
     out.toByteArray
   }
 }

@@ -74,6 +74,23 @@ class PdfSpec extends AnyFunSuite {
     assert(graft.ops.Multimodal.decodeWithKind("plain".getBytes)._1 === "stub")
   }
 
+  test("seed%5==0 writes the PDF 1.5 layout (xref stream + ObjStm) and round-trips") {
+    val modern = Pdf.syntheticPdf(5L) // odd: raw streams, readable dicts
+    val s = new String(modern, "ISO-8859-1")
+    assert(s.startsWith("%PDF-1.5") && s.contains("/Type /XRef") &&
+      s.contains("/Type /ObjStm") && !s.contains("trailer"),
+      "modern layout must carry xref + object streams and no classic trailer")
+    assert(Pdf.extractText(modern).get.mkString("\n") === Pdf.logicalText(5L))
+    // compressed variant (seed 0: even AND %5==0) round-trips too
+    val s0 = new String(Pdf.syntheticPdf(0L), "ISO-8859-1")
+    assert(s0.startsWith("%PDF-1.5") && s0.contains("/Filter /FlateDecode"))
+    // classic seeds stay 1.4
+    assert(new String(Pdf.syntheticPdf(1L), "ISO-8859-1").startsWith("%PDF-1.4"))
+    // a truncated xref stream refuses loudly
+    val cut = java.util.Arrays.copyOf(modern, modern.length - 40)
+    assert(Pdf.extractText(cut).isEmpty)
+  }
+
   test("corrupt inputs refuse instead of crashing") {
     assert(Pdf.extractText(null).isEmpty)
     assert(Pdf.extractText("not a pdf at all".getBytes).isEmpty)

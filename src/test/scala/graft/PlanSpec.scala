@@ -147,6 +147,14 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("p114 robots rule table broadcasts into the page corpus") {
+    val plan = planOf("p114_robots_optout")
+    assert(plan.contains("BroadcastHashJoin"),
+      "registry-sized rule table must broadcast — a shuffle join ships the page corpus")
+    assert(!plan.contains("SortMergeJoin"),
+      "no corpus-scale sort-merge in the verdict election")
+  }
+
   test("q01 filter reaches the parquet scan (pushdown + pruned columns)") {
     val df = SparkEntry.queries("q01_filter_project")(spark, sf)
     val scan = df.queryExecution.executedPlan.toString

@@ -177,10 +177,20 @@ class PdfDoc:
         lx = Lexer(buf, at + len(b"startxref"))
         t = lx.read_token()
         assert t[0] == "num"
-        xl = Lexer(buf, t[1])
-        assert xl.read_token() == ("op", "xref")
         self.buf = buf
-        self.offsets = {}
+        self.offsets = {}   # num -> ("at", off) | ("stm", stmnum, idx)
+        self._objstm = {}
+        probe = Lexer(buf, t[1])
+        probe.skip_ws()
+        if buf[probe.pos:probe.pos + 4] == b"xref":
+            self._xref_table(t[1])
+        else:
+            self._xref_stream(t[1])
+
+    def _xref_table(self, off):
+        buf = self.buf
+        xl = Lexer(buf, off)
+        assert xl.read_token() == ("op", "xref")
         while True:
             xl.skip_ws()
             if buf[xl.pos:xl.pos + 7] == b"trailer":
@@ -189,18 +199,48 @@ class PdfDoc:
             start = xl.read_token()[1]
             count = xl.read_token()[1]
             for k in range(count):
-                off = xl.read_token()[1]
+                o = xl.read_token()[1]
                 xl.read_token()  # gen
                 xl.skip_ws()
                 tpe = chr(buf[xl.pos])
                 xl.pos += 1
                 if tpe == "n":
-                    self.offsets[start + k] = off
+                    self.offsets[start + k] = ("at", o)
         self.trailer = xl.read_value_ref()[1]
 
-    def obj(self, num):
-        lx = Lexer(self.buf, self.offsets[num])
-        assert lx.read_token()[1] == num
+    def _xref_stream(self, off):
+        v, data = self._parse_at(off)
+        d = v[1]
+        assert d["Type"][1] == "XRef"
+        if d.get("Filter") is not None and d["Filter"][1] == "FlateDecode":
+            data = zlib.decompress(data)
+        w = [x[1] for x in d["W"][1]]
+        size = d["Size"][1]
+        idx = [x[1] for x in d.get("Index", ("arr", [("num", 0), ("num", size)]))[1]]
+        pos = 0
+
+        def field(width):
+            nonlocal pos
+            val = 0
+            for _ in range(width):
+                val = (val << 8) | data[pos]
+                pos += 1
+            return val
+
+        for start, count in zip(idx[::2], idx[1::2]):
+            for k in range(count):
+                tpe = 1 if w[0] == 0 else field(w[0])
+                f2 = field(w[1])
+                f3 = field(w[2])
+                if tpe == 1:
+                    self.offsets[start + k] = ("at", f2)
+                elif tpe == 2:
+                    self.offsets[start + k] = ("stm", f2, f3)
+        self.trailer = d
+
+    def _parse_at(self, off):
+        lx = Lexer(self.buf, off)
+        lx.read_token()
         lx.read_token()
         assert lx.read_token() == ("op", "obj")
         v = lx.read_value_ref()
@@ -215,6 +255,26 @@ class PdfDoc:
             data = self.buf[lx.pos:lx.pos + length]
             return v, data
         return v, None
+
+    def obj(self, num):
+        ent = self.offsets[num]
+        if ent[0] == "at":
+            return self._parse_at(ent[1])
+        stm = ent[1]
+        if stm not in self._objstm:
+            v, data = self._parse_at(self.offsets[stm][1])
+            d = v[1]
+            assert d["Type"][1] == "ObjStm"
+            if d.get("Filter") is not None and d["Filter"][1] == "FlateDecode":
+                data = zlib.decompress(data)
+            n, first = d["N"][1], d["First"][1]
+            hl = Lexer(data, 0)
+            pairs = [(hl.read_token()[1], hl.read_token()[1]) for _ in range(n)]
+            self._objstm[stm] = {
+                onum: Lexer(data, first + rel).read_value_ref()
+                for onum, rel in pairs
+            }
+        return self._objstm[stm][num], None
 
     def resolve(self, v):
         while v[0] == "ref":
