@@ -142,6 +142,30 @@ object Robots {
         coalesce(col("hit_allow"), lit(true)).as("allowed"), col("matched"))
   }
 
+  /** STREAMING-SAFE per-row form of [[applyRobots]] (the
+    * `UrlOps.blockedMatch` pattern): the rule table collapses to one
+    * broadcast row per domain carrying its rule array, the stream joins
+    * it statically (stateless — no per-id aggregation, so it rides an
+    * append-mode micro-batch), and the longest-match election runs as a
+    * per-row array fold: filter the matching rules, take the array_max
+    * of (length, allow, rule) structs — exactly the argmax
+    * `applyRobots` runs as a groupBy (RobotsSpec differential). Expects
+    * `pages` columns (id, domain, path).
+    */
+  def robotsVerdictStage(rules: DataFrame)(pages: DataFrame): DataFrame = {
+    val byDomain = rules
+      .select(col("domain"), struct(col("rule"), col("allow"),
+        ruleRegex(col("rule")).as("rx")).as("r"))
+      .groupBy(col("domain")).agg(collect_list(col("r")).as("rs"))
+    pages.join(broadcast(byDomain), Seq("domain"), "left")
+      .withColumn("m", expr(
+        "array_max(transform(filter(rs, x -> path rlike x.rx), " +
+          "x -> struct(length(x.rule) AS l, x.allow AS a, x.rule AS rl)))"))
+      .select(col("id"), col("domain"), col("path"),
+        coalesce(col("m.a"), lit(true)).as("allowed"),
+        col("m.rl").as("matched"))
+  }
+
   /** Directive names whose colon form (`unavailable_after: <date>`) is a
     * VALUE, not an agent scope — the disambiguation every real REP
     * header parser carries.

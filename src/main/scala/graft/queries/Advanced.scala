@@ -3140,28 +3140,66 @@ object Advanced {
     QueryDef("p114_robots_optout",
       (s, d) => {
         import s.implicits._
-        val docs = t(s, d, "documents")
-        val variant = (conv(substring(md5($"source"), 1, 6), 16, 10)
-          .cast("long") % 4).cast("int")
-        val robots = docs.select($"source").distinct()
-          .select($"source".as("domain"), variant.as("v"))
-          .as[(String, Int)]
-          .map { case (dom, v) => (dom, graft.ops.Robots.fixtureRobots(v)) }
-          .toDF("domain", "content")
-        val rules = graft.ops.Robots.ruleTable(robots, "graftbot")
-        val pages = docs.select($"doc_id", $"source".as("domain"),
-          concat(
-            element_at(array(lit("/public/p"), lit("/private/x"),
-              lit("/private/ok"), lit("/tmp/c"), lit("/tmp/c")),
-              ($"doc_id" % 5).cast("int") + 1),
-            $"doc_id".cast("string"),
-            element_at(array(lit(""), lit(""), lit(""), lit("z"), lit("ok")),
-              ($"doc_id" % 5).cast("int") + 1)).as("path"))
-        graft.ops.Robots.applyRobots(pages, "doc_id", "domain", "path", rules)
+        val pages = robotsPages(t(s, d, "documents"))
+        graft.ops.Robots
+          .applyRobots(pages, "id", "domain", "path", robotsRules(s, d))
           .select($"id".as("doc_id"), $"domain", $"path", $"allowed", $"matched")
           .orderBy($"doc_id")
       },
-      Some("""WITH v AS (
+      Some(robotsOracleSql)),
+
+    // The streaming half of opt-out enforcement: the SAME rule table
+    // compiles into one broadcast row per domain, and the longest-match
+    // election runs as a PER-ROW array fold (filter matching rules →
+    // array_max of (len, allow, rule) structs) — no per-id aggregation,
+    // so the stage is stateless and append-mode-safe, the s30 pattern.
+    // RobotsSpec pins the fold == the batch argmax row for row.
+    QueryDef("s33_stream_robots",
+      (s, d) => {
+        val rules = robotsRules(s, d).localCheckpoint(true)
+        EventStreams.runBoundedDocs(s, d, "s33_sink",
+            docs => graft.ops.Robots.robotsVerdictStage(rules)(robotsPages(docs)))
+          .select(col("id").as("doc_id"), col("domain"), col("path"),
+            col("allowed"), col("matched"))
+          .orderBy(col("doc_id"))
+      },
+      Some(robotsOracleSql))
+  ) ++ defsB
+
+  /** Shared p114/s33 fixture: the per-domain robots.txt corpus (variant
+    * keyed off md5(source)) parsed into the effective graftbot rules.
+    */
+  private def robotsRules(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val variant = (conv(substring(md5($"source"), 1, 6), 16, 10)
+      .cast("long") % 4).cast("int")
+    val robots = t(s, d, "documents").select($"source").distinct()
+      .select($"source".as("domain"), variant.as("v"))
+      .as[(String, Int)]
+      .map { case (dom, v) => (dom, graft.ops.Robots.fixtureRobots(v)) }
+      .toDF("domain", "content")
+    graft.ops.Robots.ruleTable(robots, "graftbot")
+  }
+
+  /** Shared p114/s33 page set: five path kinds per doc covering every
+    * election edge (Allow override, shadowed disallow-all, `$` hit,
+    * length tie). Pure per-row expressions — streaming-safe.
+    */
+  private def robotsPages(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("id"), col("source").as("domain"),
+      concat(
+        element_at(array(lit("/public/p"), lit("/private/x"),
+          lit("/private/ok"), lit("/tmp/c"), lit("/tmp/c")),
+          (col("doc_id") % 5).cast("int") + 1),
+        col("doc_id").cast("string"),
+        element_at(array(lit(""), lit(""), lit(""), lit("z"), lit("ok")),
+          (col("doc_id") % 5).cast("int") + 1)).as("path"))
+
+  /** Shared p114/s33 oracle: the longest-match election re-derived from
+    * a VALUES mirror of the effective rules.
+    */
+  private[queries] val robotsOracleSql: String =
+    """WITH v AS (
              |  SELECT doc_id, source AS domain,
              |    CAST(CAST('0x' || substring(md5(source), 1, 6) AS BIGINT) % 4 AS INT) AS vr,
              |    CASE CAST(doc_id % 5 AS INT)
@@ -3188,8 +3226,9 @@ object Advanced {
              |SELECT v.doc_id, v.domain, v.path,
              |  coalesce(m.allow, TRUE) AS allowed, m.rule AS matched
              |FROM v LEFT JOIN m ON m.doc_id = v.doc_id AND m.rn = 1
-             |ORDER BY v.doc_id""".stripMargin)),
+             |ORDER BY v.doc_id""".stripMargin
 
+  private def defsB: Seq[QueryDef] = Seq(
     // -- re-crawl capstone: merge → publish → data card -----------------------
     // The whole standing-corpus refresh cycle as ONE receipt: the p93
     // delta merges into the corpus (latest-wins, per-action audit), the

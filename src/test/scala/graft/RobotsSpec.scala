@@ -109,5 +109,11 @@ class RobotsSpec extends AnyFunSuite {
       (1L, false, Some("/private")), (2L, true, Some("/private/ok")),
       (3L, false, Some("/tmp/*")), (4L, false, Some("/*z$")),
       (5L, true, None), (6L, true, None)))
+    // the stateless per-row stage elects IDENTICAL rows (the streaming
+    // form must agree with the batch argmax on every tie rule)
+    val stage = Robots.robotsVerdictStage(rules)(docs)
+      .orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(3), Option(r.getString(4))))
+    assert(stage === got, "per-row fold must equal the groupBy argmax")
   }
 }
