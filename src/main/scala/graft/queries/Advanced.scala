@@ -3528,7 +3528,51 @@ object Advanced {
              |    WHEN 5 THEN 'nofollow,noarchive'
              |    ELSE '' END AS directives,
              |  CAST(doc_id % 6 AS INT) IN (1, 2, 4) AS opt_out
-             |FROM documents ORDER BY id""".stripMargin))
+             |FROM documents ORDER BY id""".stripMargin)),
+
+    // -- sequence packing (context-window layout) -----------------------------
+    // The last step before tokens hit a trainer: greedy first-fit
+    // packing of docs into 512-token sequences, per 64-way shard, in
+    // doc-id order — short docs share a context window, oversized docs
+    // truncate to capacity. Packing is an inherently SEQUENTIAL fold
+    // over its input order; the shard is the parallelism unit (one hash
+    // exchange + within-partition sort, thousands of independent folds
+    // at 100 TB, no windows, no driver state). The oracle replays the
+    // same fold as a recursive CTE stepping rn→rn+1 per shard — one
+    // mis-placed boundary (equal-fit must STAY, strict overflow opens)
+    // shifts every downstream (seq, offset) and fails the hash.
+    QueryDef("p118_sequence_packing",
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents").select($"doc_id",
+          ($"doc_id" % 64).as("shard"),
+          graft.ops.TextOps.wordCount($"text").cast("long").as("raw_ntok"))
+        graft.ops.Packing
+          .packSequences(docs, "doc_id", "raw_ntok", "shard", capacity = 512)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH RECURSIVE d AS (
+             |  SELECT doc_id, doc_id % 64 AS shard,
+             |    least(CAST(len(list_filter(string_split_regex(text, '\s+'),
+             |      w -> len(w) > 0)) AS BIGINT), 512) AS ntok,
+             |    row_number() OVER (PARTITION BY doc_id % 64 ORDER BY doc_id) AS rn
+             |  FROM documents),
+             |pack AS (
+             |  SELECT shard, rn, doc_id, ntok,
+             |    CAST(1 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS off,
+             |    ntok AS fill
+             |  FROM d WHERE rn = 1
+             |  UNION ALL
+             |  SELECT d.shard, d.rn, d.doc_id, d.ntok,
+             |    CASE WHEN p.fill + d.ntok > 512 THEN p.seq_id + 1
+             |         ELSE p.seq_id END,
+             |    CASE WHEN p.fill + d.ntok > 512 THEN CAST(0 AS BIGINT)
+             |         ELSE p.fill END,
+             |    CASE WHEN p.fill + d.ntok > 512 THEN d.ntok
+             |         ELSE p.fill + d.ntok END
+             |  FROM pack p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1)
+             |SELECT doc_id, shard, seq_id, off AS offset, ntok
+             |FROM pack ORDER BY doc_id""".stripMargin))
   )
 
   /** Shared p113/s32 stage: synthesize the per-doc PDF fixture, run the

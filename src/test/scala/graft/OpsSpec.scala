@@ -776,6 +776,24 @@ class OpsSpec extends AnyFunSuite {
     assert(out2.toSeq === Seq((10L, 2L, 2.3129)))
   }
 
+  test("packSequences: greedy first-fit, equal-fit stays, truncation, shard isolation") {
+    // shard 0, capacity 10: docs (id, ntok) 1:4 2:6 (4+6=10 equal-fit
+    // STAYS) 3:1 (overflow -> seq 2) 4:25 (truncates to 10, overflow ->
+    // seq 3 alone) 5:0 (zero-width appends at current fill) ; shard 1
+    // packs independently from seq 1
+    val df = Seq((1L, 0L, 4L), (2L, 0L, 6L), (3L, 0L, 1L), (4L, 0L, 25L),
+        (5L, 0L, 0L), (6L, 1L, 7L), (7L, 1L, 7L))
+      .toDF("doc_id", "shard", "ntok")
+    def run(parts: Int) = graft.ops.Packing
+      .packSequences(df.repartition(parts), "doc_id", "ntok", "shard", 10)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val want = Seq((1L, 1L, 0L, 4L), (2L, 1L, 4L, 6L), (3L, 2L, 0L, 1L),
+      (4L, 3L, 0L, 10L), (5L, 3L, 10L, 0L), (6L, 1L, 0L, 7L), (7L, 2L, 0L, 7L))
+    assert(run(4) === want)
+    assert(run(1) === want, "layout must be partition-count invariant")
+  }
+
   test("bucketed layout fingerprint: stable per content, regeneration invalidates") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("graft-fp").toString
