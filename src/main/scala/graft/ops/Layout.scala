@@ -511,21 +511,60 @@ object Layout {
     (df, kept.size, total)
   }
 
-  /** Retire all but the newest `keepN` manifests, then sweep ORPHANS:
-    * data files referenced by no retained manifest — space from expired
-    * versions (post-compaction) and debris from crashed appends (files
-    * adopted into `data/` whose manifest move never happened). Returns
-    * (expired versions, deleted data-file names). Retained pinned reads
-    * are untouched — GC deletes only what no retained manifest can ever
-    * reference (manifests are immutable once published), so "v N is
-    * byte-identical before and after GC" holds by construction and is
-    * witnessed in OpsSpec.
+  /** Pin version `version` under an immutable NAMED ref (Iceberg-style
+    * tag): `manifests/tag-<name>` holds the version number. Tags are
+    * release markers — "the training set we shipped" — so they are
+    * create-once (a second tag of the same name fails loudly) and
+    * [[expireVersions]] NEVER retires a tagged version, however old.
+    */
+  def tagSnapshot(base: java.nio.file.Path, tag: String, version: Int): Unit = {
+    require(tag.matches("[A-Za-z0-9._-]+"), s"bad tag name '$tag'")
+    require(snapshotVersions(base).contains(version),
+      s"cannot tag missing version $version")
+    val f = base.resolve("manifests").resolve(s"tag-$tag")
+    java.nio.file.Files.write(f, version.toString.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    ()
+  }
+
+  /** All tags at `base`: name → pinned version. */
+  def snapshotTags(base: java.nio.file.Path): Map[String, Int] = {
+    val manDir = base.resolve("manifests")
+    if (!java.nio.file.Files.exists(manDir)) Map.empty
+    else listDir(manDir).map(_.getFileName.toString)
+      .filter(_.startsWith("tag-"))
+      .map { n =>
+        n.stripPrefix("tag-") ->
+          new String(java.nio.file.Files.readAllBytes(manDir.resolve(n)),
+            "UTF-8").trim.toInt
+      }.toMap
+  }
+
+  /** Pinned read of the version a tag names. */
+  def readTag(spark: org.apache.spark.sql.SparkSession,
+              base: java.nio.file.Path, tag: String): DataFrame =
+    readSnapshot(spark, base,
+      snapshotTags(base).getOrElse(tag,
+        throw new IllegalArgumentException(s"no tag '$tag' at $base")))
+
+  /** Retire all but the newest `keepN` manifests — TAGGED versions are
+    * always retained — then sweep ORPHANS: data files referenced by no
+    * retained manifest — space from expired versions (post-compaction)
+    * and debris from crashed appends (files adopted into `data/` whose
+    * manifest move never happened). Returns (expired versions, deleted
+    * data-file names). Retained pinned reads are untouched — GC deletes
+    * only what no retained manifest can ever reference (manifests are
+    * immutable once published), so "v N is byte-identical before and
+    * after GC" holds by construction and is witnessed in SnapshotSpec.
     */
   def expireVersions(base: java.nio.file.Path,
                      keepN: Int): (Seq[Int], Seq[String]) = {
     require(keepN >= 1, "must retain at least one version")
     val versions = snapshotVersions(base)
-    val (expire, retain) = versions.splitAt(math.max(0, versions.size - keepN))
+    val tagged = snapshotTags(base).values.toSet
+    val newest = versions.takeRight(keepN).toSet
+    val expire = versions.filterNot(v => newest.contains(v) || tagged.contains(v))
+    val retain = versions.filterNot(expire.contains)
     val manDir = base.resolve("manifests")
     expire.foreach(v =>
       java.nio.file.Files.deleteIfExists(manDir.resolve(s"v$v.txt")))

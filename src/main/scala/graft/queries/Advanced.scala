@@ -3572,7 +3572,64 @@ object Advanced {
              |         ELSE p.fill + d.ntok END
              |  FROM pack p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1)
              |SELECT doc_id, shard, seq_id, off AS offset, ntok
-             |FROM pack ORDER BY doc_id""".stripMargin))
+             |FROM pack ORDER BY doc_id""".stripMargin)),
+
+    // -- snapshot tags: named releases that GC must respect -------------------
+    // The release-marker half of the retention story: "the training set
+    // we shipped" gets an immutable named ref (tag file beside the
+    // manifests), and expireVersions NEVER retires a tagged version,
+    // however old — so a keepN sweep can reclaim every interim version
+    // while the shipped set stays pinned and byte-identical. v1 tagged
+    // → v2 append → v3 compaction → expire keepN=1: only v2 goes (its
+    // two own files reclaimed; v1's survive because the TAG references
+    // them), and the tag read is digest-identical before and after GC.
+    QueryDef("p119_snapshot_tags",
+      (s, d) => {
+        import s.implicits._
+        val sub = t(s, d, "documents").where($"doc_id" % 5 === 1)
+        val base = java.nio.file.Files.createTempDirectory("graft-p119")
+        graft.ops.Layout.appendSnapshot(base, sub.where($"doc_id" % 2 === 1))
+        graft.ops.Layout.tagSnapshot(base, "release", 1)
+        graft.ops.Layout.appendSnapshot(base, sub.where($"doc_id" % 2 === 0))
+        graft.ops.Layout.compactSnapshot(s, base)
+        def dg(df: org.apache.spark.sql.DataFrame) = df
+          .agg(count(lit(1)), sum(conv(substring(md5(concat(
+              $"doc_id".cast("string"), lit("|"), $"text")), 1, 15), 16, 10)
+            .cast("long") % 1073741824L)).head()
+        val tagBefore = dg(graft.ops.Layout.readTag(s, base, "release"))
+        val (expired, deleted) = graft.ops.Layout.expireVersions(base, keepN = 1)
+        val tagAfter = dg(graft.ops.Layout.readTag(s, base, "release"))
+        val latest = dg(graft.ops.Layout.readSnapshot(s, base, 3))
+        val retained = graft.ops.Layout.snapshotVersions(base)
+        import scala.jdk.CollectionConverters._
+        val w = java.nio.file.Files.walk(base)
+        try w.iterator().asScala.toList.sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally w.close()
+        sub.agg(count(lit(1))).select(
+          lit(1).as("tag_version"),
+          lit(expired.mkString(",")).as("expired"),
+          lit(deleted.size).as("deleted_files"),
+          lit(retained.mkString(",")).as("retained"),
+          lit(tagAfter.getLong(0)).as("tag_rows"),
+          lit(tagAfter.getLong(1)).as("tag_digest"),
+          lit(latest.getLong(0)).as("latest_rows"),
+          lit(latest.getLong(1)).as("latest_digest"),
+          lit(tagBefore == tagAfter).as("immutable_ok"))
+      },
+      Some("""WITH sub AS (
+             |  SELECT doc_id, text,
+             |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15) AS BIGINT)
+             |      % 1073741824 AS h
+             |  FROM documents WHERE doc_id % 5 = 1)
+             |SELECT 1 AS tag_version, '2' AS expired, 2 AS deleted_files,
+             |  '1,3' AS retained,
+             |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tag_rows,
+             |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN h ELSE 0 END) AS BIGINT) AS tag_digest,
+             |  CAST(count(*) AS BIGINT) AS latest_rows,
+             |  CAST(sum(h) AS BIGINT) AS latest_digest,
+             |  TRUE AS immutable_ok
+             |FROM sub""".stripMargin))
   )
 
   /** Shared p113/s32 stage: synthesize the per-doc PDF fixture, run the

@@ -114,6 +114,31 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Layout.readSnapshot(spark, base2, 2).count() === 20)
   }
 
+  test("tags pin versions through GC; tags are create-once") {
+    val base = tmpBase()
+    Layout.appendSnapshot(base, rows(0, 20))
+    Layout.tagSnapshot(base, "release-1", 1)
+    Layout.appendSnapshot(base, rows(20, 40))
+    Layout.compactSnapshot(spark, base)
+    val tagBefore = Layout.readTag(spark, base, "release-1")
+      .orderBy($"id").collect().toSeq
+    val (expired, deleted) = Layout.expireVersions(base, keepN = 1)
+    assert(expired === Seq(2), "tagged v1 survives expiry; untagged v2 goes")
+    assert(Layout.snapshotVersions(base) === Seq(1, 3))
+    // v2's two own files are unreferenced by v1 or v3; v1's files survive
+    assert(deleted.size === 2)
+    assert(Layout.readTag(spark, base, "release-1")
+      .orderBy($"id").collect().toSeq === tagBefore,
+      "tag read byte-identical across GC")
+    assert(Layout.snapshotTags(base) === Map("release-1" -> 1))
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      Layout.tagSnapshot(base, "release-1", 3)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.tagSnapshot(base, "ghost", 99)
+    }
+  }
+
   test("a racing appender fails loudly on the data-file move") {
     val base = tmpBase()
     Layout.appendSnapshot(base, rows(0, 10))
