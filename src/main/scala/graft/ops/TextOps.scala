@@ -527,53 +527,89 @@ object TextOps {
     * combined HashAggregates — no windows over corpus-scale data (the
     * vocab election sorts the word-COUNT table, not the corpus).
     */
-  def wordLmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
-                  textCol: String, trainFilter: Column, scoreFilter: Column,
-                  vocabSize: Int = 1000): org.apache.spark.sql.DataFrame = {
-    val toks = df.select(col(idCol).as("doc_id"),
+  /** The trained word-LM tables: vocab (≤ vocabSize words), mapped
+    * unigram counts, bigram counts, bigram-prefix counts, and the total
+    * training token count. vocab/uni/cp are vocab-bounded; bc is the
+    * one data-bound table.
+    */
+  final case class WordLmModel(vocab: org.apache.spark.sql.DataFrame,
+                               uni: org.apache.spark.sql.DataFrame,
+                               bc: org.apache.spark.sql.DataFrame,
+                               cp: org.apache.spark.sql.DataFrame,
+                               n: Long, vocabSize: Int)
+
+  private def wordLmToks(df: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String) =
+    df.select(col(idCol).as("doc_id"),
         filter(split(trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " ")),
-          " "), x => x =!= "").as("w"),
-        trainFilter.as("__train"), scoreFilter.as("__score"))
+          " "), x => x =!= "").as("w"))
       .where(size(col("w")) >= 2)
-    def bigrams(src: org.apache.spark.sql.DataFrame) = src
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(w) - 1), " +
-          "i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))"))
-        .as("pr"))
-      .select(col("doc_id"), col("pr.a").as("rw1"), col("pr.b").as("rw2"))
-    val trainToks = toks.where(col("__train"))
-      .select(col("doc_id"), explode(col("w")).as("word"))
+
+  private def wordLmBigrams(src: org.apache.spark.sql.DataFrame) = src
+    .select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(w) - 1), " +
+        "i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))"))
+      .as("pr"))
+    .select(col("doc_id"), col("pr.a").as("rw1"), col("pr.b").as("rw2"))
+
+  private def wordLmMapped(vocab: org.apache.spark.sql.DataFrame,
+                           src: org.apache.spark.sql.DataFrame,
+                           c: String, out: String) =
+    src.join(broadcast(vocab.select(col("word").as(c), lit(1).as(s"__in_$c"))),
+        Seq(c), "left")
+      .withColumn(out, when(col(s"__in_$c").isNotNull, col(c))
+        .otherwise(lit("<unk>")))
+      .drop(c, s"__in_$c")
+
+  /** Train the bigram model on `df` rows passing `trainFilter` — the
+    * offline half of the train-offline / score-online split (the
+    * charLmModel/charLmScoreWith shape at the word level).
+    */
+  def wordLmModel(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, trainFilter: Column,
+                  vocabSize: Int = 1000): WordLmModel = {
+    val toks = wordLmToks(df.where(trainFilter), idCol, textCol)
+    val trainToks = toks.select(col("doc_id"), explode(col("w")).as("word"))
     val vocab = trainToks.groupBy(col("word")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("word").asc).limit(vocabSize)
       .select(col("word")).localCheckpoint(true)
-    def mapped(src: org.apache.spark.sql.DataFrame, c: String, out: String) =
-      src.join(broadcast(vocab.select(col("word").as(c), lit(1).as(s"__in_$c"))),
-          Seq(c), "left")
-        .withColumn(out, when(col(s"__in_$c").isNotNull, col(c))
-          .otherwise(lit("<unk>")))
-        .drop(c, s"__in_$c")
-    val uni = mapped(trainToks, "word", "mw")
+    val uni = wordLmMapped(vocab, trainToks, "word", "mw")
       .groupBy(col("mw").as("uw")).agg(count(lit(1)).as("uc"))
       .localCheckpoint(true)
     val n = uni.agg(sum(col("uc"))).head().getLong(0)
-    val trb = mapped(mapped(bigrams(toks.where(col("__train"))),
+    val trb = wordLmMapped(vocab, wordLmMapped(vocab, wordLmBigrams(toks),
       "rw1", "w1"), "rw2", "w2")
     val bc = trb.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
       .localCheckpoint(true)
     val cp = bc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-    val scm = mapped(mapped(bigrams(toks.where(col("__score"))),
-      "rw1", "w1"), "rw2", "w2")
+    WordLmModel(vocab, uni, bc, cp, n, vocabSize)
+  }
+
+  /** Score `df` under an already-trained model — every stage here is
+    * stateless except the final per-doc aggregation, so a STREAM scores
+    * per micro-batch exactly like the batch path (s34).
+    */
+  def wordLmScoreWith(m: WordLmModel, df: org.apache.spark.sql.DataFrame,
+                      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val scm = wordLmMapped(m.vocab, wordLmMapped(m.vocab,
+      wordLmBigrams(wordLmToks(df, idCol, textCol)), "rw1", "w1"), "rw2", "w2")
     val term = when(col("c12").isNotNull,
         round(log(col("c12").cast("double") / col("c1")) * 1e6))
       .otherwise(round(log(lit(0.4) * (coalesce(col("uc"), lit(0L)) + 1) /
-        lit(n + vocabSize + 1)) * 1e6))
+        lit(m.n + m.vocabSize + 1)) * 1e6))
       .cast("long")
-    scm.join(bc, Seq("w1", "w2"), "left")
-      .join(broadcast(cp), Seq("w1"), "left")
-      .join(broadcast(uni), col("w2") === col("uw"), "left")
+    scm.join(m.bc, Seq("w1", "w2"), "left")
+      .join(broadcast(m.cp), Seq("w1"), "left")
+      .join(broadcast(m.uni), col("w2") === col("uw"), "left")
       .select(col("doc_id"), term.as("t"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         round(-sum(col("t")).cast("double") / (count(lit(1)) * 1e6), 4).as("nll"))
   }
+
+  def wordLmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, trainFilter: Column, scoreFilter: Column,
+                  vocabSize: Int = 1000): org.apache.spark.sql.DataFrame =
+    wordLmScoreWith(wordLmModel(df, idCol, textCol, trainFilter, vocabSize),
+      df.where(scoreFilter), idCol, textCol)
 }

@@ -3407,7 +3407,57 @@ object Advanced {
             scoreFilter = col("doc_id") % 10 === 0)
           .orderBy($"doc_id")
       },
-      Some("""WITH tok AS (
+      Some(wordLmOracleSql)),
+
+    // The apply-online half of p116 (the s10 charLM shape one level up):
+    // the bigram model trains ONCE per corpus content into an on-disk
+    // layout (vocab/uni/bc/cp parquet + N), and every streamed held-out
+    // doc scores against it inside the micro-batch plan — model joins
+    // are stream-static (vocab-bounded sides broadcast), the per-doc agg
+    // runs complete-mode. Same oracle as p116: the streaming engine must
+    // reproduce the batch scores exactly, backoff arm included.
+    QueryDef("s34_stream_wordlm",
+      (s, d) => {
+        val m = cachedWordLm(s, d)
+        EventStreams.runBoundedDocs(s, d, "s34_sink",
+            docs => graft.ops.TextOps.wordLmScoreWith(m,
+              docs.where(col("doc_id") % 10 === 0), "doc_id", "text"),
+            outputMode = "complete", shufflePartitions = Some(8))
+          .orderBy(col("doc_id"))
+      },
+      Some(wordLmOracleSql))
+  ) ++ defsC
+
+  /** The p116 bigram model trained once per corpus CONTENT into an
+    * on-disk layout (the p64/cachedLayout protocol): a stream/bench
+    * consumer must not re-run the training aggregations per micro-batch
+    * or bench iteration, and localCheckpoint artifacts do not survive
+    * the bench harness's cache clears — parquet does.
+    */
+  private def cachedWordLm(s: SparkSession, d: String): graft.ops.TextOps.WordLmModel = {
+    val fp = Pipeline.layoutFingerprint(d, Seq("documents.parquet"))
+    val dir = Pipeline.cachedLayout("wordlm", fp) { staging =>
+      val m = graft.ops.TextOps.wordLmModel(t(s, d, "documents"),
+        "doc_id", "text", col("doc_id") % 10 =!= 0)
+      m.vocab.repartition(1).write.parquet(staging.resolve("vocab").toString)
+      m.uni.repartition(1).write.parquet(staging.resolve("uni").toString)
+      m.bc.repartition(2).write.parquet(staging.resolve("bc").toString)
+      m.cp.repartition(1).write.parquet(staging.resolve("cp").toString)
+      java.nio.file.Files.writeString(staging.resolve("n.txt"), m.n.toString)
+      ()
+    }
+    graft.ops.TextOps.WordLmModel(
+      s.read.parquet(s"$dir/vocab"), s.read.parquet(s"$dir/uni"),
+      s.read.parquet(s"$dir/bc"), s.read.parquet(s"$dir/cp"),
+      new String(java.nio.file.Files.readAllBytes(dir.resolve("n.txt")),
+        "UTF-8").trim.toLong, 1000)
+  }
+
+  /** Shared p116/s34 oracle: vocab election, counts, and both Stupid
+    * Backoff arms re-derived in SQL.
+    */
+  private[queries] val wordLmOracleSql: String =
+    """WITH tok AS (
              |  SELECT doc_id,
              |    list_filter(string_split(trim(
              |      regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
@@ -3457,8 +3507,9 @@ object Advanced {
              |           CROSS JOIN nn)
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
              |  round(-CAST(sum(t) AS DOUBLE) / (count(*) * 1e6), 4) AS nll
-             |FROM term GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+             |FROM term GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  private def defsC: Seq[QueryDef] = Seq(
     // -- X-Robots-Tag opt-out from crawl headers ------------------------------
     // The header channel of the opt-out story (p114 is the robots.txt
     // channel): `Ingest.warcHeaderScan` walks the same gzip-member/WARC/
