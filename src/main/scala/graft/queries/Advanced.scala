@@ -3680,7 +3680,44 @@ object Advanced {
              |  CAST(count(*) AS BIGINT) AS latest_rows,
              |  CAST(sum(h) AS BIGINT) AS latest_digest,
              |  TRUE AS immutable_ok
-             |FROM sub""".stripMargin))
+             |FROM sub""".stripMargin)),
+
+    // -- positional phrase search ---------------------------------------------
+    // Exact-phrase retrieval over a derived positional postings list:
+    // queries are 3-grams lifted from the corpus itself (tokens 3..5 of
+    // docs 0..7 with ≥8 tokens — each query is guaranteed its source
+    // hit plus whatever other docs repeat the phrase), the postings
+    // stream joins the BROADCAST query terms and re-bases hits to
+    // pos−i, an occurrence = a (query, doc, base) group holding all
+    // three term indexes. The oracle scans token arrays directly
+    // (list_filter over base positions) — two entirely different match
+    // algorithms must agree on every (qid, doc, count) row.
+    QueryDef("p120_phrase_search",
+      (s, d) => {
+        import s.implicits._
+        val tok = t(s, d, "documents").select($"doc_id",
+          filter(split(trim(regexp_replace(lower($"text"), "[^a-z0-9]+", " ")),
+            " "), x => x =!= "").as("w"))
+        val queries = tok.where($"doc_id" < 8 && size($"w") >= 8)
+          .select($"doc_id".as("qid"), slice($"w", 3, 3).as("ph"))
+        graft.ops.PhraseIndex.phraseSearch(tok, "doc_id", "w", queries)
+          .orderBy($"qid", $"doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(trim(
+             |      regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+             |      x -> len(x) > 0) AS w
+             |  FROM documents),
+             |q AS (SELECT doc_id AS qid, list_slice(w, 3, 5) AS ph
+             |      FROM tok WHERE doc_id < 8 AND len(w) >= 8),
+             |m AS (SELECT q.qid, t.doc_id,
+             |    CAST(len(list_filter(range(1, len(t.w) - 1), i ->
+             |      t.w[i] = q.ph[1] AND t.w[i + 1] = q.ph[2]
+             |      AND t.w[i + 2] = q.ph[3])) AS BIGINT) AS n_occ
+             |  FROM tok t CROSS JOIN q)
+             |SELECT qid, doc_id, n_occ FROM m WHERE n_occ > 0
+             |ORDER BY qid, doc_id""".stripMargin))
   )
 
   /** Shared p113/s32 stage: synthesize the per-doc PDF fixture, run the

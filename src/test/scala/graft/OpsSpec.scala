@@ -776,6 +776,22 @@ class OpsSpec extends AnyFunSuite {
     assert(out2.toSeq === Seq((10L, 2L, 2.3129)))
   }
 
+  test("phraseSearch: overlapping + repeated-term phrases, multi-doc hits") {
+    val docs = Seq(
+      (1L, Seq("a", "b", "a", "b", "a")), // "a b a" occurs at bases 0 AND 2
+      (2L, Seq("x", "a", "b", "a", "y")), // one occurrence mid-doc
+      (3L, Seq("a", "b", "b", "a")),      // no occurrence
+      (4L, Seq("q", "r")))                // shorter than the phrase
+      .toDF("doc_id", "w")
+    val queries = Seq((0L, Seq("a", "b", "a")), (1L, Seq("q", "r", "s")))
+      .toDF("qid", "ph")
+    val got = graft.ops.PhraseIndex.phraseSearch(docs, "doc_id", "w", queries)
+      .orderBy($"qid", $"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((0L, 1L, 2L), (0L, 2L, 1L)),
+      "overlapping occurrences both count; partial matches never do")
+  }
+
   test("packSequences: greedy first-fit, equal-fit stays, truncation, shard isolation") {
     // shard 0, capacity 10: docs (id, ntok) 1:4 2:6 (4+6=10 equal-fit
     // STAYS) 3:1 (overflow -> seq 2) 4:25 (truncates to 10, overflow ->
