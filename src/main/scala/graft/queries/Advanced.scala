@@ -3717,7 +3717,47 @@ object Advanced {
              |      AND t.w[i + 2] = q.ph[3])) AS BIGINT) AS n_occ
              |  FROM tok t CROSS JOIN q)
              |SELECT qid, doc_id, n_occ FROM m WHERE n_occ > 0
-             |ORDER BY qid, doc_id""".stripMargin))
+             |ORDER BY qid, doc_id""".stripMargin)),
+
+    // -- winnowing fingerprints (MOSS) ----------------------------------------
+    // The classic fingerprint the original builder prompt named: k-gram
+    // rolling hashes winnowed by rightmost-min window selection — any
+    // shared substring of length ≥ k+w−1 yields an identical fingerprint
+    // in both docs at ~2/(w+1) density (the locality guarantee raw
+    // shingling lacks). Pure per-row HOF chain riding the scan; the
+    // fingerprint table feeds the same banded-join machinery as MinHash.
+    // The oracle re-derives hashing, window minima, the rightmost tie
+    // rule, and the distinct-set digest — one off-by-one in the window
+    // walk breaks every row.
+    QueryDef("p121_winnow_fingerprints",
+      (s, d) => {
+        import s.implicits._
+        graft.ops.Winnow.fingerprints(t(s, d, "documents"), "doc_id", "text")
+          .select($"id".as("doc_id"), $"n_grams", $"n_fp", $"fp_digest")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH nrm AS (
+             |  SELECT doc_id,
+             |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS n
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |    list_transform(range(1, length(n) - 3), i ->
+             |      CAST('0x' || substring(md5(substr(n, i, 5)), 1, 15) AS BIGINT)
+             |        % 1073741824) AS hs
+             |  FROM nrm WHERE length(n) >= 8),
+             |sel AS (
+             |  SELECT doc_id, hs,
+             |    list_distinct(list_transform(range(1, len(hs) - 2), j ->
+             |      list_min(hs[j:j+3]) * 1048576 +
+             |      (j + 4 - list_position(list_reverse(hs[j:j+3]),
+             |                             list_min(hs[j:j+3]))))) AS fp
+             |  FROM g)
+             |SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
+             |  CAST(len(fp) AS BIGINT) AS n_fp,
+             |  CAST(list_sum(list_transform(fp, x -> x % 1099511627776)) AS BIGINT)
+             |    AS fp_digest
+             |FROM sel ORDER BY doc_id""".stripMargin))
   )
 
   /** Shared p113/s32 stage: synthesize the per-doc PDF fixture, run the

@@ -792,6 +792,56 @@ class OpsSpec extends AnyFunSuite {
       "overlapping occurrences both count; partial matches never do")
   }
 
+  test("winnowing: shared-substring guarantee, density bound, short-doc drop") {
+    import graft.ops.Winnow
+    // the winnowing theorem: a shared substring of length >= k + w - 1
+    // (= 8 here) must contribute at least one IDENTICAL fingerprint to
+    // both documents — check over 20 constructed pairs
+    val rnd = new scala.util.Random(7)
+    def randText(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(4)).toChar)
+      .mkString // small alphabet: repeated k-grams exercise the tie rule
+    val pairs = (0 until 20).map { i =>
+      val shared = randText(12 + i)
+      (2L * i, randText(30) + shared + randText(25),
+        2L * i + 1, randText(27) + shared + randText(31))
+    }
+    val df = pairs.flatMap { case (a, ta, b, tb) => Seq((a, ta), (b, tb)) }
+      .toDF("doc_id", "text")
+    // recover the raw fingerprint SETS via the op's encoding by re-running
+    // with the digest replaced: use n_fp/digest plus a direct collect of
+    // the fp arrays through the same expression path
+    val fps = Winnow.fingerprints(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // structural checks: density ~2/(w+1) — selected distinct count is
+    // well under the window count and at least 1 per full text
+    fps.foreach { case (id, (ng, nfp)) =>
+      assert(nfp >= 1 && nfp <= ng - 3, s"doc $id: $nfp of $ng")
+    }
+    // guarantee check needs the actual sets: rebuild via an expression
+    // select of the fp arrays
+    import org.apache.spark.sql.functions._
+    val raw = df.select(col("doc_id"),
+        trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("__n"))
+      .withColumn("hs", expr(
+        "transform(sequence(1, length(__n) - 4), i -> " +
+          "cast(conv(substring(md5(substring(__n, i, 5)), 1, 15), 16, 10) " +
+          "as bigint) % 1073741824)"))
+      .withColumn("fp", expr(
+        "array_distinct(transform(sequence(1, size(hs) - 3), j -> " +
+          "array_min(slice(hs, j, 4)) * 1048576 + " +
+          "(j + 4 - array_position(reverse(slice(hs, j, 4)), " +
+          "array_min(slice(hs, j, 4))))))"))
+      .select(col("doc_id"), expr("transform(fp, x -> x div 1048576)").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    pairs.foreach { case (a, _, b, _) =>
+      assert(raw(a).intersect(raw(b)).nonEmpty,
+        s"docs $a/$b share a >=8-char substring but no fingerprint hash")
+    }
+    // shorter than k + w - 1 normalized chars: dropped
+    assert(Winnow.fingerprints(Seq((9L, "ab!cd-e")).toDF("doc_id", "text"),
+      "doc_id", "text").count() === 0)
+  }
+
   test("packSequences: greedy first-fit, equal-fit stays, truncation, shard isolation") {
     // shard 0, capacity 10: docs (id, ntok) 1:4 2:6 (4+6=10 equal-fit
     // STAYS) 3:1 (overflow -> seq 2) 4:25 (truncates to 10, overflow ->
