@@ -3757,7 +3757,95 @@ object Advanced {
              |  CAST(len(fp) AS BIGINT) AS n_fp,
              |  CAST(list_sum(list_transform(fp, x -> x % 1099511627776)) AS BIGINT)
              |    AS fp_digest
-             |FROM sel ORDER BY doc_id""".stripMargin))
+             |FROM sel ORDER BY doc_id""".stripMargin)),
+
+    // -- classifier calibration audit (reliability table) ---------------------
+    // The ML-ops receipt behind any score-thresholded filter (p99's NB
+    // gate): bin the micro-logit scores into 10 clamped buckets and pin
+    // each bucket's (count, positives, positive rate, exact logit sum)
+    // against ground truth — a filter whose calibration drifts shows up
+    // as bucket rates detaching from their logit band. All-integer
+    // binning: scores clamp to ±50M micro BEFORE the shift-and-divide,
+    // so the numerator is non-negative and floor == truncate on both
+    // engines. One co-partitioned join (scores × truth on doc_id) + a
+    // 10-row aggregate — nothing corpus-scale beyond p99's own pass.
+    QueryDef("p122_calibration_audit",
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val labeled = docs.where($"doc_id" % 2 === 0).select(
+          when($"lang" === "en", lit("pos")).otherwise(lit("neg")).as("cls"),
+          $"text")
+        val w = graft.ops.Classify.nbWeights(labeled, "cls", "text", "pos")
+        val c = graft.ops.Classify.nbConsts(labeled, "cls", "text", "pos")
+        val scores = graft.ops.Classify
+          .nbScore(docs, "doc_id", "text", w, c, "pos", "neg")
+          .select($"id".as("doc_id"), $"n_tokens", $"score_micro")
+        val truth = docs.select($"doc_id", ($"lang" === "en").as("is_pos"))
+        // per-token logit (floor(x+0.5) — the .5-stable integer contract)
+        // so the bins carry the classifier's per-token confidence scale,
+        // not a length-dominated raw sum
+        scores.join(truth, "doc_id")
+          .select(expr("greatest(cast(0 as bigint), least(119999L, " +
+            "cast(floor(score_micro * 1.0 / greatest(n_tokens, 1) + 0.5) " +
+            "as bigint) + 60000L)) * 10 DIV 120000L").as("bin"),
+            $"is_pos", $"score_micro")
+          .groupBy($"bin")
+          .agg(count(lit(1)).as("n"),
+            sum(when($"is_pos", 1L).otherwise(0L)).as("n_pos"),
+            sum($"score_micro").as("sum_score_micro"))
+          .select($"bin", $"n", $"n_pos",
+            round($"n_pos".cast("double") / $"n", 4).as("pos_rate"),
+            $"sum_score_micro")
+          .orderBy($"bin")
+      },
+      Some("""WITH seed AS (
+             |  SELECT CASE WHEN lang = 'en' THEN 'pos' ELSE 'neg' END AS cls, text
+             |  FROM documents WHERE doc_id % 2 = 0),
+             |tok AS (SELECT cls, word FROM (
+             |    SELECT cls, unnest(string_split(text, ' ')) AS word FROM seed)
+             |  WHERE length(word) > 0),
+             |cw AS (SELECT word,
+             |    CAST(sum(CASE WHEN cls = 'pos' THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+             |    CAST(sum(CASE WHEN cls = 'neg' THEN 1 ELSE 0 END) AS BIGINT) AS c_neg
+             |  FROM tok GROUP BY 1),
+             |st AS (SELECT CAST(sum(c_pos) AS BIGINT) AS t_pos,
+             |    CAST(sum(c_neg) AS BIGINT) AS t_neg,
+             |    CAST(count(*) AS BIGINT) AS v FROM cw),
+             |wts AS (SELECT word,
+             |    CAST(round(ln((c_pos + 1.0) / (t_pos + v)) * 1e6) AS BIGINT)
+             |  - CAST(round(ln((c_neg + 1.0) / (t_neg + v)) * 1e6) AS BIGINT) AS w_micro
+             |  FROM cw CROSS JOIN st),
+             |cons AS (SELECT
+             |    CAST(round(ln(1.0 / (t_pos + v)) * 1e6) AS BIGINT)
+             |  - CAST(round(ln(1.0 / (t_neg + v)) * 1e6) AS BIGINT) AS w_unk,
+             |    (SELECT CAST(round(ln(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1.0 / count(*)) * 1e6) AS BIGINT)
+             |          - CAST(round(ln(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) * 1.0 / count(*)) * 1e6) AS BIGINT)
+             |     FROM documents WHERE doc_id % 2 = 0) AS prior
+             |  FROM st),
+             |dt AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+             |  WHERE length(word) > 0 GROUP BY 1, 2),
+             |sc AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             |    CAST(sum(cnt * coalesce(w_micro,
+             |      (SELECT w_unk FROM cons))) AS BIGINT) AS sc
+             |  FROM dt LEFT JOIN wts USING (word) GROUP BY 1),
+             |scored AS (SELECT d.doc_id,
+             |    CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+             |    CAST(coalesce(sc.sc, 0) + (SELECT prior FROM cons) AS BIGINT) AS score_micro,
+             |    d.lang = 'en' AS is_pos
+             |  FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id),
+             |binned AS (SELECT
+             |    greatest(CAST(0 AS BIGINT), least(119999,
+             |      CAST(floor(score_micro * 1.0 / greatest(n_tokens, 1) + 0.5) AS BIGINT)
+             |      + 60000)) * 10 // 120000 AS bin,
+             |    is_pos, score_micro
+             |  FROM scored)
+             |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             |  round(CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS pos_rate,
+             |  CAST(sum(score_micro) AS BIGINT) AS sum_score_micro
+             |FROM binned GROUP BY bin ORDER BY bin""".stripMargin))
   )
 
   /** Shared p113/s32 stage: synthesize the per-doc PDF fixture, run the
