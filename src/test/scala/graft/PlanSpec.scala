@@ -155,6 +155,28 @@ class PlanSpec extends AnyFunSuite {
       "no corpus-scale sort-merge in the verdict election")
   }
 
+  test("p120 phrase search broadcasts query terms; no corpus-scale join") {
+    val plan = planOf("p120_phrase_search")
+    assert(plan.contains("BroadcastHashJoin"),
+      "query terms/lengths must broadcast into the postings stream")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      "the corpus must never shuffle for the term match")
+  }
+
+  test("p118 sequence packing: one shard exchange, no windows, no joins") {
+    val plan = planOf("p118_sequence_packing")
+    assert(plan.contains("hashpartitioning(shard"),
+      "the shard key is the one exchange packing needs")
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      "packing is a partition-local fold — no windows, no joins")
+  }
+
+  test("p121 winnowing is a pure per-row chain (no joins, no windows)") {
+    val plan = planOf("p121_winnow_fingerprints")
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      "fingerprinting must ride the scan")
+  }
+
   test("q01 filter reaches the parquet scan (pushdown + pruned columns)") {
     val df = SparkEntry.queries("q01_filter_project")(spark, sf)
     val scan = df.queryExecution.executedPlan.toString
