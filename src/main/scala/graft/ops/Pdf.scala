@@ -353,7 +353,9 @@ object Pdf {
       * whose data rows are /W-wide big-endian fields (type, offset-or-
       * objstm, gen-or-index) over the /Index subsections; its dict IS
       * the trailer. /Length must be direct (the xref is what would
-      * resolve an indirect one).
+      * resolve an indirect one). PNG predictors (/DecodeParms
+      * /Predictor >= 10 — what real PDF writers emit on xref streams)
+      * unfilter after the inflate.
       */
     private def parseXrefStream(off: Int): Map[Int, XrefEntry] = {
       val (_, v, rawOpt) = parseAt(off, {
@@ -365,7 +367,22 @@ object Pdf {
         case other     => bad(s"xref stream is not a dict, got $other")
       }
       if (!d.m.get("Type").contains(PName("XRef"))) bad("startxref object is not /Type /XRef")
-      val data = decodeStreamStatic(d, rawOpt.getOrElse(bad("xref stream has no data")))
+      val inflated = decodeStreamStatic(d,
+        rawOpt.getOrElse(bad("xref stream has no data")))
+      val data = d.m.get("DecodeParms") match {
+        case None => inflated
+        case Some(pd: PDict) => pd.m.get("Predictor") match {
+          case None | Some(PNum(1)) => inflated
+          case Some(PNum(p)) if p >= 10 =>
+            val cols = pd.m.get("Columns") match {
+              case Some(PNum(c)) => c.toInt
+              case _             => 1
+            }
+            pngUnpredict(inflated, cols)
+          case other => bad(s"unsupported /Predictor $other")
+        }
+        case other => bad(s"bad /DecodeParms $other")
+      }
       val w = d.m.get("W") match {
         case Some(PArr(ws)) => ws.map {
           case PNum(x) => x.toInt
@@ -470,6 +487,46 @@ object Pdf {
       case d: PDict => d
       case other    => bad(s"expected dict, got $other")
     }
+  }
+
+  /** PNG row unfiltering (RFC 2083 filters None/Sub/Up/Average/Paeth at
+    * bpp = 1, which is what PDF predictors 10-15 mean for the 1-component
+    * 8-bit data of an xref stream): each row is one tag byte + `columns`
+    * filtered bytes.
+    */
+  private def pngUnpredict(data: Array[Byte], columns: Int): Array[Byte] = {
+    if (columns < 1 || data.length % (columns + 1) != 0)
+      bad(s"predictor data (${data.length} B) not aligned to $columns-byte rows")
+    val nRows = data.length / (columns + 1)
+    val out = new Array[Byte](nRows * columns)
+    var r = 0
+    while (r < nRows) {
+      val tag = data(r * (columns + 1)) & 0xff
+      var i = 0
+      while (i < columns) {
+        val raw = data(r * (columns + 1) + 1 + i) & 0xff
+        val left = if (i > 0) out(r * columns + i - 1) & 0xff else 0
+        val up = if (r > 0) out((r - 1) * columns + i) & 0xff else 0
+        val ul = if (r > 0 && i > 0) out((r - 1) * columns + i - 1) & 0xff else 0
+        val v = tag match {
+          case 0 => raw
+          case 1 => raw + left
+          case 2 => raw + up
+          case 3 => raw + ((left + up) / 2)
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          case other => bad(s"bad PNG filter tag $other")
+        }
+        out(r * columns + i) = (v & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
   }
 
   private def inflate(data: Array[Byte]): Array[Byte] = {
@@ -806,7 +863,9 @@ object Pdf {
       out.write(contents(p))
       w("\nendstream\nendobj\n")
     }
-    // xref stream: /W [1 4 2] rows for objects 0..nObjs (raw data)
+    // xref stream: /W [1 4 2] rows for objects 0..nObjs. Every tenth
+    // seed writes it the way real PDF writers do — PNG Up-predicted
+    // (/Predictor 12) then FlateDecode — the rest raw.
     offsets(xrefObj) = out.size()
     val rows = new java.io.ByteArrayOutputStream()
     def row(tpe: Int, f2: Int, f3: Int): Unit = {
@@ -820,9 +879,28 @@ object Pdf {
     inStm.zipWithIndex.foreach { case (_, i) => row(2, 1, i) }
     for (p <- 0 until np) row(1, offsets(5 + np + p), 0)
     row(1, offsets(xrefObj), 0)             // the xref stream itself
-    val xr = rows.toByteArray
+    val flat = rows.toByteArray
+    val rowLen = 7 // W sum
+    val predictor = seed % 10 == 0
+    val (xr, xrDict) =
+      if (predictor) {
+        // PNG Up filter per row: enc[i] = raw[i] - up[i] (mod 256)
+        val nRows = flat.length / rowLen
+        val enc = new java.io.ByteArrayOutputStream()
+        for (r <- 0 until nRows) {
+          enc.write(2) // Up
+          for (i <- 0 until rowLen) {
+            val cur = flat(r * rowLen + i) & 0xff
+            val up = if (r > 0) flat((r - 1) * rowLen + i) & 0xff else 0
+            enc.write((cur - up) & 0xff)
+          }
+        }
+        val z = deflate(enc.toByteArray)
+        (z, s"/Filter /FlateDecode " +
+          s"/DecodeParms << /Predictor 12 /Columns $rowLen >> /Length ${z.length}")
+      } else (flat, s"/Length ${flat.length}")
     w(s"$xrefObj 0 obj\n<< /Type /XRef /Size ${nObjs + 1} /W [1 4 2] " +
-      s"/Root 2 0 R /Length ${xr.length} >>\nstream\n")
+      s"/Root 2 0 R $xrDict >>\nstream\n")
     out.write(xr)
     w("\nendstream\nendobj\n")
     w(s"startxref\n${offsets(xrefObj)}\n%%EOF\n")

@@ -81,9 +81,16 @@ class PdfSpec extends AnyFunSuite {
       s.contains("/Type /ObjStm") && !s.contains("trailer"),
       "modern layout must carry xref + object streams and no classic trailer")
     assert(Pdf.extractText(modern).get.mkString("\n") === Pdf.logicalText(5L))
-    // compressed variant (seed 0: even AND %5==0) round-trips too
+    // compressed variant (seed 0: even AND %5==0) round-trips too — and
+    // every tenth seed's xref stream is PNG-Up-predicted + deflated,
+    // the layout real writers emit
     val s0 = new String(Pdf.syntheticPdf(0L), "ISO-8859-1")
     assert(s0.startsWith("%PDF-1.5") && s0.contains("/Filter /FlateDecode"))
+    assert(s0.contains("/Predictor 12"))
+    assert(Pdf.extractText(Pdf.syntheticPdf(10L)).get.mkString("\n") ===
+      Pdf.logicalText(10L), "predictor'd xref stream round-trips")
+    assert(!new String(Pdf.syntheticPdf(5L), "ISO-8859-1").contains("/Predictor"),
+      "non-tenth modern seeds keep the raw xref stream")
     // classic seeds stay 1.4
     assert(new String(Pdf.syntheticPdf(1L), "ISO-8859-1").startsWith("%PDF-1.4"))
     // a truncated xref stream refuses loudly

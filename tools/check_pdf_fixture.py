@@ -169,6 +169,40 @@ class Lexer:
                        for i in range(0, len(hx), 2))
 
 
+def png_unpredict(data, columns):
+    """PNG row unfiltering at bpp=1 (PDF predictors 10-15)."""
+    assert len(data) % (columns + 1) == 0
+    out = bytearray()
+    prev = bytes(columns)
+    for r in range(len(data) // (columns + 1)):
+        row = data[r * (columns + 1):(r + 1) * (columns + 1)]
+        tag, enc = row[0], row[1:]
+        cur = bytearray()
+        for i in range(columns):
+            left = cur[i - 1] if i > 0 else 0
+            up = prev[i]
+            ul = prev[i - 1] if i > 0 else 0
+            if tag == 0:
+                v = enc[i]
+            elif tag == 1:
+                v = enc[i] + left
+            elif tag == 2:
+                v = enc[i] + up
+            elif tag == 3:
+                v = enc[i] + (left + up) // 2
+            elif tag == 4:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                v = enc[i] + pred
+            else:
+                raise ValueError(f"bad filter tag {tag}")
+            cur.append(v & 0xFF)
+        out.extend(cur)
+        prev = cur
+    return bytes(out)
+
+
 class PdfDoc:
     def __init__(self, buf):
         assert buf[:5] == b"%PDF-", "bad header"
@@ -214,6 +248,9 @@ class PdfDoc:
         assert d["Type"][1] == "XRef"
         if d.get("Filter") is not None and d["Filter"][1] == "FlateDecode":
             data = zlib.decompress(data)
+        parms = d.get("DecodeParms")
+        if parms is not None and parms[1].get("Predictor", ("num", 1))[1] >= 10:
+            data = png_unpredict(data, parms[1]["Columns"][1])
         w = [x[1] for x in d["W"][1]]
         size = d["Size"][1]
         idx = [x[1] for x in d.get("Index", ("arr", [("num", 0), ("num", size)]))[1]]
