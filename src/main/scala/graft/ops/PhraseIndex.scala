@@ -46,4 +46,25 @@ object PhraseIndex {
       .groupBy(col("qid"), col("doc_id"))
       .agg(count(lit(1)).as("n_occ"))
   }
+
+  /** STREAMING-SAFE per-row form (the `blockedMatch` pattern): the
+    * list-sized query set broadcasts and each row counts its own
+    * occurrences with an array scan — no aggregation at all, so a
+    * phrase WATCHLIST rides an append-mode micro-batch (quotation /
+    * memorization alarms on ingest). Must elect the exact same
+    * (qid, doc, count) rows as [[phraseSearch]]'s postings path
+    * (OpsSpec differential).
+    */
+  def phraseScan(docs: DataFrame, idCol: String, tokensCol: String,
+                 queries: DataFrame): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(tokensCol).as("w"))
+      .crossJoin(broadcast(queries.select(col("qid"), col("ph"))))
+      .where(size(col("w")) >= size(col("ph")))
+      .withColumn("n_occ", expr(
+        "cast(size(filter(sequence(1, size(w) - size(ph) + 1), i -> " +
+          "forall(sequence(0, size(ph) - 1), " +
+          "k -> element_at(w, cast(i + k as int)) = " +
+          "element_at(ph, cast(k + 1 as int))))) as bigint)"))
+      .where(col("n_occ") > 0)
+      .select(col("qid"), col("doc_id"), col("n_occ"))
 }

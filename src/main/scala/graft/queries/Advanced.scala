@@ -3695,29 +3695,30 @@ object Advanced {
     QueryDef("p120_phrase_search",
       (s, d) => {
         import s.implicits._
-        val tok = t(s, d, "documents").select($"doc_id",
-          filter(split(trim(regexp_replace(lower($"text"), "[^a-z0-9]+", " ")),
-            " "), x => x =!= "").as("w"))
-        val queries = tok.where($"doc_id" < 8 && size($"w") >= 8)
-          .select($"doc_id".as("qid"), slice($"w", 3, 3).as("ph"))
-        graft.ops.PhraseIndex.phraseSearch(tok, "doc_id", "w", queries)
+        val tok = phraseTok(t(s, d, "documents"))
+        graft.ops.PhraseIndex
+          .phraseSearch(tok, "doc_id", "w", phraseQueries(tok))
           .orderBy($"qid", $"doc_id")
       },
-      Some("""WITH tok AS (
-             |  SELECT doc_id,
-             |    list_filter(string_split(trim(
-             |      regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
-             |      x -> len(x) > 0) AS w
-             |  FROM documents),
-             |q AS (SELECT doc_id AS qid, list_slice(w, 3, 5) AS ph
-             |      FROM tok WHERE doc_id < 8 AND len(w) >= 8),
-             |m AS (SELECT q.qid, t.doc_id,
-             |    CAST(len(list_filter(range(1, len(t.w) - 1), i ->
-             |      t.w[i] = q.ph[1] AND t.w[i + 1] = q.ph[2]
-             |      AND t.w[i + 2] = q.ph[3])) AS BIGINT) AS n_occ
-             |  FROM tok t CROSS JOIN q)
-             |SELECT qid, doc_id, n_occ FROM m WHERE n_occ > 0
-             |ORDER BY qid, doc_id""".stripMargin)),
+      Some(phraseOracleSql)),
+
+    // The streaming half of phrase retrieval: a phrase WATCHLIST on
+    // ingest (quotation / memorization alarms). The postings path needs
+    // two aggregations (per-base then per-doc), which streaming forbids
+    // — so the stream takes the stateless per-row ARRAY-SCAN form
+    // (broadcast query set, per-row occurrence count, no aggregation at
+    // all; the blockedMatch/robotsVerdictStage pattern). OpsSpec pins
+    // scan == postings row for row; same oracle as p120.
+    QueryDef("s35_stream_phrase",
+      (s, d) => {
+        val queries = phraseQueries(phraseTok(t(s, d, "documents")))
+          .localCheckpoint(true)
+        EventStreams.runBoundedDocs(s, d, "s35_sink",
+            docs => graft.ops.PhraseIndex.phraseScan(
+              phraseTok(docs), "doc_id", "w", queries))
+          .orderBy(col("qid"), col("doc_id"))
+      },
+      Some(phraseOracleSql)),
 
     // -- winnowing fingerprints (MOSS) ----------------------------------------
     // The classic fingerprint the original builder prompt named: k-gram
@@ -4094,4 +4095,36 @@ object Advanced {
           it.map(r => Row(r.getLong(0), Multimodal.syntheticPng(r.getLong(1))))
         }, schema)
   }
+
+  /** Shared p120/s35 tokenization (streaming-safe per-row expressions). */
+  private def phraseTok(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      filter(split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")),
+        " "), x => x =!= "").as("w"))
+
+  /** Shared p120/s35 query set: 3-grams lifted from the corpus (tokens
+    * 3..5 of docs 0..7 with ≥ 8 tokens — each guaranteed its source
+    * hit).
+    */
+  private def phraseQueries(tok: DataFrame): DataFrame =
+    tok.where(col("doc_id") < 8 && size(col("w")) >= 8)
+      .select(col("doc_id").as("qid"), slice(col("w"), 3, 3).as("ph"))
+
+  /** Shared p120/s35 oracle: direct per-row array-scan matching. */
+  private[queries] val phraseOracleSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(trim(
+      |      regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      |      x -> len(x) > 0) AS w
+      |  FROM documents),
+      |q AS (SELECT doc_id AS qid, list_slice(w, 3, 5) AS ph
+      |      FROM tok WHERE doc_id < 8 AND len(w) >= 8),
+      |m AS (SELECT q.qid, t.doc_id,
+      |    CAST(len(list_filter(range(1, len(t.w) - 1), i ->
+      |      t.w[i] = q.ph[1] AND t.w[i + 1] = q.ph[2]
+      |      AND t.w[i + 2] = q.ph[3])) AS BIGINT) AS n_occ
+      |  FROM tok t CROSS JOIN q)
+      |SELECT qid, doc_id, n_occ FROM m WHERE n_occ > 0
+      |ORDER BY qid, doc_id""".stripMargin
 }

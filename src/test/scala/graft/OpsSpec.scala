@@ -790,6 +790,12 @@ class OpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got === Seq((0L, 1L, 2L), (0L, 2L, 1L)),
       "overlapping occurrences both count; partial matches never do")
+    // the stateless per-row array-scan form (streaming path) must elect
+    // IDENTICAL rows
+    val scan = graft.ops.PhraseIndex.phraseScan(docs, "doc_id", "w", queries)
+      .orderBy($"qid", $"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(scan === got, "array scan must equal the postings path")
   }
 
   test("winnowing: shared-substring guarantee, density bound, short-doc drop") {
