@@ -45,7 +45,8 @@ object Bench {
     // metric below, not smeared into per-query operator cost.
     val layoutBuilders = Seq("r24_italy_scale", "p24_neardup_clusters",
       "p64_ivfadc_layout", "s16_stream_neardup_idx", "p101_snapshot_pinning",
-      "p111_snapshot_stat_pruning", "p115_recrawl_capstone")
+      "p111_snapshot_stat_pruning", "p115_recrawl_capstone",
+      "s34_stream_wordlm")
     val setupT0 = System.nanoTime()
     layoutBuilders.filter(selected.contains).foreach { n =>
       try { selected(n)(spark, sfDir).count(): Unit } catch { case e: Throwable =>
