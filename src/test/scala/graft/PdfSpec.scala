@@ -98,6 +98,26 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.extractText(cut).isEmpty)
   }
 
+  test("corrupt modern-layout structures refuse instead of crashing") {
+    // mangle the predictor'd xref stream payload (seed 10) — locate the
+    // payload via ">>\nstream\n" (a bare "stream\n" search would match
+    // inside "endstream")
+    val pred = Pdf.syntheticPdf(10L)
+    val s = new String(pred, "ISO-8859-1")
+    val at = s.lastIndexOf(">>\nstream\n") + 10
+    val mut = pred.clone(); mut(at) = (mut(at) ^ 0x7f).toByte
+    assert(Pdf.extractText(mut).isEmpty ||
+      Pdf.extractText(mut).get.mkString("\n") != Pdf.logicalText(10L))
+    // mangle the ObjStm payload of a RAW modern file (seed 5): its
+    // stream is the FIRST one in the file
+    val modern = Pdf.syntheticPdf(5L)
+    val ms = new String(modern, "ISO-8859-1")
+    val stmAt = ms.indexOf(">>\nstream\n") + 10
+    val mut2 = modern.clone(); mut2(stmAt) = '@'.toByte
+    val out2 = Pdf.extractText(mut2)
+    assert(out2.isEmpty || out2.get.mkString("\n") != Pdf.logicalText(5L))
+  }
+
   test("corrupt inputs refuse instead of crashing") {
     assert(Pdf.extractText(null).isEmpty)
     assert(Pdf.extractText("not a pdf at all".getBytes).isEmpty)

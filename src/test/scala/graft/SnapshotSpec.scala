@@ -114,6 +114,20 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Layout.readSnapshot(spark, base2, 2).count() === 20)
   }
 
+  test("batchId metadata and stats lines coexist in one manifest") {
+    val base = tmpBase()
+    Layout.appendSnapshot(base, rows(0, 40), filesPerVersion = 2,
+      batchId = Some(7L), statsCols = Seq("id"), layoutCol = Some("id"))
+    val (batch, entries) = Layout.readManifest(base, 1)
+    assert(batch === Some(7L), "the #batch metadata line survives parsing")
+    assert(entries.size === 2 && entries.forall(_.stats.contains("id")),
+      "stats lines parse alongside the metadata line")
+    // replay with the same id: skip; pruning still works on the manifest
+    assert(Layout.appendSnapshot(base, rows(0, 40), batchId = Some(7L)) === 1)
+    val (kept, total) = Layout.pruneSnapshotFiles(base, 1, "id", 0L, 5L)
+    assert(total === 2 && kept.size === 1)
+  }
+
   test("tags pin versions through GC; tags are create-once") {
     val base = tmpBase()
     Layout.appendSnapshot(base, rows(0, 20))
