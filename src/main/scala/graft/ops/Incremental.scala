@@ -102,4 +102,26 @@ object Incremental {
                    keyCol: String): DataFrame =
     artifact.join(broadcast(purgeKeys.select(col(keyCol))), Seq(keyCol),
       "left_anti")
+
+  /** Incremental view maintenance for ADDITIVE rollups: fold a delta's
+    * aggregate into the standing rollup by summing every non-key column
+    * — `rollup(v+1) = rollupMerge(rollup(v), agg(delta))`. This is the
+    * property that makes a corpus dashboard affordable at 100 TB: each
+    * refresh costs one DELTA-sized aggregation plus a rollup-sized merge
+    * (the rollup has one row per key, not per doc), never a corpus
+    * re-scan — and because the measures are sums of exact integers, the
+    * incremental result is BIT-EQUAL to the full recompute, which the
+    * p123 witness gates. Both inputs must share the (keys ++ measures)
+    * schema.
+    */
+  def rollupMerge(prev: DataFrame, deltaAgg: DataFrame,
+                  keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "rollupMerge needs at least one key column")
+    val measures = prev.columns.filterNot(keys.contains)
+    require(measures.nonEmpty, "rollupMerge needs at least one measure")
+    prev.unionByName(deltaAgg)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(measures.head)).as(measures.head),
+        measures.tail.map(m => sum(col(m)).as(m)): _*)
+  }
 }

@@ -3846,7 +3846,53 @@ object Advanced {
              |  CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
              |  round(CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS pos_rate,
              |  CAST(sum(score_micro) AS BIGINT) AS sum_score_micro
-             |FROM binned GROUP BY bin ORDER BY bin""".stripMargin))
+             |FROM binned GROUP BY bin ORDER BY bin""".stripMargin)),
+
+    // -- incremental rollup maintenance (IVM) ---------------------------------
+    // The corpus dashboard at delta cost: the standing per-source rollup
+    // (docs / chars / words / content digest — all exact integer sums)
+    // folds each arriving batch in as rollup(v+1) = merge(rollup(v),
+    // agg(delta)) — one delta-sized aggregation plus a key-count-sized
+    // merge, never a corpus re-scan. Exactness is the point: integer
+    // measures make the incremental result BIT-EQUAL to the full
+    // recompute, and `matches_full` hard-gates it per source. Three
+    // batches land (residue thirds), each folded incrementally; the
+    // final rollup must equal the one-shot aggregate over everything.
+    QueryDef("p123_incremental_rollup",
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        def aggOf(df: DataFrame) = df.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length($"text").cast("long")).as("n_chars"),
+            sum(graft.ops.TextOps.wordCount($"text").cast("long")).as("n_words"),
+            sum(conv(substring(md5(concat($"doc_id".cast("string"), lit("|"),
+                $"text")), 1, 15), 16, 10).cast("long") % 1073741824L)
+              .as("digest"))
+        val batches = (0 to 2).map(r => aggOf(docs.where($"doc_id" % 3 === r)))
+        val incremental = batches.tail.foldLeft(batches.head)(
+          (acc, delta) => graft.ops.Incremental.rollupMerge(acc, delta,
+            Seq("source")))
+        val full = aggOf(docs).withColumnRenamed("n_docs", "f_docs")
+          .withColumnRenamed("n_chars", "f_chars")
+          .withColumnRenamed("n_words", "f_words")
+          .withColumnRenamed("digest", "f_digest")
+        incremental.join(full, "source")
+          .select($"source", $"n_docs", $"n_chars", $"n_words", $"digest",
+            ($"n_docs" === $"f_docs" && $"n_chars" === $"f_chars" &&
+              $"n_words" === $"f_words" && $"digest" === $"f_digest")
+              .as("matches_full"))
+          .orderBy($"source")
+      },
+      Some("""SELECT source,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+             |  CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+             |    w -> len(w) > 0))) AS BIGINT) AS n_words,
+             |  CAST(sum(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15) AS BIGINT)
+             |    % 1073741824) AS BIGINT) AS digest,
+             |  TRUE AS matches_full
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin))
   )
 
   /** Shared p113/s32 stage: synthesize the per-doc PDF fixture, run the

@@ -105,4 +105,22 @@ class IncrementalSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       s"expected broadcast anti-join, got:\n$plan")
   }
+
+  test("rollupMerge: untouched keys carry, new keys insert, sums exact") {
+    val prev = Seq(("a", 3L, 30L), ("b", 2L, 20L)).toDF("k", "n", "c")
+    val delta = Seq(("b", 1L, 5L), ("c", 4L, 40L)).toDF("k", "n", "c")
+    val got = Incremental.rollupMerge(prev, delta, Seq("k"))
+      .orderBy($"k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("a", 3L, 30L), ("b", 3L, 25L), ("c", 4L, 40L)))
+    // folding three deltas == one-shot aggregate (the IVM exactness claim)
+    val rows = Seq(("a", 1L), ("b", 2L), ("a", 3L), ("c", 4L), ("b", 5L),
+      ("a", 6L)).toDF("k", "v")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"k").agg(count(lit(1)).as("n"), sum($"v").as("c"))
+    val thirds = (0 to 2).map(r => agg(rows.where($"v" % 3 === r)))
+    val inc = thirds.tail.foldLeft(thirds.head)(
+      (acc, d) => Incremental.rollupMerge(acc, d, Seq("k")))
+      .orderBy($"k").collect().toSeq
+    assert(inc === agg(rows).orderBy($"k").collect().toSeq)
+  }
 }
