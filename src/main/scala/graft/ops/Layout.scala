@@ -180,22 +180,14 @@ object Layout {
 
   // ---- manifest-pinned snapshots (dataset time travel) ---------------------
 
-  /** `Files.list`/`Files.walk` return OS directory streams that hold a
-    * file descriptor until closed — materialize-and-close, so repeated
-    * appends (bench iterations, long-running streaming ingest) can't
-    * leak descriptors on the driver.
+  /** Close-safe directory listings — see [[Fs]] (materialize-and-close,
+    * so repeated appends can't leak descriptors on the driver).
     */
-  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
-    import scala.jdk.CollectionConverters._
-    val s = java.nio.file.Files.list(p)
-    try s.iterator().asScala.toList finally s.close()
-  }
+  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] =
+    Fs.listDir(p)
 
-  private def walkAll(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
-    import scala.jdk.CollectionConverters._
-    val s = java.nio.file.Files.walk(p)
-    try s.iterator().asScala.toList finally s.close()
-  }
+  private def walkAll(p: java.nio.file.Path): Seq[java.nio.file.Path] =
+    Fs.walkAll(p)
 
   /** One manifest file line: a data-file name plus optional per-column
     * min/max footer stats (`kind` ∈ long | double | string; min/max in
@@ -215,11 +207,26 @@ object Layout {
   private def unhex(h: String): String =
     new String(h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray, "UTF-8")
 
-  /** Typed comparison for manifest stats values. */
+  /** Typed comparison for manifest stats values. Strings compare on
+    * UNSIGNED UTF-8 bytes — the order parquet footer binary statistics
+    * are computed in. Java `String.compareTo` (UTF-16 code units) ranks
+    * supplementary characters BELOW U+E000..U+FFFF, the opposite of
+    * UTF-8 byte order, so using it against footer-derived min/max could
+    * wrongly prune a file that contains matching rows (ADVICE r11).
+    */
   private def statCmp(kind: String, a: String, b: String): Int = kind match {
     case "long"   => java.lang.Long.compare(a.toLong, b.toLong)
     case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
-    case _        => a.compareTo(b)
+    case _ =>
+      val ab = a.getBytes("UTF-8"); val bb = b.getBytes("UTF-8")
+      val n = math.min(ab.length, bb.length)
+      var i = 0
+      while (i < n) {
+        val c = java.lang.Integer.compare(ab(i) & 0xff, bb(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      java.lang.Integer.compare(ab.length, bb.length)
   }
 
   /** Committed manifest versions at `base`, ascending (empty when none). */
@@ -413,6 +420,14 @@ object Layout {
       prev.lastOption.filter(pv => readManifest(base, pv)._1.contains(id)))
     if (replayOf.isDefined) return replayOf.get
     val version = prev.lastOption.getOrElse(0) + 1
+    // crash debris: data files for THIS version with no vN manifest can
+    // only be leftovers of an append that died between data-file adoption
+    // and manifest publish (single-writer contract) — sweep them, or the
+    // retry's own adoption moves would throw FileAlreadyExistsException
+    // forever and wedge a restarted streaming ingest (ADVICE r11).
+    listDir(dataDir)
+      .filter(_.getFileName.toString.matches(s"v$version-\\d+\\.parquet"))
+      .foreach(java.nio.file.Files.delete(_))
     val carried: Seq[String] =
       if (!carryForward) Seq.empty
       else prev.lastOption match {

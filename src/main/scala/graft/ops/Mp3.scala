@@ -1,42 +1,72 @@
 package graft.ops
 
-/** MPEG-1 Layer III frame-header inventory — the media-cataloging half of
-  * MP3 handling. Full sample decode is quantized-DCT float math that can
-  * never meet the repo's hash-equality oracle contract (the FLAC/G.711
-  * line), but the FRAME GRAMMAR is pure integer arithmetic: sync walk,
-  * header field decode, frame-length stepping. That is exactly what a
-  * 100 TB media-catalog pass runs — bitrate/duration/VBR inventory at
-  * scan speed, no codec, no samples touched.
+/** MPEG-1/2/2.5 Layer III frame-header inventory — the media-cataloging
+  * half of MP3 handling. Full sample decode is quantized-DCT float math
+  * that can never meet the repo's hash-equality oracle contract (the
+  * FLAC/G.711 line), but the FRAME GRAMMAR is pure integer arithmetic:
+  * sync walk, header field decode, frame-length stepping. That is
+  * exactly what a 100 TB media-catalog pass runs — bitrate/duration/VBR
+  * inventory at scan speed, no codec, no samples touched.
   *
-  * Grammar implemented (ISO 11172-3):
+  * Grammar implemented (ISO 11172-3 for MPEG-1, ISO 13818-3 for MPEG-2
+  * LSF, plus the de-facto MPEG-2.5 extension real podcast/voice corpora
+  * are full of — VERDICT r11 #4):
   *  - optional ID3v2 prefix: "ID3" + 2 version bytes + 1 flag byte +
   *    4-byte SYNCSAFE length (7 bits per byte) → skip 10+len;
-  *  - frame header: 11-bit sync (0xFFE), MPEG-1 (bits 11), Layer III
-  *    (01), bitrate index 1..14 (0 = free-format, 15 = invalid — both
-  *    stop the walk), samplerate index 0..2, padding bit;
-  *  - frame length = 144 · bitrate / samplerate + padding (exact integer
-  *    for every legal MPEG-1 L3 combination);
+  *  - frame header: 11-bit sync (0xFFE), version bits `(b1>>3)&3`
+  *    (00 = MPEG-2.5, 10 = MPEG-2, 11 = MPEG-1; 01 is RESERVED and
+  *    stops the walk), Layer III (01), bitrate index 1..14 (0 =
+  *    free-format, 15 = invalid — both stop the walk), samplerate index
+  *    0..2, padding bit;
+  *  - frame length = spf/8 · bitrate / samplerate + padding, where
+  *    samples-per-frame spf is 1152 for MPEG-1 and 576 for MPEG-2/2.5
+  *    (so the factor is 144 vs 72) and the bitrate/samplerate TABLES are
+  *    version-keyed — decoding an MPEG-2 header with MPEG-1 rows would
+  *    mis-size every frame and desync the walk;
   *  - the walk counts COMPLETE frames only (a truncated tail frame is
-  *    ignored) and requires a consistent samplerate across frames (MP3
-  *    streams cannot change clock mid-file; a change marks corruption).
+  *    ignored) and requires a consistent version AND samplerate across
+  *    frames (a stream cannot change clock mid-file; a change marks
+  *    corruption).
   */
 object Mp3 {
 
-  /** kbps by bitrate index for MPEG-1 Layer III (1..14). */
+  /** kbps by bitrate index (1..14), MPEG-1 Layer III. */
   private[graft] val BitrateKbps: Array[Int] =
     Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
 
-  /** Hz by samplerate index for MPEG-1 (0..2). */
+  /** kbps by bitrate index (1..14), MPEG-2/2.5 Layer III (LSF row). */
+  private[graft] val BitrateKbpsV2: Array[Int] =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+
+  /** Hz by samplerate index (0..2), per version. */
   private[graft] val SampleRateHz: Array[Int] = Array(44100, 48000, 32000)
+  private[graft] val SampleRateHzV2: Array[Int] = Array(22050, 24000, 16000)
+  private[graft] val SampleRateHzV25: Array[Int] = Array(11025, 12000, 8000)
 
-  private[graft] val SamplesPerFrame = 1152
+  private[graft] val SamplesPerFrame = 1152 // MPEG-1; MPEG-2/2.5 use 576
 
-  /** Parsed inventory: complete frames, the (consistent) samplerate,
-    * min/max header bitrate in kbps, and the exact integer duration
-    * `n·1152·1e6 DIV samplerate` in µs. None when no complete legal
-    * frame exists.
+  /** Version-keyed tables for header version bits `v` ∈ {0, 2, 3}. */
+  private def srTable(v: Int): Array[Int] = v match {
+    case 3 => SampleRateHz
+    case 2 => SampleRateHzV2
+    case _ => SampleRateHzV25
+  }
+  private def brTable(v: Int): Array[Int] =
+    if (v == 3) BitrateKbps else BitrateKbpsV2
+  private def spf(v: Int): Int = if (v == 3) SamplesPerFrame else 576
+  private def versionName(v: Int): String = v match {
+    case 3 => "1"
+    case 2 => "2"
+    case _ => "2.5"
+  }
+
+  /** Parsed inventory: complete frames, the MPEG version ("1" / "2" /
+    * "2.5"), the (consistent) samplerate, min/max header bitrate in
+    * kbps, and the exact integer duration `n·spf·1e6 DIV samplerate` in
+    * µs. None when no complete legal frame exists.
     */
-  final case class Inventory(nFrames: Int, sampleRateHz: Int,
+  final case class Inventory(nFrames: Int, mpegVersion: String,
+                             sampleRateHz: Int,
                              brMinKbps: Int, brMaxKbps: Int,
                              durationUs: Long) {
     def isVbr: Boolean = brMinKbps != brMaxKbps
@@ -62,33 +92,36 @@ object Mp3 {
   def parse(bytes: Array[Byte]): Option[Inventory] = {
     if (bytes == null) return None
     var pos = id3Length(bytes)
-    var n = 0; var sr = -1; var brMin = Int.MaxValue; var brMax = 0
+    var n = 0; var ver = -1; var sr = -1
+    var brMin = Int.MaxValue; var brMax = 0
     var done = false
     while (!done && pos + 4 <= bytes.length) {
       val b0 = u(bytes(pos)); val b1 = u(bytes(pos + 1))
       val b2 = u(bytes(pos + 2))
-      // 11-bit sync + MPEG-1 (b1 bits 4-3 = 11) + Layer III (bits 2-1 =
-      // 01): mask 0xfe pins ALL of sync/version/layer, leaving only the
-      // protection bit free — a looser mask (0xf6) would let MPEG-2
-      // headers (version bits 10, b1 = 0xf2/0xf3) through and misdecode
-      // them with MPEG-1 tables (wrong 144-factor frame size, wrong
-      // samplerate row), desyncing the walk on real MPEG-2 files.
-      if (b0 != 0xff || (b1 & 0xfe) != 0xfa) done = true
+      // 11-bit sync (b1 bits 7-5 = 111) + Layer III (bits 2-1 = 01);
+      // version bits 4-3 select the table set — 01 is RESERVED and
+      // refuses (a looser check would misdecode it with some table and
+      // desync the walk; refusal keeps corruption loud)
+      val v = (b1 >> 3) & 0x3
+      if (b0 != 0xff || (b1 & 0xe0) != 0xe0 || ((b1 >> 1) & 0x3) != 1 ||
+        v == 1) done = true
       else {
         val brIdx = (b2 >> 4) & 0xf
         val srIdx = (b2 >> 2) & 0x3
         val padding = (b2 >> 1) & 0x1
         if (brIdx == 0 || brIdx == 15 || srIdx == 3) done = true
+        else if (ver != -1 && v != ver) done = true // mid-stream version change
         else {
-          val rate = SampleRateHz(srIdx)
+          val rate = srTable(v)(srIdx)
           if (sr != -1 && rate != sr) done = true // mid-stream clock change
           else {
-            val size = 144 * (BitrateKbps(brIdx) * 1000) / rate + padding
+            val kbps = brTable(v)(brIdx)
+            val size = (spf(v) / 8) * (kbps * 1000) / rate + padding
             if (pos + size > bytes.length) done = true // truncated tail
             else {
-              sr = rate; n += 1
-              brMin = math.min(brMin, BitrateKbps(brIdx))
-              brMax = math.max(brMax, BitrateKbps(brIdx))
+              ver = v; sr = rate; n += 1
+              brMin = math.min(brMin, kbps)
+              brMax = math.max(brMax, kbps)
               pos += size
             }
           }
@@ -96,15 +129,18 @@ object Mp3 {
       }
     }
     if (n == 0) None
-    else Some(Inventory(n, sr, brMin, brMax,
-      n.toLong * SamplesPerFrame * 1000000L / sr))
+    else Some(Inventory(n, versionName(ver), sr, brMin, brMax,
+      n.toLong * spf(ver) * 1000000L / sr))
   }
 
   /** Deterministic fixture: `3 + seed%4` frames at samplerate index
     * `seed%3`, frame i at bitrate index `1 + (seed+i)%14` with padding
-    * `(seed+i)%2`; even seeds carry a 10+10-byte ID3v2 prefix. The
-    * payload past each header is a seed-derived byte fill, so frame
-    * stepping must be exact to find every subsequent sync.
+    * `(seed+i)%2`; even seeds carry a 10+10-byte ID3v2 prefix. MPEG
+    * version by `seed % 7`: 5 → MPEG-2 (22.05/24/16 kHz LSF rows), 6 →
+    * MPEG-2.5 (11.025/12/8 kHz), else MPEG-1 — so the version-keyed
+    * tables are load-bearing on every seventh document. The payload past
+    * each header is a seed-derived byte fill, so frame stepping must be
+    * exact to find every subsequent sync.
     */
   def syntheticMp3(seed: Long): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
@@ -113,15 +149,22 @@ object Mp3 {
       var i = 0
       while (i < 10) { out.write((seed + i).toInt & 0x7f); i += 1 }
     }
+    val v = (seed % 7) match {
+      case 5 => 2 // MPEG-2
+      case 6 => 0 // MPEG-2.5
+      case _ => 3 // MPEG-1
+    }
+    val b1 = 0xe0 | (v << 3) | (1 << 1) | 0x1 // sync|version|Layer III|no CRC
     val srIdx = (seed % 3).toInt
+    val rate = srTable(v)(srIdx)
     val nFrames = 3 + (seed % 4).toInt
     var f = 0
     while (f < nFrames) {
       val brIdx = 1 + ((seed + f) % 14).toInt
       val padding = ((seed + f) % 2).toInt
-      val size = 144 * (BitrateKbps(brIdx) * 1000) / SampleRateHz(srIdx) + padding
+      val size = (spf(v) / 8) * (brTable(v)(brIdx) * 1000) / rate + padding
       out.write(0xff)
-      out.write(0xfa | 0x01) // MPEG-1, Layer III, no CRC
+      out.write(b1)
       out.write((brIdx << 4) | (srIdx << 2) | (padding << 1))
       out.write(0xc0) // mono
       var i = 4

@@ -21,7 +21,12 @@ package graft.ops
   * \ddd` + balanced nested parens + line continuations, hex strings with
   * odd-digit padding), and the content-stream TEXT operators:
   * `Tj` (show), `TJ` (array show, kerning numbers skipped), `'` and `"`
-  * (next-line shows), `T*`/`Td`/`TD` (line moves).
+  * (next-line shows), `T*`/`Td`/`TD` (line moves), `Tf` (font select,
+  * tracked across shows); show bytes decode through the ACTIVE font —
+  * /Resources /Font resolution (with page-tree inheritance), /ToUnicode
+  * CMaps (bfchar/bfrange) for Type0/Identity-H and ToUnicode'd simple
+  * fonts, byte passthrough for standard-encoded simple fonts, and
+  * REFUSAL for anything else (a silent mojibake is worse than a drop).
   *
   * Extraction semantics (deterministic, oracle-able): shows append their
   * string; every line-move (`Td`/`TD`/`T*`, and the implicit move of
@@ -466,21 +471,48 @@ object Pdf {
         }.toMap
       })
 
-    /** Parse object `num`; returns (value, raw stream bytes if present). */
+    /** Parse object `num`; returns (value, raw stream bytes if present).
+      * Re-entrant parse of an object already being parsed (an ObjStm
+      * whose xref entry points back into itself, an indirect /Length
+      * that resolves through the stream that needs it) is a reference
+      * cycle — DATA, not a StackOverflowError (ADVICE r11).
+      */
     private val cache = scala.collection.mutable.Map[Int, (PObj, Option[Array[Byte]])]()
-    def obj(num: Int): (PObj, Option[Array[Byte]]) =
-      cache.getOrElseUpdate(num, offsets.getOrElse(num, bad(s"object $num not in xref")) match {
-        case AtOffset(off) =>
-          val (n, v, data) = parseAt(off, resolve)
-          if (n != num) bad(s"object at offset claims id $n, xref said $num")
-          (v, data)
-        case InObjStm(stm, _) =>
-          (objStm(stm).getOrElse(num, bad(s"object $num absent from ObjStm $stm")), None)
-      })
+    private val parsing = scala.collection.mutable.Set[Int]()
+    def obj(num: Int): (PObj, Option[Array[Byte]]) = cache.get(num) match {
+      case Some(v) => v
+      case None =>
+        if (!parsing.add(num)) bad(s"object $num reference cycle")
+        try {
+          val v = offsets.getOrElse(num, bad(s"object $num not in xref")) match {
+            case AtOffset(off) =>
+              val (n, pv, data) = parseAt(off, resolve)
+              if (n != num) bad(s"object at offset claims id $n, xref said $num")
+              (pv, data)
+            case InObjStm(stm, _) =>
+              (objStm(stm).getOrElse(num,
+                bad(s"object $num absent from ObjStm $stm")), None)
+          }
+          cache(num) = v
+          v
+        } finally parsing -= num
+    }
 
-    def resolve(o: PObj): PObj = o match {
-      case PRef(n, _) => resolve(obj(n)._1)
-      case other      => other
+    /** Follow an indirect-reference CHAIN iteratively, failing on a
+      * revisit: `obj 1 → 2 0 R, obj 2 → 1 0 R` loops through the CACHE
+      * (neither parse re-enters), so the parse-side guard alone can't
+      * see it (ADVICE r11).
+      */
+    def resolve(o: PObj): PObj = {
+      var cur = o
+      var seen: Set[Int] = Set.empty
+      while (cur.isInstanceOf[PRef]) {
+        val n = cur.asInstanceOf[PRef].num
+        if (seen.contains(n)) bad(s"reference cycle through object $n")
+        seen += n
+        cur = obj(n)._1
+      }
+      cur
     }
 
     def dict(o: PObj): PDict = resolve(o) match {
@@ -570,17 +602,191 @@ object Pdf {
       case other                    => bad(s"unsupported filter $other")
     }
 
-  // --------------------------------------------------- content-text walk
-  /** The deterministic extraction semantics: shows append, line-moves
-    * emit one collapsed newline (nothing at page start / after another
-    * move).
+  // ------------------------------------------------------- font decoding
+  /** How the active font turns show-string BYTES into text (VERDICT r11
+    * #1 — the round-11 extractor ignored fonts entirely and ISO-8859-1'd
+    * every show, which is correct for simple fonts with standard
+    * encodings but silently mojibakes the dominant real-world class:
+    * subset-embedded Type0/CID fonts whose Tj bytes are GLYPH IDS).
+    *
+    *  - `twoByte`: Type0/Identity-H — codes are big-endian byte PAIRS;
+    *  - `cmap`: the /ToUnicode mapping (code → text); a show code
+    *    missing from a present CMap REFUSES (a mojibake is worse than a
+    *    drop in a training corpus);
+    *  - `refuse`: the font has neither a standard encoding nor a
+    *    ToUnicode CMap (e.g. Type0 without /ToUnicode) — defined fonts
+    *    only fail when a show actually USES them.
     */
-  private def pageText(content: Array[Byte]): String = {
+  private final case class FontDec(twoByte: Boolean,
+                                   cmap: Option[Map[Int, String]],
+                                   refuse: Boolean) {
+    def decode(raw: String): String = {
+      if (refuse) bad("show through a font with no encoding and no /ToUnicode")
+      val codes: Seq[Int] =
+        if (twoByte) {
+          if (raw.length % 2 != 0) bad("odd byte count in a 2-byte-code show")
+          (0 until raw.length by 2).map(i =>
+            (raw.charAt(i).toInt << 8) | raw.charAt(i + 1).toInt)
+        } else raw.map(_.toInt)
+      cmap match {
+        case None => raw // simple font, standard encoding: byte passthrough
+        case Some(m) =>
+          val sb = new StringBuilder(codes.length)
+          codes.foreach(c => sb.append(
+            m.getOrElse(c, bad(s"show code $c absent from /ToUnicode"))))
+          sb.toString
+      }
+    }
+  }
+
+  /** Parse a /ToUnicode CMap stream: `bfchar` (src → dst) and `bfrange`
+    * (lo..hi → consecutive dsts, or an explicit dst array) sections,
+    * src codes as big-endian hex-string bytes, dsts as UTF-16BE. Other
+    * CMap machinery (codespacerange, usecmap, the PostScript dict ops)
+    * carries no mapping and is skipped. Reuses the object [[Lexer]] —
+    * CMap hex strings ARE PDF hex strings.
+    */
+  private[graft] def parseToUnicode(data: Array[Byte]): Map[Int, String] = {
+    val lx = new Lexer(data, 0)
+    val m = Map.newBuilder[Int, String]
+    def codeOf(s: String): Int = {
+      if (s.isEmpty || s.length > 4) bad(s"bad CMap code width ${s.length}")
+      s.foldLeft(0)((acc, c) => (acc << 8) | c.toInt)
+    }
+    def dstOf(s: String): String = {
+      if (s.length % 2 != 0) bad("odd UTF-16BE dst in CMap")
+      val bytes = s.map(_.toByte).toArray
+      new String(bytes, "UTF-16BE")
+    }
+    def dstPlus(s: String, k: Int): String =
+      if (s.isEmpty) bad("empty CMap dst")
+      else s.init + (s.last + k).toChar // only the last code unit increments
+    val pending = scala.collection.mutable.ArrayBuffer[PObj]()
+    var mode = 0 // 0 none, 1 bfchar, 2 bfrange
+    while (!lx.atEnd) {
+      lx.readValue() match {
+        case POp("beginbfchar")  => mode = 1; pending.clear()
+        case POp("endbfchar")    => mode = 0; pending.clear()
+        case POp("beginbfrange") => mode = 2; pending.clear()
+        case POp("endbfrange")   => mode = 0; pending.clear()
+        case POp(_)              => pending.clear() // def/dict/usecmap/...
+        case v if mode == 1 =>
+          pending += v
+          if (pending.size == 2) (pending(0), pending(1)) match {
+            case (PStr(src), PStr(dst)) => m += codeOf(src) -> dstOf(dst)
+            case other                  => bad(s"bad bfchar pair $other")
+          }
+          if (pending.size == 2) pending.clear()
+        case v if mode == 2 =>
+          pending += v
+          if (pending.size == 3) {
+            (pending(0), pending(1), pending(2)) match {
+              case (PStr(lo), PStr(hi), PStr(start)) =>
+                val (l, h) = (codeOf(lo), codeOf(hi))
+                if (h < l || h - l > 65535) bad(s"absurd bfrange $l..$h")
+                val d = dstOf(start)
+                for (k <- 0 to (h - l)) m += (l + k) -> dstPlus(d, k)
+              case (PStr(lo), PStr(hi), PArr(items)) =>
+                val (l, h) = (codeOf(lo), codeOf(hi))
+                if (h - l + 1 != items.size) bad("bfrange array size mismatch")
+                items.zipWithIndex.foreach {
+                  case (PStr(dst), k) => m += (l + k) -> dstOf(dst)
+                  case other          => bad(s"bad bfrange array item $other")
+                }
+              case other => bad(s"bad bfrange triple $other")
+            }
+            pending.clear()
+          }
+        case _ => () // values outside bf sections: no mapping content
+      }
+    }
+    m.result()
+  }
+
+  /** Encoding names a simple font may carry and still byte-pass-through
+    * (ASCII-identical; the fixture is ASCII). Anything else — an
+    * /Encoding DICT with /Differences, an unknown name — refuses.
+    */
+  private val StandardEncodings =
+    Set("WinAnsiEncoding", "MacRomanEncoding", "StandardEncoding")
+
+  /** Build the decoder for one font dict. */
+  private def fontDec(doc: Doc, d: PDict): FontDec = {
+    def toUnicode: Option[Map[Int, String]] = d.m.get("ToUnicode").map { r =>
+      val (v, rawOpt) = r match {
+        case PRef(n, _) => doc.obj(n)
+        case _          => bad("/ToUnicode must be an indirect stream")
+      }
+      val dd = v match {
+        case x: PDict => x
+        case other    => bad(s"/ToUnicode is not a stream dict: $other")
+      }
+      parseToUnicode(decodeStream(doc, dd,
+        rawOpt.getOrElse(bad("/ToUnicode has no stream data"))))
+    }
+    doc.resolve(d.m.getOrElse("Subtype", PNull)) match {
+      case PName("Type0") =>
+        // composite font: only Identity-H byte-pair codes are readable,
+        // and only through /ToUnicode — Tj bytes are GLYPH IDS
+        val identityH = doc.resolve(d.m.getOrElse("Encoding", PNull)) match {
+          case PName("Identity-H") => true
+          case _                   => false
+        }
+        toUnicode match {
+          case Some(m) if identityH => FontDec(twoByte = true, Some(m), refuse = false)
+          case _ => FontDec(twoByte = true, None, refuse = true)
+        }
+      case _ =>
+        // simple font (Type1/TrueType/Type3): ToUnicode wins when
+        // present; else a standard /Encoding (or none) passes bytes
+        toUnicode match {
+          case Some(m) => FontDec(twoByte = false, Some(m), refuse = false)
+          case None => doc.resolve(d.m.getOrElse("Encoding", PNull)) match {
+            case PNull => FontDec(twoByte = false, None, refuse = false)
+            case PName(enc) if StandardEncodings.contains(enc) =>
+              FontDec(twoByte = false, None, refuse = false)
+            case _ => FontDec(twoByte = false, None, refuse = true)
+          }
+        }
+    }
+  }
+
+  /** The page's name → decoder table from /Resources /Font. */
+  private def pageFonts(doc: Doc, resources: Option[PObj]): Map[String, FontDec] =
+    resources match {
+      case None => Map.empty
+      case Some(r) => doc.resolve(r) match {
+        case rd: PDict => rd.m.get("Font") match {
+          case None => Map.empty
+          case Some(f) => doc.dict(f).m.map { case (name, fd) =>
+            name -> fontDec(doc, doc.dict(fd))
+          }
+        }
+        case other => bad(s"bad /Resources $other")
+      }
+    }
+
+  // --------------------------------------------------- content-text walk
+  /** The deterministic extraction semantics: shows append (decoded
+    * through the ACTIVE font — tracked across `Tf`, starting unset),
+    * line-moves emit one collapsed newline (nothing at page start /
+    * after another move). A show with no font set, or through a font
+    * the page's /Resources doesn't name, refuses — decoding those bytes
+    * by guesswork is the silent-mojibake failure this walk exists to
+    * avoid.
+    */
+  private def pageText(content: Array[Byte],
+                       fonts: Map[String, FontDec]): String = {
     val lx = new Lexer(content, 0)
     val sb = new StringBuilder
     val operands = scala.collection.mutable.ArrayBuffer[PObj]()
+    var font: FontDec = null
     def newline(): Unit =
       if (sb.nonEmpty && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
+    def show(raw: String): Unit = {
+      if (font == null) bad("text show before any Tf")
+      sb.append(font.decode(raw))
+    }
     def lastStr: String = operands.reverseIterator.collectFirst {
       case PStr(s) => s
     }.getOrElse(bad("text-show without a string operand"))
@@ -588,17 +794,23 @@ object Pdf {
       lx.readValue() match {
         case POp(op) =>
           op match {
-            case "Tj" => sb.append(lastStr)
-            case "'"  => newline(); sb.append(lastStr)
-            case "\"" => newline(); sb.append(lastStr)
+            case "Tj" => show(lastStr)
+            case "'"  => newline(); show(lastStr)
+            case "\"" => newline(); show(lastStr)
             case "TJ" =>
               operands.lastOption match {
                 case Some(PArr(items)) =>
-                  items.foreach { case PStr(s) => sb.append(s); case _ => () }
+                  items.foreach { case PStr(s) => show(s); case _ => () }
                 case other => bad(s"TJ without array, got $other")
               }
+            case "Tf" =>
+              operands.collectFirst { case PName(n) => n } match {
+                case Some(name) =>
+                  font = fonts.getOrElse(name, bad(s"Tf names unknown font /$name"))
+                case None => bad("Tf without a font name operand")
+              }
             case "Td" | "TD" | "T*" => newline()
-            case _                  => () // BT/ET/Tf/Tm/graphics ops: no text effect
+            case _                  => () // BT/ET/Tm/graphics ops: no text effect
           }
           operands.clear()
         case v => operands += v
@@ -617,18 +829,29 @@ object Pdf {
       val doc = new Doc(bytes)
       val root = doc.dict(doc.trailer.m.getOrElse("Root", bad("no /Root")))
       val pagesRoot = doc.dict(root.m.getOrElse("Pages", bad("no /Pages")))
-      val pages = Vector.newBuilder[PDict]
-      def walk(node: PDict): Unit = node.m.get("Type") match {
-        case Some(PName("Pages")) =>
-          doc.resolve(node.m.getOrElse("Kids", bad("Pages without /Kids"))) match {
-            case PArr(kids) => kids.foreach(k => walk(doc.dict(k)))
-            case other      => bad(s"bad /Kids $other")
-          }
-        case Some(PName("Page")) => pages += node
-        case other               => bad(s"bad page-tree node type $other")
+      val pages = Vector.newBuilder[(PDict, Option[PObj])]
+      // depth-bounded: a self-referential /Kids (node listing itself, or
+      // an ancestor) recurses through resolved DICTS, which the
+      // reference-cycle guards can't see — a page tree deeper than any
+      // real document's is a cycle, i.e. DATA (ADVICE r11). /Resources
+      // is an INHERITABLE page attribute: a page without its own takes
+      // the nearest ancestor's.
+      def walk(node: PDict, inherited: Option[PObj], depth: Int): Unit = {
+        if (depth > 64) bad("page tree deeper than 64: /Kids cycle")
+        val res = node.m.get("Resources").orElse(inherited)
+        node.m.get("Type") match {
+          case Some(PName("Pages")) =>
+            doc.resolve(node.m.getOrElse("Kids", bad("Pages without /Kids"))) match {
+              case PArr(kids) => kids.foreach(k => walk(doc.dict(k), res, depth + 1))
+              case other      => bad(s"bad /Kids $other")
+            }
+          case Some(PName("Page")) => pages += ((node, res))
+          case other               => bad(s"bad page-tree node type $other")
+        }
       }
-      walk(pagesRoot)
-      Some(pages.result().map { pg =>
+      walk(pagesRoot, None, 0)
+      Some(pages.result().map { case (pg, res) =>
+        val fonts = pageFonts(doc, res)
         // /Contents: a ref to a stream, a ref to an array of refs, or a
         // direct array — normalize to the stream refs WITHOUT resolving
         // them (the stream bytes live on the indirect object)
@@ -642,7 +865,10 @@ object Pdf {
             case PArr(items) => items
             case other       => bad(s"bad /Contents $other")
           }
-        contentRefs.map { c =>
+        // a multi-part /Contents is ONE logical stream (ISO 32000-1
+        // 7.8.2) — concatenate with a whitespace byte and parse once, so
+        // text/font state carries across the parts
+        val content = contentRefs.map { c =>
           val (v, rawOpt) = c match {
             case PRef(n, _) => doc.obj(n)
             case _          => bad("page /Contents must be indirect")
@@ -651,15 +877,22 @@ object Pdf {
             case dd: PDict => dd
             case other     => bad(s"content object not a stream dict: $other")
           }
-          pageText(decodeStream(doc, d,
-            rawOpt.getOrElse(bad("content object has no stream"))))
-        }.mkString("\n")
+          decodeStream(doc, d,
+            rawOpt.getOrElse(bad("content object has no stream")))
+        }
+        val joined =
+          if (content.size <= 1) content.headOption.getOrElse(Array.empty[Byte])
+          else content.reduce((a, b) => a ++ Array[Byte]('\n') ++ b)
+        pageText(joined, fonts)
       })
     } catch {
+      // NumberFormatException is an IllegalArgumentException — covered
       case _: IllegalArgumentException => None
       case _: IndexOutOfBoundsException => None
-      case _: NumberFormatException => None
       case _: ClassCastException => None
+      // backstop for any recursion the explicit cycle guards miss: one
+      // adversarial PDF must never kill the Spark task (ADVICE r11)
+      case _: StackOverflowError => None
     }
   }
 
@@ -702,35 +935,85 @@ object Pdf {
   private def hexStr(s: String): String =
     s.getBytes("ISO-8859-1").map("%02X".format(_)).mkString
 
+  /** Type0 glyph id of char c in the fixture's CID font: 'A' keeps the
+    * low gid 0x0041 (mapped by a dedicated bfCHAR entry), everything
+    * else shifts by +0x0100 (covered by the bfRANGE) — so a decoder
+    * that reads 2-byte codes but skips bfchar entries garbles the 'A'
+    * [[logicalLine]] plants on every 7th line, and one that ignores the
+    * CMap entirely garbles every glyph.
+    */
+  private def gidOf(c: Char): Int = if (c == 'A') 0x0041 else c + 0x0100
+
+  private def gidHexStr(s: String): String =
+    s.map(c => f"${gidOf(c)}%04X").mkString
+
+  /** The fixture CID font's /ToUnicode CMap (ISO 32000-1 9.10.3). */
+  private[graft] def toUnicodeCMap: String =
+    """/CIDInit /ProcSet findresource begin
+      |12 dict begin
+      |begincmap
+      |1 begincodespacerange
+      |<0000> <FFFF>
+      |endcodespacerange
+      |1 beginbfchar
+      |<0041> <0041>
+      |endbfchar
+      |1 beginbfrange
+      |<0120> <017E> <0020>
+      |endbfrange
+      |endcmap
+      |CMap currentdict /CMap defineresource pop
+      |end end
+      |""".stripMargin
+
   /** Content-stream ops for page p: every line cycles its SHOW form
     * (single `Tj` / split double `Tj` / `TJ` array with kerning / hex
     * `Tj`) and its LINE-MOVE form (`Td` / `T*` / `'` / `"`), so the
     * extractor's whole operator surface is load-bearing on every doc.
+    * On Type0 seeds (`seed % 3 == 2`) ODD lines switch to the /F2 CID
+    * font mid-page and show 2-byte GLYPH-ID hex strings — the extractor
+    * only reproduces [[logicalText]] if it tracks `Tf`, reads byte-pair
+    * codes, and decodes them through /F2's /ToUnicode CMap (VERDICT r11
+    * #1: the dominant real-world class, subset Type0/CID fonts, where
+    * raw Tj bytes are structurally-valid GARBAGE).
     */
   private def contentOps(seed: Long, p: Int): String = {
+    val type0 = seed % 3 == 2
     val nl = (2 + ((seed + p) % 3)).toInt
     val sb = new StringBuilder
     sb.append("BT /F1 12 Tf 72 720 Td\n")
+    var onF2 = false
     for (i <- 0 until nl) {
       val full = logicalLine(seed, p, i)
       val octal = (seed + i) % 7 == 0
       val sep = if (i == 0) -1 else ((seed + i) % 3).toInt
       val mode = ((seed + p + i) % 4).toInt
+      val useF2 = type0 && i % 2 == 1
+      if (useF2 != onF2) {
+        sb.append(if (useF2) "/F2 12 Tf " else "/F1 12 Tf ")
+        onF2 = useF2
+      }
+      // the line's show-string encoder: glyph-id hex under /F2, the
+      // literal grammar (with the octal-'A' arm) under /F1
+      def str(s: String, oct: Boolean): String =
+        if (useF2) s"<${gidHexStr(s)}>" else litStr(s, oct)
       if (sep == 0) sb.append("0 -14 Td ")
       else if (sep == 1) sb.append("T* ")
       if (sep == 2) {
         if ((seed + i) % 2 == 0)
-          sb.append(s"1 2 ${litStr(full, octal)} \"\n")
-        else sb.append(s"${litStr(full, octal)} '\n")
+          sb.append(s"1 2 ${str(full, octal)} \"\n")
+        else sb.append(s"${str(full, octal)} '\n")
       } else mode match {
-        case 0 => sb.append(s"${litStr(full, octal)} Tj\n")
+        case 0 => sb.append(s"${str(full, octal)} Tj\n")
         case 1 =>
           val (a, b) = full.splitAt(full.length / 2)
-          sb.append(s"${litStr(a, octalLast = false)} Tj ${litStr(b, octal)} Tj\n")
+          sb.append(s"${str(a, oct = false)} Tj ${str(b, octal)} Tj\n")
         case 2 =>
           val (a, b) = full.splitAt(full.length / 2)
-          sb.append(s"[${litStr(a, octalLast = false)} -120 ${litStr(b, octal)}] TJ\n")
-        case _ => sb.append(s"<${hexStr(full)}> Tj\n")
+          sb.append(s"[${str(a, oct = false)} -120 ${str(b, octal)}] TJ\n")
+        case _ =>
+          val hx = if (useF2) gidHexStr(full) else hexStr(full)
+          sb.append(s"<$hx> Tj\n")
       }
     }
     sb.append("ET\n")
@@ -755,10 +1038,14 @@ object Pdf {
     * `seed%5==0` writes the PDF 1.5 MODERN layout instead — cross-
     * reference STREAM (/Type /XRef, /W [1 4 2]) + an object stream
     * holding catalog/pages/font/page dicts — which is what real crawl
-    * PDFs overwhelmingly are. xref offsets are exact —
+    * PDFs overwhelmingly are. `seed%3==2` shows odd lines through a
+    * Type0/Identity-H CID font whose bytes are GLYPH IDS readable only
+    * through its /ToUnicode CMap (bfchar + bfrange, mid-page `Tf`
+    * switches) — the subset-font class real PDF writers emit (VERDICT
+    * r11 #1). xref offsets are exact —
     * `extractText(syntheticPdf(s))` must round-trip [[logicalText]] for
     * every seed (PdfSpec; the p113 oracle re-derives the same closed
-    * form in SQL, so both layouts feed the same digests).
+    * form in SQL, so all layout/font variants feed the same digests).
     */
   def syntheticPdf(seed: Long): Array[Byte] = {
     if (seed % 5 == 0) return syntheticPdf15(seed)
@@ -769,7 +1056,10 @@ object Pdf {
       val raw = contentOps(seed, p).getBytes("ISO-8859-1")
       if (compress) deflate(raw) else raw
     }
-    val nObjs = 3 + 2 * np + (if (indirectLen) np else 0)
+    // objects: 1 catalog, 2 pages, 3 F1 (simple), 4 F2 (Type0/CID),
+    // 5 its /ToUnicode CMap stream, 6+2p page dicts, 7+2p contents,
+    // then the indirect-length objects
+    val nObjs = 5 + 2 * np + (if (indirectLen) np else 0)
     val out = new java.io.ByteArrayOutputStream()
     val offsets = new Array[Int](nObjs + 1)
     def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
@@ -781,18 +1071,28 @@ object Pdf {
     }
     obj(1)(w("<< /Type /Catalog /Pages 2 0 R >>\n"))
     obj(2)(w("<< /Type /Pages /Kids [" +
-      (0 until np).map(p => s"${4 + 2 * p} 0 R").mkString(" ") +
+      (0 until np).map(p => s"${6 + 2 * p} 0 R").mkString(" ") +
       s"] /Count $np >>\n"))
     obj(3)(w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n"))
+    obj(4)(w("<< /Type /Font /Subtype /Type0 /BaseFont /GraftCID " +
+      "/Encoding /Identity-H /ToUnicode 5 0 R >>\n"))
+    obj(5) {
+      val raw = toUnicodeCMap.getBytes("ISO-8859-1")
+      val data = if (compress) deflate(raw) else raw
+      val filt = if (compress) " /Filter /FlateDecode" else ""
+      w(s"<< /Length ${data.length}$filt >>\nstream\n")
+      out.write(data)
+      w("\nendstream\n")
+    }
     for (p <- 0 until np) {
-      obj(4 + 2 * p)(w(s"<< /Type /Page /Parent 2 0 R " +
+      obj(6 + 2 * p)(w(s"<< /Type /Page /Parent 2 0 R " +
         s"/MediaBox [0 0 612 792] " +
-        s"/Resources << /Font << /F1 3 0 R >> >> " +
-        s"/Contents ${5 + 2 * p} 0 R >>\n"))
-      obj(5 + 2 * p) {
+        s"/Resources << /Font << /F1 3 0 R /F2 4 0 R >> >> " +
+        s"/Contents ${7 + 2 * p} 0 R >>\n"))
+      obj(7 + 2 * p) {
         val data = contents(p)
         val lenPart =
-          if (indirectLen) s"/Length ${3 + 2 * np + 1 + p} 0 R"
+          if (indirectLen) s"/Length ${5 + 2 * np + 1 + p} 0 R"
           else s"/Length ${data.length}"
         val filt = if (compress) " /Filter /FlateDecode" else ""
         w(s"<< $lenPart$filt >>\nstream\n")
@@ -801,7 +1101,7 @@ object Pdf {
       }
     }
     if (indirectLen)
-      for (p <- 0 until np) obj(3 + 2 * np + 1 + p)(w(s"${contents(p).length}\n"))
+      for (p <- 0 until np) obj(5 + 2 * np + 1 + p)(w(s"${contents(p).length}\n"))
     val xrefOff = out.size()
     w(s"xref\n0 ${nObjs + 1}\n")
     w("0000000000 65535 f \n")
@@ -825,26 +1125,32 @@ object Pdf {
       val raw = contentOps(seed, p).getBytes("ISO-8859-1")
       if (compress) deflate(raw) else raw
     }
-    val nObjs = 5 + 2 * np // ObjStm + 3 + P dicts + P contents + XRef
-    val xrefObj = 5 + 2 * np
+    // ObjStm(1) + {catalog 2, pages 3, F1 4, F2 5, page dicts 6..5+np}
+    // + P content streams + the /ToUnicode CMap stream (streams cannot
+    // live inside an ObjStm) + XRef
+    val cmapObj = 6 + 2 * np
+    val xrefObj = 7 + 2 * np
+    val nObjs = xrefObj
     val out = new java.io.ByteArrayOutputStream()
     val offsets = new Array[Int](nObjs + 1)
     def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
     w("%PDF-1.5\n%")
     out.write(Array(0xe2, 0xe3, 0xcf, 0xd3).map(_.toByte))
     w("\n")
-    // the compressed-object payloads (catalog, pages, font, page dicts)
+    // the compressed-object payloads (catalog, pages, fonts, page dicts)
     val inStm: Seq[(Int, String)] =
       Seq(
         2 -> "<< /Type /Catalog /Pages 3 0 R >>",
         3 -> ("<< /Type /Pages /Kids [" +
-          (0 until np).map(p => s"${5 + p} 0 R").mkString(" ") +
+          (0 until np).map(p => s"${6 + p} 0 R").mkString(" ") +
           s"] /Count $np >>"),
-        4 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>") ++
-        (0 until np).map(p => (5 + p) ->
+        4 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        5 -> ("<< /Type /Font /Subtype /Type0 /BaseFont /GraftCID " +
+          s"/Encoding /Identity-H /ToUnicode $cmapObj 0 R >>")) ++
+        (0 until np).map(p => (6 + p) ->
           (s"<< /Type /Page /Parent 3 0 R /MediaBox [0 0 612 792] " +
-            s"/Resources << /Font << /F1 4 0 R >> >> " +
-            s"/Contents ${5 + np + p} 0 R >>"))
+            s"/Resources << /Font << /F1 4 0 R /F2 5 0 R >> >> " +
+            s"/Contents ${6 + np + p} 0 R >>"))
     val bodies = inStm.map(_._2)
     val rel = bodies.scanLeft(0)((acc, b) => acc + b.length + 1).init
     val header = inStm.zip(rel)
@@ -858,9 +1164,17 @@ object Pdf {
     out.write(stmOut)
     w("\nendstream\nendobj\n")
     for (p <- 0 until np) {
-      offsets(5 + np + p) = out.size()
-      w(s"${5 + np + p} 0 obj\n<< /Length ${contents(p).length}$filt >>\nstream\n")
+      offsets(6 + np + p) = out.size()
+      w(s"${6 + np + p} 0 obj\n<< /Length ${contents(p).length}$filt >>\nstream\n")
       out.write(contents(p))
+      w("\nendstream\nendobj\n")
+    }
+    locally {
+      offsets(cmapObj) = out.size()
+      val raw = toUnicodeCMap.getBytes("ISO-8859-1")
+      val data = if (compress) deflate(raw) else raw
+      w(s"$cmapObj 0 obj\n<< /Length ${data.length}$filt >>\nstream\n")
+      out.write(data)
       w("\nendstream\nendobj\n")
     }
     // xref stream: /W [1 4 2] rows for objects 0..nObjs. Every tenth
@@ -877,7 +1191,8 @@ object Pdf {
     row(0, 0, 0xffff)                       // object 0: free
     row(1, offsets(1), 0)                   // the ObjStm itself
     inStm.zipWithIndex.foreach { case (_, i) => row(2, 1, i) }
-    for (p <- 0 until np) row(1, offsets(5 + np + p), 0)
+    for (p <- 0 until np) row(1, offsets(6 + np + p), 0)
+    row(1, offsets(cmapObj), 0)             // the /ToUnicode CMap stream
     row(1, offsets(xrefObj), 0)             // the xref stream itself
     val flat = rows.toByteArray
     val rowLen = 7 // W sum

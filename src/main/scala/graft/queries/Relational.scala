@@ -566,12 +566,7 @@ object Relational {
             .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("sum_qty"))
             .orderBy($"l_returnflag")
             .localCheckpoint(true)
-        } finally {
-          import java.nio.file.{Files, Path}
-          import scala.jdk.CollectionConverters._
-          val all = Files.walk(dirPath).iterator().asScala.toSeq
-          all.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_: Path))
-        }
+        } finally graft.ops.Fs.deleteRecursively(dirPath)
       },
       Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
              |  round(sum(l_quantity), 2) AS sum_qty
@@ -837,12 +832,7 @@ object Relational {
                 .as("price_cents"))
             .orderBy($"o_orderpriority")
             .localCheckpoint(true)
-        } finally {
-          import java.nio.file.{Files, Path}
-          import scala.jdk.CollectionConverters._
-          val all = Files.walk(dirPath).iterator().asScala.toSeq
-          all.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_: Path))
-        }
+        } finally graft.ops.Fs.deleteRecursively(dirPath)
       },
       Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
              |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
@@ -909,12 +899,7 @@ object Relational {
                 .as("price_cents"))
             .orderBy($"o_orderpriority")
             .localCheckpoint(true)
-        } finally {
-          import java.nio.file.{Files, Path}
-          import scala.jdk.CollectionConverters._
-          val all = Files.walk(dirPath).iterator().asScala.toSeq
-          all.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_: Path))
-        }
+        } finally graft.ops.Fs.deleteRecursively(dirPath)
       },
       Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
              |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
@@ -1001,12 +986,7 @@ object Relational {
               sum($"n_chars").as("n_chars"))
             .orderBy($"source")
             .localCheckpoint(true)
-        } finally {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        }
+        } finally graft.ops.Fs.deleteRecursively(dirPath)
       },
       Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
              |  CAST(count(CASE WHEN doc_id % 2 = 1 THEN lang END) AS BIGINT)

@@ -945,12 +945,8 @@ object Routing {
           } finally {
             RoutingContext.unload(); ensure(s)
             // both graph stores are fully collected above — drop the dirs
-            import scala.jdk.CollectionConverters._
             Seq(withDem, noDem).foreach { base =>
-              val p = java.nio.file.Paths.get(base)
-              val all = java.nio.file.Files.walk(p).iterator().asScala.toSeq
-              all.sortBy(-_.getNameCount)
-                .foreach(java.nio.file.Files.deleteIfExists(_: java.nio.file.Path))
+              graft.ops.Fs.deleteRecursively(java.nio.file.Paths.get(base))
             }
           }
         Seq(row).toDF("h0", "h1", "h2", "range_m_last",
@@ -1007,11 +1003,7 @@ object Routing {
               oks(0), oks(1), oks(2), r.getBoolean(3), r.getBoolean(4))
           } finally {
             RoutingContext.unload(); ensure(s)
-            import scala.jdk.CollectionConverters._
-            val p = java.nio.file.Paths.get(dir)
-            java.nio.file.Files.walk(p).iterator().asScala.toSeq
-              .sortBy(-_.getNameCount)
-              .foreach(java.nio.file.Files.deleteIfExists(_: java.nio.file.Path))
+            graft.ops.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
           }
         Seq(row).toDF("h0", "h1", "h2",
           "h0_bilinear_ok", "h1_bilinear_ok", "h2_bilinear_ok",

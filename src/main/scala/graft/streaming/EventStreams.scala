@@ -864,12 +864,7 @@ object EventStreams {
         case Some(dir) =>
           try spark.read.schema(transformed.schema).parquet(dir.toString)
             .localCheckpoint(true)
-          finally {
-            import scala.jdk.CollectionConverters._
-            val all = java.nio.file.Files.walk(dir).iterator().asScala.toSeq
-            all.sortBy(-_.getNameCount)
-              .foreach(java.nio.file.Files.deleteIfExists(_: java.nio.file.Path))
-          }
+          finally graft.ops.Fs.deleteRecursively(dir)
         case None => spark.table(name)
       }
     } finally {

@@ -8,18 +8,27 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class Mp3Spec extends AnyFunSuite {
 
-  test("synthetic streams round-trip the closed-form inventory for 60 seeds") {
-    (0L until 60L).foreach { seed =>
+  test("synthetic streams round-trip the closed-form inventory for 70 seeds") {
+    (0L until 70L).foreach { seed =>
       val inv = Mp3.parse(Mp3.syntheticMp3(seed))
         .getOrElse(fail(s"seed $seed: no frames parsed"))
       val n = 3 + (seed % 4).toInt
-      val sr = Array(44100, 48000, 32000)((seed % 3).toInt)
-      val brs = (0 until n).map(i => Mp3.BitrateKbps(1 + ((seed + i) % 14).toInt))
+      // version by seed % 7: 5 -> MPEG-2, 6 -> MPEG-2.5, else MPEG-1 —
+      // with version-keyed samplerate/bitrate tables and 576-sample LSF
+      // frames (VERDICT r11 #4)
+      val (verName, srTab, brTab, spf) = (seed % 7) match {
+        case 5 => ("2", Array(22050, 24000, 16000), Mp3.BitrateKbpsV2, 576)
+        case 6 => ("2.5", Array(11025, 12000, 8000), Mp3.BitrateKbpsV2, 576)
+        case _ => ("1", Array(44100, 48000, 32000), Mp3.BitrateKbps, 1152)
+      }
+      val sr = srTab((seed % 3).toInt)
+      val brs = (0 until n).map(i => brTab(1 + ((seed + i) % 14).toInt))
       assert(inv.nFrames === n, s"seed $seed")
-      assert(inv.sampleRateHz === sr)
-      assert(inv.brMinKbps === brs.min && inv.brMaxKbps === brs.max)
-      assert(inv.durationUs === n.toLong * 1152 * 1000000L / sr)
-      assert(inv.isVbr === (brs.min != brs.max))
+      assert(inv.mpegVersion === verName, s"seed $seed")
+      assert(inv.sampleRateHz === sr, s"seed $seed")
+      assert(inv.brMinKbps === brs.min && inv.brMaxKbps === brs.max, s"seed $seed")
+      assert(inv.durationUs === n.toLong * spf * 1000000L / sr, s"seed $seed")
+      assert(inv.isVbr === (brs.min != brs.max), s"seed $seed")
     }
   }
 
@@ -44,13 +53,27 @@ class Mp3Spec extends AnyFunSuite {
     assert(Mp3.parse(mut).get.nFrames === 1)
   }
 
-  test("MPEG-2 Layer III headers stop the walk (version bits are pinned)") {
-    // 0xff 0xf3: valid 11-bit sync but version bits 10 (MPEG-2). Decoding
-    // it with MPEG-1 tables would claim a frame; the walk must refuse.
+  test("MPEG-2 headers inventory with LSF tables; reserved version refuses") {
+    // 0xff 0xf3: version bits 10 (MPEG-2), brIdx 4 -> 32 kbps (the LSF
+    // row, NOT MPEG-1's 56), srIdx 0 -> 22050 Hz, 72-factor frame size
+    val size2 = 72 * 32000 / 22050 // 104
     val mpeg2 = Array(0xff, 0xf3, (4 << 4) | (0 << 2), 0xc0).map(_.toByte) ++
+      Array.fill[Byte](size2 - 4)(0)
+    val inv2 = Mp3.parse(mpeg2).get
+    assert(inv2.nFrames === 1 && inv2.mpegVersion === "2")
+    assert(inv2.sampleRateHz === 22050 && inv2.brMinKbps === 32)
+    assert(inv2.durationUs === 576L * 1000000L / 22050)
+    // 0xff 0xe3: version bits 00 (MPEG-2.5), srIdx 2 -> 8000 Hz
+    val size25 = 72 * 32000 / 8000
+    val mpeg25 = Array(0xff, 0xe3, (4 << 4) | (2 << 2), 0xc0).map(_.toByte) ++
+      Array.fill[Byte](size25 - 4)(0)
+    val inv25 = Mp3.parse(mpeg25).get
+    assert(inv25.mpegVersion === "2.5" && inv25.sampleRateHz === 8000)
+    // 0xff 0xeb: version bits 01 are RESERVED — the walk refuses
+    val reserved = Array(0xff, 0xeb, (4 << 4) | (0 << 2), 0xc0).map(_.toByte) ++
       Array.fill[Byte](200)(0)
-    assert(Mp3.parse(mpeg2).isEmpty)
-    // and an MPEG-2 header after one legal MPEG-1 frame keeps only frame 1
+    assert(Mp3.parse(reserved).isEmpty)
+    // a mid-stream VERSION change marks corruption (frames before kept)
     val one = {
       val brIdx = 4; val size = 144 * Mp3.BitrateKbps(brIdx) * 1000 / 44100
       val b = new java.io.ByteArrayOutputStream()
@@ -59,7 +82,8 @@ class Mp3Spec extends AnyFunSuite {
       b.toByteArray
     }
     val inv = Mp3.parse(one ++ mpeg2).get
-    assert(inv.nFrames === 1 && inv.sampleRateHz === 44100)
+    assert(inv.nFrames === 1 && inv.sampleRateHz === 44100 &&
+      inv.mpegVersion === "1")
   }
 
   test("ID3v2 prefix skips by syncsafe length; malformed syncsafe refuses") {

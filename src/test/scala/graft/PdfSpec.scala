@@ -38,28 +38,31 @@ class PdfSpec extends AnyFunSuite {
     // content stream through the public path: <48454C50> vs <48454C5>
     // ('HELP' vs 'HEL' + 'P'&0xF0='P'): build minimal docs around both
     def onePage(content: String): Array[Byte] = {
-      val raw = content.getBytes("ISO-8859-1")
+      val raw = s"BT /F1 9 Tf $content ET".getBytes("ISO-8859-1")
       val out = new java.io.ByteArrayOutputStream()
       def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
-      val off = new Array[Int](6)
+      val off = new Array[Int](7)
       def obj(n: Int)(b: => Unit): Unit = { off(n) = out.size(); w(s"$n 0 obj\n"); b; w("endobj\n") }
       w("%PDF-1.4\n")
       obj(1)(w("<< /Type /Catalog /Pages 2 0 R >>\n"))
-      obj(2)(w("<< /Type /Pages /Kids [3 0 R] /Count 1 >>\n"))
+      // /Resources lives on the PAGES node here — inheritance path
+      obj(2)(w("<< /Type /Pages /Kids [3 0 R] /Count 1 " +
+        "/Resources << /Font << /F1 5 0 R >> >> >>\n"))
       obj(3)(w("<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n"))
       obj(4) { w(s"<< /Length ${raw.length} >>\nstream\n"); out.write(raw); w("\nendstream\n") }
+      obj(5)(w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n"))
       val x = out.size()
-      w("xref\n0 5\n0000000000 65535 f \n")
-      (1 to 4).foreach(n => w(f"${off(n)}%010d 00000 n \n"))
-      w(s"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n$x\n%%EOF\n")
+      w("xref\n0 6\n0000000000 65535 f \n")
+      (1 to 5).foreach(n => w(f"${off(n)}%010d 00000 n \n"))
+      w(s"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n$x\n%%EOF\n")
       out.toByteArray
     }
-    assert(Pdf.extractText(onePage("BT <48454C50> Tj ET")).get === Vector("HELP"))
-    assert(Pdf.extractText(onePage("BT <48454C5> Tj ET")).get === Vector("HELP"))
+    assert(Pdf.extractText(onePage("<48454C50> Tj")).get === Vector("HELP"))
+    assert(Pdf.extractText(onePage("<48454C5> Tj")).get === Vector("HELP"))
     // balanced unescaped parens inside a literal string are legal
-    assert(Pdf.extractText(onePage("BT (a(b)c) Tj ET")).get === Vector("a(b)c"))
+    assert(Pdf.extractText(onePage("(a(b)c) Tj")).get === Vector("a(b)c"))
     // consecutive line moves collapse to one newline; leading move emits none
-    assert(Pdf.extractText(onePage("BT 0 0 Td T* (a) Tj T* 0 -14 Td (b) Tj ET"))
+    assert(Pdf.extractText(onePage("0 0 Td T* (a) Tj T* 0 -14 Td (b) Tj"))
       .get === Vector("a\nb"))
   }
 
@@ -135,6 +138,78 @@ class PdfSpec extends AnyFunSuite {
     // either flate refuses or the text no longer matches; must not throw
     val out = Pdf.extractText(mut)
     assert(out.isEmpty || out.get.mkString("\n") != Pdf.logicalText(2L))
+  }
+
+  test("Type0 seeds decode glyph ids through the /ToUnicode CMap") {
+    // seed 2: 1.4 layout, %3==2 -> odd lines show 2-byte gids under /F2;
+    // seed 5 and 20: the SAME font variant under the 1.5 layout. The
+    // round-trip only holds if Tf is tracked and the CMap applied.
+    Seq(2L, 5L, 8L, 20L, 23L).foreach { seed =>
+      assert(Pdf.extractText(Pdf.syntheticPdf(seed)).get.mkString("\n")
+        === Pdf.logicalText(seed), s"seed $seed")
+    }
+    // the CMap parser itself: bfchar overrides inside a bfrange domain
+    val m = Pdf.parseToUnicode(Pdf.toUnicodeCMap.getBytes("ISO-8859-1"))
+    assert(m(0x0041) === "A", "bfchar entry")
+    assert(m(0x0120) === " " && m(0x017e) === "~", "bfrange endpoints")
+    assert(m(0x0141) === "A", "range interior")
+  }
+
+  test("Type0 without a usable /ToUnicode refuses at the first show") {
+    val good = Pdf.syntheticPdf(2L) // Type0 variant, 1.4 layout
+    val s = new String(good, "ISO-8859-1")
+    // same-length surgeries keep every xref offset valid, so the ONLY
+    // failure mode left is the font refusal itself
+    val noMap = s.replace("/ToUnicode 5 0 R", "/ToUnicodX 5 0 R")
+    assert(Pdf.extractText(noMap.getBytes("ISO-8859-1")).isEmpty,
+      "Type0 with no /ToUnicode must refuse, not mojibake")
+    val badEnc = s.replace("/Identity-H", "/Identity-X")
+    assert(Pdf.extractText(badEnc.getBytes("ISO-8859-1")).isEmpty,
+      "non-Identity-H Type0 must refuse")
+    // a NON-Type0 seed is untouched by the same surgery (no /F2 use)
+    val plain = new String(Pdf.syntheticPdf(1L), "ISO-8859-1")
+      .replace("/ToUnicode 5 0 R", "/ToUnicodX 5 0 R")
+    assert(Pdf.extractText(plain.getBytes("ISO-8859-1")).get.mkString("\n")
+      === Pdf.logicalText(1L), "unused broken font never fires")
+  }
+
+  /** Minimal hand-rolled PDF: objects as raw body strings, exact xref. */
+  private def tinyPdf(objs: Seq[String], trailerExtra: String = ""): Array[Byte] = {
+    val out = new StringBuilder("%PDF-1.4\n")
+    val offsets = objs.zipWithIndex.map { case (body, i) =>
+      val off = out.length
+      out.append(s"${i + 1} 0 obj\n$body\nendobj\n")
+      off
+    }
+    val xrefOff = out.length
+    out.append(s"xref\n0 ${objs.size + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => out.append(f"$o%010d 00000 n \n"))
+    out.append(s"trailer\n<< /Size ${objs.size + 1} /Root 1 0 R$trailerExtra >>\n")
+    out.append(s"startxref\n$xrefOff\n%%EOF\n")
+    out.toString.getBytes("ISO-8859-1")
+  }
+
+  test("adversarial reference cycles are DATA, not a StackOverflowError") {
+    // obj 2 -> 3 0 R, obj 3 -> 2 0 R: a pure indirect-reference loop on
+    // the /Pages resolution path (ADVICE r11) — loops through the cache,
+    // so only the resolve-chain guard can see it
+    val refCycle = tinyPdf(Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>", "3 0 R", "2 0 R"))
+    assert(Pdf.extractText(refCycle).isEmpty)
+    // a /Kids array naming its own node: recurses through resolved
+    // DICTS — caught by the page-tree depth bound
+    val kidsCycle = tinyPdf(Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [2 0 R] /Count 1 >>"))
+    assert(Pdf.extractText(kidsCycle).isEmpty)
+    // a stream whose /Length is an indirect ref back to ITSELF: the
+    // parse re-enters obj(n) mid-parse — the parsing-set guard
+    val lenCycle = tinyPdf(Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+      "<< /Length 4 0 R >>\nstream\nBT ET\nendstream"))
+    assert(Pdf.extractText(lenCycle).isEmpty)
   }
 
   test("fixture dump for the independent Python mirror") {

@@ -50,6 +50,57 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.ruleMatches("/", "/anything"))
   }
 
+  test("parseRobotsMeta: group-scoped Crawl-delay, global Sitemap list") {
+    import Robots.parseRobotsMeta
+    // variant 1: the GraftBot group's delay 7 binds graftbot; the *
+    // group's 1 binds everyone else
+    val v1 = Robots.fixtureRobots(1)
+    assert(parseRobotsMeta(v1, "graftbot").crawlDelay === Some(7L))
+    assert(parseRobotsMeta(v1, "someoneelse").crawlDelay === Some(1L))
+    // variant 2: sitemaps are GLOBAL and ordered; no delay anywhere
+    val v2 = Robots.fixtureRobots(2)
+    val m2 = parseRobotsMeta(v2, "graftbot")
+    assert(m2.crawlDelay === None)
+    assert(m2.sitemaps === Seq("https://x.example/s.xml",
+      "https://x.example/s2.xml"))
+    // variant 3: the foreign group's delay 9 must not leak to *
+    assert(parseRobotsMeta(Robots.fixtureRobots(3), "graftbot")
+      .crawlDelay === None)
+    // several delays in the chosen groups: the LARGEST (politest) wins;
+    // non-integer values are ignored lines
+    val multi = "User-agent: *\nCrawl-delay: 3\nDisallow: /a\n\n" +
+      "User-agent: *\nCrawl-delay: 5\nCrawl-delay: oops\n"
+    assert(parseRobotsMeta(multi, "graftbot").crawlDelay === Some(5L))
+  }
+
+  test("hostile wildcard-stacked rules match in linear time (no regex DoS)") {
+    // the old recursive walk / `.*`-regex translation backtracks
+    // exponentially here (ADVICE r11); the greedy two-pointer matcher
+    // must answer in milliseconds
+    val hostile = "/" + ("a*" * 40) + "b$"
+    val miss = "/" + ("a" * 4000) + "c"
+    val hit = "/" + ("a" * 4000) + "b"
+    val t0 = System.nanoTime()
+    assert(!Robots.ruleMatches(hostile, miss))
+    assert(Robots.ruleMatches(hostile, hit))
+    assert(!Robots.ruleMatches(("/x*" * 30) + "y$", "/x" * 3000))
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(ms < 2000, s"hostile rules took ${ms}ms — matcher is not linear")
+  }
+
+  test("native robots_match kernel agrees with the reference walk") {
+    val rules = Seq("/private", "/tmp/*", "/*z$", "/a*b*c", "/a*b$", "/",
+      "/exact$", "/" + ("a*" * 10) + "$")
+    val paths = Seq("/private/x", "/tmp/c", "/az", "/a-b-c", "/a-b",
+      "/exact", "/exactly", "/" + ("a" * 100), "/pub")
+    val df = rules.flatMap(r => paths.map(p => (r, p))).toDF("rule", "path")
+      .withColumn("m", graft.functions.RobotsMatch(spark, col("rule"), col("path")))
+    df.collect().foreach { row =>
+      assert(row.getBoolean(2) === Robots.ruleMatches(row.getString(0), row.getString(1)),
+        s"rule '${row.getString(0)}' vs path '${row.getString(1)}'")
+    }
+  }
+
   test("verdict: longest match wins, Allow wins ties, no match allows") {
     val rules = Seq(RobotRule("/tmp/*", false), RobotRule("/tmp/*ok", true))
     assert(!Robots.pathAllowed(rules, "/tmp/c1"))

@@ -153,17 +153,23 @@ class SnapshotSpec extends AnyFunSuite {
     }
   }
 
-  test("a racing appender fails loudly on the data-file move") {
+  test("crash debris for the next version is swept; the retry commits") {
+    // ADVICE r11: an append that died between data-file adoption and
+    // manifest publish leaves data/vN-*.parquet with no vN manifest —
+    // under the single-writer contract that is debris, and the retry
+    // (e.g. a restarted streaming snapshotIngest) must sweep it and
+    // commit rather than throw FileAlreadyExistsException forever.
     val base = tmpBase()
     Layout.appendSnapshot(base, rows(0, 10))
-    // the racer already adopted version 2's first data file
     java.nio.file.Files.write(base.resolve("data").resolve("v2-00000.parquet"),
-      Array[Byte](0))
-    intercept[java.nio.file.FileAlreadyExistsException] {
-      Layout.appendSnapshot(base, rows(10, 20))
-    }
-    // the published v1 manifest is untouched by the failed append
-    assert(Layout.snapshotVersions(base) === Seq(1))
-    assert(Layout.readSnapshot(spark, base, 1).count() === 10)
+      Array[Byte](0)) // the crashed append's adopted-but-unpublished file
+    val v = Layout.appendSnapshot(base, rows(10, 20))
+    assert(v === 2, "retry commits the version the crashed append targeted")
+    assert(Layout.snapshotVersions(base) === Seq(1, 2))
+    assert(Layout.readSnapshot(spark, base, 2).count() === 20)
+    assert(Layout.orphanFiles(base).isEmpty, "no debris survives the retry")
+    // race loudness lives at the manifest PUBLISH now (target-absence
+    // check before the rename) — a true interleaving can't be staged
+    // sequentially, so that guard is pinned by code, not by this spec
   }
 }

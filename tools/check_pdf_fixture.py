@@ -5,8 +5,10 @@ target/pdf-fixtures/seed*.pdf + .txt goldens) with a from-scratch PYTHON
 extractor sharing zero code with either graft.ops.Pdf side, and compare
 the extracted text against the golden logical text. Agreement is a real
 differential check of the container: xref walk, indirect /Length,
-FlateDecode, literal/hex strings, escapes, and the Tj/TJ/'/"/Td/TD/T*
-text semantics.
+FlateDecode, literal/hex strings, escapes, the Tj/TJ/'/"/Td/TD/T*/Tf
+text semantics, and the FONT layer — /Resources /Font resolution with
+page-tree inheritance and /ToUnicode CMap (bfchar/bfrange) decoding of
+Type0/Identity-H glyph-id shows.
 
 Run after `sbt "testOnly graft.PdfSpec"`:
     python3 tools/check_pdf_fixture.py
@@ -318,30 +320,130 @@ class PdfDoc:
             v = self.obj(v[1][0])[0]
         return v
 
+    def _stream_data(self, ref):
+        v, data = self.obj(ref[1][0])
+        filt = v[1].get("Filter")
+        if filt is not None and self.resolve(filt)[1] == "FlateDecode":
+            data = zlib.decompress(data)
+        return data
+
+    def font_dec(self, fd):
+        """-> (two_byte, cmap_or_None, refuse) for one font dict."""
+        subtype = fd.get("Subtype")
+        cmap = None
+        if "ToUnicode" in fd:
+            cmap = parse_tounicode(self._stream_data(fd["ToUnicode"]))
+        if subtype is not None and self.resolve(subtype)[1] == "Type0":
+            enc = fd.get("Encoding")
+            identity = enc is not None and self.resolve(enc)[1] == "Identity-H"
+            return (True, cmap, not (identity and cmap is not None))
+        if cmap is not None:
+            return (False, cmap, False)
+        enc = fd.get("Encoding")
+        if enc is None:
+            return (False, None, False)
+        name = self.resolve(enc)[1]
+        std = ("WinAnsiEncoding", "MacRomanEncoding", "StandardEncoding")
+        return (False, None, name not in std)
+
     def page_streams(self):
+        """-> [(joined content bytes, {font name: decoder})] per page."""
         root = self.resolve(self.trailer["Root"])[1]
         out = []
 
-        def walk(node):
+        def fonts_of(res):
+            if res is None:
+                return {}
+            rd = self.resolve(res)[1]
+            if "Font" not in rd:
+                return {}
+            return {name: self.font_dec(self.resolve(fref)[1])
+                    for name, fref in self.resolve(rd["Font"])[1].items()}
+
+        def walk(node, inherited):
+            res = node.get("Resources", inherited)
             if node["Type"][1] == "Pages":
                 for kid in self.resolve(node["Kids"])[1]:
-                    walk(self.resolve(kid)[1])
+                    walk(self.resolve(kid)[1], res)
             else:
                 cont = node["Contents"]
-                v, data = self.obj(cont[1][0])
-                filt = v[1].get("Filter")
-                if filt is not None and self.resolve(filt)[1] == "FlateDecode":
-                    data = zlib.decompress(data)
-                out.append(data)
+                # one logical stream per page: parts join on whitespace
+                out.append((self._stream_data(cont), fonts_of(res)))
 
-        walk(self.resolve(root["Pages"])[1])
+        walk(self.resolve(root["Pages"])[1], None)
         return out
 
 
-def page_text(content):
+def code_of(s):
+    v = 0
+    for ch in s:
+        v = (v << 8) | ord(ch)
+    return v
+
+
+def dst_of(s):
+    return bytes(ord(c) for c in s).decode("utf-16-be")
+
+
+def parse_tounicode(data):
+    """bfchar/bfrange sections of a /ToUnicode CMap -> {code: text}."""
+    lx = Lexer(data, 0)
+    m = {}
+    mode, pend = 0, []
+    while not lx.at_end():
+        v = lx.read_token()
+        if v[0] == "op":
+            if v[1] == "beginbfchar":
+                mode, pend = 1, []
+            elif v[1] == "beginbfrange":
+                mode, pend = 2, []
+            elif v[1] in ("endbfchar", "endbfrange"):
+                mode, pend = 0, []
+            else:
+                pend = []
+            continue
+        if mode == 1:
+            pend.append(v)
+            if len(pend) == 2:
+                m[code_of(pend[0][1])] = dst_of(pend[1][1])
+                pend = []
+        elif mode == 2:
+            pend.append(v)
+            if len(pend) == 3:
+                lo, hi, d = code_of(pend[0][1]), code_of(pend[1][1]), pend[2]
+                if d[0] == "str":
+                    base = dst_of(d[1])
+                    for k in range(hi - lo + 1):
+                        m[lo + k] = base[:-1] + chr(ord(base[-1]) + k)
+                else:
+                    for k, item in enumerate(d[1]):
+                        m[lo + k] = dst_of(item[1])
+                pend = []
+    return m
+
+
+def decode_show(font, raw):
+    if font is None:
+        raise ValueError("show before any Tf")
+    two, cmap, refuse = font
+    if refuse:
+        raise ValueError("font with no encoding and no ToUnicode")
+    if two:
+        assert len(raw) % 2 == 0, "odd byte count in 2-byte-code show"
+        codes = [(ord(raw[i]) << 8) | ord(raw[i + 1])
+                 for i in range(0, len(raw), 2)]
+    else:
+        codes = [ord(c) for c in raw]
+    if cmap is None:
+        return raw
+    return "".join(cmap[c] for c in codes)
+
+
+def page_text(content, fonts):
     lx = Lexer(content, 0)
     out = []
     operands = []
+    font = [None]
 
     def newline():
         if out and out[-1] != "\n":
@@ -360,16 +462,19 @@ def page_text(content):
             continue
         op = v[1]
         if op == "Tj":
-            out.append(last_str())
+            out.append(decode_show(font[0], last_str()))
         elif op in ("'", '"'):
             newline()
-            out.append(last_str())
+            out.append(decode_show(font[0], last_str()))
         elif op == "TJ":
             arr = operands[-1]
             assert arr[0] == "arr"
             for item in arr[1]:
                 if item[0] == "str":
-                    out.append(item[1])
+                    out.append(decode_show(font[0], item[1]))
+        elif op == "Tf":
+            names = [o[1] for o in operands if o[0] == "name"]
+            font[0] = fonts[names[0]]
         elif op in ("Td", "TD", "T*"):
             newline()
         operands = []
@@ -387,7 +492,7 @@ def main():
     for pdf in pdfs:
         golden = pdf.with_suffix(".txt").read_text(encoding="utf-8")
         doc = PdfDoc(pdf.read_bytes())
-        text = "\n".join(page_text(c) for c in doc.page_streams())
+        text = "\n".join(page_text(c, f) for c, f in doc.page_streams())
         status = "OK" if text == golden else "MISMATCH"
         if text != golden:
             bad += 1
