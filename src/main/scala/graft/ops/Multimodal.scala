@@ -387,6 +387,7 @@ object Multimodal {
       .orElse(decodeRle8Video(bytes).map(("rle_video", _)))
       .orElse(decodeMjpegVideo(bytes).map(("mjpeg_video", _)))
       .orElse(decodePdfDoc(bytes).map(("pdf", _)))
+      .orElse(decodeDocxDoc(bytes).map(("docx", _)))
       .getOrElse(("stub", stubDecode(bytes)))
 
   /** PDF routed through the media vocabulary: `media_kind` says "pdf"
@@ -398,6 +399,17 @@ object Multimodal {
     graft.ops.Pdf.extractText(bytes).map { pages =>
       val text = pages.mkString("\n")
       Array(pages.size.toFloat, (1 + text.count(_ == '\n')).toFloat,
+        text.length.toFloat)
+    }
+
+  /** DOCX routed the same way: `media_kind` says "docx", features are
+    * the extraction accounting (paragraphs, lines, chars). The real
+    * text lives behind [[graft.ops.Docx.extractText]] (p124).
+    */
+  def decodeDocxDoc(bytes: Array[Byte]): Option[Array[Float]] =
+    graft.ops.Docx.extractText(bytes).map { paras =>
+      val text = paras.mkString("\n")
+      Array(paras.size.toFloat, (1 + text.count(_ == '\n')).toFloat,
         text.length.toFloat)
     }
 

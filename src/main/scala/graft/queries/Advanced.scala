@@ -3925,8 +3925,66 @@ object Advanced {
              |  CAST(sum(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15) AS BIGINT)
              |    % 1073741824) AS BIGINT) AS digest,
              |  TRUE AS matches_full
-             |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // -- DOCX text extraction --------------------------------------------------
+    // The second document modality of the ingest family (VERDICT r11
+    // #2): a .docx is a ZIP + word/document.xml, decoded entirely with
+    // JDK machinery (ZipInputStream + StAX) in ops/Docx.scala — the
+    // Flac/Pdf recipe end to end. The fixture exercises run
+    // concatenation, xml:space, <w:tab/>/<w:br/> run content, XML
+    // entities, AND a planted <w:pPr><w:tabs><w:tab/></w:tabs> tab-STOP
+    // definition that must contribute nothing (the classic naive-walker
+    // bug). The oracle re-derives the logical text in closed form, so a
+    // digest match means the whole container round-trips. Differential
+    // partner: tools/check_docx_fixture.py. Per-blob mapPartitions work
+    // — shuffle-free at any scale.
+    QueryDef("p124_docx_extract",
+      (s, d) => docxStage(t(s, d, "documents")).orderBy(col("doc_id")),
+      Some(docxOracleSql)),
+
+    // The streaming twin: the SAME extraction stage per micro-batch —
+    // stateless, no state store, the s32 pattern.
+    QueryDef("s36_stream_docx_extract",
+      (s, d) => EventStreams.runBoundedDocs(s, d, "s36_sink", docxStage)
+        .orderBy(col("doc_id")),
+      Some(docxOracleSql))
   )
+
+  /** Shared p124/s36 stage: synthesize the per-doc DOCX fixture, run
+    * the real extractor, account paragraphs/chars + the text digest.
+    */
+  private def docxStage(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val paras = graft.ops.Docx.extractText(graft.ops.Docx.syntheticDocx(id))
+          .getOrElse(throw new IllegalStateException(s"doc $id: DOCX refused"))
+        val text = paras.mkString("\n")
+        (id, paras.size, text.length.toLong,
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(text))
+      }
+    }.toDF("doc_id", "n_paras", "n_chars", "text_digest")
+  }
+
+  /** p124/s36 oracle: the fixture's logical text re-derived in closed
+    * form (paragraph cadence mirrors ops/Docx.logicalPara).
+    */
+  private[queries] val docxOracleSql: String =
+    """WITH ls AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 3 + doc_id % 4), i ->
+      |      'Para ' || i || ' ' ||
+      |      substring(md5(CAST(doc_id AS VARCHAR) || '|' || i), 1, 12) ||
+      |      CASE WHEN i % 3 = 0 THEN chr(9) || 'a<b & c' ELSE '' END ||
+      |      CASE WHEN i % 5 = 2 THEN chr(10) || 'wrapped x>y' ELSE '' END) AS paras
+      |  FROM documents),
+      |txt AS (SELECT doc_id, len(paras) AS np,
+      |    array_to_string(paras, chr(10)) AS t FROM ls)
+      |SELECT doc_id, CAST(np AS INT) AS n_paras,
+      |  CAST(length(t) AS BIGINT) AS n_chars, md5(t) AS text_digest
+      |FROM txt ORDER BY doc_id""".stripMargin
 
   /** Shared p113/s32 stage: synthesize the per-doc PDF fixture, run the
     * real extractor, account pages/lines/chars + the text digest.
