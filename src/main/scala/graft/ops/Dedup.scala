@@ -148,6 +148,26 @@ object Dedup {
       .bucketBy(nBuckets, "band", "bucket").sortBy("band", "bucket")
       .saveAsTable(table)
 
+  /** APPEND a delta's band rows into an existing [[writeBandIndexTable]]
+    * layout without a rebuild (VERDICT r11 #3 — the
+    * [[Similarity.appendIvfAdcLayout]] contract for the dedup side): the
+    * delta's signatures are encoded under the SAME standing banding
+    * (same q/k/rowsPerBand — bucket strings are band-local minhash
+    * concatenations, so old and new rows collide exactly as a full
+    * rebuild would), and the writer appends bucket-spec-matched files
+    * into the table (Spark refuses a mismatched spec loudly). Each
+    * append adds at most `nBuckets` files; probe joins keep reading the
+    * bucket layout with NO static-side Exchange — a re-crawl at 100 TB
+    * pays delta-sized encode + write, never a corpus-wide re-shuffle.
+    */
+  def appendBandIndexTable(deltaBands: DataFrame, table: String,
+                           path: String, nBuckets: Int = 8): Unit =
+    deltaBands.select(col("doc").as("partner"), col("band"), col("bucket"))
+      .write.format("parquet").mode("append")
+      .option("path", path)
+      .bucketBy(nBuckets, "band", "bucket").sortBy("band", "bucket")
+      .saveAsTable(table)
+
   /** Re-attach an existing [[writeBandIndexTable]] layout (written by an
     * earlier session) as a bucketed external table — the amortized path:
     * the files already carry the bucket layout, only the catalog entry is

@@ -951,10 +951,16 @@ object Advanced {
         // never interleave writes into the same index directory. The
         // staging-side catalog entry is dropped after the write; the
         // committed files are (re)attached by DDL every run.
-        val dir = Pipeline.cachedLayout("bandidx", digest) { staging =>
-          val idx = graft.ops.Dedup.bandBuckets(corpus, "doc_id", "text",
+        val dir = Pipeline.cachedLayout("bandidxa", digest) { staging =>
+          // built INCREMENTALLY (base + appended delta — the p125
+          // contract): the probed layout IS an appended one, so the
+          // per-trigger plan property is proven on real append output
+          def bands(m: Int) = graft.ops.Dedup.bandBuckets(
+            corpus.where(col("doc_id") % 2 === m), "doc_id", "text",
             q = 5, k = 12, rowsPerBand = 3)
-          graft.ops.Dedup.writeBandIndexTable(idx, "graft_band_idx_stage",
+          graft.ops.Dedup.writeBandIndexTable(bands(0), "graft_band_idx_stage",
+            staging.resolve("idx").toString, nBuckets = 8)
+          graft.ops.Dedup.appendBandIndexTable(bands(1), "graft_band_idx_stage",
             staging.resolve("idx").toString, nBuckets = 8)
           s.sql("DROP TABLE IF EXISTS graft_band_idx_stage")
         }
@@ -3948,7 +3954,55 @@ object Advanced {
     QueryDef("s36_stream_docx_extract",
       (s, d) => EventStreams.runBoundedDocs(s, d, "s36_sink", docxStage)
         .orderBy(col("doc_id")),
-      Some(docxOracleSql))
+      Some(docxOracleSql)),
+
+    // -- incremental band-index append -----------------------------------------
+    // VERDICT r11 #3: the persisted (band, bucket) LSH index gains a
+    // delta WITHOUT a rebuild — the p68 appendIvfAdcLayout contract on
+    // the dedup side. Base layout from the even docs, odd docs encoded
+    // under the SAME standing banding and appended as bucket-spec-
+    // matched files; the appended table must be row-identical (count +
+    // order-free digest) to a full rebuild, which
+    // `append_equals_rebuild_ok` hard-gates. At 100 TB a re-crawl pays
+    // delta-sized encode + at-most-nBuckets new files per append —
+    // never the corpus-wide band shuffle writeBandIndexTable paid once.
+    // (The probe-side plan property — bucketed scan, no static-side
+    // Exchange — is pinned on the appended layout in StreamingSpec.)
+    QueryDef("p125_band_index_append",
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val dir = java.nio.file.Files.createTempDirectory("graft-p125")
+        val tbl = "graft_band_append_p125"
+        def bands(m: Int) = graft.ops.Dedup.bandBuckets(
+          docs.where($"doc_id" % 2 === m), "doc_id", "text",
+          q = 5, k = 12, rowsPerBand = 3)
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        graft.ops.Dedup.writeBandIndexTable(bands(0), tbl,
+          dir.resolve("idx").toString, nBuckets = 8)
+        graft.ops.Dedup.appendBandIndexTable(bands(1), tbl,
+          dir.resolve("idx").toString, nBuckets = 8)
+        def dg(df: DataFrame) = df.agg(
+          count(lit(1)),
+          sum(conv(substring(md5(concat_ws("|", col("partner"), col("band"),
+              col("bucket"))), 1, 15), 16, 10).cast("long") % 1073741824L)
+          ).head()
+        val appended = dg(s.table(tbl))
+        val rebuilt = dg(graft.ops.Dedup
+          .bandBuckets(docs, "doc_id", "text", q = 5, k = 12, rowsPerBand = 3)
+          .select($"doc".as("partner"), $"band", $"bucket"))
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        graft.ops.Fs.deleteRecursively(dir)
+        docs.agg(count(lit(1)).as("n_docs")).select(
+          $"n_docs",
+          lit(appended.getLong(0)).as("index_rows"),
+          (lit(appended.getLong(0)) === $"n_docs" * 4).as("rows_per_doc_ok"),
+          lit(appended == rebuilt).as("append_equals_rebuild_ok"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(*) * 4 AS BIGINT) AS index_rows,
+             |  TRUE AS rows_per_doc_ok, TRUE AS append_equals_rebuild_ok
+             |FROM documents""".stripMargin))
   )
 
   /** Shared p124/s36 stage: synthesize the per-doc DOCX fixture, run

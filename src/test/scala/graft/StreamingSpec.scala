@@ -229,8 +229,24 @@ class StreamingSpec extends AnyFunSuite {
     val idx = graft.ops.Dedup.bandBuckets(docs, "doc_id", "text", 5, 12, 3)
     val tblDir = java.nio.file.Files.createTempDirectory("graft-bandidx")
     spark.sql("DROP TABLE IF EXISTS t_band_idx")
-    graft.ops.Dedup.writeBandIndexTable(idx, "t_band_idx",
-      tblDir.resolve("idx").toString, nBuckets = 8)
+    // build INCREMENTALLY: base layout from the even docs, the odd docs
+    // appended as a delta under the same banding — the appended table
+    // must be row-identical to a full rebuild AND keep the bucket
+    // layout (the assertions below run against the appended files)
+    graft.ops.Dedup.writeBandIndexTable(
+      graft.ops.Dedup.bandBuckets(docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", 5, 12, 3),
+      "t_band_idx", tblDir.resolve("idx").toString, nBuckets = 8)
+    graft.ops.Dedup.appendBandIndexTable(
+      graft.ops.Dedup.bandBuckets(docs.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", 5, 12, 3),
+      "t_band_idx", tblDir.resolve("idx").toString, nBuckets = 8)
+    val appended = spark.table("t_band_idx")
+      .orderBy(col("partner"), col("band"), col("bucket")).collect()
+    val rebuilt = idx.select(col("doc").as("partner"), col("band"), col("bucket"))
+      .orderBy(col("partner"), col("band"), col("bucket")).collect()
+    assert(appended.length === rebuilt.length && appended.length > 0)
+    appended.zip(rebuilt).foreach { case (a, b) => assert(a === b) }
     // reference rows: regime 1 (broadcast) on the same batch frame
     val viaBroadcast = EventStreams.nearDupStage(idx)(docs)
       .orderBy(col("doc_id"), col("partner"), col("band")).collect()
