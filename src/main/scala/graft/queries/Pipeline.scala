@@ -358,7 +358,7 @@ object Pipeline {
     * pair per iteration). Shared by p36 (emit the merge table) and p37
     * (apply it).
     */
-  private def bpeTrainCtes(n: Int): String = {
+  private[queries] def bpeTrainCtes(n: Int): String = {
     val stages = new StringBuilder
     stages ++=
       s"""WITH wfreq AS (
