@@ -388,6 +388,7 @@ object Multimodal {
       .orElse(decodeMjpegVideo(bytes).map(("mjpeg_video", _)))
       .orElse(decodePdfDoc(bytes).map(("pdf", _)))
       .orElse(decodeDocxDoc(bytes).map(("docx", _)))
+      .orElse(decodeMp3Doc(bytes).map(("mp3", _)))
       .getOrElse(("stub", stubDecode(bytes)))
 
   /** PDF routed through the media vocabulary: `media_kind` says "pdf"
@@ -411,6 +412,21 @@ object Multimodal {
       val text = paras.mkString("\n")
       Array(paras.size.toFloat, (1 + text.count(_ == '\n')).toFloat,
         text.length.toFloat)
+    }
+
+  /** MP3 routed through the media vocabulary: `media_kind` says "mp3",
+    * features are the frame-grammar inventory (frames, samplerate,
+    * min/max kbps, duration seconds) — the [[graft.ops.Mp3]] catalog
+    * pass (p106). Requires ≥2 chained complete frames so arbitrary
+    * binary that happens to start with one sync-shaped header stays
+    * "stub" (two consecutive frame-length-consistent headers do not
+    * occur by accident).
+    */
+  def decodeMp3Doc(bytes: Array[Byte]): Option[Array[Float]] =
+    graft.ops.Mp3.parse(bytes).filter(_.nFrames >= 2).map { inv =>
+      Array(inv.nFrames.toFloat, inv.sampleRateHz.toFloat,
+        inv.brMinKbps.toFloat, inv.brMaxKbps.toFloat,
+        inv.durationUs / 1e6f)
     }
 
   /** Deterministic 16-bit mono PCM WAV fixture: a seed-keyed sine (RIFF

@@ -4138,12 +4138,12 @@ object Advanced {
            |  SELECT doc_id,
            |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS words
            |  FROM documents),
-           |enc AS (
+           |enc AS MATERIALIZED (
            |  SELECT doc_id,
            |    CAST(COALESCE(list_sum(list_transform(words, x ->
            |      len(string_split(trim($chain), '  ')))), 0) AS BIGINT) AS n_bpe
            |  FROM toks CROSS JOIN mt),
-           |d AS (
+           |d AS MATERIALIZED (
            |  SELECT doc_id, doc_id % 64 AS shard, least(n_bpe, 512) AS ntok,
            |    row_number() OVER (PARTITION BY doc_id % 64 ORDER BY doc_id) AS rn
            |  FROM enc),
@@ -4163,7 +4163,78 @@ object Advanced {
            |  FROM pack p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1)
            |SELECT doc_id, shard, seq_id, off AS offset, ntok
            |FROM pack ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // -- mixed-modality document capstone ---------------------------------------
+    // The dispatch a real crawl bucket needs: ONE binary column holding
+    // four modalities (PDF / DOCX / MP3 / WAV by doc_id % 4), routed by
+    // the media_kind dispatch kernel and accounted per modality — text
+    // digests for the document kinds, frame/sample inventory for the
+    // audio kinds. Every leg is an existing exact component (p113 /
+    // p124 / p106 / the WAV codec); the capstone pins the ROUTING — a
+    // mis-dispatch (docx read as zip-of-something-else, MPEG-2 audio
+    // stopped at the first header, Type0 PDF mojibake) shifts kind or
+    // digest and fails the hash. Per-blob mapPartitions, shuffle-free.
+    QueryDef("p128_document_capstone",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents").select($"doc_id".cast("long")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val bytes = (id % 4) match {
+                case 0 => graft.ops.Pdf.syntheticPdf(id)
+                case 1 => graft.ops.Docx.syntheticDocx(id)
+                case 2 => graft.ops.Mp3.syntheticMp3(id)
+                case _ => graft.ops.Multimodal.syntheticWav(id)
+              }
+              val (kind, feats) = graft.ops.Multimodal.decodeWithKind(bytes)
+              def dg(text: String) =
+                org.apache.commons.codec.digest.DigestUtils.md5Hex(text)
+              val (units, digest) = (id % 4) match {
+                case 0 => (feats(0).toLong, Some(dg(
+                  graft.ops.Pdf.extractText(bytes).get.mkString("\n"))))
+                case 1 => (feats(0).toLong, Some(dg(
+                  graft.ops.Docx.extractText(bytes).get.mkString("\n"))))
+                case 2 => (feats(0).toLong, None)
+                case _ => ((bytes.length - 44L) / 2, None)
+              }
+              (id, kind, units, digest)
+            }
+          }.toDF("doc_id", "kind", "n_units", "text_digest")
+          .orderBy($"doc_id")
+      },
+      // residue arithmetic collapses the per-modality counts to
+      // constants: pdf docs are even ⇒ 1 page; docx docs have
+      // doc_id%4==1 ⇒ 4 paragraphs; mp3 docs doc_id%4==2 ⇒ 5 frames;
+      // wav is the fixed 4410-sample sine
+      Some("""WITH pd AS (
+             |  SELECT doc_id, md5(array_to_string(
+             |    list_transform(range(0, 2 + doc_id % 3), i ->
+             |      'Page 0 line ' || i || ' ' ||
+             |      substring(md5(CAST(doc_id AS VARCHAR) || '|0|' || i), 1, 12) ||
+             |      CASE WHEN (doc_id + i) % 5 = 0 THEN ' (x\y)' ELSE '' END ||
+             |      CASE WHEN (doc_id + i) % 7 = 0 THEN 'A' ELSE '' END),
+             |    chr(10))) AS dg
+             |  FROM documents WHERE doc_id % 4 = 0),
+             |dx AS (
+             |  SELECT doc_id, md5(array_to_string(
+             |    list_transform(range(0, 4), i ->
+             |      'Para ' || i || ' ' ||
+             |      substring(md5(CAST(doc_id AS VARCHAR) || '|' || i), 1, 12) ||
+             |      CASE WHEN i % 3 = 0 THEN chr(9) || 'a<b & c' ELSE '' END ||
+             |      CASE WHEN i % 5 = 2 THEN chr(10) || 'wrapped x>y' ELSE '' END),
+             |    chr(10))) AS dg
+             |  FROM documents WHERE doc_id % 4 = 1)
+             |SELECT d.doc_id,
+             |  CASE CAST(d.doc_id % 4 AS INT) WHEN 0 THEN 'pdf'
+             |    WHEN 1 THEN 'docx' WHEN 2 THEN 'mp3' ELSE 'audio' END AS kind,
+             |  CAST(CASE CAST(d.doc_id % 4 AS INT) WHEN 0 THEN 1
+             |    WHEN 1 THEN 4 WHEN 2 THEN 5 ELSE 4410 END AS BIGINT) AS n_units,
+             |  coalesce(pd.dg, dx.dg) AS text_digest
+             |FROM documents d
+             |LEFT JOIN pd ON pd.doc_id = d.doc_id
+             |LEFT JOIN dx ON dx.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin))
   )
 
   /** Shared p124/s36 stage: synthesize the per-doc DOCX fixture, run

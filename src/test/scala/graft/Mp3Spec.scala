@@ -86,6 +86,18 @@ class Mp3Spec extends AnyFunSuite {
       inv.mpegVersion === "1")
   }
 
+  test("MP3 routes through the media vocabulary: media_kind = mp3") {
+    val bytes = Mp3.syntheticMp3(9L) // MPEG-1, 3 + 9%4 = 4 frames, 44100
+    val (kind, feats) = graft.ops.Multimodal.decodeWithKind(bytes)
+    assert(kind === "mp3")
+    assert(feats(0) === 4f && feats(1) === 44100f)
+    // a lone sync-shaped header (one frame) stays out of the route:
+    // arbitrary binary must not catch the mp3 label by accident
+    val one = Array(0xff, 0xfb, (4 << 4) | (0 << 2), 0xc0).map(_.toByte) ++
+      Array.fill[Byte](200)(0)
+    assert(graft.ops.Multimodal.decodeWithKind(one)._1 === "stub")
+  }
+
   test("ID3v2 prefix skips by syncsafe length; malformed syncsafe refuses") {
     val withId3 = Mp3.syntheticMp3(4L) // even seed: ID3 present
     assert(withId3.take(3).map(_.toChar).mkString === "ID3")

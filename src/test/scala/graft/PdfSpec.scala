@@ -153,6 +153,13 @@ class PdfSpec extends AnyFunSuite {
     assert(m(0x0041) === "A", "bfchar entry")
     assert(m(0x0120) === " " && m(0x017e) === "~", "bfrange endpoints")
     assert(m(0x0141) === "A", "range interior")
+    // the ARRAY-destination bfrange form (explicit dst per code), and a
+    // multi-code-unit destination (ligature expansion: one gid -> "fi")
+    val arr = Pdf.parseToUnicode(
+      ("1 beginbfrange <0001> <0003> [<0041> <0042> <0043>] endbfrange " +
+        "1 beginbfchar <0010> <00660069> endbfchar").getBytes("ISO-8859-1"))
+    assert(arr(1) === "A" && arr(2) === "B" && arr(3) === "C")
+    assert(arr(0x10) === "fi", "multi-unit UTF-16BE dst")
   }
 
   test("Type0 without a usable /ToUnicode refuses at the first show") {

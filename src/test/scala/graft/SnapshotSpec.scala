@@ -153,6 +153,24 @@ class SnapshotSpec extends AnyFunSuite {
     }
   }
 
+  test("string stats compare on UTF-8 bytes: supplementary chars never lose rows") {
+    // ADVICE r11: parquet footer binary stats order by unsigned UTF-8
+    // bytes, where U+E000 (ee 80 80) < U+1D11E (f0 9d 84 9e); Java
+    // String.compareTo (UTF-16 code units) says the OPPOSITE ( >
+    // \ud834..). A file holding BOTH values records min=U+E000, max=U+1D11E;
+    // probing [U+1D11E, U+1D11E] under UTF-16 comparison computes min > hi and
+    // wrongly prunes the file — silent row loss. The UTF-8 comparator
+    // must keep it.
+    val base = tmpBase()
+    val g = new String(Character.toChars(0x1D11E)) // musical G clef
+    val both = Seq((1L, "\ue000"), (2L, g)).toDF("id", "s")
+    Layout.appendSnapshot(base, both, filesPerVersion = 1, statsCols = Seq("s"))
+    val (df, kept, total) = Layout.readSnapshotRange(spark, base, 1, "s", g, g)
+    assert(total === 1 && kept === 1,
+      "the file whose UTF-8 range contains the probe must be kept")
+    assert(df.where($"s" === g).count() === 1, "no silent row loss")
+  }
+
   test("crash debris for the next version is swept; the retry commits") {
     // ADVICE r11: an append that died between data-file adoption and
     // manifest publish leaves data/vN-*.parquet with no vN manifest —
