@@ -4234,7 +4234,94 @@ object Advanced {
              |FROM documents d
              |LEFT JOIN pd ON pd.doc_id = d.doc_id
              |LEFT JOIN dx ON dx.doc_id = d.doc_id
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // -- sitemap ingestion (the re-crawl seed list) -----------------------------
+    // p114's meta surfaced the Sitemap URLs a robots.txt declares; this
+    // parses the documents those URLs serve (sitemaps.org protocol, StAX
+    // like ops/Docx.scala): urlset leaves yield (loc, lastmod) frontier
+    // entries, sitemapindex nodes yield child-sitemap pointers a
+    // scheduler recurses into. The fixture exercises CDATA locs, absent
+    // lastmods, foreign-namespace noise (xhtml:link) and changefreq/
+    // priority elements that must contribute nothing, plus the INDEX
+    // shape on every 4th domain. Parse rides the scan of the
+    // registry-sized corpus — no shuffle.
+    QueryDef("p129_sitemap_ingest",
+      (s, d) => {
+        import s.implicits._
+        val variant = (conv(substring(md5($"source"), 1, 6), 16, 10)
+          .cast("long") % 4).cast("int")
+        val corpus = t(s, d, "documents").select($"source").distinct()
+          .select($"source".as("domain"), variant.as("v"))
+          .as[(String, Int)]
+          .map { case (dom, v) =>
+            (dom, graft.ops.Sitemap.fixtureSitemap(dom, v))
+          }
+          .toDF("domain", "xml")
+        graft.ops.Sitemap.entryTable(corpus)
+          .orderBy($"domain", $"loc")
+      },
+      Some("""WITH doms AS (
+             |  SELECT DISTINCT source AS domain,
+             |    CAST(CAST('0x' || substring(md5(source), 1, 6) AS BIGINT) % 4 AS INT) AS v
+             |  FROM documents),
+             |urlrows AS (
+             |  SELECT domain, 'url' AS kind,
+             |    'https://' || domain || '/page-' || i AS loc,
+             |    CASE WHEN i % 2 = 1 THEN '2025-01-' ||
+             |      lpad(CAST(1 + (v + i) % 28 AS VARCHAR), 2, '0') END AS lastmod
+             |  FROM (SELECT domain, v, unnest(range(0, 2 + v % 3)) AS i
+             |        FROM doms WHERE v <> 3)),
+             |idxrows AS (
+             |  SELECT domain, 'sitemap' AS kind,
+             |    'https://' || domain || '/sitemap-a.xml' AS loc,
+             |    '2025-01-0' || CAST(1 + (v % 9) AS VARCHAR) AS lastmod
+             |  FROM doms WHERE v = 3
+             |  UNION ALL
+             |  SELECT domain, 'sitemap',
+             |    'https://' || domain || '/sitemap-b.xml', NULL
+             |  FROM doms WHERE v = 3)
+             |SELECT domain, kind, loc, lastmod FROM urlrows
+             |UNION ALL SELECT domain, kind, loc, lastmod FROM idxrows
+             |ORDER BY domain, loc""".stripMargin)),
+
+    // -- politeness-scheduled crawl frontier ------------------------------------
+    // The consumer of p114's Crawl-delay: per-domain fetch slots. Pages
+    // rank within their domain (doc-id order — deterministic retry-safe
+    // slots) and fetch_at = (rank−1) · delay, delay defaulting to 1 s
+    // where the domain declares none. One domain-keyed window over a
+    // domain-bounded partition — the frontier shuffle a scheduler pays
+    // anyway; no driver state.
+    QueryDef("p130_crawl_schedule",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val meta = graft.ops.Robots.metaTable(robotsCorpus(s, d), "graftbot")
+          .select($"domain", $"crawl_delay")
+        val pages = robotsPages(t(s, d, "documents"))
+        val w = Window.partitionBy($"domain").orderBy($"id")
+        pages.join(broadcast(meta), Seq("domain"), "left")
+          .withColumn("delay_s", coalesce($"crawl_delay", lit(1L)))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .select($"id".as("doc_id"), $"domain", $"rank", $"delay_s",
+            (($"rank" - 1) * $"delay_s").as("fetch_at_s"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH doms AS (
+             |  SELECT DISTINCT source AS domain,
+             |    CAST(CAST('0x' || substring(md5(source), 1, 6) AS BIGINT) % 4 AS INT) AS vr
+             |  FROM documents),
+             |meta(vr, delay_s) AS (VALUES (0, 2), (1, 7), (2, 1), (3, 1)),
+             |ranked AS (
+             |  SELECT d.doc_id, d.source AS domain,
+             |    CAST(row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id) AS BIGINT) AS rank,
+             |    CAST(m.delay_s AS BIGINT) AS delay_s
+             |  FROM documents d
+             |  JOIN doms dm ON dm.domain = d.source
+             |  JOIN meta m ON m.vr = dm.vr)
+             |SELECT doc_id, domain, rank, delay_s,
+             |  (rank - 1) * delay_s AS fetch_at_s
+             |FROM ranked ORDER BY doc_id""".stripMargin))
   )
 
   /** Shared p124/s36 stage: synthesize the per-doc DOCX fixture, run
