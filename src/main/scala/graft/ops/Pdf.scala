@@ -316,14 +316,38 @@ object Pdf {
       if (at < 0) bad("no startxref")
       val lx = new Lexer(buf, at + kw.length)
       val xrefOff = lx.readLong()
-      if (xrefOff < 0 || xrefOff >= buf.length) bad("dangling startxref offset")
-      val probe = new Lexer(buf, xrefOff.toInt)
-      if (probe.peekKeyword("xref")) parseXrefTable(xrefOff.toInt)
-      else parseXrefStream(xrefOff.toInt)
+      // INCREMENTAL UPDATES (ISO 32000-1 7.5.6): an edited/signed/
+      // annotated PDF appends new objects + a new xref section whose
+      // trailer `/Prev` points at the previous section — walk the whole
+      // chain, NEWEST entry wins per object, the newest trailer IS the
+      // trailer. Bounded + revisit-guarded: a hostile /Prev loop is
+      // DATA, not a hang (the cycle discipline of ADVICE r11).
+      var m = Map.empty[Int, XrefEntry]
+      var next: Option[Long] = Some(xrefOff)
+      var seen = Set.empty[Long]
+      while (next.isDefined) {
+        val off = next.get
+        if (off < 0 || off >= buf.length) bad("dangling xref offset")
+        if (seen.contains(off)) bad("xref /Prev cycle")
+        seen += off
+        if (seen.size > 64) bad("xref /Prev chain deeper than 64")
+        val probe = new Lexer(buf, off.toInt)
+        val (sec, trailer) =
+          if (probe.peekKeyword("xref")) parseXrefTable(off.toInt)
+          else parseXrefStream(off.toInt)
+        if (trailerDict == null) trailerDict = trailer
+        sec.foreach { case (num, e) => if (!m.contains(num)) m += num -> e }
+        next = trailer.m.get("Prev") match {
+          case None          => None
+          case Some(PNum(p)) => Some(p.toLong)
+          case other         => bad(s"bad /Prev $other")
+        }
+      }
+      m
     }
 
     /** Classic PDF 1.4 cross-reference TABLE + `trailer` dict. */
-    private def parseXrefTable(off: Int): Map[Int, XrefEntry] = {
+    private def parseXrefTable(off: Int): (Map[Int, XrefEntry], PDict) = {
       val xl = new Lexer(buf, off)
       xl.expect("xref")
       val m = Map.newBuilder[Int, XrefEntry]
@@ -347,11 +371,11 @@ object Pdf {
         }
       }
       xl.expect("trailer")
-      trailerDict = xl.readValueResolvingRef() match {
+      val trailer = xl.readValueResolvingRef() match {
         case d: PDict => d
         case other    => bad(s"trailer must be a dict, got $other")
       }
-      m.result()
+      (m.result(), trailer)
     }
 
     /** PDF 1.5 cross-reference STREAM: a `/Type /XRef` stream object
@@ -362,7 +386,7 @@ object Pdf {
       * /Predictor >= 10 — what real PDF writers emit on xref streams)
       * unfilter after the inflate.
       */
-    private def parseXrefStream(off: Int): Map[Int, XrefEntry] = {
+    private def parseXrefStream(off: Int): (Map[Int, XrefEntry], PDict) = {
       val (_, v, rawOpt) = parseAt(off, {
         case n: PNum => n
         case other   => bad(s"xref stream /Length must be direct, got $other")
@@ -435,8 +459,7 @@ object Pdf {
           case other => bad(s"bad xref stream entry type $other")
         }
       }
-      trailerDict = d
-      m.result()
+      (m.result(), d)
     }
 
     def trailer: PDict = trailerDict
@@ -1052,6 +1075,14 @@ object Pdf {
     val np = 1 + (seed % 2).toInt
     val compress = seed % 2 == 0
     val indirectLen = seed % 3 == 0
+    // `seed % 7 == 3` writes an INCREMENTAL UPDATE (the edited/signed/
+    // annotated-PDF layout): the BODY carries a stale revision of page
+    // 0's content, and the true content appends after the first %%EOF
+    // with its own xref section whose trailer /Prev chains back — a
+    // reader that ignores /Prev refuses (objects missing), one that
+    // reads only the old section extracts the stale text and fails the
+    // digest. The logical text is unchanged, so the p113 oracle holds.
+    val incremental = seed % 7 == 3
     val contents: Seq[Array[Byte]] = (0 until np).map { p =>
       val raw = contentOps(seed, p).getBytes("ISO-8859-1")
       if (compress) deflate(raw) else raw
@@ -1090,11 +1121,18 @@ object Pdf {
         s"/Resources << /Font << /F1 3 0 R /F2 4 0 R >> >> " +
         s"/Contents ${7 + 2 * p} 0 R >>\n"))
       obj(7 + 2 * p) {
-        val data = contents(p)
+        // incremental variant: the body's revision of page 0 is STALE
+        val data =
+          if (incremental && p == 0)
+            "BT /F1 12 Tf (stale revision) Tj ET\n".getBytes("ISO-8859-1")
+          else contents(p)
         val lenPart =
-          if (indirectLen) s"/Length ${5 + 2 * np + 1 + p} 0 R"
+          if (incremental && p == 0) s"/Length ${data.length}"
+          else if (indirectLen) s"/Length ${5 + 2 * np + 1 + p} 0 R"
           else s"/Length ${data.length}"
-        val filt = if (compress) " /Filter /FlateDecode" else ""
+        val filt =
+          if (compress && !(incremental && p == 0)) " /Filter /FlateDecode"
+          else ""
         w(s"<< $lenPart$filt >>\nstream\n")
         out.write(data)
         w("\nendstream\n")
@@ -1108,6 +1146,21 @@ object Pdf {
     for (n <- 1 to nObjs) w(f"${offsets(n)}%010d 00000 n \n")
     w(s"trailer\n<< /Size ${nObjs + 1} /Root 1 0 R >>\nstartxref\n$xrefOff\n")
     w("%%EOF\n")
+    if (incremental) {
+      // the appended revision: page 0's TRUE content + a one-entry xref
+      // section chaining back through /Prev
+      val updOff = out.size()
+      val data = contents(0)
+      val filt = if (compress) " /Filter /FlateDecode" else ""
+      w(s"7 0 obj\n<< /Length ${data.length}$filt >>\nstream\n")
+      out.write(data)
+      w("\nendstream\nendobj\n")
+      val xref2 = out.size()
+      w(s"xref\n7 1\n")
+      w(f"$updOff%010d 00000 n \n")
+      w(s"trailer\n<< /Size ${nObjs + 1} /Root 1 0 R /Prev $xrefOff >>\n")
+      w(s"startxref\n$xref2\n%%EOF\n")
+    }
     out.toByteArray
   }
 

@@ -196,6 +196,29 @@ class PdfSpec extends AnyFunSuite {
     out.toString.getBytes("ISO-8859-1")
   }
 
+  test("incremental updates: /Prev xref chains resolve, newest revision wins") {
+    // seed%7==3 (and %5!=0) appends a revision: page 0's true content
+    // lands AFTER the first %%EOF with a one-entry xref chaining back
+    Seq(3L, 17L, 24L, 38L).foreach { seed =>
+      val bytes = Pdf.syntheticPdf(seed)
+      val s = new String(bytes, "ISO-8859-1")
+      assert("startxref".r.findAllIn(s).length === 2, s"seed $seed: two sections")
+      assert(s.contains("stale revision"), s"seed $seed: stale body present")
+      assert(s.contains("/Prev "), s"seed $seed")
+      val text = Pdf.extractText(bytes).get.mkString("\n")
+      assert(text === Pdf.logicalText(seed), s"seed $seed: newest revision wins")
+      assert(!text.contains("stale"), s"seed $seed")
+    }
+    // a /Prev loop (trailer pointing at its own section) is DATA
+    val bytes = Pdf.syntheticPdf(3L)
+    val s = new String(bytes, "ISO-8859-1")
+    val x2 = s.substring(s.lastIndexOf("startxref\n") + 10).trim
+      .takeWhile(_.isDigit)
+    val looped = s.replaceFirst("/Prev \\d+", s"/Prev $x2")
+    assert(Pdf.extractText(looped.getBytes("ISO-8859-1")).isEmpty,
+      "a /Prev cycle must refuse, not hang")
+  }
+
   test("adversarial reference cycles are DATA, not a StackOverflowError") {
     // obj 2 -> 3 0 R, obj 3 -> 2 0 R: a pure indirect-reference loop on
     // the /Pages resolution path (ADVICE r11) — loops through the cache,

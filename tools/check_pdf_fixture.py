@@ -216,17 +216,30 @@ class PdfDoc:
         self.buf = buf
         self.offsets = {}   # num -> ("at", off) | ("stm", stmnum, idx)
         self._objstm = {}
-        probe = Lexer(buf, t[1])
-        probe.skip_ws()
-        if buf[probe.pos:probe.pos + 4] == b"xref":
-            self._xref_table(t[1])
-        else:
-            self._xref_stream(t[1])
+        self.trailer = None
+        # incremental updates: walk the /Prev chain, newest entry wins
+        nxt, seen = t[1], set()
+        while nxt is not None:
+            assert nxt not in seen, "/Prev cycle"
+            seen.add(nxt)
+            probe = Lexer(buf, nxt)
+            probe.skip_ws()
+            if buf[probe.pos:probe.pos + 4] == b"xref":
+                sec, trailer = self._xref_table(nxt)
+            else:
+                sec, trailer = self._xref_stream(nxt)
+            if self.trailer is None:
+                self.trailer = trailer
+            for k, v in sec.items():
+                self.offsets.setdefault(k, v)
+            prev = trailer.get("Prev")
+            nxt = prev[1] if prev is not None else None
 
     def _xref_table(self, off):
         buf = self.buf
         xl = Lexer(buf, off)
         assert xl.read_token() == ("op", "xref")
+        sec = {}
         while True:
             xl.skip_ws()
             if buf[xl.pos:xl.pos + 7] == b"trailer":
@@ -241,8 +254,8 @@ class PdfDoc:
                 tpe = chr(buf[xl.pos])
                 xl.pos += 1
                 if tpe == "n":
-                    self.offsets[start + k] = ("at", o)
-        self.trailer = xl.read_value_ref()[1]
+                    sec[start + k] = ("at", o)
+        return sec, xl.read_value_ref()[1]
 
     def _xref_stream(self, off):
         v, data = self._parse_at(off)
@@ -266,16 +279,17 @@ class PdfDoc:
                 pos += 1
             return val
 
+        sec = {}
         for start, count in zip(idx[::2], idx[1::2]):
             for k in range(count):
                 tpe = 1 if w[0] == 0 else field(w[0])
                 f2 = field(w[1])
                 f3 = field(w[2])
                 if tpe == 1:
-                    self.offsets[start + k] = ("at", f2)
+                    sec[start + k] = ("at", f2)
                 elif tpe == 2:
-                    self.offsets[start + k] = ("stm", f2, f3)
-        self.trailer = d
+                    sec[start + k] = ("stm", f2, f3)
+        return sec, d
 
     def _parse_at(self, off):
         lx = Lexer(self.buf, off)
