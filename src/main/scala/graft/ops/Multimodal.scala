@@ -388,6 +388,7 @@ object Multimodal {
       .orElse(decodeMjpegVideo(bytes).map(("mjpeg_video", _)))
       .orElse(decodePdfDoc(bytes).map(("pdf", _)))
       .orElse(decodeDocxDoc(bytes).map(("docx", _)))
+      .orElse(decodePptxDoc(bytes).map(("pptx", _)))
       .orElse(decodeMp3Doc(bytes).map(("mp3", _)))
       .getOrElse(("stub", stubDecode(bytes)))
 
@@ -411,6 +412,17 @@ object Multimodal {
     graft.ops.Docx.extractText(bytes).map { paras =>
       val text = paras.mkString("\n")
       Array(paras.size.toFloat, (1 + text.count(_ == '\n')).toFloat,
+        text.length.toFloat)
+    }
+
+  /** PPTX routed the same way: `media_kind` says "pptx", features are
+    * the extraction accounting (slides, lines, chars). The real text
+    * lives behind [[graft.ops.Pptx.extractText]] (p131).
+    */
+  def decodePptxDoc(bytes: Array[Byte]): Option[Array[Float]] =
+    graft.ops.Pptx.extractText(bytes).map { slides =>
+      val text = slides.mkString("\n")
+      Array(slides.size.toFloat, (1 + text.count(_ == '\n')).toFloat,
         text.length.toFloat)
     }
 

@@ -4321,8 +4321,59 @@ object Advanced {
              |  JOIN meta m ON m.vr = dm.vr)
              |SELECT doc_id, domain, rank, delay_s,
              |  (rank - 1) * delay_s AS fetch_at_s
-             |FROM ranked ORDER BY doc_id""".stripMargin))
+             |FROM ranked ORDER BY doc_id""".stripMargin)),
+
+    // -- PPTX text extraction ---------------------------------------------------
+    // The third office modality (the Docx recipe over DrawingML):
+    // ppt/slides/slideN.xml parts in NUMERIC order, <a:t> runs
+    // concatenating per <a:p> paragraph, <a:br/> in-paragraph breaks —
+    // while the planted notesSlide part (which also carries <a:t> runs)
+    // must contribute NOTHING. Oracle re-derives the logical deck text
+    // in closed form; mirror: tools/check_pptx_fixture.py. Per-blob
+    // mapPartitions — shuffle-free.
+    QueryDef("p131_pptx_extract",
+      (s, d) => pptxStage(t(s, d, "documents")).orderBy(col("doc_id")),
+      Some(pptxOracleSql)),
+
+    // The streaming twin, the s32/s36 pattern.
+    QueryDef("s37_stream_pptx_extract",
+      (s, d) => EventStreams.runBoundedDocs(s, d, "s37_sink", pptxStage)
+        .orderBy(col("doc_id")),
+      Some(pptxOracleSql))
   )
+
+  /** Shared p131/s37 stage. */
+  private def pptxStage(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val slides = graft.ops.Pptx.extractText(graft.ops.Pptx.syntheticPptx(id))
+          .getOrElse(throw new IllegalStateException(s"doc $id: PPTX refused"))
+        val text = slides.mkString("\n")
+        (id, slides.size, text.length.toLong,
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(text))
+      }
+    }.toDF("doc_id", "n_slides", "n_chars", "text_digest")
+  }
+
+  /** p131/s37 oracle: the deck's logical text re-derived in closed form
+    * (slide/paragraph cadence mirrors ops/Pptx.logicalPara).
+    */
+  private[queries] val pptxOracleSql: String =
+    """WITH ls AS (
+      |  SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS ns,
+      |    flatten(list_transform(range(0, 1 + doc_id % 3), s ->
+      |      list_transform(range(0, 2 + (doc_id + s) % 2), i ->
+      |        'Slide ' || s || ' para ' || i || ' ' ||
+      |        substring(md5(CAST(doc_id AS VARCHAR) || '|' || s || '|' || i), 1, 12) ||
+      |        CASE WHEN (doc_id + s + i) % 3 = 0 THEN chr(10) || 'br&k' ELSE '' END ||
+      |        CASE WHEN (doc_id + s + i) % 4 = 0 THEN ' a<b' ELSE '' END))) AS paras
+      |  FROM documents),
+      |txt AS (SELECT doc_id, ns, array_to_string(paras, chr(10)) AS t FROM ls)
+      |SELECT doc_id, ns AS n_slides,
+      |  CAST(length(t) AS BIGINT) AS n_chars, md5(t) AS text_digest
+      |FROM txt ORDER BY doc_id""".stripMargin
 
   /** Shared p124/s36 stage: synthesize the per-doc DOCX fixture, run
     * the real extractor, account paragraphs/chars + the text digest.
