@@ -92,6 +92,7 @@ object Robots {
   }
 
   def parseRobots(content: String, agent: String): Seq[RobotRule] = {
+    if (content == null) return Seq.empty // a fetch miss is allow-all
     val (groups, _) = parseGroups(content)
     chosenGroups(groups, agent).flatMap(_.rules)
   }
@@ -106,6 +107,7 @@ object Robots {
   final case class RobotsMeta(crawlDelay: Option[Long], sitemaps: Seq[String])
 
   def parseRobotsMeta(content: String, agent: String): RobotsMeta = {
+    if (content == null) return RobotsMeta(None, Seq.empty)
     val (groups, sitemaps) = parseGroups(content)
     val delays = chosenGroups(groups, agent).flatMap(_.delays)
     RobotsMeta(if (delays.isEmpty) None else Some(delays.max), sitemaps)
