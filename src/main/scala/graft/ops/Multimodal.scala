@@ -389,6 +389,7 @@ object Multimodal {
       .orElse(decodePdfDoc(bytes).map(("pdf", _)))
       .orElse(decodeDocxDoc(bytes).map(("docx", _)))
       .orElse(decodePptxDoc(bytes).map(("pptx", _)))
+      .orElse(decodeXlsxDoc(bytes).map(("xlsx", _)))
       .orElse(decodeMp3Doc(bytes).map(("mp3", _)))
       .getOrElse(("stub", stubDecode(bytes)))
 
@@ -423,6 +424,17 @@ object Multimodal {
     graft.ops.Pptx.extractText(bytes).map { slides =>
       val text = slides.mkString("\n")
       Array(slides.size.toFloat, (1 + text.count(_ == '\n')).toFloat,
+        text.length.toFloat)
+    }
+
+  /** XLSX routed the same way: `media_kind` says "xlsx", features are
+    * the extraction accounting (sheets, lines, chars) — see
+    * [[graft.ops.Xlsx.extractText]] (p132).
+    */
+  def decodeXlsxDoc(bytes: Array[Byte]): Option[Array[Float]] =
+    graft.ops.Xlsx.extractText(bytes).map { sheets =>
+      val text = sheets.mkString("\n")
+      Array(sheets.size.toFloat, (1 + text.count(_ == '\n')).toFloat,
         text.length.toFloat)
     }
 

@@ -4339,8 +4339,64 @@ object Advanced {
     QueryDef("s37_stream_pptx_extract",
       (s, d) => EventStreams.runBoundedDocs(s, d, "s37_sink", pptxStage)
         .orderBy(col("doc_id")),
-      Some(pptxOracleSql))
+      Some(pptxOracleSql)),
+
+    // -- XLSX cell-text extraction ----------------------------------------------
+    // The fourth office modality, completing the crawl-document quartet:
+    // sheetN.xml cell grids resolved through xl/sharedStrings.xml — the
+    // DEDUPLICATED string table string cells index into (the part a
+    // naive walker misses, extracting nothing but integers). The fixture
+    // exercises index REUSE across rows, rich-text <si> entries split in
+    // runs, inlineStr cells with entities, formula-result and raw
+    // numeric payloads, and reverse-order sheet parts; a dangling shared
+    // index refuses. Oracle re-derives the tab/newline cell grid in
+    // closed form; mirror: tools/check_xlsx_fixture.py.
+    QueryDef("p132_xlsx_extract",
+      (s, d) => xlsxStage(t(s, d, "documents")).orderBy(col("doc_id")),
+      Some(xlsxOracleSql)),
+
+    QueryDef("s38_stream_xlsx_extract",
+      (s, d) => EventStreams.runBoundedDocs(s, d, "s38_sink", xlsxStage)
+        .orderBy(col("doc_id")),
+      Some(xlsxOracleSql))
   )
+
+  /** Shared p132/s38 stage. */
+  private def xlsxStage(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val sheets = graft.ops.Xlsx.extractText(graft.ops.Xlsx.syntheticXlsx(id))
+          .getOrElse(throw new IllegalStateException(s"doc $id: XLSX refused"))
+        val text = sheets.mkString("\n")
+        (id, sheets.size, text.length.toLong,
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(text))
+      }
+    }.toDF("doc_id", "n_sheets", "n_chars", "text_digest")
+  }
+
+  /** p132/s38 oracle: the workbook's logical cell grid re-derived in
+    * closed form (mirrors ops/Xlsx.cellValues).
+    */
+  private[queries] val xlsxOracleSql: String =
+    """WITH ls AS (
+      |  SELECT doc_id, CAST(1 + doc_id % 2 AS INT) AS ns,
+      |    flatten(list_transform(range(0, 1 + doc_id % 2), s ->
+      |      list_transform(range(0, 2 + (doc_id + s) % 2), r ->
+      |        'Cell ' || s || ' ' || (r % 2) || ' ' ||
+      |          substring(md5(CAST(doc_id AS VARCHAR) || '|' || s || '|' || (r % 2)), 1, 10) ||
+      |        chr(9) || CAST((doc_id + s + r) % 1000 AS VARCHAR) || chr(9) ||
+      |        CASE CAST((doc_id + s + r) % 3 AS INT)
+      |          WHEN 0 THEN 'in<line> &r'
+      |          WHEN 1 THEN 'Rich ' ||
+      |            substring(md5(CAST(doc_id AS VARCHAR) || '|rich|' || s || '|' || r), 1, 6)
+      |          ELSE 'F' || CAST((doc_id * 7 + s + r) % 100 AS VARCHAR) END))) AS rows
+      |  FROM documents),
+      |txt AS (SELECT doc_id, ns, array_to_string(rows, chr(10)) AS t FROM ls)
+      |SELECT doc_id, ns AS n_sheets,
+      |  CAST(length(t) AS BIGINT) AS n_chars, md5(t) AS text_digest
+      |FROM txt ORDER BY doc_id""".stripMargin
 
   /** Shared p131/s37 stage. */
   private def pptxStage(docs: DataFrame): DataFrame = {
