@@ -402,6 +402,40 @@ object Layout {
       statsCols = statsCols, layoutCol = layoutCol)
   }
 
+  /** In-JVM companion to the OS commit lock below: `FileChannel.lock`
+    * only BLOCKS across processes — a second thread in the SAME JVM gets
+    * an `OverlappingFileLockException` instead of waiting. Same pattern
+    * as `Pipeline.cachedLayout`.
+    */
+  private val commitMutexes =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Serialize commits per snapshot base — in-JVM monitor first, then an
+    * OS file lock (`.commit.lock` sibling of `manifests/`). ADVICE r12:
+    * the crash-debris sweep in [[commitVersion]] is only safe when no
+    * OTHER live writer can be mid-adoption on the same version; without
+    * a lock, racing appenders could sweep each other's adopted-but-
+    * unpublished files and publish a manifest referencing deleted data —
+    * silent corruption. Under the lock, debris observed at entry really
+    * is debris from a crashed writer, the version number is stable for
+    * the whole adopt→publish window, and a second appender simply queues.
+    * The manifest target-absence assertion stays as the loud backstop.
+    */
+  private def withCommitLock[A](base: java.nio.file.Path)(body: => A): A = {
+    val key = base.toAbsolutePath.normalize.toString
+    val mutex = commitMutexes.computeIfAbsent(key, _ => new Object)
+    mutex.synchronized {
+      val lockPath = base.resolve(".commit.lock")
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lk = ch.lock() // blocks until a competing process commits
+        try body finally lk.release()
+      } finally ch.close()
+    }
+  }
+
   private def commitVersion(base: java.nio.file.Path, df: DataFrame,
                             filesPerVersion: Int, batchId: Option[Long],
                             statsCols: Seq[String], layoutCol: Option[String],
@@ -412,13 +446,15 @@ object Layout {
     val manDir = base.resolve("manifests")
     java.nio.file.Files.createDirectories(dataDir)
     java.nio.file.Files.createDirectories(manDir)
+    withCommitLock(base) {
     val prev = snapshotVersions(base)
     // replay of an already-committed batch: the latest manifest carries
     // this batchId — the caller crashed after publish but before its own
     // offset commit. Idempotent skip, same version back.
     val replayOf: Option[Int] = batchId.flatMap(id =>
       prev.lastOption.filter(pv => readManifest(base, pv)._1.contains(id)))
-    if (replayOf.isDefined) return replayOf.get
+    if (replayOf.isDefined) replayOf.get
+    else {
     val version = prev.lastOption.getOrElse(0) + 1
     // crash debris: data files for THIS version with no vN manifest can
     // only be leftovers of an append that died between data-file adoption
@@ -469,6 +505,8 @@ object Layout {
     java.nio.file.Files.move(tmp, target,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     version
+    }
+    }
   }
 
   /** The file list pinned by manifest `version`. */

@@ -641,8 +641,16 @@ object Pdf {
     *    only fail when a show actually USES them.
     */
   private final case class FontDec(twoByte: Boolean,
-                                   cmap: Option[Map[Int, String]],
+                                   cmapThunk: Option[() => Map[Int, String]],
                                    refuse: Boolean) {
+    /** The /ToUnicode mapping, parsed ON FIRST USE (ADVICE r12:
+      * [[pageFonts]] builds a decoder for every font the page's
+      * /Resources names; an eager CMap parse meant one malformed
+      * /ToUnicode on a font NO show ever uses refused the whole
+      * document. Lazy, a broken CMap only rejects when a show actually
+      * decodes through it — matching the refuse-flag semantics.)
+      */
+    private lazy val cmap: Option[Map[Int, String]] = cmapThunk.map(_())
     def decode(raw: String): String = {
       if (refuse) bad("show through a font with no encoding and no /ToUnicode")
       val codes: Seq[Int] =
@@ -733,20 +741,25 @@ object Pdf {
   private val StandardEncodings =
     Set("WinAnsiEncoding", "MacRomanEncoding", "StandardEncoding")
 
-  /** Build the decoder for one font dict. */
+  /** Build the decoder for one font dict. The /ToUnicode CMap PARSE is
+    * deferred into the returned decoder (a thunk run on first show) —
+    * only the key's PRESENCE is decided here, so defining a font with a
+    * malformed CMap is harmless until a show uses it (ADVICE r12).
+    */
   private def fontDec(doc: Doc, d: PDict): FontDec = {
-    def toUnicode: Option[Map[Int, String]] = d.m.get("ToUnicode").map { r =>
-      val (v, rawOpt) = r match {
-        case PRef(n, _) => doc.obj(n)
-        case _          => bad("/ToUnicode must be an indirect stream")
+    val toUnicode: Option[() => Map[Int, String]] =
+      d.m.get("ToUnicode").map { r => () =>
+        val (v, rawOpt) = r match {
+          case PRef(n, _) => doc.obj(n)
+          case _          => bad("/ToUnicode must be an indirect stream")
+        }
+        val dd = v match {
+          case x: PDict => x
+          case other    => bad(s"/ToUnicode is not a stream dict: $other")
+        }
+        parseToUnicode(decodeStream(doc, dd,
+          rawOpt.getOrElse(bad("/ToUnicode has no stream data"))))
       }
-      val dd = v match {
-        case x: PDict => x
-        case other    => bad(s"/ToUnicode is not a stream dict: $other")
-      }
-      parseToUnicode(decodeStream(doc, dd,
-        rawOpt.getOrElse(bad("/ToUnicode has no stream data"))))
-    }
     doc.resolve(d.m.getOrElse("Subtype", PNull)) match {
       case PName("Type0") =>
         // composite font: only Identity-H byte-pair codes are readable,
@@ -756,14 +769,14 @@ object Pdf {
           case _                   => false
         }
         toUnicode match {
-          case Some(m) if identityH => FontDec(twoByte = true, Some(m), refuse = false)
+          case Some(t) if identityH => FontDec(twoByte = true, Some(t), refuse = false)
           case _ => FontDec(twoByte = true, None, refuse = true)
         }
       case _ =>
         // simple font (Type1/TrueType/Type3): ToUnicode wins when
         // present; else a standard /Encoding (or none) passes bytes
         toUnicode match {
-          case Some(m) => FontDec(twoByte = false, Some(m), refuse = false)
+          case Some(t) => FontDec(twoByte = false, Some(t), refuse = false)
           case None => doc.resolve(d.m.getOrElse("Encoding", PNull)) match {
             case PNull => FontDec(twoByte = false, None, refuse = false)
             case PName(enc) if StandardEncodings.contains(enc) =>

@@ -27,32 +27,59 @@ object Pptx {
 
   private val SlideName = "ppt/slides/slide(\\d+)\\.xml".r
 
-  /** (slide number, xml bytes) for every slide part, numeric order. */
+  /** Slide xml parts in PRESENTATION order. When the deck carries
+    * `ppt/presentation.xml` + its rels, the authored order is the
+    * `<p:sldIdLst>` r:id sequence resolved through
+    * `ppt/_rels/presentation.xml.rels` (ADVICE r12 — real decks with
+    * renumbered parts extract wrongly under a numeric sort; a
+    * referenced-but-missing slide part refuses). A package without a
+    * presentation part falls back to numeric part order.
+    */
   private def slideParts(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
     val zin = new java.util.zip.ZipInputStream(
       new java.io.ByteArrayInputStream(bytes))
-    val parts = scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])]()
+    val parts = scala.collection.mutable.ArrayBuffer[(Int, String, Array[Byte])]()
+    var pres: Option[Array[Byte]] = None
+    var rels: Option[Array[Byte]] = None
     try {
       var entry = zin.getNextEntry
       while (entry != null) {
+        def slurp(): Array[Byte] = {
+          val out = new java.io.ByteArrayOutputStream(8192)
+          val buf = new Array[Byte](8192)
+          var r = zin.read(buf)
+          while (r >= 0) {
+            if (out.size() + r > MaxXmlBytes)
+              throw new IllegalArgumentException("part exceeds cap")
+            out.write(buf, 0, r)
+            r = zin.read(buf)
+          }
+          out.toByteArray
+        }
         entry.getName match {
-          case SlideName(n) =>
-            val out = new java.io.ByteArrayOutputStream(8192)
-            val buf = new Array[Byte](8192)
-            var r = zin.read(buf)
-            while (r >= 0) {
-              if (out.size() + r > MaxXmlBytes)
-                throw new IllegalArgumentException("slide exceeds cap")
-              out.write(buf, 0, r)
-              r = zin.read(buf)
-            }
-            parts += ((n.toInt, out.toByteArray))
+          case SlideName(n) => parts += ((n.toInt, entry.getName, slurp()))
+          case "ppt/presentation.xml" => pres = Some(slurp())
+          case "ppt/_rels/presentation.xml.rels" => rels = Some(slurp())
           case _ => ()
         }
         entry = zin.getNextEntry
       }
     } finally zin.close()
-    if (parts.isEmpty) None else Some(parts.sortBy(_._1).map(_._2).toSeq)
+    (pres, rels) match {
+      case (Some(p), Some(r)) =>
+        val byName = parts.map(e => e._2 -> e._3).toMap
+        val ordered = Opc.orderedTargets(p, r, "sldId", "/slide", "ppt/")
+          .map(name => byName.getOrElse(name,
+            throw new IllegalArgumentException(s"sldIdLst names missing part $name")))
+        if (ordered.isEmpty) None else Some(ordered)
+      case (Some(_), None) =>
+        // an authored order we cannot resolve: refuse loudly rather
+        // than guess numeric
+        throw new IllegalArgumentException("presentation.xml without its rels")
+      case _ =>
+        if (parts.isEmpty) None
+        else Some(parts.sortBy(_._1).map(_._3).toSeq)
+    }
   }
 
   private def slideText(xml: Array[Byte]): String = {
@@ -135,9 +162,20 @@ object Pptx {
   private[graft] def logicalSlide(seed: Long, s: Int): String =
     (0 until nParas(seed, s)).map(i => logicalPara(seed, s, i)).mkString("\n")
 
-  /** Full logical deck text: slides joined by `\n`. */
+  /** seed%4==1 decks carry presentation.xml + rels whose sldIdLst
+    * REVERSES the numeric part order — the authored order is the rels
+    * order, so a numeric-sort extractor fails the oracle on this class.
+    */
+  private[graft] def relsOrdered(seed: Long): Boolean = seed % 4 == 1
+
+  /** Slide indices in PRESENTATION order. */
+  private[graft] def slideOrder(seed: Long): Seq[Int] =
+    if (relsOrdered(seed)) (nSlides(seed) - 1) to 0 by -1
+    else 0 until nSlides(seed)
+
+  /** Full logical deck text: slides in presentation order, joined `\n`. */
   private[graft] def logicalText(seed: Long): String =
-    (0 until nSlides(seed)).map(s => logicalSlide(seed, s)).mkString("\n")
+    slideOrder(seed).map(s => logicalSlide(seed, s)).mkString("\n")
 
   private def xmlEscape(s: String): String =
     s.flatMap {
@@ -193,9 +231,35 @@ object Pptx {
         "openxmlformats.org/presentationml/2006/main\"><p:cSld><p:spTree>" +
         "<p:sp><p:txBody><a:p><a:r><a:t>NOTES noise must not leak</a:t>" +
         "</a:r></a:p></p:txBody></p:sp></p:spTree></p:cSld></p:notes>"
+    // the rels-ordered class: presentation.xml lists slide parts in
+    // REVERSED numeric order (rId{n+1}..rId2); rId1 is a notesSlide
+    // relationship the type filter must skip
+    val relNs = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    val presentation =
+      "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>" +
+        "<p:presentation xmlns:p=\"http://schemas.openxmlformats.org/" +
+        s"""presentationml/2006/main" xmlns:r="$relNs"><p:sldIdLst>""" +
+        (n to 1 by -1).map(k =>
+          s"""<p:sldId id="${255 + k}" r:id="rId${k + 1}"/>""").mkString +
+        "</p:sldIdLst></p:presentation>"
+    val presRels =
+      "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>" +
+        "<Relationships xmlns=\"http://schemas.openxmlformats.org/package/" +
+        "2006/relationships\">" +
+        s"""<Relationship Id="rId1" Type="$relNs/notesSlide" """ +
+        "Target=\"notesSlides/notesSlide1.xml\"/>" +
+        (1 to n).map(k =>
+          s"""<Relationship Id="rId${k + 1}" Type="$relNs/slide" """ +
+            s"""Target="slides/slide$k.xml"/>""").mkString +
+        "</Relationships>"
+    val orderParts =
+      if (relsOrdered(seed))
+        Seq("ppt/presentation.xml" -> presentation,
+          "ppt/_rels/presentation.xml.rels" -> presRels)
+      else Seq.empty
     // slides enter the zip in REVERSE numeric order
     val entries =
-      Seq("[Content_Types].xml" -> contentTypes) ++
+      Seq("[Content_Types].xml" -> contentTypes) ++ orderParts ++
         (n to 1 by -1).map(k => s"ppt/slides/slide$k.xml" -> slideXml(seed, k - 1)) ++
         Seq("ppt/notesSlides/notesSlide1.xml" -> notes)
     val out = new java.io.ByteArrayOutputStream()

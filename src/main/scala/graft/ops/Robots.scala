@@ -69,8 +69,15 @@ object Robots {
             if (value.nonEmpty) curRules :+= RobotRule(value, key == "allow")
           case "crawl-delay" =>
             inAgents = false
-            // integer seconds only; anything else is an ignored line
-            if (value.matches("\\d{1,9}")) curDelays :+= value.toLong
+            // integer OR decimal seconds (the Bing/Yandex convention
+            // allows 'Crawl-delay: 0.5'; ADVICE r12 — dropping those
+            // under-throttled the domain to the 1 s default). Fractions
+            // CEIL to whole seconds: the scheduler's unit is seconds and
+            // rounding up is the polite direction. Anything else is an
+            // ignored line.
+            if (value.matches("\\d{1,9}(\\.\\d{1,6})?"))
+              curDelays :+= new java.math.BigDecimal(value)
+                .setScale(0, java.math.RoundingMode.CEILING).longValueExact()
           case "sitemap" =>
             inAgents = false
             if (value.nonEmpty) sitemaps :+= value
@@ -301,8 +308,11 @@ object Robots {
     */
   def fixtureRobots(v: Int): String = (v & 3) match {
     case 0 =>
+      // the DECIMAL 2.5 (Bing/Yandex convention, ADVICE r12) ceils to 3
+      // and out-polites the integer 2 — the oracle pins delay 3, so
+      // dropping fractional lines regresses the hash
       "# corpus opt-out\nUser-agent: *\nDisallow: /private\n" +
-        "Allow: /private/ok\nCrawl-delay: 2\n"
+        "Allow: /private/ok\nCrawl-delay: 2\nCrawl-delay: 2.5\n"
     case 1 =>
       // group-scoped Crawl-delay: the GraftBot group's 7 binds graftbot,
       // the * group's 1 does not (specific shadows *)

@@ -156,24 +156,38 @@ object Xlsx {
     try {
       val zin = new java.util.zip.ZipInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val sheets = scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])]()
+      val sheets = scala.collection.mutable.ArrayBuffer[(Int, String, Array[Byte])]()
       var sstXml: Option[Array[Byte]] = None
+      var wbXml: Option[Array[Byte]] = None
+      var wbRels: Option[Array[Byte]] = None
       try {
         var entry = zin.getNextEntry
         while (entry != null) {
           entry.getName match {
-            case SheetName(n)          => sheets += ((n.toInt, readAll(zin)))
-            case "xl/sharedStrings.xml" => sstXml = Some(readAll(zin))
-            case _                     => ()
+            case SheetName(n) => sheets += ((n.toInt, entry.getName, readAll(zin)))
+            case "xl/sharedStrings.xml"       => sstXml = Some(readAll(zin))
+            case "xl/workbook.xml"            => wbXml = Some(readAll(zin))
+            case "xl/_rels/workbook.xml.rels" => wbRels = Some(readAll(zin))
+            case _                            => ()
           }
           entry = zin.getNextEntry
         }
       } finally zin.close()
-      if (sheets.isEmpty) None
-      else {
-        val sst = sstXml.map(parseSharedStrings).getOrElse(Vector.empty)
-        Some(sheets.sortBy(_._1).map(p => sheetText(p._2, sst)).toVector)
+      val sst = sstXml.map(parseSharedStrings).getOrElse(Vector.empty)
+      // ADVICE r12: the authored sheet order is workbook.xml's <sheet>
+      // r:id sequence through the workbook rels; numeric part order is
+      // only the fallback for a package without a workbook part
+      val ordered: Seq[Array[Byte]] = (wbXml, wbRels) match {
+        case (Some(wb), Some(rl)) =>
+          val byName = sheets.map(e => e._2 -> e._3).toMap
+          Opc.orderedTargets(wb, rl, "sheet", "/worksheet", "xl/")
+            .map(name => byName.getOrElse(name,
+              bad(s"workbook names missing part $name")))
+        case (Some(_), None) => bad("workbook.xml without its rels")
+        case _               => sheets.sortBy(_._1).map(_._3).toSeq
       }
+      if (ordered.isEmpty) None
+      else Some(ordered.map(p => sheetText(p, sst)).toVector)
     } catch {
       case _: java.io.IOException => None
       case _: javax.xml.stream.XMLStreamException => None
@@ -211,9 +225,21 @@ object Xlsx {
     (0 until nRows(seed, s)).map(r => cellValues(seed, s, r).mkString("\t"))
       .mkString("\n")
 
-  /** Full logical workbook text: sheets joined by `\n`. */
+  /** seed%4==3 workbooks carry workbook.xml + rels whose <sheets> list
+    * REVERSES the numeric part order (seed%4==3 ⇒ seed odd ⇒ 2 sheets,
+    * so the reversal is always load-bearing) — a numeric-sort extractor
+    * fails the oracle on this class (ADVICE r12).
+    */
+  private[graft] def relsOrdered(seed: Long): Boolean = seed % 4 == 3
+
+  /** Sheet indices in WORKBOOK order. */
+  private[graft] def sheetOrder(seed: Long): Seq[Int] =
+    if (relsOrdered(seed)) (nSheets(seed) - 1) to 0 by -1
+    else 0 until nSheets(seed)
+
+  /** Full logical workbook text: sheets in workbook order, joined `\n`. */
   private[graft] def logicalText(seed: Long): String =
-    (0 until nSheets(seed)).map(s => logicalSheet(seed, s)).mkString("\n")
+    sheetOrder(seed).map(s => logicalSheet(seed, s)).mkString("\n")
 
   private def xmlEscape(s: String): String =
     s.flatMap {
@@ -268,8 +294,34 @@ object Xlsx {
         "<Types xmlns=\"http://schemas.openxmlformats.org/package/2006/" +
         "content-types\">" +
         "<Default Extension=\"xml\" ContentType=\"application/xml\"/></Types>"
+    // the rels-ordered class: workbook.xml lists sheet parts in REVERSED
+    // numeric order; rId1 is the sharedStrings relationship the type
+    // filter must skip
+    val relNs = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    val workbook =
+      "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>" +
+        "<workbook xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/" +
+        s"""2006/main" xmlns:r="$relNs"><sheets>""" +
+        (n to 1 by -1).map(k =>
+          s"""<sheet name="S$k" sheetId="$k" r:id="rId${k + 1}"/>""").mkString +
+        "</sheets></workbook>"
+    val wbRels =
+      "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>" +
+        "<Relationships xmlns=\"http://schemas.openxmlformats.org/package/" +
+        "2006/relationships\">" +
+        s"""<Relationship Id="rId1" Type="$relNs/sharedStrings" """ +
+        "Target=\"sharedStrings.xml\"/>" +
+        (1 to n).map(k =>
+          s"""<Relationship Id="rId${k + 1}" Type="$relNs/worksheet" """ +
+            s"""Target="worksheets/sheet$k.xml"/>""").mkString +
+        "</Relationships>"
+    val orderParts =
+      if (relsOrdered(seed))
+        Seq("xl/workbook.xml" -> workbook,
+          "xl/_rels/workbook.xml.rels" -> wbRels)
+      else Seq.empty
     val entries =
-      Seq("[Content_Types].xml" -> contentTypes) ++
+      Seq("[Content_Types].xml" -> contentTypes) ++ orderParts ++
         (n to 1 by -1).map(k => s"xl/worksheets/sheet$k.xml" -> sheetXmls(k - 1)) ++
         Seq("xl/sharedStrings.xml" -> sst)
     val out = new java.io.ByteArrayOutputStream()

@@ -3259,7 +3259,7 @@ object Advanced {
              |  FROM v JOIN rules r ON r.vr = v.vr
              |    AND regexp_matches(v.path, r.rx)),
              |meta(vr, crawl_delay, n_sitemaps, sitemap) AS (VALUES
-             |  (0, 2, 0, NULL),
+             |  (0, 3, 0, NULL),
              |  (1, 7, 0, NULL),
              |  (2, NULL, 2, 'https://x.example/s.xml'),
              |  (3, NULL, 0, NULL))
@@ -4311,7 +4311,7 @@ object Advanced {
              |  SELECT DISTINCT source AS domain,
              |    CAST(CAST('0x' || substring(md5(source), 1, 6) AS BIGINT) % 4 AS INT) AS vr
              |  FROM documents),
-             |meta(vr, delay_s) AS (VALUES (0, 2), (1, 7), (2, 1), (3, 1)),
+             |meta(vr, delay_s) AS (VALUES (0, 3), (1, 7), (2, 1), (3, 1)),
              |ranked AS (
              |  SELECT d.doc_id, d.source AS domain,
              |    CAST(row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id) AS BIGINT) AS rank,
@@ -4382,7 +4382,9 @@ object Advanced {
   private[queries] val xlsxOracleSql: String =
     """WITH ls AS (
       |  SELECT doc_id, CAST(1 + doc_id % 2 AS INT) AS ns,
-      |    flatten(list_transform(range(0, 1 + doc_id % 2), s ->
+      |    flatten(list_transform(
+      |      CASE WHEN doc_id % 4 = 3 THEN list_reverse(range(0, 1 + doc_id % 2))
+      |           ELSE range(0, 1 + doc_id % 2) END, s ->
       |      list_transform(range(0, 2 + (doc_id + s) % 2), r ->
       |        'Cell ' || s || ' ' || (r % 2) || ' ' ||
       |          substring(md5(CAST(doc_id AS VARCHAR) || '|' || s || '|' || (r % 2)), 1, 10) ||
@@ -4419,7 +4421,9 @@ object Advanced {
   private[queries] val pptxOracleSql: String =
     """WITH ls AS (
       |  SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS ns,
-      |    flatten(list_transform(range(0, 1 + doc_id % 3), s ->
+      |    flatten(list_transform(
+      |      CASE WHEN doc_id % 4 = 1 THEN list_reverse(range(0, 1 + doc_id % 3))
+      |           ELSE range(0, 1 + doc_id % 3) END, s ->
       |      list_transform(range(0, 2 + (doc_id + s) % 2), i ->
       |        'Slide ' || s || ' para ' || i || ' ' ||
       |        substring(md5(CAST(doc_id AS VARCHAR) || '|' || s || '|' || i), 1, 12) ||

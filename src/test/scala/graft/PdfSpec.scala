@@ -140,6 +140,38 @@ class PdfSpec extends AnyFunSuite {
     assert(out.isEmpty || out.get.mkString("\n") != Pdf.logicalText(2L))
   }
 
+  test("a malformed /ToUnicode on an UNUSED font does not refuse the doc (ADVICE r12)") {
+    // two fonts in /Resources: F1 plain Type1, F2 with a /ToUnicode CMap
+    // whose bfchar src code is 5 bytes wide (parse error). The CMap must
+    // only be parsed when a show decodes THROUGH F2 — defining it is free.
+    def doc(content: String): Array[Byte] = {
+      val raw = content.getBytes("ISO-8859-1")
+      val cmap = "1 beginbfchar <4141414141> <0041> endbfchar".getBytes("ISO-8859-1")
+      val out = new java.io.ByteArrayOutputStream()
+      def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+      val off = new Array[Int](9)
+      def obj(n: Int)(b: => Unit): Unit = { off(n) = out.size(); w(s"$n 0 obj\n"); b; w("endobj\n") }
+      w("%PDF-1.4\n")
+      obj(1)(w("<< /Type /Catalog /Pages 2 0 R >>\n"))
+      obj(2)(w("<< /Type /Pages /Kids [3 0 R] /Count 1 " +
+        "/Resources << /Font << /F1 5 0 R /F2 6 0 R >> >> >>\n"))
+      obj(3)(w("<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n"))
+      obj(4) { w(s"<< /Length ${raw.length} >>\nstream\n"); out.write(raw); w("\nendstream\n") }
+      obj(5)(w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n"))
+      obj(6)(w("<< /Type /Font /Subtype /Type1 /BaseFont /Broken /ToUnicode 7 0 R >>\n"))
+      obj(7) { w(s"<< /Length ${cmap.length} >>\nstream\n"); out.write(cmap); w("\nendstream\n") }
+      val x = out.size()
+      w("xref\n0 8\n0000000000 65535 f \n")
+      (1 to 7).foreach(n => w(f"${off(n)}%010d 00000 n \n"))
+      w(s"trailer\n<< /Size 8 /Root 1 0 R >>\nstartxref\n$x\n%%EOF\n")
+      out.toByteArray
+    }
+    // F2 never shows: the broken CMap must not reject the document
+    assert(Pdf.extractText(doc("BT /F1 9 Tf (fine) Tj ET")).get === Vector("fine"))
+    // the SAME font, actually used: refuse at the show, not silently pass
+    assert(Pdf.extractText(doc("BT /F2 9 Tf (A) Tj ET")).isEmpty)
+  }
+
   test("Type0 seeds decode glyph ids through the /ToUnicode CMap") {
     // seed 2: 1.4 layout, %3==2 -> odd lines show 2-byte gids under /F2;
     // seed 5 and 20: the SAME font variant under the 1.5 layout. The

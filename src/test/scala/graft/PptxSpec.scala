@@ -43,6 +43,43 @@ class PptxSpec extends AnyFunSuite {
     assert(slides === (1 to 12).map(k => s"deck $k").toVector)
   }
 
+  test("presentation.xml sldIdLst order WINS over numeric part order (ADVICE r12)") {
+    // seed%4==1 decks carry presentation.xml listing parts in reversed
+    // numeric order — extraction must follow the rels, and logicalText
+    // mirrors it
+    val seed = (0L until 16L).find(sd =>
+      Pptx.relsOrdered(sd) && Pptx.nSlides(sd) > 1).get
+    val slides = Pptx.extractText(Pptx.syntheticPptx(seed)).get
+    assert(slides.mkString("\n") === Pptx.logicalText(seed))
+    // the rels order really is the reverse of the numeric order
+    val numeric = (0 until Pptx.nSlides(seed))
+      .map(s => Pptx.logicalSlide(seed, s)).mkString("\n")
+    assert(slides.mkString("\n") !== numeric,
+      "rels reversal must be observable")
+    assert(slides === (Pptx.nSlides(seed) - 1 to 0 by -1)
+      .map(s => Pptx.logicalSlide(seed, s)).toVector)
+    // presentation.xml WITHOUT its rels cannot resolve r:ids: refuse
+    val bytes = Pptx.syntheticPptx(seed)
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val out = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(out)
+    var e = zin.getNextEntry
+    while (e != null) {
+      if (e.getName != "ppt/_rels/presentation.xml.rels") {
+        zos.putNextEntry(new java.util.zip.ZipEntry(e.getName))
+        val buf = new Array[Byte](8192)
+        var r = zin.read(buf)
+        while (r >= 0) { zos.write(buf, 0, r); r = zin.read(buf) }
+        zos.closeEntry()
+      }
+      e = zin.getNextEntry
+    }
+    zin.close(); zos.close()
+    assert(Pptx.extractText(out.toByteArray).isEmpty,
+      "unresolvable authored order must refuse, not guess numeric")
+  }
+
   test("corrupt containers refuse; zero-slide decks refuse") {
     assert(Pptx.extractText(null).isEmpty)
     assert(Pptx.extractText("not a zip".getBytes).isEmpty)

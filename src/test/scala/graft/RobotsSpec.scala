@@ -67,10 +67,22 @@ class RobotsSpec extends AnyFunSuite {
     assert(parseRobotsMeta(Robots.fixtureRobots(3), "graftbot")
       .crawlDelay === None)
     // several delays in the chosen groups: the LARGEST (politest) wins;
-    // non-integer values are ignored lines
+    // non-numeric values are ignored lines
     val multi = "User-agent: *\nCrawl-delay: 3\nDisallow: /a\n\n" +
       "User-agent: *\nCrawl-delay: 5\nCrawl-delay: oops\n"
     assert(parseRobotsMeta(multi, "graftbot").crawlDelay === Some(5L))
+    // fractional delays (Bing/Yandex convention, ADVICE r12) ceil to
+    // whole seconds instead of being dropped
+    assert(parseRobotsMeta("User-agent: *\nCrawl-delay: 0.5\n", "graftbot")
+      .crawlDelay === Some(1L))
+    assert(parseRobotsMeta("User-agent: *\nCrawl-delay: 2.25\n", "graftbot")
+      .crawlDelay === Some(3L))
+    // fixture variant 0 now declares 2 AND 2.5 — effective delay 3
+    assert(parseRobotsMeta(Robots.fixtureRobots(0), "graftbot")
+      .crawlDelay === Some(3L))
+    // an exact integer written decimally stays exact
+    assert(parseRobotsMeta("User-agent: *\nCrawl-delay: 4.0\n", "graftbot")
+      .crawlDelay === Some(4L))
   }
 
   test("hostile wildcard-stacked rules match in linear time (no regex DoS)") {

@@ -57,6 +57,16 @@ class XlsxSpec extends AnyFunSuite {
       "an out-of-range shared index must refuse, not swap strings")
   }
 
+  test("workbook.xml <sheets> order WINS over numeric part order (ADVICE r12)") {
+    // seed%4==3 workbooks list sheet parts in reversed numeric order
+    val seed = (0L until 16L).find(Xlsx.relsOrdered).get
+    assert(Xlsx.nSheets(seed) === 2, "seed%4==3 is odd, so two sheets")
+    val sheets = Xlsx.extractText(Xlsx.syntheticXlsx(seed)).get
+    assert(sheets.mkString("\n") === Xlsx.logicalText(seed))
+    assert(sheets === Vector(Xlsx.logicalSheet(seed, 1), Xlsx.logicalSheet(seed, 0)),
+      "workbook order is the REVERSE of numeric part order on this class")
+  }
+
   test("corrupt containers refuse; other OPC packages refuse") {
     assert(Xlsx.extractText(null).isEmpty)
     assert(Xlsx.extractText("not a zip".getBytes).isEmpty)

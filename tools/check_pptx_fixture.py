@@ -3,8 +3,10 @@
 dumped by PptxSpec ('fixture dump' writes target/pptx-fixtures/seed*.pptx
 + .txt goldens) with Python's zipfile + ElementTree — zero shared code
 with graft.ops.Pptx — and compare against the golden logical text.
-Checks numeric slide ordering, run concatenation, <a:br/> breaks,
-entity decoding, and that notesSlide parts contribute nothing.
+Checks slide ordering (presentation.xml sldIdLst rels order when the
+part is present, numeric part order otherwise), run concatenation,
+<a:br/> breaks, entity decoding, and that notesSlide parts contribute
+nothing.
 
 Run after `sbt "testOnly graft.PptxSpec"`:
     python3 tools/check_pptx_fixture.py
@@ -34,12 +36,28 @@ def slide_text(xml):
     return "\n".join(paras)
 
 
+R = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+P = "{http://schemas.openxmlformats.org/presentationml/2006/main}"
+PKR = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+
+
+def ordered_names(z):
+    names = z.namelist()
+    if "ppt/presentation.xml" in names:
+        rels = ET.fromstring(z.read("ppt/_rels/presentation.xml.rels"))
+        target = {rel.get("Id"): rel.get("Target")
+                  for rel in rels.iter(PKR + "Relationship")
+                  if rel.get("Type").endswith("/slide")}
+        pres = ET.fromstring(z.read("ppt/presentation.xml"))
+        return ["ppt/" + target[sld.get(R + "id")]
+                for sld in pres.iter(P + "sldId")]
+    return [n for _, n in sorted(
+        ((int(SLIDE.match(n).group(1)), n) for n in names if SLIDE.match(n)))]
+
+
 def extract(data):
     with zipfile.ZipFile(io.BytesIO(data)) as z:
-        slides = sorted(
-            ((int(SLIDE.match(n).group(1)), n) for n in z.namelist()
-             if SLIDE.match(n)))
-        return "\n".join(slide_text(z.read(n)) for _, n in slides)
+        return "\n".join(slide_text(z.read(n)) for n in ordered_names(z))
 
 
 def main():

@@ -4,7 +4,9 @@ dumped by XlsxSpec ('fixture dump' writes target/xlsx-fixtures/seed*.xlsx
 + .txt goldens) with Python's zipfile + ElementTree — zero shared code
 with graft.ops.Xlsx — and compare against the golden logical text.
 Checks shared-string resolution (dedup + rich-text run concatenation),
-inlineStr/formula/numeric cells, and numeric sheet ordering.
+inlineStr/formula/numeric cells, and sheet ordering (workbook.xml
+<sheets> rels order when the part is present, numeric part order
+otherwise).
 
 Run after `sbt "testOnly graft.XlsxSpec"`:
     python3 tools/check_xlsx_fixture.py
@@ -48,14 +50,30 @@ def sheet_text(xml, sst):
     return "\n".join(rows)
 
 
+R = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+PKR = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+
+
+def ordered_names(z, names):
+    if "xl/workbook.xml" in names:
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        target = {rel.get("Id"): rel.get("Target")
+                  for rel in rels.iter(PKR + "Relationship")
+                  if rel.get("Type").endswith("/worksheet")}
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        return ["xl/" + target[sh.get(R + "id")]
+                for sh in wb.iter(NS + "sheet")]
+    return [n for _, n in sorted(
+        (int(SHEET.match(n).group(1)), n) for n in names if SHEET.match(n))]
+
+
 def extract(data):
     with zipfile.ZipFile(io.BytesIO(data)) as z:
         names = z.namelist()
         sst = (shared_strings(z.read("xl/sharedStrings.xml"))
                if "xl/sharedStrings.xml" in names else [])
-        sheets = sorted((int(SHEET.match(n).group(1)), n)
-                        for n in names if SHEET.match(n))
-        return "\n".join(sheet_text(z.read(n), sst) for _, n in sheets)
+        return "\n".join(sheet_text(z.read(n), sst)
+                         for n in ordered_names(z, names))
 
 
 def main():
