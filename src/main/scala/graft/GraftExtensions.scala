@@ -179,6 +179,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.HtmlText].getName, "html_text"),
       arity("html_text", 1)(exprs => graft.functions.HtmlText(exprs(0)))))
+    // DOM-aware main-content election (readability/trafilatura class):
+    // per-document structural extraction, no corpus pass
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("html_main"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.HtmlMain].getName, "html_main"),
+      arity("html_main", 1)(exprs => graft.functions.HtmlMain(exprs(0)))))
     // host-dialect function-name aliases (len, list_*, string_split,
     // regexp_matches, ...) — vocabulary parity so reference-host statements
     // resolve unchanged; every alias is a native codegen'd expression

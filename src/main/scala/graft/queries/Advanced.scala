@@ -4358,8 +4358,73 @@ object Advanced {
     QueryDef("s38_stream_xlsx_extract",
       (s, d) => EventStreams.runBoundedDocs(s, d, "s38_sink", xlsxStage)
         .orderBy(col("doc_id")),
-      Some(xlsxOracleSql))
+      Some(xlsxOracleSql)),
+
+    // -- DOM-aware main-content extraction ---------------------------------------
+    // The trafilatura/readability stage (VERDICT r12 #1): per-document
+    // STRUCTURAL extraction — parse to an element tree, prune semantic/
+    // token boilerplate subtrees, score candidate containers by direct
+    // text (link chars 3× against, readability half-propagation upward),
+    // elect the max and emit its subtree blocks. The fixture plants each
+    // trap at a known density: a header/nav (semantic prune), a 100%-
+    // anchor link farm `div.zone-b` (must lose on DENSITY alone — no
+    // prunable token), a token-pruned sidebar and comments section, and
+    // the content container `div.zone-a`. The oracle pins the WINNER
+    // signature and the closed-form content text — a mis-election, a
+    // leaked boilerplate block, or a dropped paragraph all shift the
+    // digest. Unlike the p98 corpus pass this needs NO per-source
+    // statistics; MainContentSpec proves the two paths agree line-for-
+    // line on this family. Scale: per-row codegen'd `html_main` kernel
+    // riding the scan — zero shuffle, no corpus state.
+    QueryDef("p133_main_content",
+      (s, d) => mainContentStage(t(s, d, "documents")).orderBy(col("doc_id")),
+      Some(mainContentOracleSql)),
+
+    // The streaming twin: structural extraction is stateless, so it
+    // rides the micro-batch scan like s32/s36-s38.
+    QueryDef("s39_stream_main_content",
+      (s, d) => EventStreams.runBoundedDocs(s, d, "s39_sink", mainContentStage)
+        .orderBy(col("doc_id")),
+      Some(mainContentOracleSql))
   )
+
+  /** Shared p133/s39 stage: synthesize the templated page per doc, run
+    * the codegen'd `html_main` election, account blocks/chars + digest.
+    */
+  private def mainContentStage(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val pages = docs.select(col("doc_id").cast("long"), col("source"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) =>
+        (id, graft.ops.MainContent.fixture(id, src))
+      }).toDF("doc_id", "html")
+    pages.select($"doc_id", graft.functions.HtmlMain(s, $"html").as("m"))
+      .select($"doc_id", $"m.title".as("title"), $"m.winner".as("winner"),
+        $"m.n_blocks".as("n_blocks"),
+        length($"m.text").cast("long").as("n_chars"),
+        md5(encode($"m.text", "UTF-8")).as("text_digest"))
+  }
+
+  /** p133/s39 oracle: the fixture's main content re-derived in closed
+    * form (paragraph cadence mirrors ops/MainContent.logicalPara) plus
+    * the pinned election winner.
+    */
+  private[queries] val mainContentOracleSql: String =
+    """WITH ls AS (
+      |  SELECT doc_id, source,
+      |    list_transform(range(0, 3 + doc_id % 3), i ->
+      |      'Doc ' || doc_id || ' para ' || i || ' ' ||
+      |      substring(md5(CAST(doc_id AS VARCHAR) || '|' || i), 1, 12) ||
+      |      ' lorem ipsum dolor sit amet' ||
+      |      CASE WHEN (doc_id + i) % 3 = 0 THEN ' ref ' || i ELSE '' END) AS paras
+      |  FROM documents),
+      |txt AS (SELECT doc_id, source, len(paras) AS nb,
+      |    array_to_string(paras, chr(10)) AS t FROM ls)
+      |SELECT doc_id, 'Doc ' || doc_id || ' :: ' || source AS title,
+      |  'div.zone-a' AS winner, CAST(nb AS INT) AS n_blocks,
+      |  CAST(length(t) AS BIGINT) AS n_chars, md5(t) AS text_digest
+      |FROM txt ORDER BY doc_id""".stripMargin
 
   /** Shared p132/s38 stage. */
   private def xlsxStage(docs: DataFrame): DataFrame = {
