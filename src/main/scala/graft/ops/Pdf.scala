@@ -278,10 +278,10 @@ object Pdf {
       * length there.
       */
     private def parseAt(off: Int,
-                        resolveLen: PObj => PObj): (Long, PObj, Option[Array[Byte]]) = {
+                        resolveLen: PObj => PObj): (Long, Long, PObj, Option[Array[Byte]]) = {
       val lx = new Lexer(buf, off)
       val n = lx.readLong()
-      lx.readLong() // generation
+      val gen = lx.readLong()
       lx.expect("obj")
       val v = lx.readValueResolvingRef()
       lx.skipWs()
@@ -299,8 +299,8 @@ object Pdf {
         val data = java.util.Arrays.copyOfRange(buf, lx.pos, lx.pos + len)
         lx.pos += len
         lx.expect("endstream")
-        (n, v, Some(data))
-      } else (n, v, None)
+        (n, gen, v, Some(data))
+      } else (n, gen, v, None)
     }
 
     private val offsets: Map[Int, XrefEntry] = {
@@ -346,6 +346,32 @@ object Pdf {
       m
     }
 
+    /** The /Encrypt object number (its streams/strings stay plaintext)
+      * and the standard-security decryptor. Declaration order matters:
+      * both initialize AFTER `offsets`/`trailerDict`, and `crypt` stays
+      * null while its own initializer parses the /Encrypt dict through
+      * [[obj]] — so the dict itself is fetched undecrypted, per spec.
+      */
+    private val objStmCache = scala.collection.mutable.Map[Int, Map[Int, PObj]]()
+    private val cache = scala.collection.mutable.Map[Int, (PObj, Option[Array[Byte]])]()
+    private val parsing = scala.collection.mutable.Set[Int]()
+    private var encObjNum: Int = -1
+    private val crypt: Crypt = trailerDict.m.get("Encrypt") match {
+      case None => null
+      case Some(e) =>
+        encObjNum = e match { case PRef(nn, _) => nn; case _ => -1 }
+        val ed = dict(e)
+        val id0 = resolve(trailerDict.m.getOrElse("ID",
+          bad("encrypted document without /ID"))) match {
+          case PArr(items) if items.nonEmpty => resolve(items.head) match {
+            case PStr(s) => strBytes(s)
+            case other   => bad(s"bad /ID element $other")
+          }
+          case other => bad(s"bad /ID $other")
+        }
+        buildCrypt(ed, id0, resolve)
+    }
+
     /** Classic PDF 1.4 cross-reference TABLE + `trailer` dict. */
     private def parseXrefTable(off: Int): (Map[Int, XrefEntry], PDict) = {
       val xl = new Lexer(buf, off)
@@ -387,7 +413,7 @@ object Pdf {
       * unfilter after the inflate.
       */
     private def parseXrefStream(off: Int): (Map[Int, XrefEntry], PDict) = {
-      val (_, v, rawOpt) = parseAt(off, {
+      val (_, _, v, rawOpt) = parseAt(off, {
         case n: PNum => n
         case other   => bad(s"xref stream /Length must be direct, got $other")
       })
@@ -468,7 +494,6 @@ object Pdf {
       * (objnum, relative-offset) int pairs, bodies start at /First.
       * Compressed objects are plain values — never streams.
       */
-    private val objStmCache = scala.collection.mutable.Map[Int, Map[Int, PObj]]()
     private def objStm(stm: Int): Map[Int, PObj] =
       objStmCache.getOrElseUpdate(stm, {
         val (v, rawOpt) = obj(stm)
@@ -500,8 +525,6 @@ object Pdf {
       * that resolves through the stream that needs it) is a reference
       * cycle — DATA, not a StackOverflowError (ADVICE r11).
       */
-    private val cache = scala.collection.mutable.Map[Int, (PObj, Option[Array[Byte]])]()
-    private val parsing = scala.collection.mutable.Set[Int]()
     def obj(num: Int): (PObj, Option[Array[Byte]]) = cache.get(num) match {
       case Some(v) => v
       case None =>
@@ -509,9 +532,22 @@ object Pdf {
         try {
           val v = offsets.getOrElse(num, bad(s"object $num not in xref")) match {
             case AtOffset(off) =>
-              val (n, pv, data) = parseAt(off, resolve)
+              val (n, gen, pv, data) = parseAt(off, resolve)
               if (n != num) bad(s"object at offset claims id $n, xref said $num")
-              (pv, data)
+              // encrypted docs: stream payloads decrypt at fetch with the
+              // per-object key — EXCEPT the /Encrypt dict itself and xref
+              // streams, which the spec leaves plaintext. `crypt` is null
+              // while the /Encrypt dict itself is being parsed (decryptor
+              // init), which is exactly the exemption the spec wants.
+              val isXref = pv match {
+                case d: PDict => d.m.get("Type").contains(PName("XRef"))
+                case _        => false
+              }
+              val dd =
+                if (crypt != null && num != encObjNum && !isXref)
+                  data.map(crypt.decrypt(num, gen.toInt, _))
+                else data
+              (pv, dd)
             case InObjStm(stm, _) =>
               (objStm(stm).getOrElse(num,
                 bad(s"object $num absent from ObjStm $stm")), None)
@@ -624,6 +660,189 @@ object Pdf {
       case PArr(Vector(PName("FlateDecode"))) => inflate(raw)
       case other                    => bad(s"unsupported filter $other")
     }
+
+  // ---------------------------------------------------------- encryption
+  /** Standard security handler (ISO 32000-1 §7.6.3), EMPTY-user-password
+    * subset (VERDICT r12 #2): the dominant real-crawl class is
+    * "viewable by anyone but encrypted" — RC4-40 (V1/R2), RC4-128
+    * (V2/R3) and AES-128-CBC (V4/R4 /AESV2). The file key derives from
+    * the PADDED empty password + /O + /P + ID[0] (Algorithm 2); the
+    * /U entry VERIFIES the empty user password (Algorithms 4/5) — a
+    * mismatch means a real password is required and the document
+    * REFUSES (never a mojibake decrypt). Per-object keys append the
+    * 3-byte object number, 2-byte generation (and `sAlT` for AES) and
+    * re-digest (Algorithm 1). Streams decrypt at fetch inside
+    * [[Doc.obj]]; xref streams and the /Encrypt dictionary itself are
+    * never encrypted per spec. Strings outside content streams are not
+    * decrypted — nothing on the text-extraction path reads one.
+    */
+  private val Pad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  private def md5bytes(parts: Array[Byte]*): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(md.update)
+    md.digest()
+  }
+
+  /** RC4 (public algorithm; the JDK's is behind provider policy). */
+  private[graft] def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = Array.tabulate(256)(_.toByte)
+    var j = 0
+    var i = 0
+    while (i < 256) {
+      j = (j + s(i) + key(i % key.length)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+      i += 1
+    }
+    val out = new Array[Byte](data.length)
+    var x = 0; var y = 0; var k = 0
+    while (k < data.length) {
+      x = (x + 1) & 0xff
+      y = (y + s(x)) & 0xff
+      val t = s(x); s(x) = s(y); s(y) = t
+      out(k) = (data(k) ^ s((s(x) + s(y)) & 0xff)).toByte
+      k += 1
+    }
+    out
+  }
+
+  private def aesCbc(mode: Int, key: Array[Byte], iv: Array[Byte],
+                     data: Array[Byte], off: Int, len: Int): Array[Byte] =
+    try {
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+      c.init(mode, new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(iv))
+      c.doFinal(data, off, len)
+    } catch {
+      case e: java.security.GeneralSecurityException => bad(s"AES failure: $e")
+    }
+
+  /** Algorithm 2: the file encryption key for the EMPTY user password. */
+  private[graft] def fileKey(o: Array[Byte], p: Int, id0: Array[Byte],
+                             r: Int, lenBytes: Int,
+                             encryptMetadata: Boolean): Array[Byte] = {
+    val pLe = Array[Byte]((p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
+      ((p >> 16) & 0xff).toByte, ((p >>> 24) & 0xff).toByte)
+    val tail: Array[Byte] =
+      if (r >= 4 && !encryptMetadata) Array.fill(4)(0xff.toByte)
+      else Array.emptyByteArray
+    var h = md5bytes(Pad, o, pLe, id0, tail)
+    if (r >= 3) {
+      var i = 0
+      while (i < 50) { h = md5bytes(h.take(lenBytes)); i += 1 }
+    }
+    h.take(lenBytes)
+  }
+
+  /** Algorithms 4/5: the /U value the empty user password implies. */
+  private[graft] def userValue(key: Array[Byte], id0: Array[Byte],
+                               r: Int): Array[Byte] =
+    if (r == 2) rc4(key, Pad)
+    else {
+      var x = rc4(key, md5bytes(Pad, id0))
+      var i = 1
+      while (i <= 19) {
+        x = rc4(key.map(b => (b ^ i).toByte), x)
+        i += 1
+      }
+      x
+    }
+
+  /** Per-object decrypt/encrypt (Algorithm 1). `iv` is only consulted
+    * when ENCRYPTING with AES (the fixture writer's deterministic IV).
+    */
+  private final class Crypt(val key: Array[Byte], val aes: Boolean) {
+    private def objKey(num: Int, gen: Int): Array[Byte] = {
+      val ext = Array[Byte]((num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
+        ((num >> 16) & 0xff).toByte, (gen & 0xff).toByte,
+        ((gen >> 8) & 0xff).toByte)
+      val salt: Array[Byte] =
+        if (aes) Array[Byte](0x73, 0x41, 0x6c, 0x54) else Array.emptyByteArray
+      md5bytes(key, ext, salt).take(math.min(key.length + 5, 16))
+    }
+    def decrypt(num: Int, gen: Int, data: Array[Byte]): Array[Byte] =
+      if (!aes) rc4(objKey(num, gen), data)
+      else {
+        if (data.length < 16 || data.length % 16 != 0)
+          bad(s"AES stream of ${data.length} bytes is not IV + blocks")
+        aesCbc(javax.crypto.Cipher.DECRYPT_MODE, objKey(num, gen),
+          data.take(16), data, 16, data.length - 16)
+      }
+    def encrypt(num: Int, gen: Int, data: Array[Byte],
+                iv: Array[Byte]): Array[Byte] =
+      if (!aes) rc4(objKey(num, gen), data)
+      else iv ++ aesCbc(javax.crypto.Cipher.ENCRYPT_MODE, objKey(num, gen),
+        iv, data, 0, data.length)
+  }
+
+  private def strBytes(s: String): Array[Byte] = {
+    val a = new Array[Byte](s.length)
+    var i = 0
+    while (i < s.length) { a(i) = s.charAt(i).toByte; i += 1 }
+    a
+  }
+
+  /** Parse + validate the /Encrypt dictionary and verify the EMPTY user
+    * password; anything outside the supported envelope (non-Standard
+    * handler, V/R beyond 4, crypt filters other than /V2 / /AESV2, a /U
+    * that doesn't verify) refuses loudly.
+    */
+  private def buildCrypt(ed: PDict, id0: Array[Byte],
+                         resolve: PObj => PObj): Crypt = {
+    def get(k: String): PObj = resolve(ed.m.getOrElse(k, PNull))
+    get("Filter") match {
+      case PName("Standard") => ()
+      case other => bad(s"unsupported security handler $other")
+    }
+    val v = get("V") match { case PNum(x) => x.toInt; case o => bad(s"bad /V $o") }
+    val r = get("R") match { case PNum(x) => x.toInt; case o => bad(s"bad /R $o") }
+    val o32 = get("O") match { case PStr(s) => strBytes(s); case o => bad(s"bad /O $o") }
+    val u32 = get("U") match { case PStr(s) => strBytes(s); case o => bad(s"bad /U $o") }
+    val p = get("P") match { case PNum(x) => x.toLong.toInt; case o => bad(s"bad /P $o") }
+    if (o32.length != 32 || u32.length != 32) bad("bad /O or /U width")
+    val encMeta = get("EncryptMetadata") match {
+      case PBool(b) => b
+      case _        => true
+    }
+    val lenBits = get("Length") match {
+      case PNum(x) => x.toInt
+      case _       => 40
+    }
+    val aes = (v, r) match {
+      case (1, 2) | (2, 3) => false
+      case (4, 4) =>
+        val cf = get("CF") match { case d: PDict => d; case o => bad(s"bad /CF $o") }
+        val std = resolve(cf.m.getOrElse("StdCF", PNull)) match {
+          case d: PDict => d
+          case o        => bad(s"bad /StdCF $o")
+        }
+        (get("StmF"), get("StrF")) match {
+          case (PName("StdCF"), PName("StdCF")) => ()
+          case other => bad(s"unsupported stream/string filters $other")
+        }
+        resolve(std.m.getOrElse("CFM", PNull)) match {
+          case PName("AESV2") => true
+          case PName("V2")    => false
+          case other          => bad(s"unsupported /CFM $other")
+        }
+      case other => bad(s"unsupported encryption V/R $other")
+    }
+    val lenBytes = if (v == 1) 5 else {
+      if (lenBits < 40 || lenBits > 128 || lenBits % 8 != 0)
+        bad(s"bad /Length $lenBits")
+      lenBits / 8
+    }
+    val key = fileKey(o32, p, id0, r, lenBytes, encMeta)
+    val expectU = userValue(key, id0, r)
+    val ok =
+      if (r == 2) java.util.Arrays.equals(expectU, u32)
+      else java.util.Arrays.equals(expectU.take(16), u32.take(16))
+    if (!ok) bad("encrypted with a non-empty user password")
+    new Crypt(key, aes)
+  }
 
   // ------------------------------------------------------- font decoding
   /** How the active font turns show-string BYTES into text (VERDICT r11
@@ -1083,11 +1302,22 @@ object Pdf {
     * every seed (PdfSpec; the p113 oracle re-derives the same closed
     * form in SQL, so all layout/font variants feed the same digests).
     */
+  /** Which standard-security mode a fixture seed gets: 0 plaintext,
+    * 1 RC4-40 (V1/R2), 2 RC4-128 (V2/R3), 3 AES-128 (V4/R4 /AESV2) —
+    * all with the EMPTY user password (VERDICT r12 #2). Encrypted
+    * variants stay on the classic layout: the 1.5 (`%5==0`) and
+    * incremental (`%7==3`) classes keep their own focus.
+    */
+  private[graft] def encMode(seed: Long): Int =
+    if (seed % 5 == 0 || seed % 7 == 3) 0
+    else (seed % 11) match { case 4 => 1; case 7 => 2; case 9 => 3; case _ => 0 }
+
   def syntheticPdf(seed: Long): Array[Byte] = {
     if (seed % 5 == 0) return syntheticPdf15(seed)
     val np = 1 + (seed % 2).toInt
     val compress = seed % 2 == 0
     val indirectLen = seed % 3 == 0
+    val mode = encMode(seed)
     // `seed % 7 == 3` writes an INCREMENTAL UPDATE (the edited/signed/
     // annotated-PDF layout): the BODY carries a stale revision of page
     // 0's content, and the true content appends after the first %%EOF
@@ -1100,10 +1330,34 @@ object Pdf {
       val raw = contentOps(seed, p).getBytes("ISO-8859-1")
       if (compress) deflate(raw) else raw
     }
+    // encryption material (deterministic): /O is writer-chosen bytes
+    // (only owner-password opens check it; it feeds key derivation),
+    // /ID[0] pins the key to this file, IVs derive per object
+    val id0 = md5bytes(s"graft-enc-id|$seed".getBytes("UTF-8"))
+    val oEntry = md5bytes(s"graft-O1|$seed".getBytes("UTF-8")) ++
+      md5bytes(s"graft-O2|$seed".getBytes("UTF-8"))
+    val encP = -44
+    val (encR, encLenBytes) = mode match {
+      case 1 => (2, 5)
+      case 2 => (3, 16)
+      case _ => (4, 16)
+    }
+    val cryptW: Crypt =
+      if (mode == 0) null
+      else new Crypt(fileKey(oEntry, encP, id0, encR, encLenBytes,
+        encryptMetadata = true), mode == 3)
+    def encStream(num: Int, data: Array[Byte]): Array[Byte] =
+      if (mode == 0) data
+      else cryptW.encrypt(num, 0, data,
+        md5bytes(s"graft-iv|$seed|$num".getBytes("UTF-8")))
+    val encContents: Seq[Array[Byte]] =
+      (0 until np).map(p => encStream(7 + 2 * p, contents(p)))
     // objects: 1 catalog, 2 pages, 3 F1 (simple), 4 F2 (Type0/CID),
     // 5 its /ToUnicode CMap stream, 6+2p page dicts, 7+2p contents,
-    // then the indirect-length objects
-    val nObjs = 5 + 2 * np + (if (indirectLen) np else 0)
+    // then the indirect-length objects, then (encrypted class) /Encrypt
+    val nObjs = 5 + 2 * np + (if (indirectLen) np else 0) +
+      (if (mode > 0) 1 else 0)
+    val encObjN = nObjs
     val out = new java.io.ByteArrayOutputStream()
     val offsets = new Array[Int](nObjs + 1)
     def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
@@ -1122,7 +1376,7 @@ object Pdf {
       "/Encoding /Identity-H /ToUnicode 5 0 R >>\n"))
     obj(5) {
       val raw = toUnicodeCMap.getBytes("ISO-8859-1")
-      val data = if (compress) deflate(raw) else raw
+      val data = encStream(5, if (compress) deflate(raw) else raw)
       val filt = if (compress) " /Filter /FlateDecode" else ""
       w(s"<< /Length ${data.length}$filt >>\nstream\n")
       out.write(data)
@@ -1138,7 +1392,7 @@ object Pdf {
         val data =
           if (incremental && p == 0)
             "BT /F1 12 Tf (stale revision) Tj ET\n".getBytes("ISO-8859-1")
-          else contents(p)
+          else encContents(p)
         val lenPart =
           if (incremental && p == 0) s"/Length ${data.length}"
           else if (indirectLen) s"/Length ${5 + 2 * np + 1 + p} 0 R"
@@ -1152,12 +1406,35 @@ object Pdf {
       }
     }
     if (indirectLen)
-      for (p <- 0 until np) obj(5 + 2 * np + 1 + p)(w(s"${contents(p).length}\n"))
+      for (p <- 0 until np) obj(5 + 2 * np + 1 + p)(w(s"${encContents(p).length}\n"))
+    if (mode > 0) obj(encObjN) {
+      def hex(b: Array[Byte]): String =
+        "<" + b.map("%02X".format(_)).mkString + ">"
+      val u32 = {
+        val u = userValue(cryptW.key, id0, encR)
+        if (encR == 2) u else u ++ Array.fill[Byte](16)(0x61)
+      }
+      val core = s"/O ${hex(oEntry)} /U ${hex(u32)} /P $encP"
+      val body = mode match {
+        case 1 => s"<< /Filter /Standard /V 1 /R 2 $core >>"
+        case 2 => s"<< /Filter /Standard /V 2 /R 3 /Length 128 $core >>"
+        case _ => "<< /Filter /Standard /V 4 /R 4 /Length 128 " +
+          "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
+          s"/StmF /StdCF /StrF /StdCF $core >>"
+      }
+      w(body + "\n")
+    }
+    val trailerExtra =
+      if (mode == 0) ""
+      else {
+        val idHex = "<" + id0.map("%02X".format(_)).mkString + ">"
+        s" /Encrypt $encObjN 0 R /ID [$idHex $idHex]"
+      }
     val xrefOff = out.size()
     w(s"xref\n0 ${nObjs + 1}\n")
     w("0000000000 65535 f \n")
     for (n <- 1 to nObjs) w(f"${offsets(n)}%010d 00000 n \n")
-    w(s"trailer\n<< /Size ${nObjs + 1} /Root 1 0 R >>\nstartxref\n$xrefOff\n")
+    w(s"trailer\n<< /Size ${nObjs + 1} /Root 1 0 R$trailerExtra >>\nstartxref\n$xrefOff\n")
     w("%%EOF\n")
     if (incremental) {
       // the appended revision: page 0's TRUE content + a one-entry xref

@@ -228,6 +228,47 @@ class PdfSpec extends AnyFunSuite {
     out.toString.getBytes("ISO-8859-1")
   }
 
+  test("encrypted fixtures (empty user password) decrypt for all three modes") {
+    // seed%11 picks the handler: 4 → RC4-40 (V1/R2), 7 → RC4-128
+    // (V2/R3), 9 → AES-128 (V4/R4 /AESV2); %5==0 / %7==3 stay excluded
+    for (mode <- 1 to 3) {
+      val seed = (1L until 200L).find(sd => Pdf.encMode(sd) == mode).get
+      assert(Pdf.extractText(Pdf.syntheticPdf(seed)).get.mkString("\n")
+        === Pdf.logicalText(seed), s"mode $mode seed $seed")
+    }
+    // ciphertext really is opaque: an odd (uncompressed) encrypted seed
+    // must not leak its show strings in the raw bytes
+    val s37 = (1L until 300L).find(sd =>
+      Pdf.encMode(sd) > 0 && sd % 2 == 1 && sd % 3 != 2).get
+    val raw = new String(Pdf.syntheticPdf(s37), "ISO-8859-1")
+    assert(!raw.contains(" line "), "content must be encrypted, not plaintext")
+    assert(Pdf.extractText(Pdf.syntheticPdf(s37)).get.mkString("\n")
+      === Pdf.logicalText(s37))
+  }
+
+  test("non-empty passwords and unsupported handlers refuse, never mojibake") {
+    val seed = (1L until 200L).find(sd => Pdf.encMode(sd) == 2).get
+    val good = new String(Pdf.syntheticPdf(seed), "ISO-8859-1")
+    assert(Pdf.extractText(good.getBytes("ISO-8859-1")).isDefined)
+    // flip a /U hex digit: the empty user password no longer verifies —
+    // this doc NEEDS a real password, so it must refuse
+    val uAt = good.indexOf("/U <")
+    assert(uAt > 0)
+    val c = good.charAt(uAt + 4)
+    val flipped = good.substring(0, uAt + 4) +
+      (if (c == 'A') 'B' else 'A') + good.substring(uAt + 5)
+    assert(Pdf.extractText(flipped.getBytes("ISO-8859-1")).isEmpty,
+      "wrong user password must refuse")
+    // an unsupported crypt filter refuses loudly
+    val aesSeed = (1L until 200L).find(sd => Pdf.encMode(sd) == 3).get
+    val aes = new String(Pdf.syntheticPdf(aesSeed), "ISO-8859-1")
+    assert(Pdf.extractText(
+      aes.replace("/CFM /AESV2", "/CFM /AESV3").getBytes("ISO-8859-1")).isEmpty)
+    // a non-Standard handler refuses
+    assert(Pdf.extractText(
+      good.replace("/Filter /Standard", "/Filter /Graftish").getBytes("ISO-8859-1")).isEmpty)
+  }
+
   test("incremental updates: /Prev xref chains resolve, newest revision wins") {
     // seed%7==3 (and %5!=0) appends a revision: page 0's true content
     // lands AFTER the first %%EOF with a one-entry xref chaining back

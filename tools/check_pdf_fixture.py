@@ -17,6 +17,74 @@ import re
 import sys
 import zlib
 from pathlib import Path
+import hashlib
+
+PAD = bytes([0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00,
+             0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6,
+             0xD0, 0x68, 0x3E, 0x80, 0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53,
+             0x69, 0x7A])
+
+
+def rc4(key, data):
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray()
+    x = y = 0
+    for b in data:
+        x = (x + 1) & 0xFF
+        y = (y + S[x]) & 0xFF
+        S[x], S[y] = S[y], S[x]
+        out.append(b ^ S[(S[x] + S[y]) & 0xFF])
+    return bytes(out)
+
+
+class Decryptor:
+    """Standard security handler, EMPTY user password (RC4-40/128,
+    AES-128-CBC) — independent of the Scala implementation."""
+
+    def __init__(self, enc, id0):
+        assert enc["Filter"][1] == "Standard", "non-Standard handler"
+        v, r = enc["V"][1], enc["R"][1]
+        o = enc["O"][1].encode("latin-1")
+        u = enc["U"][1].encode("latin-1")
+        p = enc["P"][1] & 0xFFFFFFFF
+        nbytes = 5 if v == 1 else enc.get("Length", ("num", 40))[1] // 8
+        self.aes = False
+        if v == 4:
+            cfm = enc["CF"][1]["StdCF"][1]["CFM"][1]
+            assert cfm in ("V2", "AESV2"), cfm
+            self.aes = cfm == "AESV2"
+        h = hashlib.md5(PAD + o + p.to_bytes(4, "little") + id0).digest()
+        if r >= 3:
+            for _ in range(50):
+                h = hashlib.md5(h[:nbytes]).digest()
+        key = h[:nbytes]
+        if r == 2:
+            ok = rc4(key, PAD) == u
+        else:
+            x = rc4(key, hashlib.md5(PAD + id0).digest())
+            for i in range(1, 20):
+                x = rc4(bytes(b ^ i for b in key), x)
+            ok = x == u[:16]
+        assert ok, "user password is not empty"
+        self.key = key
+
+    def decrypt(self, num, gen, data):
+        ext = num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        salt = b"sAlT" if self.aes else b""
+        k = hashlib.md5(self.key + ext + salt).digest()
+        k = k[:min(len(self.key) + 5, 16)]
+        if not self.aes:
+            return rc4(k, data)
+        from cryptography.hazmat.primitives.ciphers import (
+            Cipher, algorithms, modes)
+        dec = Cipher(algorithms.AES(k), modes.CBC(bytes(data[:16]))).decryptor()
+        pt = dec.update(bytes(data[16:])) + dec.finalize()
+        return pt[:-pt[-1]]
+
 
 WS = b" \t\r\n\f\x00"
 DELIM = b"()<>[]{}/%"
@@ -234,6 +302,17 @@ class PdfDoc:
                 self.offsets.setdefault(k, v)
             prev = trailer.get("Prev")
             nxt = prev[1] if prev is not None else None
+        # standard security handler: /Encrypt + /ID[0] (the /Encrypt
+        # dict itself and xref streams stay plaintext per spec)
+        self.decryptor = None
+        self.enc_num = -1
+        enc = self.trailer.get("Encrypt")
+        if enc is not None:
+            self.enc_num = enc[1][0] if enc[0] == "ref" else -1
+            ed = self.resolve(enc)[1]
+            id0 = self.resolve(self.trailer["ID"])[1][0]
+            self.decryptor = Decryptor(ed,
+                self.resolve(id0)[1].encode("latin-1"))
 
     def _xref_table(self, off):
         buf = self.buf
@@ -258,7 +337,7 @@ class PdfDoc:
         return sec, xl.read_value_ref()[1]
 
     def _xref_stream(self, off):
-        v, data = self._parse_at(off)
+        v, data, _, _ = self._parse_at(off)
         d = v[1]
         assert d["Type"][1] == "XRef"
         if d.get("Filter") is not None and d["Filter"][1] == "FlateDecode":
@@ -293,8 +372,8 @@ class PdfDoc:
 
     def _parse_at(self, off):
         lx = Lexer(self.buf, off)
-        lx.read_token()
-        lx.read_token()
+        num = lx.read_token()[1]
+        gen = lx.read_token()[1]
         assert lx.read_token() == ("op", "obj")
         v = lx.read_value_ref()
         lx.skip_ws()
@@ -306,16 +385,22 @@ class PdfDoc:
                 lx.pos += 1
             length = self.resolve(v[1]["Length"])[1]
             data = self.buf[lx.pos:lx.pos + length]
-            return v, data
-        return v, None
+            return v, data, num, gen
+        return v, None, num, gen
 
     def obj(self, num):
         ent = self.offsets[num]
         if ent[0] == "at":
-            return self._parse_at(ent[1])
+            v, data, n, gen = self._parse_at(ent[1])
+            is_xref = v[0] == "dict" and \
+                v[1].get("Type", (None, None))[1] == "XRef"
+            if (self.decryptor is not None and data is not None
+                    and num != self.enc_num and not is_xref):
+                data = self.decryptor.decrypt(num, gen, data)
+            return v, data
         stm = ent[1]
         if stm not in self._objstm:
-            v, data = self._parse_at(self.offsets[stm][1])
+            v, data = self.obj(stm)
             d = v[1]
             assert d["Type"][1] == "ObjStm"
             if d.get("Filter") is not None and d["Filter"][1] == "FlateDecode":
