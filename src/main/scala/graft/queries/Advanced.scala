@@ -4385,7 +4385,156 @@ object Advanced {
     QueryDef("s39_stream_main_content",
       (s, d) => EventStreams.runBoundedDocs(s, d, "s39_sink", mainContentStage)
         .orderBy(col("doc_id")),
-      Some(mainContentOracleSql))
+      Some(mainContentOracleSql)),
+
+    // -- re-crawl frontier capstone (VERDICT r12 #3) ------------------------------
+    // The WHOLE re-crawl cycle as one receipt: sitemap seeds (p129's
+    // fixture, now with sitemapindex RECURSION into child urlsets) →
+    // politeness-scheduled frontier (p114's Crawl-delay, p130's
+    // rank/fetch_at arithmetic) → fetched delta (discoveries insert
+    // under md5-derived ids carrying their fetch_at; re-fetches update
+    // every fifth standing doc) → p93-style merge → p101 publish (v1
+    // corpus, v2 merged — pinned manifests) → per-version data card.
+    // The oracle pins frontier ORDER and fetch_at arithmetic through
+    // frontier_digest (md5 over domain|loc|rank|fetch_at, summed), the
+    // merge through the action counts, and the published versions
+    // through the card digests — one statement, every stage load-
+    // bearing. Scale: frontier ranking is one domain-keyed window over
+    // a registry-sized table; the merge is the one co-partitioned
+    // full-outer join; cards are map-side-combined aggregates over
+    // pinned snapshot reads.
+    QueryDef("p134_recrawl_frontier",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val docs = t(s, d, "documents")
+          .select($"doc_id", $"text", $"lang", $"source")
+        val variant = (conv(substring(md5($"source"), 1, 6), 16, 10)
+          .cast("long") % 4).cast("int")
+        val doms = docs.select($"source").distinct()
+          .select($"source".as("domain"), variant.as("v"))
+          .as[(String, Int)]
+        val urls = doms.flatMap { case (dom, v) =>
+          graft.ops.Sitemap.expand(
+              graft.ops.Sitemap.fixtureSitemap(dom, v),
+              loc => graft.ops.Sitemap.fixtureChildSitemap(dom, loc))
+            .getOrElse(throw new IllegalStateException(s"$dom: frontier refused"))
+            .map(loc => (dom, loc))
+        }.toDF("domain", "loc")
+        val meta = graft.ops.Robots.metaTable(robotsCorpus(s, d), "graftbot")
+          .select($"domain", $"crawl_delay")
+        val w = Window.partitionBy($"domain").orderBy($"loc")
+        val sched = urls.join(broadcast(meta), Seq("domain"), "left")
+          .withColumn("delay_s", coalesce($"crawl_delay", lit(1L)))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .withColumn("fetch_at", (col("rank") - 1) * col("delay_s"))
+          .localCheckpoint(true)
+        val fr = sched.agg(
+          count(lit(1)).cast("long").as("nf"),
+          sum(conv(substring(md5(concat($"domain", lit("|"), $"loc", lit("|"),
+              $"rank".cast("string"), lit("|"), $"fetch_at".cast("string"))),
+            1, 15), 16, 10).cast("long") % 1073741824L).as("fd")).head()
+        val discovered = sched.select(
+          conv(substring(md5($"loc"), 1, 15), 16, 10).cast("long").as("doc_id"),
+          concat(lit("discovered "), $"loc", lit(" t="),
+            $"fetch_at".cast("string")).as("text"),
+          lit("en").as("lang"), $"domain".as("source"),
+          lit(2L).as("version"), lit(false).as("tomb"))
+        val refetched = docs.where($"doc_id" % 5 === 0).select($"doc_id",
+          concat($"text", lit(" [refetched]")).as("text"), $"lang", $"source",
+          lit(2L).as("version"), lit(false).as("tomb"))
+        def mkMerge = graft.ops.Incremental.merge(
+          docs.withColumn("version", lit(1L)),
+          discovered.unionByName(refetched),
+          "doc_id", "version", "tomb", Seq("text", "lang", "source"))
+        val fp = Pipeline.layoutFingerprint(d, Seq("documents.parquet"))
+        val base = Pipeline.cachedLayout("refrontier", fp) { staging =>
+          graft.ops.Layout.appendSnapshot(staging, docs)
+          graft.ops.Layout.replaceSnapshot(staging,
+            mkMerge.select($"doc_id", $"text", $"lang", $"source"))
+          ()
+        }
+        val counts: Map[String, Long] = mkMerge.groupBy($"action")
+          .agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        def card(v: Int, acts: Boolean) = {
+          val nFiles = graft.ops.Layout.snapshotFiles(base, v).size
+          def a(k: String) =
+            lit(if (acts) counts.getOrElse(k, 0L) else 0L).as(s"n_$k")
+          graft.ops.Layout.readSnapshot(s, base, v)
+            .agg(count(lit(1)).as("n_docs"),
+              sum(length($"text").cast("long")).as("n_chars"),
+              sum(conv(substring(md5(concat($"doc_id".cast("string"), lit("|"),
+                  $"text")), 1, 15), 16, 10).cast("long") % 1073741824L)
+                .as("digest"))
+            .select(lit(v).as("version"), lit(nFiles).as("n_files"),
+              $"n_docs", $"n_chars", $"digest",
+              lit(fr.getLong(0)).as("n_frontier"),
+              lit(fr.getLong(1)).as("frontier_digest"),
+              a("insert"), a("update"), a("carry"))
+        }
+        card(1, acts = false).unionAll(card(2, acts = true))
+          .orderBy($"version")
+      },
+      Some("""WITH doms AS (
+             |  SELECT DISTINCT source AS domain,
+             |    CAST(CAST('0x' || substring(md5(source), 1, 6) AS BIGINT) % 4 AS INT) AS v
+             |  FROM documents),
+             |meta(v, delay_s) AS (VALUES (0, 3), (1, 7), (2, 1), (3, 1)),
+             |urls AS (
+             |  SELECT domain, v, 'https://' || domain || '/page-' || i AS loc
+             |  FROM (SELECT domain, v, unnest(range(0, 2 + v % 3)) AS i
+             |        FROM doms WHERE v <> 3)
+             |  UNION ALL
+             |  SELECT domain, v, 'https://' || domain || '/a-' || i
+             |  FROM (SELECT domain, v, unnest(range(0, 2)) AS i FROM doms WHERE v = 3)
+             |  UNION ALL
+             |  SELECT domain, v, 'https://' || domain || '/b-0' FROM doms WHERE v = 3),
+             |sched AS (
+             |  SELECT u.domain, u.loc,
+             |    CAST(row_number() OVER (PARTITION BY u.domain ORDER BY u.loc) AS BIGINT) AS rank,
+             |    CAST(m.delay_s AS BIGINT) AS delay_s
+             |  FROM urls u JOIN meta m ON m.v = u.v),
+             |sched2 AS (
+             |  SELECT domain, loc, rank, (rank - 1) * delay_s AS fetch_at FROM sched),
+             |frontier AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_frontier,
+             |    CAST(sum(CAST('0x' || substring(md5(domain || '|' || loc || '|' ||
+             |      rank || '|' || fetch_at), 1, 15) AS BIGINT) % 1073741824) AS BIGINT)
+             |      AS frontier_digest
+             |  FROM sched2),
+             |v2rows AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 5 = 0 THEN text || ' [refetched]' ELSE text END AS text
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT CAST('0x' || substring(md5(loc), 1, 15) AS BIGINT),
+             |    'discovered ' || loc || ' t=' || fetch_at
+             |  FROM sched2),
+             |counts AS (
+             |  SELECT CAST(count(*) FILTER (WHERE doc_id % 5 = 0) AS BIGINT) AS n_update,
+             |    CAST(count(*) FILTER (WHERE doc_id % 5 <> 0) AS BIGINT) AS n_carry
+             |  FROM documents),
+             |ninserts AS (SELECT CAST(count(*) AS BIGINT) AS n_insert FROM sched2),
+             |cards AS (
+             |  SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(length(text)) AS BIGINT) AS n_chars,
+             |    CAST(sum(CAST('0x' || substring(md5(doc_id || '|' || text), 1, 15)
+             |      AS BIGINT) % 1073741824) AS BIGINT) AS digest
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT 2, CAST(count(*) AS BIGINT),
+             |    CAST(sum(length(text)) AS BIGINT),
+             |    CAST(sum(CAST('0x' || substring(md5(doc_id || '|' || text), 1, 15)
+             |      AS BIGINT) % 1073741824) AS BIGINT)
+             |  FROM v2rows)
+             |SELECT c.version, 2 AS n_files, c.n_docs, c.n_chars, c.digest,
+             |  f.n_frontier, f.frontier_digest,
+             |  CASE WHEN c.version = 2 THEN i.n_insert ELSE CAST(0 AS BIGINT) END AS n_insert,
+             |  CASE WHEN c.version = 2 THEN ct.n_update ELSE CAST(0 AS BIGINT) END AS n_update,
+             |  CASE WHEN c.version = 2 THEN ct.n_carry ELSE CAST(0 AS BIGINT) END AS n_carry
+             |FROM cards c, frontier f, counts ct, ninserts i
+             |ORDER BY c.version""".stripMargin))
   )
 
   /** Shared p133/s39 stage: synthesize the templated page per doc, run

@@ -43,4 +43,24 @@ class SitemapSpec extends AnyFunSuite {
       "<urlset><url><lastmod>2025-01-01</lastmod></url></urlset>")
       === Some(Vector()))
   }
+
+  test("expand recurses sitemapindex children, depth-bounded, fetch-miss refuses") {
+    val fetch = (loc: String) => Sitemap.fixtureChildSitemap("ex.org", loc)
+    // index variant: two children expand to a-0, a-1, b-0 in doc order
+    assert(Sitemap.expand(Sitemap.fixtureSitemap("ex.org", 3), fetch)
+      === Some(Vector("https://ex.org/a-0", "https://ex.org/a-1",
+        "https://ex.org/b-0")))
+    // a urlset expands to its own locs
+    assert(Sitemap.expand(Sitemap.fixtureSitemap("ex.org", 1), fetch)
+      === Some(Vector("https://ex.org/page-0", "https://ex.org/page-1",
+        "https://ex.org/page-2")))
+    // a child the fetch cannot resolve refuses the WHOLE frontier (a
+    // silently truncated frontier is worse than a loud miss)
+    assert(Sitemap.expand(Sitemap.fixtureSitemap("ex.org", 3),
+      _ => None).isEmpty)
+    // a cyclic index is DATA: self-referential child exceeds maxDepth
+    val cyclic = """<sitemapindex><sitemap><loc>https://ex.org/self.xml</loc>
+      |</sitemap></sitemapindex>""".stripMargin
+    assert(Sitemap.expand(cyclic, _ => Some(cyclic)).isEmpty)
+  }
 }
