@@ -229,7 +229,36 @@ object TextOps {
     * Returns the merge table: (merge_rank, pair, merged, n_pairs).
     */
   def bpeMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
-                nMerges: Int): org.apache.spark.sql.DataFrame = {
+                nMerges: Int): org.apache.spark.sql.DataFrame =
+    bpeMergesOn(df, textCol, nMerges, charSymbols)
+
+  /** Char-alphabet symbol row: one symbol per character. */
+  private def charSymbols(w: Column): Column =
+    array_join(regexp_extract_all(w, lit("."), lit(0)), "  ")
+
+  /** Byte-alphabet symbol row (VERDICT r12 #4 — the GPT-2/tiktoken
+    * class): symbols are the pretoken's UTF-8 BYTES as fixed-width
+    * 2-hex-digit codes, so the base alphabet is 256 symbols and NO
+    * input is out-of-vocabulary — a multi-byte code point starts as its
+    * byte pieces and merges climb from there. The fixed-width hex
+    * rename is ORDER-PRESERVING (space < '0'..'9' < 'A'..'F' mirrors
+    * the byte order), so on ASCII-only corpora the tie-break `(count
+    * DESC, pair ASC)` elects the same merge sequence as the char
+    * trainer — the differential BpeSpec pins exactly that.
+    */
+  private def byteSymbols(w: Column): Column =
+    array_join(regexp_extract_all(hex(encode(w, "UTF-8")), lit(".."), lit(0)), "  ")
+
+  /** [[bpeMerges]] on the 256-byte base alphabet (same pretokenizer,
+    * same driver-bounded merge loop; pairs/merges are hex-coded).
+    */
+  def bpeMergesBytes(df: org.apache.spark.sql.DataFrame, textCol: String,
+                     nMerges: Int): org.apache.spark.sql.DataFrame =
+    bpeMergesOn(df, textCol, nMerges, byteSymbols)
+
+  private def bpeMergesOn(df: org.apache.spark.sql.DataFrame, textCol: String,
+                          nMerges: Int,
+                          symbolize: Column => Column): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val wordFreq = df
@@ -244,8 +273,7 @@ object TextOps {
     // (1,2)(3,4), not alternately: the old single-space scheme consumed the
     // shared boundary space and skipped every other occurrence).
     var seqs = wordFreq
-      .select(col("wf"),
-        array_join(regexp_extract_all(col("w"), lit("."), lit(0)), "  ").as("seq"))
+      .select(col("wf"), symbolize(col("w")).as("seq"))
       .persist()
     seqs.count() // materialize once; iterations re-derive from here
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
@@ -283,14 +311,23 @@ object TextOps {
     * the token count after merging (the real sequence length a trainer
     * would batch on, vs the [[bpeishTokenCount]] heuristic).
     */
-  def bpeEncodeCount(text: Column, merges: Seq[(String, String)]): Column = {
+  def bpeEncodeCount(text: Column, merges: Seq[(String, String)]): Column =
+    bpeEncodeCountOn(text, merges, charSymbols)
+
+  /** [[bpeEncodeCount]] over the byte alphabet — counts tokens after
+    * replaying a [[bpeMergesBytes]] table in training order.
+    */
+  def bpeEncodeCountBytes(text: Column, merges: Seq[(String, String)]): Column =
+    bpeEncodeCountOn(text, merges, byteSymbols)
+
+  private def bpeEncodeCountOn(text: Column, merges: Seq[(String, String)],
+                               symbolize: Column => Column): Column = {
     val words = tokens(lower(text))
     val encoded = transform(words, w => {
       // double-space separators + owned sentinel spaces: see bpeMerges —
       // one replace per rule is exact canonical greedy application
-      val chars = array_join(regexp_extract_all(w, lit("."), lit(0)), "  ")
       val merged = merges.foldLeft(
-        concat(lit(" "), chars, lit(" ")): Column) { case (acc, (pair, m)) =>
+        concat(lit(" "), symbolize(w), lit(" ")): Column) { case (acc, (pair, m)) =>
         replace(acc, lit(s" ${pair.replace(" ", "  ")} "), lit(s" $m "))
       }
       size(split(trim(merged), "  "))

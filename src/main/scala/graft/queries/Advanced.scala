@@ -4534,7 +4534,78 @@ object Advanced {
              |  CASE WHEN c.version = 2 THEN ct.n_update ELSE CAST(0 AS BIGINT) END AS n_update,
              |  CASE WHEN c.version = 2 THEN ct.n_carry ELSE CAST(0 AS BIGINT) END AS n_carry
              |FROM cards c, frontier f, counts ct, ninserts i
-             |ORDER BY c.version""".stripMargin))
+             |ORDER BY c.version""".stripMargin)),
+
+    // -- byte-level BPE packing (VERDICT r12 #4) ---------------------------------
+    // p127 re-run on the GPT-2/tiktoken-class tokenizer: the SAME
+    // driver-bounded merge loop trains over the 256-byte base alphabet
+    // (symbols are fixed-width hex byte codes — no OOV on any input;
+    // multi-byte code points merge up from their byte pieces), the same
+    // codegen'd replace-chain encoder counts tokens, and the same
+    // first-fit shard packer bins documents at capacity 512. The oracle
+    // unrolls the identical five byte-merges in SQL (hex(encode(w))
+    // symbol init, otherwise the p127 recursion verbatim) — so trainer,
+    // encoder and packer must agree byte-for-byte. BpeSpec pins the
+    // char/byte differential on ASCII corpora (the hex rename is
+    // order-preserving, so the elected merges coincide).
+    QueryDef("p135_bytebpe_pack",
+      (s, d) => {
+        import s.implicits._
+        val merges = graft.ops.TextOps
+          .bpeMergesBytes(t(s, d, "documents"), "text", nMerges = 5)
+          .orderBy($"merge_rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val docs = t(s, d, "documents").select($"doc_id",
+          ($"doc_id" % 64).as("shard"),
+          graft.ops.TextOps.bpeEncodeCountBytes($"text", merges).as("n_bpe"))
+        graft.ops.Packing
+          .packSequences(docs, "doc_id", "n_bpe", "shard", capacity = 512)
+          .orderBy($"doc_id")
+      },
+      Some {
+        val chain = (1 to 5).foldLeft(
+          "' ' || array_to_string(regexp_extract_all(hex(encode(x)), '..'), '  ') || ' '") {
+          (acc, i) =>
+            s"replace($acc,\n        ' ' || replace(g$i, ' ', '  ') || ' ', ' ' || m$i || ' ')"
+        }
+        s"""${Pipeline.bpeTrainCtes(5, byteLevel = true)
+               .replaceFirst("^WITH ", "WITH RECURSIVE ")},
+           |mt AS (SELECT t1.g AS g1, replace(t1.g, ' ', '') AS m1,
+           |              t2.g AS g2, replace(t2.g, ' ', '') AS m2,
+           |              t3.g AS g3, replace(t3.g, ' ', '') AS m3,
+           |              t4.g AS g4, replace(t4.g, ' ', '') AS m4,
+           |              t5.g AS g5, replace(t5.g, ' ', '') AS m5
+           |       FROM t1, t2, t3, t4, t5),
+           |toks AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS words
+           |  FROM documents),
+           |enc AS MATERIALIZED (
+           |  SELECT doc_id,
+           |    CAST(COALESCE(list_sum(list_transform(words, x ->
+           |      len(string_split(trim($chain), '  ')))), 0) AS BIGINT) AS n_bpe
+           |  FROM toks CROSS JOIN mt),
+           |d AS MATERIALIZED (
+           |  SELECT doc_id, doc_id % 64 AS shard, least(n_bpe, 512) AS ntok,
+           |    row_number() OVER (PARTITION BY doc_id % 64 ORDER BY doc_id) AS rn
+           |  FROM enc),
+           |pack AS (
+           |  SELECT shard, rn, doc_id, ntok,
+           |    CAST(1 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS off,
+           |    ntok AS fill
+           |  FROM d WHERE rn = 1
+           |  UNION ALL
+           |  SELECT d.shard, d.rn, d.doc_id, d.ntok,
+           |    CASE WHEN p.fill + d.ntok > 512 THEN p.seq_id + 1
+           |         ELSE p.seq_id END,
+           |    CASE WHEN p.fill + d.ntok > 512 THEN CAST(0 AS BIGINT)
+           |         ELSE p.fill END,
+           |    CASE WHEN p.fill + d.ntok > 512 THEN d.ntok
+           |         ELSE p.fill + d.ntok END
+           |  FROM pack p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1)
+           |SELECT doc_id, shard, seq_id, off AS offset, ntok
+           |FROM pack ORDER BY doc_id""".stripMargin
+      })
   )
 
   /** Shared p133/s39 stage: synthesize the templated page per doc, run

@@ -358,7 +358,12 @@ object Pipeline {
     * pair per iteration). Shared by p36 (emit the merge table) and p37
     * (apply it).
     */
-  private[queries] def bpeTrainCtes(n: Int): String = {
+  private[queries] def bpeTrainCtes(n: Int, byteLevel: Boolean = false): String = {
+    // char alphabet: one symbol per character; byte alphabet (p135):
+    // 2-hex-digit UTF-8 byte codes — mirrors TextOps.byteSymbols
+    val sym =
+      if (byteLevel) "array_to_string(regexp_extract_all(hex(encode(w)), '..'), '  ')"
+      else "array_to_string(regexp_extract_all(w, '.'), '  ')"
     val stages = new StringBuilder
     stages ++=
       s"""WITH wfreq AS (
@@ -366,7 +371,7 @@ object Pipeline {
          |    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
          |                              x -> len(x) > 0)) AS w
          |    FROM documents) GROUP BY w),
-         |s1 AS (SELECT wf, array_to_string(regexp_extract_all(w, '.'), '  ') AS seq
+         |s1 AS (SELECT wf, $sym AS seq
          |       FROM wfreq)""".stripMargin
     for (i <- 1 to n) {
       stages ++=

@@ -503,6 +503,47 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1, "a a", "aa", 6L), (2, "aa aa", "aaaa", 2L)))
   }
 
+  test("byte-level BPE: hex alphabet, no OOV, char-path differential on ASCII") {
+    // the hex rename is order-preserving, so on an ASCII corpus the byte
+    // trainer elects the SAME merge sequence as the char trainer (hex-
+    // coded) and the encoders count identically (VERDICT r12 #4)
+    val docs = Seq((1, "low low low lower lower newest"),
+      (2, "the quick brown fox the quick")).toDF("doc_id", "text")
+    val charM = TextOps.bpeMerges(docs, "text", nMerges = 5)
+      .orderBy($"merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    val byteM = TextOps.bpeMergesBytes(docs, "text", nMerges = 5)
+      .orderBy($"merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    def hexOf(sym: String): String =
+      sym.getBytes("UTF-8").map("%02X".format(_)).mkString
+    charM.zip(byteM).foreach { case ((cp, cm, cn), (bp, bm, bn)) =>
+      assert(bp === cp.split(" ").map(hexOf).mkString(" "))
+      assert(bm === hexOf(cm))
+      assert(bn === cn)
+    }
+    // encoders agree token-for-token on ASCII
+    val cSeq = charM.map(m => (m._1, m._2)).toSeq
+    val bSeq = byteM.map(m => (m._1, m._2)).toSeq
+    val counts = docs.select(
+      TextOps.bpeEncodeCount($"text", cSeq).as("c"),
+      TextOps.bpeEncodeCountBytes($"text", bSeq).as("b")).collect()
+    counts.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+    // NO OOV: a multi-byte code point encodes as its UTF-8 byte count
+    // under an empty merge table (the char path would count 1 symbol)
+    val uni = Seq((1, "é €")).toDF("id", "text") // 2 bytes + 3 bytes
+    val got = uni.select(
+      TextOps.bpeEncodeCountBytes($"text", Seq.empty).as("b"),
+      TextOps.bpeEncodeCount($"text", Seq.empty).as("c")).head()
+    assert(got.getInt(0) === 5)
+    assert(got.getInt(1) === 2)
+    // and byte merges CAN climb through a multi-byte code point
+    val uniDocs = Seq((1, "ééé ééé")).toDF("doc_id", "text")
+    val m1 = TextOps.bpeMergesBytes(uniDocs, "text", nMerges = 1)
+      .collect().head
+    assert(m1.getString(1) === "C3 A9", "the é byte pair merges first")
+  }
+
   test("mixEpochs: floor+fractional copies, zero weight drops, deterministic") {
     val docs = (0L until 300L).map(i =>
       (i, if (i < 100) "a" else if (i < 200) "b" else "c")).toDF("doc_id", "source")
