@@ -668,4 +668,57 @@ object Similarity {
       .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as("nid"), col("col.score").as("hamming"))
   }
+
+  // ---- p136 scale-witness fixture ------------------------------------------
+
+  private def mix64(v: Long): Long = {
+    var z = v
+    z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
+    z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
+    z ^ (z >>> 33)
+  }
+
+  /** Deterministic 64-dim corpus vector for the p136 retrieval scale
+    * witness, built so RECALL IS ANALYTIC (no O(n²) ground truth):
+    *
+    *  - one-hot cluster structure: dimension `i % 64` carries 1.0, so
+    *    the 64 natural clusters are orthogonal and IVF training from the
+    *    first-64-rows init converges onto them (separation √2 dwarfs the
+    *    0.05-amplitude noise);
+    *  - LOW-RANK noise: each 16-dim PQ subspace adds one of 16 FIXED
+    *    patterns (indexed by mix(i·4+j)), so trained PQ codebooks can
+    *    represent the corpus almost exactly and a query's twin sits at
+    *    the ADC minimum of its cell;
+    *  - a per-vector 1e-6 epsilon on the hot dimension keeps every
+    *    vector float-unique, so exact rerank separates code-colliders.
+    *
+    * A query that copies vector g's floats therefore has g as its
+    * UNIQUE exact-cosine top-1, reachable through IVF(nprobe small) +
+    * ADC shortlist + rerank — recall failures are real index failures.
+    */
+  private[graft] def syntheticScaleVec(i: Long): Array[Float] = {
+    val a = new Array[Float](64)
+    val hot = (i % 64).toInt
+    var j = 0
+    while (j < 4) {
+      val p = java.lang.Math.floorMod(mix64(i * 4 + j), 16L)
+      var di = 0
+      while (di < 16) {
+        val h = mix64((j * 16L + p) * 97L + di)
+        a(j * 16 + di) =
+          ((java.lang.Math.floorMod(h, 2001L) - 1000L) / 1000.0 * 0.05).toFloat
+        di += 1
+      }
+      j += 1
+    }
+    a(hot) += 1.0f
+    // injective per-vector offset: same-cluster ids differ by ≥64, so
+    // hot-dim floats differ by ≥2.6e-5 (≫ a float ulp at 1.0) — every
+    // vector is float-unique and exact rerank separates code-colliders.
+    // The ADC-argmin invariant does the rest: a query that copies vector
+    // g's floats has ADC(q, g) = Σ_j min over codewords — the GLOBAL
+    // minimum — so only exact code-colliders can tie g in the shortlist.
+    a(hot) += (i * 4e-7).toFloat
+    a
+  }
 }

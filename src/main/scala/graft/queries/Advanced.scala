@@ -4605,7 +4605,188 @@ object Advanced {
            |  FROM pack p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1)
            |SELECT doc_id, shard, seq_id, off AS offset, ntok
            |FROM pack ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // -- retrieval-family scale witness (VERDICT r12 #5, the p126 of ANN) --------
+    // 500k vectors through the WHOLE production retrieval chain: IVF
+    // coarse training (64 cells) → PQ codebooks (m=4, k=32) → persisted
+    // cell-partitioned code layout + exact-bit model file → ADC probe
+    // from the codes → exact-float rerank. Recall is ANALYTIC, not a
+    // fixture golden: the corpus has orthogonal one-hot clusters with
+    // LOW-RANK 16-pattern subspace noise (see Similarity.
+    // syntheticScaleVec), each query copies a corpus vector's floats, so
+    // its twin is the unique exact-cosine top-1 and must survive
+    // IVF(nprobe=2) → shortlist(10) → rerank(1); the gate is 95%
+    // id-level recall at 256 queries. The chain wall-clock stamps into
+    // the layout (6-min gate at local CPUs), and a LIVE plan probe over
+    // the persisted codes pins STATIC partition pruning — a probe that
+    // scans the full code table (empty PartitionFilters) fails the
+    // witness. Model round-trips through the exact-bit codec.
+    QueryDef("p136_retrieval_scale",
+      (s, d) => {
+        import s.implicits._
+        val n = 500000L
+        val nq = 256
+        val budgetMs = 480000L // measured ~300 s at 8 CPUs; loaded-box headroom (r24 lesson)
+        def mkCorpus = s.range(n).mapPartitions(_.map(i =>
+          (i, graft.ops.Similarity.syntheticScaleVec(i))))
+          .toDF("nid", "vec")
+        def twin(t: Long): Long = (t * 1951L + 17L) % n
+        def mkQueries = s.range(nq).mapPartitions(_.map { t =>
+          (t, graft.ops.Similarity.syntheticScaleVec(twin(t)), twin(t))
+        }).toDF("qid", "qvec", "twin")
+        val dir = Pipeline.cachedLayout("annscale", s"v2-$n") { staging =>
+          val t0 = System.nanoTime()
+          val corpus = mkCorpus
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val coarse = graft.ops.Similarity.ivfCentroids(
+            corpus, "nid", "vec", k = 64, iters = 1)
+          // k = 64 so the first-k-rows init sees every hot position in
+          // every subspace (rows 16j..16j+15 are hot in subspace j) —
+          // k = 32 left half the clusters' hot subvectors uncovered and
+          // the collapsed codes flooded the ADC shortlist with ties
+          val books = graft.ops.Similarity.pqCodebooks(
+            corpus, "nid", "vec", m = 4, subDim = 16, k = 64, iters = 1)
+          graft.ops.Similarity.writeIvfAdcLayout(corpus, "nid", "vec",
+            coarse, books, subDim = 16, staging.resolve("codes").toString)
+          graft.ops.Similarity.writeIvfAdcModel(
+            staging.resolve("model.bin"), coarse, books)
+          // probe + rerank INSIDE the stamped window — serving cost is
+          // part of the witness
+          val shortlist = graft.ops.Similarity.ivfAdcTopKFromCodes(
+            s.read.parquet(staging.resolve("codes").toString), mkQueries,
+            coarse, books, subDim = 16, nprobe = 2, k = 32)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy($"qid").orderBy($"sim".desc, $"nid")
+          val top1 = shortlist.select($"qid", $"nid")
+            .join(corpus.select($"nid", $"vec".as("nvec")), "nid")
+            .join(broadcast(mkQueries), "qid")
+            .withColumn("sim", graft.ops.Similarity.cosineFixed($"qvec", $"nvec", 64))
+            .withColumn("rn", row_number().over(w))
+            .where($"rn" === 1)
+          val hits = top1.where($"nid" === $"twin").count()
+          corpus.unpersist(false)
+          val chainMs = (System.nanoTime() - t0) / 1000000L
+          java.nio.file.Files.writeString(staging.resolve("witness.txt"),
+            s"chain_ms=$chainMs\nhits=$hits\n")
+          ()
+        }
+        val kv = java.nio.file.Files
+          .readAllLines(dir.resolve("witness.txt"))
+          .toArray(Array.empty[String])
+          .map { l => val Array(a, b) = l.split('='); a -> b.toLong }.toMap
+        // exact-bit model reload: every served ADC score derives from
+        // these doubles, so the codec must round-trip bit-for-bit
+        val (coarse2, books2) =
+          graft.ops.Similarity.readIvfAdcModel(dir.resolve("model.bin"))
+        val modelOk = coarse2.length == 64 && books2.length == 4 &&
+          books2.forall(_.length == 64)
+        // live plan probe (planning only): a TWO-query batch probes ≤4
+        // of the 64 cell partitions — the coded scan must carry a
+        // non-empty cell PartitionFilter (static pruning), or a probe
+        // at 100 TB reads the whole code table
+        val probePlan = graft.ops.Similarity.ivfAdcTopKFromCodes(
+            s.read.parquet(dir.resolve("codes").toString),
+            mkQueries.where($"qid" < 2), coarse2, books2,
+            subDim = 16, nprobe = 2, k = 10)
+          .queryExecution.executedPlan.toString
+        val planOk = probePlan.contains("PartitionFilters: [cell") &&
+          !probePlan.contains("PartitionFilters: []")
+        Seq((n, nq.toLong, kv("hits"),
+          kv("hits") * 100L >= nq.toLong * 95L,
+          planOk, modelOk, kv("chain_ms") < budgetMs))
+          .toDF("n_vectors", "n_queries", "hits", "recall_ok",
+            "plan_ok", "model_roundtrip_ok", "chain_under_budget")
+      },
+      Some("""SELECT CAST(500000 AS BIGINT) AS n_vectors,
+             |  CAST(256 AS BIGINT) AS n_queries, CAST(256 AS BIGINT) AS hits,
+             |  TRUE AS recall_ok, TRUE AS plan_ok, TRUE AS model_roundtrip_ok,
+             |  TRUE AS chain_under_budget""".stripMargin)),
+
+    // -- malformed-row ingest audit (VERDICT r12 #6) ------------------------------
+    // The first mile for corpora that arrive as JSONL/CSV, not WARC:
+    // PERMISSIVE-mode parses with `_corrupt_record` accounting, per-file
+    // bad-row counts, and a >10% refusal threshold. The fixture frames
+    // each document as one line of BOTH formats (to_json/to_csv — the
+    // canonical escapers, so round-tripped text lengths pin payload
+    // fidelity) and plants three corruption classes: truncated/
+    // unterminated records (%23==1), type/syntax garbage (%29==2), and a
+    // FILE-TARGETED class (%13==5 on files 0-2 only) that pushes those
+    // files over the refusal threshold while the rest stay under —
+    // refusal is computed, not planted. The oracle re-derives every
+    // count from the residues; a parser that swallows a corruption
+    // class, mis-frames a quoted newline, or drops a good row shifts a
+    // count and fails the hash. Scale: from_json/from_csv ride the scan
+    // (codegen'd), the audit is one map-side-combined per-file
+    // aggregate — no corpus state.
+    QueryDef("p137_ingest_audit",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        import s.implicits._
+        val docs = t(s, d, "documents").select($"doc_id", $"text", $"lang")
+          .withColumn("file", $"doc_id" % 8)
+        val clsA = $"doc_id" % 23 === 1
+        val clsB = $"doc_id" % 29 === 2 && !($"doc_id" % 23 === 1)
+        val clsC = $"doc_id" % 13 === 5 && $"doc_id" % 8 < 3 &&
+          !($"doc_id" % 23 === 1) && !($"doc_id" % 29 === 2)
+        def schemaOf = new StructType()
+          .add("doc_id", LongType).add("text", StringType)
+          .add("lang", StringType).add("_corrupt_record", StringType)
+        val opts = Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt_record")
+        def leg(fmt: String): DataFrame = {
+          val goodLine =
+            if (fmt == "jsonl") to_json(struct($"doc_id", $"text", $"lang"))
+            else to_csv(struct($"doc_id", $"text", $"lang"))
+          val line =
+            if (fmt == "jsonl")
+              when(clsA, concat(lit("{\"doc_id\":"), $"doc_id",
+                  lit(",\"text\":\"unterminated")))
+                .when(clsB, lit("{not json}"))
+                .when(clsC, lit("[1,2"))
+                .otherwise(goodLine)
+            else
+              when(clsA, concat(lit("\""), $"doc_id".cast("string")))
+                .when(clsB, lit("notanum,x,y"))
+                .when(clsC, lit("\"a,b"))
+                .otherwise(goodLine)
+          val framed = docs.select($"file", line.as("line"))
+          val parsed =
+            if (fmt == "jsonl")
+              framed.select($"file", from_json($"line", schemaOf, opts).as("r"))
+            else
+              framed.select($"file", from_csv($"line", schemaOf, opts).as("r"))
+          val bad = $"r._corrupt_record".isNotNull
+          parsed.groupBy($"file")
+            .agg(count(lit(1)).as("n_rows"),
+              sum((!bad).cast("long")).as("n_good"),
+              sum(bad.cast("long")).as("n_bad"),
+              sum(when(bad, 0L).otherwise(length($"r.text").cast("long")))
+                .as("good_chars"))
+            .select(lit(fmt).as("format"), $"file", $"n_rows", $"n_good",
+              $"n_bad", ($"n_bad" * 10 > $"n_rows").as("refused"),
+              $"good_chars")
+        }
+        leg("csv").unionByName(leg("jsonl"))
+          .orderBy($"format", $"file")
+      },
+      Some("""WITH cls AS (
+             |  SELECT doc_id, doc_id % 8 AS file, length(text) AS lt,
+             |    CASE WHEN doc_id % 23 = 1 THEN 1
+             |         WHEN doc_id % 29 = 2 THEN 1
+             |         WHEN doc_id % 13 = 5 AND doc_id % 8 < 3 THEN 1
+             |         ELSE 0 END AS bad
+             |  FROM documents),
+             |per AS (
+             |  SELECT file, CAST(count(*) AS BIGINT) AS n_rows,
+             |    CAST(count(*) - sum(bad) AS BIGINT) AS n_good,
+             |    CAST(sum(bad) AS BIGINT) AS n_bad,
+             |    CAST(sum(CASE WHEN bad = 0 THEN lt ELSE 0 END) AS BIGINT) AS good_chars
+             |  FROM cls GROUP BY file)
+             |SELECT f.format, p.file, p.n_rows, p.n_good, p.n_bad,
+             |  p.n_bad * 10 > p.n_rows AS refused, p.good_chars
+             |FROM per p CROSS JOIN (VALUES ('csv'), ('jsonl')) f(format)
+             |ORDER BY f.format, p.file""".stripMargin))
   )
 
   /** Shared p133/s39 stage: synthesize the templated page per doc, run
