@@ -46,7 +46,8 @@ object Bench {
     val layoutBuilders = Seq("r24_italy_scale", "p24_neardup_clusters",
       "p64_ivfadc_layout", "s16_stream_neardup_idx", "p101_snapshot_pinning",
       "p111_snapshot_stat_pruning", "p115_recrawl_capstone",
-      "s34_stream_wordlm", "p126_dedup_scale")
+      "s34_stream_wordlm", "p126_dedup_scale", "p134_recrawl_frontier",
+      "p136_retrieval_scale")
     val setupT0 = System.nanoTime()
     layoutBuilders.filter(selected.contains).foreach { n =>
       try { selected(n)(spark, sfDir).count(): Unit } catch { case e: Throwable =>

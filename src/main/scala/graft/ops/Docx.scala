@@ -33,29 +33,11 @@ object Docx {
     */
   private val MaxXmlBytes = 64 * 1024 * 1024
 
-  private def documentXml(bytes: Array[Byte]): Option[Array[Byte]] = {
-    val zin = new java.util.zip.ZipInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    try {
-      var entry = zin.getNextEntry
-      while (entry != null) {
-        if (entry.getName == "word/document.xml") {
-          val out = new java.io.ByteArrayOutputStream(8192)
-          val buf = new Array[Byte](8192)
-          var n = zin.read(buf)
-          while (n >= 0) {
-            if (out.size() + n > MaxXmlBytes)
-              throw new IllegalArgumentException("document.xml exceeds cap")
-            out.write(buf, 0, n)
-            n = zin.read(buf)
-          }
-          return Some(out.toByteArray)
-        }
-        entry = zin.getNextEntry
-      }
-      None
-    } finally zin.close()
-  }
+  private def documentXml(bytes: Array[Byte]): Option[Array[Byte]] =
+    // container read through Opc.zipEntries: streaming walk first,
+    // central-directory fallback for ZIP64/data-descriptor packages
+    Opc.zipEntries(bytes, _ == "word/document.xml", MaxXmlBytes)
+      .headOption.map(_._2)
 
   /** Paragraphs of `word/document.xml`, in document order. None on any
     * container/XML violation.
@@ -204,19 +186,26 @@ object Docx {
         "<Relationship Id=\"rId1\" Type=\"http://schemas.openxmlformats.org/" +
         "officeDocument/2006/relationships/officeDocument\" " +
         "Target=\"word/document.xml\"/></Relationships>"
-    val out = new java.io.ByteArrayOutputStream()
-    val zos = new java.util.zip.ZipOutputStream(out)
-    try {
-      Seq("[Content_Types].xml" -> contentTypes,
-          "_rels/.rels" -> rels,
-          "word/document.xml" -> doc.toString).foreach { case (name, body) =>
-        val e = new java.util.zip.ZipEntry(name)
-        e.setTime(0L) // fixed timestamp: fixture bytes are seed-pure
-        zos.putNextEntry(e)
-        zos.write(body.getBytes("UTF-8"))
-        zos.closeEntry()
-      }
-    } finally zos.close()
-    out.toByteArray
+    val entries = Seq("[Content_Types].xml" -> contentTypes,
+      "_rels/.rels" -> rels,
+      "word/document.xml" -> doc.toString)
+    // seed%6==1 documents ship as ZIP64 + data-descriptor STORED
+    // containers — central-directory fallback load-bearing (VERDICT r12 #7)
+    if (seed % 6 == 1)
+      Opc.writeZip64(entries.map { case (nm, b) => nm -> b.getBytes("UTF-8") })
+    else {
+      val out = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(out)
+      try {
+        entries.foreach { case (name, body) =>
+          val e = new java.util.zip.ZipEntry(name)
+          e.setTime(0L) // fixed timestamp: fixture bytes are seed-pure
+          zos.putNextEntry(e)
+          zos.write(body.getBytes("UTF-8"))
+          zos.closeEntry()
+        }
+      } finally zos.close()
+      out.toByteArray
+    }
   }
 }

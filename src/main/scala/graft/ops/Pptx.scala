@@ -36,35 +36,19 @@ object Pptx {
     * presentation part falls back to numeric part order.
     */
   private def slideParts(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
-    val zin = new java.util.zip.ZipInputStream(
-      new java.io.ByteArrayInputStream(bytes))
+    // container read through Opc.zipEntries: streaming walk first,
+    // central-directory fallback for ZIP64/data-descriptor packages
+    val wanted = (n: String) => SlideName.pattern.matcher(n).matches() ||
+      n == "ppt/presentation.xml" || n == "ppt/_rels/presentation.xml.rels"
     val parts = scala.collection.mutable.ArrayBuffer[(Int, String, Array[Byte])]()
     var pres: Option[Array[Byte]] = None
     var rels: Option[Array[Byte]] = None
-    try {
-      var entry = zin.getNextEntry
-      while (entry != null) {
-        def slurp(): Array[Byte] = {
-          val out = new java.io.ByteArrayOutputStream(8192)
-          val buf = new Array[Byte](8192)
-          var r = zin.read(buf)
-          while (r >= 0) {
-            if (out.size() + r > MaxXmlBytes)
-              throw new IllegalArgumentException("part exceeds cap")
-            out.write(buf, 0, r)
-            r = zin.read(buf)
-          }
-          out.toByteArray
-        }
-        entry.getName match {
-          case SlideName(n) => parts += ((n.toInt, entry.getName, slurp()))
-          case "ppt/presentation.xml" => pres = Some(slurp())
-          case "ppt/_rels/presentation.xml.rels" => rels = Some(slurp())
-          case _ => ()
-        }
-        entry = zin.getNextEntry
-      }
-    } finally zin.close()
+    Opc.zipEntries(bytes, wanted, MaxXmlBytes).foreach {
+      case (name @ SlideName(n), data) => parts += ((n.toInt, name, data))
+      case ("ppt/presentation.xml", data) => pres = Some(data)
+      case ("ppt/_rels/presentation.xml.rels", data) => rels = Some(data)
+      case _ => ()
+    }
     (pres, rels) match {
       case (Some(p), Some(r)) =>
         val byName = parts.map(e => e._2 -> e._3).toMap
@@ -262,17 +246,24 @@ object Pptx {
       Seq("[Content_Types].xml" -> contentTypes) ++ orderParts ++
         (n to 1 by -1).map(k => s"ppt/slides/slide$k.xml" -> slideXml(seed, k - 1)) ++
         Seq("ppt/notesSlides/notesSlide1.xml" -> notes)
-    val out = new java.io.ByteArrayOutputStream()
-    val zos = new java.util.zip.ZipOutputStream(out)
-    try {
-      entries.foreach { case (name, body) =>
-        val e = new java.util.zip.ZipEntry(name)
-        e.setTime(0L)
-        zos.putNextEntry(e)
-        zos.write(body.getBytes("UTF-8"))
-        zos.closeEntry()
-      }
-    } finally zos.close()
-    out.toByteArray
+    // seed%6==2 decks ship as ZIP64 + data-descriptor STORED containers
+    // (the shape ZipInputStream refuses) — the central-directory
+    // fallback is load-bearing on this class (VERDICT r12 #7)
+    if (seed % 6 == 2)
+      Opc.writeZip64(entries.map { case (nm, b) => nm -> b.getBytes("UTF-8") })
+    else {
+      val out = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(out)
+      try {
+        entries.foreach { case (name, body) =>
+          val e = new java.util.zip.ZipEntry(name)
+          e.setTime(0L)
+          zos.putNextEntry(e)
+          zos.write(body.getBytes("UTF-8"))
+          zos.closeEntry()
+        }
+      } finally zos.close()
+      out.toByteArray
+    }
   }
 }

@@ -154,25 +154,22 @@ object Xlsx {
     if (bytes == null || bytes.length < 4 ||
       bytes(0) != 'P' || bytes(1) != 'K') return None
     try {
-      val zin = new java.util.zip.ZipInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+      // container read through Opc.zipEntries: streaming walk first,
+      // central-directory fallback for ZIP64/data-descriptor packages
+      val wanted = (n: String) => SheetName.pattern.matcher(n).matches() ||
+        n == "xl/sharedStrings.xml" || n == "xl/workbook.xml" ||
+        n == "xl/_rels/workbook.xml.rels"
       val sheets = scala.collection.mutable.ArrayBuffer[(Int, String, Array[Byte])]()
       var sstXml: Option[Array[Byte]] = None
       var wbXml: Option[Array[Byte]] = None
       var wbRels: Option[Array[Byte]] = None
-      try {
-        var entry = zin.getNextEntry
-        while (entry != null) {
-          entry.getName match {
-            case SheetName(n) => sheets += ((n.toInt, entry.getName, readAll(zin)))
-            case "xl/sharedStrings.xml"       => sstXml = Some(readAll(zin))
-            case "xl/workbook.xml"            => wbXml = Some(readAll(zin))
-            case "xl/_rels/workbook.xml.rels" => wbRels = Some(readAll(zin))
-            case _                            => ()
-          }
-          entry = zin.getNextEntry
-        }
-      } finally zin.close()
+      Opc.zipEntries(bytes, wanted, MaxXmlBytes).foreach {
+        case (name @ SheetName(n), data) => sheets += ((n.toInt, name, data))
+        case ("xl/sharedStrings.xml", data)       => sstXml = Some(data)
+        case ("xl/workbook.xml", data)            => wbXml = Some(data)
+        case ("xl/_rels/workbook.xml.rels", data) => wbRels = Some(data)
+        case _ => ()
+      }
       val sst = sstXml.map(parseSharedStrings).getOrElse(Vector.empty)
       // ADVICE r12: the authored sheet order is workbook.xml's <sheet>
       // r:id sequence through the workbook rels; numeric part order is
@@ -324,17 +321,23 @@ object Xlsx {
       Seq("[Content_Types].xml" -> contentTypes) ++ orderParts ++
         (n to 1 by -1).map(k => s"xl/worksheets/sheet$k.xml" -> sheetXmls(k - 1)) ++
         Seq("xl/sharedStrings.xml" -> sst)
-    val out = new java.io.ByteArrayOutputStream()
-    val zos = new java.util.zip.ZipOutputStream(out)
-    try {
-      entries.foreach { case (name, body) =>
-        val e = new java.util.zip.ZipEntry(name)
-        e.setTime(0L)
-        zos.putNextEntry(e)
-        zos.write(body.getBytes("UTF-8"))
-        zos.closeEntry()
-      }
-    } finally zos.close()
-    out.toByteArray
+    // seed%6==4 workbooks ship as ZIP64 + data-descriptor STORED
+    // containers — central-directory fallback load-bearing (VERDICT r12 #7)
+    if (seed % 6 == 4)
+      Opc.writeZip64(entries.map { case (nm, b) => nm -> b.getBytes("UTF-8") })
+    else {
+      val out = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(out)
+      try {
+        entries.foreach { case (name, body) =>
+          val e = new java.util.zip.ZipEntry(name)
+          e.setTime(0L)
+          zos.putNextEntry(e)
+          zos.write(body.getBytes("UTF-8"))
+          zos.closeEntry()
+        }
+      } finally zos.close()
+      out.toByteArray
+    }
   }
 }
