@@ -188,6 +188,7 @@ object Docx {
         "Target=\"word/document.xml\"/></Relationships>"
     val entries = Seq("[Content_Types].xml" -> contentTypes,
       "_rels/.rels" -> rels,
+      "docProps/core.xml" -> Opc.fixtureCoreXml("Docx", seed),
       "word/document.xml" -> doc.toString)
     // seed%6==1 documents ship as ZIP64 + data-descriptor STORED
     // containers — central-directory fallback load-bearing (VERDICT r12 #7)

@@ -243,7 +243,8 @@ object Pptx {
       else Seq.empty
     // slides enter the zip in REVERSE numeric order
     val entries =
-      Seq("[Content_Types].xml" -> contentTypes) ++ orderParts ++
+      Seq("[Content_Types].xml" -> contentTypes,
+        "docProps/core.xml" -> Opc.fixtureCoreXml("Pptx", seed)) ++ orderParts ++
         (n to 1 by -1).map(k => s"ppt/slides/slide$k.xml" -> slideXml(seed, k - 1)) ++
         Seq("ppt/notesSlides/notesSlide1.xml" -> notes)
     // seed%6==2 decks ship as ZIP64 + data-descriptor STORED containers

@@ -318,7 +318,8 @@ object Xlsx {
           "xl/_rels/workbook.xml.rels" -> wbRels)
       else Seq.empty
     val entries =
-      Seq("[Content_Types].xml" -> contentTypes) ++ orderParts ++
+      Seq("[Content_Types].xml" -> contentTypes,
+        "docProps/core.xml" -> Opc.fixtureCoreXml("Xlsx", seed)) ++ orderParts ++
         (n to 1 by -1).map(k => s"xl/worksheets/sheet$k.xml" -> sheetXmls(k - 1)) ++
         Seq("xl/sharedStrings.xml" -> sst)
     // seed%6==4 workbooks ship as ZIP64 + data-descriptor STORED

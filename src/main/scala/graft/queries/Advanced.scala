@@ -4786,7 +4786,94 @@ object Advanced {
              |SELECT f.format, p.file, p.n_rows, p.n_good, p.n_bad,
              |  p.n_bad * 10 > p.n_rows AS refused, p.good_chars
              |FROM per p CROSS JOIN (VALUES ('csv'), ('jsonl')) f(format)
-             |ORDER BY f.format, p.file""".stripMargin))
+             |ORDER BY f.format, p.file""".stripMargin)),
+
+    // -- office metadata for data cards (VERDICT r12 #8) --------------------------
+    // docProps/core.xml Dublin Core provenance (title, creator,
+    // created/modified W3CDTF strings) surfaced NEXT TO the extracted
+    // text for all three OOXML modalities — the fields a p107-style
+    // data card rolls up. Values stay in the document's own string form
+    // (no timestamp reparse — byte-pinned provenance). The oracle
+    // re-derives every metadata column AND the extracted-text length
+    // per fixture from (kind, doc_id) closed forms; a dropped field, a
+    // mis-parsed date, or a metadata/text mismatch fails the hash.
+    // Scale: per-blob mapPartitions, shuffle-free — the core.xml read
+    // rides the same container pass as the text extraction.
+    QueryDef("p138_office_metadata",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents").select($"doc_id".cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            val (kind, bytes, text) = (id % 3) match {
+              case 0 =>
+                val b = graft.ops.Docx.syntheticDocx(id)
+                ("docx", b, graft.ops.Docx.extractText(b).get.mkString("\n"))
+              case 1 =>
+                val b = graft.ops.Pptx.syntheticPptx(id)
+                ("pptx", b, graft.ops.Pptx.extractText(b).get.mkString("\n"))
+              case _ =>
+                val b = graft.ops.Xlsx.syntheticXlsx(id)
+                ("xlsx", b, graft.ops.Xlsx.extractText(b).get.mkString("\n"))
+            }
+            val cp = graft.ops.Opc.coreProperties(bytes)
+              .getOrElse(throw new IllegalStateException(s"doc $id: no core props"))
+            (id, kind, cp.title.orNull, cp.creator.orNull,
+              cp.created.orNull, cp.modified.orNull, text.length.toLong)
+          })
+          .toDF("doc_id", "kind", "title", "creator", "created", "modified",
+            "n_chars")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH dx AS (
+             |  SELECT doc_id, CAST(length(array_to_string(
+             |    list_transform(range(0, 3 + doc_id % 4), i ->
+             |      'Para ' || i || ' ' ||
+             |      substring(md5(CAST(doc_id AS VARCHAR) || '|' || i), 1, 12) ||
+             |      CASE WHEN i % 3 = 0 THEN chr(9) || 'a<b & c' ELSE '' END ||
+             |      CASE WHEN i % 5 = 2 THEN chr(10) || 'wrapped x>y' ELSE '' END),
+             |    chr(10))) AS BIGINT) AS n_chars
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |px AS (
+             |  SELECT doc_id, CAST(length(array_to_string(
+             |    flatten(list_transform(range(0, 1 + doc_id % 3), s ->
+             |      list_transform(range(0, 2 + (doc_id + s) % 2), i ->
+             |        'Slide ' || s || ' para ' || i || ' ' ||
+             |        substring(md5(CAST(doc_id AS VARCHAR) || '|' || s || '|' || i), 1, 12) ||
+             |        CASE WHEN (doc_id + s + i) % 3 = 0 THEN chr(10) || 'br&k' ELSE '' END ||
+             |        CASE WHEN (doc_id + s + i) % 4 = 0 THEN ' a<b' ELSE '' END))),
+             |    chr(10))) AS BIGINT) AS n_chars
+             |  FROM documents WHERE doc_id % 3 = 1),
+             |xx AS (
+             |  SELECT doc_id, CAST(length(array_to_string(
+             |    flatten(list_transform(range(0, 1 + doc_id % 2), s ->
+             |      list_transform(range(0, 2 + (doc_id + s) % 2), r ->
+             |        'Cell ' || s || ' ' || (r % 2) || ' ' ||
+             |          substring(md5(CAST(doc_id AS VARCHAR) || '|' || s || '|' || (r % 2)), 1, 10) ||
+             |        chr(9) || CAST((doc_id + s + r) % 1000 AS VARCHAR) || chr(9) ||
+             |        CASE CAST((doc_id + s + r) % 3 AS INT)
+             |          WHEN 0 THEN 'in<line> &r'
+             |          WHEN 1 THEN 'Rich ' ||
+             |            substring(md5(CAST(doc_id AS VARCHAR) || '|rich|' || s || '|' || r), 1, 6)
+             |          ELSE 'F' || CAST((doc_id * 7 + s + r) % 100 AS VARCHAR) END))),
+             |    chr(10))) AS BIGINT) AS n_chars
+             |  FROM documents WHERE doc_id % 3 = 2),
+             |nc AS (SELECT doc_id, n_chars FROM dx
+             |  UNION ALL SELECT doc_id, n_chars FROM px
+             |  UNION ALL SELECT doc_id, n_chars FROM xx)
+             |SELECT d.doc_id,
+             |  CASE CAST(d.doc_id % 3 AS INT) WHEN 0 THEN 'docx'
+             |    WHEN 1 THEN 'pptx' ELSE 'xlsx' END AS kind,
+             |  CASE CAST(d.doc_id % 3 AS INT) WHEN 0 THEN 'Docx '
+             |    WHEN 1 THEN 'Pptx ' ELSE 'Xlsx ' END || d.doc_id || ' ' ||
+             |    substring(md5(CAST(d.doc_id AS VARCHAR) || '|title'), 1, 8) AS title,
+             |  'author-' || (d.doc_id % 7) AS creator,
+             |  '2025-01-' || lpad(CAST(1 + d.doc_id % 28 AS VARCHAR), 2, '0') ||
+             |    'T00:00:00Z' AS created,
+             |  '2025-01-' || lpad(CAST(1 + (d.doc_id + 3) % 28 AS VARCHAR), 2, '0') ||
+             |    'T00:00:00Z' AS modified,
+             |  nc.n_chars
+             |FROM documents d JOIN nc USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin))
   )
 
   /** Shared p133/s39 stage: synthesize the templated page per doc, run

@@ -78,6 +78,22 @@ class OpcSpec extends AnyFunSuite {
     }
   }
 
+  test("coreProperties: Dublin Core fields round-trip, absence is None") {
+    val b = graft.ops.Pptx.syntheticPptx(5L)
+    val cp = Opc.coreProperties(b).get
+    assert(cp.title.get.startsWith("Pptx 5 "))
+    assert(cp.creator === Some("author-5"))
+    assert(cp.created === Some("2025-01-06T00:00:00Z"))
+    assert(cp.modified === Some("2025-01-09T00:00:00Z"))
+    // a package without docProps/core.xml has no properties
+    val z = Opc.writeZip64(Seq("word/document.xml" -> "<w/>".getBytes("UTF-8")))
+    assert(Opc.coreProperties(z).isEmpty)
+    // corrupt container is data
+    assert(Opc.coreProperties("PK garbage".getBytes).isEmpty)
+    // and the zip64 fixture classes carry core props too
+    assert(Opc.coreProperties(graft.ops.Docx.syntheticDocx(1L)).isDefined)
+  }
+
   test("office extractors round-trip their ZIP64 fixture classes") {
     val pptxSeed = (0L until 24L).find(_ % 6 == 2).get
     assert(graft.ops.Pptx.extractText(graft.ops.Pptx.syntheticPptx(pptxSeed))
