@@ -33,12 +33,27 @@ object Multimodal {
     */
   def decodeImage(bytes: Array[Byte]): Option[Array[Float]] = {
     if (bytes == null || bytes.length < 8) return None
-    val img =
+    val raw =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       catch { case _: Exception => null }
-    if (img == null) return None
+    if (raw == null) return None
+    // EXIF orientation (VERDICT r12 #9): JPEG pixels are STORED in
+    // whatever rotation the camera wrote; the APP1 tag says how to
+    // display them. Applying it before pooling makes physically-
+    // identical photos with different orientation tags featurize
+    // identically (quadrant pooling is rotation-sensitive).
+    val img =
+      if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+        applyOrientation(raw, exifOrientation(bytes))
+      else raw
     val w = img.getWidth; val h = img.getHeight
     if (w <= 0 || h <= 0) return None
+    poolImage(img)
+  }
+
+  /** The 2×2-quadrant feature pooling over decoded pixels. */
+  private[graft] def poolImage(img: java.awt.image.BufferedImage): Option[Array[Float]] = {
+    val w = img.getWidth; val h = img.getHeight
     var sumR = 0.0; var sumG = 0.0; var sumB = 0.0
     val quadLuma = new Array[Double](4)
     val quadN = new Array[Int](4)
@@ -68,6 +83,110 @@ object Multimodal {
       q += 1
     }
     Some(out)
+  }
+
+  /** The EXIF orientation of a JPEG (1 when absent or malformed — the
+    * tag is a display HINT; a broken Exif block must not refuse an
+    * otherwise-decodable image, the browser behavior). Walks the JPEG
+    * marker segments to APP1 "Exif" (NUL-NUL terminated), then the TIFF IFD0 for
+    * tag 0x0112 (SHORT), honoring both byte orders.
+    */
+  private[graft] def exifOrientation(bytes: Array[Byte]): Int = {
+    try {
+      var p = 2
+      while (p + 4 <= bytes.length && (bytes(p) & 0xff) == 0xff) {
+        val marker = bytes(p + 1) & 0xff
+        if (marker == 0xda || marker == 0xd9) return 1 // SOS/EOI: no Exif
+        val len = ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+        if (len < 2 || p + 2 + len > bytes.length) return 1
+        if (marker == 0xe1 && len >= 2 + 6 + 8 &&
+          bytes(p + 4) == 'E' && bytes(p + 5) == 'x' && bytes(p + 6) == 'i' &&
+          bytes(p + 7) == 'f' && bytes(p + 8) == 0 && bytes(p + 9) == 0) {
+          val base = p + 10
+          val le = (bytes(base) & 0xff) == 'I'
+          def u16(o: Int): Int = {
+            if (o < 0 || o + 2 > bytes.length) return -1
+            if (le) (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+            else ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+          }
+          def u32(o: Int): Long = {
+            if (o < 0 || o + 4 > bytes.length) return -1L
+            if (le) (u16(o) & 0xffffL) | ((u16(o + 2) & 0xffffL) << 16)
+            else ((u16(o) & 0xffffL) << 16) | (u16(o + 2) & 0xffffL)
+          }
+          if (u16(base + 2) != 42) return 1
+          val ifd = u32(base + 4)
+          if (ifd < 0) return 1
+          val at = base + ifd.toInt
+          val n = u16(at)
+          var i = 0
+          while (i >= 0 && i < n) {
+            val e = at + 2 + i * 12
+            if (u16(e) == 0x0112 && u16(e + 2) == 3) {
+              val v = u16(e + 8)
+              return if (v >= 1 && v <= 8) v else 1
+            }
+            i += 1
+          }
+          return 1
+        }
+        p += 2 + len
+      }
+      1
+    } catch { case _: ArrayIndexOutOfBoundsException => 1 }
+  }
+
+  /** Remap stored pixels to display orientation (EXIF tag semantics:
+    * 2 flip-H, 3 rot-180, 4 flip-V, 5 transpose, 6 rot-90-CW,
+    * 7 transverse, 8 rot-270-CW). Identity for 1 or out-of-range.
+    */
+  private[graft] def applyOrientation(img: java.awt.image.BufferedImage,
+                                      o: Int): java.awt.image.BufferedImage = {
+    if (o <= 1 || o > 8) return img
+    val w = img.getWidth; val h = img.getHeight
+    val swap = o >= 5
+    val out = new java.awt.image.BufferedImage(
+      if (swap) h else w, if (swap) w else h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        o match {
+          case 2 => out.setRGB(w - 1 - x, y, rgb)
+          case 3 => out.setRGB(w - 1 - x, h - 1 - y, rgb)
+          case 4 => out.setRGB(x, h - 1 - y, rgb)
+          case 5 => out.setRGB(y, x, rgb)
+          case 6 => out.setRGB(h - 1 - y, x, rgb)
+          case 7 => out.setRGB(h - 1 - y, w - 1 - x, rgb)
+          case _ => out.setRGB(y, w - 1 - x, rgb)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Fixture-side: prepend an APP1 Exif block carrying `orientation`
+    * right after SOI (big-endian TIFF, one IFD0 entry).
+    */
+  def withExifOrientation(jpeg: Array[Byte], orientation: Int): Array[Byte] = {
+    require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff &&
+      (jpeg(1) & 0xff) == 0xd8, "not a JPEG")
+    require(orientation >= 1 && orientation <= 8, s"bad orientation $orientation")
+    val tiff = Array[Byte](
+      'M', 'M', 0, 42, 0, 0, 0, 8, // big-endian header, IFD0 at 8
+      0, 1,                        // one entry
+      0x01, 0x12, 0, 3, 0, 0, 0, 1, // tag 0x0112, SHORT, count 1
+      0, orientation.toByte, 0, 0,  // value, left-justified
+      0, 0, 0, 0)                   // no next IFD
+    val payload = Array[Byte]('E', 'x', 'i', 'f', 0, 0) ++ tiff
+    val len = payload.length + 2
+    val seg = Array[Byte](0xff.toByte, 0xe1.toByte,
+      ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ payload
+    jpeg.take(2) ++ seg ++ jpeg.drop(2)
   }
 
   /** Real audio decode: JDK javax.sound (headless-safe for PCM WAV/AIFF —
@@ -999,7 +1118,7 @@ object Multimodal {
     * quality — the fixture side of the MJPEG path (per-frame, so the AVI
     * is bona-fide motion JPEG, not one image reused).
     */
-  private def encodeJpeg(img: java.awt.image.BufferedImage,
+  private[graft] def encodeJpeg(img: java.awt.image.BufferedImage,
                          quality: Float): Array[Byte] = {
     val writer = javax.imageio.ImageIO
       .getImageWritersByFormatName("jpeg").next()

@@ -4873,7 +4873,45 @@ object Advanced {
              |    'T00:00:00Z' AS modified,
              |  nc.n_chars
              |FROM documents d JOIN nc USING (doc_id)
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // -- EXIF orientation in image featurization (VERDICT r12 #9 stretch) --------
+    // Physically-identical photos carrying different EXIF orientation
+    // tags must featurize identically: decodeImage now parses the JPEG
+    // APP1 TIFF IFD0 orientation (both byte orders, malformed → 1) and
+    // remaps stored pixels to display orientation BEFORE the quadrant
+    // pooling. Per doc: encode one deterministic image, tag it with
+    // orientation 1+doc_id%8, and pin (a) the production path equals
+    // rotate-then-pool on the same decoded pixels, and (b) orientations
+    // >1 observably change the quadrant features (a no-op orientation
+    // pass would silently satisfy (a)). MultimodalSpec pins the 8
+    // orientation semantics on hand-built pixel grids independently.
+    QueryDef("p139_exif_orientation",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents").select($"doc_id".cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            val png = graft.ops.Multimodal.syntheticPng(id, 9, 6)
+            val src = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(png))
+            val jpeg = graft.ops.Multimodal.encodeJpeg(src, 0.9f)
+            val o = 1 + (id % 8).toInt
+            val tagged = graft.ops.Multimodal.withExifOrientation(jpeg, o)
+            val prod = graft.ops.Multimodal.decodeImage(tagged).get
+            val dec = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(jpeg))
+            val ref = graft.ops.Multimodal.poolImage(
+              graft.ops.Multimodal.applyOrientation(dec, o)).get
+            val plain = graft.ops.Multimodal.decodeImage(jpeg).get
+            (id, o, java.util.Arrays.equals(prod, ref),
+              o == 1 || !java.util.Arrays.equals(prod, plain))
+          })
+          .toDF("doc_id", "orientation", "orient_ok", "rotation_observable_ok")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, CAST(1 + doc_id % 8 AS INT) AS orientation,
+             |  TRUE AS orient_ok, TRUE AS rotation_observable_ok
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 
   /** Shared p133/s39 stage: synthesize the templated page per doc, run

@@ -181,6 +181,95 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("EXIF orientation: the 8 remaps on a hand-built pixel grid") {
+    // 3×2 grid of distinct colors; each EXIF orientation value has a
+    // closed-form coordinate map, checked pixel by pixel.
+    val w = 3; val h = 2
+    def px(x: Int, y: Int): Int = 0x010000 * (x + 1) + 0x000100 * (y + 1)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+    // (srcX, srcY) → destination coordinate per orientation tag
+    val maps: Map[Int, (Int, Int) => (Int, Int)] = Map(
+      1 -> ((x, y) => (x, y)),
+      2 -> ((x, y) => (w - 1 - x, y)),           // flip horizontal
+      3 -> ((x, y) => (w - 1 - x, h - 1 - y)),   // rotate 180
+      4 -> ((x, y) => (x, h - 1 - y)),           // flip vertical
+      5 -> ((x, y) => (y, x)),                   // transpose
+      6 -> ((x, y) => (h - 1 - y, x)),           // rotate 90 CW
+      7 -> ((x, y) => (h - 1 - y, w - 1 - x)),   // transverse
+      8 -> ((x, y) => (y, w - 1 - x)))           // rotate 270 CW
+    for (o <- 1 to 8) {
+      val out = Multimodal.applyOrientation(img, o)
+      val swap = o >= 5
+      assert(out.getWidth == (if (swap) h else w) && out.getHeight == (if (swap) w else h),
+        s"o=$o dims ${out.getWidth}x${out.getHeight}")
+      for (y <- 0 until h; x <- 0 until w) {
+        val (dx, dy) = maps(o)(x, y)
+        assert((out.getRGB(dx, dy) & 0xffffff) == px(x, y),
+          s"o=$o src($x,$y) expected at ($dx,$dy)")
+      }
+    }
+    // out-of-range tags are identity
+    assert(Multimodal.applyOrientation(img, 0) eq img)
+    assert(Multimodal.applyOrientation(img, 9) eq img)
+  }
+
+  test("EXIF orientation: tag parse round-trip, byte orders, malformed → 1") {
+    val base = {
+      val src = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.syntheticPng(5L, 9, 6)))
+      Multimodal.encodeJpeg(src, 0.9f)
+    }
+    assert(Multimodal.exifOrientation(base) == 1, "untagged JPEG defaults to 1")
+    for (o <- 1 to 8)
+      assert(Multimodal.exifOrientation(Multimodal.withExifOrientation(base, o)) == o,
+        s"big-endian round-trip o=$o")
+    // hand-built little-endian TIFF carrying orientation 6
+    val leTiff = Array[Byte](
+      'I', 'I', 42, 0, 8, 0, 0, 0,           // little-endian header, IFD0 at 8
+      1, 0,                                  // one entry
+      0x12, 0x01, 3, 0, 1, 0, 0, 0,          // tag 0x0112, SHORT, count 1
+      6, 0, 0, 0,                            // value 6
+      0, 0, 0, 0)
+    val payload = Array[Byte]('E', 'x', 'i', 'f', 0, 0) ++ leTiff
+    val len = payload.length + 2
+    val seg = Array[Byte](0xff.toByte, 0xe1.toByte,
+      ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ payload
+    assert(Multimodal.exifOrientation(base.take(2) ++ seg ++ base.drop(2)) == 6,
+      "little-endian Exif")
+    // malformed Exif blocks must not refuse the image: orientation 1
+    val truncated = (base.take(2) ++ seg).dropRight(8)
+    assert(Multimodal.exifOrientation(truncated) == 1, "truncated Exif → 1")
+    val garbage = base.take(2) ++
+      Array[Byte](0xff.toByte, 0xe1.toByte, 0, 10, 'E', 'x', 'i', 'f', 0, 0, 99, 99) ++
+      base.drop(2)
+    assert(Multimodal.exifOrientation(garbage) == 1, "garbage TIFF header → 1")
+    assert(Multimodal.decodeImage(garbage).isDefined, "malformed Exif still decodes")
+  }
+
+  test("EXIF orientation: decodeImage equals rotate-then-pool on the same pixels") {
+    // JPEG is lossy, so the invariant is over DECODED pixels: the
+    // production path (tagged bytes → decodeImage) must equal decoding
+    // the untagged bytes, remapping, and pooling.
+    val src = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.syntheticPng(11L, 9, 6)))
+    val jpeg = Multimodal.encodeJpeg(src, 0.9f)
+    val plain = Multimodal.decodeImage(jpeg).get
+    for (o <- 1 to 8) {
+      val prod = Multimodal.decodeImage(Multimodal.withExifOrientation(jpeg, o)).get
+      val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+      val ref = Multimodal.poolImage(Multimodal.applyOrientation(dec, o)).get
+      assert(java.util.Arrays.equals(prod, ref), s"o=$o production vs reference pooling")
+      if (o > 1)
+        assert(!java.util.Arrays.equals(prod, plain),
+          s"o=$o must observably change quadrant features")
+    }
+    // PNG bytes never consult Exif (no JPEG SOI): unchanged path
+    val png = Multimodal.syntheticPng(11L, 9, 6)
+    assert(java.util.Arrays.equals(
+      Multimodal.decodeImage(png).get, Multimodal.decodeImage(png).get))
+  }
+
   test("oracle mirror: independent pure-math constants equal the real codec path") {
     // MultimodalOracle constants come from tools/gen_multimodal_oracle.py —
     // no AWT/ImageIO/javax.sound — so equality here proves the PNG/WAV
