@@ -510,6 +510,7 @@ object Multimodal {
       .orElse(decodePptxDoc(bytes).map(("pptx", _)))
       .orElse(decodeXlsxDoc(bytes).map(("xlsx", _)))
       .orElse(decodeMp3Doc(bytes).map(("mp3", _)))
+      .orElse(decodeRtfDoc(bytes).map(("rtf", _)))
       .getOrElse(("stub", stubDecode(bytes)))
 
   /** PDF routed through the media vocabulary: `media_kind` says "pdf"
@@ -554,6 +555,19 @@ object Multimodal {
     graft.ops.Xlsx.extractText(bytes).map { sheets =>
       val text = sheets.mkString("\n")
       Array(sheets.size.toFloat, (1 + text.count(_ == '\n')).toFloat,
+        text.length.toFloat)
+    }
+
+  /** RTF routed the same way: `media_kind` says "rtf", features are
+    * the extraction accounting (paragraphs, lines, chars). The real
+    * text lives behind [[graft.ops.Rtf.extractText]] (p140). The
+    * `{\rtf` magic is checked inside the extractor, so arbitrary
+    * brace-prefixed text cannot catch the label.
+    */
+  def decodeRtfDoc(bytes: Array[Byte]): Option[Array[Float]] =
+    graft.ops.Rtf.extractText(bytes).map { paras =>
+      val text = paras.mkString("\n")
+      Array(paras.size.toFloat, (1 + text.count(_ == '\n')).toFloat,
         text.length.toFloat)
     }
 

@@ -4911,8 +4911,128 @@ object Advanced {
       },
       Some("""SELECT doc_id, CAST(1 + doc_id % 8 AS INT) AS orientation,
              |  TRUE AS orient_ok, TRUE AS rotation_observable_ok
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // -- RTF text extraction -----------------------------------------------------
+    // The dominant LEGACY rich-text modality (WordPad/early-Word
+    // exports, TNEF mail bodies). ops/Rtf is a from-scratch parser over
+    // the published RTF grammar: group stack, control words/symbols,
+    // \uN+\uc scoped fallback skipping, \'hh through windows-1252,
+    // destination pruning (fonttbl/colortbl/stylesheet/info/pict and
+    // every starred group), \binN raw-byte skip. The fixture plants all
+    // of those traps (incl. a \bin whose raw bytes contain } \ { so a
+    // scanner that tokenizes them breaks) and the oracle re-derives the
+    // logical text in closed form — a leaked font name, a doubled
+    // source newline, or a mis-scoped \uc shifts the digest.
+    QueryDef("p140_rtf_extract",
+      (s, d) => rtfStage(t(s, d, "documents")).orderBy(col("doc_id")),
+      Some(rtfOracleSql)),
+
+    // The streaming twin: stateless per-blob extraction rides the
+    // micro-batch scan like s36-s39.
+    QueryDef("s40_stream_rtf_extract",
+      (s, d) => EventStreams.runBoundedDocs(s, d, "s40_sink", rtfStage)
+        .orderBy(col("doc_id")),
+      Some(rtfOracleSql)),
+
+    // -- EML / MIME email extraction ---------------------------------------------
+    // Mail archives are a standing training source and their text sits
+    // behind three encoding layers: RFC 5322 header folding, RFC 2047
+    // encoded-word subjects, RFC 2045 transfer encodings under per-part
+    // charsets. ops/Eml walks the MIME tree (multipart/alternative
+    // nested in multipart/mixed in the fixture), takes every text/plain
+    // LEAF through quoted-printable (with soft breaks) or base64 then
+    // its declared charset, and drops html twins/attachments — the
+    // classic mbox-ingest bug doubles every message through its html
+    // part. The oracle re-derives subject, sender and the joined part
+    // text in closed form; a leaked html twin, a mis-unfolded header, a
+    // swallowed soft break or a wrong-charset decode shifts the digest.
+    QueryDef("p141_eml_extract",
+      (s, d) => emlStage(t(s, d, "documents")).orderBy(col("doc_id")),
+      Some(emlOracleSql)),
+
+    // The streaming twin: stateless per-blob extraction rides the
+    // micro-batch scan like s36-s40.
+    QueryDef("s41_stream_eml_extract",
+      (s, d) => EventStreams.runBoundedDocs(s, d, "s41_sink", emlStage)
+        .orderBy(col("doc_id")),
+      Some(emlOracleSql))
   )
+
+  /** Shared p141/s41 stage: synthesize the per-doc EML fixture, run the
+    * real extractor, surface subject/from + part accounting + digest.
+    */
+  private def emlStage(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val em = graft.ops.Eml.extractEmail(graft.ops.Eml.syntheticEml(id))
+          .getOrElse(throw new IllegalStateException(s"doc $id: EML refused"))
+        val text = em.parts.mkString("\n")
+        (id, em.subject, em.fromAddr, em.parts.size, text.length.toLong,
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(text))
+      }
+    }.toDF("doc_id", "subject", "from_addr", "n_parts", "n_chars", "text_digest")
+  }
+
+  /** p141/s41 oracle: subject/sender/part text re-derived in closed
+    * form (cadence mirrors ops/Eml.logicalPart).
+    */
+  private[queries] val emlOracleSql: String =
+    """WITH ls AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 1 + doc_id % 3), j ->
+      |      'Part ' || j || ' ' ||
+      |      substring(md5(CAST(doc_id AS VARCHAR) || '|' || j), 1, 12) ||
+      |      CASE WHEN j = 0 THEN ' ' || chr(233) || chr(8364) || chr(10) || 'wrapped'
+      |           ELSE ' ' || chr(10003) END) AS parts
+      |  FROM documents),
+      |txt AS (SELECT doc_id, len(parts) AS np,
+      |    array_to_string(parts, chr(10)) AS t FROM ls)
+      |SELECT doc_id,
+      |  'Msg ' || doc_id || ' ' || chr(233) AS subject,
+      |  'sender' || doc_id % 7 || '@example.com' AS from_addr,
+      |  CAST(np AS INT) AS n_parts,
+      |  CAST(length(t) AS BIGINT) AS n_chars, md5(t) AS text_digest
+      |FROM txt ORDER BY doc_id""".stripMargin
+
+  /** Shared p140/s40 stage: synthesize the per-doc RTF fixture, run the
+    * real extractor, account paragraphs/chars + the text digest.
+    */
+  private def rtfStage(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val paras = graft.ops.Rtf.extractText(graft.ops.Rtf.syntheticRtf(id))
+          .getOrElse(throw new IllegalStateException(s"doc $id: RTF refused"))
+        val text = paras.mkString("\n")
+        (id, paras.size, text.length.toLong,
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(text))
+      }
+    }.toDF("doc_id", "n_paras", "n_chars", "text_digest")
+  }
+
+  /** p140/s40 oracle: the fixture's logical text re-derived in closed
+    * form (cadence mirrors ops/Rtf.logicalPara).
+    */
+  private[queries] val rtfOracleSql: String =
+    """WITH ls AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 2 + doc_id % 4), i ->
+      |      'Rtf ' || i || ' ' ||
+      |      substring(md5(CAST(doc_id AS VARCHAR) || '|' || i), 1, 12) ||
+      |      CASE WHEN i % 3 = 0 THEN chr(9) || 'a{b}\c' ELSE '' END ||
+      |      CASE WHEN i % 4 = 1 THEN ' ' || chr(233) || chr(8364) ELSE '' END ||
+      |      CASE WHEN i % 5 = 2 THEN chr(10) || 'wrapped' ELSE '' END ||
+      |      CASE WHEN i % 7 = 3 THEN chr(8721) ELSE '' END) AS paras
+      |  FROM documents),
+      |txt AS (SELECT doc_id, len(paras) AS np,
+      |    array_to_string(paras, chr(10)) AS t FROM ls)
+      |SELECT doc_id, CAST(np AS INT) AS n_paras,
+      |  CAST(length(t) AS BIGINT) AS n_chars, md5(t) AS text_digest
+      |FROM txt ORDER BY doc_id""".stripMargin
 
   /** Shared p133/s39 stage: synthesize the templated page per doc, run
     * the codegen'd `html_main` election, account blocks/chars + digest.
