@@ -186,6 +186,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.HtmlMain].getName, "html_main"),
       arity("html_main", 1)(exprs => graft.functions.HtmlMain(exprs(0)))))
+    // ftfy-class double-encoding repair (mojibake_fix) — per-row, codegen'd
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("mojibake_fix"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.MojibakeFix].getName, "mojibake_fix"),
+      arity("mojibake_fix", 1)(exprs => graft.functions.MojibakeFix(exprs(0)))))
     // host-dialect function-name aliases (len, list_*, string_split,
     // regexp_matches, ...) — vocabulary parity so reference-host statements
     // resolve unchanged; every alias is a native codegen'd expression

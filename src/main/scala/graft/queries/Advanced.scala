@@ -4956,8 +4956,74 @@ object Advanced {
     QueryDef("s41_stream_eml_extract",
       (s, d) => EventStreams.runBoundedDocs(s, d, "s41_sink", emlStage)
         .orderBy(col("doc_id")),
-      Some(emlOracleSql))
+      Some(emlOracleSql)),
+
+    // -- mojibake repair (ftfy class) --------------------------------------------
+    // The dominant real-corpus text corruption: UTF-8 misread as
+    // windows-1252/latin-1 and re-encoded, once or twice ("é"→"Ã©"→
+    // "ÃƒÂ©"). The codegen'd `mojibake_fix` kernel inverts it
+    // conservatively: sloppy-1252 char→byte, STRICT UTF-8 decode as the
+    // gate (honest legacy text like latin-1 "café" fails the gate and
+    // is NEVER altered), iterate to fixpoint. Per doc the fixture
+    // corrupts the closed-form original doc_id%3 times; the oracle pins
+    // the round count, the EXPANDED corrupted length per class (proof
+    // the corruption really happened), and the repaired text back to
+    // the original's closed form — an over-eager fix, a missed round,
+    // or a byte-level drift all shift a column. MojibakeSpec pins the
+    // conservative cases (ASCII, latin-1, CJK pass-throughs) and the
+    // C1-control latin-1 leg.
+    QueryDef("p142_mojibake_repair",
+      (s, d) => mojibakeStage(t(s, d, "documents")).orderBy(col("doc_id")),
+      Some(mojibakeOracleSql)),
+
+    // The streaming twin: per-row repair rides the micro-batch scan.
+    QueryDef("s42_stream_mojibake_repair",
+      (s, d) => EventStreams.runBoundedDocs(s, d, "s42_sink", mojibakeStage)
+        .orderBy(col("doc_id")),
+      Some(mojibakeOracleSql))
   )
+
+  /** Shared p142/s42 stage: corrupt the closed-form original doc_id%3
+    * times, repair through the native kernel, account both sides.
+    */
+  private def mojibakeStage(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val planted = docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val orig = "Fix " +
+          org.apache.commons.codec.digest.DigestUtils
+            .md5Hex(id.toString).substring(0, 12) + " é€ü✓"
+        var t = orig
+        var k = 0
+        while (k < (id % 3).toInt) {
+          t = graft.functions.MojibakeFix.corruptOnce(t); k += 1
+        }
+        (id, t)
+      }).toDF("doc_id", "corrupted")
+    planted
+      .select($"doc_id", length($"corrupted").cast("int").as("n_corrupt_chars"),
+        graft.functions.MojibakeFix(s, $"corrupted").as("m"))
+      .select($"doc_id", $"m.rounds".as("n_rounds"), $"n_corrupt_chars",
+        length($"m.fixed").cast("long").as("n_chars"),
+        md5(encode($"m.fixed", "UTF-8")).as("text_digest"))
+  }
+
+  /** p142/s42 oracle: the corruption-class lengths are closed-form
+    * constants (21-char original; 27 = its UTF-8 byte count; 39 = the
+    * once-corrupted string's UTF-8 byte count).
+    */
+  private[queries] val mojibakeOracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    'Fix ' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12) || ' ' ||
+      |    chr(233) || chr(8364) || chr(252) || chr(10003) AS orig
+      |  FROM documents)
+      |SELECT doc_id, CAST(doc_id % 3 AS INT) AS n_rounds,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 21 WHEN 1 THEN 27
+      |       ELSE 39 END AS INT) AS n_corrupt_chars,
+      |  CAST(length(orig) AS BIGINT) AS n_chars, md5(orig) AS text_digest
+      |FROM t ORDER BY doc_id""".stripMargin
 
   /** Shared p141/s41 stage: synthesize the per-doc EML fixture, run the
     * real extractor, surface subject/from + part accounting + digest.
