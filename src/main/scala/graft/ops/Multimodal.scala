@@ -511,6 +511,7 @@ object Multimodal {
       .orElse(decodeXlsxDoc(bytes).map(("xlsx", _)))
       .orElse(decodeMp3Doc(bytes).map(("mp3", _)))
       .orElse(decodeRtfDoc(bytes).map(("rtf", _)))
+      .orElse(decodeLegacyDoc(bytes).map(("doc", _)))
       .getOrElse(("stub", stubDecode(bytes)))
 
   /** PDF routed through the media vocabulary: `media_kind` says "pdf"
@@ -566,6 +567,20 @@ object Multimodal {
     */
   def decodeRtfDoc(bytes: Array[Byte]): Option[Array[Float]] =
     graft.ops.Rtf.extractText(bytes).map { paras =>
+      val text = paras.mkString("\n")
+      Array(paras.size.toFloat, (1 + text.count(_ == '\n')).toFloat,
+        text.length.toFloat)
+    }
+
+  /** Legacy Word .doc routed the same way: `media_kind` says "doc",
+    * features are the extraction accounting (paragraphs, lines, chars).
+    * The real text lives behind [[graft.ops.Doc.extractText]] (p143);
+    * the OLE2 magic plus a WordDocument stream are checked inside it,
+    * so other compound files (.xls, .msg) stay "stub" rather than
+    * mislabeling.
+    */
+  def decodeLegacyDoc(bytes: Array[Byte]): Option[Array[Float]] =
+    graft.ops.Doc.extractText(bytes).map { paras =>
       val text = paras.mkString("\n")
       Array(paras.size.toFloat, (1 + text.count(_ == '\n')).toFloat,
         text.length.toFloat)

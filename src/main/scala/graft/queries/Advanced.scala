@@ -4980,8 +4980,71 @@ object Advanced {
     QueryDef("s42_stream_mojibake_repair",
       (s, d) => EventStreams.runBoundedDocs(s, d, "s42_sink", mojibakeStage)
         .orderBy(col("doc_id")),
-      Some(mojibakeOracleSql))
+      Some(mojibakeOracleSql)),
+
+    // -- legacy Word .doc extraction ---------------------------------------------
+    // The binary Word 97-2003 format: an OLE2/CFB container (ops/Cfb —
+    // FAT + mini-FAT + directory, cycle-guarded) whose text hides
+    // behind the FIB → CLX → piece-table indirection with per-piece
+    // cp1252/UTF-16 encoding and inline control characters. The
+    // fixture stores its two pieces OUT OF FILE ORDER (offset-following
+    // proven), plants a Prc block before the Pcdt, a HYPERLINK field
+    // whose instruction must drop while its cached result extracts,
+    // alternates 0Table/1Table via the FIB flag, and pads every fifth
+    // WordDocument past the mini-stream cutoff so both container read
+    // paths stay load-bearing. Oracle re-derives the logical text in
+    // closed form; a leaked field code, a skipped piece, a wrong table
+    // stream or a mini-FAT miss all shift the digest.
+    QueryDef("p143_doc_extract",
+      (s, d) => docStage(t(s, d, "documents")).orderBy(col("doc_id")),
+      Some(docOracleSql)),
+
+    // The streaming twin: stateless per-blob extraction rides the
+    // micro-batch scan like s36-s41.
+    QueryDef("s43_stream_doc_extract",
+      (s, d) => EventStreams.runBoundedDocs(s, d, "s43_sink", docStage)
+        .orderBy(col("doc_id")),
+      Some(docOracleSql))
   )
+
+  /** Shared p143/s43 stage: synthesize the per-doc .doc fixture, run
+    * the real extractor, account paragraphs/chars + the text digest.
+    */
+  private def docStage(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val paras = graft.ops.Doc.extractText(graft.ops.Doc.syntheticDoc(id))
+          .getOrElse(throw new IllegalStateException(s"doc $id: DOC refused"))
+        val text = paras.mkString("\n")
+        (id, paras.size, text.length.toLong,
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(text))
+      }
+    }.toDF("doc_id", "n_paras", "n_chars", "text_digest")
+  }
+
+  /** p143/s43 oracle: the fixture's logical text re-derived in closed
+    * form (cadence mirrors ops/Doc.logicalPara).
+    */
+  private[queries] val docOracleSql: String =
+    """WITH ls AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 2 + doc_id % 3), i ->
+      |      'Doc ' || i || ' ' ||
+      |      substring(md5(CAST(doc_id AS VARCHAR) || '|' || i), 1, 12) ||
+      |      CASE WHEN i % 3 = 0 THEN chr(9) || 'tab' ELSE '' END ||
+      |      CASE WHEN i % 4 = 1 THEN ' ' || chr(233) || chr(8364) ELSE '' END ||
+      |      CASE WHEN i % 5 = 2 THEN chr(10) || 'wrapped' ELSE '' END ||
+      |      CASE WHEN i % 7 = 3 THEN 'linked' ELSE '' END ||
+      |      CASE WHEN doc_id % 2 = 0 AND i = 1 + doc_id % 3
+      |           THEN ' ' || chr(10003) ELSE '' END) AS paras
+      |  FROM documents),
+      |txt AS (SELECT doc_id, len(paras) AS np,
+      |    array_to_string(paras, chr(10)) AS t FROM ls)
+      |SELECT doc_id, CAST(np AS INT) AS n_paras,
+      |  CAST(length(t) AS BIGINT) AS n_chars, md5(t) AS text_digest
+      |FROM txt ORDER BY doc_id""".stripMargin
 
   /** Shared p142/s42 stage: corrupt the closed-form original doc_id%3
     * times, repair through the native kernel, account both sides.
