@@ -512,6 +512,7 @@ object Multimodal {
       .orElse(decodeMp3Doc(bytes).map(("mp3", _)))
       .orElse(decodeRtfDoc(bytes).map(("rtf", _)))
       .orElse(decodeLegacyDoc(bytes).map(("doc", _)))
+      .orElse(decodeLegacyXls(bytes).map(("xls", _)))
       .getOrElse(("stub", stubDecode(bytes)))
 
   /** PDF routed through the media vocabulary: `media_kind` says "pdf"
@@ -583,6 +584,17 @@ object Multimodal {
     graft.ops.Doc.extractText(bytes).map { paras =>
       val text = paras.mkString("\n")
       Array(paras.size.toFloat, (1 + text.count(_ == '\n')).toFloat,
+        text.length.toFloat)
+    }
+
+  /** Legacy Excel .xls routed the same way: `media_kind` says "xls",
+    * features are the extraction accounting (sheets, lines, chars) —
+    * see [[graft.ops.Xls.extractText]] (p144).
+    */
+  def decodeLegacyXls(bytes: Array[Byte]): Option[Array[Float]] =
+    graft.ops.Xls.extractText(bytes).map { sheets =>
+      val text = sheets.mkString("\n")
+      Array(sheets.size.toFloat, (1 + text.count(_ == '\n')).toFloat,
         text.length.toFloat)
     }
 

@@ -5004,8 +5004,66 @@ object Advanced {
     QueryDef("s43_stream_doc_extract",
       (s, d) => EventStreams.runBoundedDocs(s, d, "s43_sink", docStage)
         .orderBy(col("doc_id")),
-      Some(docOracleSql))
+      Some(docOracleSql)),
+
+    // -- legacy Excel .xls extraction --------------------------------------------
+    // BIFF8 over the same CFB container: record-stream globals (SST
+    // with per-string compressed/UTF-16 encoding and a REUSED entry,
+    // boundsheet order) + per-sheet substreams whose LabelSst/Number
+    // cell records arrive in SHUFFLED order — the reader assembles the
+    // (row, col) grid itself, resolves strings through the dedup table
+    // (dangling isst refuses, the Xlsx lesson), and renders integral
+    // doubles without a decimal point (non-integral refuses: no
+    // cross-engine exact string form). Output is byte-compatible with
+    // the p132 XLSX grid contract.
+    QueryDef("p144_xls_extract",
+      (s, d) => xlsStage(t(s, d, "documents")).orderBy(col("doc_id")),
+      Some(xlsOracleSql)),
+
+    // The streaming twin: stateless per-blob extraction rides the
+    // micro-batch scan like s36-s43.
+    QueryDef("s44_stream_xls_extract",
+      (s, d) => EventStreams.runBoundedDocs(s, d, "s44_sink", xlsStage)
+        .orderBy(col("doc_id")),
+      Some(xlsOracleSql))
   )
+
+  /** Shared p144/s44 stage: synthesize the per-doc .xls fixture, run
+    * the real extractor, account sheets/chars + the text digest.
+    */
+  private def xlsStage(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val sheets = graft.ops.Xls.extractText(graft.ops.Xls.syntheticXls(id))
+          .getOrElse(throw new IllegalStateException(s"doc $id: XLS refused"))
+        val text = sheets.mkString("\n")
+        (id, sheets.size, text.length.toLong,
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(text))
+      }
+    }.toDF("doc_id", "n_sheets", "n_chars", "text_digest")
+  }
+
+  /** p144/s44 oracle: the fixture's cell grid re-derived in closed
+    * form (cadence mirrors ops/Xls.logicalSheet).
+    */
+  private[queries] val xlsOracleSql: String =
+    """WITH ls AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 1 + doc_id % 3), s ->
+      |      'Cell ' || s || ' ' ||
+      |      substring(md5(CAST(doc_id AS VARCHAR) || '|' || s), 1, 10) ||
+      |      CASE WHEN (doc_id + s) % 2 = 0
+      |           THEN ' ' || chr(233) || chr(10003) ELSE '' END ||
+      |      chr(9) || CAST(doc_id % 97 + s AS VARCHAR) || chr(10) ||
+      |      'Total' || chr(9) || CAST((doc_id % 89) * (s + 1) AS VARCHAR)) AS sheets
+      |  FROM documents),
+      |txt AS (SELECT doc_id, len(sheets) AS n,
+      |    array_to_string(sheets, chr(10)) AS t FROM ls)
+      |SELECT doc_id, CAST(n AS INT) AS n_sheets,
+      |  CAST(length(t) AS BIGINT) AS n_chars, md5(t) AS text_digest
+      |FROM txt ORDER BY doc_id""".stripMargin
 
   /** Shared p143/s43 stage: synthesize the per-doc .doc fixture, run
     * the real extractor, account paragraphs/chars + the text digest.
