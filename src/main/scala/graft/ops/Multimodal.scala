@@ -513,6 +513,7 @@ object Multimodal {
       .orElse(decodeRtfDoc(bytes).map(("rtf", _)))
       .orElse(decodeLegacyDoc(bytes).map(("doc", _)))
       .orElse(decodeLegacyXls(bytes).map(("xls", _)))
+      .orElse(decodeLegacyPpt(bytes).map(("ppt", _)))
       .getOrElse(("stub", stubDecode(bytes)))
 
   /** PDF routed through the media vocabulary: `media_kind` says "pdf"
@@ -595,6 +596,17 @@ object Multimodal {
     graft.ops.Xls.extractText(bytes).map { sheets =>
       val text = sheets.mkString("\n")
       Array(sheets.size.toFloat, (1 + text.count(_ == '\n')).toFloat,
+        text.length.toFloat)
+    }
+
+  /** Legacy PowerPoint .ppt routed the same way: `media_kind` says
+    * "ppt", features are the extraction accounting (slides, lines,
+    * chars) — see [[graft.ops.Ppt.extractText]] (p145).
+    */
+  def decodeLegacyPpt(bytes: Array[Byte]): Option[Array[Float]] =
+    graft.ops.Ppt.extractText(bytes).map { slides =>
+      val text = slides.mkString("\n")
+      Array(slides.size.toFloat, (1 + text.count(_ == '\n')).toFloat,
         text.length.toFloat)
     }
 

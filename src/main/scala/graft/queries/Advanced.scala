@@ -5025,8 +5025,64 @@ object Advanced {
     QueryDef("s44_stream_xls_extract",
       (s, d) => EventStreams.runBoundedDocs(s, d, "s44_sink", xlsStage)
         .orderBy(col("doc_id")),
-      Some(xlsOracleSql))
+      Some(xlsOracleSql)),
+
+    // -- legacy PowerPoint .ppt extraction ---------------------------------------
+    // The MS-PPT record TREE over CFB: 8-byte headers, recVer 0xF
+    // containers, slide text in SlideListWithText under the Document
+    // container. Only recInstance 0 contributes — instance 2 is the
+    // NOTES list carrying the SAME text atom types (the p131
+    // notes-exclusion trap in binary form). Slides split at
+    // SlidePersistAtom boundaries; TextBytesAtom decodes strict
+    // cp1252, TextCharsAtom UTF-16LE, in-atom \r marks normalize.
+    QueryDef("p145_ppt_extract",
+      (s, d) => pptStage(t(s, d, "documents")).orderBy(col("doc_id")),
+      Some(pptOracleSql)),
+
+    // The streaming twin: stateless per-blob extraction rides the
+    // micro-batch scan like s36-s44.
+    QueryDef("s45_stream_ppt_extract",
+      (s, d) => EventStreams.runBoundedDocs(s, d, "s45_sink", pptStage)
+        .orderBy(col("doc_id")),
+      Some(pptOracleSql))
   )
+
+  /** Shared p145/s45 stage: synthesize the per-doc .ppt fixture, run
+    * the real extractor, account slides/chars + the text digest.
+    */
+  private def pptStage(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val slides = graft.ops.Ppt.extractText(graft.ops.Ppt.syntheticPpt(id))
+          .getOrElse(throw new IllegalStateException(s"doc $id: PPT refused"))
+        val text = slides.mkString("\n")
+        (id, slides.size, text.length.toLong,
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(text))
+      }
+    }.toDF("doc_id", "n_slides", "n_chars", "text_digest")
+  }
+
+  /** p145/s45 oracle: the fixture's slide text re-derived in closed
+    * form (cadence mirrors ops/Ppt.logicalSlide).
+    */
+  private[queries] val pptOracleSql: String =
+    """WITH ls AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 1 + doc_id % 3), s ->
+      |      'Slide ' || s || ' ' ||
+      |      substring(md5(CAST(doc_id AS VARCHAR) || '|' || s), 1, 10) ||
+      |      chr(10) || 'Body ' || s ||
+      |      CASE WHEN (doc_id + s) % 2 = 0
+      |           THEN ' ' || chr(233) || chr(10003) ELSE '' END ||
+      |      chr(10) || 'More ' || CAST(doc_id % 41 + s AS VARCHAR)) AS slides
+      |  FROM documents),
+      |txt AS (SELECT doc_id, len(slides) AS n,
+      |    array_to_string(slides, chr(10)) AS t FROM ls)
+      |SELECT doc_id, CAST(n AS INT) AS n_slides,
+      |  CAST(length(t) AS BIGINT) AS n_chars, md5(t) AS text_digest
+      |FROM txt ORDER BY doc_id""".stripMargin
 
   /** Shared p144/s44 stage: synthesize the per-doc .xls fixture, run
     * the real extractor, account sheets/chars + the text digest.
