@@ -514,6 +514,7 @@ object Multimodal {
       .orElse(decodeLegacyDoc(bytes).map(("doc", _)))
       .orElse(decodeLegacyXls(bytes).map(("xls", _)))
       .orElse(decodeLegacyPpt(bytes).map(("ppt", _)))
+      .orElse(decodeMsgDoc(bytes).map(("msg", _)))
       .getOrElse(("stub", stubDecode(bytes)))
 
   /** PDF routed through the media vocabulary: `media_kind` says "pdf"
@@ -608,6 +609,16 @@ object Multimodal {
       val text = slides.mkString("\n")
       Array(slides.size.toFloat, (1 + text.count(_ == '\n')).toFloat,
         text.length.toFloat)
+    }
+
+  /** Outlook .msg routed the same way: `media_kind` says "msg",
+    * features are (subject chars, body lines, body chars) — see
+    * [[graft.ops.Msg.extractMail]] (p146).
+    */
+  def decodeMsgDoc(bytes: Array[Byte]): Option[Array[Float]] =
+    graft.ops.Msg.extractMail(bytes).map { m =>
+      Array(m.subject.length.toFloat,
+        (1 + m.body.count(_ == '\n')).toFloat, m.body.length.toFloat)
     }
 
   /** MP3 routed through the media vocabulary: `media_kind` says "mp3",

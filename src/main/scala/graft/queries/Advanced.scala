@@ -5044,8 +5044,59 @@ object Advanced {
     QueryDef("s45_stream_ppt_extract",
       (s, d) => EventStreams.runBoundedDocs(s, d, "s45_sink", pptStage)
         .orderBy(col("doc_id")),
-      Some(pptOracleSql))
+      Some(pptOracleSql)),
+
+    // -- Outlook .msg extraction -------------------------------------------------
+    // MS-OXMSG over CFB, the mail sibling of p141's EML: MAPI
+    // properties as per-property streams (__substg1.0_TTTTSSSS),
+    // subject 0037 / sender 0C1F / body 1000, with the Unicode (001F)
+    // vs ANSI (001E) store split — even fixture docs write UTF-16
+    // streams, odd cp1252, so both reader legs are load-bearing. CRLF
+    // normalizes; decoy metadata streams contribute nothing.
+    QueryDef("p146_msg_extract",
+      (s, d) => msgStage(t(s, d, "documents")).orderBy(col("doc_id")),
+      Some(msgOracleSql)),
+
+    // The streaming twin: stateless per-blob extraction rides the
+    // micro-batch scan like s36-s45.
+    QueryDef("s46_stream_msg_extract",
+      (s, d) => EventStreams.runBoundedDocs(s, d, "s46_sink", msgStage)
+        .orderBy(col("doc_id")),
+      Some(msgOracleSql))
   )
+
+  /** Shared p146/s46 stage: synthesize the per-doc .msg fixture, run
+    * the real extractor, surface subject/from + body accounting.
+    */
+  private def msgStage(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val m = graft.ops.Msg.extractMail(graft.ops.Msg.syntheticMsg(id))
+          .getOrElse(throw new IllegalStateException(s"doc $id: MSG refused"))
+        (id, m.subject, m.fromAddr, m.body.length.toLong,
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(m.body))
+      }
+    }.toDF("doc_id", "subject", "from_addr", "n_chars", "text_digest")
+  }
+
+  /** p146/s46 oracle: subject/sender/body re-derived in closed form
+    * (cadence mirrors ops/Msg.logicalSubject/logicalBody).
+    */
+  private[queries] val msgOracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    'Body ' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12) ||
+      |    chr(10) || 'Line ' || CAST(doc_id % 13 AS VARCHAR) AS body
+      |  FROM documents)
+      |SELECT doc_id,
+      |  'Msg ' || doc_id || ' ' ||
+      |  CASE WHEN doc_id % 2 = 0 THEN chr(233) || chr(10003)
+      |       ELSE chr(233) || chr(8364) END AS subject,
+      |  'sender' || doc_id % 7 || '@example.com' AS from_addr,
+      |  CAST(length(body) AS BIGINT) AS n_chars, md5(body) AS text_digest
+      |FROM t ORDER BY doc_id""".stripMargin
 
   /** Shared p145/s45 stage: synthesize the per-doc .ppt fixture, run
     * the real extractor, account slides/chars + the text digest.
