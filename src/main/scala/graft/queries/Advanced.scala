@@ -5062,8 +5062,117 @@ object Advanced {
     QueryDef("s46_stream_msg_extract",
       (s, d) => EventStreams.runBoundedDocs(s, d, "s46_sink", msgStage)
         .orderBy(col("doc_id")),
-      Some(msgOracleSql))
+      Some(msgOracleSql)),
+
+    // -- legacy-estate capstone --------------------------------------------------
+    // One binary column carrying the WHOLE legacy estate — RTF and the
+    // four CFB modalities — routed through the real `media_kind`
+    // dispatch (p128's contract extended): the oracle pins kind AND
+    // the per-modality accounting (units = paragraphs/sheets/slides/
+    // subject-chars, chars = extracted text length) from each family's
+    // closed form. A mis-dispatch anywhere (an .xls labeled doc, a
+    // .msg falling to stub) shifts a row; the dispatch pays ONE decode
+    // per blob (decodeWithKind), not one per candidate kind times the
+    // consuming columns.
+    QueryDef("p147_legacy_estate",
+      (s, d) => legacyEstateStage(t(s, d, "documents")).orderBy(col("doc_id")),
+      Some(legacyEstateOracleSql)),
+
+    // The streaming twin: the dispatch rides the micro-batch scan.
+    QueryDef("s47_stream_legacy_estate",
+      (s, d) => EventStreams.runBoundedDocs(s, d, "s47_sink", legacyEstateStage)
+        .orderBy(col("doc_id")),
+      Some(legacyEstateOracleSql))
   )
+
+  /** Shared p147/s47 stage: synthesize each doc's format by residue,
+    * route through the PRODUCTION dispatch, surface its accounting.
+    */
+  private def legacyEstateStage(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val bytes = (id % 5).toInt match {
+          case 0 => graft.ops.Rtf.syntheticRtf(id)
+          case 1 => graft.ops.Doc.syntheticDoc(id)
+          case 2 => graft.ops.Xls.syntheticXls(id)
+          case 3 => graft.ops.Ppt.syntheticPpt(id)
+          case _ => graft.ops.Msg.syntheticMsg(id)
+        }
+        val (kind, feats) = graft.ops.Multimodal.decodeWithKind(bytes)
+        (id, kind, feats(0).toInt, feats(2).toLong)
+      }
+    }.toDF("doc_id", "media_kind", "n_units", "n_chars")
+  }
+
+  /** p147/s47 oracle: every branch re-derives its family's closed form
+    * (the rtf/doc/xls/ppt/msg fixture cadences, verbatim).
+    */
+  private[queries] val legacyEstateOracleSql: String =
+    """WITH rtf AS (
+      |  SELECT doc_id, CAST(2 + doc_id % 4 AS INT) AS units,
+      |    length(array_to_string(list_transform(range(0, 2 + doc_id % 4), i ->
+      |      'Rtf ' || i || ' ' ||
+      |      substring(md5(CAST(doc_id AS VARCHAR) || '|' || i), 1, 12) ||
+      |      CASE WHEN i % 3 = 0 THEN chr(9) || 'a{b}\c' ELSE '' END ||
+      |      CASE WHEN i % 4 = 1 THEN ' ' || chr(233) || chr(8364) ELSE '' END ||
+      |      CASE WHEN i % 5 = 2 THEN chr(10) || 'wrapped' ELSE '' END ||
+      |      CASE WHEN i % 7 = 3 THEN chr(8721) ELSE '' END), chr(10))) AS chars
+      |  FROM documents),
+      |doc AS (
+      |  SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS units,
+      |    length(array_to_string(list_transform(range(0, 2 + doc_id % 3), i ->
+      |      'Doc ' || i || ' ' ||
+      |      substring(md5(CAST(doc_id AS VARCHAR) || '|' || i), 1, 12) ||
+      |      CASE WHEN i % 3 = 0 THEN chr(9) || 'tab' ELSE '' END ||
+      |      CASE WHEN i % 4 = 1 THEN ' ' || chr(233) || chr(8364) ELSE '' END ||
+      |      CASE WHEN i % 5 = 2 THEN chr(10) || 'wrapped' ELSE '' END ||
+      |      CASE WHEN i % 7 = 3 THEN 'linked' ELSE '' END ||
+      |      CASE WHEN doc_id % 2 = 0 AND i = 1 + doc_id % 3
+      |           THEN ' ' || chr(10003) ELSE '' END), chr(10))) AS chars
+      |  FROM documents),
+      |xls AS (
+      |  SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS units,
+      |    length(array_to_string(list_transform(range(0, 1 + doc_id % 3), s ->
+      |      'Cell ' || s || ' ' ||
+      |      substring(md5(CAST(doc_id AS VARCHAR) || '|' || s), 1, 10) ||
+      |      CASE WHEN (doc_id + s) % 2 = 0
+      |           THEN ' ' || chr(233) || chr(10003) ELSE '' END ||
+      |      chr(9) || CAST(doc_id % 97 + s AS VARCHAR) || chr(10) ||
+      |      'Total' || chr(9) ||
+      |      CAST((doc_id % 89) * (s + 1) AS VARCHAR)), chr(10))) AS chars
+      |  FROM documents),
+      |ppt AS (
+      |  SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS units,
+      |    length(array_to_string(list_transform(range(0, 1 + doc_id % 3), s ->
+      |      'Slide ' || s || ' ' ||
+      |      substring(md5(CAST(doc_id AS VARCHAR) || '|' || s), 1, 10) ||
+      |      chr(10) || 'Body ' || s ||
+      |      CASE WHEN (doc_id + s) % 2 = 0
+      |           THEN ' ' || chr(233) || chr(10003) ELSE '' END ||
+      |      chr(10) || 'More ' ||
+      |      CAST(doc_id % 41 + s AS VARCHAR)), chr(10))) AS chars
+      |  FROM documents),
+      |msg AS (
+      |  SELECT doc_id,
+      |    CAST(length('Msg ' || CAST(doc_id AS VARCHAR)) + 3 AS INT) AS units,
+      |    length('Body ' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12) ||
+      |      chr(10) || 'Line ' || CAST(doc_id % 13 AS VARCHAR)) AS chars
+      |  FROM documents)
+      |SELECT d.doc_id,
+      |  CASE d.doc_id % 5 WHEN 0 THEN 'rtf' WHEN 1 THEN 'doc'
+      |       WHEN 2 THEN 'xls' WHEN 3 THEN 'ppt' ELSE 'msg' END AS media_kind,
+      |  CASE d.doc_id % 5 WHEN 0 THEN r.units WHEN 1 THEN w.units
+      |       WHEN 2 THEN x.units WHEN 3 THEN p.units ELSE m.units END AS n_units,
+      |  CAST(CASE d.doc_id % 5 WHEN 0 THEN r.chars WHEN 1 THEN w.chars
+      |       WHEN 2 THEN x.chars WHEN 3 THEN p.chars
+      |       ELSE m.chars END AS BIGINT) AS n_chars
+      |FROM documents d
+      |JOIN rtf r USING (doc_id) JOIN doc w USING (doc_id)
+      |JOIN xls x USING (doc_id) JOIN ppt p USING (doc_id)
+      |JOIN msg m USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
 
   /** Shared p146/s46 stage: synthesize the per-doc .msg fixture, run
     * the real extractor, surface subject/from + body accounting.
