@@ -583,4 +583,110 @@ object Ingest {
     }
     spark.createDataFrame(rdd, schema)
   }
+
+  // ------------------------------------------------------------------ ARC
+  // The PRE-WARC archive format (arc.alexa file format v1) — Common
+  // Crawl 2008-2012 and the Internet Archive's first two decades ship
+  // as .arc.gz, so a pipeline that only reads WARC silently drops the
+  // early web. One space-separated header LINE per record
+  // (`URL IP-address Archive-date Content-type Archive-length`), LF,
+  // `Archive-length` payload bytes, LF; the first record of every file
+  // is the `filedesc://` version block. Per-record gzip members
+  // concatenate exactly like WARC (the CC convention), so the member
+  // splitter is shared.
+
+  final case class ArcRecord(url: String, ip: String, date: String,
+                             contentType: String, payload: Array[Byte])
+
+  def writeArcRecord(rec: ArcRecord): Array[Byte] = {
+    require(!Seq(rec.url, rec.ip, rec.date, rec.contentType)
+      .exists(f => f.isEmpty || f.exists(c => c == ' ' || c == '\n')),
+      "ARC header fields are space-delimited and single-line")
+    val head = s"${rec.url} ${rec.ip} ${rec.date} ${rec.contentType} ${rec.payload.length}\n"
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val out = new Array[Byte](head.length + rec.payload.length + 1)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(rec.payload, 0, out, head.length, rec.payload.length)
+    out(out.length - 1) = '\n'
+    out
+  }
+
+  /** The mandatory first record of an ARC file: a `filedesc://` URL
+    * whose payload is the version line + the header-field declaration.
+    */
+  def writeArcVersionBlock(filename: String, date: String): Array[Byte] = {
+    val body = ("1 0 graft\n" +
+      "URL IP-address Archive-date Content-type Archive-length\n")
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    writeArcRecord(ArcRecord(s"filedesc://$filename", "0.0.0.0", date,
+      "text/plain", body))
+  }
+
+  /** One decoded member as an ARC record. The payload length comes
+    * from the declared `Archive-length` EXACTLY (same refusal-over-
+    * scanning stance as [[parseWarcRecord]] — payloads are binary).
+    */
+  def parseArcRecord(bytes: Array[Byte]): Option[ArcRecord] = {
+    if (bytes == null || bytes.length == 0) return None
+    var nl = 0
+    while (nl < bytes.length && bytes(nl) != '\n') nl += 1
+    if (nl == 0 || nl >= bytes.length) return None
+    val head = new String(bytes, 0, nl,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val f = head.split(" ")
+    if (f.length != 5) return None
+    f(4).toIntOption.flatMap { n =>
+      val start = nl + 1
+      if (n < 0 || start + n > bytes.length) None
+      else Some(ArcRecord(f(0), f(1), f(2), f(3),
+        java.util.Arrays.copyOfRange(bytes, start, start + n)))
+    }
+  }
+
+  /** Ingest a DataFrame of (file id, .arc.gz bytes): gzip-member split
+    * → version-block validation (a file whose FIRST member is not a
+    * `filedesc://` v1/v2 block is not an ARC file — all its records
+    * are dropped, surfacing as missing rows, never as mojibake) → per-
+    * record HTTP envelope strip → charset-aware decode, sharing every
+    * stage below the header parse with the WARC path. Shuffle-free.
+    */
+  def arcIngest(df: DataFrame, fileCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("file", LongType),
+      StructField("url", StringType),
+      StructField("ip", StringType),
+      StructField("arc_date", StringType),
+      StructField("status", IntegerType),
+      StructField("n_bytes", LongType),
+      StructField("charset", StringType),
+      StructField("text", StringType)))
+    val rdd = df.select(col(fileCol).cast("long"), col(blobCol)).rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val file = r.getLong(0)
+        val members =
+          try gzipMembers(r.getAs[Array[Byte]](1))
+          catch { case scala.util.control.NonFatal(_) => Vector.empty }
+        val versionOk = members.headOption.flatMap(parseArcRecord).exists { v =>
+          v.url.startsWith("filedesc://") && {
+            val p = new String(v.payload,
+              java.nio.charset.StandardCharsets.ISO_8859_1)
+            p.startsWith("1 ") || p.startsWith("2 ")
+          }
+        }
+        if (!versionOk) Iterator.empty
+        else members.iterator.drop(1)
+          .flatMap(parseArcRecord)
+          .filter(!_.url.startsWith("filedesc://"))
+          .flatMap { rec =>
+            parseHttpResponse(rec.payload).map { case (status, ct, body) =>
+              val (text, cs) = decodeHttpBody(body, ct)
+              Row(file, rec.url, rec.ip, rec.date, status,
+                body.length.toLong, cs, text)
+            }
+          }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
 }

@@ -5082,7 +5082,99 @@ object Advanced {
     QueryDef("s47_stream_legacy_estate",
       (s, d) => EventStreams.runBoundedDocs(s, d, "s47_sink", legacyEstateStage)
         .orderBy(col("doc_id")),
-      Some(legacyEstateOracleSql))
+      Some(legacyEstateOracleSql)),
+
+    // -- ARC (pre-WARC) crawl ingest ---------------------------------------------
+    // Common Crawl 2008-2012 and two decades of Internet Archive data
+    // ship as .arc.gz, not WARC — a WARC-only pipeline silently drops
+    // the early web. Ingest.arcIngest: gzip-member split (shared with
+    // WARC) → filedesc:// version-block validation (a file without it
+    // is not an ARC file; its records DROP rather than mojibake) →
+    // space-delimited header-line parse with the declared
+    // Archive-length honored exactly → the shared HTTP-strip +
+    // WHATWG-charset decode. Fixture mirrors p78: 96 per-record-gzip
+    // files, bodies wire-encoded by doc_id%4 charset with non-ASCII
+    // suffixes, PLUS the ARC header fields (ip, 14-digit date) pinned
+    // by the oracle.
+    QueryDef("p148_arc_ingest",
+      (s, d) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        import s.implicits._
+        val cases = charsetCases
+        val schema = StructType(Seq(
+          StructField("file", LongType), StructField("arc_gz", BinaryType)))
+        val grouped = t(s, d, "documents")
+          .select($"doc_id".cast("long"), $"source", $"text")
+          .groupBy(($"doc_id" % 96).as("file"))
+          .agg(sort_array(collect_list(struct($"doc_id", $"source", $"text"))).as("recs"))
+        val arcs = s.createDataFrame(
+          grouped.rdd.mapPartitions(_.map { r =>
+            val file = r.getLong(0)
+            val recs = r.getSeq[Row](1)
+            val ver = graft.ops.Ingest.writeArcVersionBlock(
+              s"crawl-$file.arc", "20120101000000")
+            val members = ver +: recs.map { rec =>
+              val id = rec.getLong(0)
+              val (label, canon, suffix) = cases((id % 4).toInt)
+              val cs = java.nio.charset.Charset.forName(canon)
+              val body = (rec.getString(2) + suffix).getBytes(cs)
+              val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain; " +
+                s"charset=$label\r\nContent-Length: ${body.length}\r\n\r\n")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8) ++ body
+              graft.ops.Ingest.writeArcRecord(graft.ops.Ingest.ArcRecord(
+                s"https://example.com/${rec.getString(1)}/$id",
+                s"203.0.113.${id % 251}", (20120101000000L + id).toString,
+                "text/html", http))
+            }
+            Row(file, graft.ops.Ingest.gzipConcat(members))
+          }), schema)
+        graft.ops.Ingest.arcIngest(arcs, "file", "arc_gz")
+          .select(
+            element_at(split($"url", "/"), -1).cast("long").as("id"),
+            $"url", $"ip", $"arc_date", $"status", $"n_bytes", $"charset",
+            md5(encode($"text", "UTF-8")).as("digest"))
+          .orderBy($"id")
+      },
+      Some {
+        def branch(f: ((String, String, String), Int) => String): String =
+          charsetCases.zipWithIndex.map { case (c, k) =>
+            s"WHEN $k THEN ${f(c, k)}"
+          }.mkString(" ")
+        val wire = branch((c, _) => charsetSuffixBytes(c).toString)
+        val canon = branch((c, _) => s"'${c._2}'")
+        val suf = branch((c, _) => s"'${c._3}'")
+        s"""SELECT doc_id AS id,
+           |  'https://example.com/' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
+           |  '203.0.113.' || CAST(doc_id % 251 AS VARCHAR) AS ip,
+           |  CAST(20120101000000 + doc_id AS VARCHAR) AS arc_date,
+           |  CAST(200 AS INTEGER) AS status,
+           |  CAST(octet_length(encode(text)) +
+           |       CASE CAST(doc_id % 4 AS INT) $wire END AS BIGINT) AS n_bytes,
+           |  CASE CAST(doc_id % 4 AS INT) $canon END AS charset,
+           |  md5(text || CASE CAST(doc_id % 4 AS INT) $suf END) AS digest
+           |FROM documents ORDER BY id""".stripMargin
+      }),
+
+    // The streaming twin: one .arc.gz per arriving element through the
+    // same member/header/HTTP path inside the micro-batch plan.
+    QueryDef("s48_stream_arc_ingest",
+      (s, d) => {
+        import s.implicits._
+        EventStreams.runBoundedDocs(s, d, "s48_sink",
+            EventStreams.arcIngestStage)
+          .select($"doc_id", $"url", $"ip", $"arc_date", $"status", $"n_bytes",
+            md5(encode($"text", "UTF-8")).as("digest"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  'https://example.com/' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
+             |  '203.0.113.' || CAST(doc_id % 251 AS VARCHAR) AS ip,
+             |  CAST(20120101000000 + doc_id AS VARCHAR) AS arc_date,
+             |  CAST(200 AS INTEGER) AS status,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  md5(text) AS digest
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 
   /** Shared p147/s47 stage: synthesize each doc's format by residue,

@@ -637,6 +637,44 @@ object EventStreams {
     * self-contained round-trip witness: the emitted body must be
     * byte-identical to the document text that went in.
     */
+  final case class ArcOut(doc_id: Long, url: String, ip: String,
+                          arc_date: String, status: Int, n_bytes: Long,
+                          text: String)
+
+  /** The s48 stage: every arriving element is one fetched .arc.gz
+    * (version block + one response record), decoded by the REAL
+    * gzip-member/ARC/HTTP path inside the micro-batch plan — the
+    * pre-WARC twin of [[warcIngestStage]]. Stateless.
+    */
+  def arcIngestStage(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.UTF_8
+    docs.select(col("doc_id").cast("long"), col("source"), col("text"))
+      .as[(Long, String, String)].mapPartitions { it =>
+        it.flatMap { case (id, source, text) =>
+          val body = text.getBytes(UTF_8)
+          val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain; " +
+            s"charset=utf-8\r\nContent-Length: ${body.length}\r\n\r\n")
+            .getBytes(UTF_8) ++ body
+          val date = (20120101000000L + id).toString
+          val ver = graft.ops.Ingest.writeArcVersionBlock(s"seg-$id.arc", date)
+          val rec = graft.ops.Ingest.writeArcRecord(graft.ops.Ingest.ArcRecord(
+            s"https://example.com/$source/$id", s"203.0.113.${id % 251}",
+            date, "text/html", http))
+          val archive = graft.ops.Ingest.gzipConcat(Seq(ver, rec))
+          graft.ops.Ingest.gzipMembers(archive).iterator.drop(1)
+            .flatMap(graft.ops.Ingest.parseArcRecord)
+            .flatMap { r =>
+              graft.ops.Ingest.stripHttpEnvelope(r.payload).map { case (st, b) =>
+                ArcOut(id, r.url, r.ip, r.date, st, b.length.toLong,
+                  new String(b, UTF_8))
+              }
+            }
+        }
+      }.toDF()
+  }
+
   def warcIngestStage(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

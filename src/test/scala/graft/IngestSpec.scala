@@ -303,4 +303,30 @@ class IngestSpec extends AnyFunSuite {
     val (s2, _) = Ingest.decodeHttpBody(bad, None)
     assert(s2.contains('�') && s2.startsWith("h"))
   }
+
+  test("ARC: record round-trip, version block, declared-length honesty") {
+    import graft.ops.Ingest
+    val rec = Ingest.ArcRecord("https://example.com/a/1", "203.0.113.7",
+      "20120101000003", "text/html", "HTTP/1.1 200 OK\r\n\r\nbody".getBytes("UTF-8"))
+    val bytes = Ingest.writeArcRecord(rec)
+    val back = Ingest.parseArcRecord(bytes).get
+    assert(back.url == rec.url && back.ip == rec.ip && back.date == rec.date)
+    assert(java.util.Arrays.equals(back.payload, rec.payload))
+    // declared length honored EXACTLY: a lying length refuses
+    val lying = new String(bytes, "ISO-8859-1")
+      .replaceFirst(" (\\d+)\\n", " 99999\n")
+      .getBytes("ISO-8859-1")
+    assert(Ingest.parseArcRecord(lying).isEmpty)
+    // header fields are space-delimited single-line: spaces refuse at write
+    intercept[IllegalArgumentException] {
+      Ingest.writeArcRecord(rec.copy(contentType = "text/html; charset=utf-8"))
+    }
+    // the version block parses as a filedesc:// record with a v1 payload
+    val ver = Ingest.parseArcRecord(
+      Ingest.writeArcVersionBlock("f.arc", "20120101000000")).get
+    assert(ver.url == "filedesc://f.arc")
+    assert(new String(ver.payload, "US-ASCII").startsWith("1 0 "))
+    assert(Ingest.parseArcRecord("not an arc header".getBytes).isEmpty)
+    assert(Ingest.parseArcRecord(Array.empty[Byte]).isEmpty)
+  }
 }
