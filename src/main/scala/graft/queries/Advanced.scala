@@ -5174,6 +5174,93 @@ object Advanced {
              |  CAST(200 AS INTEGER) AS status,
              |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              |  md5(text) AS digest
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // -- tar.gz corpus ingest ----------------------------------------------------
+    // Dataset releases outside the crawl world ship as .tar.gz
+    // (Gutenberg dumps, academic corpora). ops/Tar is the from-scratch
+    // ustar walk: octal sizes (decimal-reading shears every member
+    // after the first), VERIFIED header checksums, prefix-field long
+    // paths, and structural step-over of non-regular entries — the
+    // fixture plants a directory and a PAX 'x' header whose payloads
+    // must neither extract nor de-align the members behind them.
+    QueryDef("p149_tar_ingest",
+      (s, d) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        import s.implicits._
+        val schema = StructType(Seq(
+          StructField("file", LongType), StructField("tar_gz", BinaryType)))
+        val grouped = t(s, d, "documents")
+          .select($"doc_id".cast("long"), $"source", $"text")
+          .groupBy(($"doc_id" % 64).as("file"))
+          .agg(sort_array(collect_list(struct($"doc_id", $"source", $"text"))).as("recs"))
+        val tars = s.createDataFrame(
+          grouped.rdd.mapPartitions(_.map { r =>
+            val file = r.getLong(0)
+            val recs = r.getSeq[Row](1)
+            val entries =
+              ("corpus", new Array[Byte](0), '5'.toByte) +:
+              ("pax.metadata", s"23 comment=segment $file\n"
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8), 'x'.toByte) +:
+              recs.map { rec =>
+                (s"corpus/${rec.getString(1)}/${rec.getLong(0)}.txt",
+                  rec.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                  '0'.toByte)
+              }
+            Row(file, graft.ops.Ingest.compress(
+              graft.ops.Tar.writeEntries(entries), "gzip"))
+          }), schema)
+        tars.select($"file", $"tar_gz").as[(Long, Array[Byte])]
+          .flatMap { case (file, gz) =>
+            val plain = graft.ops.Ingest.decompress(gz)
+              .filter(_._1 == "gzip").map(_._2)
+              .getOrElse(throw new IllegalStateException(s"file $file: bad gzip"))
+            val members = graft.ops.Tar.extract(plain)
+              .getOrElse(throw new IllegalStateException(s"file $file: tar refused"))
+            members.map { case (path, bytes) =>
+              (path, bytes.length.toLong,
+                org.apache.commons.codec.digest.DigestUtils.md5Hex(bytes))
+            }
+          }
+          .toDF("name", "n_bytes", "digest")
+          .withColumn("id",
+            regexp_extract(col("name"), "/(\\d+)\\.txt$", 1).cast("long"))
+          .select($"id", $"name", $"n_bytes", $"digest")
+          .orderBy($"id")
+      },
+      Some("""SELECT doc_id AS id,
+             |  'corpus/' || source || '/' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  md5(text) AS digest
+             |FROM documents ORDER BY id""".stripMargin)),
+
+    // The streaming twin: one single-member .tar.gz per arriving element.
+    QueryDef("s49_stream_tar_ingest",
+      (s, d) => {
+        import s.implicits._
+        EventStreams.runBoundedDocs(s, d, "s49_sink", docs => {
+          val sp = docs.sparkSession
+          import sp.implicits._
+          docs.select(col("doc_id").cast("long"), col("source"), col("text"))
+            .as[(Long, String, String)].mapPartitions(_.flatMap {
+              case (id, source, text) =>
+                val tar = graft.ops.Tar.write(Seq(
+                  s"corpus/$source/$id.txt" ->
+                    text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+                val gz = graft.ops.Ingest.compress(tar, "gzip")
+                val plain = graft.ops.Ingest.decompress(gz).get._2
+                graft.ops.Tar.extract(plain).get.map { case (path, bytes) =>
+                  (id, path, bytes.length.toLong,
+                    org.apache.commons.codec.digest.DigestUtils.md5Hex(bytes))
+                }
+            }).toDF("doc_id", "name", "n_bytes", "digest")
+        }).orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  'corpus/' || source || '/' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  md5(text) AS digest
              |FROM documents ORDER BY doc_id""".stripMargin))
   )
 
