@@ -305,6 +305,63 @@ object Eml {
     catch { case _: java.nio.charset.CharacterCodingException => bad("undecodable bytes") }
   }
 
+  // -- mbox container ----------------------------------------------------------
+  // The Enron-class mailbox framing: messages concatenated behind
+  // `From <addr> <date>` separator lines, with body lines that START
+  // with "From " escaped as ">From " (mboxrd: any `>*From ` gains one
+  // more '>'). A reader that skips the unquoting corrupts exactly the
+  // lines that look like mail headers — the classic archive bug.
+
+  /** Split an mbox file into its raw RFC 5322 messages (From_ lines
+    * dropped, mboxrd quoting REVERSED, trailing separator blanks
+    * trimmed). None if the file does not open with a From_ line.
+    */
+  def mboxMessages(bytes: Array[Byte]): Option[Vector[Array[Byte]]] = {
+    if (bytes == null || bytes.length < 5) return None
+    val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (!raw.startsWith("From ")) return None
+    val out = Vector.newBuilder[Array[Byte]]
+    var cur: scala.collection.mutable.ArrayBuffer[String] = null
+    def flush(): Unit = if (cur != null) {
+      while (cur.nonEmpty && cur.last.isEmpty) cur.remove(cur.length - 1)
+      out += cur.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+    for (ln <- raw.split("\r\n|\n", -1)) {
+      if (ln.startsWith("From ")) {
+        flush()
+        cur = new scala.collection.mutable.ArrayBuffer[String]
+      } else if (cur != null) {
+        // mboxrd unquote: ">From ", ">>From ", ... lose one '>'
+        val q = ln.indexWhere(_ != '>')
+        if (q > 0 && ln.startsWith("From ", q)) cur += ln.substring(1)
+        else cur += ln
+      }
+    }
+    flush()
+    Some(out.result())
+  }
+
+  /** Concatenate messages into an mbox: From_ separator lines from the
+    * sender address, mboxrd quoting applied, one blank separator line
+    * after each message.
+    */
+  def mboxWrite(messages: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val sb = new StringBuilder
+    for ((fromAddr, eml) <- messages) {
+      sb.append(s"From $fromAddr Mon Jan  1 00:00:00 2012\r\n")
+      val raw = new String(eml, java.nio.charset.StandardCharsets.ISO_8859_1)
+      for (ln <- raw.split("\r\n|\n", -1)) {
+        val q = ln.indexWhere(_ != '>')
+        val isFrom = ln.startsWith("From ") ||
+          (q > 0 && ln.startsWith("From ", q))
+        sb.append(if (isFrom) ">" + ln else ln).append("\r\n")
+      }
+      sb.append("\r\n")
+    }
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
   // ---------------------------------------------------------------------------
   // Deterministic fixture
   // ---------------------------------------------------------------------------
@@ -321,6 +378,17 @@ object Eml {
   def partCount(docId: Long): Int = 1 + (docId % 3).toInt
 
   def logicalSubject(docId: Long): String = s"Msg $docId é"
+
+  /** The mbox-quoting witness message: its BODY lines start with
+    * "From " and ">From ", so the container round trip must quote and
+    * unquote them exactly (a drop or double-quote shifts the digest).
+    */
+  def guardMessage(key: Long): Array[Byte] =
+    (s"From: guard@example.org\r\nSubject: Guard $key\r\n\r\n" +
+      "From here\r\n>From quoted")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  def logicalGuardBody: String = "From here\n>From quoted"
 
   def logicalFrom(docId: Long): String = s"sender${docId % 7}@example.com"
 

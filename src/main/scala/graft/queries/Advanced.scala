@@ -5261,7 +5261,125 @@ object Advanced {
              |  'corpus/' || source || '/' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
              |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              |  md5(text) AS digest
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // -- mbox mailbox ingest -----------------------------------------------------
+    // The Enron-class container: messages concatenated behind `From `
+    // separator lines with mboxrd body quoting (`From `→`>From `,
+    // one more '>' per level). Eml.mboxMessages splits and UNQUOTES,
+    // then every message runs the full p141 MIME path. Each fixture
+    // mailbox carries its docs' messages PLUS a guard message whose
+    // body lines are exactly the quoting-sensitive forms — a reader
+    // that skips the unquote corrupts the guard digest; one that
+    // swallows separator blanks shifts every body.
+    QueryDef("p150_mbox_ingest",
+      (s, d) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        import s.implicits._
+        val schema = StructType(Seq(
+          StructField("file", LongType), StructField("mbox", BinaryType)))
+        val grouped = t(s, d, "documents")
+          .select($"doc_id".cast("long"))
+          .groupBy(($"doc_id" % 48).as("file"))
+          .agg(sort_array(collect_list($"doc_id")).as("ids"))
+        val boxes = s.createDataFrame(
+          grouped.rdd.mapPartitions(_.map { r =>
+            val file = r.getLong(0)
+            val ids = r.getSeq[Long](1)
+            val msgs = ids.map { id =>
+              (graft.ops.Eml.logicalFrom(id), graft.ops.Eml.syntheticEml(id))
+            } :+ ("guard@example.org" -> graft.ops.Eml.guardMessage(file))
+            Row(file, graft.ops.Eml.mboxWrite(msgs))
+          }), schema)
+        boxes.select($"file", $"mbox").as[(Long, Array[Byte])]
+          .flatMap { case (file, bytes) =>
+            val msgs = graft.ops.Eml.mboxMessages(bytes)
+              .getOrElse(throw new IllegalStateException(s"file $file: mbox refused"))
+            msgs.map { m =>
+              val em = graft.ops.Eml.extractEmail(m)
+                .getOrElse(throw new IllegalStateException(s"file $file: message refused"))
+              val id =
+                if (em.subject.startsWith("Msg ")) em.subject.split(" ")(1).toLong
+                else 1000000L + file
+              val text = em.parts.mkString("\n")
+              (id, em.subject, em.parts.size, text.length.toLong,
+                org.apache.commons.codec.digest.DigestUtils.md5Hex(text))
+            }
+          }
+          .toDF("id", "subject", "n_parts", "n_chars", "text_digest")
+          .orderBy($"id")
+      },
+      Some("""WITH ls AS (
+             |  SELECT doc_id,
+             |    list_transform(range(0, 1 + doc_id % 3), j ->
+             |      'Part ' || j || ' ' ||
+             |      substring(md5(CAST(doc_id AS VARCHAR) || '|' || j), 1, 12) ||
+             |      CASE WHEN j = 0 THEN ' ' || chr(233) || chr(8364) || chr(10) || 'wrapped'
+             |           ELSE ' ' || chr(10003) END) AS parts
+             |  FROM documents),
+             |txt AS (SELECT doc_id, len(parts) AS np,
+             |    array_to_string(parts, chr(10)) AS t FROM ls),
+             |guards AS (
+             |  SELECT DISTINCT doc_id % 48 AS f FROM documents),
+             |gbody AS (SELECT 'From here' || chr(10) || '>From quoted' AS b)
+             |SELECT id, subject, n_parts, n_chars, text_digest FROM (
+             |  SELECT doc_id AS id,
+             |    'Msg ' || doc_id || ' ' || chr(233) AS subject,
+             |    CAST(np AS INT) AS n_parts,
+             |    CAST(length(t) AS BIGINT) AS n_chars, md5(t) AS text_digest
+             |  FROM txt
+             |  UNION ALL
+             |  SELECT 1000000 + f AS id, 'Guard ' || f AS subject,
+             |    CAST(1 AS INT) AS n_parts,
+             |    CAST(length(b) AS BIGINT) AS n_chars, md5(b) AS text_digest
+             |  FROM guards, gbody)
+             |ORDER BY id""".stripMargin)),
+
+    // The streaming twin: one mailbox (message + quoting guard) per
+    // arriving element, through the same split/unquote/MIME path.
+    QueryDef("s50_stream_mbox_ingest",
+      (s, d) => {
+        import s.implicits._
+        EventStreams.runBoundedDocs(s, d, "s50_sink", docs => {
+          val sp = docs.sparkSession
+          import sp.implicits._
+          docs.select(col("doc_id").cast("long")).as[Long]
+            .mapPartitions(_.flatMap { id =>
+              val bytes = graft.ops.Eml.mboxWrite(Seq(
+                graft.ops.Eml.logicalFrom(id) -> graft.ops.Eml.syntheticEml(id),
+                "guard@example.org" -> graft.ops.Eml.guardMessage(id)))
+              graft.ops.Eml.mboxMessages(bytes).get.map { m =>
+                val em = graft.ops.Eml.extractEmail(m).get
+                val mid =
+                  if (em.subject.startsWith("Msg ")) id else 1000000L + id
+                val text = em.parts.mkString("\n")
+                (id, mid, em.parts.size, text.length.toLong,
+                  org.apache.commons.codec.digest.DigestUtils.md5Hex(text))
+              }
+            }).toDF("doc_id", "id", "n_parts", "n_chars", "text_digest")
+        }).orderBy($"id")
+      },
+      Some("""WITH ls AS (
+             |  SELECT doc_id,
+             |    list_transform(range(0, 1 + doc_id % 3), j ->
+             |      'Part ' || j || ' ' ||
+             |      substring(md5(CAST(doc_id AS VARCHAR) || '|' || j), 1, 12) ||
+             |      CASE WHEN j = 0 THEN ' ' || chr(233) || chr(8364) || chr(10) || 'wrapped'
+             |           ELSE ' ' || chr(10003) END) AS parts
+             |  FROM documents),
+             |txt AS (SELECT doc_id, len(parts) AS np,
+             |    array_to_string(parts, chr(10)) AS t FROM ls),
+             |gbody AS (SELECT 'From here' || chr(10) || '>From quoted' AS b)
+             |SELECT doc_id, id, n_parts, n_chars, text_digest FROM (
+             |  SELECT doc_id, doc_id AS id, CAST(np AS INT) AS n_parts,
+             |    CAST(length(t) AS BIGINT) AS n_chars, md5(t) AS text_digest
+             |  FROM txt
+             |  UNION ALL
+             |  SELECT doc_id, 1000000 + doc_id AS id, CAST(1 AS INT) AS n_parts,
+             |    CAST(length(b) AS BIGINT) AS n_chars, md5(b) AS text_digest
+             |  FROM documents, gbody)
+             |ORDER BY id""".stripMargin))
   )
 
   /** Shared p147/s47 stage: synthesize each doc's format by residue,

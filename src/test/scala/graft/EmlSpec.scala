@@ -92,6 +92,25 @@ class EmlSpec extends AnyFunSuite {
     assert(Eml.extractEmail(Array.empty[Byte]).isEmpty)
   }
 
+  test("mbox: split, mboxrd quoting round-trip, guard body survives") {
+    val box = Eml.mboxWrite(Seq(
+      Eml.logicalFrom(3L) -> Eml.syntheticEml(3L),
+      "guard@example.org" -> Eml.guardMessage(7L)))
+    val asText = new String(box, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(asText.contains("\r\n>From here\r\n"), "body From-line is quoted on the wire")
+    assert(asText.contains("\r\n>>From quoted"), "already-quoted line gains one more >")
+    val msgs = Eml.mboxMessages(box).get
+    assert(msgs.length == 2)
+    val m0 = Eml.extractEmail(msgs(0)).get
+    assert(m0.subject == Eml.logicalSubject(3L))
+    assert(m0.parts == (0 until Eml.partCount(3L)).map(Eml.logicalPart(3L, _)).toVector)
+    val g = Eml.extractEmail(msgs(1)).get
+    assert(g.subject == "Guard 7" && g.parts == Vector(Eml.logicalGuardBody))
+    // refusals: not an mbox, empty
+    assert(Eml.mboxMessages("To: x@y\r\n\r\nbody".getBytes).isEmpty)
+    assert(Eml.mboxMessages(Array.empty[Byte]).isEmpty)
+  }
+
   test("fixture dump for the independent Python mirror") {
     val dir = java.nio.file.Paths.get("target", "eml-fixtures")
     java.nio.file.Files.createDirectories(dir)
