@@ -5379,8 +5379,83 @@ object Advanced {
              |  SELECT doc_id, 1000000 + doc_id AS id, CAST(1 AS INT) AS n_parts,
              |    CAST(length(b) AS BIGINT) AS n_chars, md5(b) AS text_digest
              |  FROM documents, gbody)
-             |ORDER BY id""".stripMargin))
+             |ORDER BY id""".stripMargin)),
+
+    // -- Markdown text extraction ------------------------------------------------
+    // The dominant DOCUMENTATION modality in code corpora (every GitHub
+    // README/docs tree, wiki dumps, static-site sources). ops/Markdown
+    // is a from-scratch CommonMark+GFM-subset extractor deciding what
+    // SURVIVES into training text: front matter/fences/refdefs/rules
+    // drop, code-block content survives VERBATIM (the classic naive bug
+    // runs inline rules over code and strips every * and _ from it),
+    // emphasis delimiters vanish only when flanking-rule pairs match
+    // (snake_case stays intact), links keep text, images keep alt,
+    // autolinks keep the target, tags drop, entities decode, tables
+    // TAB-join. The fixture plants every one of those traps and the
+    // oracle re-derives the logical text closed-form — a leaked fence
+    // info string, an eaten underscore or a doubled heading hash shifts
+    // the digest.
+    QueryDef("p151_markdown_extract",
+      (s, d) => markdownStage(t(s, d, "documents")).orderBy(col("doc_id")),
+      Some(markdownOracleSql)),
+
+    // The streaming twin: stateless per-doc extraction rides the
+    // micro-batch scan like s36-s50.
+    QueryDef("s51_stream_markdown_extract",
+      (s, d) => EventStreams.runBoundedDocs(s, d, "s51_sink", markdownStage)
+        .orderBy(col("doc_id")),
+      Some(markdownOracleSql))
   )
+
+  /** Shared p151/s51 stage: synthesize the markdown per doc, extract,
+    * account lines/chars + digest.
+    */
+  private def markdownStage(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val lines =
+          graft.ops.Markdown.extractText(graft.ops.Markdown.syntheticMarkdown(id))
+        val text = lines.mkString("\n")
+        (id, lines.size, text.length.toLong,
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(text))
+      }
+    }.toDF("doc_id", "n_lines", "n_chars", "text_digest")
+  }
+
+  /** p151/s51 oracle: the fixture's surviving text re-derived in closed
+    * form (mirrors ops/Markdown.logicalText — fixed prelude then the
+    * rotating per-class content lines).
+    */
+  private[queries] val markdownOracleSql: String =
+    """WITH ls AS (
+      |  SELECT doc_id,
+      |    ['Doc ' || doc_id || ' head ' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+      |     'val x = "**' || doc_id || '**" // fence',
+      |     'Setext ' || doc_id || ' title',
+      |     'a' || doc_id || chr(9) || 'left',
+      |     'right' || chr(9) || 'b' || doc_id,
+      |     'html ' || doc_id || ' tail',
+      |     'See also here.',
+      |     'code indent ' || doc_id]
+      |    || list_transform(range(0, 3 + doc_id % 4), i ->
+      |      CASE CAST((doc_id % 8 + i) % 8 AS INT)
+      |        WHEN 0 THEN 'Lead w' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || i), 1, 10) || ' snake_case'
+      |        WHEN 1 THEN 'Bold w' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || i), 1, 10) || ' ital and half'
+      |        WHEN 2 THEN 'pre w' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || i), 1, 10) || ' link post'
+      |        WHEN 3 THEN 'deep w' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || i), 1, 10) || ' quote'
+      |        WHEN 4 THEN 'item w' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || i), 1, 10)
+      |        WHEN 5 THEN 'code lit *w' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || i), 1, 10) || '* span'
+      |        WHEN 6 THEN 'alt w' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || i), 1, 10) || ' https://example.org/a' || i
+      |        WHEN 7 THEN '*w' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || i), 1, 10) || '* & ' || chr(8721) || ' ' || chr(233)
+      |      END) AS lines
+      |  FROM documents),
+      |txt AS (SELECT doc_id, len(lines) AS nl,
+      |    array_to_string(lines, chr(10)) AS t FROM ls)
+      |SELECT doc_id, CAST(nl AS INT) AS n_lines,
+      |  CAST(length(t) AS BIGINT) AS n_chars, md5(t) AS text_digest
+      |FROM txt ORDER BY doc_id""".stripMargin
 
   /** Shared p147/s47 stage: synthesize each doc's format by residue,
     * route through the PRODUCTION dispatch, surface its accounting.
