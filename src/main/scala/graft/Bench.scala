@@ -50,9 +50,11 @@ object Bench {
       "p136_retrieval_scale")
     val setupT0 = System.nanoTime()
     layoutBuilders.filter(selected.contains).foreach { n =>
+      val t0 = System.nanoTime()
       try { selected(n)(spark, sfDir).count(): Unit } catch { case e: Throwable =>
         System.err.println(s"[bench] setup $n failed: ${e.getMessage}")
       }
+      System.err.println(f"[bench] setup $n ${(System.nanoTime() - t0) / 1e9}%.1fs")
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }

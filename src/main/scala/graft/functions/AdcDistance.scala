@@ -71,11 +71,7 @@ case class AdcDistance(qvec: Expression, codes: Expression, booksExpr: Expressio
     qvec.dataType.asInstanceOf[ArrayType].elementType == DoubleType
 
   private def round6(d: Double): Double =
-    // Spark's Round passes NaN/Infinity through unchanged; BigDecimal
-    // would throw on them
-    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
-    else java.math.BigDecimal.valueOf(d)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    Round6(d) // == BigDecimal HALF_UP at scale 6, NaN/Inf pass-through
 
   /** The kernel; returns null (boxed) on a null/short query element or a
     * null/out-of-range code — the HOF fold's null propagation.

@@ -11,16 +11,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * string in ONE per-row kernel — `minhash_sig(text, q, k)` returns
   * `ARRAY<BIGINT>` of the k minima over distinct q-gram shingles.
   *
-  * Purpose: the STREAMING half of the MinHash family. The batch pipeline
-  * computes signatures as explode + k map-side `min` aggregates
-  * (Dedup.minhashSignatures) — the right shape when a shuffle is happening
-  * anyway. A stateless streaming stage must produce the signature as a
-  * per-row expression instead, and the HOF formulation (k× `array_min` over
+  * Since r13 this kernel is the signature path for BOTH the batch pipeline
+  * (Dedup.minhashSignatures — shuffle-free, one pass) and stateless
+  * streaming stages. The HOF formulation (k× `array_min` over
   * `transform`/`md5` lambdas) evaluates interpreted and re-computes the
   * shingle array per hash function — measured 124 s for a 500-doc
   * micro-batch. This kernel runs the identical arithmetic as one tight
   * loop: distinct shingles once, k digests per shingle, ~1 s for the same
-  * batch, and it stays inside whole-stage codegen.
+  * batch, and it stays inside whole-stage codegen. The explode + k
+  * min-aggregate form survives as Dedup.minhashSignaturesAgg for corpora
+  * whose single documents are too large for a per-row shingle set.
   *
   * Hash contract (bit-identical to the batch path and the DuckDB oracle):
   * value = 60-bit numeric prefix of md5("<seed>|" + shingle), i.e.
@@ -55,8 +55,7 @@ case class MinhashSig(child: Expression, q: Int, k: Int) extends UnaryExpression
 
 object MinhashSig {
 
-  private val threadMd5 = ThreadLocal.withInitial[java.security.MessageDigest](
-    () => java.security.MessageDigest.getInstance("MD5"))
+  private val threadMd5 = ThreadLocal.withInitial[Md5Ctx](() => new Md5Ctx)
 
   /** "0|".."<k-1>|" prefix bytes, cached per k (k is a plan-time constant). */
   private val prefixCache =
@@ -79,14 +78,9 @@ object MinhashSig {
         val sb = sh.getBytes
         var s = 0
         while (s < k) {
-          md.reset()
-          md.update(pre(s))
-          md.update(sb)
-          val d = md.digest()
-          val v = (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
-            ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
-            ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
-            ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+          // allocation-free 60-bit md5 prefix (see Md5Ctx — bit-identical
+          // to MessageDigest, pinned in Md5Spec)
+          val v = md.hash60(pre(s), sb, sb.length)
           if (v < mins(s)) mins(s) = v
           s += 1
         }

@@ -88,8 +88,7 @@ case class NearestCells(vec: Expression, centsExpr: Expression, nprobeExpr: Expr
         d2 += diff * diff
         j += 1
       }
-      val r = java.math.BigDecimal.valueOf(d2)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      val r = Round6(d2) // == BigDecimal HALF_UP at scale 6 (Round6Spec)
       // insertion keeping (d, i) lexicographic; iterating i ascending means
       // strict < preserves the lower index on rounded ties
       var p = m

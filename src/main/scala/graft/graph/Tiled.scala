@@ -2,7 +2,6 @@ package graft.graph
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.util.PriorityQueue
 
 /** Tile-partitioned routing — the beyond-broadcast scale path (SURVEY §9.2,
   * mirroring Valhalla's own tile design,
@@ -51,22 +50,27 @@ object Tiled {
       m
     }
 
-    /** Single-source distances over the interior (forward or reverse). */
+    /** Single-source distances over the interior (forward or reverse).
+      * Heap is the allocation-free primitive [[graft.algo.LongMinHeap]]:
+      * the boxed PriorityQueue[Array[Long]] allocated one 2-long array per
+      * edge relaxation — measured as 469 s of GC in 1005 s of task time on
+      * the r24 tile-legs stage (guide §1.2 step 2).
+      */
     def distancesFrom(srcLocal: Int, reverse: Boolean): Array[Long] = {
       val n = ids.length
       val (o, t, ww) = if (reverse) (rOff, rTgt, rW) else (off, tgt, w)
       val dist = Array.fill(n)(Long.MaxValue)
-      val pq = new PriorityQueue[Array[Long]]((a, b) => java.lang.Long.compare(a(0), b(0)))
+      val pq = new graft.algo.LongMinHeap(256)
       dist(srcLocal) = 0L
-      pq.add(Array(0L, srcLocal.toLong))
+      pq.add(0L, srcLocal)
       while (!pq.isEmpty) {
-        val top = pq.poll()
-        val d = top(0); val v = top(1).toInt
+        val d = pq.topDist; val v = pq.topNode
+        pq.removeTop()
         if (d == dist(v)) {
           var e = o(v)
           while (e < o(v + 1)) {
             val nd = d + ww(e)
-            if (nd < dist(t(e))) { dist(t(e)) = nd; pq.add(Array(nd, t(e).toLong)) }
+            if (nd < dist(t(e))) { dist(t(e)) = nd; pq.add(nd, t(e)) }
             e += 1
           }
         }
@@ -83,19 +87,19 @@ object Tiled {
       val (o, t, ww) = if (reverse) (rOff, rTgt, rW) else (off, tgt, w)
       val dist = Array.fill(n)(Long.MaxValue)
       val par = Array.fill(n)(-1)
-      val pq = new PriorityQueue[Array[Long]]((a, b) => java.lang.Long.compare(a(0), b(0)))
+      val pq = new graft.algo.LongMinHeap(256)
       dist(srcLocal) = 0L
-      pq.add(Array(0L, srcLocal.toLong))
+      pq.add(0L, srcLocal)
       while (!pq.isEmpty) {
-        val top = pq.poll()
-        val d = top(0); val v = top(1).toInt
+        val d = pq.topDist; val v = pq.topNode
+        pq.removeTop()
         if (d == dist(v)) {
           var e = o(v)
           while (e < o(v + 1)) {
             val nd = d + ww(e)
             if (nd < dist(t(e))) {
               dist(t(e)) = nd; par(t(e)) = v
-              pq.add(Array(nd, t(e).toLong))
+              pq.add(nd, t(e))
             }
             e += 1
           }
@@ -109,8 +113,14 @@ object Tiled {
       var best = -1; var bestD = Double.MaxValue
       var i = 0
       while (i < ids.length) {
-        val d = graft.geo.Geo.approxDist2(qLat, qLon, lat(i), lon(i))
-        if (d < bestD) { bestD = d; best = i }
+        // dLat² lower bound skips the cos for latitude-far nodes
+        // (d >= dLat² and improvement needs strict <, so skipping
+        // dLat² >= bestD is exact)
+        val dLat = lat(i) - qLat
+        if (dLat * dLat < bestD) {
+          val d = graft.geo.Geo.approxDist2(qLat, qLon, lat(i), lon(i))
+          if (d < bestD) { bestD = d; best = i }
+        }
         i += 1
       }
       best
@@ -118,21 +128,23 @@ object Tiled {
   }
 
   private[graph] def buildLocal(ids: Array[Long], lats: Array[Double], lons: Array[Double],
-                                es: Array[(Long, Long, Long)]): TileLocal = {
+                                es: EdgeCols): TileLocal = {
     val n = ids.length
-    val index = new java.util.HashMap[Long, Integer](n * 2)
+    val index = new graft.algo.LongIntHashMap(n)
     var i = 0
     while (i < n) { index.put(ids(i), i); i += 1 }
-    val m = es.length
+    val m = es.n
     val srcs = new Array[Int](m); val dsts = new Array[Int](m); val ws = new Array[Int](m)
     var k = 0
-    es.foreach { case (s, d, t) =>
-      val si = index.get(s); val di = index.get(d)
-      if (si != null && di != null) {
-        srcs(k) = si.intValue; dsts(k) = di.intValue
-        ws(k) = math.min(t, Int.MaxValue).toInt
+    var e0 = 0
+    while (e0 < m) {
+      val si = index.get(es.src(e0)); val di = index.get(es.dst(e0))
+      if (si >= 0 && di >= 0) {
+        srcs(k) = si; dsts(k) = di
+        ws(k) = math.min(es.w(e0), Int.MaxValue).toInt
         k += 1
       }
+      e0 += 1
     }
     def csr(ss: Array[Int], dd: Array[Int]): (Array[Int], Array[Int], Array[Int]) = {
       val off = new Array[Int](n + 1)
@@ -233,17 +245,19 @@ object Tiled {
     val boundaryByTile = boundary.select($"tile".cast("int"), $"id")
       .as[(Int, Long)].groupByKey(_._1)
     val intra = interiorByTile.cogroup(boundaryByTile) { (_, eIt, bIt) =>
-      val es = eIt.map(e => (e._2, e._3, e._4)).toArray
+      val es = EdgeCols.fromIterator(eIt.map(e => (e._2, e._3, e._4)))
       val bs = bIt.map(_._2).toArray
       if (bs.length < 2) Iterator.empty
       else {
         // node universe: every id seen in this tile's interior or boundary
-        val idSet = new java.util.LinkedHashSet[java.lang.Long]()
-        bs.foreach(idSet.add(_))
-        es.foreach { case (s, d, _) => idSet.add(s); idSet.add(d) }
-        val ids = new Array[Long](idSet.size())
-        val it = idSet.iterator(); var i = 0
-        while (it.hasNext) { ids(i) = it.next(); i += 1 }
+        val seen = new graft.algo.LongIntHashMap(es.n / 2 + bs.length + 16)
+        val idBuf = new graft.algo.LongBuf(es.n / 2 + 16)
+        def addId(x: Long): Unit =
+          if (seen.get(x) < 0) { seen.put(x, 0); idBuf.add(x) }
+        bs.foreach(addId)
+        var ei = 0
+        while (ei < es.n) { addId(es.src(ei)); addId(es.dst(ei)); ei += 1 }
+        val ids = java.util.Arrays.copyOf(idBuf.raw, idBuf.size)
         val local = buildLocal(ids, new Array[Double](ids.length),
           new Array[Double](ids.length), es)
         bs.iterator.flatMap { b =>
@@ -570,16 +584,21 @@ object Tiled {
     * per DISTINCT (endpoint, direction), shared by that endpoint's pairs.
     * `qs`: (tile, pair_id, endpoint-in-tile, other, other's tile, rev).
     */
-  private def tileLegs(ov: Overlay, tile: Int, es: Array[(Long, Long, Long)],
+  private def tileLegs(ov: Overlay, tile: Int, es: EdgeCols,
                        qs: Array[(Int, Long, Long, Long, Int, Boolean)])
       : Iterator[(Long, Int, Long, Long)] = {
-    // node universe: tile interior endpoints + every queried endpoint
-    val idSet = new java.util.LinkedHashSet[java.lang.Long]()
-    es.foreach { case (s, d, _) => idSet.add(s); idSet.add(d) }
-    qs.foreach { q => idSet.add(q._3); if (q._5 == tile) idSet.add(q._4) }
-    val ids = new Array[Long](idSet.size())
-    val it = idSet.iterator(); var i = 0
-    while (it.hasNext) { ids(i) = it.next(); i += 1 }
+    // node universe: tile interior endpoints + every queried endpoint —
+    // primitive dedup (the boxed LinkedHashSet cost ~2 boxed inserts per
+    // edge across every tile of the batch)
+    val seen = new graft.algo.LongIntHashMap(es.n / 2 + qs.length + 16)
+    val idBuf = new graft.algo.LongBuf(es.n / 2 + 16)
+    def addId(x: Long): Unit =
+      if (seen.get(x) < 0) { seen.put(x, 0); idBuf.add(x) }
+    var ei = 0
+    while (ei < es.n) { addId(es.src(ei)); addId(es.dst(ei)); ei += 1 }
+    qs.foreach { q => addId(q._3); if (q._5 == tile) addId(q._4) }
+    val ids = java.util.Arrays.copyOf(idBuf.raw, idBuf.size)
+    var i = 0
     val local = buildLocal(ids, new Array[Double](ids.length),
       new Array[Double](ids.length), es)
     // this tile's boundary nodes, as local indices
@@ -590,17 +609,23 @@ object Tiled {
       if (oi != null && ov.tiles(oi.intValue) == tile) bLocal += ((i, ids(i)))
       i += 1
     }
-    val cache = new java.util.HashMap[Long, Array[Long]]()
+    // single-entry memo: queries are processed sorted by (endpoint, rev),
+    // so duplicate endpoints are adjacent and one retained result suffices.
+    // The former unbounded HashMap held EVERY Dijkstra result of the task
+    // — a hot tile with 1000 endpoint queries pinned 1000 × |tile| longs
+    // (~1.2 GB) live, and the stage spent a third of its time in GC.
+    var memoKey = Long.MinValue
+    var memo: Array[Long] = null
     def distsFrom(node: Long, rev: Boolean): Array[Long] = {
       val key = (node << 1) | (if (rev) 1L else 0L)
-      var d = cache.get(key)
-      if (d == null) {
-        d = local.distancesFrom(local.index.get(node).intValue, reverse = rev)
-        cache.put(key, d)
+      if (key != memoKey) {
+        memo = local.distancesFrom(local.index.get(node).intValue, reverse = rev)
+        memoKey = key
       }
-      d
+      memo
     }
-    qs.iterator.flatMap { case (_, pairId, endpoint, other, otherTile, rev) =>
+    val qsSorted = qs.sortBy(q => (q._3, q._6))
+    qsSorted.iterator.flatMap { case (_, pairId, endpoint, other, otherTile, rev) =>
       val dist = distsFrom(endpoint, rev)
       val direct =
         if (!rev && otherTile == tile) {
@@ -645,24 +670,115 @@ object Tiled {
     Some(out.toMap)
   }
 
-  /** Executor-side whole-file read of one tile's (src, dst, time_ms) rows —
-    * plain parquet-hadoop, no splitting, no shuffle.
+  /** One tile's interior edge list as primitive column arrays — the
+    * allocation-light replacement for Array[(Long, Long, Long)]: the boxed
+    * triple per edge (~38M tuples across an Italy-scale batch) was a
+    * measurable slice of the tile-legs stage's GC.
     */
-  private def readTileParquet(path: String,
-      conf: org.apache.hadoop.conf.Configuration): Array[(Long, Long, Long)] = {
-    val reader = org.apache.parquet.hadoop.ParquetReader
-      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
-        new org.apache.hadoop.fs.Path(path))
-      .withConf(conf).build()
-    val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
-    try {
-      var g = reader.read()
-      while (g != null) {
-        buf += ((g.getLong("src", 0), g.getLong("dst", 0), g.getLong("time_ms", 0)))
-        g = reader.read()
+  private[graph] final class EdgeCols(initial: Int) extends Serializable {
+    var src = new Array[Long](math.max(16, initial))
+    var dst = new Array[Long](src.length)
+    var w = new Array[Long](src.length)
+    var n = 0
+    def append(s: Long, d: Long, t: Long): Unit = {
+      if (n == src.length) {
+        src = java.util.Arrays.copyOf(src, n << 1)
+        dst = java.util.Arrays.copyOf(dst, n << 1)
+        w = java.util.Arrays.copyOf(w, n << 1)
       }
-    } finally reader.close()
-    buf.toArray
+      src(n) = s; dst(n) = d; w(n) = t
+      n += 1
+    }
+  }
+
+  private object EdgeCols {
+    val empty = new EdgeCols(1)
+    def fromIterator(it: Iterator[(Long, Long, Long)]): EdgeCols = {
+      val c = new EdgeCols(1024)
+      it.foreach(e => c.append(e._1, e._2, e._3))
+      c
+    }
+  }
+
+  /** Parquet ReadSupport materializing (src, dst, time_ms) rows straight
+    * into [[EdgeCols]] primitive arrays — no Group objects, no per-row
+    * allocation (the example GroupReadSupport built a Group per row, which
+    * dominated executor-side tile reads).
+    */
+  private final class EdgeReadSupport
+      extends org.apache.parquet.hadoop.api.ReadSupport[EdgeCols] {
+    override def init(context: org.apache.parquet.hadoop.api.InitContext)
+        : org.apache.parquet.hadoop.api.ReadSupport.ReadContext =
+      new org.apache.parquet.hadoop.api.ReadSupport.ReadContext(
+        org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+          "message edge { optional int64 src; optional int64 dst; " +
+            "optional int64 time_ms; }"))
+    override def prepareForRead(
+        conf: org.apache.hadoop.conf.Configuration,
+        keyValueMetaData: java.util.Map[String, String],
+        fileSchema: org.apache.parquet.schema.MessageType,
+        readContext: org.apache.parquet.hadoop.api.ReadSupport.ReadContext)
+        : org.apache.parquet.io.api.RecordMaterializer[EdgeCols] =
+      new org.apache.parquet.io.api.RecordMaterializer[EdgeCols] {
+        private val cols = new EdgeCols(4096)
+        private var cs = 0L; private var cd = 0L; private var cw = 0L
+        private val root = new org.apache.parquet.io.api.GroupConverter {
+          private val conv: Array[org.apache.parquet.io.api.Converter] = Array(
+            new org.apache.parquet.io.api.PrimitiveConverter {
+              override def addLong(v: Long): Unit = cs = v
+            },
+            new org.apache.parquet.io.api.PrimitiveConverter {
+              override def addLong(v: Long): Unit = cd = v
+            },
+            new org.apache.parquet.io.api.PrimitiveConverter {
+              override def addLong(v: Long): Unit = cw = v
+            })
+          override def getConverter(i: Int): org.apache.parquet.io.api.Converter =
+            conv(i)
+          override def start(): Unit = ()
+          override def end(): Unit = cols.append(cs, cd, cw)
+        }
+        override def getCurrentRecord: EdgeCols = cols
+        override def getRootConverter: org.apache.parquet.io.api.GroupConverter =
+          root
+      }
+  }
+
+  /** Executor-side whole-file read of one tile's (src, dst, time_ms) rows —
+    * plain parquet-hadoop, no splitting, no shuffle, primitive columns.
+    *
+    * Decoded tiles are held in a JVM-wide SOFT-reference cache keyed by
+    * file path — the executor-side twin of [[TiledRouter]]'s documented
+    * tile LRU: the layout is immutable (a rebuild writes new unique part
+    * file names), several query chunks of one hot tile land on the same
+    * executor, and the parquet record-assembly was the dominant cost of
+    * the legs stage (926 s of read wall across one r24 witness pass's
+    * duplicated chunk reads). Soft references keep the bound
+    * memory-adaptive: the GC reclaims tiles under pressure, so the cache
+    * never outgrows the executor heap at planet tile counts.
+    */
+  private val tileEdgeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[EdgeCols]]()
+
+  private def readTileParquet(path: String,
+      conf: org.apache.hadoop.conf.Configuration): EdgeCols = {
+    val hit = tileEdgeCache.get(path)
+    if (hit != null) {
+      val v = hit.get()
+      if (v != null) return v
+    }
+    val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(new EdgeReadSupport(), new org.apache.hadoop.fs.Path(path))
+      .withConf(conf).build()
+    val cols =
+      try {
+        var last: EdgeCols = null
+        var g = reader.read()
+        while (g != null) { last = g; g = reader.read() }
+        if (last == null) EdgeCols.empty else last
+      } finally reader.close()
+    tileEdgeCache.put(path, new java.lang.ref.SoftReference(cols))
+    cols
   }
 
   /** Minimal serializable Hadoop-conf carrier (Spark's own is private). */
@@ -732,20 +848,47 @@ object Tiled {
     // (node unused), 1 = source→boundary, 2 = boundary→target
     val legs = tileFiles match {
       case Some(files) =>
-        val qByTile = pt.collect().flatMap { case (pid, src, dst, st, dt) =>
+        // hot-tile split (guide §2.5 — a skewed batch can land half its
+        // endpoints in ONE tile, serializing that tile's Dijkstras into a
+        // straggler task: r24's same-tile witness put ~1000 of 2000
+        // endpoint queries in tile 0 and the stage wall was 17 s for 74 s
+        // of task time). Queries are sorted by (endpoint, rev) so
+        // duplicate endpoints stay in one chunk and keep sharing the
+        // per-chunk Dijkstra cache; each extra chunk re-reads its tile
+        // file — cheap next to the Dijkstras it parallelizes.
+        val allQ = pt.collect().flatMap { case (pid, src, dst, st, dt) =>
           Iterator((st, pid, src, dst, dt, false), (dt, pid, dst, src, st, true))
-        }.groupBy(_._1)
-        val bcQ = spark.sparkContext.broadcast(qByTile)
+        }
+        val chunkSize = math.max(16,
+          allQ.length / math.max(1, 2 * spark.sparkContext.defaultParallelism))
+        val qChunks: Map[Int, Array[Array[(Int, Long, Long, Long, Int, Boolean)]]] =
+          allQ.groupBy(_._1).map { case (t, qs) =>
+            t -> qs.sortBy(q => (q._3, q._6)).grouped(chunkSize).toArray
+          }
+        val bcQ = spark.sparkContext.broadcast(qChunks)
         val bcConf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
         // every tile with queries runs, even one with no interior edges
         // (isolated endpoints still answer, matching the cogroup path)
-        val work = qByTile.keys.toSeq.sorted.map(t => (t, files.get(t)))
+        val work = qChunks.toSeq.sortBy(_._1).flatMap { case (t, chunks) =>
+          chunks.indices.map(ci => (t, ci, files.get(t)))
+        }
         spark.createDataset(spark.sparkContext
           .parallelize(work, math.max(1, work.size))
-          .flatMap { case (tile, pathOpt) =>
+          .flatMap { case (tile, ci, pathOpt) =>
+            val trace = sys.env.contains("GRAFT_TILE_TRACE")
+            val mx = java.lang.management.ManagementFactory.getThreadMXBean
+            val c0 = if (trace) mx.getCurrentThreadCpuTime else 0L
+            val t0 = System.nanoTime()
             val es = pathOpt.map(p => readTileParquet(p, bcConf.value))
-              .getOrElse(Array.empty[(Long, Long, Long)])
-            tileLegs(bc.value, tile, es, bcQ.value(tile))
+              .getOrElse(EdgeCols.empty)
+            val t1 = System.nanoTime()
+            val out = tileLegs(bc.value, tile, es, bcQ.value(tile)(ci)).toArray
+            val t2 = System.nanoTime()
+            if (trace) {
+              val cpu = (mx.getCurrentThreadCpuTime - c0) / 1e9
+              System.err.println(f"[tileLegs] tile=$tile chunk=$ci edges=${es.n} q=${bcQ.value(tile)(ci).length} read=${(t1 - t0) / 1e9}%.2fs legs=${out.length} legsT=${(t2 - t1) / 1e9}%.2fs cpu=$cpu%.2fs")
+            }
+            out
           })
       case None =>
         // queries: (tile, pair_id, endpoint-in-tile, other, other's tile, rev)
@@ -755,7 +898,8 @@ object Tiled {
         interiorByTile.cogroup(queries) { (tile, eIt, qIt) =>
           val qs = qIt.toArray
           if (qs.isEmpty) Iterator.empty
-          else tileLegs(bc.value, tile, eIt.map(e => (e._2, e._3, e._4)).toArray, qs)
+          else tileLegs(bc.value, tile,
+            EdgeCols.fromIterator(eIt.map(e => (e._2, e._3, e._4))), qs)
         }
     }
 
@@ -796,14 +940,13 @@ object Tiled {
           best = math.min(best, j)
         } else if (seeds.nonEmpty && !targets.isEmpty) {
           val dist = Array.fill(nb)(Long.MaxValue)
-          val pq = new PriorityQueue[Array[Long]](
-            (a, b) => java.lang.Long.compare(a(0), b(0)))
+          val pq = new graft.algo.LongMinHeap(256)
           seeds.foreach { case (i, d) =>
-            if (d < dist(i)) { dist(i) = d; pq.add(Array(d, i.toLong)) }
+            if (d < dist(i)) { dist(i) = d; pq.add(d, i) }
           }
           while (!pq.isEmpty) {
-            val top = pq.poll()
-            val d = top(0); val v = top(1).toInt
+            val d = pq.topDist; val v = pq.topNode
+            pq.removeTop()
             if (d == dist(v) && d < best) {
               val t = targets.get(v)
               if (t != null) best = math.min(best, d + t.longValue)
@@ -812,7 +955,7 @@ object Tiled {
                 val nd = d + ov.w(e)
                 if (nd < dist(ov.tgt(e))) {
                   dist(ov.tgt(e)) = nd
-                  pq.add(Array(nd, ov.tgt(e).toLong))
+                  pq.add(nd, ov.tgt(e))
                 }
                 e += 1
               }
@@ -849,9 +992,34 @@ object Tiled {
       // the node table never shuffles; the shuffle carries only one
       // (point, candidate) row per scan partition that saw the point's
       // tile, min-reduced to the nearest. Ties break on node id so the
-      // result is layout-independent.
-      val byTile = ptArr.groupBy(p => bcGrid.value.tileOf(p._2, p._3))
-      val bcPts = spark.sparkContext.broadcast(byTile)
+      // result is layout-independent. The inner loop runs once per
+      // (node-in-touched-tile × point-in-that-tile) — ~300M iterations at
+      // the r24 witness — so the per-point best state is PRIMITIVE slot
+      // arrays indexed by a dense point slot (the former boxed
+      // HashMap[Long, (Double, Long, Int)] cost one boxed lookup and a
+      // tuple allocation per improvement; profiler: 83 s task time).
+      val byTile: Map[Int, Array[(Long, Double, Double)]] =
+        ptArr.groupBy(p => bcGrid.value.tileOf(p._2, p._3))
+      // dense slots per tile: (pids, lats, lons, global slot base)
+      val slotBase = scala.collection.mutable.Map.empty[Int, Int]
+      var acc = 0
+      val tilesSorted = byTile.keys.toArray.sorted
+      tilesSorted.foreach { t => slotBase(t) = acc; acc += byTile(t).length }
+      val nSlots = acc
+      final case class TilePts(base: Int, pids: Array[Long],
+          lats: Array[Double], lons: Array[Double])
+      val packed: Map[Int, TilePts] = byTile.map { case (t, ps) =>
+        t -> TilePts(slotBase(t), ps.map(_._1), ps.map(_._2), ps.map(_._3))
+      }
+      val bcPts = spark.sparkContext.broadcast(packed)
+      val allPids = {
+        val a = new Array[Long](nSlots)
+        packed.values.foreach { tp =>
+          System.arraycopy(tp.pids, 0, a, tp.base, tp.pids.length)
+        }
+        a
+      }
+      val bcPids = spark.sparkContext.broadcast(allPids)
       val touched = byTile.keys.map(Integer.valueOf).toSeq
       spark.read.parquet(s"$dir/nodes")
         .filter($"tile".isin(touched: _*))
@@ -859,22 +1027,46 @@ object Tiled {
           $"lat".cast("double"), $"lon".cast("double"))
         .as[(Int, Long, Double, Double)]
         .mapPartitions { rows =>
-          val best = new java.util.HashMap[Long, (Double, Long, Int)]()
+          val trace = sys.env.contains("GRAFT_TILE_TRACE")
+          val mx = java.lang.management.ManagementFactory.getThreadMXBean
+          val c0 = if (trace) mx.getCurrentThreadCpuTime else 0L
+          val t0 = System.nanoTime()
+          var nRows = 0L
+          val m = bcPts.value
+          val n = bcPids.value.length
+          val bestD = Array.fill(n)(Double.MaxValue)
+          val bestN = Array.fill(n)(-1L)
+          val bestT = Array.fill(n)(-1)
+          var lastTile = Int.MinValue
+          var cur: TilePts = null
           rows.foreach { case (tile, nid, nlat, nlon) =>
-            val ps = bcPts.value.getOrElse(tile, Array.empty[(Long, Double, Double)])
-            var i = 0
-            while (i < ps.length) {
-              val (pid, plat, plon) = ps(i)
-              val d = graft.geo.Geo.approxDist2(plat, plon, nlat, nlon)
-              val cur = best.get(pid)
-              if (cur == null || d < cur._1 || (d == cur._1 && nid < cur._2))
-                best.put(pid, (d, nid, tile))
-              i += 1
+            nRows += 1
+            if (tile != lastTile) { cur = m.getOrElse(tile, null); lastTile = tile }
+            if (cur != null) {
+              var i = 0
+              val pl = cur.pids.length
+              while (i < pl) {
+                val s = cur.base + i
+                // d >= dLat² always, so a candidate with dLat² > bestD can
+                // never win (not even on the nid tie at d == bestD): skip
+                // the cos for the ~99% of nodes that are latitude-far
+                val dLat = nlat - cur.lats(i)
+                if (dLat * dLat <= bestD(s)) {
+                  val d = graft.geo.Geo.approxDist2(cur.lats(i), cur.lons(i), nlat, nlon)
+                  if (d < bestD(s) || (d == bestD(s) && nid < bestN(s))) {
+                    bestD(s) = d; bestN(s) = nid; bestT(s) = tile
+                  }
+                }
+                i += 1
+              }
             }
           }
-          import scala.jdk.CollectionConverters._
-          best.entrySet().iterator().asScala
-            .map(e => (e.getKey, e.getValue._1, e.getValue._2, e.getValue._3))
+          if (trace) {
+            val cpu = (mx.getCurrentThreadCpuTime - c0) / 1e9
+            System.err.println(f"[snap] rows=$nRows wall=${(System.nanoTime() - t0) / 1e9}%.2fs cpu=$cpu%.2fs")
+          }
+          (0 until n).iterator.filter(bestN(_) >= 0)
+            .map(s => (bcPids.value(s), bestD(s), bestN(s), bestT(s)))
         }
         .groupByKey(_._1)
         .reduceGroups { (a, b) =>
@@ -908,9 +1100,14 @@ object Tiled {
           var best = -1L; var bestD = Double.MaxValue
           var i = 0
           while (i < ns.length) {
-            val d = graft.geo.Geo.approxDist2(plat, plon, ns(i)._3, ns(i)._4)
-            if (d < bestD || (d == bestD && ns(i)._2 < best)) {
-              bestD = d; best = ns(i)._2
+            // dLat² lower bound skips the cos for latitude-far nodes
+            // (d >= dLat², so dLat² > bestD can never win — even on ties)
+            val dLat = ns(i)._3 - plat
+            if (dLat * dLat <= bestD) {
+              val d = graft.geo.Geo.approxDist2(plat, plon, ns(i)._3, ns(i)._4)
+              if (d < bestD || (d == bestD && ns(i)._2 < best)) {
+                bestD = d; best = ns(i)._2
+              }
             }
             i += 1
           }
@@ -933,7 +1130,12 @@ object Tiled {
       $"src_lat".as("lat"), $"src_lon".as("lon"))
     val dstPts = pairs.select(($"pair_id".cast("long") * 2 + 1).as("id"),
       $"dst_lat".as("lat"), $"dst_lon".as("lon"))
+    // materialize the (batch-sized) snap output ONCE before the src/dst
+    // split: the two filter branches below are both join inputs, and Spark
+    // plans the snap subtree (a full scan of every touched tile's nodes)
+    // once PER BRANCH — the localCheckpoint halves the node-table work
     val snapped = snap(spark, dir, grid, srcPts.unionByName(dstPts))
+      .localCheckpoint(true)
     val src = snapped.filter($"id" % 2 === 0).select(($"id" / 2).cast("long").as("pair_id"),
       $"node".as("src"), $"tile".as("src_tile"))
     val dst = snapped.filter($"id" % 2 === 1).select(($"id" / 2).cast("long").as("pair_id"),
@@ -998,7 +1200,9 @@ final class TiledRouter(spark: SparkSession, val dir: String, val grid: Tiled.Ti
     val es = spark.read.parquet(s"$dir/interior").filter($"tile" === tid)
       .select($"src".cast("long"), $"dst".cast("long"), $"time_ms".cast("long"))
       .as[(Long, Long, Long)].collect()
-    val loaded = Tiled.buildLocal(ns.map(_._1), ns.map(_._2), ns.map(_._3), es)
+    val ec = new Tiled.EdgeCols(es.length)
+    es.foreach(e => ec.append(e._1, e._2, e._3))
+    val loaded = Tiled.buildLocal(ns.map(_._1), ns.map(_._2), ns.map(_._3), ec)
     cache.put(tid, loaded)
     loaded
   }
@@ -1052,21 +1256,21 @@ final class TiledRouter(spark: SparkSession, val dir: String, val grid: Tiled.Ti
       }
     } else {
       val dist = Array.fill(nb)(Long.MaxValue)
-      val pq = new PriorityQueue[Array[Long]]((a, b) => java.lang.Long.compare(a(0), b(0)))
+      val pq = new graft.algo.LongMinHeap(256)
       var i = 0
       while (i < nb) {
         if (overlay.tiles(i) == ts) {
           val li = tileS.index.get(overlay.ids(i))
           if (li != null && fwd(li.intValue) != Long.MaxValue) {
             dist(i) = fwd(li.intValue)
-            pq.add(Array(dist(i), i.toLong))
+            pq.add(dist(i), i)
           }
         }
         i += 1
       }
       while (!pq.isEmpty) {
-        val top = pq.poll()
-        val d = top(0); val v = top(1).toInt
+        val d = pq.topDist; val v = pq.topNode
+        pq.removeTop()
         if (d == dist(v) && d < best) {
           if (overlay.tiles(v) == td) {
             val li = tileD.index.get(overlay.ids(v))
@@ -1078,7 +1282,7 @@ final class TiledRouter(spark: SparkSession, val dir: String, val grid: Tiled.Ti
             val nd = d + overlay.w(e)
             if (nd < dist(overlay.tgt(e))) {
               dist(overlay.tgt(e)) = nd
-              pq.add(Array(nd, overlay.tgt(e).toLong))
+              pq.add(nd, overlay.tgt(e))
             }
             e += 1
           }
@@ -1122,28 +1326,28 @@ final class TiledRouter(spark: SparkSession, val dir: String, val grid: Tiled.Ti
     // 2) overlay, budget-bounded, seeded from the source tile's boundary
     val nb = overlay.size
     val dist = Array.fill(nb)(Long.MaxValue)
-    val pq = new PriorityQueue[Array[Long]]((a, b) => java.lang.Long.compare(a(0), b(0)))
+    val pq = new graft.algo.LongMinHeap(256)
     i = 0
     while (i < nb) {
       if (overlay.tiles(i) == ts) {
         val li = tileS.index.get(overlay.ids(i))
         if (li != null && fwd(li.intValue) != Long.MaxValue && fwd(li.intValue) <= budgetMs) {
           dist(i) = fwd(li.intValue)
-          pq.add(Array(dist(i), i.toLong))
+          pq.add(dist(i), i)
         }
       }
       i += 1
     }
     while (!pq.isEmpty) {
-      val top = pq.poll()
-      val d = top(0); val v = top(1).toInt
+      val d = pq.topDist; val v = pq.topNode
+      pq.removeTop()
       if (d == dist(v)) {
         var e = overlay.off(v)
         while (e < overlay.off(v + 1)) {
           val nd = d + overlay.w(e)
           if (nd <= budgetMs && nd < dist(overlay.tgt(e))) {
             dist(overlay.tgt(e)) = nd
-            pq.add(Array(nd, overlay.tgt(e).toLong))
+            pq.add(nd, overlay.tgt(e))
           }
           e += 1
         }
@@ -1172,24 +1376,24 @@ final class TiledRouter(spark: SparkSession, val dir: String, val grid: Tiled.Ti
       val tl = tile(tid)
       val n = tl.ids.length
       val td = Array.fill(n)(Long.MaxValue)
-      val tpq = new PriorityQueue[Array[Long]]((a, b) => java.lang.Long.compare(a(0), b(0)))
+      val tpq = new graft.algo.LongMinHeap(256)
       en.getValue.foreach { case (gid, d0) =>
         val li = tl.index.get(gid)
         if (li != null && d0 < td(li.intValue)) {
           td(li.intValue) = d0
-          tpq.add(Array(d0, li.intValue.toLong))
+          tpq.add(d0, li.intValue)
         }
       }
       while (!tpq.isEmpty) {
-        val top = tpq.poll()
-        val d = top(0); val v = top(1).toInt
+        val d = tpq.topDist; val v = tpq.topNode
+        tpq.removeTop()
         if (d == td(v)) {
           var e = tl.off(v)
           while (e < tl.off(v + 1)) {
             val nd = d + tl.w(e)
             if (nd <= budgetMs && nd < td(tl.tgt(e))) {
               td(tl.tgt(e)) = nd
-              tpq.add(Array(nd, tl.tgt(e).toLong))
+              tpq.add(nd, tl.tgt(e))
             }
             e += 1
           }
@@ -1240,21 +1444,21 @@ final class TiledRouter(spark: SparkSession, val dir: String, val grid: Tiled.Ti
     val nb = overlay.size
     val dist = Array.fill(nb)(Long.MaxValue)
     val par = Array.fill(nb)(-1)
-    val pq = new PriorityQueue[Array[Long]]((a, b) => java.lang.Long.compare(a(0), b(0)))
+    val pq = new graft.algo.LongMinHeap(256)
     var i = 0
     while (i < nb) {
       if (overlay.tiles(i) == ts) {
         val li = tileS.index.get(overlay.ids(i))
         if (li != null && fwd(li.intValue) != Long.MaxValue) {
           dist(i) = fwd(li.intValue)
-          pq.add(Array(dist(i), i.toLong))
+          pq.add(dist(i), i)
         }
       }
       i += 1
     }
     while (!pq.isEmpty) {
-      val top = pq.poll()
-      val d = top(0); val v = top(1).toInt
+      val d = pq.topDist; val v = pq.topNode
+      pq.removeTop()
       if (d == dist(v) && d < best) {
         if (overlay.tiles(v) == td) {
           val li = tileD.index.get(overlay.ids(v))
@@ -1268,7 +1472,7 @@ final class TiledRouter(spark: SparkSession, val dir: String, val grid: Tiled.Ti
           if (nd < dist(overlay.tgt(e))) {
             dist(overlay.tgt(e)) = nd
             par(overlay.tgt(e)) = v
-            pq.add(Array(nd, overlay.tgt(e).toLong))
+            pq.add(nd, overlay.tgt(e))
           }
           e += 1
         }

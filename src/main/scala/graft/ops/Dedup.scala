@@ -41,9 +41,39 @@ object Dedup {
     array(mins: _*)
   }
 
-  /** (doc, sig ARRAY<BIGINT>) per input row, computed as explode + k
-    * map-side-combined `min` aggregates. Two deliberate physical-plan
-    * choices for 100 TB survival:
+  /** (doc, sig ARRAY<BIGINT>) per input row — the whole k-function
+    * signature computed by the native per-row [[graft.functions.MinhashSig]]
+    * kernel inside whole-stage codegen: one pass over the text, distinct
+    * shingles once, k digests per shingle, NO shuffle (r13 optimization;
+    * guide §1.2 step 1 / §2.4). The previous explode + k min-aggregate
+    * shape ([[minhashSignaturesAgg]]) pushed every (shingle, seed) through
+    * md5 → hex string → substring → conv — ~6 expression allocations per
+    * digest — plus a doc-keyed exchange of the exploded stream; at the
+    * p126 scale witness (500 k docs × ~270 shingles × k=12 ≈ 1.6 B
+    * digests) the signature stage alone dominated the 6-minute budget.
+    * The kernel is bit-identical (OpsSpec pins kernel == agg on edge
+    * cases; every downstream oracle hash is unchanged).
+    *
+    * Memory shape: the kernel holds ONE document's distinct-shingle set at
+    * a time — bounded by max doc length, not corpus size. For corpora with
+    * pathologically huge single documents, [[minhashSignaturesAgg]] keeps
+    * the exploded-aggregate form whose state is O(k) per doc regardless of
+    * doc length.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        q: Int, k: Int): DataFrame = {
+    // CPU-heavy per-row stage: spread docs across all cores first — a small
+    // parquet source may arrive as one partition, which would serialize the
+    // k·|shingles| digest work on a single thread
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(par).select(col(idCol).as("doc"),
+      graft.functions.MinhashSig(df.sparkSession, col(textCol), q, k).as("sig"))
+  }
+
+  /** The explode + k map-side-combined `min` aggregate form of
+    * [[minhashSignatures]] — the shape for corpora whose individual
+    * documents are too large for a per-row distinct-shingle set. Two
+    * deliberate physical-plan choices:
     *  - md5s run inside whole-stage codegen (scalar functions, not lambda
     *    HOFs), and partial aggregation means the shuffle carries one k-wide
     *    row per (partition, doc);
@@ -52,11 +82,8 @@ object Dedup {
     *    HashAggregate — min(STRING) is var-length and falls back to
     *    SortAggregate, which sorts the entire exploded shingle stream.
     */
-  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        q: Int, k: Int): DataFrame = {
-    // CPU-heavy per-row stage: spread docs across all cores first — a small
-    // parquet source may arrive as one partition, which would serialize the
-    // k·|shingles| digest work on a single thread
+  def minhashSignaturesAgg(df: DataFrame, idCol: String, textCol: String,
+                           q: Int, k: Int): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val sh = df.repartition(par).select(col(idCol).as("doc"),
       explode(array_distinct(shinglesExpr(textCol, q))).as("s"))

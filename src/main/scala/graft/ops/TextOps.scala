@@ -365,7 +365,10 @@ object TextOps {
     */
   private def charTrigrams(df: org.apache.spark.sql.DataFrame, keep: Seq[Column],
                            textCol: String) =
-    df.select(keep :+
+    // Spread.cpu: the trigram explode + normalization is the CPU-heavy
+    // stage; a single-file corpus otherwise runs it on one core (r13
+    // profiler: p48's two corpus passes were single-task, 2-3 s each)
+    Spread.cpu(df).select(keep :+
         trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " ")).as("__graft_t"): _*)
       .filter(length(col("__graft_t")) >= 3)
       .select(keep :+ explode(expr(

@@ -2569,7 +2569,7 @@ object Advanced {
           StructField("samplerate", IntegerType), StructField("br_min", IntegerType),
           StructField("br_max", IntegerType), StructField("is_vbr", BooleanType),
           StructField("duration_us", LongType)))
-        val rows = t(s, d, "documents").select($"doc_id").rdd.mapPartitions {
+        val rows = graft.ops.Spread.cpu(t(s, d, "documents").select($"doc_id")).rdd.mapPartitions {
           it => it.map { r =>
             val id = r.getLong(0)
             val inv = graft.ops.Mp3.parse(graft.ops.Mp3.syntheticMp3(id)).get
@@ -4072,16 +4072,18 @@ object Advanced {
           }.toMap).getOrElse(Map.empty[String, Long])
         // live plan probe (planning only — no 500k-doc execution outside
         // the stamped window): signatures→banding must hash-aggregate
-        // end to end with EXACTLY its two inherent exchanges — the
-        // doc-keyed shingle→signature aggregation and the band-keyed
-        // bucket aggregation. A SortAggregate fallback, a cartesian, or
-        // any extra exchange fails the witness.
+        // with EXACTLY its one inherent hash exchange — the band-keyed
+        // bucket aggregation. Signatures are a per-row codegen kernel
+        // since r13 (Dedup.minhashSignatures), so the former doc-keyed
+        // shingle→signature exchange no longer exists; a SortAggregate
+        // fallback, a cartesian, or any extra hash exchange (e.g. the
+        // explode+agg shape sneaking back) fails the witness.
         val probe = graft.ops.Dedup.bandBuckets(mkDocs, "doc_id", "text")
           .groupBy($"band", $"bucket").agg(count(lit(1)))
           .queryExecution.executedPlan.toString
         val planOk = !probe.contains("SortAggregate") &&
           !probe.contains("CartesianProduct") &&
-          "Exchange hashpartitioning".r.findAllIn(probe).length == 2
+          "Exchange hashpartitioning".r.findAllIn(probe).length == 1
         Seq((n, n / 100, kv("exact"), kv("exact") == n / 100,
           n / 50, kv("near") * 100 >= (n / 50) * 95,
           kv("keeper_viol") == 0L, planOk,
@@ -4178,7 +4180,7 @@ object Advanced {
     QueryDef("p128_document_capstone",
       (s, d) => {
         import s.implicits._
-        t(s, d, "documents").select($"doc_id".cast("long")).as[Long]
+        graft.ops.Spread.cpu(t(s, d, "documents").select($"doc_id".cast("long"))).as[Long]
           .mapPartitions { it =>
             it.map { id =>
               val bytes = (id % 4) match {
@@ -4802,7 +4804,7 @@ object Advanced {
     QueryDef("p138_office_metadata",
       (s, d) => {
         import s.implicits._
-        t(s, d, "documents").select($"doc_id".cast("long")).as[Long]
+        graft.ops.Spread.cpu(t(s, d, "documents").select($"doc_id".cast("long"))).as[Long]
           .mapPartitions(_.map { id =>
             val (kind, bytes, text) = (id % 3) match {
               case 0 =>
@@ -4889,7 +4891,7 @@ object Advanced {
     QueryDef("p139_exif_orientation",
       (s, d) => {
         import s.implicits._
-        t(s, d, "documents").select($"doc_id".cast("long")).as[Long]
+        graft.ops.Spread.cpu(t(s, d, "documents").select($"doc_id".cast("long"))).as[Long]
           .mapPartitions(_.map { id =>
             val png = graft.ops.Multimodal.syntheticPng(id, 9, 6)
             val src = javax.imageio.ImageIO.read(
@@ -5344,7 +5346,7 @@ object Advanced {
         EventStreams.runBoundedDocs(s, d, "s50_sink", docs => {
           val sp = docs.sparkSession
           import sp.implicits._
-          docs.select(col("doc_id").cast("long")).as[Long]
+          graft.ops.Spread.cpu(docs.select(col("doc_id").cast("long"))).as[Long]
             .mapPartitions(_.flatMap { id =>
               val bytes = graft.ops.Eml.mboxWrite(Seq(
                 graft.ops.Eml.logicalFrom(id) -> graft.ops.Eml.syntheticEml(id),
@@ -5413,7 +5415,7 @@ object Advanced {
   private def markdownStage(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+    graft.ops.Spread.cpu(docs.select(col("doc_id").cast("long"))).as[Long].mapPartitions { it =>
       it.map { id =>
         val lines =
           graft.ops.Markdown.extractText(graft.ops.Markdown.syntheticMarkdown(id))
@@ -5463,7 +5465,7 @@ object Advanced {
   private def legacyEstateStage(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+    graft.ops.Spread.cpu(docs.select(col("doc_id").cast("long"))).as[Long].mapPartitions { it =>
       it.map { id =>
         val bytes = (id % 5).toInt match {
           case 0 => graft.ops.Rtf.syntheticRtf(id)
@@ -5552,7 +5554,7 @@ object Advanced {
   private def msgStage(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+    graft.ops.Spread.cpu(docs.select(col("doc_id").cast("long"))).as[Long].mapPartitions { it =>
       it.map { id =>
         val m = graft.ops.Msg.extractMail(graft.ops.Msg.syntheticMsg(id))
           .getOrElse(throw new IllegalStateException(s"doc $id: MSG refused"))
@@ -5585,7 +5587,7 @@ object Advanced {
   private def pptStage(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+    graft.ops.Spread.cpu(docs.select(col("doc_id").cast("long"))).as[Long].mapPartitions { it =>
       it.map { id =>
         val slides = graft.ops.Ppt.extractText(graft.ops.Ppt.syntheticPpt(id))
           .getOrElse(throw new IllegalStateException(s"doc $id: PPT refused"))
@@ -5622,7 +5624,7 @@ object Advanced {
   private def xlsStage(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+    graft.ops.Spread.cpu(docs.select(col("doc_id").cast("long"))).as[Long].mapPartitions { it =>
       it.map { id =>
         val sheets = graft.ops.Xls.extractText(graft.ops.Xls.syntheticXls(id))
           .getOrElse(throw new IllegalStateException(s"doc $id: XLS refused"))
@@ -5659,7 +5661,7 @@ object Advanced {
   private def docStage(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+    graft.ops.Spread.cpu(docs.select(col("doc_id").cast("long"))).as[Long].mapPartitions { it =>
       it.map { id =>
         val paras = graft.ops.Doc.extractText(graft.ops.Doc.syntheticDoc(id))
           .getOrElse(throw new IllegalStateException(s"doc $id: DOC refused"))
@@ -5698,7 +5700,7 @@ object Advanced {
   private def mojibakeStage(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val planted = docs.select(col("doc_id").cast("long")).as[Long]
+    val planted = graft.ops.Spread.cpu(docs.select(col("doc_id").cast("long"))).as[Long]
       .mapPartitions(_.map { id =>
         val orig = "Fix " +
           org.apache.commons.codec.digest.DigestUtils
@@ -5740,7 +5742,7 @@ object Advanced {
   private def emlStage(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+    graft.ops.Spread.cpu(docs.select(col("doc_id").cast("long"))).as[Long].mapPartitions { it =>
       it.map { id =>
         val em = graft.ops.Eml.extractEmail(graft.ops.Eml.syntheticEml(id))
           .getOrElse(throw new IllegalStateException(s"doc $id: EML refused"))
@@ -5778,7 +5780,7 @@ object Advanced {
   private def rtfStage(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+    graft.ops.Spread.cpu(docs.select(col("doc_id").cast("long"))).as[Long].mapPartitions { it =>
       it.map { id =>
         val paras = graft.ops.Rtf.extractText(graft.ops.Rtf.syntheticRtf(id))
           .getOrElse(throw new IllegalStateException(s"doc $id: RTF refused"))
@@ -5851,7 +5853,7 @@ object Advanced {
   private def xlsxStage(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+    graft.ops.Spread.cpu(docs.select(col("doc_id").cast("long"))).as[Long].mapPartitions { it =>
       it.map { id =>
         val sheets = graft.ops.Xlsx.extractText(graft.ops.Xlsx.syntheticXlsx(id))
           .getOrElse(throw new IllegalStateException(s"doc $id: XLSX refused"))
@@ -5890,7 +5892,7 @@ object Advanced {
   private def pptxStage(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+    graft.ops.Spread.cpu(docs.select(col("doc_id").cast("long"))).as[Long].mapPartitions { it =>
       it.map { id =>
         val slides = graft.ops.Pptx.extractText(graft.ops.Pptx.syntheticPptx(id))
           .getOrElse(throw new IllegalStateException(s"doc $id: PPTX refused"))
@@ -5927,7 +5929,7 @@ object Advanced {
   private def docxStage(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+    graft.ops.Spread.cpu(docs.select(col("doc_id").cast("long"))).as[Long].mapPartitions { it =>
       it.map { id =>
         val paras = graft.ops.Docx.extractText(graft.ops.Docx.syntheticDocx(id))
           .getOrElse(throw new IllegalStateException(s"doc $id: DOCX refused"))
@@ -5962,7 +5964,7 @@ object Advanced {
   private def pdfStage(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+    graft.ops.Spread.cpu(docs.select(col("doc_id").cast("long"))).as[Long].mapPartitions { it =>
       it.map { id =>
         val pages = graft.ops.Pdf.extractText(graft.ops.Pdf.syntheticPdf(id))
           .getOrElse(throw new IllegalStateException(s"doc $id: PDF refused"))

@@ -2997,7 +2997,9 @@ object Pipeline {
     QueryDef("p87_hll_distinct",
       (s, d) => {
         import s.implicits._
-        val docs = t(s, d, "documents")
+        // Spread.cpu: the explode+hash register pass is CPU-bound; a
+        // single-file corpus otherwise runs each union leg on one core
+        val docs = graft.ops.Spread.cpu(t(s, d, "documents"))
         val toks = docs.select(lit("token").as("metric"), $"source",
             explode(split(lower($"text"), "\\s+")).as("v"))
           .filter(length($"v") > 0)

@@ -609,7 +609,7 @@ object EventStreams {
   def mediaFeatureStage(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+    graft.ops.Spread.cpu(docs.select(col("doc_id").cast("long"))).as[Long].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { id =>
         val (kind, bytes) = (id % 3) match {

@@ -1156,7 +1156,10 @@ class OpsSpec extends AnyFunSuite {
                  (3L, "ab"),   // shorter than q -> single whole-text shingle
                  (4L, ""))     // empty text -> md5 of "seed|" per function
       .toDF("doc_id", "text")
-    val batch = Dedup.minhashSignatures(df, "doc_id", "text", q = 5, k = 12)
+    // the explode+min-agg form is the reference arithmetic here: the
+    // default minhashSignatures now routes through the same kernel, so
+    // comparing it against MinhashSig directly would be vacuous
+    val batch = Dedup.minhashSignaturesAgg(df, "doc_id", "text", q = 5, k = 12)
       .orderBy($"doc").collect().map(r => r.getSeq[Long](1))
     val perRow = df.select($"doc_id",
         graft.functions.MinhashSig(spark, $"text", 5, 12).as("sig"))
